@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+
+Reads outDir/<name>/ parquet written by graft.Verify and
+outDir/oracle_sql.json, runs each oracle SQL in DuckDB against views over
+the sfDir parquet tables, and compares: schema (column names), row count,
+and value hash with columns sorted by name and rows sorted.
+
+NOT part of the shipped library — developer tooling only (driver-side
+python deps: duckdb, pyarrow).
+"""
+import duckdb
+import glob
+import json
+import math
+import sys
+from decimal import Decimal
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, Decimal):
+        return f"dec:{v.normalize()}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, bytes):
+        return "b:" + v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
+
+
+def rows_of(table):
+    cols = sorted(table.column_names)
+    data = table.select(cols).to_pylist()
+    return cols, sorted("|".join(canon(r[c]) for c in cols) for r in data)
+
+
+def approx_equal(a, b, tol=1e-9):
+    # tolerant float compare fallback, to distinguish "wrong" from "ulp drift"
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        xs, ys = x.split("|"), y.split("|")
+        if len(xs) != len(ys):
+            return False
+        for u, v in zip(xs, ys):
+            if u == v:
+                continue
+            if u.startswith("f:") and v.startswith("f:"):
+                try:
+                    fu, fv = float(u[2:]), float(v[2:])
+                except ValueError:
+                    return False
+                if abs(fu - fv) > tol * max(1.0, abs(fu), abs(fv)):
+                    return False
+            elif u.startswith("dec:") and v.startswith("dec:"):
+                if Decimal(u[4:]) != Decimal(v[4:]):
+                    return False
+            else:
+                return False
+    return True
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output")
+                n_fail += 1
+                continue
+            got = pads.dataset(files).to_table()
+            exp = con.execute(sql).arrow()
+            gc, gr = rows_of(got)
+            ec, er = rows_of(exp)
+            if gc != ec:
+                print(f"FAIL {name}: columns {gc} != {ec}")
+                n_fail += 1
+            elif gr == er:
+                print(f"PASS {name} ({len(gr)} rows)")
+                n_pass += 1
+            elif approx_equal(gr, er):
+                print(f"NEAR {name}: values within 1e-9 but hash differs "
+                      f"({len(gr)} rows)")
+                for a, b in list(zip(gr, er))[:3]:
+                    if a != b:
+                        print(f"  spark: {a}\n  duck : {b}")
+                n_fail += 1
+            else:
+                print(f"FAIL {name}: rows differ (spark {len(gr)}, duck {len(er)})")
+                sg, se = set(gr), set(er)
+                for r in list(sg - se)[:3]:
+                    print(f"  only-spark: {r[:200]}")
+                for r in list(se - sg)[:3]:
+                    print(f"  only-duck : {r[:200]}")
+                n_fail += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
