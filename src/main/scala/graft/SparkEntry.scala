@@ -16,10 +16,14 @@ object SparkEntry {
     RelationalQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _
+    "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
+    "meta_stats_footer" -> MetadataQueries.statsFooterLineitem _,
+    "meta_listing_counts" -> MetadataQueries.listingRecordCounts _
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> RelationalQueries.q1Sql
+    "q1_pricing_summary" -> RelationalQueries.q1Sql,
+    "meta_stats_footer" -> MetadataQueries.statsFooterLineitemSql,
+    "meta_listing_counts" -> MetadataQueries.listingRecordCountsSql
   )
 }

@@ -1,0 +1,46 @@
+package graft.util
+
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+
+/** Path canonicalization — reference paths/PathUtils.java,
+  * DeltaActionsConverter.getFullPathToFile. Paths are the join keys of every
+  * files-diff (SURVEY §7.3): one relative-vs-absolute or %-encoding mismatch
+  * silently turns an unchanged file into an add+remove pair.
+  *
+  * Canonical form: absolute, no URI scheme for the local filesystem,
+  * URL-decoded, no trailing slash.
+  */
+object PathUtils {
+
+  def canonical(path: String): String = {
+    var p = path
+    if (p.startsWith("file://")) p = p.substring("file://".length)
+    else if (p.startsWith("file:")) p = p.substring("file:".length)
+    if (p.contains('%')) p = URLDecoder.decode(p, StandardCharsets.UTF_8)
+    if (p.length > 1 && p.endsWith("/")) p = p.dropRight(1)
+    p
+  }
+
+  /** Resolve a possibly-relative child against a table base path. */
+  def resolve(basePath: String, child: String): String = {
+    val c = canonical(child)
+    if (c.startsWith("/")) c else s"${canonical(basePath)}/$c"
+  }
+
+  /** Relative path of `child` under `basePath` (for formats that store
+    * relative paths in their logs, e.g. Delta add actions).
+    */
+  def relativize(basePath: String, child: String): String = {
+    val b = canonical(basePath) + "/"
+    val c = canonical(child)
+    if (c.startsWith(b)) c.substring(b.length) else c
+  }
+
+  /** Partition directory path (between base and file name), "" if flat. */
+  def partitionPath(basePath: String, filePath: String): String = {
+    val rel = relativize(basePath, filePath)
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+}
