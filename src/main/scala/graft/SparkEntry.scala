@@ -18,12 +18,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitem _,
-    "meta_listing_counts" -> MetadataQueries.listingRecordCounts _
+    "meta_listing_counts" -> MetadataQueries.listingRecordCounts _,
+    "sync_parquet_to_delta" -> SyncQueries.syncParquetToDelta _,
+    "sync_incremental_delta" -> SyncQueries.syncIncrementalDelta _
   )
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> RelationalQueries.q1Sql,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitemSql,
-    "meta_listing_counts" -> MetadataQueries.listingRecordCountsSql
+    "meta_listing_counts" -> MetadataQueries.listingRecordCountsSql,
+    "sync_parquet_to_delta" -> SyncQueries.syncParquetToDeltaSql,
+    "sync_incremental_delta" -> SyncQueries.syncIncrementalDeltaSql
   )
 }

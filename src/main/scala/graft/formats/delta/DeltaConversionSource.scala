@@ -1,0 +1,103 @@
+package graft.formats.delta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model._
+import graft.spi.ConversionSource
+import graft.util.Jsons
+
+/** Delta source — reference DeltaConversionSource.java:63-239: snapshot from
+  * log replay, per-version diffs, backlog by version number.
+  */
+class DeltaConversionSource(spark: SparkSession, tablePath: String,
+    tableName: String)
+  extends ConversionSource {
+
+  private val conf = new Configuration()
+  override def sourceFormat: String = TableFormats.Delta
+
+  private def versions: Seq[Long] = DeltaLog.listVersions(tablePath, conf)
+
+  private def metaOrFail(vs: Seq[Long]): DeltaMeta =
+    DeltaSnapshot.metadata(spark, tablePath, vs).getOrElse(
+      throw new IllegalStateException(s"no Delta metaData action at $tablePath"))
+
+  private def partitionSpecOf(meta: DeltaMeta): Seq[PartitionFieldSpec] =
+    meta.configuration.get("graft.partitionSpec").map { json =>
+      import scala.jdk.CollectionConverters._
+      Jsons.mapper.readTree(json).elements().asScala.map { n =>
+        PartitionFieldSpec(
+          n.get("sourceField").asText,
+          n.get("transform").asText,
+          Option(n.get("format")).filterNot(_.isNull).map(_.asText),
+          Option(n.get("numBuckets")).filterNot(_.isNull).map(_.asInt))
+      }.toSeq
+    }.getOrElse(meta.partitionColumns.map(c =>
+      PartitionFieldSpec(c, Transform.Value)))
+
+  override def currentTable(): TableDescriptor = {
+    val vs = versions
+    val meta = metaOrFail(vs)
+    TableDescriptor(tableName, TableFormats.Delta,
+      graft.util.PathUtils.canonical(tablePath), meta.schema,
+      partitionSpecOf(meta),
+      if (meta.partitionColumns.nonEmpty) Layout.HivePartitioned else Layout.Flat,
+      vs.lastOption.getOrElse(0L))
+  }
+
+  override def currentSnapshot(): TableSnapshot = {
+    val vs = versions
+    val table = currentTable()
+    TableSnapshot(table,
+      DeltaSnapshot.liveFiles(spark, tablePath, vs, table.schema),
+      vs.lastOption.getOrElse(0L).toString)
+  }
+
+  override def changeForCommit(commit: String): TableChange = {
+    val v = commit.toLong
+    val table = currentTable().copy(latestCommitMillis = v)
+    val (adds, removes) = DeltaSnapshot.changes(spark, tablePath, v, table.schema)
+    TableChange(commit, table, FilesDelta(adds, removes))
+  }
+
+  override def commitsBacklog(lastSynced: String): Seq[String] = {
+    val since = lastSynced.toLong
+    versions.filter(_ > since).map(_.toString)
+  }
+
+  /** Safe iff every version after the sync point is still in the log (no
+    * log cleanup gap) — reference vacuum-safety DeltaConversionSource.java:191-204.
+    */
+  override def isIncrementalSyncSafeFrom(commit: String): Boolean = {
+    val since = commit.toLong
+    val vs = versions
+    vs.contains(since) || vs.headOption.contains(since + 1)
+  }
+
+  /** Read the table's rows (zero-copy: the parquet files themselves),
+    * preserving hive partition columns via basePath inference when the
+    * physical layout is partitioned.
+    */
+  def toDataFrame: DataFrame = DeltaRead.toDataFrame(spark, currentSnapshot())
+}
+
+/** Turn any snapshot's live-file listing into a DataFrame scan. */
+object DeltaRead {
+  def toDataFrame(spark: SparkSession, snap: TableSnapshot): DataFrame = {
+    import spark.implicits._
+    val paths = snap.files.select("path").as[String].collect().toSeq
+    if (paths.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.table.schema)
+    } else if (snap.table.layout == Layout.HivePartitioned) {
+      // common prefix of partition dirs = original physical base
+      val base = paths.map(p => p.substring(0, p.lastIndexOf('/')))
+        .map(_.split('/').takeWhile(!_.contains("=")).mkString("/"))
+        .distinct.headOption.getOrElse(snap.table.basePath)
+      spark.read.option("basePath", base).parquet(paths: _*)
+    } else {
+      spark.read.parquet(paths: _*)
+    }
+  }
+}

@@ -1,0 +1,162 @@
+package graft.formats.delta
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.model._
+import graft.util.{Jsons, PathUtils}
+
+/** Table-level metadata carried in the log's `metaData` action. */
+case class DeltaMeta(
+    id: String,
+    schemaString: String,
+    partitionColumns: Seq[String],
+    configuration: Map[String, String],
+    createdTime: Long) {
+  def schema: StructType =
+    DataType.fromJson(schemaString).asInstanceOf[StructType]
+}
+
+/** Distributed Delta log replay: actions are read with `spark.read.text`
+  * over the commit files and reconciled per path with a window — the live
+  * set of a 10^6-file table never materializes on the driver (the reference
+  * gets the same property by reusing delta-spark's `snapshot.allFiles()`
+  * Dataset — DeltaDataFileExtractor.java).
+  */
+object DeltaSnapshot {
+
+  /** One parsed action row (flat, Dataset-encodable). */
+  case class ActionRow(
+      version: Long,
+      kind: String,                  // add | remove
+      path: String,                  // absolute canonical
+      size: Long,
+      modificationTime: Long,
+      partitionValues: Map[String, String],
+      stats: String)
+
+  private[delta] def parseActions(tablePath: String)(
+      lines: Iterator[(String, Long)]): Iterator[ActionRow] = {
+    lines.flatMap { case (line, version) =>
+      if (line.isEmpty) None
+      else {
+        val root = Jsons.mapper.readTree(line)
+        val add = root.get("add"); val remove = root.get("remove")
+        def pv(n: JsonNode): Map[String, String] =
+          Option(n.get("partitionValues")).map { o =>
+            o.properties().asScala
+              .map(e => e.getKey -> (if (e.getValue.isNull) null
+                else e.getValue.asText)).toMap
+          }.getOrElse(Map.empty)
+        if (add != null) Some(ActionRow(version, "add",
+          PathUtils.resolve(tablePath, add.get("path").asText),
+          Option(add.get("size")).map(_.asLong).getOrElse(0L),
+          Option(add.get("modificationTime")).map(_.asLong).getOrElse(0L),
+          pv(add),
+          Option(add.get("stats")).map(_.asText).getOrElse("")))
+        else if (remove != null) Some(ActionRow(version, "remove",
+          PathUtils.resolve(tablePath, remove.get("path").asText),
+          0L, 0L, Map.empty, ""))
+        else None
+      }
+    }
+  }
+
+  /** All add/remove actions up to and including `version`. */
+  def actions(spark: SparkSession, tablePath: String, versions: Seq[Long])
+      : Dataset[ActionRow] = {
+    import spark.implicits._
+    if (versions.isEmpty) return spark.emptyDataset[ActionRow]
+    val files = versions.map(v => DeltaLog.versionFile(tablePath, v))
+    val table = tablePath
+    spark.read.textFile(files: _*)
+      .select(col("value"),
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+          .cast("long").as("version"))
+      .as[(String, Long)]
+      .mapPartitions(parseActions(table))
+  }
+
+  /** Live files at a version: the latest action per path wins; within one
+    * commit an add beats a remove (rewrite-in-place).
+    */
+  def liveFiles(spark: SparkSession, tablePath: String, versions: Seq[Long],
+      schema: StructType): Dataset[FileEntry] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val acts = actions(spark, tablePath, versions)
+    val w = Window.partitionBy(col("path"))
+      .orderBy(col("version").desc,
+        when(col("kind") === "add", 1).otherwise(0).desc)
+    val schemaJson = schema.json
+    acts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("kind") === "add")
+      .drop("rn")
+      .as[ActionRow]
+      .mapPartitions { it =>
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        it.map { a =>
+          val (numRecords, stats) = DeltaStats.parse(sch, a.stats)
+          FileEntry(a.path, a.size, numRecords, "parquet",
+            a.partitionValues.toSeq.sortBy(_._1)
+              .map { case (k, v) => PartitionMember(k, v) },
+            stats, a.modificationTime)
+        }
+      }
+  }
+
+  /** Latest metaData action at-or-before the head of `versions` (driver-side:
+    * metaData appears only at creation and on schema/property changes).
+    */
+  def metadata(spark: SparkSession, tablePath: String, versions: Seq[Long])
+      : Option[DeltaMeta] = {
+    import spark.implicits._
+    if (versions.isEmpty) return None
+    val files = versions.map(v => DeltaLog.versionFile(tablePath, v))
+    val rows = spark.read.textFile(files: _*)
+      .select(col("value"),
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+          .cast("long").as("version"))
+      .filter(col("value").contains("\"metaData\""))
+      .as[(String, Long)]
+      .collect()
+    rows.sortBy(_._2).lastOption.map { case (line, _) =>
+      val n = Jsons.mapper.readTree(line).get("metaData")
+      DeltaMeta(
+        Option(n.get("id")).map(_.asText).getOrElse(""),
+        n.get("schemaString").asText,
+        Option(n.get("partitionColumns")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText)),
+        Option(n.get("configuration")).map { c =>
+          c.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+        }.getOrElse(Map.empty),
+        Option(n.get("createdTime")).map(_.asLong).getOrElse(0L))
+    }
+  }
+
+  /** Adds/removes introduced by exactly one commit version. */
+  def changes(spark: SparkSession, tablePath: String, version: Long,
+      schema: StructType): (Dataset[FileEntry], Dataset[FileEntry]) = {
+    import spark.implicits._
+    val acts = actions(spark, tablePath, Seq(version))
+    val schemaJson = schema.json
+    val toEntries = (it: Iterator[ActionRow]) => {
+      val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      it.map { a =>
+        val (numRecords, stats) = DeltaStats.parse(sch, a.stats)
+        FileEntry(a.path, a.size, numRecords, "parquet",
+          a.partitionValues.toSeq.sortBy(_._1)
+            .map { case (k, v) => PartitionMember(k, v) },
+          stats, a.modificationTime)
+      }
+    }
+    val adds = acts.filter(_.kind == "add").mapPartitions(toEntries)
+    val removes = acts.filter(_.kind == "remove").mapPartitions(toEntries)
+    (adds, removes)
+  }
+}
