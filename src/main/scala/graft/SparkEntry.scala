@@ -17,6 +17,20 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> RelationalQueries.q1PricingSummary _,
+    "q3_shipping_priority" -> RelationalQueries.q3ShippingPriority _,
+    "q5_local_supplier" -> RelationalQueries.q5LocalSupplier _,
+    "q6_revenue_forecast" -> RelationalQueries.q6RevenueForecast _,
+    "q7_window_top_customers" -> RelationalQueries.q7WindowTopCustomers _,
+    "q8_running_totals" -> RelationalQueries.q8RunningTotals _,
+    "q9_rollup" -> RelationalQueries.q9Rollup _,
+    "q10_distinct" -> RelationalQueries.q10Distinct _,
+    "q11_semi_anti" -> RelationalQueries.q11SemiAnti _,
+    "q12_set_ops" -> RelationalQueries.q12SetOps _,
+    "q13_brand_revenue" -> RelationalQueries.q13BrandRevenue _,
+    "q14_yearly_volume" -> RelationalQueries.q14YearlyVolume _,
+    "events_hourly_counts" -> EventsQueries.hourlyCounts _,
+    "events_sessionize" -> EventsQueries.sessionize _,
+    "events_top_per_user" -> EventsQueries.topEventPerUser _,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitem _,
     "meta_listing_counts" -> MetadataQueries.listingRecordCounts _,
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDelta _,
@@ -25,6 +39,20 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> RelationalQueries.q1Sql,
+    "q3_shipping_priority" -> RelationalQueries.q3Sql,
+    "q5_local_supplier" -> RelationalQueries.q5Sql,
+    "q6_revenue_forecast" -> RelationalQueries.q6Sql,
+    "q7_window_top_customers" -> RelationalQueries.q7Sql,
+    "q8_running_totals" -> RelationalQueries.q8Sql,
+    "q9_rollup" -> RelationalQueries.q9Sql,
+    "q10_distinct" -> RelationalQueries.q10Sql,
+    "q11_semi_anti" -> RelationalQueries.q11Sql,
+    "q12_set_ops" -> RelationalQueries.q12Sql,
+    "q13_brand_revenue" -> RelationalQueries.q13Sql,
+    "q14_yearly_volume" -> RelationalQueries.q14Sql,
+    "events_hourly_counts" -> EventsQueries.hourlyCountsSql,
+    "events_sessionize" -> EventsQueries.sessionizeSql,
+    "events_top_per_user" -> EventsQueries.topEventPerUserSql,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitemSql,
     "meta_listing_counts" -> MetadataQueries.listingRecordCountsSql,
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDeltaSql,

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (batch form of the
+  * streaming ops in graft.streaming — same plans run under readStream with
+  * a watermark; see StreamingSyncSpec).
+  */
+object EventsQueries {
+
+  /** Tumbling hourly windows per event type. The hour is emitted as epoch
+    * micros so both engines hash identically regardless of timestamp
+    * rendering.
+    */
+  def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).as("sum_value"))
+      .orderBy("hour_us", "event_type")
+
+  val hourlyCountsSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+      |  count(*) AS n_events,
+      |  sum(CAST(value AS DECIMAL(25,6))) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization: a new session starts after a >30 min gap per user;
+    * pure window functions (lag + running sum), no driver-side state.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000,
+          1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+  // NB: DuckDB integer sums are HUGEINT (arrow decimal128) — always CAST
+  // integer sums to BIGINT in oracle SQL so types line up with Spark longs.
+
+  /** Top event value per user per type via dense ranking — deterministic
+    * tie-breaks on event_id.
+    */
+  def topEventPerUser(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  val topEventPerUserSql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS rnk
+      |  FROM events)
+      |WHERE rnk = 1 ORDER BY user_id""".stripMargin
+}

@@ -36,4 +36,250 @@ object RelationalQueries {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: 3-way join + agg + deterministic top-k (tie-broken on
+    * the key so LIMIT is stable at any parallelism).
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(25,6)")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: 6-way join with broadcast dimensions, revenue by
+    * nation. Dimension tables (supplier/nation/region/customer) broadcast;
+    * only the lineitem⋈orders join shuffles.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(25,6)")).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q6-style: pure filter + scalar agg — the predicate-pushdown
+    * showcase (filters reach the parquet scan).
+    */
+  def q6RevenueForecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-06-01") &&
+        col("l_shipdate") < lit("1996-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(25,6)")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q6Sql: String =
+    """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= '1995-06-01' AND l_shipdate < '1996-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Window rank: top-3 customers by total order value per market segment. */
+  def q7WindowTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("total_value"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("total_value").desc, col("c_custkey"))
+    totals.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  val q7Sql: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, c_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(25,6))) AS total_value,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY sum(CAST(o_totalprice AS DECIMAL(25,6))) DESC, c_custkey) AS rnk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, c_custkey)
+      |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
+
+  /** Running window frame: per-customer running order total + previous
+    * order gap (lag) — exercises unbounded-preceding frames.
+    */
+  def q8RunningTotals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(25,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_orderkey", lag("o_orderkey", 1).over(w))
+      .select("o_custkey", "o_orderkey", "running_total", "prev_orderkey")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q8Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+      |  lag(o_orderkey, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_orderkey
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** ROLLUP aggregation over return flag / line status. */
+  def q9Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(25,6)")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q9Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  sum(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Exact distinct counting across several columns. */
+  def q10Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_orderkey")).as("d_orders"),
+      countDistinct(col("l_partkey")).as("d_parts"),
+      countDistinct(col("l_suppkey")).as("d_supps"),
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("d_flag_status"))
+
+  val q10Sql: String =
+    """SELECT count(DISTINCT l_orderkey) AS d_orders,
+      |  count(DISTINCT l_partkey) AS d_parts,
+      |  count(DISTINCT l_suppkey) AS d_supps,
+      |  count(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status
+      |FROM lineitem""".stripMargin
+
+  /** Semi/anti joins: customers with large orders (EXISTS) and customers
+    * with no orders at all (NOT EXISTS).
+    */
+  def q11SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val bigOrders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey"))
+    val withBig = cust.join(bigOrders,
+      cust("c_custkey") === bigOrders("o_custkey"), "left_semi")
+    val allOrders = Tables.orders(s, dir).select(col("o_custkey"))
+    val without = cust.join(allOrders,
+      cust("c_custkey") === allOrders("o_custkey"), "left_anti")
+    withBig.agg(count(lit(1)).as("n_with_big_order"))
+      .crossJoin(without.agg(count(lit(1)).as("n_without_orders")))
+  }
+
+  val q11Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer WHERE EXISTS (
+      |     SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |       AND o_totalprice > 100000)) AS n_with_big_order,
+      |  (SELECT count(*) FROM customer WHERE NOT EXISTS (
+      |     SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin
+
+  /** Set operations over derived key sets: 1995 buyers vs high-balance
+    * customers — union / intersect / except cardinalities.
+    */
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    val buyers95 = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .select(col("o_custkey").as("k")).distinct()
+    val rich = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k")).distinct()
+    buyers95.union(rich).distinct().agg(count(lit(1)).as("n_union"))
+      .crossJoin(buyers95.intersect(rich).agg(count(lit(1)).as("n_intersect")))
+      .crossJoin(buyers95.except(rich).agg(count(lit(1)).as("n_except")))
+  }
+
+  val q12Sql: String =
+    """WITH buyers95 AS (
+      |  SELECT DISTINCT o_custkey AS k FROM orders
+      |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'),
+      |rich AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT k FROM buyers95 UNION SELECT k FROM rich)) AS n_union,
+      |  (SELECT count(*) FROM (SELECT k FROM buyers95 INTERSECT SELECT k FROM rich)) AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT k FROM buyers95 EXCEPT SELECT k FROM rich)) AS n_except""".stripMargin
+
+  /** Broadcast-dimension product analytics: revenue and volume by brand. */
+  def q13BrandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(25,6)")).as("revenue"),
+        sum(col("l_quantity").cast("decimal(25,6)")).as("volume"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  val q13Sql: String =
+    """SELECT p_brand,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS revenue,
+      |  sum(CAST(l_quantity AS DECIMAL(25,6))) AS volume,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Time-dimension aggregate: yearly order volume (timestamp EXTRACT). */
+  def q14YearlyVolume(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(25,6)")).as("total_value"))
+      .orderBy("y")
+
+  val q14Sql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+      |  count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(25,6))) AS total_value
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }
