@@ -34,7 +34,17 @@ object SparkEntry {
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitem _,
     "meta_listing_counts" -> MetadataQueries.listingRecordCounts _,
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDelta _,
-    "sync_incremental_delta" -> SyncQueries.syncIncrementalDelta _
+    "sync_incremental_delta" -> SyncQueries.syncIncrementalDelta _,
+    "dedup_exact" -> PipelineQueries.dedupExact _,
+    "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccard _,
+    "dedup_minhash_lsh" -> PipelineQueries.dedupMinhashLsh _,
+    "dedup_simhash" -> PipelineQueries.dedupSimhash _,
+    "ann_bruteforce" -> PipelineQueries.annBruteforce _,
+    "ann_lsh_pairs" -> PipelineQueries.annLshPairs _,
+    "text_quality" -> PipelineQueries.textQuality _,
+    "text_langid" -> PipelineQueries.textLangid _,
+    "text_fingerprint" -> PipelineQueries.textFingerprint _,
+    "multimodal_features" -> PipelineQueries.multimodalFeatures _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -56,6 +66,11 @@ object SparkEntry {
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitemSql,
     "meta_listing_counts" -> MetadataQueries.listingRecordCountsSql,
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDeltaSql,
-    "sync_incremental_delta" -> SyncQueries.syncIncrementalDeltaSql
+    "sync_incremental_delta" -> SyncQueries.syncIncrementalDeltaSql,
+    "dedup_exact" -> PipelineQueries.dedupExactSql,
+    "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,
+    "ann_bruteforce" -> PipelineQueries.annBruteforceSql,
+    "text_quality" -> PipelineQueries.textQualitySql,
+    "multimodal_features" -> PipelineQueries.multimodalFeaturesSql
   )
 }

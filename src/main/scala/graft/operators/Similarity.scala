@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k with the (small) query set broadcast
+  * against the corpus — one pass, no shuffle of the corpus. Scale path:
+  * random-hyperplane LSH bucketing so each query only scores its bucket.
+  * All arithmetic via codegen'd higher-order functions (zip_with +
+  * aggregate) — no UDFs in the hot path.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded). Queries are broadcast; ranking uses rounded
+    * similarity with id tie-breaks so results are deterministic at any
+    * parallelism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // 3-decimal rounding: DuckDB's SIMD float32 cosine and our ordered
+    // double accumulation agree to ~1e-7, far from any 5e-4 boundary
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 3).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Deterministic pseudo-random hyperplanes via SplitMix64 (no RNG state,
+    * reproducible across runs/executors).
+    */
+  private def splitMix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def hyperplane(planeIdx: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val h = splitMix64(planeIdx.toLong * 1000003L + d)
+      (h.toDouble / Long.MaxValue)        // in [-1, 1]
+    }
+
+  /** Sign-bit of `vec · plane` as a 0/1 column. */
+  private def signBit(vecCol: Column, plane: Array[Double]): Column = {
+    val planeCol = array(plane.map(lit): _*)
+    when(aggregate(zip_with(vecCol, planeCol,
+      (x, p) => x.cast("double") * p), lit(0.0), (acc, x) => acc + x) >= 0,
+      1L).otherwise(0L)
+  }
+
+  /** LSH-bucketed approximate near-neighbor pairs: `bands` bands of
+    * `rowsPerBand` hyperplane sign bits each; pairs sharing any band bucket
+    * are verified with exact cosine ≥ threshold.
+    */
+  def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.45, bands: Int = 8, rowsPerBand: Int = 4)
+      : DataFrame = {
+    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
+    val bandCols = (0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map { r =>
+        signBit(col("v"), hyperplane(b * rowsPerBand + r, dim)) *
+          lit(1L << r)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("bkey"))
+    }
+    val banded = vecs.select(col("doc"), col("v"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("v"), col("bk.band"), col("bk.bkey"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Training-data pipeline operators surfaced as driver-gate queries over
+  * `documents` and `embeddings`.
+  */
+object PipelineQueries {
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardBlocked(Tables.documents(s, dir), "doc_id", "text")
+
+  val dedupNgramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, substr(text,1,50) AS pfx,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |           || ' ' || string_split(text,' ')[i+2])) AS grams
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+      |SELECT doc_a, doc_b, j AS jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.grams,b.grams))) AS j
+      |  FROM g a JOIN g b ON a.pfx = b.pfx AND a.doc_id < b.doc_id)
+      |WHERE j >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash+LSH — probabilistic candidates, exact-verified; rows-only. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text")
+
+  /** SimHash hamming≤3 pairs — rows-only. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 5. */
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+  }
+
+  val annBruteforceSql: String =
+    """SELECT query_id, rnk, neighbor_id, sim FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 3) AS sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 3) DESC,
+      |               c.vec_id) AS rnk
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 5)
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** LSH-bucketed near-neighbor pairs — approximate, rows-only. */
+  def annLshPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, threshold = 0.45)
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
+
+  val textQualitySql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS n_tokens,
+      |  CAST(length(text) - length(replace(text,'.','')) AS BIGINT) AS n_periods,
+      |  CAST(length(text) - length(replace(text,',','')) AS BIGINT) AS n_commas,
+      |  CAST((length(text) - length(replace(text,' the ',''))) / 5 AS BIGINT) AS n_the,
+      |  CAST(length(text) AS DOUBLE) /
+      |    (length(text) - length(replace(text,' ','')) + 1) AS avg_token_len,
+      |  CAST((length(text) - length(replace(text,'.',''))) +
+      |       (length(text) - length(replace(text,',',''))) AS DOUBLE) /
+      |    length(text) AS punct_ratio,
+      |  CAST((length(text) - length(replace(text,' the ',''))) / 5 AS DOUBLE) /
+      |    (length(text) - length(replace(text,' ','')) + 1) AS stopword_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic — rows-only (the label column is synthetic). */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Rolling-hash fingerprints (native Catalyst expression) — rows-only. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Multimodal binary plumbing with stubbed decode. */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s, Tables.documents(s, dir), "doc_id", "text")
+      .toDF()
+      .select("doc_id", "n_bytes", "first_byte")
+      .orderBy("doc_id")
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      |  ascii(substr(text,1,1)) AS first_byte
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

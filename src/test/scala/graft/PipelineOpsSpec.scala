@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class PipelineOpsSpec extends SparkSuite {
+  private def docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+  private def emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+
+  test("minhash LSH finds the high-jaccard pairs exact search finds") {
+    // ground truth: blocked exact jaccard >= 0.8
+    val exactPairs = Dedup.ngramJaccardBlocked(docs, "doc_id", "text",
+      threshold = 0.8).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty)
+    // every LSH pair is exact-verified, so lsh ⊆ exact; recall should be
+    // high (16 bands of 4 rows: P(miss)@0.8 ≈ 0.1%)
+    assert(lshPairs.subsetOf(exactPairs))
+    assert(lshPairs.size >= exactPairs.size * 9 / 10,
+      s"recall too low: ${lshPairs.size}/${exactPairs.size}")
+  }
+
+  test("simhash near-dup pairs overlap minhash pairs") {
+    val sim = Dedup.simHash(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert((sim intersect mh).nonEmpty)
+  }
+
+  test("rolling hash is deterministic and collision-free on distinct docs") {
+    import graft.functions.GraftFunctions.rolling_hash
+    val fp1 = docs.select(rolling_hash(col("text")).as("h")).collect().map(_.getLong(0))
+    val fp2 = docs.select(rolling_hash(col("text")).as("h")).collect().map(_.getLong(0))
+    assert(fp1.toSeq == fp2.toSeq)
+    assert(fp1.distinct.length == fp1.length) // all docs md5-distinct
+  }
+
+  test("brute-force topk self-similarity sanity") {
+    val topk = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+    val rows = topk.collect()
+    assert(rows.length == 15)
+    // per query, sims are non-increasing in rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3))
+      val sims = byRank.map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("multimodal stub decode preserves byte counts") {
+    val feats = Multimodal.extractFeatures(spark, docs, "doc_id", "text")
+    val joined = feats.toDF().join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text")))
+    assert(joined.count() == 0)
+    assert(feats.head().embedding.length == 8)
+  }
+}
