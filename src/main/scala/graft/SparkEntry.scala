@@ -35,6 +35,10 @@ object SparkEntry {
     "meta_listing_counts" -> MetadataQueries.listingRecordCounts _,
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDelta _,
     "sync_incremental_delta" -> SyncQueries.syncIncrementalDelta _,
+    "sync_parquet_to_iceberg" -> SyncQueries.syncParquetToIceberg _,
+    "sync_chain_delta_iceberg" -> SyncQueries.syncChainDeltaIceberg _,
+    "sync_partitioned_events" -> SyncQueries.syncPartitionedEvents _,
+    "time_travel_delta" -> SyncQueries.timeTravelDelta _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccard _,
     "dedup_minhash_lsh" -> PipelineQueries.dedupMinhashLsh _,
@@ -67,6 +71,10 @@ object SparkEntry {
     "meta_listing_counts" -> MetadataQueries.listingRecordCountsSql,
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDeltaSql,
     "sync_incremental_delta" -> SyncQueries.syncIncrementalDeltaSql,
+    "sync_parquet_to_iceberg" -> SyncQueries.syncParquetToIcebergSql,
+    "sync_chain_delta_iceberg" -> SyncQueries.syncChainDeltaIcebergSql,
+    "sync_partitioned_events" -> SyncQueries.syncPartitionedEventsSql,
+    "time_travel_delta" -> SyncQueries.timeTravelDeltaSql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,
     "ann_bruteforce" -> PipelineQueries.annBruteforceSql,

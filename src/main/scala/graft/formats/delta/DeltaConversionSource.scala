@@ -54,6 +54,21 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
       vs.lastOption.getOrElse(0L).toString)
   }
 
+  /** Time travel: table state as of a historical version (reference
+    * ITConversionController time-travel equivalence :454-506).
+    */
+  def snapshotAt(version: Long): TableSnapshot = {
+    val vs = versions.filter(_ <= version)
+    require(vs.nonEmpty, s"no commits at or before version $version")
+    val meta = DeltaSnapshot.metadata(spark, tablePath, vs).getOrElse(
+      throw new IllegalStateException(s"no metaData at version $version"))
+    val table = currentTable().copy(
+      schemaJson = meta.schema.json, latestCommitMillis = vs.last)
+    TableSnapshot(table,
+      DeltaSnapshot.liveFiles(spark, tablePath, vs, meta.schema),
+      vs.last.toString)
+  }
+
   override def changeForCommit(commit: String): TableChange = {
     val v = commit.toLong
     val table = currentTable().copy(latestCommitMillis = v)

@@ -1,0 +1,206 @@
+package graft.formats.iceberg
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.model._
+import graft.spi._
+
+/** Iceberg source — reference IcebergConversionSource.java:72-299. Commits
+  * are sequence numbers (monotone, 1-based).
+  */
+class IcebergConversionSource(spark: SparkSession, tablePath: String,
+    tableName: String)
+  extends ConversionSource {
+
+  override def sourceFormat: String = TableFormats.Iceberg
+
+  private def meta: IcebergTableMetadata = {
+    val v = IcebergMetadata.currentVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"no Iceberg table at $tablePath"))
+    IcebergMetadata.read(tablePath, v)
+  }
+
+  override def currentTable(): TableDescriptor = {
+    val m = meta
+    TableDescriptor(tableName, TableFormats.Iceberg,
+      graft.util.PathUtils.canonical(tablePath), m.schema, m.partitionSpec,
+      if (m.partitionSpec.nonEmpty) Layout.HivePartitioned else Layout.Flat,
+      m.lastSequenceNumber)
+  }
+
+  private def filesAtSeq(m: IcebergTableMetadata, seq: Long)
+      : Dataset[FileEntry] = {
+    import spark.implicits._
+    m.snapshotBySeq(seq) match {
+      case None => spark.emptyDataset[FileEntry]
+      case Some(s) => IcebergManifests.liveFiles(spark,
+        IcebergManifests.readManifestList(s.manifestList), m.schema)
+    }
+  }
+
+  override def currentSnapshot(): TableSnapshot = {
+    val m = meta
+    TableSnapshot(currentTable(), filesAtSeq(m, m.lastSequenceNumber),
+      m.lastSequenceNumber.toString)
+  }
+
+  override def changeForCommit(commit: String): TableChange = {
+    val m = meta
+    val seq = commit.toLong
+    val cur = filesAtSeq(m, seq)
+    val prev = filesAtSeq(m, seq - 1)
+    TableChange(commit, currentTable().copy(latestCommitMillis = seq),
+      FilesDelta.between(cur, prev))
+  }
+
+  override def commitsBacklog(lastSynced: String): Seq[String] = {
+    val since = lastSynced.toLong
+    meta.snapshots.map(_.sequenceNumber).filter(_ > since)
+      .sorted.map(_.toString)
+  }
+
+  /** Safe iff the snapshot at that sequence hasn't been expired. */
+  override def isIncrementalSyncSafeFrom(commit: String): Boolean =
+    meta.snapshotBySeq(commit.toLong).isDefined ||
+      commit.toLong == 0 && meta.snapshots.nonEmpty
+
+  def toDataFrame: DataFrame =
+    graft.formats.delta.DeltaRead.toDataFrame(spark, currentSnapshot())
+}
+
+/** Iceberg target — reference IcebergConversionTarget.java:62-380 +
+  * IcebergDataFileUpdatesSync.java:56-150. Per commit: new manifest with
+  * added files, previous manifests carried forward (rewritten only when
+  * they contain removed paths), new manifest list, new metadata version.
+  */
+class IcebergConversionTarget(spark: SparkSession, tablePath: String)
+  extends ConversionTarget {
+
+  override def targetFormat: String = TableFormats.Iceberg
+
+  private var table: TableDescriptor = _
+  private var schema: StructType = _
+  private var partitionSpec: Seq[PartitionFieldSpec] = Nil
+  private var syncMeta: Option[SyncMetadata] = None
+  private var pendingAdds: Option[Dataset[FileEntry]] = None
+  private var pendingRemoves: Option[Dataset[FileEntry]] = None
+
+  private def currentMeta: Option[IcebergTableMetadata] =
+    IcebergMetadata.currentVersion(tablePath)
+      .map(IcebergMetadata.read(tablePath, _))
+
+  override def beginSync(t: TableDescriptor): Unit = {
+    table = t
+    schema = IcebergSchemas.assignFieldIds(t.schema)
+    pendingAdds = None; pendingRemoves = None
+  }
+
+  override def syncMetadata(m: SyncMetadata): Unit = syncMeta = Some(m)
+  override def syncSchema(s: StructType): Unit =
+    schema = IcebergSchemas.assignFieldIds(s)
+  override def syncPartitionSpec(spec: Seq[PartitionFieldSpec]): Unit =
+    partitionSpec = spec
+
+  override def syncFilesForSnapshot(files: Dataset[FileEntry]): Unit =
+    currentMeta.flatMap(_.currentSnapshot) match {
+      case None =>
+        pendingAdds = Some(files); pendingRemoves = None
+      case Some(s) =>
+        val m = currentMeta.get
+        val current = IcebergManifests.liveFiles(spark,
+          IcebergManifests.readManifestList(s.manifestList), m.schema)
+        val delta = FilesDelta.between(files, current)
+        pendingAdds = Some(delta.added)
+        pendingRemoves = Some(delta.removed)
+    }
+
+  override def syncFilesForDiff(diff: FilesDelta): Unit = {
+    pendingAdds = Some(diff.added)
+    pendingRemoves = Some(diff.removed)
+  }
+
+  override def completeSync(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val prev = currentMeta
+    val version = IcebergMetadata.currentVersion(tablePath).getOrElse(0L) + 1
+    val seq = prev.map(_.lastSequenceNumber).getOrElse(0L) + 1
+    val snapshotId = seq
+    val now = System.currentTimeMillis()
+    val mdir = IcebergMetadata.metadataDir(tablePath)
+
+    // removed paths: small relative to the live set (a commit's delta);
+    // collected to pick which previous manifests need rewriting
+    val removedPaths: Set[String] = pendingRemoves match {
+      case None => Set.empty
+      case Some(ds) =>
+        import ds.sparkSession.implicits._
+        ds.select("path").as[String].collect().toSet
+    }
+
+    val prevManifests: Seq[String] = prev.flatMap(_.currentSnapshot)
+      .map(s => IcebergManifests.readManifestList(s.manifestList))
+      .getOrElse(Nil)
+
+    val kept = Seq.newBuilder[(String, Long, Long, Int, Int, Int)]
+    prevManifests.foreach { mp =>
+      val entries = IcebergManifests.readManifest(mp).toSeq
+      val live = entries.filter(e =>
+        e.get("status").asInstanceOf[Int] != IcebergManifests.Status.Deleted)
+      val (dropped, remaining) = live.partition { e =>
+        val p = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("file_path").toString
+        removedPaths.contains(p)
+      }
+      if (dropped.isEmpty) {
+        kept += ((mp, new java.io.File(mp).length(), snapshotId,
+          0, remaining.size, 0))
+      } else if (remaining.nonEmpty) {
+        val np = s"$mdir/m-${UUID.randomUUID()}.avro"
+        remaining.foreach(_.put("status", IcebergManifests.Status.Existing))
+        val len = IcebergManifests.writeManifest(np, remaining.iterator)
+        kept += ((np, len, snapshotId, 0, remaining.size, dropped.size))
+      }
+      // fully-dropped manifest: not carried forward at all
+    }
+
+    var addedCount = 0
+    pendingAdds.foreach { ds =>
+      import ds.sparkSession.implicits._
+      val schemaJson = schema.json
+      val np = s"$mdir/m-${UUID.randomUUID()}.avro"
+      val entryIt = ds.toLocalIterator().asScala.map { f =>
+        addedCount += 1
+        IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
+          snapshotId, schema)
+      }
+      val len = IcebergManifests.writeManifest(np, entryIt)
+      if (addedCount > 0) kept += ((np, len, snapshotId, addedCount, 0, 0))
+      else new java.io.File(np).delete()
+    }
+
+    val listPath = s"$mdir/snap-$snapshotId-manifest-list.avro"
+    IcebergManifests.writeManifestList(listPath, kept.result())
+
+    val properties = prev.map(_.properties).getOrElse(Map.empty) ++
+      syncMeta.map(m => Map(SyncMetadata.PropertyKey -> m.toJson))
+        .getOrElse(Map.empty)
+    val lastColumnId = IcebergSchemas.leafFields(schema).map(_._1)
+      .foldLeft(0)(math.max)
+    val ok = IcebergMetadata.write(tablePath, version, IcebergTableMetadata(
+      prev.map(_.tableUuid).getOrElse(UUID.randomUUID().toString),
+      graft.util.PathUtils.canonical(tablePath),
+      seq, now, lastColumnId, schema, partitionSpec, properties,
+      snapshotId,
+      prev.map(_.snapshots).getOrElse(Nil) :+
+        IcebergSnapshot(snapshotId, seq, now, listPath)))
+    if (!ok) throw new IllegalStateException(
+      s"concurrent writer committed metadata v$version first at $tablePath")
+  }
+
+  override def tableMetadata(): Option[SyncMetadata] =
+    currentMeta.flatMap(_.properties.get(SyncMetadata.PropertyKey))
+      .flatMap(SyncMetadata.fromJson)
+}

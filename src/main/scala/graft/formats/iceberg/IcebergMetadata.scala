@@ -1,0 +1,175 @@
+package graft.formats.iceberg
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths => JPaths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+import org.apache.spark.sql.types.StructType
+
+import graft.model.PartitionFieldSpec
+import graft.util.Jsons
+
+/** One Iceberg snapshot entry. */
+case class IcebergSnapshot(
+    snapshotId: Long,
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifestList: String)
+
+/** Iceberg table metadata (format-version 2 JSON layout:
+  * `metadata/v<N>.metadata.json` + `version-hint.text`).
+  */
+case class IcebergTableMetadata(
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    schema: StructType,
+    partitionSpec: Seq[PartitionFieldSpec],
+    properties: Map[String, String],
+    currentSnapshotId: Long,
+    snapshots: Seq[IcebergSnapshot]) {
+  def currentSnapshot: Option[IcebergSnapshot] =
+    snapshots.find(_.snapshotId == currentSnapshotId)
+  def snapshotBySeq(seq: Long): Option[IcebergSnapshot] =
+    snapshots.find(_.sequenceNumber == seq)
+}
+
+object IcebergMetadata {
+
+  def metadataDir(tablePath: String): String = s"$tablePath/metadata"
+  def versionHint(tablePath: String): String =
+    s"${metadataDir(tablePath)}/version-hint.text"
+  def metadataFile(tablePath: String, v: Long): String =
+    s"${metadataDir(tablePath)}/v$v.metadata.json"
+
+  def currentVersion(tablePath: String): Option[Long] = {
+    val hint = JPaths.get(versionHint(tablePath))
+    if (!Files.exists(hint)) None
+    else Some(new String(Files.readAllBytes(hint), StandardCharsets.UTF_8)
+      .trim.toLong)
+  }
+
+  private def transformName(p: PartitionFieldSpec): String = p.transform match {
+    case graft.model.Transform.Value => "identity"
+    case graft.model.Transform.Bucket =>
+      s"bucket[${p.numBuckets.getOrElse(16)}]"
+    case t => t.toLowerCase
+  }
+
+  private def parseTransform(name: String, sourceField: String)
+      : PartitionFieldSpec = {
+    val bucket = "bucket\\[(\\d+)\\]".r
+    name match {
+      case "identity" => PartitionFieldSpec(sourceField, graft.model.Transform.Value)
+      case bucket(n) => PartitionFieldSpec(sourceField,
+        graft.model.Transform.Bucket, numBuckets = Some(n.toInt))
+      case t => PartitionFieldSpec(sourceField, t.toUpperCase)
+    }
+  }
+
+  def write(tablePath: String, version: Long, meta: IcebergTableMetadata)
+      : Boolean = {
+    val nf = JsonNodeFactory.instance
+    val o = nf.objectNode()
+    o.put("format-version", 2)
+    o.put("table-uuid", meta.tableUuid)
+    o.put("location", meta.location)
+    o.put("last-sequence-number", meta.lastSequenceNumber)
+    o.put("last-updated-ms", meta.lastUpdatedMs)
+    o.put("last-column-id", meta.lastColumnId)
+    o.put("current-schema-id", 0)
+    val schemas = o.putArray("schemas")
+    schemas.add(Jsons.mapper.readTree(
+      IcebergSchemas.toIcebergJson(meta.schema)))
+    o.put("default-spec-id", 0)
+    val specs = o.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 0)
+    val sf = spec.putArray("fields")
+    val idByName = IcebergSchemas.leafFields(meta.schema)
+      .map { case (id, name, _) => name -> id }.toMap
+    meta.partitionSpec.zipWithIndex.foreach { case (p, i) =>
+      val f = sf.addObject()
+      f.put("name", p.partitionColumnName)
+      f.put("transform", transformName(p))
+      f.put("source-id", idByName.getOrElse(p.sourceField, -1))
+      f.put("field-id", 1000 + i)
+      f.put("source-name", p.sourceField)          // engine extension
+      p.format.foreach(fmt => f.put("source-format", fmt))
+    }
+    val props = o.putObject("properties")
+    meta.properties.foreach { case (k, v) => props.put(k, v) }
+    o.put("current-snapshot-id", meta.currentSnapshotId)
+    val snaps = o.putArray("snapshots")
+    meta.snapshots.foreach { s =>
+      val n = snaps.addObject()
+      n.put("snapshot-id", s.snapshotId)
+      n.put("sequence-number", s.sequenceNumber)
+      n.put("timestamp-ms", s.timestampMs)
+      n.put("manifest-list", s.manifestList)
+    }
+
+    val target = JPaths.get(metadataFile(tablePath, version))
+    Files.createDirectories(target.getParent)
+    if (Files.exists(target)) return false
+    val tmp = Files.createTempFile(target.getParent, s".v$version", ".tmp")
+    Files.write(tmp, Jsons.mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(o).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      Files.write(JPaths.get(versionHint(tablePath)),
+        version.toString.getBytes(StandardCharsets.UTF_8))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  def read(tablePath: String, version: Long): IcebergTableMetadata = {
+    val json = new String(Files.readAllBytes(
+      JPaths.get(metadataFile(tablePath, version))), StandardCharsets.UTF_8)
+    val n = Jsons.mapper.readTree(json)
+    val schema = IcebergSchemas.fromIcebergJson(
+      n.get("schemas").get(0).toString)
+    val specFields = Option(n.get("partition-specs"))
+      .map(_.get(0).get("fields")).toSeq
+      .flatMap(_.elements().asScala)
+      .map { f =>
+        val src = Option(f.get("source-name")).map(_.asText).getOrElse {
+          // resolve by source-id
+          val id = f.get("source-id").asInt
+          IcebergSchemas.leafFields(schema)
+            .find(_._1 == id).map(_._2).getOrElse(f.get("name").asText)
+        }
+        val base = parseTransform(f.get("transform").asText, src)
+        Option(f.get("source-format")).map(_.asText) match {
+          case fmt @ Some(_) => base.copy(format = fmt)
+          case None => base
+        }
+      }
+    IcebergTableMetadata(
+      n.get("table-uuid").asText,
+      n.get("location").asText,
+      n.get("last-sequence-number").asLong,
+      n.get("last-updated-ms").asLong,
+      n.get("last-column-id").asInt,
+      schema,
+      specFields,
+      Option(n.get("properties")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty),
+      Option(n.get("current-snapshot-id")).map(_.asLong).getOrElse(-1L),
+      Option(n.get("snapshots")).toSeq.flatMap(_.elements().asScala).map { s =>
+        IcebergSnapshot(
+          s.get("snapshot-id").asLong,
+          s.get("sequence-number").asLong,
+          s.get("timestamp-ms").asLong,
+          s.get("manifest-list").asText)
+      })
+  }
+}

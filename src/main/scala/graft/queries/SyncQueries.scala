@@ -71,4 +71,111 @@ object SyncQueries {
       |  2*sum(CAST(s_acctbal AS DECIMAL(25,6))) AS sum_bal,
       |  count(DISTINCT s_suppkey) AS distinct_keys
       |FROM supplier""".stripMargin
+
+  /** Parquet dir → Iceberg (full snapshot), read back via manifests. */
+  def syncParquetToIceberg(s: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft_ice_ord").toString
+    val src = new ParquetDirectorySource(s, s"$dir/orders.parquet", "orders")
+    val tgt = new graft.formats.iceberg.IcebergConversionTarget(s, target)
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(tgt), src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    new graft.formats.iceberg.IcebergConversionSource(s, target, "orders")
+      .toDataFrame
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(25,6)")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val syncParquetToIcebergSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  sum(CAST(o_totalprice AS DECIMAL(25,6))) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** The full conversion chain parquet → Delta → Iceberg → read-back:
+    * metadata fidelity must survive two format hops (zero data copy at
+    * every step — all three tables share the same physical parquet).
+    */
+  def syncChainDeltaIceberg(s: SparkSession, dir: String): DataFrame = {
+    val deltaDir = Files.createTempDirectory("graft_chain_delta").toString
+    val iceDir = Files.createTempDirectory("graft_chain_ice").toString
+    val src = new ParquetDirectorySource(s, s"$dir/customer.parquet", "customer")
+    val r1 = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, deltaDir)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(r1.forall(_.status == "SUCCESS"), r1.mkString(";"))
+    val deltaSrc = new DeltaConversionSource(s, deltaDir, "customer")
+    val r2 = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, iceDir)),
+      deltaSrc.currentSnapshot(), deltaSrc.sourceFormat)
+    require(r2.forall(_.status == "SUCCESS"), r2.mkString(";"))
+    new graft.formats.iceberg.IcebergConversionSource(s, iceDir, "customer")
+      .toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("c_acctbal").cast("decimal(25,6)")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val syncChainDeltaIcebergSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt,
+      |  sum(CAST(c_acctbal AS DECIMAL(25,6))) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Hive-partitioned sync: write events partitioned by event_type, sync
+    * the directory into Delta, read back with a partition filter —
+    * partition values must survive the metadata plane and prune correctly.
+    */
+  def syncPartitionedEvents(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = Files.createTempDirectory("graft_part_data").toString
+    val target = Files.createTempDirectory("graft_part_delta").toString
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dataDir)
+    val src = new ParquetDirectorySource(s, dataDir, "events")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    new DeltaConversionSource(s, target, "events").toDataFrame
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("value").cast("decimal(25,6)")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val syncPartitionedEventsSql: String =
+    """SELECT count(*) AS n_clicks,
+      |  sum(CAST(value AS DECIMAL(25,6))) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events WHERE event_type = 'click'""".stripMargin
+
+  /** Time travel: two commits into Delta (1 file, then 2), then read the
+    * table as of version 0 — must see exactly the first file's rows.
+    */
+  def timeTravelDelta(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = Files.createTempDirectory("graft_tt_data").toString
+    val target = Files.createTempDirectory("graft_tt_delta").toString
+    val srcFile = Paths.get(s"$dir/region.parquet")
+    Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Paths.get(dataDir, "f1.parquet").toFile.setLastModified(1000000L)
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(s, dataDir, "region")
+    controller.sync(src, Seq(new DeltaConversionTarget(s, target)))
+    Files.copy(srcFile, Paths.get(dataDir, "f2.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Paths.get(dataDir, "f2.parquet").toFile.setLastModified(2000000L)
+    controller.sync(src, Seq(new DeltaConversionTarget(s, target)))
+    val deltaSrc = new DeltaConversionSource(s, target, "region")
+    val v0 = graft.formats.delta.DeltaRead
+      .toDataFrame(s, deltaSrc.snapshotAt(0L))
+      .agg(count(lit(1)).as("v0_rows"))
+    val latest = deltaSrc.toDataFrame.agg(count(lit(1)).as("latest_rows"))
+    v0.crossJoin(latest)
+  }
+
+  val timeTravelDeltaSql: String =
+    """SELECT count(*) AS v0_rows, 2*count(*) AS latest_rows FROM region""".stripMargin
 }

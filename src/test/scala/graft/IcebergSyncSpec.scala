@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.formats.delta._
+import graft.formats.iceberg._
+import graft.model._
+import graft.sources.ParquetDirectorySource
+import graft.spi.SyncMode
+import graft.sync.{ConversionController, TableFormatSync}
+
+class IcebergSyncSpec extends SparkSuite {
+
+  private def fullSync(src: graft.spi.ConversionSource,
+      tgt: graft.spi.ConversionTarget): Unit = {
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(tgt), src.currentSnapshot(), src.sourceFormat)
+    assert(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+  }
+
+  test("parquet -> iceberg full sync round-trips rows and stats") {
+    val target = tmpDir("ice_li")
+    fullSync(new ParquetDirectorySource(spark, sf("sf0.001/lineitem.parquet"),
+      "lineitem"), new IcebergConversionTarget(spark, target))
+    val back = new IcebergConversionSource(spark, target, "lineitem")
+    val snap = back.currentSnapshot()
+    val direct = spark.read.parquet(sf("sf0.001/lineitem.parquet"))
+    assert(back.toDataFrame.count() == direct.count())
+    // bounds round-trip through Iceberg binary single-value format
+    val stats = snap.files.collect().flatMap(_.columnStats)
+      .filter(_.field == "l_quantity")
+    val expMin = direct.agg(min("l_quantity")).head.getDouble(0)
+    assert(stats.flatMap(_.min).map(_.toDouble).min == expMin)
+  }
+
+  test("delta -> iceberg cross-format sync preserves rows") {
+    val deltaDir = tmpDir("x_delta")
+    val iceDir = tmpDir("x_ice")
+    fullSync(new ParquetDirectorySource(spark, sf("sf0.001/orders.parquet"),
+      "orders"), new DeltaConversionTarget(spark, deltaDir))
+    val deltaSrc = new DeltaConversionSource(spark, deltaDir, "orders")
+    fullSync(deltaSrc, new IcebergConversionTarget(spark, iceDir))
+    val ice = new IcebergConversionSource(spark, iceDir, "orders")
+    val a = ice.toDataFrame.agg(sum(col("o_totalprice").cast("decimal(25,6)")))
+      .head.getDecimal(0)
+    val b = spark.read.parquet(sf("sf0.001/orders.parquet"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)"))).head.getDecimal(0)
+    assert(a == b)
+  }
+
+  test("iceberg -> delta reverse sync preserves rows") {
+    val iceDir = tmpDir("r_ice")
+    val deltaDir = tmpDir("r_delta")
+    fullSync(new ParquetDirectorySource(spark, sf("sf0.001/customer.parquet"),
+      "customer"), new IcebergConversionTarget(spark, iceDir))
+    fullSync(new IcebergConversionSource(spark, iceDir, "customer"),
+      new DeltaConversionTarget(spark, deltaDir))
+    val back = new DeltaConversionSource(spark, deltaDir, "customer").toDataFrame
+    assert(back.count() ==
+      spark.read.parquet(sf("sf0.001/customer.parquet")).count())
+  }
+
+  test("incremental sync into iceberg applies adds and removes") {
+    val dataDir = tmpDir("ice_inc_data")
+    val target = tmpDir("ice_inc")
+    val srcFile = Paths.get(sf("sf0.001/nation.parquet"))
+    Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"))
+    Paths.get(dataDir, "f1.parquet").toFile.setLastModified(1000000L)
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(spark, dataDir, "nation")
+    val r1 = controller.sync(src, Seq(new IcebergConversionTarget(spark, target)))
+    assert(r1.head.status == "SUCCESS" && r1.head.mode == SyncMode.Full)
+
+    Files.copy(srcFile, Paths.get(dataDir, "f2.parquet"))
+    Paths.get(dataDir, "f2.parquet").toFile.setLastModified(2000000L)
+    val r2 = controller.sync(src, Seq(new IcebergConversionTarget(spark, target)))
+    assert(r2.head.status == "SUCCESS" && r2.head.mode == SyncMode.Incremental,
+      r2.mkString(";"))
+    val live = new IcebergConversionSource(spark, target, "nation")
+      .currentSnapshot().files.collect()
+    assert(live.length == 2)
+
+    // snapshot-mode resync after external delete removes the file
+    Files.delete(Paths.get(dataDir, "f2.parquet"))
+    val r3 = controller.sync(src, Seq(new IcebergConversionTarget(spark, target)),
+      SyncMode.Full)
+    assert(r3.head.status == "SUCCESS")
+    val after = new IcebergConversionSource(spark, target, "nation")
+      .currentSnapshot().files.collect()
+    assert(after.length == 1, after.map(_.path).mkString(","))
+  }
+
+  test("field ids stay stable across repeated syncs") {
+    val target = tmpDir("ice_ids")
+    def sync() = fullSync(new ParquetDirectorySource(spark,
+      sf("sf0.001/region.parquet"), "region"),
+      new IcebergConversionTarget(spark, target))
+    sync()
+    val ids1 = IcebergSchemas.leafFields(
+      new IcebergConversionSource(spark, target, "region").currentTable().schema)
+    sync()
+    val ids2 = IcebergSchemas.leafFields(
+      new IcebergConversionSource(spark, target, "region").currentTable().schema)
+    assert(ids1.map(t => (t._1, t._2)) == ids2.map(t => (t._1, t._2)))
+    assert(ids1.map(_._1).distinct.size == ids1.size)
+  }
+}
