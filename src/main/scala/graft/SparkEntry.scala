@@ -36,6 +36,7 @@ object SparkEntry {
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDelta _,
     "sync_incremental_delta" -> SyncQueries.syncIncrementalDelta _,
     "sync_parquet_to_iceberg" -> SyncQueries.syncParquetToIceberg _,
+    "sync_parquet_to_hudi" -> SyncQueries.syncParquetToHudi _,
     "sync_chain_delta_iceberg" -> SyncQueries.syncChainDeltaIceberg _,
     "sync_partitioned_events" -> SyncQueries.syncPartitionedEvents _,
     "time_travel_delta" -> SyncQueries.timeTravelDelta _,
@@ -72,6 +73,7 @@ object SparkEntry {
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDeltaSql,
     "sync_incremental_delta" -> SyncQueries.syncIncrementalDeltaSql,
     "sync_parquet_to_iceberg" -> SyncQueries.syncParquetToIcebergSql,
+    "sync_parquet_to_hudi" -> SyncQueries.syncParquetToHudiSql,
     "sync_chain_delta_iceberg" -> SyncQueries.syncChainDeltaIcebergSql,
     "sync_partitioned_events" -> SyncQueries.syncPartitionedEventsSql,
     "time_travel_delta" -> SyncQueries.timeTravelDeltaSql,

@@ -1,0 +1,259 @@
+package graft.formats.hudi
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.model._
+import graft.spi._
+import graft.sources.ParquetFooters
+import graft.util.{Jsons, PathUtils}
+
+/** Hudi COW source — reference HudiConversionSource.java:57-341: snapshot =
+  * latest base file per file group across the timeline; per-commit diffs;
+  * column stats come from parquet footers (the reference's own fallback when
+  * the metadata-table col-stats index is absent —
+  * HudiFileStatsExtractor.java:115-126), read distributed.
+  */
+class HudiConversionSource(spark: SparkSession, tablePath: String,
+    tableName: String)
+  extends ConversionSource {
+
+  override def sourceFormat: String = TableFormats.Hudi
+
+  private def instants: Seq[String] = HudiTimeline.listInstants(tablePath)
+
+  private def commitsUpTo(instant: String): Seq[HudiTimeline.CommitMeta] =
+    instants.filter(_ <= instant).map(HudiTimeline.readCommit(tablePath, _))
+
+  /** Live (partition, WriteStat) pairs as of an instant: latest write per
+    * fileId wins; fileIds replaced by a later replacecommit are dropped.
+    */
+  private def liveStats(upTo: String)
+      : Seq[(String, HudiTimeline.WriteStat, String)] = {
+    val commits = commitsUpTo(upTo)
+    val latest = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, HudiTimeline.WriteStat, String)]
+    val replaced = scala.collection.mutable.Set.empty[String]
+    for (c <- commits) {
+      for ((part, stats) <- c.partitionToWriteStats; s <- stats) {
+        latest(s.fileId) = (part, s, c.instant)
+        replaced -= s.fileId          // re-add revives a file group
+      }
+      for ((_, ids) <- c.partitionToReplaceFileIds; id <- ids)
+        replaced += id
+    }
+    latest.values.filter { case (_, s, _) => !replaced.contains(s.fileId) }
+      .map(identity).toSeq
+  }
+
+  private def schemaFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
+      : StructType =
+    commits.reverse.flatMap(_.extraMetadata.get("schema")).headOption
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(spark.read.parquet(tablePath).schema)
+
+  private def specFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
+      : Seq[PartitionFieldSpec] =
+    commits.reverse.flatMap(_.extraMetadata.get("graft.partitionSpec"))
+      .headOption.map { json =>
+        import scala.jdk.CollectionConverters._
+        Jsons.mapper.readTree(json).elements().asScala.map { n =>
+          PartitionFieldSpec(n.get("sourceField").asText,
+            n.get("transform").asText,
+            Option(n.get("format")).filterNot(_.isNull).map(_.asText),
+            Option(n.get("numBuckets")).filterNot(_.isNull).map(_.asInt))
+        }.toSeq
+      }.getOrElse(Nil)
+
+  override def currentTable(): TableDescriptor = {
+    val commits = commitsUpTo(instants.lastOption.getOrElse("0"))
+    val spec = specFromTimeline(commits)
+    TableDescriptor(tableName, TableFormats.Hudi,
+      PathUtils.canonical(tablePath), schemaFromTimeline(commits), spec,
+      if (spec.nonEmpty) Layout.HivePartitioned else Layout.Flat,
+      instants.lastOption.map(_.toLong).getOrElse(0L))
+  }
+
+  /** Distributed footer-stat enrichment of a live listing. */
+  private def toFileEntries(rows: Seq[(String, HudiTimeline.WriteStat, String)])
+      : Dataset[FileEntry] = {
+    import spark.implicits._
+    val tp = tablePath
+    val input = rows.map { case (part, s, instant) =>
+      (PathUtils.resolve(tp, s.path), s.fileSizeInBytes, part, instant)
+    }
+    spark.createDataset(input)
+      .repartition(math.max(1, math.min(input.size, 128)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { case (path, size, part, instant) =>
+          val (records, stats) = ParquetFooters.readFooterStats(path, conf)
+          val pv = part.split('/').toSeq.filter(_.contains('='))
+            .map { seg =>
+              val i = seg.indexOf('=')
+              PartitionMember(seg.substring(0, i), seg.substring(i + 1))
+            }
+          FileEntry(path, size, records, "parquet", pv, stats, instant.toLong)
+        }
+      }
+  }
+
+  override def currentSnapshot(): TableSnapshot = {
+    val last = instants.lastOption.getOrElse(
+      throw new IllegalStateException(s"no Hudi timeline at $tablePath"))
+    TableSnapshot(currentTable(), toFileEntries(liveStats(last)), last)
+  }
+
+  /** Live listing from timeline metadata only (no footer reads): record
+    * counts from writeStats, no column stats. Used for diffing against an
+    * incoming snapshot, where opening data files — possibly already deleted
+    * externally — is neither needed nor safe.
+    */
+  private[hudi] def listingFromTimeline(): Dataset[FileEntry] = {
+    import spark.implicits._
+    val last = instants.lastOption.getOrElse(
+      throw new IllegalStateException(s"no Hudi timeline at $tablePath"))
+    val tp = tablePath
+    val rows = liveStats(last).map { case (part, s, instant) =>
+      val pv = part.split('/').toSeq.filter(_.contains('='))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          PartitionMember(seg.substring(0, i), seg.substring(i + 1))
+        }
+      FileEntry(PathUtils.resolve(tp, s.path), s.fileSizeInBytes,
+        s.numWrites, "parquet", pv, Nil, instant.toLong)
+    }
+    spark.createDataset(rows)
+  }
+
+  override def changeForCommit(commit: String): TableChange = {
+    val c = HudiTimeline.readCommit(tablePath, commit)
+    val adds = c.partitionToWriteStats.toSeq.flatMap { case (p, ss) =>
+      ss.map(s => (p, s, c.instant))
+    }
+    // removed = file groups replaced by this commit, resolved against the
+    // state just before it
+    val replacedIds = c.partitionToReplaceFileIds.values.flatten.toSet
+    val prevInstant = instants.takeWhile(_ < commit).lastOption
+    val removed = prevInstant.map(pi => liveStats(pi)
+        .filter { case (_, s, _) => replacedIds.contains(s.fileId) })
+      .getOrElse(Nil)
+    TableChange(commit,
+      currentTable().copy(latestCommitMillis = commit.toLong),
+      FilesDelta(toFileEntries(adds), toFileEntries(removed)))
+  }
+
+  override def commitsBacklog(lastSynced: String): Seq[String] =
+    instants.filter(_ > lastSynced)
+
+  /** No archival implemented → replay is safe from any retained instant. */
+  override def isIncrementalSyncSafeFrom(commit: String): Boolean =
+    instants.isEmpty || commit <= instants.last
+
+  def toDataFrame: DataFrame =
+    graft.formats.delta.DeltaRead.toDataFrame(spark, currentSnapshot())
+}
+
+/** Hudi COW target — reference HudiConversionTarget.java:103-664, heavily
+  * simplified: each sync is one commit (adds) or replacecommit (adds +
+  * replaced file groups), written through the timeline codec; sync
+  * bookkeeping rides in extraMetadata exactly like the reference's
+  * `:611+`.
+  */
+class HudiConversionTarget(spark: SparkSession, tablePath: String)
+  extends ConversionTarget {
+
+  override def targetFormat: String = TableFormats.Hudi
+
+  private var table: TableDescriptor = _
+  private var schema: StructType = _
+  private var partitionSpec: Seq[PartitionFieldSpec] = Nil
+  private var syncMeta: Option[SyncMetadata] = None
+  private var pendingAdds: Option[Dataset[FileEntry]] = None
+  private var pendingRemoves: Option[Dataset[FileEntry]] = None
+
+  private def source = new HudiConversionSource(spark, tablePath, "target")
+
+  override def beginSync(t: TableDescriptor): Unit = {
+    table = t; schema = t.schema
+    pendingAdds = None; pendingRemoves = None
+    if (!HudiTimeline.exists(tablePath))
+      HudiTimeline.writeProperties(tablePath, t.name)
+  }
+
+  override def syncMetadata(m: SyncMetadata): Unit = syncMeta = Some(m)
+  override def syncSchema(s: StructType): Unit = schema = s
+  override def syncPartitionSpec(spec: Seq[PartitionFieldSpec]): Unit =
+    partitionSpec = spec
+
+  override def syncFilesForSnapshot(files: Dataset[FileEntry]): Unit =
+    if (HudiTimeline.listInstants(tablePath).isEmpty) {
+      pendingAdds = Some(files); pendingRemoves = None
+    } else {
+      val current = source.listingFromTimeline()
+      val delta = FilesDelta.between(files, current)
+      pendingAdds = Some(delta.added)
+      pendingRemoves = Some(delta.removed)
+    }
+
+  override def syncFilesForDiff(diff: FilesDelta): Unit = {
+    pendingAdds = Some(diff.added)
+    pendingRemoves = Some(diff.removed)
+  }
+
+  override def completeSync(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val instant = HudiTimeline.newInstant(tablePath)
+    val tp = tablePath
+
+    def partitionPathOf(f: FileEntry): String =
+      f.partitionValues.map(p => s"${p.field}=${p.value}").mkString("/")
+
+    val writeStats = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[HudiTimeline.WriteStat]]
+    pendingAdds.foreach { ds =>
+      ds.toLocalIterator().asScala.foreach { f =>
+        val rel = PathUtils.relativize(tp, f.path)
+        val st = HudiTimeline.WriteStat(HudiTimeline.fileId(f.path), rel,
+          f.recordCount, f.fileSizeBytes)
+        writeStats.getOrElseUpdate(partitionPathOf(f),
+          scala.collection.mutable.ArrayBuffer.empty) += st
+      }
+    }
+    val replaced = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    pendingRemoves.foreach { ds =>
+      ds.toLocalIterator().asScala.foreach { f =>
+        replaced.getOrElseUpdate(partitionPathOf(f),
+          scala.collection.mutable.ArrayBuffer.empty) +=
+          HudiTimeline.fileId(f.path)
+      }
+    }
+
+    val action = if (replaced.nonEmpty) "replacecommit" else "commit"
+    val extra = Map("schema" -> schema.json,
+      "graft.partitionSpec" -> Jsons.toJson(partitionSpec.map(p => Map(
+        "sourceField" -> p.sourceField, "transform" -> p.transform,
+        "format" -> p.format.orNull,
+        "numBuckets" -> p.numBuckets.map(Integer.valueOf).orNull)))) ++
+      syncMeta.map(m => Map(SyncMetadata.PropertyKey -> m.toJson))
+        .getOrElse(Map.empty)
+
+    val ok = HudiTimeline.writeCommit(HudiTimeline.CommitMeta(
+      instant, action,
+      writeStats.map { case (k, v) => k -> v.toSeq }.toMap,
+      replaced.map { case (k, v) => k -> v.toSeq }.toMap,
+      extra), tablePath)
+    if (!ok) throw new IllegalStateException(
+      s"concurrent writer committed instant $instant first at $tablePath")
+  }
+
+  override def tableMetadata(): Option[SyncMetadata] = {
+    val is = HudiTimeline.listInstants(tablePath)
+    is.reverse.iterator
+      .map(HudiTimeline.readCommit(tablePath, _))
+      .flatMap(_.extraMetadata.get(SyncMetadata.PropertyKey))
+      .map(SyncMetadata.fromJson)
+      .collectFirst { case Some(m) => m }
+  }
+}

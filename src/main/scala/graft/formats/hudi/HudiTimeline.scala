@@ -1,0 +1,151 @@
+package graft.formats.hudi
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths => JPaths, StandardCopyOption}
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+
+import scala.jdk.CollectionConverters._
+
+import graft.util.Jsons
+
+/** Hudi-layout commit timeline (public table layout: `.hoodie/` holding
+  * `hoodie.properties` and one `<instant>.commit` / `<instant>.replacecommit`
+  * JSON per commit, instants formatted yyyyMMddHHmmssSSS UTC — reference
+  * HudiInstantUtils.java:38-81).
+  *
+  * COW simplification, documented: base files keep their original (source)
+  * paths instead of Hudi's `<fileId>_<token>_<instant>` naming — fileId is a
+  * stable hash of the path; schema in extraMetadata is Spark schema JSON.
+  */
+object HudiTimeline {
+  val HoodieDir = ".hoodie"
+  val InstantFormat: DateTimeFormatter =
+    DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS").withZone(ZoneOffset.UTC)
+
+  case class WriteStat(fileId: String, path: String, numWrites: Long,
+      fileSizeInBytes: Long)
+
+  case class CommitMeta(
+      instant: String,
+      action: String,                           // commit | replacecommit
+      partitionToWriteStats: Map[String, Seq[WriteStat]],
+      partitionToReplaceFileIds: Map[String, Seq[String]],
+      extraMetadata: Map[String, String])
+
+  def fileId(path: String): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xffffffffL)
+
+  def hoodieDir(tablePath: String): String = s"$tablePath/$HoodieDir"
+
+  /** Monotonic new instant: formatted now, bumped past the last instant if
+    * the clock hasn't advanced (second-granularity writers are why the
+    * reference special-cases this — HudiInstantUtils.java:78).
+    */
+  def newInstant(tablePath: String): String = {
+    val now = InstantFormat.format(java.time.Instant.now())
+    listInstants(tablePath).lastOption match {
+      case Some(last) if last >= now =>
+        (BigInt(last) + 1).toString
+      case _ => now
+    }
+  }
+
+  def exists(tablePath: String): Boolean =
+    Files.exists(JPaths.get(hoodieDir(tablePath), "hoodie.properties"))
+
+  def writeProperties(tablePath: String, tableName: String): Unit = {
+    val dir = JPaths.get(hoodieDir(tablePath))
+    Files.createDirectories(dir)
+    val props =
+      s"""#Updated at ${System.currentTimeMillis()}
+         |hoodie.table.name=$tableName
+         |hoodie.table.type=COPY_ON_WRITE
+         |hoodie.table.version=6
+         |hoodie.timeline.layout.version=1
+         |""".stripMargin
+    Files.write(dir.resolve("hoodie.properties"),
+      props.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def tableName(tablePath: String): Option[String] = {
+    val p = JPaths.get(hoodieDir(tablePath), "hoodie.properties")
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.find(_.startsWith("hoodie.table.name="))
+      .map(_.substring("hoodie.table.name=".length))
+  }
+
+  /** Completed instants, oldest first. */
+  def listInstants(tablePath: String): Seq[String] = {
+    val dir = JPaths.get(hoodieDir(tablePath))
+    if (!Files.exists(dir)) return Nil
+    val out = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".commit") || n.endsWith(".replacecommit"))
+      .map(n => n.substring(0, n.indexOf('.')))
+      .toSeq
+    out.sorted
+  }
+
+  private def commitPath(tablePath: String, instant: String, action: String)
+      : java.nio.file.Path =
+    JPaths.get(hoodieDir(tablePath), s"$instant.$action")
+
+  /** Find the action suffix for an instant on disk. */
+  private def actionOf(tablePath: String, instant: String): String =
+    if (Files.exists(commitPath(tablePath, instant, "replacecommit")))
+      "replacecommit" else "commit"
+
+  def writeCommit(meta: CommitMeta, tablePath: String): Boolean = {
+    val target = commitPath(tablePath, meta.instant, meta.action)
+    Files.createDirectories(target.getParent)
+    if (Files.exists(target)) return false
+    val json = Jsons.toJson(Map(
+      "partitionToWriteStats" -> meta.partitionToWriteStats.map {
+        case (p, stats) => p -> stats.map(s => Map(
+          "fileId" -> s.fileId, "path" -> s.path,
+          "numWrites" -> s.numWrites,
+          "fileSizeInBytes" -> s.fileSizeInBytes,
+          "totalWriteBytes" -> s.fileSizeInBytes))
+      },
+      "partitionToReplaceFileIds" -> meta.partitionToReplaceFileIds,
+      "compacted" -> false,
+      "operationType" -> (if (meta.action == "replacecommit") "CLUSTER"
+        else "UPSERT"),
+      "extraMetadata" -> meta.extraMetadata))
+    val tmp = Files.createTempFile(target.getParent, s".${meta.instant}", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  def readCommit(tablePath: String, instant: String): CommitMeta = {
+    val action = actionOf(tablePath, instant)
+    val n = Jsons.mapper.readTree(Files.readAllBytes(
+      commitPath(tablePath, instant, action)))
+    def writeStats = Option(n.get("partitionToWriteStats")).map { pw =>
+      pw.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map { s =>
+          WriteStat(s.get("fileId").asText, s.get("path").asText,
+            s.get("numWrites").asLong, s.get("fileSizeInBytes").asLong)
+        }.toSeq
+      }.toMap
+    }.getOrElse(Map.empty[String, Seq[WriteStat]])
+    def replaced = Option(n.get("partitionToReplaceFileIds")).map { pr =>
+      pr.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText).toSeq
+      }.toMap
+    }.getOrElse(Map.empty[String, Seq[String]])
+    CommitMeta(instant, action, writeStats, replaced,
+      Option(n.get("extraMetadata")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap)
+        .getOrElse(Map.empty))
+  }
+}

@@ -123,6 +123,29 @@ object SyncQueries {
       |  sum(CAST(c_acctbal AS DECIMAL(25,6))) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Parquet dir → Hudi COW timeline, read back with footer-stat
+    * enrichment.
+    */
+  def syncParquetToHudi(s: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft_hudi_part").toString
+    val src = new ParquetDirectorySource(s, s"$dir/part.parquet", "part")
+    val tgt = new graft.formats.hudi.HudiConversionTarget(s, target)
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(tgt), src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    new graft.formats.hudi.HudiConversionSource(s, target, "part")
+      .toDataFrame
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("p_retailprice").cast("decimal(25,6)")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  val syncParquetToHudiSql: String =
+    """SELECT p_brand, count(*) AS cnt,
+      |  sum(CAST(p_retailprice AS DECIMAL(25,6))) AS sum_price
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Hive-partitioned sync: write events partitioned by event_type, sync
     * the directory into Delta, read back with a partition filter —
     * partition values must survive the metadata plane and prune correctly.

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.formats.hudi._
+import graft.model._
+import graft.sources.ParquetDirectorySource
+import graft.spi.SyncMode
+import graft.sync.{ConversionController, TableFormatSync}
+
+class HudiSyncSpec extends SparkSuite {
+
+  private def fullSync(src: graft.spi.ConversionSource,
+      tgt: graft.spi.ConversionTarget): Unit = {
+    val o = TableFormatSync.syncSnapshot(Seq(tgt), src.currentSnapshot(),
+      src.sourceFormat)
+    assert(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+  }
+
+  test("parquet -> hudi full sync round-trips rows") {
+    val target = tmpDir("hudi_part")
+    fullSync(new ParquetDirectorySource(spark, sf("sf0.001/part.parquet"),
+      "part"), new HudiConversionTarget(spark, target))
+    val back = new HudiConversionSource(spark, target, "part")
+    val direct = spark.read.parquet(sf("sf0.001/part.parquet"))
+    assert(back.toDataFrame.count() == direct.count())
+    // footer-stat enrichment present
+    val stats = back.currentSnapshot().files.collect()
+      .flatMap(_.columnStats).filter(_.field == "p_retailprice")
+    assert(stats.nonEmpty)
+    assert(stats.flatMap(_.max).map(_.toDouble).max ==
+      direct.agg(max("p_retailprice")).head.getDouble(0))
+  }
+
+  test("hudi incremental sync with replace semantics") {
+    val dataDir = tmpDir("hudi_inc_data")
+    val target = tmpDir("hudi_inc")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"))
+    Paths.get(dataDir, "f1.parquet").toFile.setLastModified(1000000L)
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(spark, dataDir, "region")
+    val r1 = controller.sync(src, Seq(new HudiConversionTarget(spark, target)))
+    assert(r1.head.status == "SUCCESS" && r1.head.mode == SyncMode.Full,
+      r1.mkString(";"))
+
+    Files.copy(srcFile, Paths.get(dataDir, "f2.parquet"))
+    Paths.get(dataDir, "f2.parquet").toFile.setLastModified(2000000L)
+    val r2 = controller.sync(src, Seq(new HudiConversionTarget(spark, target)))
+    assert(r2.head.status == "SUCCESS" && r2.head.mode == SyncMode.Incremental,
+      r2.mkString(";"))
+    assert(new HudiConversionSource(spark, target, "region")
+      .currentSnapshot().files.count() == 2)
+
+    // external delete + full resync → replacecommit drops the file group
+    Files.delete(Paths.get(dataDir, "f2.parquet"))
+    val r3 = controller.sync(src, Seq(new HudiConversionTarget(spark, target)),
+      SyncMode.Full)
+    assert(r3.head.status == "SUCCESS")
+    val live = new HudiConversionSource(spark, target, "region")
+      .currentSnapshot().files.collect()
+    assert(live.length == 1, live.map(_.path).mkString(","))
+    // timeline now has a replacecommit
+    val instants = HudiTimeline.listInstants(target)
+    val last = HudiTimeline.readCommit(target, instants.last)
+    assert(last.action == "replacecommit")
+  }
+
+  test("hudi -> delta cross-format sync") {
+    val hudiDir = tmpDir("hudi_x")
+    val deltaDir = tmpDir("hudi_x_delta")
+    fullSync(new ParquetDirectorySource(spark, sf("sf0.001/supplier.parquet"),
+      "supplier"), new HudiConversionTarget(spark, hudiDir))
+    fullSync(new HudiConversionSource(spark, hudiDir, "supplier"),
+      new graft.formats.delta.DeltaConversionTarget(spark, deltaDir))
+    val back = new graft.formats.delta.DeltaConversionSource(
+      spark, deltaDir, "supplier").toDataFrame
+    assert(back.count() ==
+      spark.read.parquet(sf("sf0.001/supplier.parquet")).count())
+  }
+}
