@@ -97,7 +97,11 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
   def toDataFrame: DataFrame = DeltaRead.toDataFrame(spark, currentSnapshot())
 }
 
-/** Turn any snapshot's live-file listing into a DataFrame scan. */
+/** Turn any snapshot's live-file listing into a DataFrame scan, under the
+  * snapshot's own schema (so schema evolution applies: files written before
+  * a column was added read it as null — the reference's add-column
+  * equivalence test, ITConversionController.java:454-506 region).
+  */
 object DeltaRead {
   def toDataFrame(spark: SparkSession, snap: TableSnapshot): DataFrame = {
     import spark.implicits._
@@ -110,9 +114,10 @@ object DeltaRead {
       val base = paths.map(p => p.substring(0, p.lastIndexOf('/')))
         .map(_.split('/').takeWhile(!_.contains("=")).mkString("/"))
         .distinct.headOption.getOrElse(snap.table.basePath)
-      spark.read.option("basePath", base).parquet(paths: _*)
+      spark.read.option("basePath", base)
+        .schema(snap.table.schema).parquet(paths: _*)
     } else {
-      spark.read.parquet(paths: _*)
+      spark.read.schema(snap.table.schema).parquet(paths: _*)
     }
   }
 }

@@ -27,9 +27,11 @@ class ParquetDirectorySource(
   override def currentTable(): TableDescriptor = {
     val files = listing
     // schema from Spark's own parquet reader (footer-derived, includes
-    // hive partition columns) — reference infers from latest footer
+    // hive partition columns); mergeSchema so a column added by newer
+    // files appears — reference infers from latest footer
     // (ParquetConversionSource.java:88-107)
-    val schema = spark.read.parquet(basePath).schema
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(basePath).schema
     val latest = if (files.isEmpty) 0L else files.map(_.modifiedMillis).max
     val layout = if (partitionSpec.nonEmpty ||
         files.exists(f => ParquetFooters

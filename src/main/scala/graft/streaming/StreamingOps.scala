@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface. The reference has no streaming engine —
+  * its incremental sync is a poll loop (§2.9) — but the engine's users get
+  * real streams: the same event analytics that run in batch
+  * (EventsQueries) run here under readStream with watermarks, plus a
+  * stateful sessionizer via flatMapGroupsWithState.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(count: Long, lastTsMicros: Long)
+  case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** File stream over an events parquet directory (micro-batch source). */
+  def eventStream(spark: SparkSession, dir: String, schema: StructType)
+      : DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
+    * streaming form of EventsQueries.hourlyCounts.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Stateful session counting: a >30 min gap starts a new session.
+    * Custom state via flatMapGroupsWithState (KeyValueGroupedDataset),
+    * emitting one update per user per micro-batch.
+    */
+  def sessionCounts(spark: SparkSession, events: Dataset[Event])
+      : Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val gapMicros = 30L * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[SessionState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          var events = 0L
+          for (e <- sorted) {
+            val tsMicros = e.ts.getTime * 1000L
+            val newSession = st.lastTsMicros == Long.MinValue ||
+              tsMicros - st.lastTsMicros > gapMicros
+            st = SessionState(st.count + (if (newSession) 1 else 0), tsMicros)
+            events += 1
+          }
+          state.update(st)
+          if (events == 0) Iterator.empty
+          else Iterator(SessionUpdate(userId, st.count, events))
+        })
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkSuite {
+
+  /** readStream needs a directory: stage the events file into one. */
+  private lazy val eventsDir: String = {
+    val d = tmpDir("stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001/events.parquet")),
+      java.nio.file.Paths.get(d, "events.parquet"))
+    d
+  }
+
+  test("streaming windowed counts match the batch query") {
+    import spark.implicits._
+    val raw = spark.read.parquet(sf("sf0.001/events.parquet"))
+    val stream = StreamingOps.eventStream(spark, eventsDir, raw.schema)
+    val q = StreamingOps.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_out")
+      .select("hour_us", "event_type", "n_events")
+      .orderBy("hour_us", "event_type").collect().toSeq
+    val batch = graft.queries.EventsQueries.hourlyCounts(spark, sf("sf0.001"))
+      .select("hour_us", "event_type", "n_events")
+      .orderBy("hour_us", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionizer matches batch sessionization") {
+    import spark.implicits._
+    val raw = spark.read.parquet(sf("sf0.001/events.parquet"))
+    val stream = StreamingOps.eventStream(spark, eventsDir, raw.schema)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingOps.Event]
+    val q = StreamingOps.sessionCounts(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // single micro-batch → one update per user; compare with batch result
+    val streamed = spark.table("sess_out")
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.queries.EventsQueries.sessionize(spark, sf("sf0.001"))
+      .select("user_id", "n_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+  }
+}
