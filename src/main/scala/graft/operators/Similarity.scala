@@ -60,38 +60,31 @@ object Similarity {
       (h.toDouble / Long.MaxValue)        // in [-1, 1]
     }
 
-  /** Sign-bit of `vec · plane` as a 0/1 column. */
-  private def signBit(vecCol: Column, plane: Array[Double]): Column = {
-    val planeCol = array(plane.map(lit): _*)
-    when(aggregate(zip_with(vecCol, planeCol,
-      (x, p) => x.cast("double") * p), lit(0.0), (acc, x) => acc + x) >= 0,
-      1L).otherwise(0L)
-  }
-
   /** LSH-bucketed approximate near-neighbor pairs: `bands` bands of
     * `rowsPerBand` hyperplane sign bits each; pairs sharing any band bucket
-    * are verified with exact cosine ≥ threshold.
+    * are verified with exact cosine ≥ threshold. Band keys come from the
+    * native HyperplaneBandKeys expression (one tight loop per row).
     */
   def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.45, bands: Int = 8, rowsPerBand: Int = 4)
       : DataFrame = {
-    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"))
-    val bandCols = (0 until bands).map { b =>
-      val bits = (0 until rowsPerBand).map { r =>
-        signBit(col("v"), hyperplane(b * rowsPerBand + r, dim)) *
-          lit(1L << r)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bits.as("bkey"))
-    }
-    val banded = vecs.select(col("doc"), col("v"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("v"), col("bk.band"), col("bk.bkey"))
-    banded.as("x").join(banded.as("y"),
+    val planes = Array.tabulate(bands * rowsPerBand)(hyperplane(_, dim))
+    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v")).cache()
+    val banded = vecs.select(col("doc"),
+        graft.functions.HyperplaneBandKeys(col("v"), planes, bands,
+          rowsPerBand).as("keys"))
+      .select(col("doc"), posexplode(col("keys")).as(Seq("band", "bkey")))
+    // dedup bare id pairs BEFORE touching vectors: a pair can collide in
+    // several bands, and distinct over float arrays is far costlier than
+    // distinct over two longs
+    val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
       .distinct()
+    pairs
+      .join(vecs.select(col("doc").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("doc").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
