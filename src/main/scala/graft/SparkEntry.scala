@@ -39,6 +39,7 @@ object SparkEntry {
     "sync_parquet_to_hudi" -> SyncQueries.syncParquetToHudi _,
     "sync_chain_delta_iceberg" -> SyncQueries.syncChainDeltaIceberg _,
     "sync_partitioned_events" -> SyncQueries.syncPartitionedEvents _,
+    "sync_time_partitioned" -> SyncQueries.syncTimePartitioned _,
     "time_travel_delta" -> SyncQueries.timeTravelDelta _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccard _,
@@ -76,6 +77,7 @@ object SparkEntry {
     "sync_parquet_to_hudi" -> SyncQueries.syncParquetToHudiSql,
     "sync_chain_delta_iceberg" -> SyncQueries.syncChainDeltaIcebergSql,
     "sync_partitioned_events" -> SyncQueries.syncPartitionedEventsSql,
+    "sync_time_partitioned" -> SyncQueries.syncTimePartitionedSql,
     "time_travel_delta" -> SyncQueries.timeTravelDeltaSql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,

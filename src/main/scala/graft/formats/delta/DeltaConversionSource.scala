@@ -33,14 +33,21 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
           Option(n.get("format")).filterNot(_.isNull).map(_.asText),
           Option(n.get("numBuckets")).filterNot(_.isNull).map(_.asInt))
       }.toSeq
-    }.getOrElse(meta.partitionColumns.map(c =>
-      PartitionFieldSpec(c, Transform.Value)))
+    }.getOrElse(
+      // recover transforms from generated-column expressions (reference
+      // DeltaPartitionExtractor.convertFromDeltaPartitionFormat:105)
+      DeltaPartitions.specsFromSchema(meta.schema, meta.partitionColumns))
 
   override def currentTable(): TableDescriptor = {
     val vs = versions
     val meta = metaOrFail(vs)
+    // generated partition columns are physical-layout artifacts, excluded
+    // from the logical schema (reference DeltaSchemaExtractor.java:128-134)
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      meta.schema.fields.filterNot(_.metadata.contains(
+        DeltaPartitions.GenerationExpressionKey)))
     TableDescriptor(tableName, TableFormats.Delta,
-      graft.util.PathUtils.canonical(tablePath), meta.schema,
+      graft.util.PathUtils.canonical(tablePath), logicalSchema,
       partitionSpecOf(meta),
       if (meta.partitionColumns.nonEmpty) Layout.HivePartitioned else Layout.Flat,
       vs.lastOption.getOrElse(0L))

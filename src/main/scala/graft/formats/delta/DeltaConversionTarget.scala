@@ -84,7 +84,11 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
     val metaNode = Map(
       "id" -> existingMeta.map(_.id).getOrElse(UUID.randomUUID().toString),
       "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
-      "schemaString" -> schema.json,
+      // time/bucket transforms ride as generated columns with
+      // delta.generationExpression metadata (reference
+      // DeltaPartitionExtractor.getGeneratedField:358)
+      "schemaString" ->
+        DeltaPartitions.withGeneratedColumns(schema, partitionSpec).json,
       "partitionColumns" -> partitionSpec.map(_.partitionColumnName),
       "configuration" -> configuration,
       "createdTime" -> existingMeta.map(_.createdTime)
@@ -135,10 +139,19 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
       header ++ addLines ++ removeLines)
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed version $version first at $tablePath")
+
+    // periodic checkpoint: replay cost stays O(tail), not O(history)
+    if (version > 0 && version % DeltaConversionTarget.CheckpointInterval == 0)
+      DeltaSnapshot.writeCheckpoint(spark, tablePath, version, schema)
   }
 
   override def tableMetadata(): Option[SyncMetadata] =
     DeltaSnapshot.metadata(spark, tablePath, currentVersions)
       .flatMap(_.configuration.get(SyncMetadata.PropertyKey))
       .flatMap(SyncMetadata.fromJson)
+}
+
+object DeltaConversionTarget {
+  /** Checkpoint cadence, matching delta-spark's default. */
+  val CheckpointInterval = 10
 }

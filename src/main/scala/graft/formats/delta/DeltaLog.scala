@@ -38,6 +38,30 @@ object DeltaLog {
   def latestVersion(tablePath: String, conf: Configuration): Option[Long] =
     listVersions(tablePath, conf).lastOption
 
+  def checkpointFile(tablePath: String, version: Long): String =
+    f"${logPath(tablePath)}/$version%020d.checkpoint.parquet"
+
+  def lastCheckpointFile(tablePath: String): String =
+    s"${logPath(tablePath)}/_last_checkpoint"
+
+  /** Latest checkpoint at or before `version`, if any. */
+  def latestCheckpoint(tablePath: String, version: Long, conf: Configuration)
+      : Option[Long] = {
+    val dir = new Path(logPath(tablePath))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.parquet"))
+      .map(_.stripSuffix(".checkpoint.parquet").toLong)
+      .filter(_ <= version)
+      .sorted.lastOption
+  }
+
+  def writeLastCheckpointHint(tablePath: String, version: Long): Unit =
+    Files.write(JPaths.get(lastCheckpointFile(tablePath)),
+      s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+
   /** Atomically write one commit file; returns false if the version already
     * exists (concurrent writer won).
     */

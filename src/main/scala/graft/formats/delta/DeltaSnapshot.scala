@@ -82,14 +82,60 @@ object DeltaSnapshot {
       .mapPartitions(parseActions(table))
   }
 
+  /** Checkpointed actions: rows of the live set at the checkpoint version,
+    * stored as one parquet file (scale path — a 10^5-commit log replays
+    * from the last checkpoint plus its JSON tail, like delta-spark).
+    */
+  def readCheckpoint(spark: SparkSession, tablePath: String, cpVersion: Long)
+      : Dataset[ActionRow] = {
+    import spark.implicits._
+    spark.read.parquet(DeltaLog.checkpointFile(tablePath, cpVersion))
+      .as[ActionRow]
+  }
+
+  def writeCheckpoint(spark: SparkSession, tablePath: String, version: Long,
+      schema: StructType): Unit = {
+    import spark.implicits._
+    val conf = new Configuration()
+    val versions = DeltaLog.listVersions(tablePath, conf).filter(_ <= version)
+    val live = liveFiles(spark, tablePath, versions, schema)
+    val tp = tablePath
+    val rows = live.map { f =>
+      ActionRow(version, "add", f.path, f.fileSizeBytes,
+        f.lastModifiedMillis,
+        f.partitionValues.map(p => p.field -> p.value).toMap,
+        DeltaStats.toJson(schema, f.recordCount, f.columnStats))
+    }
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val part = new java.io.File(tmpDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(DeltaLog.checkpointFile(tablePath, version)),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    DeltaLog.writeLastCheckpointHint(tablePath, version)
+  }
+
   /** Live files at a version: the latest action per path wins; within one
-    * commit an add beats a remove (rewrite-in-place).
+    * commit an add beats a remove (rewrite-in-place). Replay starts from
+    * the newest checkpoint at-or-before the version when one exists.
     */
   def liveFiles(spark: SparkSession, tablePath: String, versions: Seq[Long],
       schema: StructType): Dataset[FileEntry] = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val acts = actions(spark, tablePath, versions)
+    val conf = new Configuration()
+    val head = versions.lastOption.getOrElse(-1L)
+    val cp = DeltaLog.latestCheckpoint(tablePath, head, conf)
+    val jsonVersions = cp match {
+      case Some(c) => versions.filter(_ > c)
+      case None => versions
+    }
+    val jsonActs = actions(spark, tablePath, jsonVersions)
+    val acts = cp match {
+      case Some(c) => readCheckpoint(spark, tablePath, c).union(jsonActs)
+      case None => jsonActs
+    }
     val w = Window.partitionBy(col("path"))
       .orderBy(col("version").desc,
         when(col("kind") === "add", 1).otherwise(0).desc)

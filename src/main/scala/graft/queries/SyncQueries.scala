@@ -174,6 +174,40 @@ object SyncQueries {
       |  count(DISTINCT user_id) AS n_users
       |FROM events WHERE event_type = 'click'""".stripMargin
 
+  /** Time-transform partitioning end-to-end: events laid out by
+    * `ts_day=yyyy-MM-dd` dirs, source configured via the partition-spec DSL
+    * (`ts:DAY:yyyy-MM-dd`), synced to Delta, read back with a partition
+    * filter — the transform survives the metadata plane and prunes.
+    */
+  def syncTimePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = Files.createTempDirectory("graft_day_data").toString
+    val target = Files.createTempDirectory("graft_day_delta").toString
+    Tables.events(s, dir)
+      .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .write.mode("overwrite").partitionBy("ts_day").parquet(dataDir)
+    val spec = graft.model.PartitionSpecDSL.parse("ts:DAY:yyyy-MM-dd")
+    val src = new ParquetDirectorySource(s, dataDir, "events_by_day", spec)
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val back = new DeltaConversionSource(s, target, "events_by_day")
+    // partition spec with the DAY transform must round-trip
+    require(back.currentTable().partitionFields.exists(p =>
+      p.sourceField == "ts" && p.transform == graft.model.Transform.Day),
+      back.currentTable().partitionFields.toString)
+    back.toDataFrame
+      .filter(col("ts_day") === "2024-01-05")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).as("sum_value"))
+  }
+
+  val syncTimePartitionedSql: String =
+    """SELECT count(*) AS n_events,
+      |  sum(CAST(value AS DECIMAL(25,6))) AS sum_value
+      |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'""".stripMargin
+
   /** Time travel: two commits into Delta (1 file, then 2), then read the
     * table as of version 0 — must see exactly the first file's rows.
     */

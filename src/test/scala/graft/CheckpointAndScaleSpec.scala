@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.formats.delta._
+import graft.model._
+import graft.sources.ParquetDirectorySource
+import graft.spi.SyncMetadata
+import graft.sync.ConversionController
+
+class CheckpointAndScaleSpec extends SparkSuite {
+
+  test("checkpoint written at interval and replay works without old commits") {
+    val dataDir = tmpDir("ckpt_data")
+    val target = tmpDir("ckpt_delta")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(spark, dataDir, "region")
+
+    // 12 commits → checkpoint at version 10
+    for (i <- 1 to 12) {
+      Files.copy(srcFile, Paths.get(dataDir, s"f$i.parquet"))
+      Paths.get(dataDir, s"f$i.parquet").toFile.setLastModified(i * 1000000L)
+      val r = controller.sync(src,
+        Seq(new DeltaConversionTarget(spark, target)))
+      assert(r.forall(_.status == "SUCCESS"), s"commit $i: ${r.mkString(";")}")
+    }
+    assert(Files.exists(Paths.get(DeltaLog.checkpointFile(target, 10))))
+    assert(new DeltaConversionSource(spark, target, "region")
+      .currentSnapshot().files.count() == 12)
+
+    // vacuum simulation: drop all pre-checkpoint JSON commits — replay
+    // must come from the checkpoint + tail
+    for (v <- 0L to 9L)
+      Files.deleteIfExists(Paths.get(DeltaLog.versionFile(target, v)))
+    val live = new DeltaConversionSource(spark, target, "region")
+      .currentSnapshot().files.collect()
+    assert(live.length == 12, s"got ${live.length}")
+    // stats survived the checkpoint round trip
+    assert(live.forall(_.columnStats.nonEmpty))
+    assert(live.forall(_.recordCount > 0))
+  }
+
+  test("LoadTest-shaped scale: 100k synthetic file actions through delta sync") {
+    // mirrors the reference's load test (LoadTest.java:68-95: 1000
+    // partitions x 100 files) — metadata-plane only, no physical files
+    import spark.implicits._
+    val target = tmpDir("scale_delta")
+    val n = 100000
+    val schema = spark.read.parquet(sf("sf0.001/region.parquet")).schema
+    val files = spark.range(n).map { i =>
+      val part = i % 1000
+      FileEntry(s"/data/p=$part/f$i.parquet", 1000L + i, 100L, "parquet",
+        Seq(PartitionMember("p", part.toString)),
+        Seq(FileColumnStat("r_regionkey", Some((i % 5).toString),
+          Some(((i % 5) + 1).toString), 0L, 100L, 64L)),
+        1000000L)
+    }
+    val tgt = new DeltaConversionTarget(spark, target)
+    val t0 = System.nanoTime()
+    tgt.beginSync(TableDescriptor("scale", TableFormats.Delta, target,
+      schema, Seq(PartitionFieldSpec("p", Transform.Value)),
+      Layout.HivePartitioned, 0L))
+    tgt.syncMetadata(SyncMetadata("1", Nil, TableFormats.Parquet, target))
+    tgt.syncSchema(schema)
+    tgt.syncPartitionSpec(Seq(PartitionFieldSpec("p", Transform.Value)))
+    tgt.syncFilesForSnapshot(files.toDF().as[FileEntry])
+    tgt.completeSync()
+    val fullSyncSec = (System.nanoTime() - t0) / 1e9
+
+    val back = new DeltaConversionSource(spark, target, "scale")
+    assert(back.currentSnapshot().files.count() == n)
+
+    // incremental commit touching 1000 files
+    val t1 = System.nanoTime()
+    val adds = spark.range(n, n + 1000).map { i =>
+      FileEntry(s"/data/p=${i % 1000}/f$i.parquet", 1000L, 100L, "parquet",
+        Seq(PartitionMember("p", (i % 1000).toString)), Nil, 2000000L)
+    }
+    val tgt2 = new DeltaConversionTarget(spark, target)
+    tgt2.beginSync(back.currentTable())
+    tgt2.syncMetadata(SyncMetadata("2", Nil, TableFormats.Parquet, target))
+    tgt2.syncSchema(schema)
+    tgt2.syncPartitionSpec(Seq(PartitionFieldSpec("p", Transform.Value)))
+    tgt2.syncFilesForDiff(FilesDelta(adds.toDF().as[FileEntry],
+      spark.emptyDataset[FileEntry]))
+    tgt2.completeSync()
+    val incSyncSec = (System.nanoTime() - t1) / 1e9
+
+    assert(new DeltaConversionSource(spark, target, "scale")
+      .currentSnapshot().files.count() == n + 1000)
+    info(f"full sync of $n files: $fullSyncSec%.1fs, " +
+      f"incremental 1000-file commit: $incSyncSec%.1fs")
+    assert(fullSyncSec < 120, s"full sync too slow: $fullSyncSec")
+    assert(incSyncSec < 60, s"incremental too slow: $incSyncSec")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.formats.delta.DeltaPartitions
+import graft.formats.iceberg.IcebergValues
+import graft.model._
+
+class PartitionTransformSpec extends SparkSuite {
+
+  test("partition spec DSL round-trips") {
+    val specs = PartitionSpecDSL.parse("ts:DAY:yyyy-MM-dd,region:VALUE,user_id:BUCKET:16")
+    assert(specs == Seq(
+      PartitionFieldSpec("ts", Transform.Day, format = Some("yyyy-MM-dd")),
+      PartitionFieldSpec("region", Transform.Value),
+      PartitionFieldSpec("user_id", Transform.Bucket, numBuckets = Some(16))))
+    assert(PartitionSpecDSL.parse(PartitionSpecDSL.format(specs)) == specs)
+    intercept[IllegalArgumentException](PartitionSpecDSL.parse("x:NOPE"))
+  }
+
+  test("delta generation expressions round-trip the reference grammar") {
+    val cases = Seq(
+      PartitionFieldSpec("ts", Transform.Year) -> "YEAR(ts)",
+      PartitionFieldSpec("ts", Transform.Month) -> "DATE_FORMAT(ts, 'yyyy-MM')",
+      PartitionFieldSpec("ts", Transform.Day) -> "CAST(ts AS DATE)",
+      PartitionFieldSpec("ts", Transform.Day, format = Some("yyyy-MM-dd")) ->
+        "DATE_FORMAT(ts, 'yyyy-MM-dd')",
+      PartitionFieldSpec("ts", Transform.Hour) ->
+        "DATE_FORMAT(ts, 'yyyy-MM-dd-HH')",
+      PartitionFieldSpec("k", Transform.Bucket, numBuckets = Some(8)) ->
+        "MOD((HASH(k) & 2147483647), 8)")
+    for ((spec, expected) <- cases) {
+      assert(DeltaPartitions.generationExpression(spec).contains(expected))
+      val parsed = DeltaPartitions.parseExpression(expected, "c").get
+      assert(parsed.sourceField == spec.sourceField)
+      assert(parsed.transform == spec.transform)
+      assert(parsed.numBuckets == spec.numBuckets)
+    }
+    // VALUE: no generated column
+    assert(DeltaPartitions.generationExpression(
+      PartitionFieldSpec("x", Transform.Value)).isEmpty)
+  }
+
+  test("generated columns are added to schema and recovered") {
+    val base = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampType)))
+    val specs = Seq(PartitionFieldSpec("ts", Transform.Day))
+    val widened = DeltaPartitions.withGeneratedColumns(base, specs)
+    assert(widened.fieldNames.contains("ts_day"))
+    val recovered = DeltaPartitions.specsFromSchema(widened, Seq("ts_day"))
+    assert(recovered == Seq(PartitionFieldSpec("ts", Transform.Day)))
+  }
+
+  test("iceberg epoch-granularity transform values match the spec") {
+    // reference IcebergPartitionValueConverter stores YEAR/MONTH/DAY/HOUR
+    // as ints since epoch (IcebergPartitionValueConverter.java:58-155)
+    assert(IcebergValues.transformValue("2020-01-05", DateType,
+      Transform.Day, None) == 18266)
+    assert(IcebergValues.transformValue("2020-01-05", DateType,
+      Transform.Year, None) == 50)
+    assert(IcebergValues.transformValue("2020-03-05", DateType,
+      Transform.Month, None) == 602)
+    // timestamp canonical form is epoch micros
+    val micros = java.time.Instant.parse("2020-01-05T07:30:00Z")
+      .getEpochSecond * 1000000L
+    assert(IcebergValues.transformValue(micros.toString, TimestampType,
+      Transform.Hour, None) == micros / 1000000L / 3600L)
+    val b = IcebergValues.transformValue("abc", StringType,
+      Transform.Bucket, Some(16)).asInstanceOf[Int]
+    assert(b >= 0 && b < 16)
+  }
+}
