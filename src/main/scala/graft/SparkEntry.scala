@@ -28,6 +28,9 @@ object SparkEntry {
     "q12_set_ops" -> RelationalQueries.q12SetOps _,
     "q13_brand_revenue" -> RelationalQueries.q13BrandRevenue _,
     "q14_yearly_volume" -> RelationalQueries.q14YearlyVolume _,
+    "q15_argmax_subquery" -> RelationalQueries.q15ArgmaxSubquery _,
+    "q16_percentiles" -> RelationalQueries.q16Percentiles _,
+    "q17_approx_distinct" -> RelationalQueries.q17ApproxDistinct _,
     "events_hourly_counts" -> EventsQueries.hourlyCounts _,
     "events_sessionize" -> EventsQueries.sessionize _,
     "events_top_per_user" -> EventsQueries.topEventPerUser _,
@@ -66,6 +69,8 @@ object SparkEntry {
     "q12_set_ops" -> RelationalQueries.q12Sql,
     "q13_brand_revenue" -> RelationalQueries.q13Sql,
     "q14_yearly_volume" -> RelationalQueries.q14Sql,
+    "q15_argmax_subquery" -> RelationalQueries.q15Sql,
+    "q16_percentiles" -> RelationalQueries.q16Sql,
     "events_hourly_counts" -> EventsQueries.hourlyCountsSql,
     "events_sessionize" -> EventsQueries.sessionizeSql,
     "events_top_per_user" -> EventsQueries.topEventPerUserSql,

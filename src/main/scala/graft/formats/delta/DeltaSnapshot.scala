@@ -30,7 +30,9 @@ case class DeltaMeta(
   */
 object DeltaSnapshot {
 
-  /** One parsed action row (flat, Dataset-encodable). */
+  /** One parsed action row (flat, Dataset-encodable). `hasDeletionVector`
+    * marks adds carrying a deletionVector descriptor (row-level deletes).
+    */
   case class ActionRow(
       version: Long,
       kind: String,                  // add | remove
@@ -38,7 +40,8 @@ object DeltaSnapshot {
       size: Long,
       modificationTime: Long,
       partitionValues: Map[String, String],
-      stats: String)
+      stats: String,
+      hasDeletionVector: Boolean = false)
 
   private[delta] def parseActions(tablePath: String)(
       lines: Iterator[(String, Long)]): Iterator[ActionRow] = {
@@ -58,10 +61,12 @@ object DeltaSnapshot {
           Option(add.get("size")).map(_.asLong).getOrElse(0L),
           Option(add.get("modificationTime")).map(_.asLong).getOrElse(0L),
           pv(add),
-          Option(add.get("stats")).map(_.asText).getOrElse("")))
+          Option(add.get("stats")).map(_.asText).getOrElse(""),
+          add.hasNonNull("deletionVector")))
         else if (remove != null) Some(ActionRow(version, "remove",
           PathUtils.resolve(tablePath, remove.get("path").asText),
-          0L, 0L, Map.empty, ""))
+          0L, 0L, Map.empty, "",
+          remove.hasNonNull("deletionVector")))
         else None
       }
     }
@@ -89,8 +94,10 @@ object DeltaSnapshot {
   def readCheckpoint(spark: SparkSession, tablePath: String, cpVersion: Long)
       : Dataset[ActionRow] = {
     import spark.implicits._
-    spark.read.parquet(DeltaLog.checkpointFile(tablePath, cpVersion))
-      .as[ActionRow]
+    val df = spark.read.parquet(DeltaLog.checkpointFile(tablePath, cpVersion))
+    val withDv = if (df.columns.contains("hasDeletionVector")) df
+      else df.withColumn("hasDeletionVector", lit(false))
+    withDv.as[ActionRow]
   }
 
   def writeCheckpoint(spark: SparkSession, tablePath: String, version: Long,
@@ -185,11 +192,21 @@ object DeltaSnapshot {
     }
   }
 
-  /** Adds/removes introduced by exactly one commit version. */
+  /** Adds/removes introduced by exactly one commit version.
+    *
+    * Deletion-vector reconciliation (reference
+    * DeltaConversionSource.java:147-162): a path both added (with a DV) and
+    * removed in the same commit is a row-level-delete rewrite of the same
+    * physical file — no file-level change; dropped from both sides.
+    */
   def changes(spark: SparkSession, tablePath: String, version: Long,
       schema: StructType): (Dataset[FileEntry], Dataset[FileEntry]) = {
     import spark.implicits._
-    val acts = actions(spark, tablePath, Seq(version))
+    val raw = actions(spark, tablePath, Seq(version))
+    val dvRewrites = raw.filter(a => a.kind == "add" && a.hasDeletionVector)
+      .select("path")
+      .intersect(raw.filter(_.kind == "remove").select("path"))
+    val acts = raw.join(dvRewrites, Seq("path"), "left_anti").as[ActionRow]
     val schemaJson = schema.json
     val toEntries = (it: Iterator[ActionRow]) => {
       val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]

@@ -269,6 +269,53 @@ object RelationalQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Correlated scalar subquery (argmax per customer) — exercises
+    * Catalyst's subquery decorrelation; raw double equality is exact
+    * because both engines compare the same stored values.
+    */
+  def q15ArgmaxSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders_v o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+        |                      FROM orders_v o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  val q15Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+      |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+      |                      FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Exact percentiles with linear interpolation (Spark `percentile` ≡
+    * DuckDB `quantile_cont`).
+    */
+  def q16Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      expr("percentile(l_quantity, 0.25)").as("p25"),
+      expr("percentile(l_quantity, 0.5)").as("p50"),
+      expr("percentile(l_quantity, 0.75)").as("p75"),
+      expr("percentile(l_extendedprice, 0.5)").as("price_median"))
+
+  val q16Sql: String =
+    """SELECT quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_extendedprice, 0.5) AS price_median
+      |FROM lineitem""".stripMargin
+
+  /** Approximate distinct counting (HLL++) — engine-specific estimates, so
+    * rows-only (no oracle); sanity bounds asserted in the spec instead.
+    */
+  def q17ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts_1pct"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+
   /** Time-dimension aggregate: yearly order volume (timestamp EXTRACT). */
   def q14YearlyVolume(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

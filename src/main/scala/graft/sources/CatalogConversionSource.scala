@@ -1,0 +1,45 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths => JPaths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+
+import graft.model.TableFormats
+import graft.spi.ConversionSource
+
+/** Resolve a conversion source from a catalog entry — reference
+  * CatalogConversionSource SPI (GlueCatalogConversionSource /
+  * HMSCatalogConversionSource): the catalog supplies the table's location;
+  * the format is detected from the table layout on storage.
+  */
+object CatalogConversionSource {
+
+  /** Detect a table's format from its directory layout. */
+  def detectFormat(path: String): String = {
+    def has(child: String) = Files.exists(JPaths.get(path, child))
+    if (has("_delta_log")) TableFormats.Delta
+    else if (has("metadata/version-hint.text")) TableFormats.Iceberg
+    else if (has(".hoodie/hoodie.properties")) TableFormats.Hudi
+    else TableFormats.Parquet
+  }
+
+  /** Build a source for a table registered in the Spark session catalog. */
+  def fromCatalog(spark: SparkSession, dbTable: String): ConversionSource = {
+    val parts = dbTable.split('.')
+    val ident = parts match {
+      case Array(db, t) => TableIdentifier(t, Some(db))
+      case Array(t) => TableIdentifier(t)
+      case _ => throw new IllegalArgumentException(s"bad table name $dbTable")
+    }
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val location = graft.util.PathUtils.canonical(
+      meta.location.getPath)
+    fromPath(spark, location, ident.table)
+  }
+
+  /** Build a source for a bare path, detecting the format. */
+  def fromPath(spark: SparkSession, path: String, name: String)
+      : ConversionSource =
+    graft.RunSync.buildSource(spark, detectFormat(path), path, name)
+}
