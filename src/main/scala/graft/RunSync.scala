@@ -36,6 +36,8 @@ object RunSync {
       new graft.formats.iceberg.IcebergConversionSource(spark, path, name)
     case TableFormats.Hudi =>
       new graft.formats.hudi.HudiConversionSource(spark, path, name)
+    case TableFormats.Paimon =>
+      new graft.formats.paimon.PaimonConversionSource(spark, path, name)
     case other => throw new IllegalArgumentException(s"source format $other")
   }
 
@@ -44,6 +46,8 @@ object RunSync {
     case TableFormats.Delta => new DeltaConversionTarget(spark, path)
     case TableFormats.Iceberg => new IcebergConversionTarget(spark, path)
     case TableFormats.Hudi => new HudiConversionTarget(spark, path)
+    case TableFormats.Paimon =>
+      new graft.formats.paimon.PaimonConversionTarget(spark, path)
     case other => throw new IllegalArgumentException(s"target format $other")
   }
 

@@ -40,6 +40,7 @@ object SparkEntry {
     "sync_incremental_delta" -> SyncQueries.syncIncrementalDelta _,
     "sync_parquet_to_iceberg" -> SyncQueries.syncParquetToIceberg _,
     "sync_parquet_to_hudi" -> SyncQueries.syncParquetToHudi _,
+    "sync_parquet_to_paimon" -> SyncQueries.syncParquetToPaimon _,
     "sync_chain_delta_iceberg" -> SyncQueries.syncChainDeltaIceberg _,
     "sync_partitioned_events" -> SyncQueries.syncPartitionedEvents _,
     "sync_time_partitioned" -> SyncQueries.syncTimePartitioned _,
@@ -80,6 +81,7 @@ object SparkEntry {
     "sync_incremental_delta" -> SyncQueries.syncIncrementalDeltaSql,
     "sync_parquet_to_iceberg" -> SyncQueries.syncParquetToIcebergSql,
     "sync_parquet_to_hudi" -> SyncQueries.syncParquetToHudiSql,
+    "sync_parquet_to_paimon" -> SyncQueries.syncParquetToPaimonSql,
     "sync_chain_delta_iceberg" -> SyncQueries.syncChainDeltaIcebergSql,
     "sync_partitioned_events" -> SyncQueries.syncPartitionedEventsSql,
     "sync_time_partitioned" -> SyncQueries.syncTimePartitionedSql,

@@ -1,0 +1,239 @@
+package graft.formats.paimon
+
+import java.io.File
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths => JPaths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.types._
+
+import graft.util.Jsons
+
+/** Paimon-layout table metadata (public layout: `snapshot/LATEST` +
+  * `snapshot/snapshot-<id>` JSON, `schema/schema-<id>` JSON with Flink-SQL
+  * type strings, Avro manifest lists + manifests under `manifest/` —
+  * reference PaimonConversionSource.java:52-231 reads the same tree through
+  * Paimon's FileStoreTable).
+  *
+  * Documented simplifications (this engine is the only reader here — no
+  * Paimon runtime exists in this environment): manifest entries use a
+  * string-keyed Avro map for partition values and field-name-keyed stat
+  * maps; sync bookkeeping rides in the snapshot JSON under `graftMetadata`.
+  */
+object PaimonFormat {
+
+  // ---- type strings (Flink SQL) ⇄ Spark ----
+
+  def toPaimonType(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "INT"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case BooleanType => "BOOLEAN"
+    case StringType => "STRING"
+    case BinaryType => "BYTES"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP(6) WITH LOCAL TIME ZONE"
+    case TimestampNTZType => "TIMESTAMP(6)"
+    case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+    case a: ArrayType => s"ARRAY<${toPaimonType(a.elementType)}>"
+    case m: MapType => s"MAP<${toPaimonType(m.keyType)}, ${toPaimonType(m.valueType)}>"
+    case s: StructType => s.fields
+      .map(f => s"${f.name} ${toPaimonType(f.dataType)}")
+      .mkString("ROW<", ", ", ">")
+    case other => throw new IllegalArgumentException(s"type $other")
+  }
+
+  def fromPaimonType(s: String): DataType = {
+    val t = s.trim
+    val up = t.toUpperCase
+    if (up == "INT") IntegerType
+    else if (up == "BIGINT") LongType
+    else if (up == "FLOAT") FloatType
+    else if (up == "DOUBLE") DoubleType
+    else if (up == "BOOLEAN") BooleanType
+    else if (up == "STRING") StringType
+    else if (up == "BYTES") BinaryType
+    else if (up == "DATE") DateType
+    else if (up.startsWith("TIMESTAMP") && up.contains("LOCAL")) TimestampType
+    else if (up.startsWith("TIMESTAMP")) TimestampNTZType
+    else if (up.startsWith("DECIMAL")) {
+      val m = "DECIMAL\\((\\d+),\\s*(\\d+)\\)".r.findFirstMatchIn(up).get
+      DecimalType(m.group(1).toInt, m.group(2).toInt)
+    }
+    else if (up.startsWith("ARRAY<"))
+      ArrayType(fromPaimonType(t.substring(6, t.length - 1)))
+    else if (up.startsWith("MAP<")) {
+      val inner = t.substring(4, t.length - 1)
+      val depth = new java.util.concurrent.atomic.AtomicInteger(0)
+      val comma = inner.indexWhere {
+        case '<' => depth.incrementAndGet(); false
+        case '>' => depth.decrementAndGet(); false
+        case ',' => depth.get() == 0
+        case _ => false
+      }
+      MapType(fromPaimonType(inner.substring(0, comma)),
+        fromPaimonType(inner.substring(comma + 1)))
+    }
+    else throw new IllegalArgumentException(s"paimon type $t")
+  }
+
+  // ---- schema files ----
+
+  case class PaimonSchema(id: Long, schema: StructType,
+      partitionKeys: Seq[String], options: Map[String, String])
+
+  def schemaDir(tablePath: String): String = s"$tablePath/schema"
+  def snapshotDir(tablePath: String): String = s"$tablePath/snapshot"
+  def manifestDir(tablePath: String): String = s"$tablePath/manifest"
+
+  def writeSchema(tablePath: String, s: PaimonSchema): Unit = {
+    val dir = JPaths.get(schemaDir(tablePath))
+    Files.createDirectories(dir)
+    val json = Jsons.toJson(Map(
+      "id" -> s.id,
+      "fields" -> s.schema.fields.zipWithIndex.map { case (f, i) => Map(
+        "id" -> i, "name" -> f.name, "type" -> (toPaimonType(f.dataType) +
+          (if (f.nullable) "" else " NOT NULL")))
+      },
+      "highestFieldId" -> (s.schema.fields.length - 1),
+      "partitionKeys" -> s.partitionKeys,
+      "primaryKeys" -> Nil,
+      "options" -> s.options))
+    Files.write(dir.resolve(s"schema-${s.id}"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readSchema(tablePath: String, id: Long): PaimonSchema = {
+    val n = Jsons.mapper.readTree(Files.readAllBytes(
+      JPaths.get(schemaDir(tablePath), s"schema-$id")))
+    val fields = n.get("fields").elements().asScala.map { f =>
+      val raw = f.get("type").asText
+      val nullable = !raw.endsWith(" NOT NULL")
+      StructField(f.get("name").asText,
+        fromPaimonType(raw.stripSuffix(" NOT NULL")), nullable)
+    }.toSeq
+    PaimonSchema(id, StructType(fields),
+      Option(n.get("partitionKeys")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText)),
+      Option(n.get("options")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty))
+  }
+
+  // ---- snapshot files ----
+
+  case class PaimonSnapshot(id: Long, schemaId: Long, commitKind: String,
+      timeMillis: Long, deltaManifestList: String,
+      baseManifestList: String, graftMetadata: Option[String])
+
+  def latestSnapshotId(tablePath: String): Option[Long] = {
+    val latest = JPaths.get(snapshotDir(tablePath), "LATEST")
+    if (!Files.exists(latest)) None
+    else Some(new String(Files.readAllBytes(latest),
+      StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  def writeSnapshot(tablePath: String, s: PaimonSnapshot): Boolean = {
+    val dir = JPaths.get(snapshotDir(tablePath))
+    Files.createDirectories(dir)
+    val target = dir.resolve(s"snapshot-${s.id}")
+    if (Files.exists(target)) return false
+    val json = Jsons.toJson(Map(
+      "version" -> 3, "id" -> s.id, "schemaId" -> s.schemaId,
+      "commitKind" -> s.commitKind, "timeMillis" -> s.timeMillis,
+      "deltaManifestList" -> s.deltaManifestList,
+      "baseManifestList" -> s.baseManifestList,
+      "graftMetadata" -> s.graftMetadata.orNull))
+    val tmp = Files.createTempFile(dir, s".snap${s.id}", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      Files.write(dir.resolve("LATEST"),
+        s.id.toString.getBytes(StandardCharsets.UTF_8))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  def readSnapshot(tablePath: String, id: Long): PaimonSnapshot = {
+    val n = Jsons.mapper.readTree(Files.readAllBytes(
+      JPaths.get(snapshotDir(tablePath), s"snapshot-$id")))
+    PaimonSnapshot(n.get("id").asLong, n.get("schemaId").asLong,
+      n.get("commitKind").asText, n.get("timeMillis").asLong,
+      n.get("deltaManifestList").asText, n.get("baseManifestList").asText,
+      Option(n.get("graftMetadata")).filterNot(_.isNull).map(_.asText))
+  }
+
+  def listSnapshotIds(tablePath: String): Seq[Long] = {
+    val dir = JPaths.get(snapshotDir(tablePath))
+    if (!Files.exists(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("snapshot-"))
+      .map(_.stripPrefix("snapshot-").toLong).toSeq.sorted
+  }
+
+  // ---- manifests (avro) ----
+
+  val EntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"paimon_manifest_entry","fields":[
+      |{"name":"kind","type":"int"},
+      |{"name":"partition","type":{"type":"map","values":"string"}},
+      |{"name":"bucket","type":"int"},
+      |{"name":"fileName","type":"string"},
+      |{"name":"fileSize","type":"long"},
+      |{"name":"rowCount","type":"long"},
+      |{"name":"minValues","type":{"type":"map","values":"string"}},
+      |{"name":"maxValues","type":{"type":"map","values":"string"}},
+      |{"name":"nullCounts","type":{"type":"map","values":"long"}},
+      |{"name":"lastModifiedMs","type":"long"}]}""".stripMargin)
+
+  val ListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"paimon_manifest_file","fields":[
+      |{"name":"fileName","type":"string"},
+      |{"name":"fileSize","type":"long"}]}""".stripMargin)
+
+  object Kind { val Add = 0; val Delete = 1 }
+
+  def writeManifest(path: String, entries: Iterator[GenericRecord]): Long = {
+    val f = new File(path); f.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](EntrySchema))
+    w.create(EntrySchema, f)
+    try entries.foreach(w.append) finally w.close()
+    f.length()
+  }
+
+  def readManifest(path: String): Seq[GenericRecord] = {
+    val r = new DataFileReader(new File(path),
+      new GenericDatumReader[GenericRecord](EntrySchema))
+    try { val b = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) b += r.next(); b.result() } finally r.close()
+  }
+
+  def writeManifestList(path: String, files: Seq[(String, Long)]): Unit = {
+    val f = new File(path); f.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ListSchema))
+    w.create(ListSchema, f)
+    try files.foreach { case (name, size) =>
+      val r = new GenericData.Record(ListSchema)
+      r.put("fileName", name); r.put("fileSize", size)
+      w.append(r)
+    } finally w.close()
+  }
+
+  def readManifestList(path: String): Seq[String] = {
+    if (!Files.exists(JPaths.get(path))) return Nil
+    val r = new DataFileReader(new File(path),
+      new GenericDatumReader[GenericRecord](ListSchema))
+    try { val b = Seq.newBuilder[String]
+      while (r.hasNext) b += r.next().get("fileName").toString
+      b.result() } finally r.close()
+  }
+}

@@ -124,5 +124,5 @@ object Layout {
 
 object TableFormats {
   val Parquet = "PARQUET"; val Delta = "DELTA"; val Iceberg = "ICEBERG"
-  val Hudi = "HUDI"
+  val Hudi = "HUDI"; val Paimon = "PAIMON"
 }

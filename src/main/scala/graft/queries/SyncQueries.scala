@@ -146,6 +146,29 @@ object SyncQueries {
       |  sum(CAST(p_retailprice AS DECIMAL(25,6))) AS sum_price
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Parquet dir → Paimon snapshot tree (a target the reference lacks —
+    * it reads Paimon but cannot write it).
+    */
+  def syncParquetToPaimon(s: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft_paimon_cust").toString
+    val src = new ParquetDirectorySource(s, s"$dir/customer.parquet", "customer")
+    val tgt = new graft.formats.paimon.PaimonConversionTarget(s, target)
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(tgt), src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    new graft.formats.paimon.PaimonConversionSource(s, target, "customer")
+      .toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("c_acctbal").cast("decimal(25,6)")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val syncParquetToPaimonSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt,
+      |  sum(CAST(c_acctbal AS DECIMAL(25,6))) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Hive-partitioned sync: write events partitioned by event_type, sync
     * the directory into Delta, read back with a partition filter —
     * partition values must survive the metadata plane and prune correctly.

@@ -21,6 +21,7 @@ object CatalogConversionSource {
     if (has("_delta_log")) TableFormats.Delta
     else if (has("metadata/version-hint.text")) TableFormats.Iceberg
     else if (has(".hoodie/hoodie.properties")) TableFormats.Hudi
+    else if (has("snapshot/LATEST")) TableFormats.Paimon
     else TableFormats.Parquet
   }
 
