@@ -31,6 +31,7 @@ object SparkEntry {
     "q15_argmax_subquery" -> RelationalQueries.q15ArgmaxSubquery _,
     "q16_percentiles" -> RelationalQueries.q16Percentiles _,
     "q17_approx_distinct" -> RelationalQueries.q17ApproxDistinct _,
+    "q18_salted_join" -> RelationalQueries.q18SaltedJoin _,
     "events_hourly_counts" -> EventsQueries.hourlyCounts _,
     "events_sessionize" -> EventsQueries.sessionize _,
     "events_top_per_user" -> EventsQueries.topEventPerUser _,
@@ -72,6 +73,7 @@ object SparkEntry {
     "q14_yearly_volume" -> RelationalQueries.q14Sql,
     "q15_argmax_subquery" -> RelationalQueries.q15Sql,
     "q16_percentiles" -> RelationalQueries.q16Sql,
+    "q18_salted_join" -> RelationalQueries.q18Sql,
     "events_hourly_counts" -> EventsQueries.hourlyCountsSql,
     "events_sessionize" -> EventsQueries.sessionizeSql,
     "events_top_per_user" -> EventsQueries.topEventPerUserSql,

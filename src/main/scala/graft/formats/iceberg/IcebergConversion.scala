@@ -92,15 +92,23 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     IcebergMetadata.currentVersion(tablePath)
       .map(IcebergMetadata.read(tablePath, _))
 
+  /** Ids merge against the current table schema so evolution keeps
+    * existing ids stable (IcebergSchemaSync semantics).
+    */
+  private def withStableIds(s: StructType): StructType =
+    currentMeta.map(_.schema) match {
+      case Some(cur) => IcebergSchemas.evolveFieldIds(cur, s)
+      case None => IcebergSchemas.assignFieldIds(s)
+    }
+
   override def beginSync(t: TableDescriptor): Unit = {
     table = t
-    schema = IcebergSchemas.assignFieldIds(t.schema)
+    schema = withStableIds(t.schema)
     pendingAdds = None; pendingRemoves = None
   }
 
   override def syncMetadata(m: SyncMetadata): Unit = syncMeta = Some(m)
-  override def syncSchema(s: StructType): Unit =
-    schema = IcebergSchemas.assignFieldIds(s)
+  override def syncSchema(s: StructType): Unit = schema = withStableIds(s)
   override def syncPartitionSpec(spec: Seq[PartitionFieldSpec]): Unit =
     partitionSpec = spec
 

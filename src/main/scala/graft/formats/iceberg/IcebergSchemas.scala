@@ -15,6 +15,42 @@ import graft.util.Jsons
 object IcebergSchemas {
   val FieldIdKey = "graft.fieldId"
 
+  /** Evolve `incoming` against `current`: fields that exist in the current
+    * schema (by dotted name) keep their ids; only genuinely new fields get
+    * fresh ids past the current maximum — the reference's fieldId-keyed
+    * ordered evolution (IcebergSchemaSync.java:50-197). Without this, an
+    * id-less source adding a middle column would shift every later id and
+    * corrupt stats/pruning on historical files.
+    */
+  def evolveFieldIds(current: StructType, incoming: StructType): StructType = {
+    val currentIds = leafAndStructIds(current)
+    var nextId = (0 +: currentIds.values.toSeq).max + 1
+    def assign(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val id = currentIds.getOrElse(path, { val i = nextId; nextId += 1; i })
+        val withId = f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
+        withId.dataType match {
+          case s: StructType => withId.copy(dataType = assign(s, path))
+          case _ => withId
+        }
+      })
+    assign(incoming, "")
+  }
+
+  private def leafAndStructIds(st: StructType, prefix: String = "")
+      : Map[String, Int] =
+    st.fields.toSeq.flatMap { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      val own = if (f.metadata.contains(FieldIdKey))
+        Seq(path -> f.metadata.getLong(FieldIdKey).toInt) else Nil
+      own ++ (f.dataType match {
+        case s: StructType => leafAndStructIds(s, path)
+        case _ => Nil
+      })
+    }.toMap
+
   /** Assign sequential field ids (BFS order, like Iceberg's fresh-schema
     * assignment) to any fields that lack one.
     */

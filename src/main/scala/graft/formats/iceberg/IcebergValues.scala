@@ -5,6 +5,44 @@ import java.time.{Instant, LocalDate, ZoneOffset}
 
 import org.apache.spark.sql.types._
 
+/** murmur3_x86_32 (public algorithm; Iceberg's bucket hash). */
+object Murmur3 {
+  def hashBytes(data: Array[Byte], seed: Int): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h = seed
+    val nBlocks = data.length / 4
+    var i = 0
+    while (i < nBlocks) {
+      var k = (data(4 * i) & 0xff) | ((data(4 * i + 1) & 0xff) << 8) |
+        ((data(4 * i + 2) & 0xff) << 16) | ((data(4 * i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 1
+    }
+    var k = 0
+    val tail = nBlocks * 4
+    (data.length & 3) match {
+      case 3 =>
+        k ^= (data(tail + 2) & 0xff) << 16
+        k ^= (data(tail + 1) & 0xff) << 8
+        k ^= data(tail) & 0xff
+      case 2 =>
+        k ^= (data(tail + 1) & 0xff) << 8
+        k ^= data(tail) & 0xff
+      case 1 =>
+        k ^= data(tail) & 0xff
+      case _ =>
+    }
+    if ((data.length & 3) != 0) {
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
+    h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+}
+
 /** Iceberg single-value binary serialization (spec Appendix D) between
   * the engine's canonical stat strings and Iceberg bound bytes — the
   * reference's Conversions.toByteBuffer usage
@@ -92,11 +130,27 @@ object IcebergValues {
       case graft.model.Transform.Hour =>
         Math.floorDiv(instant.getEpochSecond, 3600L).toInt
       case graft.model.Transform.Bucket =>
-        // Iceberg bucket = (murmur3_x86_32(value) & Int.MaxValue) % n;
-        // xxhash-based substitute kept deterministic and engine-internal
+        // Iceberg spec Appendix B: bucket = (murmur3_x86_32(serialized
+        // value, seed 0) & Int.MaxValue) % n, ints hashed as 8-byte LE
+        // longs, strings as UTF-8 bytes
         val n = numBuckets.getOrElse(16)
-        (scala.util.hashing.MurmurHash3.stringHash(canonSource, 0)
-          & Int.MaxValue) % n
+        val bytes = sourceType match {
+          case StringType => canonSource.getBytes("UTF-8")
+          case IntegerType | LongType | ShortType | ByteType =>
+            java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .putLong(canonSource.toLong).array()
+          case DateType =>
+            java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .putLong(LocalDate.parse(canonSource).toEpochDay).array()
+          case TimestampType | TimestampNTZType =>
+            java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .putLong(canonSource.toLong).array()
+          case _ => canonSource.getBytes("UTF-8")
+        }
+        (Murmur3.hashBytes(bytes, 0) & Int.MaxValue) % n
       case other => throw new IllegalArgumentException(s"transform $other")
     }
   }

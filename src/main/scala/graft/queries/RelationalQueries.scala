@@ -316,6 +316,25 @@ object RelationalQueries {
       approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts_1pct"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Skew-salted join: l_suppkey is heavily skewed toward 10 suppliers;
+    * the salted plan spreads each hot key over 8 tasks. Results must equal
+    * the plain join — the oracle is the unsalted SQL.
+    */
+  def q18SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+      Tables.lineitem(s, dir), Tables.supplier(s, dir)
+        .withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", salt = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(25,6)")).as("revenue"))
+      .orderBy("s_name")
+
+  val q18Sql: String =
+    """SELECT s_name, count(*) AS n_lines,
+      |  sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
   /** Time-dimension aggregate: yearly order volume (timestamp EXTRACT). */
   def q14YearlyVolume(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -69,4 +69,31 @@ class PartitionTransformSpec extends SparkSuite {
       Transform.Bucket, Some(16)).asInstanceOf[Int]
     assert(b >= 0 && b < 16)
   }
+
+  test("bucket hash matches the Iceberg spec's published test vectors") {
+    // spec Appendix B hash column: ints/longs hashed as 8-byte LE
+    import java.nio.{ByteBuffer, ByteOrder}
+    def leLong(v: Long) = ByteBuffer.allocate(8)
+      .order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    assert(graft.formats.iceberg.Murmur3.hashBytes(leLong(34L), 0) == 2017239379)
+    assert(graft.formats.iceberg.Murmur3.hashBytes(
+      "iceberg".getBytes("UTF-8"), 0) == 1210000089)
+    // date 2017-11-16 = epoch day 17486
+    assert(graft.formats.iceberg.Murmur3.hashBytes(leLong(17486L), 0) == -653330422)
+  }
+
+  test("iceberg field ids stay stable when a column is added mid-schema") {
+    import graft.formats.iceberg.IcebergSchemas
+    val v1 = IcebergSchemas.assignFieldIds(StructType(Seq(
+      StructField("a", LongType), StructField("c", StringType))))
+    val v2 = StructType(Seq(
+      StructField("a", LongType), StructField("b", DoubleType),
+      StructField("c", StringType)))
+    val evolved = IcebergSchemas.evolveFieldIds(v1, v2)
+    def id(s: StructType, n: String) =
+      s(n).metadata.getLong(IcebergSchemas.FieldIdKey)
+    assert(id(evolved, "a") == id(v1, "a"))
+    assert(id(evolved, "c") == id(v1, "c"))      // would shift without merge
+    assert(id(evolved, "b") == 3)                // fresh id past max
+  }
 }
