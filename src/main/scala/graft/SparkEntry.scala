@@ -37,6 +37,7 @@ object SparkEntry {
     "events_top_per_user" -> EventsQueries.topEventPerUser _,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitem _,
     "meta_listing_counts" -> MetadataQueries.listingRecordCounts _,
+    "meta_file_groups" -> MetadataQueries.fileGroups _,
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDelta _,
     "sync_incremental_delta" -> SyncQueries.syncIncrementalDelta _,
     "sync_parquet_to_iceberg" -> SyncQueries.syncParquetToIceberg _,
@@ -79,6 +80,7 @@ object SparkEntry {
     "events_top_per_user" -> EventsQueries.topEventPerUserSql,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitemSql,
     "meta_listing_counts" -> MetadataQueries.listingRecordCountsSql,
+    "meta_file_groups" -> MetadataQueries.fileGroupsSql,
     "sync_parquet_to_delta" -> SyncQueries.syncParquetToDeltaSql,
     "sync_incremental_delta" -> SyncQueries.syncIncrementalDeltaSql,
     "sync_parquet_to_iceberg" -> SyncQueries.syncParquetToIcebergSql,

@@ -50,6 +50,12 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
       : StructType =
     commits.reverse.flatMap(_.extraMetadata.get("schema")).headOption
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .orElse(
+        // fall back to the Avro schema (the form a real Hudi writer leaves)
+        commits.reverse.flatMap(_.extraMetadata.get("avroSchema")).headOption
+          .map(a => graft.model.AvroSchemas.toSpark(
+            new org.apache.avro.Schema.Parser().parse(a))
+            .asInstanceOf[StructType]))
       .getOrElse(spark.read.parquet(tablePath).schema)
 
   private def specFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
@@ -232,6 +238,10 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
 
     val action = if (replaced.nonEmpty) "replacecommit" else "commit"
     val extra = Map("schema" -> schema.json,
+      // Hudi's native schema language is Avro (reference stores commit
+      // schemas as Avro; HudiSchemaExtractor.java:38-63)
+      "avroSchema" -> graft.model.AvroSchemas
+        .fromSpark(schema, "hudi_record").toString,
       "graft.partitionSpec" -> Jsons.toJson(partitionSpec.map(p => Map(
         "sourceField" -> p.sourceField, "transform" -> p.transform,
         "format" -> p.format.orNull,

@@ -75,6 +75,29 @@ object MetadataQueries {
     rows.toDF("table_name", "record_count").orderBy("table_name")
   }
 
+  /** Partition file-grouping over a hive-partitioned listing: per-group
+    * record rollups must match the data (file counts are layout-specific
+    * and excluded from the oracle).
+    */
+  def fileGroups(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataDir = java.nio.file.Files
+      .createTempDirectory("graft_groups_data").toString
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dataDir)
+    val files = new ParquetDirectorySource(s, dataDir, "events")
+      .currentSnapshot().files
+    graft.operators.FileGroups.byPartition(files)
+      .select("partition_key", "n_records")
+      .orderBy("partition_key")
+  }
+
+  val fileGroupsSql: String =
+    """SELECT 'event_type=' || event_type AS partition_key,
+      |  count(*) AS n_records
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val listingRecordCountsSql: String =
     Seq("lineitem", "orders", "customer", "part", "supplier",
       "nation", "region", "events", "documents", "embeddings")
