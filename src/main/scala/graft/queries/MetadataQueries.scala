@@ -65,13 +65,18 @@ object MetadataQueries {
     */
   def listingRecordCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
     val names = Seq("lineitem", "orders", "customer", "part", "supplier",
       "nation", "region", "events", "documents", "embeddings")
-    val rows = names.map { n =>
+    // per-table listing jobs submitted concurrently (Spark schedules
+    // concurrent jobs fine; serial submission left cores idle)
+    val rows = Await.result(Future.traverse(names) { n => Future {
       val src = new ParquetDirectorySource(s, s"$dir/$n.parquet", n)
       val files = src.currentSnapshot().files.collect()
       (n, files.map(_.recordCount).sum)
-    }
+    }}, 10.minutes)
     rows.toDF("table_name", "record_count").orderBy("table_name")
   }
 
