@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_simhash" -> PipelineQueries.dedupSimhash _,
     "ann_bruteforce" -> PipelineQueries.annBruteforce _,
     "ann_lsh_pairs" -> PipelineQueries.annLshPairs _,
+    "ann_ivf_pairs" -> PipelineQueries.annIvfPairs _,
     "text_quality" -> PipelineQueries.textQuality _,
     "text_langid" -> PipelineQueries.textLangid _,
     "text_fingerprint" -> PipelineQueries.textFingerprint _,

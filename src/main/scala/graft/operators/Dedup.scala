@@ -49,24 +49,14 @@ object Dedup {
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16)
       : DataFrame = {
     require(numHashes % bands == 0)
-    val rows = numHashes / bands
     val grams = shingleSets(docs, idCol, textCol).cache()
 
-    // signature: min over shingles of xxhash64(perm_seed, shingle)
-    val exploded = grams.select(col("doc"), explode(col("shingles")).as("sh"))
-    val sigAggs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
-    val sigs = exploded.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
-
-    // band keys: hash of the band's minhash row values
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((lit(b) +: (0 until rows)
-          .map(r => col(s"mh${b * rows + r}"))): _*).as("bkey"))
-    }
-    val banded = sigs.select(col("doc"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band"), col("bk.bkey"))
+    // whole signature + band keys in one native-expression pass per doc
+    // (no shingle explode, no 64-aggregate shuffle)
+    val banded = grams.select(col("doc"),
+        graft.functions.SketchFunctions
+          .minhash_band_keys(col("shingles"), numHashes, bands).as("keys"))
+      .select(col("doc"), posexplode(col("keys")).as(Seq("band", "bkey")))
 
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -94,18 +84,9 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val grams = shingleSets(docs, idCol, textCol)
-    val exploded = grams
-      .select(col("doc"), explode(col("shingles")).as("shstr"))
-      .select(col("doc"), xxhash64(col("shstr")).as("sh"))
-    val bitAggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("sh"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"bit$b")
-    }
-    val sums = exploded.groupBy("doc").agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 64).map(b =>
-        when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val sigs = sums.select(col("doc"), sig.as("simhash"))
+    // signature computed in one native-expression pass per doc
+    val sigs = grams.select(col("doc"),
+      graft.functions.SketchFunctions.simhash64(col("shingles")).as("simhash"))
 
     val chunks = sigs.select(col("doc"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),

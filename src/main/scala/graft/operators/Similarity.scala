@@ -60,6 +60,57 @@ object Similarity {
       (h.toDouble / Long.MaxValue)        // in [-1, 1]
     }
 
+  /** IVF near-neighbor pairs — the clustered-corpus scale path: seed
+    * centroids at evenly spaced ids, one deterministic Lloyd refinement,
+    * then each vector joins its `nprobe` nearest inverted lists; pairs
+    * sharing any list are verified with exact cosine. Centroid fitting is
+    * two Spark passes; assignment is a native expression.
+    */
+  def ivfNearPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.45, nlist: Int = 16, nprobe: Int = 2)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v")).cache()
+    val n = vecs.count()
+    val step = math.max(1L, n / nlist)
+
+    def collectCentroids(assigned: DataFrame): Array[Array[Double]] =
+      assigned.select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cluster", "d").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          val m = new Array[Double](dim)
+          rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+          m
+        }.toArray
+
+    // seeds: evenly spaced by id order (deterministic)
+    val seeds = vecs.orderBy("doc").limit((nlist * step).toInt)
+      .filter(pmod(col("doc"), lit(step)) === 0)
+      .limit(nlist).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // one Lloyd iteration: assign to nearest seed, recompute means
+    val assigned1 = vecs.withColumn("cluster",
+      element_at(graft.functions.NearestCentroids(col("v"), seeds, 1), 1))
+    val centroids = collectCentroids(assigned1)
+
+    val banded = vecs.select(col("doc"),
+        explode(graft.functions.NearestCentroids(col("v"), centroids, nprobe))
+          .as("cluster"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("doc").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("doc").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH-bucketed approximate near-neighbor pairs: `bands` bands of
     * `rowsPerBand` hyperplane sign bits each; pairs sharing any band bucket
     * are verified with exact cosine ≥ threshold. Band keys come from the

@@ -67,6 +67,11 @@ object PipelineQueries {
     Similarity.lshNearPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       dim = 64, threshold = 0.45)
 
+  /** IVF near-neighbor pairs — the clustered scale path; rows-only. */
+  def annIvfPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNearPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      dim = 64, threshold = 0.45)
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
 
