@@ -189,8 +189,28 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       else new java.io.File(np).delete()
     }
 
+    // manifest compaction: when the list grows past the threshold, merge
+    // everything into one EXISTING-status manifest (keeps per-commit cost
+    // O(delta) while bounding planning cost — Delta gets the same property
+    // from checkpoints)
+    val keptList = {
+      val ks = kept.result()
+      if (ks.size <= IcebergConversionTarget.CompactionThreshold) ks
+      else {
+        val np = s"$mdir/m-${UUID.randomUUID()}-compacted.avro"
+        var n = 0
+        val entries = ks.iterator.flatMap { case (p, _, _, _, _, _) =>
+          IcebergManifests.readManifest(p).filter(e =>
+            e.get("status").asInstanceOf[Int] != IcebergManifests.Status.Deleted)
+        }.map { e =>
+          e.put("status", IcebergManifests.Status.Existing); n += 1; e
+        }
+        val len = IcebergManifests.writeManifest(np, entries)
+        Seq((np, len, snapshotId, 0, n, 0))
+      }
+    }
     val listPath = s"$mdir/snap-$snapshotId-manifest-list.avro"
-    IcebergManifests.writeManifestList(listPath, kept.result())
+    IcebergManifests.writeManifestList(listPath, keptList)
 
     val properties = prev.map(_.properties).getOrElse(Map.empty) ++
       syncMeta.map(m => Map(SyncMetadata.PropertyKey -> m.toJson))
@@ -211,4 +231,9 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
   override def tableMetadata(): Option[SyncMetadata] =
     currentMeta.flatMap(_.properties.get(SyncMetadata.PropertyKey))
       .flatMap(SyncMetadata.fromJson)
+}
+
+object IcebergConversionTarget {
+  /** Max manifests per snapshot before a compacting rewrite. */
+  val CompactionThreshold = 16
 }

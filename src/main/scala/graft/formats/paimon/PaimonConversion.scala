@@ -183,12 +183,28 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
       PaimonFormat.writeSchema(tablePath, PaimonFormat.PaimonSchema(0, schema,
         partitionSpec.map(_.partitionColumnName), Map.empty))
 
-    // base = previous base ∪ previous delta (manifest reuse, no rewrite)
-    val base: Seq[String] = prevId.map { p =>
-      val s = PaimonFormat.readSnapshot(tablePath, p)
-      PaimonFormat.readManifestList(s.baseManifestList) ++
-        PaimonFormat.readManifestList(s.deltaManifestList)
-    }.getOrElse(Nil)
+    // base = previous base ∪ previous delta (manifest reuse, no rewrite);
+    // compacted into one manifest once the list grows past the threshold
+    val base: Seq[String] = {
+      val raw = prevId.map { p =>
+        val s = PaimonFormat.readSnapshot(tablePath, p)
+        PaimonFormat.readManifestList(s.baseManifestList) ++
+          PaimonFormat.readManifestList(s.deltaManifestList)
+      }.getOrElse(Nil)
+      if (raw.size <= 16) raw
+      else {
+        val merged = s"manifest-${UUID.randomUUID()}-compacted"
+        val deleted = raw.flatMap(m => PaimonFormat.readManifest(s"$mdir/$m"))
+          .filter(_.get("kind").asInstanceOf[Int] == PaimonFormat.Kind.Delete)
+          .map(_.get("fileName").toString).toSet
+        val live = raw.iterator.flatMap(m =>
+          PaimonFormat.readManifest(s"$mdir/$m"))
+          .filter(e => e.get("kind").asInstanceOf[Int] == PaimonFormat.Kind.Add &&
+            !deleted.contains(e.get("fileName").toString))
+        PaimonFormat.writeManifest(s"$mdir/$merged", live)
+        Seq(merged)
+      }
+    }
 
     val deltaName = s"manifest-${UUID.randomUUID()}"
     val entries =

@@ -15,7 +15,8 @@ class ParquetDirectorySource(
     spark: SparkSession,
     basePath: String,
     tableName: String,
-    partitionSpec: Seq[PartitionFieldSpec] = Nil)
+    partitionSpec: Seq[PartitionFieldSpec] = Nil,
+    statsColumns: Option[Set[String]] = None)
   extends ConversionSource {
 
   private val conf = new Configuration()
@@ -56,7 +57,8 @@ class ParquetDirectorySource(
   override def currentSnapshot(): TableSnapshot = {
     val files = listing
     val table = currentTable()
-    TableSnapshot(table, ParquetFooters.fileEntries(spark, basePath, files),
+    TableSnapshot(table,
+      ParquetFooters.fileEntries(spark, basePath, files, statsColumns),
       table.latestCommitMillis.toString)
   }
 
@@ -65,7 +67,7 @@ class ParquetDirectorySource(
     import spark.implicits._
     val ts = commit.toLong
     val files = listing.filter(_.modifiedMillis == ts)
-    val added = ParquetFooters.fileEntries(spark, basePath, files)
+    val added = ParquetFooters.fileEntries(spark, basePath, files, statsColumns)
     val table = currentTable().copy(latestCommitMillis = ts)
     TableChange(commit, table,
       FilesDelta(added, spark.emptyDataset[FileEntry]))

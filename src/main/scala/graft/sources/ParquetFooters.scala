@@ -110,8 +110,14 @@ object ParquetFooters {
     }
   }
 
-  /** Read one file's footer → (recordCount, merged column stats). */
-  def readFooterStats(path: String, conf: Configuration)
+  /** Read one file's footer → (recordCount, merged column stats).
+    * `columns` projects stat extraction to the given dotted paths —
+    * reference behavior: stats only for fields in the read schema
+    * (DeltaStatsUtils.parseColumnStatsFromJson filters the same way,
+    * SURVEY §2.3).
+    */
+  def readFooterStats(path: String, conf: Configuration,
+      columns: Option[Set[String]] = None)
       : (Long, Seq[FileColumnStat]) = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf))
@@ -123,7 +129,8 @@ object ParquetFooters {
       // sum of nulls/sizes/counts)
       val merged = scala.collection.mutable.LinkedHashMap
         .empty[String, (Option[String], Option[String], Long, Long, Long, DataType)]
-      for (block <- blocks; cc <- block.getColumns.asScala) {
+      for (block <- blocks; cc <- block.getColumns.asScala
+           if columns.forall(_.contains(cc.getPath.toDotString))) {
         val name = cc.getPath.toDotString
         val prim = footer.getFileMetaData.getSchema
           .getColumnDescription(cc.getPath.toArray).getPrimitiveType
@@ -174,15 +181,16 @@ object ParquetFooters {
   }
 
   /** The distributed footer scan: listing → `Dataset[FileEntry]`. */
-  def fileEntries(spark: SparkSession, basePath: String, files: Seq[ListedFile])
-      : Dataset[FileEntry] = {
+  def fileEntries(spark: SparkSession, basePath: String, files: Seq[ListedFile],
+      statsColumns: Option[Set[String]] = None): Dataset[FileEntry] = {
     import spark.implicits._
     val base = basePath
+    val cols = statsColumns
     val parallelism = math.max(1, math.min(files.size, 256))
     spark.createDataset(files).repartition(parallelism).mapPartitions { it =>
       val conf = new Configuration()
       it.map { f =>
-        val (records, stats) = readFooterStats(f.path, conf)
+        val (records, stats) = readFooterStats(f.path, conf, cols)
         FileEntry(f.path, f.length, records, "parquet",
           partitionValuesFromPath(base, f.path), stats, f.modifiedMillis)
       }

@@ -64,6 +64,14 @@ class ParquetSourceSpec extends SparkSuite {
     assert(minMicros == expected)
   }
 
+  test("stats projection restricts extraction to requested columns") {
+    val src = new ParquetDirectorySource(spark,
+      sf("sf0.001/lineitem.parquet"), "lineitem",
+      statsColumns = Some(Set("l_orderkey", "l_quantity")))
+    val stats = src.currentSnapshot().files.collect().flatMap(_.columnStats)
+    assert(stats.map(_.field).toSet == Set("l_orderkey", "l_quantity"))
+  }
+
   test("files delta between snapshots is empty for unchanged table") {
     val src = new ParquetDirectorySource(
       spark, sf("sf0.001/nation.parquet"), "nation")
