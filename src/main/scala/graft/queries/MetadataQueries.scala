@@ -90,6 +90,7 @@ object MetadataQueries {
       .createTempDirectory("graft_groups_data").toString
     Tables.events(s, dir)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .repartition(col("event_type"))     // one file per partition, not one per task
       .write.mode("overwrite").partitionBy("event_type").parquet(dataDir)
     val files = new ParquetDirectorySource(s, dataDir, "events")
       .currentSnapshot().files

@@ -178,6 +178,7 @@ object SyncQueries {
     val target = Files.createTempDirectory("graft_part_delta").toString
     Tables.events(s, dir)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .repartition(col("event_type"))     // one file per partition, not one per task
       .write.mode("overwrite").partitionBy("event_type").parquet(dataDir)
     val src = new ParquetDirectorySource(s, dataDir, "events")
     val outcomes = TableFormatSync.syncSnapshot(
@@ -208,6 +209,7 @@ object SyncQueries {
     Tables.events(s, dir)
       .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .repartition(col("ts_day"))     // one file per partition, not one per task
       .write.mode("overwrite").partitionBy("ts_day").parquet(dataDir)
     val spec = graft.model.PartitionSpecDSL.parse("ts:DAY:yyyy-MM-dd")
     val src = new ParquetDirectorySource(s, dataDir, "events_by_day", spec)
