@@ -93,6 +93,13 @@ object RunSync {
           "durationMillis" -> o.durationMillis,
           "error" -> o.error.orNull))))
       }
+    } catch {
+      case e: Exception =>
+        // source-side failures (e.g. empty/missing table) report as JSON,
+        // not a stack trace
+        println(Jsons.toJson(Map("status" -> "ERROR", "error" -> e.toString)))
+        spark.stop()
+        sys.exit(1)
     } finally spark.stop()
   }
 }

@@ -27,6 +27,8 @@ class ParquetDirectorySource(
 
   override def currentTable(): TableDescriptor = {
     val files = listing
+    if (files.isEmpty) throw new IllegalStateException(
+      s"no parquet data files under $basePath")
     // schema from Spark's own parquet reader (footer-derived, includes
     // hive partition columns); mergeSchema so a column added by newer
     // files appears — reference infers from latest footer
