@@ -32,6 +32,8 @@ object SparkEntry {
     "q16_percentiles" -> RelationalQueries.q16Percentiles _,
     "q17_approx_distinct" -> RelationalQueries.q17ApproxDistinct _,
     "q18_salted_join" -> RelationalQueries.q18SaltedJoin _,
+    "q19_string_funcs" -> RelationalQueries.q19StringFuncs _,
+    "q20_null_handling" -> RelationalQueries.q20NullHandling _,
     "events_hourly_counts" -> EventsQueries.hourlyCounts _,
     "events_sessionize" -> EventsQueries.sessionize _,
     "events_top_per_user" -> EventsQueries.topEventPerUser _,
@@ -49,6 +51,7 @@ object SparkEntry {
     "time_travel_delta" -> SyncQueries.timeTravelDelta _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccard _,
+    "dedup_clusters" -> PipelineQueries.dedupClusters _,
     "dedup_minhash_lsh" -> PipelineQueries.dedupMinhashLsh _,
     "dedup_simhash" -> PipelineQueries.dedupSimhash _,
     "ann_bruteforce" -> PipelineQueries.annBruteforce _,
@@ -76,6 +79,8 @@ object SparkEntry {
     "q15_argmax_subquery" -> RelationalQueries.q15Sql,
     "q16_percentiles" -> RelationalQueries.q16Sql,
     "q18_salted_join" -> RelationalQueries.q18Sql,
+    "q19_string_funcs" -> RelationalQueries.q19Sql,
+    "q20_null_handling" -> RelationalQueries.q20Sql,
     "events_hourly_counts" -> EventsQueries.hourlyCountsSql,
     "events_sessionize" -> EventsQueries.sessionizeSql,
     "events_top_per_user" -> EventsQueries.topEventPerUserSql,
@@ -93,6 +98,7 @@ object SparkEntry {
     "time_travel_delta" -> SyncQueries.timeTravelDeltaSql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,
+    "dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "ann_bruteforce" -> PipelineQueries.annBruteforceSql,
     "text_quality" -> PipelineQueries.textQualitySql,
     "multimodal_features" -> PipelineQueries.multimodalFeaturesSql

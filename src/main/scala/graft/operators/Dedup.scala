@@ -105,6 +105,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over near-duplicate pairs: each document maps to
+    * the minimum doc id reachable through the pair graph (the "keeper").
+    * Iterative min-label propagation via joins — each round is one shuffle,
+    * rounds ≈ graph diameter (near-dup clusters are shallow), so this
+    * scales where a driver-side union-find would not.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "b")
+          .withColumnRenamed("label", "nlabel"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min("nlabel").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .cache()
+      converged = updated.join(labels.withColumnRenamed("label", "old"),
+        Seq("node")).filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Blocked exact n-gram Jaccard: candidates share a 50-char prefix
     * (the blocking key), pairs verified with exact trigram Jaccard — no
     * approximation, fully mirrorable in ANSI SQL for the oracle.

@@ -35,6 +35,35 @@ object PipelineQueries {
       |  FROM g a JOIN g b ON a.pfx = b.pfx AND a.doc_id < b.doc_id)
       |WHERE j >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Duplicate-cluster keeper assignment over the exact blocked-Jaccard
+    * pair graph: every clustered doc maps to the min reachable doc id.
+    * Oracle: transitive closure via DuckDB recursive CTE.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.ngramJaccardBlocked(Tables.documents(s, dir), "doc_id", "text"))
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id, substr(text,1,50) AS pfx,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |           || ' ' || string_split(text,' ')[i+2])) AS grams
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM g a
+      |  JOIN g b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.grams,b.grams))) >= 0.3),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+      |SELECT node AS doc_id, min(r) AS cluster_rep
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** MinHash+LSH — probabilistic candidates, exact-verified; rows-only. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text")

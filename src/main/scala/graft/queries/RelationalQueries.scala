@@ -335,6 +335,38 @@ object RelationalQueries {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
+  /** String-function surface: case mapping, substring, concat, length. */
+  def q19StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(upper(substring(col("p_type"), 1, 5)).as("type_prefix"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(length(col("p_name"))).as("name_chars"),
+        min(concat(col("p_brand"), lit("/"), col("p_type"))).as("min_brand_type"))
+      .orderBy("type_prefix")
+
+  val q19Sql: String =
+    """SELECT upper(substr(p_type, 1, 5)) AS type_prefix,
+      |  count(*) AS n_parts,
+      |  CAST(sum(length(p_name)) AS BIGINT) AS name_chars,
+      |  min(p_brand || '/' || p_type) AS min_brand_type
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Null semantics: NULLIF / COALESCE / conditional counting. */
+  def q20NullHandling(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_total"),
+      count(expr("nullif(l_returnflag, 'N')")).as("n_not_n"),
+      sum(when(col("l_discount") === 0, 1).otherwise(0)).as("n_zero_disc"),
+      count(expr("coalesce(nullif(l_linestatus,'O'), nullif(l_returnflag,'N'))"))
+        .as("n_coalesce"))
+
+  val q20Sql: String =
+    """SELECT count(*) AS n_total,
+      |  count(nullif(l_returnflag, 'N')) AS n_not_n,
+      |  CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+      |  count(coalesce(nullif(l_linestatus,'O'), nullif(l_returnflag,'N'))) AS n_coalesce
+      |FROM lineitem""".stripMargin
+
   /** Time-dimension aggregate: yearly order volume (timestamp EXTRACT). */
   def q14YearlyVolume(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
