@@ -58,6 +58,7 @@ object SparkEntry {
     "ann_lsh_pairs" -> PipelineQueries.annLshPairs _,
     "ann_ivf_pairs" -> PipelineQueries.annIvfPairs _,
     "text_quality" -> PipelineQueries.textQuality _,
+    "text_train_split" -> PipelineQueries.trainSplit _,
     "text_langid" -> PipelineQueries.textLangid _,
     "text_fingerprint" -> PipelineQueries.textFingerprint _,
     "multimodal_features" -> PipelineQueries.multimodalFeatures _
@@ -101,6 +102,7 @@ object SparkEntry {
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "ann_bruteforce" -> PipelineQueries.annBruteforceSql,
     "text_quality" -> PipelineQueries.textQualitySql,
+    "text_train_split" -> PipelineQueries.trainSplitSql,
     "multimodal_features" -> PipelineQueries.multimodalFeaturesSql
   )
 }

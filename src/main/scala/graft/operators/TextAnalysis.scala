@@ -80,6 +80,15 @@ object TextAnalysis {
     size(expr(s"regexp_extract_all(${text.toString}, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
       .cast("long")
 
+  /** Deterministic content-hash split assignment for train/eval carving:
+    * stable across runs, engines, and partitionings (keyed on md5 of the
+    * content, not on row order or RNG state) — the property a reproducible
+    * training-data pipeline needs.
+    */
+  def splitAssignment(text: Column, evalOneIn: Int = 4): Column =
+    when(ascii(substring(md5(text), 1, 1)) % evalOneIn === 0, lit("eval"))
+      .otherwise(lit("train"))
+
   /** Rolling-hash fingerprint per document (native Catalyst expression) +
     * duplicate-group size per fingerprint.
     */

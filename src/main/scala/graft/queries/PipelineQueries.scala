@@ -101,6 +101,25 @@ object PipelineQueries {
     Similarity.ivfNearPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       dim = 64, threshold = 0.45)
 
+  /** Deterministic train/eval split: same document lands in the same split
+    * on any engine at any parallelism.
+    */
+  def trainSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(TextAnalysis.splitAssignment(col("text")).as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("split")
+
+  val trainSplitSql: String =
+    """SELECT CASE WHEN ascii(substr(md5(text),1,1)) % 4 = 0
+      |  THEN 'eval' ELSE 'train' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
 
