@@ -94,4 +94,38 @@ class CheckpointAndScaleSpec extends SparkSuite {
     assert(fullSyncSec < 120, s"full sync too slow: $fullSyncSec")
     assert(incSyncSec < 60, s"incremental too slow: $incSyncSec")
   }
+
+  test("LoadTest-shaped scale through the iceberg target (50k files)") {
+    import spark.implicits._
+    val target = tmpDir("scale_ice")
+    val n = 50000
+    val schema = spark.read.parquet(sf("sf0.001/region.parquet")).schema
+    val files = spark.range(n).map { i =>
+      FileEntry(s"/data/p=${i % 1000}/f$i.parquet", 1000L + i, 100L, "parquet",
+        Seq(PartitionMember("p", (i % 1000).toString)),
+        Seq(FileColumnStat("r_regionkey", Some((i % 5).toString),
+          Some(((i % 5) + 1).toString), 0L, 100L, 64L)),
+        1000000L)
+    }
+    val tgt = new graft.formats.iceberg.IcebergConversionTarget(spark, target)
+    val t0 = System.nanoTime()
+    tgt.beginSync(TableDescriptor("scale", TableFormats.Iceberg, target,
+      schema, Seq(PartitionFieldSpec("p", Transform.Value)),
+      Layout.HivePartitioned, 0L))
+    tgt.syncMetadata(SyncMetadata("1", Nil, TableFormats.Parquet, target))
+    tgt.syncSchema(schema)
+    tgt.syncPartitionSpec(Seq(PartitionFieldSpec("p", Transform.Value)))
+    tgt.syncFilesForSnapshot(files.toDF().as[FileEntry])
+    tgt.completeSync()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val back = new graft.formats.iceberg.IcebergConversionSource(
+      spark, target, "scale")
+    assert(back.currentSnapshot().files.count() == n)
+    // bounds survive the avro round trip at scale
+    val one = back.currentSnapshot().files.filter(_.path.endsWith("/f7.parquet"))
+      .head().columnStats.head
+    assert(one.min.contains("2") && one.max.contains("3"))
+    info(f"iceberg full sync of $n files: $sec%.1fs")
+    assert(sec < 120, s"iceberg sync too slow: $sec")
+  }
 }
