@@ -19,13 +19,13 @@ object EventsQueries {
         unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(25,6)")).as("sum_value"))
+        sum(col("value").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_value"))
       .orderBy("hour_us", "event_type")
 
   val hourlyCountsSql: String =
     """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
       |  count(*) AS n_events,
-      |  sum(CAST(value AS DECIMAL(25,6))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Sessionization: a new session starts after a >30 min gap per user;

@@ -14,24 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  import org.apache.spark.sql.Column
+
+  /** Final-output decimal type, identical on both engines. Spark's
+    * sum(decimal(25,6)) widens to decimal(35,6) while DuckDB widens to
+    * DECIMAL(38,6); the driver's hash is representation-sensitive, so every
+    * decimal aggregate that reaches the result schema is cast to this one
+    * explicit type on BOTH sides (oracle-parity rule 9).
+    */
+  private def d38(c: Column): Column = c.cast("decimal(38,6)")
+
   /** TPC-H Q1-style pricing summary: scan + filter + groupBy agg. */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(25,6)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(25,6)")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(25,6)")).as("sum_disc_price"),
+        d38(sum(col("l_quantity").cast("decimal(25,6)"))).as("sum_qty"),
+        d38(sum(col("l_extendedprice").cast("decimal(25,6)"))).as("sum_base_price"),
+        d38(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(25,6)"))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -47,15 +57,15 @@ object RelationalQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy("o_orderkey")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(25,6)")).as("revenue"))
+      .agg(d38(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(25,6)"))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
 
   val q3Sql: String =
     """SELECT o_orderkey,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -81,14 +91,14 @@ object RelationalQueries {
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(25,6)")).as("revenue"))
+      .agg(d38(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(25,6)"))).as("revenue"))
       .orderBy(col("n_name"))
   }
 
   val q5Sql: String =
     """SELECT n_name,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -106,12 +116,12 @@ object RelationalQueries {
         col("l_shipdate") < lit("1996-01-01") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum((col("l_extendedprice") * col("l_discount"))
-        .cast("decimal(25,6)")).as("revenue"),
+      .agg(d38(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(25,6)"))).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   val q6Sql: String =
-    """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS revenue,
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue,
       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= '1995-06-01' AND l_shipdate < '1996-01-01'
@@ -124,7 +134,7 @@ object RelationalQueries {
       .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "c_custkey")
-      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("total_value"))
+      .agg(d38(sum(col("o_totalprice").cast("decimal(25,6)"))).as("total_value"))
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("total_value").desc, col("c_custkey"))
     totals.withColumn("rnk", row_number().over(w))
@@ -135,7 +145,7 @@ object RelationalQueries {
   val q7Sql: String =
     """SELECT * FROM (
       |  SELECT c_mktsegment, c_custkey,
-      |    sum(CAST(o_totalprice AS DECIMAL(25,6))) AS total_value,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total_value,
       |    row_number() OVER (PARTITION BY c_mktsegment
       |      ORDER BY sum(CAST(o_totalprice AS DECIMAL(25,6))) DESC, c_custkey) AS rnk
       |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -150,8 +160,8 @@ object RelationalQueries {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     Tables.orders(s, dir)
       .withColumn("running_total",
-        sum(col("o_totalprice").cast("decimal(25,6)"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        d38(sum(col("o_totalprice").cast("decimal(25,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))))
       .withColumn("prev_orderkey", lag("o_orderkey", 1).over(w))
       .select("o_custkey", "o_orderkey", "running_total", "prev_orderkey")
       .orderBy("o_custkey", "o_orderkey")
@@ -159,9 +169,9 @@ object RelationalQueries {
 
   val q8Sql: String =
     """SELECT o_custkey, o_orderkey,
-      |  sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_total,
       |  lag(o_orderkey, 1) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_orderkey
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
@@ -171,13 +181,13 @@ object RelationalQueries {
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("decimal(25,6)")).as("sum_qty"))
+        d38(sum(col("l_quantity").cast("decimal(25,6)"))).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
   val q9Sql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-      |  sum(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -254,17 +264,17 @@ object RelationalQueries {
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(25,6)")).as("revenue"),
-        sum(col("l_quantity").cast("decimal(25,6)")).as("volume"),
+        d38(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(25,6)"))).as("revenue"),
+        d38(sum(col("l_quantity").cast("decimal(25,6)"))).as("volume"),
         count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
   }
 
   val q13Sql: String =
     """SELECT p_brand,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS revenue,
-      |  sum(CAST(l_quantity AS DECIMAL(25,6))) AS volume,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS volume,
       |  count(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
@@ -326,12 +336,12 @@ object RelationalQueries {
         .withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", salt = 8)
       .groupBy("s_name")
       .agg(count(lit(1)).as("n_lines"),
-        sum(col("l_extendedprice").cast("decimal(25,6)")).as("revenue"))
+        d38(sum(col("l_extendedprice").cast("decimal(25,6)"))).as("revenue"))
       .orderBy("s_name")
 
   val q18Sql: String =
     """SELECT s_name, count(*) AS n_lines,
-      |  sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
@@ -372,12 +382,12 @@ object RelationalQueries {
     Tables.orders(s, dir)
       .groupBy(year(col("o_orderdate")).as("y"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(25,6)")).as("total_value"))
+        d38(sum(col("o_totalprice").cast("decimal(25,6)"))).as("total_value"))
       .orderBy("y")
 
   val q14Sql: String =
     """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
       |  count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(25,6))) AS total_value
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total_value
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }
