@@ -108,23 +108,20 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
   * snapshot's own schema (so schema evolution applies: files written before
   * a column was added read it as null — the reference's add-column
   * equivalence test, ITConversionController.java:454-506 region).
+  *
+  * The scan is driven by [[graft.plans.SnapshotFileIndex]]: the listing
+  * stays a Dataset, partition pruning and stat-based file skipping run
+  * distributed, and the driver only ever holds the query's matching files —
+  * never a million-path list in the plan.
   */
 object DeltaRead {
   def toDataFrame(spark: SparkSession, snap: TableSnapshot): DataFrame = {
-    import spark.implicits._
-    val paths = snap.files.select("path").as[String].collect().toSeq
-    if (paths.isEmpty) {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.table.schema)
-    } else if (snap.table.layout == Layout.HivePartitioned) {
-      // common prefix of partition dirs = original physical base
-      val base = paths.map(p => p.substring(0, p.lastIndexOf('/')))
-        .map(_.split('/').takeWhile(!_.contains("=")).mkString("/"))
-        .distinct.headOption.getOrElse(snap.table.basePath)
-      spark.read.option("basePath", base)
-        .schema(snap.table.schema).parquet(paths: _*)
-    } else {
-      spark.read.schema(snap.table.schema).parquet(paths: _*)
-    }
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val index = new graft.plans.SnapshotFileIndex(cs, snap)
+    val relation = HadoopFsRelation(index, index.partitionSchema,
+      index.dataSchema, None, new ParquetFileFormat, Map.empty)(cs)
+    cs.baseRelationToDataFrame(relation)
   }
 }

@@ -1,0 +1,236 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model._
+
+/** A Catalyst `FileIndex` over a snapshot's distributed file listing.
+  *
+  * This is the converted-table read path. The naive alternative — collect
+  * every file path and hand the list to `spark.read.parquet` — holds
+  * O(num-files) strings on the driver and embeds them in the logical plan;
+  * at 10^6..10^7 files (100 TB) that is a driver OOM. Here the listing stays
+  * a `Dataset[FileEntry]` and two prunings run *distributed, before*
+  * anything is collected:
+  *
+  *   1. partition pruning — Catalyst partition filters are bound to the
+  *      partition schema and evaluated per file against its
+  *      `partitionValues` (reference semantics: partition filters select
+  *      file groups, PartitionSpecExtractor / spec §Scans);
+  *   2. file skipping — data filters are compared against the per-file
+  *      min/max column stats (same design as Delta data skipping; the stats
+  *      come from the metadata plane, reference ColumnStat.java:28-33).
+  *
+  * Only the surviving files' (path, size, mtime, partitionValues) rows are
+  * collected to build `PartitionDirectory`s — proportional to the query's
+  * matching files, never the table's total file count.
+  */
+class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
+  extends FileIndex {
+
+  private val tableSchema: StructType = snap.table.schema
+
+  /** Physical partition columns: typed from the table schema when present,
+    * string otherwise (time-transform columns like `ts_day` are layout
+    * artifacts not in the logical schema).
+    */
+  override val partitionSchema: StructType =
+    if (snap.table.layout != Layout.HivePartitioned) new StructType()
+    else StructType(snap.table.partitionFields.map { pf =>
+      val n = pf.partitionColumnName
+      tableSchema.find(_.name == n)
+        .getOrElse(StructField(n, StringType, nullable = true))
+    })
+
+  /** Columns read from the parquet files themselves. */
+  def dataSchema: StructType = {
+    val partNames = partitionSchema.fieldNames.toSet
+    StructType(tableSchema.filterNot(f => partNames.contains(f.name)))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(snap.table.basePath))
+
+  override def refresh(): Unit = ()
+
+  override lazy val sizeInBytes: Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    snap.files.agg(coalesce(sum("fileSizeBytes"), lit(0L))).head().getLong(0)
+  }
+
+  override def inputFiles: Array[String] = {
+    val s = snap.files.sparkSession
+    import s.implicits._
+    snap.files.select("path").as[String].collect()
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val files = snap.files
+    val session = files.sparkSession
+    import session.implicits._
+
+    val partPredicate = bindPartitionPredicate(partitionFilters)
+    val skip = StatSkipping.compile(dataFilters, tableSchema)
+    val pSchema = partitionSchema
+
+    val survivors = files.mapPartitions { it =>
+      val pred = partPredicate.map(e =>
+        Predicate.createInterpreted(e))
+      it.filter { f =>
+        val partOk = pred.forall { p =>
+          p.eval(SnapshotFileIndex.partitionRow(f.partitionValues, pSchema))
+        }
+        partOk && skip.forall(_.keep(f))
+      }.map(f => (f.path, f.fileSizeBytes, f.lastModifiedMillis,
+        pSchema.fieldNames.toSeq.map(n =>
+          f.partitionValues.find(_.field == n).map(_.value).orNull)))
+    }.collect()
+
+    survivors.groupBy(_._4).map { case (partVals, group) =>
+      val row = InternalRow.fromSeq(partVals.zip(pSchema.fields).map {
+        case (v, f) => SnapshotFileIndex.catalystValue(v, f.dataType)
+      })
+      val statuses = group.map { case (path, size, mtime, _) =>
+        new FileStatus(size, false, 1, math.max(size, 1L), mtime, new Path(path))
+      }
+      PartitionDirectory(row, statuses)
+    }.toSeq
+  }
+
+  /** Bind the partition filters' attribute references to ordinals of the
+    * partition schema so the predicate can ship to executors. Filters that
+    * reference unknown names or are non-deterministic prune nothing.
+    */
+  private def bindPartitionPredicate(filters: Seq[Expression]): Option[Expression] = {
+    if (filters.isEmpty || partitionSchema.isEmpty) return None
+    val usable = filters.filter { f =>
+      f.deterministic && f.references.forall(a =>
+        partitionSchema.fieldNames.contains(a.name))
+    }
+    if (usable.isEmpty) return None
+    Some(usable.reduce(And).transform {
+      case a: AttributeReference =>
+        val i = partitionSchema.fieldIndex(a.name)
+        BoundReference(i, partitionSchema(i).dataType, nullable = true)
+    })
+  }
+}
+
+object SnapshotFileIndex {
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Path-segment string → Catalyst internal value for the declared type. */
+  def catalystValue(v: String, dt: DataType): Any = {
+    if (v == null || v == HiveDefaultPartition) return null
+    dt match {
+      case StringType => UTF8String.fromString(v)
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case DoubleType => v.toDouble
+      case FloatType => v.toFloat
+      case BooleanType => v.toBoolean
+      case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case TimestampType | TimestampNTZType => v.toLong
+      case d: DecimalType => Decimal(new java.math.BigDecimal(v), d.precision, d.scale)
+      case _ => UTF8String.fromString(v)
+    }
+  }
+
+  /** One file's partition values as an InternalRow in schema order. */
+  def partitionRow(values: Seq[PartitionMember], schema: StructType): InternalRow = {
+    val byName = values.iterator.map(m => m.field -> m.value).toMap
+    InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+      catalystValue(byName.getOrElse(f.name, null), f.dataType)
+    })
+  }
+}
+
+/** File skipping on per-file min/max stats — serializable compiled form of
+  * the data filters, evaluated executor-side over `FileEntry.columnStats`.
+  * Conservative: any shape it cannot prove excluded keeps the file.
+  */
+case class StatSkipping(bounds: Seq[StatSkipping.Bound]) extends Serializable {
+  def keep(f: FileEntry): Boolean = {
+    if (bounds.isEmpty) return true
+    val stats = f.columnStats
+    bounds.forall { b =>
+      stats.find(_.field == b.field) match {
+        case None => true                    // no stats for the column: keep
+        case Some(st) => b.admits(st)
+      }
+    }
+  }
+}
+
+object StatSkipping {
+
+  /** One conjunct usable for skipping; values in StatCodec canonical form. */
+  case class Bound(field: String, dt: DataType, op: String, value: String)
+    extends Serializable {
+    def admits(st: FileColumnStat): Boolean = op match {
+      case "eq" => (st.min, st.max) match {
+        case (Some(mn), Some(mx)) =>
+          !StatCodec.lt(value, mn, dt) && !StatCodec.lt(mx, value, dt)
+        case _ => true
+      }
+      case "gt" => st.max.forall(mx => StatCodec.lt(value, mx, dt))
+      case "gte" => st.max.forall(mx => !StatCodec.lt(mx, value, dt))
+      case "lt" => st.min.forall(mn => StatCodec.lt(mn, value, dt))
+      case "lte" => st.min.forall(mn => !StatCodec.lt(value, mn, dt))
+      case "notnull" =>
+        // skip only files whose stats prove the column is entirely null
+        !(st.numValues > 0 && st.numNulls == st.numValues)
+      case "isnull" => st.numNulls > 0 || st.numValues == 0
+      case _ => true
+    }
+  }
+
+  /** Extract skippable conjuncts from Catalyst data filters. */
+  def compile(filters: Seq[Expression], schema: StructType): Option[StatSkipping] = {
+    val bounds = filters.filter(_.deterministic)
+      .flatMap(splitConjuncts).flatMap(toBound(_, schema))
+    if (bounds.isEmpty) None else Some(StatSkipping(bounds))
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def toBound(e: Expression, schema: StructType): Option[Bound] = {
+    def enc(l: Literal): Option[String] =
+      StatCodec.encode(l.value match {
+        case u: UTF8String => u.toString
+        case d: Decimal => d
+        case other => other
+      }, l.dataType)
+    def mk(a: AttributeReference, l: Literal, op: String): Option[Bound] =
+      if (l.value == null) None else enc(l).map(Bound(a.name, a.dataType, op, _))
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) => mk(a, l, "eq")
+      case EqualTo(l: Literal, a: AttributeReference) => mk(a, l, "eq")
+      case GreaterThan(a: AttributeReference, l: Literal) => mk(a, l, "gt")
+      case GreaterThan(l: Literal, a: AttributeReference) => mk(a, l, "lt")
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => mk(a, l, "gte")
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => mk(a, l, "lte")
+      case LessThan(a: AttributeReference, l: Literal) => mk(a, l, "lt")
+      case LessThan(l: Literal, a: AttributeReference) => mk(a, l, "gt")
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => mk(a, l, "lte")
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => mk(a, l, "gte")
+      case IsNotNull(a: AttributeReference) =>
+        Some(Bound(a.name, a.dataType, "notnull", ""))
+      case IsNull(a: AttributeReference) =>
+        Some(Bound(a.name, a.dataType, "isnull", ""))
+      case _ => None
+    }
+  }
+}
