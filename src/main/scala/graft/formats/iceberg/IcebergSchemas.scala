@@ -14,74 +14,197 @@ import graft.util.Jsons
   */
 object IcebergSchemas {
   val FieldIdKey = "graft.fieldId"
+  /** Ids for collection positions (list element, map key/value) that have no
+    * StructField of their own: stored on the enclosing field's metadata as a
+    * JSON object of relative pseudo-path → id (e.g. {"element":7} for a
+    * list, {"key":8,"value":9} for a map, {"value.element":10} for
+    * map<_, list<_>>). The Iceberg spec requires these ids to be unique
+    * across the whole schema, same as struct field ids.
+    */
+  val CollectionIdsKey = "graft.collectionIds"
+
+  private def pjoin(prefix: String, name: String): String =
+    if (prefix.isEmpty) name else s"$prefix.$name"
+
+  /** All assigned ids in a schema, keyed by dotted path; collection
+    * positions appear under pseudo segments `element`/`key`/`value`.
+    */
+  private def knownIds(st: StructType, prefix: String = ""): Map[String, Int] =
+    st.fields.toSeq.flatMap { f =>
+      val path = pjoin(prefix, f.name)
+      val own = if (f.metadata.contains(FieldIdKey))
+        Seq(path -> f.metadata.getLong(FieldIdKey).toInt) else Nil
+      val coll = if (f.metadata.contains(CollectionIdsKey)) {
+        import scala.jdk.CollectionConverters._
+        Jsons.mapper.readTree(f.metadata.getString(CollectionIdsKey))
+          .properties().asScala.map(e => s"$path.${e.getKey}" -> e.getValue.asInt)
+          .toSeq
+      } else Nil
+      def nested(dt: DataType, p: String): Seq[(String, Int)] = dt match {
+        case s: StructType => knownIds(s, p).toSeq
+        case a: ArrayType => nested(a.elementType, s"$p.element")
+        case m: MapType =>
+          nested(m.keyType, s"$p.key") ++ nested(m.valueType, s"$p.value")
+        case _ => Nil
+      }
+      own ++ coll ++ nested(f.dataType, path)
+    }.toMap
+
+  /** One assignment pass: every struct field AND every collection position
+    * gets an id — from `existing` by path when present, fresh otherwise.
+    * `floor`: fresh ids start past this as well, so ids of dropped fields
+    * are never reused (Iceberg spec: ids are never recycled).
+    */
+  private def assignIds(schema: StructType, existing: Map[String, Int],
+      floor: Int = 0): StructType = {
+    var nextId = math.max(floor, (0 +: existing.values.toSeq).max) + 1
+    def idFor(path: String): Int =
+      existing.getOrElse(path, { val i = nextId; nextId += 1; i })
+    def walkStruct(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val path = pjoin(prefix, f.name)
+        val id = idFor(path)
+        val collIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+        def walkType(dt: DataType, tPath: String, rel: String): DataType = dt match {
+          case s: StructType => walkStruct(s, tPath)
+          case a: ArrayType =>
+            val rp = if (rel.isEmpty) "element" else s"$rel.element"
+            collIds(rp) = idFor(s"$tPath.element")
+            a.copy(elementType = walkType(a.elementType, s"$tPath.element", rp))
+          case m: MapType =>
+            val rk = if (rel.isEmpty) "key" else s"$rel.key"
+            val rv = if (rel.isEmpty) "value" else s"$rel.value"
+            collIds(rk) = idFor(s"$tPath.key")
+            collIds(rv) = idFor(s"$tPath.value")
+            m.copy(
+              keyType = walkType(m.keyType, s"$tPath.key", rk),
+              valueType = walkType(m.valueType, s"$tPath.value", rv))
+          case other => other
+        }
+        val newType = walkType(f.dataType, path, "")
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(FieldIdKey, id.toLong)
+        if (collIds.nonEmpty) {
+          val o = JsonNodeFactory.instance.objectNode()
+          collIds.foreach { case (k, v) => o.put(k, v) }
+          mb.putString(CollectionIdsKey, Jsons.mapper.writeValueAsString(o))
+        }
+        f.copy(dataType = newType, metadata = mb.build())
+      })
+    walkStruct(schema, "")
+  }
+
+  /** One schema-evolution operation, fieldId-keyed like the reference's
+    * IcebergSchemaSync (IcebergSchemaSync.java:50-197). `op` is one of
+    * promote | rename | drop | add; ops are emitted in that order
+    * (Iceberg's UpdateSchema apply order: updates, renames, deletes, adds).
+    */
+  case class SchemaOp(op: String, fieldId: Int, path: String, detail: String)
+
+  /** Type promotions the Iceberg spec allows (spec §Schema Evolution). */
+  private def promotable(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (a: DecimalType, b: DecimalType) =>
+      a.scale == b.scale && b.precision >= a.precision
+    case _ => false
+  }
+
+  /** Evolve `incoming` against `current`, computing the ordered op list.
+    *
+    * Matching is by field id when the incoming field carries one (a source
+    * that tracks ids can express a rename: same id, new name), by dotted
+    * name otherwise. Matched fields keep their ids; allowed type changes
+    * (int→long, float→double, decimal widening) emit `promote`; any other
+    * type change throws — silently re-typing a column would corrupt stats
+    * and pruning on historical files. Unmatched current fields are dropped
+    * (their ids are retired, never reused); unmatched incoming fields are
+    * adds with fresh ids past the all-time maximum.
+    */
+  def evolveWithOps(current: StructType, incoming: StructType)
+      : (StructType, Seq[SchemaOp]) = {
+    val resolved = scala.collection.mutable.Map.empty[String, Int]
+    val promotes = scala.collection.mutable.Buffer.empty[SchemaOp]
+    val renames = scala.collection.mutable.Buffer.empty[SchemaOp]
+    val drops = scala.collection.mutable.Buffer.empty[SchemaOp]
+    val adds = scala.collection.mutable.Buffer.empty[SchemaOp]
+
+    def idOf(f: StructField): Option[Int] =
+      if (f.metadata.contains(FieldIdKey))
+        Some(f.metadata.getLong(FieldIdKey).toInt) else None
+
+    def matchType(cur: DataType, inc: DataType, path: String, cid: Int): Unit =
+      (cur, inc) match {
+        case (a: StructType, b: StructType) => matchStruct(Some(a), b, path)
+        case (a: ArrayType, b: ArrayType) =>
+          matchType(a.elementType, b.elementType, s"$path.element", cid)
+        case (a: MapType, b: MapType) =>
+          matchType(a.keyType, b.keyType, s"$path.key", cid)
+          matchType(a.valueType, b.valueType, s"$path.value", cid)
+        case (a, b) if a == b => ()
+        case (a, b) if promotable(a, b) =>
+          promotes += SchemaOp("promote", cid, path,
+            s"${a.simpleString} -> ${b.simpleString}")
+        case (a, b) => throw new IllegalArgumentException(
+          s"incompatible type change at $path: " +
+            s"${a.simpleString} -> ${b.simpleString}")
+      }
+
+    def matchStruct(cur: Option[StructType], inc: StructType, prefix: String)
+        : Unit = {
+      val curById = cur.toSeq.flatMap(_.fields)
+        .flatMap(f => idOf(f).map(_ -> f)).toMap
+      val curByName = cur.toSeq.flatMap(_.fields).map(f => f.name -> f).toMap
+      val matched = scala.collection.mutable.Set.empty[String]
+      inc.fields.foreach { f =>
+        val inPath = pjoin(prefix, f.name)
+        val curMatch = idOf(f).flatMap(curById.get).orElse(curByName.get(f.name))
+        curMatch.flatMap(cf => idOf(cf).map(cf -> _)) match {
+          case Some((cf, cid)) =>
+            matched += cf.name
+            resolved(inPath) = cid
+            if (cf.name != f.name)
+              renames += SchemaOp("rename", cid, pjoin(prefix, cf.name), f.name)
+            collectionIdsOf(cf).foreach { case (rel, id) =>
+              resolved(s"$inPath.$rel") = id
+            }
+            matchType(cf.dataType, f.dataType, inPath, cid)
+          case None =>
+            adds += SchemaOp("add", -1, inPath, f.dataType.simpleString)
+            f.dataType match {
+              case s: StructType => matchStruct(None, s, inPath)
+              case _ => ()
+            }
+        }
+      }
+      cur.foreach(_.fields.foreach { cf =>
+        if (!matched.contains(cf.name))
+          drops += SchemaOp("drop", idOf(cf).getOrElse(-1),
+            pjoin(prefix, cf.name), cf.dataType.simpleString)
+      })
+    }
+
+    matchStruct(Some(current), incoming, "")
+    val allCurrent = knownIds(current)
+    val floor = (0 +: allCurrent.values.toSeq).max
+    val evolved = assignIds(incoming, resolved.toMap, floor)
+    (evolved, (promotes ++ renames ++ drops ++ adds).toSeq)
+  }
 
   /** Evolve `incoming` against `current`: fields that exist in the current
-    * schema (by dotted name) keep their ids; only genuinely new fields get
-    * fresh ids past the current maximum — the reference's fieldId-keyed
-    * ordered evolution (IcebergSchemaSync.java:50-197). Without this, an
+    * schema (by id or dotted name) keep their ids; only genuinely new
+    * fields get fresh ids past the all-time maximum. Without this, an
     * id-less source adding a middle column would shift every later id and
     * corrupt stats/pruning on historical files.
     */
-  def evolveFieldIds(current: StructType, incoming: StructType): StructType = {
-    val currentIds = leafAndStructIds(current)
-    var nextId = (0 +: currentIds.values.toSeq).max + 1
-    def assign(st: StructType, prefix: String): StructType =
-      StructType(st.fields.map { f =>
-        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-        val id = currentIds.getOrElse(path, { val i = nextId; nextId += 1; i })
-        val withId = f.copy(metadata = new MetadataBuilder()
-          .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
-        withId.dataType match {
-          case s: StructType => withId.copy(dataType = assign(s, path))
-          case _ => withId
-        }
-      })
-    assign(incoming, "")
-  }
+  def evolveFieldIds(current: StructType, incoming: StructType): StructType =
+    evolveWithOps(current, incoming)._1
 
-  private def leafAndStructIds(st: StructType, prefix: String = "")
-      : Map[String, Int] =
-    st.fields.toSeq.flatMap { f =>
-      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-      val own = if (f.metadata.contains(FieldIdKey))
-        Seq(path -> f.metadata.getLong(FieldIdKey).toInt) else Nil
-      own ++ (f.dataType match {
-        case s: StructType => leafAndStructIds(s, path)
-        case _ => Nil
-      })
-    }.toMap
-
-  /** Assign sequential field ids (BFS order, like Iceberg's fresh-schema
-    * assignment) to any fields that lack one.
+  /** Assign sequential field ids (pre-order, like Iceberg's fresh-schema
+    * assignment) to any fields or collection positions that lack one.
     */
-  def assignFieldIds(schema: StructType): StructType = {
-    var nextId = {
-      val existing = collectIds(schema)
-      if (existing.isEmpty) 1 else existing.max + 1
-    }
-    def assign(st: StructType): StructType = StructType(st.fields.map { f =>
-      val withId = if (f.metadata.contains(FieldIdKey)) f else {
-        val id = nextId; nextId += 1
-        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putLong(FieldIdKey, id.toLong).build())
-      }
-      withId.dataType match {
-        case s: StructType => withId.copy(dataType = assign(s))
-        case _ => withId
-      }
-    })
-    assign(schema)
-  }
-
-  private def collectIds(st: StructType): Seq[Int] =
-    st.fields.toSeq.flatMap { f =>
-      val own = if (f.metadata.contains(FieldIdKey))
-        Seq(f.metadata.getLong(FieldIdKey).toInt) else Nil
-      own ++ (f.dataType match {
-        case s: StructType => collectIds(s)
-        case _ => Nil
-      })
-    }
+  def assignFieldIds(schema: StructType): StructType =
+    assignIds(schema, knownIds(schema))
 
   def fieldId(f: StructField): Int =
     if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey).toInt
@@ -113,24 +236,47 @@ object IcebergSchemas {
     case _ => throw new IllegalArgumentException(s"unsupported type $dt")
   }
 
-  private def typeNode(dt: DataType, nf: JsonNodeFactory): JsonNode = dt match {
+  /** `collIds`: the enclosing field's collection-position ids keyed by
+    * relative pseudo-path; `rel` tracks the position within the field.
+    * Missing ids fail loudly — a schema must pass through assignFieldIds /
+    * evolveFieldIds before serialization (Iceberg spec: ids are required
+    * and unique; 0-ids would mis-resolve nested collections in any reader).
+    */
+  private def typeNode(dt: DataType, nf: JsonNodeFactory,
+      collIds: Map[String, Int], rel: String): JsonNode = dt match {
     case st: StructType => structNode(st, nf)
     case a: ArrayType =>
+      val rp = if (rel.isEmpty) "element" else s"$rel.element"
       val o = nf.objectNode()
       o.put("type", "list")
-      o.put("element-id", 0)
-      o.set[JsonNode]("element", typeNode(a.elementType, nf))
+      o.put("element-id", collIds.getOrElse(rp, throw new IllegalStateException(
+        s"no element-id assigned at $rp; run assignFieldIds first")))
+      o.set[JsonNode]("element", typeNode(a.elementType, nf, collIds, rp))
       o.put("element-required", !a.containsNull)
       o
     case m: MapType =>
+      val rk = if (rel.isEmpty) "key" else s"$rel.key"
+      val rv = if (rel.isEmpty) "value" else s"$rel.value"
       val o = nf.objectNode()
-      o.put("type", "map"); o.put("key-id", 0); o.put("value-id", 0)
-      o.set[JsonNode]("key", typeNode(m.keyType, nf))
-      o.set[JsonNode]("value", typeNode(m.valueType, nf))
+      o.put("type", "map")
+      o.put("key-id", collIds.getOrElse(rk, throw new IllegalStateException(
+        s"no key-id assigned at $rk; run assignFieldIds first")))
+      o.put("value-id", collIds.getOrElse(rv, throw new IllegalStateException(
+        s"no value-id assigned at $rv; run assignFieldIds first")))
+      o.set[JsonNode]("key", typeNode(m.keyType, nf, collIds, rk))
+      o.set[JsonNode]("value", typeNode(m.valueType, nf, collIds, rv))
       o.put("value-required", !m.valueContainsNull)
       o
     case other => nf.textNode(typeString(other))
   }
+
+  private def collectionIdsOf(f: StructField): Map[String, Int] =
+    if (!f.metadata.contains(CollectionIdsKey)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Jsons.mapper.readTree(f.metadata.getString(CollectionIdsKey))
+        .properties().asScala.map(e => e.getKey -> e.getValue.asInt).toMap
+    }
 
   private def structNode(st: StructType, nf: JsonNodeFactory): ObjectNode = {
     val o = nf.objectNode()
@@ -141,7 +287,7 @@ object IcebergSchemas {
       fo.put("id", fieldId(f))
       fo.put("name", f.name)
       fo.put("required", !f.nullable)
-      fo.set[JsonNode]("type", typeNode(f.dataType, nf))
+      fo.set[JsonNode]("type", typeNode(f.dataType, nf, collectionIdsOf(f), ""))
     }
     o
   }
@@ -154,7 +300,12 @@ object IcebergSchemas {
     Jsons.mapper.writeValueAsString(o)
   }
 
-  private def parseType(n: JsonNode): DataType =
+  /** Parse a type node, collecting collection-position ids into `collIds`
+    * (relative pseudo-paths from the enclosing struct field) so the
+    * element/key/value ids round-trip through StructField metadata.
+    */
+  private def parseType(n: JsonNode, rel: String,
+      collIds: scala.collection.mutable.Map[String, Int]): DataType =
     if (n.isTextual) n.asText match {
       case "int" => IntegerType
       case "long" => LongType
@@ -172,21 +323,36 @@ object IcebergSchemas {
       case other => throw new IllegalArgumentException(s"type $other")
     } else n.get("type").asText match {
       case "struct" => parseStruct(n)
-      case "list" => ArrayType(parseType(n.get("element")),
-        !n.get("element-required").asBoolean(true))
-      case "map" => MapType(parseType(n.get("key")), parseType(n.get("value")),
-        !n.get("value-required").asBoolean(true))
+      case "list" =>
+        val rp = if (rel.isEmpty) "element" else s"$rel.element"
+        Option(n.get("element-id")).foreach(id => collIds(rp) = id.asInt)
+        ArrayType(parseType(n.get("element"), rp, collIds),
+          !n.get("element-required").asBoolean(true))
+      case "map" =>
+        val rk = if (rel.isEmpty) "key" else s"$rel.key"
+        val rv = if (rel.isEmpty) "value" else s"$rel.value"
+        Option(n.get("key-id")).foreach(id => collIds(rk) = id.asInt)
+        Option(n.get("value-id")).foreach(id => collIds(rv) = id.asInt)
+        MapType(parseType(n.get("key"), rk, collIds),
+          parseType(n.get("value"), rv, collIds),
+          !n.get("value-required").asBoolean(true))
     }
 
   private def parseStruct(n: JsonNode): StructType = {
     import scala.jdk.CollectionConverters._
     StructType(n.get("fields").elements().asScala.map { f =>
+      val collIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      val dt = parseType(f.get("type"), "", collIds)
+      val mb = new MetadataBuilder().putLong(FieldIdKey, f.get("id").asLong)
+      if (collIds.nonEmpty) {
+        val o = JsonNodeFactory.instance.objectNode()
+        collIds.foreach { case (k, v) => o.put(k, v) }
+        mb.putString(CollectionIdsKey, Jsons.mapper.writeValueAsString(o))
+      }
       StructField(
-        f.get("name").asText,
-        parseType(f.get("type")),
+        f.get("name").asText, dt,
         nullable = !f.get("required").asBoolean(false),
-        metadata = new MetadataBuilder()
-          .putLong(FieldIdKey, f.get("id").asLong).build())
+        metadata = mb.build())
     }.toSeq)
   }
 

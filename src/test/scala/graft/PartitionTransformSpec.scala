@@ -96,4 +96,105 @@ class PartitionTransformSpec extends SparkSuite {
     assert(id(evolved, "c") == id(v1, "c"))      // would shift without merge
     assert(id(evolved, "b") == 3)                // fresh id past max
   }
+
+  test("list/map element/key/value ids are unique and round-trip") {
+    import graft.formats.iceberg.IcebergSchemas
+    val schema = IcebergSchemas.assignFieldIds(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, ArrayType(
+        StructType(Seq(StructField("inner", IntegerType)))))))))
+    val json = IcebergSchemas.toIcebergJson(schema)
+    // the Iceberg spec requires every field/element/key/value id unique
+    val ids = "\"(?:id|element-id|key-id|value-id)\"\\s*:\\s*(\\d+)".r
+      .findAllMatchIn(json).map(_.group(1).toInt).toSeq
+    assert(ids.nonEmpty && ids.distinct.size == ids.size,
+      s"duplicate ids in $json")
+    assert(!ids.contains(0), s"unassigned 0 id in $json")
+    // round-trip preserves every id, including collection positions
+    val back = IcebergSchemas.fromIcebergJson(json)
+    assert(IcebergSchemas.toIcebergJson(back) == json)
+  }
+
+  test("collection ids stay stable under evolution") {
+    import graft.formats.iceberg.IcebergSchemas
+    val v1 = IcebergSchemas.assignFieldIds(StructType(Seq(
+      StructField("a", LongType),
+      StructField("tags", ArrayType(StringType)))))
+    val v2 = StructType(Seq(
+      StructField("a", LongType),
+      StructField("extra", StringType),
+      StructField("tags", ArrayType(StringType))))
+    val evolved = IcebergSchemas.evolveFieldIds(v1, v2)
+    def collJson(s: StructType, n: String) =
+      s(n).metadata.getString(IcebergSchemas.CollectionIdsKey)
+    assert(collJson(evolved, "tags") == collJson(v1, "tags"))
+  }
+
+  test("schema evolution emits ordered rename/drop/promote/add ops") {
+    import graft.formats.iceberg.IcebergSchemas
+    val v1 = IcebergSchemas.assignFieldIds(StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("b", StringType),
+      StructField("c", DoubleType))))
+    def id(s: StructType, n: String) =
+      s(n).metadata.getLong(IcebergSchemas.FieldIdKey).toInt
+    // rename b -> b2 (same id carried by the source), drop c, promote a,
+    // add d
+    val v2 = StructType(Seq(
+      StructField("a", LongType),
+      StructField("b2", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putLong(IcebergSchemas.FieldIdKey, id(v1, "b").toLong).build()),
+      StructField("d", StringType)))
+    val (evolved, ops) = IcebergSchemas.evolveWithOps(v1, v2)
+    assert(id(evolved, "a") == id(v1, "a"))      // promoted in place
+    assert(id(evolved, "b2") == id(v1, "b"))     // rename keeps id
+    assert(id(evolved, "d") > id(v1, "c"))       // dropped id never reused
+    assert(ops.map(_.op) == Seq("promote", "rename", "drop", "add"))
+    assert(ops.find(_.op == "rename").get.fieldId == id(v1, "b"))
+    assert(ops.find(_.op == "drop").get.fieldId == id(v1, "c"))
+    // incompatible change refuses loudly
+    val bad = StructType(Seq(StructField("a", StringType)))
+    intercept[IllegalArgumentException] {
+      IcebergSchemas.evolveWithOps(v1, bad)
+    }
+  }
+
+  test("evolution survives two target syncs with stable ids") {
+    import graft.formats.iceberg._
+    import graft.sources.ParquetDirectorySource
+    import graft.sync.TableFormatSync
+    val target = tmpDir("evo_ice")
+    val dataDir = tmpDir("evo_data")
+    spark.read.parquet(sf("sf0.001") + "/region.parquet")
+      .write.mode("overwrite").parquet(dataDir)
+    val src = new ParquetDirectorySource(spark, dataDir, "region")
+    val r1 = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(r1.forall(_.status == "SUCCESS"))
+    val ice1 = new IcebergConversionSource(spark, target, "region")
+    val s1 = ice1.currentTable().schema
+    def id(s: StructType, n: String) =
+      s(n).metadata.getLong(IcebergSchemas.FieldIdKey).toInt
+
+    // second sync: r_comment renamed (id-carried) and a column added
+    val renamed = StructType(s1.fields.map { f =>
+      if (f.name == "r_name") f.copy(name = "r_note") else f
+    } :+ StructField("r_extra", LongType))
+    val snap2 = src.currentSnapshot()
+    val snapEvolved = snap2.copy(table = snap2.table.copy(
+      schemaJson = renamed.json))
+    val r2 = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, target)),
+      snapEvolved, src.sourceFormat)
+    assert(r2.forall(_.status == "SUCCESS"))
+    val s2 = new IcebergConversionSource(spark, target, "region")
+      .currentTable().schema
+    assert(id(s2, "r_note") == id(s1, "r_name"))      // rename kept id
+    assert(id(s2, "r_regionkey") == id(s1, "r_regionkey"))
+    assert(s2.fieldNames.contains("r_extra"))
+    assert(id(s2, "r_extra") > s1.fields.map(f => id(s1, f.name)).max)
+  }
 }
