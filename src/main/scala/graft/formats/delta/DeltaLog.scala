@@ -41,26 +41,59 @@ object DeltaLog {
   def checkpointFile(tablePath: String, version: Long): String =
     f"${logPath(tablePath)}/$version%020d.checkpoint.parquet"
 
+  /** Multi-part checkpoint file (Delta protocol `%020d.checkpoint.
+    * %010d.%010d.parquet`): big live sets checkpoint in parallel instead of
+    * through one task.
+    */
+  def checkpointPartFile(tablePath: String, version: Long, part: Int,
+      parts: Int): String =
+    f"${logPath(tablePath)}/$version%020d.checkpoint.$part%010d.$parts%010d.parquet"
+
   def lastCheckpointFile(tablePath: String): String =
     s"${logPath(tablePath)}/_last_checkpoint"
 
-  /** Latest checkpoint at or before `version`, if any. */
-  def latestCheckpoint(tablePath: String, version: Long, conf: Configuration)
-      : Option[Long] = {
+  private val CheckpointName =
+    "(\\d{20})\\.checkpoint(?:\\.(\\d{10})\\.(\\d{10}))?\\.parquet".r
+
+  /** (version, parts-or-1, names) for every COMPLETE checkpoint in the log
+    * (a multi-part checkpoint counts only when all its parts are present).
+    */
+  private def completeCheckpoints(tablePath: String, conf: Configuration)
+      : Seq[(Long, Seq[String])] = {
     val dir = new Path(logPath(tablePath))
     val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return None
-    fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".checkpoint.parquet"))
-      .map(_.stripSuffix(".checkpoint.parquet").toLong)
-      .filter(_ <= version)
-      .sorted.lastOption
+    if (!fs.exists(dir)) return Nil
+    val matches = fs.listStatus(dir).toSeq.map(_.getPath.getName).flatMap {
+      case n @ CheckpointName(v, _, parts) =>
+        Some((v.toLong, Option(parts).map(_.toInt).getOrElse(1), n))
+      case _ => None
+    }
+    matches.groupBy(m => (m._1, m._2)).toSeq.collect {
+      case ((v, parts), files) if files.size == parts =>
+        (v, files.map(f => s"${logPath(tablePath)}/${f._3}").sorted)
+    }
   }
 
-  def writeLastCheckpointHint(tablePath: String, version: Long): Unit =
+  /** Latest complete checkpoint at or before `version`, if any. */
+  def latestCheckpoint(tablePath: String, version: Long, conf: Configuration)
+      : Option[Long] =
+    completeCheckpoints(tablePath, conf).map(_._1)
+      .filter(_ <= version).sorted.lastOption
+
+  /** All parquet files of the checkpoint at `version`. */
+  def checkpointFilesAt(tablePath: String, version: Long, conf: Configuration)
+      : Seq[String] =
+    completeCheckpoints(tablePath, conf)
+      .collectFirst { case (v, files) if v == version => files }
+      .getOrElse(Seq(checkpointFile(tablePath, version)))
+
+  def writeLastCheckpointHint(tablePath: String, version: Long,
+      parts: Int = 1): Unit = {
+    val json = if (parts <= 1) s"""{"version":$version}"""
+      else s"""{"version":$version,"parts":$parts}"""
     Files.write(JPaths.get(lastCheckpointFile(tablePath)),
-      s"""{"version":$version}""".getBytes(StandardCharsets.UTF_8))
+      json.getBytes(StandardCharsets.UTF_8))
+  }
 
   /** Atomically write one commit file; returns false if the version already
     * exists (concurrent writer won).
@@ -73,12 +106,6 @@ object DeltaLog {
     val tmp = Files.createTempFile(target.getParent, s".$version", ".json.tmp")
     val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
     try { lines.foreach { l => w.write(l); w.write('\n') } } finally w.close()
-    try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
+    graft.util.AtomicFiles.publish(tmp, target)
   }
 }

@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.JsonNode
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -94,33 +95,59 @@ object DeltaSnapshot {
   def readCheckpoint(spark: SparkSession, tablePath: String, cpVersion: Long)
       : Dataset[ActionRow] = {
     import spark.implicits._
-    val df = spark.read.parquet(DeltaLog.checkpointFile(tablePath, cpVersion))
+    val files = DeltaLog.checkpointFilesAt(tablePath, cpVersion,
+      new Configuration())
+    val df = spark.read.parquet(files: _*)
     val withDv = if (df.columns.contains("hasDeletionVector")) df
       else df.withColumn("hasDeletionVector", lit(false))
     withDv.as[ActionRow]
   }
 
+  /** Checkpoint actions per multi-part file — bounds per-task memory and
+    * parallelizes both write and replay at 10^6+ files.
+    */
+  private val ActionsPerCheckpointPart = 100000L
+
+  /** Write a checkpoint for `version`. All file operations go through the
+    * Hadoop FileSystem of the log path (object-store-safe; java.io/java.nio
+    * would silently assume a local filesystem), and the live set is written
+    * as N parallel parts (Delta multi-part checkpoint naming) rather than
+    * serialized through one task.
+    */
   def writeCheckpoint(spark: SparkSession, tablePath: String, version: Long,
       schema: StructType): Unit = {
     import spark.implicits._
     val conf = new Configuration()
     val versions = DeltaLog.listVersions(tablePath, conf).filter(_ <= version)
     val live = liveFiles(spark, tablePath, versions, schema)
-    val tp = tablePath
     val rows = live.map { f =>
       ActionRow(version, "add", f.path, f.fileSizeBytes,
         f.lastModifiedMillis,
         f.partitionValues.map(p => p.field -> p.value).toMap,
         DeltaStats.toJson(schema, f.recordCount, f.columnStats))
-    }
-    val tmpDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    rows.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-    val part = new java.io.File(tmpDir).listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(DeltaLog.checkpointFile(tablePath, version)),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    DeltaLog.writeLastCheckpointHint(tablePath, version)
+    }.persist()
+    try {
+      val n = rows.count()
+      val parts = math.min(128L,
+        math.max(1L, (n + ActionsPerCheckpointPart - 1) / ActionsPerCheckpointPart)).toInt
+      val logDir = new Path(DeltaLog.logPath(tablePath))
+      val fs = logDir.getFileSystem(conf)
+      val tmpDir = new Path(logDir, s".ckpt-$version-tmp")
+      rows.repartition(parts).write.mode("overwrite").parquet(tmpDir.toString)
+      val written = fs.listStatus(tmpDir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      written.zipWithIndex.foreach { case (st, i) =>
+        val dst = new Path(
+          if (written.size == 1) DeltaLog.checkpointFile(tablePath, version)
+          else DeltaLog.checkpointPartFile(tablePath, version,
+            i + 1, written.size))
+        fs.delete(dst, false)
+        fs.rename(st.getPath, dst)
+      }
+      fs.delete(tmpDir, true)
+      DeltaLog.writeLastCheckpointHint(tablePath, version, written.size)
+    } finally rows.unpersist()
   }
 
   /** Live files at a version: the latest action per path wins; within one

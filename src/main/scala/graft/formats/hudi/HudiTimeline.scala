@@ -117,13 +117,7 @@ object HudiTimeline {
       "extraMetadata" -> meta.extraMetadata))
     val tmp = Files.createTempFile(target.getParent, s".${meta.instant}", ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
+    graft.util.AtomicFiles.publish(tmp, target)
   }
 
   def readCommit(tablePath: String, instant: String): CommitMeta = {

@@ -163,8 +163,10 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         removedPaths.contains(p)
       }
       if (dropped.isEmpty) {
-        kept += ((mp, new java.io.File(mp).length(), snapshotId,
-          0, remaining.size, 0))
+        val hp = new org.apache.hadoop.fs.Path(mp)
+        val len = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .getFileStatus(hp).getLen
+        kept += ((mp, len, snapshotId, 0, remaining.size, 0))
       } else if (remaining.nonEmpty) {
         val np = s"$mdir/m-${UUID.randomUUID()}.avro"
         remaining.foreach(_.put("status", IcebergManifests.Status.Existing))
@@ -186,7 +188,11 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       }
       val len = IcebergManifests.writeManifest(np, entryIt)
       if (addedCount > 0) kept += ((np, len, snapshotId, addedCount, 0, 0))
-      else new java.io.File(np).delete()
+      else {
+        val hp = new org.apache.hadoop.fs.Path(np)
+        hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(hp, false)
+      }
     }
 
     // manifest compaction: when the list grows past the threshold, merge

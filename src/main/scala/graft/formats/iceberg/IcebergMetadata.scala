@@ -120,15 +120,11 @@ object IcebergMetadata {
     val tmp = Files.createTempFile(target.getParent, s".v$version", ".tmp")
     Files.write(tmp, Jsons.mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(o).getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    if (graft.util.AtomicFiles.publish(tmp, target)) {
       Files.write(JPaths.get(versionHint(tablePath)),
         version.toString.getBytes(StandardCharsets.UTF_8))
       true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
+    } else false
   }
 
   def read(tablePath: String, version: Long): IcebergTableMetadata = {

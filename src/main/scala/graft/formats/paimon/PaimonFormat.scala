@@ -151,15 +151,11 @@ object PaimonFormat {
       "graftMetadata" -> s.graftMetadata.orNull))
     val tmp = Files.createTempFile(dir, s".snap${s.id}", ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    if (graft.util.AtomicFiles.publish(tmp, target)) {
       Files.write(dir.resolve("LATEST"),
         s.id.toString.getBytes(StandardCharsets.UTF_8))
       true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
+    } else false
   }
 
   def readSnapshot(tablePath: String, id: Long): PaimonSnapshot = {

@@ -15,9 +15,17 @@ object PathUtils {
 
   def canonical(path: String): String = {
     var p = path
+    // %-decode ONLY when the input was a URI (had a scheme): a bare
+    // filesystem path legitimately named 'a%20b.parquet' must not be
+    // rewritten to 'a b.parquet' — canonical paths are the join keys of
+    // every files-diff, and a mangled name turns an unchanged file into a
+    // permanent spurious add+remove pair each sync. The reference's
+    // PathUtils decodes URI-encoded paths only, same rule.
+    val wasUri = p.startsWith("file:")
     if (p.startsWith("file://")) p = p.substring("file://".length)
     else if (p.startsWith("file:")) p = p.substring("file:".length)
-    if (p.contains('%')) p = URLDecoder.decode(p, StandardCharsets.UTF_8)
+    if (wasUri && p.contains('%'))
+      p = URLDecoder.decode(p, StandardCharsets.UTF_8)
     if (p.length > 1 && p.endsWith("/")) p = p.dropRight(1)
     p
   }

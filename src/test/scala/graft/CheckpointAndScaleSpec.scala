@@ -41,6 +41,46 @@ class CheckpointAndScaleSpec extends SparkSuite {
     assert(live.forall(_.recordCount > 0))
   }
 
+  test("multi-part checkpoints list and replay as one checkpoint") {
+    // write a table, checkpoint it, then split the checkpoint into the
+    // protocol's multi-part naming — listing must treat the parts as one
+    // complete checkpoint and replay must union them
+    val dataDir = tmpDir("mp_data")
+    val target = tmpDir("mp_delta")
+    Files.copy(Paths.get(sf("sf0.001/supplier.parquet")),
+      Paths.get(dataDir, "f1.parquet"))
+    val src = new ParquetDirectorySource(spark, dataDir, "supplier")
+    val r = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(r.forall(_.status == "SUCCESS"))
+    DeltaSnapshot.writeCheckpoint(spark, target, 0L,
+      src.currentTable().schema)
+    val single = Paths.get(DeltaLog.checkpointFile(target, 0L))
+    assert(Files.exists(single))
+
+    // split: copy the single checkpoint into two identical halves under
+    // part naming (content split does not matter for the listing logic)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Files.copy(single, Paths.get(
+      DeltaLog.checkpointPartFile(target, 0L, 1, 2)))
+    // incomplete multi-part (1 of 2): must NOT be treated as complete;
+    // the single-file checkpoint still wins
+    assert(DeltaLog.checkpointFilesAt(target, 0L, conf).size == 1)
+    Files.copy(single, Paths.get(
+      DeltaLog.checkpointPartFile(target, 0L, 2, 2)))
+    Files.delete(single)
+    // now only the complete 2-part checkpoint remains
+    assert(DeltaLog.latestCheckpoint(target, 0L, conf).contains(0L))
+    val parts = DeltaLog.checkpointFilesAt(target, 0L, conf)
+    assert(parts.size == 2, parts.toString)
+    // replay through the parts (each holds the full set here, so the
+    // de-duplicating replay must still see every path)
+    val live = new DeltaConversionSource(spark, target, "supplier")
+      .currentSnapshot().files.collect()
+    assert(live.length == 1 && live.forall(_.recordCount > 0))
+  }
+
   test("LoadTest-shaped scale: 100k synthetic file actions through delta sync") {
     // mirrors the reference's load test (LoadTest.java:68-95: 1000
     // partitions x 100 files) — metadata-plane only, no physical files

@@ -21,6 +21,34 @@ class ConcurrencySpec extends SparkSuite {
     assert(!content.contains("\"x\""))
   }
 
+  test("commit CAS under a true race: exactly one concurrent writer wins") {
+    // rename(2) silently replaces an existing target, so exists-check +
+    // move is TOCTOU-racy (both writers "succeed", one commit lost); the
+    // hard-link publish must let exactly one of N simultaneous writers win.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val target = tmpDir("truerace_delta")
+    val n = 8
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    (0 until n).foreach { i =>
+      pool.execute { () =>
+        start.await()
+        if (DeltaLog.writeCommit(target, 7L,
+            Iterator(s"""{"commitInfo":{"writer":$i}}""")))
+          wins.incrementAndGet()
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    assert(wins.get() == 1, s"${wins.get()} writers claimed the same version")
+    // and the surviving content is one winner's, intact
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(DeltaLog.versionFile(target, 7L))))
+    assert(content.matches("""\{"commitInfo":\{"writer":\d\}\}\n"""))
+  }
+
   test("overlapping full syncs converge to the same live set") {
     val target = tmpDir("overlap_delta")
     val src = new ParquetDirectorySource(spark,
