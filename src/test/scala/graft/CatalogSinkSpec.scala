@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog._
+import graft.model.TableFormats
+import graft.sources.{CatalogConversionSource, ParquetDirectorySource}
+import graft.sync.TableFormatSync
+
+/** Catalog sink SPI: conversions end in a catalog registration
+  * (reference GlueCatalogSyncClient / HMSCatalogSyncClient semantics),
+  * and the registered entry must re-resolve as a conversion source.
+  */
+class CatalogSinkSpec extends SparkSuite {
+
+  private def convertAll(): (String, String, String, graft.model.TableSnapshot) = {
+    val deltaDir = tmpDir("cat_delta")
+    val iceDir = tmpDir("cat_ice")
+    val hudiDir = tmpDir("cat_hudi")
+    val src = new ParquetDirectorySource(
+      spark, sf("sf0.001") + "/customer.parquet", "customer")
+    val snap = src.currentSnapshot()
+    val out = TableFormatSync.syncSnapshot(Seq(
+      new graft.formats.delta.DeltaConversionTarget(spark, deltaDir),
+      new graft.formats.iceberg.IcebergConversionTarget(spark, iceDir),
+      new graft.formats.hudi.HudiConversionTarget(spark, hudiDir)),
+      snap, src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    (deltaDir, iceDir, hudiDir, snap)
+  }
+
+  test("all three conversions register in the HMS-shaped catalog and re-resolve") {
+    val (deltaDir, iceDir, hudiDir, snap) = convertAll()
+    val hms = new InMemoryHmsCatalogClient()
+    val regs = Seq(
+      (TableFormats.Delta, deltaDir, "cust_delta"),
+      (TableFormats.Iceberg, iceDir, "cust_ice"),
+      (TableFormats.Hudi, hudiDir, "cust_hudi"))
+    regs.foreach { case (fmt, dir, name) =>
+      val id = CatalogTableIdentifier("lake", name)
+      val table = snap.table.copy(basePath = dir)
+      val metaLoc = if (fmt == TableFormats.Iceberg)
+        Some(s"$dir/metadata/v1.metadata.json") else None
+      val outcomes = CatalogOrchestrator.syncTable(
+        Seq(hms), id, table, fmt, metaLoc)
+      assert(outcomes.forall(_.status == "SUCCESS"), outcomes.toString)
+    }
+
+    // storage descriptors carry each format's public catalog contract
+    val ice = hms.getTable(CatalogTableIdentifier("lake", "cust_ice")).get
+    assert(ice.properties("table_type") == "ICEBERG")
+    assert(ice.properties.contains("metadata_location"))
+    val delta = hms.getTable(CatalogTableIdentifier("lake", "cust_delta")).get
+    assert(delta.properties("spark.sql.sources.provider") == "delta")
+    val hudi = hms.getTable(CatalogTableIdentifier("lake", "cust_hudi")).get
+    assert(hudi.inputFormat.contains("HoodieParquetInputFormat"))
+    // schema translated to hive types
+    assert(delta.columns.exists { case (n, t) =>
+      n == "c_acctbal" && t == "double" })
+    assert(delta.columns.exists { case (n, t) =>
+      n == "c_custkey" && t == "bigint" })
+
+    // each registered location re-resolves as a conversion source of the
+    // right format, reading identical row counts
+    val expected = spark.read.parquet(sf("sf0.001") + "/customer.parquet").count()
+    regs.foreach { case (fmt, dir, name) =>
+      val entry = hms.getTable(CatalogTableIdentifier("lake", name)).get
+      val resolved = CatalogConversionSource.fromPath(
+        spark, entry.location, name)
+      assert(resolved.sourceFormat == fmt, s"$name detected ${resolved.sourceFormat}")
+      val n = graft.formats.delta.DeltaRead
+        .toDataFrame(spark, resolved.currentSnapshot()).count()
+      assert(n == expected, s"$name: $n != $expected")
+    }
+  }
+
+  test("create/refresh/replace semantics match the metastore contract") {
+    val hms = new InMemoryHmsCatalogClient()
+    val id = CatalogTableIdentifier("db1", "t1")
+    val (deltaDir, _, _, snap) = convertAll()
+    val t = CatalogTableBuilders.forTable(id,
+      snap.table.copy(basePath = deltaDir), TableFormats.Delta)
+    hms.createDatabase("db1")
+    hms.createTable(t)
+    intercept[IllegalStateException](hms.createTable(t))      // create is CAS
+    // same location+format → refresh keeps identity
+    val out1 = CatalogOrchestrator.syncTable(Seq(hms), id,
+      snap.table.copy(basePath = deltaDir), TableFormats.Delta)
+    assert(out1.head.status == "SUCCESS")
+    // diverged location → replaced wholesale
+    val otherDir = tmpDir("cat_other")
+    val out2 = CatalogOrchestrator.syncTable(Seq(hms), id,
+      snap.table.copy(basePath = otherDir), TableFormats.Delta)
+    assert(out2.head.status == "SUCCESS")
+    assert(hms.getTable(id).get.location == otherDir)
+  }
+
+  test("partition registration is an explicit add/drop diff") {
+    val hms = new InMemoryHmsCatalogClient()
+    val id = CatalogTableIdentifier("db2", "events")
+    hms.createDatabase("db2")
+    hms.createOrReplaceTable(CatalogTableDef(id, "/x", "DELTA",
+      Seq("v" -> "double"), Seq("event_type" -> "string"),
+      "", "", "", Map.empty))
+    hms.addPartitions(id, Seq(
+      CatalogPartition(Seq("click"), "/x/event_type=click"),
+      CatalogPartition(Seq("view"), "/x/event_type=view")))
+    // desired set drops view, adds purchase — diff must do exactly that
+    val desired = Seq(
+      CatalogPartition(Seq("click"), "/x/event_type=click"),
+      CatalogPartition(Seq("purchase"), "/x/event_type=purchase"))
+    CatalogOrchestrator.syncTable(Seq(hms), id,
+      graft.model.TableDescriptor("events", "DELTA", "/x",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType))),
+        Seq(graft.model.PartitionFieldSpec("event_type", "VALUE")),
+        graft.model.Layout.HivePartitioned, 0L),
+      TableFormats.Delta, None, desired)
+    assert(hms.listPartitions(id).map(_.values.head).sorted ==
+      Seq("click", "purchase"))
+  }
+
+  test("hive-partitioned snapshot yields one catalog partition per directory") {
+    val dataDir = tmpDir("cat_part_data")
+    spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .withColumn("ts_us", unix_micros(
+        timestamp_micros((col("ts") / 1000).cast("long")))).drop("ts")
+      .repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dataDir)
+    val src = new ParquetDirectorySource(spark, dataDir, "events")
+    val parts = CatalogOrchestrator.partitionsOf(spark, src.currentSnapshot())
+    assert(parts.nonEmpty)
+    assert(parts.map(_.values.head).distinct.size == parts.size)
+    assert(parts.forall(p => p.location.contains(s"event_type=${p.values.head}")))
+  }
+
+  test("session-catalog client implements the same SPI") {
+    val (_, _, _, snap) = convertAll()
+    val client = new SparkSessionCatalogClient(spark)
+    val id = CatalogTableIdentifier("graft_cat_test", "cust")
+    // session catalog reads through parquet, so the entry points at the
+    // physical data location (conversions are zero-copy: the delta dir
+    // holds only the log)
+    val outcomes = CatalogOrchestrator.syncTable(Seq(client), id,
+      snap.table, TableFormats.Delta)
+    assert(outcomes.forall(_.status == "SUCCESS"), outcomes.toString)
+    val back = client.getTable(id)
+    assert(back.isDefined)
+    assert(back.get.properties.get("graft.format").contains("DELTA"))
+    // queryable by name through Spark SQL
+    val n = spark.sql(s"SELECT count(*) FROM graft_cat_test.cust").head().getLong(0)
+    assert(n == spark.read.parquet(sf("sf0.001") + "/customer.parquet").count())
+    client.dropTable(id)
+    assert(client.getTable(id).isEmpty)
+  }
+}
