@@ -22,28 +22,63 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
 
   private def instants: Seq[String] = HudiTimeline.listInstants(tablePath)
 
+  /** Per-instant cumulative live state (latest write per fileId + replaced
+    * set) for the WHOLE timeline — archived plus active — folded ONCE and
+    * snapshotted per commit via persistent-map structural sharing. Replaying
+    * an N-commit backlog is then O(N log N) total; the previous shape
+    * (re-fold the timeline per changeForCommit) was O(N²). The cache is
+    * keyed on the active instant list so new commits invalidate it.
+    */
+  private type LiveState =
+    (String, Map[String, (String, HudiTimeline.WriteStat, String)], Set[String])
+  private var timelineCache
+      : Option[(Seq[String], Seq[HudiTimeline.CommitMeta], Vector[LiveState])] =
+    None
+
+  private def timeline(): (Seq[HudiTimeline.CommitMeta], Vector[LiveState]) =
+    synchronized {
+      val active = instants
+      timelineCache match {
+        case Some((key, commits, states)) if key == active => (commits, states)
+        case _ =>
+          val commits = (HudiTimeline.readArchivedCommits(tablePath) ++
+            active.map(HudiTimeline.readCommit(tablePath, _)))
+            .sortBy(_.instant)
+          val states = commits.scanLeft(
+            ("", Map.empty[String, (String, HudiTimeline.WriteStat, String)],
+              Set.empty[String]): LiveState) {
+            case ((_, latest0, replaced0), c) =>
+              var latest = latest0
+              var replaced = replaced0
+              for ((part, stats) <- c.partitionToWriteStats; s <- stats) {
+                latest = latest.updated(s.fileId, (part, s, c.instant))
+                replaced -= s.fileId      // re-add revives a file group
+              }
+              for ((_, ids) <- c.partitionToReplaceFileIds; id <- ids)
+                replaced += id
+              (c.instant, latest, replaced)
+          }.toVector
+          timelineCache = Some((active, commits, states))
+          (commits, states)
+      }
+    }
+
   private def commitsUpTo(instant: String): Seq[HudiTimeline.CommitMeta] =
-    instants.filter(_ <= instant).map(HudiTimeline.readCommit(tablePath, _))
+    timeline()._1.filter(_.instant <= instant)
 
   /** Live (partition, WriteStat) pairs as of an instant: latest write per
     * fileId wins; fileIds replaced by a later replacecommit are dropped.
     */
   private def liveStats(upTo: String)
       : Seq[(String, HudiTimeline.WriteStat, String)] = {
-    val commits = commitsUpTo(upTo)
-    val latest = scala.collection.mutable.LinkedHashMap
-      .empty[String, (String, HudiTimeline.WriteStat, String)]
-    val replaced = scala.collection.mutable.Set.empty[String]
-    for (c <- commits) {
-      for ((part, stats) <- c.partitionToWriteStats; s <- stats) {
-        latest(s.fileId) = (part, s, c.instant)
-        replaced -= s.fileId          // re-add revives a file group
-      }
-      for ((_, ids) <- c.partitionToReplaceFileIds; id <- ids)
-        replaced += id
+    val states = timeline()._2
+    val idx = states.lastIndexWhere(s => s._1 <= upTo)
+    if (idx <= 0) Nil
+    else {
+      val (_, latest, replaced) = states(idx)
+      latest.values.filter { case (_, s, _) => !replaced.contains(s.fileId) }
+        .toSeq.sortBy { case (_, s, _) => s.fileId }
     }
-    latest.values.filter { case (_, s, _) => !replaced.contains(s.fileId) }
-      .map(identity).toSeq
   }
 
   private def schemaFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
@@ -152,9 +187,16 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
   override def commitsBacklog(lastSynced: String): Seq[String] =
     instants.filter(_ > lastSynced)
 
-  /** No archival implemented → replay is safe from any retained instant. */
+  /** Incremental is safe only while every instant after the sync point is
+    * still in the ACTIVE timeline — an archived instant past it means the
+    * backlog is no longer individually replayable and the controller must
+    * fall back to a full sync (reference
+    * HudiConversionSource.java:165-216, isIncrementalSyncSafeFrom +
+    * doesCommitExistsAsOfInstant).
+    */
   override def isIncrementalSyncSafeFrom(commit: String): Boolean =
-    instants.isEmpty || commit <= instants.last
+    HudiTimeline.archivedInstants(tablePath).forall(_ <= commit) &&
+      (instants.isEmpty || commit <= instants.last)
 
   def toDataFrame: DataFrame =
     graft.formats.delta.DeltaRead.toDataFrame(spark, currentSnapshot())

@@ -98,32 +98,22 @@ object HudiTimeline {
     if (Files.exists(commitPath(tablePath, instant, "replacecommit")))
       "replacecommit" else "commit"
 
-  def writeCommit(meta: CommitMeta, tablePath: String): Boolean = {
-    val target = commitPath(tablePath, meta.instant, meta.action)
-    Files.createDirectories(target.getParent)
-    if (Files.exists(target)) return false
-    val json = Jsons.toJson(Map(
-      "partitionToWriteStats" -> meta.partitionToWriteStats.map {
-        case (p, stats) => p -> stats.map(s => Map(
-          "fileId" -> s.fileId, "path" -> s.path,
-          "numWrites" -> s.numWrites,
-          "fileSizeInBytes" -> s.fileSizeInBytes,
-          "totalWriteBytes" -> s.fileSizeInBytes))
-      },
-      "partitionToReplaceFileIds" -> meta.partitionToReplaceFileIds,
-      "compacted" -> false,
-      "operationType" -> (if (meta.action == "replacecommit") "CLUSTER"
-        else "UPSERT"),
-      "extraMetadata" -> meta.extraMetadata))
-    val tmp = Files.createTempFile(target.getParent, s".${meta.instant}", ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    graft.util.AtomicFiles.publish(tmp, target)
-  }
+  private def commitJson(meta: CommitMeta): String = Jsons.toJson(Map(
+    "partitionToWriteStats" -> meta.partitionToWriteStats.map {
+      case (p, stats) => p -> stats.map(s => Map(
+        "fileId" -> s.fileId, "path" -> s.path,
+        "numWrites" -> s.numWrites,
+        "fileSizeInBytes" -> s.fileSizeInBytes,
+        "totalWriteBytes" -> s.fileSizeInBytes))
+    },
+    "partitionToReplaceFileIds" -> meta.partitionToReplaceFileIds,
+    "compacted" -> false,
+    "operationType" -> (if (meta.action == "replacecommit") "CLUSTER"
+      else "UPSERT"),
+    "extraMetadata" -> meta.extraMetadata))
 
-  def readCommit(tablePath: String, instant: String): CommitMeta = {
-    val action = actionOf(tablePath, instant)
-    val n = Jsons.mapper.readTree(Files.readAllBytes(
-      commitPath(tablePath, instant, action)))
+  private def parseCommit(n: com.fasterxml.jackson.databind.JsonNode,
+      instant: String, action: String): CommitMeta = {
     def writeStats = Option(n.get("partitionToWriteStats")).map { pw =>
       pw.properties().asScala.map { e =>
         e.getKey -> e.getValue.elements().asScala.map { s =>
@@ -141,5 +131,83 @@ object HudiTimeline {
       Option(n.get("extraMetadata")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap)
         .getOrElse(Map.empty))
+  }
+
+  def writeCommit(meta: CommitMeta, tablePath: String): Boolean = {
+    val target = commitPath(tablePath, meta.instant, meta.action)
+    Files.createDirectories(target.getParent)
+    if (Files.exists(target)) return false
+    val tmp = Files.createTempFile(target.getParent, s".${meta.instant}", ".tmp")
+    Files.write(tmp, commitJson(meta).getBytes(StandardCharsets.UTF_8))
+    graft.util.AtomicFiles.publish(tmp, target)
+  }
+
+  def readCommit(tablePath: String, instant: String): CommitMeta = {
+    val action = actionOf(tablePath, instant)
+    parseCommit(Jsons.mapper.readTree(Files.readAllBytes(
+      commitPath(tablePath, instant, action))), instant, action)
+  }
+
+  // ---- timeline archival -------------------------------------------------
+  // Reference: Hudi's HoodieTimelineArchiver keeps the ACTIVE timeline
+  // bounded by moving old completed instants into an archive log under
+  // .hoodie/archived. Archived instants remain readable (snapshot replay,
+  // audit) but are no longer served for incremental pulls — that is the
+  // safety contract HudiConversionSource.java:165-216 enforces: a sync
+  // point older than the earliest retained active instant must fall back
+  // to a full sync.
+
+  def archiveDir(tablePath: String): String =
+    s"${hoodieDir(tablePath)}/archived"
+
+  /** Archived instants, oldest first. */
+  def archivedInstants(tablePath: String): Seq[String] =
+    readArchivedCommits(tablePath).map(_.instant)
+
+  /** Every archived commit's metadata, oldest first. */
+  def readArchivedCommits(tablePath: String): Seq[CommitMeta] = {
+    val dir = JPaths.get(archiveDir(tablePath))
+    if (!Files.exists(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".archived"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .flatMap { batch =>
+        new String(Files.readAllBytes(batch), StandardCharsets.UTF_8)
+          .linesIterator.filter(_.nonEmpty).map { line =>
+            val n = Jsons.mapper.readTree(line)
+            parseCommit(n.get("commit"),
+              n.get("instant").asText, n.get("action").asText)
+          }.toSeq
+      }.sortBy(_.instant)
+  }
+
+  /** Move all but the newest `retainLast` active instants into one archive
+    * batch. Returns the archived instants (empty when under the window).
+    */
+  def archiveInstants(tablePath: String, retainLast: Int): Seq[String] = {
+    require(retainLast >= 1, "must retain at least one active instant")
+    val active = listInstants(tablePath)
+    if (active.size <= retainLast) return Nil
+    val toArchive = active.dropRight(retainLast)
+    val dir = JPaths.get(archiveDir(tablePath))
+    Files.createDirectories(dir)
+    val lines = toArchive.map { i =>
+      val action = actionOf(tablePath, i)
+      val body = new String(Files.readAllBytes(
+        commitPath(tablePath, i, action)), StandardCharsets.UTF_8)
+      s"""{"instant":"$i","action":"$action","commit":$body}"""
+    }
+    val batch = dir.resolve(
+      s"commits_${toArchive.head}_${toArchive.last}.archived")
+    val tmp = Files.createTempFile(dir, ".batch", ".tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    if (!graft.util.AtomicFiles.publish(tmp, batch))
+      throw new IllegalStateException(s"archive batch $batch already exists")
+    // archive batch is durable; now retire the active files
+    toArchive.foreach { i =>
+      Files.deleteIfExists(commitPath(tablePath, i, actionOf(tablePath, i)))
+    }
+    toArchive
   }
 }

@@ -68,6 +68,77 @@ class HudiSyncSpec extends SparkSuite {
     assert(last.action == "replacecommit")
   }
 
+  test("archival bounds the active timeline but keeps snapshots complete") {
+    val dataDir = tmpDir("hudi_arc_data")
+    val target = tmpDir("hudi_arc")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(spark, dataDir, "region")
+    for (i <- 1 to 4) {
+      Files.copy(srcFile, Paths.get(dataDir, s"f$i.parquet"))
+      Paths.get(dataDir, s"f$i.parquet").toFile.setLastModified(i * 1000000L)
+      val r = controller.sync(src, Seq(new HudiConversionTarget(spark, target)))
+      assert(r.forall(_.status == "SUCCESS"), r.mkString(";"))
+    }
+    val before = HudiTimeline.listInstants(target)
+    assert(before.size == 4)
+
+    val archived = HudiTimeline.archiveInstants(target, retainLast = 1)
+    assert(archived == before.dropRight(1))
+    assert(HudiTimeline.listInstants(target) == before.takeRight(1))
+    assert(HudiTimeline.archivedInstants(target) == archived)
+
+    // snapshot replay still sees every file group (archive is readable)
+    val hudi = new HudiConversionSource(spark, target, "region")
+    assert(hudi.currentSnapshot().files.count() == 4)
+
+    // incremental from BEFORE the archive horizon is refused (commits
+    // between the sync point and the active window are gone)...
+    assert(!hudi.isIncrementalSyncSafeFrom(archived.head))
+    // ...but from the horizon itself or later the backlog is fully active
+    assert(hudi.isIncrementalSyncSafeFrom(archived.last))
+    assert(hudi.isIncrementalSyncSafeFrom(before.last))
+  }
+
+  test("controller falls back to full sync past an archived timeline") {
+    val dataDir = tmpDir("hudi_fb_data")
+    val hudiDir = tmpDir("hudi_fb")
+    val deltaDir = tmpDir("hudi_fb_delta")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    val controller = new ConversionController
+    def parquetSrc = new ParquetDirectorySource(spark, dataDir, "region")
+    def hudiSrc = new HudiConversionSource(spark, hudiDir, "region")
+
+    // commit 1 into hudi, then sync hudi -> delta (records instant 1)
+    Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"))
+    Paths.get(dataDir, "f1.parquet").toFile.setLastModified(1000000L)
+    assert(controller.sync(parquetSrc,
+      Seq(new HudiConversionTarget(spark, hudiDir)))
+      .forall(_.status == "SUCCESS"))
+    assert(controller.sync(hudiSrc,
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, deltaDir)))
+      .forall(_.status == "SUCCESS"))
+
+    // two more hudi commits, then archive past the delta sync point
+    for (i <- 2 to 3) {
+      Files.copy(srcFile, Paths.get(dataDir, s"f$i.parquet"))
+      Paths.get(dataDir, s"f$i.parquet").toFile.setLastModified(i * 1000000L)
+      assert(controller.sync(parquetSrc,
+        Seq(new HudiConversionTarget(spark, hudiDir)))
+        .forall(_.status == "SUCCESS"))
+    }
+    HudiTimeline.archiveInstants(hudiDir, retainLast = 1)
+
+    // incremental would need archived instants → controller must fall back
+    // to FULL and still converge
+    val r = controller.sync(hudiSrc,
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, deltaDir)))
+    assert(r.head.status == "SUCCESS" && r.head.mode == SyncMode.Full,
+      r.mkString(";"))
+    assert(new graft.formats.delta.DeltaConversionSource(
+      spark, deltaDir, "region").currentSnapshot().files.count() == 3)
+  }
+
   test("hudi -> delta cross-format sync") {
     val hudiDir = tmpDir("hudi_x")
     val deltaDir = tmpDir("hudi_x_delta")
