@@ -1,9 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.model._
 import graft.sources.ParquetDirectorySource
 
 /** Metadata-plane queries: results computed from the engine's *metadata*
@@ -14,41 +12,38 @@ import graft.sources.ParquetDirectorySource
   */
 object MetadataQueries {
 
-  /** Merge per-file canonical stats into table-level (min, max, nulls). */
-  private def mergedStat(files: Seq[FileEntry], field: String, dt: DataType)
-      : (Option[String], Option[String], Long) = {
-    val per = files.flatMap(_.columnStats.filter(_.field == field))
-    val mn = per.flatMap(_.min)
-      .reduceOption((a, b) => if (StatCodec.lt(a, b, dt)) a else b)
-    val mx = per.flatMap(_.max)
-      .reduceOption((a, b) => if (StatCodec.lt(a, b, dt)) b else a)
-    (mn, mx, per.map(_.numNulls).sum)
-  }
-
   /** Table-level stats for lineitem derived from parquet footers only —
-    * no data scan. Exercises: distributed footer read, row-group merge,
-    * canonical codec, typed decode.
+    * no data scan, and no driver fold either: the per-file stats Dataset is
+    * exploded and aggregated with groupless min/max/sum, so the merge runs
+    * distributed (a 10^7-file listing never lands on the driver; only the
+    * one aggregate row does).
     */
   def statsFooterLineitem(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     val src = new ParquetDirectorySource(s, s"$dir/lineitem.parquet", "lineitem")
-    val files = src.currentSnapshot().files.collect().toSeq
-    val (minKey, maxKey, _) = mergedStat(files, "l_orderkey", LongType)
-    val (minQty, maxQty, _) = mergedStat(files, "l_quantity", DoubleType)
-    val (minShip, maxShip, _) = mergedStat(files, "l_shipdate", TimestampType)
-    val (minFlag, maxFlag, _) = mergedStat(files, "l_returnflag", StringType)
-    val records = files.map(_.recordCount).sum
-    val schema = StructType(Seq(
-      StructField("record_count", LongType),
-      StructField("min_orderkey", LongType), StructField("max_orderkey", LongType),
-      StructField("min_qty", DoubleType), StructField("max_qty", DoubleType),
-      StructField("min_shipdate_us", LongType), StructField("max_shipdate_us", LongType),
-      StructField("min_returnflag", StringType), StructField("max_returnflag", StringType)))
-    val row = Row(records,
-      minKey.get.toLong, maxKey.get.toLong,
-      minQty.get.toDouble, maxQty.get.toDouble,
-      minShip.get.toLong, maxShip.get.toLong,
-      minFlag.get, maxFlag.get)
-    s.createDataFrame(java.util.List.of(row), schema)
+    val files = src.currentSnapshot().files
+    // canonical stat strings decode per type: longs/micros/doubles cast,
+    // strings compare raw (StatCodec encodings are cast-compatible)
+    def statMin(field: String, cast: String) =
+      min(when(col("st.field") === field, col("st.min").cast(cast)))
+    def statMax(field: String, cast: String) =
+      max(when(col("st.field") === field, col("st.max").cast(cast)))
+    val stats = files.select(explode(col("columnStats")).as("st"))
+      .agg(
+        statMin("l_orderkey", "long").as("min_orderkey"),
+        statMax("l_orderkey", "long").as("max_orderkey"),
+        statMin("l_quantity", "double").as("min_qty"),
+        statMax("l_quantity", "double").as("max_qty"),
+        statMin("l_shipdate", "long").as("min_shipdate_us"),
+        statMax("l_shipdate", "long").as("max_shipdate_us"),
+        statMin("l_returnflag", "string").as("min_returnflag"),
+        statMax("l_returnflag", "string").as("max_returnflag"))
+    val records = files.agg(
+      sum(col("recordCount")).cast("long").as("record_count"))
+    records.crossJoin(stats)
+      .select("record_count", "min_orderkey", "max_orderkey",
+        "min_qty", "max_qty", "min_shipdate_us", "max_shipdate_us",
+        "min_returnflag", "max_returnflag")
   }
 
   val statsFooterLineitemSql: String =
@@ -71,11 +66,14 @@ object MetadataQueries {
     val names = Seq("lineitem", "orders", "customer", "part", "supplier",
       "nation", "region", "events", "documents", "embeddings")
     // per-table listing jobs submitted concurrently (Spark schedules
-    // concurrent jobs fine; serial submission left cores idle)
+    // concurrent jobs fine; serial submission left cores idle); the
+    // per-table sum is a distributed aggregate — one row reaches the driver
     val rows = Await.result(Future.traverse(names) { n => Future {
+      import org.apache.spark.sql.functions.sum
       val src = new ParquetDirectorySource(s, s"$dir/$n.parquet", n)
-      val files = src.currentSnapshot().files.collect()
-      (n, files.map(_.recordCount).sum)
+      val total = src.currentSnapshot().files
+        .agg(sum("recordCount")).head().getLong(0)
+      (n, total)
     }}, 10.minutes)
     rows.toDF("table_name", "record_count").orderBy("table_name")
   }

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.model._
 import graft.spi.ConversionSource
@@ -10,6 +10,11 @@ import graft.spi.ConversionSource
   * — reference ParquetConversionSource.java:70-301: schema from footers,
   * files from recursive listing, partition values from hive-style paths,
   * commit id = file modification time (Long).
+  *
+  * The listing is a Dataset end-to-end ([[ParquetFooters.listingDataset]]):
+  * directory walk, footer reads, mtime aggregation, and layout detection
+  * all run on executors; the driver only ever sees aggregates (max mtime,
+  * distinct commit stamps) — never the file list itself.
   */
 class ParquetDirectorySource(
     spark: SparkSession,
@@ -19,15 +24,25 @@ class ParquetDirectorySource(
     statsColumns: Option[Set[String]] = None)
   extends ConversionSource {
 
-  private val conf = new Configuration()
   override def sourceFormat: String = TableFormats.Parquet
 
-  private def listing: Seq[ParquetFooters.ListedFile] =
-    ParquetFooters.listFiles(basePath, conf)
+  private def listing: Dataset[ParquetFooters.ListedFile] =
+    ParquetFooters.listingDataset(spark, basePath)
+
+  /** (file count, max mtime, an example path's partition segment count) in
+    * one small aggregate job.
+    */
+  private def listingSummary(): (Long, Long, Option[String]) = {
+    val row = listing.agg(
+      count(lit(1)), max(col("modifiedMillis")), min(col("path"))).head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1),
+      if (row.isNullAt(2)) None else Some(row.getString(2)))
+  }
 
   override def currentTable(): TableDescriptor = {
-    val files = listing
-    if (files.isEmpty) throw new IllegalStateException(
+    val (n, latest, samplePath) = listingSummary()
+    if (n == 0) throw new IllegalStateException(
       s"no parquet data files under $basePath")
     // schema from Spark's own parquet reader (footer-derived, includes
     // hive partition columns); mergeSchema so a column added by newer
@@ -35,32 +50,22 @@ class ParquetDirectorySource(
     // (ParquetConversionSource.java:88-107)
     val schema = spark.read.option("mergeSchema", "true")
       .parquet(basePath).schema
-    val latest = if (files.isEmpty) 0L else files.map(_.modifiedMillis).max
-    val layout = if (partitionSpec.nonEmpty ||
-        files.exists(f => ParquetFooters
-          .partitionValuesFromPath(basePath, f.path).nonEmpty))
+    val samplePartitions = samplePath.toSeq.flatMap(p =>
+      ParquetFooters.partitionValuesFromPath(basePath, p))
+    val layout = if (partitionSpec.nonEmpty || samplePartitions.nonEmpty)
       Layout.HivePartitioned else Layout.Flat
+    val spec =
+      if (partitionSpec.nonEmpty) partitionSpec
+      else samplePartitions.map(pv =>
+        PartitionFieldSpec(pv.field, Transform.Value))
     TableDescriptor(tableName, TableFormats.Parquet,
-      graft.util.PathUtils.canonical(basePath), schema,
-      effectiveSpec(files), layout, latest)
+      graft.util.PathUtils.canonical(basePath), schema, spec, layout, latest)
   }
 
-  /** Partition spec: explicit if given, else inferred identity transforms
-    * from hive-style path segments.
-    */
-  private def effectiveSpec(files: Seq[ParquetFooters.ListedFile])
-      : Seq[PartitionFieldSpec] =
-    if (partitionSpec.nonEmpty) partitionSpec
-    else files.headOption.toSeq.flatMap { f =>
-      ParquetFooters.partitionValuesFromPath(basePath, f.path)
-        .map(pv => PartitionFieldSpec(pv.field, Transform.Value))
-    }
-
   override def currentSnapshot(): TableSnapshot = {
-    val files = listing
     val table = currentTable()
     TableSnapshot(table,
-      ParquetFooters.fileEntries(spark, basePath, files, statsColumns),
+      ParquetFooters.fileEntriesDs(spark, basePath, listing, statsColumns),
       table.latestCommitMillis.toString)
   }
 
@@ -68,17 +73,20 @@ class ParquetDirectorySource(
   override def changeForCommit(commit: String): TableChange = {
     import spark.implicits._
     val ts = commit.toLong
-    val files = listing.filter(_.modifiedMillis == ts)
-    val added = ParquetFooters.fileEntries(spark, basePath, files, statsColumns)
+    val files = listing.filter(col("modifiedMillis") === ts)
+      .as[ParquetFooters.ListedFile]
+    val added = ParquetFooters.fileEntriesDs(
+      spark, basePath, files, statsColumns)
     val table = currentTable().copy(latestCommitMillis = ts)
     TableChange(commit, table,
       FilesDelta(added, spark.emptyDataset[FileEntry]))
   }
 
   override def commitsBacklog(lastSynced: String): Seq[String] = {
+    import spark.implicits._
     val since = lastSynced.toLong
-    listing.map(_.modifiedMillis).filter(_ > since)
-      .distinct.sorted.map(_.toString)
+    listing.select(col("modifiedMillis")).as[Long]
+      .filter(_ > since).distinct().collect().sorted.map(_.toString).toSeq
   }
 
   /** Files never disappear from a plain directory source except via external

@@ -28,8 +28,8 @@ object ParquetFooters {
   case class ListedFile(path: String, length: Long, modifiedMillis: Long)
 
   /** List data files under a base path (recursive, skipping hidden/_ files).
-    * Driver-side: listing is cheap relative to footer reads; the footer
-    * reads are what we distribute.
+    * Driver-side — use only for a single directory subtree; whole-table
+    * listings go through [[listingDataset]] so the walk parallelizes.
     */
   def listFiles(basePath: String, conf: Configuration): Seq[ListedFile] = {
     val base = new Path(basePath)
@@ -46,6 +46,69 @@ object ParquetFooters {
       }
     }
     out.result()
+  }
+
+  private def isDataFile(name: String): Boolean =
+    name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+
+  /** Whole-table listing as a Dataset: the driver reads ONE level (files +
+    * partition directories), then each directory subtree is walked in an
+    * executor task. A 10^5-partition table lists with 10^5-way parallelism
+    * instead of a driver loop over every file (the reference leans on
+    * Hudi's metadata table / parallel listing for exactly this; Spark's
+    * InMemoryFileIndex makes the same driver-vs-cluster split).
+    */
+  def listingDataset(spark: SparkSession, basePath: String)
+      : Dataset[ListedFile] = {
+    import spark.implicits._
+    val conf = new Configuration()
+    val base = new Path(basePath)
+    val fs = base.getFileSystem(conf)
+    val rootStatus = fs.getFileStatus(base)
+    if (rootStatus.isFile) {
+      val lf =
+        if (isDataFile(base.getName))
+          Seq(ListedFile(graft.util.PathUtils.canonical(base.toString),
+            rootStatus.getLen, rootStatus.getModificationTime))
+        else Nil
+      return spark.createDataset(lf)
+    }
+    val level1 = fs.listStatus(base).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+    val direct = level1.filter(s => s.isFile && isDataFile(s.getPath.getName))
+      .map(s => ListedFile(graft.util.PathUtils.canonical(s.getPath.toString),
+        s.getLen, s.getModificationTime))
+    val dirs = level1.filter(_.isDirectory).map(_.getPath.toString)
+    if (dirs.isEmpty) spark.createDataset(direct)
+    else {
+      val parallelism = math.max(1,
+        math.min(dirs.size, spark.sparkContext.defaultParallelism * 2))
+      val sub = spark.createDataset(dirs).repartition(parallelism)
+        .mapPartitions { it =>
+          val c = new Configuration()
+          it.flatMap(d => listFiles(d, c))
+        }
+      spark.createDataset(direct).union(sub)
+    }
+  }
+
+  /** Distributed footer scan over an already-distributed listing. */
+  def fileEntriesDs(spark: SparkSession, basePath: String,
+      files: Dataset[ListedFile], statsColumns: Option[Set[String]] = None)
+      : Dataset[FileEntry] = {
+    import spark.implicits._
+    val base = basePath
+    val cols = statsColumns
+    val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    files.repartition(parallelism).mapPartitions { it =>
+      val conf = new Configuration()
+      it.map { f =>
+        val (records, stats) = readFooterStats(f.path, conf, cols)
+        FileEntry(f.path, f.length, records, "parquet",
+          partitionValuesFromPath(base, f.path), stats, f.modifiedMillis)
+      }
+    }
   }
 
   /** Spark DataType for a parquet primitive column (for stat canonical
