@@ -118,10 +118,30 @@ object DeltaRead {
   def toDataFrame(spark: SparkSession, snap: TableSnapshot): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.functions.col
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val index = new graft.plans.SnapshotFileIndex(cs, snap)
+    val schema = snap.table.schema
+    val partCols = snap.table.partitionFields.map(_.partitionColumnName).toSet
+    // column-mapped tables: the parquet files spell data columns by their
+    // PHYSICAL names — scan under those, then rename back to logical.
+    // Partition columns come from the metadata plane (already logical).
+    val mapped = DeltaColumnMapping.isMapped(schema)
+    val scanSnap = if (!mapped) snap else {
+      val readSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map { f =>
+          if (partCols.contains(f.name)) f
+          else f.copy(name = DeltaColumnMapping.physicalName(f))
+        })
+      snap.copy(table = snap.table.copy(schemaJson = readSchema.json))
+    }
+    val index = new graft.plans.SnapshotFileIndex(cs, scanSnap)
     val relation = HadoopFsRelation(index, index.partitionSchema,
       index.dataSchema, None, new ParquetFileFormat, Map.empty)(cs)
-    cs.baseRelationToDataFrame(relation)
+    val df = cs.baseRelationToDataFrame(relation)
+    if (!mapped) df
+    else df.select(schema.fields.toSeq.map { f =>
+      if (partCols.contains(f.name)) col(f.name)
+      else col(DeltaColumnMapping.physicalName(f)).as(f.name)
+    }: _*)
   }
 }

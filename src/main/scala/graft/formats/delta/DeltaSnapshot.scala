@@ -173,18 +173,25 @@ object DeltaSnapshot {
     val w = Window.partitionBy(col("path"))
       .orderBy(col("version").desc,
         when(col("kind") === "add", 1).otherwise(0).desc)
-    val schemaJson = schema.json
+    // column mapping: stats JSON and partition values in the log are keyed
+    // by PHYSICAL name — parse against the physical schema, then surface
+    // logical names in the FileEntry (the metadata plane speaks logical)
+    val physSchemaJson = DeltaColumnMapping.physicalSchema(schema).json
+    val renames = DeltaColumnMapping.physicalToLogical(schema)
     acts.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("kind") === "add")
       .drop("rn")
       .as[ActionRow]
       .mapPartitions { it =>
-        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val sch = DataType.fromJson(physSchemaJson).asInstanceOf[StructType]
         it.map { a =>
-          val (numRecords, stats) = DeltaStats.parse(sch, a.stats)
+          val (numRecords, stats0) = DeltaStats.parse(sch, a.stats)
+          val stats = stats0.map(s =>
+            s.copy(field = renames.getOrElse(s.field, s.field)))
           FileEntry(a.path, a.size, numRecords, "parquet",
             a.partitionValues.toSeq.sortBy(_._1)
-              .map { case (k, v) => PartitionMember(k, v) },
+              .map { case (k, v) =>
+                PartitionMember(renames.getOrElse(k, k), v) },
             stats, a.modificationTime)
         }
       }

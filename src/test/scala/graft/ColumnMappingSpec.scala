@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+
+import graft.formats.delta._
+
+/** Delta column mapping: a table written with
+  * `delta.columnMapping.mode = name` stores parquet columns (and stats /
+  * partition-value keys) under physical names; the logical schema maps them
+  * via field metadata. Reading by logical name without the mapping yields
+  * all-null columns — the failure mode this spec pins down.
+  */
+class ColumnMappingSpec extends SparkSuite {
+
+  private val PhysId = "col-9f2a"
+  private val PhysName = "col-b71c"
+
+  /** Hand-written column-mapped table: physical-named parquet + a log whose
+    * metaData carries the mapping (fixture mirrors delta-spark output).
+    */
+  private def writeFixture(): String = {
+    val table = tmpDir("cmap_delta")
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF(PhysId, PhysName)
+      .coalesce(1).write.mode("overwrite").parquet(table + "/stage")
+    val part = new java.io.File(table + "/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(table, "f1.parquet"))
+    val size = Files.size(Paths.get(table, "f1.parquet"))
+
+    val logical = StructType(Seq(
+      StructField("s_id", LongType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString(DeltaColumnMapping.PhysicalNameKey, PhysId)
+          .putLong(DeltaColumnMapping.IdKey, 1L).build()),
+      StructField("s_name", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString(DeltaColumnMapping.PhysicalNameKey, PhysName)
+          .putLong(DeltaColumnMapping.IdKey, 2L).build())))
+    val schemaJson = logical.json.replace("\"", "\\\"")
+    val stats =
+      s"""{\\"numRecords\\":3,\\"minValues\\":{\\"$PhysId\\":1},""" +
+      s"""\\"maxValues\\":{\\"$PhysId\\":3},""" +
+      s"""\\"nullCount\\":{\\"$PhysId\\":0,\\"$PhysName\\":0}}"""
+    val log =
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"cmap-test","schemaString":"$schemaJson","partitionColumns":[],"configuration":{"${DeltaColumnMapping.ModeKey}":"name"},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","size":$size,"modificationTime":1000,"partitionValues":{},"stats":"$stats","dataChange":true}}
+         |""".stripMargin
+    Files.createDirectories(Paths.get(table, "_delta_log"))
+    Files.write(Paths.get(table, "_delta_log",
+      "00000000000000000000.json"), log.getBytes(StandardCharsets.UTF_8))
+    table
+  }
+
+  test("column-mapped delta table reads logical names with real values") {
+    val table = writeFixture()
+    val src = new DeltaConversionSource(spark, table, "mapped")
+    val schema = src.currentTable().schema
+    assert(schema.fieldNames.toSeq == Seq("s_id", "s_name"))
+
+    val df = src.toDataFrame
+    assert(df.columns.toSeq == Seq("s_id", "s_name"))
+    val rows = df.orderBy("s_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("stats and listing surface logical field names") {
+    val table = writeFixture()
+    val src = new DeltaConversionSource(spark, table, "mapped")
+    val files = src.currentSnapshot().files.collect()
+    assert(files.length == 1)
+    val statFields = files.head.columnStats.map(_.field)
+    assert(statFields.contains("s_id"), statFields.mkString(","))
+    assert(!statFields.exists(_.startsWith("col-")), statFields.mkString(","))
+    val idStat = files.head.columnStats.find(_.field == "s_id").get
+    assert(idStat.min.contains("1") && idStat.max.contains("3"))
+  }
+}
