@@ -79,6 +79,7 @@ object SparkEntry {
     "q14_yearly_volume" -> RelationalQueries.q14Sql,
     "q15_argmax_subquery" -> RelationalQueries.q15Sql,
     "q16_percentiles" -> RelationalQueries.q16Sql,
+    "q17_approx_distinct" -> RelationalQueries.q17Sql,
     "q18_salted_join" -> RelationalQueries.q18Sql,
     "q19_string_funcs" -> RelationalQueries.q19Sql,
     "q20_null_handling" -> RelationalQueries.q20Sql,
@@ -100,9 +101,12 @@ object SparkEntry {
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,
+    "dedup_minhash_lsh" -> PipelineQueries.dedupMinhashLshSql,
     "ann_bruteforce" -> PipelineQueries.annBruteforceSql,
     "text_quality" -> PipelineQueries.textQualitySql,
     "text_train_split" -> PipelineQueries.trainSplitSql,
+    "text_langid" -> PipelineQueries.textLangidSql,
+    "text_fingerprint" -> PipelineQueries.textFingerprintSql,
     "multimodal_features" -> PipelineQueries.multimodalFeaturesSql
   )
 }

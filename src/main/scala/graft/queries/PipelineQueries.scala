@@ -64,9 +64,31 @@ object PipelineQueries {
       |SELECT node AS doc_id, min(r) AS cluster_rep
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
-  /** MinHash+LSH — probabilistic candidates, exact-verified; rows-only. */
+  /** MinHash+LSH candidates, exact-verified with trigram Jaccard ≥ 0.7.
+    * Oracled against DuckDB's exact all-pairs Jaccard: at this threshold
+    * the banded signature (64 hashes / 16 bands, P(miss at j=0.7) ≈ 1.2%
+    * per pair) recalls every qualifying pair in the gate dataset, so the
+    * verified output equals the exact answer — a recall assertion baked
+    * into the gate, exactly the superset check the reference's contract
+    * tests perform.
+    */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text")
+
+  val dedupMinhashLshSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3)
+      |SELECT doc_a, doc_b, j AS jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.grams,b.grams))) AS j
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |WHERE j >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash hamming≤3 pairs — rows-only. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -139,13 +161,68 @@ object PipelineQueries {
       |    (length(text) - length(replace(text,' ','')) + 1) AS stopword_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Language-ID heuristic — rows-only (the label column is synthetic). */
+  /** Language-ID heuristic, oracled by an independent DuckDB
+    * re-implementation of the same stopword-argmax (score desc, then the
+    * MAX language code on ties — mirroring the reversed struct sort).
+    */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")
 
-  /** Rolling-hash fingerprints (native Catalyst expression) — rows-only. */
-  def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+  val textLangidSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |scores AS (
+      |  SELECT doc_id, 'en' AS lang, len(list_intersect(w,
+      |    ['the','and','of','to','a','in','is','that','it','for'])) AS score FROM toks
+      |  UNION ALL SELECT doc_id, 'de', len(list_intersect(w,
+      |    ['der','die','und','das','ist','von','mit','den','ein','zu'])) FROM toks
+      |  UNION ALL SELECT doc_id, 'es', len(list_intersect(w,
+      |    ['el','la','de','que','y','en','un','es','los','por'])) FROM toks
+      |  UNION ALL SELECT doc_id, 'fr', len(list_intersect(w,
+      |    ['le','la','et','les','des','est','un','une','du','que'])) FROM toks
+      |  UNION ALL SELECT doc_id, 'zh', len(list_intersect(w,
+      |    ['的','是','了','在','我','有','和','就','不','人'])) FROM toks),
+      |best AS (
+      |  SELECT doc_id, lang, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, lang DESC) AS rn
+      |  FROM scores)
+      |SELECT doc_id,
+      |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted_lang
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Rolling-hash fingerprints (native Catalyst expression). The hash
+    * values are engine-specific, so the gate output is the INVARIANT the
+    * fingerprint must satisfy: its duplicate-group size equals the
+    * normalized-text duplicate-group size (same text ⇒ same fingerprint,
+    * different text ⇒ different fingerprint), plus the SQL-mirrorable
+    * BPE-ish token count.
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val fps = TextAnalysis.fingerprints(docs, "doc_id", "text")
+    val withNorm = docs.select(col("doc_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("ntext"))
+      .withColumn("text_group",
+        count(lit(1)).over(Window.partitionBy("ntext")))
+    fps.join(withNorm, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bpeish_tokens"),
+        col("group_size"),
+        (col("group_size") === col("text_group")).as("fp_consistent"))
+      .orderBy("doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT)
+      |    AS n_bpeish_tokens,
+      |  count(*) OVER (PARTITION BY lower(regexp_replace(text, '\s+', ' ', 'g')))
+      |    AS group_size,
+      |  true AS fp_consistent
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Multimodal binary plumbing with stubbed decode. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =

@@ -317,14 +317,30 @@ object RelationalQueries {
       |  quantile_cont(l_extendedprice, 0.5) AS price_median
       |FROM lineitem""".stripMargin
 
-  /** Approximate distinct counting (HLL++) — engine-specific estimates, so
-    * rows-only (no oracle); sanity bounds asserted in the spec instead.
+  /** Approximate distinct counting (HLL++). The estimates are
+    * engine-specific, so the GATE-CHECKED output is exact counts plus
+    * error-bound booleans: the oracle asserts the bounds hold (`true`
+    * literals), which fails loudly if the sketch drifts outside its rsd
+    * while staying hash-comparable across engines.
     */
-  def q17ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  def q17ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val exactOrders = countDistinct(col("l_orderkey")).cast("double")
+    val exactParts = countDistinct(col("l_partkey")).cast("double")
     Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts_1pct"),
-      countDistinct(col("l_orderkey")).as("exact_orders"))
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      (abs(approx_count_distinct(col("l_orderkey")).cast("double") -
+        exactOrders) / exactOrders <= 0.15).as("orders_within_15pct"),
+      (abs(approx_count_distinct(col("l_partkey"), 0.01).cast("double") -
+        exactParts) / exactParts <= 0.05).as("parts_within_5pct"))
+  }
+
+  val q17Sql: String =
+    """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  true AS orders_within_15pct,
+      |  true AS parts_within_5pct
+      |FROM lineitem""".stripMargin
 
   /** Skew-salted join: l_suppkey is heavily skewed toward 10 suppliers;
     * the salted plan spreads each hot key over 8 tasks. Results must equal
