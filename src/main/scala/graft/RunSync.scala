@@ -11,8 +11,14 @@ import graft.spi.{ConversionSource, ConversionTarget}
 import graft.sync.{ContinuousSync, ConversionController}
 import graft.util.Jsons
 
-/** CLI driver — reference xtable-utilities RunSync.java:240-300, with a
-  * JSON dataset config instead of YAML (no extra deps):
+/** CLI driver — reference xtable-utilities RunSync.java:240-300.
+  *
+  * Two config dialects:
+  *  - `.yaml`/`.yml`: the REFERENCE's own dataset-config shape
+  *    (sourceFormat / targetFormats / datasets[tableBasePath,tableName,
+  *    partitionSpec,namespace]) with in-place conversion — see
+  *    [[graft.config.DatasetConfig]];
+  *  - `.json`: the engine-native shape with explicit per-target paths:
   *
   * {{{
   * { "tableName": "lineitem",
@@ -23,7 +29,7 @@ import graft.util.Jsons
   *   "continuous": false, "intervalMillis": 5000, "maxTicks": 3 }
   * }}}
   *
-  * Usage: runMain graft.RunSync <config.json>
+  * Usage: runMain graft.RunSync <config.json|config.yaml>
   */
 object RunSync {
 
@@ -51,9 +57,47 @@ object RunSync {
     case other => throw new IllegalArgumentException(s"target format $other")
   }
 
+  /** Source for a dataset entry, honoring an explicit partition-spec DSL
+    * (only the parquet-directory source takes one; table formats carry
+    * their spec in their own metadata).
+    */
+  private def buildEntrySource(spark: SparkSession, format: String,
+      entry: graft.config.DatasetEntry): ConversionSource =
+    format.toUpperCase match {
+      case TableFormats.Parquet =>
+        new ParquetDirectorySource(spark, entry.tableBasePath,
+          entry.tableName,
+          entry.partitionSpec.map(graft.model.PartitionSpecDSL.parse)
+            .getOrElse(Nil))
+      case f => buildSource(spark, f, entry.tableBasePath, entry.tableName)
+    }
+
+  /** Run every dataset of a reference-shaped YAML config (in-place
+    * conversion: target metadata planes land under tableBasePath, exactly
+    * like the reference's RunSync). Returns per-dataset outcomes.
+    */
+  def runYamlConfig(spark: SparkSession, cfgPath: String)
+      : Seq[Map[String, Any]] = {
+    val cfg = graft.config.DatasetConfig.parseFile(cfgPath)
+    cfg.datasets.flatMap { entry =>
+      val source = buildEntrySource(spark, cfg.sourceFormat, entry)
+      val targets = cfg.targetFormats
+        .filterNot(_ == cfg.sourceFormat)
+        .map(f => buildTarget(spark, f, entry.tableBasePath))
+      val outcomes = new ConversionController().sync(source, targets)
+      outcomes.map(o => Map[String, Any](
+        "dataset" -> entry.tableName,
+        "namespace" -> entry.namespace.orNull,
+        "target" -> o.targetFormat, "mode" -> o.mode,
+        "status" -> o.status, "lastInstant" -> o.lastInstantSynced,
+        "error" -> o.error.orNull))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: RunSync <config.json>")
-    val cfg = Jsons.mapper.readTree(
+    require(args.length == 1, "usage: RunSync <config.json|config.yaml>")
+    val isYaml = args(0).endsWith(".yaml") || args(0).endsWith(".yml")
+    val cfg = if (isYaml) null else Jsons.mapper.readTree(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
@@ -66,6 +110,10 @@ object RunSync {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      if (isYaml) {
+        println(Jsons.toJson(runYamlConfig(spark, args(0))))
+        return
+      }
       val name = cfg.get("tableName").asText
       val source = buildSource(spark, cfg.get("sourceFormat").asText,
         cfg.get("sourcePath").asText, name)

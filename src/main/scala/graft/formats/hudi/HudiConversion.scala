@@ -115,7 +115,11 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
       instants.lastOption.map(_.toLong).getOrElse(0L))
   }
 
-  /** Distributed footer-stat enrichment of a live listing. */
+  /** Stat enrichment of a live listing: the metadata index serves stats
+    * when the table has one (zero footer opens — reference
+    * HudiFileStatsExtractor.java:136-188 metadata-table path); files absent
+    * from the index fall back to a distributed footer read (:115-126).
+    */
   private def toFileEntries(rows: Seq[(String, HudiTimeline.WriteStat, String)])
       : Dataset[FileEntry] = {
     import spark.implicits._
@@ -123,12 +127,21 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     val input = rows.map { case (part, s, instant) =>
       (PathUtils.resolve(tp, s.path), s.fileSizeInBytes, part, instant)
     }
-    spark.createDataset(input)
+    val inputDs = spark.createDataset(input)
       .repartition(math.max(1, math.min(input.size, 128)))
+      .toDF("path", "size", "part", "instant")
+    val index = HudiMetadataIndex.read(spark, tablePath)
+      .select("path", "recordCount", "columnStats")
+    inputDs.join(index, Seq("path"), "left")
+      .as[(String, Long, String, String, Option[Long],
+        Option[Seq[FileColumnStat]])]
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        it.map { case (path, size, part, instant) =>
-          val (records, stats) = ParquetFooters.readFooterStats(path, conf)
+        it.map { case (path, size, part, instant, idxRecords, idxStats) =>
+          val (records, stats) = idxStats match {
+            case Some(st) if st.nonEmpty => (idxRecords.getOrElse(0L), st)
+            case _ => ParquetFooters.readFooterStats(path, conf)
+          }
           val pv = part.split('/').toSeq.filter(_.contains('='))
             .map { seg =>
               val i = seg.indexOf('=')
@@ -298,6 +311,12 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
       extra), tablePath)
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed instant $instant first at $tablePath")
+    // maintain the metadata index: one per-instant delta with the commit's
+    // added files and their stats — readers then answer stats queries from
+    // the index instead of opening every data file's footer
+    pendingAdds.foreach { ds =>
+      HudiMetadataIndex.write(spark, tablePath, instant, ds)
+    }
   }
 
   override def tableMetadata(): Option[SyncMetadata] = {

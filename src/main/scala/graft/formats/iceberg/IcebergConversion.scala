@@ -102,10 +102,41 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     }
 
   override def beginSync(t: TableDescriptor): Unit = {
+    rollbackCorruptCommits()
     table = t
     schema = withStableIds(t.schema)
     pendingAdds = None; pendingRemoves = None
   }
+
+  /** Roll back snapshots whose producing sync never completed — reference
+    * IcebergConversionTarget.java:350+: a snapshot carrying a
+    * sourceIdentifier NEWER than the last completed sync point was written
+    * by a sync that crashed between the table commit and its bookkeeping;
+    * leaving it would double-apply that source commit on retry. The sound
+    * prefix of the snapshot list is restored under a fresh metadata
+    * version; snapshots without a sourceIdentifier (external writers) are
+    * never touched.
+    */
+  private def rollbackCorruptCommits(): Unit =
+    for (m <- currentMeta) {
+      val completed = tableMetadata().map(_.lastInstantSynced)
+      val (corrupt, sound) = m.snapshots.partition(s =>
+        s.sourceIdentifier.exists(sid => completed.forall(c =>
+          graft.sync.TableFormatSync.isBefore(c, sid))))
+      if (corrupt.nonEmpty) {
+        val version = IcebergMetadata.currentVersion(tablePath)
+          .getOrElse(0L) + 1
+        val restored = m.copy(
+          snapshots = sound,
+          currentSnapshotId = sound.lastOption.map(_.snapshotId).getOrElse(-1L),
+          lastSequenceNumber = sound.lastOption.map(_.sequenceNumber)
+            .getOrElse(0L),
+          lastUpdatedMs = System.currentTimeMillis())
+        if (!IcebergMetadata.write(tablePath, version, restored))
+          throw new IllegalStateException(
+            s"concurrent writer while rolling back corrupt commits at $tablePath")
+      }
+    }
 
   override def syncMetadata(m: SyncMetadata): Unit = syncMeta = Some(m)
   override def syncSchema(s: StructType): Unit = schema = withStableIds(s)
@@ -229,7 +260,8 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       seq, now, lastColumnId, schema, partitionSpec, properties,
       snapshotId,
       prev.map(_.snapshots).getOrElse(Nil) :+
-        IcebergSnapshot(snapshotId, seq, now, listPath)))
+        IcebergSnapshot(snapshotId, seq, now, listPath,
+          syncMeta.map(_.lastInstantSynced))))
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed metadata v$version first at $tablePath")
   }

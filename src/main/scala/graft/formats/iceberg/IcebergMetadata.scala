@@ -12,12 +12,16 @@ import org.apache.spark.sql.types.StructType
 import graft.model.PartitionFieldSpec
 import graft.util.Jsons
 
-/** One Iceberg snapshot entry. */
+/** One Iceberg snapshot entry. `sourceIdentifier` is the source commit the
+  * producing sync was applying, carried in the snapshot summary (reference
+  * IcebergConversionTarget stores the same for corrupt-commit detection).
+  */
 case class IcebergSnapshot(
     snapshotId: Long,
     sequenceNumber: Long,
     timestampMs: Long,
-    manifestList: String)
+    manifestList: String,
+    sourceIdentifier: Option[String] = None)
 
 /** Iceberg table metadata (format-version 2 JSON layout:
   * `metadata/v<N>.metadata.json` + `version-hint.text`).
@@ -112,6 +116,11 @@ object IcebergMetadata {
       n.put("sequence-number", s.sequenceNumber)
       n.put("timestamp-ms", s.timestampMs)
       n.put("manifest-list", s.manifestList)
+      s.sourceIdentifier.foreach { sid =>
+        val sum = n.putObject("summary")
+        sum.put("operation", "append")
+        sum.put("graft.source-identifier", sid)
+      }
     }
 
     val target = JPaths.get(metadataFile(tablePath, version))
@@ -165,7 +174,10 @@ object IcebergMetadata {
           s.get("snapshot-id").asLong,
           s.get("sequence-number").asLong,
           s.get("timestamp-ms").asLong,
-          s.get("manifest-list").asText)
+          s.get("manifest-list").asText,
+          Option(s.get("summary"))
+            .flatMap(sum => Option(sum.get("graft.source-identifier")))
+            .map(_.asText))
       })
   }
 }

@@ -287,7 +287,18 @@ object IcebergSchemas {
       fo.put("id", fieldId(f))
       fo.put("name", f.name)
       fo.put("required", !f.nullable)
-      fo.set[JsonNode]("type", typeNode(f.dataType, nf, collectionIdsOf(f), ""))
+      // Avro-origin logical types keep their native Iceberg spelling
+      // (uuid, fixed[N]) — dropping them to string/binary would be lossy
+      // for round-trips through an Iceberg reader
+      import graft.model.AvroSchemas
+      val tn: JsonNode = f.dataType match {
+        case StringType if f.metadata.contains(AvroSchemas.UuidKey) =>
+          nf.textNode("uuid")
+        case BinaryType if f.metadata.contains(AvroSchemas.FixedSizeKey) =>
+          nf.textNode(s"fixed[${f.metadata.getLong(AvroSchemas.FixedSizeKey)}]")
+        case dt => typeNode(dt, nf, collectionIdsOf(f), "")
+      }
+      fo.set[JsonNode]("type", tn)
     }
     o
   }
@@ -317,6 +328,8 @@ object IcebergSchemas {
       case "date" => DateType
       case "timestamptz" => TimestampType
       case "timestamp" => TimestampNTZType
+      case "uuid" => StringType
+      case s if s.startsWith("fixed") => BinaryType
       case s if s.startsWith("decimal") =>
         val m = "decimal\\((\\d+),\\s*(\\d+)\\)".r.findFirstMatchIn(s).get
         DecimalType(m.group(1).toInt, m.group(2).toInt)
@@ -344,6 +357,14 @@ object IcebergSchemas {
       val collIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       val dt = parseType(f.get("type"), "", collIds)
       val mb = new MetadataBuilder().putLong(FieldIdKey, f.get("id").asLong)
+      if (f.get("type").isTextual) f.get("type").asText match {
+        case "uuid" =>
+          mb.putString(graft.model.AvroSchemas.UuidKey, "uuid")
+        case s if s.startsWith("fixed[") =>
+          mb.putLong(graft.model.AvroSchemas.FixedSizeKey,
+            s.stripPrefix("fixed[").stripSuffix("]").toLong)
+        case _ =>
+      }
       if (collIds.nonEmpty) {
         val o = JsonNodeFactory.instance.objectNode()
         collIds.foreach { case (k, v) => o.put(k, v) }

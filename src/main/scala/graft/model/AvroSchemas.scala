@@ -15,6 +15,12 @@ object AvroSchemas {
   val EnumValuesKey = "graft.enumValues"
   val FixedSizeKey = "graft.fixedSize"
   val UuidKey = "graft.logicalType"
+  /** "millis" | "micros" — Spark's TimestampType is always micros
+    * internally, but an Avro-origin schema must re-export with its ORIGINAL
+    * precision or a round-trip silently widens the logical type (reference
+    * InternalSchema.java:68-82 models the same metadata).
+    */
+  val TimestampPrecisionKey = "graft.timestampPrecision"
 
   // ---- Avro → Spark ----
 
@@ -40,6 +46,10 @@ object AvroSchemas {
         if inner.getLogicalType != null &&
           inner.getLogicalType.getName == "uuid" =>
         b.putString(UuidKey, "uuid")
+      case Schema.Type.LONG
+        if inner.getLogicalType != null &&
+          inner.getLogicalType.getName.endsWith("-millis") =>
+        b.putString(TimestampPrecisionKey, "millis")
       case _ =>
     }
     b.build()
@@ -123,10 +133,16 @@ object AvroSchemas {
       case DateType =>
         LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
       case TimestampType =>
-        LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        val lt = if (meta.contains(TimestampPrecisionKey) &&
+            meta.getString(TimestampPrecisionKey) == "millis")
+          LogicalTypes.timestampMillis() else LogicalTypes.timestampMicros()
+        lt.addToSchema(Schema.create(Schema.Type.LONG))
       case TimestampNTZType =>
-        LogicalTypes.localTimestampMicros()
-          .addToSchema(Schema.create(Schema.Type.LONG))
+        val lt = if (meta.contains(TimestampPrecisionKey) &&
+            meta.getString(TimestampPrecisionKey) == "millis")
+          LogicalTypes.localTimestampMillis()
+        else LogicalTypes.localTimestampMicros()
+        lt.addToSchema(Schema.create(Schema.Type.LONG))
       case d: DecimalType =>
         LogicalTypes.decimal(d.precision, d.scale)
           .addToSchema(Schema.create(Schema.Type.BYTES))

@@ -49,6 +49,46 @@ class AvroSchemaSpec extends SparkSuite {
     assert(back.getField("hash").schema().getFixedSize == 16)
   }
 
+  test("timestamp precision survives an avro round-trip") {
+    val avroJson =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"ts_ms","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |{"name":"ts_us","type":{"type":"long","logicalType":"timestamp-micros"}}]}""".stripMargin
+    val parsed = new org.apache.avro.Schema.Parser().parse(avroJson)
+    val sparkSchema = AvroSchemas.toSpark(parsed).asInstanceOf[StructType]
+    assert(sparkSchema("ts_ms").dataType == TimestampType)
+    assert(sparkSchema("ts_ms").metadata
+      .getString(AvroSchemas.TimestampPrecisionKey) == "millis")
+    // re-export keeps the ORIGINAL precision instead of widening to micros
+    val back = AvroSchemas.fromSpark(sparkSchema, "r")
+    assert(back.getField("ts_ms").schema()
+      .getLogicalType.getName == "timestamp-millis")
+    assert(back.getField("ts_us").schema()
+      .getLogicalType.getName == "timestamp-micros")
+  }
+
+  test("uuid and fixed reach the iceberg schema as native types") {
+    import graft.formats.iceberg.IcebergSchemas
+    val avroJson =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"uid","type":{"type":"string","logicalType":"uuid"}},
+        |{"name":"hash","type":{"type":"fixed","name":"h16","size":16}},
+        |{"name":"plain","type":"string"}]}""".stripMargin
+    val sparkSchema = AvroSchemas.toSpark(
+      new org.apache.avro.Schema.Parser().parse(avroJson))
+      .asInstanceOf[StructType]
+    val json = IcebergSchemas.toIcebergJson(
+      IcebergSchemas.assignFieldIds(sparkSchema))
+    assert(json.contains("\"uuid\""), json)
+    assert(json.contains("\"fixed[16]\""), json)
+    // round-trip: the metadata comes back so a re-export stays lossless
+    val back = IcebergSchemas.fromIcebergJson(json)
+    assert(back("uid").metadata.getString(AvroSchemas.UuidKey) == "uuid")
+    assert(back("hash").metadata.getLong(AvroSchemas.FixedSizeKey) == 16L)
+    assert(back("plain").dataType == StringType &&
+      !back("plain").metadata.contains(AvroSchemas.UuidKey))
+  }
+
   test("file groups roll up by partition") {
     import spark.implicits._
     import graft.model._

@@ -139,6 +139,40 @@ class HudiSyncSpec extends SparkSuite {
       spark, deltaDir, "region").currentSnapshot().files.count() == 3)
   }
 
+  test("metadata index serves stats without opening data-file footers") {
+    val dataDir = tmpDir("hudi_idx_data")
+    val hudiDir = tmpDir("hudi_idx")
+    Files.copy(Paths.get(sf("sf0.001/part.parquet")),
+      Paths.get(dataDir, "f1.parquet"))
+    fullSync(new ParquetDirectorySource(spark, dataDir, "part"),
+      new HudiConversionTarget(spark, hudiDir))
+    assert(HudiMetadataIndex.exists(hudiDir))
+
+    // prove stats come from the index: remove the data files — footer
+    // reads would now fail, but the index still answers
+    Files.delete(Paths.get(dataDir, "f1.parquet"))
+    val viaIndex = new HudiConversionSource(spark, hudiDir, "part")
+      .currentSnapshot().files.collect()
+    assert(viaIndex.length == 1)
+    assert(viaIndex.head.recordCount > 0)
+    assert(viaIndex.head.columnStats.exists(_.field == "p_retailprice"))
+
+    // and prove the fallback is real: drop the index and the same read
+    // must attempt (and fail) the footer open
+    def deleteRecursively(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(c => deleteRecursively(c))
+      Files.deleteIfExists(p)
+    }
+    deleteRecursively(Paths.get(HudiMetadataIndex.indexDir(hudiDir))
+      .getParent)
+    intercept[Exception] {
+      new HudiConversionSource(spark, hudiDir, "part")
+        .currentSnapshot().files.collect()
+    }
+  }
+
   test("hudi -> delta cross-format sync") {
     val hudiDir = tmpDir("hudi_x")
     val deltaDir = tmpDir("hudi_x_delta")

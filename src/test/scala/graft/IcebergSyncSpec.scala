@@ -35,6 +35,42 @@ class IcebergSyncSpec extends SparkSuite {
     assert(stats.flatMap(_.min).map(_.toDouble).min == expMin)
   }
 
+  test("corrupt commit (sync never completed) is rolled back on next sync") {
+    val dataDir = tmpDir("ice_rb_data")
+    val target = tmpDir("ice_rb")
+    Files.copy(Paths.get(sf("sf0.001/region.parquet")),
+      Paths.get(dataDir, "f1.parquet"))
+    val src = new ParquetDirectorySource(spark, dataDir, "region")
+    fullSync(src, new IcebergConversionTarget(spark, target))
+    val v1 = IcebergMetadata.currentVersion(target).get
+    val m1 = IcebergMetadata.read(target, v1)
+    val goodSnap = m1.currentSnapshot.get
+
+    // simulate a crashed sync: a new metadata version whose snapshot claims
+    // a FUTURE source commit, but whose sync bookkeeping (properties) was
+    // never updated — the state a crash between commit and bookkeeping
+    // leaves behind
+    val orphan = IcebergSnapshot(goodSnap.snapshotId + 1,
+      goodSnap.sequenceNumber + 1, System.currentTimeMillis(),
+      goodSnap.manifestList, Some("99999999999999"))
+    assert(IcebergMetadata.write(target, v1 + 1, m1.copy(
+      snapshots = m1.snapshots :+ orphan,
+      currentSnapshotId = orphan.snapshotId,
+      lastSequenceNumber = orphan.sequenceNumber)))
+
+    // next sync must roll the orphan back before applying its own commit
+    fullSync(src, new IcebergConversionTarget(spark, target))
+    val mFinal = IcebergMetadata.read(target,
+      IcebergMetadata.currentVersion(target).get)
+    assert(!mFinal.snapshots.exists(
+      _.sourceIdentifier.contains("99999999999999")),
+      mFinal.snapshots.toString)
+    // table still reads the correct rows
+    val back = new IcebergConversionSource(spark, target, "region")
+    assert(back.toDataFrame.count() ==
+      spark.read.parquet(sf("sf0.001/region.parquet")).count())
+  }
+
   test("delta -> iceberg cross-format sync preserves rows") {
     val deltaDir = tmpDir("x_delta")
     val iceDir = tmpDir("x_ice")
