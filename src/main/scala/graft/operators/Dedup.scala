@@ -126,14 +126,20 @@ object Dedup {
           .withColumnRenamed("label", "nlabel"), Seq("b"))
         .groupBy(col("a").as("node"))
         .agg(min("nlabel").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
+      val merged = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .cache()
-      converged = updated.join(labels.withColumnRenamed("label", "old"),
+      // cache each round; every few rounds truncate the lineage entirely —
+      // iterative plans otherwise grow a join tree whose re-analysis cost
+      // dominates by round ~20 on a big graph
+      val updated =
+        if (i % 5 == 4) merged.localCheckpoint() else merged.cache()
+      val prev = labels
+      converged = updated.join(prev.withColumnRenamed("label", "old"),
         Seq("node")).filter(col("label") =!= col("old")).isEmpty
       labels = updated
+      prev.unpersist()
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))

@@ -133,6 +133,34 @@ class CheckpointAndScaleSpec extends SparkSuite {
       f"incremental 1000-file commit: $incSyncSec%.1fs")
     assert(fullSyncSec < 120, s"full sync too slow: $fullSyncSec")
     assert(incSyncSec < 60, s"incremental too slow: $incSyncSec")
+
+    // the converted-table read path at 100k files: partition pruning and
+    // stats skipping run against the distributed listing, so a
+    // one-partition query plans with 0.1% of the files and the driver
+    // never materializes the rest
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val index = new graft.plans.SnapshotFileIndex(spark,
+      new DeltaConversionSource(spark, target, "scale").currentSnapshot())
+    val t2 = System.nanoTime()
+    val p7 = AttributeReference("p", StringType)()
+    val oneDir = index.listFiles(
+      Seq(EqualTo(p7, Literal(UTF8String.fromString("7"), StringType))), Nil)
+    val planSec = (System.nanoTime() - t2) / 1e9
+    assert(oneDir.map(_.files.size).sum == 101,   // 100 full + 1 incremental
+      oneDir.map(_.files.size).sum.toString)
+    info(f"partition-pruned listFiles over ${n + 1000} files: $planSec%.1fs")
+    assert(planSec < 30, s"pruned planning too slow: $planSec")
+    // stats skipping composes: r_regionkey bounds [i%5,(i%5)+1] exclude >5
+    val k = AttributeReference("r_regionkey", LongType)()
+    val skipped = index.listFiles(
+      Seq(EqualTo(p7, Literal(UTF8String.fromString("7"), StringType))),
+      Seq(GreaterThan(k, Literal(100L, LongType))))
+    // the 1 incremental file has no stats (kept); all 100 full-sync files
+    // prove excludable
+    assert(skipped.map(_.files.size).sum == 1,
+      skipped.map(_.files.size).sum.toString)
   }
 
   test("LoadTest-shaped scale through the iceberg target (50k files)") {
