@@ -267,6 +267,11 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
     val instant = HudiTimeline.newInstant(tablePath)
     val tp = tablePath
 
+    // the adds Dataset feeds both the commit's write stats and the
+    // metadata-index delta; persist so the (footer-scanning) source
+    // lineage evaluates once
+    pendingAdds = pendingAdds.map(_.persist())
+
     def partitionPathOf(f: FileEntry): String =
       f.partitionValues.map(p => s"${p.field}=${p.value}").mkString("/")
 
@@ -309,14 +314,17 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
       writeStats.map { case (k, v) => k -> v.toSeq }.toMap,
       replaced.map { case (k, v) => k -> v.toSeq }.toMap,
       extra), tablePath)
-    if (!ok) throw new IllegalStateException(
-      s"concurrent writer committed instant $instant first at $tablePath")
+    if (!ok) {
+      pendingAdds.foreach(_.unpersist())
+      throw new IllegalStateException(
+        s"concurrent writer committed instant $instant first at $tablePath")
+    }
     // maintain the metadata index: one per-instant delta with the commit's
     // added files and their stats — readers then answer stats queries from
     // the index instead of opening every data file's footer
-    pendingAdds.foreach { ds =>
+    try pendingAdds.foreach { ds =>
       HudiMetadataIndex.write(spark, tablePath, instant, ds)
-    }
+    } finally pendingAdds.foreach(_.unpersist())
   }
 
   override def tableMetadata(): Option[SyncMetadata] = {
