@@ -29,9 +29,14 @@ class SparkSessionCatalogClient(spark: SparkSession,
           n.table, Some(n.database)))
       val partNames = meta.partitionColumnNames.toSet
       val cols = CatalogTypes.columns(meta.schema)
+      // graft-provider entries carry their table format in properties
+      val fmt = meta.provider.getOrElse("parquet") match {
+        case "graft" => meta.properties.getOrElse("graft.format", "GRAFT")
+        case p => p.toUpperCase
+      }
       Some(CatalogTableDef(n,
         graft.util.PathUtils.canonical(meta.location.getPath),
-        meta.provider.getOrElse("parquet").toUpperCase,
+        fmt,
         cols.filterNot(c => partNames.contains(c._1)),
         cols.filter(c => partNames.contains(c._1)),
         meta.storage.inputFormat.getOrElse(""),
@@ -45,22 +50,32 @@ class SparkSessionCatalogClient(spark: SparkSession,
     val n = table.identifier.normalized
     if (spark.catalog.tableExists(n.fqName))
       throw new IllegalStateException(s"table ${n.fqName} already exists")
-    // session catalog reads converted tables through parquet; format
-    // identity and sync provenance ride in TBLPROPERTIES
-    val colsDdl = (table.columns ++ table.partitionColumns)
-      .map { case (c, t) => s"`$c` $t" }.mkString(", ")
-    val partClause =
-      if (table.partitionColumns.isEmpty) ""
-      else table.partitionColumns.map(c => s"`${c._1}`")
-        .mkString(" PARTITIONED BY (", ", ", ")")
     val props = (table.properties + ("graft.format" -> table.tableFormat))
       .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
-    spark.sql(
-      s"""CREATE TABLE ${n.fqName} ($colsDdl)
-         |USING parquet
-         |$partClause
-         |LOCATION '${table.location}'
-         |TBLPROPERTIES ($props)""".stripMargin)
+    if (table.partitionColumns.isEmpty) {
+      // flat tables register USING graft: reads then go through the
+      // metadata plane (a raw parquet entry would also read files the
+      // table format has already removed)
+      spark.sql(
+        s"""CREATE TABLE ${n.fqName}
+           |USING graft
+           |LOCATION '${table.location}'
+           |TBLPROPERTIES ($props)""".stripMargin)
+    } else {
+      // hive-partitioned tables need catalog-level partition DDL
+      // (ADD/DROP PARTITION), which Spark only supports on file-format
+      // tables — register through parquet + explicit partition sync
+      val colsDdl = (table.columns ++ table.partitionColumns)
+        .map { case (c, t) => s"`$c` $t" }.mkString(", ")
+      val partClause = table.partitionColumns.map(c => s"`${c._1}`")
+        .mkString(" PARTITIONED BY (", ", ", ")")
+      spark.sql(
+        s"""CREATE TABLE ${n.fqName} ($colsDdl)
+           |USING parquet
+           |$partClause
+           |LOCATION '${table.location}'
+           |TBLPROPERTIES ($props)""".stripMargin)
+    }
   }
 
   override def refreshTable(table: CatalogTableDef): Unit = {

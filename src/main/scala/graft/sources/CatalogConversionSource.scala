@@ -16,7 +16,8 @@ import graft.spi.ConversionSource
 object CatalogConversionSource {
 
   /** Detect a table's format from its directory layout. */
-  def detectFormat(path: String): String = {
+  def detectFormat(rawPath: String): String = {
+    val path = graft.util.PathUtils.canonical(rawPath)
     def has(child: String) = Files.exists(JPaths.get(path, child))
     if (has("_delta_log")) TableFormats.Delta
     else if (has("metadata/version-hint.text")) TableFormats.Iceberg

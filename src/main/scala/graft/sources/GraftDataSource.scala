@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+
+import graft.model.TableSnapshot
+import graft.plans.SnapshotFileIndex
+
+/** `spark.read.format("graft").load(path)` — one reader for every table
+  * format this engine understands. The format is detected from the
+  * directory layout (Delta log / Iceberg metadata / Hudi timeline / Paimon
+  * snapshots / plain parquet) and the scan is driven by
+  * [[graft.plans.SnapshotFileIndex]], so partition pruning and stats
+  * skipping come from the metadata plane, not path listing.
+  *
+  * Options:
+  *  - `versionAsOf` (Delta only): time travel to a historical version.
+  *
+  * Registered as a Spark `DataSourceRegister` (shortName "graft") so
+  * `USING graft` also works in catalog DDL.
+  */
+class GraftDataSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = graft.util.PathUtils.canonical(
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft datasource needs a path")))
+    val spark = sqlContext.sparkSession
+    val name = path.stripSuffix("/").split('/').last
+    val source = CatalogConversionSource.fromPath(spark, path, name)
+    val snap: TableSnapshot = parameters.get("versionAsOf") match {
+      case Some(v) => source match {
+        case d: graft.formats.delta.DeltaConversionSource =>
+          d.snapshotAt(v.toLong)
+        case other => throw new IllegalArgumentException(
+          s"versionAsOf is Delta-only; ${other.sourceFormat} " +
+            "tables time-travel through their own source API")
+      }
+      case None => source.currentSnapshot()
+    }
+    if (graft.formats.delta.DeltaColumnMapping.isMapped(snap.table.schema))
+      throw new IllegalArgumentException(
+        "column-mapped tables need the logical rename pass — read them " +
+          "via DeltaConversionSource.toDataFrame")
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val index = new SnapshotFileIndex(cs, snap)
+    HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+      None, new ParquetFileFormat, Map.empty)(cs)
+  }
+}

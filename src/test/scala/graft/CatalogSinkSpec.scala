@@ -136,14 +136,14 @@ class CatalogSinkSpec extends SparkSuite {
   }
 
   test("session-catalog client implements the same SPI") {
-    val (_, _, _, snap) = convertAll()
+    val (deltaDir, _, _, snap) = convertAll()
     val client = new SparkSessionCatalogClient(spark)
     val id = CatalogTableIdentifier("graft_cat_test", "cust")
-    // session catalog reads through parquet, so the entry points at the
-    // physical data location (conversions are zero-copy: the delta dir
-    // holds only the log)
+    // flat tables register USING graft: the entry points at the DELTA
+    // metadata dir (which holds only the log — conversions are zero-copy)
+    // and reads resolve through the metadata plane to the original files
     val outcomes = CatalogOrchestrator.syncTable(Seq(client), id,
-      snap.table, TableFormats.Delta)
+      snap.table.copy(basePath = deltaDir), TableFormats.Delta)
     assert(outcomes.forall(_.status == "SUCCESS"), outcomes.toString)
     val back = client.getTable(id)
     assert(back.isDefined)

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.ParquetDirectorySource
+import graft.sync.{ConversionController, TableFormatSync}
+
+/** `spark.read.format("graft")`: one reader API across all converted
+  * formats, scan driven by the metadata plane.
+  */
+class GraftDataSourceSpec extends SparkSuite {
+
+  test("reads delta, iceberg, hudi, paimon and parquet by detection") {
+    val src = new ParquetDirectorySource(
+      spark, sf("sf0.001") + "/supplier.parquet", "supplier")
+    val expected = spark.read.parquet(sf("sf0.001") + "/supplier.parquet").count()
+
+    val deltaDir = tmpDir("gds_delta")
+    val iceDir = tmpDir("gds_ice")
+    val hudiDir = tmpDir("gds_hudi")
+    val paimonDir = tmpDir("gds_paimon")
+    val out = TableFormatSync.syncSnapshot(Seq(
+      new graft.formats.delta.DeltaConversionTarget(spark, deltaDir),
+      new graft.formats.iceberg.IcebergConversionTarget(spark, iceDir),
+      new graft.formats.hudi.HudiConversionTarget(spark, hudiDir),
+      new graft.formats.paimon.PaimonConversionTarget(spark, paimonDir)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+    // one reader API for every converted table
+    for ((fmt, dir) <- Seq("delta" -> deltaDir, "iceberg" -> iceDir,
+        "hudi" -> hudiDir, "paimon" -> paimonDir)) {
+      val n = spark.read.format("graft").load(dir).count()
+      assert(n == expected, s"$fmt via graft reader: $n != $expected")
+    }
+    // plain parquet dir detects as PARQUET
+    assert(spark.read.format("graft")
+      .load(sf("sf0.001") + "/supplier.parquet").count() == expected)
+  }
+
+  test("delta time travel through the reader option") {
+    val dataDir = tmpDir("gds_tt_data")
+    val target = tmpDir("gds_tt_delta")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"))
+    Paths.get(dataDir, "f1.parquet").toFile.setLastModified(1000000L)
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(spark, dataDir, "region")
+    controller.sync(src, Seq(
+      new graft.formats.delta.DeltaConversionTarget(spark, target)))
+    Files.copy(srcFile, Paths.get(dataDir, "f2.parquet"))
+    Paths.get(dataDir, "f2.parquet").toFile.setLastModified(2000000L)
+    controller.sync(src, Seq(
+      new graft.formats.delta.DeltaConversionTarget(spark, target)))
+
+    val latest = spark.read.format("graft").load(target).count()
+    val v0 = spark.read.format("graft")
+      .option("versionAsOf", "0").load(target).count()
+    assert(latest == 2 * v0 && v0 > 0, s"v0=$v0 latest=$latest")
+  }
+
+  test("filters push into the metadata-plane scan") {
+    val target = tmpDir("gds_push")
+    val src = new ParquetDirectorySource(
+      spark, sf("sf0.001") + "/supplier.parquet", "supplier")
+    TableFormatSync.syncSnapshot(Seq(
+      new graft.formats.delta.DeltaConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    val df = spark.read.format("graft").load(target)
+      .filter(col("s_suppkey") > 5).select("s_suppkey", "s_name")
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.isDefined)
+    // data filter reached the parquet scan; projection pruned the schema
+    assert(scan.get.dataFilters.nonEmpty, scan.get.toString)
+    assert(scan.get.requiredSchema.fieldNames.toSet ==
+      Set("s_suppkey", "s_name"))
+    assert(df.count() == spark.read
+      .parquet(sf("sf0.001") + "/supplier.parquet")
+      .filter(col("s_suppkey") > 5).count())
+  }
+}
