@@ -87,6 +87,26 @@ object DeltaLog {
       .collectFirst { case (v, files) if v == version => files }
       .getOrElse(Seq(checkpointFile(tablePath, version)))
 
+  /** Metadata-plane log cleanup (Delta's logRetention maintenance): delete
+    * commit JSON strictly OLDER than the newest complete checkpoint — replay
+    * always starts from that checkpoint plus the JSON tail, so the deleted
+    * prefix is never read again. Returns the number of files removed.
+    * Never deletes without a complete checkpoint to replay from.
+    */
+  def cleanupLogBeforeCheckpoint(tablePath: String, conf: Configuration): Int = {
+    val cp = completeCheckpoints(tablePath, conf).map(_._1).sorted.lastOption
+    cp match {
+      case None => 0
+      case Some(v) =>
+        val dir = new Path(logPath(tablePath))
+        val fs = dir.getFileSystem(conf)
+        val old = listVersions(tablePath, conf).filter(_ < v)
+        old.foreach(ver =>
+          fs.delete(new Path(versionFile(tablePath, ver)), false))
+        old.size
+    }
+  }
+
   def writeLastCheckpointHint(tablePath: String, version: Long,
       parts: Int = 1): Unit = {
     val json = if (parts <= 1) s"""{"version":$version}"""

@@ -44,4 +44,17 @@ object CatalogConversionSource {
   def fromPath(spark: SparkSession, path: String, name: String)
       : ConversionSource =
     graft.RunSync.buildSource(spark, detectFormat(path), path, name)
+
+  /** Resolve a source from any catalog client (HMS/Glue-shaped or the
+    * session catalog) — the reference's GlueCatalogConversionSource /
+    * HMSCatalogConversionSource: the catalog supplies the location, the
+    * storage layout supplies the format.
+    */
+  def fromCatalogClient(spark: SparkSession,
+      client: graft.catalog.CatalogSyncClient,
+      id: graft.catalog.CatalogTableIdentifier): ConversionSource = {
+    val entry = client.getTable(id).getOrElse(throw new IllegalArgumentException(
+      s"no table ${id.fqName} in catalog ${client.catalogName}"))
+    fromPath(spark, entry.location, id.table)
+  }
 }

@@ -60,13 +60,12 @@ class CatalogSinkSpec extends SparkSuite {
     assert(delta.columns.exists { case (n, t) =>
       n == "c_custkey" && t == "bigint" })
 
-    // each registered location re-resolves as a conversion source of the
-    // right format, reading identical row counts
+    // each registered entry re-resolves as a conversion source of the
+    // right format THROUGH the catalog client, reading identical row counts
     val expected = spark.read.parquet(sf("sf0.001") + "/customer.parquet").count()
     regs.foreach { case (fmt, dir, name) =>
-      val entry = hms.getTable(CatalogTableIdentifier("lake", name)).get
-      val resolved = CatalogConversionSource.fromPath(
-        spark, entry.location, name)
+      val resolved = CatalogConversionSource.fromCatalogClient(
+        spark, hms, CatalogTableIdentifier("lake", name))
       assert(resolved.sourceFormat == fmt, s"$name detected ${resolved.sourceFormat}")
       val n = graft.formats.delta.DeltaRead
         .toDataFrame(spark, resolved.currentSnapshot()).count()

@@ -29,10 +29,12 @@ class CheckpointAndScaleSpec extends SparkSuite {
     assert(new DeltaConversionSource(spark, target, "region")
       .currentSnapshot().files.count() == 12)
 
-    // vacuum simulation: drop all pre-checkpoint JSON commits — replay
-    // must come from the checkpoint + tail
-    for (v <- 0L to 9L)
-      Files.deleteIfExists(Paths.get(DeltaLog.versionFile(target, v)))
+    // log cleanup (Delta logRetention maintenance): the pre-checkpoint
+    // JSON prefix is deleted through the API — replay must come from the
+    // checkpoint + tail
+    val removed = DeltaLog.cleanupLogBeforeCheckpoint(target,
+      new org.apache.hadoop.conf.Configuration())
+    assert(removed == 10, s"removed $removed")
     val live = new DeltaConversionSource(spark, target, "region")
       .currentSnapshot().files.collect()
     assert(live.length == 12, s"got ${live.length}")
