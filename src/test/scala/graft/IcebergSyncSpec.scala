@@ -71,6 +71,46 @@ class IcebergSyncSpec extends SparkSuite {
       spark.read.parquet(sf("sf0.001/region.parquet")).count())
   }
 
+  test("snapshot expiration forces fallback-to-full past the horizon") {
+    val dataDir = tmpDir("ice_exp_data")
+    val iceDir = tmpDir("ice_exp")
+    val deltaDir = tmpDir("ice_exp_delta")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    val controller = new ConversionController
+    def parquetSrc = new ParquetDirectorySource(spark, dataDir, "region")
+    def iceSrc = new IcebergConversionSource(spark, iceDir, "region")
+
+    // three commits into iceberg; sync the FIRST into delta
+    Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"))
+    Paths.get(dataDir, "f1.parquet").toFile.setLastModified(1000000L)
+    assert(controller.sync(parquetSrc,
+      Seq(new IcebergConversionTarget(spark, iceDir)))
+      .forall(_.status == "SUCCESS"))
+    assert(controller.sync(iceSrc,
+      Seq(new DeltaConversionTarget(spark, deltaDir)))
+      .forall(_.status == "SUCCESS"))
+    for (i <- 2 to 3) {
+      Files.copy(srcFile, Paths.get(dataDir, s"f$i.parquet"))
+      Paths.get(dataDir, s"f$i.parquet").toFile.setLastModified(i * 1000000L)
+      assert(controller.sync(parquetSrc,
+        Seq(new IcebergConversionTarget(spark, iceDir)))
+        .forall(_.status == "SUCCESS"))
+    }
+
+    val expired = IcebergMaintenance.expireSnapshots(iceDir, retainLast = 1)
+    assert(expired.size == 2, expired.toString)
+    // the current snapshot still reads everything…
+    assert(iceSrc.currentSnapshot().files.count() == 3)
+    // …but per-commit replay from the delta sync point is impossible now
+    assert(!iceSrc.isIncrementalSyncSafeFrom("1"))
+    val r = controller.sync(iceSrc,
+      Seq(new DeltaConversionTarget(spark, deltaDir)))
+    assert(r.head.status == "SUCCESS" && r.head.mode == SyncMode.Full,
+      r.mkString(";"))
+    assert(new DeltaConversionSource(spark, deltaDir, "region")
+      .currentSnapshot().files.count() == 3)
+  }
+
   test("delta -> iceberg cross-format sync preserves rows") {
     val deltaDir = tmpDir("x_delta")
     val iceDir = tmpDir("x_ice")

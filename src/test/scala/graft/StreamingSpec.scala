@@ -35,6 +35,38 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sync converts incrementally as files land") {
+    import java.nio.file.{Files, Paths}
+    val dataDir = tmpDir("ssync_data")
+    val target = tmpDir("ssync_delta")
+    val ckpt = tmpDir("ssync_ckpt")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"))
+    Paths.get(dataDir, "f1.parquet").toFile.setLastModified(1000000L)
+
+    // catch-up run: converts what exists, then stops
+    val q1 = graft.streaming.StreamingSync.start(spark, dataDir, "region",
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, target)),
+      ckpt, availableNow = true)
+    q1.awaitTermination(120000)
+    assert(new graft.formats.delta.DeltaConversionSource(
+      spark, target, "region").currentSnapshot().files.count() == 1)
+
+    // second file: the next run picks it up as an INCREMENTAL commit
+    Files.copy(srcFile, Paths.get(dataDir, "f2.parquet"))
+    Paths.get(dataDir, "f2.parquet").toFile.setLastModified(2000000L)
+    val q2 = graft.streaming.StreamingSync.start(spark, dataDir, "region",
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, target)),
+      ckpt, availableNow = true)
+    q2.awaitTermination(120000)
+    val src = new graft.formats.delta.DeltaConversionSource(
+      spark, target, "region")
+    assert(src.currentSnapshot().files.count() == 2)
+    // two separate Delta commits — the stream really synced incrementally
+    assert(graft.formats.delta.DeltaLog.listVersions(target,
+      new org.apache.hadoop.conf.Configuration()).size == 2)
+  }
+
   test("stateful sessionizer matches batch sessionization") {
     import spark.implicits._
     val raw = spark.read.parquet(sf("sf0.001/events.parquet"))
