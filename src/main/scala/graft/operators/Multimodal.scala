@@ -62,4 +62,51 @@ object Multimodal {
         batch.map(decodeStub)
       }
   }
+
+  /** A resized media row (what an image-resize stage emits). */
+  case class ResizedMedia(doc_id: Long, media: Array[Byte],
+      width: Int, height: Int)
+
+  /** STUB resize: a real implementation decodes, scales, re-encodes; the
+    * stand-in deterministically truncates/pads the payload to the target
+    * "pixel" budget so downstream size accounting is exercised for real.
+    */
+  def resizeStub(r: MediaRecord, width: Int, height: Int): ResizedMedia = {
+    val budget = math.max(1, width * height / 64)
+    val out = java.util.Arrays.copyOf(r.media, budget)
+    ResizedMedia(r.doc_id, out, width, height)
+  }
+
+  /** Batch resize with the same mapPartitions shape (decoder init once per
+    * partition; rows stream through).
+    */
+  def resize(media: Dataset[MediaRecord], width: Int, height: Int,
+      partitions: Int = 32): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.repartition(partitions)
+      .mapPartitions(_.map(resizeStub(_, width, height)))
+  }
+
+  /** One sampled frame of a (fake) video payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: every media row fans out to its sampled frames —
+    * the row-multiplying shape that matters for partition sizing at scale
+    * (a 2-hour video → thousands of frames; the flatMap keeps the fan-out
+    * streaming instead of materializing per-row frame arrays). STUB frame
+    * extraction: fixed-size payload chunks stand in for decoded frames.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 256,
+      everyNth: Int = 2, partitions: Int = 32): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && everyNth > 0)
+    media.repartition(partitions).flatMap { r =>
+      val n = math.max(1, r.media.length / frameBytes)
+      (0 until n by everyNth).iterator.map { i =>
+        val from = i * frameBytes
+        val until = math.min(r.media.length, from + frameBytes)
+        Frame(r.doc_id, i, java.util.Arrays.copyOfRange(r.media, from, until))
+      }
+    }
+  }
 }

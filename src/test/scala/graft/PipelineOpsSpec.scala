@@ -63,4 +63,29 @@ class PipelineOpsSpec extends SparkSuite {
     assert(joined.count() == 0)
     assert(feats.head().embedding.length == 8)
   }
+
+  test("multimodal resize and frame sampling keep the plumbing honest") {
+    import spark.implicits._
+    val media = docs.select(col("doc_id").cast("long").as("doc_id"),
+        org.apache.spark.sql.functions.encode(col("text"), "UTF-8").as("media"),
+        org.apache.spark.sql.functions.lit("text/plain").as("modality"))
+      .as[Multimodal.MediaRecord]
+
+    // resize: one row in, one row out, payload at the target budget
+    val resized = Multimodal.resize(media, width = 64, height = 64)
+    assert(resized.count() == media.count())
+    assert(resized.head().media.length == 64 * 64 / 64)
+
+    // frame sampling: fan-out row counts follow the payload length exactly
+    val frames = Multimodal.sampleFrames(media, frameBytes = 100, everyNth = 2)
+    val expected = media.collect().map { r =>
+      val n = math.max(1, r.media.length / 100)
+      (0 until n by 2).size.toLong
+    }.sum
+    assert(frames.count() == expected)
+    // frames are deterministic slices (first frame starts with the text)
+    val f0 = frames.filter(_.frame_idx == 0).head()
+    val original = media.filter(_.doc_id == f0.doc_id).head().media
+    assert(f0.frame.sameElements(original.take(f0.frame.length)))
+  }
 }
