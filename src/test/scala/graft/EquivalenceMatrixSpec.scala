@@ -71,5 +71,12 @@ class EquivalenceMatrixSpec extends SparkSuite {
         .filter(col("c_acctbal") > 5000)) == expectFiltered,
         s"$sFmt->$tFmt filtered")
     }
+
+    // stage 3: the unified reader agrees with every per-format source —
+    // format detection plus the FileIndex scan is the one public read API
+    for (fmt <- formats) {
+      assert(rowsOf(spark.read.format("graft").load(staged(fmt))) == expectAll,
+        s"format(graft) on $fmt")
+    }
   }
 }
