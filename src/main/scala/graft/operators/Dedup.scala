@@ -113,11 +113,17 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    // cache the pair source: building the bidirectional edge set reads it
+    // twice, and it is typically itself an expensive blocked join
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+    // labels only ever DECREASE, so the label sum strictly decreases until
+    // the fixed point: sum equality is a complete convergence test and
+    // costs one scalar aggregate instead of a per-round join
+    var prevSum = java.math.BigDecimal.valueOf(-1)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -136,12 +142,15 @@ object Dedup {
       val updated =
         if (i % 5 == 4) merged.localCheckpoint() else merged.cache()
       val prev = labels
-      converged = updated.join(prev.withColumnRenamed("label", "old"),
-        Seq("node")).filter(col("label") =!= col("old")).isEmpty
+      val s = updated.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = updated
       prev.unpersist()
       i += 1
     }
+    p.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")
   }

@@ -85,10 +85,11 @@ object Similarity {
           m
         }.toArray
 
-    // seeds: evenly spaced by id order (deterministic)
-    val seeds = vecs.orderBy("doc").limit((nlist * step).toInt)
-      .filter(pmod(col("doc"), lit(step)) === 0)
-      .limit(nlist).collect()
+    // seeds: deterministic id-spaced sample — a modulo filter, no global
+    // sort (an orderBy here shuffled the whole corpus just to pick nlist
+    // rows)
+    val seeds = vecs.filter(pmod(col("doc"), lit(step)) === 0)
+      .orderBy("doc").limit(nlist).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     // one Lloyd iteration: assign to nearest seed, recompute means
     val assigned1 = vecs.withColumn("cluster",
