@@ -49,6 +49,8 @@ object SparkEntry {
     "sync_partitioned_events" -> SyncQueries.syncPartitionedEvents _,
     "sync_time_partitioned" -> SyncQueries.syncTimePartitioned _,
     "time_travel_delta" -> SyncQueries.timeTravelDelta _,
+    "graft_reader_delta" -> SyncQueries.graftReaderDelta _,
+    "catalog_sql_roundtrip" -> SyncQueries.catalogSqlRoundtrip _,
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccard _,
     "dedup_clusters" -> PipelineQueries.dedupClusters _,
@@ -98,6 +100,8 @@ object SparkEntry {
     "sync_partitioned_events" -> SyncQueries.syncPartitionedEventsSql,
     "sync_time_partitioned" -> SyncQueries.syncTimePartitionedSql,
     "time_travel_delta" -> SyncQueries.timeTravelDeltaSql,
+    "graft_reader_delta" -> SyncQueries.graftReaderDeltaSql,
+    "catalog_sql_roundtrip" -> SyncQueries.catalogSqlRoundtripSql,
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,

@@ -233,6 +233,61 @@ object SyncQueries {
       |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_value
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'""".stripMargin
 
+  /** The unified reader in the gate: convert lineitem to Delta, read it
+    * back with `spark.read.format("graft")` (format auto-detected, scan
+    * through SnapshotFileIndex), aggregate.
+    */
+  def graftReaderDelta(s: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft_reader_delta").toString
+    val src = new ParquetDirectorySource(s, s"$dir/lineitem.parquet", "lineitem")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    s.read.format("graft").load(target)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(25,6)"))
+          .cast("decimal(38,6)").as("sum_qty"))
+      .orderBy("l_linestatus")
+  }
+
+  val graftReaderDeltaSql: String =
+    """SELECT l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_qty
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Catalog round trip in the gate: convert supplier to Delta, register
+    * the DELTA DIR in the session catalog (`USING graft` — the entry holds
+    * only the log; reads resolve through the metadata plane), query by
+    * NAME via Spark SQL.
+    */
+  def catalogSqlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft_cat_sql").toString
+    val src = new ParquetDirectorySource(s, s"$dir/supplier.parquet", "supplier")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val client = new graft.catalog.SparkSessionCatalogClient(s)
+    val id = graft.catalog.CatalogTableIdentifier("graft_gate", "supplier")
+    val table = src.currentTable().copy(basePath = target)
+    val reg = graft.catalog.CatalogOrchestrator.syncTable(
+      Seq(client), id, table, graft.model.TableFormats.Delta)
+    require(reg.forall(_.status == "SUCCESS"), reg.mkString(";"))
+    s.sql(
+      """SELECT count(*) AS cnt,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_bal,
+        |  min(s_name) AS min_name
+        |FROM graft_gate.supplier""".stripMargin)
+  }
+
+  val catalogSqlRoundtripSql: String =
+    """SELECT count(*) AS cnt,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_bal,
+      |  min(s_name) AS min_name
+      |FROM supplier""".stripMargin
+
   /** Time travel: two commits into Delta (1 file, then 2), then read the
     * table as of version 0 — must see exactly the first file's rows.
     */
