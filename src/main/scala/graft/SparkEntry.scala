@@ -37,6 +37,7 @@ object SparkEntry {
     "events_hourly_counts" -> EventsQueries.hourlyCounts _,
     "events_sessionize" -> EventsQueries.sessionize _,
     "events_top_per_user" -> EventsQueries.topEventPerUser _,
+    "events_asof_join" -> EventsQueries.asofClickView _,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitem _,
     "meta_listing_counts" -> MetadataQueries.listingRecordCounts _,
     "meta_file_groups" -> MetadataQueries.fileGroups _,
@@ -88,6 +89,7 @@ object SparkEntry {
     "events_hourly_counts" -> EventsQueries.hourlyCountsSql,
     "events_sessionize" -> EventsQueries.sessionizeSql,
     "events_top_per_user" -> EventsQueries.topEventPerUserSql,
+    "events_asof_join" -> EventsQueries.asofClickViewSql,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitemSql,
     "meta_listing_counts" -> MetadataQueries.listingRecordCountsSql,
     "meta_file_groups" -> MetadataQueries.fileGroupsSql,

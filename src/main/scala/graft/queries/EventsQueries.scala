@@ -60,6 +60,40 @@ object EventsQueries {
   // NB: DuckDB integer sums are HUGEINT (arrow decimal128) — always CAST
   // integer sums to BIGINT in oracle SQL so types line up with Spark longs.
 
+  /** As-of join in the gate: every click enriched with the user's latest
+    * at-or-before view (DuckDB's native ASOF JOIN is the oracle). The
+    * Spark plan is the tagged-union window form — one shuffle, no
+    * range-condition nested loop.
+    */
+  def asofClickView(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max(col("value")).as("view_value"))
+    graft.operators.AsOfJoin
+      .lastPrior(clicks, views, "user_id", "ts", Seq("view_value"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("view_value")).as("n_matched"),
+        sum(col("view_value").cast("decimal(25,6)"))
+          .cast("decimal(38,6)").as("sum_view_value"))
+  }
+
+  val asofClickViewSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, ts, max(value) AS view_value FROM events
+      |  WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT count(*) AS n_clicks,
+      |  count(view_value) AS n_matched,
+      |  CAST(sum(CAST(view_value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_view_value
+      |FROM clicks ASOF LEFT JOIN views
+      |  ON clicks.user_id = views.user_id AND views.ts <= clicks.ts""".stripMargin
+
   /** Top event value per user per type via dense ranking — deterministic
     * tie-breaks on event_id.
     */

@@ -56,6 +56,27 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("as-of join picks the latest at-or-before right row per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),   // before any right
+      (2L, 15L, "d")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 15L, 150.0),
+      (2L, 1L, 10.0), (3L, 1L, 1.0)).toDF("k", "t", "v")
+    val out = graft.operators.AsOfJoin
+      .lastPrior(left, right, "k", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+    // (1,5): nothing before; (1,10): the equal-ts right row (inclusive);
+    // (1,20): latest of the two; (2,15): the single prior row
+    assert(out.map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(3)))).toSeq == Seq(
+      (1L, 5L, None), (1L, 10L, Some(100.0)), (1L, 20L, Some(150.0)),
+      (2L, 15L, Some(10.0))))
+    // left-only columns survive
+    assert(out.map(_.getString(2)).toSeq == Seq("c", "a", "b", "d"))
+  }
+
   test("multimodal stub decode preserves byte counts") {
     val feats = Multimodal.extractFeatures(spark, docs, "doc_id", "text")
     val joined = feats.toDF().join(docs, "doc_id")
