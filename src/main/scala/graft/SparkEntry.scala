@@ -38,6 +38,7 @@ object SparkEntry {
     "events_sessionize" -> EventsQueries.sessionize _,
     "events_top_per_user" -> EventsQueries.topEventPerUser _,
     "events_asof_join" -> EventsQueries.asofClickView _,
+    "events_range_join" -> EventsQueries.rangeJoinFirstHour _,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitem _,
     "meta_listing_counts" -> MetadataQueries.listingRecordCounts _,
     "meta_file_groups" -> MetadataQueries.fileGroups _,
@@ -90,6 +91,7 @@ object SparkEntry {
     "events_sessionize" -> EventsQueries.sessionizeSql,
     "events_top_per_user" -> EventsQueries.topEventPerUserSql,
     "events_asof_join" -> EventsQueries.asofClickViewSql,
+    "events_range_join" -> EventsQueries.rangeJoinFirstHourSql,
     "meta_stats_footer" -> MetadataQueries.statsFooterLineitemSql,
     "meta_listing_counts" -> MetadataQueries.listingRecordCountsSql,
     "meta_file_groups" -> MetadataQueries.fileGroupsSql,

@@ -94,6 +94,42 @@ object EventsQueries {
       |FROM clicks ASOF LEFT JOIN views
       |  ON clicks.user_id = views.user_id AND views.ts <= clicks.ts""".stripMargin
 
+  /** Range join in the gate: each user's events inside their first active
+    * hour, via the bucketized interval join (points equi-join their time
+    * bin; intervals explode to spanned bins; exact predicate verifies).
+    * Oracle: plain inequality join in DuckDB.
+    */
+  def rangeJoinFirstHour(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    val hourUs = 3600L * 1000000L
+    val intervals = ev.groupBy("user_id")
+      .agg(min(col("ts_us")).as("start_us"))
+      .withColumn("end_us", col("start_us") + hourUs)
+    graft.operators.RangeJoin.pointInInterval(
+        ev, intervals, "ts_us", "start_us", "end_us",
+        binWidth = 15L * 60L * 1000000L, keyCols = Seq("user_id"))
+      .agg(
+        count(lit(1)).as("n_first_hour"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(25,6)"))
+          .cast("decimal(38,6)").as("sum_value"))
+  }
+
+  val rangeJoinFirstHourSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      |iv AS (
+      |  SELECT user_id, min(ts_us) AS start_us,
+      |    min(ts_us) + 3600000000 AS end_us
+      |  FROM ev GROUP BY user_id)
+      |SELECT count(*) AS n_first_hour,
+      |  count(DISTINCT ev.user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_value
+      |FROM ev JOIN iv ON ev.user_id = iv.user_id
+      |  AND ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us""".stripMargin
+
   /** Top event value per user per type via dense ranking — deterministic
     * tie-breaks on event_id.
     */

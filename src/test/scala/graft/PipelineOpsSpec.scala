@@ -77,6 +77,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out.map(_.getString(2)).toSeq == Seq("c", "a", "b", "d"))
   }
 
+  test("range join matches a plain inequality join") {
+    import spark.implicits._
+    val points = Seq((1L, 5L, "p1"), (1L, 25L, "p2"), (1L, 99L, "p3"),
+      (2L, 10L, "p4")).toDF("k", "t", "tag")
+    val intervals = Seq((1L, 0L, 30L), (1L, 90L, 100L), (2L, 50L, 60L))
+      .toDF("k", "s", "e")
+    val bucketized = graft.operators.RangeJoin.pointInInterval(
+      points, intervals, "t", "s", "e", binWidth = 7L, keyCols = Seq("k"))
+      .select("k", "t", "s").orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = points.join(intervals, Seq("k"))
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("k", "t", "s").orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bucketized == plain && plain.nonEmpty)
+    assert(plain == Seq((1L, 5L, 0L), (1L, 25L, 0L), (1L, 99L, 90L)))
+  }
+
   test("multimodal stub decode preserves byte counts") {
     val feats = Multimodal.extractFeatures(spark, docs, "doc_id", "text")
     val joined = feats.toDF().join(docs, "doc_id")
