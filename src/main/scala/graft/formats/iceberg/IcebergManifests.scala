@@ -25,34 +25,39 @@ import graft.model._
   */
 object IcebergManifests {
 
+  // field-id values are the Iceberg spec's RESERVED manifest field ids
+  // (spec §Manifests: status=0, snapshot_id=1, data_file=2; data_file
+  // fields 100-140; manifest_file fields 500-506) — a real Iceberg reader
+  // resolves manifest columns by these ids, not by name.
+  // `last_modified_ms` is an engine extension outside the reserved range.
   val EntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":"long"},
-      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |  {"name":"content","type":"int"},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"},
-      |  {"name":"partition","type":{"type":"map","values":"string"}},
-      |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"},
-      |  {"name":"column_sizes","type":{"type":"map","values":"long"}},
-      |  {"name":"value_counts","type":{"type":"map","values":"long"}},
-      |  {"name":"null_value_counts","type":{"type":"map","values":"long"}},
-      |  {"name":"lower_bounds","type":{"type":"map","values":"bytes"}},
-      |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"}},
-      |  {"name":"last_modified_ms","type":"long"}
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":"long","field-id":1},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","type":{"type":"map","values":"string"},"field-id":102},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"column_sizes","type":{"type":"map","values":"long"},"field-id":108},
+      |  {"name":"value_counts","type":{"type":"map","values":"long"},"field-id":109},
+      |  {"name":"null_value_counts","type":{"type":"map","values":"long"},"field-id":110},
+      |  {"name":"lower_bounds","type":{"type":"map","values":"bytes"},"field-id":125},
+      |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"},"field-id":128},
+      |  {"name":"last_modified_ms","type":"long","field-id":1000}
       |]}}]}""".stripMargin)
 
   val ManifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
-      |{"name":"manifest_path","type":"string"},
-      |{"name":"manifest_length","type":"long"},
-      |{"name":"partition_spec_id","type":"int"},
-      |{"name":"added_snapshot_id","type":"long"},
-      |{"name":"added_files_count","type":"int"},
-      |{"name":"existing_files_count","type":"int"},
-      |{"name":"deleted_files_count","type":"int"}]}""".stripMargin)
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506}]}""".stripMargin)
 
   object Status { val Existing = 0; val Added = 1; val Deleted = 2 }
 

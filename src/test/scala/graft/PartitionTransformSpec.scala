@@ -131,6 +131,25 @@ class PartitionTransformSpec extends SparkSuite {
     assert(collJson(evolved, "tags") == collJson(v1, "tags"))
   }
 
+  test("manifest avro schemas carry the spec's reserved field ids") {
+    import graft.formats.iceberg.IcebergManifests
+    def id(s: org.apache.avro.Schema, f: String): Int =
+      s.getField(f).getObjectProp("field-id").asInstanceOf[Number].intValue
+    val entry = IcebergManifests.EntrySchema
+    assert(id(entry, "status") == 0)
+    assert(id(entry, "snapshot_id") == 1)
+    assert(id(entry, "data_file") == 2)
+    val df = entry.getField("data_file").schema()
+    assert(id(df, "file_path") == 100)
+    assert(id(df, "record_count") == 103)
+    assert(id(df, "lower_bounds") == 125)
+    assert(id(df, "upper_bounds") == 128)
+    val mf = IcebergManifests.ManifestFileSchema
+    assert(id(mf, "manifest_path") == 500)
+    assert(id(mf, "manifest_length") == 501)
+    assert(id(mf, "added_snapshot_id") == 503)
+  }
+
   test("schema evolution emits ordered rename/drop/promote/add ops") {
     import graft.formats.iceberg.IcebergSchemas
     val v1 = IcebergSchemas.assignFieldIds(StructType(Seq(
