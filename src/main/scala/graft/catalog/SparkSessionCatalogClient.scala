@@ -13,6 +13,12 @@ class SparkSessionCatalogClient(spark: SparkSession,
 
   private def fq(id: CatalogTableIdentifier): String = id.normalized.fqName
 
+  /** Single-quote SQL string literal with embedded quotes escaped — raw
+    * interpolation would let a quote in a property value or path break (or
+    * inject into) the DDL statement.
+    */
+  private def lit(v: String): String = "'" + v.replace("'", "''") + "'"
+
   override def hasDatabase(db: String): Boolean =
     spark.catalog.databaseExists(CatalogTableIdentifier.normalize(db))
 
@@ -51,37 +57,27 @@ class SparkSessionCatalogClient(spark: SparkSession,
     if (spark.catalog.tableExists(n.fqName))
       throw new IllegalStateException(s"table ${n.fqName} already exists")
     val props = (table.properties + ("graft.format" -> table.tableFormat))
-      .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
-    if (table.partitionColumns.isEmpty) {
-      // flat tables register USING graft: reads then go through the
-      // metadata plane (a raw parquet entry would also read files the
-      // table format has already removed)
-      spark.sql(
-        s"""CREATE TABLE ${n.fqName}
-           |USING graft
-           |LOCATION '${table.location}'
-           |TBLPROPERTIES ($props)""".stripMargin)
-    } else {
-      // hive-partitioned tables need catalog-level partition DDL
-      // (ADD/DROP PARTITION), which Spark only supports on file-format
-      // tables — register through parquet + explicit partition sync
-      val colsDdl = (table.columns ++ table.partitionColumns)
-        .map { case (c, t) => s"`$c` $t" }.mkString(", ")
-      val partClause = table.partitionColumns.map(c => s"`${c._1}`")
-        .mkString(" PARTITIONED BY (", ", ", ")")
-      spark.sql(
-        s"""CREATE TABLE ${n.fqName} ($colsDdl)
-           |USING parquet
-           |$partClause
-           |LOCATION '${table.location}'
-           |TBLPROPERTIES ($props)""".stripMargin)
-    }
+      .map { case (k, v) => s"${lit(k)}=${lit(v)}" }.mkString(", ")
+    // Every table — flat or partitioned — registers USING graft, so reads
+    // resolve through the metadata plane. A raw parquet entry would also
+    // read files the table format has already removed (remove actions /
+    // replacecommits): the exact staleness the metadata plane exists to
+    // prevent. Partition columns and pruning come from the snapshot's
+    // partition spec via SnapshotFileIndex, not from catalog partition
+    // entries — the same contract Delta/Iceberg tables have in a Spark
+    // session catalog. Hive-style catalog partition bookkeeping is the
+    // HMS/Glue clients' job (they serve engines that read via listings).
+    spark.sql(
+      s"""CREATE TABLE ${n.fqName}
+         |USING graft
+         |LOCATION ${lit(table.location)}
+         |TBLPROPERTIES ($props)""".stripMargin)
   }
 
   override def refreshTable(table: CatalogTableDef): Unit = {
     val n = table.identifier.normalized
     val props = (table.properties + ("graft.format" -> table.tableFormat))
-      .map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+      .map { case (k, v) => s"${lit(k)}=${lit(v)}" }.mkString(", ")
     spark.sql(s"ALTER TABLE ${n.fqName} SET TBLPROPERTIES ($props)")
     spark.sql(s"REFRESH TABLE ${n.fqName}")
   }
@@ -94,45 +90,30 @@ class SparkSessionCatalogClient(spark: SparkSession,
   override def dropTable(id: CatalogTableIdentifier): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${fq(id)}")
 
+  /** Partitions come from the metadata plane (the snapshot's live file
+    * set), not from catalog partition entries — a graft-provider table has
+    * none, by design (see createTable).
+    */
   override def listPartitions(id: CatalogTableIdentifier)
       : Seq[CatalogPartition] = {
-    val n = id.normalized
-    val cat = spark.sessionState.catalog
-    cat.listPartitions(org.apache.spark.sql.catalyst.TableIdentifier(
-      n.table, Some(n.database)))
-      .map { p =>
-        val meta = cat.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(
-            n.table, Some(n.database)))
-        CatalogPartition(
-          meta.partitionColumnNames.map(c => p.spec.getOrElse(c, "")),
-          graft.util.PathUtils.canonical(p.location.getPath))
-      }
-  }
-
-  override def addPartitions(id: CatalogTableIdentifier,
-      parts: Seq[CatalogPartition]): Unit = {
-    val n = id.normalized
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(n.table, Some(n.database)))
-    val cols = meta.partitionColumnNames
-    parts.foreach { p =>
-      val spec = cols.zip(p.values)
-        .map { case (c, v) => s"`$c`='$v'" }.mkString(", ")
-      spark.sql(s"ALTER TABLE ${n.fqName} ADD IF NOT EXISTS " +
-        s"PARTITION ($spec) LOCATION '${p.location}'")
+    getTable(id) match {
+      case None => Nil
+      case Some(t) =>
+        val src = graft.sources.CatalogConversionSource.fromPath(
+          spark, t.location, id.normalized.table)
+        CatalogOrchestrator.partitionsOf(spark, src.currentSnapshot())
     }
   }
+
+  /** The metadata plane already owns partition membership; the catalog
+    * entry has nothing to add. Invalidate the cached relation so the next
+    * read by name re-resolves the snapshot.
+    */
+  override def addPartitions(id: CatalogTableIdentifier,
+      parts: Seq[CatalogPartition]): Unit =
+    spark.sql(s"REFRESH TABLE ${fq(id)}")
 
   override def dropPartitions(id: CatalogTableIdentifier,
-      values: Seq[Seq[String]]): Unit = {
-    val n = id.normalized
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(n.table, Some(n.database)))
-    val cols = meta.partitionColumnNames
-    values.foreach { v =>
-      val spec = cols.zip(v).map { case (c, x) => s"`$c`='$x'" }.mkString(", ")
-      spark.sql(s"ALTER TABLE ${n.fqName} DROP IF EXISTS PARTITION ($spec)")
-    }
-  }
+      values: Seq[Seq[String]]): Unit =
+    spark.sql(s"REFRESH TABLE ${fq(id)}")
 }

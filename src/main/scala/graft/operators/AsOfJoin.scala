@@ -30,28 +30,34 @@ object AsOfJoin {
       s"left/payload column collision: ${leftOnly.intersect(payloadCols)}")
 
     // tagged union under one schema: right first (side 0) so a right row
-    // at the SAME timestamp is visible to the left row (inclusive <=)
+    // at the SAME timestamp is visible to the left row (inclusive <=).
+    // The payload travels as ONE struct — `last(payload, ignoreNulls)` per
+    // column would skip a matched row whose payload value is legitimately
+    // NULL (surfacing an older row's value) and could mix values across
+    // different right rows; the struct is non-null exactly when the row is
+    // a right row, so the window picks the latest right ROW atomically,
+    // NULL fields and all (DuckDB ASOF JOIN semantics).
+    val payloadStruct = struct(payloadCols.map(col): _*)
     val taggedLeft = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        leftOnly.map(col) ++
-        payloadCols.map(p =>
-          lit(null).cast(right.schema(p).dataType).as(p)): _*)
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType)
+          .as("__payload")) ++
+        leftOnly.map(col): _*)
     val taggedRight = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        payloadStruct.as("__payload")) ++
         leftOnly.map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     taggedLeft.unionByName(taggedRight)
-      .select(
-        Seq(col(keyCol), col(tsCol), col("__side")) ++
-          leftOnly.map(col) ++
-          payloadCols.map(p =>
-            last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(
+        Seq(col(keyCol), col(tsCol)) ++
+          leftOnly.map(col) ++
+          payloadCols.map(p => col("__match")(p).as(p)): _*)
   }
 }

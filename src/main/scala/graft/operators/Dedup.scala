@@ -118,13 +118,21 @@ object Dedup {
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
     val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
+    // no duplicate candidates is a legitimate state — the loop below would
+    // otherwise aggregate an empty frame (null sum → NPE)
+    if (edges.isEmpty) {
+      p.unpersist(); edges.unpersist()
+      return pairs.select(col(aCol).as("doc_id"), col(aCol).as("cluster_rep"))
+        .limit(0)
+    }
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-    // labels only ever DECREASE, so the label sum strictly decreases until
-    // the fixed point: sum equality is a complete convergence test and
-    // costs one scalar aggregate instead of a per-round join
-    var prevSum = java.math.BigDecimal.valueOf(-1)
+    // labels only ever DECREASE, so "no label changed this round" is a
+    // complete convergence test — and unlike a numeric label-sum it works
+    // for ANY id type (string doc ids would cast to a null sum and break
+    // the numeric test silently)
     var converged = false
+    var cached: DataFrame = null      // the round's materialized frame
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
@@ -133,7 +141,7 @@ object Dedup {
         .groupBy(col("a").as("node"))
         .agg(min("nlabel").as("nmin"))
       val merged = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
       // cache each round; every few rounds truncate the lineage entirely —
@@ -141,13 +149,10 @@ object Dedup {
       // dominates by round ~20 on a big graph
       val updated =
         if (i % 5 == 4) merged.localCheckpoint() else merged.cache()
-      val prev = labels
-      val s = updated.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = updated
-      prev.unpersist()
+      converged = updated.filter(col("label") =!= col("__prev")).isEmpty
+      labels = updated.select("node", "label")
+      if (cached != null) cached.unpersist()
+      cached = updated
       i += 1
     }
     p.unpersist()

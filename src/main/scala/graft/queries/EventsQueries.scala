@@ -19,14 +19,14 @@ object EventsQueries {
         unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_value"))
+        Gate.sumMeasure(col("value")).as("sum_value"))
       .orderBy("hour_us", "event_type")
 
   val hourlyCountsSql: String =
-    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
-      |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       |  count(*) AS n_events,
+       |  ${Gate.sumMeasureSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Sessionization: a new session starts after a >30 min gap per user;
     * pure window functions (lag + running sum), no driver-side state.
@@ -77,12 +77,11 @@ object EventsQueries {
       .agg(
         count(lit(1)).as("n_clicks"),
         count(col("view_value")).as("n_matched"),
-        sum(col("view_value").cast("decimal(25,6)"))
-          .cast("decimal(38,6)").as("sum_view_value"))
+        Gate.sumMeasure(col("view_value")).as("sum_view_value"))
   }
 
   val asofClickViewSql: String =
-    """WITH clicks AS (
+    s"""WITH clicks AS (
       |  SELECT user_id, ts, event_id, value FROM events
       |  WHERE event_type = 'click'),
       |views AS (
@@ -90,7 +89,7 @@ object EventsQueries {
       |  WHERE event_type = 'view' GROUP BY 1, 2)
       |SELECT count(*) AS n_clicks,
       |  count(view_value) AS n_matched,
-      |  CAST(sum(CAST(view_value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_view_value
+      |  ${Gate.sumMeasureSql("view_value")} AS sum_view_value
       |FROM clicks ASOF LEFT JOIN views
       |  ON clicks.user_id = views.user_id AND views.ts <= clicks.ts""".stripMargin
 
@@ -113,12 +112,11 @@ object EventsQueries {
       .agg(
         count(lit(1)).as("n_first_hour"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("value").cast("decimal(25,6)"))
-          .cast("decimal(38,6)").as("sum_value"))
+        Gate.sumMeasure(col("value")).as("sum_value"))
   }
 
   val rangeJoinFirstHourSql: String =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
       |iv AS (
       |  SELECT user_id, min(ts_us) AS start_us,
@@ -126,7 +124,7 @@ object EventsQueries {
       |  FROM ev GROUP BY user_id)
       |SELECT count(*) AS n_first_hour,
       |  count(DISTINCT ev.user_id) AS n_users,
-      |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_value
+      |  ${Gate.sumMeasureSql("value")} AS sum_value
       |FROM ev JOIN iv ON ev.user_id = iv.user_id
       |  AND ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us""".stripMargin
 

@@ -7,45 +7,36 @@ import org.apache.spark.sql.functions._
   * through Spark (reference contract: converted tables answer the same
   * queries through any engine — ITConversionController.java:950-1027).
   *
-  * Aggregates over `double` columns are computed in DECIMAL so the result is
-  * independent of partition/merge order (float addition is not associative;
-  * a 32-way local sum vs DuckDB's single-thread sum would differ in ulps).
-  * This is also the 100 TB answer: decimal sums are exact at any parallelism.
+  * Aggregates over `double` columns are computed as exact integer micros so
+  * the result is independent of partition/merge order (float addition is not
+  * associative; a 32-way local sum vs DuckDB's single-thread sum would
+  * differ in ulps) AND survives the driver's pandas decimal/float asymmetry
+  * — see [[Gate]]. Exact integer partial sums are also the 100 TB answer.
   */
 object RelationalQueries {
-
-  import org.apache.spark.sql.Column
-
-  /** Final-output decimal type, identical on both engines. Spark's
-    * sum(decimal(25,6)) widens to decimal(35,6) while DuckDB widens to
-    * DECIMAL(38,6); the driver's hash is representation-sensitive, so every
-    * decimal aggregate that reaches the result schema is cast to this one
-    * explicit type on BOTH sides (oracle-parity rule 9).
-    */
-  private def d38(c: Column): Column = c.cast("decimal(38,6)")
 
   /** TPC-H Q1-style pricing summary: scan + filter + groupBy agg. */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        d38(sum(col("l_quantity").cast("decimal(25,6)"))).as("sum_qty"),
-        d38(sum(col("l_extendedprice").cast("decimal(25,6)"))).as("sum_base_price"),
-        d38(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(25,6)"))).as("sum_disc_price"),
+        Gate.sumMeasure(col("l_quantity")).as("sum_qty"),
+        Gate.sumMeasure(col("l_extendedprice")).as("sum_base_price"),
+        Gate.sumMeasure(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Gate.sumMeasureSql("l_quantity")} AS sum_qty,
+       |  ${Gate.sumMeasureSql("l_extendedprice")} AS sum_base_price,
+       |  ${Gate.sumMeasureSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style: 3-way join + agg + deterministic top-k (tie-broken on
     * the key so LIMIT is stable at any parallelism).
@@ -57,21 +48,21 @@ object RelationalQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy("o_orderkey")
-      .agg(d38(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(25,6)"))).as("revenue"))
+      .agg(Gate.sumMeasure(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
 
   val q3Sql: String =
-    """SELECT o_orderkey,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue
-      |FROM lineitem
-      |JOIN orders ON l_orderkey = o_orderkey
-      |JOIN customer ON o_custkey = c_custkey
-      |WHERE c_mktsegment = 'BUILDING'
-      |GROUP BY o_orderkey
-      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+    s"""SELECT o_orderkey,
+       |  ${Gate.sumMeasureSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY o_orderkey
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
   /** TPC-H Q5-style: 6-way join with broadcast dimensions, revenue by
     * nation. Dimension tables (supplier/nation/region/customer) broadcast;
@@ -91,14 +82,14 @@ object RelationalQueries {
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy("n_name")
-      .agg(d38(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(25,6)"))).as("revenue"))
+      .agg(Gate.sumMeasure(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
       .orderBy(col("n_name"))
   }
 
   val q5Sql: String =
-    """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue
+    s"""SELECT n_name,
+       |  ${Gate.sumMeasureSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -116,13 +107,12 @@ object RelationalQueries {
         col("l_shipdate") < lit("1996-01-01") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(d38(sum((col("l_extendedprice") * col("l_discount"))
-        .cast("decimal(25,6)"))).as("revenue"),
+      .agg(Gate.sumMeasure(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   val q6Sql: String =
-    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue,
-      |  count(*) AS n_rows
+    s"""SELECT ${Gate.sumMeasureSql("l_extendedprice * l_discount")} AS revenue,
+       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= '1995-06-01' AND l_shipdate < '1996-01-01'
       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
@@ -134,7 +124,7 @@ object RelationalQueries {
       .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "c_custkey")
-      .agg(d38(sum(col("o_totalprice").cast("decimal(25,6)"))).as("total_value"))
+      .agg(Gate.sumMeasure(col("o_totalprice")).as("total_value"))
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("total_value").desc, col("c_custkey"))
     totals.withColumn("rnk", row_number().over(w))
@@ -143,14 +133,14 @@ object RelationalQueries {
   }
 
   val q7Sql: String =
-    """SELECT * FROM (
-      |  SELECT c_mktsegment, c_custkey,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total_value,
-      |    row_number() OVER (PARTITION BY c_mktsegment
-      |      ORDER BY sum(CAST(o_totalprice AS DECIMAL(25,6))) DESC, c_custkey) AS rnk
-      |  FROM orders JOIN customer ON o_custkey = c_custkey
-      |  GROUP BY c_mktsegment, c_custkey)
-      |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
+    s"""SELECT * FROM (
+       |  SELECT c_mktsegment, c_custkey,
+       |    ${Gate.sumMeasureSql("o_totalprice")} AS total_value,
+       |    row_number() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY ${Gate.sumMeasureSql("o_totalprice")} DESC, c_custkey) AS rnk
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_mktsegment, c_custkey)
+       |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
 
   /** Running window frame: per-customer running order total + previous
     * order gap (lag) — exercises unbounded-preceding frames.
@@ -160,7 +150,7 @@ object RelationalQueries {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     Tables.orders(s, dir)
       .withColumn("running_total",
-        d38(sum(col("o_totalprice").cast("decimal(25,6)"))
+        Gate.microsToDouble(sum(Gate.micros(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))))
       .withColumn("prev_orderkey", lag("o_orderkey", 1).over(w))
       .select("o_custkey", "o_orderkey", "running_total", "prev_orderkey")
@@ -168,28 +158,28 @@ object RelationalQueries {
   }
 
   val q8Sql: String =
-    """SELECT o_custkey, o_orderkey,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
-      |    PARTITION BY o_custkey ORDER BY o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_total,
-      |  lag(o_orderkey, 1) OVER (
-      |    PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_orderkey
-      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(CAST(sum(${Gate.microsSql("o_totalprice")}) OVER (
+       |    PARTITION BY o_custkey ORDER BY o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)/1000000.0 AS running_total,
+       |  lag(o_orderkey, 1) OVER (
+       |    PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_orderkey
+       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** ROLLUP aggregation over return flag / line status. */
   def q9Rollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n_rows"),
-        d38(sum(col("l_quantity").cast("decimal(25,6)"))).as("sum_qty"))
+        Gate.sumMeasure(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
   val q9Sql: String =
-    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_qty
-      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       |  ${Gate.sumMeasureSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   /** Exact distinct counting across several columns. */
   def q10Distinct(s: SparkSession, dir: String): DataFrame =
@@ -264,20 +254,20 @@ object RelationalQueries {
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg(
-        d38(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(25,6)"))).as("revenue"),
-        d38(sum(col("l_quantity").cast("decimal(25,6)"))).as("volume"),
+        Gate.sumMeasure(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        Gate.sumMeasure(col("l_quantity")).as("volume"),
         count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
   }
 
   val q13Sql: String =
-    """SELECT p_brand,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS volume,
-      |  count(*) AS n_lines
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    s"""SELECT p_brand,
+       |  ${Gate.sumMeasureSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  ${Gate.sumMeasureSql("l_quantity")} AS volume,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   /** Correlated scalar subquery (argmax per customer) — exercises
     * Catalyst's subquery decorrelation; raw double equality is exact
@@ -352,14 +342,14 @@ object RelationalQueries {
         .withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", salt = 8)
       .groupBy("s_name")
       .agg(count(lit(1)).as("n_lines"),
-        d38(sum(col("l_extendedprice").cast("decimal(25,6)"))).as("revenue"))
+        Gate.sumMeasure(col("l_extendedprice")).as("revenue"))
       .orderBy("s_name")
 
   val q18Sql: String =
-    """SELECT s_name, count(*) AS n_lines,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS revenue
-      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      |GROUP BY s_name ORDER BY s_name""".stripMargin
+    s"""SELECT s_name, count(*) AS n_lines,
+       |  ${Gate.sumMeasureSql("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
   /** String-function surface: case mapping, substring, concat, length. */
   def q19StringFuncs(s: SparkSession, dir: String): DataFrame =
@@ -398,12 +388,12 @@ object RelationalQueries {
     Tables.orders(s, dir)
       .groupBy(year(col("o_orderdate")).as("y"))
       .agg(count(lit(1)).as("n_orders"),
-        d38(sum(col("o_totalprice").cast("decimal(25,6)"))).as("total_value"))
+        Gate.sumMeasure(col("o_totalprice")).as("total_value"))
       .orderBy("y")
 
   val q14Sql: String =
-    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
-      |  count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total_value
-      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+       |  count(*) AS n_orders,
+       |  ${Gate.sumMeasureSql("o_totalprice")} AS total_value
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -29,13 +29,13 @@ object SyncQueries {
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("l_extendedprice").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_price"))
+        Gate.sumMeasure(col("l_extendedprice")).as("sum_price"))
       .orderBy("l_returnflag")
   }
 
   val syncParquetToDeltaSql: String =
     """SELECT l_returnflag, count(*) AS cnt,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_price
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Incremental file-level CDC: full sync one file, add a second, replay
@@ -62,13 +62,13 @@ object SyncQueries {
     new DeltaConversionSource(s, target, "supplier").toDataFrame
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("s_acctbal").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_bal"),
+        Gate.sumMeasure(col("s_acctbal")).as("sum_bal"),
         countDistinct(col("s_suppkey")).as("distinct_keys"))
   }
 
   val syncIncrementalDeltaSql: String =
     """SELECT 2*count(*) AS cnt,
-      |  CAST(2*sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_bal,
+      |  CAST(CAST(2*sum(CAST(CAST(s_acctbal AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_bal,
       |  count(DISTINCT s_suppkey) AS distinct_keys
       |FROM supplier""".stripMargin
 
@@ -84,13 +84,13 @@ object SyncQueries {
       .toDataFrame
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("o_totalprice").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_price"))
+        Gate.sumMeasure(col("o_totalprice")).as("sum_price"))
       .orderBy("o_orderstatus")
   }
 
   val syncParquetToIcebergSql: String =
     """SELECT o_orderstatus, count(*) AS cnt,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_price
+      |  CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** The full conversion chain parquet → Delta → Iceberg → read-back:
@@ -114,13 +114,13 @@ object SyncQueries {
       .toDataFrame
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("c_acctbal").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_bal"))
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
       .orderBy("c_mktsegment")
   }
 
   val syncChainDeltaIcebergSql: String =
     """SELECT c_mktsegment, count(*) AS cnt,
-      |  CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_bal
+      |  CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** Parquet dir → Hudi COW timeline, read back with footer-stat
@@ -137,13 +137,13 @@ object SyncQueries {
       .toDataFrame
       .groupBy("p_brand")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("p_retailprice").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_price"))
+        Gate.sumMeasure(col("p_retailprice")).as("sum_price"))
       .orderBy("p_brand")
   }
 
   val syncParquetToHudiSql: String =
     """SELECT p_brand, count(*) AS cnt,
-      |  CAST(sum(CAST(p_retailprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_price
+      |  CAST(CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_price
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   /** Parquet dir → Paimon snapshot tree (a target the reference lacks —
@@ -160,13 +160,13 @@ object SyncQueries {
       .toDataFrame
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("c_acctbal").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_bal"))
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
       .orderBy("c_mktsegment")
   }
 
   val syncParquetToPaimonSql: String =
     """SELECT c_mktsegment, count(*) AS cnt,
-      |  CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_bal
+      |  CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** Hive-partitioned sync: write events partitioned by event_type, sync
@@ -188,13 +188,13 @@ object SyncQueries {
     new DeltaConversionSource(s, target, "events").toDataFrame
       .filter(col("event_type") === "click")
       .agg(count(lit(1)).as("n_clicks"),
-        sum(col("value").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_value"),
+        Gate.sumMeasure(col("value")).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
   }
 
   val syncPartitionedEventsSql: String =
     """SELECT count(*) AS n_clicks,
-      |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_value,
+      |  CAST(CAST(sum(CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events WHERE event_type = 'click'""".stripMargin
 
@@ -225,12 +225,12 @@ object SyncQueries {
     back.toDataFrame
       .filter(col("ts_day") === "2024-01-05")
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(25,6)")).cast("decimal(38,6)").as("sum_value"))
+        Gate.sumMeasure(col("value")).as("sum_value"))
   }
 
   val syncTimePartitionedSql: String =
     """SELECT count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_value
+      |  CAST(CAST(sum(CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_value
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'""".stripMargin
 
   /** The unified reader in the gate: convert lineitem to Delta, read it
@@ -247,14 +247,13 @@ object SyncQueries {
     s.read.format("graft").load(target)
       .groupBy("l_linestatus")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast("decimal(25,6)"))
-          .cast("decimal(38,6)").as("sum_qty"))
+        Gate.sumMeasure(col("l_quantity")).as("sum_qty"))
       .orderBy("l_linestatus")
   }
 
   val graftReaderDeltaSql: String =
     """SELECT l_linestatus, count(*) AS cnt,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_qty
+      |  CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_qty
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   /** Catalog round trip in the gate: convert supplier to Delta, register
@@ -277,14 +276,14 @@ object SyncQueries {
     require(reg.forall(_.status == "SUCCESS"), reg.mkString(";"))
     s.sql(
       """SELECT count(*) AS cnt,
-        |  CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_bal,
+        |  CAST(CAST(sum(CAST(CAST(s_acctbal AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_bal,
         |  min(s_name) AS min_name
         |FROM graft_gate.supplier""".stripMargin)
   }
 
   val catalogSqlRoundtripSql: String =
     """SELECT count(*) AS cnt,
-      |  CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS sum_bal,
+      |  CAST(CAST(sum(CAST(CAST(s_acctbal AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_bal,
       |  min(s_name) AS min_name
       |FROM supplier""".stripMargin
 

@@ -26,13 +26,24 @@ object AtomicFiles {
     } catch {
       case _: FileAlreadyExistsException => false
       case _: UnsupportedOperationException =>
-        // filesystems without hard links: reserve the name atomically
-        // (CREATE_NEW), then replace the empty reservation with the content
+        // Filesystems without hard links: reserve via a HIDDEN lock file
+        // (atomic CREATE_NEW), then rename the content into place. The
+        // target only ever appears fully written — reserving under the
+        // target's own name would publish a visible zero-length commit
+        // file for a window, and readers (e.g. Delta replay, which skips
+        // empty lines) would treat the commit as empty: silent file loss.
+        val lock = target.resolveSibling("." + target.getFileName + ".lock")
         try {
-          Files.createFile(target)
-          Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          true
+          Files.createFile(lock)
+          try {
+            if (Files.exists(target)) false   // earlier writer already won
+            else {
+              Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              true
+            }
+          } finally {
+            Files.deleteIfExists(lock)
+          }
         } catch { case _: FileAlreadyExistsException => false }
     } finally {
       Files.deleteIfExists(tmp)

@@ -134,6 +134,47 @@ class CatalogSinkSpec extends SparkSuite {
     assert(parts.forall(p => p.location.contains(s"event_type=${p.values.head}")))
   }
 
+  test("session-catalog partitioned tables read through the metadata plane") {
+    // partitioned entries also register USING graft — a parquet entry
+    // would read files the table format has already removed, and its
+    // catalog partitions would go stale
+    val dataDir = tmpDir("cat_sp_data")
+    val deltaDir = tmpDir("cat_sp_delta")
+    spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .withColumn("ts_us", unix_micros(
+        timestamp_micros((col("ts") / 1000).cast("long")))).drop("ts")
+      .repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dataDir)
+    val src = new ParquetDirectorySource(spark, dataDir, "events")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, deltaDir)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    val client = new SparkSessionCatalogClient(spark)
+    val id = CatalogTableIdentifier("graft_cat_part", "events")
+    val reg = CatalogOrchestrator.syncTable(Seq(client), id,
+      src.currentTable().copy(basePath = deltaDir), TableFormats.Delta,
+      partitions = CatalogOrchestrator.partitionsOf(spark, src.currentSnapshot()))
+    assert(reg.forall(_.status == "SUCCESS"), reg.toString)
+    // partition-filtered SQL by name matches the source of truth
+    val byName = spark.sql(
+      "SELECT count(*) FROM graft_cat_part.events WHERE event_type = 'click'")
+      .head().getLong(0)
+    val direct = spark.read.parquet(dataDir)
+      .filter(col("event_type") === "click").count()
+    assert(byName == direct && byName > 0)
+    // listPartitions reflects the metadata plane, not catalog entries
+    val parts = client.listPartitions(id)
+    assert(parts.map(_.values.head).sorted ==
+      spark.read.parquet(dataDir).select("event_type").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted)
+    // a value with an embedded quote must not break property DDL
+    client.refreshTable(client.getTable(id).get.copy(
+      properties = Map("note" -> "it's quoted")))
+    assert(client.getTable(id).get.properties("note") == "it's quoted")
+    client.dropTable(id)
+  }
+
   test("session-catalog client implements the same SPI") {
     val (deltaDir, _, _, snap) = convertAll()
     val client = new SparkSessionCatalogClient(spark)

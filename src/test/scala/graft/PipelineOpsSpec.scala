@@ -77,6 +77,37 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out.map(_.getString(2)).toSeq == Seq("c", "a", "b", "d"))
   }
 
+  test("as-of join surfaces a matched row's NULL payload and keeps rows atomic") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, "x"), (1L, 40L, "y")).toDF("k", "t", "tag")
+    // latest right row at t=15 carries (NULL, "b2") — its NULL must WIN
+    // over the older row's 1.0, and (v, w) must come from the same row
+    val right = Seq(
+      (1L, 10L, Some(1.0), "b1"),
+      (1L, 15L, None: Option[Double], "b2"),
+      (1L, 30L, Some(3.0), "b3")).toDF("k", "t", "v", "w")
+    val out = graft.operators.AsOfJoin
+      .lastPrior(left, right, "k", "t", Seq("v", "w"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)), r.getString(4))).toSeq
+    // DuckDB ASOF semantics: latest row wins, NULL and all — never a mix
+    // of b1's v with b2's w
+    assert(out == Seq((20L, None, "b2"), (40L, Some(3.0), "b3")))
+  }
+
+  test("duplicate clusters: empty pair input and non-numeric doc ids") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("doc_a", "doc_b")
+    assert(Dedup.duplicateClusters(empty).isEmpty)
+    // string ids: the numeric-sum convergence test would silently cast to
+    // null; the changed-labels test must still converge to 2 components
+    val pairs = Seq(("b", "a"), ("c", "b"), ("e", "d")).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d"))
+  }
+
   test("range join matches a plain inequality join") {
     import spark.implicits._
     val points = Seq((1L, 5L, "p1"), (1L, 25L, "p2"), (1L, 99L, "p3"),
