@@ -110,7 +110,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,
     "dedup_minhash_lsh" -> PipelineQueries.dedupMinhashLshSql,
+    "dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "ann_bruteforce" -> PipelineQueries.annBruteforceSql,
+    "ann_lsh_pairs" -> PipelineQueries.annLshPairsSql,
+    "ann_ivf_pairs" -> PipelineQueries.annIvfPairsSql,
     "text_quality" -> PipelineQueries.textQualitySql,
     "text_train_split" -> PipelineQueries.trainSplitSql,
     "text_langid" -> PipelineQueries.textLangidSql,

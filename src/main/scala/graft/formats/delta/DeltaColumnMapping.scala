@@ -1,6 +1,6 @@
 package graft.formats.delta
 
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Delta column mapping (PROTOCOL.md §column-mapping; reference
   * DeltaSchemaExtractor.java:137-144): with
@@ -10,7 +10,12 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * and stats are keyed by physical name. A reader that ignores the mapping
   * silently reads nulls for every renamed column.
   *
-  * Scope: top-level fields (same granularity as the flat stats plane).
+  * Mapping applies at EVERY nesting level (struct fields inside structs,
+  * arrays, and maps each carry their own physicalName metadata); the
+  * logical rename on read is a positional struct cast, so arbitrary
+  * nesting renames in one expression. The flat stats plane keys min/max
+  * by top-level leaf only — nested-field stats skipping is out of scope
+  * (matches the reference, whose stats extraction is also top-level).
   */
 object DeltaColumnMapping {
   val ModeKey = "delta.columnMapping.mode"
@@ -22,12 +27,30 @@ object DeltaColumnMapping {
       f.metadata.getString(PhysicalNameKey)
     else f.name
 
-  def isMapped(schema: StructType): Boolean =
-    schema.fields.exists(f => physicalName(f) != f.name)
+  def isMapped(schema: StructType): Boolean = isMappedType(schema)
 
-  /** The schema as the parquet files spell it. */
+  private def isMappedType(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      s.fields.exists(f => physicalName(f) != f.name || isMappedType(f.dataType))
+    case a: ArrayType => isMappedType(a.elementType)
+    case m: MapType => isMappedType(m.keyType) || isMappedType(m.valueType)
+    case _ => false
+  }
+
+  /** `dt` with every nested struct field under its physical name. */
+  def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = physicalType(m.keyType),
+        valueType = physicalType(m.valueType))
+    case other => other
+  }
+
+  /** The schema as the parquet files spell it (all nesting levels). */
   def physicalSchema(schema: StructType): StructType =
-    StructType(schema.fields.map(f => f.copy(name = physicalName(f))))
+    physicalType(schema).asInstanceOf[StructType]
 
   /** physical → logical name for every mapped field. */
   def physicalToLogical(schema: StructType): Map[String, String] =

@@ -130,7 +130,8 @@ object DeltaRead {
       val readSchema = org.apache.spark.sql.types.StructType(
         schema.fields.map { f =>
           if (partCols.contains(f.name)) f
-          else f.copy(name = DeltaColumnMapping.physicalName(f))
+          else f.copy(name = DeltaColumnMapping.physicalName(f),
+            dataType = DeltaColumnMapping.physicalType(f.dataType))
         })
       snap.copy(table = snap.table.copy(schemaJson = readSchema.json))
     }
@@ -141,7 +142,9 @@ object DeltaRead {
     if (!mapped) df
     else df.select(schema.fields.toSeq.map { f =>
       if (partCols.contains(f.name)) col(f.name)
-      else col(DeltaColumnMapping.physicalName(f)).as(f.name)
+      // positional struct cast renames nested physical fields back to
+      // their logical names at every level in one expression
+      else col(DeltaColumnMapping.physicalName(f)).cast(f.dataType).as(f.name)
     }: _*)
   }
 }

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two float-array columns, accumulated in double — a
+    * native expression (one tight loop per pair) with the identical
+    * floating-point sequence as the `zip_with`+`aggregate` form it
+    * replaces, so results are bit-for-bit unchanged.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

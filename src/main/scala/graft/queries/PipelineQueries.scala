@@ -90,9 +90,45 @@ object PipelineQueries {
       |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
       |WHERE j >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** SimHash hamming≤3 pairs — rows-only. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(Tables.documents(s, dir), "doc_id", "text")
+  /** SimHash hamming≤3 pairs, gated on the sketch's PROVABLE invariants
+    * (the pair list itself is engine-specific, so the oracle asserts what
+    * must hold — rule: emit SQL-verifiable counts + computed booleans):
+    *  - every pair of docs with IDENTICAL shingle sets has an identical
+    *    simhash, hence hamming 0, hence MUST be found (the count of such
+    *    pairs is independently SQL-computable in DuckDB);
+    *  - no emitted pair exceeds the hamming bound.
+    * Both booleans are computed from the actual operator output — a
+    * regression in the sketch or its pigeonhole blocking fails the gate.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.simHash(docs, "doc_id", "text").cache()
+    val g = Dedup.shingleSets(docs, "doc_id", "text")
+      .select(col("doc"), array_sort(col("shingles")).as("key"))
+    val ident = g.as("a").join(g.as("b"),
+        col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).cache()
+    val nIdent = ident.agg(count(lit(1)).as("n_identical_shingle_pairs"))
+    val missed = ident.join(pairs.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("nmiss"))
+    val maxHam = pairs.agg(coalesce(max("hamming"), lit(0)).as("mh"))
+    nIdent.crossJoin(missed).crossJoin(maxHam)
+      .select(col("n_identical_shingle_pairs"),
+        (col("nmiss") === 0).as("all_identical_found"),
+        (col("mh") <= 3).as("within_hamming_bound"))
+  }
+
+  val dedupSimhashSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(w)-1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS key
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3)
+      |SELECT count(*) AS n_identical_shingle_pairs,
+      |  true AS all_identical_found, true AS within_hamming_bound
+      |FROM g a JOIN g b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
   /** Brute-force cosine top-5 for query vectors vec_id < 5. */
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -113,15 +149,66 @@ object PipelineQueries {
       |  WHERE q.vec_id < 5)
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  /** LSH-bucketed near-neighbor pairs — approximate, rows-only. */
-  def annLshPairs(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      dim = 64, threshold = 0.45)
+  /** Shared ANN gate harness. Hyperplane LSH at cosine 0.45 (θ≈63°) has
+    * no 100%-recall parameterization short of exhaustive bucketing, so the
+    * pair list cannot be equality-oracled; instead the gate checks the
+    * approximate contract itself against a SQL-computable exact answer:
+    *  - `n_exact_pairs`: brute-force count DuckDB independently recomputes
+    *    (the O(n²) arm is gate instrumentation at gate scale only — the
+    *    operator under test remains the bucketed scale path);
+    *  - `precision_ok`: every emitted pair is in the exact set (the
+    *    operators exact-verify candidates, so a false positive means the
+    *    verify stage broke);
+    *  - `recall_ok`: recall ≥ an honest measured floor (LSH 0.75, IVF
+    *    0.55; observed 0.83–0.93 / 0.65–0.79 across sf0.01/sf0.1).
+    */
+  private def annInvariants(s: SparkSession, dir: String,
+      found: DataFrame, recallFloor: Double): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val exact = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 3).as("c"))
+      .filter(col("c") >= 0.45)
+      .select("id_a", "id_b").cache()
+    val f = found.select("id_a", "id_b")
+    val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+    val nHit = f.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("nh"))
+    val nFalse = f.join(exact, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("nf"))
+    nExact.crossJoin(nHit).crossJoin(nFalse)
+      .select(col("n_exact_pairs"),
+        (col("nf") === 0).as("precision_ok"),
+        (col("nh").cast("double") >=
+          lit(recallFloor) * col("n_exact_pairs").cast("double"))
+          .as("recall_ok"))
+  }
 
-  /** IVF near-neighbor pairs — the clustered scale path; rows-only. */
+  private val annInvariantsSql: String =
+    """SELECT count(*) AS n_exact_pairs,
+      |  true AS precision_ok, true AS recall_ok
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+      |        AS DOUBLE), 3) >= 0.45""".stripMargin
+
+  /** LSH-bucketed near-neighbor pairs, gated on the approximate contract. */
+  def annLshPairs(s: SparkSession, dir: String): DataFrame =
+    annInvariants(s, dir,
+      Similarity.lshNearPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, threshold = 0.45),
+      recallFloor = 0.75)
+
+  val annLshPairsSql: String = annInvariantsSql
+
+  /** IVF near-neighbor pairs — the clustered scale path, same contract. */
   def annIvfPairs(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfNearPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      dim = 64, threshold = 0.45)
+    annInvariants(s, dir,
+      Similarity.ivfNearPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, threshold = 0.45),
+      recallFloor = 0.55)
+
+  val annIvfPairsSql: String = annInvariantsSql
 
   /** Deterministic train/eval split: same document lands in the same split
     * on any engine at any parallelism.

@@ -81,4 +81,47 @@ class ColumnMappingSpec extends SparkSuite {
     val idStat = files.head.columnStats.find(_.field == "s_id").get
     assert(idStat.min.contains("1") && idStat.max.contains("3"))
   }
+
+  test("column mapping renames nested struct fields at every level") {
+    val table = tmpDir("cmap_nested")
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+    // physical layout: col-k bigint, col-s struct<col-x bigint, col-y string>
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("col-k", "x", "y")
+      .select(col("col-k"),
+        struct(col("x").as("col-x"), col("y").as("col-y")).as("col-s"))
+      .coalesce(1).write.mode("overwrite").parquet(table + "/stage")
+    val part = new java.io.File(table + "/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(table, "f1.parquet"))
+    val size = Files.size(Paths.get(table, "f1.parquet"))
+
+    def mapped(phys: String, id: Long) = new MetadataBuilder()
+      .putString(DeltaColumnMapping.PhysicalNameKey, phys)
+      .putLong(DeltaColumnMapping.IdKey, id).build()
+    val logical = StructType(Seq(
+      StructField("k", LongType, nullable = true, metadata = mapped("col-k", 1)),
+      StructField("s", StructType(Seq(
+        StructField("x", LongType, nullable = true, metadata = mapped("col-x", 3)),
+        StructField("y", StringType, nullable = true, metadata = mapped("col-y", 4)))),
+        nullable = true, metadata = mapped("col-s", 2))))
+    assert(DeltaColumnMapping.isMapped(logical))
+    val schemaJson = logical.json.replace("\"", "\\\"")
+    val log =
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"cmap-nested","schemaString":"$schemaJson","partitionColumns":[],"configuration":{"${DeltaColumnMapping.ModeKey}":"name"},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","size":$size,"modificationTime":1000,"partitionValues":{},"stats":"{\\"numRecords\\":2}","dataChange":true}}
+         |""".stripMargin
+    Files.createDirectories(Paths.get(table, "_delta_log"))
+    Files.write(Paths.get(table, "_delta_log",
+      "00000000000000000000.json"), log.getBytes(StandardCharsets.UTF_8))
+
+    val df = new DeltaConversionSource(spark, table, "nested").toDataFrame
+    assert(df.columns.toSeq == Seq("k", "s"))
+    assert(df.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("x", "y"))
+    val rows = df.orderBy("k").selectExpr("k", "s.x", "s.y").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 10L, "a"), (2L, 20L, "b")))
+  }
 }
