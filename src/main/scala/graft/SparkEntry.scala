@@ -35,6 +35,7 @@ object SparkEntry {
     "q19_string_funcs" -> RelationalQueries.q19StringFuncs _,
     "q20_null_handling" -> RelationalQueries.q20NullHandling _,
     "events_hourly_counts" -> EventsQueries.hourlyCounts _,
+    "streaming_hourly_counts" -> EventsQueries.streamingHourlyCounts _,
     "events_sessionize" -> EventsQueries.sessionize _,
     "events_top_per_user" -> EventsQueries.topEventPerUser _,
     "events_asof_join" -> EventsQueries.asofClickView _,
@@ -56,6 +57,7 @@ object SparkEntry {
     "dedup_exact" -> PipelineQueries.dedupExact _,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccard _,
     "dedup_clusters" -> PipelineQueries.dedupClusters _,
+    "dedup_embedding_clusters" -> PipelineQueries.dedupEmbeddingClusters _,
     "dedup_minhash_lsh" -> PipelineQueries.dedupMinhashLsh _,
     "dedup_simhash" -> PipelineQueries.dedupSimhash _,
     "ann_bruteforce" -> PipelineQueries.annBruteforce _,
@@ -88,6 +90,7 @@ object SparkEntry {
     "q19_string_funcs" -> RelationalQueries.q19Sql,
     "q20_null_handling" -> RelationalQueries.q20Sql,
     "events_hourly_counts" -> EventsQueries.hourlyCountsSql,
+    "streaming_hourly_counts" -> EventsQueries.hourlyCountsSql,
     "events_sessionize" -> EventsQueries.sessionizeSql,
     "events_top_per_user" -> EventsQueries.topEventPerUserSql,
     "events_asof_join" -> EventsQueries.asofClickViewSql,
@@ -109,6 +112,7 @@ object SparkEntry {
     "dedup_exact" -> PipelineQueries.dedupExactSql,
     "dedup_ngram_jaccard" -> PipelineQueries.dedupNgramJaccardSql,
     "dedup_clusters" -> PipelineQueries.dedupClustersSql,
+    "dedup_embedding_clusters" -> PipelineQueries.dedupEmbeddingClustersSql,
     "dedup_minhash_lsh" -> PipelineQueries.dedupMinhashLshSql,
     "dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "ann_bruteforce" -> PipelineQueries.annBruteforceSql,

@@ -128,6 +128,30 @@ object EventsQueries {
       |FROM ev JOIN iv ON ev.user_id = iv.user_id
       |  AND ev.ts_us >= iv.start_us AND ev.ts_us < iv.end_us""".stripMargin
 
+  /** The SAME hourly roll-up, but executed by Structured Streaming:
+    * events staged into a directory, read back via readStream, aggregated
+    * with a watermark + tumbling window, drained with Trigger.AvailableNow
+    * into a memory sink — and hash-matched against the identical DuckDB
+    * oracle as the batch form. Streams are first-class: a streaming plan
+    * must produce the same answer as the batch plan, bit for bit.
+    */
+  def streamingHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = Files.createTempDirectory("graft_stream_gate").toString
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      Paths.get(stage, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val stream = graft.streaming.StreamingOps.eventStream(s, stage, raw.schema)
+    val q = graft.streaming.StreamingOps.windowedCounts(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_gate_stream_hourly")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_gate_stream_hourly").orderBy("hour_us", "event_type")
+  }
+
   /** Top event value per user per type via dense ranking — deterministic
     * tie-breaks on event_id.
     */

@@ -210,6 +210,39 @@ object PipelineQueries {
 
   val annIvfPairsSql: String = annInvariantsSql
 
+  /** Embedding-cosine near-duplicate clustering end-to-end: exact cosine
+    * pairs (≥ 0.45, gate-scale brute force — the LSH/IVF queries cover the
+    * bucketed scale path) fed through the distributed min-label
+    * connected-components operator. Fully oracle-able: DuckDB recomputes
+    * the pairs with `list_cosine_similarity` and the closure with a
+    * recursive CTE.
+    */
+  def dedupEmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 3).as("c"))
+      .filter(col("c") >= 0.45)
+      .select("doc_a", "doc_b")
+    Dedup.duplicateClusters(pairs)
+  }
+
+  val dedupEmbeddingClustersSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+      |          AS DOUBLE), 3) >= 0.45),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+      |SELECT node AS doc_id, min(r) AS cluster_rep
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/eval split: same document lands in the same split
     * on any engine at any parallelism.
     */

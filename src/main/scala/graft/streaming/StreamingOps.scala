@@ -26,16 +26,19 @@ object StreamingOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
-    * streaming form of EventsQueries.hourlyCounts.
+    * streaming form of EventsQueries.hourlyCounts, emitting the identical
+    * gate-safe representation (exact micros sum → double): a micro-batch
+    * partial sum and the batch plan produce bit-identical results.
     */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(25,6)")).as("sum_value"))
+        sum(graft.queries.Gate.micros(col("value"))).as("sum_micros"))
       .select(unix_micros(col("window.start")).as("hour_us"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"),
+        graft.queries.Gate.microsToDouble(col("sum_micros")).as("sum_value"))
 
   /** Stateful session counting: a >30 min gap starts a new session.
     * Custom state via flatMapGroupsWithState (KeyValueGroupedDataset),

@@ -134,6 +134,51 @@ class CatalogSinkSpec extends SparkSuite {
     assert(parts.forall(p => p.location.contains(s"event_type=${p.values.head}")))
   }
 
+  test("glue-shaped catalog: versioned updates, batch partitions, re-resolution") {
+    val (deltaDir, _, _, snap) = convertAll()
+    val glue = new InMemoryGlueCatalogClient(maxVersions = 3)
+    val hms = new InMemoryHmsCatalogClient()
+    val id = CatalogTableIdentifier("lake", "cust_glue")
+    // one orchestration pass fans out to BOTH catalog flavors
+    val out = CatalogOrchestrator.syncTable(Seq(glue, hms), id,
+      snap.table.copy(basePath = deltaDir), TableFormats.Delta)
+    assert(out.forall(_.status == "SUCCESS"), out.toString)
+    val t = glue.getTable(id).get
+    assert(t.properties("classification") == "delta")
+    assert(t.properties("table_type_glue") == "EXTERNAL_TABLE")
+    // create is CAS, like Glue's AlreadyExistsException
+    intercept[IllegalStateException](glue.createTable(t))
+    // each re-sync = UpdateTable = a new version; history pruned to max
+    (1 to 4).foreach { i =>
+      CatalogOrchestrator.syncTable(Seq(glue), id,
+        snap.table.copy(basePath = deltaDir), TableFormats.Delta)
+    }
+    assert(glue.tableVersions(id).size == 3)      // pruned at maxVersions
+    // batch partition add: duplicate entries are per-item no-ops
+    glue.addPartitions(id, Seq(
+      CatalogPartition(Seq("a"), "/x/p=a"), CatalogPartition(Seq("b"), "/x/p=b")))
+    glue.addPartitions(id, Seq(
+      CatalogPartition(Seq("a"), "/x/p=CHANGED"), CatalogPartition(Seq("c"), "/x/p=c")))
+    val parts = glue.listPartitions(id)
+    assert(parts.map(_.values.head) == Seq("a", "b", "c"))
+    assert(parts.find(_.values.head == "a").get.location == "/x/p=a")
+    glue.dropPartitions(id, Seq(Seq("b"), Seq("missing")))
+    assert(glue.listPartitions(id).map(_.values.head) == Seq("a", "c"))
+    // the registered entry re-resolves as a conversion source of the right
+    // format, reading identical row counts
+    val resolved = CatalogConversionSource.fromCatalogClient(spark, glue, id)
+    assert(resolved.sourceFormat == TableFormats.Delta)
+    val n = graft.formats.delta.DeltaRead
+      .toDataFrame(spark, resolved.currentSnapshot()).count()
+    assert(n == spark.read.parquet(sf("sf0.001") + "/customer.parquet").count())
+    // divergence replace resets version history (DeleteTable + CreateTable)
+    val otherDir = tmpDir("cat_glue_other")
+    CatalogOrchestrator.syncTable(Seq(glue), id,
+      snap.table.copy(basePath = otherDir), TableFormats.Delta)
+    assert(glue.tableVersions(id).size == 1)
+    assert(glue.getTable(id).get.location == otherDir)
+  }
+
   test("session-catalog partitioned tables read through the metadata plane") {
     // partitioned entries also register USING graft — a parquet entry
     // would read files the table format has already removed, and its
