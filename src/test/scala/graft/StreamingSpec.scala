@@ -67,6 +67,55 @@ class StreamingSpec extends SparkSuite {
       new org.apache.hadoop.conf.Configuration()).size == 2)
   }
 
+  test("writer-side hook syncs the conversion as part of every write") {
+    import java.nio.file.{Files, Paths}
+    val inDir = tmpDir("hook_in")
+    val outDir = tmpDir("hook_out")
+    val ckpt = tmpDir("hook_ckpt")
+    val target = tmpDir("hook_delta")
+    Files.copy(Paths.get(sf("sf0.001/region.parquet")),
+      Paths.get(inDir, "f1.parquet"))
+
+    // streaming path: a parquet-writing query with the listener attached —
+    // every committed micro-batch re-syncs the conversion target
+    val raw = spark.read.parquet(sf("sf0.001/region.parquet"))
+    val listener = new graft.sync.SyncOnWriteListener("hook_writer",
+      () => new graft.sources.ParquetDirectorySource(spark, outDir, "region"),
+      () => Seq(new graft.formats.delta.DeltaConversionTarget(spark, target)))
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.schema(raw.schema).parquet(inDir)
+        .writeStream.queryName("hook_writer")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // progress events drain asynchronously on the listener bus
+      val deadline = System.currentTimeMillis() + 60000
+      while (listener.batchesSynced < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.batchesSynced >= 1)
+      assert(listener.lastOutcomes.nonEmpty &&
+        listener.lastOutcomes.forall(_.status == "SUCCESS"),
+        listener.lastOutcomes.toString)
+      val synced = new graft.formats.delta.DeltaConversionSource(
+        spark, target, "region")
+      assert(graft.formats.delta.DeltaRead
+        .toDataFrame(spark, synced.currentSnapshot()).count() == raw.count())
+    } finally spark.streams.removeListener(listener)
+
+    // batch path: write + sync in one call (the direct XTableSyncTool shape)
+    val batchTarget = tmpDir("hook_delta2")
+    val out = graft.sync.SyncOnWrite.afterWrite(
+      raw.write.mode("append").parquet(outDir),
+      () => new graft.sources.ParquetDirectorySource(spark, outDir, "region"),
+      () => Seq(new graft.formats.delta.DeltaConversionTarget(spark, batchTarget)))
+    assert(out.forall(_.status == "SUCCESS"), out.toString)
+    assert(graft.formats.delta.DeltaRead.toDataFrame(spark,
+      new graft.formats.delta.DeltaConversionSource(spark, batchTarget, "region")
+        .currentSnapshot()).count() >= raw.count())
+  }
+
   test("stateful sessionizer matches batch sessionization") {
     import spark.implicits._
     val raw = spark.read.parquet(sf("sf0.001/events.parquet"))
