@@ -24,6 +24,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine given precomputed norms. `cosine(a,b)` evaluates THREE dot
+    * products per pair; on a quadratic pair stage that triples the flops.
+    * Precomputing `norm(v)` once per row and dividing here keeps the exact
+    * same float-op sequence per value — `dot(a,b) / (na * nb)` with
+    * `n? = sqrt(dot(v,v))` — so results are bit-for-bit identical.
+    */
+  def cosineWithNorms(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded). Queries are broadcast; ranking uses rounded
     * similarity with id tie-breaks so results are deterministic at any
@@ -32,13 +41,16 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     // 3-decimal rounding: DuckDB's SIMD float32 cosine and our ordered
     // double accumulation agree to ~1e-7, far from any 5e-4 boundary
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 3).as("sim"))
+        round(cosineWithNorms(dot(col("qv"), col("cv")), col("qn"),
+          col("cn")), 3).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -72,7 +84,8 @@ object Similarity {
       threshold: Double = 0.45, nlist: Int = 16, nprobe: Int = 2)
       : DataFrame = {
     import org.apache.spark.sql.Row
-    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v")).cache()
+    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv")).cache()
     val n = vecs.count()
     val step = math.max(1L, n / nlist)
 
@@ -106,10 +119,13 @@ object Similarity {
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
       .distinct()
     pairs
-      .join(vecs.select(col("doc").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(vecs.select(col("doc").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .join(vecs.select(col("doc").as("id_a"), col("v").as("va"),
+        col("nv").as("na")), Seq("id_a"))
+      .join(vecs.select(col("doc").as("id_b"), col("v").as("vb"),
+        col("nv").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+        round(cosineWithNorms(dot(col("va"), col("vb")), col("na"),
+          col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("id_a", "id_b")
   }
@@ -123,7 +139,8 @@ object Similarity {
       threshold: Double = 0.45, bands: Int = 8, rowsPerBand: Int = 4)
       : DataFrame = {
     val planes = Array.tabulate(bands * rowsPerBand)(hyperplane(_, dim))
-    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v")).cache()
+    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv")).cache()
     val banded = vecs.select(col("doc"),
         graft.functions.HyperplaneBandKeys(col("v"), planes, bands,
           rowsPerBand).as("keys"))
@@ -137,10 +154,13 @@ object Similarity {
       .select(col("x.doc").as("id_a"), col("y.doc").as("id_b"))
       .distinct()
     pairs
-      .join(vecs.select(col("doc").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(vecs.select(col("doc").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .join(vecs.select(col("doc").as("id_a"), col("v").as("va"),
+        col("nv").as("na")), Seq("id_a"))
+      .join(vecs.select(col("doc").as("id_b"), col("v").as("vb"),
+        col("nv").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("cos_sim"))
+        round(cosineWithNorms(dot(col("va"), col("vb")), col("na"),
+          col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("id_a", "id_b")
   }

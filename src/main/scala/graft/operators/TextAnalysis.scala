@@ -89,6 +89,74 @@ object TextAnalysis {
     when(ascii(substring(md5(text), 1, 1)) % evalOneIn === 0, lit("eval"))
       .otherwise(lit("train"))
 
+  /** Repetition features (Gopher-style repetition signals): the share of a
+    * document's word bigrams taken by its single most frequent bigram —
+    * high values flag boilerplate/templated text that dedup misses because
+    * the repetition is WITHIN the document. Two keyed shuffles
+    * ((doc, gram) count, then per-doc max); no driver-side state, so the
+    * shape holds at 10^9 documents.
+    */
+  def repetitionFeatures(docs: DataFrame, idCol: String, textCol: String,
+      flagThreshold: Double = 0.1): DataFrame = {
+    val words = split(lower(col(textCol)), "\\s+")
+    val grams = docs
+      .select(col(idCol), words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), size(col("w")).cast("long").as("n_tokens"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1)))).as("gram"))
+    val ratio =
+      col("top_bigram_n").cast("double") /
+        (col("n_tokens") - 1).cast("double")
+    grams.groupBy(col(idCol), col("n_tokens"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(max("cnt").as("top_bigram_n"))
+      .select(col(idCol), col("n_tokens"), col("top_bigram_n"),
+        ratio.as("rep_ratio"),
+        (ratio >= flagThreshold).as("repetitive"))
+      .orderBy(idCol)
+  }
+
+  /** PII patterns — chosen to mean the same thing in Java regex (Spark)
+    * and RE2 (DuckDB, Go tooling): no backreferences, no lookaround.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: count and replace emails and IPv4 literals. Pure
+    * column expressions; emits a content hash of the redacted text so any
+    * engine can verify the redaction byte-for-byte without shipping the
+    * text itself.
+    */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(t, EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>")
+    docs.select(col(idCol),
+        (regexp_count(t, lit(EmailPattern)) +
+          regexp_count(t, lit(Ipv4Pattern))).cast("long").as("n_pii"),
+        md5(redacted).as("redacted_hash"))
+      .orderBy(idCol)
+  }
+
+  /** Stratified deterministic sampling: within each stratum, a document is
+    * sampled iff its content hash lands in the sample residue — the same
+    * document samples identically on any engine, at any parallelism, on
+    * any run (no RNG state, no row order dependence). One shuffle.
+    */
+  def stratifiedSampleCounts(docs: DataFrame, strata: Seq[String],
+      idCol: String, textCol: String, oneIn: Int = 5): DataFrame = {
+    val sampled = ascii(substring(md5(col(textCol)), 1, 1)) % oneIn === 0
+    docs.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"),
+        coalesce(min(when(sampled, col(idCol))), lit(-1L))
+          .as("min_sampled_doc"))
+      .orderBy(strata.map(col): _*)
+  }
+
   /** Rolling-hash fingerprint per document (native Catalyst expression) +
     * duplicate-group size per fingerprint.
     */

@@ -36,6 +36,18 @@ class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
 
   private val tableSchema: StructType = snap.table.schema
 
+  /** The listing, materialized once. Every FileIndex entry point
+    * (`sizeInBytes` during join planning, `listFiles` per scan, possibly
+    * again under AQE) is a separate Spark action; without this each action
+    * re-executes the full metadata replay (log JSON parse + latest-action
+    * window shuffle). Persisted through a bounded registry keyed by
+    * (table, commit): reads of the same snapshot share one materialization
+    * and old entries are unpersisted, so a long-lived session doesn't
+    * accumulate cached listings (mirrors Spark's own CatalogFileIndex
+    * caching, with an explicit bound).
+    */
+  private lazy val filesDs = SnapshotFileIndex.listingFor(snap)
+
   /** Physical partition columns: typed from the table schema when present,
     * string otherwise (time-transform columns like `ts_day` are layout
     * artifacts not in the logical schema).
@@ -56,22 +68,22 @@ class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
 
   override def rootPaths: Seq[Path] = Seq(new Path(snap.table.basePath))
 
-  override def refresh(): Unit = ()
+  override def refresh(): Unit = SnapshotFileIndex.invalidate(snap)
 
   override lazy val sizeInBytes: Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, sum}
-    snap.files.agg(coalesce(sum("fileSizeBytes"), lit(0L))).head().getLong(0)
+    filesDs.agg(coalesce(sum("fileSizeBytes"), lit(0L))).head().getLong(0)
   }
 
   override def inputFiles: Array[String] = {
-    val s = snap.files.sparkSession
+    val s = filesDs.sparkSession
     import s.implicits._
-    snap.files.select("path").as[String].collect()
+    filesDs.select("path").as[String].collect()
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val files = snap.files
+    val files = filesDs
     val session = files.sparkSession
     import session.implicits._
 
@@ -123,6 +135,42 @@ class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
 }
 
 object SnapshotFileIndex {
+
+  /** How many snapshot listings stay persisted at once. Each entry is
+    * O(live files) rows distributed across the cluster; the bound exists so
+    * a session touching many tables doesn't grow the block-manager (and
+    * CacheManager plan-lookup) without limit.
+    */
+  private val MaxCachedListings = 8
+
+  private val cachedListings =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.Dataset[FileEntry]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.Dataset[FileEntry]])
+          : Boolean =
+        if (size > MaxCachedListings) { e.getValue.unpersist(false); true }
+        else false
+    }
+
+  /** The persisted listing for a snapshot, shared across every FileIndex
+    * over the same (table, commit).
+    */
+  def listingFor(snap: TableSnapshot): org.apache.spark.sql.Dataset[FileEntry] =
+    cachedListings.synchronized {
+      val key = snap.table.basePath + "#" + snap.commitId
+      Option(cachedListings.get(key)).getOrElse {
+        val ds = snap.files.persist()
+        cachedListings.put(key, ds)
+        ds
+      }
+    }
+
+  /** Drop a snapshot's persisted listing (FileIndex.refresh contract). */
+  def invalidate(snap: TableSnapshot): Unit = cachedListings.synchronized {
+    val key = snap.table.basePath + "#" + snap.commitId
+    Option(cachedListings.remove(key)).foreach(_.unpersist(false))
+  }
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 

@@ -164,11 +164,17 @@ object PipelineQueries {
     */
   private def annInvariants(s: SparkSession, dir: String,
       found: DataFrame, recallFloor: Double): DataFrame = {
+    // the cache is a materialization barrier: without it CollapseProject
+    // inlines the nv alias back into the pair expression and the join
+    // recomputes sqrt(dot(v,v)) per PAIR instead of per row
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("v"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"),
+        Similarity.norm(col("embedding")).as("nv")).cache()
     val exact = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 3).as("c"))
+        round(Similarity.cosineWithNorms(
+          Similarity.dot(col("a.v"), col("b.v")),
+          col("a.nv"), col("b.nv")), 3).as("c"))
       .filter(col("c") >= 0.45)
       .select("id_a", "id_b").cache()
     val f = found.select("id_a", "id_b")
@@ -218,11 +224,16 @@ object PipelineQueries {
     * recursive CTE.
     */
   def dedupEmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    // cache = materialization barrier so per-row norms stay per-row (see
+    // annInvariants)
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("v"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"),
+        Similarity.norm(col("embedding")).as("nv")).cache()
     val pairs = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 3).as("c"))
+        round(Similarity.cosineWithNorms(
+          Similarity.dot(col("a.v"), col("b.v")),
+          col("a.nv"), col("b.nv")), 3).as("c"))
       .filter(col("c") >= 0.45)
       .select("doc_a", "doc_b")
     Dedup.duplicateClusters(pairs)
@@ -343,6 +354,77 @@ object PipelineQueries {
       |    AS group_size,
       |  true AS fp_consistent
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Within-document repetition (Gopher-style): top-bigram share per doc. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionFeatures(Tables.documents(s, dir), "doc_id", "text")
+
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, len(w) AS n_tokens,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS gram
+      |  FROM t WHERE len(w) >= 2),
+      |c AS (
+      |  SELECT doc_id, n_tokens, gram, count(*) AS cnt
+      |  FROM b GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(max(cnt) AS BIGINT) AS top_bigram_n,
+      |  CAST(max(cnt) AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) AS rep_ratio,
+      |  CAST(max(cnt) AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) >= 0.1
+      |    AS repetitive
+      |FROM c GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+
+  /** PII redaction gate. The synthetic corpus contains no PII, so both
+    * engines deterministically inject the same emails/IPs into the same
+    * documents (doc_id % 20 == 0) before redacting — the gate then
+    * byte-compares the redacted text via md5 and the per-doc match counts.
+    */
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(pmod(col("doc_id"), lit(20)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+        .otherwise(lit("")))
+    TextAnalysis.piiRedact(
+      Tables.documents(s, dir).withColumn("text", injected), "doc_id", "text")
+  }
+
+  val textPiiRedactSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text || CASE WHEN doc_id % 20 = 0
+      |    THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |         '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |         '.7'
+      |    ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+      |       len(regexp_extract_all(text,
+      |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_pii,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+      |    AS redacted_hash
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  /** Stratified deterministic sampling by (lang, source). */
+  def textSampleStratified(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stratifiedSampleCounts(Tables.documents(s, dir),
+      Seq("lang", "source"), "doc_id", "text")
+
+  val textSampleStratifiedSql: String =
+    """SELECT lang, source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN ascii(substr(md5(text),1,1)) % 5 = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  coalesce(min(CASE WHEN ascii(substr(md5(text),1,1)) % 5 = 0
+      |    THEN doc_id END), -1) AS min_sampled_doc
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   /** Multimodal binary plumbing with stubbed decode. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =

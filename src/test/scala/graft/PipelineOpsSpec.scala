@@ -126,6 +126,49 @@ class PipelineOpsSpec extends SparkSuite {
     assert(plain == Seq((1L, 5L, 0L), (1L, 25L, 0L), (1L, 99L, 90L)))
   }
 
+  test("repetition features flag a templated document") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now"),       // "buy now"/"now buy" dominate
+      (2L, "a quiet fox walked over the old bridge while two birds sang " +
+        "above the cold river bend")                 // all bigrams unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(d, "doc_id", "text").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // doc 1: 8 tokens, 7 bigrams, "buy now" appears 4 times
+    assert(byId(1L) == ((8L, 4L, 4.0 / 7.0, true)))
+    // doc 2: 17 tokens, every bigram unique: 1/16 < 0.1
+    assert(byId(2L)._2 == 1L && !byId(2L)._4)
+  }
+
+  test("pii redaction counts and replaces emails and ipv4s") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 10.0.42.7 ok"),
+      (2L, "no pii here, just text with 1.2 version numbers")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(d, "doc_id", "text").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 0L))
+    // the redacted hash equals md5 of the expected redacted string
+    val expected = d.select(col("doc_id"), md5(lit(
+      "reach me at <EMAIL> or <IP> ok")).as("h")).filter(col("doc_id") === 1)
+      .head().getString(1)
+    assert(out.head.getString(2) == expected)
+  }
+
+  test("stratified sample is deterministic and counts add up") {
+    val out1 = TextAnalysis.stratifiedSampleCounts(docs,
+      Seq("lang", "source"), "doc_id", "text")
+    val out2 = TextAnalysis.stratifiedSampleCounts(
+      docs.repartition(7), Seq("lang", "source"), "doc_id", "text")
+    // parallelism-independent
+    assert(out1.collect().toSeq == out2.collect().toSeq)
+    val totals = out1.agg(sum("n_total"), sum("n_sampled")).head()
+    assert(totals.getLong(0) == docs.count())
+    assert(totals.getLong(1) > 0 && totals.getLong(1) < totals.getLong(0))
+  }
+
   test("multimodal stub decode preserves byte counts") {
     val feats = Multimodal.extractFeatures(spark, docs, "doc_id", "text")
     val joined = feats.toDF().join(docs, "doc_id")
