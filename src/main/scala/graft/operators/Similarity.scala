@@ -74,18 +74,12 @@ object Similarity {
       (h.toDouble / Long.MaxValue)        // in [-1, 1]
     }
 
-  /** IVF near-neighbor pairs — the clustered-corpus scale path: seed
-    * centroids at evenly spaced ids, one deterministic Lloyd refinement,
-    * then each vector joins its `nprobe` nearest inverted lists; pairs
-    * sharing any list are verified with exact cosine. Centroid fitting is
-    * two Spark passes; assignment is a native expression.
+  /** Fit IVF centroids over a cached (doc, v, nv) frame: seed at evenly
+    * spaced ids, one deterministic Lloyd refinement. Two Spark passes; the
+    * only collect is nlist×dim aggregate rows (the index, not the data).
     */
-  def ivfNearPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double = 0.45, nlist: Int = 16, nprobe: Int = 2)
-      : DataFrame = {
-    import org.apache.spark.sql.Row
-    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nv")).cache()
+  private def fitCentroids(vecs: DataFrame, dim: Int, nlist: Int)
+      : Array[Array[Double]] = {
     val n = vecs.count()
     val step = math.max(1L, n / nlist)
 
@@ -109,7 +103,21 @@ object Similarity {
     // one Lloyd iteration: assign to nearest seed, recompute means
     val assigned1 = vecs.withColumn("cluster",
       element_at(graft.functions.NearestCentroids(col("v"), seeds, 1), 1))
-    val centroids = collectCentroids(assigned1)
+    collectCentroids(assigned1)
+  }
+
+  /** IVF near-neighbor pairs — the clustered-corpus scale path: seed
+    * centroids at evenly spaced ids, one deterministic Lloyd refinement,
+    * then each vector joins its `nprobe` nearest inverted lists; pairs
+    * sharing any list are verified with exact cosine. Centroid fitting is
+    * two Spark passes; assignment is a native expression.
+    */
+  def ivfNearPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.45, nlist: Int = 16, nprobe: Int = 2)
+      : DataFrame = {
+    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv")).cache()
+    val centroids = fitCentroids(vecs, dim, nlist)
 
     val banded = vecs.select(col("doc"),
         explode(graft.functions.NearestCentroids(col("v"), centroids, nprobe))
@@ -128,6 +136,45 @@ object Similarity {
           col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("id_a", "id_b")
+  }
+
+  /** IVF top-k — the query-serving shape of the inverted-file index: the
+    * corpus lives in its nearest centroid's list; each QUERY probes its
+    * `nprobe` nearest lists and ranks only those candidates by exact
+    * cosine. Per query the work is O(probed-list sizes), not O(corpus) —
+    * the reason IVF serves at 10^9 vectors. Recall is bounded by the probed
+    * lists (a true neighbor in an unprobed list is missed), which is why
+    * the gate checks the measured-recall contract, not list equality.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int = 5, nlist: Int = 16, nprobe: Int = 4)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = corpus.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv")).cache()
+    val centroids = fitCentroids(vecs, dim, nlist)
+    // corpus: ONE list per vector (the index); queries: nprobe lists
+    val listed = vecs.select(col("doc").as("neighbor_id"), col("v").as("cv"),
+      col("nv").as("cn"),
+      element_at(graft.functions.NearestCentroids(col("v"), centroids, 1), 1)
+        .as("cluster"))
+    val probed = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"), norm(col(vecCol)).as("qn"),
+        explode(graft.functions.NearestCentroids(col(vecCol), centroids,
+          nprobe)).as("qcluster"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    listed.join(broadcast(probed),
+        col("cluster") === col("qcluster") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineWithNorms(dot(col("qv"), col("cv")), col("qn"),
+          col("cn")), 3).as("sim"))
+      // a corpus vector can match several probed lists of the same query
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
   }
 
   /** LSH-bucketed approximate near-neighbor pairs: `bands` bands of

@@ -157,6 +157,59 @@ object TextAnalysis {
       .orderBy(strata.map(col): _*)
   }
 
+  /** Per-document top TF-IDF terms — the keyword-extraction staple of
+    * training-data curation (topic balancing, query mining).
+    *
+    * Two aggregation shuffles (doc-term tf, then term df) + one term join +
+    * one per-doc window; partial aggregation keeps the term shuffle
+    * proportional to the vocabulary, and the df side broadcasts when the
+    * vocabulary is small — the same shape at 10^9 documents.
+    *
+    * IDF is INTEGER-SCALED: `idf_scaled = (N * 10^6) div df` (floor
+    * division). Monotone in N/df per term, exact in int64 on any engine at
+    * any parallelism — ln(N/df) is a one-line swap where cross-engine
+    * bit-stability is not required (libm `ln` is not correctly-rounded in
+    * general, so gate outputs avoid it).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf_scaled",
+        col("tf") * expr("(n_docs * CAST(1000000 AS BIGINT)) div df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf_scaled").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"),
+        col("tfidf_scaled"))
+      .orderBy(col(idCol), col("rnk"))
+  }
+
+  /** Corpus-level token-count histogram (bucket = n_tokens div 100): the
+    * length-distribution profile every curation run starts from. One
+    * aggregation shuffle over ~dozens of buckets.
+    */
+  def tokenHistogram(docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int = 100): DataFrame = {
+    val t = col(textCol)
+    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1)
+      .cast("long")
+    docs.select(col(idCol), nTokens.as("n_tokens"))
+      .groupBy(expr(s"n_tokens div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min(col(idCol)).as("min_doc"))
+      .orderBy("bucket")
+  }
+
   /** Rolling-hash fingerprint per document (native Catalyst expression) +
     * duplicate-group size per fingerprint.
     */
