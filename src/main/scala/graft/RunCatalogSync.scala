@@ -29,14 +29,17 @@ object RunCatalogSync {
     */
   def buildClient(spark: SparkSession, cfg: CatalogEntryConfig)
       : CatalogSyncClient = {
-    val impl = cfg.impl.toLowerCase
-    if (impl.contains("glue")) new InMemoryGlueCatalogClient(cfg.catalogId)
-    else if (impl.contains("session") || impl.contains("spark"))
-      new SparkSessionCatalogClient(spark, cfg.catalogId)
-    else if (impl.contains("hms") || impl.contains("hive"))
-      new InMemoryHmsCatalogClient(cfg.catalogId)
-    else Class.forName(cfg.impl).getConstructor(classOf[String])
-      .newInstance(cfg.catalogId).asInstanceOf[CatalogSyncClient]
+    // exact well-known keys only: a class name (contains '.') must reach
+    // Class.forName — substring matching would shadow e.g.
+    // com.example.HiveSyncClient with the in-memory stub
+    cfg.impl.toLowerCase match {
+      case "glue" => new InMemoryGlueCatalogClient(cfg.catalogId)
+      case "session" | "spark" =>
+        new SparkSessionCatalogClient(spark, cfg.catalogId)
+      case "hms" | "hive" => new InMemoryHmsCatalogClient(cfg.catalogId)
+      case _ => Class.forName(cfg.impl).getConstructor(classOf[String])
+        .newInstance(cfg.catalogId).asInstanceOf[CatalogSyncClient]
+    }
   }
 
   /** One dataset: resolve source → convert in place → register per-catalog.
@@ -49,10 +52,13 @@ object RunCatalogSync {
       clients: Map[String, CatalogSyncClient]): Seq[Map[String, Any]] = {
     val controller = new ConversionController()
 
+    val specFields = dataset.source.partitionSpec
+      .map(graft.model.PartitionSpecDSL.parse).getOrElse(Nil)
     val source: ConversionSource = dataset.source.hierarchicalId match {
       case Some(hid) =>
         val id = CatalogSyncConfig.parseHierarchicalId(hid)
-        CatalogConversionSource.fromCatalogClient(spark, sourceClient, id)
+        CatalogConversionSource.fromCatalogClient(spark, sourceClient, id,
+          specFields)
       case None =>
         val base = dataset.source.storageBasePath.getOrElse(
           throw new IllegalArgumentException("dataset needs a source"))
@@ -63,9 +69,7 @@ object RunCatalogSync {
           .map(_.toUpperCase)
           .getOrElse(CatalogConversionSource.detectFormat(base))
         if (fmt == TableFormats.Parquet)
-          new ParquetDirectorySource(spark, base, name,
-            dataset.source.partitionSpec
-              .map(graft.model.PartitionSpecDSL.parse).getOrElse(Nil))
+          new ParquetDirectorySource(spark, base, name, specFields)
         else RunSync.buildSource(spark, fmt, base, name)
     }
 
@@ -84,8 +88,10 @@ object RunCatalogSync {
     dataset.targets.map { t =>
       val id = CatalogSyncConfig.parseHierarchicalId(t.hierarchicalId)
       val sync = byFormat.get(t.tableFormat)
-      val converted = sync.forall(_.status == "SUCCESS") ||
-        t.tableFormat == source.sourceFormat
+      // same-format targets need no conversion; everything else needs a
+      // SUCCESS outcome from the sync pass
+      val converted = t.tableFormat == source.sourceFormat ||
+        sync.exists(_.status == "SUCCESS")
       val result: Map[String, Any] =
         if (!converted) Map("status" -> "ERROR",
           "error" -> sync.flatMap(_.error).getOrElse("conversion failed"))

@@ -110,10 +110,17 @@ object CatalogSyncConfig {
             sid.flatMap(textOpt(_, "tableName")),
             sid.flatMap(textOpt(_, "tableFormat"))),
           d.get("targetCatalogTableIdentifiers").elements().asScala.map { t =>
+            def req(field: String): String = textOpt(t, field).getOrElse(
+              throw new IllegalArgumentException(
+                s"target entry missing '$field' (dataset ${s.toString.take(80)})"))
             TargetTableIdentifier(
-              t.get("catalogId").asText,
-              t.get("tableFormat").asText.toUpperCase,
-              t.get("tableIdentifier").get("hierarchicalId").asText)
+              req("catalogId"),
+              req("tableFormat").toUpperCase,
+              Option(t.get("tableIdentifier"))
+                .flatMap(textOpt(_, "hierarchicalId")).getOrElse(
+                  throw new IllegalArgumentException(
+                    "target entry missing tableIdentifier.hierarchicalId" +
+                      s" (catalogId ${textOpt(t, "catalogId").getOrElse("?")})")))
           }.toSeq)
       }.toSeq)
   }

@@ -171,12 +171,19 @@ object TextAnalysis {
     * bit-stability is not required (libm `ln` is not correctly-rounded in
     * general, so gate outputs avoid it).
     */
+  /** The one tokenization shared by tfidfTopTerms and tokenHistogram:
+    * lowercase, split on runs of whitespace, drop empty tokens — so the
+    * two operators agree on any corpus (incl. leading/trailing/multiple
+    * whitespace and empty documents → 0 tokens).
+    */
+  def whitespaceTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = docs.select(col(idCol),
-        explode(filter(split(lower(col(textCol)), "\\s+"),
-          t => length(t) > 0)).as("term"))
+        explode(whitespaceTokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -199,9 +206,7 @@ object TextAnalysis {
     */
   def tokenHistogram(docs: DataFrame, idCol: String, textCol: String,
       bucketWidth: Int = 100): DataFrame = {
-    val t = col(textCol)
-    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1)
-      .cast("long")
+    val nTokens = size(whitespaceTokens(col(textCol))).cast("long")
     docs.select(col(idCol), nTokens.as("n_tokens"))
       .groupBy(expr(s"n_tokens div $bucketWidth").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),

@@ -216,6 +216,105 @@ object PipelineQueries {
 
   val annIvfPairsSql: String = annInvariantsSql
 
+  /** IVF top-k — the ANN query-serving shape — gated on its contract
+    * (per-query top-k from `nprobe` probed lists cannot equal the exact
+    * list when a true neighbor lives in an unprobed list, so equality is
+    * the wrong oracle; the contract is):
+    *  - `n_queries` / `n_exact_topk`: sizes DuckDB independently recomputes
+    *    with the same brute-force window SQL as `ann_bruteforce`;
+    *  - `k_bound_ok`: every query returns at most k rows, ranks contiguous
+    *    from 1 (the serving guarantee);
+    *  - `sim_exact_ok`: every emitted (query, neighbor) similarity equals
+    *    the exact cosine — IVF approximates the CANDIDATE SET, never the
+    *    score, so a drifted score means the verify stage broke;
+    *  - `recall_ok`: top-k overlap vs brute force ≥ an honest measured
+    *    floor (0.60 at nprobe=6/nlist=16; measured 0.72–0.84 across
+    *    sf0.001/0.01/0.1 — nprobe=4 measured exactly 0.60, too tight).
+    */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id", "rnk", "sim").cache()
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("xsim"))
+      .cache()
+    val nQ = queries.agg(count(lit(1)).as("n_queries"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact_topk"))
+    val nHit = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("nh"))
+    // per-query size/rank contiguity: max rnk == row count <= k
+    val kOk = ivf.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mr"))
+      .agg(min(col("n") === col("mr") && col("n") <= 5).as("k_bound_ok"))
+    // emitted sims must match the exact cosine wherever the pair is in the
+    // exact top-k (scores are exact by construction; this pins it)
+    val simOk = ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(coalesce(min(col("sim") === col("xsim")), lit(true))
+        .as("sim_exact_ok"))
+    nQ.crossJoin(nExact).crossJoin(nHit).crossJoin(kOk).crossJoin(simOk)
+      .select(col("n_queries"), col("n_exact_topk"), col("k_bound_ok"),
+        col("sim_exact_ok"),
+        (col("nh").cast("double") >=
+          lit(0.60) * col("n_exact_topk").cast("double")).as("recall_ok"))
+  }
+
+  val annIvfTopKSql: String =
+    """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5)
+      |    AS BIGINT) AS n_queries,
+      |  count(*) AS n_exact_topk,
+      |  true AS k_bound_ok, true AS sim_exact_ok, true AS recall_ok
+      |FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 3) DESC,
+      |               c.vec_id) AS rnk
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 5)
+      |WHERE rnk <= 5""".stripMargin
+
+  /** Per-document top TF-IDF terms — exactly oracle-able because the IDF
+    * is integer-scaled (floor-divided int64), not floating-point ln.
+    */
+  def textTfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text")
+
+  val textTfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * ((n.n_docs * CAST(1000000 AS BIGINT)) // df.df)
+      |      AS tfidf_scaled
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf_scaled DESC, term) AS rnk
+      |      FROM scored)
+      |SELECT doc_id, rnk, term, tf, df, tfidf_scaled
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** Corpus token-length histogram over the shared \s+ tokenization. */
+  def textTokenHistogram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenHistogram(Tables.documents(s, dir), "doc_id", "text")
+
+  val textTokenHistogramSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0))
+      |    AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT n_tokens // 100 AS bucket, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS min_doc
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Embedding-cosine near-duplicate clustering end-to-end: exact cosine
     * pairs (≥ 0.45, gate-scale brute force — the LSH/IVF queries cover the
     * bucketed scale path) fed through the distributed min-label

@@ -40,10 +40,18 @@ object CatalogConversionSource {
     fromPath(spark, location, ident.table)
   }
 
-  /** Build a source for a bare path, detecting the format. */
-  def fromPath(spark: SparkSession, path: String, name: String)
-      : ConversionSource =
-    graft.RunSync.buildSource(spark, detectFormat(path), path, name)
+  /** Build a source for a bare path, detecting the format. A partition
+    * spec only applies to parquet directories — table formats carry their
+    * spec in their own metadata (reference RunCatalogSync.java:238-241
+    * injects the dataset's partitionSpec into source properties).
+    */
+  def fromPath(spark: SparkSession, path: String, name: String,
+      partitionSpec: Seq[graft.model.PartitionFieldSpec] = Nil)
+      : ConversionSource = detectFormat(path) match {
+    case TableFormats.Parquet =>
+      new ParquetDirectorySource(spark, path, name, partitionSpec)
+    case fmt => graft.RunSync.buildSource(spark, fmt, path, name)
+  }
 
   /** Resolve a source from any catalog client (HMS/Glue-shaped or the
     * session catalog) — the reference's GlueCatalogConversionSource /
@@ -52,9 +60,11 @@ object CatalogConversionSource {
     */
   def fromCatalogClient(spark: SparkSession,
       client: graft.catalog.CatalogSyncClient,
-      id: graft.catalog.CatalogTableIdentifier): ConversionSource = {
+      id: graft.catalog.CatalogTableIdentifier,
+      partitionSpec: Seq[graft.model.PartitionFieldSpec] = Nil)
+      : ConversionSource = {
     val entry = client.getTable(id).getOrElse(throw new IllegalArgumentException(
       s"no table ${id.fqName} in catalog ${client.catalogName}"))
-    fromPath(spark, entry.location, id.table)
+    fromPath(spark, entry.location, id.table, partitionSpec)
   }
 }

@@ -201,4 +201,47 @@ class PipelineOpsSpec extends SparkSuite {
     val original = media.filter(_.doc_id == f0.doc_id).head().media
     assert(f0.frame.sameElements(original.take(f0.frame.length)))
   }
+
+  test("tfidf top terms: ranks contiguous, scores match a local recompute") {
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topK = 3)
+      .collect()
+    val nDocs = docs.count()
+    assert(out.nonEmpty)
+    // every doc with >=1 token appears with ranks 1..min(3, n_distinct_terms)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+    // recompute one document's scores locally from its text
+    val sample = docs.select("doc_id", "text").limit(1).collect().head
+    val (docId, text) = (sample.getLong(0), sample.getString(1))
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val tf = toks.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    // df comes from the corpus — read it back from the operator's output
+    val docRows = out.filter(_.getLong(0) == docId)
+    docRows.foreach { r =>
+      val (term, tfOut, dfOut, scaled) =
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tf(term) == tfOut, s"tf($term)")
+      assert(scaled == tfOut * ((nDocs * 1000000L) / dfOut), s"scale($term)")
+    }
+  }
+
+  test("token histogram agrees with tfidf tokenization and totals add up") {
+    val hist = TextAnalysis.tokenHistogram(docs, "doc_id", "text").collect()
+    assert(hist.nonEmpty)
+    assert(hist.map(_.getLong(1)).sum == docs.count())   // every doc bucketed
+    // total tokens across buckets == total exploded terms (one tokenization)
+    val totalTokens = hist.map(_.getLong(2)).sum
+    val exploded = docs.select(
+      explode(TextAnalysis.whitespaceTokens(col("text")))).count()
+    assert(totalTokens == exploded)
+    // bucket identity: bucket * 100 <= every member's n_tokens — implied by
+    // the group key; spot-check via an empty/whitespace doc counting 0 tokens
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "   \t \n "), (3L, "one two"))
+      .toDF("doc_id", "text")
+    val eh = TextAnalysis.tokenHistogram(edge, "doc_id", "text").collect()
+    val bucket0 = eh.find(_.getLong(0) == 0L).get
+    assert(bucket0.getLong(1) == 3L && bucket0.getLong(2) == 2L)
+  }
 }
