@@ -8,14 +8,27 @@ import graft.spi._
 import graft.sources.ParquetFooters
 import graft.util.{Jsons, PathUtils}
 
-/** Hudi COW source — reference HudiConversionSource.java:57-341: snapshot =
+/** Hudi source — reference HudiConversionSource.java:57-341: snapshot =
   * latest base file per file group across the timeline; per-commit diffs;
   * column stats come from parquet footers (the reference's own fallback when
   * the metadata-table col-stats index is absent —
   * HudiFileStatsExtractor.java:115-126), read distributed.
+  *
+  * MERGE_ON_READ tables serve the READ-OPTIMIZED view, exactly like the
+  * reference (HudiDataFileExtractor.java:359 `getLatestBaseFiles` — log
+  * files never become data files; ITConversionController.java:409-452
+  * checks equivalence against `hoodie.datasource.query.type=read_optimized`).
+  * `deltacommit` write stats that target log files leave the base-file map
+  * untouched but mark their file group log-pending until a newer base write
+  * (compaction) lands. Requesting the real-time view on a table with
+  * unmerged log files refuses loudly — log-block merge is out of scope.
+  *
+  * @param queryType `read_optimized` (default; the only MOR-complete mode)
+  *                  or `snapshot` (real-time — refused when log files are
+  *                  pending, identical to RO otherwise)
   */
 class HudiConversionSource(spark: SparkSession, tablePath: String,
-    tableName: String)
+    tableName: String, queryType: String = "read_optimized")
   extends ConversionSource {
 
   override def sourceFormat: String = TableFormats.Hudi
@@ -30,7 +43,8 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     * keyed on the active instant list so new commits invalidate it.
     */
   private type LiveState =
-    (String, Map[String, (String, HudiTimeline.WriteStat, String)], Set[String])
+    (String, Map[String, (String, HudiTimeline.WriteStat, String)], Set[String],
+      Set[String])           // _4 = fileIds with logs newer than their base
   private var timelineCache
       : Option[(Seq[String], Seq[HudiTimeline.CommitMeta], Vector[LiveState])] =
     None
@@ -46,17 +60,25 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
             .sortBy(_.instant)
           val states = commits.scanLeft(
             ("", Map.empty[String, (String, HudiTimeline.WriteStat, String)],
-              Set.empty[String]): LiveState) {
-            case ((_, latest0, replaced0), c) =>
+              Set.empty[String], Set.empty[String]): LiveState) {
+            case ((_, latest0, replaced0, logPending0), c) =>
               var latest = latest0
               var replaced = replaced0
+              var logPending = logPending0
               for ((part, stats) <- c.partitionToWriteStats; s <- stats) {
-                latest = latest.updated(s.fileId, (part, s, c.instant))
-                replaced -= s.fileId      // re-add revives a file group
+                if (HudiTimeline.isLogFile(s.path)) {
+                  // MOR log write: base file unchanged in the RO view; the
+                  // group is real-time-stale until compaction writes a base
+                  logPending += HudiTimeline.logFileGroupId(s.path)
+                } else {
+                  latest = latest.updated(s.fileId, (part, s, c.instant))
+                  replaced -= s.fileId    // re-add revives a file group
+                  logPending -= s.fileId  // new base absorbs prior logs
+                }
               }
               for ((_, ids) <- c.partitionToReplaceFileIds; id <- ids)
                 replaced += id
-              (c.instant, latest, replaced)
+              (c.instant, latest, replaced, logPending)
           }.toVector
           timelineCache = Some((active, commits, states))
           (commits, states)
@@ -75,11 +97,35 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     val idx = states.lastIndexWhere(s => s._1 <= upTo)
     if (idx <= 0) Nil
     else {
-      val (_, latest, replaced) = states(idx)
+      val (_, latest, replaced, _) = states(idx)
       latest.values.filter { case (_, s, _) => !replaced.contains(s.fileId) }
         .toSeq.sortBy { case (_, s, _) => s.fileId }
     }
   }
+
+  /** File groups whose newest write is a log file (RO view ≠ real-time view
+    * until compaction). Empty on COW tables.
+    */
+  private[hudi] def logPendingFileGroups(upTo: String): Set[String] = {
+    val states = timeline()._2
+    val idx = states.lastIndexWhere(s => s._1 <= upTo)
+    if (idx <= 0) Set.empty else states(idx)._4
+  }
+
+  /** The loud refusal the scaladoc promises: a real-time (`snapshot`) read
+    * of a MOR table with unmerged log files would silently drop updates if
+    * we served base files only — so we don't serve it at all.
+    */
+  private def checkQueryTypeServable(upTo: String): Unit =
+    if (queryType != "read_optimized") {
+      val pending = logPendingFileGroups(upTo)
+      if (pending.nonEmpty) throw new UnsupportedOperationException(
+        s"MERGE_ON_READ real-time view requires merging ${pending.size} " +
+          s"file group(s) with unmerged log files (e.g. ${pending.take(3)
+            .mkString(", ")}) at $tablePath; this source serves the " +
+          "read_optimized view only — compact the table or pass " +
+          "queryType=read_optimized")
+    }
 
   private def schemaFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
       : StructType =
@@ -155,6 +201,7 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
   override def currentSnapshot(): TableSnapshot = {
     val last = instants.lastOption.getOrElse(
       throw new IllegalStateException(s"no Hudi timeline at $tablePath"))
+    checkQueryTypeServable(last)
     TableSnapshot(currentTable(), toFileEntries(liveStats(last)), last)
   }
 
@@ -182,15 +229,25 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
 
   override def changeForCommit(commit: String): TableChange = {
     val c = HudiTimeline.readCommit(tablePath, commit)
+    // log-file write stats (MOR deltacommits) never change the RO view:
+    // only base-file writes become adds
     val adds = c.partitionToWriteStats.toSeq.flatMap { case (p, ss) =>
-      ss.map(s => (p, s, c.instant))
+      ss.filterNot(s => HudiTimeline.isLogFile(s.path))
+        .map(s => (p, s, c.instant))
     }
-    // removed = file groups replaced by this commit, resolved against the
-    // state just before it
+    // removed = file groups replaced by this commit, plus base files
+    // superseded in-place by a new base path for the same fileId (MOR
+    // compaction writes a fresh base file into the same file group) —
+    // both resolved against the state just before this commit
     val replacedIds = c.partitionToReplaceFileIds.values.flatten.toSet
+    val newBaseByFileId = adds.map { case (_, s, _) => s.fileId -> s.path }
+      .toMap
     val prevInstant = instants.takeWhile(_ < commit).lastOption
     val removed = prevInstant.map(pi => liveStats(pi)
-        .filter { case (_, s, _) => replacedIds.contains(s.fileId) })
+        .filter { case (_, s, _) =>
+          replacedIds.contains(s.fileId) ||
+            newBaseByFileId.get(s.fileId).exists(_ != s.path)
+        })
       .getOrElse(Nil)
     TableChange(commit,
       currentTable().copy(latestCommitMillis = commit.toLong),

@@ -28,7 +28,7 @@ object HudiTimeline {
 
   case class CommitMeta(
       instant: String,
-      action: String,                           // commit | replacecommit
+      action: String,            // commit | deltacommit | replacecommit
       partitionToWriteStats: Map[String, Seq[WriteStat]],
       partitionToReplaceFileIds: Map[String, Seq[String]],
       extraMetadata: Map[String, String])
@@ -36,6 +36,26 @@ object HudiTimeline {
   def fileId(path: String): String =
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xffffffffL)
+
+  /** Hudi log-file naming: `.<fileId>_<baseInstant>.log.<version>_<token>`
+    * (FSUtils.LOG_FILE_PATTERN). Log files belong to a file slice, not the
+    * read-optimized view — a MOR reader serving RO must skip them.
+    */
+  def isLogFile(path: String): Boolean = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    name.contains(".log.")
+  }
+
+  /** The fileId a log write stat attaches to: leading-dot-stripped prefix
+    * before `_<baseInstant>.log.`.
+    */
+  def logFileGroupId(path: String): String = {
+    val name = path.substring(path.lastIndexOf('/') + 1).stripPrefix(".")
+    val cut = name.indexOf(".log.")
+    val stem = if (cut >= 0) name.substring(0, cut) else name
+    val us = stem.lastIndexOf('_')
+    if (us >= 0) stem.substring(0, us) else stem
+  }
 
   def hoodieDir(tablePath: String): String = s"$tablePath/$HoodieDir"
 
@@ -55,18 +75,29 @@ object HudiTimeline {
   def exists(tablePath: String): Boolean =
     Files.exists(JPaths.get(hoodieDir(tablePath), "hoodie.properties"))
 
-  def writeProperties(tablePath: String, tableName: String): Unit = {
+  def writeProperties(tablePath: String, tableName: String,
+      tableType: String = "COPY_ON_WRITE"): Unit = {
     val dir = JPaths.get(hoodieDir(tablePath))
     Files.createDirectories(dir)
     val props =
       s"""#Updated at ${System.currentTimeMillis()}
          |hoodie.table.name=$tableName
-         |hoodie.table.type=COPY_ON_WRITE
+         |hoodie.table.type=$tableType
          |hoodie.table.version=6
          |hoodie.timeline.layout.version=1
          |""".stripMargin
     Files.write(dir.resolve("hoodie.properties"),
       props.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** COPY_ON_WRITE (default when unreadable) or MERGE_ON_READ. */
+  def tableType(tablePath: String): String = {
+    val p = JPaths.get(hoodieDir(tablePath), "hoodie.properties")
+    if (!Files.exists(p)) "COPY_ON_WRITE"
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.find(_.startsWith("hoodie.table.type="))
+      .map(_.substring("hoodie.table.type=".length).trim)
+      .getOrElse("COPY_ON_WRITE")
   }
 
   def tableName(tablePath: String): Option[String] = {
@@ -83,7 +114,8 @@ object HudiTimeline {
     if (!Files.exists(dir)) return Nil
     val out = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".commit") || n.endsWith(".replacecommit"))
+      .filter(n => n.endsWith(".commit") || n.endsWith(".replacecommit") ||
+        n.endsWith(".deltacommit"))
       .map(n => n.substring(0, n.indexOf('.')))
       .toSeq
     out.sorted
@@ -96,7 +128,10 @@ object HudiTimeline {
   /** Find the action suffix for an instant on disk. */
   private def actionOf(tablePath: String, instant: String): String =
     if (Files.exists(commitPath(tablePath, instant, "replacecommit")))
-      "replacecommit" else "commit"
+      "replacecommit"
+    else if (Files.exists(commitPath(tablePath, instant, "deltacommit")))
+      "deltacommit"
+    else "commit"
 
   private def commitJson(meta: CommitMeta): String = Jsons.toJson(Map(
     "partitionToWriteStats" -> meta.partitionToWriteStats.map {

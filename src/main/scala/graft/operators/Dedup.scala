@@ -160,29 +160,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Blocked exact n-gram Jaccard: candidates share a 50-char prefix
-    * (the blocking key), pairs verified with exact trigram Jaccard — no
-    * approximation, fully mirrorable in ANSI SQL for the oracle.
+  /** Blocked exact n-gram Jaccard: pairs verified with exact trigram
+    * Jaccard — no approximation, fully mirrorable in ANSI SQL for the
+    * oracle.
+    *
+    * Blocking key is COMPOSITE: `(50-char prefix, token-count ÷ 16)`. A
+    * prefix alone is skew-unsafe — a boilerplate-heavy corpus (every doc
+    * opening with the same license header) collapses into one quadratic
+    * bucket; the length band caps each bucket at docs of similar size. To
+    * keep recall exact across a band boundary (15 vs 17 tokens), each doc
+    * also PROBES its two adjacent bands, so any pair within one band of
+    * each other — a superset of all pairs that can reach trigram Jaccard
+    * ≥ 0.3 while sharing the prefix at similar length — is still compared.
+    * The probe explode triples one join side but makes the full composite
+    * key part of the shuffle hash, which is what bounds the skew.
     */
   def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.3, prefixLen: Int = 50): DataFrame = {
+      threshold: Double = 0.3, prefixLen: Int = 50, lenBand: Int = 16)
+      : DataFrame =
+    ngramCandidatePairs(docs, idCol, textCol, prefixLen, lenBand)
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+
+  /** Candidate pairs of the composite-key blocking with their exact
+    * Jaccard, pre-threshold — exposed so tests can assert the candidate
+    * count stays bounded on adversarial (shared-boilerplate) corpora.
+    */
+  def ngramCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 50, lenBand: Int = 16): DataFrame = {
     val words = split(col(textCol), " ")
     val g = docs
       .select(col(idCol).as("doc"),
         substring(col(textCol), 1, prefixLen).as("pfx"), words.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc"), col("pfx"),
+        floor(size(col("w")) / lenBand).cast("long").as("nb"),
         array_distinct(transform(sequence(lit(1), size(col("w")) - 2),
           i => concat(element_at(col("w"), i), lit(" "),
             element_at(col("w"), i + 1), lit(" "),
             element_at(col("w"), i + 2)))).as("grams"))
-    g.as("a").join(g.as("b"),
-        col("a.pfx") === col("b.pfx") && col("a.doc") < col("b.doc"))
+    // each doc probes its own and both adjacent length bands; the build
+    // side keeps its single band, so every |nb_a − nb_b| ≤ 1 pair matches
+    // exactly once (orientation fixed by doc_a < doc_b)
+    val probes = g.withColumn("pb",
+      explode(array(col("nb") - 1, col("nb"), col("nb") + 1)))
+    probes.as("a").join(g.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.pb") === col("b.nb") &&
+          col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
           size(array_distinct(concat(col("a.grams"), col("b.grams"))))
             .cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 }

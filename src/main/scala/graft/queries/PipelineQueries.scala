@@ -24,6 +24,7 @@ object PipelineQueries {
   val dedupNgramJaccardSql: String =
     """WITH g AS (
       |  SELECT doc_id, substr(text,1,50) AS pfx,
+      |    len(string_split(text,' ')) // 16 AS nb,
       |    list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
       |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
       |           || ' ' || string_split(text,' ')[i+2])) AS grams
@@ -32,7 +33,8 @@ object PipelineQueries {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE) /
       |    len(list_distinct(list_concat(a.grams,b.grams))) AS j
-      |  FROM g a JOIN g b ON a.pfx = b.pfx AND a.doc_id < b.doc_id)
+      |  FROM g a JOIN g b ON a.pfx = b.pfx
+      |    AND b.nb BETWEEN a.nb - 1 AND a.nb + 1 AND a.doc_id < b.doc_id)
       |WHERE j >= 0.3 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Duplicate-cluster keeper assignment over the exact blocked-Jaccard
@@ -46,13 +48,15 @@ object PipelineQueries {
   val dedupClustersSql: String =
     """WITH RECURSIVE g AS (
       |  SELECT doc_id, substr(text,1,50) AS pfx,
+      |    len(string_split(text,' ')) // 16 AS nb,
       |    list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
       |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
       |           || ' ' || string_split(text,' ')[i+2])) AS grams
       |  FROM documents WHERE len(string_split(text,' ')) >= 3),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM g a
-      |  JOIN g b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      |  JOIN g b ON a.pfx = b.pfx
+      |    AND b.nb BETWEEN a.nb - 1 AND a.nb + 1 AND a.doc_id < b.doc_id
       |  WHERE CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE) /
       |        len(list_distinct(list_concat(a.grams,b.grams))) >= 0.3),
       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

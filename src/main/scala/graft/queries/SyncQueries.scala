@@ -146,6 +146,52 @@ object SyncQueries {
       |  CAST(CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_price
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Hudi MERGE_ON_READ → Delta through the read-optimized view: a base
+    * commit from nation.parquet plus a log-only deltacommit (an unreadable
+    * non-parquet log file on disk). The RO contract — the reference's own
+    * MOR equivalence mode (ITConversionController.java:434-446,
+    * `hoodie.datasource.query.type=read_optimized`) — means the converted
+    * Delta table reads exactly the base rows and never touches the log.
+    */
+  def syncHudiMorToDelta(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.hudi._
+    val hudiDir = Files.createTempDirectory("graft_hudi_mor").toString
+    val deltaDir = Files.createTempDirectory("graft_hudi_mor_delta").toString
+    Files.copy(Paths.get(s"$dir/nation.parquet"),
+      Paths.get(hudiDir, "base1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val base = s"$hudiDir/base1.parquet"
+    val nRows = s.read.parquet(base).count()
+    val schemaJson = s.read.parquet(base).schema.json
+    val fid = HudiTimeline.fileId(base)
+    HudiTimeline.writeProperties(hudiDir, "nation", "MERGE_ON_READ")
+    require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("100", "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(fid, "base1.parquet", nRows,
+        Files.size(Paths.get(base))))),
+      Map.empty, Map("schema" -> schemaJson)), hudiDir))
+    val logName = s".${fid}_100.log.1_0-1-1"
+    Files.write(Paths.get(hudiDir, logName), "avro-log-block".getBytes("UTF-8"))
+    require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("200",
+      "deltacommit",
+      Map("" -> Seq(HudiTimeline.WriteStat(fid, logName, 2, 14))),
+      Map.empty, Map("schema" -> schemaJson)), hudiDir))
+
+    val src = new HudiConversionSource(s, hudiDir, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, deltaDir)), src.currentSnapshot(),
+      src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    new DeltaConversionSource(s, deltaDir, "nation").toDataFrame
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("n_nationkey")).as("distinct_nations"))
+      .orderBy("n_regionkey")
+  }
+
+  val syncHudiMorToDeltaSql: String =
+    """SELECT n_regionkey, count(*) AS cnt,
+      |  count(DISTINCT n_nationkey) AS distinct_nations
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   /** Parquet dir → Paimon snapshot tree (a target the reference lacks —
     * it reads Paimon but cannot write it).
     */

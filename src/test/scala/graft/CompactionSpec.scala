@@ -36,6 +36,41 @@ class CompactionSpec extends SparkSuite {
       s"${manifests.size} manifests after 20 commits")
   }
 
+  test("iceberg remove-sync rewrites affected manifests cluster-parallel") {
+    val target = tmpDir("ice_par_rw")
+    val dataDir = tmpDir("ice_par_rw_data")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    val controller = new ConversionController
+    // 12 commits → 12 single-file manifests (below the compaction
+    // threshold, above the driver-side cutoff of 4)
+    for (i <- 1 to 12) {
+      Files.copy(srcFile, Paths.get(dataDir, s"f$i.parquet"))
+      Paths.get(dataDir, s"f$i.parquet").toFile.setLastModified(i * 1000000L)
+      val src = new ParquetDirectorySource(spark, dataDir, "region")
+      val r = controller.sync(src,
+        Seq(new IcebergConversionTarget(spark, target)))
+      assert(r.forall(_.status == "SUCCESS"), r.mkString(";"))
+    }
+    val before = IcebergManifests.readManifestList(
+      IcebergMetadata.read(target, IcebergMetadata.currentVersion(target).get)
+        .currentSnapshot.get.manifestList)
+    assert(before.size == 12, s"${before.size} manifests before remove")
+
+    // drop half the files externally; a FULL resync routes the removals
+    // through the distributed carry-forward (6 manifests rewritten away,
+    // 6 carried unchanged)
+    for (i <- 1 to 6) Files.delete(Paths.get(dataDir, s"f$i.parquet"))
+    val src = new ParquetDirectorySource(spark, dataDir, "region")
+    val r = controller.sync(src,
+      Seq(new IcebergConversionTarget(spark, target)), graft.spi.SyncMode.Full)
+    assert(r.forall(_.status == "SUCCESS"), r.mkString(";"))
+
+    val back = new IcebergConversionSource(spark, target, "region")
+    val files = back.currentSnapshot().files.collect()
+    assert(files.length == 6, files.map(_.path).mkString(","))
+    assert(files.forall(f => (7 to 12).exists(i => f.path.endsWith(s"f$i.parquet"))))
+  }
+
   test("paimon base manifest list compacts past the threshold") {
     val target = tmpDir("paimon_compact")
     driveCommits(target, "PAIMON", 20)

@@ -173,6 +173,73 @@ class HudiSyncSpec extends SparkSuite {
     }
   }
 
+  test("MOR timeline serves read-optimized view; compaction supersedes base") {
+    val hudiDir = tmpDir("hudi_mor")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    Files.copy(srcFile, Paths.get(hudiDir, "base1.parquet"))
+    val nRows = spark.read.parquet(s"$hudiDir/base1.parquet").count()
+    val size = Files.size(Paths.get(hudiDir, "base1.parquet"))
+    val schemaJson = spark.read.parquet(s"$hudiDir/base1.parquet").schema.json
+    val fid = HudiTimeline.fileId(s"$hudiDir/base1.parquet")
+
+    HudiTimeline.writeProperties(hudiDir, "region", "MERGE_ON_READ")
+    assert(HudiTimeline.tableType(hudiDir) == "MERGE_ON_READ")
+
+    // commit 100: one base file
+    assert(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("100", "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(fid, "base1.parquet", nRows, size))),
+      Map.empty, Map("schema" -> schemaJson)), hudiDir))
+
+    // deltacommit 200: log-only write into the same file group (the log
+    // file on disk is NOT parquet — reading it would blow up, which is
+    // the point: the RO view must never touch it)
+    val logName = s".${fid}_100.log.1_0-1-1"
+    Files.write(Paths.get(hudiDir, logName),
+      "avro-log-block".getBytes("UTF-8"))
+    assert(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("200",
+      "deltacommit",
+      Map("" -> Seq(HudiTimeline.WriteStat(fid, logName, 2, 14))),
+      Map.empty, Map("schema" -> schemaJson)), hudiDir))
+
+    val src = new HudiConversionSource(spark, hudiDir, "region")
+    val snap = src.currentSnapshot()
+    val files = snap.files.collect()
+    assert(files.length == 1 && files.head.path.endsWith("base1.parquet"))
+    assert(src.toDataFrame.count() == nRows)
+
+    // real-time view with unmerged logs refuses loudly
+    val rt = new HudiConversionSource(spark, hudiDir, "region", "snapshot")
+    val ex = intercept[UnsupportedOperationException](rt.currentSnapshot())
+    assert(ex.getMessage.contains("read_optimized"))
+
+    // commit 300: compaction — a NEW base path for the same file group
+    Files.copy(srcFile, Paths.get(hudiDir, "base1_c.parquet"))
+    assert(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("300", "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(fid, "base1_c.parquet", nRows,
+        size))),
+      Map.empty, Map("schema" -> schemaJson)), hudiDir))
+
+    val src2 = new HudiConversionSource(spark, hudiDir, "region")
+    val diff = src2.changeForCommit("300").diff
+    assert(diff.added.collect().map(_.path).toSeq
+      == Seq(s"$hudiDir/base1_c.parquet"))
+    assert(diff.removed.collect().map(_.path).toSeq
+      == Seq(s"$hudiDir/base1.parquet"))
+    val after = src2.currentSnapshot().files.collect()
+    assert(after.length == 1 && after.head.path.endsWith("base1_c.parquet"))
+
+    // compaction absorbed the logs → real-time view is servable again
+    assert(new HudiConversionSource(spark, hudiDir, "region", "snapshot")
+      .currentSnapshot().files.count() == 1)
+
+    // cross-format: MOR read-optimized → Delta reads identical rows
+    val deltaDir = tmpDir("hudi_mor_delta")
+    fullSync(src2, new graft.formats.delta.DeltaConversionTarget(
+      spark, deltaDir))
+    assert(new graft.formats.delta.DeltaConversionSource(
+      spark, deltaDir, "region").toDataFrame.count() == nRows)
+  }
+
   test("hudi -> delta cross-format sync") {
     val hudiDir = tmpDir("hudi_x")
     val deltaDir = tmpDir("hudi_x_delta")

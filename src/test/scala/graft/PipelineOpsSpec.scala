@@ -24,6 +24,42 @@ class PipelineOpsSpec extends SparkSuite {
       s"recall too low: ${lshPairs.size}/${exactPairs.size}")
   }
 
+  test("ngram blocking survives a shared-boilerplate corpus without a " +
+      "quadratic bucket") {
+    import spark.implicits._
+    // 500 docs all opening with the same 60-char license header — under
+    // prefix-only blocking this is ONE bucket of 124,750 candidate pairs
+    val header = "Licensed to the Apache Software Foundation under one or"
+    require(header.length >= 50)
+    val n = 500
+    val corpus = (0 until n).map { i =>
+      // varying lengths spread docs across token-count bands
+      val body = (0 until (4 + i)).map(k => s"tok${i}_$k").mkString(" ")
+      (i.toLong, s"$header $body")
+    }.toDF("doc_id", "text")
+
+    val candidates = Dedup.ngramCandidatePairs(corpus, "doc_id", "text")
+      .count()
+    val quadratic = n.toLong * (n - 1) / 2
+    // composite (prefix, length-band) key with ±1-band probing: each of
+    // the ~31 bands holds ~16 docs, so candidates ≈ n × 3×16/2 ≪ n²/2
+    assert(candidates < quadratic / 5,
+      s"$candidates candidate pairs ≈ quadratic ($quadratic) — blocking " +
+        "key degenerated")
+    assert(candidates > 0)
+
+    // recall within the contract: a true near-dup pair (same band) with
+    // the shared header is still found
+    val nearDup = Seq(
+      (1000L, s"$header alpha beta gamma delta epsilon zeta"),
+      (1001L, s"$header alpha beta gamma delta epsilon eta"))
+      .toDF("doc_id", "text")
+    val found = Dedup.ngramJaccardBlocked(corpus.union(nearDup), "doc_id",
+        "text", threshold = 0.3)
+      .filter(col("doc_a") === 1000L && col("doc_b") === 1001L).count()
+    assert(found == 1L)
+  }
+
   test("simhash near-dup pairs overlap minhash pairs") {
     val sim = Dedup.simHash(docs, "doc_id", "text")
       .select("doc_a", "doc_b").collect()
