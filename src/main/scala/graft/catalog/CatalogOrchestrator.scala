@@ -47,7 +47,18 @@ object CatalogOrchestrator {
     }
   }
 
-  /** Explicit partition diff (add new, drop gone) — never a full relist. */
+  /** Glue's BatchCreatePartition caps at 100 partitions per call; HMS
+    * add_partitions degrades on huge lists too. Registration is chunked to
+    * this size so a 10⁵-partition table is many bounded calls, not one.
+    */
+  val PartitionBatchSize = 100
+
+  /** Explicit partition diff (add new, drop gone) — never a full relist.
+    * Adds and drops go through the client in `PartitionBatchSize` chunks;
+    * a failing chunk doesn't abort the rest (the catalog keeps every
+    * batch that succeeded), and the failures surface as one aggregate
+    * error naming the failed chunks.
+    */
   private def syncPartitions(c: CatalogSyncClient, id: CatalogTableIdentifier,
       desired: Seq[CatalogPartition]): Unit = {
     if (desired.isEmpty) return
@@ -55,8 +66,23 @@ object CatalogOrchestrator {
     val want = desired.map(p => p.values -> p).toMap
     val toAdd = desired.filterNot(p => current.contains(p.values))
     val toDrop = current.keys.filterNot(want.contains).toSeq
-    if (toAdd.nonEmpty) c.addPartitions(id, toAdd)
-    if (toDrop.nonEmpty) c.dropPartitions(id, toDrop)
+    val errors = Seq.newBuilder[String]
+    toAdd.grouped(PartitionBatchSize).zipWithIndex.foreach { case (batch, i) =>
+      try c.addPartitions(id, batch)
+      catch { case e: Exception =>
+        errors += s"add batch $i (${batch.size} partitions): $e"
+      }
+    }
+    toDrop.grouped(PartitionBatchSize).zipWithIndex.foreach { case (batch, i) =>
+      try c.dropPartitions(id, batch)
+      catch { case e: Exception =>
+        errors += s"drop batch $i (${batch.size} partitions): $e"
+      }
+    }
+    val errs = errors.result()
+    if (errs.nonEmpty) throw new IllegalStateException(
+      s"${errs.size} partition batch(es) failed for ${id.fqName}: " +
+        errs.mkString("; "))
   }
 
   /** The table's Hive partitions from a snapshot's file listing: a

@@ -127,17 +127,31 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
           "queryType=read_optimized")
     }
 
+  /** Latest commit wins, whichever schema form it carries: Spark schema
+    * JSON (our target's writes — field-id metadata survives natively) or
+    * Avro (the form a real Hudi writer leaves — id-less). Preferring a
+    * stale spark-json over a newer avro would silently undo an external
+    * writer's evolution. Then the IdTracker analog: if any commit persisted
+    * an id registry, re-apply it, giving externally-added fields fresh ids
+    * past the registry's high-water mark.
+    */
   private def schemaFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
-      : StructType =
-    commits.reverse.flatMap(_.extraMetadata.get("schema")).headOption
-      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-      .orElse(
-        // fall back to the Avro schema (the form a real Hudi writer leaves)
-        commits.reverse.flatMap(_.extraMetadata.get("avroSchema")).headOption
+      : StructType = {
+    val base = commits.reverseIterator.map { c =>
+      c.extraMetadata.get("schema")
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .orElse(c.extraMetadata.get("avroSchema")
           .map(a => graft.model.AvroSchemas.toSpark(
             new org.apache.avro.Schema.Parser().parse(a))
             .asInstanceOf[StructType]))
+    }.collectFirst { case Some(s) => s }
       .getOrElse(spark.read.parquet(tablePath).schema)
+    commits.reverseIterator.flatMap(_.extraMetadata.get(HudiIdTracking.Key))
+      .nextOption() match {
+      case Some(json) => HudiIdTracking.applyTracking(base, json)
+      case None => base
+    }
+  }
 
   private def specFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
       : Seq[PartitionFieldSpec] =
@@ -332,10 +346,18 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
     def partitionPathOf(f: FileEntry): String =
       f.partitionValues.map(p => s"${p.field}=${p.value}").mkString("/")
 
+    // one driver pass builds the commit's write stats AND buffers the
+    // first SmallDeltaThreshold entries: small commits then write their
+    // metadata-index delta as a driver-side sidecar in the same breath,
+    // skipping a whole Spark job (the round-4 sync_parquet_to_hudi cost)
     val writeStats = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[HudiTimeline.WriteStat]]
+    val smallBuf = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    var addCount = 0L
     pendingAdds.foreach { ds =>
       ds.toLocalIterator().asScala.foreach { f =>
+        addCount += 1
+        if (addCount <= HudiMetadataIndex.SmallDeltaThreshold) smallBuf += f
         val rel = PathUtils.relativize(tp, f.path)
         val st = HudiTimeline.WriteStat(HudiTimeline.fileId(f.path), rel,
           f.recordCount, f.fileSizeBytes)
@@ -363,6 +385,10 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
         "sourceField" -> p.sourceField, "transform" -> p.transform,
         "format" -> p.format.orNull,
         "numBuckets" -> p.numBuckets.map(Integer.valueOf).orNull)))) ++
+      // IdTracker analog: persist the schema's field-id registry so ids
+      // survive a Hudi round trip even through id-less Avro schemas
+      HudiIdTracking.trackingJson(schema)
+        .map(j => Map(HudiIdTracking.Key -> j)).getOrElse(Map.empty) ++
       syncMeta.map(m => Map(SyncMetadata.PropertyKey -> m.toJson))
         .getOrElse(Map.empty)
 
@@ -378,9 +404,14 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
     }
     // maintain the metadata index: one per-instant delta with the commit's
     // added files and their stats — readers then answer stats queries from
-    // the index instead of opening every data file's footer
-    try pendingAdds.foreach { ds =>
-      HudiMetadataIndex.write(spark, tablePath, instant, ds)
+    // the index instead of opening every data file's footer. Small commits
+    // use the buffered sidecar (no Spark job); big ones write distributed.
+    try {
+      if (addCount <= HudiMetadataIndex.SmallDeltaThreshold)
+        HudiMetadataIndex.writeSmall(tablePath, instant, smallBuf.toSeq)
+      else pendingAdds.foreach { ds =>
+        HudiMetadataIndex.write(spark, tablePath, instant, ds)
+      }
     } finally pendingAdds.foreach(_.unpersist())
   }
 

@@ -21,6 +21,16 @@ import graft.model.FileEntry
   */
 object HudiMetadataIndex {
 
+  /** Commits at or below this many files write their index delta as a
+    * driver-side JSON sidecar (`<instant>.json`) instead of a Spark
+    * parquet job — the entries are already in driver memory from building
+    * the commit JSON, so the sidecar costs one small file write where the
+    * parquet delta costs a whole job launch. Readers merge both forms, so
+    * the index stays complete either way; large commits keep the
+    * distributed parquet write.
+    */
+  val SmallDeltaThreshold = 64
+
   def indexDir(tablePath: String): String =
     s"${HudiTimeline.hoodieDir(tablePath)}/metadata/files"
 
@@ -32,21 +42,60 @@ object HudiMetadataIndex {
       adds: Dataset[FileEntry]): Unit =
     adds.write.mode("overwrite").parquet(s"${indexDir(tablePath)}/$instant")
 
-  /** The merged index: latest entry per path across all commit deltas.
-    * Empty when the table has no index (reader falls back to footers).
+  /** The small-commit path: the same delta as `write`, but a single JSON
+    * sidecar written by the driver — no Spark job.
+    */
+  def writeSmall(tablePath: String, instant: String,
+      entries: Seq[FileEntry]): Unit = {
+    if (entries.isEmpty) return
+    val dir = JPaths.get(indexDir(tablePath))
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(s"$instant.json"),
+      graft.util.Jsons.toJson(entries))
+  }
+
+  /** The merged index: latest entry per path across all commit deltas
+    * (parquet directories AND json sidecars). Empty when the table has no
+    * index (reader falls back to footers).
     */
   def read(spark: SparkSession, tablePath: String): Dataset[FileEntry] = {
     import spark.implicits._
     val dir = JPaths.get(indexDir(tablePath))
     if (!Files.exists(dir)) return spark.emptyDataset[FileEntry]
     import scala.jdk.CollectionConverters._
-    val deltas = Files.list(dir).iterator().asScala
-      .filter(p => Files.isDirectory(p)).map(_.toString).toSeq.sorted
-    if (deltas.isEmpty) return spark.emptyDataset[FileEntry]
+    val children = Files.list(dir).iterator().asScala.toSeq
+    val parquetDeltas = children.filter(Files.isDirectory(_))
+      .map(_.toString).sorted
+    val jsonEntries: Seq[FileEntry] = children
+      .filter(p => p.getFileName.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
+      .flatMap { p =>
+        val arr = graft.util.Jsons.mapper.readTree(Files.readString(p))
+        arr.elements().asScala.map { n =>
+          FileEntry(n.get("path").asText, n.get("fileSizeBytes").asLong,
+            n.get("recordCount").asLong, n.get("fileFormat").asText,
+            n.get("partitionValues").elements().asScala.map(m =>
+              graft.model.PartitionMember(m.get("field").asText,
+                m.get("value").asText)).toSeq,
+            n.get("columnStats").elements().asScala.map(s =>
+              graft.model.FileColumnStat(s.get("field").asText,
+                Option(s.get("min")).filterNot(_.isNull).map(_.asText),
+                Option(s.get("max")).filterNot(_.isNull).map(_.asText),
+                s.get("numNulls").asLong, s.get("numValues").asLong,
+                s.get("totalSize").asLong)).toSeq,
+            n.get("lastModifiedMillis").asLong)
+        }.toSeq
+      }
+    if (parquetDeltas.isEmpty && jsonEntries.isEmpty)
+      return spark.emptyDataset[FileEntry]
+    val parts = Seq.newBuilder[Dataset[FileEntry]]
+    if (parquetDeltas.nonEmpty)
+      parts += spark.read.parquet(parquetDeltas: _*).as[FileEntry]
+    if (jsonEntries.nonEmpty) parts += spark.createDataset(jsonEntries)
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy("path").orderBy(col("lastModifiedMillis").desc)
-    spark.read.parquet(deltas: _*)
+    parts.result().reduce(_ union _)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .as[FileEntry]

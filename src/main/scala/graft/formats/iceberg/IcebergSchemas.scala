@@ -206,6 +206,19 @@ object IcebergSchemas {
   def assignFieldIds(schema: StructType): StructType =
     assignIds(schema, knownIds(schema))
 
+  /** Every assigned id in the schema, keyed by dotted path (collection
+    * positions under `element`/`key`/`value` pseudo-segments) — the
+    * registry other formats persist (Hudi id tracking).
+    */
+  def allFieldIds(schema: StructType): Map[String, Int] = knownIds(schema)
+
+  /** Apply a persisted path→id registry onto a schema (overriding any ids
+    * it carries); unmapped paths get fresh ids past `floor`, so ids of
+    * dropped fields are never recycled.
+    */
+  def withFieldIds(schema: StructType, existing: Map[String, Int],
+      floor: Int): StructType = assignIds(schema, existing, floor)
+
   def fieldId(f: StructField): Int =
     if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey).toInt
     else -1

@@ -120,6 +120,63 @@ class CatalogSinkSpec extends SparkSuite {
       Seq("click", "purchase"))
   }
 
+  test("10k partitions register in bounded batches with per-batch isolation") {
+    // records every batch size; fails the 13th add call once, to prove the
+    // remaining batches still land and the failure surfaces aggregated
+    class RecordingGlue extends InMemoryGlueCatalogClient {
+      val addSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val dropSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var failNthAdd: Int = -1
+      override def addPartitions(id: CatalogTableIdentifier,
+          parts: Seq[CatalogPartition]): Unit = {
+        addSizes += parts.size
+        if (addSizes.size == failNthAdd)
+          throw new RuntimeException("simulated Glue throttle")
+        super.addPartitions(id, parts)
+      }
+      override def dropPartitions(id: CatalogTableIdentifier,
+          values: Seq[Seq[String]]): Unit = {
+        dropSizes += values.size
+        super.dropPartitions(id, values)
+      }
+    }
+    val glue = new RecordingGlue
+    glue.failNthAdd = 13
+    val id = CatalogTableIdentifier("dbbig", "events")
+    val desired = (0 until 10000).map(i =>
+      CatalogPartition(Seq(s"k$i"), s"/x/p=k$i"))
+    val table = graft.model.TableDescriptor("events", "DELTA", "/x",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))),
+      Seq(graft.model.PartitionFieldSpec("p", "VALUE")),
+      graft.model.Layout.HivePartitioned, 0L)
+    val out = CatalogOrchestrator.syncTable(Seq(glue), id, table,
+      TableFormats.Delta, None, desired)
+    // the failed batch marks the catalog outcome ERROR with the batch named
+    assert(out.head.status == "ERROR" &&
+      out.head.error.exists(_.contains("add batch 12")), out.head)
+    // every batch obeyed the Glue cap and all but the failed one landed
+    assert(glue.addSizes.size == 100 && glue.addSizes.forall(_ == 100))
+    assert(glue.listPartitions(id).size == 9900)
+
+    // a clean re-sync repairs the hole: only the missing batch re-adds
+    glue.failNthAdd = -1
+    glue.addSizes.clear()
+    val out2 = CatalogOrchestrator.syncTable(Seq(glue), id, table,
+      TableFormats.Delta, None, desired)
+    assert(out2.head.status == "SUCCESS", out2.head)
+    assert(glue.addSizes.sum == 100, glue.addSizes)
+    assert(glue.listPartitions(id).size == 10000)
+
+    // shrink the desired set → drops are batched too
+    val out3 = CatalogOrchestrator.syncTable(Seq(glue), id, table,
+      TableFormats.Delta, None, desired.take(150))
+    assert(out3.head.status == "SUCCESS", out3.head)
+    assert(glue.dropSizes.forall(_ <= 100))
+    assert(glue.listPartitions(id).size == 150)
+  }
+
   test("hive-partitioned snapshot yields one catalog partition per directory") {
     val dataDir = tmpDir("cat_part_data")
     spark.read.parquet(sf("sf0.001") + "/events.parquet")

@@ -173,6 +173,40 @@ class HudiSyncSpec extends SparkSuite {
     }
   }
 
+  test("metadata index merges parquet deltas with small-commit sidecars") {
+    import spark.implicits._
+    val hudiDir = tmpDir("hudi_idx_mix")
+    def entry(path: String, records: Long, ts: Long) =
+      graft.model.FileEntry(path, 10L, records, "parquet", Nil,
+        Seq(graft.model.FileColumnStat("c", Some("1"), Some("9"), 0,
+          records, 10L)), ts)
+    // instant 100: distributed parquet delta (the large-commit path)
+    HudiMetadataIndex.write(spark, hudiDir, "100",
+      spark.createDataset(Seq(entry("/t/a.parquet", 5, 100L),
+        entry("/t/b.parquet", 7, 100L))))
+    // instant 200: driver-side JSON sidecar updating one path (small path)
+    HudiMetadataIndex.writeSmall(hudiDir, "200",
+      Seq(entry("/t/a.parquet", 6, 200L)))
+    val merged = HudiMetadataIndex.read(spark, hudiDir).collect()
+      .map(f => f.path -> f).toMap
+    assert(merged.size == 2)
+    assert(merged("/t/a.parquet").recordCount == 6)   // sidecar wins (newer)
+    assert(merged("/t/b.parquet").recordCount == 7)
+    assert(merged("/t/a.parquet").columnStats.head.max.contains("9"))
+
+    // a small commit through the TARGET writes a sidecar, not a parquet job
+    val dataDir = tmpDir("hudi_idx_mix_data")
+    Files.copy(Paths.get(sf("sf0.001/region.parquet")),
+      Paths.get(dataDir, "f1.parquet"))
+    val hudi2 = tmpDir("hudi_idx_small")
+    fullSync(new ParquetDirectorySource(spark, dataDir, "region"),
+      new HudiConversionTarget(spark, hudi2))
+    val idxFiles = java.nio.file.Files.list(
+      Paths.get(HudiMetadataIndex.indexDir(hudi2))).toArray.map(_.toString)
+    assert(idxFiles.exists(_.endsWith(".json")), idxFiles.mkString(","))
+    assert(!idxFiles.exists(p => java.nio.file.Files.isDirectory(Paths.get(p))))
+  }
+
   test("MOR timeline serves read-optimized view; compaction supersedes base") {
     val hudiDir = tmpDir("hudi_mor")
     val srcFile = Paths.get(sf("sf0.001/region.parquet"))

@@ -182,4 +182,63 @@ class IcebergSyncSpec extends SparkSuite {
     assert(ids1.map(t => (t._1, t._2)) == ids2.map(t => (t._1, t._2)))
     assert(ids1.map(_._1).distinct.size == ids1.size)
   }
+
+  test("field ids survive hudi round trips incl. external avro evolution") {
+    import graft.formats.hudi._
+    val dataDir = tmpDir("idt_data")
+    Files.copy(Paths.get(sf("sf0.001/region.parquet")),
+      Paths.get(dataDir, "f1.parquet"))
+
+    // parquet → iceberg1: the authoritative id assignment
+    val ice1 = tmpDir("idt_ice1")
+    fullSync(new ParquetDirectorySource(spark, dataDir, "region"),
+      new IcebergConversionTarget(spark, ice1))
+    val ids1 = IcebergSchemas.leafFields(
+      new IcebergConversionSource(spark, ice1, "region").currentTable().schema)
+      .map(t => t._2 -> t._1).toMap
+
+    // iceberg1 → hudi: target persists the id registry in extraMetadata
+    val hudiDir = tmpDir("idt_hudi")
+    fullSync(new IcebergConversionSource(spark, ice1, "region"),
+      new HudiConversionTarget(spark, hudiDir))
+    val lastInstant = HudiTimeline.listInstants(hudiDir).last
+    val commit = HudiTimeline.readCommit(hudiDir, lastInstant)
+    assert(commit.extraMetadata.contains(HudiIdTracking.Key))
+
+    // an EXTERNAL Hudi writer commits an evolved schema — Avro only, no
+    // spark-json, no id metadata (the exact case IdTracker exists for)
+    Files.copy(Paths.get(sf("sf0.001/region.parquet")),
+      Paths.get(dataDir, "f2.parquet"))
+    val evolved = spark.read.parquet(s"$dataDir/f2.parquet").schema
+      .add("ext_col", org.apache.spark.sql.types.LongType)
+    val avro = graft.model.AvroSchemas.fromSpark(evolved, "hudi_record")
+      .toString
+    val inst2 = (BigInt(lastInstant) + 1).toString
+    assert(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(inst2, "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(
+        HudiTimeline.fileId(s"$hudiDir/f2.parquet"), "../" +
+          Paths.get(dataDir).getFileName + "/f2.parquet", 5, 100))),
+      Map.empty, Map("avroSchema" -> avro)), hudiDir))
+
+    // hudi source re-applies the registry onto the avro-derived schema
+    val hudiSchema = new HudiConversionSource(spark, hudiDir, "region")
+      .currentTable().schema
+    val hudiIds = IcebergSchemas.allFieldIds(hudiSchema)
+    ids1.foreach { case (path, id) =>
+      assert(hudiIds.get(path).contains(id), s"$path: ${hudiIds.get(path)} != $id")
+    }
+    assert(hudiIds("ext_col") > ids1.values.max)
+
+    // hudi → iceberg2 (a FRESH iceberg table, no shared state with ice1):
+    // same ids as iceberg1, and the external column keeps its fresh id
+    val ice2 = tmpDir("idt_ice2")
+    fullSync(new HudiConversionSource(spark, hudiDir, "region"),
+      new IcebergConversionTarget(spark, ice2))
+    val ids2 = IcebergSchemas.allFieldIds(
+      new IcebergConversionSource(spark, ice2, "region").currentTable().schema)
+    ids1.foreach { case (path, id) =>
+      assert(ids2.get(path).contains(id), s"$path: ${ids2.get(path)} != $id")
+    }
+    assert(ids2("ext_col") == hudiIds("ext_col"))
+  }
 }
