@@ -137,13 +137,17 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     */
   private def schemaFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
       : StructType = {
+    // a REAL Hudi writer puts the AVRO schema under the key "schema"
+    // (HoodieCommitMetadata SCHEMA_KEY) — the same key our target uses for
+    // Spark schema JSON. Try Spark-JSON first, then Avro, per commit.
+    def parseSchema(s: String): Option[StructType] =
+      scala.util.Try(DataType.fromJson(s).asInstanceOf[StructType]).toOption
+        .orElse(scala.util.Try(graft.model.AvroSchemas.toSpark(
+          new org.apache.avro.Schema.Parser().parse(s))
+          .asInstanceOf[StructType]).toOption)
     val base = commits.reverseIterator.map { c =>
-      c.extraMetadata.get("schema")
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-        .orElse(c.extraMetadata.get("avroSchema")
-          .map(a => graft.model.AvroSchemas.toSpark(
-            new org.apache.avro.Schema.Parser().parse(a))
-            .asInstanceOf[StructType]))
+      c.extraMetadata.get("schema").flatMap(parseSchema)
+        .orElse(c.extraMetadata.get("avroSchema").flatMap(parseSchema))
     }.collectFirst { case Some(s) => s }
       .getOrElse(spark.read.parquet(tablePath).schema)
     commits.reverseIterator.flatMap(_.extraMetadata.get(HudiIdTracking.Key))

@@ -45,17 +45,37 @@ class ConversionService(spark: SparkSession, port: Int = 0) {
         val targets = targetDefs.map { case (f, p) =>
           RunSync.buildTarget(spark, f, p) }
         val outcomes = controller.sync(source, targets)
-        // response includes the synced target's schema string
-        // (reference extractSchemaString, ConversionService.java:266+)
-        val body = Jsons.toJson(Map("outcomes" ->
+        // response includes the synced target's schema in that FORMAT'S
+        // native string form plus its metadata path — reference
+        // extractSchemaString (ConversionService.java:266-285: HUDI→Avro,
+        // ICEBERG→Iceberg JSON, DELTA→Spark JSON) and ConvertedTable's
+        // targetMetadataPath
+        val body = Jsons.toJson(Map("convertedTables" ->
           outcomes.zip(targetDefs).map { case (o, (f, p)) => Map(
-            "target" -> o.targetFormat, "mode" -> o.mode,
+            "targetFormat" -> o.targetFormat, "mode" -> o.mode,
             "status" -> o.status, "lastInstant" -> o.lastInstantSynced,
             "durationMillis" -> o.durationMillis,
             "error" -> o.error.orNull,
-            "schemaString" -> (try RunSync.buildSource(spark, f, p, name)
-              .currentTable().schema.json
-              catch { case _: Exception => null }))
+            "targetMetadataPath" -> (f.toUpperCase match {
+              case "DELTA" => s"$p/_delta_log"
+              case "ICEBERG" => graft.formats.iceberg.IcebergMetadata
+                .metadataDir(p)
+              case "HUDI" => s"$p/.hoodie"
+              case _ => p
+            }),
+            "targetSchema" -> (try {
+              val schema = RunSync.buildSource(spark, f, p, name)
+                .currentTable().schema
+              f.toUpperCase match {
+                case "HUDI" => graft.model.AvroSchemas
+                  .fromSpark(schema, "hudi_record").toString
+                case "ICEBERG" =>
+                  graft.formats.iceberg.IcebergSchemas.toIcebergJson(
+                    graft.formats.iceberg.IcebergSchemas
+                      .assignFieldIds(schema))
+                case _ => schema.json
+              }
+            } catch { case _: Exception => null }))
           }))
         respond(ex, 200, body)
       } catch {
