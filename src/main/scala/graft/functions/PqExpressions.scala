@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product-quantization kernels (Jégou et al. 2011, "Product Quantization
+  * for Nearest Neighbor Search", public TPAMI paper / the FAISS IndexPQ
+  * design). A vector is split into `m` subvectors of `dsub` dims; each
+  * subvector is replaced by the index of its nearest sub-codebook centroid
+  * — m bytes instead of dim×4, the compression that lets a 100 TB
+  * embedding corpus be SCANNED from memory. Distances are then
+  * approximated from per-query lookup tables in O(m) per pair instead of
+  * O(dim), without ever touching the original vectors.
+  *
+  * All three kernels are native expressions (one tight loop per row, the
+  * codebook matrix riding in the expression) — the PQ scan is the hot
+  * path and an interpreted higher-order-function tree would dominate it.
+  */
+
+/** Encode: per subspace j, the index of the L2-nearest sub-centroid.
+  * codebooksFlat is m × ksub × dsub row-major.
+  */
+case class PqEncode(
+    child: Expression,
+    codebooksFlat: Array[Double],
+    m: Int,
+    dsub: Int,
+    ksub: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var dist = 0.0
+        var d = 0
+        while (d < dsub) {
+          val diff = vec.getFloat(j * dsub + d).toDouble - codebooksFlat(base + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Per-query ADC lookup table: lut[j*ksub + c] = dot(q_subⱼ, codebook[j][c]).
+  * Built ONCE per query row (O(m·ksub·dsub) = O(dim·ksub)); every corpus
+  * pair after that costs O(m).
+  */
+case class PqLut(
+    child: Expression,
+    codebooksFlat: Array[Double],
+    m: Int,
+    dsub: Int,
+    ksub: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val lut = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          acc += vec.getFloat(j * dsub + d).toDouble * codebooksFlat(base + d)
+          d += 1
+        }
+        lut(j * ksub + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut"
+}
+
+/** Asymmetric distance computation: approx dot(q, x) = Σⱼ lut[j·ksub +
+  * codesⱼ]. O(m) per (query, corpus) pair — the PQ scan kernel.
+  */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getDouble(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc"
+}
+
+object PqExpressions {
+  /** codebooks: m × ksub sub-centroids of dsub dims each. */
+  def encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    GraftShims.column(new PqEncode(GraftShims.expression(v),
+      codebooks.flatten.flatten, m, dsub, ksub))
+  }
+
+  def lut(q: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    GraftShims.column(new PqLut(GraftShims.expression(q),
+      codebooks.flatten.flatten, m, dsub, ksub))
+  }
+
+  def adc(lutCol: Column, codesCol: Column, ksub: Int): Column =
+    GraftShims.column(new PqAdc(GraftShims.expression(lutCol),
+      GraftShims.expression(codesCol), ksub))
+}

@@ -177,6 +177,147 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Fit PQ sub-codebooks: deterministic id-spaced seeds, one Lloyd
+    * refinement per subspace — all subspaces refined in ONE Spark job
+    * (assign codes with the seed codebooks, then a (subspace, code, dim)
+    * aggregation); the only collect is m×ksub×dsub aggregate rows (the
+    * codebook, not the data).
+    */
+  private def fitCodebooks(vecs: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int = 3): Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    val n = vecs.count()
+    val step = math.max(1L, n / ksub)
+    val seedRows = vecs.filter(pmod(col("doc"), lit(step)) === 0)
+      .orderBy("doc").limit(ksub).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var books = Array.tabulate(m, ksub) { (j, c) =>
+      seedRows(c % seedRows.length).slice(j * dsub, (j + 1) * dsub)
+    }
+    // each Lloyd round is ONE Spark job; the collect is m×ksub×dsub
+    // aggregate rows (the codebook, not the data)
+    for (_ <- 1 to iters) {
+      val refined = vecs
+        .select(graft.functions.PqExpressions.encode(col("v"), books)
+          .as("codes"), posexplode(col("v")).as(Seq("d", "x")))
+        .select((col("d") / dsub).cast("int").as("j"), col("d"), col("x"),
+          element_at(col("codes"), (col("d") / dsub).cast("int") + 1)
+            .as("code"))
+        .groupBy("j", "code", "d").agg(avg(col("x")).as("mean"))
+        .collect()
+      val out = books.map(_.map(_.clone()))   // empty cells keep their seed
+      refined.foreach { r =>
+        val j = r.getInt(0)
+        out(j)(r.getInt(1))(r.getInt(2) - j * dsub) = r.getDouble(3)
+      }
+      books = out
+    }
+    books
+  }
+
+  /** PQ top-k — the compressed-corpus serving shape (FAISS IndexPQ): the
+    * corpus is held as m int8-range codes + one exact norm per vector
+    * (m + 4 bytes instead of dim×4 — 32× smaller at dim=64/m=8, the
+    * difference between a 100 TB corpus and a 3 TB in-memory scan), each
+    * query builds one O(dim·ksub) lookup table, scans pairs at O(m), and
+    * exact-reranks only the top `rerankFactor`·k ADC candidates (the full
+    * vectors are touched for k·rerankFactor rows per query, not the
+    * corpus). Recall is bounded by quantization error, so the gate checks
+    * the measured-recall contract, not list equality; emitted scores are
+    * exact by construction of the rerank.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int = 5, m: Int = 16, ksub: Int = 64,
+      rerankFactor: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val vecs = corpus.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv")).cache()
+    val codebooks = fitCodebooks(vecs, dim, m, ksub)
+    // the compressed index: codes + norm only (the scan never reads v)
+    val coded = vecs.select(col("doc").as("neighbor_id"),
+      graft.functions.PqExpressions.encode(col("v"), codebooks).as("codes"),
+      col("nv").as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
+      graft.functions.PqExpressions.lut(col(vecCol), codebooks).as("lut"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    // the scan shuffles only (query, neighbor, approx) — the query vector
+    // rejoins at rerank, once per SHORTLIST row, not per scanned pair
+    val candidates = coded.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (graft.functions.PqExpressions.adc(col("lut"), col("codes"), ksub) /
+          (col("qn") * col("cn"))).as("approx"))
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= k * rerankFactor)
+    // exact rerank of the shortlist only
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .join(vecs.select(col("doc").as("neighbor_id"), col("v").as("cv"),
+        col("nv").as("cn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineWithNorms(dot(col("qv"), col("cv")), col("qn"),
+          col("cn")), 3).as("sim"))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Semantic deduplication (SemDeDup-shape: Abbas et al. 2023, public
+    * arXiv 2303.09540): cluster the embedding space, then prune near-
+    * duplicates WITHIN each cluster — the clustering is what bounds the
+    * quadratic: pair cost is Σ|cluster|², not n², and each cluster's pair
+    * stage is an independent shuffle-partition-local problem at scale.
+    *
+    * The keep rule is greedy-by-id (deterministic at any parallelism): a
+    * document is dropped iff a LOWER-id document sharing one of its
+    * `nprobe` nearest clusters has cosine ≥ threshold; the emitted
+    * representative is the smallest such id. Multi-probe assignment
+    * (nprobe=2) recovers most boundary-straddling duplicate pairs that
+    * single-assignment SemDeDup loses; truly cross-cluster duplicates are
+    * the recall loss this trade accepts (the gate measures it against the
+    * exact global answer).
+    *
+    * Output: one row per DROPPED doc — (doc_id, rep_id, cos_sim to the
+    * representative). Exact cosine verifies every drop, so precision is 1
+    * by construction; the gate still recomputes it independently.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.45, nlist: Int = 16, nprobe: Int = 2)
+      : DataFrame = {
+    val vecs = df.select(col(idCol).as("doc"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv")).cache()
+    val centroids = fitCentroids(vecs, dim, nlist)
+    val banded = vecs.select(col("doc"),
+      explode(graft.functions.NearestCentroids(col("v"), centroids, nprobe))
+        .as("cluster"))
+    // bare id pairs deduped BEFORE touching vectors (a pair can share
+    // several probed clusters) — same shape as ivfNearPairs
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("rep"), col("y.doc").as("doc_id"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("doc").as("rep"), col("v").as("va"),
+        col("nv").as("na")), Seq("rep"))
+      .join(vecs.select(col("doc").as("doc_id"), col("v").as("vb"),
+        col("nv").as("nb")), Seq("doc_id"))
+      .select(col("doc_id"), col("rep"),
+        round(cosineWithNorms(dot(col("va"), col("vb")), col("na"),
+          col("nb")), 4).as("cs"))
+      .filter(col("cs") >= threshold)
+      .groupBy("doc_id")
+      .agg(min(struct(col("rep"), col("cs"))).as("r"))
+      .select(col("doc_id"), col("r.rep").as("rep_id"),
+        col("r.cs").as("cos_sim"))
+      .orderBy("doc_id")
+  }
+
   /** LSH-bucketed approximate near-neighbor pairs: `bands` bands of
     * `rowsPerBand` hyperplane sign bits each; pairs sharing any band bucket
     * are verified with exact cosine ≥ threshold. Band keys come from the

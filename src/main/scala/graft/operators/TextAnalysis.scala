@@ -215,6 +215,45 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Token n-gram shingles of a document under the shared tokenization —
+    * empty array when the document has fewer than n tokens (the unguarded
+    * `sequence(1, size-n+1)` would DESCEND through 0 for short docs and
+    * fabricate out-of-range slices).
+    */
+  def ngramShingles(text: Column, n: Int): Column = {
+    val w = whitespaceTokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination — the eval-overlap check every training
+    * corpus must pass before a benchmark score means anything: a training
+    * document is contaminated when it shares at least one token n-gram
+    * with any document of the evaluation set.
+    *
+    * Scale shape: the eval side (benchmarks — thousands of rows) collapses
+    * to a DISTINCT gram set and BROADCASTS; the corpus side (10^9 docs)
+    * explodes to per-doc distinct grams and hash-joins the broadcast — no
+    * shuffle of the corpus, one aggregation keyed on doc_id. Output is one
+    * row per contaminated doc: (doc, n_shared_grams = distinct grams it
+    * shares with the eval set); clean docs are absent (at 10^9 docs the
+    * interesting set is the contaminated one).
+    */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(ngramShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    docs.select(col(idCol), explode(ngramShingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(idCol)
+  }
+
   /** Rolling-hash fingerprint per document (native Catalyst expression) +
     * duplicate-group size per fingerprint.
     */

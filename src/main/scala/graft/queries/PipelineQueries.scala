@@ -540,4 +540,122 @@ object PipelineQueries {
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
       |  ascii(substr(text,1,1)) AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** PQ top-k — the compressed-corpus ANN serving shape — gated on the
+    * same contract as `ann_ivf_topk` (quantization bounds the candidate
+    * set, never the emitted score, so equality is the wrong oracle):
+    *  - `n_queries` / `n_exact_topk`: DuckDB recomputes both with the
+    *    brute-force window SQL;
+    *  - `k_bound_ok`: ≤ k rows per query, ranks contiguous from 1;
+    *  - `sim_exact_ok`: emitted similarities equal the exact cosine (the
+    *    rerank stage scores shortlisted pairs exactly);
+    *  - `recall_ok`: top-k overlap vs brute force ≥ 0.75 (m=16/ksub=64/
+    *    rerank=8 measured 0.92–1.00 across sf0.001/0.01/0.1).
+    */
+  def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5)
+      .select("query_id", "neighbor_id", "rnk", "sim").cache()
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("xsim"))
+      .cache()
+    val nQ = queries.agg(count(lit(1)).as("n_queries"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact_topk"))
+    val nHit = pq.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("nh"))
+    val kOk = pq.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mr"))
+      .agg(min(col("n") === col("mr") && col("n") <= 5).as("k_bound_ok"))
+    val simOk = pq.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(coalesce(min(col("sim") === col("xsim")), lit(true))
+        .as("sim_exact_ok"))
+    nQ.crossJoin(nExact).crossJoin(nHit).crossJoin(kOk).crossJoin(simOk)
+      .select(col("n_queries"), col("n_exact_topk"), col("k_bound_ok"),
+        col("sim_exact_ok"),
+        (col("nh").cast("double") >=
+          lit(0.75) * col("n_exact_topk").cast("double")).as("recall_ok"))
+  }
+
+  val annPqTopKSql: String = annIvfTopKSql
+
+  /** Benchmark decontamination: eval set = doc_id ≡ 0 (mod 97), training
+    * corpus = the rest; a training doc is contaminated when it shares any
+    * token trigram with the eval set. Exactly oracle-able — both sides
+    * enumerate the same shingles under the same tokenization.
+    */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contamination(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3)
+  }
+
+  val textContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+      |SELECT g.doc_id, count(*) AS n_shared_grams
+      |FROM grams g JOIN ev USING (gram)
+      |WHERE g.doc_id % 97 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Semantic dedup (SemDeDup shape), gated on its approximate contract —
+    * cluster-bounded pruning cannot see cross-cluster duplicates, so the
+    * drop list cannot be equality-oracled; the contract is:
+    *  - `n_docs` / `n_exact_droppable`: corpus size and the exact count of
+    *    docs having a lower-id global neighbor at cosine ≥ 0.45 — DuckDB
+    *    recomputes both independently;
+    *  - `precision_ok`: every dropped doc IS exactly droppable, and its
+    *    representative has a lower id (drops are exact-verified in the
+    *    operator, so a false drop means the verify stage broke);
+    *  - `recall_ok`: drops ≥ an honest measured floor of the exact
+    *    droppable set (within-cluster-only pruning at nlist=16; floor set
+    *    from measurements at sf0.01/sf0.1).
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val dropped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.45, nlist = 16).cache()
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      Similarity.norm(col("embedding")).as("nv")).cache()
+    val droppable = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("b.id").as("doc_id"),
+        round(Similarity.cosineWithNorms(
+          Similarity.dot(col("a.v"), col("b.v")),
+          col("a.nv"), col("b.nv")), 4).as("c"))
+      .filter(col("c") >= 0.45)
+      .select("doc_id").distinct().cache()
+    val nDocs = e.agg(count(lit(1)).as("n_docs"))
+    val nDroppable = droppable.agg(count(lit(1)).as("n_exact_droppable"))
+    val precOk = dropped
+      .agg(coalesce(min(col("rep_id") < col("doc_id")), lit(true)).as("ro"))
+      .crossJoin(dropped.join(droppable, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("nf")))
+      .select((col("ro") && col("nf") === 0).as("precision_ok"))
+    val nDropped = dropped.agg(count(lit(1)).as("nd"))
+    nDocs.crossJoin(nDroppable).crossJoin(precOk).crossJoin(nDropped)
+      .select(col("n_docs"), col("n_exact_droppable"), col("precision_ok"),
+        (col("nd").cast("double") >=
+          lit(0.55) * col("n_exact_droppable").cast("double"))
+          .as("recall_ok"))
+  }
+
+  val dedupSemanticSql: String =
+    """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_docs,
+      |  count(DISTINCT b.vec_id) AS n_exact_droppable,
+      |  true AS precision_ok, true AS recall_ok
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+      |        AS DOUBLE), 4) >= 0.45""".stripMargin
 }

@@ -67,4 +67,68 @@ class IvfSpec extends SparkSuite {
       dim = 64, k = 5, nlist = 16, nprobe = 6).collect()
     assert(again.map(_.toString).toSeq == ivf.map(_.toString).toSeq)
   }
+
+  test("PQ top-k: exact-scored rerank, high recall, deterministic") {
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5).collect()
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      k = 5).collect()
+
+    // per query: <= k rows, contiguous ranks, sims non-increasing
+    pq.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq == (1 to rs.length))
+      val sims = byRank.map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // the rerank scores exactly: any (q, n) also in exact top-k matches
+    val exactScore = exact.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.foreach { r =>
+      exactScore.get((r.getLong(0), r.getLong(1)))
+        .foreach(x => assert(x == r.getDouble(2)))
+    }
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pqSet intersect exactSet).size.toDouble / exactSet.size
+    info(f"PQ top-k recall: $recall%.2f")
+    assert(recall >= 0.75, s"recall $recall too low")
+    // deterministic across runs (codebook fit has no RNG state)
+    val again = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5).collect()
+    assert(again.map(_.toString).toSeq == pq.map(_.toString).toSeq)
+  }
+
+  test("PQ encode/lut/adc kernels agree with a scala recompute") {
+    import spark.implicits._
+    val dim = 8; val m = 2; val dsub = 4; val ksub = 2
+    val books = Array(
+      Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0)),
+      Array(Array(0.0, 0.0, 0.0, 1.0), Array(0.5, 0.5, 0.5, 0.5)))
+    val rows = Seq(
+      (1L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.8f)),
+      (2L, Array(0.1f, 0.9f, 0f, 0f, 0.4f, 0.4f, 0.4f, 0.4f)))
+      .toDF("id", "v")
+    val out = rows.select(col("id"),
+        graft.functions.PqExpressions.encode(col("v"), books).as("codes"),
+        graft.functions.PqExpressions.adc(
+          graft.functions.PqExpressions.lut(col("v"), books),
+          graft.functions.PqExpressions.encode(col("v"), books), ksub)
+          .as("selfAdc"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+      .sortBy(_._1)
+    // row 1: sub0 nearest (1,0,0,0) → 0; sub1 nearest (0,0,0,1) → 0
+    assert(out(0)._2 == Seq(0, 0))
+    // row 2: sub0 nearest (0,1,0,0) → 1; sub1 nearest (.5,.5,.5,.5) → 1
+    assert(out(1)._2 == Seq(1, 1))
+    // ADC of a vector against its own codes = Σ dot(sub_j, book[j][code_j])
+    def dotd(a: Array[Double], b: Array[Float], off: Int) =
+      a.indices.map(i => a(i) * b(off + i)).sum
+    val v1 = Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0.8f)
+    val expected1 = dotd(books(0)(0), v1, 0) + dotd(books(1)(0), v1, 4)
+    assert(math.abs(out(0)._3 - expected1) < 1e-12)
+  }
 }

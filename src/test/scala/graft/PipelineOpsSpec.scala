@@ -280,4 +280,59 @@ class PipelineOpsSpec extends SparkSuite {
     val bucket0 = eh.find(_.getLong(0) == 0L).get
     assert(bucket0.getLong(1) == 3L && bucket0.getLong(2) == 2L)
   }
+
+  test("contamination flags exactly the docs sharing an eval trigram") {
+    import spark.implicits._
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zz alpha beta gamma yy"),         // shares "alpha beta gamma"
+      (2L, "Beta  Gamma\tDELTA extra"),       // tokenization-normalized hit
+      (3L, "alpha gamma beta delta"),         // same words, no shared trigram
+      (4L, "alpha beta"),                     // < 3 tokens → no shingles
+      (5L, "")                                // empty → no shingles
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+    // n_shared_grams counts DISTINCT shared grams: a doc repeating the
+    // same eval trigram twice still counts it once
+    val rep = Seq((6L, "alpha beta gamma xx alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out2 = TextAnalysis.contamination(rep, eval, "doc_id", "text", n = 3)
+      .collect()
+    assert(out2.length == 1 && out2.head.getLong(1) == 1L)
+  }
+
+  test("semantic dedup drops only exactly-droppable docs, rep id is lower") {
+    val dropped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.45, nlist = 8).collect()
+    assert(dropped.nonEmpty)
+    dropped.foreach(r => assert(r.getLong(1) < r.getLong(0),
+      s"rep ${r.getLong(1)} !< doc ${r.getLong(0)}"))
+    // exact global droppable set (brute force at spec scale)
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      Similarity.norm(col("embedding")).as("nv")).cache()
+    val droppable = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("b.id").as("doc_id"),
+        round(Similarity.cosineWithNorms(
+          Similarity.dot(col("a.v"), col("b.v")),
+          col("a.nv"), col("b.nv")), 4).as("c"))
+      .filter(col("c") >= 0.45)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val droppedIds = dropped.map(_.getLong(0)).toSet
+    assert(droppedIds.subsetOf(droppable),
+      s"false drops: ${droppedIds.diff(droppable).take(5)}")
+    // the emitted cos_sim is the real pair similarity (exact-verified)
+    dropped.take(3).foreach { r =>
+      val doc = r.getLong(0); val rep = r.getLong(1); val cs = r.getDouble(2)
+      val recomputed = e.as("a").filter(col("a.id") === rep)
+        .crossJoin(e.as("b").filter(col("b.id") === doc))
+        .select(round(Similarity.cosineWithNorms(
+          Similarity.dot(col("a.v"), col("b.v")),
+          col("a.nv"), col("b.nv")), 4))
+        .collect().head.getDouble(0)
+      assert(recomputed == cs, s"cos($rep,$doc)")
+    }
+  }
 }
