@@ -152,6 +152,35 @@ object EventsQueries {
     s.table("graft_gate_stream_hourly").orderBy("hour_us", "event_type")
   }
 
+  /** The stateful streaming sessionizer (flatMapGroupsWithState) under
+    * the SAME DuckDB oracle as the batch window form: a custom-state
+    * streaming operator has to produce the batch answer, not just "a"
+    * answer. Single AvailableNow batch → one update per user with final
+    * totals.
+    */
+  def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = Files.createTempDirectory("graft_stream_sess_gate").toString
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      Paths.get(stage, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    import s.implicits._
+    val stream = graft.streaming.StreamingOps.eventStream(s, stage, raw.schema)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.StreamingOps.Event]
+    val q = graft.streaming.StreamingOps.sessionCounts(s, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_gate_stream_sess")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_gate_stream_sess")
+      .select("user_id", "n_sessions", "n_events")
+      .orderBy("user_id")
+  }
+
   /** Top event value per user per type via dense ranking — deterministic
     * tie-breaks on event_id.
     */

@@ -541,6 +541,31 @@ object PipelineQueries {
       |  ascii(substr(text,1,1)) AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Streaming exact dedup under the SAME oracle as the batch
+    * `dedup_exact`: the stateful streaming aggregation must converge to
+    * the batch answer (state per distinct hash, order-independent
+    * keepers).
+    */
+  def streamingDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = Files.createTempDirectory("graft_stream_dedup_gate").toString
+    Files.copy(Paths.get(s"$dir/documents.parquet"),
+      Paths.get(stage, "documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val stream = graft.streaming.StreamingOps.fileStream(s, stage, raw.schema)
+    val q = graft.streaming.StreamingOps
+      .streamingExactDedup(stream, "doc_id", "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_gate_stream_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_gate_stream_dedup").orderBy("content_hash")
+  }
+
+  val streamingDedupExactSql: String = dedupExactSql
+
   /** PQ top-k — the compressed-corpus ANN serving shape — gated on the
     * same contract as `ann_ivf_topk` (quantization bounds the candidate
     * set, never the emitted score, so equality is the wrong oracle):

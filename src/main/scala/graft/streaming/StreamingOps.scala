@@ -40,6 +40,24 @@ object StreamingOps {
         col("event_type"), col("n_events"),
         graft.queries.Gate.microsToDouble(col("sum_micros")).as("sum_value"))
 
+  /** Plain file stream (no column coercion) — for non-event tables. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType)
+      : DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Streaming exact dedup — the streaming form of `Dedup.exact`: per
+    * content-hash keeper + copy count as a stateful streaming aggregation
+    * (complete mode). The state store holds one row per DISTINCT hash, so
+    * state is bounded by unique content, not stream length; `min(id)` as
+    * the keeper makes the answer independent of arrival order — the same
+    * documents produce the same keepers in any micro-batch interleaving,
+    * and bit-identical to the batch plan.
+    */
+  def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
   /** Stateful session counting: a >30 min gap starts a new session.
     * Custom state via flatMapGroupsWithState (KeyValueGroupedDataset),
     * emitting one update per user per micro-batch.

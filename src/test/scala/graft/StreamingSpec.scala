@@ -35,6 +35,39 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup matches the batch dedup, in two micro-batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // two files → two micro-batches: the stateful agg must merge state
+    // across batches, not just within one
+    val d = tmpDir("stream_dedup")
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$d/half_a")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$d/half_b")
+    val in = tmpDir("stream_dedup_in")
+    var i = 0
+    for (half <- Seq("half_a", "half_b")) {
+      val part = Files.list(Paths.get(d, half)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), Paths.get(in, s"$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      i += 1
+    }
+    val stream = StreamingOps.fileStream(spark, in, docs.schema)
+    val q = StreamingOps.streamingExactDedup(stream, "doc_id", "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dedup_out")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_out")
+      .orderBy("content_hash").collect().toSeq
+    val batch = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .orderBy("content_hash").collect().toSeq
+    assert(streamed.map(_.toString) == batch.map(_.toString))
+  }
+
   test("streaming sync converts incrementally as files land") {
     import java.nio.file.{Files, Paths}
     val dataDir = tmpDir("ssync_data")
