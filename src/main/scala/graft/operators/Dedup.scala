@@ -84,9 +84,16 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val grams = shingleSets(docs, idCol, textCol)
-    // signature computed in one native-expression pass per doc
+    // signature computed in one native-expression pass per doc. The cache
+    // is the sketch index (16 B/doc) AND a constraint barrier: without it,
+    // any downstream filter touching `simhash` (the hamming bound, join
+    // null checks) makes constraint propagation re-derive
+    // isnotnull(<full shingle+simhash64 tree>) INTO THE SCAN — the whole
+    // signature recomputed per row, interpreted, per reference (measured
+    // 15× on the cold path)
     val sigs = grams.select(col("doc"),
       graft.functions.SketchFunctions.simhash64(col("shingles")).as("simhash"))
+      .cache()
 
     val chunks = sigs.select(col("doc"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),

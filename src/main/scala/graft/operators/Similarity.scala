@@ -197,9 +197,13 @@ object Similarity {
     // each Lloyd round is ONE Spark job; the collect is m×ksub×dsub
     // aggregate rows (the codebook, not the data)
     for (_ <- 1 to iters) {
+      // codes materialize BELOW the Generate: inlining pq_encode into the
+      // posexplode projection would re-evaluate the O(dim·ksub) encode
+      // once per exploded ELEMENT (64×) instead of once per row
       val refined = vecs
-        .select(graft.functions.PqExpressions.encode(col("v"), books)
-          .as("codes"), posexplode(col("v")).as(Seq("d", "x")))
+        .select(col("v"),
+          graft.functions.PqExpressions.encode(col("v"), books).as("codes"))
+        .select(col("codes"), posexplode(col("v")).as(Seq("d", "x")))
         .select((col("d") / dsub).cast("int").as("j"), col("d"), col("x"),
           element_at(col("codes"), (col("d") / dsub).cast("int") + 1)
             .as("code"))

@@ -220,13 +220,20 @@ object TextAnalysis {
     * `sequence(1, size-n+1)` would DESCEND through 0 for short docs and
     * fabricate out-of-range slices).
     */
-  def ngramShingles(text: Column, n: Int): Column = {
-    val w = whitespaceTokens(text)
+  def ngramShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(whitespaceTokens(text), n)
+
+  /** Shingles from an ALREADY-TOKENIZED array column. Callers that explode
+    * shingles should materialize the token array in a projection below the
+    * Generate first: every `w` reference here re-evaluates its expression,
+    * so handing this a raw `split(...)` tree re-tokenizes once per slice —
+    * O(tokens²) per document instead of O(tokens).
+    */
+  def shinglesFromTokens(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Benchmark decontamination — the eval-overlap check every training
     * corpus must pass before a benchmark score means anything: a training
@@ -243,14 +250,75 @@ object TextAnalysis {
     */
   def contamination(docs: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(ngramShingles(col(textCol), n)).as("gram"))
-      .distinct()
-    docs.select(col(idCol), explode(ngramShingles(col(textCol), n)).as("gram"))
+    // tokenize ONCE per doc in a projection below the Generate, then
+    // shingle from the attribute — see shinglesFromTokens
+    def grams(d: DataFrame, cols: Column*) = d
+      .select(cols :+ whitespaceTokens(col(textCol)).as("w"): _*)
+      .select(cols :+ explode(shinglesFromTokens(col("w"), n)).as("gram"): _*)
+    val evalGrams = grams(evalDocs).distinct()
+    grams(docs, col(idCol))
       .distinct()
       .join(broadcast(evalGrams), "gram")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(idCol)
+  }
+
+  /** Corpus-level duplicate-gram profile (the Gopher/RefinedWeb
+    * "duplicate n-gram fraction" signal at corpus granularity): of all
+    * DISTINCT token n-grams, how many appear in more than one document.
+    * One aggregation shuffle keyed on gram; the explode never leaves the
+    * executor that holds the document.
+    */
+  def duplicateGramStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), whitespaceTokens(col(textCol)).as("w"))
+      .select(col(idCol), explode(shinglesFromTokens(col("w"), n)).as("gram"))
+      .distinct()
+    perDoc.groupBy("gram").agg(count(lit(1)).as("nd"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_grams"),
+        max(col("nd")).as("max_gram_docs"))
+      .select(col("n_grams"), col("n_shared_grams"), col("max_gram_docs"),
+        (col("n_shared_grams").cast("double") /
+          col("n_grams").cast("double")).as("dup_fraction"))
+  }
+
+  /** Gopher quality rules (Rae et al. 2021, arXiv 2112.11446 Table A1 —
+    * public-knowledge heuristics), the subset expressible exactly in any
+    * ANSI engine: token-count bounds, mean-word-length bounds, and a
+    * stopword requirement. Pure column expressions; every flag is
+    * reproducible in the DuckDB oracle via the same replace-length
+    * identities as qualityFeatures.
+    */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val nTokens = (length(t) - length(replace(t, lit(" "), lit(""))) + 1)
+      .cast("long")
+    val meanWordLen = (length(replace(t, lit(" "), lit(""))).cast("double") /
+      nTokens.cast("double"))
+    // stopword hits: distinct en stopwords present, via the padded-contains
+    // identity (same trick in SQL: position(' the ' in ' '||text||' ') > 0)
+    val padded = concat(lit(" "), t, lit(" "))
+    val swHits = stopwords("en").map(sw =>
+      when(locate(s" $sw ", padded) > 0, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val tokOk = nTokens >= minTokens && nTokens <= maxTokens
+    val wordLenOk = meanWordLen >= minMeanWordLen &&
+      meanWordLen <= maxMeanWordLen
+    val swOk = swHits >= minStopwordHits
+    docs.select(col(idCol),
+        nTokens.as("n_tokens"),
+        meanWordLen.as("mean_word_len"),
+        swHits.as("stopword_hits"),
+        tokOk.as("token_count_ok"),
+        wordLenOk.as("word_len_ok"),
+        swOk.as("stopword_ok"),
+        (tokOk && wordLenOk && swOk).as("gopher_pass"))
       .orderBy(idCol)
   }
 

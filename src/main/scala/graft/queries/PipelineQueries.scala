@@ -107,8 +107,11 @@ object PipelineQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val pairs = Dedup.simHash(docs, "doc_id", "text").cache()
+    // cache = constraint barrier: the self-join's inferred isnotnull(key)
+    // would otherwise push the whole array_sort(shingles) tree into the
+    // scan filter and recompute it per row (see Dedup.simHash)
     val g = Dedup.shingleSets(docs, "doc_id", "text")
-      .select(col("doc"), array_sort(col("shingles")).as("key"))
+      .select(col("doc"), array_sort(col("shingles")).as("key")).cache()
     val ident = g.as("a").join(g.as("b"),
         col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).cache()
@@ -634,6 +637,60 @@ object PipelineQueries {
       |FROM grams g JOIN ev USING (gram)
       |WHERE g.doc_id % 97 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Corpus duplicate-gram profile — exactly oracled. */
+  def textDupGrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.duplicateGramStats(Tables.documents(s, dir), "doc_id",
+      "text", n = 3)
+
+  val textDupGramsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |cnt AS (SELECT gram, count(*) AS nd FROM grams GROUP BY 1)
+      |SELECT count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared_grams,
+      |  CAST(max(nd) AS BIGINT) AS max_gram_docs,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS dup_fraction
+      |FROM cnt""".stripMargin
+
+  /** Gopher quality rules — exactly oracled (replace-length and
+    * padded-contains identities compute the same in any ANSI engine).
+    */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherQualityFlags(Tables.documents(s, dir), "doc_id",
+      "text")
+
+  val textGopherRulesSql: String = {
+    val swHits = TextAnalysis.stopwords("en").map(sw =>
+      s"CASE WHEN position(' $sw ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(len(replace(text, ' ', '')) AS DOUBLE) /
+       |      CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE)
+       |      AS mean_word_len,
+       |    CAST($swHits AS BIGINT) AS stopword_hits
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, mean_word_len, stopword_hits,
+       |  n_tokens >= 50 AND n_tokens <= 100000 AS token_count_ok,
+       |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok,
+       |  stopword_hits >= 2 AS stopword_ok,
+       |  (n_tokens >= 50 AND n_tokens <= 100000)
+       |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       |    AND stopword_hits >= 2 AS gopher_pass
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** Semantic dedup (SemDeDup shape), gated on its approximate contract —
     * cluster-bounded pruning cannot see cross-cluster duplicates, so the

@@ -302,6 +302,53 @@ object SyncQueries {
       |  CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_qty
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Unified reader over a converted HUDI table: same end-to-end shape as
+    * `graft_reader_delta` but the target metadata plane is a Hudi
+    * timeline — `format("graft")` auto-detects `.hoodie/`, replays the
+    * timeline, and scans through SnapshotFileIndex.
+    */
+  def graftReaderHudi(s: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft_reader_hudi").toString
+    val src = new ParquetDirectorySource(s, s"$dir/orders.parquet", "orders")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.hudi.HudiConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    s.read.format("graft").load(target)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val graftReaderHudiSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Unified reader over a converted ICEBERG table (metadata JSON +
+    * manifests), same contract.
+    */
+  def graftReaderIceberg(s: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft_reader_iceberg").toString
+    val src = new ParquetDirectorySource(s, s"$dir/customer.parquet",
+      "customer")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    s.read.format("graft").load(target)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val graftReaderIcebergSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt,
+      |  CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Catalog round trip in the gate: convert supplier to Delta, register
     * the DELTA DIR in the session catalog (`USING graft` — the entry holds
     * only the log; reads resolve through the metadata plane), query by

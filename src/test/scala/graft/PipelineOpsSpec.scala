@@ -303,6 +303,40 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out2.length == 1 && out2.head.getLong(1) == 1L)
   }
 
+  test("duplicate-gram stats count shared trigrams once per distinct gram") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d"),          // grams: "a b c", "b c d"
+      (2L, "a b c x"),          // shares "a b c"
+      (3L, "q r s t"),          // unique grams
+      (4L, "a b")               // too short → no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateGramStats(corpus, "doc_id", "text", n = 3)
+      .collect().head
+    // distinct grams: "a b c","b c d","a b c x"→"b c x","q r s","r s t" = 5
+    assert(out.getLong(0) == 5L)
+    assert(out.getLong(1) == 1L)          // only "a b c" is shared
+    assert(out.getLong(2) == 2L)          // it appears in 2 docs
+    assert(math.abs(out.getDouble(3) - 0.2) < 1e-12)
+  }
+
+  test("gopher rules flag short, unnatural, and stopword-free docs") {
+    import spark.implicits._
+    val longBody = (1 to 60).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"the cat sat on the mat and it is that for $longBody"), // passes
+      (2L, "too short to pass the bar"),                  // n_tokens < 50
+      (3L, ("x " * 60).trim)                              // word len 1, no sw
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFlags(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    assert(out(1L) == (true, true, true, true))
+    assert(out(2L)._1 == false && out(2L)._4 == false)
+    assert(out(3L) == (true, false, false, false))
+  }
+
   test("semantic dedup drops only exactly-droppable docs, rep id is lower") {
     val dropped = Similarity.semanticDedup(emb, "vec_id", "embedding",
       dim = 64, threshold = 0.45, nlist = 8).collect()
