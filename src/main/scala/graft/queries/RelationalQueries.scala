@@ -196,6 +196,34 @@ object RelationalQueries {
       |  count(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status
       |FROM lineitem""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority checking): count orders per priority
+    * that have at least one lineitem shipped more than 30 days after the
+    * order date — correlated EXISTS with an inequality on both tables'
+    * columns, planned as a left-semi join whose residual predicate rides
+    * the join (no second pass over lineitem).
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val late = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders.join(late,
+        orders("o_orderkey") === late("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Semi/anti joins: customers with large orders (EXISTS) and customers
     * with no orders at all (NOT EXISTS).
     */
