@@ -181,6 +181,29 @@ object EventsQueries {
       .orderBy("user_id")
   }
 
+  /** Ordered view → click → purchase funnel — exactly oracled via
+    * chained min-timestamp CTEs.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.stageCounts(Tables.events(s, dir), "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"))
+
+  val eventsFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+      |SELECT 1 AS stage_idx, 'view' AS stage,
+      |  (SELECT count(*) FROM v) AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+      |ORDER BY stage_idx""".stripMargin
+
   /** Top event value per user per type via dense ranking — deterministic
     * tie-breaks on event_id.
     */

@@ -337,6 +337,31 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(3L) == (true, false, false, false))
   }
 
+  test("funnel requires strict stage order per user") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    val events = Seq(
+      // user 1 completes in order
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      // user 2 purchases BEFORE clicking → reaches stage 2 only
+      (2L, "view", ts(0)), (2L, "purchase", ts(1)), (2L, "click", ts(2)),
+      // user 3 views only
+      (3L, "view", ts(0)),
+      // user 4 clicks without ever viewing → reaches no stage
+      (4L, "click", ts(0)), (4L, "purchase", ts(1)),
+      // user 5: click at the SAME instant as view → strict > excludes it
+      (5L, "view", ts(0)), (5L, "click", ts(0))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Funnel.stageCounts(events, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1, "view", 4L),        // users 1,2,3,5
+      (2, "click", 2L),       // users 1,2 (5's click not strictly after)
+      (3, "purchase", 1L)))   // user 1 only
+  }
+
   test("semantic dedup drops only exactly-droppable docs, rep id is lower") {
     val dropped = Similarity.semanticDedup(emb, "vec_id", "embedding",
       dim = 64, threshold = 0.45, nlist = 8).collect()
