@@ -264,6 +264,35 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Token-window chunking — the sharding step that turns documents into
+    * fixed-size training/RAG segments: chunks of `chunkTokens` tokens,
+    * consecutive chunks sharing `overlap` tokens. Start positions are
+    * `1, 1+step, …` (step = chunkTokens − overlap) up to
+    * `max(n_tokens − overlap, 1)`, so every token lands in ≥ 1 chunk,
+    * the final chunk is the only short one, and a doc shorter than one
+    * chunk yields exactly one chunk. Pure per-row expressions (the token
+    * array materializes once below the Generate); emits the chunk hash,
+    * not the text — any engine can verify chunking byte-for-byte without
+    * re-shipping the corpus.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val step = chunkTokens - overlap
+    docs.select(col(idCol), whitespaceTokens(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col(idCol), col("w"),
+        posexplode(sequence(lit(1),
+          greatest(size(col("w")) - overlap, lit(1)), lit(step)))
+          .as(Seq("i", "s")))
+      .select(col(idCol), (col("i") + 1).as("chunk_idx"),
+        size(slice(col("w"), col("s"), lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("w"), col("s"), lit(chunkTokens))))
+          .as("chunk_hash"))
+      .orderBy(col(idCol), col("chunk_idx"))
+  }
+
   /** Corpus-level duplicate-gram profile (the Gopher/RefinedWeb
     * "duplicate n-gram fraction" signal at corpus granularity): of all
     * DISTINCT token n-grams, how many appear in more than one document.

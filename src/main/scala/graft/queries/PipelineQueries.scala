@@ -638,6 +638,29 @@ object PipelineQueries {
       |WHERE g.doc_id % 97 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Token-window chunking — exactly oracled (identical start-position
+    * arithmetic and hash on both engines).
+    */
+  def textChunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+      chunkTokens = 32, overlap = 8)
+
+  val textChunkingSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS w
+      |  FROM documents),
+      |starts AS (
+      |  SELECT doc_id, w, s,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_idx
+      |  FROM toks, UNNEST(generate_series(1, greatest(len(w) - 8, 1), 24))
+      |    AS t(s)
+      |  WHERE len(w) > 0)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(len(list_slice(w, s, s + 31)) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string(list_slice(w, s, s + 31), ' ')) AS chunk_hash
+      |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Corpus duplicate-gram profile — exactly oracled. */
   def textDupGrams(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.duplicateGramStats(Tables.documents(s, dir), "doc_id",

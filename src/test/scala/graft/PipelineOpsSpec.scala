@@ -337,6 +337,28 @@ class PipelineOpsSpec extends SparkSuite {
     assert(out(3L) == (true, false, false, false))
   }
 
+  test("chunking covers every token, short tail, one chunk for short docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (1 to 8).map(i => s"t$i").mkString(" ")),  // 8 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "")                                        // empty → no chunks
+    ).toDF("doc_id", "text")
+    // chunk=4, overlap=1, step=3 → doc 1 starts [1,4,7]: sizes 4,4,2
+    val out = TextAnalysis.chunkDocuments(corpus, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.filter(_._1 == 1L).map(x => (x._2, x._3)).toSeq ==
+      Seq((1, 4L), (2, 4L), (3, 2L)))
+    assert(out.filter(_._1 == 2L).map(x => (x._2, x._3)).toSeq ==
+      Seq((1, 3L)))
+    assert(!out.exists(_._1 == 3L))
+    // consecutive chunks share exactly `overlap` tokens: chunk k starts at
+    // 1 + k*step, so chunk1 covers 1-4 and chunk2 covers 4-7 → token 4 in
+    // both — verified structurally by the sizes above (4+4+2 = 10 slots
+    // for 8 tokens = 2 overlap slots)
+  }
+
   test("funnel requires strict stage order per user") {
     import spark.implicits._
     import java.sql.Timestamp
