@@ -715,6 +715,63 @@ object PipelineQueries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** The whole curation pipeline in ONE gate query — quality filter →
+    * exact dedup → deterministic train/eval split — emitting the corpus
+    * count after each stage. Every stage is deterministic and
+    * SQL-expressible, so the END-TO-END composition is exactly oracled,
+    * not just each operator in isolation (composition bugs — a filter
+    * reordered past a dedup — fail this gate even when every stage
+    * passes its own).
+    */
+  def pipelineCurationE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nRaw = docs.agg(count(lit(1)).as("n_raw"))
+    // relaxed token floor: the synthetic corpus runs ~35 tokens/doc
+    val quality = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text",
+        minTokens = 10)
+      .filter(col("gopher_pass"))
+      .select("doc_id")
+    val qualityDocs = docs.join(quality, "doc_id")
+    val nQuality = qualityDocs.agg(count(lit(1)).as("n_quality"))
+    val keepers = Dedup.exact(qualityDocs, "doc_id", "text")
+      .select(col("keeper").as("doc_id"))
+    val kept = docs.join(keepers, "doc_id")
+    val nDedup = kept.agg(count(lit(1)).as("n_dedup"))
+    val split = kept.select(
+      TextAnalysis.splitAssignment(col("text")).as("split"))
+    val nTrain = split.filter(col("split") === "train")
+      .agg(count(lit(1)).as("n_train"))
+    val nEval = split.filter(col("split") === "eval")
+      .agg(count(lit(1)).as("n_eval"))
+    nRaw.crossJoin(nQuality).crossJoin(nDedup).crossJoin(nTrain)
+      .crossJoin(nEval)
+  }
+
+  val pipelineCurationE2eSql: String = {
+    val swHits = TextAnalysis.stopwords("en").map(sw =>
+      s"CASE WHEN position(' $sw ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE (len(text) - len(replace(text, ' ', '')) + 1)
+       |          BETWEEN 10 AND 100000
+       |    AND CAST(len(replace(text, ' ', '')) AS DOUBLE) /
+       |        (len(text) - len(replace(text, ' ', '')) + 1)
+       |          BETWEEN 3.0 AND 10.0
+       |    AND ($swHits) >= 2),
+       |k AS (
+       |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+       |kept AS (SELECT d.text FROM documents d JOIN k USING (doc_id))
+       |SELECT
+       |  (SELECT count(*) FROM documents) AS n_raw,
+       |  (SELECT count(*) FROM q) AS n_quality,
+       |  (SELECT count(*) FROM kept) AS n_dedup,
+       |  (SELECT count(*) FROM kept
+       |     WHERE ascii(substr(md5(text), 1, 1)) % 4 <> 0) AS n_train,
+       |  (SELECT count(*) FROM kept
+       |     WHERE ascii(substr(md5(text), 1, 1)) % 4 = 0) AS n_eval""".stripMargin
+  }
+
   /** Semantic dedup (SemDeDup shape), gated on its approximate contract —
     * cluster-bounded pruning cannot see cross-cluster duplicates, so the
     * drop list cannot be equality-oracled; the contract is:
