@@ -349,6 +349,57 @@ object SyncQueries {
       |  CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** The two halves of the library composing: CURATE the corpus
+    * (quality filter + exact dedup, the same stages as
+    * `pipeline_curation_e2e`), WRITE the curated table as parquet, SYNC
+    * it to Delta, and read it back through `format("graft")` — the full
+    * training-data-production loop (curate → land → publish metadata →
+    * serve to any engine) in one oracle-checked query.
+    */
+  def pipelineWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quality = graft.operators.TextAnalysis
+      .gopherQualityFlags(docs, "doc_id", "text", minTokens = 10)
+      .filter(col("gopher_pass")).select("doc_id")
+    val keepers = graft.operators.Dedup
+      .exact(docs.join(quality, "doc_id"), "doc_id", "text")
+      .select(col("keeper").as("doc_id"))
+    val curated = docs.join(keepers, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+    val staged = Files.createTempDirectory("graft_curated").toString
+    curated.write.mode("overwrite").parquet(s"$staged/curated")
+    val target = Files.createTempDirectory("graft_curated_delta").toString
+    val src = new ParquetDirectorySource(s, s"$staged/curated", "curated")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    s.read.format("graft").load(target)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val pipelineWriteRoundtripSql: String = {
+    val swHits = graft.operators.TextAnalysis.stopwords("en").map(sw =>
+      s"CASE WHEN position(' $sw ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT doc_id, text, lang, n_chars FROM documents
+       |  WHERE (len(text) - len(replace(text, ' ', '')) + 1)
+       |          BETWEEN 10 AND 100000
+       |    AND CAST(len(replace(text, ' ', '')) AS DOUBLE) /
+       |        (len(text) - len(replace(text, ' ', '')) + 1)
+       |          BETWEEN 3.0 AND 10.0
+       |    AND ($swHits) >= 2),
+       |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text))
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+       |FROM documents d JOIN k USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   /** Catalog round trip in the gate: convert supplier to Delta, register
     * the DELTA DIR in the session catalog (`USING graft` — the entry holds
     * only the log; reads resolve through the metadata plane), query by
