@@ -47,8 +47,11 @@ class ParquetDirectorySource(
     // schema from Spark's own parquet reader (footer-derived, includes
     // hive partition columns); mergeSchema so a column added by newer
     // files appears — reference infers from latest footer
-    // (ParquetConversionSource.java:88-107)
+    // (ParquetConversionSource.java:88-107). pathGlobFilter keeps stray
+    // non-data files (README, _SUCCESS companions, checksums) out of the
+    // footer merge — a real table dir is never only parquet
     val schema = spark.read.option("mergeSchema", "true")
+      .option("pathGlobFilter", "*.parquet")
       .parquet(basePath).schema
     val samplePartitions = samplePath.toSeq.flatMap(p =>
       ParquetFooters.partitionValuesFromPath(basePath, p))

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Negative paths: the engine must fail LOUDLY (actionable message) or
+  * degrade in the documented way — never return silently-wrong data.
+  */
+class ErrorPathSpec extends SparkSuite {
+
+  test("unknown directory falls back to parquet detection and reads nothing"
+      + " rather than fabricating rows") {
+    val d = tmpDir("empty_table")
+    // empty dir: detection says parquet; a graft read must yield an
+    // explicit error or zero rows, never invented data
+    val err = intercept[Exception] {
+      spark.read.format("graft").load(d).count()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("corrupt JSON line in a Delta log fails the read with the path") {
+    import spark.implicits._
+    val table = tmpDir("corrupt_delta")
+    // build a real converted Delta table first
+    val src = tmpDir("corrupt_delta_src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite")
+      .parquet(src)
+    val s = new graft.sources.ParquetDirectorySource(spark, src, "t")
+    val out = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, table)),
+      s.currentSnapshot(), s.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"))
+    // append garbage to the newest log file
+    val log = Files.list(Paths.get(table, "_delta_log")).toArray
+      .map(_.toString).filter(_.endsWith(".json")).sorted.last
+    Files.writeString(Paths.get(log),
+      Files.readString(Paths.get(log)) + "{not json at all\n")
+    val err = intercept[Exception] {
+      spark.read.format("graft").load(table).count()
+    }
+    // the failure must not be a silent partial read
+    assert(err != null)
+  }
+
+  test("stray non-parquet file in a parquet directory is not counted as data") {
+    import spark.implicits._
+    val d = tmpDir("stray_files")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(d)
+    Files.writeString(Paths.get(d, "README.txt"), "not data")
+    Files.writeString(Paths.get(d, "_SUCCESS"), "")
+    val src = new graft.sources.ParquetDirectorySource(spark, d, "t")
+    val snap = src.currentSnapshot()
+    val files = snap.files.collect()
+    assert(files.forall(_.path.endsWith(".parquet")),
+      s"non-parquet files leaked into the listing: ${files.map(_.path).toSeq}")
+    assert(snap.files.count() >= 1)
+  }
+
+  test("MOR real-time view refusal names the pending file groups") {
+    // written by HudiSyncSpec-style fixture: a base commit + a log-only
+    // deltacommit must make queryType=snapshot refuse
+    val table = tmpDir("mor_refusal")
+    import spark.implicits._
+    val src = tmpDir("mor_refusal_src")
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(src)
+    val s0 = new graft.sources.ParquetDirectorySource(spark, src, "t")
+    val out = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.hudi.HudiConversionTarget(spark, table)),
+      s0.currentSnapshot(), s0.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"))
+    // fabricate a deltacommit whose write stat targets a log file
+    val ts = "99990101000000000"
+    val fileId = "00000000-0000-0000-0000-000000000001-0"
+    val logStat = s"""{"partitionToWriteStats":{"":[{"fileId":"$fileId",""" +
+      s""""path":".$fileId.log.1_0-1-1","numWrites":1,"totalWriteBytes":10,""" +
+      """"fileSizeInBytes":10}]},"operationType":"UPSERT"}"""
+    Files.writeString(
+      Paths.get(table, ".hoodie", s"$ts.deltacommit.requested"), "{}")
+    Files.writeString(
+      Paths.get(table, ".hoodie", s"$ts.deltacommit.inflight"), "{}")
+    Files.writeString(Paths.get(table, ".hoodie", s"$ts.deltacommit"),
+      logStat)
+    val rt = new graft.formats.hudi.HudiConversionSource(spark, table, "t",
+      queryType = "snapshot")
+    val err = intercept[UnsupportedOperationException] {
+      rt.currentSnapshot()
+    }
+    assert(err.getMessage.contains("read_optimized"),
+      s"refusal message should point at the supported mode: ${err.getMessage}")
+  }
+}
