@@ -115,6 +115,56 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
   * never a million-path list in the plan.
   */
 object DeltaRead {
+
+  /** Deletion-vector summary of a snapshot's live set: (files with a DV,
+    * total deleted rows). Runs on the shared persisted listing.
+    */
+  def liveDvSummary(snap: TableSnapshot): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+    val row = listing.filter(org.apache.spark.sql.functions
+        .col("deletionVector").isNotNull)
+      .agg(count(lit(1)), coalesce(sum("deletionVector.cardinality"), lit(0L)))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Threshold under which the deleted-position set broadcasts; above it
+    * the anti-join shuffles both sides (still correct, never driver-bound).
+    */
+  private val BroadcastDvPositions = 4L * 1000 * 1000
+
+  /** Mask deletion-vector'd positions out of a snapshot scan. The deleted
+    * set is produced executor-side (one task per DV'd file reads its
+    * bitmap) and anti-joined on (file, row_index) via the parquet reader's
+    * `_metadata` column — no driver-side materialization of positions.
+    */
+  private def applyDeletionVectors(spark: SparkSession, snap: TableSnapshot,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (dvFiles, dvRows) = liveDvSummary(snap)
+    if (dvFiles == 0L) return df
+    val tablePath = snap.table.basePath
+    val deleted = graft.plans.SnapshotFileIndex.listingFor(snap)
+      .filter(col("deletionVector").isNotNull)
+      .flatMap { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        DeletionVectors.deletedPositions(conf, tablePath, f.deletionVector.get)
+          .map(pos => (f.path, pos))
+      }.toDF("__dv_path", "__dv_pos")
+    val keyed = df
+      // canonical scheme-less form on both sides (PathUtils.canonical)
+      .withColumn("__scan_path",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__scan_pos", col("_metadata.row_index"))
+    val right = if (dvRows <= BroadcastDvPositions) broadcast(deleted) else deleted
+    keyed.join(right,
+        keyed("__scan_path") === right("__dv_path") &&
+          keyed("__scan_pos") === right("__dv_pos"), "left_anti")
+      .drop("__scan_path", "__scan_pos")
+  }
+
   def toDataFrame(spark: SparkSession, snap: TableSnapshot): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -139,8 +189,9 @@ object DeltaRead {
     val relation = HadoopFsRelation(index, index.partitionSchema,
       index.dataSchema, None, new ParquetFileFormat, Map.empty)(cs)
     val df = cs.baseRelationToDataFrame(relation)
-    if (!mapped) df
-    else df.select(schema.fields.toSeq.map { f =>
+    val masked = applyDeletionVectors(spark, scanSnap, df)
+    if (!mapped) masked
+    else masked.select(schema.fields.toSeq.map { f =>
       if (partCols.contains(f.name)) col(f.name)
       // positional struct cast renames nested physical fields back to
       // their logical names at every level in one expression

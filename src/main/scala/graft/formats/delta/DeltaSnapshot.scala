@@ -32,7 +32,9 @@ case class DeltaMeta(
 object DeltaSnapshot {
 
   /** One parsed action row (flat, Dataset-encodable). `hasDeletionVector`
-    * marks adds carrying a deletionVector descriptor (row-level deletes).
+    * marks adds carrying a deletionVector descriptor (row-level deletes);
+    * the `dv*` fields carry the descriptor itself (empty storage type =
+    * none) so the read path can mask deleted positions.
     */
   case class ActionRow(
       version: Long,
@@ -42,7 +44,29 @@ object DeltaSnapshot {
       modificationTime: Long,
       partitionValues: Map[String, String],
       stats: String,
-      hasDeletionVector: Boolean = false)
+      hasDeletionVector: Boolean = false,
+      dvStorageType: String = "",
+      dvPathOrInline: String = "",
+      dvOffset: Int = 0,
+      dvSizeInBytes: Int = 0,
+      dvCardinality: Long = 0L) {
+    def dvDescriptor: Option[DvDescriptor] =
+      if (dvStorageType.isEmpty) None
+      else Some(DvDescriptor(dvStorageType, dvPathOrInline, dvOffset,
+        dvSizeInBytes, dvCardinality))
+  }
+
+  private[delta] def dvFields(node: JsonNode)
+      : (Boolean, String, String, Int, Int, Long) =
+    Option(node.get("deletionVector")).filterNot(_.isNull) match {
+      case None => (false, "", "", 0, 0, 0L)
+      case Some(dv) => (true,
+        Option(dv.get("storageType")).map(_.asText).getOrElse(""),
+        Option(dv.get("pathOrInlineDv")).map(_.asText).getOrElse(""),
+        Option(dv.get("offset")).map(_.asInt).getOrElse(0),
+        Option(dv.get("sizeInBytes")).map(_.asInt).getOrElse(0),
+        Option(dv.get("cardinality")).map(_.asLong).getOrElse(-1L))
+    }
 
   private[delta] def parseActions(tablePath: String)(
       lines: Iterator[(String, Long)]): Iterator[ActionRow] = {
@@ -57,13 +81,16 @@ object DeltaSnapshot {
               .map(e => e.getKey -> (if (e.getValue.isNull) null
                 else e.getValue.asText)).toMap
           }.getOrElse(Map.empty)
-        if (add != null) Some(ActionRow(version, "add",
-          PathUtils.resolve(tablePath, add.get("path").asText),
-          Option(add.get("size")).map(_.asLong).getOrElse(0L),
-          Option(add.get("modificationTime")).map(_.asLong).getOrElse(0L),
-          pv(add),
-          Option(add.get("stats")).map(_.asText).getOrElse(""),
-          add.hasNonNull("deletionVector")))
+        if (add != null) {
+          val (hasDv, st, pi, off, sz, card) = dvFields(add)
+          Some(ActionRow(version, "add",
+            PathUtils.resolve(tablePath, add.get("path").asText),
+            Option(add.get("size")).map(_.asLong).getOrElse(0L),
+            Option(add.get("modificationTime")).map(_.asLong).getOrElse(0L),
+            pv(add),
+            Option(add.get("stats")).map(_.asText).getOrElse(""),
+            hasDv, st, pi, off, sz, card))
+        }
         else if (remove != null) Some(ActionRow(version, "remove",
           PathUtils.resolve(tablePath, remove.get("path").asText),
           0L, 0L, Map.empty, "",
@@ -98,9 +125,14 @@ object DeltaSnapshot {
     val files = DeltaLog.checkpointFilesAt(tablePath, cpVersion,
       new Configuration())
     val df = spark.read.parquet(files: _*)
-    val withDv = if (df.columns.contains("hasDeletionVector")) df
-      else df.withColumn("hasDeletionVector", lit(false))
-    withDv.as[ActionRow]
+    // checkpoints written before a field existed read under its default
+    val defaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "hasDeletionVector" -> lit(false), "dvStorageType" -> lit(""),
+      "dvPathOrInline" -> lit(""), "dvOffset" -> lit(0),
+      "dvSizeInBytes" -> lit(0), "dvCardinality" -> lit(0L))
+    defaults.foldLeft(df) { case (d, (name, default)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, default)
+    }.as[ActionRow]
   }
 
   /** Checkpoint actions per multi-part file — bounds per-task memory and
@@ -121,10 +153,17 @@ object DeltaSnapshot {
     val versions = DeltaLog.listVersions(tablePath, conf).filter(_ <= version)
     val live = liveFiles(spark, tablePath, versions, schema)
     val rows = live.map { f =>
+      val dv = f.deletionVector
       ActionRow(version, "add", f.path, f.fileSizeBytes,
         f.lastModifiedMillis,
         f.partitionValues.map(p => p.field -> p.value).toMap,
-        DeltaStats.toJson(schema, f.recordCount, f.columnStats))
+        DeltaStats.toJson(schema, f.recordCount, f.columnStats),
+        dv.isDefined,
+        dv.map(_.storageType).getOrElse(""),
+        dv.map(_.pathOrInlineDv).getOrElse(""),
+        dv.map(_.offset).getOrElse(0),
+        dv.map(_.sizeInBytes).getOrElse(0),
+        dv.map(_.cardinality).getOrElse(0L))
     }.persist()
     try {
       val n = rows.count()
@@ -192,7 +231,7 @@ object DeltaSnapshot {
             a.partitionValues.toSeq.sortBy(_._1)
               .map { case (k, v) =>
                 PartitionMember(renames.getOrElse(k, k), v) },
-            stats, a.modificationTime)
+            stats, a.modificationTime, a.dvDescriptor)
         }
       }
   }
@@ -249,7 +288,7 @@ object DeltaSnapshot {
         FileEntry(a.path, a.size, numRecords, "parquet",
           a.partitionValues.toSeq.sortBy(_._1)
             .map { case (k, v) => PartitionMember(k, v) },
-          stats, a.modificationTime)
+          stats, a.modificationTime, a.dvDescriptor)
       }
     }
     val adds = acts.filter(_.kind == "add").mapPartitions(toEntries)

@@ -90,7 +90,7 @@ object HudiMetadataIndex {
       return spark.emptyDataset[FileEntry]
     val parts = Seq.newBuilder[Dataset[FileEntry]]
     if (parquetDeltas.nonEmpty)
-      parts += spark.read.parquet(parquetDeltas: _*).as[FileEntry]
+      parts += FileEntry.aligned(spark.read.parquet(parquetDeltas: _*))
     if (jsonEntries.nonEmpty) parts += spark.createDataset(jsonEntries)
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

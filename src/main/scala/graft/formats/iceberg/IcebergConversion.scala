@@ -253,6 +253,13 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     IcebergManifests.writeManifestList(listPath, keptList)
 
     val properties = prev.map(_.properties).getOrElse(Map.empty) ++
+      // name mapping: graft-synced data files are plain-Spark parquet
+      // with no embedded Iceberg field ids — without this property a
+      // real engine would resolve columns wrong or all-null (reference
+      // IcebergConversionTarget.java:158-210). Recomputed per sync so
+      // schema evolution keeps it current (ids are stable by evolution).
+      Map("schema.name-mapping.default" ->
+        IcebergSchemas.nameMappingJson(schema)) ++
       syncMeta.map(m => Map(SyncMetadata.PropertyKey -> m.toJson))
         .getOrElse(Map.empty)
     val lastColumnId = IcebergSchemas.leafFields(schema).map(_._1)

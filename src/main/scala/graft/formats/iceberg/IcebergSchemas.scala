@@ -324,6 +324,60 @@ object IcebergSchemas {
     Jsons.mapper.writeValueAsString(o)
   }
 
+  /** `schema.name-mapping.default` JSON (Iceberg spec §Name Mapping
+    * Serialization; reference writes it on create,
+    * IcebergConversionTarget.java:158-210): a field-id→names tree that
+    * lets engines resolve columns in parquet files WITHOUT embedded field
+    * ids — exactly what graft-synced tables are, since the data files were
+    * written by plain Spark. Ids must be pre-assigned (assignFieldIds).
+    */
+  def nameMappingJson(schema: StructType): String = {
+    val nf = JsonNodeFactory.instance
+
+    def mapType(dt: DataType, collIds: Map[String, Int], rel: String,
+        into: com.fasterxml.jackson.databind.node.ArrayNode): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        val fo = into.addObject()
+        fo.put("field-id", fieldId(f))
+        fo.putArray("names").add(f.name)
+        val nested = nf.arrayNode()
+        f.dataType match {
+          case s: StructType => mapType(s, Map.empty, "", nested)
+          case other => mapType(other, collectionIdsOf(f), "", nested)
+        }
+        if (nested.size() > 0) fo.set[JsonNode]("fields", nested)
+      }
+      case a: ArrayType =>
+        val rp = if (rel.isEmpty) "element" else s"$rel.element"
+        val fo = into.addObject()
+        fo.put("field-id", collIds(rp))
+        fo.putArray("names").add("element")
+        val nested = nf.arrayNode()
+        mapType(a.elementType, collIds, rp, nested)
+        if (nested.size() > 0) fo.set[JsonNode]("fields", nested)
+      case m: MapType =>
+        val rk = if (rel.isEmpty) "key" else s"$rel.key"
+        val rv = if (rel.isEmpty) "value" else s"$rel.value"
+        val ko = into.addObject()
+        ko.put("field-id", collIds(rk))
+        ko.putArray("names").add("key")
+        val kn = nf.arrayNode()
+        mapType(m.keyType, collIds, rk, kn)
+        if (kn.size() > 0) ko.set[JsonNode]("fields", kn)
+        val vo = into.addObject()
+        vo.put("field-id", collIds(rv))
+        vo.putArray("names").add("value")
+        val vn = nf.arrayNode()
+        mapType(m.valueType, collIds, rv, vn)
+        if (vn.size() > 0) vo.set[JsonNode]("fields", vn)
+      case _ => ()
+    }
+
+    val root = nf.arrayNode()
+    mapType(schema, Map.empty, "", root)
+    Jsons.mapper.writeValueAsString(root)
+  }
+
   /** Parse a type node, collecting collection-position ids into `collIds`
     * (relative pseudo-paths from the enclosing struct field) so the
     * element/key/value ids round-trip through StructField metadata.

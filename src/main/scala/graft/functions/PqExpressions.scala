@@ -4,8 +4,29 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Shared analysis-time checks for the PQ kernels: the vector child must
+  * be array<float> (the kernels read via getFloat — an array<double>
+  * column would silently read garbage otherwise) and eval guards the
+  * length against m·dsub so a short vector fails with the cause, not an
+  * ArrayIndexOutOfBounds deep in the loop.
+  */
+private[functions] object PqChecks {
+  def requireFloatArray(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name needs an array<float> vector column, got ${other.sql} — " +
+        "cast embeddings with col.cast(\"array<float>\")")
+  }
+  def requireLength(name: String, vec: ArrayData, expected: Int): Unit =
+    if (vec.numElements() < expected)
+      throw new IllegalArgumentException(
+        s"$name: vector has ${vec.numElements()} elements, codebooks " +
+          s"expect $expected (m·dsub)")
+}
 
 /** Product-quantization kernels (Jégou et al. 2011, "Product Quantization
   * for Nearest Neighbor Search", public TPAMI paper / the FAISS IndexPQ
@@ -34,8 +55,12 @@ case class PqEncode(
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqChecks.requireFloatArray(prettyName, child.dataType)
+
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
+    PqChecks.requireLength(prettyName, vec, m * dsub)
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -79,8 +104,12 @@ case class PqLut(
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqChecks.requireFloatArray(prettyName, child.dataType)
+
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
+    PqChecks.requireLength(prettyName, vec, m * dsub)
     val lut = new Array[Double](m * ksub)
     var j = 0
     while (j < m) {
@@ -113,6 +142,15 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<double> lut, array<int> codes), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val lut = a.asInstanceOf[ArrayData]

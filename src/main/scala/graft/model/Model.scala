@@ -71,10 +71,33 @@ case class FileColumnStat(
 /** Reference PartitionValue.java:28-30; value in canonical string form. */
 case class PartitionMember(field: String, value: String)
 
+/** A Delta deletion-vector descriptor attached to a live file (Delta
+  * PROTOCOL.md §Deletion Vectors; reference handles these in
+  * DeltaConversionSource.java:104-174). `storageType` is `u` (relative,
+  * z85-UUID-named file), `p` (absolute path) or `i` (inline z85 payload).
+  * A file carrying one is physically whole but logically missing
+  * `cardinality` rows — readers must mask those positions; file-level
+  * metadata sync cannot represent it.
+  */
+case class DvDescriptor(
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Int,
+    sizeInBytes: Int,
+    cardinality: Long)
+
+/** Raised when an operation cannot honor live deletion vectors (file-level
+  * metadata sync, 1:1 relation scans). Deliberately NOT swallowed into a
+  * sync ERROR outcome — serving or propagating phantom rows is a
+  * wrong-answer class, so it propagates to the caller.
+  */
+class DeletionVectorsUnsupported(msg: String) extends RuntimeException(msg)
+
 /** Reference InternalDataFile.java:45-55. `path` is the absolute canonical
   * path — it is the join key of every diff (SURVEY §7.3 path
   * canonicalization), so it is normalized once at construction via
-  * Paths.canonicalize.
+  * Paths.canonicalize. `deletionVector` is present only for Delta files
+  * whose current snapshot carries row-level deletes.
   */
 case class FileEntry(
     path: String,
@@ -83,7 +106,27 @@ case class FileEntry(
     fileFormat: String,              // parquet | orc | avro
     partitionValues: Seq[PartitionMember],
     columnStats: Seq[FileColumnStat],
-    lastModifiedMillis: Long)
+    lastModifiedMillis: Long,
+    deletionVector: Option[DvDescriptor] = None)
+
+object FileEntry {
+  /** Align a DataFrame written under an older FileEntry schema (e.g. a
+    * pre-DV metadata-index parquet) with the current encoder by adding
+    * absent optional columns as nulls.
+    */
+  def aligned(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[FileEntry] = {
+    import org.apache.spark.sql.functions.lit
+    val spark = df.sparkSession
+    import spark.implicits._
+    val enc = implicitly[org.apache.spark.sql.Encoder[FileEntry]]
+    val withCols = enc.schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    withCols.as[FileEntry]
+  }
+}
 
 /** Reference InternalSnapshot.java:48-52: table state + distributed file
   * listing + the commit that produced it.

@@ -94,16 +94,24 @@ object Similarity {
           m
         }.toArray
 
-    // seeds: deterministic id-spaced sample — a modulo filter, no global
-    // sort (an orderBy here shuffled the whole corpus just to pick nlist
-    // rows)
-    val seeds = vecs.filter(pmod(col("doc"), lit(step)) === 0)
+    // seeds: deterministic hash-spaced sample — a modulo filter over
+    // xxhash64(id), no global sort (an orderBy here shuffled the whole
+    // corpus just to pick nlist rows). Hashing (vs raw id modulo) works
+    // for string ids and de-biases ordered numeric ids; the < 2 band
+    // keeps the expected candidate count ≈ 2×nlist before the limit.
+    val seeds = vecs.filter(pmod(xxhash64(col("doc")), lit(step)) < 2)
       .orderBy("doc").limit(nlist).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    // one Lloyd iteration: assign to nearest seed, recompute means
-    val assigned1 = vecs.withColumn("cluster",
-      element_at(graft.functions.NearestCentroids(col("v"), seeds, 1), 1))
-    collectCentroids(assigned1)
+    require(seeds.nonEmpty, "centroid seeding selected no rows")
+    // Lloyd iterations: assign to nearest centroid, recompute means — each
+    // round is ONE Spark job; the collect is nlist×dim aggregate rows
+    var centroids = seeds
+    for (_ <- 1 to 2) {
+      val assigned = vecs.withColumn("cluster",
+        element_at(graft.functions.NearestCentroids(col("v"), centroids, 1), 1))
+      centroids = collectCentroids(assigned)
+    }
+    centroids
   }
 
   /** IVF near-neighbor pairs — the clustered-corpus scale path: seed
@@ -188,9 +196,12 @@ object Similarity {
     val dsub = dim / m
     val n = vecs.count()
     val step = math.max(1L, n / ksub)
-    val seedRows = vecs.filter(pmod(col("doc"), lit(step)) === 0)
+    // hash-spaced seeds — same rationale as fitCentroids: string-id-safe,
+    // order-unbiased, no global sort
+    val seedRows = vecs.filter(pmod(xxhash64(col("doc")), lit(step)) < 2)
       .orderBy("doc").limit(ksub).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(seedRows.nonEmpty, "codebook seeding selected no rows")
     var books = Array.tabulate(m, ksub) { (j, c) =>
       seedRows(c % seedRows.length).slice(j * dsub, (j + 1) * dsub)
     }

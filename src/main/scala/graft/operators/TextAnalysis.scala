@@ -256,11 +256,14 @@ object TextAnalysis {
       .select(cols :+ whitespaceTokens(col(textCol)).as("w"): _*)
       .select(cols :+ explode(shinglesFromTokens(col("w"), n)).as("gram"): _*)
     val evalGrams = grams(evalDocs).distinct()
+    // broadcast-join FIRST: the join filters the exploded corpus grams to
+    // the (tiny) shared subset map-side, so the only shuffle is the
+    // per-doc countDistinct over matches — a pre-join .distinct() here
+    // shuffled every gram of the corpus
     grams(docs, col(idCol))
-      .distinct()
       .join(broadcast(evalGrams), "gram")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shared_grams"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
       .orderBy(idCol)
   }
 

@@ -47,6 +47,20 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "column-mapped tables need the logical rename pass — read them " +
           "via DeltaConversionSource.toDataFrame")
+    // A live deletion vector means rows inside still-live files are
+    // logically deleted; a 1:1 file scan would serve them back (phantom
+    // rows). The DataFrame path masks DV positions; this relation path
+    // cannot, so refuse loudly (same pattern as the Hudi MOR real-time
+    // refusal). Reference: DeltaConversionSource.java:104-174.
+    locally {
+      val (dvFiles, dvRows) = graft.formats.delta.DeltaRead.liveDvSummary(snap)
+      if (dvFiles > 0)
+        throw new graft.model.DeletionVectorsUnsupported(
+          s"table at $path has $dvFiles live file(s) carrying deletion " +
+            s"vectors ($dvRows deleted row(s)); format(\"graft\") maps " +
+            "files 1:1 and would return deleted rows — read via " +
+            "DeltaConversionSource.toDataFrame, which masks DV positions")
+    }
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index = new SnapshotFileIndex(cs, snap)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,

@@ -40,10 +40,14 @@ object StreamingOps {
         col("event_type"), col("n_events"),
         graft.queries.Gate.microsToDouble(col("sum_micros")).as("sum_value"))
 
-  /** Plain file stream (no column coercion) — for non-event tables. */
-  def fileStream(spark: SparkSession, dir: String, schema: StructType)
-      : DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  /** Plain file stream (no column coercion) — for non-event tables.
+    * `options` go on the SOURCE (readStream) — e.g. maxFilesPerTrigger,
+    * which is a file-source option and is silently ignored if set on the
+    * write side.
+    */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.options(options).schema(schema).parquet(dir)
 
   /** Streaming exact dedup — the streaming form of `Dedup.exact`: per
     * content-hash keeper + copy count as a stateful streaming aggregation

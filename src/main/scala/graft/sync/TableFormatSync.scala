@@ -9,6 +9,37 @@ import graft.spi._
   */
 object TableFormatSync {
 
+  /** Lazy guard: file-level sync cannot represent row-level deletes, so a
+    * DV'd entry flowing into any target is refused. Fused into the files
+    * Dataset (no extra Spark action); the failure is rethrown — not folded
+    * into an ERROR outcome — because silently propagating a file with
+    * logically-deleted rows is the wrong-answer class the reference guards
+    * against (DeltaConversionSource.java:104-174).
+    */
+  private def refuseDvs(files: org.apache.spark.sql.Dataset[FileEntry],
+      context: String): org.apache.spark.sql.Dataset[FileEntry] =
+    files.mapPartitions { it =>
+      it.map { f =>
+        f.deletionVector.foreach { dv =>
+          throw new DeletionVectorsUnsupported(
+            s"$context: file ${f.path} carries a live deletion vector " +
+              s"(${dv.cardinality} deleted row(s)) — file-level metadata " +
+              "sync would propagate logically-deleted rows to every " +
+              "target; compact/rewrite the source table (purge DVs) first")
+        }
+        f
+      }
+    }(files.encoder)
+
+  private def isDvRefusal(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      if (t.isInstanceOf[DeletionVectorsUnsupported]) return true
+      t = t.getCause
+    }
+    false
+  }
+
   def syncSnapshot(targets: Seq[ConversionTarget], snapshot: TableSnapshot,
       sourceFormat: String): Seq[SyncOutcome] =
     targets.map { target =>
@@ -20,11 +51,13 @@ object TableFormatSync {
         target.syncMetadata(meta)
         target.syncSchema(snapshot.table.schema)
         target.syncPartitionSpec(snapshot.table.partitionFields)
-        target.syncFilesForSnapshot(snapshot.files)
+        target.syncFilesForSnapshot(
+          refuseDvs(snapshot.files, s"snapshot sync ${snapshot.commitId}"))
         target.completeSync()
         SyncOutcome(target.targetFormat, SyncMode.Full, "SUCCESS",
           snapshot.commitId, System.currentTimeMillis() - t0)
       } catch {
+        case e: Exception if isDvRefusal(e) => throw e
         case e: Exception =>
           SyncOutcome(target.targetFormat, SyncMode.Full, "ERROR",
             snapshot.commitId, System.currentTimeMillis() - t0,
@@ -58,11 +91,14 @@ object TableFormatSync {
             target.syncMetadata(syncMeta)
             target.syncSchema(change.tableAsOfChange.schema)
             target.syncPartitionSpec(change.tableAsOfChange.partitionFields)
-            target.syncFilesForDiff(change.diff)
+            target.syncFilesForDiff(change.diff.copy(added =
+              refuseDvs(change.diff.added,
+                s"incremental sync ${change.commitId}")))
             target.completeSync()
             lastApplied += target -> change.commitId
             outcomes += target -> (Some(change.commitId), None)
           } catch {
+            case e: Exception if isDvRefusal(e) => throw e
             case e: Exception =>
               outcomes += target -> (lastSynced, Some(e.toString))
           }

@@ -43,6 +43,127 @@ class DeletionVectorSpec extends SparkSuite {
     assert(live.toSeq == Seq("a.parquet"))
   }
 
+  test("z85 / roaring bitmap codec round-trips (uuid, inline, file)") {
+    import java.util.UUID
+    val uuid = UUID.fromString("12345678-9abc-4def-8123-456789abcdef")
+    assert(DeletionVectors.decodeUuid(DeletionVectors.encodeUuid(uuid)) == uuid)
+    // multi-bitmap positions: low range + one past the 32-bit boundary
+    val positions = Seq(0L, 1L, 7L, 4096L, (1L << 32) + 5L)
+    val payload = DeletionVectors.serializeBitmap(positions)
+    assert(DeletionVectors.deserializeBitmap(payload).toSeq == positions.sorted)
+    val inline = DeletionVectors.inlineDescriptor(positions)
+    assert(inline.storageType == "i" && inline.cardinality == 5)
+    assert(DeletionVectors.deletedPositions(
+      new org.apache.hadoop.conf.Configuration(), "/nowhere", inline)
+      .toSeq == positions.sorted)
+    // u-type file write → descriptor → read, with a prefix directory
+    val table = tmpDir("dv_codec")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val descs = DeletionVectors.writeDvFile(conf, table, "ab", uuid,
+      Seq(Seq(2L, 3L), Seq(10L)))
+    assert(descs.map(_.cardinality) == Seq(2L, 1L))
+    assert(DeletionVectors.absolutePath(table, descs.head) ==
+      s"$table/ab/deletion_vector_$uuid.bin")
+    assert(DeletionVectors.deletedPositions(conf, table, descs(0)).toSeq
+      == Seq(2L, 3L))
+    assert(DeletionVectors.deletedPositions(conf, table, descs(1)).toSeq
+      == Seq(10L))
+  }
+
+  /** A real two-file Delta table whose head carries a live DV on one file:
+    * v0 adds both files, v1 attaches a DV to file A (add-with-DV + remove,
+    * the delta-spark row-level DELETE shape). Before round 6 this table
+    * read back the deleted rows through every path.
+    */
+  private def liveDvTable(): (String, graft.model.DvDescriptor) = {
+    import java.util.UUID
+    val table = tmpDir("dv_live")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // two single-row-group parquet files with known in-file row order
+    val stage = tmpDir("dv_stage")
+    spark.range(0, 10).toDF("id").coalesce(1)
+      .sortWithinPartitions("id").write.parquet(s"$stage/a")
+    spark.range(100, 105).toDF("id").coalesce(1)
+      .sortWithinPartitions("id").write.parquet(s"$stage/b")
+    def move(src: String, name: String): Unit = {
+      val f = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, Paths.get(table, name))
+    }
+    Files.createDirectories(Paths.get(table))
+    move(s"$stage/a", "a.parquet"); move(s"$stage/b", "b.parquet")
+    // DV over file a: delete positions 1 and 3 (ids 1 and 3)
+    val uuid = UUID.fromString("00112233-4455-4677-8899-aabbccddeeff")
+    val desc = DeletionVectors.writeDvFile(conf, table, "", uuid,
+      Seq(Seq(1L, 3L))).head
+    val log = Paths.get(table, "_delta_log")
+    Files.createDirectories(log)
+    val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t","schemaString":"$schema","partitionColumns":[],"configuration":{},"createdTime":1,"format":{"provider":"parquet","options":{}}}}"""
+    Files.writeString(log.resolve("00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |$meta
+         |{"add":{"path":"a.parquet","size":100,"modificationTime":1,"dataChange":true,"partitionValues":{},"stats":""}}
+         |{"add":{"path":"b.parquet","size":100,"modificationTime":1,"dataChange":true,"partitionValues":{},"stats":""}}
+         |""".stripMargin)
+    Files.writeString(log.resolve("00000000000000000001.json"),
+      s"""{"add":{"path":"a.parquet","size":100,"modificationTime":2,"dataChange":true,"partitionValues":{},"stats":"","deletionVector":{"storageType":"${desc.storageType}","pathOrInlineDv":"${desc.pathOrInlineDv}","offset":${desc.offset},"sizeInBytes":${desc.sizeInBytes},"cardinality":${desc.cardinality}}}}
+         |{"remove":{"path":"a.parquet","deletionTimestamp":2,"dataChange":true}}
+         |""".stripMargin)
+    (table, desc)
+  }
+
+  test("live deletion vectors are masked by toDataFrame") {
+    val (table, desc) = liveDvTable()
+    val src = new DeltaConversionSource(spark, table, "dv_live")
+    val snap = src.currentSnapshot()
+    val live = snap.files.collect()
+    val dvd = live.find(_.path.endsWith("a.parquet")).get.deletionVector
+    assert(dvd.contains(desc))
+    assert(live.find(_.path.endsWith("b.parquet")).get.deletionVector.isEmpty)
+    // ids 1 and 3 are row-level deleted; everything else survives
+    val got = src.toDataFrame.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq ==
+      ((0L to 9L).filterNot(Set(1L, 3L)) ++ (100L to 104L)).sorted)
+  }
+
+  test("format(\"graft\") and snapshot sync refuse live deletion vectors") {
+    val (table, _) = liveDvTable()
+    val e1 = intercept[graft.model.DeletionVectorsUnsupported] {
+      spark.read.format("graft").load(table).collect()
+    }
+    assert(e1.getMessage.contains("deletion vector"))
+    val src = new DeltaConversionSource(spark, table, "dv_live")
+    val tgt = new graft.formats.iceberg.IcebergConversionTarget(
+      spark, tmpDir("dv_refuse_tgt"))
+    val e2 = intercept[Exception] {
+      TableFormatSync.syncSnapshot(Seq(tgt), src.currentSnapshot(), "DELTA")
+    }
+    def dvCaused(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[graft.model.DeletionVectorsUnsupported] ||
+        dvCaused(t.getCause))
+    assert(dvCaused(e2), e2.toString)
+  }
+
+  test("checkpoints preserve deletion-vector descriptors") {
+    val (table, desc) = liveDvTable()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    DeltaSnapshot.writeCheckpoint(spark, table, 1L, schema)
+    // replay from the checkpoint only (liveFiles picks it up)
+    val live = DeltaSnapshot.liveFiles(spark, table, Seq(0L, 1L), schema)
+      .collect()
+    assert(live.find(_.path.endsWith("a.parquet")).get.deletionVector
+      .contains(desc))
+    // and the masked read still serves the correct rows post-checkpoint
+    val src = new DeltaConversionSource(spark, table, "dv_ckpt")
+    val got = src.toDataFrame.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq ==
+      ((0L to 9L).filterNot(Set(1L, 3L)) ++ (100L to 104L)).sorted)
+  }
+
   test("catalog conversion source detects formats from layout") {
     val src = new graft.sources.ParquetDirectorySource(spark,
       sf("sf0.001/nation.parquet"), "nation")

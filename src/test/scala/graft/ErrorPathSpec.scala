@@ -40,8 +40,14 @@ class ErrorPathSpec extends SparkSuite {
     val err = intercept[Exception] {
       spark.read.format("graft").load(table).count()
     }
-    // the failure must not be a silent partial read
-    assert(err != null)
+    // the failure must not be a silent partial read: the error chain has
+    // to name the corrupt log line / file, not just throw "something"
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(err).mkString("\n")
+    assert(all.contains("not json") || all.toLowerCase.contains("json") ||
+      all.contains("_delta_log"), s"unhelpful failure: $all")
   }
 
   test("stray non-parquet file in a parquet directory is not counted as data") {

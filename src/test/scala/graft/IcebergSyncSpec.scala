@@ -33,6 +33,52 @@ class IcebergSyncSpec extends SparkSuite {
       .filter(_.field == "l_quantity")
     val expMin = direct.agg(min("l_quantity")).head.getDouble(0)
     assert(stats.flatMap(_.min).map(_.toDouble).min == expMin)
+
+    // name mapping: graft data files carry no Iceberg field ids, so the
+    // metadata must publish schema.name-mapping.default matching the
+    // schema's id assignment (Iceberg spec §Name Mapping Serialization)
+    val meta = IcebergMetadata.read(target,
+      IcebergMetadata.currentVersion(target).get)
+    val nm = meta.properties.get("schema.name-mapping.default")
+    assert(nm.isDefined, "schema.name-mapping.default missing on create")
+    val tree = graft.util.Jsons.mapper.readTree(nm.get)
+    import scala.jdk.CollectionConverters._
+    val mapped = tree.elements().asScala.map(e =>
+      e.get("names").get(0).asText -> e.get("field-id").asInt).toMap
+    val expected = meta.schema.fields.map(f =>
+      f.name -> IcebergSchemas.fieldId(f)).toMap
+    assert(mapped == expected, s"name mapping $mapped != schema $expected")
+  }
+
+  test("name mapping covers nested structs, lists and maps") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, ArrayType(LongType))),
+      StructField("loc", StructType(Seq(
+        StructField("lat", DoubleType), StructField("lon", DoubleType))))))
+    val assigned = IcebergSchemas.assignFieldIds(schema)
+    val ids = IcebergSchemas.allFieldIds(assigned)
+    val tree = graft.util.Jsons.mapper.readTree(
+      IcebergSchemas.nameMappingJson(assigned))
+    import scala.jdk.CollectionConverters._
+    def find(n: com.fasterxml.jackson.databind.JsonNode, name: String) =
+      n.elements().asScala.find(_.get("names").get(0).asText == name).get
+    assert(find(tree, "id").get("field-id").asInt == ids("id"))
+    val tags = find(tree, "tags")
+    assert(find(tags.get("fields"), "element").get("field-id").asInt ==
+      ids("tags.element"))
+    val attrs = find(tree, "attrs")
+    assert(find(attrs.get("fields"), "key").get("field-id").asInt ==
+      ids("attrs.key"))
+    val attrsValue = find(attrs.get("fields"), "value")
+    assert(attrsValue.get("field-id").asInt == ids("attrs.value"))
+    assert(find(attrsValue.get("fields"), "element").get("field-id").asInt ==
+      ids("attrs.value.element"))
+    val loc = find(tree, "loc")
+    assert(find(loc.get("fields"), "lat").get("field-id").asInt ==
+      ids("loc.lat"))
   }
 
   test("corrupt commit (sync never completed) is rolled back on next sync") {

@@ -33,6 +33,27 @@ class IvfSpec extends SparkSuite {
     assert(again == ivf)
   }
 
+  test("string doc ids work through IVF top-k and semantic dedup") {
+    // pre-r6 the seed filter was pmod(doc, step): on string ids pmod is
+    // null, the filter dropped every row, and fitting blew up far from
+    // the cause — seeds are now hash-spaced (xxhash64)
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .withColumn("vec_id", concat(lit("doc-"), col("vec_id")))
+    val queries = emb.filter(col("vec_id").rlike("^doc-[0-9]$"))
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5, nlist = 16, nprobe = 6).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+    val dropped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.45, nlist = 8).collect()
+    assert(dropped.nonEmpty)
+    // rep is still the lexically-lower id
+    dropped.foreach(r => assert(r.getString(1) < r.getString(0)))
+  }
+
   test("IVF top-k serves ranked exact-scored neighbors with bounded loss") {
     val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
     val queries = emb.filter(col("vec_id") < 10)

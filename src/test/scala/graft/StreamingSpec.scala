@@ -54,13 +54,19 @@ class StreamingSpec extends SparkSuite {
         StandardCopyOption.REPLACE_EXISTING)
       i += 1
     }
-    val stream = StreamingOps.fileStream(spark, in, docs.schema)
+    // maxFilesPerTrigger is a file-SOURCE option: on the read side it
+    // forces one file per micro-batch; set on writeStream it is silently
+    // ignored (and this test would run a single batch)
+    val stream = StreamingOps.fileStream(spark, in, docs.schema,
+      Map("maxFilesPerTrigger" -> "1"))
     val q = StreamingOps.streamingExactDedup(stream, "doc_id", "text")
       .writeStream.outputMode("complete").format("memory")
       .queryName("dedup_out")
-      .option("maxFilesPerTrigger", "1")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
+    // the cross-batch state-merge claim needs >1 batch to mean anything
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 2, s"expected >=2 micro-batches, saw $batches")
     val streamed = spark.table("dedup_out")
       .orderBy("content_hash").collect().toSeq
     val batch = graft.operators.Dedup.exact(docs, "doc_id", "text")
