@@ -14,7 +14,7 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
     tableName: String)
   extends ConversionSource {
 
-  private val conf = new Configuration()
+  private val conf = graft.util.HadoopConfs.session(spark)
   override def sourceFormat: String = TableFormats.Delta
 
   private def versions: Seq[Long] = DeltaLog.listVersions(tablePath, conf)
@@ -116,23 +116,31 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
   */
 object DeltaRead {
 
-  /** Deletion-vector summary of a snapshot's live set: (files with a DV,
-    * total deleted rows). Runs on the shared persisted listing.
+  /** Deletion-vector summary of a snapshot's live set: files with a DV,
+    * total deleted rows, and the estimated in-memory size of the anti-join
+    * build side (each deleted position carries its file's full path string
+    * plus a long). Runs on the shared persisted listing.
     */
-  def liveDvSummary(snap: TableSnapshot): (Long, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+  final case class DvSummary(files: Long, rows: Long, joinKeyBytes: Long)
+
+  def liveDvSummary(snap: TableSnapshot): DvSummary = {
+    import org.apache.spark.sql.functions._
     val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
-    val row = listing.filter(org.apache.spark.sql.functions
-        .col("deletionVector").isNotNull)
-      .agg(count(lit(1)), coalesce(sum("deletionVector.cardinality"), lit(0L)))
+    val row = listing.filter(col("deletionVector").isNotNull)
+      .agg(count(lit(1)),
+        coalesce(sum("deletionVector.cardinality"), lit(0L)),
+        coalesce(sum(col("deletionVector.cardinality") *
+          (length(col("path")).cast("long") + lit(16L))), lit(0L)))
       .head()
-    (row.getLong(0), row.getLong(1))
+    DvSummary(row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
-  /** Threshold under which the deleted-position set broadcasts; above it
-    * the anti-join shuffles both sides (still correct, never driver-bound).
+  /** Broadcast the deleted-position set only while its estimated footprint
+    * stays modest; above that the anti-join shuffles both sides (still
+    * correct, never memory-bound). Gated on bytes, not row count: 4M
+    * positions under 100-byte paths is already a ~0.5 GB broadcast.
     */
-  private val BroadcastDvPositions = 4L * 1000 * 1000
+  private val BroadcastDvBytes = 64L * 1024 * 1024
 
   /** Mask deletion-vector'd positions out of a snapshot scan. The deleted
     * set is produced executor-side (one task per DV'd file reads its
@@ -143,22 +151,31 @@ object DeltaRead {
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val (dvFiles, dvRows) = liveDvSummary(snap)
-    if (dvFiles == 0L) return df
+    val summary = liveDvSummary(snap)
+    if (summary.files == 0L) return df
     val tablePath = snap.table.basePath
+    // executor tasks open DV files through the session's Hadoop settings
+    // (object-store credentials, endpoints) — never a default Configuration
+    val bconf = graft.util.HadoopConfs.broadcastSession(spark)
     val deleted = graft.plans.SnapshotFileIndex.listingFor(snap)
       .filter(col("deletionVector").isNotNull)
       .flatMap { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        DeletionVectors.deletedPositions(conf, tablePath, f.deletionVector.get)
-          .map(pos => (f.path, pos))
+        DeletionVectors.deletedPositions(bconf.value.value, tablePath,
+          f.deletionVector.get).map(pos => (f.path, pos))
       }.toDF("__dv_path", "__dv_pos")
+    // `_metadata.file_path` is a URI: scheme-strip AND %-decode so the key
+    // matches the listing side's PathUtils.canonical form (space / percent
+    // in partition dirs). Literal '+' pre-encodes to %2B because
+    // url_decode form-decodes bare '+' to space.
     val keyed = df
-      // canonical scheme-less form on both sides (PathUtils.canonical)
       .withColumn("__scan_path",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        url_decode(regexp_replace(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+          "\\+", "%2B")))
       .withColumn("__scan_pos", col("_metadata.row_index"))
-    val right = if (dvRows <= BroadcastDvPositions) broadcast(deleted) else deleted
+    val right =
+      if (summary.joinKeyBytes <= BroadcastDvBytes) broadcast(deleted)
+      else deleted
     keyed.join(right,
         keyed("__scan_path") === right("__dv_path") &&
           keyed("__scan_pos") === right("__dv_pos"), "left_anti")

@@ -23,7 +23,7 @@ import graft.util.{Jsons, PathUtils}
 class DeltaConversionTarget(spark: SparkSession, tablePath: String)
   extends ConversionTarget {
 
-  private val conf = new Configuration()
+  private val conf = graft.util.HadoopConfs.session(spark)
   override def targetFormat: String = TableFormats.Delta
 
   // transaction state (reference TransactionState, DeltaConversionTarget.java:279-372)
@@ -111,7 +111,8 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         it.map { f =>
           Jsons.toJson(Map("add" -> Map(
-            "path" -> PathUtils.relativize(tp, f.path),
+            // PROTOCOL.md: action paths are URL-encoded URIs
+            "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
             "partitionValues" -> f.partitionValues
               .map(p => p.field -> p.value).toMap,
             "size" -> f.fileSizeBytes,
@@ -128,7 +129,7 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
       import ds.sparkSession.implicits._
       ds.map { f =>
         Jsons.toJson(Map("remove" -> Map(
-          "path" -> PathUtils.relativize(tp, f.path),
+          "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
           "deletionTimestamp" -> now,
           "dataChange" -> true)))
       }.toLocalIterator()

@@ -84,7 +84,8 @@ object DeltaSnapshot {
         if (add != null) {
           val (hasDv, st, pi, off, sz, card) = dvFields(add)
           Some(ActionRow(version, "add",
-            PathUtils.resolve(tablePath, add.get("path").asText),
+            PathUtils.resolve(tablePath,
+              PathUtils.fromDeltaUri(add.get("path").asText)),
             Option(add.get("size")).map(_.asLong).getOrElse(0L),
             Option(add.get("modificationTime")).map(_.asLong).getOrElse(0L),
             pv(add),
@@ -92,7 +93,8 @@ object DeltaSnapshot {
             hasDv, st, pi, off, sz, card))
         }
         else if (remove != null) Some(ActionRow(version, "remove",
-          PathUtils.resolve(tablePath, remove.get("path").asText),
+          PathUtils.resolve(tablePath,
+            PathUtils.fromDeltaUri(remove.get("path").asText)),
           0L, 0L, Map.empty, "",
           remove.hasNonNull("deletionVector")))
         else None
@@ -123,7 +125,7 @@ object DeltaSnapshot {
       : Dataset[ActionRow] = {
     import spark.implicits._
     val files = DeltaLog.checkpointFilesAt(tablePath, cpVersion,
-      new Configuration())
+      graft.util.HadoopConfs.session(spark))
     val df = spark.read.parquet(files: _*)
     // checkpoints written before a field existed read under its default
     val defaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
@@ -149,7 +151,7 @@ object DeltaSnapshot {
   def writeCheckpoint(spark: SparkSession, tablePath: String, version: Long,
       schema: StructType): Unit = {
     import spark.implicits._
-    val conf = new Configuration()
+    val conf = graft.util.HadoopConfs.session(spark)
     val versions = DeltaLog.listVersions(tablePath, conf).filter(_ <= version)
     val live = liveFiles(spark, tablePath, versions, schema)
     val rows = live.map { f =>
@@ -197,7 +199,7 @@ object DeltaSnapshot {
       schema: StructType): Dataset[FileEntry] = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val conf = new Configuration()
+    val conf = graft.util.HadoopConfs.session(spark)
     val head = versions.lastOption.getOrElse(-1L)
     val cp = DeltaLog.latestCheckpoint(tablePath, head, conf)
     val jsonVersions = cp match {

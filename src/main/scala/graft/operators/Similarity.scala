@@ -78,6 +78,31 @@ object Similarity {
     * spaced ids, one deterministic Lloyd refinement. Two Spark passes; the
     * only collect is nlist×dim aggregate rows (the index, not the data).
     */
+  /** Deterministic seed rows: a hash-band sample over xxhash64(id) — no
+    * global shuffle, string-id-safe, order-unbiased. The initial `< 2` band
+    * expects ≈ 2×target candidates, but an unlucky hash draw can under-fill
+    * it; rather than silently fitting fewer centroids than requested
+    * (degraded recall with no signal), the band widens geometrically until
+    * the target is met or the filter passes everything. orderBy+limit
+    * compiles to TakeOrderedAndProject (per-partition top-k), so even the
+    * fully-open fallback never global-sorts the corpus.
+    */
+  private[graft] def seedVectors(vecs: DataFrame, target: Int, step: Long)
+      : Array[Array[Double]] = {
+    def sel(band: Long) =
+      vecs.filter(pmod(xxhash64(col("doc")), lit(step)) < lit(band))
+        .orderBy("doc").limit(target).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var band = 2L
+    var seeds = sel(band)
+    while (seeds.length < target && band < step) {
+      band = math.min(step, band * 8)
+      seeds = sel(band)
+    }
+    require(seeds.nonEmpty, "seed selection found no rows")
+    seeds
+  }
+
   private def fitCentroids(vecs: DataFrame, dim: Int, nlist: Int)
       : Array[Array[Double]] = {
     val n = vecs.count()
@@ -94,15 +119,7 @@ object Similarity {
           m
         }.toArray
 
-    // seeds: deterministic hash-spaced sample — a modulo filter over
-    // xxhash64(id), no global sort (an orderBy here shuffled the whole
-    // corpus just to pick nlist rows). Hashing (vs raw id modulo) works
-    // for string ids and de-biases ordered numeric ids; the < 2 band
-    // keeps the expected candidate count ≈ 2×nlist before the limit.
-    val seeds = vecs.filter(pmod(xxhash64(col("doc")), lit(step)) < 2)
-      .orderBy("doc").limit(nlist).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    require(seeds.nonEmpty, "centroid seeding selected no rows")
+    val seeds = seedVectors(vecs, nlist, step)
     // Lloyd iterations: assign to nearest centroid, recompute means — each
     // round is ONE Spark job; the collect is nlist×dim aggregate rows
     var centroids = seeds
@@ -196,12 +213,7 @@ object Similarity {
     val dsub = dim / m
     val n = vecs.count()
     val step = math.max(1L, n / ksub)
-    // hash-spaced seeds — same rationale as fitCentroids: string-id-safe,
-    // order-unbiased, no global sort
-    val seedRows = vecs.filter(pmod(xxhash64(col("doc")), lit(step)) < 2)
-      .orderBy("doc").limit(ksub).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    require(seedRows.nonEmpty, "codebook seeding selected no rows")
+    val seedRows = seedVectors(vecs, ksub, step)
     var books = Array.tabulate(m, ksub) { (j, c) =>
       seedRows(c % seedRows.length).slice(j * dsub, (j + 1) * dsub)
     }

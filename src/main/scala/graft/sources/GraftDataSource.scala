@@ -53,11 +53,11 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     // cannot, so refuse loudly (same pattern as the Hudi MOR real-time
     // refusal). Reference: DeltaConversionSource.java:104-174.
     locally {
-      val (dvFiles, dvRows) = graft.formats.delta.DeltaRead.liveDvSummary(snap)
-      if (dvFiles > 0)
+      val dv = graft.formats.delta.DeltaRead.liveDvSummary(snap)
+      if (dv.files > 0)
         throw new graft.model.DeletionVectorsUnsupported(
-          s"table at $path has $dvFiles live file(s) carrying deletion " +
-            s"vectors ($dvRows deleted row(s)); format(\"graft\") maps " +
+          s"table at $path has ${dv.files} live file(s) carrying deletion " +
+            s"vectors (${dv.rows} deleted row(s)); format(\"graft\") maps " +
             "files 1:1 and would return deleted rows — read via " +
             "DeltaConversionSource.toDataFrame, which masks DV positions")
     }

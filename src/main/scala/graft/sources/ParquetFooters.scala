@@ -61,7 +61,7 @@ object ParquetFooters {
   def listingDataset(spark: SparkSession, basePath: String)
       : Dataset[ListedFile] = {
     import spark.implicits._
-    val conf = new Configuration()
+    val conf = graft.util.HadoopConfs.session(spark)
     val base = new Path(basePath)
     val fs = base.getFileSystem(conf)
     val rootStatus = fs.getFileStatus(base)
@@ -84,9 +84,10 @@ object ParquetFooters {
     else {
       val parallelism = math.max(1,
         math.min(dirs.size, spark.sparkContext.defaultParallelism * 2))
+      val bconf = graft.util.HadoopConfs.broadcastSession(spark)
       val sub = spark.createDataset(dirs).repartition(parallelism)
         .mapPartitions { it =>
-          val c = new Configuration()
+          val c = bconf.value.value
           it.flatMap(d => listFiles(d, c))
         }
       spark.createDataset(direct).union(sub)
@@ -101,8 +102,9 @@ object ParquetFooters {
     val base = basePath
     val cols = statsColumns
     val parallelism = math.max(1, spark.sparkContext.defaultParallelism)
+    val bconf = graft.util.HadoopConfs.broadcastSession(spark)
     files.repartition(parallelism).mapPartitions { it =>
-      val conf = new Configuration()
+      val conf = bconf.value.value
       it.map { f =>
         val (records, stats) = readFooterStats(f.path, conf, cols)
         FileEntry(f.path, f.length, records, "parquet",
@@ -250,8 +252,9 @@ object ParquetFooters {
     val base = basePath
     val cols = statsColumns
     val parallelism = math.max(1, math.min(files.size, 256))
+    val bconf = graft.util.HadoopConfs.broadcastSession(spark)
     spark.createDataset(files).repartition(parallelism).mapPartitions { it =>
-      val conf = new Configuration()
+      val conf = bconf.value.value
       it.map { f =>
         val (records, stats) = readFooterStats(f.path, conf, cols)
         FileEntry(f.path, f.length, records, "parquet",

@@ -30,6 +30,29 @@ object PathUtils {
     p
   }
 
+  /** Decode a Delta-log file path to a filesystem path. PROTOCOL.md defines
+    * add/remove `path` as a URL-encoded URI (relative or absolute), so
+    * %-escapes decode unconditionally here — unlike [[canonical]], which
+    * must leave bare filesystem paths untouched. Literal '+' pre-encodes to
+    * %2B because URLDecoder form-decodes bare '+' to space.
+    */
+  def fromDeltaUri(s: String): String = {
+    var p = s
+    if (p.startsWith("file://")) p = p.substring("file://".length)
+    else if (p.startsWith("file:")) p = p.substring("file:".length)
+    if (p.contains('%'))
+      p = URLDecoder.decode(p.replace("+", "%2B"), StandardCharsets.UTF_8)
+    p
+  }
+
+  /** Encode a filesystem path for a Delta-log action (percent-encode
+    * illegal URI characters, slash-preserving) — what delta-spark expects
+    * to decode on read.
+    */
+  def toDeltaUri(path: String): String =
+    try new java.net.URI(null, null, path, null).getRawPath
+    catch { case _: java.net.URISyntaxException => path }
+
   /** Resolve a possibly-relative child against a table base path. */
   def resolve(basePath: String, child: String): String = {
     val c = canonical(child)

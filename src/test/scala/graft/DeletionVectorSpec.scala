@@ -164,6 +164,75 @@ class DeletionVectorSpec extends SparkSuite {
       ((0L to 9L).filterNot(Set(1L, 3L)) ++ (100L to 104L)).sorted)
   }
 
+  test("delta-log path codec round-trips URI-encodable characters") {
+    import graft.util.PathUtils
+    assert(PathUtils.toDeltaUri("cat=a b/x y.parquet") ==
+      "cat=a%20b/x%20y.parquet")
+    assert(PathUtils.fromDeltaUri("cat=a%20b/x%20y.parquet") ==
+      "cat=a b/x y.parquet")
+    // literal percent and plus survive the round trip
+    assert(PathUtils.fromDeltaUri(PathUtils.toDeltaUri("cat=50% off/a+b.parquet"))
+      == "cat=50% off/a+b.parquet")
+    // undecorated paths pass through
+    assert(PathUtils.toDeltaUri("cat=1/a.parquet") == "cat=1/a.parquet")
+    assert(PathUtils.fromDeltaUri("file:///t/a.parquet") == "/t/a.parquet")
+  }
+
+  /** ADVICE r6: DV anti-join keys must match under URL-encoded paths. A
+    * partition value with a space (and a literal percent) makes
+    * `_metadata.file_path` differ from the raw listing path unless both
+    * sides canonicalize identically.
+    */
+  test("live DVs mask correctly under URL-encoded partition paths") {
+    import java.util.UUID
+    val table = tmpDir("dv_part")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val stage = tmpDir("dv_part_stage")
+    spark.range(0, 10).toDF("id").coalesce(1)
+      .sortWithinPartitions("id").write.parquet(s"$stage/a")
+    spark.range(100, 103).toDF("id").coalesce(1)
+      .sortWithinPartitions("id").write.parquet(s"$stage/b")
+    def move(src: String, rel: String): Unit = {
+      val f = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(table, rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(f.toPath, dst)
+    }
+    move(s"$stage/a", "cat=a b/a.parquet")
+    move(s"$stage/b", "cat=50% off/b.parquet")
+    val uuid = UUID.fromString("00112233-4455-4677-8899-aabbccddeeff")
+    val desc = DeletionVectors.writeDvFile(conf, table, "", uuid,
+      Seq(Seq(1L, 3L))).head
+    val log = Paths.get(table, "_delta_log")
+    Files.createDirectories(log)
+    val schema = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"cat\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    val meta =
+      s"""{"metaData":{"id":"t","schemaString":"$schema","partitionColumns":["cat"],"configuration":{},"createdTime":1,"format":{"provider":"parquet","options":{}}}}"""
+    // paths exactly as delta-spark writes them: URL-encoded relative URIs
+    Files.writeString(log.resolve("00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |$meta
+         |{"add":{"path":"cat=a%20b/a.parquet","size":100,"modificationTime":1,"dataChange":true,"partitionValues":{"cat":"a b"},"stats":""}}
+         |{"add":{"path":"cat=50%25%20off/b.parquet","size":100,"modificationTime":1,"dataChange":true,"partitionValues":{"cat":"50% off"},"stats":""}}
+         |""".stripMargin)
+    Files.writeString(log.resolve("00000000000000000001.json"),
+      s"""{"add":{"path":"cat=a%20b/a.parquet","size":100,"modificationTime":2,"dataChange":true,"partitionValues":{"cat":"a b"},"stats":"","deletionVector":{"storageType":"${desc.storageType}","pathOrInlineDv":"${desc.pathOrInlineDv}","offset":${desc.offset},"sizeInBytes":${desc.sizeInBytes},"cardinality":${desc.cardinality}}}}
+         |{"remove":{"path":"cat=a%20b/a.parquet","deletionTimestamp":2,"dataChange":true}}
+         |""".stripMargin)
+
+    val src = new DeltaConversionSource(spark, table, "dv_part")
+    val live = src.currentSnapshot().files.collect()
+    // listing paths are decoded filesystem paths
+    assert(live.map(_.path).forall(p => !p.contains("%2")))
+    assert(live.find(_.path.endsWith("a.parquet")).get.path.contains("cat=a b/"))
+    val got = src.toDataFrame.select("id", "cat").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = ((0L to 9L).filterNot(Set(1L, 3L)).map(_ -> "a b") ++
+      (100L to 102L).map(_ -> "50% off")).sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
   test("catalog conversion source detects formats from layout") {
     val src = new graft.sources.ParquetDirectorySource(spark,
       sf("sf0.001/nation.parquet"), "nation")

@@ -123,6 +123,22 @@ class IvfSpec extends SparkSuite {
     assert(again.map(_.toString).toSeq == pq.map(_.toString).toSeq)
   }
 
+  test("seed band widens on shortfall instead of under-filling (ADVICE r6)") {
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet")).limit(50)
+      .select(col("vec_id").as("doc"), col("embedding").as("v"))
+    // step=1000 over 50 rows: the initial <2 hash band expects 0.1 rows —
+    // a guaranteed shortfall; widening must still return a full seed set
+    val seeds = Similarity.seedVectors(emb, target = 16, step = 1000L)
+    assert(seeds.length == 16)
+    assert(seeds.forall(_.length == 64))
+    // deterministic: same widening path, same rows
+    val again = Similarity.seedVectors(emb, target = 16, step = 1000L)
+    assert(again.map(_.toSeq).toSeq == seeds.map(_.toSeq).toSeq)
+    // corpus smaller than target: returns every row rather than failing
+    val tiny = emb.limit(5)
+    assert(Similarity.seedVectors(tiny, target = 16, step = 1000L).length == 5)
+  }
+
   test("PQ encode/lut/adc kernels agree with a scala recompute") {
     import spark.implicits._
     val dim = 8; val m = 2; val dsub = 4; val ksub = 2
