@@ -72,6 +72,107 @@ object SyncQueries {
       |  count(DISTINCT s_suppkey) AS distinct_keys
       |FROM supplier""".stripMargin
 
+  /** Incremental sync with HUDI as the SOURCE (reference parameterizes
+    * source format × sync mode, ITConversionController.java:227-318):
+    * timeline replay across two new instants — a plain commit (add) and a
+    * replacecommit (remove + add) — into a Delta target that already holds
+    * a full sync. Final live set = f2 + f3, so every aggregate is exactly
+    * 2× the source table and distinct keys prove the remove replayed.
+    */
+  def syncIncrementalHudi(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = Files.createTempDirectory("graft_inch_data").toString
+    val hudiDir = Files.createTempDirectory("graft_inch_hudi").toString
+    val deltaDir = Files.createTempDirectory("graft_inch_delta").toString
+    val srcFile = Paths.get(s"$dir/nation.parquet")
+    def addFile(name: String, mtime: Long): Unit = {
+      Files.copy(srcFile, Paths.get(dataDir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(dataDir, name).toFile.setLastModified(mtime)
+    }
+    def psrc = new ParquetDirectorySource(s, dataDir, "nation")
+    val hudiTgt = new graft.formats.hudi.HudiConversionTarget(s, hudiDir)
+    def hudiCommit(): Unit = {
+      val o = TableFormatSync.syncSnapshot(Seq(hudiTgt),
+        psrc.currentSnapshot(), psrc.sourceFormat)
+      require(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    }
+    addFile("f1.parquet", 1000000L)
+    hudiCommit()                                   // instant A: commit(f1)
+    def hsrc = new graft.formats.hudi.HudiConversionSource(s, hudiDir, "nation")
+    val controller = new ConversionController
+    val r1 = controller.sync(hsrc, Seq(new DeltaConversionTarget(s, deltaDir)))
+    require(r1.forall(_.status == "SUCCESS"), r1.mkString(";"))
+    addFile("f2.parquet", 2000000L)
+    hudiCommit()                                   // instant B: commit(f2)
+    Files.delete(Paths.get(dataDir, "f1.parquet"))
+    addFile("f3.parquet", 3000000L)
+    hudiCommit()                      // instant C: replacecommit(-f1, +f3)
+    require(graft.formats.hudi.HudiTimeline.readCommit(hudiDir,
+      graft.formats.hudi.HudiTimeline.listInstants(hudiDir).last)
+      .action == "replacecommit")
+    val r2 = controller.sync(hsrc, Seq(new DeltaConversionTarget(s, deltaDir)))
+    require(r2.forall(o => o.status == "SUCCESS" && o.mode == "INCREMENTAL"),
+      r2.mkString(";"))
+    new DeltaConversionSource(s, deltaDir, "nation").toDataFrame
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        countDistinct(col("n_nationkey")).as("distinct_keys"))
+  }
+
+  val syncIncrementalHudiSql: String =
+    """SELECT 2*count(*) AS cnt,
+      |  CAST(2*sum(n_nationkey) AS BIGINT) AS sum_key,
+      |  count(DISTINCT n_nationkey) AS distinct_keys
+      |FROM nation""".stripMargin
+
+  /** Incremental sync with ICEBERG as the SOURCE: snapshot-diff replay
+    * (sequence-number backlog, per-snapshot manifest diff) across an
+    * append and a replace, into an already-synced Delta target.
+    */
+  def syncIncrementalIceberg(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = Files.createTempDirectory("graft_inci_data").toString
+    val iceDir = Files.createTempDirectory("graft_inci_ice").toString
+    val deltaDir = Files.createTempDirectory("graft_inci_delta").toString
+    val srcFile = Paths.get(s"$dir/region.parquet")
+    def addFile(name: String, mtime: Long): Unit = {
+      Files.copy(srcFile, Paths.get(dataDir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(dataDir, name).toFile.setLastModified(mtime)
+    }
+    def psrc = new ParquetDirectorySource(s, dataDir, "region")
+    val iceTgt = new graft.formats.iceberg.IcebergConversionTarget(s, iceDir)
+    def iceCommit(): Unit = {
+      val o = TableFormatSync.syncSnapshot(Seq(iceTgt),
+        psrc.currentSnapshot(), psrc.sourceFormat)
+      require(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    }
+    addFile("f1.parquet", 1000000L)
+    iceCommit()                                     // snapshot 1: +f1
+    def isrc = new graft.formats.iceberg.IcebergConversionSource(
+      s, iceDir, "region")
+    val controller = new ConversionController
+    val r1 = controller.sync(isrc, Seq(new DeltaConversionTarget(s, deltaDir)))
+    require(r1.forall(_.status == "SUCCESS"), r1.mkString(";"))
+    addFile("f2.parquet", 2000000L)
+    iceCommit()                                     // snapshot 2: +f2
+    Files.delete(Paths.get(dataDir, "f1.parquet"))
+    addFile("f3.parquet", 3000000L)
+    iceCommit()                                     // snapshot 3: -f1 +f3
+    val r2 = controller.sync(isrc, Seq(new DeltaConversionTarget(s, deltaDir)))
+    require(r2.forall(o => o.status == "SUCCESS" && o.mode == "INCREMENTAL"),
+      r2.mkString(";"))
+    new DeltaConversionSource(s, deltaDir, "region").toDataFrame
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("r_regionkey")).cast("long").as("sum_key"),
+        countDistinct(col("r_regionkey")).as("distinct_keys"))
+  }
+
+  val syncIncrementalIcebergSql: String =
+    """SELECT 2*count(*) AS cnt,
+      |  CAST(2*sum(r_regionkey) AS BIGINT) AS sum_key,
+      |  count(DISTINCT r_regionkey) AS distinct_keys
+      |FROM region""".stripMargin
+
   /** Parquet dir → Iceberg (full snapshot), read back via manifests. */
   def syncParquetToIceberg(s: SparkSession, dir: String): DataFrame = {
     val target = Files.createTempDirectory("graft_ice_ord").toString
