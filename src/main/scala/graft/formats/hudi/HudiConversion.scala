@@ -138,15 +138,18 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
   private def schemaFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
       : StructType = {
     // a REAL Hudi writer puts the AVRO schema under the key "schema"
-    // (HoodieCommitMetadata SCHEMA_KEY) — the same key our target uses for
-    // Spark schema JSON. Try Spark-JSON first, then Avro, per commit.
+    // (HoodieCommitMetadata SCHEMA_KEY); graft's target writes Avro there
+    // too (conformance) plus the Spark form under graft.sparkSchema, which
+    // wins when present (field-id metadata survives natively). The bare
+    // "avroSchema" key is read for tables written by pre-r7 graft.
     def parseSchema(s: String): Option[StructType] =
       scala.util.Try(DataType.fromJson(s).asInstanceOf[StructType]).toOption
         .orElse(scala.util.Try(graft.model.AvroSchemas.toSpark(
           new org.apache.avro.Schema.Parser().parse(s))
           .asInstanceOf[StructType]).toOption)
     val base = commits.reverseIterator.map { c =>
-      c.extraMetadata.get("schema").flatMap(parseSchema)
+      c.extraMetadata.get("graft.sparkSchema").flatMap(parseSchema)
+        .orElse(c.extraMetadata.get("schema").flatMap(parseSchema))
         .orElse(c.extraMetadata.get("avroSchema").flatMap(parseSchema))
     }.collectFirst { case Some(s) => s }
       .getOrElse(spark.read.parquet(tablePath).schema)
@@ -380,11 +383,15 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
     }
 
     val action = if (replaced.nonEmpty) "replacecommit" else "commit"
-    val extra = Map("schema" -> schema.json,
-      // Hudi's native schema language is Avro (reference stores commit
-      // schemas as Avro; HudiSchemaExtractor.java:38-63)
-      "avroSchema" -> graft.model.AvroSchemas
+    val extra = Map(
+      // a real Hudi reader resolves the table schema from extraMetadata
+      // "schema" and expects AVRO there (HoodieCommitMetadata SCHEMA_KEY;
+      // reference HudiSchemaExtractor.java:38-63) — the golden
+      // hudi_dimCustomer commit carries exactly this shape. Spark schema
+      // JSON rides under a namespaced key for native field-id round-trips.
+      "schema" -> graft.model.AvroSchemas
         .fromSpark(schema, "hudi_record").toString,
+      "graft.sparkSchema" -> schema.json,
       "graft.partitionSpec" -> Jsons.toJson(partitionSpec.map(p => Map(
         "sourceField" -> p.sourceField, "transform" -> p.transform,
         "format" -> p.format.orNull,

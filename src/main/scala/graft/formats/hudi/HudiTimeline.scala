@@ -33,9 +33,23 @@ object HudiTimeline {
       partitionToReplaceFileIds: Map[String, Seq[String]],
       extraMetadata: Map[String, String])
 
-  def fileId(path: String): String =
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xffffffffL)
+  private val BaseFileRegex =
+    "^([A-Za-z0-9-]+)_([0-9]+-[0-9]+-[0-9]+)_([0-9]+)\\.[A-Za-z0-9]+$".r
+
+  /** Hudi base-file naming is `<fileId>_<writeToken>_<instant>.<ext>`
+    * (FSUtils base-file pattern): a file already following it keeps its
+    * embedded fileId — real Hudi readers derive file groups from the NAME,
+    * so inventing a different id would split the group. Non-Hudi names
+    * (plain Spark part files in zero-copy syncs) get a stable hash id.
+    */
+  def fileId(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    base match {
+      case BaseFileRegex(fid, _, _) => fid
+      case _ => java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xffffffffL)
+    }
+  }
 
   /** Hudi log-file naming: `.<fileId>_<baseInstant>.log.<version>_<token>`
     * (FSUtils.LOG_FILE_PATTERN). Log files belong to a file slice, not the
@@ -172,6 +186,16 @@ object HudiTimeline {
     val target = commitPath(tablePath, meta.instant, meta.action)
     Files.createDirectories(target.getParent)
     if (Files.exists(target)) return false
+    // a real Hudi timeline carries the full state machine: empty
+    // `.requested` and `.inflight` markers precede the completed instant
+    // (commit's inflight has NO action suffix — golden hudi_dimCustomer)
+    val requested = target.getParent.resolve(
+      s"${meta.instant}.${meta.action}.requested")
+    val inflight = target.getParent.resolve(
+      if (meta.action == "commit") s"${meta.instant}.inflight"
+      else s"${meta.instant}.${meta.action}.inflight")
+    if (!Files.exists(requested)) Files.createFile(requested)
+    if (!Files.exists(inflight)) Files.createFile(inflight)
     val tmp = Files.createTempFile(target.getParent, s".${meta.instant}", ".tmp")
     Files.write(tmp, commitJson(meta).getBytes(StandardCharsets.UTF_8))
     graft.util.AtomicFiles.publish(tmp, target)

@@ -106,6 +106,9 @@ object IcebergMetadata {
       f.put("source-name", p.sourceField)          // engine extension
       p.format.foreach(fmt => f.put("source-format", fmt))
     }
+    // spec v2: last-partition-id (highest assigned partition field id) is
+    // a required table-metadata field — real readers refuse without it
+    o.put("last-partition-id", 999 + meta.partitionSpec.size)
     val props = o.putObject("properties")
     meta.properties.foreach { case (k, v) => props.put(k, v) }
     o.put("current-snapshot-id", meta.currentSnapshotId)
@@ -116,11 +119,11 @@ object IcebergMetadata {
       n.put("sequence-number", s.sequenceNumber)
       n.put("timestamp-ms", s.timestampMs)
       n.put("manifest-list", s.manifestList)
-      s.sourceIdentifier.foreach { sid =>
-        val sum = n.putObject("summary")
-        sum.put("operation", "append")
-        sum.put("graft.source-identifier", sid)
-      }
+      // spec: summary is required and must carry "operation"
+      val sum = n.putObject("summary")
+      sum.put("operation", "append")
+      s.sourceIdentifier.foreach(sid =>
+        sum.put("graft.source-identifier", sid))
     }
 
     val target = JPaths.get(metadataFile(tablePath, version))
