@@ -170,13 +170,21 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     val now = System.currentTimeMillis()
     val mdir = IcebergMetadata.metadataDir(tablePath)
 
-    // removed paths: small relative to the live set (a commit's delta);
-    // collected to pick which previous manifests need rewriting
+    // removed paths: normally small relative to the live set (a commit's
+    // delta) — collected to pick which previous manifests need rewriting.
+    // A full resync of a heavily churned table can make the delta
+    // O(table): above the threshold the driver Set is skipped entirely
+    // and the carry-forward becomes a distributed anti-join below.
+    val removesCount: Long = pendingRemoves.map(_.count()).getOrElse(0L)
+    val bigRemoves =
+      removesCount > IcebergConversionTarget.BigRemovesThreshold
+    IcebergConversionTarget.lastCarryForwardMode =
+      if (bigRemoves) "distributed-anti-join" else "driver-set"
     val removedPaths: Set[String] = pendingRemoves match {
-      case None => Set.empty
-      case Some(ds) =>
+      case Some(ds) if !bigRemoves =>
         import ds.sparkSession.implicits._
         ds.select("path").as[String].collect().toSet
+      case _ => Set.empty
     }
 
     val prevManifests: Seq[String] = prev.flatMap(_.currentSnapshot)
@@ -190,7 +198,8 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     // lists stay driver-side to skip the job-launch overhead per sync.
     val kept = Seq.newBuilder[(String, Long, Long, Int, Int, Int)]
     val processed: Seq[Option[(String, Long, Int, Int)]] =
-      if (prevManifests.size <= 4)
+      if (bigRemoves) Nil
+      else if (prevManifests.size <= 4)
         prevManifests.map(
           IcebergConversionTarget.carryForwardManifest(_, removedPaths, mdir))
       else {
@@ -208,6 +217,49 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       case Some((p, len, existing, deleted)) =>
         kept += ((p, len, snapshotId, 0, existing, deleted))
       case None => ()  // fully-dropped manifest: not carried forward at all
+    }
+
+    // big-removes carry-forward: previous manifest entries become a
+    // Dataset, removes anti-join away executor-side (shuffle join, never a
+    // driver Set or broadcast), survivors rewrite as EXISTING manifests —
+    // one per join partition, written through the Hadoop FS. Only
+    // (path, length, count) summaries return to the driver.
+    if (bigRemoves && prevManifests.nonEmpty) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val sch = schema
+      val snapId = snapshotId
+      val md = mdir
+      val bconf = graft.util.HadoopConfs.broadcastSession(spark)
+      val prevEntries = spark.createDataset(prevManifests)
+        .repartition(math.min(prevManifests.size, 128))
+        .flatMap { mp =>
+          IcebergManifests.readManifest(mp)
+            .filter(_.get("status").asInstanceOf[Int] !=
+              IcebergManifests.Status.Deleted)
+            .map(e => IcebergManifests.fromEntry(e, sch)._2)
+        }
+      val removes = pendingRemoves.get.select(col("path").as("__rm"))
+      val survivors = prevEntries
+        .join(removes, prevEntries("path") === col("__rm"), "left_anti")
+        .as[FileEntry]
+      val summaries = survivors.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val np = s"$md/m-${UUID.randomUUID()}.avro"
+          var n = 0
+          val len = IcebergManifests.writeManifest(np,
+            it.map { f =>
+              n += 1
+              IcebergManifests.toEntry(f,
+                IcebergManifests.Status.Existing, snapId, sch)
+            }, bconf.value.value)
+          Iterator((np, len, n))
+        }
+      }.collect()
+      summaries.foreach { case (p, len, n) =>
+        kept += ((p, len, snapshotId, 0, n, 0))
+      }
     }
 
     var addedCount = 0
@@ -284,6 +336,17 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
 object IcebergConversionTarget {
   /** Max manifests per snapshot before a compacting rewrite. */
   val CompactionThreshold = 16
+
+  /** Removed-path count above which completeSync never materializes the
+    * driver Set: the carry-forward switches to a distributed anti-join
+    * over the previous manifest entries.
+    */
+  private[iceberg] var BigRemovesThreshold: Long = 100000L
+
+  /** Observability hook for specs: which carry-forward path the last
+    * completeSync took ("driver-set" | "distributed-anti-join").
+    */
+  @volatile private[graft] var lastCarryForwardMode: String = ""
 
   /** Carry one previous manifest into the next snapshot: untouched →
     * `(path, len, liveCount, 0)` (stat only); partially removed → rewrite

@@ -149,6 +149,20 @@ object IcebergManifests {
     f.length()
   }
 
+  /** Hadoop-FS variant for executor-side manifest writes (the
+    * big-removes carry-forward): object-store-safe, returns length.
+    */
+  def writeManifest(path: String, entries: Iterator[GenericRecord],
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    val out = fs.create(hp, true)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](EntrySchema))
+    w.create(EntrySchema, out)
+    try entries.foreach(w.append) finally w.close()
+    fs.getFileStatus(hp).getLen
+  }
+
   def readManifest(path: String): Iterator[GenericRecord] = {
     val r = new DataFileReader(new File(path),
       new GenericDatumReader[GenericRecord](EntrySchema))

@@ -4,6 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import graft.formats.iceberg._
 import graft.formats.paimon._
+import graft.model._
+import graft.spi.SyncMetadata
 import graft.sources.ParquetDirectorySource
 import graft.sync.ConversionController
 
@@ -69,6 +71,51 @@ class CompactionSpec extends SparkSuite {
     val files = back.currentSnapshot().files.collect()
     assert(files.length == 6, files.map(_.path).mkString(","))
     assert(files.forall(f => (7 to 12).exists(i => f.path.endsWith(s"f$i.parquet"))))
+  }
+
+  test("1e5+ removes stay executor-side via the anti-join carry-forward") {
+    import spark.implicits._
+    val target = tmpDir("ice_big_rm")
+    val n = 120000L
+    val nRemoved = 105000L         // > BigRemovesThreshold (100k)
+    val schema = spark.read.parquet(sf("sf0.001/region.parquet")).schema
+    def entry(i: Long) = FileEntry(s"/data/p=${i % 100}/f$i.parquet",
+      1000L + i, 100L, "parquet",
+      Seq(PartitionMember("p", (i % 100).toString)), Nil, 1000000L)
+    val desc = TableDescriptor("big", TableFormats.Iceberg, target, schema,
+      Seq(PartitionFieldSpec("p", Transform.Value)),
+      Layout.HivePartitioned, 0L)
+    def drive(tgt: graft.formats.iceberg.IcebergConversionTarget,
+        instant: String)(files: graft.formats.iceberg.IcebergConversionTarget => Unit): Unit = {
+      tgt.beginSync(desc)
+      tgt.syncMetadata(SyncMetadata(instant, Nil, TableFormats.Parquet, target))
+      tgt.syncSchema(schema)
+      tgt.syncPartitionSpec(Seq(PartitionFieldSpec("p", Transform.Value)))
+      files(tgt)
+      tgt.completeSync()
+    }
+    drive(new graft.formats.iceberg.IcebergConversionTarget(spark, target),
+      "1")(_.syncFilesForSnapshot(
+      spark.range(n).map(i => entry(i)).toDF().as[FileEntry]))
+    assert(graft.formats.iceberg.IcebergConversionTarget
+      .lastCarryForwardMode == "driver-set")
+
+    drive(new graft.formats.iceberg.IcebergConversionTarget(spark, target),
+      "2")(_.syncFilesForDiff(FilesDelta(
+      spark.emptyDataset[FileEntry],
+      spark.range(nRemoved).map(i => entry(i)).toDF().as[FileEntry])))
+    assert(graft.formats.iceberg.IcebergConversionTarget
+      .lastCarryForwardMode == "distributed-anti-join")
+
+    val back = new graft.formats.iceberg.IcebergConversionSource(
+      spark, target, "big")
+    val live = back.currentSnapshot().files
+    assert(live.count() == n - nRemoved)
+    // every survivor is from the non-removed tail
+    import org.apache.spark.sql.functions._
+    val minId = live.select(min(regexp_extract(col("path"),
+      "f(\\d+)\\.parquet", 1).cast("long"))).head.getLong(0)
+    assert(minId == nRemoved, minId.toString)
   }
 
   test("paimon base manifest list compacts past the threshold") {
