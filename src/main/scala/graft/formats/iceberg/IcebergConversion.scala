@@ -356,25 +356,30 @@ object IcebergConversionTarget {
     */
   private[iceberg] def carryForwardManifest(mp: String,
       removed: Set[String], mdir: String): Option[(String, Long, Int, Int)] = {
-    val entries = IcebergManifests.readManifest(mp).toSeq
-    val live = entries.filter(e =>
-      e.get("status").asInstanceOf[Int] != IcebergManifests.Status.Deleted)
-    val (dropped, remaining) = live.partition { e =>
-      val p = e.get("data_file")
-        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    def pathOf(e: org.apache.avro.generic.GenericRecord): String =
+      e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
         .get("file_path").toString
-      removed.contains(p)
+    def isLive(e: org.apache.avro.generic.GenericRecord): Boolean =
+      e.get("status").asInstanceOf[Int] != IcebergManifests.Status.Deleted
+    // pass 1 streams counts only — a 10^6-entry manifest never
+    // materializes; the rewrite (pass 2) streams reader→writer
+    var remaining = 0; var dropped = 0
+    IcebergManifests.readManifest(mp).foreach { e =>
+      if (isLive(e)) { if (removed.contains(pathOf(e))) dropped += 1
+        else remaining += 1 }
     }
-    if (dropped.isEmpty) {
+    if (dropped == 0) {
       val hp = new org.apache.hadoop.fs.Path(mp)
       val len = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
         .getFileStatus(hp).getLen
-      Some((mp, len, remaining.size, 0))
-    } else if (remaining.nonEmpty) {
+      Some((mp, len, remaining, 0))
+    } else if (remaining > 0) {
       val np = s"$mdir/m-${UUID.randomUUID()}.avro"
-      remaining.foreach(_.put("status", IcebergManifests.Status.Existing))
-      val len = IcebergManifests.writeManifest(np, remaining.iterator)
-      Some((np, len, remaining.size, dropped.size))
+      val survivors = IcebergManifests.readManifest(mp)
+        .filter(e => isLive(e) && !removed.contains(pathOf(e)))
+        .map { e => e.put("status", IcebergManifests.Status.Existing); e }
+      val len = IcebergManifests.writeManifest(np, survivors)
+      Some((np, len, remaining, dropped))
     } else None
   }
 }
