@@ -108,9 +108,11 @@ object DeltaLog {
   }
 
   def writeLastCheckpointHint(tablePath: String, version: Long,
-      parts: Int = 1): Unit = {
-    val json = if (parts <= 1) s"""{"version":$version}"""
-      else s"""{"version":$version,"parts":$parts}"""
+      parts: Int = 1, size: Long = -1L): Unit = {
+    // spec: `size` (action count) is required; `parts` only when multi-part
+    val sz = if (size >= 0) s""","size":$size""" else ""
+    val json = if (parts <= 1) s"""{"version":$version$sz}"""
+      else s"""{"version":$version$sz,"parts":$parts}"""
     Files.write(JPaths.get(lastCheckpointFile(tablePath)),
       json.getBytes(StandardCharsets.UTF_8))
   }

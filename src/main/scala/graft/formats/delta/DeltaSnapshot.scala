@@ -117,9 +117,35 @@ object DeltaSnapshot {
       .mapPartitions(parseActions(table))
   }
 
-  /** Checkpointed actions: rows of the live set at the checkpoint version,
-    * stored as one parquet file (scale path — a 10^5-commit log replays
-    * from the last checkpoint plus its JSON tail, like delta-spark).
+  // ---- spec-shaped checkpoint rows (PROTOCOL.md §Checkpoints): one
+  // action per row under nullable struct columns — the layout real Delta
+  // readers load from `_last_checkpoint`, and the layout real delta-spark
+  // checkpoints arrive in.
+  private[delta] case class CkptDv(storageType: String, pathOrInlineDv: String,
+      offset: Int, sizeInBytes: Int, cardinality: Long)
+  private[delta] case class CkptAdd(path: String,
+      partitionValues: Map[String, String], size: Long,
+      modificationTime: Long, dataChange: Boolean, stats: String,
+      deletionVector: Option[CkptDv])
+  private[delta] case class CkptFormat(provider: String,
+      options: Map[String, String])
+  private[delta] case class CkptMetaData(id: String, format: CkptFormat,
+      schemaString: String, partitionColumns: Seq[String],
+      configuration: Map[String, String], createdTime: Long)
+  private[delta] case class CkptProtocol(minReaderVersion: Int,
+      minWriterVersion: Int)
+  private[delta] case class CkptRow(add: Option[CkptAdd],
+      metaData: Option[CkptMetaData], protocol: Option[CkptProtocol])
+
+  private[delta] case class CkptAddRead(path: String,
+      partitionValues: Option[Map[String, String]], size: Long,
+      modificationTime: Long, stats: Option[String],
+      deletionVector: Option[CkptDv])
+
+  /** Checkpointed actions: the live set at the checkpoint version. Reads
+    * the spec shape (graft ≥ r7 AND real delta-spark checkpoints — the
+    * add struct's extra columns are simply not selected) plus the legacy
+    * flat ActionRow shape graft wrote before r7.
     */
   def readCheckpoint(spark: SparkSession, tablePath: String, cpVersion: Long)
       : Dataset[ActionRow] = {
@@ -127,14 +153,83 @@ object DeltaSnapshot {
     val files = DeltaLog.checkpointFilesAt(tablePath, cpVersion,
       graft.util.HadoopConfs.session(spark))
     val df = spark.read.parquet(files: _*)
-    // checkpoints written before a field existed read under its default
-    val defaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-      "hasDeletionVector" -> lit(false), "dvStorageType" -> lit(""),
-      "dvPathOrInline" -> lit(""), "dvOffset" -> lit(0),
-      "dvSizeInBytes" -> lit(0), "dvCardinality" -> lit(0L))
-    defaults.foldLeft(df) { case (d, (name, default)) =>
-      if (d.columns.contains(name)) d else d.withColumn(name, default)
-    }.as[ActionRow]
+    if (!df.columns.contains("add")) {
+      // legacy flat shape: checkpoints written before a field existed
+      // read under its default
+      val defaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "hasDeletionVector" -> lit(false), "dvStorageType" -> lit(""),
+        "dvPathOrInline" -> lit(""), "dvOffset" -> lit(0),
+        "dvSizeInBytes" -> lit(0), "dvCardinality" -> lit(0L))
+      return defaults.foldLeft(df) { case (d, (name, default)) =>
+        if (d.columns.contains(name)) d else d.withColumn(name, default)
+      }.as[ActionRow]
+    }
+    val tp = tablePath
+    val adds = df.filter(col("add").isNotNull).select("add.*")
+    val dvCol =
+      if (!adds.columns.contains("deletionVector"))
+        lit(null).cast("struct<storageType:string,pathOrInlineDv:string," +
+          "offset:int,sizeInBytes:int,cardinality:bigint>")
+      else when(col("deletionVector").isNotNull, struct(
+        col("deletionVector.storageType").as("storageType"),
+        col("deletionVector.pathOrInlineDv").as("pathOrInlineDv"),
+        coalesce(col("deletionVector.offset"), lit(0)).as("offset"),
+        col("deletionVector.sizeInBytes").as("sizeInBytes"),
+        col("deletionVector.cardinality").as("cardinality")))
+    adds.select(col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"),
+        (if (adds.columns.contains("stats")) col("stats")
+         else lit(null).cast("string")).as("stats"),
+        dvCol.as("deletionVector"))
+      .as[CkptAddRead]
+      .map { a =>
+        ActionRow(cpVersion, "add",
+          PathUtils.resolve(tp, PathUtils.fromDeltaUri(a.path)),
+          a.size, a.modificationTime,
+          a.partitionValues.getOrElse(Map.empty),
+          a.stats.getOrElse(""),
+          a.deletionVector.isDefined,
+          a.deletionVector.map(_.storageType).getOrElse(""),
+          a.deletionVector.map(_.pathOrInlineDv).getOrElse(""),
+          a.deletionVector.map(_.offset).getOrElse(0),
+          a.deletionVector.map(_.sizeInBytes).getOrElse(0),
+          a.deletionVector.map(_.cardinality).getOrElse(0L))
+      }
+  }
+
+  /** Latest protocol action at-or-before the head of `versions` (same
+    * distributed scan shape as [[metadata]]); after log cleanup, the
+    * newest checkpoint's protocol row answers instead.
+    */
+  def protocol(spark: SparkSession, tablePath: String, versions: Seq[Long])
+      : Option[CkptProtocol] = {
+    import spark.implicits._
+    if (versions.isEmpty) return None
+    val files = versions.map(v => DeltaLog.versionFile(tablePath, v))
+    val fromJson = spark.read.textFile(files: _*)
+      .select(col("value"),
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+          .cast("long").as("version"))
+      .filter(col("value").contains("\"protocol\""))
+      .as[(String, Long)]
+      .collect()
+      .sortBy(_._2).lastOption
+      .flatMap { case (line, _) =>
+        Option(Jsons.mapper.readTree(line).get("protocol")).map(p =>
+          CkptProtocol(p.get("minReaderVersion").asInt,
+            p.get("minWriterVersion").asInt))
+      }
+    fromJson.orElse {
+      val conf = graft.util.HadoopConfs.session(spark)
+      DeltaLog.latestCheckpoint(tablePath, versions.last, conf).flatMap { c =>
+        val df = spark.read.parquet(
+          DeltaLog.checkpointFilesAt(tablePath, c, conf): _*)
+        if (!df.columns.contains("protocol")) None
+        else df.filter(col("protocol").isNotNull)
+          .select("protocol.minReaderVersion", "protocol.minWriterVersion")
+          .head(1).headOption.map(r => CkptProtocol(r.getInt(0), r.getInt(1)))
+      }
+    }
   }
 
   /** Checkpoint actions per multi-part file — bounds per-task memory and
@@ -142,11 +237,15 @@ object DeltaSnapshot {
     */
   private val ActionsPerCheckpointPart = 100000L
 
-  /** Write a checkpoint for `version`. All file operations go through the
-    * Hadoop FileSystem of the log path (object-store-safe; java.io/java.nio
-    * would silently assume a local filesystem), and the live set is written
-    * as N parallel parts (Delta multi-part checkpoint naming) rather than
-    * serialized through one task.
+  /** Write a SPEC-SHAPED checkpoint for `version` (PROTOCOL.md
+    * §Checkpoints): every live add plus the latest metaData and protocol
+    * as one-action-per-row nullable structs — readable by real Delta
+    * engines following `_last_checkpoint`, and self-sufficient after log
+    * cleanup deletes the JSON that carried metaData/protocol. Expired
+    * remove tombstones are intentionally omitted (state reconstruction
+    * needs none; the spec allows it). All file operations go through the
+    * Hadoop FileSystem of the log path (object-store-safe), and the live
+    * set is written as N parallel parts (multi-part naming).
     */
   def writeCheckpoint(spark: SparkSession, tablePath: String, version: Long,
       schema: StructType): Unit = {
@@ -154,19 +253,25 @@ object DeltaSnapshot {
     val conf = graft.util.HadoopConfs.session(spark)
     val versions = DeltaLog.listVersions(tablePath, conf).filter(_ <= version)
     val live = liveFiles(spark, tablePath, versions, schema)
-    val rows = live.map { f =>
-      val dv = f.deletionVector
-      ActionRow(version, "add", f.path, f.fileSizeBytes,
-        f.lastModifiedMillis,
+    val tp = tablePath
+    val addRows = live.map { f =>
+      CkptRow(Some(CkptAdd(
+        PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
         f.partitionValues.map(p => p.field -> p.value).toMap,
+        f.fileSizeBytes, f.lastModifiedMillis, dataChange = false,
         DeltaStats.toJson(schema, f.recordCount, f.columnStats),
-        dv.isDefined,
-        dv.map(_.storageType).getOrElse(""),
-        dv.map(_.pathOrInlineDv).getOrElse(""),
-        dv.map(_.offset).getOrElse(0),
-        dv.map(_.sizeInBytes).getOrElse(0),
-        dv.map(_.cardinality).getOrElse(0L))
-    }.persist()
+        f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
+          d.offset, d.sizeInBytes, d.cardinality)))), None, None)
+    }
+    val metaRow = metadata(spark, tablePath, versions).map(m =>
+      CkptRow(None, Some(CkptMetaData(m.id, CkptFormat("parquet", Map.empty),
+        m.schemaString, m.partitionColumns, m.configuration,
+        m.createdTime)), None))
+    val protoRow = protocol(spark, tablePath, versions)
+      .orElse(Some(CkptProtocol(1, 2)))
+      .map(p => CkptRow(None, None, Some(p)))
+    val rows = addRows
+      .union(spark.createDataset((metaRow ++ protoRow).toSeq)).persist()
     try {
       val n = rows.count()
       val parts = math.min(128L,
@@ -187,7 +292,7 @@ object DeltaSnapshot {
         fs.rename(st.getPath, dst)
       }
       fs.delete(tmpDir, true)
-      DeltaLog.writeLastCheckpointHint(tablePath, version, written.size)
+      DeltaLog.writeLastCheckpointHint(tablePath, version, written.size, n)
     } finally rows.unpersist()
   }
 
@@ -253,7 +358,7 @@ object DeltaSnapshot {
       .filter(col("value").contains("\"metaData\""))
       .as[(String, Long)]
       .collect()
-    rows.sortBy(_._2).lastOption.map { case (line, _) =>
+    val fromJson = rows.sortBy(_._2).lastOption.map { case (line, _) =>
       val n = Jsons.mapper.readTree(line).get("metaData")
       DeltaMeta(
         Option(n.get("id")).map(_.asText).getOrElse(""),
@@ -264,6 +369,30 @@ object DeltaSnapshot {
           c.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
         }.getOrElse(Map.empty),
         Option(n.get("createdTime")).map(_.asLong).getOrElse(0L))
+    }
+    // log cleanup can delete the JSON that carried metaData — the
+    // spec-shaped checkpoint holds it instead (same rule real readers use)
+    fromJson.orElse {
+      val conf = graft.util.HadoopConfs.session(spark)
+      DeltaLog.latestCheckpoint(tablePath, versions.last, conf).flatMap { c =>
+        val df = spark.read.parquet(
+          DeltaLog.checkpointFilesAt(tablePath, c, conf): _*)
+        if (!df.columns.contains("metaData")) None
+        else df.filter(col("metaData").isNotNull).select("metaData.*")
+          .head(1).headOption.map { r =>
+            DeltaMeta(
+              Option(r.getAs[String]("id")).getOrElse(""),
+              r.getAs[String]("schemaString"),
+              Option(r.getAs[scala.collection.Seq[String]](
+                "partitionColumns")).map(_.toSeq).getOrElse(Nil),
+              Option(r.getAs[scala.collection.Map[String, String]](
+                "configuration")).map(_.toMap).getOrElse(Map.empty),
+              Option(r.getAs[Any]("createdTime")) match {
+                case Some(l: java.lang.Long) => l.longValue
+                case _ => 0L
+              })
+          }
+      }
     }
   }
 

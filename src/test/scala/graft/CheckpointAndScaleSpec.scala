@@ -43,6 +43,66 @@ class CheckpointAndScaleSpec extends SparkSuite {
     assert(live.forall(_.recordCount > 0))
   }
 
+  test("checkpoints are spec-shaped: nested actions, hint size, metaData fallback") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val dataDir = tmpDir("spec_ckpt_data")
+    val target = tmpDir("spec_ckpt_delta")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(spark, dataDir, "region")
+    for (i <- 1 to 12) {
+      Files.copy(srcFile, Paths.get(dataDir, s"f$i.parquet"))
+      Paths.get(dataDir, s"f$i.parquet").toFile.setLastModified(i * 1000000L)
+      val r = controller.sync(src,
+        Seq(new DeltaConversionTarget(spark, target)))
+      assert(r.forall(_.status == "SUCCESS"), s"commit $i")
+    }
+    // PROTOCOL.md §Checkpoints: one action per row under nullable structs
+    // — the layout a real Delta reader loads from _last_checkpoint
+    val df = spark.read.parquet(DeltaLog.checkpointFile(target, 10))
+    assert(Set("add", "metaData", "protocol").subsetOf(df.columns.toSet))
+    val addSchema = df.schema("add").dataType.asInstanceOf[StructType]
+    for (f <- Seq("path", "partitionValues", "size", "modificationTime",
+        "dataChange", "stats", "deletionVector"))
+      assert(addSchema.fieldNames.contains(f), f)
+    assert(df.filter(col("metaData").isNotNull).count() == 1)
+    assert(df.filter(col("protocol").isNotNull).count() == 1)
+    val adds = df.filter(col("add").isNotNull)
+    assert(adds.count() == 11)      // live set at version 10
+    // spec: action paths are URL-encoded URIs (absolute here — zero-copy
+    // sync keeps data outside the table dir) that resolve to the live
+    // set; checkpoint actions carry dataChange=false
+    val paths = adds.select("add.path").as[String].collect()
+    val livePaths = new DeltaConversionSource(spark, target, "region")
+      .currentSnapshot().files.collect().map(_.path).toSet
+    assert(paths.map(p => graft.util.PathUtils.resolve(target,
+      graft.util.PathUtils.fromDeltaUri(p))).forall(livePaths.contains))
+    assert(adds.select("add.dataChange").as[Boolean].collect().forall(!_))
+    // _last_checkpoint: version + required action-count size
+    val hint = graft.util.Jsons.mapper.readTree(Files.readAllBytes(
+      Paths.get(s"$target/_delta_log/_last_checkpoint")))
+    assert(hint.get("version").asLong == 10)
+    assert(hint.get("size").asLong == df.count())
+
+    // real-writer shape: the JSON tail after cleanup carries NO metaData
+    // (delta-spark writes it only at creation/changes) — the table's
+    // schema must resolve from the checkpoint's metaData row
+    assert(DeltaLog.cleanupLogBeforeCheckpoint(target,
+      new org.apache.hadoop.conf.Configuration()) == 10)
+    for (v <- Seq(10L, 11L)) {
+      val p = Paths.get(DeltaLog.versionFile(target, v))
+      import scala.jdk.CollectionConverters._
+      val kept = Files.readAllLines(p).asScala
+        .filterNot(_.contains("\"metaData\""))
+      Files.write(p, kept.mkString("\n").getBytes("UTF-8"))
+    }
+    val back = new DeltaConversionSource(spark, target, "region")
+    assert(back.currentTable().schema.fieldNames.contains("r_regionkey"))
+    assert(back.currentSnapshot().files.count() == 12)
+  }
+
   test("multi-part checkpoints list and replay as one checkpoint") {
     // write a table, checkpoint it, then split the checkpoint into the
     // protocol's multi-part naming — listing must treat the parts as one
