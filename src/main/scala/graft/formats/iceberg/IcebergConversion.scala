@@ -196,8 +196,8 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     // driver-serial read/filter/rewrite loop was the round-4 bottleneck);
     // only the per-manifest summary tuples come back to the driver. Small
     // lists stay driver-side to skip the job-launch overhead per sync.
-    val kept = Seq.newBuilder[(String, Long, Long, Int, Int, Int)]
-    val processed: Seq[Option[(String, Long, Int, Int)]] =
+    val kept = Seq.newBuilder[IcebergManifests.ManifestSummary]
+    val processed: Seq[Option[(String, Long, Int, Int, Long)]] =
       if (bigRemoves) Nil
       else if (prevManifests.size <= 4)
         prevManifests.map(
@@ -214,8 +214,9 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         finally bc.unpersist()
       }
     processed.foreach {
-      case Some((p, len, existing, deleted)) =>
-        kept += ((p, len, snapshotId, 0, existing, deleted))
+      case Some((p, len, existing, deleted, rows)) =>
+        kept += IcebergManifests.ManifestSummary(p, len, snapshotId,
+          0, existing, deleted, 0L, rows)
       case None => ()  // fully-dropped manifest: not carried forward at all
     }
 
@@ -248,32 +249,36 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         else {
           val np = s"$md/m-${UUID.randomUUID()}.avro"
           var n = 0
+          var rows = 0L
           val len = IcebergManifests.writeManifest(np,
             it.map { f =>
-              n += 1
+              n += 1; rows += f.recordCount
               IcebergManifests.toEntry(f,
                 IcebergManifests.Status.Existing, snapId, sch)
             }, bconf.value.value)
-          Iterator((np, len, n))
+          Iterator((np, len, n, rows))
         }
       }.collect()
-      summaries.foreach { case (p, len, n) =>
-        kept += ((p, len, snapshotId, 0, n, 0))
+      summaries.foreach { case (p, len, n, rows) =>
+        kept += IcebergManifests.ManifestSummary(p, len, snapshotId,
+          0, n, 0, 0L, rows)
       }
     }
 
     var addedCount = 0
+    var addedRows = 0L
     pendingAdds.foreach { ds =>
       import ds.sparkSession.implicits._
       val schemaJson = schema.json
       val np = s"$mdir/m-${UUID.randomUUID()}.avro"
       val entryIt = ds.toLocalIterator().asScala.map { f =>
-        addedCount += 1
+        addedCount += 1; addedRows += f.recordCount
         IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
           snapshotId, schema)
       }
       val len = IcebergManifests.writeManifest(np, entryIt)
-      if (addedCount > 0) kept += ((np, len, snapshotId, addedCount, 0, 0))
+      if (addedCount > 0) kept += IcebergManifests.ManifestSummary(
+        np, len, snapshotId, addedCount, 0, 0, addedRows, 0L)
       else {
         val hp = new org.apache.hadoop.fs.Path(np)
         hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -291,14 +296,20 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       else {
         val np = s"$mdir/m-${UUID.randomUUID()}-compacted.avro"
         var n = 0
-        val entries = ks.iterator.flatMap { case (p, _, _, _, _, _) =>
-          IcebergManifests.readManifest(p).filter(e =>
+        var rows = 0L
+        val entries = ks.iterator.flatMap { case m =>
+          IcebergManifests.readManifest(m.path).filter(e =>
             e.get("status").asInstanceOf[Int] != IcebergManifests.Status.Deleted)
         }.map { e =>
-          e.put("status", IcebergManifests.Status.Existing); n += 1; e
+          e.put("status", IcebergManifests.Status.Existing); n += 1
+          rows += e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            .get("record_count").asInstanceOf[Long]
+          e
         }
         val len = IcebergManifests.writeManifest(np, entries)
-        Seq((np, len, snapshotId, 0, n, 0))
+        Seq(IcebergManifests.ManifestSummary(np, len, snapshotId,
+          0, n, 0, 0L, rows))
       }
     }
     val listPath = s"$mdir/snap-$snapshotId-manifest-list.avro"
@@ -355,31 +366,39 @@ object IcebergConversionTarget {
     * target (SparkSession and all) along.
     */
   private[iceberg] def carryForwardManifest(mp: String,
-      removed: Set[String], mdir: String): Option[(String, Long, Int, Int)] = {
-    def pathOf(e: org.apache.avro.generic.GenericRecord): String =
+      removed: Set[String], mdir: String)
+      : Option[(String, Long, Int, Int, Long)] = {
+    def dataFile(e: org.apache.avro.generic.GenericRecord) =
       e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-        .get("file_path").toString
+    def pathOf(e: org.apache.avro.generic.GenericRecord): String =
+      dataFile(e).get("file_path").toString
     def isLive(e: org.apache.avro.generic.GenericRecord): Boolean =
       e.get("status").asInstanceOf[Int] != IcebergManifests.Status.Deleted
     // pass 1 streams counts only — a 10^6-entry manifest never
     // materializes; the rewrite (pass 2) streams reader→writer
-    var remaining = 0; var dropped = 0
+    var remaining = 0; var dropped = 0; var remainingRows = 0L
     IcebergManifests.readManifest(mp).foreach { e =>
-      if (isLive(e)) { if (removed.contains(pathOf(e))) dropped += 1
-        else remaining += 1 }
+      if (isLive(e)) {
+        if (removed.contains(pathOf(e))) dropped += 1
+        else {
+          remaining += 1
+          remainingRows += dataFile(e).get("record_count")
+            .asInstanceOf[Long]
+        }
+      }
     }
     if (dropped == 0) {
       val hp = new org.apache.hadoop.fs.Path(mp)
       val len = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
         .getFileStatus(hp).getLen
-      Some((mp, len, remaining, 0))
+      Some((mp, len, remaining, 0, remainingRows))
     } else if (remaining > 0) {
       val np = s"$mdir/m-${UUID.randomUUID()}.avro"
       val survivors = IcebergManifests.readManifest(mp)
         .filter(e => isLive(e) && !removed.contains(pathOf(e)))
         .map { e => e.put("status", IcebergManifests.Status.Existing); e }
       val len = IcebergManifests.writeManifest(np, survivors)
-      Some((np, len, remaining, dropped))
+      Some((np, len, remaining, dropped, remainingRows))
     } else None
   }
 }

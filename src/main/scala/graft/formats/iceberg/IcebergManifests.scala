@@ -54,10 +54,24 @@ object IcebergManifests {
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},
       |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517,"default":0},
+      |{"name":"sequence_number","type":"long","field-id":515,"default":0},
+      |{"name":"min_sequence_number","type":"long","field-id":516,"default":0},
       |{"name":"added_snapshot_id","type":"long","field-id":503},
       |{"name":"added_files_count","type":"int","field-id":504},
       |{"name":"existing_files_count","type":"int","field-id":505},
-      |{"name":"deleted_files_count","type":"int","field-id":506}]}""".stripMargin)
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512,"default":0},
+      |{"name":"existing_rows_count","type":"long","field-id":513,"default":0},
+      |{"name":"deleted_rows_count","type":"long","field-id":514,"default":0}]}""".stripMargin)
+
+  /** Per-manifest summary row of the manifest list (spec v2 required
+    * fields; `content`=0 — graft writes data manifests only, never delete
+    * manifests; `min_sequence_number`=0 is the safe lower bound).
+    */
+  final case class ManifestSummary(path: String, length: Long,
+      snapshotId: Long, addedFiles: Int, existingFiles: Int,
+      deletedFiles: Int, addedRows: Long, existingRows: Long)
 
   object Status { val Existing = 0; val Added = 1; val Deleted = 2 }
 
@@ -173,19 +187,26 @@ object IcebergManifests {
   }
 
   def writeManifestList(path: String,
-      manifests: Seq[(String, Long, Long, Int, Int, Int)]): Unit = {
+      manifests: Seq[ManifestSummary]): Unit = {
     val f = new File(path)
     f.getParentFile.mkdirs()
     val w = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](ManifestFileSchema))
     w.create(ManifestFileSchema, f)
-    try manifests.foreach { case (p, len, snap, added, existing, deleted) =>
+    try manifests.foreach { m =>
       val r = new GenericData.Record(ManifestFileSchema)
-      r.put("manifest_path", p); r.put("manifest_length", len)
-      r.put("partition_spec_id", 0); r.put("added_snapshot_id", snap)
-      r.put("added_files_count", added)
-      r.put("existing_files_count", existing)
-      r.put("deleted_files_count", deleted)
+      r.put("manifest_path", m.path); r.put("manifest_length", m.length)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", m.snapshotId)
+      r.put("min_sequence_number", 0L)
+      r.put("added_snapshot_id", m.snapshotId)
+      r.put("added_files_count", m.addedFiles)
+      r.put("existing_files_count", m.existingFiles)
+      r.put("deleted_files_count", m.deletedFiles)
+      r.put("added_rows_count", m.addedRows)
+      r.put("existing_rows_count", m.existingRows)
+      r.put("deleted_rows_count", 0L)
       w.append(r)
     } finally w.close()
   }

@@ -236,9 +236,14 @@ class ReverseGoldenSpec extends SparkSuite {
     assert(mls.nonEmpty)
     val ml = mls.head
     for (k <- Seq("manifest_path", "manifest_length", "partition_spec_id",
+        "content", "sequence_number", "min_sequence_number",
         "added_snapshot_id", "added_files_count", "existing_files_count",
-        "deleted_files_count"))
+        "deleted_files_count", "added_rows_count", "existing_rows_count",
+        "deleted_rows_count"))
       assert(ml.getSchema.getField(k) != null, k)
+    assert(ml.get("content").asInstanceOf[Int] == 0)        // data manifest
+    assert(ml.get("added_files_count").asInstanceOf[Int] == 1)
+    assert(ml.get("added_rows_count").asInstanceOf[Long] == 674L)
     val manifestPath = graft.util.PathUtils.canonical(
       ml.get("manifest_path").toString)
     assert(ml.get("manifest_length").asInstanceOf[Long] ==
