@@ -8,6 +8,24 @@ import graft.sources.ParquetDirectorySource
 import graft.spi.SyncMetadata
 import graft.sync.ConversionController
 
+// delta-spark's checkpoint column layout, with the EXTRA fields a real
+// writer emits (tags, DV maxRowIndex, nullable offset) that graft's
+// reader must skip — used by the real-writer-shaped checkpoint test
+case class RealCkptDv(storageType: String, pathOrInlineDv: String,
+    offset: java.lang.Integer, sizeInBytes: Int, cardinality: Long,
+    maxRowIndex: java.lang.Long)
+case class RealCkptAdd(path: String, partitionValues: Map[String, String],
+    size: Long, modificationTime: Long, dataChange: Boolean, stats: String,
+    tags: Map[String, String], deletionVector: Option[RealCkptDv])
+case class RealCkptFormat(provider: String, options: Map[String, String])
+case class RealCkptMeta(id: String, name: String, format: RealCkptFormat,
+    schemaString: String, partitionColumns: Seq[String],
+    configuration: Map[String, String], createdTime: java.lang.Long)
+case class RealCkptProtocol(minReaderVersion: Int, minWriterVersion: Int,
+    readerFeatures: Seq[String], writerFeatures: Seq[String])
+case class RealCkptRow(add: Option[RealCkptAdd],
+    metaData: Option[RealCkptMeta], protocol: Option[RealCkptProtocol])
+
 class CheckpointAndScaleSpec extends SparkSuite {
 
   test("checkpoint written at interval and replay works without old commits") {
@@ -101,6 +119,71 @@ class CheckpointAndScaleSpec extends SparkSuite {
     val back = new DeltaConversionSource(spark, target, "region")
     assert(back.currentTable().schema.fieldNames.contains("r_regionkey"))
     assert(back.currentSnapshot().files.count() == 12)
+  }
+
+  test("reads a delta-spark-shaped checkpoint (extra columns, inline DV)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val table = tmpDir("real_ckpt")
+    // three single-row-group files with known in-file row order
+    def mkFile(name: String, from: Long, until: Long): Unit = {
+      val stage = s"${tmpDir(s"real_ckpt_stage_$name")}/out"
+      spark.range(from, until).toDF("id").coalesce(1)
+        .sortWithinPartitions("id").write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(f.toPath, Paths.get(table, name))
+    }
+    mkFile("a.parquet", 0L, 10L)        // gets an inline DV over pos 1,3
+    mkFile("b.parquet", 100L, 105L)     // plain, from the checkpoint
+    mkFile("c.parquet", 200L, 202L)     // from the JSON tail
+    val dv = graft.formats.delta.DeletionVectors
+      .inlineDescriptor(Seq(1L, 3L))
+    val schemaStr = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType).json
+
+    // checkpoint v0 in the REAL writer's layout: metaData lives ONLY here
+    // (delta-spark writes it to JSON only at creation), protocol carries
+    // table features, adds carry tags and a DV with extra fields
+    val rows = Seq(
+      RealCkptRow(Some(RealCkptAdd("a.parquet", Map.empty, 100L, 1L,
+        dataChange = false, """{"numRecords":10}""", Map("w" -> "1"),
+        Some(RealCkptDv(dv.storageType, dv.pathOrInlineDv, null,
+          dv.sizeInBytes, dv.cardinality, 3L)))), None, None),
+      RealCkptRow(Some(RealCkptAdd("b.parquet", Map.empty, 100L, 1L,
+        dataChange = false, """{"numRecords":5}""", Map.empty, None)),
+        None, None),
+      RealCkptRow(None, Some(RealCkptMeta("tbl-uuid", "t",
+        RealCkptFormat("parquet", Map.empty), schemaStr, Nil, Map.empty,
+        5L)), None),
+      RealCkptRow(None, None, Some(RealCkptProtocol(3, 7,
+        Seq("deletionVectors"), Seq("deletionVectors")))))
+    val stage = s"${tmpDir("real_ckpt_parquet")}/out"
+    spark.createDataset(rows).coalesce(1).write.mode("overwrite")
+      .parquet(stage)
+    val log = Paths.get(table, "_delta_log")
+    Files.createDirectories(log)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath,
+      Paths.get(DeltaLog.checkpointFile(table, 0L)))
+    Files.writeString(log.resolve("_last_checkpoint"),
+      """{"version":0,"size":4}""")
+    // JSON tail: v1 adds c.parquet — no metaData, like a real log
+    Files.writeString(log.resolve("00000000000000000001.json"),
+      """{"add":{"path":"c.parquet","size":100,"modificationTime":2,"dataChange":true,"partitionValues":{},"stats":"{\"numRecords\":2}"}}""" + "\n")
+
+    val src = new DeltaConversionSource(spark, table, "real_ckpt")
+    // schema resolved from the checkpoint's metaData row
+    assert(src.currentTable().schema.fieldNames.toSeq == Seq("id"))
+    val live = src.currentSnapshot().files.collect()
+    assert(live.length == 3, live.map(_.path).mkString(","))
+    assert(live.find(_.path.endsWith("a.parquet")).get.deletionVector
+      .contains(dv))
+    // masked read: a minus deleted positions, plus b, plus the JSON add
+    val got = src.toDataFrame.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == ((0L to 9L).filterNot(Set(1L, 3L)) ++
+      (100L to 104L) ++ (200L to 201L)).sorted)
   }
 
   test("multi-part checkpoints list and replay as one checkpoint") {

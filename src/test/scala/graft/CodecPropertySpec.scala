@@ -98,6 +98,24 @@ class CodecPropertySpec extends SparkSuite {
     }
   }
 
+  test("fromDeltaUri(toDeltaUri) is identity for filesystem paths") {
+    // PROTOCOL.md action paths: every path a writer can produce must
+    // survive the encode→decode round trip — spaces, percents, plus,
+    // unicode, hive `col=value` segments
+    val genSegment = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '%', '+', '-', '_', '.', '=', 'é',
+        '日', '&', '(', ')', '#'))).map(_.mkString)
+    val genPath = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, genSegment).map(_.mkString("/")))
+    forAll(genPath) { p =>
+      val enc = graft.util.PathUtils.toDeltaUri(p)
+      assert(graft.util.PathUtils.fromDeltaUri(enc) == p,
+        s"'$p' -> '$enc' -> '${graft.util.PathUtils.fromDeltaUri(enc)}'")
+      // the encoded form is scheme-less and never contains a raw space
+      assert(!enc.contains(' '), enc)
+    }
+  }
+
   test("decode(encode) is identity for typed values") {
     forAll(genEpochDay) { d =>
       val date = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d).toString)
