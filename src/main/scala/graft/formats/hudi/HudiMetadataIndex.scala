@@ -13,7 +13,7 @@ import graft.model.FileEntry
   * from Hudi's METADATA TABLE when the table has one, and fall back to
   * parquet footers otherwise — on a 100k-file table the index turns 100k
   * footer opens per sync into one metadata read. This mirrors that
-  * contract with a parquet-backed index under `.hoodie/metadata/files/`:
+  * contract with a parquet-backed index under `.hoodie/.graft/index/`:
   * each commit appends ONE per-instant delta (O(commit), written by Spark,
   * so the index write is itself distributed), and the reader merges deltas
   * latest-per-path — the same base+log merge shape as the real metadata
@@ -31,11 +31,30 @@ object HudiMetadataIndex {
     */
   val SmallDeltaThreshold = 64
 
+  /** Writes live under a graft-owned dot-dir inside `.hoodie` (like
+    * Hudi's own `.aux`/`.temp`) — NOT `.hoodie/metadata`, which is real
+    * Hudi's metadata-table namespace: parquet deltas there could be
+    * mistaken for HFile partitions by a real reader.
+    */
   def indexDir(tablePath: String): String =
+    s"${HudiTimeline.hoodieDir(tablePath)}/.graft/index"
+
+  /** Pre-r7 location, still read for tables written by earlier versions
+    * (for a REAL Hudi metadata table at this path the reader naturally
+    * sees no parquet dirs / json sidecars and falls back to footers).
+    */
+  private[hudi] def legacyIndexDir(tablePath: String): String =
     s"${HudiTimeline.hoodieDir(tablePath)}/metadata/files"
 
+  /** The directory this table's index actually lives in. */
+  private def resolvedDir(tablePath: String): java.nio.file.Path = {
+    val nw = JPaths.get(indexDir(tablePath))
+    if (Files.exists(nw)) nw else JPaths.get(legacyIndexDir(tablePath))
+  }
+
   def exists(tablePath: String): Boolean =
-    Files.exists(JPaths.get(indexDir(tablePath)))
+    Files.exists(JPaths.get(indexDir(tablePath))) ||
+      Files.exists(JPaths.get(legacyIndexDir(tablePath)))
 
   /** Append one commit's added files (with their stats) as an index delta. */
   def write(spark: SparkSession, tablePath: String, instant: String,
@@ -60,7 +79,7 @@ object HudiMetadataIndex {
     */
   def read(spark: SparkSession, tablePath: String): Dataset[FileEntry] = {
     import spark.implicits._
-    val dir = JPaths.get(indexDir(tablePath))
+    val dir = resolvedDir(tablePath)
     if (!Files.exists(dir)) return spark.emptyDataset[FileEntry]
     import scala.jdk.CollectionConverters._
     val children = Files.list(dir).iterator().asScala.toSeq

@@ -173,6 +173,55 @@ object SyncQueries {
       |  count(DISTINCT r_regionkey) AS distinct_keys
       |FROM region""".stripMargin
 
+  /** Incremental sync with PAIMON as the SOURCE — completes the
+    * incremental source matrix (delta/hudi/iceberg/paimon): snapshot-id
+    * backlog, per-snapshot delta-manifest replay (ADD + DELETE kinds)
+    * into an already-synced Delta target.
+    */
+  def syncIncrementalPaimon(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = Files.createTempDirectory("graft_incp_data").toString
+    val paimonDir = Files.createTempDirectory("graft_incp_paimon").toString
+    val deltaDir = Files.createTempDirectory("graft_incp_delta").toString
+    val srcFile = Paths.get(s"$dir/region.parquet")
+    def addFile(name: String, mtime: Long): Unit = {
+      Files.copy(srcFile, Paths.get(dataDir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(dataDir, name).toFile.setLastModified(mtime)
+    }
+    def psrc = new ParquetDirectorySource(s, dataDir, "region")
+    val paimonTgt = new graft.formats.paimon.PaimonConversionTarget(s, paimonDir)
+    def paimonCommit(): Unit = {
+      val o = TableFormatSync.syncSnapshot(Seq(paimonTgt),
+        psrc.currentSnapshot(), psrc.sourceFormat)
+      require(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    }
+    addFile("f1.parquet", 1000000L)
+    paimonCommit()                                  // snapshot 1: +f1
+    def msrc = new graft.formats.paimon.PaimonConversionSource(
+      s, paimonDir, "region")
+    val controller = new ConversionController
+    val r1 = controller.sync(msrc, Seq(new DeltaConversionTarget(s, deltaDir)))
+    require(r1.forall(_.status == "SUCCESS"), r1.mkString(";"))
+    addFile("f2.parquet", 2000000L)
+    paimonCommit()                                  // snapshot 2: +f2
+    Files.delete(Paths.get(dataDir, "f1.parquet"))
+    addFile("f3.parquet", 3000000L)
+    paimonCommit()                                  // snapshot 3: -f1 +f3
+    val r2 = controller.sync(msrc, Seq(new DeltaConversionTarget(s, deltaDir)))
+    require(r2.forall(o => o.status == "SUCCESS" && o.mode == "INCREMENTAL"),
+      r2.mkString(";"))
+    new DeltaConversionSource(s, deltaDir, "region").toDataFrame
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("r_regionkey")).cast("long").as("sum_key"),
+        countDistinct(col("r_regionkey")).as("distinct_keys"))
+  }
+
+  val syncIncrementalPaimonSql: String =
+    """SELECT 2*count(*) AS cnt,
+      |  CAST(2*sum(r_regionkey) AS BIGINT) AS sum_key,
+      |  count(DISTINCT r_regionkey) AS distinct_keys
+      |FROM region""".stripMargin
+
   /** Parquet dir → Iceberg (full snapshot), read back via manifests. */
   def syncParquetToIceberg(s: SparkSession, dir: String): DataFrame = {
     val target = Files.createTempDirectory("graft_ice_ord").toString
