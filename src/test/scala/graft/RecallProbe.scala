@@ -26,6 +26,26 @@ object RecallProbe {
     }
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val e0 = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+        Similarity.norm(col("embedding")).as("nv")).cache()
+      val exactPairs = e0.as("a").join(e0.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(Similarity.cosineWithNorms(
+            Similarity.dot(col("a.v"), col("b.v")),
+            col("a.nv"), col("b.nv")), 3).as("c"))
+        .filter(col("c") >= 0.45).select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Similarity.lshNearPairs(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.45)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"$sf lsh pairs recall=" +
+        f"${(lsh intersect exactPairs).size.toDouble /
+          math.max(1, exactPairs.size)}%.3f " +
+        s"(${(lsh intersect exactPairs).size}/${exactPairs.size})")
+    }
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
       val e = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
         Similarity.norm(col("embedding")).as("nv")).cache()
       val droppable = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
