@@ -163,15 +163,12 @@ object DeltaRead {
         DeletionVectors.deletedPositions(bconf.value.value, tablePath,
           f.deletionVector.get).map(pos => (f.path, pos))
       }.toDF("__dv_path", "__dv_pos")
-    // `_metadata.file_path` is a URI: scheme-strip AND %-decode so the key
-    // matches the listing side's PathUtils.canonical form (space / percent
-    // in partition dirs). Literal '+' pre-encodes to %2B because
-    // url_decode form-decodes bare '+' to space.
+    // `_metadata.file_path` is URI-encoded (with or without a scheme):
+    // scheme-strip AND %-decode so the key matches the listing side's
+    // PathUtils.canonical form (space / percent in partition dirs)
     val keyed = df
       .withColumn("__scan_path",
-        url_decode(regexp_replace(
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
-          "\\+", "%2B")))
+        graft.util.PathCols.scanPath(col("_metadata.file_path")))
       .withColumn("__scan_pos", col("_metadata.row_index"))
     val right =
       if (summary.joinKeyBytes <= BroadcastDvBytes) broadcast(deleted)

@@ -41,8 +41,26 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** A snapshot is representable as a bare file listing only when no
+    * row-level delete files are live: file-level consumers (sync, the 1:1
+    * relation scan) would otherwise serve/propagate logically-deleted
+    * rows — the same wrong-answer class as an unmasked Delta deletion
+    * vector. [[toDataFrame]] is the delete-aware read.
+    */
+  private def requireNoRowLevelDeletes(m: IcebergTableMetadata,
+      seq: Long): Unit = {
+    val refs = IcebergDeletes.liveDeleteRefs(m, seq)
+    if (refs.nonEmpty) throw new DeletionVectorsUnsupported(
+      s"Iceberg table at $tablePath has ${refs.size} live row-level " +
+        s"delete file(s) (${refs.map(_.recordCount).sum} deleted row(s)) " +
+        s"at sequence $seq; a file-level listing would serve deleted rows " +
+        "back — read via IcebergConversionSource.toDataFrame, which masks " +
+        "position deletes")
+  }
+
   override def currentSnapshot(): TableSnapshot = {
     val m = meta
+    requireNoRowLevelDeletes(m, m.lastSequenceNumber)
     TableSnapshot(currentTable(), filesAtSeq(m, m.lastSequenceNumber),
       m.lastSequenceNumber.toString)
   }
@@ -50,6 +68,8 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
   override def changeForCommit(commit: String): TableChange = {
     val m = meta
     val seq = commit.toLong
+    requireNoRowLevelDeletes(m, seq)
+    requireNoRowLevelDeletes(m, seq - 1)
     val cur = filesAtSeq(m, seq)
     val prev = filesAtSeq(m, seq - 1)
     TableChange(commit, currentTable().copy(latestCommitMillis = seq),
@@ -67,8 +87,18 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
     meta.snapshotBySeq(commit.toLong).isDefined ||
       commit.toLong == 0 && meta.snapshots.nonEmpty
 
-  def toDataFrame: DataFrame =
-    graft.formats.delta.DeltaRead.toDataFrame(spark, currentSnapshot())
+  /** Delete-aware read: scans the data files, then masks position-deleted
+    * (file, pos) rows via [[IcebergDeletes.applyPositionDeletes]].
+    * Equality deletes are refused inside the apply.
+    */
+  def toDataFrame: DataFrame = {
+    val m = meta
+    val snap = TableSnapshot(currentTable(),
+      filesAtSeq(m, m.lastSequenceNumber), m.lastSequenceNumber.toString)
+    val base = graft.formats.delta.DeltaRead.toDataFrame(spark, snap)
+    IcebergDeletes.applyPositionDeletes(spark, base,
+      IcebergDeletes.liveDeleteRefs(m, m.lastSequenceNumber), tablePath)
+  }
 }
 
 /** Iceberg target — reference IcebergConversionTarget.java:62-380 +
@@ -143,11 +173,26 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
   override def syncPartitionSpec(spec: Seq[PartitionFieldSpec]): Unit =
     partitionSpec = spec
 
+  /** A sync target whose CURRENT snapshot carries delete manifests cannot
+    * be advanced by file-level metadata sync: the carry-forward rewrites
+    * the manifest list from data manifests only, which would silently
+    * drop the delete files and resurrect their deleted rows.
+    */
+  private def requireNoDeleteManifests(listPath: String): Unit =
+    if (IcebergManifests.readManifestListRecords(listPath)
+        .exists(IcebergManifests.contentOf(_) != 0))
+      throw new DeletionVectorsUnsupported(
+        s"Iceberg table at $tablePath has live row-level delete " +
+          "manifests; a file-level metadata sync would drop them and " +
+          "resurrect deleted rows — compact/rewrite the table (purge " +
+          "delete files) first")
+
   override def syncFilesForSnapshot(files: Dataset[FileEntry]): Unit =
     currentMeta.flatMap(_.currentSnapshot) match {
       case None =>
         pendingAdds = Some(files); pendingRemoves = None
       case Some(s) =>
+        requireNoDeleteManifests(s.manifestList)
         val m = currentMeta.get
         val current = IcebergManifests.liveFiles(spark,
           IcebergManifests.readManifestList(s.manifestList), m.schema)
@@ -188,7 +233,10 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     }
 
     val prevManifests: Seq[String] = prev.flatMap(_.currentSnapshot)
-      .map(s => IcebergManifests.readManifestList(s.manifestList))
+      .map { s =>
+        requireNoDeleteManifests(s.manifestList)
+        IcebergManifests.readManifestList(s.manifestList)
+      }
       .getOrElse(Nil)
 
     // carry-forward / rewrite of previous manifests: one task PER MANIFEST

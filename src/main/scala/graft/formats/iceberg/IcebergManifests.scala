@@ -66,22 +66,34 @@ object IcebergManifests {
       |{"name":"deleted_rows_count","type":"long","field-id":514,"default":0}]}""".stripMargin)
 
   /** Per-manifest summary row of the manifest list (spec v2 required
-    * fields; `content`=0 — graft writes data manifests only, never delete
-    * manifests; `min_sequence_number`=0 is the safe lower bound).
+    * fields; `content`=0 for data manifests, 1 for delete manifests —
+    * spec §Manifest Lists; `min_sequence_number`=0 is the safe lower
+    * bound).
     */
   final case class ManifestSummary(path: String, length: Long,
       snapshotId: Long, addedFiles: Int, existingFiles: Int,
-      deletedFiles: Int, addedRows: Long, existingRows: Long)
+      deletedFiles: Int, addedRows: Long, existingRows: Long,
+      content: Int = 0)
+
+  /** A row-level delete file referenced by a delete manifest (spec v2
+    * §Delete Formats). `content` is the data_file content field: 1 =
+    * position deletes (file_path, pos columns), 2 = equality deletes.
+    */
+  final case class DeleteFileRef(path: String, content: Int,
+      recordCount: Long, fileSizeBytes: Long)
 
   object Status { val Existing = 0; val Added = 1; val Deleted = 2 }
 
-  /** FileEntry → manifest_entry record. Bounds keyed by field id. */
+  /** FileEntry → manifest_entry record. Bounds keyed by field id.
+    * `content` follows the data_file content field: 0 = data, 1 =
+    * position deletes, 2 = equality deletes.
+    */
   def toEntry(f: FileEntry, status: Int, snapshotId: Long,
-      schema: StructType): GenericRecord = {
+      schema: StructType, content: Int = 0): GenericRecord = {
     val leaves = IcebergSchemas.leafFields(schema)
       .map { case (id, name, dt) => name -> (id, dt) }.toMap
     val df = new GenericData.Record(EntrySchema.getField("data_file").schema())
-    df.put("content", 0)
+    df.put("content", content)
     df.put("file_path", f.path)
     df.put("file_format", f.fileFormat.toUpperCase)
     df.put("partition", f.partitionValues
@@ -197,7 +209,7 @@ object IcebergManifests {
       val r = new GenericData.Record(ManifestFileSchema)
       r.put("manifest_path", m.path); r.put("manifest_length", m.length)
       r.put("partition_spec_id", 0)
-      r.put("content", 0)
+      r.put("content", m.content)
       r.put("sequence_number", m.snapshotId)
       r.put("min_sequence_number", 0L)
       r.put("added_snapshot_id", m.snapshotId)
@@ -211,15 +223,83 @@ object IcebergManifests {
     } finally w.close()
   }
 
-  def readManifestList(path: String): Seq[String] = {
+  /** DATA manifest paths only (`content`=0) — the scan/sync planning
+    * input. Delete manifests (`content`=1) must never flow into the data
+    * plane: a position-delete parquet scanned as a data file serves
+    * (file_path, pos) tuples as table rows.
+    */
+  def readManifestList(path: String): Seq[String] =
+    readManifestListRecords(path)
+      .filter(r => contentOf(r) == 0)
+      .map(_.get("manifest_path").toString)
+
+  /** Every manifest_file record of a manifest list, verbatim (data AND
+    * delete manifests) — for delete-awareness checks and carry-forward.
+    */
+  def readManifestListRecords(path: String): Seq[GenericRecord] = {
     val r = new DataFileReader(new File(path),
       new GenericDatumReader[GenericRecord](ManifestFileSchema))
     try {
-      val out = Seq.newBuilder[String]
-      while (r.hasNext) out += r.next().get("manifest_path").toString
+      val out = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) out += r.next()
       out.result()
     } finally r.close()
   }
+
+  def contentOf(manifestFileRecord: GenericRecord): Int =
+    manifestFileRecord.get("content") match {
+      case null => 0
+      case i: java.lang.Integer => i.intValue()
+    }
+
+  /** Rewrite manifest_file records (carried forward verbatim) plus fresh
+    * summaries into a new manifest list.
+    */
+  def writeManifestListRecords(path: String, carried: Seq[GenericRecord],
+      fresh: Seq[ManifestSummary]): Unit = {
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](ManifestFileSchema))
+    w.create(ManifestFileSchema, f)
+    try {
+      carried.foreach(w.append)
+      fresh.foreach { m =>
+        val r = new GenericData.Record(ManifestFileSchema)
+        r.put("manifest_path", m.path); r.put("manifest_length", m.length)
+        r.put("partition_spec_id", 0)
+        r.put("content", m.content)
+        r.put("sequence_number", m.snapshotId)
+        r.put("min_sequence_number", 0L)
+        r.put("added_snapshot_id", m.snapshotId)
+        r.put("added_files_count", m.addedFiles)
+        r.put("existing_files_count", m.existingFiles)
+        r.put("deleted_files_count", m.deletedFiles)
+        r.put("added_rows_count", m.addedRows)
+        r.put("existing_rows_count", m.existingRows)
+        r.put("deleted_rows_count", 0L)
+        w.append(r)
+      }
+    } finally w.close()
+  }
+
+  /** Live row-level delete files of a snapshot: entries of every
+    * `content`=1 manifest, minus DELETED-status entries.
+    */
+  def liveDeleteFiles(manifestListPath: String): Seq[DeleteFileRef] =
+    readManifestListRecords(manifestListPath)
+      .filter(r => contentOf(r) == 1)
+      .flatMap { m =>
+        readManifest(m.get("manifest_path").toString)
+          .filter(_.get("status").asInstanceOf[Int] != Status.Deleted)
+          .map { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            DeleteFileRef(df.get("file_path").toString,
+              df.get("content").asInstanceOf[Int],
+              df.get("record_count").asInstanceOf[Long],
+              df.get("file_size_in_bytes").asInstanceOf[Long])
+          }
+      }
 
   /** Distributed manifest scan: manifests read in executors, one iterator
     * per manifest — the Spark analog of Iceberg's planFiles

@@ -608,4 +608,41 @@ object SyncQueries {
 
   val timeTravelDeltaSql: String =
     """SELECT count(*) AS v0_rows, 2*count(*) AS latest_rows FROM region""".stripMargin
+
+  /** Iceberg v2 row-level deletes end-to-end: nation synced to Iceberg as
+    * ONE sorted data file, a position-delete commit dropping every 4th
+    * position, then the delete-aware read. The sorted single file makes
+    * position == rank(n_nationkey), which the oracle recomputes with
+    * row_number — the deleted POSITIONS, not values, are the contract.
+    */
+  def icebergPosDeleteRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parquetDir = Files.createTempDirectory("graft_icedel_src").toString
+    s.read.parquet(s"$dir/nation.parquet")
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .write.mode("overwrite").parquet(parquetDir)
+    val table = Files.createTempDirectory("graft_icedel_tbl").toString
+    val src = new ParquetDirectorySource(s, parquetDir, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val f = new graft.formats.iceberg.IcebergConversionSource(s, table,
+      "nation").currentSnapshot().files.collect()(0)
+    graft.formats.iceberg.IcebergDeletes.appendPositionDeletes(s, table,
+      (0L until f.recordCount by 4).map(p => (f.path, p))
+        .toDF("file_path", "pos"))
+    new graft.formats.iceberg.IcebergConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val icebergPosDeleteReadSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM (SELECT n_nationkey,
+      |        row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+      |      FROM nation)
+      |WHERE pos % 4 <> 0""".stripMargin
 }
