@@ -152,6 +152,72 @@ object EventsQueries {
     s.table("graft_gate_stream_hourly").orderBy("hour_us", "event_type")
   }
 
+  /** Watermark LATE-DATA semantics, exactly oracled. Three micro-batches
+    * through an append-mode windowed aggregation with a 240-hour
+    * watermark:
+    *   1. on-time arrivals (`event_id % 5 != 0`, 80%) — sets the
+    *      watermark at max(on-time event time, ms floor) − 240 h;
+    *   2. late arrivals (`event_id % 5 == 0`, spread over the full 30-day
+    *      range) — rows whose 1-hour window closed at that watermark are
+    *      DROPPED, the rest merge into still-open windows;
+    *   3. two far-future sentinel rows — the first advances the
+    *      watermark past every real window, the second forces the batch
+    *      that emits them (append mode emits a window exactly once, when
+    *      the watermark passes its end); both filtered from the result.
+    * The oracle recomputes Spark's drop rule in SQL: kept late rows are
+    * those with `window_end_us > (ms-floored on-time max − 240h) · 1000`.
+    * Counts AND micros-exact sums must match — a partially-merged or
+    * double-emitted window cannot hash-match.
+    */
+  def streamingLateData(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory("graft_stream_late").toString
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    def stageBatch(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_stream_late_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(stage, s"$name.parquet"))
+    }
+    val maxTs = raw.agg(max("ts")).head().getLong(0) // raw ns
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val stream = graft.streaming.StreamingOps.eventStream(s, stage, raw.schema)
+    val q = graft.streaming.StreamingOps
+      .windowedCounts(stream, delay = "240 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_gate_stream_late").start()
+    stageBatch(raw.filter(col("event_id") % 5 =!= 0), "b1")
+    q.processAllAvailable()
+    stageBatch(raw.filter(col("event_id") % 5 === 0), "b2")
+    q.processAllAvailable()
+    stageBatch(raw.limit(1).withColumn("ts", lit(maxTs + 30 * dayNs))
+      .withColumn("event_type", lit("__late_sentinel__")), "s1")
+    q.processAllAvailable()
+    stageBatch(raw.limit(1).withColumn("ts", lit(maxTs + 60 * dayNs))
+      .withColumn("event_type", lit("__late_sentinel__")), "s2")
+    q.processAllAvailable()
+    q.stop()
+    s.table("graft_gate_stream_late")
+      .filter(col("event_type") =!= "__late_sentinel__")
+      .orderBy("hour_us", "event_type")
+  }
+
+  val streamingLateDataSql: String =
+    s"""WITH wm AS (
+       |  SELECT (epoch_ms(max(ts)) - 864000000) * 1000 AS wm_us
+       |  FROM events WHERE event_id % 5 <> 0),
+       |kept AS (
+       |  SELECT ts, event_type, value FROM events WHERE event_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT e.ts, e.event_type, e.value FROM events e, wm
+       |  WHERE e.event_id % 5 = 0
+       |    AND epoch_us(date_trunc('hour', e.ts)) + 3600000000 > wm.wm_us)
+       |SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       |  count(*) AS n_events,
+       |  ${Gate.sumMeasureSql("value")} AS sum_value
+       |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The stateful streaming sessionizer (flatMapGroupsWithState) under
     * the SAME DuckDB oracle as the batch window form: a custom-state
     * streaming operator has to produce the batch answer, not just "a"

@@ -25,14 +25,17 @@ object StreamingOps {
     spark.readStream.schema(schema).parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
-  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
-    * streaming form of EventsQueries.hourlyCounts, emitting the identical
-    * gate-safe representation (exact micros sum → double): a micro-batch
-    * partial sum and the batch plan produce bit-identical results.
+  /** Tumbling 1-hour windowed counts with a watermark — the streaming
+    * form of EventsQueries.hourlyCounts, emitting the identical gate-safe
+    * representation (exact micros sum → double): a micro-batch partial
+    * sum and the batch plan produce bit-identical results. In append mode
+    * the watermark defines BOTH when a window finalizes and which late
+    * rows are dropped (window end ≤ watermark).
     */
-  def windowedCounts(events: DataFrame): DataFrame =
+  def windowedCounts(events: DataFrame, delay: String = "2 hours")
+      : DataFrame =
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(graft.queries.Gate.micros(col("value"))).as("sum_micros"))

@@ -178,4 +178,36 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(streamed == batch)
   }
+
+  test("append-mode watermark drops exactly the late closed windows") {
+    val got = graft.queries.EventsQueries
+      .streamingLateData(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+
+    // independent recomputation of the drop model: watermark after the
+    // on-time batch is (ms-floored max event time − 240 h); a late row
+    // survives iff its 1-hour window end is strictly above it
+    val raw = spark.read.parquet(sf("sf0.001/events.parquet"))
+      .withColumn("ts_us", expr("ts div 1000"))
+    val onTime = raw.filter(col("event_id") % 5 =!= 0)
+    val late = raw.filter(col("event_id") % 5 === 0)
+    val maxUs = onTime.agg(max("ts_us")).head().getLong(0)
+    val wmUs = (maxUs / 1000 - 240L * 3600 * 1000) * 1000
+    val hourUs = 3600L * 1000000
+    val keptLate = late.filter(
+      (floor(col("ts_us") / hourUs) + 1) * hourUs > wmUs)
+    val droppedLate = late.count() - keptLate.count()
+    assert(droppedLate > 0, "no late rows dropped — degenerate fixture")
+    assert(keptLate.count() > 0, "no late rows kept — degenerate fixture")
+    val want = onTime.union(keptLate)
+      .groupBy((floor(col("ts_us") / hourUs) * hourUs).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.Gate.sumMeasure(col("value")).as("sum_value"))
+      .orderBy("hour_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want)
+  }
 }
