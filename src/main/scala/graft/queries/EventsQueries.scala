@@ -218,6 +218,45 @@ object EventsQueries {
        |  ${Gate.sumMeasureSql("value")} AS sum_value
        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Stream-stream interval join (view → purchase by the same user
+    * within 1 hour), drained via AvailableNow into a memory sink and
+    * aggregated to a compact exactly-oracled contract: pair count,
+    * distinct attributed users, micros-exact purchase-value sum. The
+    * oracle self-joins at MICROSECOND floor (`epoch_us`) because the
+    * stream's event time is `timestamp_micros(ts div 1000)` — comparing
+    * raw nanos would flip sub-microsecond boundary pairs.
+    */
+  def streamingIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = Files.createTempDirectory("graft_stream_ij").toString
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      Paths.get(stage, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val stream = graft.streaming.StreamingOps.eventStream(s, stage, raw.schema)
+    val q = graft.streaming.StreamingOps
+      .intervalJoin(stream, "view", "purchase", 3600L * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_gate_stream_ij")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_gate_stream_ij")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        Gate.sumMeasure(col("r_value")).as("sum_value"))
+  }
+
+  val streamingIntervalJoinSql: String =
+    s"""SELECT count(*) AS n_pairs,
+       |  CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_users,
+       |  ${Gate.sumMeasureSql("p.value")} AS sum_value
+       |FROM events v JOIN events p
+       |  ON v.user_id = p.user_id
+       |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+       |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+       |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin
+
   /** The stateful streaming sessionizer (flatMapGroupsWithState) under
     * the SAME DuckDB oracle as the batch window form: a custom-state
     * streaming operator has to produce the batch answer, not just "a"

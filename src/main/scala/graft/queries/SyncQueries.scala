@@ -499,6 +499,30 @@ object SyncQueries {
       |  CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(25,6)) * 1000000 AS BIGINT)) AS BIGINT) AS DOUBLE)/1000000.0 AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Unified reader over a graft-written PAIMON layout — completes the
+    * `format("graft")` matrix (delta/hudi/iceberg/paimon), format
+    * auto-detected from `snapshot/LATEST`.
+    */
+  def graftReaderPaimon(s: SparkSession, dir: String): DataFrame = {
+    val target = Files.createTempDirectory("graft_reader_paimon").toString
+    val src = new ParquetDirectorySource(s, s"$dir/supplier.parquet",
+      "supplier")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.paimon.PaimonConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    s.read.format("graft").load(target)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("s_acctbal")).as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val graftReaderPaimonSql: String =
+    s"""SELECT s_nationkey, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("s_acctbal")} AS sum_bal
+       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** The two halves of the library composing: CURATE the corpus
     * (quality filter + exact dedup, the same stages as
     * `pipeline_curation_e2e`), WRITE the curated table as parquet, SYNC

@@ -65,6 +65,30 @@ object StreamingOps {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Stream-stream INTERVAL JOIN: left-type events joined to same-user
+    * right-type events that follow within `withinMicros`. Both sides are
+    * watermarked and the join condition carries the event-time range, so
+    * each side's buffered state is bounded by the interval + watermark
+    * delay — the attribution-join shape (view → purchase within an hour)
+    * at any stream length. Inner join: pairs emit as soon as both sides
+    * have arrived, independent of watermark progress.
+    */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+      withinMicros: Long, delay: String = "1 hour"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", delay)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+      .withWatermark("r_ts", delay)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMicros MICROSECOND"))
+  }
+
   /** Stateful session counting: a >30 min gap starts a new session.
     * Custom state via flatMapGroupsWithState (KeyValueGroupedDataset),
     * emitting one update per user per micro-batch.

@@ -210,4 +210,45 @@ class StreamingSpec extends SparkSuite {
         r.getDouble(3))).toSeq
     assert(got == want)
   }
+
+  test("stream-stream interval join buffers across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    val stage = tmpDir("stream_ij")
+    val raw = spark.read.parquet(sf("sf0.001/events.parquet"))
+    def stageBatch(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = tmpDir("stream_ij_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(stage, s"$name.parquet"))
+    }
+    val stream = StreamingOps.eventStream(spark, stage, raw.schema)
+    val q = StreamingOps
+      .intervalJoin(stream, "view", "purchase", 3600L * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij_out").start()
+    // ALL views land in batch 1, ALL purchases in batch 2: every emitted
+    // pair crosses the batch boundary through buffered join state
+    stageBatch(raw.filter(col("event_type") === "view"), "views")
+    q.processAllAvailable()
+    stageBatch(raw.filter(col("event_type") =!= "view"), "rest")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij_out")
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = raw.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts div 1000").as("l_us"),
+        col("event_id").as("l_id"))
+    val p = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), expr("ts div 1000").as("r_us"),
+        col("event_id").as("r_id"))
+    val want = v.join(p, col("user_id") === col("r_user") &&
+        col("r_us") >= col("l_us") &&
+        col("r_us") <= col("l_us") + 3600L * 1000000)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "degenerate fixture: no view→purchase pairs")
+    assert(got == want)
+  }
 }
