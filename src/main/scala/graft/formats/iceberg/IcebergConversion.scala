@@ -87,17 +87,18 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
     meta.snapshotBySeq(commit.toLong).isDefined ||
       commit.toLong == 0 && meta.snapshots.nonEmpty
 
-  /** Delete-aware read: scans the data files, then masks position-deleted
-    * (file, pos) rows via [[IcebergDeletes.applyPositionDeletes]].
-    * Equality deletes are refused inside the apply.
+  /** Delete-aware read: scans the data files, then masks position deletes
+    * (anti-join on (file, pos)) and equality deletes (null-safe anti-join
+    * on the equality columns, sequence-ordered) via
+    * [[IcebergDeletes.applyDeletes]].
     */
   def toDataFrame: DataFrame = {
     val m = meta
     val snap = TableSnapshot(currentTable(),
       filesAtSeq(m, m.lastSequenceNumber), m.lastSequenceNumber.toString)
     val base = graft.formats.delta.DeltaRead.toDataFrame(spark, snap)
-    IcebergDeletes.applyPositionDeletes(spark, base,
-      IcebergDeletes.liveDeleteRefs(m, m.lastSequenceNumber), tablePath)
+    IcebergDeletes.applyDeletes(spark, base, m, m.lastSequenceNumber,
+      tablePath)
   }
 }
 

@@ -46,6 +46,7 @@ object IcebergManifests {
       |  {"name":"null_value_counts","type":{"type":"map","values":"long"},"field-id":110},
       |  {"name":"lower_bounds","type":{"type":"map","values":"bytes"},"field-id":125},
       |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"},"field-id":128},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
       |  {"name":"last_modified_ms","type":"long","field-id":1000}
       |]}}]}""".stripMargin)
 
@@ -77,10 +78,15 @@ object IcebergManifests {
 
   /** A row-level delete file referenced by a delete manifest (spec v2
     * §Delete Formats). `content` is the data_file content field: 1 =
-    * position deletes (file_path, pos columns), 2 = equality deletes.
+    * position deletes (file_path, pos columns), 2 = equality deletes
+    * (`equalityIds` = field ids of the columns the delete rows match on).
+    * `seq` is the delete manifest's sequence number — the application
+    * ordering key: an equality delete applies only to data files with a
+    * STRICTLY LOWER sequence.
     */
   final case class DeleteFileRef(path: String, content: Int,
-      recordCount: Long, fileSizeBytes: Long)
+      recordCount: Long, fileSizeBytes: Long, seq: Long,
+      equalityIds: Seq[Int])
 
   object Status { val Existing = 0; val Added = 1; val Deleted = 2 }
 
@@ -89,7 +95,8 @@ object IcebergManifests {
     * position deletes, 2 = equality deletes.
     */
   def toEntry(f: FileEntry, status: Int, snapshotId: Long,
-      schema: StructType, content: Int = 0): GenericRecord = {
+      schema: StructType, content: Int = 0,
+      equalityIds: Seq[Int] = Nil): GenericRecord = {
     val leaves = IcebergSchemas.leafFields(schema)
       .map { case (id, name, dt) => name -> (id, dt) }.toMap
     val df = new GenericData.Record(EntrySchema.getField("data_file").schema())
@@ -118,6 +125,9 @@ object IcebergManifests {
     df.put("column_sizes", sizes); df.put("value_counts", vcounts)
     df.put("null_value_counts", ncounts)
     df.put("lower_bounds", lower); df.put("upper_bounds", upper)
+    if (equalityIds.nonEmpty)
+      df.put("equality_ids",
+        equalityIds.map(Int.box).asJava: java.util.List[Integer])
     df.put("last_modified_ms", f.lastModifiedMillis)
     val e = new GenericData.Record(EntrySchema)
     e.put("status", status); e.put("snapshot_id", snapshotId)
@@ -284,22 +294,57 @@ object IcebergManifests {
   }
 
   /** Live row-level delete files of a snapshot: entries of every
-    * `content`=1 manifest, minus DELETED-status entries.
+    * `content`=1 manifest, minus DELETED-status entries. Each ref carries
+    * its manifest's sequence number (the application-ordering key) and
+    * the entry's equality field ids (empty for position deletes).
     */
   def liveDeleteFiles(manifestListPath: String): Seq[DeleteFileRef] =
     readManifestListRecords(manifestListPath)
       .filter(r => contentOf(r) == 1)
       .flatMap { m =>
+        val seq = m.get("sequence_number").asInstanceOf[Long]
         readManifest(m.get("manifest_path").toString)
           .filter(_.get("status").asInstanceOf[Int] != Status.Deleted)
           .map { e =>
             val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val eqIds = df.get("equality_ids") match {
+              case null => Nil
+              case l: java.util.List[_] =>
+                l.asScala.map(_.asInstanceOf[Int]).toSeq
+            }
             DeleteFileRef(df.get("file_path").toString,
               df.get("content").asInstanceOf[Int],
               df.get("record_count").asInstanceOf[Long],
-              df.get("file_size_in_bytes").asInstanceOf[Long])
+              df.get("file_size_in_bytes").asInstanceOf[Long], seq, eqIds)
           }
       }
+
+  /** Live DATA files of a snapshot with the sequence number each was
+    * committed at (its data manifest's `sequence_number`) — the other
+    * half of the delete-application ordering rule. Distributed the same
+    * way as [[liveFiles]]: one executor iterator per manifest, never an
+    * O(files) driver materialization.
+    */
+  def liveDataFileSeqs(spark: SparkSession, manifestListPath: String)
+      : Dataset[(String, Long)] = {
+    import spark.implicits._
+    val pairs = readManifestListRecords(manifestListPath)
+      .filter(r => contentOf(r) == 0)
+      .map(m => (m.get("manifest_path").toString,
+        m.get("sequence_number").asInstanceOf[Long]))
+    spark.createDataset(pairs)
+      .repartition(math.max(1, math.min(pairs.size, 64)))
+      .mapPartitions { it =>
+        it.flatMap { case (p, seq) =>
+          readManifest(p)
+            .filter(_.get("status").asInstanceOf[Int] != Status.Deleted)
+            .map { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              (df.get("file_path").toString, seq)
+            }
+        }
+      }
+  }
 
   /** Distributed manifest scan: manifests read in executors, one iterator
     * per manifest — the Spark analog of Iceberg's planFiles

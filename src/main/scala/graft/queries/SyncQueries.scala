@@ -669,4 +669,39 @@ object SyncQueries {
       |        row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
       |      FROM nation)
       |WHERE pos % 4 <> 0""".stripMargin
+
+  /** Iceberg v2 EQUALITY deletes with the spec's sequence-ordering rule,
+    * end-to-end: sync nation, equality-delete keys ≡ 0 (mod 3), then
+    * APPEND keys ≡ 0 (mod 5) at a higher sequence — the delete must mask
+    * only the lower-sequence rows, so re-inserted keys (0, 15, ...)
+    * survive. The oracle recomputes exactly that union.
+    */
+  def icebergEqDeleteRead(s: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_icedel_eq_tbl").toString
+    val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val all = s.read.parquet(s"$dir/nation.parquet")
+    graft.formats.iceberg.IcebergDeletes.appendEqualityDeletes(s, table,
+      all.filter(col("n_nationkey") % 3 === 0).select("n_nationkey"),
+      Seq("n_nationkey"))
+    val reDir = Files.createTempDirectory("graft_icedel_eq_re").toString
+    all.filter(col("n_nationkey") % 5 === 0)
+      .write.mode("overwrite").parquet(reDir)
+    graft.formats.iceberg.IcebergDeletes.appendDataFiles(s, table, reDir)
+    new graft.formats.iceberg.IcebergConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val icebergEqDeleteReadSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM (
+      |  SELECT n_nationkey FROM nation WHERE n_nationkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0)""".stripMargin
 }

@@ -120,27 +120,56 @@ class IcebergDeletesSpec extends SparkSuite {
         sf("sf0.001/region.parquet"), "region").currentSnapshot().files))
   }
 
-  test("equality deletes are refused on the delete-aware read too") {
-    val (table, dataFile, _) = freshTable()
-    IcebergDeletes.appendPositionDeletes(spark, table,
-      Seq((dataFile, 0L)).toDF("file_path", "pos"))
-    // rewrite the delete manifest's entries as content=2 (equality)
-    val m = IcebergMetadata.read(table,
-      IcebergMetadata.currentVersion(table).get)
-    val listPath = m.currentSnapshot.get.manifestList
-    val delManifest = IcebergManifests.readManifestListRecords(listPath)
-      .find(IcebergManifests.contentOf(_) == 1).get
-      .get("manifest_path").toString
-    val rewritten = IcebergManifests.readManifest(delManifest).map { e =>
-      e.get("data_file")
-        .asInstanceOf[org.apache.avro.generic.GenericRecord]
-        .put("content", 2)
-      e
-    }.toSeq
-    IcebergManifests.writeManifest(delManifest, rewritten.iterator)
+  test("equality deletes mask matching rows, null-safe") {
+    val (table, _, n) = freshTable()
+    val keys = spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .filter(col("n_nationkey") % 3 === 0).select("n_nationkey")
+    val nDeleted = keys.count()
+    IcebergDeletes.appendEqualityDeletes(spark, table, keys,
+      Seq("n_nationkey"))
     val src = new IcebergConversionSource(spark, table, "nation")
-    val e = intercept[DeletionVectorsUnsupported](src.toDataFrame.count())
-    assert(e.getMessage.contains("EQUALITY"))
+    val got = src.toDataFrame
+    assert(got.count() == n - nDeleted)
+    assert(got.filter(col("n_nationkey") % 3 === 0).count() == 0)
+    // file-level surfaces refuse equality deletes exactly like position
+    intercept[DeletionVectorsUnsupported](src.currentSnapshot())
+  }
+
+  test("equality deletes are sequence-ordered: later appends survive") {
+    val (table, _, n) = freshTable()
+    val all = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    IcebergDeletes.appendEqualityDeletes(spark, table,
+      all.filter(col("n_nationkey") % 3 === 0).select("n_nationkey"),
+      Seq("n_nationkey"))
+    // re-insert multiples of 5 AFTER the delete: their data-file sequence
+    // is higher, so the delete must NOT touch them — even keys like 0 or
+    // 15 that match the deleted key set
+    val reDir = tmpDir("ice_del_reinsert")
+    all.filter(col("n_nationkey") % 5 === 0)
+      .write.mode("overwrite").parquet(reDir)
+    IcebergDeletes.appendDataFiles(spark, table, reDir)
+    val got = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.groupBy()
+      .agg(count(lit(1)).as("cnt"), sum("n_nationkey").as("s")).head()
+    val keys = all.select("n_nationkey").as[Long].collect()
+    val want = keys.filter(_ % 3 != 0) ++ keys.filter(_ % 5 == 0)
+    assert(got.getLong(0) == want.length.toLong)
+    assert(got.getLong(1) == want.sum)
+  }
+
+  test("position and equality deletes compose on one table") {
+    val (table, dataFile, n) = freshTable()
+    // position-delete positions 0 and 1 (the two smallest keys), then
+    // equality-delete the LARGEST key
+    IcebergDeletes.appendPositionDeletes(spark, table,
+      Seq((dataFile, 0L), (dataFile, 1L)).toDF("file_path", "pos"))
+    val all = spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .select("n_nationkey").as[Long].collect().sorted
+    IcebergDeletes.appendEqualityDeletes(spark, table,
+      Seq(all.last).toDF("n_nationkey"), Seq("n_nationkey"))
+    val got = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.select("n_nationkey").as[Long].collect().sorted
+    assert(got.toSeq == all.drop(2).dropRight(1).toSeq)
   }
 
   test("delete-free tables are unaffected end-to-end") {
