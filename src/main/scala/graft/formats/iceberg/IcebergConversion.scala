@@ -65,6 +65,15 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
       m.lastSequenceNumber.toString)
   }
 
+  /** Snapshot listing at a historical sequence number — Iceberg time
+    * travel (the Delta analog is DeltaConversionSource.snapshotAt).
+    */
+  def snapshotAt(seq: Long): TableSnapshot = {
+    val m = meta
+    requireNoRowLevelDeletes(m, seq)
+    TableSnapshot(currentTable(), filesAtSeq(m, seq), seq.toString)
+  }
+
   override def changeForCommit(commit: String): TableChange = {
     val m = meta
     val seq = commit.toLong

@@ -102,14 +102,34 @@ object IcebergDeletes {
     (version, IcebergMetadata.read(tablePath, version))
   }
 
-  /** Shared commit writer for the three append kinds: stage the file(s),
-    * write one manifest (content 0 = data, 1/2 = deletes), write a
-    * manifest list carrying every previous manifest record verbatim, CAS
-    * the next metadata version.
+  /** Rewrite the table as its delete-applied rows and commit a REPLACE
+    * snapshot whose manifest list holds ONLY the fresh data manifest —
+    * every delete file is purged, so the file-level surfaces (sync,
+    * `format("graft")`, snapshot listing) work again. This is the
+    * "compact/rewrite the table" remedy the refusal messages point to.
+    * Returns true if a rewrite happened (false = no live deletes, no-op).
+    */
+  def rewriteWithDeletes(spark: SparkSession, tablePath: String): Boolean = {
+    val (_, m) = currentMeta(spark, tablePath)
+    if (liveDeleteRefs(m, m.lastSequenceNumber).isEmpty) return false
+    val src = new IcebergConversionSource(spark, tablePath,
+      m.properties.getOrElse("graft.table-name", "table"))
+    val seq = m.lastSequenceNumber + 1
+    val dataDir = s"$tablePath/data/compact-$seq-${UUID.randomUUID()}"
+    src.toDataFrame.write.parquet(dataDir)
+    appendCommit(spark, tablePath, rows = null, content = 0,
+      equalityIds = Nil, dataDir = Some(dataDir), replace = true)
+    true
+  }
+
+  /** Shared commit writer for the append kinds: stage the file(s), write
+    * one manifest (content 0 = data, 1/2 = deletes), write a manifest
+    * list carrying every previous manifest record verbatim (or NONE for
+    * a replace), CAS the next metadata version.
     */
   private def appendCommit(spark: SparkSession, tablePath: String,
       rows: DataFrame, content: Int, equalityIds: Seq[Int],
-      dataDir: Option[String] = None): Unit = {
+      dataDir: Option[String] = None, replace: Boolean = false): Unit = {
     val (version, m) = currentMeta(spark, tablePath)
     val now = System.currentTimeMillis()
     val snapshotId = m.lastSequenceNumber + 1
@@ -146,9 +166,11 @@ object IcebergDeletes {
           equalityIds = equalityIds)
       })
 
-    val carried = m.currentSnapshot
-      .map(s => IcebergManifests.readManifestListRecords(s.manifestList))
-      .getOrElse(Nil)
+    val carried =
+      if (replace) Nil
+      else m.currentSnapshot
+        .map(s => IcebergManifests.readManifestListRecords(s.manifestList))
+        .getOrElse(Nil)
     val listPath = s"$mdir/snap-$snapshotId-manifest-list.avro"
     IcebergManifests.writeManifestListRecords(listPath, carried,
       Seq(IcebergManifests.ManifestSummary(manifestPath, len, snapshotId,

@@ -704,4 +704,80 @@ object SyncQueries {
       |  SELECT n_nationkey FROM nation WHERE n_nationkey % 3 <> 0
       |  UNION ALL
       |  SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0)""".stripMargin
+
+  /** The full MOR-table remedy pipeline: position + equality deletes on
+    * an Iceberg table, `rewriteWithDeletes` compaction (purges delete
+    * files into a REPLACE snapshot), then the previously-refused
+    * file-level path works again — sync to Delta and read through
+    * `format("graft")`. Sorted single data file makes position ==
+    * rank(n_nationkey) for the oracle.
+    */
+  def icebergCompactSync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parquetDir = Files.createTempDirectory("graft_icecmp_src").toString
+    s.read.parquet(s"$dir/nation.parquet")
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .write.mode("overwrite").parquet(parquetDir)
+    val table = Files.createTempDirectory("graft_icecmp_tbl").toString
+    val src = new ParquetDirectorySource(s, parquetDir, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val f = new graft.formats.iceberg.IcebergConversionSource(s, table,
+      "nation").currentSnapshot().files.collect()(0)
+    graft.formats.iceberg.IcebergDeletes.appendPositionDeletes(s, table,
+      Seq((f.path, 1L)).toDF("file_path", "pos"))
+    graft.formats.iceberg.IcebergDeletes.appendEqualityDeletes(s, table,
+      s.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_nationkey") % 3 === 0).select("n_nationkey"),
+      Seq("n_nationkey"))
+    require(graft.formats.iceberg.IcebergDeletes
+      .rewriteWithDeletes(s, table), "compaction should have rewritten")
+    val compacted = new graft.formats.iceberg.IcebergConversionSource(
+      s, table, "nation")
+    val deltaDir = Files.createTempDirectory("graft_icecmp_delta").toString
+    val out2 = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(s, deltaDir)),
+      compacted.currentSnapshot(), compacted.sourceFormat)
+    require(out2.forall(_.status == "SUCCESS"), out2.mkString(";"))
+    s.read.format("graft").load(deltaDir)
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val icebergCompactSyncSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM (SELECT n_nationkey,
+      |        row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+      |      FROM nation)
+      |WHERE pos <> 1 AND n_nationkey % 3 <> 0""".stripMargin
+
+  /** Iceberg time travel: region synced at sequence 1, a distinct copy
+    * appended at sequence 2; `snapshotAt(1)` must still see exactly the
+    * original rows while the latest read sees both.
+    */
+  def timeTravelIceberg(s: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_tt_ice").toString
+    val src = new ParquetDirectorySource(s, s"$dir/region.parquet", "region")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val copyDir = Files.createTempDirectory("graft_tt_ice_copy").toString
+    s.read.parquet(s"$dir/region.parquet")
+      .write.mode("overwrite").parquet(copyDir)
+    graft.formats.iceberg.IcebergDeletes.appendDataFiles(s, table, copyDir)
+    val iceSrc = new graft.formats.iceberg.IcebergConversionSource(
+      s, table, "region")
+    val v1 = graft.formats.delta.DeltaRead
+      .toDataFrame(s, iceSrc.snapshotAt(1L))
+      .agg(count(lit(1)).as("v1_rows"))
+    val latest = iceSrc.toDataFrame.agg(count(lit(1)).as("latest_rows"))
+    v1.crossJoin(latest)
+  }
+
+  val timeTravelIcebergSql: String =
+    """SELECT count(*) AS v1_rows, 2*count(*) AS latest_rows FROM region""".stripMargin
 }

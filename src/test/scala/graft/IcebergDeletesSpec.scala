@@ -172,6 +172,29 @@ class IcebergDeletesSpec extends SparkSuite {
     assert(got.toSeq == all.drop(2).dropRight(1).toSeq)
   }
 
+  test("rewriteWithDeletes purges deletes and reopens file-level paths") {
+    val (table, dataFile, n) = freshTable()
+    IcebergDeletes.appendPositionDeletes(spark, table,
+      Seq((dataFile, 0L)).toDF("file_path", "pos"))
+    val all = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    IcebergDeletes.appendEqualityDeletes(spark, table,
+      all.filter(col("n_nationkey") % 3 === 0).select("n_nationkey"),
+      Seq("n_nationkey"))
+    val src = new IcebergConversionSource(spark, table, "nation")
+    val expectRows = src.toDataFrame.count()
+    intercept[DeletionVectorsUnsupported](src.currentSnapshot())
+
+    assert(IcebergDeletes.rewriteWithDeletes(spark, table))
+    // file-level surfaces work again and see the delete-applied rows
+    val snap = new IcebergConversionSource(spark, table, "nation")
+      .currentSnapshot()
+    assert(snap.files.collect().forall(_.path.contains("/data/compact-")))
+    assert(spark.read.format("graft").load(table).count() == expectRows)
+    assert(expectRows < n)
+    // idempotent: nothing left to rewrite
+    assert(!IcebergDeletes.rewriteWithDeletes(spark, table))
+  }
+
   test("delete-free tables are unaffected end-to-end") {
     val (table, _, n) = freshTable()
     val src = new IcebergConversionSource(spark, table, "nation")
