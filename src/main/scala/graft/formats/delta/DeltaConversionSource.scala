@@ -148,11 +148,15 @@ object DeltaRead {
     * `_metadata` column — no driver-side materialization of positions.
     */
   private def applyDeletionVectors(spark: SparkSession, snap: TableSnapshot,
-      df: DataFrame): DataFrame = {
+      df: DataFrame, keepKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    def withKeys(d: DataFrame): DataFrame = d
+      .withColumn("__scan_path",
+        graft.util.PathCols.scanPath(col("_metadata.file_path")))
+      .withColumn("__scan_pos", col("_metadata.row_index"))
     val summary = liveDvSummary(snap)
-    if (summary.files == 0L) return df
+    if (summary.files == 0L) return if (keepKeys) withKeys(df) else df
     val tablePath = snap.table.basePath
     // executor tasks open DV files through the session's Hadoop settings
     // (object-store credentials, endpoints) — never a default Configuration
@@ -166,20 +170,28 @@ object DeltaRead {
     // `_metadata.file_path` is URI-encoded (with or without a scheme):
     // scheme-strip AND %-decode so the key matches the listing side's
     // PathUtils.canonical form (space / percent in partition dirs)
-    val keyed = df
-      .withColumn("__scan_path",
-        graft.util.PathCols.scanPath(col("_metadata.file_path")))
-      .withColumn("__scan_pos", col("_metadata.row_index"))
+    val keyed = withKeys(df)
     val right =
       if (summary.joinKeyBytes <= BroadcastDvBytes) broadcast(deleted)
       else deleted
-    keyed.join(right,
-        keyed("__scan_path") === right("__dv_path") &&
-          keyed("__scan_pos") === right("__dv_pos"), "left_anti")
-      .drop("__scan_path", "__scan_pos")
+    val masked = keyed.join(right,
+      keyed("__scan_path") === right("__dv_path") &&
+        keyed("__scan_pos") === right("__dv_pos"), "left_anti")
+    if (keepKeys) masked else masked.drop("__scan_path", "__scan_pos")
   }
 
-  def toDataFrame(spark: SparkSession, snap: TableSnapshot): DataFrame = {
+  def toDataFrame(spark: SparkSession, snap: TableSnapshot): DataFrame =
+    toDataFrameImpl(spark, snap, keepKeys = false)
+
+  /** [[toDataFrame]] plus each live row's (file, position) key —
+    * `__scan_path` (canonical path) and `__scan_pos` (row index) — for
+    * row-level write operations ([[DeltaDeletes.deleteWhere]]).
+    */
+  def toKeyedDataFrame(spark: SparkSession, snap: TableSnapshot): DataFrame =
+    toDataFrameImpl(spark, snap, keepKeys = true)
+
+  private def toDataFrameImpl(spark: SparkSession, snap: TableSnapshot,
+      keepKeys: Boolean): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import org.apache.spark.sql.functions.col
@@ -203,13 +215,14 @@ object DeltaRead {
     val relation = HadoopFsRelation(index, index.partitionSchema,
       index.dataSchema, None, new ParquetFileFormat, Map.empty)(cs)
     val df = cs.baseRelationToDataFrame(relation)
-    val masked = applyDeletionVectors(spark, scanSnap, df)
+    val masked = applyDeletionVectors(spark, scanSnap, df, keepKeys)
     if (!mapped) masked
     else masked.select(schema.fields.toSeq.map { f =>
       if (partCols.contains(f.name)) col(f.name)
       // positional struct cast renames nested physical fields back to
       // their logical names at every level in one expression
       else col(DeltaColumnMapping.physicalName(f)).cast(f.dataType).as(f.name)
-    }: _*)
+    } ++ (if (keepKeys) Seq(col("__scan_path"), col("__scan_pos"))
+          else Nil): _*)
   }
 }

@@ -1,0 +1,121 @@
+package graft.formats.delta
+
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{DvDescriptor, FileEntry}
+import graft.util.{HadoopConfs, Jsons, PathUtils}
+
+/** Row-level DELETE on a Delta table via deletion vectors (PROTOCOL.md
+  * §Deletion Vectors) — the write-side twin of the DV-applying read. No
+  * data file is rewritten: each affected file gets ONE new DV holding
+  * the union of its previous DV (if any) and the newly matching rows,
+  * and the commit replaces the file's `add` (remove + add-with-DV, both
+  * dataChange) while upgrading the protocol to
+  * readerFeatures=[deletionVectors], the same action shape delta-spark
+  * writes for a DV DELETE.
+  *
+  * Scale shape: matching rows and prior DV positions stay distributed;
+  * one executor task per affected file builds and writes that file's
+  * bitmap; only the per-file descriptors (O(affected files)) reach the
+  * driver, which authors the commit JSON — the same bound as every
+  * other commit writer in the engine.
+  */
+object DeltaDeletes {
+
+  /** Delete every live row matching `predicate`; returns the number of
+    * newly deleted rows (0 = no match, no commit written).
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: Column): Long = {
+    import spark.implicits._
+    val src = new DeltaConversionSource(spark, tablePath,
+      PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
+    val snap = src.currentSnapshot()
+    val tp = snap.table.basePath
+    val bconf = HadoopConfs.broadcastSession(spark)
+
+    // (file, position) of live rows matching the predicate — existing DV
+    // positions are already masked out by the keyed read
+    val hits = DeltaRead.toKeyedDataFrame(spark, snap)
+      .filter(predicate)
+      .select(col("__scan_path"), col("__scan_pos"))
+      .as[(String, Long)]
+    val affectedPaths = hits.toDF("path", "pos").select("path").distinct()
+
+    // prior DV positions of the affected files (the new DV must hold the
+    // UNION — the new add replaces the old one wholesale)
+    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+    val prior = listing
+      .join(affectedPaths.withColumnRenamed("path", "__ap"),
+        col("path") === col("__ap"), "left_semi")
+      .filter(col("deletionVector").isNotNull)
+      .as[FileEntry]
+      .flatMap(f => DeletionVectors.deletedPositions(bconf.value.value, tp,
+        f.deletionVector.get).map(p => (f.path, p)))
+
+    // one bitmap + DV file per affected data file, written executor-side
+    val newDvs: Map[String, DvDescriptor] = hits.union(prior)
+      .groupByKey(_._1)
+      .mapGroups { (path, it) =>
+        val positions = it.map(_._2).toArray.sorted.toSeq
+        val d = DeletionVectors.writeDvFile(bconf.value.value, tp, "",
+          UUID.randomUUID(), Seq(positions)).head
+        (path, d)
+      }.collect().toMap
+    if (newDvs.isEmpty) return 0L
+
+    val affected: Seq[FileEntry] = listing
+      .join(affectedPaths.withColumnRenamed("path", "__ap"),
+        col("path") === col("__ap"), "left_semi")
+      .as[FileEntry].collect().toIndexedSeq
+    val nDeleted = newDvs.values.map(_.cardinality).sum -
+      affected.flatMap(_.deletionVector).map(_.cardinality).sum
+
+    val now = System.currentTimeMillis()
+    val schema = snap.table.schema
+    val header = Iterator(
+      // DVs require the table-features protocol with the reader feature
+      // flagged (PROTOCOL.md §Deletion Vectors)
+      Jsons.toJson(Map("protocol" -> Map(
+        "minReaderVersion" -> 3, "minWriterVersion" -> 7,
+        "readerFeatures" -> Seq("deletionVectors"),
+        "writerFeatures" -> Seq("deletionVectors")))),
+      Jsons.toJson(Map("commitInfo" -> Map(
+        "timestamp" -> now, "operation" -> "DELETE",
+        "operationParameters" -> Map.empty))))
+    val lines = affected.iterator.flatMap { fe =>
+      val d = newDvs(fe.path)
+      val rel = PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path))
+      Iterator(
+        Jsons.toJson(Map("add" -> Map(
+          "path" -> rel,
+          "partitionValues" -> fe.partitionValues
+            .map(p => p.field -> p.value).toMap,
+          "size" -> fe.fileSizeBytes,
+          "modificationTime" -> fe.lastModifiedMillis,
+          "dataChange" -> true,
+          "stats" -> DeltaStats.toJson(schema, fe.recordCount, fe.columnStats),
+          "deletionVector" -> Map(
+            "storageType" -> d.storageType,
+            "pathOrInlineDv" -> d.pathOrInlineDv,
+            "offset" -> d.offset,
+            "sizeInBytes" -> d.sizeInBytes,
+            "cardinality" -> d.cardinality)))),
+        Jsons.toJson(Map("remove" -> Map(
+          "path" -> rel,
+          "deletionTimestamp" -> now,
+          "dataChange" -> true))))
+    }
+
+    val conf = HadoopConfs.session(spark)
+    val version = DeltaLog.listVersions(tablePath, conf).last + 1
+    val ok = DeltaLog.writeCommit(tablePath, version, header ++ lines)
+    if (!ok) throw new IllegalStateException(
+      s"concurrent writer committed version $version first at $tablePath")
+    graft.plans.SnapshotFileIndex.invalidate(snap)
+    nDeleted
+  }
+}

@@ -780,4 +780,32 @@ object SyncQueries {
 
   val timeTravelIcebergSql: String =
     """SELECT count(*) AS v1_rows, 2*count(*) AS latest_rows FROM region""".stripMargin
+
+  /** Row-level DELETE on a Delta table via deletion vectors — the
+    * write-side twin of the DV-applying read. Two DELETE commits prove
+    * the per-file DV union (the second add replaces the first DV
+    * wholesale); the delete-aware read serves the surviving rows.
+    */
+  def deltaDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_delta_delw").toString
+    val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    graft.formats.delta.DeltaDeletes.deleteWhere(s, table,
+      col("n_nationkey") % 3 === 0)
+    graft.formats.delta.DeltaDeletes.deleteWhere(s, table,
+      col("n_nationkey") % 5 === 0)
+    new graft.formats.delta.DeltaConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val deltaDeleteWhereSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation
+      |WHERE n_nationkey % 3 <> 0 AND n_nationkey % 5 <> 0""".stripMargin
 }

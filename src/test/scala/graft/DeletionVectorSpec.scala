@@ -254,4 +254,41 @@ class DeletionVectorSpec extends SparkSuite {
     assert(fromCat.sourceFormat == "PARQUET")
     graft.sync.CatalogSync.dropTable(spark, fq)
   }
+
+  test("deleteWhere writes DVs that union across commits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = tmpDir("dv_delete_where")
+    val src = new graft.sources.ParquetDirectorySource(spark,
+      sf("sf0.001/nation.parquet"), "nation")
+    TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    val keys = spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .select("n_nationkey").as[Long].collect().toSeq
+
+    val n1 = DeltaDeletes.deleteWhere(spark, table,
+      col("n_nationkey") % 3 === 0)
+    assert(n1 == keys.count(_ % 3 == 0).toLong)
+    def readKeys() = new DeltaConversionSource(spark, table, "nation")
+      .toDataFrame.select("n_nationkey").as[Long].collect().sorted.toSeq
+    assert(readKeys() == keys.filter(_ % 3 != 0).sorted)
+
+    // second DELETE: the file's new DV must hold the UNION of both
+    val n2 = DeltaDeletes.deleteWhere(spark, table,
+      col("n_nationkey") % 5 === 0)
+    assert(n2 == keys.count(k => k % 5 == 0 && k % 3 != 0).toLong)
+    assert(readKeys() == keys.filter(k => k % 3 != 0 && k % 5 != 0).sorted)
+
+    // the 1:1 relation refuses while DVs are live — phantom-row guard
+    intercept[graft.model.DeletionVectorsUnsupported](
+      spark.read.format("graft").load(table).count())
+
+    // no match → no commit
+    val before = DeltaLog.listVersions(table,
+      graft.util.HadoopConfs.session(spark))
+    assert(DeltaDeletes.deleteWhere(spark, table, lit(false)) == 0L)
+    assert(DeltaLog.listVersions(table,
+      graft.util.HadoopConfs.session(spark)) == before)
+  }
 }
