@@ -808,4 +808,45 @@ object SyncQueries {
       |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation
       |WHERE n_nationkey % 3 <> 0 AND n_nationkey % 5 <> 0""".stripMargin
+
+  /** Schema evolution through incremental sync (the reference's
+    * add-column scenario, ITConversionController §schema-add-column):
+    * commit 1 syncs region as-is; commit 2 adds files carrying a NEW
+    * `extra` column (r_regionkey·10). The target's schema must evolve
+    * and the unified reader must serve old files with NULL `extra` —
+    * so `cnt` counts both commits but `n_extra`/`sum_extra` only the
+    * evolved files.
+    */
+  def syncSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = Files.createTempDirectory("graft_evo_data").toString
+    val target = Files.createTempDirectory("graft_evo_delta").toString
+    Files.copy(Paths.get(s"$dir/region.parquet"),
+      Paths.get(dataDir, "f1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Paths.get(dataDir, "f1.parquet").toFile.setLastModified(1000000L)
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(s, dataDir, "region")
+    controller.sync(src, Seq(new DeltaConversionTarget(s, target)))
+
+    val stage = Files.createTempDirectory("graft_evo_stage").toString
+    s.read.parquet(s"$dir/region.parquet")
+      .withColumn("extra", col("r_regionkey") * 10)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(dataDir, "f2.parquet"))
+    Paths.get(dataDir, "f2.parquet").toFile.setLastModified(2000000L)
+    controller.sync(src, Seq(new DeltaConversionTarget(s, target)))
+
+    s.read.format("graft").load(target)
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        count(col("extra")).cast("long").as("n_extra"),
+        sum(col("extra")).cast("long").as("sum_extra"))
+  }
+
+  val syncSchemaEvolutionSql: String =
+    """SELECT CAST(2*count(*) AS BIGINT) AS cnt,
+      |  CAST(count(*) AS BIGINT) AS n_extra,
+      |  CAST(10*sum(r_regionkey) AS BIGINT) AS sum_extra
+      |FROM region""".stripMargin
 }

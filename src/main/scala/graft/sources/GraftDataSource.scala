@@ -16,7 +16,8 @@ import graft.plans.SnapshotFileIndex
   * skipping come from the metadata plane, not path listing.
   *
   * Options:
-  *  - `versionAsOf` (Delta only): time travel to a historical version.
+  *  - `versionAsOf` (Delta version / Iceberg sequence number): time
+  *    travel to a historical snapshot.
   *
   * Registered as a Spark `DataSourceRegister` (shortName "graft") so
   * `USING graft` also works in catalog DDL.
@@ -37,8 +38,11 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
       case Some(v) => source match {
         case d: graft.formats.delta.DeltaConversionSource =>
           d.snapshotAt(v.toLong)
+        case i: graft.formats.iceberg.IcebergConversionSource =>
+          i.snapshotAt(v.toLong)
         case other => throw new IllegalArgumentException(
-          s"versionAsOf is Delta-only; ${other.sourceFormat} " +
+          s"versionAsOf needs a versioned metadata plane (Delta version " +
+            s"or Iceberg sequence number); ${other.sourceFormat} " +
             "tables time-travel through their own source API")
       }
       case None => source.currentSnapshot()

@@ -62,6 +62,24 @@ class GraftDataSourceSpec extends SparkSuite {
     assert(latest == 2 * v0 && v0 > 0, s"v0=$v0 latest=$latest")
   }
 
+  test("versionAsOf time-travels Iceberg sequence numbers too") {
+    val target = tmpDir("gds_tt_ice")
+    val src = new ParquetDirectorySource(spark,
+      sf("sf0.001/region.parquet"), "region")
+    TableFormatSync.syncSnapshot(Seq(
+      new graft.formats.iceberg.IcebergConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    val copyDir = tmpDir("gds_tt_ice_copy")
+    spark.read.parquet(sf("sf0.001/region.parquet"))
+      .write.mode("overwrite").parquet(copyDir)
+    graft.formats.iceberg.IcebergDeletes.appendDataFiles(spark, target,
+      copyDir)
+    val latest = spark.read.format("graft").load(target).count()
+    val v1 = spark.read.format("graft")
+      .option("versionAsOf", "1").load(target).count()
+    assert(latest == 2 * v1 && v1 > 0, s"v1=$v1 latest=$latest")
+  }
+
   test("filters push into the metadata-plane scan") {
     val target = tmpDir("gds_push")
     val src = new ParquetDirectorySource(

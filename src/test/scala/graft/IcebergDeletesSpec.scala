@@ -195,6 +195,20 @@ class IcebergDeletesSpec extends SparkSuite {
     assert(!IcebergDeletes.rewriteWithDeletes(spark, table))
   }
 
+  test("delete-aware read plans as broadcast anti-joins, no sort-merge") {
+    val (table, dataFile, _) = freshTable()
+    IcebergDeletes.appendPositionDeletes(spark, table,
+      Seq((dataFile, 0L)).toDF("file_path", "pos"))
+    IcebergDeletes.appendEqualityDeletes(spark, table,
+      Seq(7L).toDF("n_nationkey"), Seq("n_nationkey"))
+    val df = new IcebergConversionSource(spark, table, "nation").toDataFrame
+    val plan = df.queryExecution.executedPlan.toString
+    val anti = "LeftAnti".r.findAllIn(plan).size
+    assert(anti >= 2, s"expected pos+eq anti-joins, got $anti:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("delete-free tables are unaffected end-to-end") {
     val (table, _, n) = freshTable()
     val src = new IcebergConversionSource(spark, table, "nation")
