@@ -2,34 +2,98 @@ package graft.formats.delta
 
 import java.util.UUID
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{DvDescriptor, FileEntry}
 import graft.util.{HadoopConfs, Jsons, PathUtils}
 
-/** Row-level DELETE on a Delta table via deletion vectors (PROTOCOL.md
-  * §Deletion Vectors) — the write-side twin of the DV-applying read. No
-  * data file is rewritten: each affected file gets ONE new DV holding
-  * the union of its previous DV (if any) and the newly matching rows,
-  * and the commit replaces the file's `add` (remove + add-with-DV, both
-  * dataChange) while upgrading the protocol to
-  * readerFeatures=[deletionVectors], the same action shape delta-spark
-  * writes for a DV DELETE.
+/** Row-level DELETE and UPDATE on a Delta table via deletion vectors
+  * (PROTOCOL.md §Deletion Vectors) — the write-side twin of the
+  * DV-applying read. No matched data file is rewritten: each affected
+  * file gets ONE new DV holding the union of its previous DV (if any)
+  * and the newly matching rows, and the commit replaces the file's `add`
+  * (remove + add-with-DV, both dataChange) while upgrading the protocol
+  * to readerFeatures=[deletionVectors] — the same action shape
+  * delta-spark writes. UPDATE additionally lands the re-written matching
+  * rows as NEW data files in the same commit, so the table never shows a
+  * state with the rows missing.
   *
   * Scale shape: matching rows and prior DV positions stay distributed;
   * one executor task per affected file builds and writes that file's
-  * bitmap; only the per-file descriptors (O(affected files)) reach the
-  * driver, which authors the commit JSON — the same bound as every
-  * other commit writer in the engine.
+  * bitmap; UPDATE's new rows are a plain distributed parquet write. Only
+  * per-file descriptors/footers (O(affected files)) reach the driver,
+  * which authors the commit JSON — the same bound as every other commit
+  * writer in the engine.
   */
 object DeltaDeletes {
+
+  private case class DeletePlan(snap: graft.model.TableSnapshot,
+      affected: Seq[FileEntry], newDvs: Map[String, DvDescriptor],
+      nDeleted: Long)
 
   /** Delete every live row matching `predicate`; returns the number of
     * newly deleted rows (0 = no match, no commit written).
     */
   def deleteWhere(spark: SparkSession, tablePath: String,
-      predicate: Column): Long = {
+      predicate: Column): Long =
+    planDelete(spark, tablePath, predicate) match {
+      case None => 0L
+      case Some(plan) =>
+        commit(spark, tablePath, plan, "DELETE", Iterator.empty)
+        plan.nDeleted
+    }
+
+  /** Update every live row matching `predicate`: the old rows are masked
+    * by DVs and the re-written rows (each `assignments` column replaced)
+    * land as new data files — ONE commit, so readers never observe the
+    * rows missing. Returns the number of updated rows.
+    */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      predicate: Column, assignments: Map[String, Column]): Long = {
+    require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")
+    planDelete(spark, tablePath, predicate) match {
+      case None => 0L
+      case Some(plan) =>
+        require(plan.snap.table.partitionFields.isEmpty,
+          "updateWhere writes unpartitioned replacement files; " +
+            "partitioned tables need partition-aware placement (delete " +
+            "+ re-insert through the sync path instead)")
+        val tp = plan.snap.table.basePath
+        val schema = plan.snap.table.schema
+        val unknown = assignments.keySet -- schema.fieldNames.toSet
+        require(unknown.isEmpty, s"unknown update columns: $unknown")
+        val dataDir = s"$tp/update-${UUID.randomUUID()}"
+        DeltaRead.toKeyedDataFrame(spark, plan.snap)
+          .filter(predicate)
+          .select(schema.fieldNames.toSeq.map { f =>
+            assignments.get(f).map(_.as(f)).getOrElse(col(f))
+          }: _*)
+          .write.parquet(dataDir)
+        val conf = HadoopConfs.session(spark)
+        val now = System.currentTimeMillis()
+        val newAdds = graft.sources.ParquetFooters.listFiles(dataDir, conf)
+          .iterator.map { f =>
+            val (rows, _) = graft.sources.ParquetFooters.readFooterStats(
+              f.path, conf, Some(Set.empty))
+            Jsons.toJson(Map("add" -> Map(
+              "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
+              "partitionValues" -> Map.empty,
+              "size" -> f.length,
+              "modificationTime" -> f.modifiedMillis,
+              "dataChange" -> true,
+              "stats" -> DeltaStats.toJson(schema, rows, Nil))))
+          }
+        commit(spark, tablePath, plan, "UPDATE", newAdds)
+        plan.nDeleted
+    }
+  }
+
+  /** Compute the per-file union DVs for rows matching `predicate`; None
+    * when nothing matches.
+    */
+  private def planDelete(spark: SparkSession, tablePath: String,
+      predicate: Column): Option[DeletePlan] = {
     import spark.implicits._
     val src = new DeltaConversionSource(spark, tablePath,
       PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
@@ -65,7 +129,7 @@ object DeltaDeletes {
           UUID.randomUUID(), Seq(positions)).head
         (path, d)
       }.collect().toMap
-    if (newDvs.isEmpty) return 0L
+    if (newDvs.isEmpty) return None
 
     val affected: Seq[FileEntry] = listing
       .join(affectedPaths.withColumnRenamed("path", "__ap"),
@@ -73,9 +137,15 @@ object DeltaDeletes {
       .as[FileEntry].collect().toIndexedSeq
     val nDeleted = newDvs.values.map(_.cardinality).sum -
       affected.flatMap(_.deletionVector).map(_.cardinality).sum
+    Some(DeletePlan(snap, affected, newDvs, nDeleted))
+  }
 
+  private def commit(spark: SparkSession, tablePath: String,
+      plan: DeletePlan, operation: String,
+      extraLines: Iterator[String]): Unit = {
+    val tp = plan.snap.table.basePath
     val now = System.currentTimeMillis()
-    val schema = snap.table.schema
+    val schema = plan.snap.table.schema
     val header = Iterator(
       // DVs require the table-features protocol with the reader feature
       // flagged (PROTOCOL.md §Deletion Vectors)
@@ -84,10 +154,10 @@ object DeltaDeletes {
         "readerFeatures" -> Seq("deletionVectors"),
         "writerFeatures" -> Seq("deletionVectors")))),
       Jsons.toJson(Map("commitInfo" -> Map(
-        "timestamp" -> now, "operation" -> "DELETE",
+        "timestamp" -> now, "operation" -> operation,
         "operationParameters" -> Map.empty))))
-    val lines = affected.iterator.flatMap { fe =>
-      val d = newDvs(fe.path)
+    val dvLines = plan.affected.iterator.flatMap { fe =>
+      val d = plan.newDvs(fe.path)
       val rel = PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path))
       Iterator(
         Jsons.toJson(Map("add" -> Map(
@@ -112,10 +182,10 @@ object DeltaDeletes {
 
     val conf = HadoopConfs.session(spark)
     val version = DeltaLog.listVersions(tablePath, conf).last + 1
-    val ok = DeltaLog.writeCommit(tablePath, version, header ++ lines)
+    val ok = DeltaLog.writeCommit(tablePath, version,
+      header ++ dvLines ++ extraLines)
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed version $version first at $tablePath")
-    graft.plans.SnapshotFileIndex.invalidate(snap)
-    nDeleted
+    graft.plans.SnapshotFileIndex.invalidate(plan.snap)
   }
 }

@@ -849,4 +849,30 @@ object SyncQueries {
       |  CAST(count(*) AS BIGINT) AS n_extra,
       |  CAST(10*sum(r_regionkey) AS BIGINT) AS sum_extra
       |FROM region""".stripMargin
+
+  /** Row-level UPDATE via deletion vectors: old rows masked, re-written
+    * rows landed as new files, ONE commit. The oracle recomputes the
+    * CASE expression exactly.
+    */
+  def deltaUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_delta_updw").toString
+    val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    graft.formats.delta.DeltaDeletes.updateWhere(s, table,
+      col("n_nationkey") % 4 === 0,
+      Map("n_nationkey" -> (col("n_nationkey") + 1000)))
+    new graft.formats.delta.DeltaConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val deltaUpdateWhereSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CASE WHEN n_nationkey % 4 = 0 THEN n_nationkey + 1000
+      |               ELSE n_nationkey END) AS BIGINT) AS sum_key
+      |FROM nation""".stripMargin
 }

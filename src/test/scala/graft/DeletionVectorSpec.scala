@@ -291,4 +291,39 @@ class DeletionVectorSpec extends SparkSuite {
     assert(DeltaLog.listVersions(table,
       graft.util.HadoopConfs.session(spark)) == before)
   }
+
+  test("updateWhere rewrites matching rows in one commit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = tmpDir("dv_update_where")
+    val src = new graft.sources.ParquetDirectorySource(spark,
+      sf("sf0.001/nation.parquet"), "nation")
+    TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    val keys = spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .select("n_nationkey").as[Long].collect().toSeq
+
+    val versionsBefore = DeltaLog.listVersions(table,
+      graft.util.HadoopConfs.session(spark)).size
+    val n = DeltaDeletes.updateWhere(spark, table,
+      col("n_nationkey") % 4 === 0,
+      Map("n_nationkey" -> (col("n_nationkey") + 1000)))
+    assert(n == keys.count(_ % 4 == 0).toLong)
+    // exactly ONE commit for mask + re-insert
+    assert(DeltaLog.listVersions(table,
+      graft.util.HadoopConfs.session(spark)).size == versionsBefore + 1)
+
+    def readKeys() = new DeltaConversionSource(spark, table, "nation")
+      .toDataFrame.select("n_nationkey").as[Long].collect().sorted.toSeq
+    val want = keys.map(k => if (k % 4 == 0) k + 1000 else k).sorted
+    assert(readKeys() == want)
+
+    // a second update hits rows living in the UPDATE-written file
+    val n2 = DeltaDeletes.updateWhere(spark, table,
+      col("n_nationkey") >= 1000,
+      Map("n_nationkey" -> (col("n_nationkey") - 1000)))
+    assert(n2 == n)
+    assert(readKeys() == keys.sorted)
+  }
 }
