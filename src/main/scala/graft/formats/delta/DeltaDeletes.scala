@@ -55,38 +55,104 @@ object DeltaDeletes {
     planDelete(spark, tablePath, predicate) match {
       case None => 0L
       case Some(plan) =>
-        require(plan.snap.table.partitionFields.isEmpty,
-          "updateWhere writes unpartitioned replacement files; " +
-            "partitioned tables need partition-aware placement (delete " +
-            "+ re-insert through the sync path instead)")
-        val tp = plan.snap.table.basePath
+        requireUnpartitioned(plan.snap, "updateWhere")
         val schema = plan.snap.table.schema
         val unknown = assignments.keySet -- schema.fieldNames.toSet
         require(unknown.isEmpty, s"unknown update columns: $unknown")
-        val dataDir = s"$tp/update-${UUID.randomUUID()}"
-        DeltaRead.toKeyedDataFrame(spark, plan.snap)
+        val rewritten = DeltaRead.toKeyedDataFrame(spark, plan.snap)
           .filter(predicate)
           .select(schema.fieldNames.toSeq.map { f =>
             assignments.get(f).map(_.as(f)).getOrElse(col(f))
           }: _*)
-          .write.parquet(dataDir)
-        val conf = HadoopConfs.session(spark)
-        val now = System.currentTimeMillis()
-        val newAdds = graft.sources.ParquetFooters.listFiles(dataDir, conf)
-          .iterator.map { f =>
-            val (rows, _) = graft.sources.ParquetFooters.readFooterStats(
-              f.path, conf, Some(Set.empty))
-            Jsons.toJson(Map("add" -> Map(
-              "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
-              "partitionValues" -> Map.empty,
-              "size" -> f.length,
-              "modificationTime" -> f.modifiedMillis,
-              "dataChange" -> true,
-              "stats" -> DeltaStats.toJson(schema, rows, Nil))))
-          }
+        val newAdds = writeDataFiles(spark, plan.snap, rewritten, "update")
         commit(spark, tablePath, plan, "UPDATE", newAdds)
         plan.nDeleted
     }
+  }
+
+  /** MERGE INTO with upsert semantics — WHEN MATCHED THEN UPDATE SET *,
+    * WHEN NOT MATCHED THEN INSERT * — matching target to `source` on
+    * equality of `keyCols`. Matched target rows are DV-masked and EVERY
+    * source row (updated values and fresh inserts alike) lands as new
+    * data files, all in ONE commit. Like delta-spark, refuses a source
+    * in which two rows carry the same key (the merge would be
+    * ambiguous). Returns (matched, inserted) row counts.
+    *
+    * Scale shape: the match is a key-equality join the optimizer is free
+    * to broadcast (typical CDC batches are small against a 100 TB
+    * target); only matched files are re-described, untouched files'
+    * `add`s are never rewritten.
+    */
+  def mergeInto(spark: SparkSession, tablePath: String, source: DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    import spark.implicits._
+    require(keyCols.nonEmpty, "mergeInto needs >= 1 key column")
+    val src = new DeltaConversionSource(spark, tablePath,
+      PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
+    val snap = src.currentSnapshot()
+    requireUnpartitioned(snap, "mergeInto")
+    val schema = snap.table.schema
+    val missing = schema.fieldNames.toSet -- source.columns.toSet
+    require(missing.isEmpty, s"source lacks table columns: $missing")
+    require(keyCols.forall(schema.fieldNames.contains),
+      s"key columns must exist in the table schema: $keyCols")
+
+    val srcProj = source.select(schema.fieldNames.toSeq.map(col): _*)
+      .persist()
+    try {
+      val srcCount = srcProj.count()
+      if (srcCount == 0L) return (0L, 0L)
+      val dupKeys = srcProj.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        "mergeInto source has duplicate keys — a target row would match " +
+          "more than one source row (same refusal as delta-spark MERGE)")
+
+      // matched live target rows: semi-join the keyed scan against the
+      // source keys (broadcast-able; existing DVs already masked)
+      val hits = DeltaRead.toKeyedDataFrame(spark, snap)
+        .join(srcProj.select(keyCols.map(col): _*), keyCols, "left_semi")
+        .select(col("__scan_path"), col("__scan_pos"))
+        .as[(String, Long)]
+      val plan = planMask(spark, snap, hits)
+        .getOrElse(DeletePlan(snap, Nil, Map.empty, 0L))
+      val newAdds = writeDataFiles(spark, snap, srcProj, "merge")
+      commit(spark, tablePath, plan, "MERGE", newAdds)
+      (plan.nDeleted, srcCount - plan.nDeleted)
+    } finally srcProj.unpersist()
+  }
+
+  private def requireUnpartitioned(snap: graft.model.TableSnapshot,
+      op: String): Unit =
+    require(snap.table.partitionFields.isEmpty,
+      s"$op writes unpartitioned replacement files; partitioned tables " +
+        "need partition-aware placement (delete + re-insert through the " +
+        "sync path instead)")
+
+  /** Distributed parquet write of `df` under a fresh table-local dir;
+    * returns the commit `add` lines (footer row counts, O(new files) on
+    * the driver).
+    */
+  private def writeDataFiles(spark: SparkSession,
+      snap: graft.model.TableSnapshot, df: DataFrame,
+      prefix: String): Iterator[String] = {
+    val tp = snap.table.basePath
+    val schema = snap.table.schema
+    val dataDir = s"$tp/$prefix-${UUID.randomUUID()}"
+    df.write.parquet(dataDir)
+    val conf = HadoopConfs.session(spark)
+    graft.sources.ParquetFooters.listFiles(dataDir, conf)
+      .iterator.map { f =>
+        val (rows, _) = graft.sources.ParquetFooters.readFooterStats(
+          f.path, conf, Some(Set.empty))
+        Jsons.toJson(Map("add" -> Map(
+          "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
+          "partitionValues" -> Map.empty,
+          "size" -> f.length,
+          "modificationTime" -> f.modifiedMillis,
+          "dataChange" -> true,
+          "stats" -> DeltaStats.toJson(schema, rows, Nil))))
+      }
   }
 
   /** Compute the per-file union DVs for rows matching `predicate`; None
@@ -98,15 +164,25 @@ object DeltaDeletes {
     val src = new DeltaConversionSource(spark, tablePath,
       PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
     val snap = src.currentSnapshot()
-    val tp = snap.table.basePath
-    val bconf = HadoopConfs.broadcastSession(spark)
-
     // (file, position) of live rows matching the predicate — existing DV
     // positions are already masked out by the keyed read
     val hits = DeltaRead.toKeyedDataFrame(spark, snap)
       .filter(predicate)
       .select(col("__scan_path"), col("__scan_pos"))
       .as[(String, Long)]
+    planMask(spark, snap, hits)
+  }
+
+  /** Union each hit file's prior DV with its new hit positions and write
+    * one DV file per affected data file (executor-side); None when `hits`
+    * is empty.
+    */
+  private def planMask(spark: SparkSession, snap: graft.model.TableSnapshot,
+      hits: org.apache.spark.sql.Dataset[(String, Long)])
+      : Option[DeletePlan] = {
+    import spark.implicits._
+    val tp = snap.table.basePath
+    val bconf = HadoopConfs.broadcastSession(spark)
     val affectedPaths = hits.toDF("path", "pos").select("path").distinct()
 
     // prior DV positions of the affected files (the new DV must hold the

@@ -875,4 +875,47 @@ object SyncQueries {
       |  CAST(sum(CASE WHEN n_nationkey % 4 = 0 THEN n_nationkey + 1000
       |               ELSE n_nationkey END) AS BIGINT) AS sum_key
       |FROM nation""".stripMargin
+
+  /** MERGE INTO (upsert): matched rows DV-masked and re-written, fresh
+    * rows inserted, ONE commit. The oracle recomputes the merged table
+    * with the same UPDATE-SET-* / INSERT-* semantics.
+    */
+  def deltaMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_delta_merge").toString
+    val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val source = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 500))
+    graft.formats.delta.DeltaDeletes.mergeInto(s, table, source,
+      Seq("n_nationkey"))
+    new graft.formats.delta.DeltaConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        sum(col("n_regionkey")).cast("long").as("sum_region"))
+  }
+
+  val deltaMergeUpsertSql: String =
+    """WITH src AS (
+      |  SELECT n_nationkey, n_name, n_regionkey + 100 AS n_regionkey
+      |  FROM nation WHERE n_nationkey % 3 = 0
+      |  UNION ALL
+      |  SELECT n_nationkey + 500, n_name, n_regionkey
+      |  FROM nation WHERE n_nationkey % 5 = 0
+      |), merged AS (
+      |  SELECT * FROM src
+      |  UNION ALL
+      |  SELECT * FROM nation
+      |  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+      |FROM merged""".stripMargin
 }

@@ -326,4 +326,55 @@ class DeletionVectorSpec extends SparkSuite {
     assert(n2 == n)
     assert(readKeys() == keys.sorted)
   }
+
+  test("mergeInto upserts in one commit and refuses ambiguous sources") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = tmpDir("dv_merge_into")
+    val src = new graft.sources.ParquetDirectorySource(spark,
+      sf("sf0.001/nation.parquet"), "nation")
+    TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+
+    // source: updated values for keys %3==0, fresh keys +500 for %5==0
+    val source = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 500))
+    val versionsBefore = DeltaLog.listVersions(table,
+      graft.util.HadoopConfs.session(spark)).size
+    val (matched, inserted) = DeltaDeletes.mergeInto(spark, table, source,
+      Seq("n_nationkey"))
+    val keys = nation.select("n_nationkey").as[Long].collect().toSeq
+    assert(matched == keys.count(_ % 3 == 0).toLong)
+    assert(inserted == keys.count(_ % 5 == 0).toLong)
+    assert(DeltaLog.listVersions(table,
+      graft.util.HadoopConfs.session(spark)).size == versionsBefore + 1)
+
+    val got = new DeltaConversionSource(spark, table, "nation")
+      .toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val regions = nation.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == keys.size + keys.count(_ % 5 == 0))
+    for ((k, r) <- regions)
+      assert(got(k) == (if (k % 3 == 0) r + 100 else r), s"key $k")
+    for (k <- keys if k % 5 == 0) assert(got(k + 500) == regions(k))
+
+    // a second merge matches rows living in merge-written files (the
+    // filtered source keeps the 9 original %3 keys PLUS inserted key 510)
+    val (m2, i2) = DeltaDeletes.mergeInto(spark, table,
+      source.filter(col("n_nationkey") % 3 === 0), Seq("n_nationkey"))
+    val expectM2 = keys.count(_ % 3 == 0) +
+      keys.count(k => k % 5 == 0 && (k + 500) % 3 == 0)
+    assert(m2 == expectM2 && i2 == 0L)
+
+    // ambiguous source (duplicate keys) is refused, same as delta-spark
+    intercept[IllegalArgumentException] {
+      DeltaDeletes.mergeInto(spark, table,
+        source.unionByName(source), Seq("n_nationkey"))
+    }
+  }
 }
