@@ -235,6 +235,40 @@ object DeletionVectors {
     descriptors.result()
   }
 
+  /** One DV file holding the vectors of MANY data files — the delta-spark
+    * per-task shape: descriptors share the file and differ by `offset`, so
+    * a DELETE touching 10^6 data files writes O(write tasks) DV files,
+    * not 10^6. `groups` streams (dataFilePath, sortedPositions); returns
+    * the (dataFilePath, descriptor) pairs after the file is closed.
+    */
+  def writeDvFileGrouped(conf: Configuration, tablePath: String,
+      prefix: String, uuid: UUID,
+      groups: Iterator[(String, Array[Long])])
+      : Iterator[(String, DvDescriptor)] = {
+    val encoded = prefix + encodeUuid(uuid)
+    val rel = (if (prefix.isEmpty) "" else s"$prefix/") +
+      s"deletion_vector_$uuid.bin"
+    val p = new Path(s"${graft.util.PathUtils.canonical(tablePath)}/$rel")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    val descriptors = Seq.newBuilder[(String, DvDescriptor)]
+    try {
+      out.writeByte(FormatVersion.toInt)
+      var offset = 1
+      groups.foreach { case (dataPath, positions) =>
+        val payload = serializeBitmap(positions.toSeq)
+        val crc = new CRC32(); crc.update(payload)
+        out.writeInt(payload.length)
+        out.write(payload)
+        out.writeInt(crc.getValue.toInt)
+        descriptors += dataPath -> DvDescriptor("u", encoded, offset,
+          payload.length, positions.length.toLong)
+        offset += 4 + payload.length + 4
+      }
+    } finally out.close()
+    descriptors.result().iterator
+  }
+
   /** An inline (`i`) descriptor for the given positions. */
   def inlineDescriptor(positions: Seq[Long]): DvDescriptor = {
     val payload = serializeBitmap(positions)

@@ -2,10 +2,11 @@ package graft.formats.delta
 
 import java.util.UUID
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
-import graft.model.{DvDescriptor, FileEntry}
+import graft.model.{DvDescriptor, FileEntry, Transform}
 import graft.util.{HadoopConfs, Jsons, PathUtils}
 
 /** Row-level DELETE and UPDATE on a Delta table via deletion vectors
@@ -14,23 +15,31 @@ import graft.util.{HadoopConfs, Jsons, PathUtils}
   * file gets ONE new DV holding the union of its previous DV (if any)
   * and the newly matching rows, and the commit replaces the file's `add`
   * (remove + add-with-DV, both dataChange) while upgrading the protocol
-  * to readerFeatures=[deletionVectors] — the same action shape
-  * delta-spark writes. UPDATE additionally lands the re-written matching
-  * rows as NEW data files in the same commit, so the table never shows a
-  * state with the rows missing.
+  * to the table-features form with `deletionVectors` flagged — MERGED
+  * into the table's existing protocol, never replacing it (a replacement
+  * that dropped a live feature would corrupt the table). UPDATE
+  * additionally lands the re-written matching rows as NEW data files in
+  * the same commit, so the table never shows a state with the rows
+  * missing.
   *
   * Scale shape: matching rows and prior DV positions stay distributed;
   * one executor task per affected file builds and writes that file's
-  * bitmap; UPDATE's new rows are a plain distributed parquet write. Only
-  * per-file descriptors/footers (O(affected files)) reach the driver,
-  * which authors the commit JSON — the same bound as every other commit
-  * writer in the engine.
+  * bitmap; UPDATE's new rows are a plain distributed parquet write. The
+  * affected-file set NEVER materializes on the driver: the per-file
+  * descriptors are pinned executor-side (localCheckpoint) and the commit
+  * add/remove lines stream through `toLocalIterator` one partition at a
+  * time — `deleteWhere(lit(true))` on a 10^7-file table holds O(one
+  * partition) on the driver, the same bound as the sync commit writer
+  * (DeltaConversionTarget.scala:108-137).
+  *
+  * Concurrency: the commit version is the PLANNED snapshot's version + 1,
+  * so a writer that lands between planning and commit makes the
+  * atomic-rename CAS fail loudly instead of being silently clobbered.
   */
 object DeltaDeletes {
 
-  private case class DeletePlan(snap: graft.model.TableSnapshot,
-      affected: Seq[FileEntry], newDvs: Map[String, DvDescriptor],
-      nDeleted: Long)
+  private[graft] case class DeletePlan(snap: graft.model.TableSnapshot,
+      masked: Dataset[(FileEntry, DvDescriptor)], nDeleted: Long)
 
   /** Delete every live row matching `predicate`; returns the number of
     * newly deleted rows (0 = no match, no commit written).
@@ -47,7 +56,10 @@ object DeltaDeletes {
   /** Update every live row matching `predicate`: the old rows are masked
     * by DVs and the re-written rows (each `assignments` column replaced)
     * land as new data files — ONE commit, so readers never observe the
-    * rows missing. Returns the number of updated rows.
+    * rows missing. Identity-partitioned tables are supported (replacement
+    * files are routed to their partitions, including rows an assignment
+    * MOVES across partitions); transform-partitioned and column-mapped
+    * tables are refused loudly. Returns the number of updated rows.
     */
   def updateWhere(spark: SparkSession, tablePath: String,
       predicate: Column, assignments: Map[String, Column]): Long = {
@@ -55,7 +67,7 @@ object DeltaDeletes {
     planDelete(spark, tablePath, predicate) match {
       case None => 0L
       case Some(plan) =>
-        requireUnpartitioned(plan.snap, "updateWhere")
+        requireRewritable(plan.snap, "updateWhere")
         val schema = plan.snap.table.schema
         val unknown = assignments.keySet -- schema.fieldNames.toSet
         require(unknown.isEmpty, s"unknown update columns: $unknown")
@@ -90,7 +102,7 @@ object DeltaDeletes {
     val src = new DeltaConversionSource(spark, tablePath,
       PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
     val snap = src.currentSnapshot()
-    requireUnpartitioned(snap, "mergeInto")
+    requireRewritable(snap, "mergeInto")
     val schema = snap.table.schema
     val missing = schema.fieldNames.toSet -- source.columns.toSet
     require(missing.isEmpty, s"source lacks table columns: $missing")
@@ -115,39 +127,62 @@ object DeltaDeletes {
         .select(col("__scan_path"), col("__scan_pos"))
         .as[(String, Long)]
       val plan = planMask(spark, snap, hits)
-        .getOrElse(DeletePlan(snap, Nil, Map.empty, 0L))
+        .getOrElse(DeletePlan(snap, emptyMasked(spark), 0L))
       val newAdds = writeDataFiles(spark, snap, srcProj, "merge")
       commit(spark, tablePath, plan, "MERGE", newAdds)
       (plan.nDeleted, srcCount - plan.nDeleted)
     } finally srcProj.unpersist()
   }
 
-  private def requireUnpartitioned(snap: graft.model.TableSnapshot,
-      op: String): Unit =
-    require(snap.table.partitionFields.isEmpty,
-      s"$op writes unpartitioned replacement files; partitioned tables " +
-        "need partition-aware placement (delete + re-insert through the " +
-        "sync path instead)")
+  private def emptyMasked(spark: SparkSession)
+      : Dataset[(FileEntry, DvDescriptor)] = {
+    import spark.implicits._
+    spark.emptyDataset[(FileEntry, DvDescriptor)]
+  }
 
-  /** Distributed parquet write of `df` under a fresh table-local dir;
-    * returns the commit `add` lines (footer row counts, O(new files) on
-    * the driver).
+  /** Replacement-file writes route rows by the physical partition layout.
+    * Identity transforms ARE the data column (partitionBy handles them);
+    * generated transforms (YEAR/…/BUCKET) and column-mapped tables would
+    * need physical-name/value synthesis — refused loudly, the sync path
+    * is the remedy.
+    */
+  private def requireRewritable(snap: graft.model.TableSnapshot,
+      op: String): Unit = {
+    val nonIdentity =
+      snap.table.partitionFields.filterNot(_.transform == Transform.Value)
+    require(nonIdentity.isEmpty,
+      s"$op supports unpartitioned and identity-partitioned tables; " +
+        s"transform-partitioned fields ${nonIdentity.map(_.sourceField)} " +
+        "need delete + re-insert through the sync path instead")
+    require(!DeltaColumnMapping.isMapped(snap.table.schema),
+      s"$op writes replacement files under logical column names; a " +
+        "column-mapped table stores physical names — rewrite through the " +
+        "sync path instead (reads of column-mapped tables ARE supported)")
+  }
+
+  /** Distributed parquet write of `df` under a fresh table-local dir —
+    * partition-routed when the table is identity-partitioned; returns the
+    * commit `add` lines (footer row counts, O(new files) on the driver).
     */
   private def writeDataFiles(spark: SparkSession,
       snap: graft.model.TableSnapshot, df: DataFrame,
       prefix: String): Iterator[String] = {
     val tp = snap.table.basePath
     val schema = snap.table.schema
+    val partCols = snap.table.partitionFields.map(_.partitionColumnName)
     val dataDir = s"$tp/$prefix-${UUID.randomUUID()}"
-    df.write.parquet(dataDir)
+    if (partCols.isEmpty) df.write.parquet(dataDir)
+    else df.write.partitionBy(partCols: _*).parquet(dataDir)
     val conf = HadoopConfs.session(spark)
     graft.sources.ParquetFooters.listFiles(dataDir, conf)
       .iterator.map { f =>
         val (rows, _) = graft.sources.ParquetFooters.readFooterStats(
           f.path, conf, Some(Set.empty))
+        val partVals = graft.sources.ParquetFooters
+          .partitionValuesFromPath(dataDir, f.path)
         Jsons.toJson(Map("add" -> Map(
           "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
-          "partitionValues" -> Map.empty,
+          "partitionValues" -> partVals.map(p => p.field -> p.value).toMap,
           "size" -> f.length,
           "modificationTime" -> f.modifiedMillis,
           "dataChange" -> true,
@@ -158,7 +193,7 @@ object DeltaDeletes {
   /** Compute the per-file union DVs for rows matching `predicate`; None
     * when nothing matches.
     */
-  private def planDelete(spark: SparkSession, tablePath: String,
+  private[graft] def planDelete(spark: SparkSession, tablePath: String,
       predicate: Column): Option[DeletePlan] = {
     import spark.implicits._
     val src = new DeltaConversionSource(spark, tablePath,
@@ -175,11 +210,15 @@ object DeltaDeletes {
 
   /** Union each hit file's prior DV with its new hit positions and write
     * one DV file per affected data file (executor-side); None when `hits`
-    * is empty.
+    * is empty. The (path → descriptor) result is PINNED with an eager
+    * localCheckpoint: the DV-file writes are side effects of exactly one
+    * execution, so the count aggregate, the emptiness probe and the
+    * commit-line stream all observe the same descriptors — and nothing
+    * proportional to the affected-file count ever reaches the driver.
     */
-  private def planMask(spark: SparkSession, snap: graft.model.TableSnapshot,
-      hits: org.apache.spark.sql.Dataset[(String, Long)])
-      : Option[DeletePlan] = {
+  private[graft] def planMask(spark: SparkSession,
+      snap: graft.model.TableSnapshot,
+      hits: Dataset[(String, Long)]): Option[DeletePlan] = {
     import spark.implicits._
     val tp = snap.table.basePath
     val bconf = HadoopConfs.broadcastSession(spark)
@@ -196,72 +235,144 @@ object DeltaDeletes {
       .flatMap(f => DeletionVectors.deletedPositions(bconf.value.value, tp,
         f.deletionVector.get).map(p => (f.path, p)))
 
-    // one bitmap + DV file per affected data file, written executor-side
-    val newDvs: Map[String, DvDescriptor] = hits.union(prior)
-      .groupByKey(_._1)
-      .mapGroups { (path, it) =>
-        val positions = it.map(_._2).toArray.sorted.toSeq
-        val d = DeletionVectors.writeDvFile(bconf.value.value, tp, "",
-          UUID.randomUUID(), Seq(positions)).head
-        (path, d)
-      }.collect().toMap
+    // one bitmap per affected data file, ONE DV FILE per write task
+    // (delta-spark's shape: descriptors share the file, differ by
+    // offset) — a delete touching 10^6 files writes ~32 DV files. The
+    // spec's random-prefix directory spreads object-store key prefixes.
+    val newDvs: Dataset[(String, DvDescriptor)] = hits.union(prior)
+      .toDF("path", "pos")
+      .repartition(col("path"))
+      .sortWithinPartitions("path", "pos")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        if (!buf.hasNext) Iterator.empty
+        else {
+          val uuid = UUID.randomUUID()
+          val groups = new Iterator[(String, Array[Long])] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): (String, Array[Long]) = {
+              val path = buf.head._1
+              val arr = Array.newBuilder[Long]
+              while (buf.hasNext && buf.head._1 == path)
+                arr += buf.next()._2
+              (path, arr.result())
+            }
+          }
+          DeletionVectors.writeDvFileGrouped(bconf.value.value, tp,
+            uuid.toString.take(2), uuid, groups)
+        }
+      }.localCheckpoint()
     if (newDvs.isEmpty) return None
 
-    val affected: Seq[FileEntry] = listing
-      .join(affectedPaths.withColumnRenamed("path", "__ap"),
-        col("path") === col("__ap"), "left_semi")
-      .as[FileEntry].collect().toIndexedSeq
-    val nDeleted = newDvs.values.map(_.cardinality).sum -
-      affected.flatMap(_.deletionVector).map(_.cardinality).sum
-    Some(DeletePlan(snap, affected, newDvs, nDeleted))
+    val masked: Dataset[(FileEntry, DvDescriptor)] = listing
+      .joinWith(newDvs, listing("path") === newDvs("_1"), "inner")
+      .map { case (fe, (_, d)) => (fe, d) }
+    val agg = masked.toDF("fe", "dv")
+      .agg(coalesce(sum(col("dv.cardinality")), lit(0L)),
+        coalesce(sum(col("fe.deletionVector.cardinality")), lit(0L)))
+      .head()
+    Some(DeletePlan(snap, masked, agg.getLong(0) - agg.getLong(1)))
   }
 
-  private def commit(spark: SparkSession, tablePath: String,
+  /** Implied legacy features when upgrading a pre-table-features protocol
+    * (PROTOCOL.md §Table Features: upgrading MUST enumerate every feature
+    * the old min versions implied, or readers would stop honoring them).
+    */
+  private def legacyReaderFeatures(minReader: Int): Seq[String] =
+    if (minReader >= 2) Seq("columnMapping") else Nil
+
+  private def legacyWriterFeatures(minWriter: Int): Seq[String] = {
+    val ladder = Seq(
+      2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("generatedColumns", "changeDataFeed"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+    ladder.collect { case (v, fs) if minWriter >= v => fs }.flatten
+  }
+
+  /** The table's protocol upgraded to carry `deletionVectors`, merged
+    * with (never replacing) whatever protocol the log already holds.
+    */
+  private def mergedProtocol(spark: SparkSession, tablePath: String,
+      versions: Seq[Long]): Map[String, Any] = {
+    val existing = DeltaSnapshot.protocolInfo(spark, tablePath, versions)
+      .getOrElse(DeltaSnapshot.ProtocolInfo(1, 2, Nil, Nil))
+    val onFeatures = existing.minReaderVersion >= 3
+    val readerF =
+      (if (onFeatures) existing.readerFeatures
+       else legacyReaderFeatures(existing.minReaderVersion)) :+
+        "deletionVectors"
+    val writerF =
+      (if (existing.minWriterVersion >= 7) existing.writerFeatures
+       else legacyWriterFeatures(existing.minWriterVersion)) :+
+        "deletionVectors"
+    Map(
+      "minReaderVersion" -> math.max(existing.minReaderVersion, 3),
+      "minWriterVersion" -> math.max(existing.minWriterVersion, 7),
+      "readerFeatures" -> readerF.distinct.sorted,
+      "writerFeatures" -> writerF.distinct.sorted)
+  }
+
+  private[graft] def commit(spark: SparkSession, tablePath: String,
       plan: DeletePlan, operation: String,
       extraLines: Iterator[String]): Unit = {
+    import spark.implicits._
     val tp = plan.snap.table.basePath
     val now = System.currentTimeMillis()
-    val schema = plan.snap.table.schema
+    val schemaJson = plan.snap.table.schema.json
+    val versions =
+      DeltaLog.listVersions(tablePath, HadoopConfs.session(spark))
+        .filter(_ <= plan.snap.commitId.toLong)
     val header = Iterator(
       // DVs require the table-features protocol with the reader feature
       // flagged (PROTOCOL.md §Deletion Vectors)
-      Jsons.toJson(Map("protocol" -> Map(
-        "minReaderVersion" -> 3, "minWriterVersion" -> 7,
-        "readerFeatures" -> Seq("deletionVectors"),
-        "writerFeatures" -> Seq("deletionVectors")))),
+      Jsons.toJson(Map("protocol" ->
+        mergedProtocol(spark, tablePath, versions))),
       Jsons.toJson(Map("commitInfo" -> Map(
         "timestamp" -> now, "operation" -> operation,
         "operationParameters" -> Map.empty))))
-    val dvLines = plan.affected.iterator.flatMap { fe =>
-      val d = plan.newDvs(fe.path)
-      val rel = PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path))
-      Iterator(
-        Jsons.toJson(Map("add" -> Map(
-          "path" -> rel,
-          "partitionValues" -> fe.partitionValues
-            .map(p => p.field -> p.value).toMap,
-          "size" -> fe.fileSizeBytes,
-          "modificationTime" -> fe.lastModifiedMillis,
-          "dataChange" -> true,
-          "stats" -> DeltaStats.toJson(schema, fe.recordCount, fe.columnStats),
-          "deletionVector" -> Map(
-            "storageType" -> d.storageType,
-            "pathOrInlineDv" -> d.pathOrInlineDv,
-            "offset" -> d.offset,
-            "sizeInBytes" -> d.sizeInBytes,
-            "cardinality" -> d.cardinality)))),
-        Jsons.toJson(Map("remove" -> Map(
-          "path" -> rel,
-          "deletionTimestamp" -> now,
-          "dataChange" -> true))))
+    // add/remove per affected file, authored executor-side and STREAMED
+    // to the commit writer — the driver holds one partition's lines max
+    val dvLines = plan.masked.mapPartitions { it =>
+      val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      it.flatMap { case (fe, d) =>
+        val rel = PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path))
+        Iterator(
+          Jsons.toJson(Map("add" -> Map(
+            "path" -> rel,
+            "partitionValues" -> fe.partitionValues
+              .map(p => p.field -> p.value).toMap,
+            "size" -> fe.fileSizeBytes,
+            "modificationTime" -> fe.lastModifiedMillis,
+            "dataChange" -> true,
+            "stats" -> DeltaStats.toJson(sch, fe.recordCount, fe.columnStats),
+            "deletionVector" -> Map(
+              "storageType" -> d.storageType,
+              "pathOrInlineDv" -> d.pathOrInlineDv,
+              "offset" -> d.offset,
+              "sizeInBytes" -> d.sizeInBytes,
+              "cardinality" -> d.cardinality)))),
+          Jsons.toJson(Map("remove" -> Map(
+            "path" -> rel,
+            "deletionTimestamp" -> now,
+            "dataChange" -> true))))
+      }
     }
+    val dvIt = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(dvLines.toLocalIterator()).asScala
 
-    val conf = HadoopConfs.session(spark)
-    val version = DeltaLog.listVersions(tablePath, conf).last + 1
+    // CAS against the version observed at PLANNING time: a commit that
+    // landed since makes writeCommit fail loudly instead of being
+    // silently clobbered (its adds would have been re-added here)
+    val version = plan.snap.commitId.toLong + 1
     val ok = DeltaLog.writeCommit(tablePath, version,
-      header ++ dvLines ++ extraLines)
+      header ++ dvIt ++ extraLines)
     if (!ok) throw new IllegalStateException(
-      s"concurrent writer committed version $version first at $tablePath")
+      s"concurrent writer committed version $version first at $tablePath " +
+        s"(planned from version ${plan.snap.commitId}) — re-run to retry " +
+        "against the new snapshot")
     graft.plans.SnapshotFileIndex.invalidate(plan.snap)
   }
 }

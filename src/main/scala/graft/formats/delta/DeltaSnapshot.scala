@@ -232,6 +232,44 @@ object DeltaSnapshot {
     }
   }
 
+  /** Full protocol action including table features (PROTOCOL.md §Table
+    * Features): the min versions plus `readerFeatures`/`writerFeatures`
+    * when the table is on the features protocol. Commit writers that
+    * UPGRADE the protocol must merge into this instead of overwriting it —
+    * a replacement protocol that drops a live feature corrupts the table.
+    */
+  case class ProtocolInfo(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Seq[String], writerFeatures: Seq[String])
+
+  def protocolInfo(spark: SparkSession, tablePath: String,
+      versions: Seq[Long]): Option[ProtocolInfo] = {
+    import spark.implicits._
+    if (versions.isEmpty) return None
+    val files = versions.map(v => DeltaLog.versionFile(tablePath, v))
+    val latest = spark.read.textFile(files: _*)
+      .select(col("value"),
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+          .cast("long").as("version"))
+      .filter(col("value").contains("\"protocol\""))
+      .as[(String, Long)]
+      .collect()
+      .sortBy(_._2).lastOption
+    def strSeq(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+      Option(n).map { arr =>
+        import scala.jdk.CollectionConverters._
+        arr.elements().asScala.map(_.asText).toSeq
+      }.getOrElse(Nil)
+    latest.flatMap { case (line, _) =>
+      Option(Jsons.mapper.readTree(line).get("protocol")).map(p =>
+        ProtocolInfo(p.get("minReaderVersion").asInt,
+          p.get("minWriterVersion").asInt,
+          strSeq(p.get("readerFeatures")), strSeq(p.get("writerFeatures"))))
+    }.orElse(protocol(spark, tablePath, versions)
+      // post-cleanup fallback: graft's own checkpoints persist only the min
+      // versions; features are re-derived from the legacy implication table
+      .map(p => ProtocolInfo(p.minReaderVersion, p.minWriterVersion, Nil, Nil)))
+  }
+
   /** Checkpoint actions per multi-part file — bounds per-task memory and
     * parallelizes both write and replay at 10^6+ files.
     */

@@ -52,7 +52,9 @@ object IcebergDeletes {
 
   /** Commit a position-delete snapshot. `deletes` must have columns
     * `file_path` (canonical data-file path, as the manifests spell it)
-    * and `pos` (0-based row position within that file).
+    * and `pos` (0-based row position within that file). An empty delete
+    * set is a no-op (no snapshot) — a zero-entry delete manifest would
+    * needlessly trip the file-level refusals.
     */
   def appendPositionDeletes(spark: SparkSession, tablePath: String,
       deletes: DataFrame): Unit = {
@@ -67,20 +69,104 @@ object IcebergDeletes {
 
   /** Commit an equality-delete snapshot: `deletes` carries the equality
     * columns (table-schema names); every data row committed at a LOWER
-    * sequence that matches all of them (null-safe) is deleted.
+    * sequence that matches all of them (null-safe) is deleted. An empty
+    * delete set is a no-op (no snapshot).
     */
   def appendEqualityDeletes(spark: SparkSession, tablePath: String,
-      deletes: DataFrame, equalityCols: Seq[String]): Unit = {
+      deletes: DataFrame, equalityCols: Seq[String]): Unit =
+    appendCommit(spark, tablePath,
+      deletes.select(equalityCols.map(col): _*), content = 2,
+      equalityIds = equalityIdsOf(spark, tablePath, equalityCols))
+
+  private def equalityIdsOf(spark: SparkSession, tablePath: String,
+      equalityCols: Seq[String]): Seq[Int] = {
     require(equalityCols.nonEmpty, "equality delete needs >= 1 column")
     val m = currentMeta(spark, tablePath)._2
     val idByName = IcebergSchemas.leafFields(m.schema)
       .map { case (id, name, _) => name -> id }.toMap
-    val ids = equalityCols.map(c => idByName.getOrElse(c,
+    equalityCols.map(c => idByName.getOrElse(c,
       throw new IllegalArgumentException(
         s"equality column $c not in table schema at $tablePath")))
-    appendCommit(spark, tablePath,
-      deletes.select(equalityCols.map(col): _*), content = 2,
-      equalityIds = ids)
+  }
+
+  /** UPDATE via a row delta: rows matching `predicate` are masked by an
+    * equality delete on the full row tuple and the re-written rows land
+    * as data files AT THE SAME SEQUENCE NUMBER in the SAME snapshot — the
+    * spec's `delete seq > data seq` rule makes the replacements survive
+    * the delete that kills their originals, so readers never observe the
+    * rows missing. Returns the number of updated rows.
+    */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      predicate: Column, assignments: Map[String, Column]): Long = {
+    require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")
+    val (version, m) = currentMeta(spark, tablePath)
+    val src = new IcebergConversionSource(spark, tablePath,
+      m.properties.getOrElse("graft.table-name", "table"))
+    val schema = m.schema
+    val unknown = assignments.keySet -- schema.fieldNames.toSet
+    require(unknown.isEmpty, s"unknown update columns: $unknown")
+    val matched = src.toDataFrame.filter(predicate).persist()
+    try {
+      val nMatched = matched.count()
+      if (nMatched == 0L) return 0L
+      val rewritten = matched.select(schema.fieldNames.toSeq.map { f =>
+        assignments.get(f).map(_.as(f)).getOrElse(col(f))
+      }: _*)
+      val seq = m.lastSequenceNumber + 1
+      val dataDir = s"$tablePath/data/update-$seq-${UUID.randomUUID()}"
+      rewritten.write.parquet(dataDir)
+      // equality on every top-level column: deletes ALL copies of each
+      // matched tuple; each copy was rewritten, so multiplicity holds
+      appendCommit(spark, tablePath, matched.select(
+          schema.fieldNames.toSeq.map(col): _*),
+        content = 2,
+        equalityIds = equalityIdsOf(spark, tablePath,
+          schema.fieldNames.toSeq),
+        dataDir = Some(dataDir), expectVersion = Some(version))
+      nMatched
+    } finally matched.unpersist()
+  }
+
+  /** MERGE INTO with upsert semantics: target rows whose `keyCols` match
+    * a source row are masked by an equality delete on the keys, and EVERY
+    * source row lands as new data files at the same sequence in the same
+    * snapshot (inserts and updates alike survive the delete by the
+    * sequence rule). Refuses duplicate source keys, like the Delta twin.
+    * Returns (matched, inserted) row counts.
+    */
+  def mergeInto(spark: SparkSession, tablePath: String, source: DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "mergeInto needs >= 1 key column")
+    val (version, m) = currentMeta(spark, tablePath)
+    val src = new IcebergConversionSource(spark, tablePath,
+      m.properties.getOrElse("graft.table-name", "table"))
+    val schema = m.schema
+    val missing = schema.fieldNames.toSet -- source.columns.toSet
+    require(missing.isEmpty, s"source lacks table columns: $missing")
+    require(keyCols.forall(schema.fieldNames.contains),
+      s"key columns must exist in the table schema: $keyCols")
+    val srcProj = source.select(schema.fieldNames.toSeq.map(col): _*)
+      .persist()
+    try {
+      val srcCount = srcProj.count()
+      if (srcCount == 0L) return (0L, 0L)
+      val dupKeys = srcProj.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        "mergeInto source has duplicate keys — a target row would match " +
+          "more than one source row")
+      val matched = src.toDataFrame
+        .join(srcProj.select(keyCols.map(col): _*), keyCols, "left_semi")
+        .count()
+      val seq = m.lastSequenceNumber + 1
+      val dataDir = s"$tablePath/data/merge-$seq-${UUID.randomUUID()}"
+      srcProj.write.parquet(dataDir)
+      appendCommit(spark, tablePath,
+        srcProj.select(keyCols.map(col): _*), content = 2,
+        equalityIds = equalityIdsOf(spark, tablePath, keyCols),
+        dataDir = Some(dataDir), expectVersion = Some(version))
+      (matched, srcCount - matched)
+    } finally srcProj.unpersist()
   }
 
   /** Commit an APPEND snapshot: the parquet files under `parquetDir`
@@ -110,61 +196,98 @@ object IcebergDeletes {
     * Returns true if a rewrite happened (false = no live deletes, no-op).
     */
   def rewriteWithDeletes(spark: SparkSession, tablePath: String): Boolean = {
-    val (_, m) = currentMeta(spark, tablePath)
+    val (version, m) = currentMeta(spark, tablePath)
     if (liveDeleteRefs(m, m.lastSequenceNumber).isEmpty) return false
     val src = new IcebergConversionSource(spark, tablePath,
       m.properties.getOrElse("graft.table-name", "table"))
     val seq = m.lastSequenceNumber + 1
     val dataDir = s"$tablePath/data/compact-$seq-${UUID.randomUUID()}"
     src.toDataFrame.write.parquet(dataDir)
+    // CAS against the version the rewrite SCANNED: a commit landing
+    // between scan and REPLACE would otherwise be silently discarded
     appendCommit(spark, tablePath, rows = null, content = 0,
-      equalityIds = Nil, dataDir = Some(dataDir), replace = true)
+      equalityIds = Nil, dataDir = Some(dataDir), replace = true,
+      expectVersion = Some(version))
     true
   }
 
   /** Shared commit writer for the append kinds: stage the file(s), write
-    * one manifest (content 0 = data, 1/2 = deletes), write a manifest
-    * list carrying every previous manifest record verbatim (or NONE for
-    * a replace), CAS the next metadata version.
+    * the manifests, write a manifest list carrying every previous
+    * manifest record verbatim (or NONE for a replace), CAS the next
+    * metadata version.
+    *
+    * Shapes: delete-only (`rows` + content 1|2), data-only (`dataDir` +
+    * content 0), or a ROW DELTA (`rows` with content 2 AND `dataDir`) —
+    * one snapshot holding both a delete manifest and a data manifest at
+    * the same sequence number, the atomic UPDATE/MERGE commit shape
+    * (spec §Sequence Numbers: the same-sequence data files survive the
+    * delete, all lower sequences are masked).
+    *
+    * `expectVersion` is the CAS guard: when set, a current metadata
+    * version different from it fails loudly BEFORE staging the commit
+    * (the caller planned against that version's state).
     */
   private def appendCommit(spark: SparkSession, tablePath: String,
       rows: DataFrame, content: Int, equalityIds: Seq[Int],
-      dataDir: Option[String] = None, replace: Boolean = false): Unit = {
+      dataDir: Option[String] = None, replace: Boolean = false,
+      expectVersion: Option[Long] = None): Unit = {
     val (version, m) = currentMeta(spark, tablePath)
+    expectVersion.filter(_ != version).foreach { v =>
+      throw new IllegalStateException(
+        s"concurrent writer moved $tablePath from metadata v$v to " +
+          s"v$version since this operation planned — re-run to retry")
+    }
     val now = System.currentTimeMillis()
     val snapshotId = m.lastSequenceNumber + 1
     val seq = snapshotId
-
-    val fileDir = dataDir.getOrElse {
-      val d = s"$tablePath/data/deletes-$seq-${UUID.randomUUID()}"
-      rows.write.parquet(d)
-      d
-    }
     val conf = spark.sessionState.newHadoopConf()
-    val written = graft.sources.ParquetFooters.listFiles(fileDir, conf)
+    val mdir = IcebergMetadata.metadataDir(tablePath)
+
     // per-file record counts from the parquet footers — O(files per
     // commit), not O(rows)
-    val files = written.map { f =>
-      val (nRows, _) = graft.sources.ParquetFooters.readFooterStats(
-        f.path, conf, Some(Set.empty))
-      (f, nRows)
-    }.filter(_._2 > 0)
+    def staged(dir: String): Seq[(graft.sources.ParquetFooters.ListedFile, Long)] =
+      graft.sources.ParquetFooters.listFiles(dir, conf).map { f =>
+        val (nRows, _) = graft.sources.ParquetFooters.readFooterStats(
+          f.path, conf, Some(Set.empty))
+        (f, nRows)
+      }.filter(_._2 > 0)
 
-    val mdir = IcebergMetadata.metadataDir(tablePath)
-    val suffix = if (content == 0) "append" else "deletes"
-    val manifestPath = s"$mdir/m-${UUID.randomUUID()}-$suffix.avro"
-    var nFiles = 0
-    var nRows = 0L
-    val len = IcebergManifests.writeManifest(manifestPath,
-      files.iterator.map { case (f, rowCount) =>
-        nFiles += 1; nRows += rowCount
-        IcebergManifests.toEntry(
-          FileEntry(f.path, f.length, rowCount, "parquet", Nil, Nil,
-            f.modifiedMillis),
-          IcebergManifests.Status.Added, snapshotId, m.schema,
-          content = if (content == 0) 0 else content,
-          equalityIds = equalityIds)
-      })
+    def writeOneManifest(files: Seq[(graft.sources.ParquetFooters.ListedFile, Long)],
+        manifestContent: Int, ids: Seq[Int])
+        : Option[IcebergManifests.ManifestSummary] = {
+      if (files.isEmpty) return None
+      val suffix = if (manifestContent == 0) "append" else "deletes"
+      val manifestPath = s"$mdir/m-${UUID.randomUUID()}-$suffix.avro"
+      var nFiles = 0
+      var nRows = 0L
+      val len = IcebergManifests.writeManifest(manifestPath,
+        files.iterator.map { case (f, rowCount) =>
+          nFiles += 1; nRows += rowCount
+          IcebergManifests.toEntry(
+            FileEntry(f.path, f.length, rowCount, "parquet", Nil, Nil,
+              f.modifiedMillis),
+            IcebergManifests.Status.Added, snapshotId, m.schema,
+            content = manifestContent, equalityIds = ids)
+        })
+      Some(IcebergManifests.ManifestSummary(manifestPath, len, snapshotId,
+        nFiles, 0, 0, nRows, 0L,
+        content = if (manifestContent == 0) 0 else 1))
+    }
+
+    val deleteFiles = Option(rows).map { r =>
+      val d = s"$tablePath/data/deletes-$seq-${UUID.randomUUID()}"
+      r.write.parquet(d)
+      staged(d)
+    }.getOrElse(Nil)
+    val deleteManifest =
+      writeOneManifest(deleteFiles, math.max(content, 1), equalityIds)
+    val dataManifest = dataDir.map(staged).map(
+      writeOneManifest(_, 0, Nil)).flatten
+
+    // nothing staged (empty delete set, empty data write): no snapshot —
+    // a zero-entry delete manifest would trip requireNoDeleteManifests
+    // on a table with no actual live deletes
+    if (deleteManifest.isEmpty && dataManifest.isEmpty) return
 
     val carried =
       if (replace) Nil
@@ -173,9 +296,7 @@ object IcebergDeletes {
         .getOrElse(Nil)
     val listPath = s"$mdir/snap-$snapshotId-manifest-list.avro"
     IcebergManifests.writeManifestListRecords(listPath, carried,
-      Seq(IcebergManifests.ManifestSummary(manifestPath, len, snapshotId,
-        nFiles, 0, 0, nRows, 0L,
-        content = if (content == 0) 0 else 1)))
+      deleteManifest.toSeq ++ dataManifest.toSeq)
 
     val ok = IcebergMetadata.write(tablePath, version + 1, m.copy(
       lastSequenceNumber = seq,
@@ -255,8 +376,14 @@ object IcebergDeletes {
       .map(r => r.get("added_files_count").asInstanceOf[Int].toLong +
         r.get("existing_files_count").asInstanceOf[Int].toLong)
       .sum
+    // manifests may spell file_path scheme-prefixed (file:/, s3://) while
+    // the scan key is decoded — canonicalize like applyPositionDeletes
+    // does for delete-file paths, or the join misses and deleted rows
+    // are silently served back
     val seqDf = IcebergManifests.liveDataFileSeqs(spark, manifestList)
-      .toDF("__ds_path", "__ds_seq")
+      .toDF("__raw_path", "__ds_seq")
+      .select(graft.util.PathCols.canonical(col("__raw_path"))
+        .as("__ds_path"), col("__ds_seq"))
     val seqRight =
       if (nDataFiles * 150L <= BroadcastDeleteBytes) broadcast(seqDf)
       else seqDf
@@ -265,6 +392,15 @@ object IcebergDeletes {
         graft.util.PathCols.scanPath(col("_metadata.file_path")))
       .join(seqRight, col("__scan_path") === col("__ds_path"), "left")
       .drop("__ds_path")
+      // a scanned file missing from the sequence map means the join key
+      // broke — failing the sequence guard OPEN would serve deleted rows,
+      // so fail the query loudly instead
+      .withColumn("__ds_seq", when(col("__ds_seq").isNotNull,
+          col("__ds_seq"))
+        .otherwise(raise_error(concat(
+          lit("equality-delete sequence lookup missed data file "),
+          col("__scan_path"),
+          lit(" — path canonicalization mismatch between scan and manifests")))))
     eqRefs.groupBy(_.equalityIds)
       .foreach { case (ids, files) =>
       val cols = ids.map(id => nameById.getOrElse(id,

@@ -918,4 +918,58 @@ object SyncQueries {
       |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
       |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
       |FROM merged""".stripMargin
+
+  /** Row-level UPDATE on Iceberg via a single row-delta snapshot: a
+    * full-tuple equality delete masks the old rows and the re-written
+    * rows land at the SAME sequence number (the spec's ordering rule
+    * makes them survive the delete). Mirrors `delta_update_where`.
+    */
+  def icebergUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_ice_updw").toString
+    val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    graft.formats.iceberg.IcebergDeletes.updateWhere(s, table,
+      col("n_nationkey") % 4 === 0,
+      Map("n_nationkey" -> (col("n_nationkey") + 1000)))
+    new graft.formats.iceberg.IcebergConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val icebergUpdateWhereSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CASE WHEN n_nationkey % 4 = 0 THEN n_nationkey + 1000
+      |               ELSE n_nationkey END) AS BIGINT) AS sum_key
+      |FROM nation""".stripMargin
+
+  /** MERGE INTO on Iceberg: key-equality delete + every source row as
+    * new data files, one snapshot, one sequence. Mirrors
+    * `delta_merge_upsert` (same source, same oracle).
+    */
+  def icebergMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_ice_merge").toString
+    val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val source = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 500))
+    graft.formats.iceberg.IcebergDeletes.mergeInto(s, table, source,
+      Seq("n_nationkey"))
+    new graft.formats.iceberg.IcebergConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        sum(col("n_regionkey")).cast("long").as("sum_region"))
+  }
+
+  val icebergMergeUpsertSql: String = deltaMergeUpsertSql
 }

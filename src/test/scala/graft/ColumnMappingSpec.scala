@@ -124,4 +124,32 @@ class ColumnMappingSpec extends SparkSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
       Seq((1L, 10L, "a"), (2L, 20L, "b")))
   }
+
+  test("rewrite ops refuse column-mapped tables; DV-only delete works") {
+    import org.apache.spark.sql.functions._
+    val table = writeFixture()
+    // updateWhere/mergeInto write replacement parquet under LOGICAL names
+    // — on a mapped table those rows would read back as nulls via the
+    // physical-name select, so both are refused loudly
+    intercept[IllegalArgumentException] {
+      DeltaDeletes.updateWhere(spark, table, col("s_id") === 1L,
+        Map("s_name" -> lit("zed")))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaDeletes.mergeInto(spark, table,
+        spark.createDataFrame(Seq((9L, "nine"))).toDF("s_id", "s_name"),
+        Seq("s_id"))
+    }
+    // deleteWhere touches no data file (DV mask only) — supported, and
+    // the protocol upgrade keeps the implied columnMapping feature
+    assert(DeltaDeletes.deleteWhere(spark, table, col("s_id") === 2L) == 1L)
+    val got = new DeltaConversionSource(spark, table, "mapped")
+      .toDataFrame.select("s_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L))
+    val conf = graft.util.HadoopConfs.session(spark)
+    val p = DeltaSnapshot.protocolInfo(spark, table,
+      DeltaLog.listVersions(table, conf)).get
+    assert(p.readerFeatures == Seq("columnMapping", "deletionVectors"))
+    assert(p.writerFeatures.contains("columnMapping"))
+  }
 }

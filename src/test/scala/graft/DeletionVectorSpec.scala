@@ -377,4 +377,110 @@ class DeletionVectorSpec extends SparkSuite {
         source.unionByName(source), Seq("n_nationkey"))
     }
   }
+
+  test("commit CAS fails loudly when a writer lands between plan and commit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = tmpDir("dv_cas")
+    val src = new graft.sources.ParquetDirectorySource(spark,
+      sf("sf0.001/nation.parquet"), "nation")
+    TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+
+    val plan = DeltaDeletes.planDelete(spark, table,
+      col("n_nationkey") % 3 === 0).get
+    // interfering writer commits the next version first
+    assert(DeltaDeletes.deleteWhere(spark, table,
+      col("n_nationkey") === 1) == 1L)
+    // the stale plan must NOT clobber it — loud CAS failure
+    intercept[IllegalStateException] {
+      DeltaDeletes.commit(spark, table, plan, "DELETE", Iterator.empty)
+    }
+    // the interfering commit survives untouched
+    val keys = new DeltaConversionSource(spark, table, "nation")
+      .toDataFrame.select("n_nationkey").as[Long].collect().toSeq
+    assert(!keys.contains(1L) && keys.contains(3L))
+  }
+
+  test("DV commits merge existing protocol features instead of replacing") {
+    import org.apache.spark.sql.functions._
+    val table = tmpDir("dv_protocol_merge")
+    val src = new graft.sources.ParquetDirectorySource(spark,
+      sf("sf0.001/nation.parquet"), "nation")
+    TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    val conf = graft.util.HadoopConfs.session(spark)
+
+    // legacy (1,2) table: the upgrade must enumerate the implied features
+    assert(DeltaDeletes.deleteWhere(spark, table,
+      col("n_nationkey") === 0) == 1L)
+    val p1 = DeltaSnapshot.protocolInfo(spark, table,
+      DeltaLog.listVersions(table, conf)).get
+    assert(p1.minReaderVersion == 3 && p1.minWriterVersion == 7)
+    assert(p1.readerFeatures == Seq("deletionVectors"))
+    assert(p1.writerFeatures ==
+      Seq("appendOnly", "deletionVectors", "invariants"))
+
+    // a later writer adds an unrelated table feature; the next DV commit
+    // must carry it forward, not drop it
+    val v = DeltaLog.listVersions(table, conf).last + 1
+    assert(DeltaLog.writeCommit(table, v, Iterator(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["appendOnly","deletionVectors","invariants","v2Checkpoint"]}}""")))
+    assert(DeltaDeletes.deleteWhere(spark, table,
+      col("n_nationkey") === 1) == 1L)
+    val p2 = DeltaSnapshot.protocolInfo(spark, table,
+      DeltaLog.listVersions(table, conf)).get
+    assert(p2.readerFeatures.contains("v2Checkpoint") &&
+      p2.readerFeatures.contains("deletionVectors"))
+    assert(p2.writerFeatures.contains("v2Checkpoint") &&
+      p2.writerFeatures.contains("invariants"))
+  }
+
+  test("updateWhere and mergeInto route rows on identity-partitioned tables") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stage = tmpDir("dv_part_stage") + "/t"
+    val table = tmpDir("dv_part_table")
+    spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .write.partitionBy("n_regionkey").parquet(stage)
+    val src = new graft.sources.ParquetDirectorySource(spark, stage, "nation")
+    TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    val keys = nation.select("n_nationkey").as[Long].collect().toSeq
+    def dsrc() = new DeltaConversionSource(spark, table, "nation")
+    val rtype = dsrc().currentTable().schema("n_regionkey").dataType
+
+    // UPDATE moves every %3 row into a brand-new partition value 9
+    val n = DeltaDeletes.updateWhere(spark, table,
+      col("n_nationkey") % 3 === 0, Map("n_regionkey" -> lit(9).cast(rtype)))
+    assert(n == keys.count(_ % 3 == 0).toLong)
+    val got = dsrc().toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val want = nation.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+      .map { case (k, r) => k -> (if (k % 3 == 0) 9L else r) }
+    assert(got == want)
+    // the replacement files carry partition values in commit metadata
+    assert(dsrc().currentSnapshot().files.collect()
+      .flatMap(_.partitionValues)
+      .exists(p => p.field == "n_regionkey" && p.value == "9"))
+
+    // MERGE updates one key into partition 9 and inserts a fresh key there
+    val source = nation.filter(col("n_nationkey") === 1)
+      .withColumn("n_regionkey", lit(9).cast(rtype))
+      .unionByName(nation.filter(col("n_nationkey") === 2)
+        .withColumn("n_nationkey", col("n_nationkey") + 995)
+        .withColumn("n_regionkey", lit(9).cast(rtype)))
+    val (m, i) = DeltaDeletes.mergeInto(spark, table, source,
+      Seq("n_nationkey"))
+    assert(m == 1L && i == 1L)
+    val after = dsrc().toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    assert(after(1L) == 9L && after(997L) == 9L)
+    assert(after.size == want.size + 1)
+  }
 }

@@ -221,4 +221,78 @@ class IcebergDeletesSpec extends SparkSuite {
       src.currentSnapshot(), src.sourceFormat)
     assert(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
   }
+
+  test("empty delete sets are a no-op, not a zero-entry delete manifest") {
+    val (table, dataFile, _) = freshTable()
+    val versionsBefore = IcebergMetadata.currentVersion(table).get
+    IcebergDeletes.appendPositionDeletes(spark, table,
+      Seq.empty[(String, Long)].toDF("file_path", "pos"))
+    IcebergDeletes.appendEqualityDeletes(spark, table,
+      spark.read.parquet(sf("sf0.001/nation.parquet"))
+        .filter(lit(false)).select("n_nationkey"), Seq("n_nationkey"))
+    // no snapshot was committed...
+    assert(IcebergMetadata.currentVersion(table).get == versionsBefore)
+    // ...and the file-level paths still work (no phantom delete manifest)
+    val src = new IcebergConversionSource(spark, table, "nation")
+    val deltaDir = tmpDir("ice_noop_chain")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, deltaDir)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+  }
+
+  test("updateWhere row delta: one snapshot, replacements survive the delete") {
+    val (table, _, _) = freshTable()
+    val vBefore = IcebergMetadata.currentVersion(table).get
+    val keys = spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .select("n_nationkey").as[Long].collect().toSeq
+    val n = IcebergDeletes.updateWhere(spark, table,
+      col("n_nationkey") % 4 === 0,
+      Map("n_nationkey" -> (col("n_nationkey") + 1000)))
+    assert(n == keys.count(_ % 4 == 0).toLong)
+    // ONE metadata version for mask + re-insert
+    assert(IcebergMetadata.currentVersion(table).get == vBefore + 1)
+    val got = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.select("n_nationkey").as[Long].collect().sorted.toSeq
+    assert(got == keys.map(k => if (k % 4 == 0) k + 1000 else k).sorted)
+
+    // a second update matching rows in the update-written files
+    val n2 = IcebergDeletes.updateWhere(spark, table,
+      col("n_nationkey") >= 1000,
+      Map("n_nationkey" -> (col("n_nationkey") - 1000)))
+    assert(n2 == n)
+    assert(new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.select("n_nationkey").as[Long].collect().sorted.toSeq
+      == keys.sorted)
+  }
+
+  test("mergeInto upserts in one snapshot and refuses duplicate keys") {
+    val (table, _, _) = freshTable()
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    val keys = nation.select("n_nationkey").as[Long].collect().toSeq
+    val source = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 500))
+    val vBefore = IcebergMetadata.currentVersion(table).get
+    val (m, i) = IcebergDeletes.mergeInto(spark, table, source,
+      Seq("n_nationkey"))
+    assert(m == keys.count(_ % 3 == 0).toLong)
+    assert(i == keys.count(_ % 5 == 0).toLong)
+    assert(IcebergMetadata.currentVersion(table).get == vBefore + 1)
+    val got = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val regions = nation.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == keys.size + keys.count(_ % 5 == 0))
+    for ((k, r) <- regions)
+      assert(got(k) == (if (k % 3 == 0) r + 100 else r), s"key $k")
+    for (k <- keys if k % 5 == 0) assert(got(k + 500) == regions(k))
+
+    intercept[IllegalArgumentException] {
+      IcebergDeletes.mergeInto(spark, table,
+        source.unionByName(source), Seq("n_nationkey"))
+    }
+  }
 }

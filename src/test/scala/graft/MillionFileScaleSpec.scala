@@ -92,6 +92,45 @@ class MillionFileScaleSpec extends SparkSuite {
     assert(planSec < 60, s"pruned planning too slow: $planSec")
   }
 
+  test("1M files: deleteWhere-scale DV mask and streamed commit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = tmpDir("mm_delta_del")
+    val schema = spark.read.parquet(sf("sf0.001/region.parquet")).schema
+    val desc = TableDescriptor("mm", TableFormats.Delta, target, schema,
+      Seq(PartitionFieldSpec("p", Transform.Value)),
+      Layout.HivePartitioned, 0L)
+    drive(new DeltaConversionTarget(spark, target), desc, "1")(
+      _.syncFilesForSnapshot(entries(0L, n).toDF().as[FileEntry]))
+
+    // one matching row in EVERY file — the deleteWhere(lit(true)) shape
+    // that used to collect the whole affected-file set on the driver.
+    // Synthetic hits stand in for the predicate scan (the listing has no
+    // physical parquet); planMask + commit are exactly the deleteWhere
+    // path after the scan.
+    val snap = new DeltaConversionSource(spark, target, "mm")
+      .currentSnapshot()
+    val hits = spark.range(0, n)
+      .map(i => (s"/data/p=${i % 1000}/f$i.parquet", 0L))
+    val t0 = System.nanoTime()
+    val plan = graft.formats.delta.DeltaDeletes
+      .planMask(spark, snap, hits).get
+    assert(plan.nDeleted == n)
+    graft.formats.delta.DeltaDeletes.commit(spark, target, plan,
+      "DELETE", Iterator.empty)
+    val delSec = (System.nanoTime() - t0) / 1e9
+
+    // every file is still live, now carrying a cardinality-1 DV
+    val after = new DeltaConversionSource(spark, target, "mm")
+      .currentSnapshot()
+    val row = after.files
+      .agg(count(lit(1)), sum(expr("deletionVector.cardinality"))).head()
+    assert(row.getLong(0) == n && row.getLong(1) == n)
+
+    info(f"delta 1M: deleteWhere-scale mask+commit $delSec%.1fs")
+    assert(delSec < 600, s"delete too slow: $delSec")
+  }
+
   test("1M files: iceberg full sync and streaming manifest carry-forward") {
     import spark.implicits._
     val target = tmpDir("mm_ice")
