@@ -190,10 +190,31 @@ object DeltaRead {
   def toKeyedDataFrame(spark: SparkSession, snap: TableSnapshot): DataFrame =
     toDataFrameImpl(spark, snap, keepKeys = true)
 
+  /** The scan's FileFormat, chosen by the LISTING's format labels: all
+    * parquet → ParquetFileFormat, all orc → OrcFileFormat (reference
+    * models both — FileFormat.java:27-29). A mixed table refuses loudly:
+    * one HadoopFsRelation reads one format, and silently misreading is
+    * the wrong-answer class.
+    */
+  private[graft] def scanFileFormat(snap: TableSnapshot)
+      : org.apache.spark.sql.execution.datasources.FileFormat = {
+    import org.apache.spark.sql.functions.col
+    val fmts = graft.plans.SnapshotFileIndex.listingFor(snap)
+      .select(col("fileFormat")).distinct().collect().map(_.getString(0))
+    fmts.toSeq.sorted match {
+      case Seq() | Seq("parquet") =>
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      case Seq("orc") =>
+        new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      case mixed => throw new UnsupportedOperationException(
+        s"snapshot mixes data-file formats ${mixed.mkString(",")} — one " +
+          "scan serves one format; compact/rewrite the table first")
+    }
+  }
+
   private def toDataFrameImpl(spark: SparkSession, snap: TableSnapshot,
       keepKeys: Boolean): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import org.apache.spark.sql.functions.col
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val schema = snap.table.schema
@@ -213,7 +234,7 @@ object DeltaRead {
     }
     val index = new graft.plans.SnapshotFileIndex(cs, scanSnap)
     val relation = HadoopFsRelation(index, index.partitionSchema,
-      index.dataSchema, None, new ParquetFileFormat, Map.empty)(cs)
+      index.dataSchema, None, scanFileFormat(scanSnap), Map.empty)(cs)
     val df = cs.baseRelationToDataFrame(relation)
     val masked = applyDeletionVectors(spark, scanSnap, df, keepKeys)
     if (!mapped) masked

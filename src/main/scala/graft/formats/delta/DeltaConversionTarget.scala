@@ -110,6 +110,14 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
       ds.mapPartitions { it =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         it.map { f =>
+          // Delta's format action admits parquet only (PROTOCOL.md
+          // §Format); registering an ORC/avro file would make every
+          // Delta reader misparse it — refuse loudly, Iceberg/Hudi
+          // targets carry those formats natively
+          if (f.fileFormat != "parquet")
+            throw new UnsupportedOperationException(
+              s"Delta data files must be parquet; ${f.path} is " +
+                s"${f.fileFormat} — sync this source to Iceberg instead")
           Jsons.toJson(Map("add" -> Map(
             // PROTOCOL.md: action paths are URL-encoded URIs
             "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),

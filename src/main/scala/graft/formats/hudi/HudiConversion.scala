@@ -112,6 +112,46 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     if (idx <= 0) Set.empty else states(idx)._4
   }
 
+  /** fileId → live base-file instant (the instant whose write produced the
+    * group's current base file) — log files attach to it by name.
+    */
+  private[hudi] def fileGroupBaseInstants(): Map[String, String] = {
+    val last = instants.lastOption.getOrElse(
+      throw new IllegalStateException(s"no Hudi timeline at $tablePath"))
+    liveStats(last).map { case (_, s, instant) => s.fileId -> instant }.toMap
+  }
+
+  /** Live log files of the current file slices: every log write newer
+    * than its group's live base file, as (absolutePath, groupId, instant).
+    * Logs absorbed by a later base (compaction) drop out because the base
+    * instant moved past them.
+    */
+  private[hudi] def liveLogFiles(upTo: String): Seq[(String, String, String)] = {
+    val states = timeline()
+    // live (unreplaced) groups only: logs of a replaced file group must
+    // not serve — liveStats already applies the replace set
+    val base = liveStats(upTo)
+      .map { case (_, s, instant) => s.fileId -> instant }.toMap
+    states._1.filter(_.instant <= upTo).flatMap { c =>
+      c.partitionToWriteStats.valuesIterator.flatten
+        .filter(s => HudiTimeline.isLogFile(s.path))
+        .flatMap { s =>
+          val gid = HudiTimeline.logFileGroupId(s.path)
+          base.get(gid) match {
+            case Some(bi) if c.instant > bi =>
+              Some((PathUtils.resolve(tablePath, s.path), gid, c.instant))
+            case _ => None
+          }
+        }
+    }
+  }
+
+  /** fileId → count of live log files (names the next log version). */
+  private[hudi] def logFileCounts(): Map[String, Int] = {
+    val last = instants.lastOption.getOrElse(return Map.empty)
+    liveLogFiles(last).groupBy(_._2).map { case (g, ls) => g -> ls.size }
+  }
+
   /** The loud refusal the scaladoc promises: a real-time (`snapshot`) read
     * of a MOR table with unmerged log files would silently drop updates if
     * we served base files only — so we don't serve it at all.
@@ -214,7 +254,8 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
               val i = seg.indexOf('=')
               PartitionMember(seg.substring(0, i), seg.substring(i + 1))
             }
-          FileEntry(path, size, records, "parquet", pv, stats, instant.toLong)
+          FileEntry(path, size, records, ParquetFooters.formatOf(path), pv,
+            stats, instant.toLong)
         }
       }
   }
@@ -289,8 +330,34 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     HudiTimeline.archivedInstants(tablePath).forall(_ <= commit) &&
       (instants.isEmpty || commit <= instants.last)
 
-  def toDataFrame: DataFrame =
-    graft.formats.delta.DeltaRead.toDataFrame(spark, currentSnapshot())
+  /** Read the table's rows. `read_optimized` serves the base files; the
+    * `snapshot` (real-time) view MERGES unabsorbed log records over the
+    * base scan by record key, latest instant winning — the view the
+    * reference reads through `hoodie.datasource.query.type=snapshot`
+    * (ITHudiConversionSource real-time assertions). File-level surfaces
+    * (currentSnapshot, sync) still refuse while logs are pending: a
+    * file listing cannot represent a merge.
+    */
+  def toDataFrame: DataFrame = {
+    val last = instants.lastOption.getOrElse(
+      throw new IllegalStateException(s"no Hudi timeline at $tablePath"))
+    val pending = logPendingFileGroups(last)
+    if (queryType == "read_optimized" || pending.isEmpty)
+      return graft.formats.delta.DeltaRead.toDataFrame(
+        spark, TableSnapshot(currentTable(), toFileEntries(liveStats(last)),
+          last))
+    val keyCols = HudiTimeline
+      .property(tablePath, HudiLogFiles.RecordKeyFieldsProp)
+      .map(_.split(',').toSeq)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"real-time merge at $tablePath needs " +
+          s"${HudiLogFiles.RecordKeyFieldsProp} in hoodie.properties — " +
+          "without the record key, log records cannot replace base rows"))
+    val snap = TableSnapshot(currentTable(),
+      toFileEntries(liveStats(last)), last)
+    HudiLogFiles.mergedRead(spark, snap, liveLogFiles(last).map(_._1),
+      keyCols)
+  }
 }
 
 /** Hudi COW target — reference HudiConversionTarget.java:103-664, heavily

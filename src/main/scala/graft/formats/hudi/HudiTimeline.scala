@@ -114,6 +114,27 @@ object HudiTimeline {
       .getOrElse("COPY_ON_WRITE")
   }
 
+  /** One property from hoodie.properties. */
+  def property(tablePath: String, key: String): Option[String] = {
+    val p = JPaths.get(hoodieDir(tablePath), "hoodie.properties")
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.find(_.startsWith(s"$key="))
+      .map(_.substring(key.length + 1).trim)
+  }
+
+  /** Set (append or replace) one property in hoodie.properties. */
+  def setProperty(tablePath: String, key: String, value: String): Unit = {
+    val p = JPaths.get(hoodieDir(tablePath), "hoodie.properties")
+    val lines =
+      if (Files.exists(p))
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .linesIterator.filterNot(_.startsWith(s"$key=")).toSeq
+      else Nil
+    Files.write(p, (lines :+ s"$key=$value").mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+  }
+
   def tableName(tablePath: String): Option[String] = {
     val p = JPaths.get(hoodieDir(tablePath), "hoodie.properties")
     if (!Files.exists(p)) None

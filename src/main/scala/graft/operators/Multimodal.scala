@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media carried as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is a STUB (no image/audio codecs in this container):
-  * `decodeStub` derives deterministic fake features from the bytes. The
-  * Spark-side shape is real — binary column, typed Dataset batches via
-  * mapPartitions (the Scala analog of mapInPandas: one iterator per
-  * partition, amortizing per-batch decoder setup), explicit output schema,
-  * partition-count control for decoder parallelism.
+  * IMAGE decode is REAL ([[decodeImage]] — `javax.imageio`, the PNG/BMP/
+  * GIF codecs that ship in the JVM). Audio/video decode remains a STUB
+  * (`decodeStub`: deterministic fake features from the bytes) because
+  * those codecs are genuinely absent in this container. Either way the
+  * Spark-side shape is the same and real — binary column, typed Dataset
+  * batches via mapPartitions (the Scala analog of mapInPandas: one
+  * iterator per partition, amortizing per-batch decoder setup), explicit
+  * output schema, partition-count control for decoder parallelism.
   */
 object Multimodal {
 
@@ -61,6 +63,64 @@ object Multimodal {
         // per-partition decoder init would go here (load codec once)
         batch.map(decodeStub)
       }
+  }
+
+  /** REAL decoded-image features (via `javax.imageio` — PNG/BMP/GIF
+    * codecs ship in the JVM, no external libs). The stub above remains
+    * for modalities whose codecs are genuinely absent in this container
+    * (JPEG2000, audio, video).
+    */
+  case class ImageFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      mean_luma: Double,          // mean of (r+g+b)/3 over all pixels
+      embedding: Array[Float])    // 8-bin normalized luma histogram
+
+  /** Decode one image payload with the JVM's real codecs. Fails loudly on
+    * an undecodable payload — silently emitting fake features for a
+    * corrupt image is the wrong-answer class.
+    */
+  def decodeImage(r: MediaRecord): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.media))
+    require(img != null,
+      s"undecodable image payload for doc ${r.doc_id} (${r.modality})")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0.0
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)) / 3.0
+        sum += luma
+        hist((luma / 32.0).toInt.min(7)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ImageFeatures(r.doc_id, w.toLong, h.toLong, n, sum / n,
+      hist.map(c => c.toFloat / n))
+  }
+
+  /** Batch image decode: the same mapPartitions shape as the stub path
+    * (per-partition codec reuse; `ImageIO` readers are looked up once per
+    * JVM), real pixels out.
+    */
+  def extractImageFeatures(media: Dataset[MediaRecord],
+      partitions: Int = 32): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.repartition(partitions).mapPartitions { batch =>
+      // per-partition decoder setup point (ImageIO plugin scan is
+      // JVM-wide and cached; nothing further to init)
+      batch.map(decodeImage)
+    }
   }
 
   /** A resized media row (what an image-resize stage emits). */

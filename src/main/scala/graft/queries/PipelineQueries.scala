@@ -550,6 +550,51 @@ object PipelineQueries {
       |  ascii(substr(text,1,1)) AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL image decode (javax.imageio): each document synthesizes a PNG
+    * whose geometry and constant gray level derive from doc_id, the
+    * payload goes through a real encode→decode round trip executor-side,
+    * and the oracle recomputes width/height/luma from doc_id alone — the
+    * decoded GEOMETRY and PIXELS are the contract, not the bytes. PNG is
+    * lossless and the fill is constant, so mean luma is exact.
+    */
+  def multimodalImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 16 + 1).toInt
+          val h = (id % 8 + 1).toInt
+          val c = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (c << 16) | (c << 8) | c
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.MediaRecord(id, bos.toByteArray, "image/png")
+        }
+      }
+    Multimodal.extractImageFeatures(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_pixels"),
+        round(col("mean_luma")).cast("long").as("luma"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalImageDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+      |  CAST(doc_id % 8 + 1 AS BIGINT) AS height,
+      |  CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) AS BIGINT) AS n_pixels,
+      |  CAST(doc_id % 256 AS BIGINT) AS luma
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Streaming exact dedup under the SAME oracle as the batch
     * `dedup_exact`: the stateful streaming aggregation must converge to
     * the batch answer (state per distinct hash, order-independent

@@ -972,4 +972,64 @@ object SyncQueries {
   }
 
   val icebergMergeUpsertSql: String = deltaMergeUpsertSql
+
+  /** Hudi MERGE_ON_READ real-time view end-to-end: nation as the base
+    * file, an UPSERT written as avro log blocks (updates keyed %3 with
+    * n_regionkey+100, inserts +500 for %5), then the `snapshot`
+    * (real-time) read merges log records over the base scan by record
+    * key — the view the reference reads through
+    * `hoodie.datasource.query.type=snapshot`. Same merge scenario and
+    * oracle as the Delta/Iceberg MERGE gates.
+    */
+  def hudiMorRealtimeRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.hudi._
+    val hudiDir = Files.createTempDirectory("graft_hudi_rt").toString
+    Files.copy(Paths.get(s"$dir/nation.parquet"),
+      Paths.get(hudiDir, "base1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val base = s"$hudiDir/base1.parquet"
+    val nation = s.read.parquet(base)
+    HudiTimeline.writeProperties(hudiDir, "nation", "MERGE_ON_READ")
+    require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("100", "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(HudiTimeline.fileId(base),
+        "base1.parquet", nation.count(), Files.size(Paths.get(base))))),
+      Map.empty, Map("schema" -> nation.schema.json)), hudiDir))
+
+    val source = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 500))
+    HudiLogFiles.upsert(s, hudiDir, source, Seq("n_nationkey"))
+
+    new HudiConversionSource(s, hudiDir, "nation", "snapshot").toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        sum(col("n_regionkey")).cast("long").as("sum_region"))
+  }
+
+  val hudiMorRealtimeReadSql: String = deltaMergeUpsertSql
+
+  /** ORC base files end-to-end (reference FileFormat.java:27-29): customer
+    * written as ORC, the directory source lists it and reads ORC file-tail
+    * stats, the sync lands it in Iceberg with file_format=ORC, and the
+    * unified reader scans it through Spark's ORC reader — same aggregate
+    * oracle as the parquet-sourced Paimon sync.
+    */
+  def orcSourceSync(s: SparkSession, dir: String): DataFrame = {
+    val orcDir = Files.createTempDirectory("graft_orc_src").toString + "/t"
+    s.read.parquet(s"$dir/customer.parquet").write.orc(orcDir)
+    val table = Files.createTempDirectory("graft_orc_ice").toString
+    val src = new ParquetDirectorySource(s, orcDir, "customer")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    new graft.formats.iceberg.IcebergConversionSource(s, table, "customer")
+      .toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val orcSourceSyncSql: String = syncParquetToPaimonSql
 }

@@ -68,6 +68,7 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index = new SnapshotFileIndex(cs, snap)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-      None, new ParquetFileFormat, Map.empty)(cs)
+      None, graft.formats.delta.DeltaRead.scanFileFormat(snap),
+      Map.empty)(cs)
   }
 }

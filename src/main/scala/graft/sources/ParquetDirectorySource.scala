@@ -43,16 +43,21 @@ class ParquetDirectorySource(
   override def currentTable(): TableDescriptor = {
     val (n, latest, samplePath) = listingSummary()
     if (n == 0) throw new IllegalStateException(
-      s"no parquet data files under $basePath")
-    // schema from Spark's own parquet reader (footer-derived, includes
-    // hive partition columns); mergeSchema so a column added by newer
-    // files appears — reference infers from latest footer
+      s"no parquet/orc data files under $basePath")
+    // schema from Spark's own reader (footer-derived, includes hive
+    // partition columns); mergeSchema so a column added by newer files
+    // appears — reference infers from latest footer
     // (ParquetConversionSource.java:88-107). pathGlobFilter keeps stray
     // non-data files (README, _SUCCESS companions, checksums) out of the
-    // footer merge — a real table dir is never only parquet
-    val schema = spark.read.option("mergeSchema", "true")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(basePath).schema
+    // footer merge — a real table dir is never only data files. ORC dirs
+    // (reference FileFormat.java:27-29) read through Spark's ORC reader.
+    val isOrc = samplePath.exists(_.endsWith(".orc"))
+    val schema =
+      if (isOrc) spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "*.orc").orc(basePath).schema
+      else spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(basePath).schema
     val samplePartitions = samplePath.toSeq.flatMap(p =>
       ParquetFooters.partitionValuesFromPath(basePath, p))
     val layout = if (partitionSpec.nonEmpty || samplePartitions.nonEmpty)

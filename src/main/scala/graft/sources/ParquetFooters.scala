@@ -39,8 +39,7 @@ object ParquetFooters {
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet") &&
-          !name.startsWith("_") && !name.startsWith(".")) {
+      if (st.isFile && isDataFile(name)) {
         out += ListedFile(graft.util.PathUtils.canonical(st.getPath.toString),
           st.getLen, st.getModificationTime)
       }
@@ -49,7 +48,15 @@ object ParquetFooters {
   }
 
   private def isDataFile(name: String): Boolean =
-    name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+    (name.endsWith(".parquet") || name.endsWith(".orc")) &&
+      !name.startsWith("_") && !name.startsWith(".")
+
+  /** FileEntry format label from the file name (reference models parquet,
+    * orc and avro base files — FileFormat.java:27-29; avro data files
+    * remain unsupported here and are refused at stat-read time).
+    */
+  def formatOf(path: String): String =
+    if (path.endsWith(".orc")) "orc" else "parquet"
 
   /** Whole-table listing as a Dataset: the driver reads ONE level (files +
     * partition directories), then each directory subtree is walked in an
@@ -107,7 +114,7 @@ object ParquetFooters {
       val conf = bconf.value.value
       it.map { f =>
         val (records, stats) = readFooterStats(f.path, conf, cols)
-        FileEntry(f.path, f.length, records, "parquet",
+        FileEntry(f.path, f.length, records, formatOf(f.path),
           partitionValuesFromPath(base, f.path), stats, f.modifiedMillis)
       }
     }
@@ -184,6 +191,8 @@ object ParquetFooters {
   def readFooterStats(path: String, conf: Configuration,
       columns: Option[Set[String]] = None)
       : (Long, Seq[FileColumnStat]) = {
+    if (path.endsWith(".orc"))
+      return OrcFooters.readFooterStats(path, conf, columns)
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf))
     try {

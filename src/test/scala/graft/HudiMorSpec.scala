@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.formats.hudi._
+
+/** Hudi MERGE_ON_READ real-time view: log-file codec round-trip, upsert
+  * routing, merged reads (latest instant wins), and the RO/compaction
+  * interplay. Reference behavior: ITHudiConversionSource real-time
+  * assertions (`hoodie.datasource.query.type=snapshot`).
+  */
+class HudiMorSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** A MOR table with nation as its single base file at instant 100. */
+  private def morTable(): String = {
+    val dir = tmpDir("hudi_rt")
+    Files.copy(Paths.get(sf("sf0.001/nation.parquet")),
+      Paths.get(dir, "base1.parquet"))
+    val base = s"$dir/base1.parquet"
+    val df = spark.read.parquet(base)
+    HudiTimeline.writeProperties(dir, "nation", "MERGE_ON_READ")
+    assert(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("100", "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(HudiTimeline.fileId(base),
+        "base1.parquet", df.count(), Files.size(Paths.get(base))))),
+      Map.empty, Map("schema" -> df.schema.json)), dir))
+    dir
+  }
+
+  test("log block container round-trips avro records across appends") {
+    val dir = tmpDir("hudi_log_codec")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val avro = graft.model.AvroSchemas.fromSpark(schema)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val path = s"$dir/.g1_100.log.1_0-1-1"
+    def rec(k: Long, s: String) = HudiLogFiles.rowToRecord(
+      org.apache.spark.sql.Row(k, s), schema, avro)
+    val (n1, _) = HudiLogFiles.writeLogFile(conf, path, avro, "200",
+      Iterator(rec(1, "a"), rec(2, "b")))
+    // append a second block to the SAME file at a later instant
+    val (n2, _) = HudiLogFiles.writeLogFile(conf, path, avro, "300",
+      Iterator(rec(2, "b2")))
+    assert(n1 == 2 && n2 == 1)
+    val got = HudiLogFiles.readLogFile(conf, path)
+      .map { case (i, r) => (i, r.get("k"), r.get("s").toString) }
+    assert(got == Seq(("200", 1L, "a"), ("200", 2L, "b"), ("300", 2L, "b2")))
+
+    // truncated tail block: parsed prefix still serves (crash tolerance).
+    // nio truncation bypasses the checksum sidecar — drop it like the
+    // out-of-band corruption it simulates.
+    val raw = Files.readAllBytes(Paths.get(path))
+    Files.write(Paths.get(path), raw.dropRight(8))
+    Files.deleteIfExists(Paths.get(s"$dir/..g1_100.log.1_0-1-1.crc"))
+    assert(HudiLogFiles.readLogFile(conf, path).size == 2)
+  }
+
+  test("upsert writes log files; real-time merges, RO view unchanged") {
+    val dir = morTable()
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    val keys = nation.select("n_nationkey").as[Long].collect().toSeq
+    val source = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 500))
+    val n = HudiLogFiles.upsert(spark, dir, source, Seq("n_nationkey"))
+    assert(n == source.count())
+
+    // read-optimized view: base rows only, untouched
+    val ro = new HudiConversionSource(spark, dir, "nation")
+    assert(ro.toDataFrame.select("n_nationkey").as[Long].collect().sorted
+      .toSeq == keys.sorted)
+
+    // real-time view: merged
+    val rt = new HudiConversionSource(spark, dir, "nation", "snapshot")
+    val got = rt.toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val regions = nation.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == keys.size + keys.count(_ % 5 == 0))
+    for ((k, r) <- regions)
+      assert(got(k) == (if (k % 3 == 0) r + 100 else r), s"key $k")
+    for (k <- keys if k % 5 == 0) assert(got(k + 500) == regions(k))
+
+    // second upsert at a later instant wins over the first
+    val n2 = HudiLogFiles.upsert(spark, dir,
+      nation.filter(col("n_nationkey") === 3)
+        .withColumn("n_regionkey", lit(77L)), Seq("n_nationkey"))
+    assert(n2 == 1L)
+    val got2 = new HudiConversionSource(spark, dir, "nation", "snapshot")
+      .toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    assert(got2(3L) == 77L)
+    assert(got2.size == got.size)
+
+    // file-level surfaces still refuse the real-time snapshot while logs
+    // are pending (a listing cannot represent a merge)
+    intercept[UnsupportedOperationException](rt.currentSnapshot())
+
+    // key-mismatch refusal: the table's pinned record key is authoritative
+    intercept[IllegalArgumentException](
+      HudiLogFiles.upsert(spark, dir, source, Seq("n_regionkey")))
+  }
+
+  test("compaction absorbs logs: real-time == read-optimized again") {
+    val dir = morTable()
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    HudiLogFiles.upsert(spark, dir,
+      nation.filter(col("n_nationkey") === 1)
+        .withColumn("n_regionkey", lit(50L)), Seq("n_nationkey"))
+    // compaction: merged rows land as a NEW base file for the group
+    val merged = new HudiConversionSource(spark, dir, "nation", "snapshot")
+      .toDataFrame
+    val stage = tmpDir("hudi_rt_compact") + "/t"
+    merged.repartition(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val compacted = s"$dir/base1_c.parquet"
+    Files.move(part.toPath, Paths.get(compacted))
+    val fid = HudiTimeline.fileId(s"$dir/base1.parquet")
+    val instant = HudiTimeline.newInstant(dir)
+    assert(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(instant,
+      "commit", Map("" -> Seq(HudiTimeline.WriteStat(fid, "base1_c.parquet",
+        merged.count(), Files.size(Paths.get(compacted))))),
+      Map.empty, Map("schema" -> nation.schema.json)), dir))
+
+    val rt = new HudiConversionSource(spark, dir, "nation", "snapshot")
+    // logs absorbed: snapshot serves from files again, no merge needed
+    assert(rt.currentSnapshot().files.collect()
+      .map(_.path.split('/').last).toSeq == Seq("base1_c.parquet"))
+    val got = rt.toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 50L)
+    assert(got.size == nation.count().toInt)
+  }
+}

@@ -80,4 +80,53 @@ class ParquetSourceSpec extends SparkSuite {
     val d = FilesDelta.between(a, b)
     assert(d.added.count() == 0 && d.removed.count() == 0)
   }
+
+  test("orc base files: listing, file-tail stats, scan, delta refusal") {
+    import org.apache.spark.sql.functions._
+    val orcDir = tmpDir("orc_src") + "/t"
+    spark.read.parquet(sf("sf0.001/lineitem.parquet"))
+      .write.orc(orcDir)
+    val src = new ParquetDirectorySource(spark, orcDir, "lineitem",
+      statsColumns = Some(Set("l_orderkey", "l_quantity", "l_returnflag",
+        "l_shipdate")))
+    val files = src.currentSnapshot().files.collect()
+    assert(files.nonEmpty && files.forall(_.fileFormat == "orc"))
+    assert(files.map(_.recordCount).sum ==
+      spark.read.parquet(sf("sf0.001/lineitem.parquet")).count())
+
+    // ORC file-tail bounds agree with the data, in the same canonical
+    // encoding the parquet reader uses
+    val byField = files.flatMap(_.columnStats).groupBy(_.field)
+    val agg = spark.read.orc(orcDir).agg(
+      min("l_orderkey"), max("l_orderkey"),
+      min("l_returnflag"), max("l_returnflag")).head()
+    assert(byField("l_orderkey").flatMap(_.min).map(_.toLong).min ==
+      agg.getLong(0))
+    assert(byField("l_orderkey").flatMap(_.max).map(_.toLong).max ==
+      agg.getLong(1))
+    assert(byField("l_returnflag").flatMap(_.min).min == agg.getString(2))
+    assert(byField("l_returnflag").flatMap(_.max).max == agg.getString(3))
+
+    // sync to Iceberg: file_format=ORC survives the manifest round trip
+    // and the unified reader scans through Spark's ORC reader
+    val table = tmpDir("orc_ice")
+    val outcomes = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val ice = new graft.formats.iceberg.IcebergConversionSource(
+      spark, table, "lineitem")
+    assert(ice.currentSnapshot().files.collect().forall(_.fileFormat == "orc"))
+    val got = ice.toDataFrame.agg(sum("l_orderkey").cast("long")).head()
+    val want = spark.read.parquet(sf("sf0.001/lineitem.parquet"))
+      .agg(sum("l_orderkey").cast("long")).head()
+    assert(got == want)
+
+    // Delta admits parquet only (PROTOCOL.md §Format): loud refusal
+    val deltaDir = tmpDir("orc_delta")
+    val refused = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, deltaDir)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(refused.exists(_.status != "SUCCESS"), refused.mkString(";"))
+  }
 }

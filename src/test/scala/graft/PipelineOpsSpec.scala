@@ -213,6 +213,40 @@ class PipelineOpsSpec extends SparkSuite {
     assert(feats.head().embedding.length == 8)
   }
 
+  test("multimodal image decode reads real pixels through javax.imageio") {
+    import spark.implicits._
+    // 3x2 image with known pixels: lumas 0, 96, 255, 10, 20, 30
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def gray(c: Int) = (c << 16) | (c << 8) | c
+    img.setRGB(0, 0, gray(0)); img.setRGB(1, 0, gray(96))
+    img.setRGB(2, 0, gray(255)); img.setRGB(0, 1, gray(10))
+    img.setRGB(1, 1, gray(20)); img.setRGB(2, 1, gray(30))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(7L, bos.toByteArray, "image/png")))
+
+    val f = Multimodal.extractImageFeatures(media, partitions = 1).head()
+    assert(f.doc_id == 7L && f.width == 3 && f.height == 2 && f.n_pixels == 6)
+    assert(math.abs(f.mean_luma - (0 + 96 + 255 + 10 + 20 + 30) / 6.0) < 1e-9)
+    // luma histogram: bins of 32 → [0,10,20,30]=bin0, 96=bin3, 255=bin7
+    assert(f.embedding.toSeq == Seq(4f / 6, 0f, 0f, 1f / 6, 0f, 0f, 0f, 1f / 6))
+    // BMP decodes through the same path (second in-JVM codec)
+    val bmp = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmp)
+    val fb = Multimodal.extractImageFeatures(spark.createDataset(Seq(
+      Multimodal.MediaRecord(8L, bmp.toByteArray, "image/bmp"))),
+      partitions = 1).head()
+    assert(fb.width == 3 && fb.height == 2 && fb.mean_luma == f.mean_luma)
+    // corrupt payload fails loudly, never fake features
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractImageFeatures(spark.createDataset(Seq(
+        Multimodal.MediaRecord(9L, Array[Byte](1, 2, 3), "image/png"))),
+        partitions = 1).head()
+    }
+  }
+
   test("multimodal resize and frame sampling keep the plumbing honest") {
     import spark.implicits._
     val media = docs.select(col("doc_id").cast("long").as("doc_id"),
