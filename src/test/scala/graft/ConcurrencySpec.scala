@@ -3,7 +3,7 @@ package graft
 import graft.formats.delta._
 import graft.model._
 import graft.sources.ParquetDirectorySource
-import graft.sync.TableFormatSync
+import graft.sync.{ConversionController, TableFormatSync}
 
 /** SURVEY §7.3 concurrency & idempotence: losing a commit race must fail
   * loudly (optimistic concurrency), and re-syncing is a no-op (covered in
@@ -80,10 +80,95 @@ class ConcurrencySpec extends SparkSuite {
       spark.read.parquet(sf("sf0.001/region.parquet")).count())
   }
 
+  test("source commits landing DURING sync are never lost, syncs stay green") {
+    // The reference's concurrent-writer torture (ITConversionController
+    // .java:370-403): a writer keeps committing to the SOURCE table while
+    // syncs run. Every sync must see a consistent pinned snapshot (no
+    // partial commit, no error), and a final sync must land every commit
+    // the writer made — nothing lost, re-sync idempotent.
+    val srcTable = tmpDir("cw_delta_src")
+    val iceTable = tmpDir("cw_ice_tgt")
+    val seed = new ParquetDirectorySource(spark,
+      sf("sf0.001/region.parquet"), "region")
+    assert(TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, srcTable)),
+      seed.currentSnapshot(), seed.sourceFormat)
+      .forall(_.status == "SUCCESS"))
+    val rowsPerFile =
+      spark.read.parquet(sf("sf0.001/region.parquet")).count()
+
+    val nCommits = 20
+    val conf = graft.util.HadoopConfs.session(spark)
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    // deterministic interleave: the writer lands half its commits, WAITS
+    // for a sync to complete on the partial state, then lands the rest —
+    // so at least one sync provably ran mid-stream
+    val syncedMidStream = new java.util.concurrent.CountDownLatch(1)
+    val writer = new Thread(() => {
+      try {
+        (1 to nCommits).foreach { k =>
+          if (k == nCommits / 2 + 1)
+            assert(syncedMidStream.await(
+              60, java.util.concurrent.TimeUnit.SECONDS))
+          val name = f"part-c$k%05d.parquet"
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(sf("sf0.001/region.parquet")),
+            java.nio.file.Paths.get(srcTable, name))
+          val size = java.nio.file.Files.size(
+            java.nio.file.Paths.get(srcTable, name))
+          // CAS loop: the sync never writes to the source log, but the
+          // writer must still claim versions the safe way
+          var v = DeltaLog.listVersions(srcTable, conf).last + 1
+          while (!DeltaLog.writeCommit(srcTable, v, Iterator(
+              s"""{"add":{"path":"$name","partitionValues":{},""" +
+                s""""size":$size,"modificationTime":${1000000L + k},""" +
+                s""""dataChange":true,""" +
+                s""""stats":"{\\"numRecords\\":$rowsPerFile}"}}"""))) {
+            v += 1
+          }
+          committed.incrementAndGet()
+          Thread.sleep(5)
+        }
+      } catch { case t: Throwable => writerErr.set(t) }
+    })
+
+    val controller = new ConversionController
+    def dsrc = new DeltaConversionSource(spark, srcTable, "region")
+    var syncs = 0
+    writer.start()
+    while (writer.isAlive) {
+      val out = controller.sync(dsrc,
+        Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, iceTable)))
+      assert(out.forall(_.status == "SUCCESS"),
+        s"sync failed mid-write: ${out.mkString(";")}")
+      syncs += 1
+      syncedMidStream.countDown()
+    }
+    writer.join()
+    assert(writerErr.get() == null, String.valueOf(writerErr.get()))
+    assert(committed.get() == nCommits)
+    assert(syncs >= 1, s"no sync overlapped the writer")
+
+    // the catch-up sync lands every commit the writer made
+    val fin = controller.sync(dsrc,
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, iceTable)))
+    assert(fin.forall(_.status == "SUCCESS"), fin.mkString(";"))
+    val ice = new graft.formats.iceberg.IcebergConversionSource(
+      spark, iceTable, "region")
+    assert(ice.currentSnapshot().files.count() == 1 + nCommits)
+    assert(ice.toDataFrame.count() == rowsPerFile * (1 + nCommits))
+    // and a further re-sync is an idempotent no-op on the live set
+    assert(controller.sync(dsrc,
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, iceTable)))
+      .forall(_.status == "SUCCESS"))
+    assert(ice.currentSnapshot().files.count() == 1 + nCommits)
+  }
+
   test("empty parquet source fails with a clear message") {
     val empty = tmpDir("empty_src")
     val e = intercept[IllegalStateException](
       new ParquetDirectorySource(spark, empty, "empty").currentSnapshot())
-    assert(e.getMessage.contains("no parquet data files"))
+    assert(e.getMessage.contains("no parquet/orc data files"))
   }
 }
