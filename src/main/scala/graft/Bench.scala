@@ -43,10 +43,20 @@ object Bench {
     // run-order noise also comes from adjacency (a heavy query evicting the
     // page cache for the next): interleave by running the whole suite
     // nRuns times rather than the same query back-to-back, so each run of a
-    // query sees the same neighborhood the single-run harness saw
+    // query sees the same neighborhood the single-run harness saw.
+    // Between runs (untimed) we sweep the scratch dirs the sync/pipeline
+    // queries staged and nudge a GC: without the sweep, run N sees N
+    // generations of dead parquet/log files in the temp dir, and the dirty
+    // page-cache writeback showed up as 3-6x spikes on later-run queries
+    // (r7 bench: text_dup_grams 3.1s in run 3 vs 0.49s; gone with sweep).
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val runs: Seq[Seq[Double]] =
-      (1 to nRuns).map(_ => ordered.map { case (_, fn) => timeOnce(fn) })
+      (1 to nRuns).map { _ =>
+        val times = ordered.map { case (_, fn) => timeOnce(fn) }
+        graft.util.TempDirs.sweep()
+        System.gc()
+        times
+      }
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

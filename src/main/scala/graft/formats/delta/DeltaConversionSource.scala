@@ -206,10 +206,68 @@ object DeltaRead {
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
       case Seq("orc") =>
         new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      case Seq("avro") => throw new UnsupportedOperationException(
+        "avro data files are a row format with no in-core Spark " +
+          "FileFormat — read them via the conversion source's " +
+          "toDataFrame (avro-core record scan), not a file relation")
       case mixed => throw new UnsupportedOperationException(
         s"snapshot mixes data-file formats ${mixed.mkString(",")} — one " +
           "scan serves one format; compact/rewrite the table first")
     }
+  }
+
+  private def listingFormats(snap: TableSnapshot): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    graft.plans.SnapshotFileIndex.listingFor(snap)
+      .select(col("fileFormat")).distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Record-level scan for all-avro snapshots: one executor task per
+    * slice of the listing decodes its files via avro-core, hive
+    * partition values appended from the metadata plane (typed by the
+    * table schema). No column pruning or stats pushdown — avro is a row
+    * format, the same trade Spark's own avro reader makes.
+    */
+  private def avroScan(spark: SparkSession, snap: TableSnapshot,
+      keepKeys: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    require(liveDvSummary(snap).files == 0L,
+      "deletion vectors on an avro-file table are unsupported")
+    val schema = snap.table.schema
+    val partCols = snap.table.partitionFields.map(_.partitionColumnName)
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)))
+    val dataJson = dataSchema.json
+    val bconf = graft.util.HadoopConfs.broadcastSession(spark)
+    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+    val pc = partCols
+    val rdd = listing.rdd.flatMap { fe =>
+      val sch = org.apache.spark.sql.types.DataType.fromJson(dataJson)
+        .asInstanceOf[StructType]
+      val pv = fe.partitionValues.map(p => p.field -> p.value).toMap
+      val partVals: Seq[Any] = pc.map(c => pv.getOrElse(c, null))
+      val canon = graft.util.PathUtils.canonical(fe.path)
+      graft.sources.AvroFiles.readRows(fe.path, bconf.value.value, sch)
+        .zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ partVals ++
+              (if (keepKeys) Seq(canon, i.toLong) else Nil))
+        }
+    }
+    val rawSchema = StructType(
+      dataSchema.fields ++ pc.map(StructField(_, StringType)) ++
+        (if (keepKeys)
+          Seq(StructField("__scan_path", StringType),
+            StructField("__scan_pos", LongType))
+        else Nil))
+    // one select types the partition strings and restores schema order
+    spark.createDataFrame(rdd, rawSchema)
+      .select(schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)) ++
+        (if (keepKeys) Seq(col("__scan_path"), col("__scan_pos"))
+         else Nil): _*)
   }
 
   private def toDataFrameImpl(spark: SparkSession, snap: TableSnapshot,
@@ -219,6 +277,8 @@ object DeltaRead {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val schema = snap.table.schema
     val partCols = snap.table.partitionFields.map(_.partitionColumnName).toSet
+    if (listingFormats(snap) == Seq("avro"))
+      return avroScan(spark, snap, keepKeys)
     // column-mapped tables: the parquet files spell data columns by their
     // PHYSICAL names — scan under those, then rename back to logical.
     // Partition columns come from the metadata plane (already logical).

@@ -140,20 +140,17 @@ object DeltaDeletes {
     spark.emptyDataset[(FileEntry, DvDescriptor)]
   }
 
-  /** Replacement-file writes route rows by the physical partition layout.
-    * Identity transforms ARE the data column (partitionBy handles them);
-    * generated transforms (YEAR/…/BUCKET) and column-mapped tables would
-    * need physical-name/value synthesis — refused loudly, the sync path
-    * is the remedy.
+  /** Replacement-file writes route rows by the physical partition layout:
+    * identity transforms ARE the data column, and generated transforms
+    * (YEAR/MONTH/DAY/HOUR/DATE_FORMAT/BUCKET) are recomputed from their
+    * source column via the SAME generation-expression grammar the sync
+    * path writes (`DeltaPartitions.generationExpression`) — so a row an
+    * assignment moves across partitions re-routes correctly. Only
+    * column-mapped tables are refused (replacement files are written
+    * under logical column names; a mapped table stores physical names).
     */
   private def requireRewritable(snap: graft.model.TableSnapshot,
       op: String): Unit = {
-    val nonIdentity =
-      snap.table.partitionFields.filterNot(_.transform == Transform.Value)
-    require(nonIdentity.isEmpty,
-      s"$op supports unpartitioned and identity-partitioned tables; " +
-        s"transform-partitioned fields ${nonIdentity.map(_.sourceField)} " +
-        "need delete + re-insert through the sync path instead")
     require(!DeltaColumnMapping.isMapped(snap.table.schema),
       s"$op writes replacement files under logical column names; a " +
         "column-mapped table stores physical names — rewrite through the " +
@@ -161,18 +158,35 @@ object DeltaDeletes {
   }
 
   /** Distributed parquet write of `df` under a fresh table-local dir —
-    * partition-routed when the table is identity-partitioned; returns the
-    * commit `add` lines (footer row counts, O(new files) on the driver).
+    * partition-routed (generated partition columns recomputed from their
+    * source columns, then stripped by partitionBy so data files carry
+    * exactly the logical schema); returns the commit `add` lines (footer
+    * row counts, O(new files) on the driver).
     */
   private def writeDataFiles(spark: SparkSession,
       snap: graft.model.TableSnapshot, df: DataFrame,
       prefix: String): Iterator[String] = {
     val tp = snap.table.basePath
     val schema = snap.table.schema
-    val partCols = snap.table.partitionFields.map(_.partitionColumnName)
+    val specs = snap.table.partitionFields
+    val partCols = specs.map(_.partitionColumnName)
     val dataDir = s"$tp/$prefix-${UUID.randomUUID()}"
-    if (partCols.isEmpty) df.write.parquet(dataDir)
-    else df.write.partitionBy(partCols: _*).parquet(dataDir)
+    val routed = specs.filterNot(_.transform == Transform.Value)
+      .foldLeft(df) { (d, s) =>
+        if (!schema.fieldNames.contains(s.sourceField)) {
+          // generated from a column the logical schema doesn't carry
+          // (e.g. the source dir materialized the day string and dropped
+          // the timestamp): the partition column itself must then be a
+          // real data column, and partitionBy routes it as-is
+          require(schema.fieldNames.contains(s.partitionColumnName),
+            s"partition ${s.partitionColumnName} is generated from " +
+              s"${s.sourceField}, which is absent from the table schema")
+          d
+        } else d.withColumn(s.partitionColumnName,
+          expr(DeltaPartitions.generationExpression(s).get).cast("string"))
+      }
+    if (partCols.isEmpty) routed.write.parquet(dataDir)
+    else routed.write.partitionBy(partCols: _*).parquet(dataDir)
     val conf = HadoopConfs.session(spark)
     graft.sources.ParquetFooters.listFiles(dataDir, conf)
       .iterator.map { f =>

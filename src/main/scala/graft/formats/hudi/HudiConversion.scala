@@ -76,8 +76,10 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
                   logPending -= s.fileId  // new base absorbs prior logs
                 }
               }
-              for ((_, ids) <- c.partitionToReplaceFileIds; id <- ids)
+              for ((_, ids) <- c.partitionToReplaceFileIds; id <- ids) {
                 replaced += id
+                logPending -= id  // a replaced group's logs are dead
+              }
               (c.instant, latest, replaced, logPending)
           }.toVector
           timelineCache = Some((active, commits, states))

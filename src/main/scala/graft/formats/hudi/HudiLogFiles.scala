@@ -39,23 +39,28 @@ object HudiLogFiles {
 
   private val Magic = "#HUDI#".getBytes(StandardCharsets.US_ASCII)
   private val FormatVersion = 1
+  private val DeleteBlock = 2      // HoodieLogBlockType.DELETE_BLOCK ordinal role
   private val AvroDataBlock = 4
 
   val RecordKeyFieldsProp = "hoodie.table.recordkey.fields"
 
   // ------------------------------------------------------ block codec
 
-  /** Append one avro data block holding `records` to `path` (creates the
+  /** Append one avro block holding `records` to `path` (creates the
     * file with the block when absent); returns (recordCount, fileSize).
+    * `blockType` is `AvroDataBlock` for upserts or `DeleteBlock` for
+    * key-only tombstones (Hudi's HoodieDeleteBlock role: the record
+    * schema then carries just the record-key fields).
     */
   def writeLogFile(conf: Configuration, path: String, schema: Schema,
-      instant: String, records: Iterator[GenericRecord]): (Long, Long) = {
+      instant: String, records: Iterator[GenericRecord],
+      blockType: Int = AvroDataBlock): (Long, Long) = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val body = new ByteArrayOutputStream()
     val bodyOut = new DataOutputStream(body)
     bodyOut.writeInt(FormatVersion)
-    bodyOut.writeInt(AvroDataBlock)
+    bodyOut.writeInt(blockType)
     val headers = Seq("INSTANT_TIME" -> instant, "SCHEMA" -> schema.toString)
     bodyOut.writeInt(headers.size)
     headers.foreach { case (k, v) => bodyOut.writeUTF(k); writeBlob(bodyOut, v) }
@@ -121,16 +126,18 @@ object HudiLogFiles {
     new String(b, StandardCharsets.UTF_8)
   }
 
-  /** All records of a log file with their block's instant, in write
-    * order. A truncated/corrupt tail block stops the scan (Hudi's
-    * corrupt-block tolerance: a crashed writer must not poison the read).
+  /** All records of a log file with their block's instant and a
+    * tombstone flag (true for DeleteBlock records, whose schema carries
+    * only the record-key fields), in write order. A truncated/corrupt
+    * tail block stops the scan (Hudi's corrupt-block tolerance: a
+    * crashed writer must not poison the read).
     */
   def readLogFile(conf: Configuration, path: String)
-      : Seq[(String, GenericRecord)] = {
+      : Seq[(String, GenericRecord, Boolean)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = new DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
-    val out = Seq.newBuilder[(String, GenericRecord)]
+    val out = Seq.newBuilder[(String, GenericRecord, Boolean)]
     try {
       var more = true
       while (more) {
@@ -145,9 +152,11 @@ object HudiLogFiles {
           val b = new DataInputStream(new java.io.ByteArrayInputStream(block))
           val ver = b.readInt()
           val typ = b.readInt()
-          if (ver != FormatVersion || typ != AvroDataBlock)
+          if (ver != FormatVersion ||
+              (typ != AvroDataBlock && typ != DeleteBlock))
             throw new IllegalStateException(
               s"unsupported log block version=$ver type=$typ at $path")
+          val isDelete = typ == DeleteBlock
           val nHeaders = b.readInt()
           val headers = (0 until nHeaders)
             .map(_ => b.readUTF() -> readBlob(b)).toMap
@@ -162,7 +171,7 @@ object HudiLogFiles {
             val bytes = new Array[Byte](sz)
             b.readFully(bytes)
             val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-            out += instant -> reader.read(null, dec)
+            out += ((instant, reader.read(null, dec), isDelete))
             i += 1
           }
         }
@@ -224,9 +233,13 @@ object HudiLogFiles {
       }
     }
 
+  /** Missing fields (a tombstone's key-only schema read against the full
+    * table schema) pad as null — avro's Record.get(name) throws on them.
+    */
   def recordToRow(rec: GenericRecord, schema: StructType): Row =
     Row.fromSeq(schema.fields.toSeq.map(f =>
-      fromAvroValue(rec.get(f.name), f.dataType)))
+      if (rec.getSchema.getField(f.name) == null) null
+      else fromAvroValue(rec.get(f.name), f.dataType)))
 
   private def fromAvroValue(v: AnyRef, dt: DataType): Any =
     if (v == null) null
@@ -302,7 +315,22 @@ object HudiLogFiles {
       .count().filter(col("count") > 1).limit(1).count()
     require(dup == 0L, "upsert batch has duplicate keys")
 
-    // key → owning file group, from the base files (distributed)
+    val routed = routeToGroups(spark, src, snap, proj, keyCols)
+    val deltas = writeGroupLogs(spark, src, tablePath, routed, schema,
+      HudiTimeline.newInstant(tablePath), AvroDataBlock, schema.json)
+    graft.plans.SnapshotFileIndex.invalidate(snap)
+    deltas
+  }
+
+  /** Route `proj` rows (table-schema projection) to their owning file
+    * group via a distributed key→group join over the base files (the
+    * record-index role); keys absent from every base file (new inserts,
+    * or log-only rows) fall back to the lexicographically-first group.
+    */
+  private def routeToGroups(spark: SparkSession, src: HudiConversionSource,
+      snap: graft.model.TableSnapshot, proj: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    import spark.implicits._
     val groupOf = graft.plans.SnapshotFileIndex.listingFor(snap)
       .map(fe => (fe.path, HudiTimeline.fileId(fe.path)))
       .toDF("__scan_path", "__fid")
@@ -312,17 +340,25 @@ object HudiLogFiles {
       .join(groupOf, "__scan_path")
       .select(keyCols.map(col) :+ col("__fid"): _*)
     val firstGroup = src.fileGroupBaseInstants().toSeq.minBy(_._1)
-    val routed = proj.join(keyed, keyCols, "left")
+    proj.join(keyed, keyCols, "left")
       .withColumn("__fid", coalesce(col("__fid"), lit(firstGroup._1)))
+  }
 
-    val instant = HudiTimeline.newInstant(tablePath)
+  /** One executor task per touched file group writes that group's log
+    * file (records = `recordSchema`'s columns of each routed row) and a
+    * single `deltacommit` records the write stats. Returns the record
+    * count written.
+    */
+  private def writeGroupLogs(spark: SparkSession, src: HudiConversionSource,
+      tablePath: String, routed: DataFrame, recordSchema: StructType,
+      instant: String, blockType: Int, tableSchemaJson: String): Long = {
     val baseInstants = src.fileGroupBaseInstants()
     val logCounts = src.logFileCounts()
-    val schemaJson = schema.json
-    val avroJson = AvroSchemas.fromSpark(schema).toString
+    val schemaJson = recordSchema.json
+    val avroJson = AvroSchemas.fromSpark(recordSchema).toString
     val tp = tablePath
+    val bt = blockType
     val bconf = graft.util.HadoopConfs.broadcastSession(spark)
-    // one task per touched file group writes that group's log file
     val statRows = routed.repartition(col("__fid"))
       .sortWithinPartitions("__fid")
       .rdd.mapPartitions { it =>
@@ -342,7 +378,8 @@ object HudiLogFiles {
           val (n, size) = writeLogFile(bconf.value.value, s"$tp/$name",
             avro, instant,
             rows.map(r => rowToRecord(Row.fromSeq(
-              sch.fieldNames.toSeq.map(f => r.getAs[Any](f))), sch, avro)))
+              sch.fieldNames.toSeq.map(f => r.getAs[Any](f))), sch, avro)),
+            bt)
           out += ((fid, name, n, size))
         }
         out.result().iterator
@@ -353,17 +390,134 @@ object HudiLogFiles {
     }
     require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(instant,
       "deltacommit", Map("" -> stats.toSeq), Map.empty,
-      Map("schema" -> schemaJson)), tablePath))
-    graft.plans.SnapshotFileIndex.invalidate(snap)
+      Map("schema" -> tableSchemaJson)), tablePath))
     statRows.map(_._3).sum
   }
+
+  // ------------------------------------------------------------ delete
+
+  /** Row-level DELETE on a MERGE_ON_READ table: the keys of real-time
+    * rows matching `predicate` are written as DeleteBlock tombstones to
+    * their owning file groups (Hudi's HoodieDeleteBlock role), one
+    * `deltacommit`. The real-time view stops serving them; a LATER
+    * upsert of the same key revives it (latest instant wins — the same
+    * ordering rule Hudi's payload merge applies). Returns the number of
+    * deleted keys.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    require(HudiTimeline.tableType(tablePath) == "MERGE_ON_READ",
+      s"deleteWhere writes MOR delete blocks; $tablePath is COPY_ON_WRITE")
+    val keyCols = HudiTimeline
+      .property(tablePath, RecordKeyFieldsProp)
+      .map(_.split(',').toSeq)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"deleteWhere at $tablePath needs $RecordKeyFieldsProp in " +
+          "hoodie.properties — tombstones are keyed"))
+    // victims from the REAL-TIME view so log-only inserts are deletable
+    val rt = new HudiConversionSource(spark, tablePath, "delete-probe",
+      "snapshot")
+    val victims = rt.toDataFrame.filter(predicate)
+      .select(keyCols.map(col): _*)
+    val ro = new HudiConversionSource(spark, tablePath, "delete-route")
+    val snap = ro.currentSnapshot()
+    val keySchema = StructType(snap.table.schema.fields
+      .filter(f => keyCols.contains(f.name)))
+    val routed = routeToGroups(spark, ro, snap, victims, keyCols)
+    val n = writeGroupLogs(spark, ro, tablePath, routed, keySchema,
+      HudiTimeline.newInstant(tablePath), DeleteBlock,
+      snap.table.schema.json)
+    graft.plans.SnapshotFileIndex.invalidate(snap)
+    n
+  }
+
+  // -------------------------------------------------------- compaction
+
+  /** Compaction: absorb every live log file (upserts AND tombstones)
+    * back into base files — the real-time view materialized, one new
+    * base parquet per compacted file group written in one distributed
+    * pass (`repartition(__fid)` + partitionBy gives exactly one file per
+    * group), committed with the SAME fileId so the in-place supersede
+    * rule retires the old base. A group whose every row was deleted
+    * commits as a replaced fileId instead (no empty base files). After
+    * compaction the read-optimized view, file-level surfaces, and sync
+    * all serve the merged rows. Returns the number of rows in the
+    * compacted groups.
+    */
+  def compact(spark: SparkSession, tablePath: String): Long = {
+    require(HudiTimeline.tableType(tablePath) == "MERGE_ON_READ",
+      s"compact merges MOR log files; $tablePath is COPY_ON_WRITE")
+    val ro = new HudiConversionSource(spark, tablePath, "compact-route")
+    val logGroups = ro.logFileCounts().keySet
+    if (logGroups.isEmpty) return 0L
+    val keyCols = HudiTimeline
+      .property(tablePath, RecordKeyFieldsProp)
+      .map(_.split(',').toSeq)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"compact at $tablePath needs $RecordKeyFieldsProp"))
+    val rt = new HudiConversionSource(spark, tablePath, "compact-probe",
+      "snapshot")
+    val merged = rt.toDataFrame
+    val snap = ro.currentSnapshot()
+    val schema = snap.table.schema
+    val routed = routeToGroups(spark, ro, snap, merged, keyCols)
+      .filter(col("__fid").isin(logGroups.toSeq.map(x => x: Any): _*))
+
+    val instant = HudiTimeline.newInstant(tablePath)
+    val tmp = graft.util.TempDirs.create("graft_hudi_compact")
+    routed.repartition(col("__fid"))
+      .write.mode("overwrite").partitionBy("__fid").parquet(tmp)
+
+    // one pass only: per-group row counts come from the written files'
+    // footers, not a second scan of the merged view
+    val jt = java.nio.file.Paths.get(tmp)
+    val written = Option(jt.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("__fid=")).toSeq
+    val stats = Seq.newBuilder[HudiTimeline.WriteStat]
+    var total = 0L
+    val writtenGroups = written.map { dir =>
+      val fid = dir.getName.stripPrefix("__fid=")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      require(files.size == 1,
+        s"compaction expected one file per group, got ${files.size} for $fid")
+      val n = {
+        import scala.jdk.CollectionConverters._
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(files.head.toString), bconfOf(spark)))
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }
+      val name = s"${fid}_0-1-0_$instant.parquet"
+      java.nio.file.Files.move(files.head.toPath,
+        java.nio.file.Paths.get(tablePath, name))
+      stats += HudiTimeline.WriteStat(fid, name, n,
+        java.nio.file.Files.size(java.nio.file.Paths.get(tablePath, name)))
+      total += n
+      fid
+    }
+    val emptied = (logGroups -- writtenGroups.toSet).toSeq.sorted
+    val action = if (emptied.nonEmpty) "replacecommit" else "commit"
+    val replaceIds =
+      if (emptied.nonEmpty) Map("" -> emptied) else Map.empty[String, Seq[String]]
+    require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(instant,
+      action, Map("" -> stats.result()), replaceIds,
+      Map("schema" -> schema.json)), tablePath))
+    graft.plans.SnapshotFileIndex.invalidate(snap)
+    total
+  }
+
+  private def bconfOf(spark: SparkSession): Configuration =
+    spark.sessionState.newHadoopConf()
 
   // ------------------------------------------------ real-time read
 
   /** The merged (real-time) view: base rows whose key has no log record,
     * union the LATEST log record per key (instant desc, then log write
-    * order desc — later blocks of the same instant win). `logFiles` are
-    * (path, groupBaseInstant) of the live file slices' logs.
+    * order desc — later blocks of the same instant win). A tombstone
+    * winner (DeleteBlock record) suppresses the key entirely — unless a
+    * later upsert revived it, in which case that upsert won the window.
+    * `logFiles` are the live file slices' log paths.
     */
   def mergedRead(spark: SparkSession, snap: graft.model.TableSnapshot,
       logFiles: Seq[String], keyCols: Seq[String]): DataFrame = {
@@ -372,25 +526,30 @@ object HudiLogFiles {
     val bconf = graft.util.HadoopConfs.broadcastSession(spark)
     val logSchema = schema
       .add("__instant", StringType).add("__ord", LongType)
+      .add("__del", BooleanType)
     val rdd = spark.sparkContext
       .parallelize(logFiles, math.max(1, math.min(logFiles.size, 64)))
       .mapPartitions { paths =>
         paths.flatMap { p =>
           readLogFile(bconf.value.value, p).zipWithIndex.map {
-            case ((instant, rec), i) =>
+            case ((instant, rec, isDel), i) =>
+              // tombstone records carry only the key fields; the
+              // remaining columns read back null (never served: the
+              // __del winner is filtered, not emitted)
               val base = recordToRow(rec, schema)
-              Row.fromSeq(base.toSeq :+ instant :+ i.toLong)
+              Row.fromSeq(base.toSeq :+ instant :+ i.toLong :+ isDel)
           }
         }
       }
     val logDf = spark.createDataFrame(rdd, logSchema)
-    val latest = logDf.withColumn("__rn", row_number().over(
+    val winners = logDf.withColumn("__rn", row_number().over(
         Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("__instant").desc, col("__ord").desc)))
       .filter(col("__rn") === 1)
+    val latest = winners.filter(!col("__del"))
       .select(schema.fieldNames.toSeq.map(col): _*)
     val base = graft.formats.delta.DeltaRead.toDataFrame(spark, snap)
-    base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    base.join(winners.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(latest)
   }
 }

@@ -138,7 +138,7 @@ object EventsQueries {
   def streamingHourlyCounts(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
-    val stage = Files.createTempDirectory("graft_stream_gate").toString
+    val stage = graft.util.TempDirs.create("graft_stream_gate")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       Paths.get(stage, "events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -171,10 +171,10 @@ object EventsQueries {
     */
   def streamingLateData(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val stage = Files.createTempDirectory("graft_stream_late").toString
+    val stage = graft.util.TempDirs.create("graft_stream_late")
     val raw = s.read.parquet(s"$dir/events.parquet")
     def stageBatch(df: DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft_stream_late_tmp").toString
+      val tmp = graft.util.TempDirs.create("graft_stream_late_tmp")
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -229,7 +229,7 @@ object EventsQueries {
   def streamingIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
-    val stage = Files.createTempDirectory("graft_stream_ij").toString
+    val stage = graft.util.TempDirs.create("graft_stream_ij")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       Paths.get(stage, "events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -266,7 +266,7 @@ object EventsQueries {
   def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
-    val stage = Files.createTempDirectory("graft_stream_sess_gate").toString
+    val stage = graft.util.TempDirs.create("graft_stream_sess_gate")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       Paths.get(stage, "events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

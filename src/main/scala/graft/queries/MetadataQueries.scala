@@ -84,8 +84,7 @@ object MetadataQueries {
     */
   def fileGroups(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val dataDir = java.nio.file.Files
-      .createTempDirectory("graft_groups_data").toString
+    val dataDir = graft.util.TempDirs.create("graft_groups_data")
     Tables.events(s, dir)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
       .repartition(col("event_type"))     // one file per partition, not one per task

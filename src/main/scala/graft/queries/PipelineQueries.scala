@@ -603,7 +603,7 @@ object PipelineQueries {
   def streamingDedupExact(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
-    val stage = Files.createTempDirectory("graft_stream_dedup_gate").toString
+    val stage = graft.util.TempDirs.create("graft_stream_dedup_gate")
     Files.copy(Paths.get(s"$dir/documents.parquet"),
       Paths.get(stage, "documents.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

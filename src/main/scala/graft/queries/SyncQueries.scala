@@ -19,7 +19,7 @@ object SyncQueries {
 
   /** Parquet dir → Delta (full snapshot), read back via the Delta source. */
   def syncParquetToDelta(s: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft_delta_li").toString
+    val target = graft.util.TempDirs.create("graft_delta_li")
     val src = new ParquetDirectorySource(s, s"$dir/lineitem.parquet", "lineitem")
     val tgt = new DeltaConversionTarget(s, target)
     val outcomes = TableFormatSync.syncSnapshot(
@@ -43,8 +43,8 @@ object SyncQueries {
     * source table).
     */
   def syncIncrementalDelta(s: SparkSession, dir: String): DataFrame = {
-    val dataDir = Files.createTempDirectory("graft_inc_data").toString
-    val target = Files.createTempDirectory("graft_inc_delta").toString
+    val dataDir = graft.util.TempDirs.create("graft_inc_data")
+    val target = graft.util.TempDirs.create("graft_inc_delta")
     val srcFile = Paths.get(s"$dir/supplier.parquet")
     Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
@@ -80,9 +80,9 @@ object SyncQueries {
     * 2× the source table and distinct keys prove the remove replayed.
     */
   def syncIncrementalHudi(s: SparkSession, dir: String): DataFrame = {
-    val dataDir = Files.createTempDirectory("graft_inch_data").toString
-    val hudiDir = Files.createTempDirectory("graft_inch_hudi").toString
-    val deltaDir = Files.createTempDirectory("graft_inch_delta").toString
+    val dataDir = graft.util.TempDirs.create("graft_inch_data")
+    val hudiDir = graft.util.TempDirs.create("graft_inch_hudi")
+    val deltaDir = graft.util.TempDirs.create("graft_inch_delta")
     val srcFile = Paths.get(s"$dir/nation.parquet")
     def addFile(name: String, mtime: Long): Unit = {
       Files.copy(srcFile, Paths.get(dataDir, name),
@@ -130,9 +130,9 @@ object SyncQueries {
     * append and a replace, into an already-synced Delta target.
     */
   def syncIncrementalIceberg(s: SparkSession, dir: String): DataFrame = {
-    val dataDir = Files.createTempDirectory("graft_inci_data").toString
-    val iceDir = Files.createTempDirectory("graft_inci_ice").toString
-    val deltaDir = Files.createTempDirectory("graft_inci_delta").toString
+    val dataDir = graft.util.TempDirs.create("graft_inci_data")
+    val iceDir = graft.util.TempDirs.create("graft_inci_ice")
+    val deltaDir = graft.util.TempDirs.create("graft_inci_delta")
     val srcFile = Paths.get(s"$dir/region.parquet")
     def addFile(name: String, mtime: Long): Unit = {
       Files.copy(srcFile, Paths.get(dataDir, name),
@@ -179,9 +179,9 @@ object SyncQueries {
     * into an already-synced Delta target.
     */
   def syncIncrementalPaimon(s: SparkSession, dir: String): DataFrame = {
-    val dataDir = Files.createTempDirectory("graft_incp_data").toString
-    val paimonDir = Files.createTempDirectory("graft_incp_paimon").toString
-    val deltaDir = Files.createTempDirectory("graft_incp_delta").toString
+    val dataDir = graft.util.TempDirs.create("graft_incp_data")
+    val paimonDir = graft.util.TempDirs.create("graft_incp_paimon")
+    val deltaDir = graft.util.TempDirs.create("graft_incp_delta")
     val srcFile = Paths.get(s"$dir/region.parquet")
     def addFile(name: String, mtime: Long): Unit = {
       Files.copy(srcFile, Paths.get(dataDir, name),
@@ -224,7 +224,7 @@ object SyncQueries {
 
   /** Parquet dir → Iceberg (full snapshot), read back via manifests. */
   def syncParquetToIceberg(s: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft_ice_ord").toString
+    val target = graft.util.TempDirs.create("graft_ice_ord")
     val src = new ParquetDirectorySource(s, s"$dir/orders.parquet", "orders")
     val tgt = new graft.formats.iceberg.IcebergConversionTarget(s, target)
     val outcomes = TableFormatSync.syncSnapshot(
@@ -248,8 +248,8 @@ object SyncQueries {
     * every step — all three tables share the same physical parquet).
     */
   def syncChainDeltaIceberg(s: SparkSession, dir: String): DataFrame = {
-    val deltaDir = Files.createTempDirectory("graft_chain_delta").toString
-    val iceDir = Files.createTempDirectory("graft_chain_ice").toString
+    val deltaDir = graft.util.TempDirs.create("graft_chain_delta")
+    val iceDir = graft.util.TempDirs.create("graft_chain_ice")
     val src = new ParquetDirectorySource(s, s"$dir/customer.parquet", "customer")
     val r1 = TableFormatSync.syncSnapshot(
       Seq(new DeltaConversionTarget(s, deltaDir)),
@@ -277,7 +277,7 @@ object SyncQueries {
     * enrichment.
     */
   def syncParquetToHudi(s: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft_hudi_part").toString
+    val target = graft.util.TempDirs.create("graft_hudi_part")
     val src = new ParquetDirectorySource(s, s"$dir/part.parquet", "part")
     val tgt = new graft.formats.hudi.HudiConversionTarget(s, target)
     val outcomes = TableFormatSync.syncSnapshot(
@@ -305,8 +305,8 @@ object SyncQueries {
     */
   def syncHudiMorToDelta(s: SparkSession, dir: String): DataFrame = {
     import graft.formats.hudi._
-    val hudiDir = Files.createTempDirectory("graft_hudi_mor").toString
-    val deltaDir = Files.createTempDirectory("graft_hudi_mor_delta").toString
+    val hudiDir = graft.util.TempDirs.create("graft_hudi_mor")
+    val deltaDir = graft.util.TempDirs.create("graft_hudi_mor_delta")
     Files.copy(Paths.get(s"$dir/nation.parquet"),
       Paths.get(hudiDir, "base1.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val base = s"$hudiDir/base1.parquet"
@@ -346,7 +346,7 @@ object SyncQueries {
     * it reads Paimon but cannot write it).
     */
   def syncParquetToPaimon(s: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft_paimon_cust").toString
+    val target = graft.util.TempDirs.create("graft_paimon_cust")
     val src = new ParquetDirectorySource(s, s"$dir/customer.parquet", "customer")
     val tgt = new graft.formats.paimon.PaimonConversionTarget(s, target)
     val outcomes = TableFormatSync.syncSnapshot(
@@ -370,8 +370,8 @@ object SyncQueries {
     * partition values must survive the metadata plane and prune correctly.
     */
   def syncPartitionedEvents(s: SparkSession, dir: String): DataFrame = {
-    val dataDir = Files.createTempDirectory("graft_part_data").toString
-    val target = Files.createTempDirectory("graft_part_delta").toString
+    val dataDir = graft.util.TempDirs.create("graft_part_data")
+    val target = graft.util.TempDirs.create("graft_part_delta")
     Tables.events(s, dir)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
       .repartition(col("event_type"))     // one file per partition, not one per task
@@ -400,8 +400,8 @@ object SyncQueries {
     * filter — the transform survives the metadata plane and prunes.
     */
   def syncTimePartitioned(s: SparkSession, dir: String): DataFrame = {
-    val dataDir = Files.createTempDirectory("graft_day_data").toString
-    val target = Files.createTempDirectory("graft_day_delta").toString
+    val dataDir = graft.util.TempDirs.create("graft_day_data")
+    val target = graft.util.TempDirs.create("graft_day_delta")
     Tables.events(s, dir)
       .withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
@@ -434,7 +434,7 @@ object SyncQueries {
     * through SnapshotFileIndex), aggregate.
     */
   def graftReaderDelta(s: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft_reader_delta").toString
+    val target = graft.util.TempDirs.create("graft_reader_delta")
     val src = new ParquetDirectorySource(s, s"$dir/lineitem.parquet", "lineitem")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new DeltaConversionTarget(s, target)),
@@ -458,7 +458,7 @@ object SyncQueries {
     * timeline, and scans through SnapshotFileIndex.
     */
   def graftReaderHudi(s: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft_reader_hudi").toString
+    val target = graft.util.TempDirs.create("graft_reader_hudi")
     val src = new ParquetDirectorySource(s, s"$dir/orders.parquet", "orders")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.hudi.HudiConversionTarget(s, target)),
@@ -480,7 +480,7 @@ object SyncQueries {
     * manifests), same contract.
     */
   def graftReaderIceberg(s: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft_reader_iceberg").toString
+    val target = graft.util.TempDirs.create("graft_reader_iceberg")
     val src = new ParquetDirectorySource(s, s"$dir/customer.parquet",
       "customer")
     val outcomes = TableFormatSync.syncSnapshot(
@@ -504,7 +504,7 @@ object SyncQueries {
     * auto-detected from `snapshot/LATEST`.
     */
   def graftReaderPaimon(s: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft_reader_paimon").toString
+    val target = graft.util.TempDirs.create("graft_reader_paimon")
     val src = new ParquetDirectorySource(s, s"$dir/supplier.parquet",
       "supplier")
     val outcomes = TableFormatSync.syncSnapshot(
@@ -540,9 +540,9 @@ object SyncQueries {
       .select(col("keeper").as("doc_id"))
     val curated = docs.join(keepers, "doc_id")
       .select("doc_id", "lang", "source", "n_chars")
-    val staged = Files.createTempDirectory("graft_curated").toString
+    val staged = graft.util.TempDirs.create("graft_curated")
     curated.write.mode("overwrite").parquet(s"$staged/curated")
-    val target = Files.createTempDirectory("graft_curated_delta").toString
+    val target = graft.util.TempDirs.create("graft_curated_delta")
     val src = new ParquetDirectorySource(s, s"$staged/curated", "curated")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new DeltaConversionTarget(s, target)),
@@ -580,7 +580,7 @@ object SyncQueries {
     * NAME via Spark SQL.
     */
   def catalogSqlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val target = Files.createTempDirectory("graft_cat_sql").toString
+    val target = graft.util.TempDirs.create("graft_cat_sql")
     val src = new ParquetDirectorySource(s, s"$dir/supplier.parquet", "supplier")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new DeltaConversionTarget(s, target)),
@@ -609,8 +609,8 @@ object SyncQueries {
     * table as of version 0 — must see exactly the first file's rows.
     */
   def timeTravelDelta(s: SparkSession, dir: String): DataFrame = {
-    val dataDir = Files.createTempDirectory("graft_tt_data").toString
-    val target = Files.createTempDirectory("graft_tt_delta").toString
+    val dataDir = graft.util.TempDirs.create("graft_tt_data")
+    val target = graft.util.TempDirs.create("graft_tt_delta")
     val srcFile = Paths.get(s"$dir/region.parquet")
     Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
@@ -641,11 +641,11 @@ object SyncQueries {
     */
   def icebergPosDeleteRead(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val parquetDir = Files.createTempDirectory("graft_icedel_src").toString
+    val parquetDir = graft.util.TempDirs.create("graft_icedel_src")
     s.read.parquet(s"$dir/nation.parquet")
       .repartition(1).sortWithinPartitions("n_nationkey")
       .write.mode("overwrite").parquet(parquetDir)
-    val table = Files.createTempDirectory("graft_icedel_tbl").toString
+    val table = graft.util.TempDirs.create("graft_icedel_tbl")
     val src = new ParquetDirectorySource(s, parquetDir, "nation")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
@@ -677,7 +677,7 @@ object SyncQueries {
     * survive. The oracle recomputes exactly that union.
     */
   def icebergEqDeleteRead(s: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_icedel_eq_tbl").toString
+    val table = graft.util.TempDirs.create("graft_icedel_eq_tbl")
     val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
@@ -687,7 +687,7 @@ object SyncQueries {
     graft.formats.iceberg.IcebergDeletes.appendEqualityDeletes(s, table,
       all.filter(col("n_nationkey") % 3 === 0).select("n_nationkey"),
       Seq("n_nationkey"))
-    val reDir = Files.createTempDirectory("graft_icedel_eq_re").toString
+    val reDir = graft.util.TempDirs.create("graft_icedel_eq_re")
     all.filter(col("n_nationkey") % 5 === 0)
       .write.mode("overwrite").parquet(reDir)
     graft.formats.iceberg.IcebergDeletes.appendDataFiles(s, table, reDir)
@@ -714,11 +714,11 @@ object SyncQueries {
     */
   def icebergCompactSync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val parquetDir = Files.createTempDirectory("graft_icecmp_src").toString
+    val parquetDir = graft.util.TempDirs.create("graft_icecmp_src")
     s.read.parquet(s"$dir/nation.parquet")
       .repartition(1).sortWithinPartitions("n_nationkey")
       .write.mode("overwrite").parquet(parquetDir)
-    val table = Files.createTempDirectory("graft_icecmp_tbl").toString
+    val table = graft.util.TempDirs.create("graft_icecmp_tbl")
     val src = new ParquetDirectorySource(s, parquetDir, "nation")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
@@ -736,7 +736,7 @@ object SyncQueries {
       .rewriteWithDeletes(s, table), "compaction should have rewritten")
     val compacted = new graft.formats.iceberg.IcebergConversionSource(
       s, table, "nation")
-    val deltaDir = Files.createTempDirectory("graft_icecmp_delta").toString
+    val deltaDir = graft.util.TempDirs.create("graft_icecmp_delta")
     val out2 = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.delta.DeltaConversionTarget(s, deltaDir)),
       compacted.currentSnapshot(), compacted.sourceFormat)
@@ -759,13 +759,13 @@ object SyncQueries {
     * original rows while the latest read sees both.
     */
   def timeTravelIceberg(s: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_tt_ice").toString
+    val table = graft.util.TempDirs.create("graft_tt_ice")
     val src = new ParquetDirectorySource(s, s"$dir/region.parquet", "region")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
       src.currentSnapshot(), src.sourceFormat)
     require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
-    val copyDir = Files.createTempDirectory("graft_tt_ice_copy").toString
+    val copyDir = graft.util.TempDirs.create("graft_tt_ice_copy")
     s.read.parquet(s"$dir/region.parquet")
       .write.mode("overwrite").parquet(copyDir)
     graft.formats.iceberg.IcebergDeletes.appendDataFiles(s, table, copyDir)
@@ -787,7 +787,7 @@ object SyncQueries {
     * wholesale); the delete-aware read serves the surviving rows.
     */
   def deltaDeleteWhere(s: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_delta_delw").toString
+    val table = graft.util.TempDirs.create("graft_delta_delw")
     val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.delta.DeltaConversionTarget(s, table)),
@@ -818,8 +818,8 @@ object SyncQueries {
     * evolved files.
     */
   def syncSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val dataDir = Files.createTempDirectory("graft_evo_data").toString
-    val target = Files.createTempDirectory("graft_evo_delta").toString
+    val dataDir = graft.util.TempDirs.create("graft_evo_data")
+    val target = graft.util.TempDirs.create("graft_evo_delta")
     Files.copy(Paths.get(s"$dir/region.parquet"),
       Paths.get(dataDir, "f1.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
@@ -828,7 +828,7 @@ object SyncQueries {
     def src = new ParquetDirectorySource(s, dataDir, "region")
     controller.sync(src, Seq(new DeltaConversionTarget(s, target)))
 
-    val stage = Files.createTempDirectory("graft_evo_stage").toString
+    val stage = graft.util.TempDirs.create("graft_evo_stage")
     s.read.parquet(s"$dir/region.parquet")
       .withColumn("extra", col("r_regionkey") * 10)
       .coalesce(1).write.mode("overwrite").parquet(stage)
@@ -855,7 +855,7 @@ object SyncQueries {
     * CASE expression exactly.
     */
   def deltaUpdateWhere(s: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_delta_updw").toString
+    val table = graft.util.TempDirs.create("graft_delta_updw")
     val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.delta.DeltaConversionTarget(s, table)),
@@ -881,7 +881,7 @@ object SyncQueries {
     * with the same UPDATE-SET-* / INSERT-* semantics.
     */
   def deltaMergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_delta_merge").toString
+    val table = graft.util.TempDirs.create("graft_delta_merge")
     val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.delta.DeltaConversionTarget(s, table)),
@@ -925,7 +925,7 @@ object SyncQueries {
     * makes them survive the delete). Mirrors `delta_update_where`.
     */
   def icebergUpdateWhere(s: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_ice_updw").toString
+    val table = graft.util.TempDirs.create("graft_ice_updw")
     val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
@@ -951,7 +951,7 @@ object SyncQueries {
     * `delta_merge_upsert` (same source, same oracle).
     */
   def icebergMergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft_ice_merge").toString
+    val table = graft.util.TempDirs.create("graft_ice_merge")
     val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
@@ -983,7 +983,7 @@ object SyncQueries {
     */
   def hudiMorRealtimeRead(s: SparkSession, dir: String): DataFrame = {
     import graft.formats.hudi._
-    val hudiDir = Files.createTempDirectory("graft_hudi_rt").toString
+    val hudiDir = graft.util.TempDirs.create("graft_hudi_rt")
     Files.copy(Paths.get(s"$dir/nation.parquet"),
       Paths.get(hudiDir, "base1.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val base = s"$hudiDir/base1.parquet"
@@ -1008,6 +1008,127 @@ object SyncQueries {
 
   val hudiMorRealtimeReadSql: String = deltaMergeUpsertSql
 
+  /** Row-level DELETE on a Hudi MOR table via DeleteBlock tombstones,
+    * plus the revive rule: base → upsert (the merge scenario) → DELETE
+    * even keys → re-upsert keys %10 (region+1000). The tombstone wins
+    * over older records, the later upsert wins over the tombstone —
+    * Hudi's latest-instant-wins payload ordering, end to end through
+    * the real-time read.
+    */
+  def hudiDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.hudi._
+    val hudiDir = graft.util.TempDirs.create("graft_hudi_del")
+    Files.copy(Paths.get(s"$dir/nation.parquet"),
+      Paths.get(hudiDir, "base1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val base = s"$hudiDir/base1.parquet"
+    val nation = s.read.parquet(base)
+    HudiTimeline.writeProperties(hudiDir, "nation", "MERGE_ON_READ")
+    require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("100", "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(HudiTimeline.fileId(base),
+        "base1.parquet", nation.count(), Files.size(Paths.get(base))))),
+      Map.empty, Map("schema" -> nation.schema.json)), hudiDir))
+
+    val source = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 500))
+    HudiLogFiles.upsert(s, hudiDir, source, Seq("n_nationkey"))
+    HudiLogFiles.deleteWhere(s, hudiDir, col("n_nationkey") % 2 === 0)
+    HudiLogFiles.upsert(s, hudiDir,
+      nation.filter(col("n_nationkey") % 10 === 0)
+        .withColumn("n_regionkey", col("n_regionkey") + 1000),
+      Seq("n_nationkey"))
+
+    new HudiConversionSource(s, hudiDir, "nation", "snapshot").toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        sum(col("n_regionkey")).cast("long").as("sum_region"))
+  }
+
+  val hudiDeleteWhereSql: String =
+    """WITH src AS (
+      |  SELECT n_nationkey, n_name, n_regionkey + 100 AS n_regionkey
+      |  FROM nation WHERE n_nationkey % 3 = 0
+      |  UNION ALL
+      |  SELECT n_nationkey + 500, n_name, n_regionkey
+      |  FROM nation WHERE n_nationkey % 5 = 0
+      |), merged AS (
+      |  SELECT * FROM src
+      |  UNION ALL
+      |  SELECT * FROM nation
+      |  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
+      |), afterdel AS (
+      |  SELECT * FROM merged WHERE n_nationkey % 2 <> 0
+      |), revive AS (
+      |  SELECT n_nationkey, n_name, n_regionkey + 1000 AS n_regionkey
+      |  FROM nation WHERE n_nationkey % 10 = 0
+      |), final AS (
+      |  SELECT * FROM revive
+      |  UNION ALL
+      |  SELECT * FROM afterdel
+      |  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM revive)
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+      |FROM final""".stripMargin
+
+  /** Compaction absorbs MOR logs (upserts AND tombstones) into new base
+    * files, then the previously-refused file-level path works again:
+    * sync the compacted table to Delta and read it back — proof the
+    * delete semantics survive into a file listing.
+    */
+  def hudiCompactSync(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.hudi._
+    val hudiDir = graft.util.TempDirs.create("graft_hudi_cpt")
+    val deltaDir = graft.util.TempDirs.create("graft_hudi_cpt_delta")
+    Files.copy(Paths.get(s"$dir/nation.parquet"),
+      Paths.get(hudiDir, "base1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val base = s"$hudiDir/base1.parquet"
+    val nation = s.read.parquet(base)
+    HudiTimeline.writeProperties(hudiDir, "nation", "MERGE_ON_READ")
+    require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("100", "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(HudiTimeline.fileId(base),
+        "base1.parquet", nation.count(), Files.size(Paths.get(base))))),
+      Map.empty, Map("schema" -> nation.schema.json)), hudiDir))
+
+    val source = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 500))
+    HudiLogFiles.upsert(s, hudiDir, source, Seq("n_nationkey"))
+    HudiLogFiles.deleteWhere(s, hudiDir, col("n_nationkey") % 2 === 0)
+    require(HudiLogFiles.compact(s, hudiDir) > 0, "compaction was a no-op")
+
+    val src = new HudiConversionSource(s, hudiDir, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, deltaDir)), src.currentSnapshot(),
+      src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    new DeltaConversionSource(s, deltaDir, "nation").toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        sum(col("n_regionkey")).cast("long").as("sum_region"))
+  }
+
+  val hudiCompactSyncSql: String =
+    """WITH src AS (
+      |  SELECT n_nationkey, n_name, n_regionkey + 100 AS n_regionkey
+      |  FROM nation WHERE n_nationkey % 3 = 0
+      |  UNION ALL
+      |  SELECT n_nationkey + 500, n_name, n_regionkey
+      |  FROM nation WHERE n_nationkey % 5 = 0
+      |), merged AS (
+      |  SELECT * FROM src
+      |  UNION ALL
+      |  SELECT * FROM nation
+      |  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+      |FROM merged WHERE n_nationkey % 2 <> 0""".stripMargin
+
   /** ORC base files end-to-end (reference FileFormat.java:27-29): customer
     * written as ORC, the directory source lists it and reads ORC file-tail
     * stats, the sync lands it in Iceberg with file_format=ORC, and the
@@ -1015,9 +1136,9 @@ object SyncQueries {
     * oracle as the parquet-sourced Paimon sync.
     */
   def orcSourceSync(s: SparkSession, dir: String): DataFrame = {
-    val orcDir = Files.createTempDirectory("graft_orc_src").toString + "/t"
+    val orcDir = graft.util.TempDirs.create("graft_orc_src") + "/t"
     s.read.parquet(s"$dir/customer.parquet").write.orc(orcDir)
-    val table = Files.createTempDirectory("graft_orc_ice").toString
+    val table = graft.util.TempDirs.create("graft_orc_ice")
     val src = new ParquetDirectorySource(s, orcDir, "customer")
     val outcomes = TableFormatSync.syncSnapshot(
       Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
@@ -1032,4 +1153,39 @@ object SyncQueries {
   }
 
   val orcSourceSyncSql: String = syncParquetToPaimonSql
+
+  /** Avro base files end-to-end (the third reference file format,
+    * FileFormat.java:27-29): customer written as avro container files
+    * (one per executor slice, avro-core), the directory source reads the
+    * writer schema from the container header and counts rows from block
+    * headers, the Iceberg sync registers them as AVRO data files, and
+    * the read-back decodes records through the avro scan.
+    */
+  def avroSourceSync(s: SparkSession, dir: String): DataFrame = {
+    val avroDir = graft.util.TempDirs.create("graft_avro_src")
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    val schemaJson = customer.schema.json
+    val bconf = graft.util.HadoopConfs.broadcastSession(s)
+    val ad = avroDir
+    customer.repartition(2).rdd.mapPartitionsWithIndex { (i, it) =>
+      val sch = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Iterator.single(graft.sources.AvroFiles.write(
+        s"$ad/part-$i.avro", bconf.value.value, sch, it))
+    }.collect()   // O(partitions): per-file record counts only
+    val table = graft.util.TempDirs.create("graft_avro_ice")
+    val src = new ParquetDirectorySource(s, avroDir, "customer")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    new graft.formats.iceberg.IcebergConversionSource(s, table, "customer")
+      .toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val avroSourceSyncSql: String = syncParquetToPaimonSql
 }

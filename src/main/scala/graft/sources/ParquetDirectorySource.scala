@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.model._
 import graft.spi.ConversionSource
@@ -43,7 +44,7 @@ class ParquetDirectorySource(
   override def currentTable(): TableDescriptor = {
     val (n, latest, samplePath) = listingSummary()
     if (n == 0) throw new IllegalStateException(
-      s"no parquet/orc data files under $basePath")
+      s"no parquet/orc/avro data files under $basePath")
     // schema from Spark's own reader (footer-derived, includes hive
     // partition columns); mergeSchema so a column added by newer files
     // appears — reference infers from latest footer
@@ -52,8 +53,14 @@ class ParquetDirectorySource(
     // footer merge — a real table dir is never only data files. ORC dirs
     // (reference FileFormat.java:27-29) read through Spark's ORC reader.
     val isOrc = samplePath.exists(_.endsWith(".orc"))
+    val isAvro = samplePath.exists(_.endsWith(".avro"))
     val schema =
-      if (isOrc) spark.read.option("mergeSchema", "true")
+      if (isAvro)
+        // avro container header carries the writer schema; Spark ships no
+        // in-core avro datasource, so read it via avro-core directly
+        AvroFiles.sparkSchemaOf(samplePath.get,
+          graft.util.HadoopConfs.session(spark))
+      else if (isOrc) spark.read.option("mergeSchema", "true")
         .option("pathGlobFilter", "*.orc").orc(basePath).schema
       else spark.read.option("mergeSchema", "true")
         .option("pathGlobFilter", "*.parquet")
@@ -66,8 +73,17 @@ class ParquetDirectorySource(
       if (partitionSpec.nonEmpty) partitionSpec
       else samplePartitions.map(pv =>
         PartitionFieldSpec(pv.field, Transform.Value))
+    // the avro header knows nothing of hive path partitions — append them
+    // (string-typed, the path's native form; parquet/orc get them from
+    // Spark's own partition inference)
+    val fullSchema =
+      if (!isAvro) schema
+      else StructType(schema.fields ++ samplePartitions
+        .filterNot(pv => schema.fieldNames.contains(pv.field))
+        .map(pv => StructField(pv.field, StringType)))
     TableDescriptor(tableName, TableFormats.Parquet,
-      graft.util.PathUtils.canonical(basePath), schema, spec, layout, latest)
+      graft.util.PathUtils.canonical(basePath), fullSchema, spec, layout,
+      latest)
   }
 
   override def currentSnapshot(): TableSnapshot = {

@@ -48,15 +48,17 @@ object ParquetFooters {
   }
 
   private def isDataFile(name: String): Boolean =
-    (name.endsWith(".parquet") || name.endsWith(".orc")) &&
+    (name.endsWith(".parquet") || name.endsWith(".orc") ||
+      name.endsWith(".avro")) &&
       !name.startsWith("_") && !name.startsWith(".")
 
   /** FileEntry format label from the file name (reference models parquet,
-    * orc and avro base files — FileFormat.java:27-29; avro data files
-    * remain unsupported here and are refused at stat-read time).
+    * orc and avro base files — FileFormat.java:27-29).
     */
   def formatOf(path: String): String =
-    if (path.endsWith(".orc")) "orc" else "parquet"
+    if (path.endsWith(".orc")) "orc"
+    else if (path.endsWith(".avro")) "avro"
+    else "parquet"
 
   /** Whole-table listing as a Dataset: the driver reads ONE level (files +
     * partition directories), then each directory subtree is walked in an
@@ -193,6 +195,8 @@ object ParquetFooters {
       : (Long, Seq[FileColumnStat]) = {
     if (path.endsWith(".orc"))
       return OrcFooters.readFooterStats(path, conf, columns)
+    if (path.endsWith(".avro"))
+      return AvroFiles.readFooterStats(path, conf)
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf))
     try {

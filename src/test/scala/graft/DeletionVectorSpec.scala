@@ -483,4 +483,46 @@ class DeletionVectorSpec extends SparkSuite {
     assert(after(1L) == 9L && after(997L) == 9L)
     assert(after.size == want.size + 1)
   }
+
+  test("updateWhere recomputes generated partitions on DAY-transformed tables") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stage = tmpDir("dv_day_stage") + "/t"
+    val table = tmpDir("dv_day_table")
+    val events = spark.read.parquet(sf("sf0.001/events.parquet"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .limit(200)
+    events.withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("ts_day"))
+      .write.partitionBy("ts_day").parquet(stage)
+    val spec = graft.model.PartitionSpecDSL.parse("ts:DAY:yyyy-MM-dd")
+    val src = new graft.sources.ParquetDirectorySource(
+      spark, stage, "events_by_day", spec)
+    TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    def dsrc() = new DeltaConversionSource(spark, table, "events_by_day")
+    val schema = dsrc().currentTable().schema
+    val before = dsrc().toDataFrame.count()
+
+    // UPDATE moves matching rows one day forward: the DAY-generated
+    // partition value must be recomputed from the shifted ts, so the
+    // replacement files land in (and register under) the NEW day
+    val n = DeltaDeletes.updateWhere(spark, table,
+      dayofmonth(col("ts")) === 1,
+      Map("ts" -> (col("ts") + expr("INTERVAL 1 DAY"))))
+    assert(n > 0, "fixture needs at least one day-1 event")
+    val got = dsrc().toDataFrame
+    assert(got.count() == before)
+    assert(got.filter(dayofmonth(col("ts")) === 1).count() == 0)
+    // commit metadata: some replacement file registered under day 02
+    val days = dsrc().currentSnapshot().files.collect()
+      .flatMap(_.partitionValues).filter(_.field == "ts_day").map(_.value)
+    assert(days.exists(_.endsWith("-02")), days.distinct.mkString(","))
+
+    // partition pruning still serves the moved rows under their new day
+    val moved = got.filter(col("ts_day").endsWith("-02")).count()
+    assert(moved >= n, s"moved rows must be visible under day 02 ($moved < $n)")
+    assert(schema.fieldNames.contains("ts"))
+  }
 }

@@ -49,7 +49,7 @@ class HudiMorSpec extends SparkSuite {
       Iterator(rec(2, "b2")))
     assert(n1 == 2 && n2 == 1)
     val got = HudiLogFiles.readLogFile(conf, path)
-      .map { case (i, r) => (i, r.get("k"), r.get("s").toString) }
+      .map { case (i, r, _) => (i, r.get("k"), r.get("s").toString) }
     assert(got == Seq(("200", 1L, "a"), ("200", 2L, "b"), ("300", 2L, "b2")))
 
     // truncated tail block: parsed prefix still serves (crash tolerance).
@@ -138,5 +138,89 @@ class HudiMorSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got(1L) == 50L)
     assert(got.size == nation.count().toInt)
+  }
+
+  test("deleteWhere tombstones: delete, revive, delete of log-only insert") {
+    val dir = morTable()
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    val keys = nation.select("n_nationkey").as[Long].collect().toSeq.sorted
+    // insert a log-only key (not in any base file)
+    HudiLogFiles.upsert(spark, dir,
+      nation.filter(col("n_nationkey") === 1)
+        .withColumn("n_nationkey", lit(9999L)), Seq("n_nationkey"))
+
+    // delete even keys (hits base rows AND the log-only 9999? no — odd)
+    val nDel = HudiLogFiles.deleteWhere(spark, dir,
+      col("n_nationkey") % 2 === 0)
+    assert(nDel == keys.count(_ % 2 == 0))
+    val rt = new HudiConversionSource(spark, dir, "nation", "snapshot")
+    val afterDel = rt.toDataFrame.select("n_nationkey").as[Long]
+      .collect().sorted.toSeq
+    assert(afterDel == (keys.filter(_ % 2 != 0) :+ 9999L).sorted)
+
+    // delete the log-only insert: routing falls back to the first group
+    assert(HudiLogFiles.deleteWhere(spark, dir,
+      col("n_nationkey") === 9999L) == 1L)
+    assert(!new HudiConversionSource(spark, dir, "nation", "snapshot")
+      .toDataFrame.select("n_nationkey").as[Long].collect().contains(9999L))
+
+    // revive: a LATER upsert of a deleted key wins over the tombstone
+    HudiLogFiles.upsert(spark, dir,
+      nation.filter(col("n_nationkey") === 2)
+        .withColumn("n_regionkey", lit(42L)), Seq("n_nationkey"))
+    val revived = new HudiConversionSource(spark, dir, "nation", "snapshot")
+      .toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    assert(revived(2L) == 42L)
+    assert(!revived.contains(4L), "still-deleted key must stay gone")
+
+    // RO view never saw any of it
+    assert(new HudiConversionSource(spark, dir, "nation").toDataFrame
+      .select("n_nationkey").as[Long].collect().sorted.toSeq == keys)
+  }
+
+  test("compact() absorbs upserts + tombstones; file surfaces serve again") {
+    val dir = morTable()
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    val keys = nation.select("n_nationkey").as[Long].collect().toSeq
+    HudiLogFiles.upsert(spark, dir,
+      nation.filter(col("n_nationkey") % 3 === 0)
+        .withColumn("n_regionkey", col("n_regionkey") + 100),
+      Seq("n_nationkey"))
+    HudiLogFiles.deleteWhere(spark, dir, col("n_nationkey") % 2 === 0)
+
+    val expect = new HudiConversionSource(spark, dir, "nation", "snapshot")
+      .toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val n = HudiLogFiles.compact(spark, dir)
+    assert(n == expect.size.toLong)
+
+    // RO == RT now, and the file-level snapshot serves without refusal
+    val ro = new HudiConversionSource(spark, dir, "nation")
+    val got = ro.toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    val snapFiles = ro.currentSnapshot().files.collect()
+    assert(snapFiles.forall(f => !HudiTimeline.isLogFile(f.path)))
+    assert(got.keySet == keys.filter(_ % 2 != 0).toSet)
+
+    // a second compact is a no-op (no live logs)
+    assert(HudiLogFiles.compact(spark, dir) == 0L)
+  }
+
+  test("compact() replaces a fully-deleted file group") {
+    val dir = morTable()
+    HudiLogFiles.upsert(spark, dir,
+      spark.read.parquet(sf("sf0.001/nation.parquet"))
+        .filter(col("n_nationkey") === 1)
+        .withColumn("n_regionkey", lit(50L)), Seq("n_nationkey"))
+    // delete EVERYTHING: the sole group empties and must be replaced,
+    // not rewritten as an empty base file
+    HudiLogFiles.deleteWhere(spark, dir, lit(true))
+    assert(HudiLogFiles.compact(spark, dir) == 0L ||
+      new HudiConversionSource(spark, dir, "nation").toDataFrame.count() == 0L)
+    val ro = new HudiConversionSource(spark, dir, "nation")
+    assert(ro.toDataFrame.count() == 0L)
+    assert(ro.currentSnapshot().files.collect().isEmpty)
   }
 }
