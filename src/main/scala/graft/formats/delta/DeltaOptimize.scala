@@ -1,0 +1,276 @@
+package graft.formats.delta
+
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{FileEntry, Transform}
+import graft.util.{HadoopConfs, Jsons, PathUtils}
+
+/** Table-layout maintenance for Delta tables: OPTIMIZE (bin-packing
+  * compaction) and OPTIMIZE ZORDER BY (multi-column clustering) — the two
+  * rewrites every large production table runs continuously. Neither
+  * changes table contents: both commit `dataChange=false` add/remove
+  * pairs, so downstream incremental consumers know no rows moved.
+  *
+  * - [[compact]] folds small files (and files carrying deletion vectors —
+  *   compaction is how DV debt is retired) into ~`targetFileBytes` files,
+  *   partition by partition.
+  * - [[zorderBy]] rewrites the live set clustered by the interleaved
+  *   bit-order of up to four columns, so min/max file stats become
+  *   selective on EVERY clustered column at once — point/range predicates
+  *   on any of them prune most files (plain sorting only serves its
+  *   leading column). The z-value is a pure Catalyst expression
+  *   (range-bucket per column via broadcast quantile cuts, then a static
+  *   shift/or bit-interleave tree), so the whole rewrite stays inside
+  *   whole-stage codegen; the only driver-side state is ≤255 cut literals
+  *   per column.
+  *
+  * Scale shape: candidate selection, row rewrite, footer-stat collection
+  * and commit-line authoring are all Dataset operations; the driver
+  * streams commit lines one partition at a time (same bound as
+  * [[DeltaDeletes]]). Quantile cuts come from `approxQuantile` /
+  * a bounded sample — never a full collect. The commit CAS-es against the
+  * snapshot version observed at planning time, like every graft writer.
+  */
+object DeltaOptimize {
+
+  /** `rewrote` files (bytes) were replaced by `wrote` new files. */
+  case class RewriteResult(rewrote: Long, rewroteBytes: Long, wrote: Long)
+
+  private val NoOp = RewriteResult(0L, 0L, 0L)
+
+  /** Bin-pack every partition's small files (< `minFileBytes`) and every
+    * DV-carrying file into ~`targetFileBytes` files. Partitions where
+    * compaction would not help (a single small file and no DVs) are left
+    * alone. Returns what was rewritten; no-op → no commit.
+    */
+  def compact(spark: SparkSession, tablePath: String,
+      targetFileBytes: Long = 128L << 20,
+      minFileBytes: Long = 32L << 20): RewriteResult = {
+    import spark.implicits._
+    val snap = sourceOf(spark, tablePath).currentSnapshot()
+    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+
+    // partition key = canonical partitionValues rendering; a partition is
+    // eligible when compaction changes its layout: >=2 small files to
+    // fold, or any DV to retire
+    val keyed = listing.map(f => (partKey(f), f))
+      .toDF("pk", "f")
+    val eligible = keyed
+      .groupBy("pk")
+      .agg(
+        sum(when(col("f.fileSizeBytes") < minFileBytes, 1L)
+          .otherwise(0L)).as("small"),
+        sum(when(col("f.deletionVector").isNotNull, 1L)
+          .otherwise(0L)).as("dvs"))
+      .filter(col("small") >= 2 || col("dvs") >= 1)
+      .select("pk")
+    val candidates = keyed
+      .join(eligible, "pk")
+      .filter(col("f.fileSizeBytes") < minFileBytes ||
+        col("f.deletionVector").isNotNull)
+      .select("f.*").as[FileEntry]
+      .localCheckpoint()   // pin: scan, sizing and commit see one set
+    if (candidates.isEmpty) return NoOp
+
+    val agg = candidates.agg(count(lit(1)), sum("fileSizeBytes")).head()
+    val (nOld, oldBytes) = (agg.getLong(0), agg.getLong(1))
+    // DV-applied rows of ONLY the candidate files, via a sub-snapshot
+    val sub = snap.copy(files = candidates,
+      commitId = snap.commitId + "-compact")
+    val rows = DeltaRead.toDataFrame(spark, sub)
+    val nOut = math.max(1L, (oldBytes + targetFileBytes - 1) / targetFileBytes)
+    val partCols = snap.table.partitionFields.map(_.partitionColumnName)
+    val packed =
+      if (partCols.nonEmpty) rows // partitionBy routes; tasks stay as read
+      else rows.repartition(nOut.toInt)
+    val wrote = commitRewrite(spark, tablePath, snap, candidates, packed,
+      "optimize")
+    graft.plans.SnapshotFileIndex.invalidate(sub)
+    RewriteResult(nOld, oldBytes, wrote)
+  }
+
+  /** Rewrite the WHOLE live set clustered by the z-order of `cols` (1–4
+    * columns; numeric, date, timestamp or string). Files come out sorted
+    * by interleaved bit order, so every clustered column's min/max range
+    * per file is ~`1/nOut`-th of its domain — stat-based skipping prunes
+    * on any of them.
+    */
+  def zorderBy(spark: SparkSession, tablePath: String, cols: Seq[String],
+      targetFileBytes: Long = 128L << 20): RewriteResult = {
+    import spark.implicits._
+    require(cols.nonEmpty && cols.size <= 4,
+      s"zorderBy takes 1..4 columns, got ${cols.size}")
+    val snap = sourceOf(spark, tablePath).currentSnapshot()
+    val schema = snap.table.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"zorder column $c is not in the table schema " +
+        schema.fieldNames.mkString("[", ",", "]")))
+    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+      .localCheckpoint()
+    if (listing.isEmpty) return NoOp
+    val agg = listing.agg(count(lit(1)), sum("fileSizeBytes")).head()
+    val (nOld, oldBytes) = (agg.getLong(0), agg.getLong(1))
+
+    val rows = DeltaRead.toDataFrame(spark, snap)
+    val z = zValue(rows, cols)
+    val nOut = math.max(1L, (oldBytes + targetFileBytes - 1) / targetFileBytes)
+    val partCols = snap.table.partitionFields.map(_.partitionColumnName)
+      .filter(rows.columns.contains)   // generated cols are re-derived later
+    val rangeCols = partCols.map(col) :+ col("__zval")
+    val clustered = rows.withColumn("__zval", z)
+      .repartitionByRange(nOut.toInt, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .drop("__zval")
+    val wrote = commitRewrite(spark, tablePath, snap,
+      listing, clustered, "zorder")
+    RewriteResult(nOld, oldBytes, wrote)
+  }
+
+  /** The interleaved-bits cluster key: per column an 8-bit range bucket
+    * (256 approximate-quantile cuts, broadcast as literals), then bit i of
+    * bucket j lands at position `i*ncols + j` — a static shift/and/or
+    * expression tree, fully codegen'd.
+    */
+  private[delta] def zValue(df: DataFrame, cols: Seq[String]): Column = {
+    val buckets = cols.map(c => bucketExpr(df, c))
+    val n = cols.size
+    (0 until 8).foldLeft(lit(0L)) { (acc, bit) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(b, bit).bitwiseAND(lit(1L)), bit * n + j))
+      }
+    }
+  }
+
+  /** 0..255 range bucket for one column: `#cuts <= value`, over ≤255 cut
+    * literals (nulls → bucket 0 so they cluster together). Cuts come from
+    * `approxQuantile` for orderable-numeric types and from a bounded
+    * sample for strings — both O(cuts) on the driver.
+    */
+  private def bucketExpr(df: DataFrame, c: String): Column = {
+    val dt = df.schema(c).dataType
+    def fromCuts[T](cuts: Seq[T], value: Column): Column =
+      if (cuts.isEmpty) lit(0L)
+      else size(filter(array(cuts.map(lit(_)): _*),
+        x => x <= value && value.isNotNull)).cast("long")
+    dt match {
+      case _: NumericType =>
+        val cuts = quantileCuts(df, col(c).cast("double"))
+        fromCuts(cuts, col(c).cast("double"))
+      case DateType =>
+        val cuts = quantileCuts(df, unix_date(col(c)).cast("double"))
+        fromCuts(cuts, unix_date(col(c)).cast("double"))
+      case TimestampType =>
+        val cuts = quantileCuts(df, unix_micros(col(c)).cast("double"))
+        fromCuts(cuts, unix_micros(col(c)).cast("double"))
+      case TimestampNTZType =>
+        val v = unix_micros(col(c).cast(TimestampType)).cast("double")
+        fromCuts(quantileCuts(df, v), v)
+      case StringType =>
+        // bounded reservoir: ≤64k sampled values → ≤255 evenly spaced cuts
+        // (the same sample-the-domain move as Spark's RangePartitioner)
+        val total = math.max(1L, df.select(c).na.drop.count())
+        val fraction = math.min(1.0, 65536.0 / total)
+        val sampled = df.select(col(c)).na.drop
+          .sample(withReplacement = false, fraction, seed = 41)
+          .distinct().sort(col(c)).collect().map(_.getString(0))
+        val step = math.max(1, sampled.length / 255)
+        val cuts = sampled.zipWithIndex
+          .collect { case (v, i) if i % step == 0 => v }.take(255).toSeq
+        fromCuts(cuts, col(c))
+      case other => throw new UnsupportedOperationException(
+        s"zorder on $c: unsupported type $other (numeric, date, " +
+          "timestamp and string cluster; drop the column from the key)")
+    }
+  }
+
+  private def quantileCuts(df: DataFrame, v: Column): Seq[Double] = {
+    val probed = df.select(v.as("__q")).na.drop
+    if (probed.isEmpty) return Nil
+    probed.stat
+      .approxQuantile("__q", (1 to 255).map(_ / 256.0).toArray, 0.005)
+      .distinct.sorted.toSeq
+  }
+
+  /** Write `rows` as the replacement for `removed`, stats included, and
+    * commit remove+add pairs with `dataChange=false` (a rewrite moves no
+    * rows, and incremental consumers must know that). Returns the new
+    * file count.
+    */
+  private def commitRewrite(spark: SparkSession, tablePath: String,
+      snap: graft.model.TableSnapshot, removed: Dataset[FileEntry],
+      rows: DataFrame, prefix: String): Long = {
+    import spark.implicits._
+    val tp = snap.table.basePath
+    val schema = snap.table.schema
+    val specs = snap.table.partitionFields
+    val partCols = specs.map(_.partitionColumnName)
+    val dataDir = s"$tp/$prefix-${UUID.randomUUID()}"
+    // generated partition columns re-derived from their source column —
+    // identical grammar to the sync writer (DeltaPartitions)
+    val routed = specs.filterNot(_.transform == Transform.Value)
+      .foldLeft(rows) { (d, s) =>
+        if (!schema.fieldNames.contains(s.sourceField)) d
+        else d.withColumn(s.partitionColumnName,
+          expr(DeltaPartitions.generationExpression(s).get).cast("string"))
+      }
+    if (partCols.isEmpty) routed.write.parquet(dataDir)
+    else routed.write.partitionBy(partCols: _*).parquet(dataDir)
+
+    // distributed footer scan → adds with REAL column stats (bin-packed /
+    // clustered files are exactly the ones stat-skipping must prune)
+    val conf = HadoopConfs.session(spark)
+    val listed = graft.sources.ParquetFooters.listFiles(dataDir, conf)
+    val schemaJson = schema.json
+    val adds = graft.sources.ParquetFooters
+      .fileEntries(spark, dataDir, listed)
+      .mapPartitions { it =>
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        it.map { fe =>
+          Jsons.toJson(Map("add" -> Map(
+            "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path)),
+            "partitionValues" -> fe.partitionValues
+              .map(p => p.field -> p.value).toMap,
+            "size" -> fe.fileSizeBytes,
+            "modificationTime" -> fe.lastModifiedMillis,
+            "dataChange" -> false,
+            "stats" -> DeltaStats.toJson(sch, fe.recordCount, fe.columnStats))))
+        }
+      }
+    val now = System.currentTimeMillis()
+    val removes = removed.mapPartitions { it =>
+      it.map { fe =>
+        Jsons.toJson(Map("remove" -> Map(
+          "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path)),
+          "deletionTimestamp" -> now,
+          "dataChange" -> false)))
+      }
+    }
+    val header = Iterator(Jsons.toJson(Map("commitInfo" -> Map(
+      "timestamp" -> now, "operation" -> "OPTIMIZE",
+      "operationParameters" -> Map("kind" -> prefix)))))
+    def streamOf(ds: Dataset[String]) = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(ds.toLocalIterator()).asScala
+    val version = snap.commitId.toLong + 1
+    val ok = DeltaLog.writeCommit(tablePath, version,
+      header ++ streamOf(removes) ++ streamOf(adds))
+    if (!ok) throw new IllegalStateException(
+      s"concurrent writer committed version $version first at $tablePath " +
+        s"(planned from version ${snap.commitId}) — re-run OPTIMIZE " +
+        "against the new snapshot")
+    graft.plans.SnapshotFileIndex.invalidate(snap)
+    listed.size.toLong
+  }
+
+  private def partKey(f: FileEntry): String =
+    f.partitionValues.map(p => s"${p.field}=${p.value}").mkString("/")
+
+  private def sourceOf(spark: SparkSession, tablePath: String)
+      : DeltaConversionSource =
+    new DeltaConversionSource(spark, tablePath,
+      PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
+}

@@ -49,7 +49,8 @@ object DeltaSnapshot {
       dvPathOrInline: String = "",
       dvOffset: Int = 0,
       dvSizeInBytes: Int = 0,
-      dvCardinality: Long = 0L) {
+      dvCardinality: Long = 0L,
+      dataChange: Boolean = true) {
     def dvDescriptor: Option[DvDescriptor] =
       if (dvStorageType.isEmpty) None
       else Some(DvDescriptor(dvStorageType, dvPathOrInline, dvOffset,
@@ -90,13 +91,15 @@ object DeltaSnapshot {
             Option(add.get("modificationTime")).map(_.asLong).getOrElse(0L),
             pv(add),
             Option(add.get("stats")).map(_.asText).getOrElse(""),
-            hasDv, st, pi, off, sz, card))
+            hasDv, st, pi, off, sz, card,
+            Option(add.get("dataChange")).forall(_.asBoolean)))
         }
         else if (remove != null) Some(ActionRow(version, "remove",
           PathUtils.resolve(tablePath,
             PathUtils.fromDeltaUri(remove.get("path").asText)),
           0L, 0L, Map.empty, "",
-          remove.hasNonNull("deletionVector")))
+          remove.hasNonNull("deletionVector"),
+          dataChange = Option(remove.get("dataChange")).forall(_.asBoolean)))
         else None
       }
     }

@@ -1,13 +1,22 @@
 package graft.formats.iceberg
 
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.util.{HadoopConfs, PathUtils}
+
 /** Iceberg table maintenance — snapshot expiration (the ExpireSnapshots
-  * action every production Iceberg table runs). Old snapshot entries are
-  * dropped from the metadata under a fresh version; data/manifest files
-  * are left in place (physical cleanup is a separate concern — the
-  * reference's expiration-safety check on the SOURCE side,
-  * IcebergConversionSource isIncrementalSyncSafeFrom, is what this
+  * action every production Iceberg table runs) and orphan-file removal
+  * (RemoveOrphanFiles, its physical-cleanup twin). Expiration drops old
+  * snapshot entries from the metadata under a fresh version;
+  * [[removeOrphanFiles]] then sweeps everything under the table directory
+  * that no RETAINED snapshot references — expired manifest lists,
+  * manifests, superseded data/delete files, stray temp output. The
+  * reference's expiration-safety check on the SOURCE side
+  * (IcebergConversionSource isIncrementalSyncSafeFrom) is what expiration
   * exercises: an expired snapshot makes per-commit replay impossible and
-  * must force fallback-to-full).
+  * must force fallback-to-full.
   */
 object IcebergMaintenance {
 
@@ -29,4 +38,72 @@ object IcebergMaintenance {
       s"concurrent writer during snapshot expiration at $tablePath")
     expired.map(_.sequenceNumber)
   }
+
+  case class OrphanSweep(deleted: Long, deletedBytes: Long, scanned: Long)
+
+  /** Delete every file under the table directory that (a) no retained
+    * snapshot references — data/delete files via their manifests, the
+    * manifests and manifest lists themselves — (b) is not table metadata
+    * (`*.metadata.json`, `version-hint.text`), and (c) is older than
+    * `retentionMillis` (protects a concurrent writer's in-flight files).
+    * Like the reference engines' RemoveOrphanFiles, files OUTSIDE the
+    * table directory (metadata-only conversions reference the source
+    * dir's data files in place) are never touched.
+    *
+    * Scale shape: manifest walking fans out per manifest in executor
+    * tasks, the directory walk is the same driver/cluster split as every
+    * graft listing, and the keep-set anti-join + deletes run distributed.
+    */
+  def removeOrphanFiles(spark: SparkSession, tablePath: String,
+      retentionMillis: Long = 0L): OrphanSweep = {
+    import spark.implicits._
+    val horizon = System.currentTimeMillis() - retentionMillis
+    val version = IcebergMetadata.currentVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"no Iceberg table at $tablePath"))
+    val m = IcebergMetadata.read(tablePath, version)
+
+    val manifestLists = m.snapshots.map(_.manifestList)
+    val manifests: Seq[String] =
+      manifestLists.flatMap(IcebergManifests.readManifestList)
+    val bconf = HadoopConfs.broadcastSession(spark)
+    val referencedData: Dataset[String] =
+      if (manifests.isEmpty) spark.emptyDataset[String]
+      else spark.createDataset(manifests)
+        .repartition(math.min(manifests.size, 64))
+        .mapPartitions { it =>
+          it.flatMap { mp =>
+            IcebergManifests.readManifest(mp).map { e =>
+              val df = e.get("data_file")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              PathUtils.canonical(df.get("file_path").toString)
+            }
+          }
+        }
+    val keepDriver = (manifestLists ++ manifests)
+      .map(PathUtils.canonical)
+    val keep = referencedData
+      .union(spark.createDataset(keepDriver)).distinct()
+
+    val all = graft.util.DistributedWalk.allFiles(spark, tablePath,
+        skipFile = n => n.endsWith(".metadata.json") ||
+          n == "version-hint.text")
+      .localCheckpoint()
+    val scanned = all.count()
+    val doomed = all
+      .join(keep.toDF("__keep"), all("path") === org.apache.spark.sql
+        .functions.col("__keep"), "left_anti")
+      .as[graft.util.DistributedWalk.WalkedFile]
+      .filter(_.mtime < horizon)
+    val sums = doomed.mapPartitions { it =>
+      val c = bconf.value.value
+      var n = 0L; var b = 0L
+      it.foreach { f =>
+        val p = new Path(f.path)
+        if (p.getFileSystem(c).delete(p, false)) { n += 1; b += f.size }
+      }
+      Iterator.single((n, b))
+    }.collect()
+    OrphanSweep(sums.map(_._1).sum, sums.map(_._2).sum, scanned)
+  }
+
 }

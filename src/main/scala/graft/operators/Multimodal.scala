@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed in partition-sized batches.
   *
   * IMAGE decode is REAL ([[decodeImage]] — `javax.imageio`, the PNG/BMP/
-  * GIF codecs that ship in the JVM). Audio/video decode remains a STUB
-  * (`decodeStub`: deterministic fake features from the bytes) because
-  * those codecs are genuinely absent in this container. Either way the
+  * GIF codecs that ship in the JVM) and so is AUDIO ([[decodeWav]] —
+  * `javax.sound.sampled`, the WAV/PCM codec that ships in the JVM). VIDEO
+  * decode remains the one honest STUB (`decodeStub`: deterministic fake
+  * features from the bytes) because no video codec exists in the JVM or
+  * this container. Either way the
   * Spark-side shape is the same and real — binary column, typed Dataset
   * batches via mapPartitions (the Scala analog of mapInPandas: one
   * iterator per partition, amortizing per-batch decoder setup), explicit
@@ -121,6 +123,106 @@ object Multimodal {
       // JVM-wide and cached; nothing further to init)
       batch.map(decodeImage)
     }
+  }
+
+  /** REAL decoded-audio features (via `javax.sound.sampled` — the WAV/PCM
+    * codec that ships in the JVM, no external libs). Video remains the one
+    * honest stub (no JVM codec exists).
+    */
+  case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Double,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Double,
+      rms: Double,                // root-mean-square amplitude in [-1,1]
+      zero_crossings: Long,       // sign changes of the mono mix
+      embedding: Array[Float])    // 8-segment RMS energy envelope
+
+  /** Decode one WAV payload with the JVM's real codec. 16-bit PCM (the
+    * canonical WAV encoding); fails loudly on anything undecodable —
+    * silently faking features for a corrupt payload is the wrong-answer
+    * class.
+    */
+  def decodeWav(r: MediaRecord): AudioFeatures = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.media))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16,
+        s"doc ${r.doc_id}: only 16-bit PCM WAV decodes here, " +
+          s"got ${fmt.getSampleSizeInBits}-bit")
+      val bytes = in.readAllBytes()
+      val ch = fmt.getChannels
+      val bigEndian = fmt.isBigEndian
+      val nFrames = bytes.length / (2 * ch)
+      // mono mix in [-1,1): average channels per frame
+      val mono = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        var acc = 0.0
+        while (c < ch) {
+          val i = (f * ch + c) * 2
+          val s =
+            if (bigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+            else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        mono(f) = acc / ch
+        f += 1
+      }
+      var sumSq = 0.0
+      var crossings = 0L
+      var prevSign = 0
+      val seg = new Array[Double](8)
+      var i = 0
+      while (i < nFrames) {
+        val v = mono(i)
+        sumSq += v * v
+        val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+        if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        seg(math.min(7, i * 8 / math.max(1, nFrames))) += v * v
+        i += 1
+      }
+      val segN = math.max(1, nFrames / 8)
+      AudioFeatures(r.doc_id, fmt.getSampleRate.toDouble, ch, nFrames.toLong,
+        nFrames * 1000.0 / fmt.getSampleRate,
+        math.sqrt(sumSq / math.max(1, nFrames)),
+        crossings,
+        seg.map(e => math.sqrt(e / segN).toFloat))
+    } finally in.close()
+  }
+
+  /** Batch audio decode — the same mapPartitions batch shape as images. */
+  def extractAudioFeatures(media: Dataset[MediaRecord],
+      partitions: Int = 32): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.repartition(partitions).mapPartitions(_.map(decodeWav))
+  }
+
+  /** 16-bit mono PCM samples → a WAV container (fixture/ingest writer —
+    * the same `javax.sound.sampled` codec, exercised in reverse).
+    */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Float)
+      : Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true,
+      false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** A resized media row (what an image-resize stage emits). */

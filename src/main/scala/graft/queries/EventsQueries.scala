@@ -180,8 +180,18 @@ object EventsQueries {
         .filter(_.getName.endsWith(".parquet")).head
       Files.move(part.toPath, Paths.get(stage, s"$name.parquet"))
     }
-    val maxTs = raw.agg(max("ts")).head().getLong(0) // raw ns
-    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val maxUs = Tables.normalizeTs(raw)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val dayUs = 24L * 3600 * 1000 * 1000
+    // sentinel ts literals must match the STAGED file schema (the stream
+    // reads with raw.schema), whichever representation this testdata
+    // generation shipped
+    def tsLit(us: Long) = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(us * 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr(s"cast(timestamp_micros(${us}L) as timestamp_ntz)")
+      case _ => expr(s"timestamp_micros(${us}L)")
+    }
     val stream = graft.streaming.StreamingOps.eventStream(s, stage, raw.schema)
     val q = graft.streaming.StreamingOps
       .windowedCounts(stream, delay = "240 hours")
@@ -191,10 +201,10 @@ object EventsQueries {
     q.processAllAvailable()
     stageBatch(raw.filter(col("event_id") % 5 === 0), "b2")
     q.processAllAvailable()
-    stageBatch(raw.limit(1).withColumn("ts", lit(maxTs + 30 * dayNs))
+    stageBatch(raw.limit(1).withColumn("ts", tsLit(maxUs + 30 * dayUs))
       .withColumn("event_type", lit("__late_sentinel__")), "s1")
     q.processAllAvailable()
-    stageBatch(raw.limit(1).withColumn("ts", lit(maxTs + 60 * dayNs))
+    stageBatch(raw.limit(1).withColumn("ts", tsLit(maxUs + 60 * dayUs))
       .withColumn("event_type", lit("__late_sentinel__")), "s2")
     q.processAllAvailable()
     q.stop()

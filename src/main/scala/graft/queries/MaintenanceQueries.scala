@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.formats.delta._
+import graft.sources.ParquetDirectorySource
+import graft.sync.TableFormatSync
+
+/** Table-maintenance and change-feed operations as driver-gate queries:
+  * OPTIMIZE (bin-packing), OPTIMIZE ZORDER, VACUUM and the row-level
+  * change feed — each runs the real operation on a real Delta table and
+  * reads the result back through the engine against a DuckDB oracle.
+  */
+object MaintenanceQueries {
+
+  private def syncTable(s: SparkSession, srcDir: String, name: String,
+      nFiles: Int, prefix: String): String = {
+    val dataDir = graft.util.TempDirs.create(s"${prefix}_data")
+    s.read.parquet(srcDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(dataDir)
+    val target = graft.util.TempDirs.create(s"${prefix}_delta")
+    val src = new ParquetDirectorySource(s, dataDir, name)
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    target
+  }
+
+  /** DELETE leaves deletion vectors; OPTIMIZE must retire them and fold
+    * the 8 small files, changing no rows — the read-back aggregates the
+    * surviving rows only.
+    */
+  def deltaOptimizeCompact(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/customer.parquet", "customer", 8,
+      "graft_opt")
+    require(DeltaDeletes.deleteWhere(s, table, col("c_acctbal") < 0) > 0)
+    val res = DeltaOptimize.compact(s, table)
+    require(res.rewrote == 8 && res.wrote < 8, res.toString)
+    val src = new DeltaConversionSource(s, table, "customer")
+    val listing = graft.plans.SnapshotFileIndex
+      .listingFor(src.currentSnapshot())
+    require(listing.collect().forall(_.deletionVector.isEmpty),
+      "OPTIMIZE left live deletion vectors")
+    src.toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val deltaOptimizeCompactSql: String =
+    s"""SELECT c_mktsegment, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM customer WHERE NOT (c_acctbal < 0)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** ZORDER clusters (l_orderkey, l_partkey); rows must be identical
+    * through the rewrite and the filtered read exercises the stat-skipping
+    * the clustering exists for.
+    */
+  def deltaZorderRead(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/lineitem.parquet", "lineitem", 8,
+      "graft_zorder")
+    val res = DeltaOptimize.zorderBy(s, table,
+      Seq("l_orderkey", "l_partkey"), targetFileBytes = 256L << 10)
+    require(res.rewrote == 8 && res.wrote >= 1, res.toString)
+    new DeltaConversionSource(s, table, "lineitem").toDataFrame
+      .filter(col("l_partkey") <= 200)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val deltaZorderReadSql: String =
+    s"""SELECT l_returnflag, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE l_partkey <= 200
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** The full maintenance cycle: DELETE → OPTIMIZE → ZORDER → VACUUM(0).
+    * The sweep must remove the superseded in-table files (first rewrite's
+    * data files + the DV files) and the final read must still match the
+    * oracle — a vacuum that touches a referenced file cannot pass.
+    */
+  def deltaVacuumRead(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/customer.parquet", "customer", 4,
+      "graft_vac")
+    require(DeltaDeletes.deleteWhere(s, table, col("c_acctbal") < 0) > 0)
+    val compacted = DeltaOptimize.compact(s, table)
+    require(compacted.rewrote == 4, compacted.toString)
+    val clustered = DeltaOptimize.zorderBy(s, table, Seq("c_custkey"))
+    require(clustered.rewrote == compacted.wrote, clustered.toString)
+    val swept = DeltaVacuum.vacuum(s, table, retentionMillis = 0L)
+    require(swept.deleted >= compacted.wrote + 1, swept.toString)
+    new DeltaConversionSource(s, table, "customer").toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val deltaVacuumReadSql: String = deltaOptimizeCompactSql
+
+  /** Iceberg maintenance end-to-end: two sync commits, expire all but the
+    * newest snapshot, sweep orphans (expired manifest lists become
+    * unreferenced), read the table back — the sweep must never touch a
+    * file the retained snapshot references.
+    */
+  def icebergMaintenanceSweep(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dataDir = graft.util.TempDirs.create("graft_iceorp_data")
+    val ice = graft.util.TempDirs.create("graft_iceorp")
+    val srcFile = Paths.get(s"$dir/customer.parquet")
+    val controller = new graft.sync.ConversionController
+    for (i <- 1 to 2) {
+      Files.copy(srcFile, Paths.get(dataDir, s"f$i.parquet"))
+      Paths.get(dataDir, s"f$i.parquet").toFile
+        .setLastModified(i * 1000000L)
+      val out = controller.sync(
+        new ParquetDirectorySource(s, dataDir, "customer"),
+        Seq(new graft.formats.iceberg.IcebergConversionTarget(s, ice)))
+      require(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    }
+    val expired = graft.formats.iceberg.IcebergMaintenance
+      .expireSnapshots(ice, retainLast = 1)
+    require(expired.size == 1, expired.toString)
+    val swept = graft.formats.iceberg.IcebergMaintenance
+      .removeOrphanFiles(s, ice)
+    require(swept.deleted >= 1, swept.toString)
+    new graft.formats.iceberg.IcebergConversionSource(s, ice, "customer")
+      .toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val icebergMaintenanceSweepSql: String =
+    s"""SELECT c_mktsegment, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM (SELECT * FROM customer UNION ALL SELECT * FROM customer)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Row-level change feed across a DELETE and a MERGE: the feed between
+    * v0 and HEAD must reconstruct exactly the deletes (pre-images), the
+    * merge's delete+insert pairs for matched keys, and the fresh inserts —
+    * aggregated per _change_type so the oracle recomputes it in SQL.
+    */
+  def deltaChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/customer.parquet", "customer", 4,
+      "graft_cdf")
+    val v0 = new DeltaConversionSource(s, table, "customer")
+      .currentSnapshot().commitId.toLong
+    require(DeltaDeletes.deleteWhere(s, table, col("c_acctbal") < 0) > 0)
+    // merge source: matched keys get c_acctbal+100, fresh keys appended
+    val live = new DeltaConversionSource(s, table, "customer").toDataFrame
+    val updates = live.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    val freshInserts = live.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+    DeltaDeletes.mergeInto(s, table, updates.unionByName(freshInserts),
+      Seq("c_custkey"))
+    val head = new DeltaConversionSource(s, table, "customer")
+      .currentSnapshot().commitId.toLong
+    DeltaChanges.changesBetween(s, table, v0, head)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("_change_type")
+  }
+
+  /** The oracle re-derives each feed row class from the base table:
+    * deletes = acctbal<0 pre-images + matched merge pre-images;
+    * inserts = matched post-images (+100) + re-keyed fresh rows.
+    */
+  val deltaChangesFeedSql: String = {
+    val live = "c_acctbal >= 0 OR c_acctbal IS NULL"
+    s"""WITH dels AS (
+       |  SELECT c_acctbal FROM customer WHERE c_acctbal < 0
+       |  UNION ALL
+       |  SELECT c_acctbal FROM customer
+       |  WHERE ($live) AND c_custkey % 10 = 0),
+       |ins AS (
+       |  SELECT c_acctbal + 100 AS c_acctbal FROM customer
+       |  WHERE ($live) AND c_custkey % 10 = 0
+       |  UNION ALL
+       |  SELECT c_acctbal FROM customer
+       |  WHERE ($live) AND c_custkey % 10 = 1),
+       |feed AS (
+       |  SELECT 'delete' AS _change_type, c_acctbal FROM dels
+       |  UNION ALL
+       |  SELECT 'insert' AS _change_type, c_acctbal FROM ins)
+       |SELECT _change_type, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM feed GROUP BY _change_type ORDER BY _change_type""".stripMargin
+  }
+}

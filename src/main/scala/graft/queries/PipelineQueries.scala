@@ -595,6 +595,43 @@ object PipelineQueries {
       |  CAST(doc_id % 256 AS BIGINT) AS luma
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL audio decode through the JVM's WAV codec: per doc a square wave
+    * with doc-dependent half-period hp = doc_id%8+2 (800 frames @ 8 kHz,
+    * amplitude 8192), round-tripped bytes→WAV→decode. Every emitted
+    * feature is exactly integer-derivable, so the DuckDB oracle recomputes
+    * the decode in closed form: zero crossings = floor(799/hp), RMS =
+    * 8192/32768 = 0.25 exactly (×100 → 25), duration = 100 ms.
+    */
+  def multimodalAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val hp = (id % 8 + 2).toInt
+          val samples = Array.tabulate(800) { i =>
+            if ((i / hp) % 2 == 0) 8192.toShort else (-8192).toShort
+          }
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeWavPcm16(samples, 8000f), "audio/wav")
+        }
+      }
+    Multimodal.extractAudioFeatures(media).toDF()
+      .select(col("doc_id"), col("n_frames"),
+        col("duration_ms").cast("long").as("dur_ms"),
+        round(col("rms") * 100).cast("long").as("rms_c"),
+        col("zero_crossings"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalAudioDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(800 AS BIGINT) AS n_frames,
+      |  CAST(100 AS BIGINT) AS dur_ms,
+      |  CAST(25 AS BIGINT) AS rms_c,
+      |  CAST(FLOOR(799 / (doc_id % 8 + 2)) AS BIGINT) AS zero_crossings
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Streaming exact dedup under the SAME oracle as the batch
     * `dedup_exact`: the stateful streaming aggregation must converge to
     * the batch answer (state per distinct hash, order-independent

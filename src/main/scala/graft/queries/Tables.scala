@@ -20,15 +20,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark reads as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong=true); normalize to a proper
-    * timestamp column at micros precision.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (read as long nanos
+    * under spark.sql.legacy.parquet.nanosAsLong=true) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ)
+    * across testdata generations — normalize either to a session-zone
+    * timestamp at micros precision, the form every query and DuckDB
+    * oracle uses (the session zone is UTC, so the NTZ→LTZ cast preserves
+    * the wall-clock instant DuckDB reads from the same file).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions._
-    apply(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -19,11 +19,15 @@ object StreamingOps {
   case class SessionState(count: Long, lastTsMicros: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
-  /** File stream over an events parquet directory (micro-batch source). */
+  /** File stream over an events parquet directory (micro-batch source).
+    * `ts` normalizes to a session-zone micros timestamp whatever the
+    * file's shipped representation (long nanos / TIMESTAMP_NTZ / LTZ —
+    * graft.queries.Tables.normalizeTs, same dispatch on the batch path).
+    */
   def eventStream(spark: SparkSession, dir: String, schema: StructType)
       : DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.queries.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir))
 
   /** Tumbling 1-hour windowed counts with a watermark — the streaming
     * form of EventsQueries.hourlyCounts, emitting the identical gate-safe

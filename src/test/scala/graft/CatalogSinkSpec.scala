@@ -179,9 +179,9 @@ class CatalogSinkSpec extends SparkSuite {
 
   test("hive-partitioned snapshot yields one catalog partition per directory") {
     val dataDir = tmpDir("cat_part_data")
-    spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("ts_us", unix_micros(
-        timestamp_micros((col("ts") / 1000).cast("long")))).drop("ts")
+    graft.queries.Tables.normalizeTs(
+        spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
       .repartition(col("event_type"))
       .write.mode("overwrite").partitionBy("event_type").parquet(dataDir)
     val src = new ParquetDirectorySource(spark, dataDir, "events")
@@ -242,9 +242,9 @@ class CatalogSinkSpec extends SparkSuite {
     // catalog partitions would go stale
     val dataDir = tmpDir("cat_sp_data")
     val deltaDir = tmpDir("cat_sp_delta")
-    spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("ts_us", unix_micros(
-        timestamp_micros((col("ts") / 1000).cast("long")))).drop("ts")
+    graft.queries.Tables.normalizeTs(
+        spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
       .repartition(col("event_type"))
       .write.mode("overwrite").partitionBy("event_type").parquet(dataDir)
     val src = new ParquetDirectorySource(spark, dataDir, "events")

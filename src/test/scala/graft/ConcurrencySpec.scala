@@ -169,6 +169,6 @@ class ConcurrencySpec extends SparkSuite {
     val empty = tmpDir("empty_src")
     val e = intercept[IllegalStateException](
       new ParquetDirectorySource(spark, empty, "empty").currentSnapshot())
-    assert(e.getMessage.contains("no parquet/orc data files"))
+    assert(e.getMessage.contains("no parquet/orc/avro data files"))
   }
 }

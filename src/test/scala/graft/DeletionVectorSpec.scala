@@ -489,8 +489,8 @@ class DeletionVectorSpec extends SparkSuite {
     import spark.implicits._
     val stage = tmpDir("dv_day_stage") + "/t"
     val table = tmpDir("dv_day_table")
-    val events = spark.read.parquet(sf("sf0.001/events.parquet"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.queries.Tables.normalizeTs(
+        spark.read.parquet(sf("sf0.001/events.parquet")))
       .limit(200)
     events.withColumn("ts_day", date_format(col("ts"), "yyyy-MM-dd"))
       .repartition(col("ts_day"))

@@ -39,9 +39,9 @@ class FileIndexSpec extends SparkSuite {
 
   test("hive-partitioned table: partition column readable and pruned") {
     val dataDir = tmpDir("fidx_part_data")
-    spark.read.parquet(sf("sf0.001") + "/events.parquet")
-      .withColumn("ts_us", unix_micros(
-        timestamp_micros((col("ts") / 1000).cast("long")))).drop("ts")
+    graft.queries.Tables.normalizeTs(
+        spark.read.parquet(sf("sf0.001") + "/events.parquet"))
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
       .repartition(col("event_type"))
       .write.mode("overwrite").partitionBy("event_type").parquet(dataDir)
     val src = syncToDelta(dataDir, "events")

@@ -157,6 +157,41 @@ class IcebergSyncSpec extends SparkSuite {
       .currentSnapshot().files.count() == 3)
   }
 
+  test("orphan-file removal sweeps expired manifests, keeps live reads") {
+    val dataDir = tmpDir("ice_orp_data")
+    val iceDir = tmpDir("ice_orp")
+    val srcFile = Paths.get(sf("sf0.001/region.parquet"))
+    val controller = new ConversionController
+    def parquetSrc = new ParquetDirectorySource(spark, dataDir, "region")
+    def iceSrc = new IcebergConversionSource(spark, iceDir, "region")
+    for (i <- 1 to 3) {
+      Files.copy(srcFile, Paths.get(dataDir, s"f$i.parquet"))
+      Paths.get(dataDir, s"f$i.parquet").toFile.setLastModified(i * 1000000L)
+      assert(controller.sync(parquetSrc,
+        Seq(new IcebergConversionTarget(spark, iceDir)))
+        .forall(_.status == "SUCCESS"))
+    }
+    // stray temp file a crashed writer might leave behind
+    Files.writeString(Paths.get(iceDir, "metadata", "stray-tmp.avro"), "x")
+
+    // nothing expired yet: every manifest is referenced, only the stray
+    // sweeps
+    val first = IcebergMaintenance.removeOrphanFiles(spark, iceDir)
+    assert(first.deleted == 1L, first.toString)
+
+    val expired = IcebergMaintenance.expireSnapshots(iceDir, retainLast = 1)
+    assert(expired.size == 2)
+    val second = IcebergMaintenance.removeOrphanFiles(spark, iceDir)
+    // two expired snapshots → their manifest lists (and superseded
+    // manifests) are now orphans
+    assert(second.deleted >= 2, second.toString)
+    // live read unharmed; a third sweep finds nothing
+    assert(iceSrc.currentSnapshot().files.count() == 3)
+    assert(iceSrc.toDataFrame.count() ==
+      spark.read.parquet(sf("sf0.001/region.parquet")).count() * 3)
+    assert(IcebergMaintenance.removeOrphanFiles(spark, iceDir).deleted == 0L)
+  }
+
   test("delta -> iceberg cross-format sync preserves rows") {
     val deltaDir = tmpDir("x_delta")
     val iceDir = tmpDir("x_ice")

@@ -247,6 +247,31 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("multimodal audio decode reads real PCM through javax.sound") {
+    import spark.implicits._
+    // square wave: half-period 4 samples, 160 frames @ 8kHz, amp 8192 —
+    // every feature is exactly computable
+    val samples = Array.tabulate(160) { i =>
+      if ((i / 4) % 2 == 0) 8192.toShort else (-8192).toShort
+    }
+    val wav = Multimodal.encodeWavPcm16(samples, 8000f)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(5L, wav, "audio/wav")))
+    val f = Multimodal.extractAudioFeatures(media, partitions = 1).head()
+    assert(f.doc_id == 5L && f.channels == 1 && f.n_frames == 160L)
+    assert(f.sample_rate == 8000.0)
+    assert(f.duration_ms == 20.0)
+    assert(f.rms == 0.25)                      // 8192/32768, exact
+    assert(f.zero_crossings == 159 / 4)        // sign flips at multiples of 4
+    assert(f.embedding.forall(e => math.abs(e - 0.25f) < 1e-6))
+    // corrupt payload fails loudly, never fake features
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractAudioFeatures(spark.createDataset(Seq(
+        Multimodal.MediaRecord(6L, Array[Byte](9, 9, 9), "audio/wav"))),
+        partitions = 1).head()
+    }
+  }
+
   test("multimodal resize and frame sampling keep the plumbing honest") {
     import spark.implicits._
     val media = docs.select(col("doc_id").cast("long").as("doc_id"),

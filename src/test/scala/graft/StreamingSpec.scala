@@ -188,8 +188,9 @@ class StreamingSpec extends SparkSuite {
     // independent recomputation of the drop model: watermark after the
     // on-time batch is (ms-floored max event time − 240 h); a late row
     // survives iff its 1-hour window end is strictly above it
-    val raw = spark.read.parquet(sf("sf0.001/events.parquet"))
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = graft.queries.Tables.normalizeTs(
+        spark.read.parquet(sf("sf0.001/events.parquet")))
+      .withColumn("ts_us", unix_micros(col("ts")))
     val onTime = raw.filter(col("event_id") % 5 =!= 0)
     val late = raw.filter(col("event_id") % 5 === 0)
     val maxUs = onTime.agg(max("ts_us")).head().getLong(0)
@@ -215,6 +216,7 @@ class StreamingSpec extends SparkSuite {
     import java.nio.file.{Files, Paths}
     val stage = tmpDir("stream_ij")
     val raw = spark.read.parquet(sf("sf0.001/events.parquet"))
+    val rawTs = graft.queries.Tables.normalizeTs(raw)
     def stageBatch(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = tmpDir("stream_ij_tmp")
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -237,11 +239,11 @@ class StreamingSpec extends SparkSuite {
     val got = spark.table("ij_out")
       .select("l_id", "r_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val v = raw.filter(col("event_type") === "view")
-      .select(col("user_id"), expr("ts div 1000").as("l_us"),
+    val v = rawTs.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("l_us"),
         col("event_id").as("l_id"))
-    val p = raw.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("r_user"), expr("ts div 1000").as("r_us"),
+    val p = rawTs.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("r_us"),
         col("event_id").as("r_id"))
     val want = v.join(p, col("user_id") === col("r_user") &&
         col("r_us") >= col("l_us") &&
