@@ -1,0 +1,124 @@
+package graft.formats.iceberg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{FileEntry, TableSnapshot}
+import graft.util.PathUtils
+
+/** Row-level change feed over an Iceberg table — the Iceberg twin of
+  * [[graft.formats.delta.DeltaChanges]]: `changesBetween(s0, s1)` returns
+  * every row inserted or deleted by the snapshots in `(s0, s1]`
+  * (sequence numbers), tagged `_change_type` and `_commit_version`.
+  *
+  * Per snapshot step the diff reads ONLY what the commit could have
+  * touched: data files added/removed by the step, plus the target files
+  * of any NEW position-delete files (position deletes name their file).
+  * New EQUALITY deletes can mask rows in any older file, so a step that
+  * adds them falls back to a full two-sided diff — correctness first,
+  * the narrow path for the overwhelmingly common append/delete-by-pos
+  * traffic. REPLACE snapshots (delete compaction — layout-only, same
+  * rows) contribute nothing, recognized by the snapshot summary
+  * operation, exactly as Delta's `dataChange=false` commits.
+  *
+  * Updates surface as their delete+insert pair — the reconstruction
+  * limit without CDC sidecar files, the same contract as DeltaChanges.
+  */
+object IcebergChanges {
+
+  def changesBetween(spark: SparkSession, tablePath: String,
+      fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq >= 0 && fromSeq < toSeq,
+      s"need 0 <= fromSeq < toSeq, got $fromSeq..$toSeq")
+    val version = IcebergMetadata.currentVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"no Iceberg table at $tablePath"))
+    val m = IcebergMetadata.read(tablePath, version)
+    val steps = m.snapshots
+      .filter(s => s.sequenceNumber > fromSeq && s.sequenceNumber <= toSeq)
+      .sortBy(_.sequenceNumber)
+    require(steps.nonEmpty,
+      s"no snapshots in ($fromSeq, $toSeq] at $tablePath — expired?")
+    val src = new IcebergConversionSource(spark, tablePath,
+      PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
+    var prev = fromSeq
+    val parts = steps.map { s =>
+      val d = changesOf(spark, src, m, tablePath, prev, s)
+      prev = s.sequenceNumber
+      d
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  private def changesOf(spark: SparkSession, src: IcebergConversionSource,
+      m: IcebergTableMetadata, tablePath: String, prevSeq: Long,
+      snap: IcebergSnapshot): DataFrame = {
+    import spark.implicits._
+    val seq = snap.sequenceNumber
+    val schema = m.schema
+    val cols = schema.fieldNames.toSeq.map(col)
+    val emptyFeed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType)))
+      .withColumn("_commit_version", lit(seq))
+    // REPLACE = layout-only rewrite (delete compaction): same rows, new
+    // (file, pos) everywhere — by definition no row-level change
+    if (snap.operation == "replace") return emptyFeed
+
+    def listingAt(s: Long): Dataset[FileEntry] =
+      if (s == 0 || m.snapshotBySeq(s).isEmpty)
+        spark.emptyDataset[FileEntry]
+      else src.filesAtSeq(m, s)
+    val beforeListing = listingAt(prevSeq).select("path").as[String]
+    val afterListing = listingAt(seq).select("path").as[String]
+    val added = afterListing.toDF("__p")
+      .join(beforeListing.toDF("__q"), col("__p") === col("__q"),
+        "left_anti")
+    val removed = beforeListing.toDF("__p")
+      .join(afterListing.toDF("__q"), col("__p") === col("__q"),
+        "left_anti")
+
+    // delete files NEW in this step widen the touched set
+    val prevDeletePaths =
+      IcebergDeletes.liveDeleteRefs(m, prevSeq).map(_.path).toSet
+    val newDeletes = IcebergDeletes.liveDeleteRefs(m, seq)
+      .filterNot(r => prevDeletePaths.contains(r.path))
+    val newEq = newDeletes.exists(_.content == 2)
+    val posTargets: DataFrame =
+      if (newDeletes.forall(_.content != 1)) spark.emptyDataset[String]
+        .toDF("__p")
+      else spark.read
+        .parquet(newDeletes.filter(_.content == 1).map(_.path): _*)
+        .select(graft.util.PathCols.canonical(col("file_path")).as("__p"))
+        .distinct()
+
+    def read(at: Long, touched: DataFrame): DataFrame = {
+      val listing = listingAt(at)
+      if (at == 0 || m.snapshotBySeq(at).isEmpty)
+        return emptyFeed.drop("_change_type", "_commit_version")
+          .withColumn("__scan_path", lit(null).cast("string"))
+          .withColumn("__scan_pos", lit(null).cast("long"))
+      val files =
+        if (newEq) listing   // equality deletes reach any file: full diff
+        else listing.join(touched, listing("path") === touched("__p"),
+          "left_semi").as[FileEntry]
+      val sub = TableSnapshot(src.currentTable(), files, s"$at-cdf")
+      val keyed = graft.formats.delta.DeltaRead.toKeyedDataFrame(spark, sub)
+      val out = IcebergDeletes.applyDeletes(spark, keyed, m, at, tablePath)
+      graft.plans.SnapshotFileIndex.invalidate(sub)
+      out
+    }
+    val after = read(seq, added.union(posTargets))
+    val before = read(prevSeq, added.union(removed).union(posTargets))
+
+    val key = Seq("__scan_path", "__scan_pos")
+    val inserts = after.join(before.select(key.map(col): _*), key,
+        "left_anti")
+      .select(cols :+ lit("insert").as("_change_type"): _*)
+    val deletes = before.join(after.select(key.map(col): _*), key,
+        "left_anti")
+      .select(cols :+ lit("delete").as("_change_type"): _*)
+    inserts.unionByName(deletes).withColumn("_commit_version", lit(seq))
+  }
+}

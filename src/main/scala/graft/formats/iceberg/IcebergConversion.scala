@@ -31,7 +31,7 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
       m.lastSequenceNumber)
   }
 
-  private def filesAtSeq(m: IcebergTableMetadata, seq: Long)
+  private[iceberg] def filesAtSeq(m: IcebergTableMetadata, seq: Long)
       : Dataset[FileEntry] = {
     import spark.implicits._
     m.snapshotBySeq(seq) match {

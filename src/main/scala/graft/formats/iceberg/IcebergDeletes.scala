@@ -305,7 +305,8 @@ object IcebergDeletes {
       // no sourceIdentifier: this is a row-level write, not a sync — the
       // target's corrupt-commit rollback must never touch it
       snapshots = m.snapshots :+
-        IcebergSnapshot(snapshotId, seq, now, listPath, None)))
+        IcebergSnapshot(snapshotId, seq, now, listPath, None,
+          if (replace) "replace" else "append")))
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed metadata v${version + 1} first at $tablePath")
   }
@@ -344,17 +345,22 @@ object IcebergDeletes {
     val deleted = spark.read.parquet(pos.map(_.path): _*)
       .select(graft.util.PathCols.canonical(col("file_path"))
         .as("__del_path"), col("pos").as("__del_pos"))
-    val keyed = df
-      .withColumn("__scan_path",
-        graft.util.PathCols.scanPath(col("_metadata.file_path")))
-      .withColumn("__scan_pos", col("_metadata.row_index"))
+    // a caller that already keyed the scan (change-feed diffs) keeps its
+    // keys; otherwise derive them from the scan metadata and strip after
+    val hasKeys = df.columns.contains("__scan_path")
+    val keyed =
+      if (hasKeys) df
+      else df
+        .withColumn("__scan_path",
+          graft.util.PathCols.scanPath(col("_metadata.file_path")))
+        .withColumn("__scan_pos", col("_metadata.row_index"))
     val estBytes = pos.map(r => r.recordCount * 116L).sum
     val right =
       if (estBytes <= BroadcastDeleteBytes) broadcast(deleted) else deleted
-    keyed.join(right,
+    val joined = keyed.join(right,
         keyed("__scan_path") === right("__del_path") &&
           keyed("__scan_pos") === right("__del_pos"), "left_anti")
-      .drop("__scan_path", "__scan_pos")
+    if (hasKeys) joined else joined.drop("__scan_path", "__scan_pos")
   }
 
   /** Mask equality-deleted rows: one anti-join per distinct equality-id
@@ -387,9 +393,12 @@ object IcebergDeletes {
     val seqRight =
       if (nDataFiles * 150L <= BroadcastDeleteBytes) broadcast(seqDf)
       else seqDf
-    var out = df
-      .withColumn("__scan_path",
+    val hasKeys = df.columns.contains("__scan_path")
+    val keyedIn =
+      if (hasKeys) df
+      else df.withColumn("__scan_path",
         graft.util.PathCols.scanPath(col("_metadata.file_path")))
+    var out = keyedIn
       .join(seqRight, col("__scan_path") === col("__ds_path"), "left")
       .drop("__ds_path")
       // a scanned file missing from the sequence map means the join key
@@ -422,6 +431,7 @@ object IcebergDeletes {
         else delRows
       out = out.join(right, cond, "left_anti")
     }
-    out.drop("__scan_path", "__ds_seq")
+    if (hasKeys) out.drop("__ds_seq")
+    else out.drop("__scan_path", "__ds_seq")
   }
 }

@@ -21,7 +21,8 @@ case class IcebergSnapshot(
     sequenceNumber: Long,
     timestampMs: Long,
     manifestList: String,
-    sourceIdentifier: Option[String] = None)
+    sourceIdentifier: Option[String] = None,
+    operation: String = "append")   // snapshot summary operation (spec: required)
 
 /** Iceberg table metadata (format-version 2 JSON layout:
   * `metadata/v<N>.metadata.json` + `version-hint.text`).
@@ -121,7 +122,7 @@ object IcebergMetadata {
       n.put("manifest-list", s.manifestList)
       // spec: summary is required and must carry "operation"
       val sum = n.putObject("summary")
-      sum.put("operation", "append")
+      sum.put("operation", s.operation)
       s.sourceIdentifier.foreach(sid =>
         sum.put("graft.source-identifier", sid))
     }
@@ -180,7 +181,10 @@ object IcebergMetadata {
           s.get("manifest-list").asText,
           Option(s.get("summary"))
             .flatMap(sum => Option(sum.get("graft.source-identifier")))
-            .map(_.asText))
+            .map(_.asText),
+          Option(s.get("summary"))
+            .flatMap(sum => Option(sum.get("operation")))
+            .map(_.asText).getOrElse("append"))
       })
   }
 }

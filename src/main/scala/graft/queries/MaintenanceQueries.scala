@@ -172,6 +172,57 @@ object MaintenanceQueries {
       .orderBy("_change_type")
   }
 
+  /** Iceberg row-level change feed across an UPDATE (equality-delete row
+    * delta) and a REPLACE compaction: the feed must show exactly the
+    * update's delete+insert pairs, and the compaction — a layout-only
+    * REPLACE snapshot — must contribute NOTHING (feed before and after
+    * compaction is identical).
+    */
+  def icebergChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = graft.util.TempDirs.create("graft_icecdf_data")
+    s.read.parquet(s"$dir/customer.parquet").repartition(4)
+      .write.mode("overwrite").parquet(dataDir)
+    val ice = graft.util.TempDirs.create("graft_icecdf")
+    val src0 = new ParquetDirectorySource(s, dataDir, "customer")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, ice)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val updated = graft.formats.iceberg.IcebergDeletes.updateWhere(s, ice,
+      col("c_custkey") % 10 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") + 100.0)))
+    require(updated > 0)
+    val feed = graft.formats.iceberg.IcebergChanges
+      .changesBetween(s, ice, 1L, 2L)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+    // compaction rewrites every file; the feed must not change
+    require(graft.formats.iceberg.IcebergDeletes.rewriteWithDeletes(s, ice))
+    val m = graft.formats.iceberg.IcebergMetadata.read(ice,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(ice).get)
+    val afterCompact = graft.formats.iceberg.IcebergChanges
+      .changesBetween(s, ice, 1L, m.lastSequenceNumber)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+    require(afterCompact.exceptAll(feed).isEmpty &&
+      feed.exceptAll(afterCompact).isEmpty,
+      "REPLACE compaction leaked into the change feed")
+    afterCompact.orderBy("_change_type")
+  }
+
+  val icebergChangesFeedSql: String =
+    s"""WITH feed AS (
+       |  SELECT 'delete' AS _change_type, c_acctbal FROM customer
+       |  WHERE c_custkey % 10 = 0
+       |  UNION ALL
+       |  SELECT 'insert' AS _change_type, c_acctbal + 100 AS c_acctbal
+       |  FROM customer WHERE c_custkey % 10 = 0)
+       |SELECT _change_type, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM feed GROUP BY _change_type ORDER BY _change_type""".stripMargin
+
   /** The oracle re-derives each feed row class from the base table:
     * deletes = acctbal<0 pre-images + matched merge pre-images;
     * inserts = matched post-images (+100) + re-keyed fresh rows.

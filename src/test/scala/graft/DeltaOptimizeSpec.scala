@@ -69,6 +69,25 @@ class DeltaOptimizeSpec extends SparkSuite {
     assert(!lines.exists(_.contains("\"dataChange\":true")), lines.toString)
   }
 
+  test("change feed sees the delete, not the optimize rewrite") {
+    val dataDir = tmpDir("opt_cdf_data")
+    spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .repartition(4).write.mode("overwrite").parquet(dataDir)
+    val table = syncToDelta(dataDir, "customer")
+    val nDeleted = DeltaDeletes.deleteWhere(spark, table,
+      col("c_acctbal") < 0)
+    assert(DeltaOptimize.compact(spark, table).rewrote == 4)
+    // versions: 0 sync, 1 delete, 2 optimize
+    val feed = graft.formats.delta.DeltaChanges
+      .changesBetween(spark, table, 0L, 2L)
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType == Map("delete" -> nDeleted), byType.toString)
+    // the optimize version alone contributes nothing
+    assert(graft.formats.delta.DeltaChanges
+      .changesBetween(spark, table, 1L, 2L).count() == 0L)
+  }
+
   test("compact is a no-op on an already-compacted table") {
     val dataDir = tmpDir("opt_noop_data")
     spark.read.parquet(sf("sf0.001") + "/region.parquet")

@@ -209,6 +209,35 @@ class IcebergDeletesSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("change feed reconstructs position deletes, replace is invisible") {
+    import spark.implicits._
+    val (table, dataFile, n) = freshTable()
+    IcebergDeletes.appendPositionDeletes(spark, table,
+      (0L until n by 3).map(p => (dataFile, p)).toDF("file_path", "pos"))
+
+    // feed across the delete step: exactly the masked rows, as deletes
+    val feed = IcebergChanges.changesBetween(spark, table, 1L, 2L)
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byType == Map("delete" -> ((n + 2) / 3)), byType.toString)
+    val allKeys = spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .select("n_nationkey").as[Long].collect().sorted
+    val expectDeleted = allKeys.zipWithIndex
+      .collect { case (k, i) if i % 3 == 0 => k }.toSet
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("n_nationkey").as[Long].collect().toSet == expectDeleted)
+
+    // compaction: REPLACE snapshot — the widened feed must be identical
+    assert(IcebergDeletes.rewriteWithDeletes(spark, table))
+    val m = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    assert(m.currentSnapshot.get.operation == "replace")
+    val widened = IcebergChanges.changesBetween(spark, table, 1L,
+      m.lastSequenceNumber)
+    assert(widened.groupBy("_change_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap == byType)
+  }
+
   test("delete-free tables are unaffected end-to-end") {
     val (table, _, n) = freshTable()
     val src = new IcebergConversionSource(spark, table, "nation")
