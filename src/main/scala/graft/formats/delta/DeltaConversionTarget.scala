@@ -128,8 +128,8 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
             "dataChange" -> true,
             "stats" -> DeltaStats.toJson(sch, f.recordCount, f.columnStats))))
         }
-      }.toLocalIterator()
-    }.map(it => scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala)
+      }
+    }.map(graft.util.StreamedLines.iterate(_))
       .getOrElse(Iterator.empty)
 
     val now = System.currentTimeMillis()
@@ -140,8 +140,8 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
           "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
           "deletionTimestamp" -> now,
           "dataChange" -> true)))
-      }.toLocalIterator()
-    }.map(it => scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala)
+      }
+    }.map(graft.util.StreamedLines.iterate(_))
       .getOrElse(Iterator.empty)
 
     val ok = DeltaLog.writeCommit(tablePath, version,

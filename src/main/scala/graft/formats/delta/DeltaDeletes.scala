@@ -374,8 +374,7 @@ object DeltaDeletes {
             "dataChange" -> true))))
       }
     }
-    val dvIt = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(dvLines.toLocalIterator()).asScala
+    val dvIt = graft.util.StreamedLines.iterate(dvLines)
 
     // CAS against the version observed at PLANNING time: a commit that
     // landed since makes writeCommit fail loudly instead of being

@@ -133,10 +133,47 @@ object DeltaOptimize {
   /** The interleaved-bits cluster key: per column an 8-bit range bucket
     * (256 approximate-quantile cuts, broadcast as literals), then bit i of
     * bucket j lands at position `i*ncols + j` — a static shift/and/or
-    * expression tree, fully codegen'd.
+    * expression tree, fully codegen'd. ALL orderable-numeric columns share
+    * ONE approxQuantile pass (multi-column Greenwald-Khanna); only string
+    * columns need their own bounded-sample pass each.
     */
   private[delta] def zValue(df: DataFrame, cols: Seq[String]): Column = {
-    val buckets = cols.map(c => bucketExpr(df, c))
+    def fromCuts[T](cuts: Seq[T], value: Column): Column =
+      if (cuts.isEmpty) lit(0L)
+      else size(filter(array(cuts.map(lit(_)): _*),
+        x => x <= value && value.isNotNull)).cast("long")
+    // orderable-numeric image of each non-string column
+    def numericView(c: String): Option[Column] = df.schema(c).dataType match {
+      case _: NumericType => Some(col(c).cast("double"))
+      case DateType => Some(unix_date(col(c)).cast("double"))
+      case TimestampType => Some(unix_micros(col(c)).cast("double"))
+      case TimestampNTZType =>
+        Some(unix_micros(col(c).cast(TimestampType)).cast("double"))
+      case StringType => None
+      case other => throw new UnsupportedOperationException(
+        s"zorder on $c: unsupported type $other (numeric, date, " +
+          "timestamp and string cluster; drop the column from the key)")
+    }
+    val views = cols.map(c => c -> numericView(c)).toMap
+    val numericCols = cols.filter(views(_).isDefined)
+    val probs = (1 to 255).map(_ / 256.0).toArray
+    val numCuts: Map[String, Seq[Double]] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val probed = df.select(numericCols.zipWithIndex.map {
+          case (c, i) => views(c).get.as(s"__q$i")
+        }: _*)
+        val all = probed.stat.approxQuantile(
+          numericCols.indices.map(i => s"__q$i").toArray, probs, 0.005)
+        numericCols.zip(all.map(
+          _.filterNot(_.isNaN).distinct.sorted.toSeq)).toMap
+      }
+    val buckets = cols.map { c =>
+      views(c) match {
+        case Some(v) => fromCuts(numCuts(c), v)
+        case None => fromCuts(stringCuts(df, c), col(c))
+      }
+    }
     val n = cols.size
     (0 until 8).foldLeft(lit(0L)) { (acc, bit) =>
       buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
@@ -146,54 +183,18 @@ object DeltaOptimize {
     }
   }
 
-  /** 0..255 range bucket for one column: `#cuts <= value`, over ≤255 cut
-    * literals (nulls → bucket 0 so they cluster together). Cuts come from
-    * `approxQuantile` for orderable-numeric types and from a bounded
-    * sample for strings — both O(cuts) on the driver.
+  /** ≤255 evenly spaced cuts from a bounded sample (≤64k values) — the
+    * same sample-the-domain move as Spark's RangePartitioner.
     */
-  private def bucketExpr(df: DataFrame, c: String): Column = {
-    val dt = df.schema(c).dataType
-    def fromCuts[T](cuts: Seq[T], value: Column): Column =
-      if (cuts.isEmpty) lit(0L)
-      else size(filter(array(cuts.map(lit(_)): _*),
-        x => x <= value && value.isNotNull)).cast("long")
-    dt match {
-      case _: NumericType =>
-        val cuts = quantileCuts(df, col(c).cast("double"))
-        fromCuts(cuts, col(c).cast("double"))
-      case DateType =>
-        val cuts = quantileCuts(df, unix_date(col(c)).cast("double"))
-        fromCuts(cuts, unix_date(col(c)).cast("double"))
-      case TimestampType =>
-        val cuts = quantileCuts(df, unix_micros(col(c)).cast("double"))
-        fromCuts(cuts, unix_micros(col(c)).cast("double"))
-      case TimestampNTZType =>
-        val v = unix_micros(col(c).cast(TimestampType)).cast("double")
-        fromCuts(quantileCuts(df, v), v)
-      case StringType =>
-        // bounded reservoir: ≤64k sampled values → ≤255 evenly spaced cuts
-        // (the same sample-the-domain move as Spark's RangePartitioner)
-        val total = math.max(1L, df.select(c).na.drop.count())
-        val fraction = math.min(1.0, 65536.0 / total)
-        val sampled = df.select(col(c)).na.drop
-          .sample(withReplacement = false, fraction, seed = 41)
-          .distinct().sort(col(c)).collect().map(_.getString(0))
-        val step = math.max(1, sampled.length / 255)
-        val cuts = sampled.zipWithIndex
-          .collect { case (v, i) if i % step == 0 => v }.take(255).toSeq
-        fromCuts(cuts, col(c))
-      case other => throw new UnsupportedOperationException(
-        s"zorder on $c: unsupported type $other (numeric, date, " +
-          "timestamp and string cluster; drop the column from the key)")
-    }
-  }
-
-  private def quantileCuts(df: DataFrame, v: Column): Seq[Double] = {
-    val probed = df.select(v.as("__q")).na.drop
-    if (probed.isEmpty) return Nil
-    probed.stat
-      .approxQuantile("__q", (1 to 255).map(_ / 256.0).toArray, 0.005)
-      .distinct.sorted.toSeq
+  private def stringCuts(df: DataFrame, c: String): Seq[String] = {
+    val total = math.max(1L, df.select(c).na.drop.count())
+    val fraction = math.min(1.0, 65536.0 / total)
+    val sampled = df.select(col(c)).na.drop
+      .sample(withReplacement = false, fraction, seed = 41)
+      .distinct().sort(col(c)).collect().map(_.getString(0))
+    val step = math.max(1, sampled.length / 255)
+    sampled.zipWithIndex
+      .collect { case (v, i) if i % step == 0 => v }.take(255).toSeq
   }
 
   /** Write `rows` as the replacement for `removed`, stats included, and
@@ -253,8 +254,7 @@ object DeltaOptimize {
     val header = Iterator(Jsons.toJson(Map("commitInfo" -> Map(
       "timestamp" -> now, "operation" -> "OPTIMIZE",
       "operationParameters" -> Map("kind" -> prefix)))))
-    def streamOf(ds: Dataset[String]) = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(ds.toLocalIterator()).asScala
+    def streamOf(ds: Dataset[String]) = graft.util.StreamedLines.iterate(ds)
     val version = snap.commitId.toLong + 1
     val ok = DeltaLog.writeCommit(tablePath, version,
       header ++ streamOf(removes) ++ streamOf(adds))
