@@ -90,10 +90,18 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
   private def commitsUpTo(instant: String): Seq[HudiTimeline.CommitMeta] =
     timeline()._1.filter(_.instant <= instant)
 
+  /** Every write stat ever committed (archived + active timeline), with
+    * its commit instant — the cleaner's ground truth for how old each
+    * physical file is.
+    */
+  private[hudi] def allWrites(): Seq[(String, HudiTimeline.WriteStat)] =
+    timeline()._1.flatMap(c =>
+      c.partitionToWriteStats.valuesIterator.flatten.map(s => (c.instant, s)))
+
   /** Live (partition, WriteStat) pairs as of an instant: latest write per
     * fileId wins; fileIds replaced by a later replacecommit are dropped.
     */
-  private def liveStats(upTo: String)
+  private[hudi] def liveStats(upTo: String)
       : Seq[(String, HudiTimeline.WriteStat, String)] = {
     val states = timeline()._2
     val idx = states.lastIndexWhere(s => s._1 <= upTo)

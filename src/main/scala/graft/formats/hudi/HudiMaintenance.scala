@@ -1,0 +1,99 @@
+package graft.formats.hudi
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths => JPaths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.util.{HadoopConfs, Jsons, PathUtils}
+
+/** Hudi cleaning — the physical-file retirement every production Hudi
+  * table runs (HoodieCleaner; the reference handles clean instants only
+  * read-side, as a safety check). With Delta VACUUM and Iceberg
+  * RemoveOrphanFiles this completes the maintenance story across all
+  * three formats.
+  *
+  * Semantics (KEEP_LATEST_COMMITS-shaped): the newest `retainInstants`
+  * completed instants define a horizon (the earliest retained instant).
+  * A physical file is deleted iff the TIMELINE says it is dead and old:
+  *
+  * - a committed BASE file that is no longer any live file group's base
+  *   (superseded by compaction or replaced), committed before the
+  *   horizon;
+  * - a committed LOG file no longer part of any live file slice
+  *   (absorbed by a later compaction or its group replaced), committed
+  *   before the horizon.
+  *
+  * Files the timeline never registered (stray temp output) are NOT
+  * touched — the cleaner trusts commits, not directory listings, exactly
+  * like Hudi's. A JSON `<instant>.clean` records what was removed;
+  * timeline readers (graft's and real Hudi's alike) ignore unknown
+  * instant actions when folding file groups, so cleaning never perturbs
+  * the views. Time travel / incremental reads AT OR AFTER the horizon
+  * keep working; reads before it fail loudly on the missing files.
+  *
+  * Scale shape: the dead-set derivation is pure timeline-fold arithmetic
+  * (O(commits + files) driver memory for the stat maps — the same bound
+  * the fold already holds); the deletes fan out over executors.
+  */
+object HudiMaintenance {
+
+  case class CleanResult(deleted: Long, deletedBytes: Long,
+      earliestRetained: String)
+
+  def clean(spark: SparkSession, tablePath: String,
+      retainInstants: Int): CleanResult = {
+    require(retainInstants >= 1, "must retain at least one instant")
+    val active = HudiTimeline.listInstants(tablePath)
+    require(active.nonEmpty, s"no Hudi timeline at $tablePath")
+    if (active.size <= retainInstants)
+      return CleanResult(0L, 0L, active.head)
+    val horizon = active.takeRight(retainInstants).head
+    val head = active.last
+
+    val src = new HudiConversionSource(spark, tablePath, "cleaner")
+    val liveBase = src.liveStats(head)
+      .map { case (_, s, _) => PathUtils.resolve(tablePath, s.path) }.toSet
+    val liveLogs = src.liveLogFiles(head).map(_._1).toSet
+    val live = liveBase ++ liveLogs
+
+    val dead = src.allWrites()
+      .filter { case (instant, _) => instant < horizon }
+      .map { case (_, s) =>
+        (PathUtils.resolve(tablePath, s.path), s.fileSizeInBytes) }
+      .filterNot { case (p, _) => live.contains(p) }
+      .distinct
+
+    if (dead.isEmpty) return CleanResult(0L, 0L, horizon)
+
+    // distributed delete (tiny here, bounded everywhere)
+    val bconf = HadoopConfs.broadcastSession(spark)
+    import spark.implicits._
+    val sums = spark.createDataset(dead)
+      .repartition(math.min(dead.size, 32))
+      .mapPartitions { it =>
+        val c = bconf.value.value
+        var n = 0L; var b = 0L
+        it.foreach { case (p, size) =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          if (hp.getFileSystem(c).delete(hp, false)) { n += 1; b += size }
+        }
+        Iterator.single((n, b))
+      }.collect()
+
+    // record the clean on the timeline (graft-JSON body; readers fold
+    // file groups from commit/deltacommit/replacecommit only and skip
+    // unknown actions, so this is purely informational — like Hudi's own
+    // HoodieCleanMetadata is to query engines)
+    val instant = HudiTimeline.newInstant(tablePath)
+    val body = Jsons.toJson(Map(
+      "earliestCommitToRetain" -> horizon,
+      "totalFilesDeleted" -> sums.map(_._1).sum,
+      "deletedFiles" -> dead.map(_._1).sorted))
+    val target = JPaths.get(
+      s"${HudiTimeline.hoodieDir(tablePath)}/$instant.clean")
+    Files.write(target, body.getBytes(StandardCharsets.UTF_8))
+
+    CleanResult(sums.map(_._1).sum, sums.map(_._2).sum, horizon)
+  }
+}

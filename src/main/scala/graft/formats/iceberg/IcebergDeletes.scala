@@ -195,14 +195,41 @@ object IcebergDeletes {
     * "compact/rewrite the table" remedy the refusal messages point to.
     * Returns true if a rewrite happened (false = no live deletes, no-op).
     */
-  def rewriteWithDeletes(spark: SparkSession, tablePath: String): Boolean = {
+  /** Rewrite the table as its delete-applied rows in a REPLACE snapshot.
+    * `zorderBy` (optional, 1–4 columns) clusters the rewrite by the
+    * interleaved-bit order of those columns — Iceberg's
+    * rewrite_data_files-with-sort, sharing [[graft.operators.ZOrder]]
+    * with Delta's OPTIMIZE ZORDER — so the one pass that retires delete
+    * debt also fixes the layout. With no deletes and no clustering
+    * request this is a no-op (returns false).
+    */
+  def rewriteWithDeletes(spark: SparkSession, tablePath: String,
+      zorderBy: Seq[String] = Nil,
+      targetFileBytes: Long = 128L << 20): Boolean = {
     val (version, m) = currentMeta(spark, tablePath)
-    if (liveDeleteRefs(m, m.lastSequenceNumber).isEmpty) return false
+    if (liveDeleteRefs(m, m.lastSequenceNumber).isEmpty && zorderBy.isEmpty)
+      return false
     val src = new IcebergConversionSource(spark, tablePath,
       m.properties.getOrElse("graft.table-name", "table"))
     val seq = m.lastSequenceNumber + 1
     val dataDir = s"$tablePath/data/compact-$seq-${UUID.randomUUID()}"
-    src.toDataFrame.write.parquet(dataDir)
+    val rows = src.toDataFrame
+    val out =
+      if (zorderBy.isEmpty) rows
+      else {
+        zorderBy.foreach(c => require(m.schema.fieldNames.contains(c),
+          s"zorder column $c is not in the table schema"))
+        val totalBytes = src.filesAtSeq(m, m.lastSequenceNumber)
+          .agg(org.apache.spark.sql.functions.sum("fileSizeBytes"))
+          .head().getLong(0)
+        val nOut = math.max(1L,
+          (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        rows.withColumn("__zval", graft.operators.ZOrder.zValue(rows, zorderBy))
+          .repartitionByRange(nOut, org.apache.spark.sql.functions.col("__zval"))
+          .sortWithinPartitions("__zval")
+          .drop("__zval")
+      }
+    out.write.parquet(dataDir)
     // CAS against the version the rewrite SCANNED: a commit landing
     // between scan and REPLACE would otherwise be silently discarded
     appendCommit(spark, tablePath, rows = null, content = 0,
@@ -243,16 +270,19 @@ object IcebergDeletes {
     val conf = spark.sessionState.newHadoopConf()
     val mdir = IcebergMetadata.metadataDir(tablePath)
 
-    // per-file record counts from the parquet footers — O(files per
-    // commit), not O(rows)
-    def staged(dir: String): Seq[(graft.sources.ParquetFooters.ListedFile, Long)] =
+    // per-file record counts AND column bounds from the parquet footers —
+    // O(files per commit), not O(rows); the bounds become Iceberg
+    // lower/upper_bounds so stat skipping works on rewritten/new files
+    def staged(dir: String): Seq[(graft.sources.ParquetFooters.ListedFile,
+        Long, Seq[graft.model.FileColumnStat])] =
       graft.sources.ParquetFooters.listFiles(dir, conf).map { f =>
-        val (nRows, _) = graft.sources.ParquetFooters.readFooterStats(
-          f.path, conf, Some(Set.empty))
-        (f, nRows)
+        val (nRows, stats) = graft.sources.ParquetFooters.readFooterStats(
+          f.path, conf, None)
+        (f, nRows, stats)
       }.filter(_._2 > 0)
 
-    def writeOneManifest(files: Seq[(graft.sources.ParquetFooters.ListedFile, Long)],
+    def writeOneManifest(files: Seq[(graft.sources.ParquetFooters.ListedFile,
+        Long, Seq[graft.model.FileColumnStat])],
         manifestContent: Int, ids: Seq[Int])
         : Option[IcebergManifests.ManifestSummary] = {
       if (files.isEmpty) return None
@@ -261,10 +291,10 @@ object IcebergDeletes {
       var nFiles = 0
       var nRows = 0L
       val len = IcebergManifests.writeManifest(manifestPath,
-        files.iterator.map { case (f, rowCount) =>
+        files.iterator.map { case (f, rowCount, stats) =>
           nFiles += 1; nRows += rowCount
           IcebergManifests.toEntry(
-            FileEntry(f.path, f.length, rowCount, "parquet", Nil, Nil,
+            FileEntry(f.path, f.length, rowCount, "parquet", Nil, stats,
               f.modifiedMillis),
             IcebergManifests.Status.Added, snapshotId, m.schema,
             content = manifestContent, equalityIds = ids)

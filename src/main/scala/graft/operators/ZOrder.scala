@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-column Z-order (interleaved-bit) cluster keys — shared by Delta
+  * OPTIMIZE ZORDER and Iceberg compaction-with-clustering. The z-value is
+  * a pure Catalyst expression: per-column 256-bucket range codes from ONE
+  * multi-column approxQuantile pass (strings: a bounded sample), then a
+  * static shift/and/or interleave tree — no UDF, no window, fully inside
+  * whole-stage codegen; the only driver-side state is ≤255 cut literals
+  * per column.
+  */
+object ZOrder {
+
+  /** The interleaved-bits cluster key: per column an 8-bit range bucket
+    * (256 approximate-quantile cuts, broadcast as literals), then bit i of
+    * bucket j lands at position `i*ncols + j` — a static shift/and/or
+    * expression tree, fully codegen'd. ALL orderable-numeric columns share
+    * ONE approxQuantile pass (multi-column Greenwald-Khanna); only string
+    * columns need their own bounded-sample pass each.
+    */
+  def zValue(df: DataFrame, cols: Seq[String]): Column = {
+    def fromCuts[T](cuts: Seq[T], value: Column): Column =
+      if (cuts.isEmpty) lit(0L)
+      else size(filter(array(cuts.map(lit(_)): _*),
+        x => x <= value && value.isNotNull)).cast("long")
+    // orderable-numeric image of each non-string column
+    def numericView(c: String): Option[Column] = df.schema(c).dataType match {
+      case _: NumericType => Some(col(c).cast("double"))
+      case DateType => Some(unix_date(col(c)).cast("double"))
+      case TimestampType => Some(unix_micros(col(c)).cast("double"))
+      case TimestampNTZType =>
+        Some(unix_micros(col(c).cast(TimestampType)).cast("double"))
+      case StringType => None
+      case other => throw new UnsupportedOperationException(
+        s"zorder on $c: unsupported type $other (numeric, date, " +
+          "timestamp and string cluster; drop the column from the key)")
+    }
+    val views = cols.map(c => c -> numericView(c)).toMap
+    val numericCols = cols.filter(views(_).isDefined)
+    val probs = (1 to 255).map(_ / 256.0).toArray
+    val numCuts: Map[String, Seq[Double]] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val probed = df.select(numericCols.zipWithIndex.map {
+          case (c, i) => views(c).get.as(s"__q$i")
+        }: _*)
+        val all = probed.stat.approxQuantile(
+          numericCols.indices.map(i => s"__q$i").toArray, probs, 0.005)
+        numericCols.zip(all.map(
+          _.filterNot(_.isNaN).distinct.sorted.toSeq)).toMap
+      }
+    val buckets = cols.map { c =>
+      views(c) match {
+        case Some(v) => fromCuts(numCuts(c), v)
+        case None => fromCuts(stringCuts(df, c), col(c))
+      }
+    }
+    val n = cols.size
+    (0 until 8).foldLeft(lit(0L)) { (acc, bit) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(b, bit).bitwiseAND(lit(1L)), bit * n + j))
+      }
+    }
+  }
+
+  /** ≤255 evenly spaced cuts from a bounded sample (≤64k values) — the
+    * same sample-the-domain move as Spark's RangePartitioner.
+    */
+  private def stringCuts(df: DataFrame, c: String): Seq[String] = {
+    val total = math.max(1L, df.select(c).na.drop.count())
+    val fraction = math.min(1.0, 65536.0 / total)
+    val sampled = df.select(col(c)).na.drop
+      .sample(withReplacement = false, fraction, seed = 41)
+      .distinct().sort(col(c)).collect().map(_.getString(0))
+    val step = math.max(1, sampled.length / 255)
+    sampled.zipWithIndex
+      .collect { case (v, i) if i % step == 0 => v }.take(255).toSeq
+  }
+
+}

@@ -104,6 +104,52 @@ object MaintenanceQueries {
 
   val deltaVacuumReadSql: String = deltaOptimizeCompactSql
 
+  /** Hudi maintenance end-to-end: MOR upsert + delete + compaction leave
+    * a superseded base file and absorbed logs; clean() must retire
+    * exactly those, record a `.clean` instant, and the cleaned table must
+    * still sync to Delta and read back the merged rows.
+    */
+  def hudiCleanSync(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.formats.hudi._
+    val hudiDir = graft.util.TempDirs.create("graft_hudi_clean")
+    val deltaDir = graft.util.TempDirs.create("graft_hudi_clean_delta")
+    Files.copy(Paths.get(s"$dir/nation.parquet"),
+      Paths.get(hudiDir, "base1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val base = s"$hudiDir/base1.parquet"
+    val nation = s.read.parquet(base)
+    HudiTimeline.writeProperties(hudiDir, "nation", "MERGE_ON_READ")
+    require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("100", "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(HudiTimeline.fileId(base),
+        "base1.parquet", nation.count(), Files.size(Paths.get(base))))),
+      Map.empty, Map("schema" -> nation.schema.json)), hudiDir))
+
+    val source = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+      .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_nationkey", col("n_nationkey") + 500))
+    HudiLogFiles.upsert(s, hudiDir, source, Seq("n_nationkey"))
+    HudiLogFiles.deleteWhere(s, hudiDir, col("n_nationkey") % 2 === 0)
+    require(HudiLogFiles.compact(s, hudiDir) > 0, "compaction was a no-op")
+
+    val res = HudiMaintenance.clean(s, hudiDir, retainInstants = 1)
+    require(res.deleted >= 2, res.toString)   // superseded base + logs
+    require(!Files.exists(Paths.get(base)),
+      "clean must retire the superseded base file")
+
+    val src = new HudiConversionSource(s, hudiDir, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, deltaDir)), src.currentSnapshot(),
+      src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    new DeltaConversionSource(s, deltaDir, "nation").toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        sum(col("n_regionkey")).cast("long").as("sum_region"))
+  }
+
+  val hudiCleanSyncSql: String = SyncQueries.hudiCompactSyncSql
+
   /** Iceberg maintenance end-to-end: two sync commits, expire all but the
     * newest snapshot, sweep orphans (expired manifest lists become
     * unreferenced), read the table back — the sweep must never touch a

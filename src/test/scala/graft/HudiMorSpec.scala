@@ -208,6 +208,52 @@ class HudiMorSpec extends SparkSuite {
     assert(HudiLogFiles.compact(spark, dir) == 0L)
   }
 
+  test("clean() retires superseded bases and absorbed logs, views intact") {
+    val dir = morTable()
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    HudiLogFiles.upsert(spark, dir,
+      nation.filter(col("n_nationkey") % 3 === 0)
+        .withColumn("n_regionkey", col("n_regionkey") + 100),
+      Seq("n_nationkey"))
+    HudiLogFiles.deleteWhere(spark, dir, col("n_nationkey") % 2 === 0)
+    assert(HudiLogFiles.compact(spark, dir) > 0)
+    val want = new HudiConversionSource(spark, dir, "nation")
+      .toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    val before = dataFiles()
+    assert(before.contains("base1.parquet"))
+
+    // nothing is cleanable while every instant is retained
+    val wide = HudiMaintenance.clean(spark, dir, retainInstants = 99)
+    assert(wide.deleted == 0L)
+
+    val res = HudiMaintenance.clean(spark, dir, retainInstants = 1)
+    // the original base (superseded by compaction) + the absorbed logs
+    assert(res.deleted >= 2, res.toString)
+    val after = dataFiles()
+    assert(!after.contains("base1.parquet"),
+      "superseded base must be cleaned")
+    // log files live under the partition dir too (dot-prefixed) — check
+    // via the walk the cleaner itself reports
+    assert(before.size - after.size >= 1)
+
+    // the .clean instant landed and the fold still serves correct rows
+    val hoodie = new java.io.File(dir, ".hoodie").listFiles()
+      .map(_.getName)
+    assert(hoodie.exists(_.endsWith(".clean")), hoodie.mkString(","))
+    val got = new HudiConversionSource(spark, dir, "nation")
+      .toDataFrame.select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "clean changed the served rows")
+    // a second clean finds nothing
+    assert(HudiMaintenance.clean(spark, dir, retainInstants = 1)
+      .deleted == 0L)
+  }
+
   test("compact() replaces a fully-deleted file group") {
     val dir = morTable()
     HudiLogFiles.upsert(spark, dir,

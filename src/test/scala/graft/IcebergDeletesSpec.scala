@@ -238,6 +238,42 @@ class IcebergDeletesSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap == byType)
   }
 
+  test("clustered rewrite: zorder during compaction, stats written, rows same") {
+    import spark.implicits._
+    // a multi-file table via a larger fixture
+    val parquetDir = tmpDir("ice_z_src")
+    spark.read.parquet(sf("sf0.001/customer.parquet"))
+      .repartition(6).write.mode("overwrite").parquet(parquetDir)
+    val target = tmpDir("ice_z_tbl")
+    val src0 = new ParquetDirectorySource(spark, parquetDir, "customer")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, target)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    assert(outcomes.forall(_.status == "SUCCESS"))
+    val want = new IcebergConversionSource(spark, target, "customer")
+      .toDataFrame.select("c_custkey").as[Long].collect().sorted.toSeq
+
+    // no deletes live — the rewrite happens because clustering was asked
+    assert(IcebergDeletes.rewriteWithDeletes(spark, target,
+      zorderBy = Seq("c_custkey", "c_acctbal"),
+      targetFileBytes = 2L << 10))
+    val back = new IcebergConversionSource(spark, target, "customer")
+    val got = back.toDataFrame.select("c_custkey").as[Long]
+      .collect().sorted.toSeq
+    assert(got == want)
+
+    // rewritten files carry column bounds and they are SELECTIVE: the
+    // file whose range holds the min custkey is not the one holding max
+    val files = back.currentSnapshot().files.collect()
+    assert(files.length > 1, s"expected multiple clustered files")
+    val keyStats = files.flatMap(_.columnStats.find(_.field == "c_custkey"))
+    assert(keyStats.length == files.length, "missing custkey bounds")
+    val mins = keyStats.flatMap(_.min).map(_.toLong)
+    val maxs = keyStats.flatMap(_.max).map(_.toLong)
+    assert(mins.max > maxs.min,
+      s"clustered ranges should be disjoint-ish: mins=${mins.toSeq} maxs=${maxs.toSeq}")
+  }
+
   test("delete-free tables are unaffected end-to-end") {
     val (table, _, n) = freshTable()
     val src = new IcebergConversionSource(spark, table, "nation")
