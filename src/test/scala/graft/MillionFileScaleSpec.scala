@@ -129,6 +129,19 @@ class MillionFileScaleSpec extends SparkSuite {
 
     info(f"delta 1M: deleteWhere-scale mask+commit $delSec%.1fs")
     assert(delSec < 600, s"delete too slow: $delSec")
+
+    // VACUUM keep-set planning at this scale: 1M live refs + 1M DV refs
+    // + a 2M-line log parsed for tombstones, anti-joined against the
+    // walk — all distributed. (The synthetic listing points outside the
+    // table dir, so the sweep itself finds nothing to delete — the cost
+    // being measured is exactly the planning the 100 TB table pays.)
+    val t1 = System.nanoTime()
+    val vac = graft.formats.delta.DeltaVacuum.vacuum(spark, target,
+      retentionMillis = 0L)
+    val vacSec = (System.nanoTime() - t1) / 1e9
+    assert(vac.deleted == 0L, vac.toString)
+    info(f"delta 1M: vacuum keep-set planning $vacSec%.1fs")
+    assert(vacSec < 300, s"vacuum planning too slow: $vacSec")
   }
 
   test("1M files: iceberg full sync and streaming manifest carry-forward") {
