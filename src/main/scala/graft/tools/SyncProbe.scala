@@ -1,9 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.ParquetDirectorySource
-import graft.formats.delta._
-import graft.sync.TableFormatSync
+import org.apache.spark.sql.functions._
 
 object SyncProbe {
   def main(args: Array[String]): Unit = {
@@ -25,26 +23,38 @@ object SyncProbe {
           jobs.incrementAndGet()
       })
     def stage[T](name: String)(f: => T): T = {
-      Thread.sleep(300); jobs.set(0)
+      Thread.sleep(200); jobs.set(0)
       val t0 = System.nanoTime()
       val r = f
-      Thread.sleep(300)
+      Thread.sleep(200)
       println(f"PROBE $name ${(System.nanoTime()-t0)/1e9}%.2f s, jobs=${jobs.get()}")
       r
     }
     graft.queries.RelationalQueries.q1PricingSummary(spark, sfDir).count()
-    for (_ <- 1 to 2) {
-      val target = graft.util.TempDirs.create("probe_delta")
-      val src = new ParquetDirectorySource(spark, s"$sfDir/lineitem.parquet", "lineitem")
-      val snap = stage("currentSnapshot")(src.currentSnapshot())
-      stage("syncSnapshot")(TableFormatSync.syncSnapshot(
-        Seq(new DeltaConversionTarget(spark, target)), snap, src.sourceFormat))
-      val back = stage("sourceSnapshot")(
-        new DeltaConversionSource(spark, target, "lineitem").currentSnapshot())
-      stage("readback")(DeltaRead.toDataFrame(spark, back)
-        .groupBy("l_returnflag").count().count())
-      graft.util.TempDirs.sweep()
-    }
+    // replicate the delta_changes_feed gate with stage timing
+    val dataDir = graft.util.TempDirs.create("probe_cdf_data")
+    spark.read.parquet(s"$sfDir/customer.parquet").repartition(4)
+      .write.mode("overwrite").parquet(dataDir)
+    val table = graft.util.TempDirs.create("probe_cdf_delta")
+    val src0 = new graft.sources.ParquetDirectorySource(spark, dataDir, "customer")
+    stage("sync")(graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, table)),
+      src0.currentSnapshot(), src0.sourceFormat))
+    stage("deleteWhere")(graft.formats.delta.DeltaDeletes.deleteWhere(
+      spark, table, col("c_acctbal") < 0))
+    val live = stage("liveRead")(new graft.formats.delta
+      .DeltaConversionSource(spark, table, "customer").toDataFrame)
+    val updates = live.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    val fresh = live.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+    stage("mergeInto")(graft.formats.delta.DeltaDeletes.mergeInto(
+      spark, table, updates.unionByName(fresh), Seq("c_custkey")))
+    val feed = stage("changesBetween-plan")(
+      graft.formats.delta.DeltaChanges.changesBetween(spark, table, 0L, 2L))
+    stage("changesBetween-exec")(feed.groupBy("_change_type")
+      .agg(count(lit(1))).collect())
+    graft.util.TempDirs.sweep()
     spark.stop()
   }
 }
