@@ -17,6 +17,9 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
   private val conf = graft.util.HadoopConfs.session(spark)
   override def sourceFormat: String = TableFormats.Delta
 
+  /** The raw log path, for change-feed internals ([[DeltaChanges]]). */
+  private[delta] def tablePathForChanges: String = tablePath
+
   private def versions: Seq[Long] = DeltaLog.listVersions(tablePath, conf)
 
   private def metaOrFail(vs: Seq[Long]): DeltaMeta =

@@ -45,13 +45,32 @@ object DeltaDeletes {
     * newly deleted rows (0 = no match, no commit written).
     */
   def deleteWhere(spark: SparkSession, tablePath: String,
-      predicate: Column): Long =
-    planDelete(spark, tablePath, predicate) match {
-      case None => 0L
-      case Some(plan) =>
-        commit(spark, tablePath, plan, "DELETE", Iterator.empty)
-        plan.nDeleted
-    }
+      predicate: Column): Long = {
+    import spark.implicits._
+    val src = sourceOf(spark, tablePath)
+    val snap = src.currentSnapshot()
+    val cdf = cdfEnabled(spark, tablePath)
+    // the matched live rows drive BOTH the DV mask and the CDC
+    // pre-images — persist them (O(deleted rows), spills past memory)
+    // so the table is scanned once, not once per consumer
+    val matched = DeltaRead.toKeyedDataFrame(spark, snap).filter(predicate)
+    val pinned = if (cdf) matched.persist() else matched
+    try {
+      val hits = pinned.select(col("__scan_path"), col("__scan_pos"))
+        .as[(String, Long)]
+      planMask(spark, snap, hits) match {
+        case None => 0L
+        case Some(plan) =>
+          val cdc =
+            if (!cdf) Iterator.empty
+            else writeCdcFiles(spark, snap, pinned
+              .drop("__scan_path", "__scan_pos")
+              .withColumn("_change_type", lit("delete")), "delete")
+          commit(spark, tablePath, plan, "DELETE", cdc)
+          plan.nDeleted
+      }
+    } finally if (cdf) pinned.unpersist()
+  }
 
   /** Update every live row matching `predicate`: the old rows are masked
     * by DVs and the re-written rows (each `assignments` column replaced)
@@ -63,23 +82,41 @@ object DeltaDeletes {
     */
   def updateWhere(spark: SparkSession, tablePath: String,
       predicate: Column, assignments: Map[String, Column]): Long = {
+    import spark.implicits._
     require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")
-    planDelete(spark, tablePath, predicate) match {
-      case None => 0L
-      case Some(plan) =>
-        requireRewritable(plan.snap, "updateWhere")
-        val schema = plan.snap.table.schema
-        val unknown = assignments.keySet -- schema.fieldNames.toSet
-        require(unknown.isEmpty, s"unknown update columns: $unknown")
-        val rewritten = DeltaRead.toKeyedDataFrame(spark, plan.snap)
-          .filter(predicate)
-          .select(schema.fieldNames.toSeq.map { f =>
+    val src = sourceOf(spark, tablePath)
+    val snap = src.currentSnapshot()
+    requireRewritable(snap, "updateWhere")
+    val schema = snap.table.schema
+    val unknown = assignments.keySet -- schema.fieldNames.toSet
+    require(unknown.isEmpty, s"unknown update columns: $unknown")
+    val cdf = cdfEnabled(spark, tablePath)
+    // one table scan: the matched rows feed the DV mask, the rewritten
+    // data files, AND the CDC pre/post images (O(updated rows) persist)
+    val matched = DeltaRead.toKeyedDataFrame(spark, snap).filter(predicate)
+      .persist()
+    try {
+      val hits = matched.select(col("__scan_path"), col("__scan_pos"))
+        .as[(String, Long)]
+      planMask(spark, snap, hits) match {
+        case None => 0L
+        case Some(plan) =>
+          val rewritten = matched.select(schema.fieldNames.toSeq.map { f =>
             assignments.get(f).map(_.as(f)).getOrElse(col(f))
           }: _*)
-        val newAdds = writeDataFiles(spark, plan.snap, rewritten, "update")
-        commit(spark, tablePath, plan, "UPDATE", newAdds)
-        plan.nDeleted
-    }
+          val newAdds = writeDataFiles(spark, snap, rewritten, "update")
+          val cdc =
+            if (!cdf) Iterator.empty
+            else writeCdcFiles(spark, snap, matched
+              .drop("__scan_path", "__scan_pos")
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(rewritten
+                .withColumn("_change_type", lit("update_postimage"))),
+              "update")
+          commit(spark, tablePath, plan, "UPDATE", newAdds ++ cdc)
+          plan.nDeleted
+      }
+    } finally matched.unpersist()
   }
 
   /** MERGE INTO with upsert semantics — WHEN MATCHED THEN UPDATE SET *,
@@ -121,16 +158,37 @@ object DeltaDeletes {
           "more than one source row (same refusal as delta-spark MERGE)")
 
       // matched live target rows: semi-join the keyed scan against the
-      // source keys (broadcast-able; existing DVs already masked)
-      val hits = DeltaRead.toKeyedDataFrame(spark, snap)
-        .join(srcProj.select(keyCols.map(col): _*), keyCols, "left_semi")
-        .select(col("__scan_path"), col("__scan_pos"))
-        .as[(String, Long)]
-      val plan = planMask(spark, snap, hits)
-        .getOrElse(DeletePlan(snap, emptyMasked(spark), 0L))
-      val newAdds = writeDataFiles(spark, snap, srcProj, "merge")
-      commit(spark, tablePath, plan, "MERGE", newAdds)
-      (plan.nDeleted, srcCount - plan.nDeleted)
+      // source keys (broadcast-able; existing DVs already masked). ONE
+      // table scan: the matched rows (O(matched), persisted) feed the
+      // DV mask, the CDC pre-images, and the matched/fresh source split.
+      val cdf = cdfEnabled(spark, tablePath)
+      val srcKeys = srcProj.select(keyCols.map(col): _*)
+      val matched = DeltaRead.toKeyedDataFrame(spark, snap)
+        .join(srcKeys, keyCols, "left_semi")
+        .persist()
+      try {
+        val hits = matched.select(col("__scan_path"), col("__scan_pos"))
+          .as[(String, Long)]
+        val plan = planMask(spark, snap, hits)
+          .getOrElse(DeletePlan(snap, emptyMasked(spark), 0L))
+        val newAdds = writeDataFiles(spark, snap, srcProj, "merge")
+        // CDC rows classify the source by whether its key hit a live
+        // target row: matched → update pre/post pair, fresh → insert
+        val cdc =
+          if (!cdf) Iterator.empty
+          else {
+            val matchedKeys = matched.select(keyCols.map(col): _*)
+            writeCdcFiles(spark, snap, matched
+              .drop("__scan_path", "__scan_pos")
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(srcProj.join(matchedKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_postimage")))
+              .unionByName(srcProj.join(matchedKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("insert"))), "merge")
+          }
+        commit(spark, tablePath, plan, "MERGE", newAdds ++ cdc)
+        (plan.nDeleted, srcCount - plan.nDeleted)
+      } finally matched.unpersist()
     } finally srcProj.unpersist()
   }
 
@@ -202,6 +260,57 @@ object DeltaDeletes {
           "dataChange" -> true,
           "stats" -> DeltaStats.toJson(schema, rows, Nil))))
       }
+  }
+
+  private def sourceOf(spark: SparkSession, tablePath: String)
+      : DeltaConversionSource =
+    new DeltaConversionSource(spark, tablePath,
+      PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
+
+  /** Does the table ask its writers to author CDC (delta-spark's rule:
+    * the `delta.enableChangeDataFeed` property keys authoring; readers
+    * reconstruct without it).
+    */
+  private def cdfEnabled(spark: SparkSession, tablePath: String): Boolean = {
+    val conf = HadoopConfs.session(spark)
+    val versions = DeltaLog.listVersions(tablePath, conf)
+    DeltaSnapshot.metadata(spark, tablePath, versions)
+      .exists(DeltaChanges.isEnabled)
+  }
+
+  /** CDC sidecar authoring (PROTOCOL.md §Add CDC File): write `rows`
+    * (table columns plus `_change_type`) as `_change_data/` parquet —
+    * partition-routed exactly like data files — and return the commit's
+    * `cdc` action lines.
+    */
+  private def writeCdcFiles(spark: SparkSession,
+      snap: graft.model.TableSnapshot, rows: DataFrame, prefix: String)
+      : Iterator[String] = {
+    val conf = HadoopConfs.session(spark)
+    val tp = snap.table.basePath
+    val schema = snap.table.schema
+    val specs = snap.table.partitionFields
+    val partCols = specs.map(_.partitionColumnName)
+    val dataDir =
+      s"$tp/${DeltaChanges.ChangeDir}/$prefix-${UUID.randomUUID()}"
+    val routed = specs.filterNot(_.transform == Transform.Value)
+      .foldLeft(rows) { (d, s) =>
+        if (!schema.fieldNames.contains(s.sourceField)) d
+        else d.withColumn(s.partitionColumnName,
+          expr(DeltaPartitions.generationExpression(s).get).cast("string"))
+      }
+    if (partCols.isEmpty) routed.write.parquet(dataDir)
+    else routed.write.partitionBy(partCols: _*).parquet(dataDir)
+    val listed = graft.sources.ParquetFooters.listFiles(dataDir, conf)
+    listed.iterator.map { f =>
+      val partVals = graft.sources.ParquetFooters
+        .partitionValuesFromPath(dataDir, f.path)
+      Jsons.toJson(Map("cdc" -> Map(
+        "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
+        "partitionValues" -> partVals.map(p => p.field -> p.value).toMap,
+        "size" -> f.length,
+        "dataChange" -> false)))
+    }
   }
 
   /** Compute the per-file union DVs for rows matching `predicate`; None

@@ -198,8 +198,10 @@ object MaintenanceQueries {
   def deltaChangesFeed(s: SparkSession, dir: String): DataFrame = {
     val table = syncTable(s, s"$dir/customer.parquet", "customer", 4,
       "graft_cdf")
-    val v0 = new DeltaConversionSource(s, table, "customer")
-      .currentSnapshot().commitId.toLong
+    // CDF on: DELETE/MERGE below author _change_data sidecars and the
+    // feed reads those (one scan for the whole range); the enable
+    // commit itself is metaData-only and contributes nothing
+    val v0 = DeltaChanges.enableChangeDataFeed(s, table)
     require(DeltaDeletes.deleteWhere(s, table, col("c_acctbal") < 0) > 0)
     // merge source: matched keys get c_acctbal+100, fresh keys appended
     val live = new DeltaConversionSource(s, table, "customer").toDataFrame
@@ -269,27 +271,27 @@ object MaintenanceQueries {
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM feed GROUP BY _change_type ORDER BY _change_type""".stripMargin
 
-  /** The oracle re-derives each feed row class from the base table:
-    * deletes = acctbal<0 pre-images + matched merge pre-images;
-    * inserts = matched post-images (+100) + re-keyed fresh rows.
+  /** The oracle re-derives each feed row class from the base table — the
+    * CDC sidecars carry the full spec vocabulary, so the DELETE shows as
+    * `delete` pre-images and the MERGE's matched rows as their
+    * `update_preimage`/`update_postimage` pair (not the reconstruction
+    * path's delete+insert collapse), with fresh merge keys as `insert`.
     */
   val deltaChangesFeedSql: String = {
     val live = "c_acctbal >= 0 OR c_acctbal IS NULL"
-    s"""WITH dels AS (
-       |  SELECT c_acctbal FROM customer WHERE c_acctbal < 0
+    s"""WITH feed AS (
+       |  SELECT 'delete' AS _change_type, c_acctbal FROM customer
+       |  WHERE c_acctbal < 0
        |  UNION ALL
-       |  SELECT c_acctbal FROM customer
-       |  WHERE ($live) AND c_custkey % 10 = 0),
-       |ins AS (
-       |  SELECT c_acctbal + 100 AS c_acctbal FROM customer
+       |  SELECT 'update_preimage' AS _change_type, c_acctbal FROM customer
        |  WHERE ($live) AND c_custkey % 10 = 0
        |  UNION ALL
-       |  SELECT c_acctbal FROM customer
-       |  WHERE ($live) AND c_custkey % 10 = 1),
-       |feed AS (
-       |  SELECT 'delete' AS _change_type, c_acctbal FROM dels
+       |  SELECT 'update_postimage' AS _change_type,
+       |    c_acctbal + 100 AS c_acctbal FROM customer
+       |  WHERE ($live) AND c_custkey % 10 = 0
        |  UNION ALL
-       |  SELECT 'insert' AS _change_type, c_acctbal FROM ins)
+       |  SELECT 'insert' AS _change_type, c_acctbal FROM customer
+       |  WHERE ($live) AND c_custkey % 10 = 1)
        |SELECT _change_type, count(*) AS cnt,
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM feed GROUP BY _change_type ORDER BY _change_type""".stripMargin

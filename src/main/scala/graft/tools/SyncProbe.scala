@@ -40,6 +40,8 @@ object SyncProbe {
     stage("sync")(graft.sync.TableFormatSync.syncSnapshot(
       Seq(new graft.formats.delta.DeltaConversionTarget(spark, table)),
       src0.currentSnapshot(), src0.sourceFormat))
+    val v0 = stage("enableCdf")(
+      graft.formats.delta.DeltaChanges.enableChangeDataFeed(spark, table))
     stage("deleteWhere")(graft.formats.delta.DeltaDeletes.deleteWhere(
       spark, table, col("c_acctbal") < 0))
     val live = stage("liveRead")(new graft.formats.delta
@@ -50,8 +52,10 @@ object SyncProbe {
       .withColumn("c_custkey", col("c_custkey") + 10000000L)
     stage("mergeInto")(graft.formats.delta.DeltaDeletes.mergeInto(
       spark, table, updates.unionByName(fresh), Seq("c_custkey")))
+    val head = graft.formats.delta.DeltaLog.latestVersion(table,
+      graft.util.HadoopConfs.session(spark)).get
     val feed = stage("changesBetween-plan")(
-      graft.formats.delta.DeltaChanges.changesBetween(spark, table, 0L, 2L))
+      graft.formats.delta.DeltaChanges.changesBetween(spark, table, v0, head))
     stage("changesBetween-exec")(feed.groupBy("_change_type")
       .agg(count(lit(1))).collect())
     graft.util.TempDirs.sweep()
