@@ -49,7 +49,11 @@ object Bench {
     // generations of dead parquet/log files in the temp dir, and the dirty
     // page-cache writeback showed up as 3-6x spikes on later-run queries
     // (r7 bench: text_dup_grams 3.1s in run 3 vs 0.49s; gone with sweep).
+    // dev-only subset filter (driver leaves it unset → full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val runs: Seq[Seq[Double]] =
       (1 to nRuns).map { _ =>
         val times = ordered.map { case (_, fn) => timeOnce(fn) }

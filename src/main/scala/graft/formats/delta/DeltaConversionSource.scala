@@ -22,9 +22,33 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
 
   private def versions: Seq[Long] = DeltaLog.listVersions(tablePath, conf)
 
-  private def metaOrFail(vs: Seq[Long]): DeltaMeta =
-    DeltaSnapshot.metadata(spark, tablePath, vs).getOrElse(
-      throw new IllegalStateException(s"no Delta metaData action at $tablePath"))
+  /** metaData memo keyed by the exact version list it was read from —
+    * commit files are immutable once published, so re-reading the same
+    * version set always yields the same metaData; within one operation
+    * (snapshot + change feed + commit) this collapses 2-4 identical
+    * distributed log reads into one. The version list itself is ALWAYS
+    * re-listed from the filesystem (long-lived polling sources see new
+    * commits; only the parse of a fixed set is memoized).
+    */
+  private val metaMemo =
+    scala.collection.mutable.Map.empty[Seq[Long], DeltaMeta]
+
+  private[delta] def metadataAt(vs: Seq[Long]): DeltaMeta =
+    metaMemo.synchronized { metaMemo.get(vs) }.getOrElse {
+      val m = DeltaSnapshot.metadata(spark, tablePath, vs).getOrElse(
+        throw new IllegalStateException(
+          s"no Delta metaData action at $tablePath"))
+      metaMemo.synchronized {
+        if (metaMemo.size > 64) metaMemo.clear()
+        metaMemo.put(vs, m)
+      }
+      m
+    }
+
+  /** The table's current metaData (memoized per version set). */
+  private[delta] def currentMeta(): DeltaMeta = metadataAt(versions)
+
+  private def metaOrFail(vs: Seq[Long]): DeltaMeta = metadataAt(vs)
 
   private def partitionSpecOf(meta: DeltaMeta): Seq[PartitionFieldSpec] =
     meta.configuration.get("graft.partitionSpec").map { json =>
@@ -70,8 +94,7 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
   def snapshotAt(version: Long): TableSnapshot = {
     val vs = versions.filter(_ <= version)
     require(vs.nonEmpty, s"no commits at or before version $version")
-    val meta = DeltaSnapshot.metadata(spark, tablePath, vs).getOrElse(
-      throw new IllegalStateException(s"no metaData at version $version"))
+    val meta = metadataAt(vs)
     val table = currentTable().copy(
       schemaJson = meta.schema.json, latestCommitMillis = vs.last)
     TableSnapshot(table,
@@ -127,15 +150,8 @@ object DeltaRead {
   final case class DvSummary(files: Long, rows: Long, joinKeyBytes: Long)
 
   def liveDvSummary(snap: TableSnapshot): DvSummary = {
-    import org.apache.spark.sql.functions._
-    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
-    val row = listing.filter(col("deletionVector").isNotNull)
-      .agg(count(lit(1)),
-        coalesce(sum("deletionVector.cardinality"), lit(0L)),
-        coalesce(sum(col("deletionVector.cardinality") *
-          (length(col("path")).cast("long") + lit(16L))), lit(0L)))
-      .head()
-    DvSummary(row.getLong(0), row.getLong(1), row.getLong(2))
+    val s = graft.plans.SnapshotFileIndex.summaryFor(snap)
+    DvSummary(s.dvFiles, s.dvRows, s.dvKeyBytes)
   }
 
   /** Broadcast the deleted-position set only while its estimated footprint
@@ -201,10 +217,7 @@ object DeltaRead {
     */
   private[graft] def scanFileFormat(snap: TableSnapshot)
       : org.apache.spark.sql.execution.datasources.FileFormat = {
-    import org.apache.spark.sql.functions.col
-    val fmts = graft.plans.SnapshotFileIndex.listingFor(snap)
-      .select(col("fileFormat")).distinct().collect().map(_.getString(0))
-    fmts.toSeq.sorted match {
+    graft.plans.SnapshotFileIndex.summaryFor(snap).formats match {
       case Seq() | Seq("parquet") =>
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
       case Seq("orc") =>
@@ -219,12 +232,8 @@ object DeltaRead {
     }
   }
 
-  private def listingFormats(snap: TableSnapshot): Seq[String] = {
-    import org.apache.spark.sql.functions.col
-    graft.plans.SnapshotFileIndex.listingFor(snap)
-      .select(col("fileFormat")).distinct().collect()
-      .map(_.getString(0)).toSeq.sorted
-  }
+  private def listingFormats(snap: TableSnapshot): Seq[String] =
+    graft.plans.SnapshotFileIndex.summaryFor(snap).formats
 
   /** Record-level scan for all-avro snapshots: one executor task per
     * slice of the listing decodes its files via avro-core, hive

@@ -49,7 +49,7 @@ object DeltaDeletes {
     import spark.implicits._
     val src = sourceOf(spark, tablePath)
     val snap = src.currentSnapshot()
-    val cdf = cdfEnabled(spark, tablePath)
+    val cdf = cdfEnabled(src)
     // the matched live rows drive BOTH the DV mask and the CDC
     // pre-images — persist them (O(deleted rows), spills past memory)
     // so the table is scanned once, not once per consumer
@@ -90,7 +90,7 @@ object DeltaDeletes {
     val schema = snap.table.schema
     val unknown = assignments.keySet -- schema.fieldNames.toSet
     require(unknown.isEmpty, s"unknown update columns: $unknown")
-    val cdf = cdfEnabled(spark, tablePath)
+    val cdf = cdfEnabled(src)
     // one table scan: the matched rows feed the DV mask, the rewritten
     // data files, AND the CDC pre/post images (O(updated rows) persist)
     val matched = DeltaRead.toKeyedDataFrame(spark, snap).filter(predicate)
@@ -161,7 +161,7 @@ object DeltaDeletes {
       // source keys (broadcast-able; existing DVs already masked). ONE
       // table scan: the matched rows (O(matched), persisted) feed the
       // DV mask, the CDC pre-images, and the matched/fresh source split.
-      val cdf = cdfEnabled(spark, tablePath)
+      val cdf = cdfEnabled(src)
       val srcKeys = srcProj.select(keyCols.map(col): _*)
       val matched = DeltaRead.toKeyedDataFrame(spark, snap)
         .join(srcKeys, keyCols, "left_semi")
@@ -269,14 +269,11 @@ object DeltaDeletes {
 
   /** Does the table ask its writers to author CDC (delta-spark's rule:
     * the `delta.enableChangeDataFeed` property keys authoring; readers
-    * reconstruct without it).
+    * reconstruct without it). Reads through the source's metaData memo —
+    * no extra log job.
     */
-  private def cdfEnabled(spark: SparkSession, tablePath: String): Boolean = {
-    val conf = HadoopConfs.session(spark)
-    val versions = DeltaLog.listVersions(tablePath, conf)
-    DeltaSnapshot.metadata(spark, tablePath, versions)
-      .exists(DeltaChanges.isEnabled)
-  }
+  private def cdfEnabled(src: DeltaConversionSource): Boolean =
+    DeltaChanges.isEnabled(src.currentMeta())
 
   /** CDC sidecar authoring (PROTOCOL.md §Add CDC File): write `rows`
     * (table columns plus `_change_type`) as `_change_data/` parquet —

@@ -170,6 +170,43 @@ object SnapshotFileIndex {
   def invalidate(snap: TableSnapshot): Unit = cachedListings.synchronized {
     val key = snap.table.basePath + "#" + snap.commitId
     Option(cachedListings.remove(key)).foreach(_.unpersist(false))
+    cachedSummaries.remove(key)
+  }
+
+  /** One-job roll-up of the scan-relevant listing facts: deletion-vector
+    * volume (drives the DV anti-join's broadcast decision) and the file
+    * formats present (drives FileFormat selection). Every keyed/DV read
+    * needs both; computing them separately cost two Spark jobs per read —
+    * cached here beside the listing, dropped on [[invalidate]].
+    */
+  case class ScanSummary(dvFiles: Long, dvRows: Long, dvKeyBytes: Long,
+      formats: Seq[String])
+
+  private val cachedSummaries =
+    new java.util.LinkedHashMap[String, ScanSummary](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ScanSummary]): Boolean =
+        size > 64
+    }
+
+  def summaryFor(snap: TableSnapshot): ScanSummary = {
+    import org.apache.spark.sql.functions._
+    val key = snap.table.basePath + "#" + snap.commitId
+    cachedSummaries.synchronized {
+      Option(cachedSummaries.get(key))
+    }.getOrElse {
+      val row = listingFor(snap).agg(
+        sum(when(col("deletionVector").isNotNull, 1L).otherwise(0L)),
+        sum(col("deletionVector.cardinality")),
+        sum(col("deletionVector.cardinality") *
+          (length(col("path")).cast("long") + lit(16L))),
+        sort_array(collect_set(col("fileFormat")))).head()
+      def l(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+      val s = ScanSummary(l(0), l(1), l(2),
+        row.getSeq[String](3))
+      cachedSummaries.synchronized { cachedSummaries.put(key, s) }
+      s
+    }
   }
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"

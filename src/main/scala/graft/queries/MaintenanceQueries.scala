@@ -240,11 +240,14 @@ object MaintenanceQueries {
       col("c_custkey") % 10 === 0,
       Map("c_acctbal" -> (col("c_acctbal") + 100.0)))
     require(updated > 0)
+    // pin both 2-row aggregates: each feed pipeline (snapshot diff reads)
+    // runs ONCE, not once per exceptAll side plus once for the result
     val feed = graft.formats.iceberg.IcebergChanges
       .changesBetween(s, ice, 1L, 2L)
       .groupBy("_change_type")
       .agg(count(lit(1)).as("cnt"),
         Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .localCheckpoint()
     // compaction rewrites every file; the feed must not change
     require(graft.formats.iceberg.IcebergDeletes.rewriteWithDeletes(s, ice))
     val m = graft.formats.iceberg.IcebergMetadata.read(ice,
@@ -254,6 +257,7 @@ object MaintenanceQueries {
       .groupBy("_change_type")
       .agg(count(lit(1)).as("cnt"),
         Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .localCheckpoint()
     require(afterCompact.exceptAll(feed).isEmpty &&
       feed.exceptAll(afterCompact).isEmpty,
       "REPLACE compaction leaked into the change feed")
