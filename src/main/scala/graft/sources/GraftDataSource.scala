@@ -18,6 +18,12 @@ import graft.plans.SnapshotFileIndex
   * Options:
   *  - `versionAsOf` (Delta version / Iceberg sequence number): time
   *    travel to a historical snapshot.
+  *  - `readChangeFeed=true` with `startingVersion` (exclusive) and
+  *    optionally `endingVersion` (inclusive, default head): the
+  *    row-level change feed instead of the table rows — the delta-spark
+  *    CDF read surface, answered by [[graft.formats.delta.DeltaChanges]]
+  *    (CDC sidecars when present, touched-file reconstruction
+  *    otherwise) or [[graft.formats.iceberg.IcebergChanges]].
   *
   * Registered as a Spark `DataSourceRegister` (shortName "graft") so
   * `USING graft` also works in catalog DDL.
@@ -34,6 +40,39 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     val spark = sqlContext.sparkSession
     val name = path.stripSuffix("/").split('/').last
     val source = CatalogConversionSource.fromPath(spark, path, name)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val from = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed needs startingVersion (exclusive)")).toLong
+      val feed = source match {
+        case _: graft.formats.delta.DeltaConversionSource =>
+          val to = parameters.get("endingVersion").map(_.toLong).getOrElse(
+            graft.formats.delta.DeltaLog.latestVersion(path,
+              graft.util.HadoopConfs.session(spark)).getOrElse(0L))
+          graft.formats.delta.DeltaChanges.changesBetween(spark, path,
+            from, to)
+        case _: graft.formats.iceberg.IcebergConversionSource =>
+          val to = parameters.get("endingVersion").map(_.toLong).getOrElse {
+            val v = graft.formats.iceberg.IcebergMetadata
+              .currentVersion(path).get
+            graft.formats.iceberg.IcebergMetadata.read(path, v)
+              .lastSequenceNumber
+          }
+          graft.formats.iceberg.IcebergChanges.changesBetween(spark, path,
+            from, to)
+        case other => throw new IllegalArgumentException(
+          s"readChangeFeed needs a versioned metadata plane (Delta or " +
+            s"Iceberg); this is a ${other.sourceFormat} table")
+      }
+      val sql = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = sql
+        override def schema: org.apache.spark.sql.types.StructType =
+          feed.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] = feed.rdd
+      }
+    }
     val snap: TableSnapshot = parameters.get("versionAsOf") match {
       case Some(v) => source match {
         case d: graft.formats.delta.DeltaConversionSource =>

@@ -148,6 +148,28 @@ class ChangeDataFeedSpec extends SparkSuite {
       .count() == 0L)
   }
 
+  test("the unified reader serves the feed via readChangeFeed") {
+    val table = syncToDelta(stageTable("cdf_reader", "nation", 2), "nation")
+    val v0 = DeltaChanges.enableChangeDataFeed(spark, table)
+    assert(DeltaDeletes.deleteWhere(spark, table,
+      col("n_regionkey") === 2) > 0)
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v0.toString)
+      .load(table)
+    assert(feed.columns.contains("_change_type") &&
+      feed.columns.contains("_commit_version"))
+    val want = DeltaChanges.changesBetween(spark, table, v0, v0 + 1).count()
+    assert(feed.count() == want && want > 0)
+    // a plain-parquet table refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(stageTable("cdf_reader_plain", "region", 1)).count()
+    }
+    assert(err.getMessage.contains("versioned metadata plane"))
+  }
+
   test("partitioned tables route CDC files and restore partition columns") {
     import spark.implicits._
     val stage = tmpDir("cdf_part_stage") + "/t"
