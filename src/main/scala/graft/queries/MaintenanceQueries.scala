@@ -275,6 +275,52 @@ object MaintenanceQueries {
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM feed GROUP BY _change_type ORDER BY _change_type""".stripMargin
 
+  /** Incremental CDF consumption through the checkpointed stream
+    * ([[graft.streaming.ChangeFeedStream]]): the DELETE batch is
+    * delivered and offset-committed BEFORE the UPDATE commit exists, the
+    * second catch-up delivers exactly the update, a third delivers
+    * nothing — and the union of delivered batches must equal the full
+    * feed the oracle derives.
+    */
+  def streamingChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/customer.parquet", "customer", 4,
+      "graft_cfs")
+    val v0 = DeltaChanges.enableChangeDataFeed(s, table)
+    val stream = new graft.streaming.ChangeFeedStream(s, table,
+      graft.util.TempDirs.create("graft_cfs_ckpt"),
+      startingVersion = Some(v0))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def fn(df: DataFrame, a: Long, b: Long): Unit = batches += df
+    require(DeltaDeletes.deleteWhere(s, table, col("c_acctbal") < 0) > 0)
+    require(stream.deliverOnce(fn) == 1L)
+    require(DeltaDeletes.updateWhere(s, table, col("c_custkey") % 7 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") + 25.0))) > 0)
+    require(stream.deliverOnce(fn) == 1L)
+    require(stream.deliverOnce(fn) == 0L, "caught-up stream re-delivered")
+    batches.reduce(_ unionByName _)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("_change_type")
+  }
+
+  val streamingChangeFeedSql: String = {
+    val live = "c_acctbal >= 0 OR c_acctbal IS NULL"
+    s"""WITH feed AS (
+       |  SELECT 'delete' AS _change_type, c_acctbal FROM customer
+       |  WHERE c_acctbal < 0
+       |  UNION ALL
+       |  SELECT 'update_preimage' AS _change_type, c_acctbal FROM customer
+       |  WHERE ($live) AND c_custkey % 7 = 0
+       |  UNION ALL
+       |  SELECT 'update_postimage' AS _change_type,
+       |    c_acctbal + 25 AS c_acctbal FROM customer
+       |  WHERE ($live) AND c_custkey % 7 = 0)
+       |SELECT _change_type, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM feed GROUP BY _change_type ORDER BY _change_type""".stripMargin
+  }
+
   /** The oracle re-derives each feed row class from the base table — the
     * CDC sidecars carry the full spec vocabulary, so the DELETE shows as
     * `delete` pre-images and the MERGE's matched rows as their
