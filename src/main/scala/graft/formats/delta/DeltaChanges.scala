@@ -116,8 +116,10 @@ object DeltaChanges {
   def changesBetween(spark: SparkSession, tablePath: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     import spark.implicits._
-    require(fromVersion >= 0 && fromVersion < toVersion,
-      s"need 0 <= fromVersion < toVersion, got $fromVersion..$toVersion")
+    // fromVersion is EXCLUSIVE; -1 therefore includes version 0 (the
+    // table-creating commit) in the feed
+    require(fromVersion >= -1 && fromVersion < toVersion,
+      s"need -1 <= fromVersion < toVersion, got $fromVersion..$toVersion")
     val src = new DeltaConversionSource(spark, tablePath,
       PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
     val range = (fromVersion + 1) to toVersion
@@ -154,7 +156,13 @@ object DeltaChanges {
             }
           }
         }
-      }.collect()
+      }
+      // distributed dedup BEFORE the collect: `data` marks collapse to
+      // one per version (a 1M-file commit must not land 1M rows on the
+      // driver); cdc paths are unique already, so the driver holds only
+      // the range's cdc descriptors plus one flag per version
+      .dropDuplicates("version", "kind", "path")
+      .collect()
 
     val cdcVersions = marks.filter(_.kind == "cdc").map(_.version).toSet
     val reconVersions = marks.filter(_.kind == "data").map(_.version)
@@ -220,8 +228,13 @@ object DeltaChanges {
     */
   private def reconstructedFeed(spark: SparkSession,
       src: DeltaConversionSource, versions: Seq[Long]): DataFrame = {
+    import spark.implicits._
     val cache = scala.collection.mutable.Map.empty[Long, graft.model.TableSnapshot]
-    def snapAt(v: Long) = cache.getOrElseUpdate(v, src.snapshotAt(v))
+    def snapAt(v: Long): graft.model.TableSnapshot =
+      if (v < 0)   // before the table existed: version 0 diffs vs nothing
+        graft.model.TableSnapshot(src.currentTable(),
+          spark.emptyDataset[graft.model.FileEntry], "-1")
+      else cache.getOrElseUpdate(v, src.snapshotAt(v))
     versions.map { v =>
       changesOf(spark, snapAt(v), snapAt(v - 1), src.tablePathForChanges, v)
     }.reduce(_ unionByName _)

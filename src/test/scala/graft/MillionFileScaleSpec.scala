@@ -90,6 +90,16 @@ class MillionFileScaleSpec extends SparkSuite {
     assert(fullSec < 300, s"full sync too slow: $fullSec")
     assert(incSec < 120, s"incremental too slow: $incSec")
     assert(planSec < 60, s"pruned planning too slow: $planSec")
+
+    // change-feed CLASSIFICATION over the 1M-action commit: the range
+    // scan must land one flag per version on the driver, never one mark
+    // per action — the returned feed plan is lazy, so this times only
+    // the classification pass
+    val t1 = System.nanoTime()
+    graft.formats.delta.DeltaChanges.changesBetween(spark, target, -1L, 1L)
+    val cdfSec = (System.nanoTime() - t1) / 1e9
+    info(f"delta 1M: change-feed classification $cdfSec%.1fs")
+    assert(cdfSec < 60, s"classification too slow: $cdfSec")
   }
 
   test("1M files: deleteWhere-scale DV mask and streamed commit") {
