@@ -439,19 +439,21 @@ object DeltaSnapshot {
 
   /** Adds/removes introduced by exactly one commit version.
     *
-    * Deletion-vector reconciliation (reference
-    * DeltaConversionSource.java:147-162): a path both added (with a DV) and
-    * removed in the same commit is a row-level-delete rewrite of the same
-    * physical file — no file-level change; dropped from both sides.
+    * A path both added WITH a deletion vector and removed in the same
+    * commit is a row-level-delete rewrite of the same physical file. The
+    * reference reconciles that to "no file-level change"
+    * (DeltaConversionSource.java:147-162) — which is exactly how deletes
+    * silently vanish from its targets (RFC-2's motivating defect: "delete
+    * vectors were ignored and would cause incorrect results in the target
+    * table"). graft keeps BOTH sides: the add carries the DV descriptor,
+    * the remove retires the DV-less entry, so every diff consumer either
+    * refuses loudly (targets that cannot represent row-level deletes) or
+    * converts the DV — never advances past it serving phantom rows.
     */
   def changes(spark: SparkSession, tablePath: String, version: Long,
       schema: StructType): (Dataset[FileEntry], Dataset[FileEntry]) = {
     import spark.implicits._
-    val raw = actions(spark, tablePath, Seq(version))
-    val dvRewrites = raw.filter(a => a.kind == "add" && a.hasDeletionVector)
-      .select("path")
-      .intersect(raw.filter(_.kind == "remove").select("path"))
-    val acts = raw.join(dvRewrites, Seq("path"), "left_anti").as[ActionRow]
+    val acts = actions(spark, tablePath, Seq(version))
     val schemaJson = schema.json
     val toEntries = (it: Iterator[ActionRow]) => {
       val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]

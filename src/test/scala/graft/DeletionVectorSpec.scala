@@ -8,7 +8,7 @@ import graft.sync.TableFormatSync
 
 class DeletionVectorSpec extends SparkSuite {
 
-  test("DV rewrite pairs are dropped from per-commit diffs") {
+  test("DV rewrites surface on both sides of per-commit diffs") {
     // hand-written log: v0 creates files a,b; v1 rewrites a with a
     // deletion vector (add a + remove a in the same commit) and truly
     // removes b
@@ -33,11 +33,16 @@ class DeletionVectorSpec extends SparkSuite {
 
     val src = new DeltaConversionSource(spark, table, "dv")
     val change = src.changeForCommit("1")
-    val added = change.diff.added.collect().map(_.path)
+    val added = change.diff.added.collect()
     val removed = change.diff.removed.collect().map(_.path)
-    // a.parquet DV-rewrite: no file-level change; b.parquet: real removal
-    assert(added.isEmpty, added.mkString(","))
-    assert(removed.map(_.split('/').last).toSeq == Seq("b.parquet"))
+    // a.parquet DV-rewrite surfaces on BOTH sides (add carries the DV —
+    // a diff that hid it would let targets advance past the delete);
+    // b.parquet: real removal
+    assert(added.map(_.path.split('/').last).toSeq == Seq("a.parquet"),
+      added.map(_.path).mkString(","))
+    assert(added.head.deletionVector.exists(_.cardinality == 2))
+    assert(removed.map(_.split('/').last).toSeq.sorted ==
+      Seq("a.parquet", "b.parquet"))
     // live set at head: only a.parquet (with DV, file still live)
     val live = src.currentSnapshot().files.collect().map(_.path.split('/').last)
     assert(live.toSeq == Seq("a.parquet"))
