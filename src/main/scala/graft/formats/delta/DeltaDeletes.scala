@@ -218,12 +218,16 @@ object DeltaDeletes {
   /** Distributed parquet write of `df` under a fresh table-local dir —
     * partition-routed (generated partition columns recomputed from their
     * source columns, then stripped by partitionBy so data files carry
-    * exactly the logical schema); returns the commit `add` lines (footer
-    * row counts, O(new files) on the driver).
+    * exactly the logical schema); returns the commit `add` lines,
+    * authored from a DISTRIBUTED footer scan (real column stats, so
+    * stat-skipping prunes the replacement files) and streamed to the
+    * driver in bounded batches — a merge landing 10^5 new files never
+    * loops footers on the driver.
     */
   private def writeDataFiles(spark: SparkSession,
       snap: graft.model.TableSnapshot, df: DataFrame,
       prefix: String): Iterator[String] = {
+    import spark.implicits._
     val tp = snap.table.basePath
     val schema = snap.table.schema
     val specs = snap.table.partitionFields
@@ -246,20 +250,25 @@ object DeltaDeletes {
     if (partCols.isEmpty) routed.write.parquet(dataDir)
     else routed.write.partitionBy(partCols: _*).parquet(dataDir)
     val conf = HadoopConfs.session(spark)
-    graft.sources.ParquetFooters.listFiles(dataDir, conf)
-      .iterator.map { f =>
-        val (rows, _) = graft.sources.ParquetFooters.readFooterStats(
-          f.path, conf, Some(Set.empty))
-        val partVals = graft.sources.ParquetFooters
-          .partitionValuesFromPath(dataDir, f.path)
-        Jsons.toJson(Map("add" -> Map(
-          "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
-          "partitionValues" -> partVals.map(p => p.field -> p.value).toMap,
-          "size" -> f.length,
-          "modificationTime" -> f.modifiedMillis,
-          "dataChange" -> true,
-          "stats" -> DeltaStats.toJson(schema, rows, Nil))))
+    val listed = graft.sources.ParquetFooters.listFiles(dataDir, conf)
+    if (listed.isEmpty) return Iterator.empty
+    val schemaJson = schema.json
+    val adds = graft.sources.ParquetFooters
+      .fileEntries(spark, dataDir, listed)
+      .mapPartitions { it =>
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        it.map { fe =>
+          Jsons.toJson(Map("add" -> Map(
+            "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path)),
+            "partitionValues" -> fe.partitionValues
+              .map(p => p.field -> p.value).toMap,
+            "size" -> fe.fileSizeBytes,
+            "modificationTime" -> fe.lastModifiedMillis,
+            "dataChange" -> true,
+            "stats" -> DeltaStats.toJson(sch, fe.recordCount, fe.columnStats))))
+        }
       }
+    graft.util.StreamedLines.iterate(adds)
   }
 
   private def sourceOf(spark: SparkSession, tablePath: String)
@@ -330,11 +339,12 @@ object DeltaDeletes {
 
   /** Union each hit file's prior DV with its new hit positions and write
     * one DV file per affected data file (executor-side); None when `hits`
-    * is empty. The (path → descriptor) result is PINNED with an eager
-    * localCheckpoint: the DV-file writes are side effects of exactly one
-    * execution, so the count aggregate, the emptiness probe and the
-    * commit-line stream all observe the same descriptors — and nothing
-    * proportional to the affected-file count ever reaches the driver.
+    * is empty. The (FileEntry, descriptor) result is PINNED with an eager
+    * localCheckpoint AFTER the listing join: the DV-file writes are side
+    * effects of exactly one execution, and the count aggregate, the
+    * emptiness probe and the commit-line stream all reuse the pinned
+    * partitions instead of re-running the join — nothing proportional to
+    * the affected-file count ever reaches the driver.
     */
   private[graft] def planMask(spark: SparkSession,
       snap: graft.model.TableSnapshot,
@@ -342,18 +352,26 @@ object DeltaDeletes {
     import spark.implicits._
     val tp = snap.table.basePath
     val bconf = HadoopConfs.broadcastSession(spark)
-    val affectedPaths = hits.toDF("path", "pos").select("path").distinct()
+    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
 
     // prior DV positions of the affected files (the new DV must hold the
-    // UNION — the new add replaces the old one wholesale)
-    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
-    val prior = listing
-      .join(affectedPaths.withColumnRenamed("path", "__ap"),
-        col("path") === col("__ap"), "left_semi")
-      .filter(col("deletionVector").isNotNull)
-      .as[FileEntry]
-      .flatMap(f => DeletionVectors.deletedPositions(bconf.value.value, tp,
-        f.deletionVector.get).map(p => (f.path, p)))
+    // UNION — the new add replaces the old one wholesale). When the
+    // snapshot carries no DVs at all — every FIRST delete — the whole
+    // semi-join + decode pipeline is skipped (the summary already knows).
+    val prior: Dataset[(String, Long)] =
+      if (graft.plans.SnapshotFileIndex.summaryFor(snap).dvFiles == 0L)
+        spark.emptyDataset[(String, Long)]
+      else {
+        val affectedPaths =
+          hits.toDF("path", "pos").select("path").distinct()
+        listing
+          .join(affectedPaths.withColumnRenamed("path", "__ap"),
+            col("path") === col("__ap"), "left_semi")
+          .filter(col("deletionVector").isNotNull)
+          .as[FileEntry]
+          .flatMap(f => DeletionVectors.deletedPositions(bconf.value.value,
+            tp, f.deletionVector.get).map(p => (f.path, p)))
+      }
 
     // one bitmap per affected data file, ONE DV FILE per write task
     // (delta-spark's shape: descriptors share the file, differ by
@@ -382,12 +400,12 @@ object DeltaDeletes {
           DeletionVectors.writeDvFileGrouped(bconf.value.value, tp,
             uuid.toString.take(2), uuid, groups)
         }
-      }.localCheckpoint()
-    if (newDvs.isEmpty) return None
-
+      }
     val masked: Dataset[(FileEntry, DvDescriptor)] = listing
       .joinWith(newDvs, listing("path") === newDvs("_1"), "inner")
       .map { case (fe, (_, d)) => (fe, d) }
+      .localCheckpoint()
+    if (masked.isEmpty) return None
     val agg = masked.toDF("fe", "dv")
       .agg(coalesce(sum(col("dv.cardinality")), lit(0L)),
         coalesce(sum(col("fe.deletionVector.cardinality")), lit(0L)))

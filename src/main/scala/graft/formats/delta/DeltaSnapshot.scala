@@ -206,17 +206,9 @@ object DeltaSnapshot {
     */
   def protocol(spark: SparkSession, tablePath: String, versions: Seq[Long])
       : Option[CkptProtocol] = {
-    import spark.implicits._
     if (versions.isEmpty) return None
-    val files = versions.map(v => DeltaLog.versionFile(tablePath, v))
-    val fromJson = spark.read.textFile(files: _*)
-      .select(col("value"),
-        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
-          .cast("long").as("version"))
-      .filter(col("value").contains("\"protocol\""))
-      .as[(String, Long)]
-      .collect()
-      .sortBy(_._2).lastOption
+    val fromJson = actionLines(spark, tablePath, versions, "\"protocol\"")
+      .lastOption
       .flatMap { case (line, _) =>
         Option(Jsons.mapper.readTree(line).get("protocol")).map(p =>
           CkptProtocol(p.get("minReaderVersion").asInt,
@@ -246,17 +238,9 @@ object DeltaSnapshot {
 
   def protocolInfo(spark: SparkSession, tablePath: String,
       versions: Seq[Long]): Option[ProtocolInfo] = {
-    import spark.implicits._
     if (versions.isEmpty) return None
-    val files = versions.map(v => DeltaLog.versionFile(tablePath, v))
-    val latest = spark.read.textFile(files: _*)
-      .select(col("value"),
-        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
-          .cast("long").as("version"))
-      .filter(col("value").contains("\"protocol\""))
-      .as[(String, Long)]
-      .collect()
-      .sortBy(_._2).lastOption
+    val latest = actionLines(spark, tablePath, versions, "\"protocol\"")
+      .lastOption
     def strSeq(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
       Option(n).map { arr =>
         import scala.jdk.CollectionConverters._
@@ -337,14 +321,85 @@ object DeltaSnapshot {
     } finally rows.unpersist()
   }
 
+  /** A checkpoint-less log this small replays on the driver: one process
+    * parses the JSON lines and folds latest-per-path in a hash map —
+    * no parse job, no shuffle. Four commits on a fresh table cost four
+    * Spark-job-free replays instead of 4 × (scan + shuffle + agg). The
+    * caps keep it honest at scale: a log that outgrows them (or has a
+    * checkpoint) replays distributed.
+    */
+  private val MaxDriverReplayVersions = 64
+  private val MaxDriverReplayBytes = 4L << 20
+
+  private def driverReplay(tablePath: String, versions: Seq[Long],
+      conf: Configuration): Option[Seq[ActionRow]] = {
+    if (versions.isEmpty) return Some(Nil)
+    if (versions.size > MaxDriverReplayVersions) return None
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val files = versions.map(v => new Path(DeltaLog.versionFile(tablePath, v)))
+    val bytes = files.foldLeft(0L)((b, p) => b + fs.getFileStatus(p).getLen)
+    if (bytes > MaxDriverReplayBytes) return None
+    val best = new java.util.HashMap[String, ActionRow]()
+    def rank(a: ActionRow): (Long, Int) =
+      (a.version, if (a.kind == "add") 1 else 0)
+    val ord = Ordering[(Long, Int)]
+    files.zip(versions).foreach { case (p, v) =>
+      val in = fs.open(p)
+      try parseActions(tablePath)(
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(l => (l, v))).foreach { a =>
+        val prev = best.get(a.path)
+        if (prev == null || ord.compare(rank(a), rank(prev)) >= 0)
+          best.put(a.path, a)
+      } finally in.close()
+    }
+    Some(best.values.asScala.filter(_.kind == "add").toSeq)
+  }
+
+  /** Commit-log lines containing `token`, ordered by version — driver-side
+    * for small logs (no Spark job: metaData/protocol probes run after
+    * every commit, and each probe was a full textFile job), distributed
+    * textFile scan past the caps.
+    */
+  private def actionLines(spark: SparkSession, tablePath: String,
+      versions: Seq[Long], token: String): Seq[(String, Long)] = {
+    import spark.implicits._
+    val conf = graft.util.HadoopConfs.session(spark)
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val paths = versions.map(v => new Path(DeltaLog.versionFile(tablePath, v)))
+    val small = versions.size <= MaxDriverReplayVersions &&
+      paths.foldLeft(0L)((b, p) =>
+        b + fs.getFileStatus(p).getLen) <= MaxDriverReplayBytes
+    if (small) {
+      paths.zip(versions).flatMap { case (p, v) =>
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.contains(token)).map((_, v)).toList
+        finally in.close()
+      }.sortBy(_._2)
+    } else spark.read.textFile(
+        versions.map(v => DeltaLog.versionFile(tablePath, v)): _*)
+      .select(col("value"),
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+          .cast("long").as("version"))
+      .filter(col("value").contains(token))
+      .as[(String, Long)]
+      .collect().toSeq.sortBy(_._2)
+  }
+
   /** Live files at a version: the latest action per path wins; within one
     * commit an add beats a remove (rewrite-in-place). Replay starts from
     * the newest checkpoint at-or-before the version when one exists.
+    * Small checkpoint-less logs replay on the driver ([[driverReplay]]);
+    * everything else replays distributed with a map-side-combining
+    * `max_by` GROUP BY (the shuffle carries one row per (path, map task)
+    * instead of every action ever logged — at 10^7 logged actions that
+    * is the difference between shuffling the full history and shuffling
+    * ~the live file count).
     */
   def liveFiles(spark: SparkSession, tablePath: String, versions: Seq[Long],
       schema: StructType): Dataset[FileEntry] = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val conf = graft.util.HadoopConfs.session(spark)
     val head = versions.lastOption.getOrElse(-1L)
     val cp = DeltaLog.latestCheckpoint(tablePath, head, conf)
@@ -352,24 +407,13 @@ object DeltaSnapshot {
       case Some(c) => versions.filter(_ > c)
       case None => versions
     }
-    val jsonActs = actions(spark, tablePath, jsonVersions)
-    val acts = cp match {
-      case Some(c) => readCheckpoint(spark, tablePath, c).union(jsonActs)
-      case None => jsonActs
-    }
-    val w = Window.partitionBy(col("path"))
-      .orderBy(col("version").desc,
-        when(col("kind") === "add", 1).otherwise(0).desc)
     // column mapping: stats JSON and partition values in the log are keyed
     // by PHYSICAL name — parse against the physical schema, then surface
     // logical names in the FileEntry (the metadata plane speaks logical)
     val physSchemaJson = DeltaColumnMapping.physicalSchema(schema).json
     val renames = DeltaColumnMapping.physicalToLogical(schema)
-    acts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("kind") === "add")
-      .drop("rn")
-      .as[ActionRow]
-      .mapPartitions { it =>
+    def toEntries(adds: Dataset[ActionRow]): Dataset[FileEntry] =
+      adds.mapPartitions { it =>
         val sch = DataType.fromJson(physSchemaJson).asInstanceOf[StructType]
         it.map { a =>
           val (numRecords, stats0) = DeltaStats.parse(sch, a.stats)
@@ -382,6 +426,28 @@ object DeltaSnapshot {
             stats, a.modificationTime, a.dvDescriptor)
         }
       }
+
+    val small =
+      if (cp.nonEmpty) None else driverReplay(tablePath, jsonVersions, conf)
+    small match {
+      case Some(adds) =>
+        toEntries(spark.createDataset(adds))
+      case None =>
+        val jsonActs = actions(spark, tablePath, jsonVersions)
+        val acts = cp match {
+          case Some(c) => readCheckpoint(spark, tablePath, c).union(jsonActs)
+          case None => jsonActs
+        }
+        val actCols = acts.columns
+        val winner = acts
+          .groupBy(col("path").as("__p"))
+          .agg(max_by(
+            struct(actCols.map(col).toIndexedSeq: _*),
+            struct(col("version"),
+              when(col("kind") === "add", 1).otherwise(0))).as("__m"))
+          .select(col("__m.*"))
+        toEntries(winner.filter(col("kind") === "add").as[ActionRow])
+    }
   }
 
   /** Latest metaData action at-or-before the head of `versions` (driver-side:
@@ -389,17 +455,9 @@ object DeltaSnapshot {
     */
   def metadata(spark: SparkSession, tablePath: String, versions: Seq[Long])
       : Option[DeltaMeta] = {
-    import spark.implicits._
     if (versions.isEmpty) return None
-    val files = versions.map(v => DeltaLog.versionFile(tablePath, v))
-    val rows = spark.read.textFile(files: _*)
-      .select(col("value"),
-        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
-          .cast("long").as("version"))
-      .filter(col("value").contains("\"metaData\""))
-      .as[(String, Long)]
-      .collect()
-    val fromJson = rows.sortBy(_._2).lastOption.map { case (line, _) =>
+    val fromJson = actionLines(spark, tablePath, versions, "\"metaData\"")
+      .lastOption.map { case (line, _) =>
       val n = Jsons.mapper.readTree(line).get("metaData")
       DeltaMeta(
         Option(n.get("id")).map(_.asText).getOrElse(""),

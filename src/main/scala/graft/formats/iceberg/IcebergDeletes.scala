@@ -270,19 +270,20 @@ object IcebergDeletes {
     val conf = spark.sessionState.newHadoopConf()
     val mdir = IcebergMetadata.metadataDir(tablePath)
 
-    // per-file record counts AND column bounds from the parquet footers —
-    // O(files per commit), not O(rows); the bounds become Iceberg
-    // lower/upper_bounds so stat skipping works on rewritten/new files
-    def staged(dir: String): Seq[(graft.sources.ParquetFooters.ListedFile,
-        Long, Seq[graft.model.FileColumnStat])] =
-      graft.sources.ParquetFooters.listFiles(dir, conf).map { f =>
-        val (nRows, stats) = graft.sources.ParquetFooters.readFooterStats(
-          f.path, conf, None)
-        (f, nRows, stats)
-      }.filter(_._2 > 0)
+    // per-file record counts AND column bounds from a DISTRIBUTED footer
+    // scan — O(files per commit) rows collected (the manifest is authored
+    // on the driver regardless), never a driver-side footer loop; the
+    // bounds become Iceberg lower/upper_bounds so stat skipping works on
+    // rewritten/new files
+    def staged(dir: String): Seq[FileEntry] = {
+      val listed = graft.sources.ParquetFooters.listFiles(dir, conf)
+      if (listed.isEmpty) Nil
+      else graft.sources.ParquetFooters.fileEntries(spark, dir, listed)
+        .filter(_.recordCount > 0)
+        .collect().toSeq
+    }
 
-    def writeOneManifest(files: Seq[(graft.sources.ParquetFooters.ListedFile,
-        Long, Seq[graft.model.FileColumnStat])],
+    def writeOneManifest(files: Seq[FileEntry],
         manifestContent: Int, ids: Seq[Int])
         : Option[IcebergManifests.ManifestSummary] = {
       if (files.isEmpty) return None
@@ -291,11 +292,10 @@ object IcebergDeletes {
       var nFiles = 0
       var nRows = 0L
       val len = IcebergManifests.writeManifest(manifestPath,
-        files.iterator.map { case (f, rowCount, stats) =>
-          nFiles += 1; nRows += rowCount
+        files.iterator.map { fe =>
+          nFiles += 1; nRows += fe.recordCount
           IcebergManifests.toEntry(
-            FileEntry(f.path, f.length, rowCount, "parquet", Nil, stats,
-              f.modifiedMillis),
+            fe.copy(partitionValues = Nil),
             IcebergManifests.Status.Added, snapshotId, m.schema,
             content = manifestContent, equalityIds = ids)
         })
