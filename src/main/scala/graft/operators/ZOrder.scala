@@ -22,10 +22,22 @@ object ZOrder {
     * columns need their own bounded-sample pass each.
     */
   def zValue(df: DataFrame, cols: Seq[String]): Column = {
+    // count of (sorted) cuts <= value as an 8-deep binary decision tree:
+    // 8 comparisons per row instead of a 255-element array scan — still a
+    // pure codegen'd expression, just a logarithmic one
     def fromCuts[T](cuts: Seq[T], value: Column): Column =
       if (cuts.isEmpty) lit(0L)
-      else size(filter(array(cuts.map(lit(_)): _*),
-        x => x <= value && value.isNotNull)).cast("long")
+      else {
+        val cs = cuts.toIndexedSeq
+        def go(lo: Int, hi: Int): Column =
+          if (lo == hi) lit(lo.toLong)
+          else {
+            val mid = (lo + hi + 1) / 2
+            when(value >= lit(cs(mid - 1)), go(mid, hi))
+              .otherwise(go(lo, mid - 1))
+          }
+        when(value.isNull, lit(0L)).otherwise(go(0, cs.length))
+      }
     // orderable-numeric image of each non-string column
     def numericView(c: String): Option[Column] = df.schema(c).dataType match {
       case _: NumericType => Some(col(c).cast("double"))
