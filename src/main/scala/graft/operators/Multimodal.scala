@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed in partition-sized batches.
   *
   * IMAGE decode is REAL ([[decodeImage]] — `javax.imageio`, the PNG/BMP/
-  * GIF codecs that ship in the JVM) and so is AUDIO ([[decodeWav]] —
-  * `javax.sound.sampled`, the WAV/PCM codec that ships in the JVM). VIDEO
-  * decode remains the one honest STUB (`decodeStub`: deterministic fake
-  * features from the bytes) because no video codec exists in the JVM or
-  * this container. Either way the
+  * GIF codecs that ship in the JVM), AUDIO is REAL ([[decodeWav]] —
+  * `javax.sound.sampled`, the WAV/PCM codec that ships in the JVM), and
+  * VIDEO is REAL ([[decodeAvi]] — [[AviCodec]], an AVI/RIFF container
+  * walk with raw-DIB and in-JVM MJPEG frame decode). `decodeStub` remains
+  * only for modalities with genuinely no JVM codec (e.g. H.264). The
   * Spark-side shape is the same and real — binary column, typed Dataset
   * batches via mapPartitions (the Scala analog of mapInPandas: one
   * iterator per partition, amortizing per-batch decoder setup), explicit
@@ -70,7 +70,7 @@ object Multimodal {
   /** REAL decoded-image features (via `javax.imageio` — PNG/BMP/GIF
     * codecs ship in the JVM, no external libs). The stub above remains
     * for modalities whose codecs are genuinely absent in this container
-    * (JPEG2000, audio, video).
+    * (e.g. JPEG2000, H.264).
     */
   case class ImageFeatures(
       doc_id: Long,
@@ -126,8 +126,7 @@ object Multimodal {
   }
 
   /** REAL decoded-audio features (via `javax.sound.sampled` — the WAV/PCM
-    * codec that ships in the JVM, no external libs). Video remains the one
-    * honest stub (no JVM codec exists).
+    * codec that ships in the JVM, no external libs).
     */
   case class AudioFeatures(
       doc_id: Long,
@@ -269,6 +268,73 @@ object Multimodal {
         val until = math.min(r.media.length, from + frameBytes)
         Frame(r.doc_id, i, java.util.Arrays.copyOfRange(r.media, from, until))
       }
+    }
+  }
+
+  /** REAL decoded-video features (via [[AviCodec]] — AVI/RIFF container
+    * walk plus raw-DIB or in-JVM MJPEG frame decode; no external libs).
+    */
+  case class VideoFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      fps: Double,
+      duration_ms: Double,
+      mean_luma: Double,          // mean of per-frame mean lumas
+      embedding: Array[Float])    // 8-segment per-frame luma envelope
+
+  /** One decoded, sampled video frame (the row-multiplying shape). */
+  case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, mean_luma: Double)
+
+  /** Decode one AVI payload: container headers + every frame's pixels.
+    * Fails loudly on an undecodable payload, like the image/audio paths.
+    */
+  def decodeAvi(r: MediaRecord): VideoFeatures = {
+    val (hdr, frames) = AviCodec.decodeFrames(r.media)
+    val lumas = frames.map(_.meanLuma).toArray
+    require(lumas.nonEmpty, s"doc ${r.doc_id}: AVI holds no frames")
+    val seg = new Array[Double](8)
+    val segN = new Array[Long](8)
+    var i = 0
+    while (i < lumas.length) {
+      val s = math.min(7, i * 8 / math.max(1, lumas.length))
+      seg(s) += lumas(i); segN(s) += 1
+      i += 1
+    }
+    VideoFeatures(r.doc_id, hdr.width.toLong, hdr.height.toLong,
+      lumas.length.toLong, hdr.fps,
+      if (hdr.fps > 0) lumas.length * 1000.0 / hdr.fps else 0.0,
+      lumas.sum / lumas.length,
+      seg.indices.map(s =>
+        if (segN(s) == 0) 0f
+        else (seg(s) / segN(s) / 255.0).toFloat).toArray)
+  }
+
+  /** Batch video decode — the same mapPartitions batch shape as images
+    * and audio.
+    */
+  def extractVideoFeatures(media: Dataset[MediaRecord],
+      partitions: Int = 32): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.repartition(partitions).mapPartitions(_.map(decodeAvi))
+  }
+
+  /** REAL frame sampling over AVI payloads: every `everyNth` frame is
+    * decoded and emitted as its own row — the flatMap keeps the fan-out
+    * streaming (a 2-hour video → thousands of rows, never a per-row
+    * array), and unsampled frames are never pixel-decoded.
+    */
+  def sampleVideoFrames(media: Dataset[MediaRecord], everyNth: Int = 2,
+      partitions: Int = 32): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    require(everyNth > 0)
+    media.repartition(partitions).flatMap { r =>
+      val (_, frames) =
+        AviCodec.decodeSampledFrames(r.media, _ % everyNth == 0)
+      frames.map(f =>
+        VideoFrame(r.doc_id, f.index, f.width, f.height, f.meanLuma))
     }
   }
 }

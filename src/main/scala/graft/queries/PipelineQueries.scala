@@ -632,6 +632,49 @@ object PipelineQueries {
       |  CAST(FLOOR(799 / (doc_id % 8 + 2)) AS BIGINT) AS zero_crossings
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL video decode through the AVI/RIFF container codec: per doc a
+    * raw-DIB AVI with nf = doc_id%4+2 frames at 10 fps, frame f a solid
+    * gray (doc_id%200 + f) — no wrap below 256, so every feature is
+    * closed-form: mean_luma = doc_id%200 + (nf-1)/2 exactly (×2 kept
+    * integral), duration = nf×100 ms. The decoder walks real chunk
+    * offsets and real padded BGR rows; a parser bug shifts lumas and
+    * fails the hash.
+    */
+  def multimodalVideoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = (id % 4 + 2).toInt
+          val w = (id % 8 + 2).toInt
+          val h = (id % 4 + 2).toInt
+          val frames = (0 until nf).map { f =>
+            val c = (id % 200 + f).toInt
+            graft.operators.AviCodec.solidDibFrame(w, h,
+              (c << 16) | (c << 8) | c)
+          }
+          Multimodal.MediaRecord(id,
+            graft.operators.AviCodec.encode(frames, w, h, fps = 10,
+              compressed = false), "video/avi")
+        }
+      }
+    Multimodal.extractVideoFeatures(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("duration_ms").cast("long").as("dur_ms"),
+        round(col("mean_luma") * 2).cast("long").as("luma2"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalVideoDecodeSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 8 + 2 AS BIGINT) AS width,
+      |  CAST(doc_id % 4 + 2 AS BIGINT) AS height,
+      |  CAST(doc_id % 4 + 2 AS BIGINT) AS n_frames,
+      |  CAST((doc_id % 4 + 2) * 100 AS BIGINT) AS dur_ms,
+      |  CAST(2 * (doc_id % 200) + (doc_id % 4 + 1) AS BIGINT) AS luma2
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Streaming exact dedup under the SAME oracle as the batch
     * `dedup_exact`: the stateful streaming aggregation must converge to
     * the batch answer (state per distinct hash, order-independent

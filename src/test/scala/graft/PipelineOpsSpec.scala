@@ -272,6 +272,59 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("multimodal video decode walks a real AVI container (raw DIB)") {
+    import spark.implicits._
+    import graft.operators.AviCodec
+    // 3 solid-gray frames (40, 50, 60) at 5x3 — odd width exercises the
+    // 4-byte DIB row padding; every feature is exactly computable
+    val frames = Seq(40, 50, 60).map(c =>
+      AviCodec.solidDibFrame(5, 3, (c << 16) | (c << 8) | c))
+    val avi = AviCodec.encode(frames, 5, 3, fps = 10, compressed = false)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(11L, avi, "video/avi")))
+    val f = Multimodal.extractVideoFeatures(media, partitions = 1).head()
+    assert(f.doc_id == 11L && f.width == 5L && f.height == 3L)
+    assert(f.n_frames == 3L && f.fps == 10.0)
+    assert(f.duration_ms == 300.0)
+    assert(f.mean_luma == 50.0)                 // (40+50+60)/3, exact
+    // corrupt payload fails loudly, never fake features
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractVideoFeatures(spark.createDataset(Seq(
+        Multimodal.MediaRecord(12L, Array[Byte](9, 9, 9), "video/avi"))),
+        partitions = 1).head()
+    }
+  }
+
+  test("multimodal video decode reads MJPEG frames through javax.imageio") {
+    import spark.implicits._
+    import graft.operators.AviCodec
+    // JPEG is lossy, but a solid gray decodes within a couple of levels
+    val frames = Seq(64, 128, 192).map(c =>
+      AviCodec.solidJpegFrame(16, 16, (c << 16) | (c << 8) | c))
+    val avi = AviCodec.encode(frames, 16, 16, fps = 25, compressed = true)
+    val (hdr, decoded) = AviCodec.decodeFrames(avi)
+    assert(hdr.handler == "MJPG" && hdr.fps == 25.0)
+    val lumas = decoded.map(_.meanLuma).toSeq
+    assert(lumas.size == 3)
+    Seq(64.0, 128.0, 192.0).zip(lumas).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 3.0, s"JPEG luma drifted: $want vs $got")
+    }
+  }
+
+  test("multimodal video frame sampling decodes only sampled frames") {
+    import spark.implicits._
+    import graft.operators.AviCodec
+    val frames = (0 until 6).map(c =>
+      AviCodec.solidDibFrame(4, 2, (c << 16) | (c << 8) | c))
+    val avi = AviCodec.encode(frames, 4, 2, fps = 10, compressed = false)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(13L, avi, "video/avi")))
+    val sampled = Multimodal.sampleVideoFrames(media, everyNth = 2,
+      partitions = 1).collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(sampled.map(_.mean_luma).toSeq == Seq(0.0, 2.0, 4.0))
+  }
+
   test("multimodal resize and frame sampling keep the plumbing honest") {
     import spark.implicits._
     val media = docs.select(col("doc_id").cast("long").as("doc_id"),
