@@ -28,7 +28,7 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
     TableDescriptor(tableName, TableFormats.Iceberg,
       graft.util.PathUtils.canonical(tablePath), m.schema, m.partitionSpec,
       if (m.partitionSpec.nonEmpty) Layout.HivePartitioned else Layout.Flat,
-      m.lastSequenceNumber)
+      m.headSequence)
   }
 
   private[iceberg] def filesAtSeq(m: IcebergTableMetadata, seq: Long)
@@ -60,9 +60,9 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
 
   override def currentSnapshot(): TableSnapshot = {
     val m = meta
-    requireNoRowLevelDeletes(m, m.lastSequenceNumber)
-    TableSnapshot(currentTable(), filesAtSeq(m, m.lastSequenceNumber),
-      m.lastSequenceNumber.toString)
+    requireNoRowLevelDeletes(m, m.headSequence)
+    TableSnapshot(currentTable(), filesAtSeq(m, m.headSequence),
+      m.headSequence.toString)
   }
 
   /** Snapshot listing at a historical sequence number — Iceberg time
@@ -104,9 +104,9 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
   def toDataFrame: DataFrame = {
     val m = meta
     val snap = TableSnapshot(currentTable(),
-      filesAtSeq(m, m.lastSequenceNumber), m.lastSequenceNumber.toString)
+      filesAtSeq(m, m.headSequence), m.headSequence.toString)
     val base = graft.formats.delta.DeltaRead.toDataFrame(spark, snap)
-    IcebergDeletes.applyDeletes(spark, base, m, m.lastSequenceNumber,
+    IcebergDeletes.applyDeletes(spark, base, m, m.headSequence,
       tablePath)
   }
 }

@@ -207,7 +207,7 @@ object IcebergDeletes {
       zorderBy: Seq[String] = Nil,
       targetFileBytes: Long = 128L << 20): Boolean = {
     val (version, m) = currentMeta(spark, tablePath)
-    if (liveDeleteRefs(m, m.lastSequenceNumber).isEmpty && zorderBy.isEmpty)
+    if (liveDeleteRefs(m, m.headSequence).isEmpty && zorderBy.isEmpty)
       return false
     val src = new IcebergConversionSource(spark, tablePath,
       m.properties.getOrElse("graft.table-name", "table"))
@@ -219,7 +219,7 @@ object IcebergDeletes {
       else {
         zorderBy.foreach(c => require(m.schema.fieldNames.contains(c),
           s"zorder column $c is not in the table schema"))
-        val totalBytes = src.filesAtSeq(m, m.lastSequenceNumber)
+        val totalBytes = src.filesAtSeq(m, m.headSequence)
           .agg(org.apache.spark.sql.functions.sum("fileSizeBytes"))
           .head().getLong(0)
         val nOut = math.max(1L,

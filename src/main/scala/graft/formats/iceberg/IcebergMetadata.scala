@@ -24,6 +24,14 @@ case class IcebergSnapshot(
     sourceIdentifier: Option[String] = None,
     operation: String = "append")   // snapshot summary operation (spec: required)
 
+/** A named snapshot reference (spec v2 `refs`): a `tag` pins a snapshot
+  * forever; a `branch` is an independently movable head.
+  */
+case class IcebergRef(snapshotId: Long, refType: String) {
+  require(refType == "branch" || refType == "tag",
+    s"ref type must be branch|tag, got $refType")
+}
+
 /** Iceberg table metadata (format-version 2 JSON layout:
   * `metadata/v<N>.metadata.json` + `version-hint.text`).
   */
@@ -37,11 +45,22 @@ case class IcebergTableMetadata(
     partitionSpec: Seq[PartitionFieldSpec],
     properties: Map[String, String],
     currentSnapshotId: Long,
-    snapshots: Seq[IcebergSnapshot]) {
+    snapshots: Seq[IcebergSnapshot],
+    refs: Map[String, IcebergRef] = Map.empty) {
   def currentSnapshot: Option[IcebergSnapshot] =
     snapshots.find(_.snapshotId == currentSnapshotId)
   def snapshotBySeq(seq: Long): Option[IcebergSnapshot] =
     snapshots.find(_.sequenceNumber == seq)
+  /** The sequence readers observe as head: the CURRENT snapshot's — after
+    * a ROLLBACK it is older than `lastSequenceNumber`, which only drives
+    * new commit numbering (sequences stay monotonic across rollbacks).
+    */
+  def headSequence: Long =
+    currentSnapshot.map(_.sequenceNumber).getOrElse(lastSequenceNumber)
+  /** `main` resolves to the current head like real Iceberg readers. */
+  def refNamed(name: String): Option[IcebergRef] =
+    if (name == "main") Some(IcebergRef(currentSnapshotId, "branch"))
+    else refs.get(name)
 }
 
 object IcebergMetadata {
@@ -113,6 +132,14 @@ object IcebergMetadata {
     val props = o.putObject("properties")
     meta.properties.foreach { case (k, v) => props.put(k, v) }
     o.put("current-snapshot-id", meta.currentSnapshotId)
+    if (meta.refs.nonEmpty) {
+      val refs = o.putObject("refs")
+      meta.refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+        val rn = refs.putObject(name)
+        rn.put("snapshot-id", r.snapshotId)
+        rn.put("type", r.refType)
+      }
+    }
     val snaps = o.putArray("snapshots")
     meta.snapshots.foreach { s =>
       val n = snaps.addObject()
@@ -185,6 +212,10 @@ object IcebergMetadata {
           Option(s.get("summary"))
             .flatMap(sum => Option(sum.get("operation")))
             .map(_.asText).getOrElse("append"))
-      })
+      },
+      Option(n.get("refs")).map(_.properties().asScala.map { e =>
+        e.getKey -> IcebergRef(e.getValue.get("snapshot-id").asLong,
+          e.getValue.get("type").asText)
+      }.toMap).getOrElse(Map.empty))
   }
 }

@@ -346,4 +346,99 @@ object MaintenanceQueries {
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM feed GROUP BY _change_type ORDER BY _change_type""".stripMargin
   }
+
+  /** RESTORE after a row-level DELETE: the restore commit re-adds the
+    * pre-delete file descriptions (DV-less) and the read-back must show
+    * every original row — a restore that missed a DV change, or re-added
+    * a wrong stats line, fails the hash.
+    */
+  def deltaRestoreRead(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/customer.parquet", "customer", 4,
+      "graft_restore")
+    require(DeltaDeletes.deleteWhere(s, table, col("c_acctbal") < 0) > 0)
+    val res = DeltaRestore.restoreTo(s, table, version = 0L)
+    require(res.readded == 4 && res.removed == 4, res.toString)
+    // restoring the restore away again must be a clean no-op diff
+    val again = DeltaRestore.restoreTo(s, table, res.version)
+    require(again.readded == 0 && again.removed == 0, again.toString)
+    new DeltaConversionSource(s, table, "customer").toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val deltaRestoreReadSql: String =
+    s"""SELECT c_mktsegment, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  private def icebergTableOf(s: SparkSession, dir: String, prefix: String)
+      : String = {
+    val dataDir = graft.util.TempDirs.create(s"${prefix}_data")
+    s.read.parquet(s"$dir/customer.parquet").repartition(4)
+      .write.mode("overwrite").parquet(dataDir)
+    val ice = graft.util.TempDirs.create(prefix)
+    val src = new ParquetDirectorySource(s, dataDir, "customer")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, ice)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    ice
+  }
+
+  /** ROLLBACK past an UPDATE: the head must serve the pre-update rows
+    * (metadata-only state surgery; no file rewritten), and a new commit
+    * after the rollback must land at a FRESH sequence number.
+    */
+  def icebergRollbackRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.iceberg._
+    val ice = icebergTableOf(s, dir, "graft_rollback")
+    require(IcebergDeletes.updateWhere(s, ice, col("c_custkey") % 10 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") + 100.0))) > 0)
+    IcebergRefs.rollbackTo(s, ice, seq = 1L)
+    val m = IcebergMetadata.read(ice,
+      IcebergMetadata.currentVersion(ice).get)
+    require(m.headSequence == 1L && m.lastSequenceNumber == 2L, m.toString)
+    new IcebergConversionSource(s, ice, "customer").toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val icebergRollbackReadSql: String = deltaRestoreReadSql
+
+  /** Snapshot refs: a tag pinned before an UPDATE must keep serving the
+    * original rows through `format("graft").option("branch", ...)` while
+    * the head serves the updated ones — both sides in one labeled result.
+    */
+  def icebergBranchRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.iceberg._
+    val ice = icebergTableOf(s, dir, "graft_branch")
+    IcebergRefs.createTag(s, ice, "before-update")
+    require(IcebergDeletes.updateWhere(s, ice, col("c_custkey") % 10 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") + 100.0))) > 0)
+    val tagged = s.read.format("graft").option("branch", "before-update")
+      .load(ice)
+    val head = new IcebergConversionSource(s, ice, "customer").toDataFrame
+    tagged.select(lit("tag").as("side"), col("c_acctbal"))
+      .unionByName(head.select(lit("head").as("side"), col("c_acctbal")))
+      .groupBy("side")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("side")
+  }
+
+  val icebergBranchReadSql: String =
+    s"""WITH sides AS (
+       |  SELECT 'tag' AS side, c_acctbal FROM customer
+       |  UNION ALL
+       |  SELECT 'head' AS side,
+       |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+       |         ELSE c_acctbal END AS c_acctbal
+       |  FROM customer)
+       |SELECT side, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM sides GROUP BY side ORDER BY side""".stripMargin
 }

@@ -56,7 +56,7 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
             val v = graft.formats.iceberg.IcebergMetadata
               .currentVersion(path).get
             graft.formats.iceberg.IcebergMetadata.read(path, v)
-              .lastSequenceNumber
+              .headSequence
           }
           graft.formats.iceberg.IcebergChanges.changesBetween(spark, path,
             from, to)
@@ -73,8 +73,11 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
           org.apache.spark.sql.Row] = feed.rdd
       }
     }
-    val snap: TableSnapshot = parameters.get("versionAsOf") match {
-      case Some(v) => source match {
+    val snap: TableSnapshot = (parameters.get("versionAsOf"),
+        parameters.get("branch")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "versionAsOf and branch are mutually exclusive")
+      case (Some(v), None) => source match {
         case d: graft.formats.delta.DeltaConversionSource =>
           d.snapshotAt(v.toLong)
         case i: graft.formats.iceberg.IcebergConversionSource =>
@@ -84,7 +87,18 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
             s"or Iceberg sequence number); ${other.sourceFormat} " +
             "tables time-travel through their own source API")
       }
-      case None => source.currentSnapshot()
+      // named snapshot ref (Iceberg branches/tags, spec v2 `refs`)
+      case (None, Some(name)) => source match {
+        case i: graft.formats.iceberg.IcebergConversionSource =>
+          val v = graft.formats.iceberg.IcebergMetadata
+            .currentVersion(path).get
+          val m = graft.formats.iceberg.IcebergMetadata.read(path, v)
+          i.snapshotAt(graft.formats.iceberg.IcebergRefs.resolve(m, name))
+        case other => throw new IllegalArgumentException(
+          s"branch reads need Iceberg snapshot refs; this is a " +
+            s"${other.sourceFormat} table")
+      }
+      case (None, None) => source.currentSnapshot()
     }
     if (graft.formats.delta.DeltaColumnMapping.isMapped(snap.table.schema))
       throw new IllegalArgumentException(
