@@ -340,4 +340,50 @@ object EventsQueries {
       |      ORDER BY value DESC, event_id) AS rnk
       |  FROM events)
       |WHERE rnk = 1 ORDER BY user_id""".stripMargin
+
+  /** Exactly-once streaming sink: events arrive as two micro-batches
+    * (maxFilesPerTrigger=1 over two staged splits) and land in a Delta
+    * table through the idempotent `txn`-tracked commit; a deliberate
+    * REPLAY of batch 0 afterwards must be detected and skipped. The
+    * read-back aggregate matches the full events table only if every
+    * batch landed exactly once — a double-applied or dropped batch
+    * cannot hash-match.
+    */
+  def streamingDeltaSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = graft.util.TempDirs.create("graft_sink_stage")
+    val table = graft.util.TempDirs.create("graft_sink_delta")
+    val ckpt = graft.util.TempDirs.create("graft_sink_ckpt")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    Seq(0, 1).foreach { half =>
+      raw.filter(col("event_id") % 2 === half).coalesce(1)
+        .write.parquet(s"$stage/half-$half")
+      val part = new java.io.File(s"$stage/half-$half").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(stage, s"batch-$half.parquet"))
+    }
+    val stream = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = graft.formats.delta.DeltaStreamSink
+      .writeStream(stream, table, ckpt, appId = "graft_sink_gate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // replay: a restarted stream re-offers batch 0 — must be a no-op
+    require(!graft.formats.delta.DeltaStreamSink.appendBatch(s, table,
+      raw.filter(col("event_id") % 2 === 0), "graft_sink_gate", 0L),
+      "replayed micro-batch was not skipped")
+    new graft.formats.delta.DeltaConversionSource(s, table, "events")
+      .toDataFrame
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Gate.sumMeasure(col("value")).as("sum_v"))
+      .orderBy("event_type")
+  }
+
+  val streamingDeltaSinkSql: String =
+    s"""SELECT event_type, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("value")} AS sum_v
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

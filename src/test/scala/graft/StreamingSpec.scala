@@ -253,4 +253,28 @@ class StreamingSpec extends SparkSuite {
     assert(want.nonEmpty, "degenerate fixture: no view→purchase pairs")
     assert(got == want)
   }
+
+  test("delta stream sink: exactly-once across replays, loud on drift") {
+    import graft.formats.delta.{DeltaConversionSource, DeltaStreamSink}
+    val t = tmpDir("sink_delta")
+    val rows = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    // batch 0 creates the table, batch 1 appends
+    assert(DeltaStreamSink.appendBatch(spark, t, rows, "app", 0L))
+    assert(DeltaStreamSink.appendBatch(spark, t,
+      rows.withColumn("n_nationkey", col("n_nationkey") + 100), "app", 1L))
+    // replays of both batches are skipped — rows land exactly once
+    assert(!DeltaStreamSink.appendBatch(spark, t, rows, "app", 0L))
+    assert(!DeltaStreamSink.appendBatch(spark, t, rows, "app", 1L))
+    assert(DeltaStreamSink.lastTxnVersion(spark, t, "app").contains(1L))
+    // a DIFFERENT appId has its own txn ledger
+    assert(DeltaStreamSink.lastTxnVersion(spark, t, "other").isEmpty)
+    assert(new DeltaConversionSource(spark, t, "nation")
+      .toDataFrame.count() == 2 * rows.count())
+    // schema drift refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaStreamSink.appendBatch(spark, t,
+        rows.drop("n_regionkey"), "app", 2L)
+    }
+    assert(e.getMessage.contains("schema"))
+  }
 }
