@@ -104,6 +104,7 @@ object DeltaDeletes {
           val rewritten = matched.select(schema.fieldNames.toSeq.map { f =>
             assignments.get(f).map(_.as(f)).getOrElse(col(f))
           }: _*)
+          DeltaConstraints.enforce(rewritten, src.currentMeta(), "UPDATE")
           val newAdds = writeDataFiles(spark, snap, rewritten, "update")
           val cdc =
             if (!cdf) Iterator.empty
@@ -171,6 +172,7 @@ object DeltaDeletes {
           .as[(String, Long)]
         val plan = planMask(spark, snap, hits)
           .getOrElse(DeletePlan(snap, emptyMasked(spark), 0L))
+        DeltaConstraints.enforce(srcProj, src.currentMeta(), "MERGE")
         val newAdds = writeDataFiles(spark, snap, srcProj, "merge")
         // CDC rows classify the source by whether its key hit a live
         // target row: matched → update pre/post pair, fresh → insert

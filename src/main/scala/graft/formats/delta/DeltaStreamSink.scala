@@ -63,6 +63,7 @@ object DeltaStreamSink {
             ignoreNullability = true),
           s"micro-batch schema does not match the table's:\n  batch: " +
             s"${schema.simpleString}\n  table: ${m.schema.simpleString}")
+        DeltaConstraints.enforce(batch, m, "STREAMING UPDATE")
       }
     }
 

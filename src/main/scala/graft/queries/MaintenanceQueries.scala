@@ -373,6 +373,50 @@ object MaintenanceQueries {
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** CHECK constraints end-to-end: adding one that existing rows violate
+    * refuses; a violating UPDATE refuses with nothing written; a
+    * compliant UPDATE lands — the read-back matches only if exactly the
+    * compliant write happened.
+    */
+  def deltaConstraintsCheck(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/customer.parquet", "customer", 4,
+      "graft_constraints")
+    // existing rows have negative balances: this CHECK must refuse
+    try {
+      DeltaConstraints.addCheck(s, table, "nonneg", "c_acctbal >= 0")
+      require(false, "addCheck accepted a violated constraint")
+    } catch { case e: IllegalArgumentException =>
+      require(e.getMessage.contains("existing rows violate"), e.getMessage)
+    }
+    DeltaConstraints.addCheck(s, table, "bal_cap", "c_acctbal <= 100000")
+    // violating UPDATE: refused loudly, nothing written
+    try {
+      DeltaDeletes.updateWhere(s, table, col("c_custkey") % 10 === 0,
+        Map("c_acctbal" -> lit(999999.0)))
+      require(false, "updateWhere accepted a constraint violation")
+    } catch { case e: IllegalArgumentException =>
+      require(e.getMessage.contains("bal_cap"), e.getMessage)
+    }
+    // compliant UPDATE lands
+    require(DeltaDeletes.updateWhere(s, table, col("c_custkey") % 10 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") - 100.0))) > 0)
+    new DeltaConversionSource(s, table, "customer").toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val deltaConstraintsCheckSql: String =
+    s"""WITH updated AS (
+       |  SELECT c_mktsegment,
+       |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal - 100
+       |         ELSE c_acctbal END AS c_acctbal
+       |  FROM customer)
+       |SELECT c_mktsegment, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM updated GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   private def icebergTableOf(s: SparkSession, dir: String, prefix: String)
       : String = {
     val dataDir = graft.util.TempDirs.create(s"${prefix}_data")
