@@ -244,8 +244,7 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     val input = rows.map { case (part, s, instant) =>
       (PathUtils.resolve(tp, s.path), s.fileSizeInBytes, part, instant)
     }
-    val inputDs = spark.createDataset(input)
-      .repartition(math.max(1, math.min(input.size, 128)))
+    val inputDs = graft.util.Par.ds(spark, input, 128)
       .toDF("path", "size", "part", "instant")
     val index = HudiMetadataIndex.read(spark, tablePath)
       .select("path", "recordCount", "columnStats")

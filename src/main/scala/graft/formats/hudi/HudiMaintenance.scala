@@ -69,8 +69,7 @@ object HudiMaintenance {
     // distributed delete (tiny here, bounded everywhere)
     val bconf = HadoopConfs.broadcastSession(spark)
     import spark.implicits._
-    val sums = spark.createDataset(dead)
-      .repartition(math.min(dead.size, 32))
+    val sums = graft.util.Par.ds(spark, dead, 32)
       .mapPartitions { it =>
         val c = bconf.value.value
         var n = 0L; var b = 0L

@@ -290,8 +290,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       val snapId = snapshotId
       val md = mdir
       val bconf = graft.util.HadoopConfs.broadcastSession(spark)
-      val prevEntries = spark.createDataset(prevManifests)
-        .repartition(math.min(prevManifests.size, 128))
+      val prevEntries = graft.util.Par.ds(spark, prevManifests, 128)
         .flatMap { mp =>
           IcebergManifests.readManifest(mp)
             .filter(_.get("status").asInstanceOf[Int] !=

@@ -68,8 +68,7 @@ object IcebergMaintenance {
     val bconf = HadoopConfs.broadcastSession(spark)
     val referencedData: Dataset[String] =
       if (manifests.isEmpty) spark.emptyDataset[String]
-      else spark.createDataset(manifests)
-        .repartition(math.min(manifests.size, 64))
+      else graft.util.Par.ds(spark, manifests, 64)
         .mapPartitions { it =>
           it.flatMap { mp =>
             IcebergManifests.readManifest(mp).map { e =>

@@ -332,8 +332,7 @@ object IcebergManifests {
       .filter(r => contentOf(r) == 0)
       .map(m => (m.get("manifest_path").toString,
         m.get("sequence_number").asInstanceOf[Long]))
-    spark.createDataset(pairs)
-      .repartition(math.max(1, math.min(pairs.size, 64)))
+    graft.util.Par.ds(spark, pairs, 64)
       .mapPartitions { it =>
         it.flatMap { case (p, seq) =>
           readManifest(p)
@@ -354,8 +353,7 @@ object IcebergManifests {
       schema: StructType): Dataset[FileEntry] = {
     import spark.implicits._
     val schemaJson = schema.json
-    spark.createDataset(manifestPaths)
-      .repartition(math.max(1, math.min(manifestPaths.size, 64)))
+    graft.util.Par.ds(spark, manifestPaths, 64)
       .mapPartitions { paths =>
         val sch = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
           .asInstanceOf[StructType]

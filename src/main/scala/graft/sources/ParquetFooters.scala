@@ -94,7 +94,7 @@ object ParquetFooters {
       val parallelism = math.max(1,
         math.min(dirs.size, spark.sparkContext.defaultParallelism * 2))
       val bconf = graft.util.HadoopConfs.broadcastSession(spark)
-      val sub = spark.createDataset(dirs).repartition(parallelism)
+      val sub = graft.util.Par.ds(spark, dirs, parallelism)
         .mapPartitions { it =>
           val c = bconf.value.value
           it.flatMap(d => listFiles(d, c))
@@ -264,9 +264,8 @@ object ParquetFooters {
     import spark.implicits._
     val base = basePath
     val cols = statsColumns
-    val parallelism = math.max(1, math.min(files.size, 256))
     val bconf = graft.util.HadoopConfs.broadcastSession(spark)
-    spark.createDataset(files).repartition(parallelism).mapPartitions { it =>
+    graft.util.Par.ds(spark, files, 256).mapPartitions { it =>
       val conf = bconf.value.value
       it.map { f =>
         val (records, stats) = readFooterStats(f.path, conf, cols)

@@ -40,7 +40,7 @@ object DistributedWalk {
       math.min(dirs.size, spark.sparkContext.defaultParallelism * 2))
     val bconf = HadoopConfs.broadcastSession(spark)
     val skipF = skipFile
-    val walked = spark.createDataset(dirs).repartition(parallelism)
+    val walked = graft.util.Par.ds(spark, dirs, parallelism)
       .mapPartitions { it =>
         val c = bconf.value.value
         it.flatMap { d =>
