@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -13,20 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Replaces a 32-plane × 64-literal `zip_with`/`aggregate` expression tree
   * (which evaluated thousands of Catalyst nodes per row — 44 s for 2 k
   * vectors at sf0.1) with one tight O(planes·dim) loop per row (~1 s).
-  * The plane matrix rides in the expression as a literal member.
+  * The plane matrix rides as a codegen reference object, so the
+  * expression stays INSIDE whole-stage codegen.
   */
-case class HyperplaneBandKeys(
-    child: Expression,
-    planesFlat: Array[Double],        // planes × dim, row-major
-    dim: Int,
-    bands: Int,
-    rowsPerBand: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
+object HyperplaneImpl {
+  def bandKeys(vec: ArrayData, planesFlat: Array[Double], dim: Int,
+      bands: Int, rowsPerBand: Int): ArrayData = {
     val n = math.min(dim, vec.numElements())
     val keys = new Array[Long](bands)
     var b = 0
@@ -48,6 +40,29 @@ case class HyperplaneBandKeys(
       b += 1
     }
     new GenericArrayData(keys)
+  }
+}
+
+case class HyperplaneBandKeys(
+    child: Expression,
+    planesFlat: Array[Double],        // planes × dim, row-major
+    dim: Int,
+    bands: Int,
+    rowsPerBand: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneImpl.bandKeys(input.asInstanceOf[ArrayData], planesFlat, dim,
+      bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planesFlat", planesFlat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneImpl.bandKeys($c, $planesRef, $dim, " +
+        s"$bands, $rowsPerBand)")
   }
 
   override protected def withNewChildInternal(newChild: Expression)

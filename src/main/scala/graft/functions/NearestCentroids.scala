@@ -3,27 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 
 /** The `nprobe` nearest centroids (by cosine) for a float-vector column —
   * the IVF assignment step, one tight O(nlist·dim) loop per row with the
-  * centroid matrix riding in the expression.
+  * centroid matrix riding as a codegen reference object (the expression
+  * stays INSIDE whole-stage codegen).
   */
-case class NearestCentroids(
-    child: Expression,
-    centroidsFlat: Array[Double],   // nlist × dim row-major, L2-normalized
-    dim: Int,
-    nprobe: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  private val nlist = centroidsFlat.length / dim
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
+object NearestCentroidsImpl {
+  def pick(vec: ArrayData, centroidsFlat: Array[Double], dim: Int,
+      nprobe: Int): ArrayData = {
+    val nlist = centroidsFlat.length / dim
     val n = math.min(dim, vec.numElements())
     val sims = new Array[Double](nlist)
     var c = 0
@@ -47,6 +39,28 @@ case class NearestCentroids(
       p += 1
     }
     new GenericArrayData(picked)
+  }
+}
+
+case class NearestCentroids(
+    child: Expression,
+    centroidsFlat: Array[Double],   // nlist × dim row-major, L2-normalized
+    dim: Int,
+    nprobe: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidsImpl.pick(input.asInstanceOf[ArrayData], centroidsFlat,
+      dim, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val centRef =
+      ctx.addReferenceObj("centroidsFlat", centroidsFlat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroidsImpl.pick($c, $centRef, $dim, $nprobe)")
   }
 
   override protected def withNewChildInternal(newChild: Expression)

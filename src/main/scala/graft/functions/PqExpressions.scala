@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
@@ -42,25 +42,14 @@ private[functions] object PqChecks {
   * path and an interpreted higher-order-function tree would dominate it.
   */
 
-/** Encode: per subspace j, the index of the L2-nearest sub-centroid.
-  * codebooksFlat is m × ksub × dsub row-major.
+/** The PQ kernels as static JVM methods: `doGenCode` inlines calls to
+  * them with the codebook riding as a codegen reference object, so every
+  * kernel stays INSIDE whole-stage codegen.
   */
-case class PqEncode(
-    child: Expression,
-    codebooksFlat: Array[Double],
-    m: Int,
-    dsub: Int,
-    ksub: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    PqChecks.requireFloatArray(prettyName, child.dataType)
-
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
-    PqChecks.requireLength(prettyName, vec, m * dsub)
+object PqImpl {
+  def encode(vec: ArrayData, codebooksFlat: Array[Double], m: Int,
+      dsub: Int, ksub: Int): ArrayData = {
+    PqChecks.requireLength("pq_encode", vec, m * dsub)
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -85,31 +74,9 @@ case class PqEncode(
     new GenericArrayData(codes)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PqEncode =
-    copy(child = newChild)
-  override def prettyName: String = "pq_encode"
-}
-
-/** Per-query ADC lookup table: lut[j*ksub + c] = dot(q_subⱼ, codebook[j][c]).
-  * Built ONCE per query row (O(m·ksub·dsub) = O(dim·ksub)); every corpus
-  * pair after that costs O(m).
-  */
-case class PqLut(
-    child: Expression,
-    codebooksFlat: Array[Double],
-    m: Int,
-    dsub: Int,
-    ksub: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    PqChecks.requireFloatArray(prettyName, child.dataType)
-
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
-    PqChecks.requireLength(prettyName, vec, m * dsub)
+  def lut(vec: ArrayData, codebooksFlat: Array[Double], m: Int,
+      dsub: Int, ksub: Int): ArrayData = {
+    PqChecks.requireLength("pq_lut", vec, m * dsub)
     val lut = new Array[Double](m * ksub)
     var j = 0
     while (j < m) {
@@ -130,6 +97,76 @@ case class PqLut(
     new GenericArrayData(lut)
   }
 
+  def adc(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getDouble(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+}
+
+/** Encode: per subspace j, the index of the L2-nearest sub-centroid.
+  * codebooksFlat is m × ksub × dsub row-major.
+  */
+case class PqEncode(
+    child: Expression,
+    codebooksFlat: Array[Double],
+    m: Int,
+    dsub: Int,
+    ksub: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqChecks.requireFloatArray(prettyName, child.dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    PqImpl.encode(input.asInstanceOf[ArrayData], codebooksFlat, m, dsub, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooksFlat", codebooksFlat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqImpl.encode($c, $cb, $m, $dsub, $ksub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Per-query ADC lookup table: lut[j*ksub + c] = dot(q_subⱼ, codebook[j][c]).
+  * Built ONCE per query row (O(m·ksub·dsub) = O(dim·ksub)); every corpus
+  * pair after that costs O(m).
+  */
+case class PqLut(
+    child: Expression,
+    codebooksFlat: Array[Double],
+    m: Int,
+    dsub: Int,
+    ksub: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqChecks.requireFloatArray(prettyName, child.dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    PqImpl.lut(input.asInstanceOf[ArrayData], codebooksFlat, m, dsub, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooksFlat", codebooksFlat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqImpl.lut($c, $cb, $m, $dsub, $ksub)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): PqLut =
     copy(child = newChild)
   override def prettyName: String = "pq_lut"
@@ -139,7 +176,7 @@ case class PqLut(
   * codesⱼ]. O(m) per (query, corpus) pair — the PQ scan kernel.
   */
 case class PqAdc(left: Expression, right: Expression, ksub: Int)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -152,18 +189,13 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
           s"got (${l.sql}, ${r.sql})")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val lut = a.asInstanceOf[ArrayData]
-    val codes = b.asInstanceOf[ArrayData]
-    val m = codes.numElements()
-    var acc = 0.0
-    var j = 0
-    while (j < m) {
-      acc += lut.getDouble(j * ksub + codes.getInt(j))
-      j += 1
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqImpl.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PqImpl.adc($a, $b, $ksub)")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)

@@ -3,33 +3,22 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch expressions over a shingle array. Each replaces an
   * explode → 64-aggregate → re-group pipeline (a full shuffle of every
   * (doc, shingle) pair) with one tight pass per row: the whole signature
-  * is computed where the document already lives.
+  * is computed where the document already lives. The kernels are static
+  * JVM methods and `doGenCode` inlines calls to them, so both expressions
+  * stay INSIDE whole-stage codegen.
   */
+object SketchImpl {
 
-/** MinHash LSH band keys: numHashes seeded xxh64 permutations, min per
-  * permutation over the shingles, rows-per-band values folded into one
-  * 64-bit key per band.
-  */
-case class MinHashBandKeys(
-    child: Expression,
-    numHashes: Int,
-    bands: Int)
-  extends UnaryExpression with CodegenFallback {
-  require(numHashes % bands == 0)
-  private val rows = numHashes / bands
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val shingles = input.asInstanceOf[ArrayData]
+  def minhashBandKeys(shingles: ArrayData, numHashes: Int,
+      bands: Int): ArrayData = {
+    val rows = numHashes / bands
     val n = shingles.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -59,21 +48,7 @@ case class MinHashBandKeys(
     new GenericArrayData(keys)
   }
 
-  override protected def withNewChildInternal(newChild: Expression)
-      : MinHashBandKeys = copy(child = newChild)
-  override def prettyName: String = "minhash_band_keys"
-}
-
-/** 64-bit SimHash over the shingle array: bit b is the sign of the sum of
-  * ±1 contributions of each shingle hash's bit b.
-  */
-case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(input: Any): Any = {
-    val shingles = input.asInstanceOf[ArrayData]
+  def simhash64(shingles: ArrayData): Long = {
     val n = shingles.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -94,8 +69,50 @@ case class SimHash64(child: Expression)
       if (counts(b) > 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
+}
+
+/** MinHash LSH band keys: numHashes seeded xxh64 permutations, min per
+  * permutation over the shingles, rows-per-band values folded into one
+  * 64-bit key per band.
+  */
+case class MinHashBandKeys(
+    child: Expression,
+    numHashes: Int,
+    bands: Int)
+  extends UnaryExpression {
+  require(numHashes % bands == 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.minhashBandKeys(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchImpl.minhashBandKeys($c, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashBandKeys = copy(child = newChild)
+  override def prettyName: String = "minhash_band_keys"
+}
+
+/** 64-bit SimHash over the shingle array: bit b is the sign of the sum of
+  * ±1 contributions of each shingle hash's bit b.
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SketchImpl.simhash64(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : SimHash64 = copy(child = newChild)
