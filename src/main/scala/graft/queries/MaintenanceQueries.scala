@@ -417,6 +417,42 @@ object MaintenanceQueries {
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM updated GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** The SQL command surface end-to-end: DELETE, OPTIMIZE and UPDATE run
+    * as `spark.sql("GRAFT ...")` statements through the injected parser
+    * (an extensions-enabled sibling session on the same context), and
+    * the read-back matches only if all three executed with their library
+    * semantics.
+    */
+  def sqlMaintenanceOps(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/customer.parquet", "customer", 4,
+      "graft_sqlops")
+    val gs = graft.sql.GraftSql.session(s)
+    require(gs.sql(s"GRAFT DELETE FROM '$table' WHERE c_acctbal < 0")
+      .head().getLong(0) > 0)
+    val opt = gs.sql(s"GRAFT OPTIMIZE '$table'").head()
+    require(opt.getLong(0) == 4, s"optimize rewrote ${opt.getLong(0)}")
+    require(gs.sql(s"GRAFT UPDATE '$table' SET c_acctbal = c_acctbal + 50.0" +
+      " WHERE c_custkey % 10 = 0").head().getLong(0) > 0)
+    new DeltaConversionSource(s, table, "customer").toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val sqlMaintenanceOpsSql: String =
+    s"""WITH live AS (
+       |  SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+       |  WHERE NOT (c_acctbal < 0)),
+       |updated AS (
+       |  SELECT c_mktsegment,
+       |    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 50
+       |         ELSE c_acctbal END AS c_acctbal
+       |  FROM live)
+       |SELECT c_mktsegment, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM updated GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   private def icebergTableOf(s: SparkSession, dir: String, prefix: String)
       : String = {
     val dataDir = graft.util.TempDirs.create(s"${prefix}_data")

@@ -1,0 +1,75 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+import graft.formats.delta._
+import graft.formats.iceberg.IcebergRefs
+
+/** The GRAFT SQL commands as runnable logical plans: each is a
+  * `LeafRunnableCommand`, so Spark's own command planner executes it —
+  * no custom strategy needed — and every command returns its effect as
+  * rows (`spark.sql("GRAFT OPTIMIZE ...")` is a normal DataFrame).
+  */
+object GraftSqlCommands {
+
+  private def out(names: String*): Seq[Attribute] =
+    names.map(n => AttributeReference(n, LongType, nullable = false)())
+
+  case class OptimizeCommand(path: String, zorderBy: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("rewrote", "wrote")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r =
+        if (zorderBy.isEmpty) DeltaOptimize.compact(spark, path)
+        else DeltaOptimize.zorderBy(spark, path, zorderBy)
+      Seq(Row(r.rewrote, r.wrote))
+    }
+  }
+
+  case class VacuumCommand(path: String, retainHours: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("deleted")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = DeltaVacuum.vacuum(spark, path,
+        retentionMillis = retainHours * 3600L * 1000L)
+      Seq(Row(r.deleted))
+    }
+  }
+
+  case class RestoreCommand(path: String, version: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("readded", "removed", "version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = DeltaRestore.restoreTo(spark, path, version)
+      Seq(Row(r.readded, r.removed, r.version))
+    }
+  }
+
+  case class DeleteCommand(path: String, predicateSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("deleted_rows")
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaDeletes.deleteWhere(spark, path, expr(predicateSql))))
+  }
+
+  case class UpdateCommand(path: String, assignments: Seq[(String, String)],
+      predicateSql: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("updated_rows")
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(DeltaDeletes.updateWhere(spark, path, expr(predicateSql),
+        assignments.map { case (c, e) => c -> expr(e) }.toMap)))
+  }
+
+  case class RollbackCommand(path: String, sequence: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("sequence")
+    override def run(spark: SparkSession): Seq[Row] = {
+      IcebergRefs.rollbackTo(spark, path, sequence)
+      Seq(Row(sequence))
+    }
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sql
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL surface for graft's table operations, injected through
+  * `SparkSessionExtensions.injectParser` — any statement starting with
+  * the word `GRAFT` is parsed here, everything else delegates to Spark's
+  * own parser untouched. Grammar (paths are single-quoted strings):
+  *
+  * {{{
+  *   GRAFT OPTIMIZE '<table>' [ZORDER BY (c1, c2, ...)]
+  *   GRAFT VACUUM '<table>' [RETAIN <n> HOURS]
+  *   GRAFT RESTORE '<table>' TO VERSION <n>
+  *   GRAFT ROLLBACK '<table>' TO SEQUENCE <n>        -- Iceberg
+  *   GRAFT DELETE FROM '<table>' WHERE <predicate>
+  *   GRAFT UPDATE '<table>' SET c = <expr> [, ...] WHERE <predicate>
+  * }}}
+  *
+  * Each command plans as a `LeafRunnableCommand`
+  * ([[GraftSqlCommands]]), so `spark.sql(...)` returns the operation's
+  * effect as a normal DataFrame and Spark's command planner executes it
+  * — no custom strategy required.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlCommands._
+
+  private val Optimize: Regex =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val Vacuum: Regex =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val Restore: Regex =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val Rollback: Regex =
+    """(?is)\s*GRAFT\s+ROLLBACK\s+'([^']+)'\s+TO\s+SEQUENCE\s+(\d+)\s*;?\s*""".r
+  private val Delete: Regex =
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val Update: Regex =
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+
+  /** Split a SET clause on top-level commas (not inside parens/quotes). */
+  private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          parts += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    parts += s.substring(start)
+    parts.result().map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"malformed SET assignment: $a")
+      (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+    }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Optimize(path, zcols) =>
+      OptimizeCommand(path, Option(zcols).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+    case Vacuum(path, hours) =>
+      VacuumCommand(path, Option(hours).map(_.toLong).getOrElse(168L))
+    case Restore(path, v) => RestoreCommand(path, v.toLong)
+    case Rollback(path, seq) => RollbackCommand(path, seq.toLong)
+    case Delete(path, pred) => DeleteCommand(path, pred)
+    case Update(path, setClause, pred) =>
+      UpdateCommand(path, splitAssignments(setClause), pred)
+    case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
+      throw new IllegalArgumentException(
+        s"unrecognized GRAFT statement: $other — supported: OPTIMIZE, " +
+          "VACUUM, RESTORE, ROLLBACK, DELETE FROM, UPDATE")
+    case other => delegate.parsePlan(other)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Session extensions: register with
+  * `.withExtensions(new GraftSparkExtensions)` or
+  * `spark.sql.extensions=graft.sql.GraftSparkExtensions`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+}
+
+/** An extensions-enabled sibling of an existing session, sharing its
+  * SparkContext (one per context, cached): the host for
+  * `spark.sql("GRAFT ...")` when the primary session was built without
+  * extensions. Key SQL confs are mirrored so plans behave identically.
+  */
+object GraftSql {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  def session(base: SparkSession): SparkSession =
+    cache.computeIfAbsent(base.sparkContext.applicationId, _ => {
+      val prevActive = SparkSession.getActiveSession
+      val prevDefault = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try {
+        val b = SparkSession.builder()
+          .master(base.sparkContext.master)
+          .withExtensions(new GraftSparkExtensions()(_))
+        Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone",
+          "spark.sql.legacy.parquet.nanosAsLong",
+          "spark.sql.adaptive.enabled").foreach { k =>
+          base.conf.getOption(k).foreach(b.config(k, _))
+        }
+        b.getOrCreate()
+      } finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    })
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.formats.delta._
+import graft.sources.ParquetDirectorySource
+import graft.sync.TableFormatSync
+
+/** The GRAFT SQL surface: parser injection via SparkSessionExtensions,
+  * command execution, delegation of everything else.
+  */
+class SqlSurfaceSpec extends SparkSuite {
+
+  private lazy val gs = graft.sql.GraftSql.session(spark)
+
+  private def deltaTable(prefix: String): String = {
+    val dataDir = tmpDir(s"${prefix}_data")
+    spark.read.parquet(sf("sf0.001") + "/nation.parquet").repartition(2)
+      .write.mode("overwrite").parquet(dataDir)
+    val t = tmpDir(s"${prefix}_delta")
+    val src = new ParquetDirectorySource(spark, dataDir, "nation")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, t)), src.currentSnapshot(),
+      src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    t
+  }
+
+  test("GRAFT DELETE / UPDATE / OPTIMIZE / RESTORE round-trip through SQL") {
+    val t = deltaTable("sql_rt")
+    val total = spark.read.parquet(sf("sf0.001") + "/nation.parquet").count()
+    val deleted = gs.sql(s"GRAFT DELETE FROM '$t' WHERE n_nationkey % 2 = 0")
+      .head().getLong(0)
+    assert(deleted > 0)
+    assert(new DeltaConversionSource(spark, t, "nation").toDataFrame.count()
+      == total - deleted)
+    val upd = gs.sql(
+      s"GRAFT UPDATE '$t' SET n_regionkey = n_regionkey + 10, " +
+        s"n_name = upper(n_name) WHERE n_nationkey = 1").head().getLong(0)
+    assert(upd == 1)
+    val opt = gs.sql(s"GRAFT OPTIMIZE '$t'").head()
+    assert(opt.getLong(0) >= 2)
+    val restored = gs.sql(s"GRAFT RESTORE '$t' TO VERSION 0").head()
+    assert(restored.getLong(2) > 0)
+    assert(new DeltaConversionSource(spark, t, "nation").toDataFrame.count()
+      == total)
+  }
+
+  test("GRAFT ZORDER and VACUUM parse with their optional clauses") {
+    val t = deltaTable("sql_z")
+    val z = gs.sql(
+      s"GRAFT OPTIMIZE '$t' ZORDER BY (n_nationkey, n_regionkey)").head()
+    assert(z.getLong(0) == 2)
+    // a second rewrite supersedes the zorder output (which lives IN the
+    // table dir, unlike the synced source files) — vacuum(0) must sweep it
+    val z2 = gs.sql(s"GRAFT OPTIMIZE '$t' ZORDER BY (n_nationkey)").head()
+    assert(z2.getLong(0) >= 1)
+    val swept = gs.sql(s"GRAFT VACUUM '$t' RETAIN 0 HOURS").head().getLong(0)
+    assert(swept >= 1)
+    assert(new DeltaConversionSource(spark, t, "nation").toDataFrame.count()
+      == spark.read.parquet(sf("sf0.001") + "/nation.parquet").count())
+  }
+
+  test("non-GRAFT SQL delegates untouched; unknown GRAFT refuses") {
+    assert(gs.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+    assert(gs.range(3).count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      gs.sql("GRAFT FROBNICATE 'x'")
+    }
+    assert(e.getMessage.contains("unrecognized GRAFT"))
+  }
+
+  test("SET-clause splitting respects nested parens and strings") {
+    val p = new graft.sql.GraftSqlParser(null)
+    assert(p.splitAssignments("a = f(x, y), b = 'q,r', c = 1") ==
+      Seq("a" -> "f(x, y)", "b" -> "'q,r'", "c" -> "1"))
+  }
+}
