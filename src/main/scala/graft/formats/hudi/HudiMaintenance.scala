@@ -95,4 +95,60 @@ object HudiMaintenance {
 
     CleanResult(sums.map(_._1).sum, sums.map(_._2).sum, horizon)
   }
+
+  case class RestoreResult(rolledBack: Seq[String], deletedFiles: Long)
+
+  /** RESTORE to `instant` (Hudi's savepoint/restore semantics): every
+    * LATER instant is rolled back — its commit leaves the timeline and
+    * the files it wrote are physically deleted, so replay serves exactly
+    * the state at `instant`. Only files the table OWNS (under its base
+    * path) are deleted: a conversion target's write stats reference the
+    * SOURCE's files, which a restore must never touch. A `.restore`
+    * marker instant records what was rolled back (informational, like
+    * clean — readers fold commit kinds only).
+    *
+    * Deletes run distributed; the driver holds only the rolled-back
+    * instants' write-stat lists (O(files per rolled-back commit)).
+    */
+  def restoreTo(spark: SparkSession, tablePath: String, instant: String)
+      : RestoreResult = {
+    val all = HudiTimeline.listInstants(tablePath)
+    require(all.contains(instant),
+      s"no completed instant $instant on the timeline at $tablePath " +
+        s"(have: ${all.mkString(", ")})")
+    val later = all.filter(_ > instant)
+    if (later.isEmpty) return RestoreResult(Nil, 0L)
+
+    val canon = PathUtils.canonical(tablePath).stripSuffix("/") + "/"
+    val owned = later.flatMap { i =>
+      HudiTimeline.readCommit(tablePath, i)
+        .partitionToWriteStats.values.flatten
+        .map(ws => PathUtils.resolve(tablePath, ws.path))
+    }.distinct.filter(p => PathUtils.canonical(p).startsWith(canon))
+
+    val bconf = HadoopConfs.broadcastSession(spark)
+    import spark.implicits._
+    val deleted =
+      if (owned.isEmpty) 0L
+      else graft.util.Par.ds(spark, owned, 32)
+        .mapPartitions { it =>
+          val c = bconf.value.value
+          var n = 0L
+          it.foreach { p =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            if (hp.getFileSystem(c).delete(hp, false)) n += 1
+          }
+          Iterator.single(n)
+        }.collect().sum
+
+    later.foreach(HudiTimeline.deleteInstant(tablePath, _))
+    val marker = HudiTimeline.newInstant(tablePath)
+    Files.write(
+      JPaths.get(s"${HudiTimeline.hoodieDir(tablePath)}/$marker.restore"),
+      Jsons.toJson(Map(
+        "restoredTo" -> instant,
+        "rolledBackInstants" -> later,
+        "totalFilesDeleted" -> deleted)).getBytes(StandardCharsets.UTF_8))
+    RestoreResult(later, deleted)
+  }
 }

@@ -160,6 +160,11 @@ object HudiTimeline {
       : java.nio.file.Path =
     JPaths.get(hoodieDir(tablePath), s"$instant.$action")
 
+  /** Remove a completed instant from the timeline (restore/rollback). */
+  def deleteInstant(tablePath: String, instant: String): Unit =
+    Files.deleteIfExists(commitPath(tablePath, instant,
+      actionOf(tablePath, instant)))
+
   /** Find the action suffix for an instant on disk. */
   private def actionOf(tablePath: String, instant: String): String =
     if (Files.exists(commitPath(tablePath, instant, "replacecommit")))

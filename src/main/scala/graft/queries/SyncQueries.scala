@@ -1073,6 +1073,46 @@ object SyncQueries {
       |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
       |FROM final""".stripMargin
 
+  /** Hudi RESTORE (savepoint semantics): upsert + delete pile log files
+    * onto the base commit, then restoreTo the base instant rolls both
+    * back — their log files physically deleted, the timeline rewound —
+    * and the real-time read must serve exactly the original rows.
+    */
+  def hudiRestoreRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.hudi._
+    val hudiDir = graft.util.TempDirs.create("graft_hudi_restore")
+    Files.copy(Paths.get(s"$dir/nation.parquet"),
+      Paths.get(hudiDir, "base1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val base = s"$hudiDir/base1.parquet"
+    val nation = s.read.parquet(base)
+    HudiTimeline.writeProperties(hudiDir, "nation", "MERGE_ON_READ")
+    require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta("100", "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(HudiTimeline.fileId(base),
+        "base1.parquet", nation.count(), Files.size(Paths.get(base))))),
+      Map.empty, Map("schema" -> nation.schema.json)), hudiDir))
+
+    HudiLogFiles.upsert(s, hudiDir,
+      nation.withColumn("n_regionkey", col("n_regionkey") + 100),
+      Seq("n_nationkey"))
+    HudiLogFiles.deleteWhere(s, hudiDir, col("n_nationkey") % 2 === 0)
+
+    val res = HudiMaintenance.restoreTo(s, hudiDir, "100")
+    require(res.rolledBack.size == 2 && res.deletedFiles >= 1, res.toString)
+    require(HudiTimeline.listInstants(hudiDir) == Seq("100"),
+      HudiTimeline.listInstants(hudiDir).toString)
+
+    new HudiConversionSource(s, hudiDir, "nation", "snapshot").toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        sum(col("n_regionkey")).cast("long").as("sum_region"))
+  }
+
+  val hudiRestoreReadSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+      |FROM nation""".stripMargin
+
   /** Compaction absorbs MOR logs (upserts AND tombstones) into new base
     * files, then the previously-refused file-level path works again:
     * sync the compacted table to Delta and read it back — proof the
