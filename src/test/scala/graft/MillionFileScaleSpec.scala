@@ -152,6 +152,24 @@ class MillionFileScaleSpec extends SparkSuite {
     assert(vac.deleted == 0L, vac.toString)
     info(f"delta 1M: vacuum keep-set planning $vacSec%.1fs")
     assert(vacSec < 300, s"vacuum planning too slow: $vacSec")
+
+    // RESTORE across all 10^6 files: the diff re-adds every original
+    // (DV-less) description and removes every DV'd one — 2M streamed
+    // commit lines, listings never collected (verifyExists off: the
+    // synthetic listing has no physical parquet)
+    val t2 = System.nanoTime()
+    val res = graft.formats.delta.DeltaRestore.restoreTo(spark, target,
+      version = 0L, verifyExists = false)
+    val resSec = (System.nanoTime() - t2) / 1e9
+    assert(res.readded == n && res.removed == n, res.toString)
+    val restored = new DeltaConversionSource(spark, target, "mm")
+      .currentSnapshot()
+    val rrow = restored.files
+      .agg(count(lit(1)),
+        sum(when(col("deletionVector").isNotNull, 1L).otherwise(0L))).head()
+    assert(rrow.getLong(0) == n && rrow.getLong(1) == 0L)
+    info(f"delta 1M: full-table restore diff+commit $resSec%.1fs")
+    assert(resSec < 600, s"restore too slow: $resSec")
   }
 
   test("1M files: iceberg full sync and streaming manifest carry-forward") {
