@@ -345,12 +345,17 @@ object DeltaSnapshot {
     val ord = Ordering[(Long, Int)]
     files.zip(versions).foreach { case (p, v) =>
       val in = fs.open(p)
+      // a corrupt line must fail NAMING the log file — a silent partial
+      // replay (or a bare Jackson message) is the wrong-answer class
       try parseActions(tablePath)(
         scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .map(l => (l, v))).foreach { a =>
         val prev = best.get(a.path)
         if (prev == null || ord.compare(rank(a), rank(prev)) >= 0)
           best.put(a.path, a)
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"corrupt Delta log entry in $p: ${e.getMessage}", e)
       } finally in.close()
     }
     Some(best.values.asScala.filter(_.kind == "add").toSeq)
