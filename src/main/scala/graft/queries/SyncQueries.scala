@@ -633,6 +633,63 @@ object SyncQueries {
   val timeTravelDeltaSql: String =
     """SELECT count(*) AS v0_rows, 2*count(*) AS latest_rows FROM region""".stripMargin
 
+  /** timestampAsOf time travel, deterministic: the commit-file mtimes are
+    * pinned (Delta resolves by commit mtime — delta-spark's rule) and the
+    * Iceberg snapshot timestamps read back from metadata, so a timestamp
+    * between the two commits must resolve to the first on BOTH formats.
+    */
+  def timeTravelTimestamp(s: SparkSession, dir: String): DataFrame = {
+    // ---- Delta side: two commits, mtimes pinned at 1e9 / 2e9 ms
+    val dataDir = graft.util.TempDirs.create("graft_tts_data")
+    val target = graft.util.TempDirs.create("graft_tts_delta")
+    val srcFile = Paths.get(s"$dir/region.parquet")
+    Files.copy(srcFile, Paths.get(dataDir, "f1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Paths.get(dataDir, "f1.parquet").toFile.setLastModified(1000000L)
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(s, dataDir, "region")
+    controller.sync(src, Seq(new DeltaConversionTarget(s, target)))
+    Files.copy(srcFile, Paths.get(dataDir, "f2.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Paths.get(dataDir, "f2.parquet").toFile.setLastModified(2000000L)
+    controller.sync(src, Seq(new DeltaConversionTarget(s, target)))
+    new java.io.File(graft.formats.delta.DeltaLog.versionFile(target, 0L))
+      .setLastModified(1000000000L)
+    new java.io.File(graft.formats.delta.DeltaLog.versionFile(target, 1L))
+      .setLastModified(2000000000L)
+    val deltaV0 = s.read.format("graft")
+      .option("timestampAsOf", "1500000000").load(target)
+      .agg(count(lit(1)).as("delta_rows"))
+
+    // ---- Iceberg side: two append snapshots; pick the midpoint of their
+    // recorded timestamps (distinct by construction: the second commit's
+    // lastUpdatedMs is strictly later)
+    val ice = graft.util.TempDirs.create("graft_tts_ice")
+    val src1 = new ParquetDirectorySource(s, dataDir, "region")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, ice)),
+      src1.currentSnapshot(), src1.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val extraDir = s"$ice/data/extra-${java.util.UUID.randomUUID()}"
+    s.read.parquet(s"$dir/region.parquet").write.parquet(extraDir)
+    Thread.sleep(5)   // snapshot timestamps must differ
+    graft.formats.iceberg.IcebergDeletes.appendDataFiles(s, ice, extraDir)
+    val m = graft.formats.iceberg.IcebergMetadata.read(ice,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(ice).get)
+    val times = m.snapshots.map(_.timestampMs).sorted
+    require(times.size == 2 && times(0) < times(1), times.toString)
+    val mid = (times(0) + times(1)) / 2
+    val iceV1 = s.read.format("graft")
+      .option("timestampAsOf", mid.toString).load(ice)
+      .agg(count(lit(1)).as("ice_rows"))
+    deltaV0.crossJoin(iceV1)
+  }
+
+  // delta resolves to version 0 (f1 only); iceberg's first snapshot
+  // already holds f1+f2 (synced after both landed)
+  val timeTravelTimestampSql: String =
+    """SELECT count(*) AS delta_rows, 2*count(*) AS ice_rows FROM region""".stripMargin
+
   /** Iceberg v2 row-level deletes end-to-end: nation synced to Iceberg as
     * ONE sorted data file, a position-delete commit dropping every 4th
     * position, then the delete-aware read. The sorted single file makes

@@ -73,10 +73,45 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
           org.apache.spark.sql.Row] = feed.rdd
       }
     }
-    val snap: TableSnapshot = (parameters.get("versionAsOf"),
-        parameters.get("branch")) match {
+    // timestampAsOf (epoch millis or any ISO date/datetime): resolve to
+    // the newest commit at-or-before the instant — Delta by commit-file
+    // modification time (delta-spark's rule), Iceberg by snapshot
+    // timestamp-ms — then reuse the version path.
+    val tsResolved: Option[String] = parameters.get("timestampAsOf").map {
+      raw =>
+        require(!parameters.contains("versionAsOf"),
+          "timestampAsOf and versionAsOf are mutually exclusive")
+        val ts = GraftDataSource.parseInstantMillis(raw)
+        source match {
+          case _: graft.formats.delta.DeltaConversionSource =>
+            val conf = graft.util.HadoopConfs.session(spark)
+            val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+            val at = graft.formats.delta.DeltaLog.listVersions(path, conf)
+              .filter { v =>
+                fs.getFileStatus(new org.apache.hadoop.fs.Path(
+                  graft.formats.delta.DeltaLog.versionFile(path, v)))
+                  .getModificationTime <= ts
+              }
+            require(at.nonEmpty,
+              s"no Delta commit at or before timestamp $raw at $path")
+            at.last.toString
+          case _: graft.formats.iceberg.IcebergConversionSource =>
+            val v = graft.formats.iceberg.IcebergMetadata
+              .currentVersion(path).get
+            val m = graft.formats.iceberg.IcebergMetadata.read(path, v)
+            val at = m.snapshots.filter(_.timestampMs <= ts)
+            require(at.nonEmpty,
+              s"no Iceberg snapshot at or before timestamp $raw at $path")
+            at.maxBy(_.timestampMs).sequenceNumber.toString
+          case other => throw new IllegalArgumentException(
+            s"timestampAsOf needs a versioned metadata plane; this is a " +
+              s"${other.sourceFormat} table")
+        }
+    }
+    val snap: TableSnapshot = (parameters.get("versionAsOf")
+        .orElse(tsResolved), parameters.get("branch")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
-        "versionAsOf and branch are mutually exclusive")
+        "versionAsOf/timestampAsOf and branch are mutually exclusive")
       case (Some(v), None) => source match {
         case d: graft.formats.delta.DeltaConversionSource =>
           d.snapshotAt(v.toLong)
@@ -123,5 +158,28 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
       None, graft.formats.delta.DeltaRead.scanFileFormat(snap),
       Map.empty)(cs)
+  }
+}
+
+object GraftDataSource {
+  /** `timestampAsOf` accepts epoch millis or an ISO date / datetime
+    * (interpreted in UTC when zone-less) — the forms delta-spark and
+    * Iceberg SQL accept.
+    */
+  private[sources] def parseInstantMillis(raw: String): Long = {
+    val t = raw.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else {
+      import java.time._
+      import scala.util.Try
+      Try(Instant.parse(t).toEpochMilli)
+        .orElse(Try(LocalDateTime.parse(t.replace(' ', 'T'))
+          .toInstant(ZoneOffset.UTC).toEpochMilli))
+        .orElse(Try(LocalDate.parse(t).atStartOfDay()
+          .toInstant(ZoneOffset.UTC).toEpochMilli))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse timestampAsOf value '$raw' — use epoch millis, " +
+            "an ISO date (2024-01-01) or datetime (2024-01-01T12:00:00)"))
+    }
   }
 }

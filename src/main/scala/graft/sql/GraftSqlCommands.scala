@@ -72,4 +72,36 @@ object GraftSqlCommands {
       Seq(Row(sequence))
     }
   }
+
+  case class SyncCommand(srcPath: String, tableName: String,
+      targetFormat: String, targetPath: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("target_format",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
+      AttributeReference("status",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
+      AttributeReference("mode",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val src = new graft.sources.ParquetDirectorySource(spark, srcPath,
+        tableName)
+      val target: graft.spi.ConversionTarget =
+        targetFormat.toUpperCase match {
+          case "DELTA" => new DeltaConversionTarget(spark, targetPath)
+          case "ICEBERG" =>
+            new graft.formats.iceberg.IcebergConversionTarget(spark,
+              targetPath)
+          case "HUDI" =>
+            new graft.formats.hudi.HudiConversionTarget(spark, targetPath)
+          case "PAIMON" =>
+            new graft.formats.paimon.PaimonConversionTarget(spark,
+              targetPath)
+          case other => throw new IllegalArgumentException(
+            s"unknown sync target format $other (delta|iceberg|hudi|paimon)")
+        }
+      new graft.sync.ConversionController().sync(src, Seq(target))
+        .map(o => Row(o.targetFormat, o.status, o.mode))
+    }
+  }
 }

@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT ROLLBACK '<table>' TO SEQUENCE <n>        -- Iceberg
   *   GRAFT DELETE FROM '<table>' WHERE <predicate>
   *   GRAFT UPDATE '<table>' SET c = <expr> [, ...] WHERE <predicate>
+  *   GRAFT SYNC PARQUET '<srcdir>' AS <name> TO <delta|iceberg|hudi|paimon> '<target>'
   * }}}
   *
   * Each command plans as a `LeafRunnableCommand`
@@ -45,6 +46,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Update: Regex =
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val Sync: Regex =
+    """(?is)\s*GRAFT\s+SYNC\s+PARQUET\s+'([^']+)'\s+AS\s+(\w+)\s+TO\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
 
   /** Split a SET clause on top-level commas (not inside parens/quotes). */
   private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
@@ -81,6 +84,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Delete(path, pred) => DeleteCommand(path, pred)
     case Update(path, setClause, pred) =>
       UpdateCommand(path, splitAssignments(setClause), pred)
+    case Sync(srcPath, name, fmt, tgtPath) =>
+      SyncCommand(srcPath, name, fmt, tgtPath)
     case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
       throw new IllegalArgumentException(
         s"unrecognized GRAFT statement: $other — supported: OPTIMIZE, " +

@@ -61,6 +61,22 @@ class SqlSurfaceSpec extends SparkSuite {
       == spark.read.parquet(sf("sf0.001") + "/nation.parquet").count())
   }
 
+  test("GRAFT SYNC converts a parquet directory through SQL") {
+    val dataDir = tmpDir("sql_sync_data")
+    spark.read.parquet(sf("sf0.001") + "/region.parquet").repartition(2)
+      .write.mode("overwrite").parquet(dataDir)
+    val t = tmpDir("sql_sync_delta")
+    val row = gs.sql(
+      s"GRAFT SYNC PARQUET '$dataDir' AS region TO delta '$t'").head()
+    assert(row.getString(0) == "DELTA" && row.getString(1) == "SUCCESS")
+    assert(new DeltaConversionSource(spark, t, "region").toDataFrame.count()
+      == spark.read.parquet(sf("sf0.001") + "/region.parquet").count())
+    // second sync is incremental (no new source commits → still SUCCESS)
+    val again = gs.sql(
+      s"GRAFT SYNC PARQUET '$dataDir' AS region TO delta '$t'").head()
+    assert(again.getString(1) == "SUCCESS")
+  }
+
   test("non-GRAFT SQL delegates untouched; unknown GRAFT refuses") {
     assert(gs.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     assert(gs.range(3).count() == 3)
