@@ -366,7 +366,7 @@ object DeltaSnapshot {
     * every commit, and each probe was a full textFile job), distributed
     * textFile scan past the caps.
     */
-  private[delta] def actionLines(spark: SparkSession, tablePath: String,
+  private[graft] def actionLines(spark: SparkSession, tablePath: String,
       versions: Seq[Long], token: String): Seq[(String, Long)] = {
     import spark.implicits._
     val conf = graft.util.HadoopConfs.session(spark)

@@ -160,6 +160,18 @@ object HudiTimeline {
       : java.nio.file.Path =
     JPaths.get(hoodieDir(tablePath), s"$instant.$action")
 
+  /** Epoch millis of an instant string (`yyyyMMddHHmmssSSS`); synthetic
+    * fixture instants that aren't full timestamps fall back to their
+    * numeric value.
+    */
+  def instantMillis(instant: String): Long =
+    if (instant.length == 17 && instant.forall(_.isDigit)) {
+      try new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS") {
+        setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      }.parse(instant).getTime
+      catch { case _: java.text.ParseException => instant.toLong }
+    } else instant.toLongOption.getOrElse(0L)
+
   /** Remove a completed instant from the timeline (restore/rollback). */
   def deleteInstant(tablePath: String, instant: String): Unit =
     Files.deleteIfExists(commitPath(tablePath, instant,

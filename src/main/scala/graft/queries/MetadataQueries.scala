@@ -106,4 +106,49 @@ object MetadataQueries {
       "nation", "region", "events", "documents", "embeddings")
       .map(n => s"SELECT '$n' AS table_name, count(*) AS record_count FROM $n")
       .mkString("", " UNION ALL ", " ORDER BY table_name")
+
+  /** Metadata tables through the unified reader (`table$files` idiom):
+    * files / partitions / history over a table that went through a DV
+    * delete — counts, DV cardinality and version count all recomputable
+    * by the oracle from the data alone.
+    */
+  def metaTables(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataDir = graft.util.TempDirs.create("graft_meta_data")
+    s.read.parquet(s"$dir/customer.parquet").repartition(4)
+      .write.mode("overwrite").parquet(dataDir)
+    val table = graft.util.TempDirs.create("graft_meta_delta")
+    val src = new ParquetDirectorySource(s, dataDir, "customer")
+    val outcomes = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    require(graft.formats.delta.DeltaDeletes.deleteWhere(s, table,
+      col("c_acctbal") < 0) > 0)
+
+    def meta(which: String) =
+      s.read.format("graft").option("metaTable", which).load(table)
+    val files = meta("files")
+      .agg(count(lit(1)).as("n_files"),
+        sum("record_count").as("n_records"),
+        sum("dv_cardinality").as("dv_deleted"))
+    val parts = meta("partitions")
+      .agg(count(lit(1)).as("n_partitions"),
+        sum("n_records").as("part_records"))
+    val hist = meta("history")
+      .agg(count(lit(1)).as("n_versions"),
+        max("operation").as("last_op"))
+    files.crossJoin(parts).crossJoin(hist)
+  }
+
+  val metaTablesSql: String =
+    """SELECT CAST(4 AS BIGINT) AS n_files,
+      |  count(*) AS n_records,
+      |  CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dv_deleted,
+      |  CAST(1 AS BIGINT) AS n_partitions,
+      |  count(*) AS part_records,
+      |  CAST(2 AS BIGINT) AS n_versions,
+      |  'GRAFT SYNC' AS last_op
+      |FROM customer""".stripMargin
 }

@@ -40,6 +40,21 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     val spark = sqlContext.sparkSession
     val name = path.stripSuffix("/").split('/').last
     val source = CatalogConversionSource.fromPath(spark, path, name)
+    // metadata tables (the `table$files` idiom): the metadata plane as a
+    // queryable DataFrame — the files listing stays the DISTRIBUTED
+    // Dataset it already is (10^7 files never touch the driver);
+    // history/partitions derive from it or from the (small) commit log
+    parameters.get("metaTable").foreach { which =>
+      val df = GraftMetaTables.of(spark, source, path, which)
+      val sql = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = sql
+        override def schema: org.apache.spark.sql.types.StructType =
+          df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] = df.rdd
+      }
+    }
     if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
       val from = parameters.getOrElse("startingVersion",
         throw new IllegalArgumentException(

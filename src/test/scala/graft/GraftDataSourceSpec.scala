@@ -100,4 +100,40 @@ class GraftDataSourceSpec extends SparkSuite {
       .parquet(sf("sf0.001") + "/supplier.parquet")
       .filter(col("s_suppkey") > 5).count())
   }
+
+  test("metadata tables: partitioned files, partitions roll-up, history") {
+    val dataDir = tmpDir("meta_part_data")
+    spark.read.parquet(sf("sf0.001") + "/nation.parquet")
+      .repartition(col("n_regionkey"))
+      .write.mode("overwrite").partitionBy("n_regionkey").parquet(dataDir)
+    val t = tmpDir("meta_part_delta")
+    val src = new graft.sources.ParquetDirectorySource(spark, dataDir,
+      "nation")
+    val out = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, t)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"))
+    def meta(which: String) = spark.read.format("graft")
+      .option("metaTable", which).load(t)
+    val parts = meta("partitions").collect()
+    assert(parts.length == 5)   // five regions
+    assert(parts.map(_.getAs[Long]("n_records")).sum ==
+      spark.read.parquet(sf("sf0.001") + "/nation.parquet").count())
+    val files = meta("files")
+    assert(files.select("partition_values").collect()
+      .forall(_.getAs[Map[String, String]](0).contains("n_regionkey")))
+    val hist = meta("history").collect()
+    assert(hist.length == 1 && hist(0).getAs[String]("operation")
+      == "GRAFT SYNC")
+
+    // iceberg history comes from the snapshot list
+    val ice = tmpDir("meta_part_ice")
+    val out2 = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, ice)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out2.forall(_.status == "SUCCESS"))
+    val ihist = spark.read.format("graft").option("metaTable", "history")
+      .load(ice).collect()
+    assert(ihist.length == 1 && ihist(0).getAs[String]("version") == "1")
+  }
 }
