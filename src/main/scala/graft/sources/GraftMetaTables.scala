@@ -65,17 +65,21 @@ object GraftMetaTables {
       case _: graft.formats.delta.DeltaConversionSource =>
         val conf = graft.util.HadoopConfs.session(spark)
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        graft.formats.delta.DeltaLog.listVersions(path, conf).map { v =>
+        val versions =
+          graft.formats.delta.DeltaLog.listVersions(path, conf)
+        // ONE log probe for every version's commitInfo, not one each
+        val ops: Map[Long, String] = graft.formats.delta.DeltaSnapshot
+          .actionLines(spark, path, versions, "\"commitInfo\"")
+          .flatMap { case (line, v) =>
+            Option(graft.util.Jsons.mapper.readTree(line)
+              .get("commitInfo")).flatMap(c =>
+              Option(c.get("operation")).map(v -> _.asText))
+          }.toMap
+        versions.map { v =>
           val p = new org.apache.hadoop.fs.Path(
             graft.formats.delta.DeltaLog.versionFile(path, v))
-          val op = graft.formats.delta.DeltaSnapshot
-            .actionLines(spark, path, Seq(v), "\"commitInfo\"")
-            .headOption.flatMap { case (line, _) =>
-              Option(graft.util.Jsons.mapper.readTree(line)
-                .get("commitInfo")).flatMap(c =>
-                Option(c.get("operation")).map(_.asText))
-            }.getOrElse("UNKNOWN")
-          (v.toString, fs.getFileStatus(p).getModificationTime, op)
+          (v.toString, fs.getFileStatus(p).getModificationTime,
+            ops.getOrElse(v, "UNKNOWN"))
         }
       case _: graft.formats.iceberg.IcebergConversionSource =>
         val v = graft.formats.iceberg.IcebergMetadata.currentVersion(path)
