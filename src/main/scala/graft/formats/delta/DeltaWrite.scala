@@ -1,0 +1,114 @@
+package graft.formats.delta
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.util.{HadoopConfs, Jsons, PathUtils}
+
+/** Batch DataFrame writes into a graft-managed Delta table — the engine
+  * behind `df.write.format("graft").save(path)`: append or overwrite,
+  * hive-partitioned or flat, table created on first write. CHECK
+  * constraints and NOT NULL invariants are enforced before anything is
+  * committed, adds carry real column stats from a distributed footer
+  * scan, commit lines stream in bounded batches, and the commit CAS-es
+  * on the observed head version — the same write discipline as every
+  * other graft Delta writer.
+  */
+object DeltaWrite {
+
+  case class WriteResult(added: Long, removed: Long, version: Long)
+
+  def write(spark: SparkSession, tablePath: String, df: DataFrame,
+      overwrite: Boolean, partitionCols: Seq[String] = Nil): WriteResult = {
+    import df.sparkSession.implicits._
+    val conf = HadoopConfs.session(spark)
+    val head = DeltaLog.latestVersion(tablePath, conf)
+    val tp = PathUtils.canonical(tablePath)
+    val schema = df.schema
+
+    val existingMeta = head.flatMap(_ => DeltaSnapshot.metadata(spark,
+      tablePath, DeltaLog.listVersions(tablePath, conf)))
+    val parts = existingMeta match {
+      case Some(m) =>
+        require(DataType.equalsStructurally(m.schema, schema,
+            ignoreNullability = true),
+          s"written schema does not match the table's:\n  write: " +
+            s"${schema.simpleString}\n  table: ${m.schema.simpleString}")
+        require(partitionCols.isEmpty ||
+            partitionCols == m.partitionColumns,
+          s"partitionBy ${partitionCols.mkString(",")} does not match " +
+            s"the table's (${m.partitionColumns.mkString(",")})")
+        m.partitionColumns
+      case None =>
+        partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+          s"partition column $c is not in the written schema"))
+        partitionCols
+    }
+    existingMeta.foreach(DeltaConstraints.enforce(df, _, "WRITE"))
+
+    val dataDir = s"$tp/write-${UUID.randomUUID()}"
+    if (parts.isEmpty) df.write.parquet(dataDir)
+    else df.write.partitionBy(parts: _*).parquet(dataDir)
+    val listed = graft.sources.ParquetFooters.listFiles(dataDir, conf)
+    val schemaJson = schema.json
+    val adds = graft.sources.ParquetFooters
+      .fileEntries(spark, dataDir, listed)
+      .mapPartitions { it =>
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        it.map { fe =>
+          Jsons.toJson(Map("add" -> Map(
+            "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path)),
+            "partitionValues" -> fe.partitionValues
+              .map(p => p.field -> p.value).toMap,
+            "size" -> fe.fileSizeBytes,
+            "modificationTime" -> fe.lastModifiedMillis,
+            "dataChange" -> true,
+            "stats" -> DeltaStats.toJson(sch, fe.recordCount,
+              fe.columnStats))))
+        }
+      }
+
+    val now = System.currentTimeMillis()
+    val prevSnap =
+      if (!overwrite || head.isEmpty) None
+      else Some(new DeltaConversionSource(spark, tablePath,
+        tp.stripSuffix("/").split('/').last).currentSnapshot())
+    val removes: Iterator[String] = prevSnap match {
+      case None => Iterator.empty
+      case Some(snap) =>
+        val lines = graft.plans.SnapshotFileIndex.listingFor(snap)
+          .mapPartitions(_.map(fe => Jsons.toJson(Map("remove" -> Map(
+            "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path)),
+            "deletionTimestamp" -> now,
+            "dataChange" -> true)))))
+        graft.util.StreamedLines.iterate(lines)
+    }
+    val header: Iterator[String] = (existingMeta match {
+      case None => Iterator(
+        Jsons.toJson(Map("protocol" ->
+          Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))),
+        Jsons.toJson(Map("metaData" -> Map(
+          "id" -> UUID.randomUUID().toString,
+          "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+          "schemaString" -> schemaJson,
+          "partitionColumns" -> parts,
+          "configuration" -> Map.empty,
+          "createdTime" -> now))))
+      case Some(_) => Iterator.empty
+    }) ++ Iterator(Jsons.toJson(Map("commitInfo" -> Map(
+      "timestamp" -> now,
+      "operation" -> (if (overwrite) "WRITE OVERWRITE" else "WRITE"),
+      "operationParameters" -> Map.empty))))
+
+    val version = head.map(_ + 1).getOrElse(0L)
+    val ok = DeltaLog.writeCommit(tablePath, version,
+      header ++ removes ++ graft.util.StreamedLines.iterate(adds))
+    if (!ok) throw new IllegalStateException(
+      s"concurrent writer committed version $version first at $tablePath " +
+        "— re-run the write against the new head")
+    prevSnap.foreach(graft.plans.SnapshotFileIndex.invalidate)
+    WriteResult(listed.size.toLong, 0L, version)
+  }
+}

@@ -1130,6 +1130,30 @@ object SyncQueries {
       |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
       |FROM final""".stripMargin
 
+  /** The DataFrameWriter surface: append ×2 then overwrite through
+    * `df.write.format("graft")`, read back through the same format — the
+    * final state must be exactly the overwrite's rows, and the history
+    * metadata table must show all three commits.
+    */
+  def graftWriterDelta(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.util.TempDirs.create("graft_writer_delta")
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    nation.write.format("graft").mode("append").save(t)
+    nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+      .write.format("graft").mode("append").save(t)
+    nation.filter(col("n_nationkey") % 2 === 0)
+      .write.format("graft").mode("overwrite").save(t)
+    val hist = s.read.format("graft").option("metaTable", "history").load(t)
+    require(hist.count() == 3, s"expected 3 commits, got ${hist.count()}")
+    s.read.format("graft").load(t)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val graftWriterDeltaSql: String =
+    """SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin
+
   /** Hudi RESTORE (savepoint semantics): upsert + delete pile log files
     * onto the base commit, then restoreTo the base instant rolls both
     * back — their log files physically deleted, the timeline rewound —

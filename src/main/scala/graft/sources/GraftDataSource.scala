@@ -1,9 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 
 import graft.model.TableSnapshot
 import graft.plans.SnapshotFileIndex
@@ -28,9 +28,44 @@ import graft.plans.SnapshotFileIndex
   * Registered as a Spark `DataSourceRegister` (shortName "graft") so
   * `USING graft` also works in catalog DDL.
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft").mode(...).save(path)` — lands the rows in
+    * a graft-managed Delta table (created on first write; hive partition
+    * columns via `.partitionBy(...)`). Append and Overwrite carry the
+    * full write discipline ([[graft.formats.delta.DeltaWrite]]: schema
+    * check, constraints, distributed footer stats, streamed CAS'd
+    * commit); ErrorIfExists/Ignore follow their SaveMode contracts.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = graft.util.PathUtils.canonical(
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft datasource needs a path")))
+    val spark = sqlContext.sparkSession
+    val exists = graft.formats.delta.DeltaLog
+      .latestVersion(path, graft.util.HadoopConfs.session(spark)).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"table already exists at $path (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case m =>
+        // partitionBy columns arrive JSON-encoded under this v1 key
+        val parts = parameters.get("__partition_columns").toSeq.flatMap {
+          js =>
+            import scala.jdk.CollectionConverters._
+            graft.util.Jsons.mapper.readTree(js)
+              .elements().asScala.map(_.asText).toSeq
+        }
+        graft.formats.delta.DeltaWrite.write(spark, path, data,
+          overwrite = m == SaveMode.Overwrite, partitionCols = parts)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

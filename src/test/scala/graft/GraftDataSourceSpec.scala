@@ -136,4 +136,40 @@ class GraftDataSourceSpec extends SparkSuite {
       .load(ice).collect()
     assert(ihist.length == 1 && ihist(0).getAs[String]("version") == "1")
   }
+
+  test("writer: partitioned saves, save modes, drift and constraints") {
+    val nation = spark.read.parquet(sf("sf0.001") + "/nation.parquet")
+    val t = tmpDir("writer_part")
+    nation.write.format("graft").partitionBy("n_regionkey")
+      .mode("append").save(t)
+    // reads route through the metadata plane with partition pruning
+    val one = spark.read.format("graft").load(t)
+      .filter(col("n_regionkey") === 2)
+    assert(one.count() == nation.filter(col("n_regionkey") === 2).count())
+    assert(spark.read.format("graft").option("metaTable", "partitions")
+      .load(t).count() == 5)
+    // appends must keep the partitioning; a mismatch refuses
+    intercept[IllegalArgumentException] {
+      nation.write.format("graft").partitionBy("n_nationkey")
+        .mode("append").save(t)
+    }
+    // ErrorIfExists / Ignore contracts
+    intercept[IllegalArgumentException] {
+      nation.write.format("graft").mode("error").save(t)
+    }
+    nation.write.format("graft").mode("ignore").save(t)   // no-op
+    assert(spark.read.format("graft").load(t).count() == nation.count())
+    // schema drift refuses before anything commits
+    intercept[IllegalArgumentException] {
+      nation.drop("n_name").write.format("graft").mode("append").save(t)
+    }
+    // CHECK constraints bind the writer path too
+    graft.formats.delta.DeltaConstraints.addCheck(spark, t, "keycap",
+      "n_nationkey < 1000")
+    intercept[IllegalArgumentException] {
+      nation.withColumn("n_nationkey", col("n_nationkey") + 5000)
+        .write.format("graft").mode("append").save(t)
+    }
+    assert(spark.read.format("graft").load(t).count() == nation.count())
+  }
 }
