@@ -27,7 +27,9 @@ object DeltaConstraints {
       case (k, v) if k.startsWith(Prefix) => k.stripPrefix(Prefix) -> v
     }.toSeq.sortBy(_._1)
 
-  /** NOT NULL invariants: non-nullable leaf columns of the schema. */
+  /** NOT NULL invariants: non-nullable top-level columns of the schema
+    * (nested invariants would enforce through a CHECK on the path).
+    */
   def notNullsOf(meta: DeltaMeta): Seq[String] =
     meta.schema.fields.filterNot(_.nullable).map(_.name).toSeq
 

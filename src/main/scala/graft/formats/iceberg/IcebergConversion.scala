@@ -101,13 +101,20 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
     * on the equality columns, sequence-ordered) via
     * [[IcebergDeletes.applyDeletes]].
     */
-  def toDataFrame: DataFrame = {
+  def toDataFrame: DataFrame = toDataFrameAt(meta.headSequence)
+
+  /** Delete-aware read at a historical sequence (time travel / branch
+    * reads of snapshots carrying row-level deletes — the file-level
+    * `snapshotAt` refuses those).
+    */
+  def toDataFrameAt(seq: Long): DataFrame = {
     val m = meta
+    require(m.snapshotBySeq(seq).isDefined,
+      s"no snapshot at sequence $seq in $tablePath (expired?)")
     val snap = TableSnapshot(currentTable(),
-      filesAtSeq(m, m.headSequence), m.headSequence.toString)
+      filesAtSeq(m, seq), seq.toString)
     val base = graft.formats.delta.DeltaRead.toDataFrame(spark, snap)
-    IcebergDeletes.applyDeletes(spark, base, m, m.headSequence,
-      tablePath)
+    IcebergDeletes.applyDeletes(spark, base, m, seq, tablePath)
   }
 }
 

@@ -100,6 +100,23 @@ class TableStateSpec extends SparkSuite {
     assert(m2.refs.keySet == Set("b1"))
   }
 
+  test("iceberg delete-aware time travel reads a delete-carrying seq") {
+    val t = icebergTable("tt_deletes")
+    assert(IcebergDeletes.updateWhere(spark, t,
+      col("n_nationkey") === 0, Map("n_regionkey" -> lit(77))) > 0)
+    val src = new IcebergConversionSource(spark, t, "nation")
+    // seq 2 carries equality deletes: file-level snapshotAt refuses,
+    // the delete-aware historical read serves the updated rows
+    intercept[graft.model.DeletionVectorsUnsupported] {
+      src.snapshotAt(2L).files.count()
+    }
+    val at2 = src.toDataFrameAt(2L)
+    assert(at2.filter(col("n_regionkey") === 77).count() == 1)
+    // and seq 1 still serves the original state
+    assert(src.toDataFrameAt(1L)
+      .filter(col("n_regionkey") === 77).count() == 0)
+  }
+
   test("iceberg rollback: fresh sequences after, refs survive") {
     val t = icebergTable("rollback")
     IcebergRefs.createTag(spark, t, "keep")
