@@ -92,7 +92,9 @@ object IcebergMaintenance {
       .join(keep.toDF("__keep"), all("path") === org.apache.spark.sql
         .functions.col("__keep"), "left_anti")
       .as[graft.util.DistributedWalk.WalkedFile]
-      .filter(_.mtime < horizon)
+      // boundary inclusive: with retention 0, a file stamped in the same
+      // millisecond the sweep started is still sweepable
+      .filter(_.mtime <= horizon)
     val sums = doomed.mapPartitions { it =>
       val c = bconf.value.value
       var n = 0L; var b = 0L

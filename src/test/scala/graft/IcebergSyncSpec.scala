@@ -171,8 +171,11 @@ class IcebergSyncSpec extends SparkSuite {
         Seq(new IcebergConversionTarget(spark, iceDir)))
         .forall(_.status == "SUCCESS"))
     }
-    // stray temp file a crashed writer might leave behind
+    // stray temp file a crashed writer might leave behind (mtime pinned
+    // in the past — a same-millisecond stamp made this flaky)
     Files.writeString(Paths.get(iceDir, "metadata", "stray-tmp.avro"), "x")
+    Paths.get(iceDir, "metadata", "stray-tmp.avro").toFile
+      .setLastModified(System.currentTimeMillis() - 60000L)
 
     // nothing expired yet: every manifest is referenced, only the stray
     // sweeps
