@@ -26,8 +26,10 @@ object GraftMetaTables {
     case "files" => files(spark, source)
     case "partitions" => partitions(spark, source)
     case "history" => history(spark, source, path)
+    case "refs" => refs(spark, source, path)
     case other => throw new IllegalArgumentException(
-      s"unknown metaTable '$other' — supported: files, partitions, history")
+      s"unknown metaTable '$other' — supported: files, partitions, " +
+        "history, refs")
   }
 
   private def listing(spark: SparkSession, source: ConversionSource) =
@@ -99,5 +101,28 @@ object GraftMetaTables {
           s"${other.sourceFormat} table")
     }
     rows.toDF("version", "timestamp_ms", "operation")
+  }
+
+  /** Iceberg snapshot refs (branches/tags) incl. the implicit `main`. */
+  private def refs(spark: SparkSession, source: ConversionSource,
+      path: String): DataFrame = {
+    import spark.implicits._
+    source match {
+      case _: graft.formats.iceberg.IcebergConversionSource =>
+        val v = graft.formats.iceberg.IcebergMetadata.currentVersion(path)
+          .getOrElse(throw new IllegalStateException(
+            s"no Iceberg table at $path"))
+        val m = graft.formats.iceberg.IcebergMetadata.read(path, v)
+        val seqOf = m.snapshots.map(s => s.snapshotId -> s.sequenceNumber)
+          .toMap
+        (("main", m.currentSnapshotId, "branch") +: m.refs.toSeq
+          .sortBy(_._1).map { case (n, r) => (n, r.snapshotId, r.refType) })
+          .map { case (n, sid, t) =>
+            (n, t, sid, seqOf.getOrElse(sid, -1L)) }
+          .toDF("name", "type", "snapshot_id", "sequence_number")
+      case other => throw new IllegalArgumentException(
+        s"refs metaTable needs Iceberg snapshot refs; this is a " +
+          s"${other.sourceFormat} table")
+    }
   }
 }

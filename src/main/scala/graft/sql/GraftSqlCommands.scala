@@ -73,6 +73,18 @@ object GraftSqlCommands {
     }
   }
 
+  case class RefCommand(path: String, refType: String, name: String,
+      atSeq: Option[Long], drop: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("name",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (drop) IcebergRefs.dropRef(spark, path, name)
+      else IcebergRefs.createRef(spark, path, name, refType, atSeq)
+      Seq(Row(name))
+    }
+  }
+
   case class SyncCommand(srcPath: String, tableName: String,
       targetFormat: String, targetPath: String)
       extends LeafRunnableCommand {

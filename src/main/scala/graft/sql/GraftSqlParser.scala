@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT DELETE FROM '<table>' WHERE <predicate>
   *   GRAFT UPDATE '<table>' SET c = <expr> [, ...] WHERE <predicate>
   *   GRAFT SYNC PARQUET '<srcdir>' AS <name> TO <delta|iceberg|hudi|paimon> '<target>'
+  *   GRAFT CREATE <BRANCH|TAG> <name> ON '<table>' [AT SEQUENCE <n>]
+  *   GRAFT DROP <BRANCH|TAG> <name> ON '<table>'
   * }}}
   *
   * Each command plans as a `LeafRunnableCommand`
@@ -48,6 +50,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Sync: Regex =
     """(?is)\s*GRAFT\s+SYNC\s+PARQUET\s+'([^']+)'\s+AS\s+(\w+)\s+TO\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
+  private val CreateRef: Regex =
+    """(?is)\s*GRAFT\s+CREATE\s+(BRANCH|TAG)\s+(\w+)\s+ON\s+'([^']+)'\s*(?:AT\s+SEQUENCE\s+(\d+))?\s*;?\s*""".r
+  private val DropRef: Regex =
+    """(?is)\s*GRAFT\s+DROP\s+(?:BRANCH|TAG)\s+(\w+)\s+ON\s+'([^']+)'\s*;?\s*""".r
 
   /** Split a SET clause on top-level commas (not inside parens/quotes). */
   private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
@@ -86,6 +92,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       UpdateCommand(path, splitAssignments(setClause), pred)
     case Sync(srcPath, name, fmt, tgtPath) =>
       SyncCommand(srcPath, name, fmt, tgtPath)
+    case CreateRef(kind, name, path, seq) =>
+      RefCommand(path, kind.toLowerCase, name,
+        Option(seq).map(_.toLong), drop = false)
+    case DropRef(name, path) =>
+      RefCommand(path, "branch", name, None, drop = true)
     case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
       throw new IllegalArgumentException(
         s"unrecognized GRAFT statement: $other — supported: OPTIMIZE, " +

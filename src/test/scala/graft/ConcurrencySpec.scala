@@ -171,4 +171,47 @@ class ConcurrencySpec extends SparkSuite {
       new ParquetDirectorySource(spark, empty, "empty").currentSnapshot())
     assert(e.getMessage.contains("no parquet/orc/avro data files"))
   }
+
+  test("racing DataFrame writers: every committed version has one author") {
+    import graft.formats.delta._
+    import org.apache.spark.sql.functions._
+    val t = tmpDir("race_writer")
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    rows.write.format("graft").save(t)   // version 0 exists before racing
+
+    // two threads append concurrently with retry-on-CAS-loss: no write
+    // may be lost and no version double-committed
+    val attemptsPerThread = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val done = new java.util.concurrent.CountDownLatch(2)
+    (1 to 2).foreach { tid =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          var landed = 0
+          while (landed < attemptsPerThread) {
+            try {
+              rows.withColumn("r_regionkey",
+                  col("r_regionkey") + lit(tid * 100))
+                .write.format("graft").mode("append").save(t)
+              landed += 1
+            } catch {
+              case e: IllegalStateException
+                if e.getMessage.contains("concurrent writer") => ()
+            }
+          }
+        } catch { case th: Throwable => failures.add(th) }
+        finally done.countDown()
+      })
+    }
+    assert(done.await(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, failures.toString)
+    // 1 create + 8 appends, versions contiguous, total rows exact
+    val versions = DeltaLog.listVersions(t,
+      graft.util.HadoopConfs.session(spark))
+    assert(versions == (0L to 8L), versions.toString)
+    assert(new DeltaConversionSource(spark, t, "region").toDataFrame
+      .count() == 9 * rows.count())
+  }
 }

@@ -77,6 +77,27 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(again.getString(1) == "SUCCESS")
   }
 
+  test("GRAFT CREATE/DROP BRANCH and the refs metadata table") {
+    val dataDir = tmpDir("sql_ref_data")
+    spark.read.parquet(sf("sf0.001") + "/region.parquet").repartition(2)
+      .write.mode("overwrite").parquet(dataDir)
+    val t = tmpDir("sql_ref_ice")
+    gs.sql(s"GRAFT SYNC PARQUET '$dataDir' AS region TO iceberg '$t'")
+    gs.sql(s"GRAFT CREATE TAG v1 ON '$t' AT SEQUENCE 1")
+    gs.sql(s"GRAFT CREATE BRANCH dev ON '$t'")
+    val refs = spark.read.format("graft").option("metaTable", "refs")
+      .load(t).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs == Set(("main", "branch"), ("v1", "tag"),
+      ("dev", "branch")))
+    gs.sql(s"GRAFT DROP BRANCH dev ON '$t'")
+    assert(spark.read.format("graft").option("metaTable", "refs")
+      .load(t).count() == 2)
+    // tag still reads through the reader option
+    assert(spark.read.format("graft").option("branch", "v1").load(t)
+      .count() == spark.read.parquet(sf("sf0.001") + "/region.parquet")
+      .count())
+  }
+
   test("non-GRAFT SQL delegates untouched; unknown GRAFT refuses") {
     assert(gs.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     assert(gs.range(3).count() == 3)
