@@ -1130,6 +1130,45 @@ object SyncQueries {
       |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
       |FROM final""".stripMargin
 
+  /** Hudi incremental query through the unified reader: commit(f1) →
+    * commit(f2) → replacecommit(−f1, +f3), then the feed from the first
+    * instant must serve exactly f2 and f3 (the replaced group never
+    * surfaces), each row tagged with its writing instant.
+    */
+  def hudiChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = graft.util.TempDirs.create("graft_hcf_data")
+    val hudiDir = graft.util.TempDirs.create("graft_hcf_hudi")
+    val srcFile = Paths.get(s"$dir/nation.parquet")
+    def addFile(name: String, mtime: Long): Unit = {
+      Files.copy(srcFile, Paths.get(dataDir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(dataDir, name).toFile.setLastModified(mtime)
+    }
+    def psrc = new ParquetDirectorySource(s, dataDir, "nation")
+    val hudiTgt = new graft.formats.hudi.HudiConversionTarget(s, hudiDir)
+    def hudiCommit(): Unit = {
+      val o = TableFormatSync.syncSnapshot(Seq(hudiTgt),
+        psrc.currentSnapshot(), psrc.sourceFormat)
+      require(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    }
+    addFile("f1.parquet", 1000000L); hudiCommit()
+    addFile("f2.parquet", 2000000L); hudiCommit()
+    Files.delete(Paths.get(dataDir, "f1.parquet"))
+    addFile("f3.parquet", 3000000L); hudiCommit()
+    val first = graft.formats.hudi.HudiTimeline.listInstants(hudiDir).head
+    s.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", first).load(hudiDir)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        countDistinct(col("_commit_instant")).as("n_instants"))
+  }
+
+  val hudiChangesFeedSql: String =
+    """SELECT 2*count(*) AS cnt,
+      |  CAST(2*sum(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(2 AS BIGINT) AS n_instants
+      |FROM nation""".stripMargin
+
   /** The DataFrameWriter surface: append ×2 then overwrite through
     * `df.write.format("graft")`, read back through the same format — the
     * final state must be exactly the overwrite's rows, and the history

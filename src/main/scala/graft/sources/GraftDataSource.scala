@@ -91,9 +91,10 @@ class GraftDataSource extends RelationProvider
       }
     }
     if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
-      val from = parameters.getOrElse("startingVersion",
+      val fromRaw = parameters.getOrElse("startingVersion",
         throw new IllegalArgumentException(
-          "readChangeFeed needs startingVersion (exclusive)")).toLong
+          "readChangeFeed needs startingVersion (exclusive)"))
+      def from = fromRaw.toLong
       val feed = source match {
         case _: graft.formats.delta.DeltaConversionSource =>
           val to = parameters.get("endingVersion").map(_.toLong).getOrElse(
@@ -101,6 +102,14 @@ class GraftDataSource extends RelationProvider
               graft.util.HadoopConfs.session(spark)).getOrElse(0L))
           graft.formats.delta.DeltaChanges.changesBetween(spark, path,
             from, to)
+        // Hudi versions are instant STRINGS; the incremental query serves
+        // rows added in (startingVersion, endingVersion]
+        case _: graft.formats.hudi.HudiConversionSource =>
+          val to = parameters.get("endingVersion").getOrElse(
+            graft.formats.hudi.HudiTimeline.listInstants(path)
+              .lastOption.getOrElse("0"))
+          graft.formats.hudi.HudiChanges.incrementalRead(spark, path,
+            fromRaw, to)
         case _: graft.formats.iceberg.IcebergConversionSource =>
           val to = parameters.get("endingVersion").map(_.toLong).getOrElse {
             val v = graft.formats.iceberg.IcebergMetadata

@@ -269,4 +269,33 @@ class HudiMorSpec extends SparkSuite {
     assert(ro.toDataFrame.count() == 0L)
     assert(ro.currentSnapshot().files.collect().isEmpty)
   }
+
+  test("incremental read refuses deltacommit ranges, serves after compact") {
+    import org.apache.spark.sql.functions._
+    val dir = morTable()
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    HudiLogFiles.upsert(spark, dir,
+      nation.filter(col("n_nationkey") < 3)
+        .withColumn("n_regionkey", lit(9)), Seq("n_nationkey"))
+    // a log-write instant sits in the range: refuse, never under-report
+    val e = intercept[IllegalArgumentException] {
+      graft.formats.hudi.HudiChanges
+        .incrementalRead(spark, dir, "100", "99999999999999999").count()
+    }
+    assert(e.getMessage.contains("deltacommit"))
+    // after compaction the range is base-file only again — the feed is
+    // the compacted group (it supersedes the original in-range)
+    assert(HudiLogFiles.compact(spark, dir) > 0)
+    val feed = graft.formats.hudi.HudiChanges
+      .incrementalRead(spark, dir, "100", "99999999999999999")
+    assert(feed.count() == nation.count())
+    assert(feed.filter(col("n_regionkey") === 9).count() == 3)
+    assert(feed.select("_commit_instant").distinct().count() == 1)
+    // empty range → empty feed with the right schema
+    val empty = graft.formats.hudi.HudiChanges
+      .incrementalRead(spark, dir, "99999999999999999",
+        "99999999999999999")
+    assert(empty.count() == 0 &&
+      empty.columns.contains("_commit_instant"))
+  }
 }
