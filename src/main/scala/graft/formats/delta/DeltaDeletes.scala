@@ -50,6 +50,7 @@ object DeltaDeletes {
     val src = sourceOf(spark, tablePath)
     val snap = src.currentSnapshot()
     val cdf = cdfEnabled(src)
+    requireCdcWritable(snap, cdf, "deleteWhere")
     // the matched live rows drive BOTH the DV mask and the CDC
     // pre-images — persist them (O(deleted rows), spills past memory)
     // so the table is scanned once, not once per consumer
@@ -75,10 +76,10 @@ object DeltaDeletes {
   /** Update every live row matching `predicate`: the old rows are masked
     * by DVs and the re-written rows (each `assignments` column replaced)
     * land as new data files — ONE commit, so readers never observe the
-    * rows missing. Identity-partitioned tables are supported (replacement
-    * files are routed to their partitions, including rows an assignment
-    * MOVES across partitions); transform-partitioned and column-mapped
-    * tables are refused loudly. Returns the number of updated rows.
+    * rows missing. Identity-partitioned and column-mapped tables are
+    * supported (replacement files route to their partitions and are
+    * written under physical names); transform-partitioned MAPPED tables
+    * are refused loudly. Returns the number of updated rows.
     */
   def updateWhere(spark: SparkSession, tablePath: String,
       predicate: Column, assignments: Map[String, Column]): Long = {
@@ -91,6 +92,7 @@ object DeltaDeletes {
     val unknown = assignments.keySet -- schema.fieldNames.toSet
     require(unknown.isEmpty, s"unknown update columns: $unknown")
     val cdf = cdfEnabled(src)
+    requireCdcWritable(snap, cdf, "updateWhere")
     // one table scan: the matched rows feed the DV mask, the rewritten
     // data files, AND the CDC pre/post images (O(updated rows) persist)
     val matched = DeltaRead.toKeyedDataFrame(spark, snap).filter(predicate)
@@ -163,6 +165,7 @@ object DeltaDeletes {
       // table scan: the matched rows (O(matched), persisted) feed the
       // DV mask, the CDC pre-images, and the matched/fresh source split.
       val cdf = cdfEnabled(src)
+      requireCdcWritable(snap, cdf, "mergeInto")
       val srcKeys = srcProj.select(keyCols.map(col): _*)
       val matched = DeltaRead.toKeyedDataFrame(spark, snap)
         .join(srcKeys, keyCols, "left_semi")
@@ -205,17 +208,32 @@ object DeltaDeletes {
     * (YEAR/MONTH/DAY/HOUR/DATE_FORMAT/BUCKET) are recomputed from their
     * source column via the SAME generation-expression grammar the sync
     * path writes (`DeltaPartitions.generationExpression`) — so a row an
-    * assignment moves across partitions re-routes correctly. Only
-    * column-mapped tables are refused (replacement files are written
-    * under logical column names; a mapped table stores physical names).
+    * assignment moves across partitions re-routes correctly. On
+    * column-mapped tables the replacement files are written under
+    * PHYSICAL names ([[DeltaDeletes.writeDataFiles]] renames on the way
+    * out); only transform-partitioned mapped tables are refused (the
+    * generation grammar speaks logical names).
     */
   private def requireRewritable(snap: graft.model.TableSnapshot,
       op: String): Unit = {
-    require(!DeltaColumnMapping.isMapped(snap.table.schema),
-      s"$op writes replacement files under logical column names; a " +
-        "column-mapped table stores physical names — rewrite through the " +
-        "sync path instead (reads of column-mapped tables ARE supported)")
+    if (DeltaColumnMapping.isMapped(snap.table.schema))
+      require(snap.table.partitionFields
+          .forall(_.transform == Transform.Value),
+        s"$op on a transform-partitioned column-mapped table is " +
+          "unsupported (generation expressions speak logical names) — " +
+          "rewrite through the sync path instead")
   }
+
+  /** CDC sidecars are written under logical column names; on a
+    * column-mapped table real CDF readers expect physical — refuse the
+    * combination loudly rather than author a feed that misreads.
+    */
+  private def requireCdcWritable(snap: graft.model.TableSnapshot,
+      cdf: Boolean, op: String): Unit =
+    require(!cdf || !DeltaColumnMapping.isMapped(snap.table.schema),
+      s"$op with change-data-feed enabled on a column-mapped table is " +
+        "unsupported (CDC sidecars would carry logical names) — disable " +
+        "CDF or unmap the table")
 
   /** Distributed parquet write of `df` under a fresh table-local dir —
     * partition-routed (generated partition columns recomputed from their
@@ -249,12 +267,36 @@ object DeltaDeletes {
         } else d.withColumn(s.partitionColumnName,
           expr(DeltaPartitions.generationExpression(s).get).cast("string"))
       }
-    if (partCols.isEmpty) routed.write.parquet(dataDir)
-    else routed.write.partitionBy(partCols: _*).parquet(dataDir)
+    // column-mapped tables store PHYSICAL names in the files (and in the
+    // add actions' partitionValues keys): rename + re-nest on the way
+    // out — the exact reverse of the read path's logical rename
+    val mapped = DeltaColumnMapping.isMapped(schema)
+    val physByLogical =
+      schema.fields.map(f => f.name -> DeltaColumnMapping.physicalName(f))
+        .toMap
+    val out =
+      if (!mapped) routed
+      else routed.select(routed.columns.toSeq.map { c =>
+        schema.fields.find(_.name == c) match {
+          case Some(f) =>
+            col(c).cast(DeltaColumnMapping.physicalType(f.dataType))
+              .as(DeltaColumnMapping.physicalName(f))
+          case None => col(c)   // routing column a generated spec added
+        }
+      }: _*)
+    val outPartCols =
+      if (!mapped) partCols
+      else partCols.map(c => physByLogical.getOrElse(c, c))
+    if (outPartCols.isEmpty) out.write.parquet(dataDir)
+    else out.write.partitionBy(outPartCols: _*).parquet(dataDir)
     val conf = HadoopConfs.session(spark)
     val listed = graft.sources.ParquetFooters.listFiles(dataDir, conf)
     if (listed.isEmpty) return Iterator.empty
-    val schemaJson = schema.json
+    // stats are keyed the way the files spell columns: physical on
+    // mapped tables (the listing parse renames them back to logical)
+    val schemaJson =
+      if (mapped) DeltaColumnMapping.physicalSchema(schema).json
+      else schema.json
     val adds = graft.sources.ParquetFooters
       .fileEntries(spark, dataDir, listed)
       .mapPartitions { it =>

@@ -125,28 +125,40 @@ class ColumnMappingSpec extends SparkSuite {
       Seq((1L, 10L, "a"), (2L, 20L, "b")))
   }
 
-  test("rewrite ops refuse column-mapped tables; DV-only delete works") {
+  test("rewrite ops on column-mapped tables write physical names") {
     import org.apache.spark.sql.functions._
     val table = writeFixture()
-    // updateWhere/mergeInto write replacement parquet under LOGICAL names
-    // — on a mapped table those rows would read back as nulls via the
-    // physical-name select, so both are refused loudly
-    intercept[IllegalArgumentException] {
-      DeltaDeletes.updateWhere(spark, table, col("s_id") === 1L,
-        Map("s_name" -> lit("zed")))
-    }
-    intercept[IllegalArgumentException] {
-      DeltaDeletes.mergeInto(spark, table,
-        spark.createDataFrame(Seq((9L, "nine"))).toDF("s_id", "s_name"),
-        Seq("s_id"))
-    }
-    // deleteWhere touches no data file (DV mask only) — supported, and
-    // the protocol upgrade keeps the implied columnMapping feature
+    // UPDATE: replacement files must be written under PHYSICAL names —
+    // a logical-name file would read back as nulls via the mapped scan
+    assert(DeltaDeletes.updateWhere(spark, table, col("s_id") === 1L,
+      Map("s_name" -> lit("zed"))) == 1L)
+    val afterUpd = new DeltaConversionSource(spark, table, "mapped")
+      .toDataFrame.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterUpd(1L) == "zed" && afterUpd.size == 3, afterUpd.toString)
+    // MERGE: matched key updated, fresh key inserted
+    val (m, i) = DeltaDeletes.mergeInto(spark, table,
+      spark.createDataFrame(Seq((3L, "three"), (9L, "nine")))
+        .toDF("s_id", "s_name"), Seq("s_id"))
+    assert(m == 1L && i == 1L)
+    val afterMerge = new DeltaConversionSource(spark, table, "mapped")
+      .toDataFrame.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterMerge(3L) == "three" && afterMerge(9L) == "nine" &&
+      afterMerge.size == 4, afterMerge.toString)
+    // replacement parquet really spells physical column names
+    val conf = graft.util.HadoopConfs.session(spark)
+    val newest = new DeltaConversionSource(spark, table, "mapped")
+      .currentSnapshot().files.collect()
+      .filter(_.path.contains("/merge-")).head
+    val (_, stats) = graft.sources.ParquetFooters
+      .readFooterStats(newest.path, conf, None)
+    assert(stats.map(_.field).forall(_.startsWith("col-")),
+      stats.map(_.field).toSeq.toString)
+
+    // deleteWhere stays DV-only; the protocol keeps implied features
     assert(DeltaDeletes.deleteWhere(spark, table, col("s_id") === 2L) == 1L)
     val got = new DeltaConversionSource(spark, table, "mapped")
       .toDataFrame.select("s_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(got == Seq(1L, 3L))
-    val conf = graft.util.HadoopConfs.session(spark)
+    assert(got == Seq(1L, 3L, 9L))
     val p = DeltaSnapshot.protocolInfo(spark, table,
       DeltaLog.listVersions(table, conf)).get
     assert(p.readerFeatures == Seq("columnMapping", "deletionVectors"))
