@@ -58,4 +58,24 @@ object DeltaColumnMapping {
       val p = physicalName(f)
       if (p != f.name) Some(p -> f.name) else None
     }.toMap
+
+  /** `df` re-spelled the way a mapped table's files store it: every
+    * column cast to its physical type (renaming all nesting levels in
+    * one positional struct cast) and aliased to its top-level physical
+    * name — the exact reverse of the read path's logical rename.
+    * Columns not in `schema` (e.g. routing columns a partition spec
+    * added) pass through untouched. No-op on unmapped schemas.
+    */
+  def renameToPhysical(df: org.apache.spark.sql.DataFrame,
+      schema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!isMapped(schema)) df
+    else df.select(df.columns.toSeq.map { c =>
+      schema.fields.find(_.name == c) match {
+        case Some(f) =>
+          col(c).cast(physicalType(f.dataType)).as(physicalName(f))
+        case None => col(c)
+      }
+    }: _*)
+  }
 }

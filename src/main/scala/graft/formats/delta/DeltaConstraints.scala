@@ -82,13 +82,31 @@ object DeltaConstraints {
     require(bad == 0L,
       s"cannot add CHECK $name ($sqlExpr): existing rows violate it")
 
-    val existing = DeltaSnapshot.protocol(spark, tablePath, versions)
-      .getOrElse(DeltaSnapshot.CkptProtocol(1, 2))
-    val now = System.currentTimeMillis()
-    val header = Iterator(
-      Jsons.toJson(Map("protocol" -> Map(
+    // Preserve whatever protocol the log already holds (a v7 table's
+    // feature lists MUST survive — a features-less latest-wins protocol
+    // line is invalid per PROTOCOL.md §Table Features); raise only when
+    // the table doesn't already license checkConstraints, and skip the
+    // protocol line entirely when no raise is needed.
+    val existing = DeltaSnapshot.protocolInfo(spark, tablePath, versions)
+      .getOrElse(DeltaSnapshot.ProtocolInfo(1, 2, Nil, Nil))
+    val protoLine: Iterator[String] =
+      if (existing.minWriterVersion >= 7) {
+        if (existing.writerFeatures.contains("checkConstraints"))
+          Iterator.empty
+        else Iterator(Jsons.toJson(Map("protocol" -> (Map[String, Any](
+          "minReaderVersion" -> existing.minReaderVersion,
+          "minWriterVersion" -> existing.minWriterVersion,
+          "writerFeatures" -> (existing.writerFeatures :+
+            "checkConstraints").distinct.sorted) ++
+          (if (existing.minReaderVersion >= 3)
+             Map("readerFeatures" -> existing.readerFeatures.distinct.sorted)
+           else Map.empty)))))
+      } else if (existing.minWriterVersion >= 3) Iterator.empty
+      else Iterator(Jsons.toJson(Map("protocol" -> Map(
         "minReaderVersion" -> existing.minReaderVersion,
-        "minWriterVersion" -> math.max(existing.minWriterVersion, 3)))),
+        "minWriterVersion" -> 3))))
+    val now = System.currentTimeMillis()
+    val header = protoLine ++ Iterator(
       Jsons.toJson(Map("metaData" -> Map(
         "id" -> meta.id,
         "format" -> Map("provider" -> "parquet", "options" -> Map.empty),

@@ -274,16 +274,7 @@ object DeltaDeletes {
     val physByLogical =
       schema.fields.map(f => f.name -> DeltaColumnMapping.physicalName(f))
         .toMap
-    val out =
-      if (!mapped) routed
-      else routed.select(routed.columns.toSeq.map { c =>
-        schema.fields.find(_.name == c) match {
-          case Some(f) =>
-            col(c).cast(DeltaColumnMapping.physicalType(f.dataType))
-              .as(DeltaColumnMapping.physicalName(f))
-          case None => col(c)   // routing column a generated spec added
-        }
-      }: _*)
+    val out = DeltaColumnMapping.renameToPhysical(routed, schema)
     val outPartCols =
       if (!mapped) partCols
       else partCols.map(c => physByLogical.getOrElse(c, c))

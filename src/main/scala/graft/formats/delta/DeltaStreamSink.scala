@@ -52,26 +52,30 @@ object DeltaStreamSink {
       return false
 
     val schema = batch.schema
-    head.foreach { h =>
-      val meta = DeltaSnapshot.metadata(spark, tablePath,
-        DeltaLog.listVersions(tablePath, conf))
-      meta.foreach { m =>
-        require(m.partitionColumns.isEmpty,
-          "streaming sink writes unpartitioned tables (route partitioned " +
-            "streams through foreachBatch + the sync path)")
-        require(DataType.equalsStructurally(m.schema, schema,
-            ignoreNullability = true),
-          s"micro-batch schema does not match the table's:\n  batch: " +
-            s"${schema.simpleString}\n  table: ${m.schema.simpleString}")
-        DeltaConstraints.enforce(batch, m, "STREAMING UPDATE")
-      }
+    val meta = head.flatMap(_ => DeltaSnapshot.metadata(spark, tablePath,
+      DeltaLog.listVersions(tablePath, conf)))
+    meta.foreach { m =>
+      require(m.partitionColumns.isEmpty,
+        "streaming sink writes unpartitioned tables (route partitioned " +
+          "streams through foreachBatch + the sync path)")
+      require(DeltaWrite.sameSchema(m.schema, schema),
+        s"micro-batch schema does not match the table's:\n  batch: " +
+          s"${schema.simpleString}\n  table: ${m.schema.simpleString}")
+      DeltaConstraints.enforce(batch, m, "STREAMING UPDATE")
     }
+    // column-mapped tables store PHYSICAL names in the files and key
+    // stats by them — rename on the way out (see DeltaColumnMapping)
+    val tableSchema = meta.map(_.schema).getOrElse(schema)
+    val mapped = DeltaColumnMapping.isMapped(tableSchema)
+    val out = DeltaColumnMapping.renameToPhysical(batch, tableSchema)
 
     val tp = PathUtils.canonical(tablePath)
     val dataDir = s"$tp/stream-${UUID.randomUUID()}"
-    batch.write.parquet(dataDir)
+    out.write.parquet(dataDir)
     val listed = graft.sources.ParquetFooters.listFiles(dataDir, conf)
-    val schemaJson = schema.json
+    val schemaJson =
+      if (mapped) DeltaColumnMapping.physicalSchema(tableSchema).json
+      else schema.json
     import batch.sparkSession.implicits._
     val adds = graft.sources.ParquetFooters
       .fileEntries(spark, dataDir, listed)

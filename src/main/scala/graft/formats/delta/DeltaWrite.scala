@@ -32,8 +32,7 @@ object DeltaWrite {
       tablePath, DeltaLog.listVersions(tablePath, conf)))
     val parts = existingMeta match {
       case Some(m) =>
-        require(DataType.equalsStructurally(m.schema, schema,
-            ignoreNullability = true),
+        require(sameSchema(m.schema, schema),
           s"written schema does not match the table's:\n  write: " +
             s"${schema.simpleString}\n  table: ${m.schema.simpleString}")
         require(partitionCols.isEmpty ||
@@ -48,11 +47,25 @@ object DeltaWrite {
     }
     existingMeta.foreach(DeltaConstraints.enforce(df, _, "WRITE"))
 
+    // column-mapped tables store PHYSICAL names in the data files (and
+    // key add-action partitionValues/stats by them): rename on the way
+    // out, or name-resolved reads would return nulls for every mapped
+    // column — silently.
+    val tableSchema = existingMeta.map(_.schema).getOrElse(schema)
+    val mapped = DeltaColumnMapping.isMapped(tableSchema)
+    val out = DeltaColumnMapping.renameToPhysical(df, tableSchema)
+    val outParts =
+      if (!mapped) parts
+      else parts.map(c => tableSchema.fields.find(_.name == c)
+        .map(DeltaColumnMapping.physicalName).getOrElse(c))
+
     val dataDir = s"$tp/write-${UUID.randomUUID()}"
-    if (parts.isEmpty) df.write.parquet(dataDir)
-    else df.write.partitionBy(parts: _*).parquet(dataDir)
+    if (outParts.isEmpty) out.write.parquet(dataDir)
+    else out.write.partitionBy(outParts: _*).parquet(dataDir)
     val listed = graft.sources.ParquetFooters.listFiles(dataDir, conf)
-    val schemaJson = schema.json
+    val schemaJson =
+      if (mapped) DeltaColumnMapping.physicalSchema(tableSchema).json
+      else schema.json
     val adds = graft.sources.ParquetFooters
       .fileEntries(spark, dataDir, listed)
       .mapPartitions { it =>
@@ -110,5 +123,30 @@ object DeltaWrite {
         "— re-run the write against the new head")
     prevSnap.foreach(graft.plans.SnapshotFileIndex.invalidate)
     WriteResult(listed.size.toLong, 0L, version)
+  }
+
+  /** Structural match PLUS case-insensitive field names at every
+    * nesting level — `equalsStructurally` alone lets a renamed column
+    * through, and name-resolved reads would then return nulls silently.
+    */
+  private[delta] def sameSchema(table: StructType,
+      written: StructType): Boolean =
+    DataType.equalsStructurally(table, written, ignoreNullability = true) &&
+      sameNames(table, written)
+
+  private def sameNames(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: org.apache.spark.sql.types.StructType,
+          y: org.apache.spark.sql.types.StructType) =>
+      x.fields.length == y.fields.length &&
+        x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name.equalsIgnoreCase(g.name) && sameNames(f.dataType, g.dataType)
+        }
+    case (x: org.apache.spark.sql.types.ArrayType,
+          y: org.apache.spark.sql.types.ArrayType) =>
+      sameNames(x.elementType, y.elementType)
+    case (x: org.apache.spark.sql.types.MapType,
+          y: org.apache.spark.sql.types.MapType) =>
+      sameNames(x.keyType, y.keyType) && sameNames(x.valueType, y.valueType)
+    case _ => true
   }
 }

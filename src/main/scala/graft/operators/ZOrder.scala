@@ -59,9 +59,13 @@ object ZOrder {
         // cuts cluster, they don't decide correctness: a seeded 25%
         // sample gives the same equi-depth layout for a fraction of the
         // quantile pass (which reads ONLY the key columns — pruned scan)
-        val probed = df.select(numericCols.zipWithIndex.map {
+        val keyed = df.select(numericCols.zipWithIndex.map {
           case (c, i) => views(c).get.as(s"__q$i")
-        }: _*).sample(withReplacement = false, 0.25, seed = 41)
+        }: _*)
+        val sampled = keyed.sample(withReplacement = false, 0.25, seed = 41)
+        // small tables can sample to zero rows — approxQuantile on an
+        // empty frame yields degenerate cuts; fall back to the full frame
+        val probed = if (sampled.take(1).isEmpty) keyed else sampled
         val all = probed.stat.approxQuantile(
           numericCols.indices.map(i => s"__q$i").toArray, probs, 0.005)
         numericCols.zip(all.map(

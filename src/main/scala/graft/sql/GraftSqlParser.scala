@@ -47,7 +47,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Delete: Regex =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Update: Regex =
-    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""".r
   private val Sync: Regex =
     """(?is)\s*GRAFT\s+SYNC\s+PARQUET\s+'([^']+)'\s+AS\s+(\w+)\s+TO\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val CreateRef: Regex =
@@ -79,6 +79,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  /** Split `SET-body WHERE predicate` on the first WHERE keyword that
+    * sits OUTSIDE single quotes and parens — a bare regex split would
+    * mis-parse a SET value like `n_name = ' where x'`.
+    */
+  private[graft] def whereSplit(s: String): Option[(String, String)] = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inStr = !inStr
+      else if (!inStr && ch == '(') depth += 1
+      else if (!inStr && ch == ')') depth -= 1
+      else if (!inStr && depth == 0 && (ch == 'w' || ch == 'W') &&
+          i + 5 <= s.length &&
+          s.regionMatches(true, i, "WHERE", 0, 5) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + 5 == s.length || s.charAt(i + 5).isWhitespace))
+        return Some((s.substring(0, i).trim, s.substring(i + 5).trim))
+      i += 1
+    }
+    None
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(path, zcols) =>
       OptimizeCommand(path, Option(zcols).toSeq
@@ -88,8 +110,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Restore(path, v) => RestoreCommand(path, v.toLong)
     case Rollback(path, seq) => RollbackCommand(path, seq.toLong)
     case Delete(path, pred) => DeleteCommand(path, pred)
-    case Update(path, setClause, pred) =>
-      UpdateCommand(path, splitAssignments(setClause), pred)
+    case Update(path, body) =>
+      whereSplit(body) match {
+        case Some((setClause, pred)) =>
+          UpdateCommand(path, splitAssignments(setClause), pred)
+        case None => throw new IllegalArgumentException(
+          "GRAFT UPDATE requires a WHERE clause (outside quotes)")
+      }
     case Sync(srcPath, name, fmt, tgtPath) =>
       SyncCommand(srcPath, name, fmt, tgtPath)
     case CreateRef(kind, name, path, seq) =>

@@ -164,4 +164,53 @@ class ColumnMappingSpec extends SparkSuite {
     assert(p.readerFeatures == Seq("columnMapping", "deletionVectors"))
     assert(p.writerFeatures.contains("columnMapping"))
   }
+
+  test("batch append and streaming sink write physical names on mapped tables") {
+    val table = writeFixture()
+    import spark.implicits._
+    val res = DeltaWrite.write(spark, table,
+      Seq((7L, "seven")).toDF("s_id", "s_name"), overwrite = false)
+    assert(res.added == 1)
+    val after = new DeltaConversionSource(spark, table, "mapped")
+      .toDataFrame.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(7L) == "seven" && after.size == 4, after.toString)
+    // the streaming micro-batch path takes the same physical rename
+    assert(DeltaStreamSink.appendBatch(spark, table,
+      Seq((8L, "eight")).toDF("s_id", "s_name"), "cmap-app", 0L))
+    val after2 = new DeltaConversionSource(spark, table, "mapped")
+      .toDataFrame.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2(8L) == "eight" && after2.size == 5, after2.toString)
+  }
+
+  test("schema gate refuses renamed columns even when types match") {
+    val table = writeFixture()
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.write(spark, table,
+        Seq((7L, "x")).toDF("wrong_name", "s_name"), overwrite = false)
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+  }
+
+  test("ADD CONSTRAINT preserves the table-features protocol") {
+    import org.apache.spark.sql.functions._
+    val table = writeFixture()
+    // deleteWhere upgrades to reader 3 / writer 7 with feature lists
+    assert(DeltaDeletes.deleteWhere(spark, table, col("s_id") === 2L) == 1L)
+    DeltaConstraints.addCheck(spark, table, "pos", "s_id > 0")
+    val conf = graft.util.HadoopConfs.session(spark)
+    val p = DeltaSnapshot.protocolInfo(spark, table,
+      DeltaLog.listVersions(table, conf)).get
+    assert(p.minWriterVersion == 7, p.toString)
+    assert(p.writerFeatures.contains("deletionVectors"), p.toString)
+    assert(p.writerFeatures.contains("checkConstraints"), p.toString)
+    assert(p.readerFeatures.contains("columnMapping"), p.toString)
+    // and the constraint itself binds subsequent writes
+    val e = intercept[IllegalArgumentException] {
+      import spark.implicits._
+      DeltaWrite.write(spark, table,
+        Seq((-1L, "neg")).toDF("s_id", "s_name"), overwrite = false)
+    }
+    assert(e.getMessage.toLowerCase.contains("pos"), e.getMessage)
+  }
 }

@@ -173,4 +173,20 @@ class DeltaOptimizeSpec extends SparkSuite {
 
   private def UTF8StringLit(s: String) =
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  test("zorder on a tiny table survives an empty quantile sample") {
+    // 5 rows: the 25% seeded sample can come back empty — the cut pass
+    // must fall back to the full frame, not degenerate to constant keys
+    val dataDir = tmpDir("opt_tiny_data")
+    spark.read.parquet(sf("sf0.001") + "/region.parquet")
+      .repartition(2).write.mode("overwrite").parquet(dataDir)
+    val table = syncToDelta(dataDir, "region")
+    def src() = new DeltaConversionSource(spark, table, "region")
+    val before = src().toDataFrame.collect()
+      .map(_.getInt(0)).sorted.toSeq
+    val res = DeltaOptimize.zorderBy(spark, table, Seq("r_regionkey"))
+    assert(res.rewrote >= 1 && res.wrote >= 1)
+    assert(src().toDataFrame.collect().map(_.getInt(0)).sorted.toSeq
+      == before)
+  }
 }

@@ -112,4 +112,21 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(p.splitAssignments("a = f(x, y), b = 'q,r', c = 1") ==
       Seq("a" -> "f(x, y)", "b" -> "'q,r'", "c" -> "1"))
   }
+
+  test("UPDATE's WHERE boundary is quote- and paren-aware") {
+    val p = new graft.sql.GraftSqlParser(null)
+    // a ' where ' INSIDE the SET value must not end the SET clause
+    assert(p.whereSplit("n_name = ' where x' WHERE n_nationkey = 1") ==
+      Some(("n_name = ' where x'", "n_nationkey = 1")))
+    assert(p.whereSplit("a = f(1) where b = 2") ==
+      Some(("a = f(1)", "b = 2")))
+    assert(p.whereSplit("a = 1").isEmpty)
+    // end-to-end through the parser
+    val t = deltaTable("sql_where_quote")
+    gs.sql(s"GRAFT UPDATE '$t' SET n_name = ' where x' " +
+      "WHERE n_nationkey = 0").collect()
+    val got = new DeltaConversionSource(spark, t, "nation").toDataFrame
+      .where("n_nationkey = 0").select("n_name").head().getString(0)
+    assert(got == " where x")
+  }
 }
