@@ -144,10 +144,13 @@ object EventsQueries {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val raw = s.read.parquet(s"$dir/events.parquet")
     val stream = graft.streaming.StreamingOps.eventStream(s, stage, raw.schema)
-    val q = graft.streaming.StreamingOps.windowedCounts(stream)
-      .writeStream.outputMode("complete").format("memory")
-      .queryName("graft_gate_stream_hourly")
-      .trigger(Trigger.AvailableNow()).start()
+    // state = hours × event types (~10^3 keys) — single-digit partitions
+    val q = graft.streaming.StreamingOps.withStatePartitions(s, 8) {
+      graft.streaming.StreamingOps.windowedCounts(stream)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_gate_stream_hourly")
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table("graft_gate_stream_hourly").orderBy("hour_us", "event_type")
   }
@@ -193,10 +196,15 @@ object EventsQueries {
       case _ => expr(s"timestamp_micros(${us}L)")
     }
     val stream = graft.streaming.StreamingOps.eventStream(s, stage, raw.schema)
-    val q = graft.streaming.StreamingOps
-      .windowedCounts(stream, delay = "240 hours")
-      .writeStream.outputMode("append").format("memory")
-      .queryName("graft_gate_stream_late").start()
+    // 4 staged micro-batches each open+commit one state store per
+    // partition — size state partitions to the window-key count, not
+    // the session default (see withStatePartitions)
+    val q = graft.streaming.StreamingOps.withStatePartitions(s, 8) {
+      graft.streaming.StreamingOps
+        .windowedCounts(stream, delay = "240 hours")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_gate_stream_late").start()
+    }
     stageBatch(raw.filter(col("event_id") % 5 =!= 0), "b1")
     q.processAllAvailable()
     stageBatch(raw.filter(col("event_id") % 5 === 0), "b2")
@@ -245,11 +253,16 @@ object EventsQueries {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val raw = s.read.parquet(s"$dir/events.parquet")
     val stream = graft.streaming.StreamingOps.eventStream(s, stage, raw.schema)
-    val q = graft.streaming.StreamingOps
-      .intervalJoin(stream, "view", "purchase", 3600L * 1000000)
-      .writeStream.outputMode("append").format("memory")
-      .queryName("graft_gate_stream_ij")
-      .trigger(Trigger.AvailableNow()).start()
+    // join state = both sides' rows inside the watermark window — at
+    // gate scale a handful of partitions; a production attribution join
+    // sizes this up with expected state, not with the session default
+    val q = graft.streaming.StreamingOps.withStatePartitions(s, 8) {
+      graft.streaming.StreamingOps
+        .intervalJoin(stream, "view", "purchase", 3600L * 1000000)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_gate_stream_ij")
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table("graft_gate_stream_ij")
       .agg(count(lit(1)).as("n_pairs"),
@@ -286,10 +299,12 @@ object EventsQueries {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[graft.streaming.StreamingOps.Event]
-    val q = graft.streaming.StreamingOps.sessionCounts(s, stream)
-      .writeStream.outputMode("append").format("memory")
-      .queryName("graft_gate_stream_sess")
-      .trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.StreamingOps.withStatePartitions(s, 8) {
+      graft.streaming.StreamingOps.sessionCounts(s, stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_gate_stream_sess")
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table("graft_gate_stream_sess")
       .select("user_id", "n_sessions", "n_events")

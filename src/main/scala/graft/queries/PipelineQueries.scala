@@ -689,11 +689,13 @@ object PipelineQueries {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val raw = s.read.parquet(s"$dir/documents.parquet")
     val stream = graft.streaming.StreamingOps.fileStream(s, stage, raw.schema)
-    val q = graft.streaming.StreamingOps
-      .streamingExactDedup(stream, "doc_id", "text")
-      .writeStream.outputMode("complete").format("memory")
-      .queryName("graft_gate_stream_dedup")
-      .trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.StreamingOps.withStatePartitions(s, 8) {
+      graft.streaming.StreamingOps
+        .streamingExactDedup(stream, "doc_id", "text")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_gate_stream_dedup")
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table("graft_gate_stream_dedup").orderBy("content_hash")
   }

@@ -19,6 +19,27 @@ object StreamingOps {
   case class SessionState(count: Long, lastTsMicros: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Run `body` — which STARTS streaming queries — with the session's
+    * `spark.sql.shuffle.partitions` set to `n`, restoring the previous
+    * value before returning. For a stateful streaming query the shuffle
+    * partition count at first batch becomes the query's STATE partition
+    * count, pinned in the checkpoint for the query's whole life — so it
+    * is a per-query capacity decision, not a session default: every
+    * micro-batch opens, commits and snapshots one state store per
+    * partition, a fixed cost paid whether or not the partition holds
+    * state. Size it to the expected state (keys × bytes), not to the
+    * cluster: a 100-TB attribution join wants hundreds of partitions; a
+    * gate-scale window agg wants single digits. Safe to restore eagerly:
+    * `start()` clones the session, so the running stream keeps `n` while
+    * the caller's session reverts.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** File stream over an events parquet directory (micro-batch source).
     * `ts` normalizes to a session-zone micros timestamp whatever the
     * file's shipped representation (long nanos / TIMESTAMP_NTZ / LTZ —
