@@ -417,48 +417,52 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
   }
 
   override def completeSync(): Unit = {
-    import scala.jdk.CollectionConverters._
     val instant = HudiTimeline.newInstant(tablePath)
     val tp = tablePath
+    import spark.implicits._
 
-    // the adds Dataset feeds both the commit's write stats and the
-    // metadata-index delta; persist so the (footer-scanning) source
-    // lineage evaluates once
+    // the adds Dataset feeds the commit's write stats, the small-commit
+    // sidecar probe AND the metadata-index delta; persist so the
+    // (footer-scanning) source lineage evaluates once
     pendingAdds = pendingAdds.map(_.persist())
+    pendingRemoves = pendingRemoves.map(_.persist())
 
     def partitionPathOf(f: FileEntry): String =
       f.partitionValues.map(p => s"${p.field}=${p.value}").mkString("/")
 
-    // one driver pass builds the commit's write stats AND buffers the
-    // first SmallDeltaThreshold entries: small commits then write their
-    // metadata-index delta as a driver-side sidecar in the same breath,
-    // skipping a whole Spark job (the round-4 sync_parquet_to_hudi cost)
-    val writeStats = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[HudiTimeline.WriteStat]]
-    val smallBuf = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
-    var addCount = 0L
-    pendingAdds.foreach { ds =>
-      ds.toLocalIterator().asScala.foreach { f =>
-        addCount += 1
-        if (addCount <= HudiMetadataIndex.SmallDeltaThreshold) smallBuf += f
-        val rel = PathUtils.relativize(tp, f.path)
-        val st = HudiTimeline.WriteStat(HudiTimeline.fileId(f.path), rel,
-          f.recordCount, f.fileSizeBytes)
-        writeStats.getOrElseUpdate(partitionPathOf(f),
-          scala.collection.mutable.ArrayBuffer.empty) += st
-      }
-    }
-    val replaced = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
-    pendingRemoves.foreach { ds =>
-      ds.toLocalIterator().asScala.foreach { f =>
-        replaced.getOrElseUpdate(partitionPathOf(f),
-          scala.collection.mutable.ArrayBuffer.empty) +=
-          HudiTimeline.fileId(f.path)
-      }
-    }
+    // Hudi's commit JSON inherently lists every write stat, but the
+    // driver never needs to HOLD them: the per-file stat objects are
+    // authored executor-side, sorted by partition path, and streamed to
+    // the commit writer in bounded batches (same discipline as Delta
+    // commit lines) — driver state is one partition name + one batch,
+    // O(1) in commit size. Small commits also read the first
+    // SmallDeltaThreshold entries for the sidecar fast path.
+    val addCount = pendingAdds.map(_.count()).getOrElse(0L)
+    val smallBuf: Seq[FileEntry] =
+      if (addCount <= HudiMetadataIndex.SmallDeltaThreshold)
+        pendingAdds.map(_.collect().toSeq).getOrElse(Nil)
+      else Nil
+    val sep = HudiTimeline.GroupSep
+    def groupedLines(ds: org.apache.spark.sql.Dataset[FileEntry],
+        payload: FileEntry => String): Iterator[String] =
+      // lexicographic sort on the whole line groups partitions
+      // contiguously: the  separator sorts below every path char,
+      // so no other partition's lines can interleave a prefix group
+      graft.util.StreamedLines.iterate(
+        ds.map(f => partitionPathOf(f) + sep + payload(f)).orderBy("value"))
+    val statLines = pendingAdds.map(groupedLines(_, f =>
+      Jsons.toJson(Map(
+        "fileId" -> HudiTimeline.fileId(f.path),
+        "path" -> PathUtils.relativize(tp, f.path),
+        "numWrites" -> f.recordCount,
+        "fileSizeInBytes" -> f.fileSizeBytes,
+        "totalWriteBytes" -> f.fileSizeBytes))))
+      .getOrElse(Iterator.empty)
+    val removeCount = pendingRemoves.map(_.count()).getOrElse(0L)
+    val replaceLines = pendingRemoves.map(groupedLines(_, f =>
+      Jsons.toJson(HudiTimeline.fileId(f.path)))).getOrElse(Iterator.empty)
 
-    val action = if (replaced.nonEmpty) "replacecommit" else "commit"
+    val action = if (removeCount > 0) "replacecommit" else "commit"
     val extra = Map(
       // a real Hudi reader resolves the table schema from extraMetadata
       // "schema" and expects AVRO there (HoodieCommitMetadata SCHEMA_KEY;
@@ -479,13 +483,11 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
       syncMeta.map(m => Map(SyncMetadata.PropertyKey -> m.toJson))
         .getOrElse(Map.empty)
 
-    val ok = HudiTimeline.writeCommit(HudiTimeline.CommitMeta(
-      instant, action,
-      writeStats.map { case (k, v) => k -> v.toSeq }.toMap,
-      replaced.map { case (k, v) => k -> v.toSeq }.toMap,
-      extra), tablePath)
+    val ok = HudiTimeline.writeCommitStreamed(tablePath, instant, action,
+      statLines, replaceLines, extra)
     if (!ok) {
       pendingAdds.foreach(_.unpersist())
+      pendingRemoves.foreach(_.unpersist())
       throw new IllegalStateException(
         s"concurrent writer committed instant $instant first at $tablePath")
     }
@@ -495,11 +497,14 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
     // use the buffered sidecar (no Spark job); big ones write distributed.
     try {
       if (addCount <= HudiMetadataIndex.SmallDeltaThreshold)
-        HudiMetadataIndex.writeSmall(tablePath, instant, smallBuf.toSeq)
+        HudiMetadataIndex.writeSmall(tablePath, instant, smallBuf)
       else pendingAdds.foreach { ds =>
         HudiMetadataIndex.write(spark, tablePath, instant, ds)
       }
-    } finally pendingAdds.foreach(_.unpersist())
+    } finally {
+      pendingAdds.foreach(_.unpersist())
+      pendingRemoves.foreach(_.unpersist())
+    }
   }
 
   override def tableMetadata(): Option[SyncMetadata] = {

@@ -40,14 +40,18 @@ object HudiTimeline {
     * (FSUtils base-file pattern): a file already following it keeps its
     * embedded fileId — real Hudi readers derive file groups from the NAME,
     * so inventing a different id would split the group. Non-Hudi names
-    * (plain Spark part files in zero-copy syncs) get a stable hash id.
+    * (plain Spark part files in zero-copy syncs) get a stable
+    * path-derived UUID (Hudi's own fileId shape): 128 bits, because a
+    * 32-bit hash collides ~100 times among 10^6 paths and every
+    * collision silently MERGES two distinct files into one file group —
+    * measured, not hypothetical (the 1M-file scale suite caught it).
     */
   def fileId(path: String): String = {
     val base = path.substring(path.lastIndexOf('/') + 1)
     base match {
       case BaseFileRegex(fid, _, _) => fid
-      case _ => java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xffffffffL)
+      case _ => java.util.UUID.nameUUIDFromBytes(
+        path.getBytes(StandardCharsets.UTF_8)).toString
     }
   }
 
@@ -236,6 +240,68 @@ object HudiTimeline {
     if (!Files.exists(inflight)) Files.createFile(inflight)
     val tmp = Files.createTempFile(target.getParent, s".${meta.instant}", ".tmp")
     Files.write(tmp, commitJson(meta).getBytes(StandardCharsets.UTF_8))
+    graft.util.AtomicFiles.publish(tmp, target)
+  }
+
+  /** Stream-author a commit file with O(1) driver state — the 10^6-file
+    * answer to [[writeCommit]]'s in-memory `CommitMeta`: the per-file
+    * write-stat (and replaced-fileId) JSON objects arrive as iterators of
+    * `partitionPath  json` lines SORTED by partition path, so each
+    * partition's array closes the moment the next partition starts; the
+    * driver holds one partition NAME and the current bounded line batch,
+    * never the commit's whole file list. Same commit shape, state-machine
+    * markers and atomic publish as [[writeCommit]].
+    */
+  /** Separator between the partition path and the JSON payload in
+    * [[writeCommitStreamed]] lines — a control char no hive-style
+    * partition path or JSON fragment legally contains.
+    */
+  val GroupSep = '\u0001'
+
+  def writeCommitStreamed(tablePath: String, instant: String, action: String,
+      stats: Iterator[String], replaced: Iterator[String],
+      extraMetadata: Map[String, String]): Boolean = {
+    val target = commitPath(tablePath, instant, action)
+    Files.createDirectories(target.getParent)
+    if (Files.exists(target)) return false
+    val requested = target.getParent.resolve(
+      s"$instant.$action.requested")
+    val inflight = target.getParent.resolve(
+      if (action == "commit") s"$instant.inflight"
+      else s"$instant.$action.inflight")
+    if (!Files.exists(requested)) Files.createFile(requested)
+    if (!Files.exists(inflight)) Files.createFile(inflight)
+    val tmp = Files.createTempFile(target.getParent, s".$instant", ".tmp")
+    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    try {
+      def writeGrouped(lines: Iterator[String]): Unit = {
+        var curPart: String = null
+        w.write("{")
+        lines.foreach { line =>
+          val sep = line.indexOf(GroupSep)
+          require(sep >= 0, s"malformed grouped commit line: $line")
+          val part = line.substring(0, sep)
+          if (part != curPart) {
+            if (curPart != null) w.write("],")
+            w.write(Jsons.toJson(part)); w.write(":[")
+            curPart = part
+          } else w.write(",")
+          w.write(line.substring(sep + 1))
+        }
+        if (curPart != null) w.write("]")
+        w.write("}")
+      }
+      w.write("{\"partitionToWriteStats\":")
+      writeGrouped(stats)
+      w.write(",\"partitionToReplaceFileIds\":")
+      writeGrouped(replaced)
+      w.write(",\"compacted\":false,\"operationType\":")
+      w.write(Jsons.toJson(
+        if (action == "replacecommit") "CLUSTER" else "UPSERT"))
+      w.write(",\"extraMetadata\":")
+      w.write(Jsons.toJson(extraMetadata))
+      w.write("}")
+    } finally w.close()
     graft.util.AtomicFiles.publish(tmp, target)
   }
 

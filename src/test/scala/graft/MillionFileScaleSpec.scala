@@ -203,4 +203,37 @@ class MillionFileScaleSpec extends SparkSuite {
     assert(fullSec < 300, s"full sync too slow: $fullSec")
     assert(incSec < 120, s"incremental too slow: $incSec")
   }
+
+  test("1M files: hudi full sync with streamed commit write-stats") {
+    import spark.implicits._
+    val target = tmpDir("mm_hudi")
+    val schema = spark.read.parquet(sf("sf0.001/region.parquet")).schema
+    val desc = TableDescriptor("mm", TableFormats.Hudi, target, schema,
+      Seq(PartitionFieldSpec("p", Transform.Value)),
+      Layout.HivePartitioned, 0L)
+
+    // the commit JSON lists every write stat — authored executor-side,
+    // partition-sorted, streamed in bounded batches; the driver holds one
+    // partition name + one batch, never 10^6 WriteStat objects
+    val fullSec = drive(
+      new graft.formats.hudi.HudiConversionTarget(spark, target), desc, "1")(
+      _.syncFilesForSnapshot(entries(0L, n).toDF().as[FileEntry]))
+    val back = new graft.formats.hudi.HudiConversionSource(
+      spark, target, "mm")
+    assert(back.currentSnapshot().files.count() == n)
+
+    // replacecommit path: removes also stream (replaced fileIds grouped
+    // by partition) — 1000 files swap for 1000 new ones
+    val incSec = drive(
+      new graft.formats.hudi.HudiConversionTarget(spark, target), desc, "2")(
+      _.syncFilesForDiff(FilesDelta(
+        entries(n, n + 1000L).toDF().as[FileEntry],
+        entries(0L, 1000L).toDF().as[FileEntry])))
+    assert(new graft.formats.hudi.HudiConversionSource(
+      spark, target, "mm").currentSnapshot().files.count() == n)
+
+    info(f"hudi 1M: full $fullSec%.1fs, replace-incremental $incSec%.1fs")
+    assert(fullSec < 300, s"full sync too slow: $fullSec")
+    assert(incSec < 120, s"incremental too slow: $incSec")
+  }
 }
