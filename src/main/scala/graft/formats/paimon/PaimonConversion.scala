@@ -25,29 +25,8 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
   private def latest: Long = PaimonFormat.latestSnapshotId(tablePath)
     .getOrElse(throw new IllegalStateException(s"no Paimon table at $tablePath"))
 
-  private def entryToFile(e: GenericRecord): FileEntry = {
-    def strMap(f: String) = e.get(f)
-      .asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
-      .map { case (k, v) => k.toString -> v }.toMap
-    val mins = strMap("minValues"); val maxs = strMap("maxValues")
-    val nulls = strMap("nullCounts")
-    val fields = (mins.keySet ++ maxs.keySet ++ nulls.keySet).toSeq.sorted
-    val stats = fields.map { f =>
-      FileColumnStat(f, mins.get(f).map(_.toString), maxs.get(f).map(_.toString),
-        nulls.get(f).map(_.toString.toLong).getOrElse(0L),
-        e.get("rowCount").asInstanceOf[Long], 0L)
-    }
-    FileEntry(
-      PathUtils.resolve(tablePath, e.get("fileName").toString),
-      e.get("fileSize").asInstanceOf[Long],
-      e.get("rowCount").asInstanceOf[Long],
-      "parquet",
-      e.get("partition").asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
-        .map { case (k, v) => PartitionMember(k.toString, v.toString) }
-        .toSeq.sortBy(_.field),
-      stats,
-      e.get("lastModifiedMs").asInstanceOf[Long])
-  }
+  private def entryToFile(e: GenericRecord): FileEntry =
+    PaimonFormat.fromEntry(e, tablePath)._2
 
   /** (kind, entry) pairs for one snapshot's full state. */
   private def entriesAt(id: Long): Seq[(Int, FileEntry)] = {
@@ -56,7 +35,7 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
       PaimonFormat.readManifestList(snap.deltaManifestList)
     manifests.flatMap { m =>
       PaimonFormat.readManifest(s"${PaimonFormat.manifestDir(tablePath)}/$m")
-        .map(e => (e.get("kind").asInstanceOf[Int], entryToFile(e)))
+        .map(PaimonFormat.fromEntry(_, tablePath))
     }
   }
 
@@ -69,6 +48,31 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** The snapshot's live listing as a Dataset: short manifest lists
+    * parse on the driver (no job per gate-scale read); longer ones read
+    * one task PER MANIFEST and reconcile ADD/DELETE with a distributed
+    * anti-join — a 10^6-file listing never materializes driver-side.
+    */
+  private def listingAt(id: Long): org.apache.spark.sql.Dataset[FileEntry] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val snap = PaimonFormat.readSnapshot(tablePath, id)
+    val names = PaimonFormat.readManifestList(snap.baseManifestList) ++
+      PaimonFormat.readManifestList(snap.deltaManifestList)
+    if (names.size <= 4) return spark.createDataset(liveAt(id))
+    val mdir = PaimonFormat.manifestDir(tablePath)
+    val tp = tablePath
+    val bconf = graft.util.HadoopConfs.broadcastSession(spark)
+    val entries = graft.util.Par.ds(spark, names.map(n => s"$mdir/$n"), 128)
+      .flatMap(mp => PaimonFormat.readManifest(mp, bconf.value.value)
+        .map(PaimonFormat.fromEntry(_, tp)))
+    val adds = entries.filter(_._1 == PaimonFormat.Kind.Add).map(_._2)
+    val dels = entries.filter(_._1 == PaimonFormat.Kind.Delete)
+      .map(_._2.path).toDF("__del")
+    adds.join(dels, adds("path") === col("__del"), "left_anti")
+      .drop("__del").as[FileEntry]
+  }
+
   override def currentTable(): TableDescriptor = {
     val snap = PaimonFormat.readSnapshot(tablePath, latest)
     val schema = PaimonFormat.readSchema(tablePath, snap.schemaId)
@@ -79,11 +83,8 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
       latest)
   }
 
-  override def currentSnapshot(): TableSnapshot = {
-    import spark.implicits._
-    TableSnapshot(currentTable(), spark.createDataset(liveAt(latest)),
-      latest.toString)
-  }
+  override def currentSnapshot(): TableSnapshot =
+    TableSnapshot(currentTable(), listingAt(latest), latest.toString)
 
   override def changeForCommit(commit: String): TableChange = {
     import spark.implicits._
@@ -155,26 +156,9 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     pendingAdds = Some(diff.added); pendingRemoves = Some(diff.removed)
   }
 
-  private def toEntry(f: FileEntry, kind: Int): GenericRecord = {
-    val e = new GenericData.Record(PaimonFormat.EntrySchema)
-    e.put("kind", kind)
-    e.put("partition", f.partitionValues.map(p => p.field -> p.value)
-      .toMap.asJava)
-    e.put("bucket", 0)
-    e.put("fileName", f.path)
-    e.put("fileSize", f.fileSizeBytes)
-    e.put("rowCount", f.recordCount)
-    e.put("minValues", f.columnStats.flatMap(s => s.min.map(s.field -> _))
-      .toMap.asJava)
-    e.put("maxValues", f.columnStats.flatMap(s => s.max.map(s.field -> _))
-      .toMap.asJava)
-    e.put("nullCounts", f.columnStats
-      .map(s => s.field -> java.lang.Long.valueOf(s.numNulls)).toMap.asJava)
-    e.put("lastModifiedMs", f.lastModifiedMillis)
-    e
-  }
-
   override def completeSync(): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val prevId = PaimonFormat.latestSnapshotId(tablePath)
     val id = prevId.map(_ + 1).getOrElse(1L)
     val mdir = PaimonFormat.manifestDir(tablePath)
@@ -183,50 +167,101 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
       PaimonFormat.writeSchema(tablePath, PaimonFormat.PaimonSchema(0, schema,
         partitionSpec.map(_.partitionColumnName), Map.empty))
 
+    pendingAdds = pendingAdds.map(_.persist())
+    pendingRemoves = pendingRemoves.map(_.persist())
+    val addCount = pendingAdds.map(_.count()).getOrElse(0L)
+    val removeCount = pendingRemoves.map(_.count()).getOrElse(0L)
+    val bconf = graft.util.HadoopConfs.broadcastSession(spark)
+
     // base = previous base ∪ previous delta (manifest reuse, no rewrite);
-    // compacted into one manifest once the list grows past the threshold
-    val base: Seq[String] = {
+    // once the list grows past the threshold it compacts DISTRIBUTED:
+    // one task per manifest reads entries, a shuffle anti-join drops
+    // deleted files, and each surviving partition writes its own merged
+    // manifest executor-side — the driver sees only (name, size) pairs,
+    // never a 10^6-entry live set (the r5 Iceberg carry-forward shape).
+    val base: Seq[(String, Long)] = {
       val raw = prevId.map { p =>
         val s = PaimonFormat.readSnapshot(tablePath, p)
         PaimonFormat.readManifestList(s.baseManifestList) ++
           PaimonFormat.readManifestList(s.deltaManifestList)
       }.getOrElse(Nil)
-      if (raw.size <= 16) raw
+      if (raw.size <= 16)
+        raw.map(n => (n, new java.io.File(s"$mdir/$n").length()))
       else {
-        val merged = s"manifest-${UUID.randomUUID()}-compacted"
-        val deleted = raw.flatMap(m => PaimonFormat.readManifest(s"$mdir/$m"))
-          .filter(_.get("kind").asInstanceOf[Int] == PaimonFormat.Kind.Delete)
-          .map(_.get("fileName").toString).toSet
-        val live = raw.iterator.flatMap(m =>
-          PaimonFormat.readManifest(s"$mdir/$m"))
-          .filter(e => e.get("kind").asInstanceOf[Int] == PaimonFormat.Kind.Add &&
-            !deleted.contains(e.get("fileName").toString))
-        PaimonFormat.writeManifest(s"$mdir/$merged", live)
-        Seq(merged)
+        val tp = tablePath
+        val md = mdir
+        val entries = graft.util.Par.ds(spark, raw.map(n => s"$md/$n"), 128)
+          .flatMap(mp => PaimonFormat.readManifest(mp, bconf.value.value)
+            .map(PaimonFormat.fromEntry(_, tp)))
+        val adds = entries.filter(_._1 == PaimonFormat.Kind.Add).map(_._2)
+        val dels = entries.filter(_._1 == PaimonFormat.Kind.Delete)
+          .map(_._2.path).toDF("__del")
+        adds.join(dels, adds("path") === col("__del"), "left_anti")
+          .drop("__del").as[FileEntry]
+          .mapPartitions { it =>
+            if (!it.hasNext) Iterator.empty
+            else {
+              val np = s"manifest-${UUID.randomUUID()}-compacted"
+              val len = PaimonFormat.writeManifest(s"$md/$np",
+                it.map(PaimonFormat.toEntry(_, PaimonFormat.Kind.Add)),
+                bconf.value.value)
+              Iterator((np, len))
+            }
+          }.collect().toSeq
       }
     }
 
-    val deltaName = s"manifest-${UUID.randomUUID()}"
-    val entries =
-      pendingAdds.toSeq.flatMap(_.toLocalIterator().asScala)
-        .map(toEntry(_, PaimonFormat.Kind.Add)) ++
-      pendingRemoves.toSeq.flatMap(_.toLocalIterator().asScala)
-        .map(toEntry(_, PaimonFormat.Kind.Delete))
-    PaimonFormat.writeManifest(s"$mdir/$deltaName", entries.iterator)
+    // delta manifest(s): small commits stay a single driver-written
+    // manifest (no job); big ones author one manifest PER TASK with
+    // bounded entries each — the commit's write path is O(1) on the
+    // driver at any commit size
+    val deltaManifests: Seq[(String, Long)] = {
+      val total = addCount + removeCount
+      if (total <= PaimonConversionTarget.DriverDeltaThreshold) {
+        val deltaName = s"manifest-${UUID.randomUUID()}"
+        val entries =
+          pendingAdds.toSeq.flatMap(_.toLocalIterator().asScala)
+            .map(PaimonFormat.toEntry(_, PaimonFormat.Kind.Add)) ++
+          pendingRemoves.toSeq.flatMap(_.toLocalIterator().asScala)
+            .map(PaimonFormat.toEntry(_, PaimonFormat.Kind.Delete))
+        val len = PaimonFormat.writeManifest(s"$mdir/$deltaName",
+          entries.iterator)
+        Seq((deltaName, len))
+      } else {
+        val md = mdir
+        val empty = spark.emptyDataset[(Int, FileEntry)]
+        val tagged =
+          pendingAdds.map(_.map(f => (PaimonFormat.Kind.Add, f)))
+            .getOrElse(empty)
+          .union(pendingRemoves
+            .map(_.map(f => (PaimonFormat.Kind.Delete, f))).getOrElse(empty))
+        val nParts = math.max(1, math.min(256, math.ceil(total.toDouble /
+          PaimonConversionTarget.EntriesPerManifest).toInt))
+        tagged.repartition(nParts).mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val np = s"manifest-${UUID.randomUUID()}"
+            val len = PaimonFormat.writeManifest(s"$md/$np",
+              it.map { case (k, f) => PaimonFormat.toEntry(f, k) },
+              bconf.value.value)
+            Iterator((np, len))
+          }
+        }.collect().toSeq
+      }
+    }
 
     val baseListName = s"manifest-list-${UUID.randomUUID()}-base"
     val deltaListName = s"manifest-list-${UUID.randomUUID()}-delta"
-    PaimonFormat.writeManifestList(s"$mdir/$baseListName",
-      base.map(n => (n, new java.io.File(s"$mdir/$n").length())))
-    PaimonFormat.writeManifestList(s"$mdir/$deltaListName",
-      Seq((deltaName, new java.io.File(s"$mdir/$deltaName").length())))
+    PaimonFormat.writeManifestList(s"$mdir/$baseListName", base)
+    PaimonFormat.writeManifestList(s"$mdir/$deltaListName", deltaManifests)
 
-    val hasDeletes = pendingRemoves.exists(!_.isEmpty)
     val ok = PaimonFormat.writeSnapshot(tablePath, PaimonFormat.PaimonSnapshot(
-      id, 0L, if (hasDeletes) "COMPACT" else "APPEND",
+      id, 0L, if (removeCount > 0) "COMPACT" else "APPEND",
       System.currentTimeMillis(),
       s"$mdir/$deltaListName", s"$mdir/$baseListName",
       syncMeta.map(_.toJson)))
+    pendingAdds.foreach(_.unpersist())
+    pendingRemoves.foreach(_.unpersist())
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed snapshot $id first at $tablePath")
   }
@@ -235,4 +270,13 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     PaimonFormat.latestSnapshotId(tablePath)
       .flatMap(id => PaimonFormat.readSnapshot(tablePath, id).graftMetadata)
       .flatMap(SyncMetadata.fromJson)
+}
+
+object PaimonConversionTarget {
+  /** Commits at or under this many entries write ONE driver-side delta
+    * manifest (no Spark job — the common incremental-sync shape).
+    */
+  val DriverDeltaThreshold = 10000L
+  /** Target entries per executor-written manifest on big commits. */
+  val EntriesPerManifest = 50000L
 }

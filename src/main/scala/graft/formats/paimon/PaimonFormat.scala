@@ -232,4 +232,80 @@ object PaimonFormat {
       while (r.hasNext) b += r.next().get("fileName").toString
       b.result() } finally r.close()
   }
+
+  // ---- executor-side manifest IO + entry codecs ----
+
+  /** Hadoop-FS write variant for EXECUTOR-side manifest authoring (one
+    * task per manifest at 10^6-file scale); object-store-safe. Returns
+    * the written length for the manifest list.
+    */
+  def writeManifest(path: String, entries: Iterator[GenericRecord],
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    val out = fs.create(hp, true)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](EntrySchema))
+    w.create(EntrySchema, out)
+    try entries.foreach(w.append) finally w.close()
+    fs.getFileStatus(hp).getLen
+  }
+
+  /** Hadoop-FS read variant for executor-side manifest scans. */
+  def readManifest(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[GenericRecord] = {
+    val in = new org.apache.avro.mapred.FsInput(
+      new org.apache.hadoop.fs.Path(path), conf)
+    val r = DataFileReader.openReader(in,
+      new GenericDatumReader[GenericRecord](EntrySchema))
+    try { val b = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) b += r.next(); b.result() } finally r.close()
+  }
+
+  /** FileEntry → manifest entry record (kind = Add | Delete). */
+  def toEntry(f: graft.model.FileEntry, kind: Int): GenericRecord = {
+    val e = new GenericData.Record(EntrySchema)
+    e.put("kind", kind)
+    e.put("partition", f.partitionValues.map(p => p.field -> p.value)
+      .toMap.asJava)
+    e.put("bucket", 0)
+    e.put("fileName", f.path)
+    e.put("fileSize", f.fileSizeBytes)
+    e.put("rowCount", f.recordCount)
+    e.put("minValues", f.columnStats.flatMap(s => s.min.map(s.field -> _))
+      .toMap.asJava)
+    e.put("maxValues", f.columnStats.flatMap(s => s.max.map(s.field -> _))
+      .toMap.asJava)
+    e.put("nullCounts", f.columnStats
+      .map(s => s.field -> java.lang.Long.valueOf(s.numNulls)).toMap.asJava)
+    e.put("lastModifiedMs", f.lastModifiedMillis)
+    e
+  }
+
+  /** Manifest entry record → (kind, FileEntry). */
+  def fromEntry(e: GenericRecord, tablePath: String)
+      : (Int, graft.model.FileEntry) = {
+    import graft.model.{FileColumnStat, FileEntry, PartitionMember}
+    def strMap(f: String) = e.get(f)
+      .asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
+      .map { case (k, v) => k.toString -> v }.toMap
+    val mins = strMap("minValues"); val maxs = strMap("maxValues")
+    val nulls = strMap("nullCounts")
+    val fields = (mins.keySet ++ maxs.keySet ++ nulls.keySet).toSeq.sorted
+    val stats = fields.map { f =>
+      FileColumnStat(f, mins.get(f).map(_.toString),
+        maxs.get(f).map(_.toString),
+        nulls.get(f).map(_.toString.toLong).getOrElse(0L),
+        e.get("rowCount").asInstanceOf[Long], 0L)
+    }
+    (e.get("kind").asInstanceOf[Int], FileEntry(
+      graft.util.PathUtils.resolve(tablePath, e.get("fileName").toString),
+      e.get("fileSize").asInstanceOf[Long],
+      e.get("rowCount").asInstanceOf[Long],
+      "parquet",
+      e.get("partition").asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
+        .map { case (k, v) => PartitionMember(k.toString, v.toString) }
+        .toSeq.sortBy(_.field),
+      stats,
+      e.get("lastModifiedMs").asInstanceOf[Long]))
+  }
 }
