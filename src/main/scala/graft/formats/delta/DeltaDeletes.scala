@@ -535,16 +535,13 @@ object DeltaDeletes {
     }
     val dvIt = graft.util.StreamedLines.iterate(dvLines)
 
-    // CAS against the version observed at PLANNING time: a commit that
-    // landed since makes writeCommit fail loudly instead of being
-    // silently clobbered (its adds would have been re-added here)
+    // CAS against the version observed at PLANNING time; a commit that
+    // landed since triggers the ConflictChecker-style retry — disjoint
+    // intervening commits re-land automatically, true conflicts (shared
+    // files, metadata/protocol change) still fail loudly
     val version = plan.snap.commitId.toLong + 1
-    val ok = DeltaLog.writeCommit(tablePath, version,
+    DeltaConflicts.commitWithRetry(spark, tablePath, version,
       header ++ dvIt ++ extraLines)
-    if (!ok) throw new IllegalStateException(
-      s"concurrent writer committed version $version first at $tablePath " +
-        s"(planned from version ${plan.snap.commitId}) — re-run to retry " +
-        "against the new snapshot")
     graft.plans.SnapshotFileIndex.invalidate(plan.snap)
   }
 }

@@ -188,13 +188,11 @@ object DeltaOptimize {
       "timestamp" -> now, "operation" -> "OPTIMIZE",
       "operationParameters" -> Map("kind" -> prefix)))))
     def streamOf(ds: Dataset[String]) = graft.util.StreamedLines.iterate(ds)
+    // disjoint intervening commits re-land via the conflict retry; a
+    // commit touching the files being compacted still fails loudly
     val version = snap.commitId.toLong + 1
-    val ok = DeltaLog.writeCommit(tablePath, version,
+    DeltaConflicts.commitWithRetry(spark, tablePath, version,
       header ++ streamOf(removes) ++ streamOf(adds))
-    if (!ok) throw new IllegalStateException(
-      s"concurrent writer committed version $version first at $tablePath " +
-        s"(planned from version ${snap.commitId}) — re-run OPTIMIZE " +
-        "against the new snapshot")
     graft.plans.SnapshotFileIndex.invalidate(snap)
     listed.size.toLong
   }

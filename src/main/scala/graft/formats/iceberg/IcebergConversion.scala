@@ -376,7 +376,11 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
           0, n, 0, 0L, rows))
       }
     }
-    val listPath = s"$mdir/snap-$snapshotId-manifest-list.avro"
+    // UUID: two racing writers compute the same next snapshotId, and a
+    // shared conventional name would let the CAS loser truncate the
+    // winner's already-referenced list file
+    val listPath =
+      s"$mdir/snap-$snapshotId-${UUID.randomUUID()}-manifest-list.avro"
     IcebergManifests.writeManifestList(listPath, keptList)
 
     val properties = prev.map(_.properties).getOrElse(Map.empty) ++

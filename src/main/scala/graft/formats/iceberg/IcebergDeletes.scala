@@ -254,19 +254,57 @@ object IcebergDeletes {
     * version different from it fails loudly BEFORE staging the commit
     * (the caller planned against that version's state).
     */
+  /** Can this operation re-land on top of `m` after losing the CAS it
+    * planned at `baseSeq`? Mirrors Iceberg's own retry validation
+    * (`commit.retry-num-retries` + `validateNoConflicting*`): every
+    * intervening snapshot must be a pure data APPEND — operation
+    * `append`, parent's manifest records all carried forward, only
+    * content-0 (data) manifests added. Position deletes and data appends
+    * commute with such appends; EQUALITY deletes do not (a new
+    * sequence number would extend their reach onto the concurrently
+    * appended rows), nor does a replace (it would drop them) — callers
+    * gate on that before retrying.
+    */
+  private def appendOnlySince(m: IcebergTableMetadata,
+      baseSeq: Long): Boolean = {
+    val newer = m.snapshots.filter(_.sequenceNumber > baseSeq)
+      .sortBy(_.sequenceNumber)
+    if (newer.isEmpty) return false
+    def listRecords(s: IcebergSnapshot): Map[String, Int] =
+      IcebergManifests.readManifestListRecords(s.manifestList)
+        .map(r => r.get("manifest_path").toString ->
+          r.get("content").asInstanceOf[Int]).toMap
+    var parent: Map[String, Int] = m.snapshots
+      .filter(_.sequenceNumber <= baseSeq).sortBy(_.sequenceNumber)
+      .lastOption.map(listRecords).getOrElse(Map.empty)
+    newer.forall { s =>
+      val cur = listRecords(s)
+      val ok = s.operation == "append" &&
+        parent.keySet.subsetOf(cur.keySet) &&
+        (cur.keySet -- parent.keySet).forall(cur(_) == 0)
+      parent = cur
+      ok
+    }
+  }
+
   private def appendCommit(spark: SparkSession, tablePath: String,
       rows: DataFrame, content: Int, equalityIds: Seq[Int],
       dataDir: Option[String] = None, replace: Boolean = false,
       expectVersion: Option[Long] = None): Unit = {
-    val (version, m) = currentMeta(spark, tablePath)
+    // retryable past pure data appends: data-only appends and POSITION
+    // deletes (they name their files explicitly); equality deletes and
+    // replaces must fail on any intervening commit (see appendOnlySince)
+    val retryable = !replace && content != 2 && equalityIds.isEmpty
+    var (version, m) = currentMeta(spark, tablePath)
     expectVersion.filter(_ != version).foreach { v =>
-      throw new IllegalStateException(
-        s"concurrent writer moved $tablePath from metadata v$v to " +
-          s"v$version since this operation planned — re-run to retry")
+      val plannedSeq = IcebergMetadata.read(tablePath, v).lastSequenceNumber
+      if (!(retryable && appendOnlySince(m, plannedSeq)))
+        throw new IllegalStateException(
+          s"concurrent writer moved $tablePath from metadata v$v to " +
+            s"v$version since this operation planned and the commits " +
+            "conflict — re-run against the new snapshot")
     }
     val now = System.currentTimeMillis()
-    val snapshotId = m.lastSequenceNumber + 1
-    val seq = snapshotId
     val conf = spark.sessionState.newHadoopConf()
     val mdir = IcebergMetadata.metadataDir(tablePath)
 
@@ -284,7 +322,7 @@ object IcebergDeletes {
     }
 
     def writeOneManifest(files: Seq[FileEntry],
-        manifestContent: Int, ids: Seq[Int])
+        manifestContent: Int, ids: Seq[Int], snapshotId: Long)
         : Option[IcebergManifests.ManifestSummary] = {
       if (files.isEmpty) return None
       val suffix = if (manifestContent == 0) "append" else "deletes"
@@ -304,42 +342,66 @@ object IcebergDeletes {
         content = if (manifestContent == 0) 0 else 1))
     }
 
+    // staged ONCE — a conflict retry re-authors the cheap manifests
+    // (they embed the snapshot id) but never re-writes the data files
     val deleteFiles = Option(rows).map { r =>
-      val d = s"$tablePath/data/deletes-$seq-${UUID.randomUUID()}"
+      val d = s"$tablePath/data/deletes-${UUID.randomUUID()}"
       r.write.parquet(d)
       staged(d)
     }.getOrElse(Nil)
-    val deleteManifest =
-      writeOneManifest(deleteFiles, math.max(content, 1), equalityIds)
-    val dataManifest = dataDir.map(staged).map(
-      writeOneManifest(_, 0, Nil)).flatten
+    val dataFiles = dataDir.map(staged).getOrElse(Nil)
 
     // nothing staged (empty delete set, empty data write): no snapshot —
     // a zero-entry delete manifest would trip requireNoDeleteManifests
     // on a table with no actual live deletes
-    if (deleteManifest.isEmpty && dataManifest.isEmpty) return
+    if (deleteFiles.isEmpty && dataFiles.isEmpty) return
 
-    val carried =
-      if (replace) Nil
-      else m.currentSnapshot
-        .map(s => IcebergManifests.readManifestListRecords(s.manifestList))
-        .getOrElse(Nil)
-    val listPath = s"$mdir/snap-$snapshotId-manifest-list.avro"
-    IcebergManifests.writeManifestListRecords(listPath, carried,
-      deleteManifest.toSeq ++ dataManifest.toSeq)
+    var attempt = 0
+    while (true) {
+      val snapshotId = m.lastSequenceNumber + 1
+      val seq = snapshotId
+      val deleteManifest =
+        writeOneManifest(deleteFiles, math.max(content, 1), equalityIds,
+          snapshotId)
+      val dataManifest =
+        writeOneManifest(dataFiles, 0, Nil, snapshotId)
+      val carried =
+        if (replace) Nil
+        else m.currentSnapshot
+          .map(s => IcebergManifests.readManifestListRecords(s.manifestList))
+          .getOrElse(Nil)
+      // UUID in the list name: two racing writers compute the same next
+      // snapshotId, and a shared conventional path would let the CAS
+      // LOSER truncate the winner's already-referenced list file
+      val listPath =
+        s"$mdir/snap-$snapshotId-${UUID.randomUUID()}-manifest-list.avro"
+      IcebergManifests.writeManifestListRecords(listPath, carried,
+        deleteManifest.toSeq ++ dataManifest.toSeq)
 
-    val ok = IcebergMetadata.write(tablePath, version + 1, m.copy(
-      lastSequenceNumber = seq,
-      lastUpdatedMs = now,
-      currentSnapshotId = snapshotId,
-      // no sourceIdentifier: this is a row-level write, not a sync — the
-      // target's corrupt-commit rollback must never touch it
-      snapshots = m.snapshots :+
-        IcebergSnapshot(snapshotId, seq, now, listPath, None,
-          if (replace) "replace" else "append")))
-    if (!ok) throw new IllegalStateException(
-      s"concurrent writer committed metadata v${version + 1} first at $tablePath")
+      val ok = IcebergMetadata.write(tablePath, version + 1, m.copy(
+        lastSequenceNumber = seq,
+        lastUpdatedMs = now,
+        currentSnapshotId = snapshotId,
+        // no sourceIdentifier: this is a row-level write, not a sync — the
+        // target's corrupt-commit rollback must never touch it
+        snapshots = m.snapshots :+
+          IcebergSnapshot(snapshotId, seq, now, listPath, None,
+            if (replace) "replace" else "append")))
+      if (ok) return
+      attempt += 1
+      val baseSeq = m.lastSequenceNumber
+      val (v2, m2) = currentMeta(spark, tablePath)
+      if (attempt > IcebergDeletes.MaxCommitRetries ||
+          !(retryable && appendOnlySince(m2, baseSeq)))
+        throw new IllegalStateException(
+          s"concurrent writer committed metadata v${version + 1} first at " +
+            s"$tablePath and the commits conflict or retries are " +
+            "exhausted — re-run against the new snapshot")
+      version = v2; m = m2
+    }
   }
+
+  val MaxCommitRetries = 3
 
   /** Mask every live row-level delete out of a data scan. `df` must be a
     * direct file-scan DataFrame (the `_metadata` column must still

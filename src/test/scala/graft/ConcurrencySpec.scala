@@ -214,4 +214,123 @@ class ConcurrencySpec extends SparkSuite {
     assert(new DeltaConversionSource(spark, t, "region").toDataFrame
       .count() == 9 * rows.count())
   }
+
+  /** region split into two files by key range, so predicates on disjoint
+    * ranges mask disjoint files.
+    */
+  private def twoFileDelta(prefix: String): String = {
+    import java.nio.file.{Files, Paths}
+    val stage = tmpDir(s"${prefix}_stage")
+    val df = spark.read.parquet(sf("sf0.001/region.parquet"))
+    Seq(("lo", df.where("r_regionkey <= 2")), ("hi", df.where("r_regionkey >= 3")))
+      .foreach { case (name, part) =>
+        val tmp = tmpDir(s"${prefix}_$name")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(f.toPath, Paths.get(stage, s"$name.parquet"))
+      }
+    val target = tmpDir(s"${prefix}_delta")
+    val src = new ParquetDirectorySource(spark, stage, "region")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    target
+  }
+
+  test("conflict retry: disjoint intervening commit re-lands, overlap fails") {
+    import org.apache.spark.sql.functions.col
+    val t = twoFileDelta("retry_delta")
+    val head = DeltaLog.latestVersion(t,
+      graft.util.HadoopConfs.session(spark)).get
+    // an "intervening" writer takes the next version touching hi.parquet
+    assert(DeltaLog.writeCommit(t, head + 1, Iterator(
+      """{"commitInfo":{"operation":"X"}}""",
+      """{"remove":{"path":"hi.parquet","deletionTimestamp":1,"dataChange":true}}""")))
+    // a commit planned at the old head touching lo.parquet only: disjoint
+    // file sets → retries and lands at head+2
+    val landed = DeltaConflicts.commitWithRetry(spark, t, head + 1, Iterator(
+      """{"commitInfo":{"operation":"Y"}}""",
+      """{"remove":{"path":"lo.parquet","deletionTimestamp":2,"dataChange":true}}"""))
+    assert(landed == head + 2, s"landed $landed")
+    // overlap: another stale commit touching lo.parquet (just re-landed
+    // at head+2 by Y) must fail loudly
+    val e = intercept[IllegalStateException] {
+      DeltaConflicts.commitWithRetry(spark, t, head + 2, Iterator(
+        """{"commitInfo":{"operation":"Z"}}""",
+        """{"add":{"path":"lo.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    // metadata change in the intervening commit also blocks a retry
+    val head2 = DeltaLog.latestVersion(t,
+      graft.util.HadoopConfs.session(spark)).get
+    assert(DeltaLog.writeCommit(t, head2 + 1, Iterator(
+      """{"metaData":{"id":"m2","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{},"createdTime":1}}""")))
+    val e2 = intercept[IllegalStateException] {
+      DeltaConflicts.commitWithRetry(spark, t, head2 + 1, Iterator(
+        """{"commitInfo":{"operation":"W"}}""",
+        """{"remove":{"path":"nonexistent.parquet","deletionTimestamp":3,"dataChange":true}}"""))
+    }
+    assert(e2.getMessage.contains("metadata"), e2.getMessage)
+  }
+
+  test("two disjoint deleteWhere commits race: BOTH land") {
+    import org.apache.spark.sql.functions.col
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val t = twoFileDelta("ddrace")
+    val total = spark.read.parquet(sf("sf0.001/region.parquet")).count()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val preds = Seq(col("r_regionkey") === 0, col("r_regionkey") === 4)
+    preds.foreach { p =>
+      pool.execute { () =>
+        start.await()
+        try assert(DeltaDeletes.deleteWhere(spark, t, p) == 1L)
+        catch { case th: Throwable => failures.add(th) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, failures.toString)
+    val back = new DeltaConversionSource(spark, t, "region").toDataFrame
+    assert(back.count() == total - 2)
+    assert(back.select("r_regionkey").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("iceberg: concurrent disjoint data appends both land via retry") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val target = tmpDir("iceracetgt")
+    val src = new ParquetDirectorySource(spark,
+      sf("sf0.001/region.parquet"), "region")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    val dirs = Seq("a", "b").map { n =>
+      val d = tmpDir(s"icerace_$n")
+      rows.coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    }
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    dirs.foreach { d =>
+      pool.execute { () =>
+        start.await()
+        try graft.formats.iceberg.IcebergDeletes.appendDataFiles(spark, target, d)
+        catch { case th: Throwable => failures.add(th) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, failures.toString)
+    assert(new graft.formats.iceberg.IcebergConversionSource(
+      spark, target, "region").toDataFrame.count() == 3 * rows.count())
+  }
 }
