@@ -48,24 +48,38 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
     }
   }
 
-  /** The snapshot's live listing as a Dataset: short manifest lists
-    * parse on the driver (no job per gate-scale read); longer ones read
-    * one task PER MANIFEST and reconcile ADD/DELETE with a distributed
-    * anti-join — a 10^6-file listing never materializes driver-side.
+  /** Manifest entries as a Dataset: short lists parse on the driver (no
+    * job per gate-scale read); longer ones read one task PER MANIFEST.
     */
-  private def listingAt(id: Long): org.apache.spark.sql.Dataset[FileEntry] = {
+  private[paimon] def entriesDs(names: Seq[String])
+      : Dataset[(Int, FileEntry)] = {
+    import spark.implicits._
+    val mdir = PaimonFormat.manifestDir(tablePath)
+    val tp = tablePath
+    if (names.size <= 4)
+      spark.createDataset(names.flatMap(m =>
+        PaimonFormat.readManifest(s"$mdir/$m")
+          .map(PaimonFormat.fromEntry(_, tp))))
+    else {
+      val bconf = graft.util.HadoopConfs.broadcastSession(spark)
+      graft.util.Par.ds(spark, names.map(n => s"$mdir/$n"), 128)
+        .flatMap(mp => PaimonFormat.readManifest(mp, bconf.value.value)
+          .map(PaimonFormat.fromEntry(_, tp)))
+    }
+  }
+
+  /** The snapshot's live listing as a Dataset: ADD/DELETE reconciliation
+    * as a distributed anti-join — a 10^6-file listing never materializes
+    * driver-side.
+    */
+  private def listingAt(id: Long): Dataset[FileEntry] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val snap = PaimonFormat.readSnapshot(tablePath, id)
     val names = PaimonFormat.readManifestList(snap.baseManifestList) ++
       PaimonFormat.readManifestList(snap.deltaManifestList)
     if (names.size <= 4) return spark.createDataset(liveAt(id))
-    val mdir = PaimonFormat.manifestDir(tablePath)
-    val tp = tablePath
-    val bconf = graft.util.HadoopConfs.broadcastSession(spark)
-    val entries = graft.util.Par.ds(spark, names.map(n => s"$mdir/$n"), 128)
-      .flatMap(mp => PaimonFormat.readManifest(mp, bconf.value.value)
-        .map(PaimonFormat.fromEntry(_, tp)))
+    val entries = entriesDs(names)
     val adds = entries.filter(_._1 == PaimonFormat.Kind.Add).map(_._2)
     val dels = entries.filter(_._1 == PaimonFormat.Kind.Delete)
       .map(_._2.path).toDF("__del")
@@ -89,17 +103,12 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
   override def changeForCommit(commit: String): TableChange = {
     import spark.implicits._
     val snap = PaimonFormat.readSnapshot(tablePath, commit.toLong)
-    val delta = PaimonFormat.readManifestList(snap.deltaManifestList)
-      .flatMap { m =>
-        PaimonFormat.readManifest(s"${PaimonFormat.manifestDir(tablePath)}/$m")
-          .map(e => (e.get("kind").asInstanceOf[Int], entryToFile(e)))
-      }
+    val delta = entriesDs(
+      PaimonFormat.readManifestList(snap.deltaManifestList))
     TableChange(commit, currentTable().copy(latestCommitMillis = commit.toLong),
       FilesDelta(
-        spark.createDataset(delta.collect {
-          case (k, f) if k == PaimonFormat.Kind.Add => f }),
-        spark.createDataset(delta.collect {
-          case (k, f) if k == PaimonFormat.Kind.Delete => f })))
+        delta.filter(_._1 == PaimonFormat.Kind.Add).map(_._2),
+        delta.filter(_._1 == PaimonFormat.Kind.Delete).map(_._2)))
   }
 
   override def commitsBacklog(lastSynced: String): Seq[String] =

@@ -275,6 +275,67 @@ object MaintenanceQueries {
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM feed GROUP BY _change_type ORDER BY _change_type""".stripMargin
 
+  /** Paimon change feed through the unified reader: snapshot 1 holds
+    * files A (odd custkeys) + B (even custkeys); snapshot 2 swaps B for
+    * B' (the same even-custkey rows with c_acctbal + 100) via a diff
+    * sync. The `(1, head]` feed must replay exactly B's rows as deletes
+    * and B''s as inserts — whole-file ADD/DELETE replay from the delta
+    * manifests, the Paimon reconstruction contract.
+    */
+  def paimonChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ParquetFooters
+    val conf = graft.util.HadoopConfs.session(s)
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+    def stage(name: String, df: DataFrame): String = {
+      val d = graft.util.TempDirs.create(s"graft_pcdf_$name")
+      df.coalesce(2).write.mode("overwrite").parquet(d)
+      d
+    }
+    val dirA = stage("a", customer.filter(col("c_custkey") % 2 === 1))
+    val dirB = stage("b", customer.filter(col("c_custkey") % 2 === 0))
+    val dirB2 = stage("b2", customer.filter(col("c_custkey") % 2 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0))
+    def entriesOf(d: String) =
+      ParquetFooters.fileEntries(s, d, ParquetFooters.listFiles(d, conf))
+    val table = graft.util.TempDirs.create("graft_pcdf_paimon")
+    val tgt = new graft.formats.paimon.PaimonConversionTarget(s, table)
+    val schema = customer.schema
+    val desc = graft.model.TableDescriptor("customer",
+      graft.model.TableFormats.Paimon, table, schema, Nil,
+      graft.model.Layout.Flat, 0L)
+    def commit(f: graft.formats.paimon.PaimonConversionTarget => Unit)
+        : Unit = {
+      tgt.beginSync(desc)
+      tgt.syncMetadata(graft.spi.SyncMetadata("1", Nil,
+        graft.model.TableFormats.Parquet, dirA))
+      tgt.syncSchema(schema)
+      tgt.syncPartitionSpec(Nil)
+      f(tgt)
+      tgt.completeSync()
+    }
+    commit(_.syncFilesForSnapshot(entriesOf(dirA).union(entriesOf(dirB))))
+    commit(_.syncFilesForDiff(graft.model.FilesDelta(
+      entriesOf(dirB2), entriesOf(dirB))))
+    s.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(table)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("_change_type")
+  }
+
+  val paimonChangesFeedSql: String =
+    s"""WITH feed AS (
+       |  SELECT 'delete' AS _change_type, c_acctbal FROM customer
+       |  WHERE c_custkey % 2 = 0
+       |  UNION ALL
+       |  SELECT 'insert' AS _change_type, c_acctbal + 100 AS c_acctbal
+       |  FROM customer WHERE c_custkey % 2 = 0)
+       |SELECT _change_type, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM feed GROUP BY _change_type ORDER BY _change_type""".stripMargin
+
   /** Incremental CDF consumption through the checkpointed stream
     * ([[graft.streaming.ChangeFeedStream]]): the DELETE batch is
     * delivered and offset-committed BEFORE the UPDATE commit exists, the

@@ -119,9 +119,15 @@ class GraftDataSource extends RelationProvider
           }
           graft.formats.iceberg.IcebergChanges.changesBetween(spark, path,
             from, to)
+        case _: graft.formats.paimon.PaimonConversionSource =>
+          val to = parameters.get("endingVersion").map(_.toLong).getOrElse(
+            graft.formats.paimon.PaimonFormat.latestSnapshotId(path)
+              .getOrElse(0L))
+          graft.formats.paimon.PaimonChanges.changesBetween(spark, path,
+            from, to)
         case other => throw new IllegalArgumentException(
-          s"readChangeFeed needs a versioned metadata plane (Delta or " +
-            s"Iceberg); this is a ${other.sourceFormat} table")
+          s"readChangeFeed needs a versioned metadata plane (Delta, " +
+            s"Iceberg, Hudi or Paimon); this is a ${other.sourceFormat} table")
       }
       val sql = sqlContext
       return new BaseRelation with org.apache.spark.sql.sources.TableScan {
