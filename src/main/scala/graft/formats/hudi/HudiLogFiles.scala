@@ -22,12 +22,22 @@ import graft.util.PathUtils
   * (ITHudiConversionSource real-time assertions; log-file naming
   * HudiTimeline.isLogFile / FSUtils.LOG_FILE_PATTERN).
   *
-  * Block container modeled on Hudi's HoodieLogFormat: `#HUDI#` magic,
-  * version, block type, header map (instant time + writer schema), then
-  * length-prefixed avro-binary records. Self-consistent write/read pair;
-  * byte-compatibility with Hudi's own reader is NOT claimed (Hudi's exact
-  * framing has per-release variations) — the table layout, naming,
-  * timeline actions and merge SEMANTICS are the Hudi ones.
+  * Block container: Hudi's HoodieLogFormat **v1, byte-exact** —
+  * verified against real Hudi-0.14-written log files (the reference
+  * demo's metadata-table logs, GoldenFixtureSpec): `#HUDI#` magic, an
+  * 8-byte size covering everything after it INCLUDING the trailing
+  * reverse-pointer, 4-byte format version (1), 4-byte block-type
+  * ordinal (COMMAND=0 DELETE=1 CORRUPT=2 AVRO=3 HFILE=4 PARQUET=5
+  * CDC=6), the header map as `int count` then `(int keyOrdinal,
+  * int len, utf8)` entries (INSTANT_TIME=0, SCHEMA=2), an 8-byte
+  * content length, the content, the footer map, and an 8-byte total
+  * block length (block size minus this long — the reverse-seek
+  * pointer). AVRO data block content is `[int 3][int count]
+  * [(int size, avro-binary record)*]`; DELETE block content is
+  * `[int 3][int len][avro HoodieDeleteRecordList]` with recordKey in
+  * Hudi's complex-key `field:value[,field:value]` form (tombstones are
+  * keyed, so single-field tables also use the self-describing form —
+  * documented divergence from the SimpleKeyGenerator's bare value).
   *
   * Scale shape: upsert routes rows to their owning file group with a
   * distributed key→group join (the record-index role); one executor task
@@ -39,49 +49,59 @@ object HudiLogFiles {
 
   private val Magic = "#HUDI#".getBytes(StandardCharsets.US_ASCII)
   private val FormatVersion = 1
-  private val DeleteBlock = 2      // HoodieLogBlockType.DELETE_BLOCK ordinal role
-  private val AvroDataBlock = 4
+  // HoodieLogBlockType ordinals (verified against Hudi-0.14 bytes)
+  val CommandBlock = 0
+  val DeleteBlock = 1
+  val CorruptBlock = 2
+  val AvroDataBlock = 3
+  val HFileDataBlock = 4
+  /** HoodieLogBlock.version written at the head of block CONTENT. */
+  private val ContentVersion = 3
+  // HeaderMetadataType ordinals
+  private val InstantTimeKey = 0
+  private val SchemaKey = 2
 
   val RecordKeyFieldsProp = "hoodie.table.recordkey.fields"
 
+  /** Hudi's HoodieDeleteRecordList avro shape (delete-block content). */
+  private val DeleteListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"HoodieDeleteRecordList",
+      |"namespace":"org.apache.hudi.avro.model","fields":[
+      |{"name":"deleteRecordList","type":{"type":"array","items":
+      |  {"type":"record","name":"HoodieDeleteRecord","fields":[
+      |    {"name":"recordKey","type":["null","string"],"default":null},
+      |    {"name":"partitionPath","type":["null","string"],"default":null},
+      |    {"name":"orderingVal","type":["null","string","int","long",
+      |      "float","double"],"default":null}]}}}]}""".stripMargin
+      .replaceAll("\n", ""))
+
   // ------------------------------------------------------ block codec
 
-  /** Append one avro block holding `records` to `path` (creates the
-    * file with the block when absent); returns (recordCount, fileSize).
-    * `blockType` is `AvroDataBlock` for upserts or `DeleteBlock` for
-    * key-only tombstones (Hudi's HoodieDeleteBlock role: the record
-    * schema then carries just the record-key fields).
-    */
-  def writeLogFile(conf: Configuration, path: String, schema: Schema,
-      instant: String, records: Iterator[GenericRecord],
-      blockType: Int = AvroDataBlock): (Long, Long) = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val body = new ByteArrayOutputStream()
-    val bodyOut = new DataOutputStream(body)
-    bodyOut.writeInt(FormatVersion)
-    bodyOut.writeInt(blockType)
-    val headers = Seq("INSTANT_TIME" -> instant, "SCHEMA" -> schema.toString)
-    bodyOut.writeInt(headers.size)
-    headers.foreach { case (k, v) => bodyOut.writeUTF(k); writeBlob(bodyOut, v) }
-    val writer = new GenericDatumWriter[GenericRecord](schema)
-    var n = 0L
-    val recBytes = new ByteArrayOutputStream()
-    val content = new ByteArrayOutputStream()
-    val contentOut = new DataOutputStream(content)
-    records.foreach { r =>
-      recBytes.reset()
-      val enc = EncoderFactory.get().binaryEncoder(recBytes, null)
-      writer.write(r, enc)
-      enc.flush()
-      contentOut.writeInt(recBytes.size())
-      recBytes.writeTo(contentOut)
-      n += 1
+  private def headerBytes(entries: Seq[(Int, String)]): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(baos)
+    out.writeInt(entries.size)
+    entries.foreach { case (ord, v) =>
+      out.writeInt(ord)
+      val b = v.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
     }
-    bodyOut.writeLong(n)
-    bodyOut.writeInt(content.size())
-    content.writeTo(bodyOut)
-    bodyOut.flush()
+    out.flush()
+    baos.toByteArray
+  }
+
+  /** Append one HoodieLogFormat-v1 block with `content` to `path`. */
+  private def appendBlock(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      blockType: Int, headers: Seq[(Int, String)],
+      content: Array[Byte]): Unit = {
+    val hdr = headerBytes(headers)
+    val ftr = headerBytes(Nil)
+    // sizeOfBlock covers everything after its own field, trailing
+    // reverse-pointer INCLUDED (observed in Hudi-0.14 bytes)
+    val sizeOfBlock = 4 + 4 + hdr.length + 8 + content.length +
+      ftr.length + 8
+    // reverse pointer = whole block minus this trailing long
+    val totalMinusTail = Magic.length + 8 + sizeOfBlock - 8
 
     // append where the FS supports it; otherwise rewrite-with-suffix
     // (ChecksumFileSystem/object stores — Hudi's own writer rolls to a
@@ -105,39 +125,105 @@ object HudiLogFiles {
     }
     try {
       out.write(Magic)
-      out.writeLong(body.size().toLong)
-      body.writeTo(out)
+      out.writeLong(sizeOfBlock.toLong)
+      out.writeInt(FormatVersion)
+      out.writeInt(blockType)
+      out.write(hdr)
+      out.writeLong(content.length.toLong)
+      out.write(content)
+      out.write(ftr)
+      out.writeLong(totalMinusTail.toLong)
     } finally out.close()
+  }
+
+  /** Append one block holding `records` to `path` (creates the file
+    * with the block when absent); returns (recordCount, fileSize).
+    * `blockType` is `AvroDataBlock` for upserts (content =
+    * `[version][count][(size, record)*]`) or `DeleteBlock` for
+    * tombstones — then `records` carry ONLY the record-key fields and
+    * serialize as a HoodieDeleteRecordList with complex-form keys.
+    */
+  def writeLogFile(conf: Configuration, path: String, schema: Schema,
+      instant: String, records: Iterator[GenericRecord],
+      blockType: Int = AvroDataBlock): (Long, Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    var n = 0L
+    val content: Array[Byte] =
+      if (blockType == DeleteBlock) {
+        import scala.jdk.CollectionConverters._
+        val itemSchema = DeleteListSchema.getField("deleteRecordList")
+          .schema().getElementType
+        val list = new java.util.ArrayList[GenericRecord]()
+        records.foreach { r =>
+          val key = r.getSchema.getFields.asScala
+            .map(f => s"${f.name}:${r.get(f.name)}").mkString(",")
+          val d = new GenericData.Record(itemSchema)
+          d.put("recordKey", key)
+          list.add(d)
+          n += 1
+        }
+        val wrapper = new GenericData.Record(DeleteListSchema)
+        wrapper.put("deleteRecordList", list)
+        val avroBytes = new ByteArrayOutputStream()
+        val enc = EncoderFactory.get().binaryEncoder(avroBytes, null)
+        new GenericDatumWriter[GenericRecord](DeleteListSchema)
+          .write(wrapper, enc)
+        enc.flush()
+        val baos = new ByteArrayOutputStream()
+        val out = new DataOutputStream(baos)
+        out.writeInt(ContentVersion)
+        out.writeInt(avroBytes.size())
+        avroBytes.writeTo(out)
+        out.flush()
+        baos.toByteArray
+      } else {
+        val writer = new GenericDatumWriter[GenericRecord](schema)
+        val recBytes = new ByteArrayOutputStream()
+        val recs = new ByteArrayOutputStream()
+        val recsOut = new DataOutputStream(recs)
+        records.foreach { r =>
+          recBytes.reset()
+          val enc = EncoderFactory.get().binaryEncoder(recBytes, null)
+          writer.write(r, enc)
+          enc.flush()
+          recsOut.writeInt(recBytes.size())
+          recBytes.writeTo(recsOut)
+          n += 1
+        }
+        recsOut.flush()
+        val baos = new ByteArrayOutputStream()
+        val out = new DataOutputStream(baos)
+        out.writeInt(ContentVersion)
+        out.writeInt(n.toInt)
+        recs.writeTo(out)
+        out.flush()
+        baos.toByteArray
+      }
+    appendBlock(fs, p, blockType,
+      Seq(InstantTimeKey -> instant, SchemaKey -> schema.toString), content)
     (n, fs.getFileStatus(p).getLen)
   }
 
-  /** writeUTF caps at 64k; schema JSON can exceed it — length-prefixed
-    * UTF-8 blob instead.
+  /** One parsed block frame: type ordinal, headers by ordinal, raw
+    * content bytes.
     */
-  private def writeBlob(out: DataOutputStream, s: String): Unit = {
-    val b = s.getBytes(StandardCharsets.UTF_8)
-    out.writeInt(b.length); out.write(b)
+  case class LogBlock(blockType: Int, headers: Map[Int, String],
+      content: Array[Byte]) {
+    def instant: String = headers.getOrElse(InstantTimeKey, "")
   }
 
-  private def readBlob(in: DataInputStream): String = {
-    val len = in.readInt()
-    val b = new Array[Byte](len)
-    in.readFully(b)
-    new String(b, StandardCharsets.UTF_8)
-  }
-
-  /** All records of a log file with their block's instant and a
-    * tombstone flag (true for DeleteBlock records, whose schema carries
-    * only the record-key fields), in write order. A truncated/corrupt
-    * tail block stops the scan (Hudi's corrupt-block tolerance: a
-    * crashed writer must not poison the read).
+  /** Walk every block frame of a HoodieLogFormat-v1 file — including
+    * types this engine doesn't merge (COMMAND/HFILE/...), which real
+    * Hudi writers emit. A truncated/corrupt tail block stops the walk
+    * (Hudi's corrupt-block tolerance: a crashed writer must not poison
+    * the read).
     */
-  def readLogFile(conf: Configuration, path: String)
-      : Seq[(String, GenericRecord, Boolean)] = {
+  def walkBlocks(conf: Configuration, path: String): Seq[LogBlock] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = new DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
-    val out = Seq.newBuilder[(String, GenericRecord, Boolean)]
+    val out = Seq.newBuilder[LogBlock]
     try {
       var more = true
       while (more) {
@@ -146,40 +232,96 @@ object HudiLogFiles {
         if (read < Magic.length || !java.util.Arrays.equals(magic, Magic)) {
           more = false
         } else {
-          val blockLen = in.readLong()
+          val blockLen = in.readLong()   // rest of block incl. tail long
           val block = new Array[Byte](blockLen.toInt)
           in.readFully(block)
           val b = new DataInputStream(new java.io.ByteArrayInputStream(block))
           val ver = b.readInt()
+          require(ver == FormatVersion,
+            s"unsupported log format version $ver at $path")
           val typ = b.readInt()
-          if (ver != FormatVersion ||
-              (typ != AvroDataBlock && typ != DeleteBlock))
-            throw new IllegalStateException(
-              s"unsupported log block version=$ver type=$typ at $path")
-          val isDelete = typ == DeleteBlock
           val nHeaders = b.readInt()
-          val headers = (0 until nHeaders)
-            .map(_ => b.readUTF() -> readBlob(b)).toMap
-          val instant = headers.getOrElse("INSTANT_TIME", "")
-          val schema = new Schema.Parser().parse(headers("SCHEMA"))
-          val reader = new GenericDatumReader[GenericRecord](schema)
-          val n = b.readLong()
-          b.readInt() // content length
-          var i = 0L
-          while (i < n) {
-            val sz = b.readInt()
-            val bytes = new Array[Byte](sz)
-            b.readFully(bytes)
-            val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-            out += ((instant, reader.read(null, dec), isDelete))
-            i += 1
-          }
+          val headers = (0 until nHeaders).map { _ =>
+            val ord = b.readInt()
+            val len = b.readInt()
+            val v = new Array[Byte](len)
+            b.readFully(v)
+            ord -> new String(v, StandardCharsets.UTF_8)
+          }.toMap
+          val contentLen = b.readLong()
+          val content = new Array[Byte](contentLen.toInt)
+          b.readFully(content)
+          // footer map + reverse pointer remain in `block`; nothing to keep
+          out += LogBlock(typ, headers, content)
         }
       }
     } catch {
       case _: EOFException => // truncated tail block: serve what parsed
     } finally in.close()
     out.result()
+  }
+
+  /** All records of a log file with their block's instant and a
+    * tombstone flag, in write order. Data blocks decode with their
+    * SCHEMA header; delete blocks decode the HoodieDeleteRecordList and
+    * rebuild key-only records from the complex-form recordKey (values
+    * re-typed from strings by the row codec). Unknown block types
+    * (COMMAND, HFILE, ...) are walked past, not errors.
+    */
+  def readLogFile(conf: Configuration, path: String)
+      : Seq[(String, GenericRecord, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    walkBlocks(conf, path).flatMap { blk =>
+      val b = new DataInputStream(
+        new java.io.ByteArrayInputStream(blk.content))
+      blk.blockType match {
+        case AvroDataBlock =>
+          val schema = new Schema.Parser().parse(blk.headers(SchemaKey))
+          val reader = new GenericDatumReader[GenericRecord](schema)
+          b.readInt() // content version
+          val n = b.readInt()
+          (0 until n).map { _ =>
+            val sz = b.readInt()
+            val bytes = new Array[Byte](sz)
+            b.readFully(bytes)
+            val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+            (blk.instant, reader.read(null, dec), false)
+          }
+        case DeleteBlock =>
+          b.readInt() // content version
+          val len = b.readInt()
+          val bytes = new Array[Byte](len)
+          b.readFully(bytes)
+          val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+          val wrapper = new GenericDatumReader[GenericRecord](
+            DeleteListSchema).read(null, dec)
+          val keySchemaOpt = blk.headers.get(SchemaKey)
+            .map(new Schema.Parser().parse(_))
+          wrapper.get("deleteRecordList")
+            .asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq
+            .map { d =>
+              val pairs = Option(d.get("recordKey")).map(_.toString)
+                .getOrElse("").split(',').toSeq
+                .filter(_.contains(':'))
+                .map { kv =>
+                  val i = kv.indexOf(':')
+                  kv.substring(0, i) -> kv.substring(i + 1)
+                }
+              // key-only record over a string-typed view of the key
+              // fields; the row codec re-types values from strings
+              val fields = pairs.map { case (f, _) =>
+                new Schema.Field(f, Schema.create(Schema.Type.STRING),
+                  null, null)
+              }
+              val sch = Schema.createRecord(
+                s"graft_delete_key", null, "graft", false, fields.asJava)
+              val rec = new GenericData.Record(sch)
+              pairs.foreach { case (f, v) => rec.put(f, v) }
+              (blk.instant, rec: GenericRecord, true)
+            }
+        case _ => Nil   // COMMAND / CORRUPT / HFILE / PARQUET / CDC
+      }
+    }
   }
 
   // ------------------------------------------------ row ⇄ avro record
@@ -243,6 +385,21 @@ object HudiLogFiles {
 
   private def fromAvroValue(v: AnyRef, dt: DataType): Any =
     if (v == null) null
+    // delete-tombstone keys arrive as the recordKey's STRING form —
+    // re-type them to the table schema (complex-key decode path)
+    else if (v.isInstanceOf[CharSequence] && dt != StringType) dt match {
+      case BooleanType => v.toString.toBoolean
+      case ByteType => v.toString.toByte
+      case ShortType => v.toString.toShort
+      case IntegerType => v.toString.toInt
+      case LongType => v.toString.toLong
+      case FloatType => v.toString.toFloat
+      case DoubleType => v.toString.toDouble
+      case DateType => java.sql.Date.valueOf(v.toString)
+      case TimestampType => java.sql.Timestamp.valueOf(v.toString)
+      case other => throw new IllegalArgumentException(
+        s"MOR tombstone key: cannot re-type '$v' as $other")
+    }
     else dt match {
       case BooleanType | IntegerType | LongType | FloatType | DoubleType => v
       case ShortType => v.asInstanceOf[Int].toShort

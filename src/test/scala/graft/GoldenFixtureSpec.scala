@@ -79,4 +79,85 @@ class GoldenFixtureSpec extends SparkSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("CustomerKey")).head.get(0) ==
       direct.agg(org.apache.spark.sql.functions.sum("CustomerKey")).head.get(0))
   }
+
+  test("walks real Hudi-0.14-written HoodieLogFormat files byte-exact") {
+    // the demo's metadata-table logs were written by REAL Hudi 0.14 —
+    // the framing walker must parse their blocks (magic, sizes, version,
+    // type ordinals, ordinal-keyed header maps) without byte slippage
+    import graft.formats.hudi.HudiLogFiles
+    val conf = graft.util.HadoopConfs.session(spark)
+    // source-tree resources: sbt's resource copy drops dot-prefixed
+    // files, and Hudi log files are dot-prefixed by design
+    val mdir = "src/test/resources/golden/hudi_dimCustomer/" +
+      ".hoodie/metadata/files"
+    val logs = new java.io.File(mdir).listFiles()
+      .filter(_.getName.contains(".log.")).map(_.getPath).sorted.toSeq
+    assert(logs.size >= 2, s"expected metadata log fixtures in $mdir")
+    val blocks = logs.map(p => p -> HudiLogFiles.walkBlocks(conf, p))
+    // every file parses to at least one complete block
+    blocks.foreach { case (p, bs) => assert(bs.nonEmpty, s"no blocks: $p") }
+    val all = blocks.flatMap(_._2)
+    // real Hudi wrote these: instants parse from ordinal-keyed headers
+    assert(all.exists(_.instant == "00000000000000010"),
+      all.map(_.instant).toString)
+    // the fixture holds an HFILE data block (type 4) whose SCHEMA header
+    // is the HoodieMetadataRecord avro schema, and a non-data block
+    val hfile = all.find(_.blockType == HudiLogFiles.HFileDataBlock)
+    assert(hfile.isDefined, all.map(_.blockType).toString)
+    assert(hfile.get.headers(2).contains("HoodieMetadataRecord"))
+    assert(all.exists(_.blockType != HudiLogFiles.HFileDataBlock))
+    // readLogFile walks past non-avro types instead of erroring
+    logs.foreach(p => HudiLogFiles.readLogFile(conf, p))
+  }
+
+  test("graft-written MOR log round-trips through the v1 framing") {
+    // byte-level invariants a real Hudi reader depends on: magic at 0,
+    // size field covering through the trailing reverse-pointer, version
+    // 1, AVRO ordinal 3, reverse-pointer = block size minus the long
+    import graft.formats.hudi.{HudiLogFiles, HudiTimeline}
+    import org.apache.spark.sql.functions.col
+    val conf = graft.util.HadoopConfs.session(spark)
+    val dataDir = tmpDir("lfmt_data")
+    spark.read.parquet(sf("sf0.001/region.parquet")).coalesce(1)
+      .write.mode("overwrite").parquet(dataDir)
+    val table = tmpDir("lfmt_mor")
+    val src = new graft.sources.ParquetDirectorySource(spark, dataDir,
+      "region")
+    val out = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.hudi.HudiConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    HudiTimeline.setProperty(table, "hoodie.table.type", "MERGE_ON_READ")
+    val upd = spark.read.parquet(dataDir)
+      .where("r_regionkey = 0")
+      .withColumn("r_name", org.apache.spark.sql.functions.lit("ZED"))
+    assert(HudiLogFiles.upsert(spark, table, upd, Seq("r_regionkey")) == 1L)
+    assert(HudiLogFiles.deleteWhere(spark, table,
+      col("r_regionkey") === 4) == 1L)
+    val logs = new java.io.File(table).listFiles()
+      .filter(f => HudiTimeline.isLogFile(f.getName) &&
+        !f.getName.endsWith(".crc")).map(_.getPath).toSeq
+    assert(logs.size == 2, logs.toString)
+    logs.foreach { p =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p))
+      assert(new String(bytes.take(6),
+        java.nio.charset.StandardCharsets.US_ASCII) == "#HUDI#")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val size = bb.getLong(6)
+      assert(6 + 8 + size == bytes.length,
+        s"size field $size vs file ${bytes.length}")
+      assert(bb.getInt(14) == 1)                     // format version
+      val typ = bb.getInt(18)
+      assert(typ == 3 || typ == 1, s"type $typ")     // AVRO | DELETE
+      val tail = bb.getLong(bytes.length - 8)
+      assert(tail == bytes.length - 8, s"reverse pointer $tail")
+    }
+    // and the real-time merge serves the updated + tombstoned state
+    val rt = new graft.formats.hudi.HudiConversionSource(spark, table,
+      "region", "snapshot").toDataFrame
+    assert(rt.count() == 4)
+    assert(rt.where("r_regionkey = 0").select("r_name").head.getString(0)
+      == "ZED")
+  }
 }
