@@ -116,13 +116,24 @@ object DeltaWrite {
       "operationParameters" -> Map.empty))))
 
     val version = head.map(_ + 1).getOrElse(0L)
-    val ok = DeltaLog.writeCommit(tablePath, version,
-      header ++ removes ++ graft.util.StreamedLines.iterate(adds))
-    if (!ok) throw new IllegalStateException(
-      s"concurrent writer committed version $version first at $tablePath " +
-        "— re-run the write against the new head")
+    val allLines = header ++ removes ++ graft.util.StreamedLines.iterate(adds)
+    val landed =
+      if (overwrite || head.isEmpty) {
+        // overwrite replaces the WHOLE prior state and table creation
+        // writes metaData — neither commutes with an intervening commit,
+        // so both keep the strict CAS
+        val ok = DeltaLog.writeCommit(tablePath, version, allLines)
+        if (!ok) throw new IllegalStateException(
+          s"concurrent writer committed version $version first at " +
+            s"$tablePath — re-run the write against the new head")
+        version
+      } else
+        // blind appends add only fresh files: they commute with any
+        // intervening commit that doesn't change metadata/protocol —
+        // delta-spark's most-retryable transaction class
+        DeltaConflicts.commitWithRetry(spark, tablePath, version, allLines)
     prevSnap.foreach(graft.plans.SnapshotFileIndex.invalidate)
-    WriteResult(listed.size.toLong, 0L, version)
+    WriteResult(listed.size.toLong, 0L, landed)
   }
 
   /** Structural match PLUS case-insensitive field names at every

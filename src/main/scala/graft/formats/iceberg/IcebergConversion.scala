@@ -329,24 +329,54 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       }
     }
 
-    var addedCount = 0
-    var addedRows = 0L
-    pendingAdds.foreach { ds =>
-      import ds.sparkSession.implicits._
-      val schemaJson = schema.json
-      val np = s"$mdir/m-${UUID.randomUUID()}.avro"
-      val entryIt = ds.toLocalIterator().asScala.map { f =>
-        addedCount += 1; addedRows += f.recordCount
-        IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
-          snapshotId, schema)
+    // added-files manifest(s): small commits write one driver-streamed
+    // manifest (no extra job — the common incremental shape); big ones
+    // author one ADDED manifest per task with bounded entries each, so
+    // a 10^6-file full sync never serializes its adds through a single
+    // driver writer (same move as the carry-forward above)
+    pendingAdds = pendingAdds.map(_.persist())
+    val addTotal = pendingAdds.map(_.count()).getOrElse(0L)
+    if (addTotal > 0 &&
+        addTotal <= IcebergConversionTarget.DriverAddsThreshold) {
+      pendingAdds.foreach { ds =>
+        var addedCount = 0
+        var addedRows = 0L
+        val np = s"$mdir/m-${UUID.randomUUID()}.avro"
+        val entryIt = ds.toLocalIterator().asScala.map { f =>
+          addedCount += 1; addedRows += f.recordCount
+          IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
+            snapshotId, schema)
+        }
+        val len = IcebergManifests.writeManifest(np, entryIt)
+        kept += IcebergManifests.ManifestSummary(
+          np, len, snapshotId, addedCount, 0, 0, addedRows, 0L)
       }
-      val len = IcebergManifests.writeManifest(np, entryIt)
-      if (addedCount > 0) kept += IcebergManifests.ManifestSummary(
-        np, len, snapshotId, addedCount, 0, 0, addedRows, 0L)
-      else {
-        val hp = new org.apache.hadoop.fs.Path(np)
-        hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          .delete(hp, false)
+    } else if (addTotal > 0) pendingAdds.foreach { ds =>
+      import ds.sparkSession.implicits._
+      val sch = schema
+      val snapId = snapshotId
+      val md = mdir
+      val bconf = graft.util.HadoopConfs.broadcastSession(spark)
+      val nParts = math.max(1, math.min(256, math.ceil(addTotal.toDouble /
+        IcebergConversionTarget.EntriesPerManifest).toInt))
+      val summaries = ds.repartition(nParts).mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val np = s"$md/m-${UUID.randomUUID()}.avro"
+          var n = 0
+          var rows = 0L
+          val len = IcebergManifests.writeManifest(np,
+            it.map { f =>
+              n += 1; rows += f.recordCount
+              IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
+                snapId, sch)
+            }, bconf.value.value)
+          Iterator((np, len, n, rows))
+        }
+      }.collect()
+      summaries.foreach { case (p, len, n, rows) =>
+        kept += IcebergManifests.ManifestSummary(
+          p, len, snapshotId, n, 0, 0, rows, 0L)
       }
     }
 
@@ -403,6 +433,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       prev.map(_.snapshots).getOrElse(Nil) :+
         IcebergSnapshot(snapshotId, seq, now, listPath,
           syncMeta.map(_.lastInstantSynced))))
+    pendingAdds.foreach(_.unpersist())
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed metadata v$version first at $tablePath")
   }
@@ -415,6 +446,13 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
 object IcebergConversionTarget {
   /** Max manifests per snapshot before a compacting rewrite. */
   val CompactionThreshold = 16
+
+  /** Commits at or under this many adds write ONE driver-streamed
+    * manifest (no extra job); above it, one ADDED manifest per task.
+    */
+  val DriverAddsThreshold = 100000L
+  /** Target entries per executor-written ADDED manifest. */
+  val EntriesPerManifest = 200000L
 
   /** Removed-path count above which completeSync never materializes the
     * driver Set: the carry-forward switches to a distributed anti-join
