@@ -1,0 +1,80 @@
+package graft.formats.paimon
+
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.FilesDelta
+import graft.spi.SyncMetadata
+import graft.util.PathUtils
+
+/** Row-level DELETE on a Paimon table — **beyond the reference** (Paimon
+  * is source-only there), completing the row-level matrix across all
+  * four formats. Paimon's copy-on-write shape: the files holding
+  * matching rows are REWRITTEN without them, and one snapshot commits
+  * the swap as delta-manifest DELETE(victims) + ADD(replacements) —
+  * the same whole-file semantics its change feed replays.
+  *
+  * Scale shape: victims come from a keyed scan filtered to matching
+  * rows (one distributed semi-join on `__scan_path`), survivors write
+  * as one distributed parquet job routed by the table's partition
+  * columns, and the commit goes through the Paimon target's streamed
+  * manifest authoring — no row set or file list ever sits on the
+  * driver.
+  */
+object PaimonDeletes {
+
+  /** Delete every row matching `predicate`; returns the deleted count. */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: Column): Long = {
+    import spark.implicits._
+    val src = new PaimonConversionSource(spark, tablePath,
+      PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
+    val table = src.currentTable()
+    table.partitionFields.foreach(p => require(
+      p.transform == graft.model.Transform.Value,
+      s"paimon deleteWhere supports value-partitioned tables; " +
+        s"${p.partitionColumnName} uses ${p.transform}"))
+    val snap = src.currentSnapshot()
+    val keyed = graft.formats.delta.DeltaRead.toKeyedDataFrame(spark, snap)
+      .persist()
+    try {
+      val victims = keyed.filter(predicate)
+        .select(col("__scan_path")).distinct()
+      val deleted = keyed.filter(predicate).count()
+      if (deleted == 0L) return 0L
+
+      // survivors of the victim files only — untouched files stay as-is
+      val survivors = keyed
+        .join(victims, Seq("__scan_path"), "left_semi")
+        .filter(!coalesce(predicate, lit(false)))
+        .select(table.schema.fieldNames.toSeq.map(col): _*)
+      val outDir = s"${PathUtils.canonical(tablePath)}/data" +
+        s"/delete-${UUID.randomUUID()}"
+      val partCols = table.partitionFields.map(_.partitionColumnName)
+      if (partCols.isEmpty) survivors.write.parquet(outDir)
+      else survivors.write.partitionBy(partCols: _*).parquet(outDir)
+
+      val conf = graft.util.HadoopConfs.session(spark)
+      val added = graft.sources.ParquetFooters.fileEntries(spark, outDir,
+        graft.sources.ParquetFooters.listFiles(outDir, conf))
+      val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+      val removed = listing
+        .join(victims, listing("path") === victims("__scan_path"),
+          "left_semi")
+        .as[graft.model.FileEntry]
+
+      val tgt = new PaimonConversionTarget(spark, tablePath)
+      tgt.beginSync(table)
+      tgt.syncMetadata(SyncMetadata(snap.commitId, Nil,
+        graft.model.TableFormats.Paimon, table.basePath))
+      tgt.syncSchema(table.schema)
+      tgt.syncPartitionSpec(table.partitionFields)
+      tgt.syncFilesForDiff(FilesDelta(added, removed))
+      tgt.completeSync()
+      graft.plans.SnapshotFileIndex.invalidate(snap)
+      deleted
+    } finally keyed.unpersist()
+  }
+}

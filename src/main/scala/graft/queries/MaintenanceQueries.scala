@@ -325,6 +325,36 @@ object MaintenanceQueries {
       .orderBy("_change_type")
   }
 
+  /** Paimon row-level DELETE (copy-on-write file swap): sync customer
+    * to Paimon, delete the negative balances, read back through the
+    * unified reader — the committed file swap must serve exactly the
+    * surviving rows.
+    */
+  def paimonDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = graft.util.TempDirs.create("graft_pdel_data")
+    s.read.parquet(s"$dir/customer.parquet").repartition(4)
+      .write.mode("overwrite").parquet(dataDir)
+    val target = graft.util.TempDirs.create("graft_pdel_paimon")
+    val src0 = new ParquetDirectorySource(s, dataDir, "customer")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.paimon.PaimonConversionTarget(s, target)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    require(graft.formats.paimon.PaimonDeletes.deleteWhere(s, target,
+      col("c_acctbal") < 0) > 0)
+    s.read.format("graft").load(target)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val paimonDeleteWhereSql: String =
+    s"""SELECT c_mktsegment, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM customer WHERE NOT (c_acctbal < 0)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val paimonChangesFeedSql: String =
     s"""WITH feed AS (
        |  SELECT 'delete' AS _change_type, c_acctbal FROM customer

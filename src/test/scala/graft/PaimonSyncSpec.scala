@@ -72,4 +72,46 @@ class PaimonSyncSpec extends SparkSuite {
       spark, iceDir, "supplier").toDataFrame.count() ==
       spark.read.parquet(sf("sf0.001/supplier.parquet")).count())
   }
+
+  test("deleteWhere on a partitioned paimon table rewrites only victims") {
+    val dataDir = tmpDir("paimon_del_data")
+    val direct = spark.read.parquet(sf("sf0.001/supplier.parquet"))
+    direct.write.mode("overwrite").partitionBy("s_nationkey")
+      .parquet(dataDir)
+    val target = tmpDir("paimon_del")
+    val src = new ParquetDirectorySource(spark, dataDir, "supplier")
+    val r = TableFormatSync.syncSnapshot(
+      Seq(new PaimonConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(r.forall(_.status == "SUCCESS"), r.mkString(";"))
+    val before = new PaimonConversionSource(spark, target, "supplier")
+    val filesBefore = before.currentSnapshot().files.collect()
+      .map(_.path).toSet
+
+    val want = direct.filter(!(col("s_suppkey") % 3 === 0)).count()
+    val deleted = PaimonDeletes.deleteWhere(spark, target,
+      col("s_suppkey") % 3 === 0)
+    assert(deleted == direct.count() - want && deleted > 0)
+
+    val after = new PaimonConversionSource(spark, target, "supplier")
+    val got = after.toDataFrame
+    assert(got.count() == want)
+    assert(got.filter(col("s_suppkey") % 3 === 0).isEmpty)
+    // partition routing survives: per-nation counts match the oracle
+    val expect = direct.filter(!(col("s_suppkey") % 3 === 0))
+      .groupBy("s_nationkey").count().collect()
+      .map(r0 => r0.getInt(0) -> r0.getLong(1)).toMap
+    val actual = got.groupBy("s_nationkey").count().collect()
+      .map(r0 => r0.get(0).toString.toInt -> r0.getLong(1)).toMap
+    assert(actual == expect)
+    // files WITHOUT victims were not rewritten
+    val filesAfter = after.currentSnapshot().files.collect().map(_.path).toSet
+    assert(filesBefore.intersect(filesAfter).nonEmpty,
+      "every file was rewritten — deleteWhere must touch victims only")
+    // deleting nothing is a no-op (no new snapshot)
+    val snapBefore = PaimonFormat.latestSnapshotId(target)
+    assert(PaimonDeletes.deleteWhere(spark, target,
+      col("s_suppkey") < -1) == 0L)
+    assert(PaimonFormat.latestSnapshotId(target) == snapBefore)
+  }
 }
