@@ -80,6 +80,76 @@ object MaintenanceQueries {
        |FROM lineitem WHERE l_partkey <= 200
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** SHALLOW CLONE independence: the clone reads the source's files
+    * zero-copy, then a DELETE on the clone must leave the source's
+    * row count untouched while the clone serves the post-delete state.
+    */
+  def deltaShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/orders.parquet", "orders", 4,
+      "graft_clone")
+    val cloneDir = graft.util.TempDirs.create("graft_clone_dst")
+    val res = graft.formats.delta.DeltaClone.shallowClone(s, table, cloneDir)
+    require(res.files == 4, res.toString)
+    val full = new DeltaConversionSource(s, table, "orders")
+      .toDataFrame.count()
+    require(DeltaDeletes.deleteWhere(s, cloneDir,
+      col("o_orderstatus") === "F") > 0)
+    require(new DeltaConversionSource(s, table, "orders")
+      .toDataFrame.count() == full, "clone delete leaked into the source")
+    new DeltaConversionSource(s, cloneDir, "orders").toDataFrame
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val deltaShallowCloneSql: String =
+    s"""SELECT o_orderstatus, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("o_totalprice")} AS sum_price
+       |FROM orders WHERE o_orderstatus <> 'F'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Iceberg clustered rewrite (z-order REPLACE): after the rewrite a
+    * point-range predicate must prune files via the manifests' column
+    * bounds, and the rows must still match the oracle exactly.
+    */
+  def icebergZorderRead(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = graft.util.TempDirs.create("graft_icez_data")
+    s.read.parquet(s"$dir/lineitem.parquet").repartition(8)
+      .write.mode("overwrite").parquet(dataDir)
+    val ice = graft.util.TempDirs.create("graft_icez")
+    val src0 = new ParquetDirectorySource(s, dataDir, "lineitem")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, ice)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    require(graft.formats.iceberg.IcebergDeletes.rewriteWithDeletes(s, ice,
+      zorderBy = Seq("l_orderkey", "l_partkey"),
+      targetFileBytes = 256L << 10))
+    val back = new graft.formats.iceberg.IcebergConversionSource(
+      s, ice, "lineitem")
+    val snap = back.currentSnapshot()
+    // the clustered layout must make bounds selective: a small l_partkey
+    // range excludes at least one rewritten file by min/max
+    val listing = snap.files.collect()
+    val hit = listing.count(_.columnStats.exists(c =>
+      c.field == "l_partkey" && c.min.exists(_.toLong <= 200)))
+    require(listing.size > 1 && hit < listing.size,
+      s"no bounds selectivity: $hit of ${listing.size}")
+    back.toDataFrame
+      .filter(col("l_partkey") <= 200)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val icebergZorderReadSql: String =
+    s"""SELECT l_returnflag, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE l_partkey <= 200
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** The full maintenance cycle: DELETE → OPTIMIZE → ZORDER → VACUUM(0).
     * The sweep must remove the superseded in-table files (first rewrite's
     * data files + the DV files) and the final read must still match the
