@@ -329,54 +329,67 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       }
     }
 
-    // added-files manifest(s): small commits write one driver-streamed
-    // manifest (no extra job — the common incremental shape); big ones
-    // author one ADDED manifest per task with bounded entries each, so
+    // added-files manifest(s): OPTIMISTIC driver stream — the common
+    // incremental commit writes one manifest in the same single pass it
+    // always did (no extra job, no cache). Only a commit that exceeds
+    // the cap mid-stream abandons the driver manifest and re-authors
+    // distributed — one ADDED manifest per task with bounded entries, so
     // a 10^6-file full sync never serializes its adds through a single
-    // driver writer (same move as the carry-forward above)
-    pendingAdds = pendingAdds.map(_.persist())
-    val addTotal = pendingAdds.map(_.count()).getOrElse(0L)
-    if (addTotal > 0 &&
-        addTotal <= IcebergConversionTarget.DriverAddsThreshold) {
-      pendingAdds.foreach { ds =>
-        var addedCount = 0
-        var addedRows = 0L
-        val np = s"$mdir/m-${UUID.randomUUID()}.avro"
-        val entryIt = ds.toLocalIterator().asScala.map { f =>
-          addedCount += 1; addedRows += f.recordCount
-          IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
-            snapshotId, schema)
-        }
-        val len = IcebergManifests.writeManifest(np, entryIt)
+    // driver writer (same move as the carry-forward above); the rare
+    // fallback re-runs the adds lineage once, persisted for its two
+    // passes (count + write).
+    pendingAdds.foreach { ds =>
+      var addedCount = 0L
+      var addedRows = 0L
+      val np = s"$mdir/m-${UUID.randomUUID()}.avro"
+      val cap = IcebergConversionTarget.DriverAddsThreshold
+      val it = ds.toLocalIterator().asScala
+      val entryIt = it.map { f =>
+        addedCount += 1; addedRows += f.recordCount
+        IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
+          snapshotId, schema)
+      }.takeWhile(_ => addedCount <= cap)
+      val len = IcebergManifests.writeManifest(np, entryIt)
+      if (addedCount <= cap && addedCount > 0)
         kept += IcebergManifests.ManifestSummary(
-          np, len, snapshotId, addedCount, 0, 0, addedRows, 0L)
+          np, len, snapshotId, addedCount.toInt, 0, 0, addedRows, 0L)
+      else {
+        // over the cap (or empty): drop the partial driver manifest
+        val hp = new org.apache.hadoop.fs.Path(np)
+        hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(hp, false)
       }
-    } else if (addTotal > 0) pendingAdds.foreach { ds =>
-      import ds.sparkSession.implicits._
-      val sch = schema
-      val snapId = snapshotId
-      val md = mdir
-      val bconf = graft.util.HadoopConfs.broadcastSession(spark)
-      val nParts = math.max(1, math.min(256, math.ceil(addTotal.toDouble /
-        IcebergConversionTarget.EntriesPerManifest).toInt))
-      val summaries = ds.repartition(nParts).mapPartitions { it =>
-        if (!it.hasNext) Iterator.empty
-        else {
-          val np = s"$md/m-${UUID.randomUUID()}.avro"
-          var n = 0
-          var rows = 0L
-          val len = IcebergManifests.writeManifest(np,
-            it.map { f =>
-              n += 1; rows += f.recordCount
-              IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
-                snapId, sch)
-            }, bconf.value.value)
-          Iterator((np, len, n, rows))
+      if (addedCount > cap) {
+        import ds.sparkSession.implicits._
+        val sch = schema
+        val snapId = snapshotId
+        val md = mdir
+        val bconf = graft.util.HadoopConfs.broadcastSession(spark)
+        val cached = ds.persist()
+        val addTotal = cached.count()
+        val nParts = math.max(1, math.min(256,
+          math.ceil(addTotal.toDouble /
+            IcebergConversionTarget.EntriesPerManifest).toInt))
+        val summaries = cached.repartition(nParts).mapPartitions { it2 =>
+          if (!it2.hasNext) Iterator.empty
+          else {
+            val p = s"$md/m-${UUID.randomUUID()}.avro"
+            var n = 0
+            var rows = 0L
+            val len2 = IcebergManifests.writeManifest(p,
+              it2.map { f =>
+                n += 1; rows += f.recordCount
+                IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
+                  snapId, sch)
+              }, bconf.value.value)
+            Iterator((p, len2, n, rows))
+          }
+        }.collect()
+        summaries.foreach { case (p, len2, n, rows) =>
+          kept += IcebergManifests.ManifestSummary(
+            p, len2, snapshotId, n, 0, 0, rows, 0L)
         }
-      }.collect()
-      summaries.foreach { case (p, len, n, rows) =>
-        kept += IcebergManifests.ManifestSummary(
-          p, len, snapshotId, n, 0, 0, rows, 0L)
+        cached.unpersist()
       }
     }
 
@@ -433,7 +446,6 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       prev.map(_.snapshots).getOrElse(Nil) :+
         IcebergSnapshot(snapshotId, seq, now, listPath,
           syncMeta.map(_.lastInstantSynced))))
-    pendingAdds.foreach(_.unpersist())
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed metadata v$version first at $tablePath")
   }
