@@ -588,6 +588,36 @@ object HudiLogFiles {
     n
   }
 
+  /** Row-level UPDATE on a MERGE_ON_READ table: the matching real-time
+    * rows, rewritten under `assignments`, upsert as log records keyed by
+    * the table's record key — latest instant wins at merge, exactly
+    * Hudi's payload rule. Returns the updated count.
+    */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")
+    val keyCols = HudiTimeline
+      .property(tablePath, RecordKeyFieldsProp)
+      .map(_.split(',').toSeq)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"updateWhere at $tablePath needs $RecordKeyFieldsProp in " +
+          "hoodie.properties — upserts are keyed"))
+    require(!assignments.keySet.exists(keyCols.contains),
+      s"cannot update record-key columns ${keyCols.mkString(",")}")
+    val rt = new HudiConversionSource(spark, tablePath, "update-probe",
+      "snapshot").toDataFrame
+    val unknown = assignments.keySet -- rt.columns.toSet
+    require(unknown.isEmpty, s"unknown update columns: $unknown")
+    val updated = rt.filter(predicate).select(rt.columns.toSeq.map { f =>
+      assignments.get(f).map(_.as(f)).getOrElse(col(f))
+    }: _*).persist()
+    try {
+      val n = updated.count()
+      if (n == 0L) 0L else upsert(spark, tablePath, updated, keyCols)
+    } finally updated.unpersist()
+  }
+
   // -------------------------------------------------------- compaction
 
   /** Compaction: absorb every live log file (upserts AND tombstones)

@@ -96,6 +96,38 @@ object IcebergDeletes {
     * the delete that kills their originals, so readers never observe the
     * rows missing. Returns the number of updated rows.
     */
+  /** Row-level DELETE: the matching LIVE rows' (file, pos) pairs — from
+    * the delete-aware keyed scan, so rows already masked by existing
+    * deletes are never double-deleted — commit as one position-delete
+    * snapshot. Returns the deleted count. CAS on the planned metadata
+    * version; data-append races retry (see appendCommit).
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: Column): Long = {
+    val (version, m) = currentMeta(spark, tablePath)
+    val src = new IcebergConversionSource(spark, tablePath,
+      m.properties.getOrElse("graft.table-name", "table"))
+    val snap = graft.model.TableSnapshot(src.currentTable(),
+      src.filesAtSeq(m, m.headSequence), m.headSequence.toString)
+    val keyed = graft.formats.delta.DeltaRead.toKeyedDataFrame(spark, snap)
+    val live = applyDeletes(spark, keyed, m, m.headSequence, tablePath)
+    val victims = live.filter(predicate)
+      .select(col("__scan_path").as("file_path"),
+        col("__scan_pos").as("pos"))
+      .persist()
+    try {
+      val n = victims.count()
+      if (n == 0L) return 0L
+      val rows = victims
+        .select(col("file_path").cast("string"), col("pos").cast("long"))
+        .sortWithinPartitions("file_path", "pos")
+      appendCommit(spark, tablePath, rows, content = 1, equalityIds = Nil,
+        expectVersion = Some(version))
+      graft.plans.SnapshotFileIndex.invalidate(snap)
+      n
+    } finally victims.unpersist()
+  }
+
   def updateWhere(spark: SparkSession, tablePath: String,
       predicate: Column, assignments: Map[String, Column]): Long = {
     require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")

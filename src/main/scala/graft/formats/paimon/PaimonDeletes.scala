@@ -27,7 +27,22 @@ object PaimonDeletes {
 
   /** Delete every row matching `predicate`; returns the deleted count. */
   def deleteWhere(spark: SparkSession, tablePath: String,
-      predicate: Column): Long = {
+      predicate: Column): Long =
+    rewriteMatching(spark, tablePath, predicate, None)
+
+  /** Row-level UPDATE — the same copy-on-write file swap, with the
+    * matching rows rewritten under `assignments` instead of dropped.
+    * Returns the updated count.
+    */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      predicate: Column, assignments: Map[String, Column]): Long = {
+    require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")
+    rewriteMatching(spark, tablePath, predicate, Some(assignments))
+  }
+
+  private def rewriteMatching(spark: SparkSession, tablePath: String,
+      predicate: Column,
+      assignments: Option[Map[String, Column]]): Long = {
     import spark.implicits._
     val src = new PaimonConversionSource(spark, tablePath,
       PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
@@ -45,11 +60,24 @@ object PaimonDeletes {
       val deleted = keyed.filter(predicate).count()
       if (deleted == 0L) return 0L
 
-      // survivors of the victim files only — untouched files stay as-is
-      val survivors = keyed
-        .join(victims, Seq("__scan_path"), "left_semi")
-        .filter(!coalesce(predicate, lit(false)))
-        .select(table.schema.fieldNames.toSeq.map(col): _*)
+      assignments.foreach { as =>
+        val unknown = as.keySet -- table.schema.fieldNames.toSet
+        require(unknown.isEmpty, s"unknown update columns: $unknown")
+      }
+      // rewrite rows of the victim files only — untouched files stay
+      // as-is; deletes drop the matches, updates transform them in place
+      val victimRows = keyed.join(victims, Seq("__scan_path"), "left_semi")
+      val matchedCond = coalesce(predicate, lit(false))
+      val survivors = assignments match {
+        case None => victimRows.filter(!matchedCond)
+          .select(table.schema.fieldNames.toSeq.map(col): _*)
+        case Some(as) => victimRows.select(
+          table.schema.fieldNames.toSeq.map { f =>
+            as.get(f)
+              .map(a => when(matchedCond, a).otherwise(col(f)).as(f))
+              .getOrElse(col(f))
+          }: _*)
+      }
       val outDir = s"${PathUtils.canonical(tablePath)}/data" +
         s"/delete-${UUID.randomUUID()}"
       val partCols = table.partitionFields.map(_.partitionColumnName)

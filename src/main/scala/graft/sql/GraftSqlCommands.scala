@@ -49,19 +49,51 @@ object GraftSqlCommands {
     }
   }
 
+  /** DELETE/UPDATE route by the table's detected format — one SQL
+    * surface over the whole row-level matrix (Delta DVs, Iceberg
+    * position deletes, Hudi MOR log records, Paimon file swaps).
+    */
   case class DeleteCommand(path: String, predicateSql: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("deleted_rows")
-    override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(DeltaDeletes.deleteWhere(spark, path, expr(predicateSql))))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val pred = expr(predicateSql)
+      val n = graft.sources.CatalogConversionSource.detectFormat(path) match {
+        case "DELTA" => DeltaDeletes.deleteWhere(spark, path, pred)
+        case "ICEBERG" =>
+          graft.formats.iceberg.IcebergDeletes.deleteWhere(spark, path, pred)
+        case "HUDI" =>
+          graft.formats.hudi.HudiLogFiles.deleteWhere(spark, path, pred)
+        case "PAIMON" =>
+          graft.formats.paimon.PaimonDeletes.deleteWhere(spark, path, pred)
+        case other => throw new IllegalArgumentException(
+          s"GRAFT DELETE: unsupported table format $other at $path")
+      }
+      Seq(Row(n))
+    }
   }
 
   case class UpdateCommand(path: String, assignments: Seq[(String, String)],
       predicateSql: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("updated_rows")
-    override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(DeltaDeletes.updateWhere(spark, path, expr(predicateSql),
-        assignments.map { case (c, e) => c -> expr(e) }.toMap)))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val pred = expr(predicateSql)
+      val as = assignments.map { case (c, e) => c -> expr(e) }.toMap
+      val n = graft.sources.CatalogConversionSource.detectFormat(path) match {
+        case "DELTA" => DeltaDeletes.updateWhere(spark, path, pred, as)
+        case "ICEBERG" =>
+          graft.formats.iceberg.IcebergDeletes.updateWhere(spark, path,
+            pred, as)
+        case "HUDI" =>
+          graft.formats.hudi.HudiLogFiles.updateWhere(spark, path, pred, as)
+        case "PAIMON" =>
+          graft.formats.paimon.PaimonDeletes.updateWhere(spark, path,
+            pred, as)
+        case other => throw new IllegalArgumentException(
+          s"GRAFT UPDATE: unsupported table format $other at $path")
+      }
+      Seq(Row(n))
+    }
   }
 
   case class RollbackCommand(path: String, sequence: Long)
@@ -82,6 +114,17 @@ object GraftSqlCommands {
       if (drop) IcebergRefs.dropRef(spark, path, name)
       else IcebergRefs.createRef(spark, path, name, refType, atSeq)
       Seq(Row(name))
+    }
+  }
+
+  /** SHALLOW CLONE through SQL: `GRAFT CLONE 'src' TO 'dst'
+    * [AT VERSION n]`. */
+  case class CloneCommand(src: String, dst: String,
+      versionAsOf: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("files", "version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = DeltaClone.shallowClone(spark, src, dst, versionAsOf)
+      Seq(Row(r.files, r.version))
     }
   }
 

@@ -20,8 +20,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT VACUUM '<table>' [RETAIN <n> HOURS]
   *   GRAFT RESTORE '<table>' TO VERSION <n>
   *   GRAFT ROLLBACK '<table>' TO SEQUENCE <n>        -- Iceberg
-  *   GRAFT DELETE FROM '<table>' WHERE <predicate>
+  *   GRAFT DELETE FROM '<table>' WHERE <predicate>   -- any format
   *   GRAFT UPDATE '<table>' SET c = <expr> [, ...] WHERE <predicate>
+  *   GRAFT CLONE '<src>' TO '<dst>' [AT VERSION <n>] -- Delta shallow clone
   *   GRAFT SYNC PARQUET '<srcdir>' AS <name> TO <delta|iceberg|hudi|paimon> '<target>'
   *   GRAFT CREATE <BRANCH|TAG> <name> ON '<table>' [AT SEQUENCE <n>]
   *   GRAFT DROP <BRANCH|TAG> <name> ON '<table>'
@@ -48,6 +49,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Update: Regex =
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""".r
+  private val Clone: Regex =
+    """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*(?:AT\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val Sync: Regex =
     """(?is)\s*GRAFT\s+SYNC\s+PARQUET\s+'([^']+)'\s+AS\s+(\w+)\s+TO\s+(\w+)\s+'([^']+)'\s*;?\s*""".r
   private val CreateRef: Regex =
@@ -117,6 +120,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case None => throw new IllegalArgumentException(
           "GRAFT UPDATE requires a WHERE clause (outside quotes)")
       }
+    case Clone(srcPath, dstPath, v) =>
+      CloneCommand(srcPath, dstPath, Option(v).map(_.toLong))
     case Sync(srcPath, name, fmt, tgtPath) =>
       SyncCommand(srcPath, name, fmt, tgtPath)
     case CreateRef(kind, name, path, seq) =>
@@ -127,7 +132,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
       throw new IllegalArgumentException(
         s"unrecognized GRAFT statement: $other — supported: OPTIMIZE, " +
-          "VACUUM, RESTORE, ROLLBACK, DELETE FROM, UPDATE")
+          "VACUUM, RESTORE, ROLLBACK, DELETE FROM, UPDATE, CLONE, SYNC")
     case other => delegate.parsePlan(other)
   }
 

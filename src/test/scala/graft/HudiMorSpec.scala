@@ -298,4 +298,27 @@ class HudiMorSpec extends SparkSuite {
     assert(empty.count() == 0 &&
       empty.columns.contains("_commit_instant"))
   }
+
+  test("updateWhere rewrites matching rows as keyed log upserts") {
+    val dir = morTable()
+    val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))
+    // pin the record key via a first upsert
+    HudiLogFiles.upsert(spark, dir,
+      nation.where("n_nationkey = 2"), Seq("n_nationkey"))
+    val n = HudiLogFiles.updateWhere(spark, dir,
+      col("n_regionkey") === 1,
+      Map("n_name" -> org.apache.spark.sql.functions.lit("RENAMED")))
+    val expect = nation.where("n_regionkey = 1").count()
+    assert(n == expect && n > 0)
+    val rt = new HudiConversionSource(spark, dir, "nation", "snapshot")
+      .toDataFrame
+    assert(rt.count() == nation.count())
+    assert(rt.where("n_name = 'RENAMED'").count() == expect)
+    assert(rt.where("n_regionkey = 1 AND n_name <> 'RENAMED'").count() == 0)
+    // key columns are not updatable
+    intercept[IllegalArgumentException] {
+      HudiLogFiles.updateWhere(spark, dir, col("n_regionkey") === 1,
+        Map("n_nationkey" -> org.apache.spark.sql.functions.lit(99L)))
+    }
+  }
 }

@@ -113,6 +113,53 @@ class SqlSurfaceSpec extends SparkSuite {
       Seq("a" -> "f(x, y)", "b" -> "'q,r'", "c" -> "1"))
   }
 
+  test("DELETE/UPDATE route by table format; CLONE forks zero-copy") {
+    // ICEBERG: position-delete commit + equality-update through one SQL
+    val iceData = tmpDir("sqlx_ice_data")
+    spark.read.parquet(sf("sf0.001") + "/nation.parquet").repartition(2)
+      .write.mode("overwrite").parquet(iceData)
+    val ice = tmpDir("sqlx_ice")
+    gs.sql(s"GRAFT SYNC PARQUET '$iceData' AS nation TO iceberg '$ice'")
+      .collect()
+    val delIce = gs.sql(
+      s"GRAFT DELETE FROM '$ice' WHERE n_nationkey % 5 = 0")
+      .head().getLong(0)
+    assert(delIce > 0)
+    val updIce = gs.sql(s"GRAFT UPDATE '$ice' SET n_regionkey = 9 " +
+      "WHERE n_nationkey = 1").head().getLong(0)
+    assert(updIce == 1)
+    val iceBack = new graft.formats.iceberg.IcebergConversionSource(
+      spark, ice, "nation").toDataFrame
+    assert(iceBack.where("n_nationkey % 5 = 0").count() == 0)
+    assert(iceBack.where("n_nationkey = 1").head()
+      .getAs[Number]("n_regionkey").intValue() == 9)
+
+    // PAIMON: copy-on-write swap through the same statements
+    val pai = tmpDir("sqlx_pai")
+    gs.sql(s"GRAFT SYNC PARQUET '$iceData' AS nation TO paimon '$pai'")
+      .collect()
+    assert(gs.sql(s"GRAFT DELETE FROM '$pai' WHERE n_nationkey % 5 = 0")
+      .head().getLong(0) > 0)
+    assert(gs.sql(s"GRAFT UPDATE '$pai' SET n_regionkey = 9 " +
+      "WHERE n_nationkey = 1").head().getLong(0) == 1)
+    val paiBack = new graft.formats.paimon.PaimonConversionSource(
+      spark, pai, "nation").toDataFrame
+    assert(paiBack.where("n_nationkey % 5 = 0").count() == 0)
+    assert(paiBack.where("n_nationkey = 1").head()
+      .getAs[Number]("n_regionkey").intValue() == 9)
+
+    // CLONE: zero-copy fork with independent history
+    val base = deltaTable("sqlx_clone")
+    val dst = tmpDir("sqlx_clone_dst") + "/t"
+    val cloned = gs.sql(s"GRAFT CLONE '$base' TO '$dst'").head()
+    assert(cloned.getLong(0) > 0 && cloned.getLong(1) == 0L)
+    gs.sql(s"GRAFT DELETE FROM '$dst' WHERE n_nationkey >= 0").collect()
+    assert(new DeltaConversionSource(spark, dst, "nation")
+      .toDataFrame.count() == 0)
+    assert(new DeltaConversionSource(spark, base, "nation")
+      .toDataFrame.count() > 0)
+  }
+
   test("UPDATE's WHERE boundary is quote- and paren-aware") {
     val p = new graft.sql.GraftSqlParser(null)
     // a ' where ' INSIDE the SET value must not end the SET clause
