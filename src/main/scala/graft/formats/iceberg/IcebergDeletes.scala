@@ -89,13 +89,6 @@ object IcebergDeletes {
         s"equality column $c not in table schema at $tablePath")))
   }
 
-  /** UPDATE via a row delta: rows matching `predicate` are masked by an
-    * equality delete on the full row tuple and the re-written rows land
-    * as data files AT THE SAME SEQUENCE NUMBER in the SAME snapshot — the
-    * spec's `delete seq > data seq` rule makes the replacements survive
-    * the delete that kills their originals, so readers never observe the
-    * rows missing. Returns the number of updated rows.
-    */
   /** Row-level DELETE: the matching LIVE rows' (file, pos) pairs — from
     * the delete-aware keyed scan, so rows already masked by existing
     * deletes are never double-deleted — commit as one position-delete
@@ -128,6 +121,13 @@ object IcebergDeletes {
     } finally victims.unpersist()
   }
 
+  /** UPDATE via a row delta: rows matching `predicate` are masked by an
+    * equality delete on the full row tuple and the re-written rows land
+    * as data files AT THE SAME SEQUENCE NUMBER in the SAME snapshot — the
+    * spec's `delete seq > data seq` rule makes the replacements survive
+    * the delete that kills their originals, so readers never observe the
+    * rows missing. Returns the number of updated rows.
+    */
   def updateWhere(spark: SparkSession, tablePath: String,
       predicate: Column, assignments: Map[String, Column]): Long = {
     require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")
@@ -319,10 +319,11 @@ object IcebergDeletes {
     }
   }
 
-  private def appendCommit(spark: SparkSession, tablePath: String,
+  private[iceberg] def appendCommit(spark: SparkSession, tablePath: String,
       rows: DataFrame, content: Int, equalityIds: Seq[Int],
       dataDir: Option[String] = None, replace: Boolean = false,
-      expectVersion: Option[Long] = None): Unit = {
+      expectVersion: Option[Long] = None,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     // retryable past pure data appends: data-only appends and POSITION
     // deletes (they name their files explicitly); equality deletes and
     // replaces must fail on any intervening commit (see appendOnlySince)
@@ -414,6 +415,7 @@ object IcebergDeletes {
         lastSequenceNumber = seq,
         lastUpdatedMs = now,
         currentSnapshotId = snapshotId,
+        properties = m.properties ++ extraProps,
         // no sourceIdentifier: this is a row-level write, not a sync — the
         // target's corrupt-commit rollback must never touch it
         snapshots = m.snapshots :+

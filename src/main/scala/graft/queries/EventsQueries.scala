@@ -401,4 +401,59 @@ object EventsQueries {
     s"""SELECT event_type, count(*) AS cnt,
        |  ${Gate.sumMeasureSql("value")} AS sum_v
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exactly-once streaming sink into ICEBERG — the Delta sink's twin:
+    * a first half seeds the table through a sync, the second half
+    * arrives as micro-batches through the txn-stamped append, and a
+    * deliberate REPLAY of batch 0 must be skipped. The read-back
+    * aggregate matches the full events table only if every batch landed
+    * exactly once.
+    */
+  def streamingIcebergSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = graft.util.TempDirs.create("graft_isink_stage")
+    val seedDir = graft.util.TempDirs.create("graft_isink_seed")
+    val table = graft.util.TempDirs.create("graft_isink_ice")
+    val ckpt = graft.util.TempDirs.create("graft_isink_ckpt")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    raw.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(seedDir)
+    val src0 = new graft.sources.ParquetDirectorySource(s, seedDir, "events")
+    val outcomes = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    // second half arrives as TWO micro-batches (maxFilesPerTrigger=1)
+    Seq(0, 1).foreach { half =>
+      raw.filter(col("event_id") % 2 === 1 && col("user_id") % 2 === half)
+        .coalesce(1).write.parquet(s"$stage/half-$half")
+      val part = new java.io.File(s"$stage/half-$half").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(stage, s"batch-$half.parquet"))
+    }
+    val stream = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = graft.formats.iceberg.IcebergStreamSink
+      .writeStream(stream, table, ckpt, appId = "graft_isink_gate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // replay: a restarted stream re-offers batch 0 — must be a no-op
+    require(!graft.formats.iceberg.IcebergStreamSink.appendBatch(s, table,
+      raw.filter(col("event_id") % 2 === 1 && col("user_id") % 2 === 0),
+      "graft_isink_gate", 0L),
+      "replayed micro-batch was not skipped")
+    new graft.formats.iceberg.IcebergConversionSource(s, table, "events")
+      .toDataFrame
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Gate.sumMeasure(col("value")).as("sum_v"))
+      .orderBy("event_type")
+  }
+
+  val streamingIcebergSinkSql: String =
+    s"""SELECT event_type, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("value")} AS sum_v
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }
