@@ -47,12 +47,44 @@ object DeltaOptimize {
     * compaction would not help (a single small file and no DVs) are left
     * alone. Returns what was rewritten; no-op → no commit.
     */
+  /** Restrict a rewrite's candidate listing to the partitions matching
+    * `whereSql` (partition columns only — the delta-spark OPTIMIZE WHERE
+    * rule): at 100 TB you compact the partitions that churned, never the
+    * whole table. Each partition value surfaces as a typed column so the
+    * predicate resolves naturally; a predicate naming a non-partition
+    * column fails analysis loudly.
+    */
+  private def filterByPartition(snap: graft.model.TableSnapshot,
+      listing: Dataset[FileEntry], whereSql: Option[String])
+      : Dataset[FileEntry] = whereSql match {
+    case None => listing
+    case Some(w) =>
+      import listing.sparkSession.implicits._
+      val partCols = snap.table.partitionFields.map(_.partitionColumnName)
+      require(partCols.nonEmpty,
+        s"OPTIMIZE/ZORDER WHERE needs a partitioned table; " +
+          s"${snap.table.basePath} is unpartitioned")
+      val schema = snap.table.schema
+      val cols = listing.columns.toSeq
+      val withVals = partCols.foldLeft(listing.toDF()) { (df, pc) =>
+        val raw = element_at(
+          filter(col("partitionValues"), p => p("field") === lit(pc)), 1)
+          .getField("value")
+        val typed = schema.fields.find(_.name == pc)
+          .map(f => raw.cast(f.dataType)).getOrElse(raw)
+        df.withColumn(pc, typed)
+      }
+      withVals.filter(expr(w)).select(cols.map(col): _*).as[FileEntry]
+  }
+
   def compact(spark: SparkSession, tablePath: String,
       targetFileBytes: Long = 128L << 20,
-      minFileBytes: Long = 32L << 20): RewriteResult = {
+      minFileBytes: Long = 32L << 20,
+      where: Option[String] = None): RewriteResult = {
     import spark.implicits._
     val snap = sourceOf(spark, tablePath).currentSnapshot()
-    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+    val listing = filterByPartition(snap,
+      graft.plans.SnapshotFileIndex.listingFor(snap), where)
 
     // partition key = canonical partitionValues rendering; a partition is
     // eligible when compaction changes its layout: >=2 small files to
@@ -84,8 +116,13 @@ object DeltaOptimize {
     val rows = DeltaRead.toDataFrame(spark, sub)
     val nOut = math.max(1L, (oldBytes + targetFileBytes - 1) / targetFileBytes)
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
+      .filter(rows.columns.contains)   // generated cols re-derive later
+    // co-locate each partition's rows in few tasks, sized by output
+    // bytes — leaving the task layout as read would re-emit one file per
+    // input split and compact nothing
     val packed =
-      if (partCols.nonEmpty) rows // partitionBy routes; tasks stay as read
+      if (partCols.nonEmpty)
+        rows.repartition(nOut.toInt, partCols.map(col): _*)
       else rows.repartition(nOut.toInt)
     val wrote = commitRewrite(spark, tablePath, snap, candidates, packed,
       "optimize")
@@ -100,7 +137,8 @@ object DeltaOptimize {
     * on any of them.
     */
   def zorderBy(spark: SparkSession, tablePath: String, cols: Seq[String],
-      targetFileBytes: Long = 128L << 20): RewriteResult = {
+      targetFileBytes: Long = 128L << 20,
+      where: Option[String] = None): RewriteResult = {
     import spark.implicits._
     require(cols.nonEmpty && cols.size <= 4,
       s"zorderBy takes 1..4 columns, got ${cols.size}")
@@ -109,13 +147,18 @@ object DeltaOptimize {
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"zorder column $c is not in the table schema " +
         schema.fieldNames.mkString("[", ",", "]")))
-    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+    val listing = filterByPartition(snap,
+      graft.plans.SnapshotFileIndex.listingFor(snap), where)
       .localCheckpoint()
     if (listing.isEmpty) return NoOp
     val agg = listing.agg(count(lit(1)), sum("fileSizeBytes")).head()
     val (nOld, oldBytes) = (agg.getLong(0), agg.getLong(1))
 
-    val rows = DeltaRead.toDataFrame(spark, snap)
+    // rows of ONLY the selected files (whole table when no WHERE)
+    val sub =
+      if (where.isEmpty) snap
+      else snap.copy(files = listing, commitId = snap.commitId + "-zw")
+    val rows = DeltaRead.toDataFrame(spark, sub)
     val z = graft.operators.ZOrder.zValue(rows, cols)
     val nOut = math.max(1L, (oldBytes + targetFileBytes - 1) / targetFileBytes)
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
@@ -127,6 +170,7 @@ object DeltaOptimize {
       .drop("__zval")
     val wrote = commitRewrite(spark, tablePath, snap,
       listing, clustered, "zorder")
+    if (where.isDefined) graft.plans.SnapshotFileIndex.invalidate(sub)
     RewriteResult(nOld, oldBytes, wrote)
   }
 

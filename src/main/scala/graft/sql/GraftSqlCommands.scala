@@ -19,13 +19,15 @@ object GraftSqlCommands {
   private def out(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, LongType, nullable = false)())
 
-  case class OptimizeCommand(path: String, zorderBy: Seq[String])
+  case class OptimizeCommand(path: String, zorderBy: Seq[String],
+      where: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("rewrote", "wrote")
     override def run(spark: SparkSession): Seq[Row] = {
       val r =
-        if (zorderBy.isEmpty) DeltaOptimize.compact(spark, path)
-        else DeltaOptimize.zorderBy(spark, path, zorderBy)
+        if (zorderBy.isEmpty) DeltaOptimize.compact(spark, path,
+          where = where)
+        else DeltaOptimize.zorderBy(spark, path, zorderBy, where = where)
       Seq(Row(r.rewrote, r.wrote))
     }
   }

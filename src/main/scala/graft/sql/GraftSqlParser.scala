@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * own parser untouched. Grammar (paths are single-quoted strings):
   *
   * {{{
-  *   GRAFT OPTIMIZE '<table>' [ZORDER BY (c1, c2, ...)]
+  *   GRAFT OPTIMIZE '<table>' [ZORDER BY (c1, c2, ...)] [WHERE <partition predicate>]
   *   GRAFT VACUUM '<table>' [RETAIN <n> HOURS]
   *   GRAFT RESTORE '<table>' TO VERSION <n>
   *   GRAFT ROLLBACK '<table>' TO SEQUENCE <n>        -- Iceberg
@@ -38,7 +38,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlCommands._
 
   private val Optimize: Regex =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val Vacuum: Regex =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val Restore: Regex =
@@ -105,9 +105,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(path, zcols) =>
+    case Optimize(path, zcols, wpred) =>
       OptimizeCommand(path, Option(zcols).toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+        Option(wpred).map(_.trim).filter(_.nonEmpty))
     case Vacuum(path, hours) =>
       VacuumCommand(path, Option(hours).map(_.toLong).getOrElse(168L))
     case Restore(path, v) => RestoreCommand(path, v.toLong)

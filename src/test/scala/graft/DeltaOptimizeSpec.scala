@@ -174,6 +174,46 @@ class DeltaOptimizeSpec extends SparkSuite {
   private def UTF8StringLit(s: String) =
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
 
+  test("OPTIMIZE WHERE touches only the matching partitions") {
+    import org.apache.spark.sql.functions._
+    val dataDir = tmpDir("opt_where_data")
+    spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .repartition(3)   // 3 small files per partition directory
+      .write.mode("overwrite").partitionBy("c_mktsegment")
+      .parquet(dataDir)
+    val table = syncToDelta(dataDir, "customer")
+    def src() = new DeltaConversionSource(spark, table, "customer")
+    val before = src().currentSnapshot().files.collect()
+    def partOf(f: graft.model.FileEntry) =
+      f.partitionValues.find(_.field == "c_mktsegment").get.value
+    val target = before.map(partOf).head
+
+    val res = DeltaOptimize.compact(spark, table, minFileBytes = 1L << 20,
+      where = Some(s"c_mktsegment = '$target'"))
+    assert(res.rewrote == before.count(f => partOf(f) == target),
+      res.toString)
+    val after = src().currentSnapshot().files.collect()
+    // untouched partitions keep their exact files
+    assert(after.filter(f => partOf(f) != target).map(_.path).sorted.toSeq
+      == before.filter(f => partOf(f) != target).map(_.path).sorted.toSeq)
+    // the matching partition compacted to fewer files, rows intact
+    assert(after.count(f => partOf(f) == target) < res.rewrote)
+    assert(src().toDataFrame.count() ==
+      spark.read.parquet(sf("sf0.001") + "/customer.parquet").count())
+    // predicate on a non-partition column refuses at analysis
+    intercept[Exception] {
+      DeltaOptimize.compact(spark, table, minFileBytes = 1L << 20,
+        where = Some("c_custkey = 1"))
+    }
+    // and through SQL, with ZORDER
+    val gs = graft.sql.GraftSql.session(spark)
+    val z = gs.sql(s"GRAFT OPTIMIZE '$table' ZORDER BY (c_custkey) " +
+      s"WHERE c_mktsegment = '$target'").head()
+    assert(z.getLong(0) >= 1)
+    assert(src().toDataFrame.count() ==
+      spark.read.parquet(sf("sf0.001") + "/customer.parquet").count())
+  }
+
   test("zorder on a tiny table survives an empty quantile sample") {
     // 5 rows: the 25% seeded sample can come back empty — the cut pass
     // must fall back to the full frame, not degenerate to constant keys
