@@ -63,8 +63,13 @@ object IcebergMaintenance {
     val m = IcebergMetadata.read(tablePath, version)
 
     val manifestLists = m.snapshots.map(_.manifestList)
-    val manifests: Seq[String] =
-      manifestLists.flatMap(IcebergManifests.readManifestList)
+    // ALL manifests — data AND delete (content 1): readManifestList's
+    // data-only filter would drop the delete manifests from the keep
+    // set, the sweep would remove them, and every position/equality
+    // delete would silently resurrect its rows
+    val manifests: Seq[String] = manifestLists
+      .flatMap(IcebergManifests.readManifestListRecords)
+      .map(_.get("manifest_path").toString)
     val bconf = HadoopConfs.broadcastSession(spark)
     val referencedData: Dataset[String] =
       if (manifests.isEmpty) spark.emptyDataset[String]

@@ -32,13 +32,31 @@ object GraftSqlCommands {
     }
   }
 
+  /** VACUUM routes by format: Delta sweeps unreferenced files past the
+    * retention; Iceberg expires old snapshots (keeping one) then removes
+    * orphans past the retention; Hudi cleans superseded file slices
+    * beyond the latest retained instants.
+    */
   case class VacuumCommand(path: String, retainHours: Long)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("deleted")
     override def run(spark: SparkSession): Seq[Row] = {
-      val r = DeltaVacuum.vacuum(spark, path,
-        retentionMillis = retainHours * 3600L * 1000L)
-      Seq(Row(r.deleted))
+      val millis = retainHours * 3600L * 1000L
+      val n = graft.sources.CatalogConversionSource.detectFormat(path) match {
+        case "DELTA" =>
+          DeltaVacuum.vacuum(spark, path, retentionMillis = millis).deleted
+        case "ICEBERG" =>
+          graft.formats.iceberg.IcebergMaintenance
+            .expireSnapshots(path, retainLast = 1)
+          graft.formats.iceberg.IcebergMaintenance
+            .removeOrphanFiles(spark, path, retentionMillis = millis).deleted
+        case "HUDI" =>
+          graft.formats.hudi.HudiMaintenance
+            .clean(spark, path, retainInstants = 1).deleted
+        case other => throw new IllegalArgumentException(
+          s"GRAFT VACUUM: unsupported table format $other at $path")
+      }
+      Seq(Row(n))
     }
   }
 

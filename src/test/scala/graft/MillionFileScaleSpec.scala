@@ -237,6 +237,28 @@ class MillionFileScaleSpec extends SparkSuite {
     assert(incSec < 120, s"incremental too slow: $incSec")
   }
 
+  test("1M files: shallow clone streams adds, zero data IO") {
+    import spark.implicits._
+    val srcTable = tmpDir("mm_clone_src")
+    val schema = spark.read.parquet(sf("sf0.001/region.parquet")).schema
+    val desc = TableDescriptor("mm", TableFormats.Delta, srcTable, schema,
+      Seq(PartitionFieldSpec("p", Transform.Value)),
+      Layout.HivePartitioned, 0L)
+    drive(new DeltaConversionTarget(spark, srcTable), desc, "1")(
+      _.syncFilesForSnapshot(entries(0L, n).toDF().as[FileEntry]))
+
+    val dst = tmpDir("mm_clone_dst") + "/t"
+    val t0 = System.nanoTime()
+    val res = graft.formats.delta.DeltaClone.shallowClone(spark,
+      srcTable, dst)
+    val cloneSec = (System.nanoTime() - t0) / 1e9
+    assert(res.files == n)
+    assert(new DeltaConversionSource(spark, dst, "mm")
+      .currentSnapshot().files.count() == n)
+    info(f"delta 1M: shallow clone $cloneSec%.1fs")
+    assert(cloneSec < 120, s"clone too slow: $cloneSec")
+  }
+
   test("1M files: paimon sync with executor-side manifests and compaction") {
     import spark.implicits._
     val target = tmpDir("mm_paimon")

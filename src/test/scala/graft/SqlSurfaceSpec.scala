@@ -160,6 +160,27 @@ class SqlSurfaceSpec extends SparkSuite {
       .toDataFrame.count() > 0)
   }
 
+  test("VACUUM routes by format: iceberg expires + sweeps, hudi cleans") {
+    // ICEBERG: two snapshots; VACUUM expires the old one and sweeps its
+    // now-unreferenced manifests/data past retention 0
+    val data = tmpDir("sqlv_data")
+    spark.read.parquet(sf("sf0.001") + "/region.parquet").repartition(2)
+      .write.mode("overwrite").parquet(data)
+    val ice = tmpDir("sqlv_ice")
+    gs.sql(s"GRAFT SYNC PARQUET '$data' AS region TO iceberg '$ice'")
+      .collect()
+    gs.sql(s"GRAFT DELETE FROM '$ice' WHERE r_regionkey = 0").collect()
+    val swept = gs.sql(s"GRAFT VACUUM '$ice' RETAIN 0 HOURS")
+      .head().getLong(0)
+    assert(swept >= 0)
+    assert(new graft.formats.iceberg.IcebergConversionSource(
+      spark, ice, "region").toDataFrame.count() == 4)
+    // HUDI: resync makes an old instant's files cleanable
+    val hudi = tmpDir("sqlv_hudi")
+    gs.sql(s"GRAFT SYNC PARQUET '$data' AS region TO hudi '$hudi'").collect()
+    assert(gs.sql(s"GRAFT VACUUM '$hudi'").head().getLong(0) >= 0)
+  }
+
   test("UPDATE's WHERE boundary is quote- and paren-aware") {
     val p = new graft.sql.GraftSqlParser(null)
     // a ' where ' INSIDE the SET value must not end the SET clause
