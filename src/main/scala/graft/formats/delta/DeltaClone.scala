@@ -59,9 +59,26 @@ object DeltaClone {
             .asInstanceOf[org.apache.spark.sql.types.StructType],
           fe.recordCount, fe.columnStats))))
     })
+    // the clone's protocol is the SOURCE's protocol as of the cloned
+    // version (delta-spark CLONE semantics): the copied schemaString /
+    // configuration may reference column mapping, CHECK constraints or
+    // v7 table features, and a hardcoded (1,2) log would use features its
+    // protocol doesn't license — invalid per PROTOCOL.md §Table Features
+    val srcVersions = DeltaLog.listVersions(srcPath, conf)
+      .filter(_ <= snap.commitId.toLong)
+    val proto = DeltaSnapshot.protocolInfo(spark, srcPath, srcVersions)
+      .getOrElse(DeltaSnapshot.ProtocolInfo(1, 2, Nil, Nil))
+    val protoMap: Map[String, Any] = Map(
+      "minReaderVersion" -> proto.minReaderVersion,
+      "minWriterVersion" -> proto.minWriterVersion) ++
+      (if (proto.minWriterVersion >= 7)
+         Map("writerFeatures" -> proto.writerFeatures.distinct.sorted)
+       else Map.empty) ++
+      (if (proto.minReaderVersion >= 3)
+         Map("readerFeatures" -> proto.readerFeatures.distinct.sorted)
+       else Map.empty)
     val header = Iterator(
-      Jsons.toJson(Map("protocol" ->
-        Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))),
+      Jsons.toJson(Map("protocol" -> protoMap)),
       Jsons.toJson(Map("metaData" -> Map(
         "id" -> UUID.randomUUID().toString,     // a NEW table identity
         // schema AS OF the cloned snapshot, not the source head

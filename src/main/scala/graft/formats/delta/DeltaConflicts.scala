@@ -1,13 +1,15 @@
 package graft.formats.delta
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
+import java.nio.file.{Files, Paths => JPaths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
 
+import graft.plans.StatSkipping
 import graft.util.{HadoopConfs, Jsons}
 
 /** Optimistic commit-conflict retry — delta-spark's ConflictChecker
@@ -17,45 +19,90 @@ import graft.util.{HadoopConfs, Jsons}
   * intervening commit
   *
   *  - carries NO `metaData` or `protocol` action (schema, properties or
-  *    feature changes invalidate any planned commit), and
+  *    feature changes invalidate any planned commit),
   *  - touches a file set DISJOINT from this commit's adds+removes
   *    (overlap means the two operations acted on the same data — a
-  *    blind re-land would resurrect removed files or double-apply).
+  *    blind re-land would resurrect removed files or double-apply), and
+  *  - for READ-based commits (DELETE/UPDATE pass their predicate as a
+  *    [[ReadFootprint]]) adds NO dataChange file that could match the
+  *    predicate — delta-spark's Serializable check: a delete re-landing
+  *    past an append whose rows match the predicate would silently let
+  *    those rows escape the delete. Stats-provably-missing adds (the
+  *    file's min/max exclude every predicate bound) are admitted, which
+  *    is what lets two deletes over disjoint key ranges both land.
   *
   * True conflicts still fail loudly with the original message shape.
   *
-  * Scale shape: the commit's action lines spool to a local temp file
-  * ONCE (a retry replays bytes, never the upstream lineage — DV scans,
-  * footer reads), and the disjointness probe is a distributed join
-  * between the spool and the intervening commit files; the driver holds
-  * no path set on either side.
+  * Scale shape: the commit's action lines are written EXACTLY ONCE — the
+  * spool lives in the table's log directory so the version CAS is a
+  * hard-link of the spool itself (no second copy of the commit bytes,
+  * the round-9 double-write is gone); a retry replays the same spool,
+  * never the upstream lineage (DV scans, footer reads). The
+  * disjointness/predicate probes are distributed joins between the
+  * spool and the intervening commit files; the driver holds no path set
+  * on either side.
   */
 object DeltaConflicts {
 
-  val MaxRetries = 3
+  // generous on purpose: each retry replays the local spool (no lineage
+  // re-run), and a writer under heavy contention NEEDS the headroom —
+  // delta-spark's default is effectively unbounded (10^7)
+  val MaxRetries = 10
+
+  /** The read side of a read-modify-write commit: the snapshot schema
+    * plus the predicate's compiled stat bounds (None = uncompilable —
+    * every intervening dataChange add conflicts, the conservative
+    * Serializable outcome).
+    */
+  case class ReadFootprint(schema: StructType,
+      skipping: Option[StatSkipping])
+
+  /** Compile a delete/update predicate into its stat-bound footprint by
+    * resolving it against an empty relation of the snapshot schema.
+    * Analysis failure or an uncompilable shape → `skipping = None`.
+    */
+  def footprintOf(spark: SparkSession, schema: StructType,
+      predicate: Column): ReadFootprint = {
+    val skipping =
+      try {
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+        val conds = empty.filter(predicate).queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+        StatSkipping.compile(conds, schema)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    ReadFootprint(schema, skipping)
+  }
 
   /** Commit `lines` at `plannedVersion`, retrying past non-conflicting
     * intervening commits; returns the version that actually landed.
     */
   def commitWithRetry(spark: SparkSession, tablePath: String,
-      plannedVersion: Long, lines: Iterator[String]): Long = {
+      plannedVersion: Long, lines: Iterator[String],
+      read: Option[ReadFootprint] = None): Long = {
     val conf = HadoopConfs.session(spark)
-    val spool = Files.createTempFile("graft-commit-", ".jsonl")
+    val logDir = JPaths.get(DeltaLog.logPath(tablePath))
+    Files.createDirectories(logDir)
+    // the ONE write pass of the commit bytes: in the log directory, so
+    // publishing is a hard-link of this very file (same filesystem); the
+    // name matches no commit/checkpoint pattern, so log readers skip it
+    val spool = Files.createTempFile(logDir, "graft-spool-", ".jsonl")
     try {
       val w = Files.newBufferedWriter(spool, StandardCharsets.UTF_8)
       try lines.foreach { l => w.write(l); w.write('\n') } finally w.close()
       var version = plannedVersion
       var attempt = 0
       while (attempt <= MaxRetries) {
-        val src = Files.lines(spool)
-        val ok = try DeltaLog.writeCommit(tablePath, version,
-          src.iterator().asScala) finally src.close()
-        if (ok) return version
+        if (DeltaLog.publishCommitFile(tablePath, version, spool))
+          return version
         attempt += 1
         val head = DeltaLog.latestVersion(tablePath, conf).getOrElse(version)
         val intervening = DeltaLog.listVersions(tablePath, conf)
           .filter(v => v >= version && v <= head)
-        checkReconcilable(spark, tablePath, intervening, spool.toString)
+        checkReconcilable(spark, tablePath, intervening, spool.toString, read)
         version = head + 1
       }
       throw new IllegalStateException(
@@ -74,10 +121,13 @@ object DeltaConflicts {
   }
 
   /** Loud failure unless every intervening commit is reconcilable with
-    * the spooled commit (no metadata/protocol change, disjoint files).
+    * the spooled commit (no metadata/protocol change, disjoint files,
+    * and — for read-based commits — no dataChange add that could match
+    * the read predicate).
     */
   private def checkReconcilable(spark: SparkSession, tablePath: String,
-      versions: Seq[Long], spoolPath: String): Unit = {
+      versions: Seq[Long], spoolPath: String,
+      read: Option[ReadFootprint]): Unit = {
     import spark.implicits._
     def fail(why: String): Nothing = throw new IllegalStateException(
       s"concurrent writer committed version(s) ${versions.mkString(",")} " +
@@ -88,10 +138,15 @@ object DeltaConflicts {
         versions.map(v => DeltaLog.versionFile(tablePath, v)): _*)
       .mapPartitions(_.map { l =>
         val n = Jsons.mapper.readTree(l)
+        val add = Option(n.get("add"))
         (n.has("metaData"),
           Option(n.get("protocol")).map(_.toString),
-          Option(n.get("add")).map(_.get("path").asText)
-            .orElse(Option(n.get("remove")).map(_.get("path").asText)))
+          add.map(_.get("path").asText)
+            .orElse(Option(n.get("remove")).map(_.get("path").asText)),
+          add.exists(a =>
+            Option(a.get("dataChange")).exists(_.asBoolean)),
+          add.flatMap(a => Option(a.get("stats")).map(_.asText))
+            .getOrElse(""))
       }).persist()
     try {
       if (!theirs.filter(_._1).isEmpty) fail("table metadata changed")
@@ -117,6 +172,28 @@ object DeltaConflicts {
       val clash = ourPaths
         .join(theirPaths, col("p") === col("q")).limit(1).count()
       if (clash > 0) fail("overlapping file sets")
+      // Serializable read check: any intervening dataChange add whose
+      // stats cannot PROVE the read predicate misses it means the delete
+      // or update would have read those rows — re-landing would let them
+      // escape (delta-spark raises ConcurrentAppendException here)
+      read.foreach { rp =>
+        val schemaJson = rp.schema.json
+        val sk = rp.skipping
+        val possiblyRead = theirs.filter(_._4).map(_._5)
+          .mapPartitions { it =>
+            val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+            it.map { statsJson =>
+              sk match {
+                case None => true            // uncompilable: assume read
+                case Some(s) =>
+                  s.keepStats(DeltaStats.parse(sch, statsJson)._2)
+              }
+            }
+          }.filter((b: Boolean) => b)
+        if (!possiblyRead.isEmpty)
+          fail("concurrent append added rows the operation's predicate " +
+            "may have read")
+      }
     } finally theirs.unpersist()
   }
 }

@@ -67,7 +67,13 @@ object DeltaDeletes {
             else writeCdcFiles(spark, snap, pinned
               .drop("__scan_path", "__scan_pos")
               .withColumn("_change_type", lit("delete")), "delete")
-          commit(spark, tablePath, plan, "DELETE", cdc)
+          // the predicate is this commit's READ footprint: on a conflict
+          // retry, an intervening append whose rows may match it must
+          // fail the re-land (Serializable), not silently escape the
+          // delete; stats-provably-missing appends still reconcile
+          commit(spark, tablePath, plan, "DELETE", cdc,
+            Some(DeltaConflicts.footprintOf(spark, snap.table.schema,
+              predicate)))
           plan.nDeleted
       }
     } finally if (cdf) pinned.unpersist()
@@ -116,7 +122,9 @@ object DeltaDeletes {
               .unionByName(rewritten
                 .withColumn("_change_type", lit("update_postimage"))),
               "update")
-          commit(spark, tablePath, plan, "UPDATE", newAdds ++ cdc)
+          commit(spark, tablePath, plan, "UPDATE", newAdds ++ cdc,
+            Some(DeltaConflicts.footprintOf(spark, snap.table.schema,
+              predicate)))
           plan.nDeleted
       }
     } finally matched.unpersist()
@@ -490,7 +498,8 @@ object DeltaDeletes {
 
   private[graft] def commit(spark: SparkSession, tablePath: String,
       plan: DeletePlan, operation: String,
-      extraLines: Iterator[String]): Unit = {
+      extraLines: Iterator[String],
+      read: Option[DeltaConflicts.ReadFootprint] = None): Unit = {
     import spark.implicits._
     val tp = plan.snap.table.basePath
     val now = System.currentTimeMillis()
@@ -541,7 +550,7 @@ object DeltaDeletes {
     // files, metadata/protocol change) still fail loudly
     val version = plan.snap.commitId.toLong + 1
     DeltaConflicts.commitWithRetry(spark, tablePath, version,
-      header ++ dvIt ++ extraLines)
+      header ++ dvIt ++ extraLines, read)
     graft.plans.SnapshotFileIndex.invalidate(plan.snap)
   }
 }

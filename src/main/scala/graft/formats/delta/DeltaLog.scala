@@ -117,6 +117,32 @@ object DeltaLog {
       json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Put-if-absent publish of an ALREADY-WRITTEN commit file without
+    * consuming it: the content file (expected in the log directory, i.e.
+    * the same filesystem) is hard-linked as the version file, so the
+    * commit bytes are written exactly once and the caller keeps `content`
+    * as its conflict-retry spool. Returns false when a concurrent writer
+    * won the version.
+    */
+  def publishCommitFile(tablePath: String, version: Long,
+      content: java.nio.file.Path): Boolean = {
+    val target = JPaths.get(versionFile(tablePath, version))
+    Files.createDirectories(target.getParent)
+    if (Files.exists(target)) return false
+    try { Files.createLink(target, content); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        // no hard links on this filesystem: fall back to copy + atomic
+        // publish — the copy is the price of keeping the spool, paid
+        // only on this rare path
+        val tmp = Files.createTempFile(target.getParent,
+          s".$version", ".json.tmp")
+        Files.copy(content, tmp, StandardCopyOption.REPLACE_EXISTING)
+        graft.util.AtomicFiles.publish(tmp, target)
+    }
+  }
+
   /** Atomically write one commit file; returns false if the version already
     * exists (concurrent writer won).
     */

@@ -233,7 +233,12 @@ object DeltaOptimize {
       "operationParameters" -> Map("kind" -> prefix)))))
     def streamOf(ds: Dataset[String]) = graft.util.StreamedLines.iterate(ds)
     // disjoint intervening commits re-land via the conflict retry; a
-    // commit touching the files being compacted still fails loudly
+    // commit touching the files being compacted still fails loudly.
+    // Deliberately NO ReadFootprint: OPTIMIZE rewrites bytes without row
+    // semantics, so re-landing past a concurrent append is sound (the
+    // appended file stays live, untouched) — delta-spark runs OPTIMIZE
+    // at SnapshotIsolation for exactly this reason, vs the Serializable
+    // predicate check deletes/updates get in DeltaDeletes.commit
     val version = snap.commitId.toLong + 1
     DeltaConflicts.commitWithRetry(spark, tablePath, version,
       header ++ streamOf(removes) ++ streamOf(adds))

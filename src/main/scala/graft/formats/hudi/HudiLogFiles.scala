@@ -156,8 +156,20 @@ object HudiLogFiles {
           .schema().getElementType
         val list = new java.util.ArrayList[GenericRecord]()
         records.foreach { r =>
+          // Hudi's complex-key wire form has no escaping, so a ','/':'
+          // inside a key VALUE is unrepresentable — rebuilding the key on
+          // read would split wrong and the tombstone would miss (row
+          // resurrects at merge). Refuse loudly at write time.
           val key = r.getSchema.getFields.asScala
-            .map(f => s"${f.name}:${r.get(f.name)}").mkString(",")
+            .map { f =>
+              val v = String.valueOf(r.get(f.name))
+              require(!v.contains(',') && !v.contains(':'),
+                s"record-key value '${f.name}'='$v' contains ',' or ':' " +
+                  "— Hudi's complex-key delete-block encoding cannot " +
+                  "represent it unambiguously; re-key the table on " +
+                  "delimiter-free columns")
+              s"${f.name}:$v"
+            }.mkString(",")
           val d = new GenericData.Record(itemSchema)
           d.put("recordKey", key)
           list.add(d)
@@ -300,11 +312,27 @@ object HudiLogFiles {
           wrapper.get("deleteRecordList")
             .asInstanceOf[java.util.List[GenericRecord]].asScala.toSeq
             .map { d =>
-              val pairs = Option(d.get("recordKey")).map(_.toString)
-                .getOrElse("").split(',').toSeq
-                .filter(_.contains(':'))
-                .map { kv =>
+              val raw = Option(d.get("recordKey")).map(_.toString)
+                .getOrElse("")
+              // complex-form `field:value[,field:value]`; a bare value
+              // (Hudi SimpleKeyGenerator) binds to the single key column
+              // from the block's schema header; anything else malformed
+              // is a LOUD failure — silently dropping a fragment loses
+              // the delete and resurrects the row at merge
+              val pairs: Seq[(String, String)] =
+                if (!raw.contains(':')) keySchemaOpt match {
+                  case Some(ks) if ks.getFields.size == 1 =>
+                    Seq(ks.getFields.get(0).name -> raw)
+                  case _ => throw new IllegalStateException(
+                    s"malformed delete-block recordKey '$raw' in $path: " +
+                      "no field:value fragments and no single-column " +
+                      "schema header to bind a bare key value")
+                }
+                else raw.split(",", -1).toSeq.map { kv =>
                   val i = kv.indexOf(':')
+                  if (i < 0) throw new IllegalStateException(
+                    s"malformed delete-block recordKey fragment '$kv' " +
+                      s"(full key '$raw') in $path — expected field:value")
                   kv.substring(0, i) -> kv.substring(i + 1)
                 }
               // key-only record over a string-typed view of the key

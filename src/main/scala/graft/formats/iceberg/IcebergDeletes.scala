@@ -319,16 +319,28 @@ object IcebergDeletes {
     }
   }
 
+  /** Returns false ONLY when `txnGuard = Some(key -> id)` finds the
+    * table already stamped with `properties(key) >= id` — the
+    * exactly-once replay skip, re-checked against EVERY metadata read
+    * (initial and each conflict retry), so a concurrent/zombie replay of
+    * the same batch that lands between our reads cannot commit twice.
+    */
   private[iceberg] def appendCommit(spark: SparkSession, tablePath: String,
       rows: DataFrame, content: Int, equalityIds: Seq[Int],
       dataDir: Option[String] = None, replace: Boolean = false,
       expectVersion: Option[Long] = None,
-      extraProps: Map[String, String] = Map.empty): Unit = {
+      extraProps: Map[String, String] = Map.empty,
+      txnGuard: Option[(String, Long)] = None): Boolean = {
     // retryable past pure data appends: data-only appends and POSITION
     // deletes (they name their files explicitly); equality deletes and
     // replaces must fail on any intervening commit (see appendOnlySince)
     val retryable = !replace && content != 2 && equalityIds.isEmpty
+    def txnAlreadyCommitted(meta: IcebergTableMetadata): Boolean =
+      txnGuard.exists { case (key, id) =>
+        meta.properties.get(key).exists(_.toLong >= id)
+      }
     var (version, m) = currentMeta(spark, tablePath)
+    if (txnAlreadyCommitted(m)) return false
     expectVersion.filter(_ != version).foreach { v =>
       val plannedSeq = IcebergMetadata.read(tablePath, v).lastSequenceNumber
       if (!(retryable && appendOnlySince(m, plannedSeq)))
@@ -387,7 +399,7 @@ object IcebergDeletes {
     // nothing staged (empty delete set, empty data write): no snapshot —
     // a zero-entry delete manifest would trip requireNoDeleteManifests
     // on a table with no actual live deletes
-    if (deleteFiles.isEmpty && dataFiles.isEmpty) return
+    if (deleteFiles.isEmpty && dataFiles.isEmpty) return true
 
     var attempt = 0
     while (true) {
@@ -421,10 +433,14 @@ object IcebergDeletes {
         snapshots = m.snapshots :+
           IcebergSnapshot(snapshotId, seq, now, listPath, None,
             if (replace) "replace" else "append")))
-      if (ok) return
+      if (ok) return true
       attempt += 1
       val baseSeq = m.lastSequenceNumber
       val (v2, m2) = currentMeta(spark, tablePath)
+      // exactly-once recheck BEFORE deciding to re-land: if the commit
+      // that beat us (or any since) already carries our txn stamp, this
+      // is a replay racing itself — skip, never duplicate
+      if (txnAlreadyCommitted(m2)) return false
       if (attempt > IcebergDeletes.MaxCommitRetries ||
           !(retryable && appendOnlySince(m2, baseSeq)))
         throw new IllegalStateException(
@@ -433,6 +449,7 @@ object IcebergDeletes {
             "exhausted — re-run against the new snapshot")
       version = v2; m = m2
     }
+    true
   }
 
   val MaxCommitRetries = 3

@@ -42,10 +42,16 @@ object IcebergStreamSink {
       return false
     val dataDir = s"$tablePath/data/stream-${UUID.randomUUID()}"
     batch.write.parquet(dataDir)
+    // txnGuard re-checks the stamp against EVERY metadata read inside the
+    // commit (initial + each conflict retry): a concurrent/zombie replay
+    // of this same batch landing between our check above and the CAS is
+    // detected there and this attempt aborts (returns false) instead of
+    // re-landing the rows past the intervening commit — strict
+    // exactly-once, mirroring the Delta sink's CAS + restart recheck
     IcebergDeletes.appendCommit(spark, tablePath, rows = null,
       content = 0, equalityIds = Nil, dataDir = Some(dataDir),
-      extraProps = Map(txnKey(appId) -> batchId.toString))
-    true
+      extraProps = Map(txnKey(appId) -> batchId.toString),
+      txnGuard = Some(txnKey(appId) -> batchId))
   }
 
   /** Wire a streaming DataFrame into the sink: `foreachBatch` with the

@@ -97,6 +97,26 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
       latest)
   }
 
+  /** Time travel: table state as of a historical snapshot id — schema
+    * resolved through the snapshot's own schemaId (a later evolution
+    * must not leak backwards), files from the same base ∪ delta
+    * reconciliation every snapshot read uses.
+    */
+  def snapshotAt(id: Long): TableSnapshot = {
+    val head = latest
+    require(id >= 1 && id <= head,
+      s"no Paimon snapshot $id at $tablePath (head is $head)")
+    val snap = PaimonFormat.readSnapshot(tablePath, id)
+    val schema = PaimonFormat.readSchema(tablePath, snap.schemaId)
+    val table = TableDescriptor(tableName, "PAIMON",
+      PathUtils.canonical(tablePath), schema.schema,
+      schema.partitionKeys.map(k => PartitionFieldSpec(k, Transform.Value)),
+      if (schema.partitionKeys.nonEmpty) Layout.HivePartitioned
+      else Layout.Flat,
+      id)
+    TableSnapshot(table, listingAt(id), id.toString)
+  }
+
   override def currentSnapshot(): TableSnapshot =
     TableSnapshot(currentTable(), listingAt(latest), latest.toString)
 
@@ -140,10 +160,20 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
   private var syncMeta: Option[SyncMetadata] = None
   private var pendingAdds: Option[Dataset[FileEntry]] = None
   private var pendingRemoves: Option[Dataset[FileEntry]] = None
+  private var expectedBase: Option[Long] = None
+
+  /** CAS guard for read-modify-write commits (deleteWhere/updateWhere):
+    * the caller planned its victim set against snapshot `id`, and the
+    * commit must FAIL — not silently rebase — if another writer advanced
+    * the table past it, else a concurrent rewrite of a victim file
+    * resurrects deleted rows or duplicates updated ones.
+    */
+  def expectBaseSnapshot(id: Long): Unit = expectedBase = Some(id)
 
   override def beginSync(t: TableDescriptor): Unit = {
     table = t; schema = t.schema
     pendingAdds = None; pendingRemoves = None
+    expectedBase = None
   }
   override def syncMetadata(m: SyncMetadata): Unit = syncMeta = Some(m)
   override def syncSchema(s: StructType): Unit = schema = s
@@ -169,6 +199,13 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val prevId = PaimonFormat.latestSnapshotId(tablePath)
+    expectedBase.foreach { planned =>
+      if (prevId.getOrElse(0L) != planned)
+        throw new IllegalStateException(
+          s"concurrent writer advanced $tablePath from snapshot $planned " +
+            s"to ${prevId.getOrElse(0L)} since this row-level operation " +
+            "planned its file set — re-run against the new snapshot")
+    }
     val id = prevId.map(_ + 1).getOrElse(1L)
     val mdir = PaimonFormat.manifestDir(tablePath)
 

@@ -95,6 +95,11 @@ object PaimonDeletes {
 
       val tgt = new PaimonConversionTarget(spark, tablePath)
       tgt.beginSync(table)
+      // CAS against the PLANNING snapshot: victims were scanned at
+      // `snap`; a commit landing before ours must fail the swap loudly
+      // (never silently rebase — a concurrent rewrite of a victim file
+      // would resurrect deleted rows), mirroring the Delta/Iceberg paths
+      tgt.expectBaseSnapshot(snap.commitId.toLong)
       tgt.syncMetadata(SyncMetadata(snap.commitId, Nil,
         graft.model.TableFormats.Paimon, table.basePath))
       tgt.syncSchema(table.schema)

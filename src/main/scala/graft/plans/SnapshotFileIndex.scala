@@ -244,9 +244,13 @@ object SnapshotFileIndex {
   * Conservative: any shape it cannot prove excluded keeps the file.
   */
 case class StatSkipping(bounds: Seq[StatSkipping.Bound]) extends Serializable {
-  def keep(f: FileEntry): Boolean = {
+  def keep(f: FileEntry): Boolean = keepStats(f.columnStats)
+
+  /** Same admission test over bare per-column stats (e.g. parsed from a
+    * Delta add action's stats JSON, outside any FileEntry).
+    */
+  def keepStats(stats: Seq[graft.model.FileColumnStat]): Boolean = {
     if (bounds.isEmpty) return true
-    val stats = f.columnStats
     bounds.forall { b =>
       stats.find(_.field == b.field) match {
         case None => true                    // no stats for the column: keep

@@ -333,4 +333,96 @@ class ConcurrencySpec extends SparkSuite {
     assert(new graft.formats.iceberg.IcebergConversionSource(
       spark, target, "region").toDataFrame.count() == 3 * rows.count())
   }
+
+  test("delete re-land past a concurrent append: Serializable predicate check") {
+    import org.apache.spark.sql.functions.col
+    // delta-spark's ConcurrentAppendException semantics: a deleteWhere
+    // losing its CAS to an APPEND may re-land only when the appended
+    // file's stats PROVE the delete predicate misses it; an append whose
+    // rows may match must fail the retry (else those rows silently
+    // escape the delete)
+    val t = twoFileDelta("serializable_delta")
+    val conf = graft.util.HadoopConfs.session(spark)
+
+    // footprint of `r_regionkey = 0`
+    val fp = DeltaConflicts.footprintOf(spark,
+      spark.read.parquet(sf("sf0.001/region.parquet")).schema,
+      col("r_regionkey") === 0)
+    assert(fp.skipping.isDefined)
+
+    def addLine(path: String, mn: Int, mx: Int): String =
+      s"""{"add":{"path":"$path","partitionValues":{},"size":10,""" +
+        s""""modificationTime":1,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"r_regionkey\\":$mn},""" +
+        s"""\\"maxValues\\":{\\"r_regionkey\\":$mx}}"}}"""
+
+    // intervening append provably OUTSIDE the predicate (keys 7..9): the
+    // delete-shaped commit re-lands
+    val head = DeltaLog.latestVersion(t, conf).get
+    assert(DeltaLog.writeCommit(t, head + 1,
+      Iterator("""{"commitInfo":{"operation":"WRITE"}}""",
+        addLine("fresh_hi.parquet", 7, 9))))
+    val landed = DeltaConflicts.commitWithRetry(spark, t, head + 1, Iterator(
+      """{"commitInfo":{"operation":"DELETE"}}""",
+      """{"remove":{"path":"lo.parquet","deletionTimestamp":2,"dataChange":true}}"""),
+      read = Some(fp))
+    assert(landed == head + 2, s"landed $landed")
+
+    // intervening append whose range COVERS key 0: the retry must fail
+    val head2 = DeltaLog.latestVersion(t, conf).get
+    assert(DeltaLog.writeCommit(t, head2 + 1,
+      Iterator("""{"commitInfo":{"operation":"WRITE"}}""",
+        addLine("fresh_lo.parquet", 0, 1))))
+    val e = intercept[IllegalStateException] {
+      DeltaConflicts.commitWithRetry(spark, t, head2 + 1, Iterator(
+        """{"commitInfo":{"operation":"DELETE"}}""",
+        """{"remove":{"path":"hi.parquet","deletionTimestamp":3,"dataChange":true}}"""),
+        read = Some(fp))
+    }
+    assert(e.getMessage.contains("predicate"), e.getMessage)
+
+    // an append with NO stats is indistinguishable from a match: conflict
+    val head3 = DeltaLog.latestVersion(t, conf).get
+    assert(DeltaLog.writeCommit(t, head3 + 1,
+      Iterator("""{"commitInfo":{"operation":"WRITE"}}""",
+        """{"add":{"path":"fresh_nostats.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}""")))
+    val e2 = intercept[IllegalStateException] {
+      DeltaConflicts.commitWithRetry(spark, t, head3 + 1, Iterator(
+        """{"commitInfo":{"operation":"DELETE"}}""",
+        """{"remove":{"path":"nonexistent.parquet","deletionTimestamp":4,"dataChange":true}}"""),
+        read = Some(fp))
+    }
+    assert(e2.getMessage.contains("predicate"), e2.getMessage)
+  }
+
+  test("iceberg stream sink: replayed batch skips even through the retry path") {
+    import org.apache.spark.sql.functions.lit
+    val target = tmpDir("icestream_replay")
+    val src = new ParquetDirectorySource(spark,
+      sf("sf0.001/region.parquet"), "region")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    val base = new graft.formats.iceberg.IcebergConversionSource(
+      spark, target, "region").toDataFrame.count()
+
+    import graft.formats.iceberg.IcebergStreamSink
+    assert(IcebergStreamSink.appendBatch(spark, target, rows, "appA", 0L))
+    // plain replay of the same batch id: skipped
+    assert(!IcebergStreamSink.appendBatch(spark, target, rows, "appA", 0L))
+    // zombie-replay shape: the stamp for batch 1 lands via a CONCURRENT
+    // commit after this attempt's first metadata read — appendCommit's
+    // txnGuard recheck must abort the re-land instead of duplicating.
+    // Direct form: stamp batch 1, then drive appendCommit with an
+    // expectVersion that forces the retry path while the stamp is newer.
+    assert(IcebergStreamSink.appendBatch(spark, target, rows, "appA", 1L))
+    assert(!IcebergStreamSink.appendBatch(spark, target, rows, "appA", 1L))
+    val got = new graft.formats.iceberg.IcebergConversionSource(
+      spark, target, "region").toDataFrame.count()
+    assert(got == base + 2 * rows.count(), s"got $got")
+    assert(IcebergStreamSink.lastTxnVersion(spark, target, "appA")
+      .contains(1L))
+  }
 }

@@ -61,6 +61,35 @@ class HudiMorSpec extends SparkSuite {
     assert(HudiLogFiles.readLogFile(conf, path).size == 2)
   }
 
+  test("delete-block keys: delimiter values refused on write, malformed loud on read") {
+    val dir = tmpDir("hudi_log_delkeys")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    val avro = graft.model.AvroSchemas.fromSpark(schema)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def rec(k: String) = HudiLogFiles.rowToRecord(
+      org.apache.spark.sql.Row(k), schema, avro)
+
+    // a key VALUE holding the wire delimiters cannot round-trip through
+    // Hudi's complex-key form — the writer must refuse, not corrupt
+    Seq("a,b", "a:b").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        HudiLogFiles.writeLogFile(conf, s"$dir/.bad_100.log.1_0-1-1",
+          avro, "200", Iterator(rec(bad)), HudiLogFiles.DeleteBlock)
+      }
+      assert(e.getMessage.contains("record-key"), e.getMessage)
+    }
+
+    // clean values round-trip as tombstones in complex field:value form
+    val path = s"$dir/.ok_100.log.1_0-1-1"
+    HudiLogFiles.writeLogFile(conf, path, avro, "200",
+      Iterator(rec("x1"), rec("x2")), HudiLogFiles.DeleteBlock)
+    val got = HudiLogFiles.readLogFile(conf, path)
+    assert(got.forall(_._3) && got.map(_._2.get("k").toString) ==
+      Seq("x1", "x2"))
+  }
+
   test("upsert writes log files; real-time merges, RO view unchanged") {
     val dir = morTable()
     val nation = spark.read.parquet(sf("sf0.001/nation.parquet"))

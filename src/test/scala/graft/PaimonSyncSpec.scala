@@ -114,4 +114,38 @@ class PaimonSyncSpec extends SparkSuite {
       col("s_suppkey") < -1) == 0L)
     assert(PaimonFormat.latestSnapshotId(target) == snapBefore)
   }
+
+  test("paimon copy-on-write commit CAS: stale planning snapshot fails loudly") {
+    // a deleteWhere plans its victim set against snapshot N; if another
+    // writer lands N+1 before the swap commits, the commit must FAIL —
+    // a silent rebase could resurrect rows a concurrent commit rewrote
+    val dataDir = tmpDir("paimon_cas_data")
+    val direct = spark.read.parquet(sf("sf0.001/region.parquet"))
+    direct.write.mode("overwrite").parquet(dataDir)
+    val target = tmpDir("paimon_cas")
+    val src = new ParquetDirectorySource(spark, dataDir, "region")
+    val r = TableFormatSync.syncSnapshot(
+      Seq(new PaimonConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(r.forall(_.status == "SUCCESS"), r.mkString(";"))
+
+    val planned = PaimonFormat.latestSnapshotId(target).get
+    val tgt = new PaimonConversionTarget(spark, target)
+    val table = new PaimonConversionSource(spark, target, "region")
+      .currentTable()
+    tgt.beginSync(table)
+    tgt.expectBaseSnapshot(planned - 1)   // stale: someone advanced us
+    tgt.syncSchema(table.schema)
+    tgt.syncPartitionSpec(table.partitionFields)
+    tgt.syncFilesForDiff(graft.model.FilesDelta(
+      spark.emptyDataset[graft.model.FileEntry](
+        org.apache.spark.sql.Encoders.product[graft.model.FileEntry]),
+      spark.emptyDataset[graft.model.FileEntry](
+        org.apache.spark.sql.Encoders.product[graft.model.FileEntry])))
+    val e = intercept[IllegalStateException](tgt.completeSync())
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // the happy path (matching snapshot) still commits via deleteWhere
+    assert(PaimonDeletes.deleteWhere(spark, target,
+      col("r_regionkey") === 0) == 1L)
+  }
 }

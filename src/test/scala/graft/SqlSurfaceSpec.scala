@@ -160,6 +160,29 @@ class SqlSurfaceSpec extends SparkSuite {
       .toDataFrame.count() > 0)
   }
 
+  test("CLONE copies the source protocol, not a hardcoded (1,2)") {
+    import org.apache.spark.sql.functions.col
+    val base = deltaTable("sqlx_clone_proto")
+    // drive the source onto the table-features protocol: deleteWhere
+    // raises to (3,7) with deletionVectors, OPTIMIZE then retires the
+    // live DVs so the clone refusal doesn't trip
+    assert(graft.formats.delta.DeltaDeletes.deleteWhere(spark, base,
+      col("n_nationkey") === 0) == 1L)
+    graft.formats.delta.DeltaOptimize.compact(spark, base)
+    val conf = graft.util.HadoopConfs.session(spark)
+    val srcProto = DeltaSnapshot.protocolInfo(spark, base,
+      DeltaLog.listVersions(base, conf)).get
+    assert(srcProto.minWriterVersion >= 7 &&
+      srcProto.writerFeatures.contains("deletionVectors"), srcProto.toString)
+
+    val dst = tmpDir("sqlx_clone_proto_dst") + "/t"
+    graft.formats.delta.DeltaClone.shallowClone(spark, base, dst)
+    val dstProto = DeltaSnapshot.protocolInfo(spark, dst,
+      DeltaLog.listVersions(dst, conf)).get
+    assert(dstProto == srcProto,
+      s"clone protocol $dstProto != source $srcProto")
+  }
+
   test("VACUUM routes by format: iceberg expires + sweeps, hudi cleans") {
     // ICEBERG: two snapshots; VACUUM expires the old one and sweeps its
     // now-unreferenced manifests/data past retention 0
