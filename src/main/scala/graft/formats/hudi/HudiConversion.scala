@@ -276,6 +276,27 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     TableSnapshot(currentTable(), toFileEntries(liveStats(last)), last)
   }
 
+  /** Time travel: table state as of a historical instant (reference
+    * ITConversionController time-travel equivalence :454-506). The
+    * schema/partition spec come from the commits up to the instant (not
+    * the head — a later evolution must not leak backwards), the files
+    * from the same timeline fold every snapshot read uses.
+    */
+  def snapshotAt(instant: String): TableSnapshot = {
+    val at = instants.filter(_ <= instant)
+    require(at.nonEmpty,
+      s"no Hudi instant at or before '$instant' at $tablePath")
+    val upTo = at.last
+    checkQueryTypeServable(upTo)
+    val commits = commitsUpTo(upTo)
+    val spec = specFromTimeline(commits)
+    val table = TableDescriptor(tableName, TableFormats.Hudi,
+      PathUtils.canonical(tablePath), schemaFromTimeline(commits), spec,
+      if (spec.nonEmpty) Layout.HivePartitioned else Layout.Flat,
+      upTo.toLong)
+    TableSnapshot(table, toFileEntries(liveStats(upTo)), upTo)
+  }
+
   /** Live listing from timeline metadata only (no footer reads): record
     * counts from writeStats, no column stats. Used for diffing against an
     * incoming snapshot, where opening data files — possibly already deleted
@@ -386,12 +407,21 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
   private var syncMeta: Option[SyncMetadata] = None
   private var pendingAdds: Option[Dataset[FileEntry]] = None
   private var pendingRemoves: Option[Dataset[FileEntry]] = None
+  private var extraStamps: Map[String, String] = Map.empty
 
   private def source = new HudiConversionSource(spark, tablePath, "target")
+
+  /** Extra extraMetadata entries for the NEXT commit — the hook the
+    * exactly-once streaming sink uses to stamp its (appId, batchId) txn
+    * marker onto the same commit that lands the batch's files.
+    */
+  def stampCommit(kvs: (String, String)*): Unit =
+    extraStamps = extraStamps ++ kvs
 
   override def beginSync(t: TableDescriptor): Unit = {
     table = t; schema = t.schema
     pendingAdds = None; pendingRemoves = None
+    extraStamps = Map.empty
     if (!HudiTimeline.exists(tablePath))
       HudiTimeline.writeProperties(tablePath, t.name)
   }
@@ -481,7 +511,8 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
       HudiIdTracking.trackingJson(schema)
         .map(j => Map(HudiIdTracking.Key -> j)).getOrElse(Map.empty) ++
       syncMeta.map(m => Map(SyncMetadata.PropertyKey -> m.toJson))
-        .getOrElse(Map.empty)
+        .getOrElse(Map.empty) ++
+      extraStamps
 
     val ok = HudiTimeline.writeCommitStreamed(tablePath, instant, action,
       statLines, replaceLines, extra)

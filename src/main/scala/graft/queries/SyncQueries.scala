@@ -1348,4 +1348,94 @@ object SyncQueries {
   }
 
   val avroSourceSyncSql: String = syncParquetToPaimonSql
+
+  /** Hudi time travel through the UNIFIED reader (reference
+    * ITConversionController.java:454-506 exercises historical-instant
+    * reads across formats): two commits (f1, then f1+f2), then
+    * `versionAsOf = <first instant>` AND `timestampAsOf = <epoch of the
+    * first instant>` must both serve exactly commit 1's rows while the
+    * head serves both files.
+    */
+  def timeTravelHudi(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = graft.util.TempDirs.create("graft_tth_data")
+    val hudiDir = graft.util.TempDirs.create("graft_tth_hudi")
+    val srcFile = Paths.get(s"$dir/region.parquet")
+    def addFile(name: String, mtime: Long): Unit = {
+      Files.copy(srcFile, Paths.get(dataDir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(dataDir, name).toFile.setLastModified(mtime)
+    }
+    def psrc = new ParquetDirectorySource(s, dataDir, "region")
+    val tgt = new graft.formats.hudi.HudiConversionTarget(s, hudiDir)
+    def commit(): Unit = {
+      val o = TableFormatSync.syncSnapshot(Seq(tgt),
+        psrc.currentSnapshot(), psrc.sourceFormat)
+      require(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    }
+    addFile("f1.parquet", 1000000L)
+    commit()
+    addFile("f2.parquet", 2000000L)
+    commit()
+    val instants = graft.formats.hudi.HudiTimeline.listInstants(hudiDir)
+    require(instants.size == 2, instants.toString)
+    val v1 = s.read.format("graft")
+      .option("versionAsOf", instants.head).load(hudiDir)
+      .agg(count(lit(1)).as("v1_rows"))
+    // the first instant is real formatted wall-clock: its own epoch is a
+    // deterministic cut BETWEEN the commits (instant2 is strictly later)
+    val cut = java.time.Instant.from(graft.formats.hudi.HudiTimeline
+      .InstantFormat.parse(instants.head)).toEpochMilli
+    val ts = s.read.format("graft")
+      .option("timestampAsOf", cut.toString).load(hudiDir)
+      .agg(count(lit(1)).as("ts_rows"))
+    val latest = s.read.format("graft").load(hudiDir)
+      .agg(count(lit(1)).as("latest_rows"))
+    v1.crossJoin(ts).crossJoin(latest)
+  }
+
+  val timeTravelHudiSql: String =
+    """SELECT count(*) AS v1_rows, count(*) AS ts_rows,
+      |  2*count(*) AS latest_rows FROM region""".stripMargin
+
+  /** Paimon time travel through the unified reader: snapshot ids resolve
+    * via `versionAsOf`, wall-clock via `timestampAsOf` against the
+    * snapshots' recorded timeMillis.
+    */
+  def timeTravelPaimon(s: SparkSession, dir: String): DataFrame = {
+    val dataDir = graft.util.TempDirs.create("graft_ttp_data")
+    val paiDir = graft.util.TempDirs.create("graft_ttp_paimon")
+    val srcFile = Paths.get(s"$dir/region.parquet")
+    def addFile(name: String, mtime: Long): Unit = {
+      Files.copy(srcFile, Paths.get(dataDir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(dataDir, name).toFile.setLastModified(mtime)
+    }
+    def psrc = new ParquetDirectorySource(s, dataDir, "region")
+    val tgt = new graft.formats.paimon.PaimonConversionTarget(s, paiDir)
+    def commit(): Unit = {
+      val o = TableFormatSync.syncSnapshot(Seq(tgt),
+        psrc.currentSnapshot(), psrc.sourceFormat)
+      require(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    }
+    addFile("f1.parquet", 1000000L)
+    commit()
+    Thread.sleep(5)   // snapshot timeMillis must differ for the ts read
+    addFile("f2.parquet", 2000000L)
+    commit()
+    require(graft.formats.paimon.PaimonFormat.latestSnapshotId(paiDir)
+      .contains(2L))
+    val v1 = s.read.format("graft")
+      .option("versionAsOf", "1").load(paiDir)
+      .agg(count(lit(1)).as("v1_rows"))
+    val cut = graft.formats.paimon.PaimonFormat
+      .readSnapshot(paiDir, 1L).timeMillis
+    val ts = s.read.format("graft")
+      .option("timestampAsOf", cut.toString).load(paiDir)
+      .agg(count(lit(1)).as("ts_rows"))
+    val latest = s.read.format("graft").load(paiDir)
+      .agg(count(lit(1)).as("latest_rows"))
+    v1.crossJoin(ts).crossJoin(latest)
+  }
+
+  val timeTravelPaimonSql: String = timeTravelHudiSql
 }

@@ -16,8 +16,10 @@ import graft.plans.SnapshotFileIndex
   * skipping come from the metadata plane, not path listing.
   *
   * Options:
-  *  - `versionAsOf` (Delta version / Iceberg sequence number): time
-  *    travel to a historical snapshot.
+  *  - `versionAsOf` (Delta version / Iceberg sequence number / Hudi
+  *    instant / Paimon snapshot id) and `timestampAsOf` (epoch millis or
+  *    ISO date/datetime) — time travel to a historical snapshot on all
+  *    four versioned formats.
   *  - `readChangeFeed=true` with `startingVersion` (exclusive) and
   *    optionally `endingVersion` (inclusive, default head): the
   *    row-level change feed instead of the table rows — the delta-spark
@@ -168,6 +170,25 @@ class GraftDataSource extends RelationProvider
             require(at.nonEmpty,
               s"no Iceberg snapshot at or before timestamp $raw at $path")
             at.maxBy(_.timestampMs).sequenceNumber.toString
+          // Hudi instants ARE UTC timestamps (yyyyMMddHHmmssSSS): format
+          // the cut point and take the newest instant at or before it
+          case _: graft.formats.hudi.HudiConversionSource =>
+            val cut = graft.formats.hudi.HudiTimeline.InstantFormat
+              .format(java.time.Instant.ofEpochMilli(ts))
+            val at = graft.formats.hudi.HudiTimeline.listInstants(path)
+              .filter(_ <= cut)
+            require(at.nonEmpty,
+              s"no Hudi instant at or before timestamp $raw at $path")
+            at.last
+          case _: graft.formats.paimon.PaimonConversionSource =>
+            val head = graft.formats.paimon.PaimonFormat
+              .latestSnapshotId(path).get
+            val at = (1L to head)
+              .filter(id => graft.formats.paimon.PaimonFormat
+                .readSnapshot(path, id).timeMillis <= ts)
+            require(at.nonEmpty,
+              s"no Paimon snapshot at or before timestamp $raw at $path")
+            at.max.toString
           case other => throw new IllegalArgumentException(
             s"timestampAsOf needs a versioned metadata plane; this is a " +
               s"${other.sourceFormat} table")
@@ -182,10 +203,15 @@ class GraftDataSource extends RelationProvider
           d.snapshotAt(v.toLong)
         case i: graft.formats.iceberg.IcebergConversionSource =>
           i.snapshotAt(v.toLong)
+        // Hudi versions are instant strings (also what tsResolved yields)
+        case h: graft.formats.hudi.HudiConversionSource =>
+          h.snapshotAt(v)
+        case p: graft.formats.paimon.PaimonConversionSource =>
+          p.snapshotAt(v.toLong)
         case other => throw new IllegalArgumentException(
-          s"versionAsOf needs a versioned metadata plane (Delta version " +
-            s"or Iceberg sequence number); ${other.sourceFormat} " +
-            "tables time-travel through their own source API")
+          s"versionAsOf needs a versioned metadata plane (Delta version, " +
+            s"Iceberg sequence number, Hudi instant or Paimon snapshot " +
+            s"id); this is a ${other.sourceFormat} table")
       }
       // named snapshot ref (Iceberg branches/tags, spec v2 `refs`)
       case (None, Some(name)) => source match {
