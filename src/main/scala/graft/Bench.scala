@@ -77,7 +77,12 @@ object Bench {
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = perQuery.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$nRuns,"runs":$spread}""")
+    // per-phase diagnostics (last run) for multi-phase gates — lets a
+    // drift in e.g. delta_zorder_read be attributed to sync/rewrite/read
+    val phases = graft.util.PhaseTimer.snapshot().toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$nRuns,"runs":$spread,"phases":$phases}""")
     spark.stop()
   }
 }

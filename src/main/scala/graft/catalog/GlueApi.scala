@@ -26,9 +26,12 @@ package graft.catalog
   *    missing entries are per-item errors, not failures
   *
   * The AWS SDK resolves nothing in this offline build, so the SDK
-  * adapter lives in a deployment module; every semantic above this
-  * interface ([[GlueCatalogSyncClient]]) is identical either way and is
-  * what the tests pin.
+  * adapter lives in a deployment module — the checked-in, compile-
+  * excluded delegation source is
+  * `deploy/glue-adapter/src/main/scala/graft/catalog/AwsSdkGlueApi.scala`
+  * (wiring in `deploy/glue-adapter/README.md`); every semantic above
+  * this interface ([[GlueCatalogSyncClient]]) is identical either way
+  * and is what the tests pin.
   */
 trait GlueApi {
   def getDatabase(name: String): Option[String]

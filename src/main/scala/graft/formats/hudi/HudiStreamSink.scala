@@ -1,0 +1,109 @@
+package graft.formats.hudi
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.model.FilesDelta
+
+/** Exactly-once Structured-Streaming sink into a graft-managed Hudi COW
+  * table — the Hudi twin of [[graft.formats.delta.DeltaStreamSink]] and
+  * [[graft.formats.iceberg.IcebergStreamSink]]: every micro-batch commit
+  * stamps `graft.txn.<appId> = batchId` into the commit's extraMetadata
+  * (the channel Hudi itself uses for checkpoint bookkeeping,
+  * `HoodieStreamingSink`'s `_checkpoint` key), and a replayed batch is
+  * detected by `batchId <= last recorded` and skipped. The commit rides
+  * [[HudiConversionTarget]]'s streamed commit path, so write stats are
+  * authored executor-side and the metadata index is maintained.
+  *
+  * CAS: two racing writers that compute the same next instant collide on
+  * the put-if-absent commit file; the loser retries with a fresh instant
+  * AFTER re-checking the replay stamp — a zombie replay that lost its
+  * race to the real writer aborts instead of landing twice.
+  */
+object HudiStreamSink {
+
+  private def txnKey(appId: String) = s"graft.txn.$appId"
+
+  /** Last committed batch id for `appId`, from commit extraMetadata
+    * (newest instant wins).
+    */
+  def lastTxnVersion(spark: SparkSession, tablePath: String,
+      appId: String): Option[Long] = {
+    val key = txnKey(appId)
+    HudiTimeline.listInstants(tablePath).reverseIterator
+      .flatMap(i => HudiTimeline.readCommit(tablePath, i)
+        .extraMetadata.get(key))
+      .nextOption().map(_.toLong)
+  }
+
+  val MaxCommitRetries = 5
+
+  /** Append one micro-batch idempotently; false = already committed
+    * (replay after a restart), nothing written. The table must exist
+    * (sync or create it first) — the sink appends under the table's
+    * existing schema and partition spec.
+    */
+  def appendBatch(spark: SparkSession, tablePath: String, batch: DataFrame,
+      appId: String, batchId: Long): Boolean = {
+    require(HudiTimeline.listInstants(tablePath).nonEmpty,
+      s"no Hudi timeline at $tablePath — the streaming sink appends to " +
+        "an existing table (sync or create it first)")
+    if (lastTxnVersion(spark, tablePath, appId).exists(batchId <= _))
+      return false
+    val src = new HudiConversionSource(spark, tablePath, "stream-sink")
+    val table = src.currentTable()
+    val partCols = table.partitionFields.map(_.partitionColumnName)
+    // data files written ONCE; a commit-CAS retry re-authors only the
+    // cheap commit metadata, never the parquet bytes
+    val dataDir = s"$tablePath/data/stream-${UUID.randomUUID()}"
+    val projected = batch.select(table.schema.fieldNames.toSeq
+      .map(org.apache.spark.sql.functions.col): _*)
+    if (partCols.isEmpty) projected.write.parquet(dataDir)
+    else projected.write.partitionBy(partCols: _*).parquet(dataDir)
+    val conf = graft.util.HadoopConfs.session(spark)
+    val added = graft.sources.ParquetFooters.fileEntries(spark, dataDir,
+      graft.sources.ParquetFooters.listFiles(dataDir, conf))
+
+    var attempt = 0
+    while (true) {
+      try {
+        val tgt = new HudiConversionTarget(spark, tablePath)
+        tgt.beginSync(table)
+        tgt.syncSchema(table.schema)
+        tgt.syncPartitionSpec(table.partitionFields)
+        tgt.stampCommit(txnKey(appId) -> batchId.toString)
+        tgt.syncFilesForDiff(FilesDelta(added,
+          spark.emptyDataset[graft.model.FileEntry](
+            org.apache.spark.sql.Encoders.product[graft.model.FileEntry])))
+        tgt.completeSync()
+        return true
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("concurrent writer") =>
+          attempt += 1
+          // exactly-once recheck BEFORE re-landing: if the instant that
+          // beat us (or any since) carries our stamp, this is a replay
+          // racing itself — skip, never duplicate
+          if (lastTxnVersion(spark, tablePath, appId).exists(batchId <= _))
+            return false
+          if (attempt > MaxCommitRetries) throw e
+      }
+    }
+    true
+  }
+
+  /** Wire a streaming DataFrame into the sink: `foreachBatch` with the
+    * idempotent append; the checkpoint dir gives batch ids their
+    * stable-replay meaning.
+    */
+  def writeStream(df: DataFrame, tablePath: String, checkpointDir: String,
+      appId: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch.sparkSession, tablePath, batch, appId, batchId)
+        ()
+      }
+}

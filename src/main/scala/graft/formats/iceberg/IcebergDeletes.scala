@@ -332,9 +332,27 @@ object IcebergDeletes {
       extraProps: Map[String, String] = Map.empty,
       txnGuard: Option[(String, Long)] = None): Boolean = {
     // retryable past pure data appends: data-only appends and POSITION
-    // deletes (they name their files explicitly); equality deletes and
-    // replaces must fail on any intervening commit (see appendOnlySince)
+    // deletes (they name their files explicitly); REPLACE commits retry
+    // too — sequence-aware: the intervening appends' manifests are
+    // CARRIED into the re-landed replace, so the appended rows survive
+    // while the planned base is still the one being replaced. Equality
+    // deletes stay strict: re-landing one past an append would extend
+    // the delete's scope to rows it never scanned (delete seq > their
+    // data seq) — rows silently vanish.
     val retryable = !replace && content != 2 && equalityIds.isEmpty
+    val replaceRetryable = replace && content == 0 && equalityIds.isEmpty &&
+      expectVersion.isDefined
+    // a BLIND data append stages only fresh files and reads nothing, so
+    // it commutes with ANY intervening commit (Iceberg's fast-append /
+    // Delta's most-retryable class): manifests are re-authored against
+    // the new head's schema and the carry-forward picks up whatever the
+    // intervening replace/delete left live
+    val blindAppend = !replace && rows == null && content == 0 &&
+      equalityIds.isEmpty
+    // the sequence the REPLACE planned against — its victims' high bound
+    val plannedBaseSeq: Option[Long] = expectVersion
+      .filter(_ => replace)
+      .map(v => IcebergMetadata.read(tablePath, v).lastSequenceNumber)
     def txnAlreadyCommitted(meta: IcebergTableMetadata): Boolean =
       txnGuard.exists { case (key, id) =>
         meta.properties.get(key).exists(_.toLong >= id)
@@ -343,7 +361,9 @@ object IcebergDeletes {
     if (txnAlreadyCommitted(m)) return false
     expectVersion.filter(_ != version).foreach { v =>
       val plannedSeq = IcebergMetadata.read(tablePath, v).lastSequenceNumber
-      if (!(retryable && appendOnlySince(m, plannedSeq)))
+      val admits = blindAppend ||
+        ((retryable || replaceRetryable) && appendOnlySince(m, plannedSeq))
+      if (!admits)
         throw new IllegalStateException(
           s"concurrent writer moved $tablePath from metadata v$v to " +
             s"v$version since this operation planned and the commits " +
@@ -411,7 +431,28 @@ object IcebergDeletes {
       val dataManifest =
         writeOneManifest(dataFiles, 0, Nil, snapshotId)
       val carried =
-        if (replace) Nil
+        if (replace) {
+          // a replace planned at base seq B replaces exactly the
+          // manifests live AT B; manifests added by pure data appends
+          // AFTER B (admitted by appendOnlySince) carry forward, so the
+          // re-landed replace never drops concurrently appended rows
+          plannedBaseSeq match {
+            case Some(b) if m.lastSequenceNumber > b =>
+              val baseSet = m.snapshots.filter(_.sequenceNumber <= b)
+                .sortBy(_.sequenceNumber).lastOption
+                .map(s => IcebergManifests
+                  .readManifestListRecords(s.manifestList)
+                  .map(_.get("manifest_path").toString).toSet)
+                .getOrElse(Set.empty)
+              m.currentSnapshot
+                .map(s => IcebergManifests
+                  .readManifestListRecords(s.manifestList)
+                  .filterNot(r =>
+                    baseSet.contains(r.get("manifest_path").toString)))
+                .getOrElse(Nil)
+            case _ => Nil
+          }
+        }
         else m.currentSnapshot
           .map(s => IcebergManifests.readManifestListRecords(s.manifestList))
           .getOrElse(Nil)
@@ -441,8 +482,13 @@ object IcebergDeletes {
       // that beat us (or any since) already carries our txn stamp, this
       // is a replay racing itself — skip, never duplicate
       if (txnAlreadyCommitted(m2)) return false
-      if (attempt > IcebergDeletes.MaxCommitRetries ||
-          !(retryable && appendOnlySince(m2, baseSeq)))
+      // a replace measures conflicts against its PLANNED base (its
+      // victim set), not the base of the last attempt
+      val sinceSeq = if (replace) plannedBaseSeq.getOrElse(baseSeq)
+        else baseSeq
+      val admits = blindAppend ||
+        ((retryable || replaceRetryable) && appendOnlySince(m2, sinceSeq))
+      if (attempt > IcebergDeletes.MaxCommitRetries || !admits)
         throw new IllegalStateException(
           s"concurrent writer committed metadata v${version + 1} first at " +
             s"$tablePath and the commits conflict or retries are " +

@@ -162,6 +162,8 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
   private var pendingRemoves: Option[Dataset[FileEntry]] = None
   private var expectedBase: Option[Long] = None
 
+  private var commitStamp: Option[(String, Long)] = None
+
   /** CAS guard for read-modify-write commits (deleteWhere/updateWhere):
     * the caller planned its victim set against snapshot `id`, and the
     * commit must FAIL — not silently rebase — if another writer advanced
@@ -170,10 +172,18 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     */
   def expectBaseSnapshot(id: Long): Unit = expectedBase = Some(id)
 
+  /** Stamp the NEXT snapshot with Paimon's exactly-once commit identity
+    * (`commitUser` + `commitIdentifier`) — the streaming sink's replay
+    * marker, riding the same commit path as every sync.
+    */
+  def stampCommit(user: String, identifier: Long): Unit =
+    commitStamp = Some((user, identifier))
+
   override def beginSync(t: TableDescriptor): Unit = {
     table = t; schema = t.schema
     pendingAdds = None; pendingRemoves = None
     expectedBase = None
+    commitStamp = None
   }
   override def syncMetadata(m: SyncMetadata): Unit = syncMeta = Some(m)
   override def syncSchema(s: StructType): Unit = schema = s
@@ -305,7 +315,9 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
       id, 0L, if (removeCount > 0) "COMPACT" else "APPEND",
       System.currentTimeMillis(),
       s"$mdir/$deltaListName", s"$mdir/$baseListName",
-      syncMeta.map(_.toJson)))
+      syncMeta.map(_.toJson),
+      commitUser = commitStamp.map(_._1),
+      commitIdentifier = commitStamp.map(_._2)))
     pendingAdds.foreach(_.unpersist())
     pendingRemoves.foreach(_.unpersist())
     if (!ok) throw new IllegalStateException(

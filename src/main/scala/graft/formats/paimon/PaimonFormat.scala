@@ -127,9 +127,16 @@ object PaimonFormat {
 
   // ---- snapshot files ----
 
+  /** `commitUser`/`commitIdentifier` are Paimon's own exactly-once
+    * convention (a Flink sink writes its user id + checkpoint id on each
+    * snapshot and skips replays whose identifier it already committed) —
+    * the streaming sink here uses them the same way.
+    */
   case class PaimonSnapshot(id: Long, schemaId: Long, commitKind: String,
       timeMillis: Long, deltaManifestList: String,
-      baseManifestList: String, graftMetadata: Option[String])
+      baseManifestList: String, graftMetadata: Option[String],
+      commitUser: Option[String] = None,
+      commitIdentifier: Option[Long] = None)
 
   def latestSnapshotId(tablePath: String): Option[Long] = {
     val latest = JPaths.get(snapshotDir(tablePath), "LATEST")
@@ -148,7 +155,10 @@ object PaimonFormat {
       "commitKind" -> s.commitKind, "timeMillis" -> s.timeMillis,
       "deltaManifestList" -> s.deltaManifestList,
       "baseManifestList" -> s.baseManifestList,
-      "graftMetadata" -> s.graftMetadata.orNull))
+      "graftMetadata" -> s.graftMetadata.orNull,
+      "commitUser" -> s.commitUser.orNull,
+      "commitIdentifier" -> s.commitIdentifier
+        .map(java.lang.Long.valueOf).orNull))
     val tmp = Files.createTempFile(dir, s".snap${s.id}", ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     if (graft.util.AtomicFiles.publish(tmp, target)) {
@@ -164,7 +174,9 @@ object PaimonFormat {
     PaimonSnapshot(n.get("id").asLong, n.get("schemaId").asLong,
       n.get("commitKind").asText, n.get("timeMillis").asLong,
       n.get("deltaManifestList").asText, n.get("baseManifestList").asText,
-      Option(n.get("graftMetadata")).filterNot(_.isNull).map(_.asText))
+      Option(n.get("graftMetadata")).filterNot(_.isNull).map(_.asText),
+      Option(n.get("commitUser")).filterNot(_.isNull).map(_.asText),
+      Option(n.get("commitIdentifier")).filterNot(_.isNull).map(_.asLong))
   }
 
   def listSnapshotIds(tablePath: String): Seq[Long] = {

@@ -63,11 +63,14 @@ object ZOrder {
           case (c, i) => views(c).get.as(s"__q$i")
         }: _*)
         val sampled = keyed.sample(withReplacement = false, 0.25, seed = 41)
-        // small tables can sample to zero rows — approxQuantile on an
-        // empty frame yields degenerate cuts; fall back to the full frame
-        val probed = if (sampled.take(1).isEmpty) keyed else sampled
-        val all = probed.stat.approxQuantile(
-          numericCols.indices.map(i => s"__q$i").toArray, probs, 0.005)
+        val qCols = numericCols.indices.map(i => s"__q$i").toArray
+        // ONE pass over the sample; small tables can sample to zero rows,
+        // which approxQuantile reports as all-empty cut arrays — only
+        // then pay a full-frame pass (no separate existence-probe job)
+        val fromSample = sampled.stat.approxQuantile(qCols, probs, 0.005)
+        val all = if (fromSample.forall(_.isEmpty))
+          keyed.stat.approxQuantile(qCols, probs, 0.005)
+        else fromSample
         numericCols.zip(all.map(
           _.filterNot(_.isNaN).distinct.sorted.toSeq)).toMap
       }

@@ -456,4 +456,98 @@ object EventsQueries {
     s"""SELECT event_type, count(*) AS cnt,
        |  ${Gate.sumMeasureSql("value")} AS sum_v
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exactly-once micro-batch appends into a Hudi COW table: seed half
+    * the rows via a sync, stream the other half as two micro-batches
+    * (txn stamps in commit extraMetadata), then prove a replayed batch
+    * id is a no-op before the oracle-checked read-back.
+    */
+  def streamingHudiSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = graft.util.TempDirs.create("graft_hsink_stage")
+    val seedDir = graft.util.TempDirs.create("graft_hsink_seed")
+    val table = graft.util.TempDirs.create("graft_hsink_hudi")
+    val ckpt = graft.util.TempDirs.create("graft_hsink_ckpt")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    raw.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(seedDir)
+    val src0 = new graft.sources.ParquetDirectorySource(s, seedDir, "events")
+    val outcomes = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.hudi.HudiConversionTarget(s, table)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    Seq(0, 1).foreach { half =>
+      raw.filter(col("event_id") % 2 === 1 && col("user_id") % 2 === half)
+        .coalesce(1).write.parquet(s"$stage/half-$half")
+      val part = new java.io.File(s"$stage/half-$half").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(stage, s"batch-$half.parquet"))
+    }
+    val stream = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = graft.formats.hudi.HudiStreamSink
+      .writeStream(stream, table, ckpt, appId = "graft_hsink_gate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(!graft.formats.hudi.HudiStreamSink.appendBatch(s, table,
+      raw.filter(col("event_id") % 2 === 1 && col("user_id") % 2 === 0),
+      "graft_hsink_gate", 0L),
+      "replayed micro-batch was not skipped")
+    new graft.formats.hudi.HudiConversionSource(s, table, "events")
+      .toDataFrame
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Gate.sumMeasure(col("value")).as("sum_v"))
+      .orderBy("event_type")
+  }
+
+  val streamingHudiSinkSql: String = streamingIcebergSinkSql
+
+  /** The Paimon twin, on Paimon's own exactly-once convention:
+    * (`commitUser`, `commitIdentifier`) stamped per snapshot.
+    */
+  def streamingPaimonSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = graft.util.TempDirs.create("graft_psink_stage")
+    val seedDir = graft.util.TempDirs.create("graft_psink_seed")
+    val table = graft.util.TempDirs.create("graft_psink_paimon")
+    val ckpt = graft.util.TempDirs.create("graft_psink_ckpt")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    raw.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(seedDir)
+    val src0 = new graft.sources.ParquetDirectorySource(s, seedDir, "events")
+    val outcomes = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.paimon.PaimonConversionTarget(s, table)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    Seq(0, 1).foreach { half =>
+      raw.filter(col("event_id") % 2 === 1 && col("user_id") % 2 === half)
+        .coalesce(1).write.parquet(s"$stage/half-$half")
+      val part = new java.io.File(s"$stage/half-$half").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(stage, s"batch-$half.parquet"))
+    }
+    val stream = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = graft.formats.paimon.PaimonStreamSink
+      .writeStream(stream, table, ckpt, appId = "graft_psink_gate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(!graft.formats.paimon.PaimonStreamSink.appendBatch(s, table,
+      raw.filter(col("event_id") % 2 === 1 && col("user_id") % 2 === 0),
+      "graft_psink_gate", 0L),
+      "replayed micro-batch was not skipped")
+    new graft.formats.paimon.PaimonConversionSource(s, table, "events")
+      .toDataFrame
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Gate.sumMeasure(col("value")).as("sum_v"))
+      .orderBy("event_type")
+  }
+
+  val streamingPaimonSinkSql: String = streamingIcebergSinkSql
 }

@@ -61,10 +61,16 @@ object MaintenanceQueries {
     * the clustering exists for.
     */
   def deltaZorderRead(s: SparkSession, dir: String): DataFrame = {
-    val table = syncTable(s, s"$dir/lineitem.parquet", "lineitem", 8,
-      "graft_zorder")
-    val res = DeltaOptimize.zorderBy(s, table,
-      Seq("l_orderkey", "l_partkey"), targetFileBytes = 256L << 10)
+    // phase-split for the bench: this is the most expensive gate on the
+    // board and historically the noisiest (±40%) — the per-phase numbers
+    // let a drift be attributed to sync vs rewrite vs read
+    val table = graft.util.PhaseTimer.time("delta_zorder_read.sync") {
+      syncTable(s, s"$dir/lineitem.parquet", "lineitem", 8, "graft_zorder")
+    }
+    val res = graft.util.PhaseTimer.time("delta_zorder_read.rewrite") {
+      DeltaOptimize.zorderBy(s, table,
+        Seq("l_orderkey", "l_partkey"), targetFileBytes = 256L << 10)
+    }
     require(res.rewrote == 8 && res.wrote >= 1, res.toString)
     new DeltaConversionSource(s, table, "lineitem").toDataFrame
       .filter(col("l_partkey") <= 200)

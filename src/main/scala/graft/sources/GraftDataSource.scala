@@ -76,6 +76,30 @@ class GraftDataSource extends RelationProvider
         "graft datasource needs a path")))
     val spark = sqlContext.sparkSession
     val name = path.stripSuffix("/").split('/').last
+    // option-combination validation: every combination either serves or
+    // refuses with a reason — an option that would otherwise be silently
+    // ignored (e.g. startingVersion without readChangeFeed, versionAsOf
+    // on a metadata table) is a refusal, never a silent no-op
+    locally {
+      val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+      val travel = Seq("versionAsOf", "timestampAsOf", "branch")
+        .filter(parameters.contains)
+      if (!cdf)
+        Seq("startingVersion", "endingVersion").filter(parameters.contains)
+          .foreach(k => throw new IllegalArgumentException(
+            s"option $k only applies to change-feed reads — pass " +
+              "readChangeFeed=true (or drop it)"))
+      if (cdf && travel.nonEmpty)
+        throw new IllegalArgumentException(
+          s"readChangeFeed and ${travel.mkString("/")} are mutually " +
+            "exclusive — the feed is itself a version range")
+      if (parameters.contains("metaTable") && (cdf || travel.nonEmpty))
+        throw new IllegalArgumentException(
+          s"metaTable reads the metadata plane at the CURRENT snapshot; " +
+            s"combining it with ${(travel ++
+              (if (cdf) Seq("readChangeFeed") else Nil)).mkString("/")} " +
+            "is not supported")
+    }
     val source = CatalogConversionSource.fromPath(spark, path, name)
     // metadata tables (the `table$files` idiom): the metadata plane as a
     // queryable DataFrame — the files listing stays the DISTRIBUTED

@@ -334,6 +334,46 @@ class ConcurrencySpec extends SparkSuite {
       spark, target, "region").toDataFrame.count() == 3 * rows.count())
   }
 
+  test("iceberg: append races a REPLACE compaction, both land") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val target = tmpDir("icereplace_race")
+    val src = new ParquetDirectorySource(spark,
+      sf("sf0.001/region.parquet"), "region")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    val extra = tmpDir("icereplace_extra")
+    rows.coalesce(1).write.mode("overwrite").parquet(extra)
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // thread 1: clustered REPLACE rewrite; thread 2: blind data append.
+    // whichever loses the CAS must re-land (sequence-aware retry: the
+    // replace carries the appended manifest forward; the blind append
+    // commutes with the replace) — neither may fail, no row may vanish
+    pool.execute { () =>
+      start.await()
+      try graft.formats.iceberg.IcebergDeletes.rewriteWithDeletes(
+        spark, target, zorderBy = Seq("r_regionkey"))
+      catch { case th: Throwable => failures.add(th) }
+    }
+    pool.execute { () =>
+      start.await()
+      try graft.formats.iceberg.IcebergDeletes.appendDataFiles(
+        spark, target, extra)
+      catch { case th: Throwable => failures.add(th) }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, failures.toString)
+    assert(new graft.formats.iceberg.IcebergConversionSource(
+      spark, target, "region").toDataFrame.count() == 2 * rows.count())
+  }
+
   test("delete re-land past a concurrent append: Serializable predicate check") {
     import org.apache.spark.sql.functions.col
     // delta-spark's ConcurrentAppendException semantics: a deleteWhere

@@ -97,4 +97,50 @@ class ErrorPathSpec extends SparkSuite {
     assert(err.getMessage.contains("read_optimized"),
       s"refusal message should point at the supported mode: ${err.getMessage}")
   }
+
+  test("graft reader option matrix: every combination serves or refuses loudly") {
+    // one Delta table to probe against
+    val dataDir = tmpDir("optmx_data")
+    spark.read.parquet(sf("sf0.001/region.parquet"))
+      .write.mode("overwrite").parquet(dataDir)
+    val t = tmpDir("optmx_delta")
+    val src = new graft.sources.ParquetDirectorySource(spark, dataDir, "region")
+    val out = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, t)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+    def refuse(opts: (String, String)*): String = {
+      val e = intercept[IllegalArgumentException] {
+        opts.foldLeft(spark.read.format("graft")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load(t).count()
+      }
+      e.getMessage
+    }
+    // startingVersion/endingVersion outside a change-feed read: refused,
+    // not silently ignored
+    assert(refuse("startingVersion" -> "0").contains("readChangeFeed"))
+    assert(refuse("endingVersion" -> "1").contains("readChangeFeed"))
+    // change feed is itself a version range: no time travel on top
+    assert(refuse("readChangeFeed" -> "true", "startingVersion" -> "0",
+      "versionAsOf" -> "0").contains("mutually"))
+    // metadata tables serve the current snapshot only
+    assert(refuse("metaTable" -> "history", "versionAsOf" -> "0")
+      .contains("metaTable"))
+    assert(refuse("metaTable" -> "files", "readChangeFeed" -> "true",
+      "startingVersion" -> "0").contains("metaTable"))
+    // versionAsOf + timestampAsOf / + branch: mutually exclusive
+    assert(refuse("versionAsOf" -> "0", "timestampAsOf" -> "0")
+      .contains("mutually exclusive"))
+    assert(refuse("versionAsOf" -> "0", "branch" -> "b")
+      .contains("mutually exclusive"))
+    // branch on a non-Iceberg table: documented refusal
+    assert(refuse("branch" -> "b").contains("Iceberg"))
+    // the servable combinations still serve
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(t).count() > 0)
+    assert(spark.read.format("graft").option("metaTable", "history")
+      .load(t).count() > 0)
+  }
 }

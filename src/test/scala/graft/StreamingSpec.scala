@@ -277,4 +277,56 @@ class StreamingSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("schema"))
   }
+
+  private def seededTable(prefix: String,
+      mk: String => Unit): (String, org.apache.spark.sql.DataFrame) = {
+    val t = tmpDir(prefix)
+    mk(t)
+    (t, spark.read.parquet(sf("sf0.001/nation.parquet")))
+  }
+
+  test("hudi stream sink: exactly-once across replays") {
+    import graft.formats.hudi.{HudiConversionSource, HudiStreamSink}
+    val seed = tmpDir("sink_hudi_seed")
+    spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .write.mode("overwrite").parquet(seed)
+    val (t, rows) = seededTable("sink_hudi", { t =>
+      val src = new graft.sources.ParquetDirectorySource(spark, seed, "nation")
+      val o = graft.sync.TableFormatSync.syncSnapshot(
+        Seq(new graft.formats.hudi.HudiConversionTarget(spark, t)),
+        src.currentSnapshot(), src.sourceFormat)
+      assert(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    })
+    assert(HudiStreamSink.appendBatch(spark, t, rows, "app", 0L))
+    assert(HudiStreamSink.appendBatch(spark, t, rows, "app", 1L))
+    // replays of both batches skip — rows land exactly once
+    assert(!HudiStreamSink.appendBatch(spark, t, rows, "app", 0L))
+    assert(!HudiStreamSink.appendBatch(spark, t, rows, "app", 1L))
+    assert(HudiStreamSink.lastTxnVersion(spark, t, "app").contains(1L))
+    assert(HudiStreamSink.lastTxnVersion(spark, t, "other").isEmpty)
+    assert(new HudiConversionSource(spark, t, "nation")
+      .toDataFrame.count() == 3 * rows.count())
+  }
+
+  test("paimon stream sink: exactly-once across replays") {
+    import graft.formats.paimon.{PaimonConversionSource, PaimonStreamSink}
+    val seed = tmpDir("sink_paimon_seed")
+    spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .write.mode("overwrite").parquet(seed)
+    val (t, rows) = seededTable("sink_paimon", { t =>
+      val src = new graft.sources.ParquetDirectorySource(spark, seed, "nation")
+      val o = graft.sync.TableFormatSync.syncSnapshot(
+        Seq(new graft.formats.paimon.PaimonConversionTarget(spark, t)),
+        src.currentSnapshot(), src.sourceFormat)
+      assert(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    })
+    assert(PaimonStreamSink.appendBatch(spark, t, rows, "app", 0L))
+    assert(PaimonStreamSink.appendBatch(spark, t, rows, "app", 1L))
+    assert(!PaimonStreamSink.appendBatch(spark, t, rows, "app", 0L))
+    assert(!PaimonStreamSink.appendBatch(spark, t, rows, "app", 1L))
+    assert(PaimonStreamSink.lastTxnVersion(spark, t, "app").contains(1L))
+    assert(PaimonStreamSink.lastTxnVersion(spark, t, "other").isEmpty)
+    assert(new PaimonConversionSource(spark, t, "nation")
+      .toDataFrame.count() == 3 * rows.count())
+  }
 }

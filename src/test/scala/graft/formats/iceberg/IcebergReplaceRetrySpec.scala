@@ -1,0 +1,73 @@
+package graft.formats.iceberg
+
+import graft.SparkSuite
+import graft.sources.ParquetDirectorySource
+import graft.sync.TableFormatSync
+
+/** Deterministic coverage of the sequence-aware REPLACE retry (the race
+  * in ConcurrencySpec exercises it stochastically): a REPLACE planned at
+  * a stale version re-lands past an intervening pure data append and
+  * CARRIES the appended manifest forward — no appended row may vanish —
+  * while equality deletes stay strict past any intervening commit.
+  */
+class IcebergReplaceRetrySpec extends SparkSuite {
+
+  private def icebergTable(prefix: String): String = {
+    val target = tmpDir(prefix)
+    val src = new ParquetDirectorySource(spark,
+      sf("sf0.001/region.parquet"), "region")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    target
+  }
+
+  test("stale REPLACE re-lands past a pure append, carrying its manifest") {
+    val t = icebergTable("ice_replace_stale")
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    val planned = IcebergMetadata.currentVersion(t).get
+
+    // the rewrite's output, staged from the PLANNED state (head of v1)
+    val rewritten = s"$t/data/rewrite-test"
+    new IcebergConversionSource(spark, t, "region").toDataFrame
+      .write.parquet(rewritten)
+
+    // an append lands AFTER the replace planned (moves the head)
+    val extra = tmpDir("ice_replace_extra")
+    rows.coalesce(1).write.mode("overwrite").parquet(extra)
+    IcebergDeletes.appendDataFiles(spark, t, extra)
+    assert(IcebergMetadata.currentVersion(t).get > planned)
+
+    // the stale replace must re-land, not fail — and the appended rows
+    // must survive via the carried-forward manifest
+    IcebergDeletes.appendCommit(spark, t, rows = null, content = 0,
+      equalityIds = Nil, dataDir = Some(rewritten), replace = true,
+      expectVersion = Some(planned))
+    val got = new IcebergConversionSource(spark, t, "region")
+      .toDataFrame.count()
+    assert(got == 2 * rows.count(), s"got $got")
+    val m = IcebergMetadata.read(t, IcebergMetadata.currentVersion(t).get)
+    assert(m.currentSnapshot.exists(_.operation == "replace"))
+  }
+
+  test("stale equality delete still fails loudly past an intervening commit") {
+    import spark.implicits._
+    val t = icebergTable("ice_eqdel_stale")
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    val planned = IcebergMetadata.currentVersion(t).get
+    val extra = tmpDir("ice_eqdel_extra")
+    rows.coalesce(1).write.mode("overwrite").parquet(extra)
+    IcebergDeletes.appendDataFiles(spark, t, extra)
+
+    val eqIds = IcebergMetadata.read(t,
+      IcebergMetadata.currentVersion(t).get).schema.fields.toSeq
+      .take(1).map(_ => 1)
+    val e = intercept[IllegalStateException] {
+      IcebergDeletes.appendCommit(spark, t,
+        rows = Seq(0).toDF("r_regionkey"), content = 2,
+        equalityIds = eqIds, expectVersion = Some(planned))
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+  }
+}
