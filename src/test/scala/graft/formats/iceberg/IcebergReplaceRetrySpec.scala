@@ -51,6 +51,29 @@ class IcebergReplaceRetrySpec extends SparkSuite {
     assert(m.currentSnapshot.exists(_.operation == "replace"))
   }
 
+  test("stale blind append re-lands past a REPLACE (fast-append commutes)") {
+    val t = icebergTable("ice_append_stale")
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    val planned = IcebergMetadata.currentVersion(t).get
+
+    // the append's files, staged before the replace moves the head
+    val extra = tmpDir("ice_append_stale_extra")
+    rows.coalesce(1).write.mode("overwrite").parquet(extra)
+
+    // a clustered REPLACE lands first
+    assert(IcebergDeletes.rewriteWithDeletes(spark, t,
+      zorderBy = Seq("r_regionkey")))
+    assert(IcebergMetadata.currentVersion(t).get > planned)
+
+    // the stale blind append must re-land on top of the replace: its
+    // file is fresh, so it conflicts with nothing
+    IcebergDeletes.appendCommit(spark, t, rows = null, content = 0,
+      equalityIds = Nil, dataDir = Some(extra),
+      expectVersion = Some(planned))
+    assert(new IcebergConversionSource(spark, t, "region")
+      .toDataFrame.count() == 2 * rows.count())
+  }
+
   test("stale equality delete still fails loudly past an intervening commit") {
     import spark.implicits._
     val t = icebergTable("ice_eqdel_stale")
