@@ -96,6 +96,23 @@ object DeltaVacuum {
     }.collect()
     val deleted = sums.map(_._1).sum
     val bytes = sums.map(_._2).sum
+
+    // stale conflict-retry spools: commitWithRetry writes its spool into
+    // _delta_log (hard-link publish) and deletes it in a finally — only
+    // a hard crash strands one. Sweep spools older than the horizon;
+    // in-flight writers' spools are younger by construction.
+    val logDir = java.nio.file.Paths.get(DeltaLog.logPath(tablePath))
+    if (java.nio.file.Files.exists(logDir)) {
+      val it = java.nio.file.Files.list(logDir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("graft-spool-") && n.endsWith(".jsonl") &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < horizon)
+          java.nio.file.Files.deleteIfExists(p)
+      }
+    }
+
     graft.plans.SnapshotFileIndex.invalidate(snap)
     VacuumResult(deleted, bytes, scanned, scanned - deleted)
   }

@@ -185,7 +185,7 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     * an id registry, re-apply it, giving externally-added fields fresh ids
     * past the registry's high-water mark.
     */
-  private def schemaFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
+  private[hudi] def schemaFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
       : StructType = {
     // a REAL Hudi writer puts the AVRO schema under the key "schema"
     // (HoodieCommitMetadata SCHEMA_KEY); graft's target writes Avro there
@@ -210,7 +210,7 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     }
   }
 
-  private def specFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
+  private[hudi] def specFromTimeline(commits: Seq[HudiTimeline.CommitMeta])
       : Seq[PartitionFieldSpec] =
     commits.reverse.flatMap(_.extraMetadata.get("graft.partitionSpec"))
       .headOption.map { json =>

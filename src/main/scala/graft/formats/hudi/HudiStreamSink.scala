@@ -27,14 +27,15 @@ object HudiStreamSink {
   private def txnKey(appId: String) = s"graft.txn.$appId"
 
   /** Last committed batch id for `appId`, from commit extraMetadata
-    * (newest instant wins).
+    * (newest instant wins). Uses the streaming extra-metadata read —
+    * never materializes a 10^6-entry write-stat tree to check a stamp.
     */
   def lastTxnVersion(spark: SparkSession, tablePath: String,
       appId: String): Option[Long] = {
     val key = txnKey(appId)
     HudiTimeline.listInstants(tablePath).reverseIterator
-      .flatMap(i => HudiTimeline.readCommit(tablePath, i)
-        .extraMetadata.get(key))
+      .flatMap(i => HudiTimeline.readCommitExtraMetadata(tablePath, i)
+        .get(key))
       .nextOption().map(_.toLong)
   }
 
@@ -52,13 +53,34 @@ object HudiStreamSink {
         "an existing table (sync or create it first)")
     if (lastTxnVersion(spark, tablePath, appId).exists(batchId <= _))
       return false
+    // schema + partition spec resolve from commit EXTRA METADATA only
+    // (streamed reads that skip the write-stat arrays): a per-batch
+    // full-timeline parse would cost O(total files ever written) at
+    // every micro-batch on a big table
     val src = new HudiConversionSource(spark, tablePath, "stream-sink")
-    val table = src.currentTable()
+    val instants = HudiTimeline.listInstants(tablePath)
+    val extras = instants.map(i => HudiTimeline.CommitMeta(i, "commit",
+      Map.empty, Map.empty,
+      HudiTimeline.readCommitExtraMetadata(tablePath, i)))
+    val spec = src.specFromTimeline(extras)
+    val table = graft.model.TableDescriptor("stream-sink",
+      graft.model.TableFormats.Hudi,
+      graft.util.PathUtils.canonical(tablePath),
+      src.schemaFromTimeline(extras), spec,
+      if (spec.nonEmpty) graft.model.Layout.HivePartitioned
+      else graft.model.Layout.Flat,
+      instants.lastOption.map(_.toLong).getOrElse(0L))
     val partCols = table.partitionFields.map(_.partitionColumnName)
     // data files written ONCE; a commit-CAS retry re-authors only the
-    // cheap commit metadata, never the parquet bytes
+    // cheap commit metadata, never the parquet bytes. Partition columns
+    // may live OUTSIDE the logical schema (hive layout) — the batch must
+    // carry them, and partitionBy routes them into the path, not the file
+    val needed = (table.schema.fieldNames.toSeq ++ partCols).distinct
+    val missing = needed.toSet -- batch.columns.toSet
+    require(missing.isEmpty,
+      s"streaming batch lacks table/partition columns: $missing")
     val dataDir = s"$tablePath/data/stream-${UUID.randomUUID()}"
-    val projected = batch.select(table.schema.fieldNames.toSeq
+    val projected = batch.select(needed
       .map(org.apache.spark.sql.functions.col): _*)
     if (partCols.isEmpty) projected.write.parquet(dataDir)
     else projected.write.partitionBy(partCols: _*).parquet(dataDir)

@@ -311,6 +311,38 @@ object HudiTimeline {
       commitPath(tablePath, instant, action))), instant, action)
   }
 
+  /** ONLY a commit's extraMetadata, via a streaming parse that SKIPS the
+    * write-stat arrays — a 10^6-file commit's JSON is dominated by
+    * partitionToWriteStats, and consumers that need just the bookkeeping
+    * (schema resolution, exactly-once txn stamps) must not materialize a
+    * million stat objects to read a 5-entry map.
+    */
+  def readCommitExtraMetadata(tablePath: String, instant: String)
+      : Map[String, String] = {
+    val action = actionOf(tablePath, instant)
+    val in = Files.newInputStream(commitPath(tablePath, instant, action))
+    try {
+      val p = Jsons.mapper.getFactory.createParser(in)
+      val out = scala.collection.mutable.Map.empty[String, String]
+      import com.fasterxml.jackson.core.JsonToken
+      if (p.nextToken() == JsonToken.START_OBJECT) {
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          val name = p.currentName()
+          p.nextToken()
+          if (name == "extraMetadata" &&
+              p.currentToken() == JsonToken.START_OBJECT) {
+            while (p.nextToken() == JsonToken.FIELD_NAME) {
+              val k = p.currentName()
+              p.nextToken()
+              out(k) = p.getValueAsString
+            }
+          } else p.skipChildren()
+        }
+      }
+      out.toMap
+    } finally in.close()
+  }
+
   // ---- timeline archival -------------------------------------------------
   // Reference: Hudi's HoodieTimelineArchiver keeps the ACTIVE timeline
   // bounded by moving old completed instants into an archive log under

@@ -349,9 +349,18 @@ object IcebergDeletes {
     // intervening replace/delete left live
     val blindAppend = !replace && rows == null && content == 0 &&
       equalityIds.isEmpty
-    // the sequence the REPLACE planned against — its victims' high bound
+    // an EQUALITY delete may retry past pure data appends ONLY when
+    // every appended file's stats prove it holds no row the delete
+    // keys could match (disjoint min/max on >=1 equality column) —
+    // re-landing bumps the delete's sequence above the appended files,
+    // so a possible match would silently vanish (the Delta twin's
+    // ReadFootprint rule, stats-proven here from the delete keys)
+    val eqRetryable = !replace && content == 2 && equalityIds.nonEmpty &&
+      rows != null
+    // the sequence the operation planned against (REPLACE victims' high
+    // bound / the eq-delete's scanned snapshot)
     val plannedBaseSeq: Option[Long] = expectVersion
-      .filter(_ => replace)
+      .filter(_ => replace || eqRetryable)
       .map(v => IcebergMetadata.read(tablePath, v).lastSequenceNumber)
     def txnAlreadyCommitted(meta: IcebergTableMetadata): Boolean =
       txnGuard.exists { case (key, id) =>
@@ -359,10 +368,71 @@ object IcebergDeletes {
       }
     var (version, m) = currentMeta(spark, tablePath)
     if (txnAlreadyCommitted(m)) return false
+
+    // global min/max of the delete KEYS per equality column, canonical-
+    // encoded — ONE agg job, computed lazily only when an eq-delete
+    // actually loses its CAS
+    lazy val deleteKeyBounds: Map[String, (String, String,
+        org.apache.spark.sql.types.DataType)] = {
+      val byId = IcebergSchemas.leafFields(m.schema)
+        .map { case (id, nm, dt) => id -> ((nm, dt)) }.toMap
+      val eqCols = equalityIds.flatMap(byId.get)
+        .filter { case (nm, _) => rows.columns.contains(nm) }
+      if (eqCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{min => fmin, max => fmax, col => fcol}
+        val aggs = eqCols.flatMap { case (nm, _) =>
+          Seq(fmin(fcol(nm)).as(s"__mn_$nm"), fmax(fcol(nm)).as(s"__mx_$nm"))
+        }
+        val r = rows.agg(aggs.head, aggs.tail: _*).head()
+        eqCols.flatMap { case (nm, dt) =>
+          for {
+            mn <- graft.model.StatCodec.encode(r.getAs[Any](s"__mn_$nm"), dt)
+            mx <- graft.model.StatCodec.encode(r.getAs[Any](s"__mx_$nm"), dt)
+          } yield nm -> ((mn, mx, dt))
+        }.toMap
+      }
+    }
+
+    // every data file appended since `sinceSeq` is stats-provably
+    // DISJOINT from the delete keys on >=1 equality column — streamed
+    // manifest read, short-circuits on the first unprovable file
+    def newAddsDisjoint(meta: IcebergTableMetadata, sinceSeq: Long)
+        : Boolean = {
+      if (deleteKeyBounds.isEmpty) return false
+      val baseSet = meta.snapshots.filter(_.sequenceNumber <= sinceSeq)
+        .sortBy(_.sequenceNumber).lastOption
+        .map(s => IcebergManifests.readManifestListRecords(s.manifestList)
+          .map(_.get("manifest_path").toString).toSet)
+        .getOrElse(Set.empty[String])
+      val newManifests = meta.currentSnapshot
+        .map(s => IcebergManifests.readManifestListRecords(s.manifestList)
+          .filter(r => !baseSet.contains(r.get("manifest_path").toString) &&
+            IcebergManifests.contentOf(r) == 0)
+          .map(_.get("manifest_path").toString))
+        .getOrElse(Nil)
+      newManifests.forall { mp =>
+        IcebergManifests.readManifest(mp).forall { rec =>
+          val (_, fe) = IcebergManifests.fromEntry(rec, meta.schema)
+          deleteKeyBounds.exists { case (nm, (dmn, dmx, dt)) =>
+            fe.columnStats.find(_.field == nm).exists(st =>
+              (st.min, st.max) match {
+                case (Some(fmn), Some(fmx)) =>
+                  graft.model.StatCodec.lt(fmx, dmn, dt) ||
+                    graft.model.StatCodec.lt(dmx, fmn, dt)
+                case _ => false
+              })
+          }
+        }
+      }
+    }
+
     expectVersion.filter(_ != version).foreach { v =>
       val plannedSeq = IcebergMetadata.read(tablePath, v).lastSequenceNumber
       val admits = blindAppend ||
-        ((retryable || replaceRetryable) && appendOnlySince(m, plannedSeq))
+        ((retryable || replaceRetryable) && appendOnlySince(m, plannedSeq)) ||
+        (eqRetryable && appendOnlySince(m, plannedSeq) &&
+          newAddsDisjoint(m, plannedSeq))
       if (!admits)
         throw new IllegalStateException(
           s"concurrent writer moved $tablePath from metadata v$v to " +
@@ -484,10 +554,13 @@ object IcebergDeletes {
       if (txnAlreadyCommitted(m2)) return false
       // a replace measures conflicts against its PLANNED base (its
       // victim set), not the base of the last attempt
-      val sinceSeq = if (replace) plannedBaseSeq.getOrElse(baseSeq)
-        else baseSeq
+      val sinceSeq = if (replace || eqRetryable)
+        plannedBaseSeq.getOrElse(baseSeq)
+      else baseSeq
       val admits = blindAppend ||
-        ((retryable || replaceRetryable) && appendOnlySince(m2, sinceSeq))
+        ((retryable || replaceRetryable) && appendOnlySince(m2, sinceSeq)) ||
+        (eqRetryable && appendOnlySince(m2, sinceSeq) &&
+          newAddsDisjoint(m2, sinceSeq))
       if (attempt > IcebergDeletes.MaxCommitRetries || !admits)
         throw new IllegalStateException(
           s"concurrent writer committed metadata v${version + 1} first at " +

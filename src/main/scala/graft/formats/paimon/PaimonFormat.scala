@@ -179,6 +179,54 @@ object PaimonFormat {
       Option(n.get("commitIdentifier")).filterNot(_.isNull).map(_.asLong))
   }
 
+  // ---- tags (named snapshots) ----
+  // Real Paimon materializes a tag as a COPY of the snapshot file under
+  // <table>/tag/tag-<name>; readers resolve the tag to its snapshot and
+  // serve normally. Same layout here.
+
+  def tagDir(tablePath: String): String = s"$tablePath/tag"
+
+  def createTag(tablePath: String, name: String, snapshotId: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"invalid tag name '$name'")
+    val src = JPaths.get(snapshotDir(tablePath), s"snapshot-$snapshotId")
+    require(Files.exists(src),
+      s"no Paimon snapshot $snapshotId at $tablePath to tag")
+    val dir = JPaths.get(tagDir(tablePath))
+    Files.createDirectories(dir)
+    val target = dir.resolve(s"tag-$name")
+    require(!Files.exists(target), s"tag '$name' already exists")
+    val tmp = Files.createTempFile(dir, s".tag$name", ".tmp")
+    Files.copy(src, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!graft.util.AtomicFiles.publish(tmp, target))
+      throw new IllegalStateException(s"concurrent writer created tag '$name'")
+  }
+
+  /** Snapshot id a tag points at; None if the tag doesn't exist. */
+  def readTag(tablePath: String, name: String): Option[Long] = {
+    val p = JPaths.get(tagDir(tablePath), s"tag-$name")
+    if (!Files.exists(p)) None
+    else Some(Jsons.mapper.readTree(Files.readAllBytes(p)).get("id").asLong)
+  }
+
+  def dropTag(tablePath: String, name: String): Unit = {
+    val p = JPaths.get(tagDir(tablePath), s"tag-$name")
+    require(Files.exists(p), s"no tag '$name' at $tablePath")
+    Files.delete(p)
+  }
+
+  def listTags(tablePath: String): Seq[(String, Long)] = {
+    val dir = JPaths.get(tagDir(tablePath))
+    if (!Files.exists(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("tag-"))
+      .map(n => n.stripPrefix("tag-"))
+      .map(n => n -> readTag(tablePath, n).get)
+      .toSeq.sortBy(_._1)
+  }
+
   def listSnapshotIds(tablePath: String): Seq[Long] = {
     val dir = JPaths.get(snapshotDir(tablePath))
     if (!Files.exists(dir)) return Nil

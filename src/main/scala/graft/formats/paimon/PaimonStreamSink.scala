@@ -50,10 +50,16 @@ object PaimonStreamSink {
     val table = src.currentTable()
     val partCols = table.partitionFields.map(_.partitionColumnName)
     // data files written ONCE; a snapshot-CAS retry re-authors only the
-    // cheap manifests, never the parquet bytes
+    // cheap manifests, never the parquet bytes. Partition columns may
+    // live OUTSIDE the logical schema (hive layout) — the batch must
+    // carry them, and partitionBy routes them into the path
+    val needed = (table.schema.fieldNames.toSeq ++ partCols).distinct
+    val missing = needed.toSet -- batch.columns.toSet
+    require(missing.isEmpty,
+      s"streaming batch lacks table/partition columns: $missing")
     val dataDir = s"${PathUtils.canonical(tablePath)}/data" +
       s"/stream-${UUID.randomUUID()}"
-    val projected = batch.select(table.schema.fieldNames.toSeq
+    val projected = batch.select(needed
       .map(org.apache.spark.sql.functions.col): _*)
     if (partCols.isEmpty) projected.write.parquet(dataDir)
     else projected.write.partitionBy(partCols: _*).parquet(dataDir)

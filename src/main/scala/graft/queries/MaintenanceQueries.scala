@@ -124,14 +124,18 @@ object MaintenanceQueries {
     s.read.parquet(s"$dir/lineitem.parquet").repartition(8)
       .write.mode("overwrite").parquet(dataDir)
     val ice = graft.util.TempDirs.create("graft_icez")
-    val src0 = new ParquetDirectorySource(s, dataDir, "lineitem")
-    val outcomes = TableFormatSync.syncSnapshot(
-      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, ice)),
-      src0.currentSnapshot(), src0.sourceFormat)
-    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
-    require(graft.formats.iceberg.IcebergDeletes.rewriteWithDeletes(s, ice,
-      zorderBy = Seq("l_orderkey", "l_partkey"),
-      targetFileBytes = 256L << 10))
+    graft.util.PhaseTimer.time("iceberg_zorder_read.sync") {
+      val src0 = new ParquetDirectorySource(s, dataDir, "lineitem")
+      val outcomes = TableFormatSync.syncSnapshot(
+        Seq(new graft.formats.iceberg.IcebergConversionTarget(s, ice)),
+        src0.currentSnapshot(), src0.sourceFormat)
+      require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    }
+    graft.util.PhaseTimer.time("iceberg_zorder_read.rewrite") {
+      require(graft.formats.iceberg.IcebergDeletes.rewriteWithDeletes(s, ice,
+        zorderBy = Seq("l_orderkey", "l_partkey"),
+        targetFileBytes = 256L << 10))
+    }
     val back = new graft.formats.iceberg.IcebergConversionSource(
       s, ice, "lineitem")
     val snap = back.currentSnapshot()

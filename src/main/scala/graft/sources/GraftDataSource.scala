@@ -237,16 +237,22 @@ class GraftDataSource extends RelationProvider
             s"Iceberg sequence number, Hudi instant or Paimon snapshot " +
             s"id); this is a ${other.sourceFormat} table")
       }
-      // named snapshot ref (Iceberg branches/tags, spec v2 `refs`)
+      // named snapshot ref (Iceberg branches/tags via spec v2 `refs`;
+      // Paimon tags via the <table>/tag snapshot copies)
       case (None, Some(name)) => source match {
         case i: graft.formats.iceberg.IcebergConversionSource =>
           val v = graft.formats.iceberg.IcebergMetadata
             .currentVersion(path).get
           val m = graft.formats.iceberg.IcebergMetadata.read(path, v)
           i.snapshotAt(graft.formats.iceberg.IcebergRefs.resolve(m, name))
+        case p: graft.formats.paimon.PaimonConversionSource =>
+          val id = graft.formats.paimon.PaimonFormat.readTag(path, name)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no Paimon tag '$name' at $path"))
+          p.snapshotAt(id)
         case other => throw new IllegalArgumentException(
-          s"branch reads need Iceberg snapshot refs; this is a " +
-            s"${other.sourceFormat} table")
+          s"branch reads need Iceberg snapshot refs or Paimon tags; " +
+            s"this is a ${other.sourceFormat} table")
       }
       case (None, None) => source.currentSnapshot()
     }

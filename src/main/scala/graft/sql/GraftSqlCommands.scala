@@ -131,8 +131,24 @@ object GraftSqlCommands {
       AttributeReference("name",
         org.apache.spark.sql.types.StringType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
-      if (drop) IcebergRefs.dropRef(spark, path, name)
-      else IcebergRefs.createRef(spark, path, name, refType, atSeq)
+      graft.sources.CatalogConversionSource.detectFormat(path) match {
+        case graft.model.TableFormats.Paimon =>
+          // Paimon has TAGS (snapshot copies under <table>/tag) — a
+          // writable branch is a different feature, refused loudly
+          // drop is type-agnostic (the DROP grammar doesn't capture it)
+          require(drop || refType.equalsIgnoreCase("TAG"),
+            "Paimon supports TAG refs (named snapshots); BRANCH is not " +
+              "implemented for Paimon tables")
+          if (drop) graft.formats.paimon.PaimonFormat.dropTag(path, name)
+          else graft.formats.paimon.PaimonFormat.createTag(path, name,
+            atSeq.orElse(graft.formats.paimon.PaimonFormat
+              .latestSnapshotId(path)).getOrElse(
+              throw new IllegalArgumentException(
+                s"no Paimon snapshots at $path to tag")))
+        case _ =>
+          if (drop) IcebergRefs.dropRef(spark, path, name)
+          else IcebergRefs.createRef(spark, path, name, refType, atSeq)
+      }
       Seq(Row(name))
     }
   }

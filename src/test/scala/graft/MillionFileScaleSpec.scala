@@ -237,6 +237,41 @@ class MillionFileScaleSpec extends SparkSuite {
     assert(incSec < 120, s"incremental too slow: $incSec")
   }
 
+  test("1M files: hudi streaming sink appends O(delta), replay check streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = tmpDir("mm_hudi_sink")
+    val schema = spark.read.parquet(sf("sf0.001/region.parquet")).schema
+    val desc = TableDescriptor("mm", TableFormats.Hudi, target, schema,
+      Seq(PartitionFieldSpec("p", Transform.Value)),
+      Layout.HivePartitioned, 0L)
+    drive(new graft.formats.hudi.HudiConversionTarget(spark, target),
+      desc, "1")(
+      _.syncFilesForSnapshot(entries(0L, n).toDF().as[FileEntry]))
+
+    // a micro-batch append must be O(batch), NOT O(table): schema/spec
+    // resolve from commit extraMetadata via the streaming parse (the
+    // 10^6-stat arrays are token-skipped, never materialized), and the
+    // commit writes only the batch's own stats
+    val batch = spark.read.parquet(sf("sf0.001/region.parquet"))
+      .withColumn("p", col("r_regionkey").cast("string"))
+    val t0 = System.nanoTime()
+    assert(graft.formats.hudi.HudiStreamSink.appendBatch(
+      spark, target, batch, "mmapp", 0L))
+    val appendSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    assert(!graft.formats.hudi.HudiStreamSink.appendBatch(
+      spark, target, batch, "mmapp", 0L))   // replay skips
+    val replaySec = (System.nanoTime() - t1) / 1e9
+    assert(graft.formats.hudi.HudiStreamSink.lastTxnVersion(
+      spark, target, "mmapp").contains(0L))
+
+    info(f"hudi 1M sink: append $appendSec%.1fs, replay check $replaySec%.1fs")
+    assert(appendSec < 120, s"append too slow: $appendSec")
+    assert(replaySec < 30, s"replay check too slow: $replaySec")
+  }
+
   test("1M files: shallow clone streams adds, zero data IO") {
     import spark.implicits._
     val srcTable = tmpDir("mm_clone_src")

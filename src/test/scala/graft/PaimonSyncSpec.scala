@@ -115,6 +115,51 @@ class PaimonSyncSpec extends SparkSuite {
     assert(PaimonFormat.latestSnapshotId(target) == snapBefore)
   }
 
+  test("paimon tags: named snapshots serve through branch reads and SQL") {
+    val dataDir = tmpDir("paimon_tag_data")
+    val direct = spark.read.parquet(sf("sf0.001/region.parquet"))
+    direct.write.mode("overwrite").parquet(dataDir)
+    val target = tmpDir("paimon_tag")
+    def sync(): Unit = {
+      val src = new ParquetDirectorySource(spark, dataDir, "region")
+      val r = TableFormatSync.syncSnapshot(
+        Seq(new PaimonConversionTarget(spark, target)),
+        src.currentSnapshot(), src.sourceFormat)
+      assert(r.forall(_.status == "SUCCESS"), r.mkString(";"))
+    }
+    sync()
+    // tag snapshot 1, then advance the table
+    PaimonFormat.createTag(target, "v1", 1L)
+    direct.withColumn("r_regionkey", col("r_regionkey") + 100)
+      .write.mode("append").parquet(dataDir)
+    sync()
+    assert(PaimonFormat.latestSnapshotId(target).contains(2L))
+
+    // the tag serves the OLD state through the unified reader
+    val tagged = spark.read.format("graft").option("branch", "v1")
+      .load(target)
+    assert(tagged.count() == direct.count())
+    assert(spark.read.format("graft").load(target).count() ==
+      2 * direct.count())
+    assert(PaimonFormat.listTags(target) == Seq("v1" -> 1L))
+
+    // SQL surface routes by format: CREATE TAG + DROP on paimon
+    val gs = graft.sql.GraftSql.session(spark)
+    gs.sql(s"GRAFT CREATE TAG v2 ON '$target'").collect()
+    assert(PaimonFormat.readTag(target, "v2").contains(2L))
+    val e = intercept[Exception] {
+      gs.sql(s"GRAFT CREATE BRANCH b1 ON '$target'").collect()
+    }
+    assert(e.getMessage.contains("TAG"), e.getMessage)
+    gs.sql(s"GRAFT DROP TAG v2 ON '$target'").collect()
+    assert(PaimonFormat.readTag(target, "v2").isEmpty)
+    // unknown tag refuses loudly
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("branch", "nope").load(target).count()
+    }
+    assert(e2.getMessage.contains("no Paimon tag"), e2.getMessage)
+  }
+
   test("paimon copy-on-write commit CAS: stale planning snapshot fails loudly") {
     // a deleteWhere plans its victim set against snapshot N; if another
     // writer lands N+1 before the swap commits, the commit must FAIL —

@@ -74,6 +74,31 @@ class IcebergReplaceRetrySpec extends SparkSuite {
       .toDataFrame.count() == 2 * rows.count())
   }
 
+  test("stale eq-delete re-lands past a stats-provably-DISJOINT append") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = icebergTable("ice_eqdel_disjoint")
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    val planned = IcebergMetadata.currentVersion(t).get
+
+    // intervening append whose keys (100..104) provably miss the delete
+    // key (0): min/max disjoint on the equality column
+    val extra = tmpDir("ice_eqdel_disjoint_extra")
+    rows.withColumn("r_regionkey", col("r_regionkey") + 100)
+      .coalesce(1).write.mode("overwrite").parquet(extra)
+    IcebergDeletes.appendDataFiles(spark, t, extra)
+
+    // the stale eq-delete must re-land (disjointness proven from the
+    // appended manifest's bounds), masking key 0 in the original file
+    IcebergDeletes.appendCommit(spark, t,
+      rows = Seq(0).toDF("r_regionkey"), content = 2,
+      equalityIds = Seq(1), expectVersion = Some(planned))
+    val back = new IcebergConversionSource(spark, t, "region").toDataFrame
+    assert(back.count() == 2 * rows.count() - 1)
+    assert(back.filter(col("r_regionkey") === 0).isEmpty)
+    assert(back.filter(col("r_regionkey") === 100).count() == 1)
+  }
+
   test("stale equality delete still fails loudly past an intervening commit") {
     import spark.implicits._
     val t = icebergTable("ice_eqdel_stale")
