@@ -208,10 +208,15 @@ object IcebergDeletes {
     * Entries carry no column bounds (stat skipping simply cannot prune
     * them — safe, never wrong).
     */
+  /** `toBranch`: write-audit-publish — the append lands on the named
+    * branch (parent = branch head, ref moved), the main head is
+    * untouched; audit through `option("branch", name)` reads, then
+    * [[IcebergRefs.fastForward]] publishes.
+    */
   def appendDataFiles(spark: SparkSession, tablePath: String,
-      parquetDir: String): Unit =
+      parquetDir: String, toBranch: Option[String] = None): Unit =
     appendCommit(spark, tablePath, rows = null, content = 0,
-      equalityIds = Nil, dataDir = Some(parquetDir))
+      equalityIds = Nil, dataDir = Some(parquetDir), toBranch = toBranch)
 
   private def currentMeta(spark: SparkSession, tablePath: String)
       : (Long, IcebergTableMetadata) = {
@@ -330,7 +335,10 @@ object IcebergDeletes {
       dataDir: Option[String] = None, replace: Boolean = false,
       expectVersion: Option[Long] = None,
       extraProps: Map[String, String] = Map.empty,
-      txnGuard: Option[(String, Long)] = None): Boolean = {
+      txnGuard: Option[(String, Long)] = None,
+      toBranch: Option[String] = None): Boolean = {
+    require(toBranch.isEmpty || (!replace && content == 0),
+      "branch-targeted commits support data appends only (WAP)")
     // retryable past pure data appends: data-only appends and POSITION
     // deletes (they name their files explicitly); REPLACE commits retry
     // too — sequence-aware: the intervening appends' manifests are
@@ -500,6 +508,20 @@ object IcebergDeletes {
           snapshotId)
       val dataManifest =
         writeOneManifest(dataFiles, 0, Nil, snapshotId)
+      // the commit's BASE snapshot: the named branch's head for WAP
+      // appends (main untouched), else the table head
+      val baseSnap: Option[IcebergSnapshot] = toBranch match {
+        case Some(b) =>
+          val ref = m.refs.getOrElse(b, throw new IllegalArgumentException(
+            s"no branch '$b' at $tablePath — create it first " +
+              "(IcebergRefs.createBranch / GRAFT CREATE BRANCH)"))
+          require(ref.refType == "branch",
+            s"ref '$b' is a ${ref.refType}, not a writable branch")
+          Some(m.snapshots.find(_.snapshotId == ref.snapshotId).getOrElse(
+            throw new IllegalStateException(
+              s"branch '$b' points at expired snapshot ${ref.snapshotId}")))
+        case None => m.currentSnapshot
+      }
       val carried =
         if (replace) {
           // a replace planned at base seq B replaces exactly the
@@ -523,7 +545,7 @@ object IcebergDeletes {
             case _ => Nil
           }
         }
-        else m.currentSnapshot
+        else baseSnap
           .map(s => IcebergManifests.readManifestListRecords(s.manifestList))
           .getOrElse(Nil)
       // UUID in the list name: two racing writers compute the same next
@@ -537,13 +559,19 @@ object IcebergDeletes {
       val ok = IcebergMetadata.write(tablePath, version + 1, m.copy(
         lastSequenceNumber = seq,
         lastUpdatedMs = now,
-        currentSnapshotId = snapshotId,
+        // WAP: a branch-targeted append moves ONLY the branch ref; the
+        // main head stays until IcebergRefs.fastForward publishes it
+        currentSnapshotId =
+          if (toBranch.isDefined) m.currentSnapshotId else snapshotId,
+        refs = m.refs ++
+          toBranch.map(b => b -> IcebergRef(snapshotId, "branch")),
         properties = m.properties ++ extraProps,
         // no sourceIdentifier: this is a row-level write, not a sync — the
         // target's corrupt-commit rollback must never touch it
         snapshots = m.snapshots :+
           IcebergSnapshot(snapshotId, seq, now, listPath, None,
-            if (replace) "replace" else "append")))
+            if (replace) "replace" else "append",
+            parentSnapshotId = baseSnap.map(_.snapshotId))))
       if (ok) return true
       attempt += 1
       val baseSeq = m.lastSequenceNumber

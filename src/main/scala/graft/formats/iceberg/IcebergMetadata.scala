@@ -22,7 +22,8 @@ case class IcebergSnapshot(
     timestampMs: Long,
     manifestList: String,
     sourceIdentifier: Option[String] = None,
-    operation: String = "append")   // snapshot summary operation (spec: required)
+    operation: String = "append",   // snapshot summary operation (spec: required)
+    parentSnapshotId: Option[Long] = None)  // spec `parent-snapshot-id`
 
 /** A named snapshot reference (spec v2 `refs`): a `tag` pins a snapshot
   * forever; a `branch` is an independently movable head.
@@ -147,6 +148,7 @@ object IcebergMetadata {
       n.put("sequence-number", s.sequenceNumber)
       n.put("timestamp-ms", s.timestampMs)
       n.put("manifest-list", s.manifestList)
+      s.parentSnapshotId.foreach(p => n.put("parent-snapshot-id", p))
       // spec: summary is required and must carry "operation"
       val sum = n.putObject("summary")
       sum.put("operation", s.operation)
@@ -211,7 +213,8 @@ object IcebergMetadata {
             .map(_.asText),
           Option(s.get("summary"))
             .flatMap(sum => Option(sum.get("operation")))
-            .map(_.asText).getOrElse("append"))
+            .map(_.asText).getOrElse("append"),
+          Option(s.get("parent-snapshot-id")).map(_.asLong))
       },
       Option(n.get("refs")).map(_.properties().asScala.map { e =>
         e.getKey -> IcebergRef(e.getValue.get("snapshot-id").asLong,

@@ -75,6 +75,40 @@ object IcebergRefs {
         s"ref $name points at expired snapshot ${ref.snapshotId}"))
   }
 
+  /** Write-audit-publish PUBLISH: fast-forward the main head to the
+    * named branch's snapshot. Requires main's current head to be an
+    * ANCESTOR of the branch head (walking `parent-snapshot-id`) — a
+    * diverged main means the branch must be rebased, and forcing the
+    * move would silently drop main's commits. Returns the published
+    * snapshot's sequence number.
+    */
+  def fastForward(spark: SparkSession, tablePath: String, branch: String)
+      : Long = {
+    val (v, m) = headMeta(tablePath)
+    val ref = m.refs.getOrElse(branch, throw new IllegalArgumentException(
+      s"no ref '$branch' at $tablePath"))
+    require(ref.refType == "branch",
+      s"ref '$branch' is a ${ref.refType}, not a branch")
+    val target = m.snapshots.find(_.snapshotId == ref.snapshotId).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$branch' points at expired snapshot ${ref.snapshotId}"))
+    m.currentSnapshot.foreach { head =>
+      var cur: Option[IcebergSnapshot] = Some(target)
+      var found = head.snapshotId == target.snapshotId
+      while (!found && cur.isDefined) {
+        cur = cur.get.parentSnapshotId
+          .flatMap(p => m.snapshots.find(_.snapshotId == p))
+        found = cur.exists(_.snapshotId == head.snapshotId)
+      }
+      require(found,
+        s"main's head ${head.snapshotId} is not an ancestor of branch " +
+          s"'$branch' (${target.snapshotId}) — not a fast-forward; " +
+          "rebase the branch or roll main back first")
+    }
+    commit(tablePath, v, m.copy(currentSnapshotId = target.snapshotId))
+    target.sequenceNumber
+  }
+
   /** ROLLBACK the head to the snapshot at `seq`. History and refs are
     * preserved (the abandoned snapshots stay until expiration); future
     * commits continue from a fresh sequence number, so incremental

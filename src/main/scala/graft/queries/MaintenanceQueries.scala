@@ -692,4 +692,43 @@ object MaintenanceQueries {
        |SELECT side, count(*) AS cnt,
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM sides GROUP BY side ORDER BY side""".stripMargin
+
+  /** Write-audit-publish: stage an append on a branch (main untouched),
+    * audit the branch through the reader, fast-forward main to publish.
+    * The gate pins all three states: main before publish, the audited
+    * branch, and main after — any leak of staged rows into main before
+    * the publish (or loss after) breaks the oracle.
+    */
+  def icebergWapPublish(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.iceberg._
+    val dataDir = graft.util.TempDirs.create("graft_wap_data")
+    s.read.parquet(s"$dir/region.parquet")
+      .write.mode("overwrite").parquet(dataDir)
+    val ice = graft.util.TempDirs.create("graft_wap_ice")
+    val src0 = new ParquetDirectorySource(s, dataDir, "region")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(s, ice)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    IcebergRefs.createBranch(s, ice, "audit")
+    val staged = graft.util.TempDirs.create("graft_wap_staged")
+    s.read.parquet(s"$dir/region.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    IcebergDeletes.appendDataFiles(s, ice, staged, toBranch = Some("audit"))
+
+    // audit: main must NOT see the staged rows; the branch must
+    val pre = new IcebergConversionSource(s, ice, "region").toDataFrame
+      .agg(count(lit(1)).as("pre_rows"))
+    val branch = s.read.format("graft").option("branch", "audit").load(ice)
+      .agg(count(lit(1)).as("branch_rows"))
+    // publish, then main serves the staged rows
+    IcebergRefs.fastForward(s, ice, "audit")
+    val post = new IcebergConversionSource(s, ice, "region").toDataFrame
+      .agg(count(lit(1)).as("post_rows"))
+    pre.crossJoin(branch).crossJoin(post)
+  }
+
+  val icebergWapPublishSql: String =
+    """SELECT count(*) AS pre_rows, 2*count(*) AS branch_rows,
+      |  2*count(*) AS post_rows FROM region""".stripMargin
 }

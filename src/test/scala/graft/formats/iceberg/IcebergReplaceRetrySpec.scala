@@ -74,6 +74,42 @@ class IcebergReplaceRetrySpec extends SparkSuite {
       .toDataFrame.count() == 2 * rows.count())
   }
 
+  test("WAP: branch append leaves main untouched; fast-forward refuses divergence") {
+    val t = icebergTable("ice_wap")
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    IcebergRefs.createBranch(spark, t, "audit")
+
+    val staged = tmpDir("ice_wap_staged")
+    rows.coalesce(1).write.mode("overwrite").parquet(staged)
+    IcebergDeletes.appendDataFiles(spark, t, staged, toBranch = Some("audit"))
+
+    // main untouched, branch carries the staged rows
+    assert(new IcebergConversionSource(spark, t, "region")
+      .toDataFrame.count() == rows.count())
+    assert(spark.read.format("graft").option("branch", "audit").load(t)
+      .count() == 2 * rows.count())
+
+    // a DIVERGED main (its own append after the branch forked) must
+    // refuse the fast-forward — forcing it would drop main's commit
+    val mainExtra = tmpDir("ice_wap_main_extra")
+    rows.coalesce(1).write.mode("overwrite").parquet(mainExtra)
+    IcebergDeletes.appendDataFiles(spark, t, mainExtra)
+    val e = intercept[IllegalArgumentException] {
+      IcebergRefs.fastForward(spark, t, "audit")
+    }
+    assert(e.getMessage.contains("not a fast-forward"), e.getMessage)
+
+    // roll main back to the fork point: the publish then lands
+    IcebergRefs.rollbackTo(spark, t, 1L)
+    IcebergRefs.fastForward(spark, t, "audit")
+    assert(new IcebergConversionSource(spark, t, "region")
+      .toDataFrame.count() == 2 * rows.count())
+    // unknown branch / tag targets refuse
+    intercept[IllegalArgumentException] {
+      IcebergDeletes.appendDataFiles(spark, t, staged, toBranch = Some("nope"))
+    }
+  }
+
   test("stale eq-delete re-lands past a stats-provably-DISJOINT append") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
