@@ -113,8 +113,13 @@ object DeltaLog {
     val sz = if (size >= 0) s""","size":$size""" else ""
     val json = if (parts <= 1) s"""{"version":$version$sz}"""
       else s"""{"version":$version$sz,"parts":$parts}"""
-    Files.write(JPaths.get(lastCheckpointFile(tablePath)),
-      json.getBytes(StandardCharsets.UTF_8))
+    // atomic publish: a real delta-spark reader following
+    // _last_checkpoint must never see a torn/empty hint mid-write
+    val target = JPaths.get(lastCheckpointFile(tablePath))
+    val tmp = Files.createTempFile(target.getParent, ".lastckpt", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Put-if-absent publish of an ALREADY-WRITTEN commit file without

@@ -250,7 +250,11 @@ object IcebergDeletes {
       m.properties.getOrElse("graft.table-name", "table"))
     val seq = m.lastSequenceNumber + 1
     val dataDir = s"$tablePath/data/compact-$seq-${UUID.randomUUID()}"
-    val rows = src.toDataFrame
+    // scan PINNED at the planned sequence, not the live head: an append
+    // landing between this read and the REPLACE commit is carried
+    // forward by the retry — if the scan had floated to the new head,
+    // those rows would be BOTH rewritten and carried (duplicates)
+    val rows = src.toDataFrameAt(m.headSequence)
     val out =
       if (zorderBy.isEmpty) rows
       else {

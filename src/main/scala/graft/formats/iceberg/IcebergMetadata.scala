@@ -72,11 +72,36 @@ object IcebergMetadata {
   def metadataFile(tablePath: String, v: Long): String =
     s"${metadataDir(tablePath)}/v$v.metadata.json"
 
+  /** The hint file is a HINT, not the authority (Iceberg's
+    * HadoopTableOperations treats it the same): under racing writers it
+    * can tear (read mid-write) or lag (two publishes, hints land out of
+    * order). The metadata-file listing is authoritative; the max of
+    * both is returned.
+    */
   def currentVersion(tablePath: String): Option[Long] = {
-    val hint = JPaths.get(versionHint(tablePath))
-    if (!Files.exists(hint)) None
-    else Some(new String(Files.readAllBytes(hint), StandardCharsets.UTF_8)
-      .trim.toLong)
+    val hint: Option[Long] = {
+      val h = JPaths.get(versionHint(tablePath))
+      if (!Files.exists(h)) None
+      else scala.util.Try(new String(Files.readAllBytes(h),
+        StandardCharsets.UTF_8).trim.toLong).toOption
+    }
+    val dir = JPaths.get(metadataDir(tablePath))
+    val listed: Option[Long] =
+      if (!Files.exists(dir)) None
+      else {
+        val stream = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+            .flatMap(n => scala.util.Try(
+              n.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+              .toOption)
+            .foldLeft(Option.empty[Long])((acc, v) =>
+              Some(acc.fold(v)(math.max(_, v))))
+        } finally stream.close()
+      }
+    (hint.toSeq ++ listed.toSeq).reduceOption(_ max _)
   }
 
   private def transformName(p: PartitionFieldSpec): String = p.transform match {
@@ -163,8 +188,14 @@ object IcebergMetadata {
     Files.write(tmp, Jsons.mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(o).getBytes(StandardCharsets.UTF_8))
     if (graft.util.AtomicFiles.publish(tmp, target)) {
-      Files.write(JPaths.get(versionHint(tablePath)),
-        version.toString.getBytes(StandardCharsets.UTF_8))
+      // atomic hint publish: a plain overwrite lets a concurrent reader
+      // see a truncated/empty hint mid-write
+      val hint = JPaths.get(versionHint(tablePath))
+      val htmp = Files.createTempFile(hint.getParent, ".hint", ".tmp")
+      Files.write(htmp, version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(htmp, hint,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       true
     } else false
   }

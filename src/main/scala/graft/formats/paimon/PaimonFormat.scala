@@ -138,11 +138,20 @@ object PaimonFormat {
       commitUser: Option[String] = None,
       commitIdentifier: Option[Long] = None)
 
+  /** LATEST is a hint, not the authority: under racing writers it can
+    * tear (read mid-write) or lag (two publishes, hints land out of
+    * order). The snapshot-file listing is authoritative; the max of
+    * both is returned.
+    */
   def latestSnapshotId(tablePath: String): Option[Long] = {
-    val latest = JPaths.get(snapshotDir(tablePath), "LATEST")
-    if (!Files.exists(latest)) None
-    else Some(new String(Files.readAllBytes(latest),
-      StandardCharsets.UTF_8).trim.toLong)
+    val hint: Option[Long] = {
+      val latest = JPaths.get(snapshotDir(tablePath), "LATEST")
+      if (!Files.exists(latest)) None
+      else scala.util.Try(new String(Files.readAllBytes(latest),
+        StandardCharsets.UTF_8).trim.toLong).toOption
+    }
+    val listed = listSnapshotIds(tablePath).lastOption
+    (hint.toSeq ++ listed.toSeq).reduceOption(_ max _)
   }
 
   def writeSnapshot(tablePath: String, s: PaimonSnapshot): Boolean = {
@@ -162,8 +171,13 @@ object PaimonFormat {
     val tmp = Files.createTempFile(dir, s".snap${s.id}", ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     if (graft.util.AtomicFiles.publish(tmp, target)) {
-      Files.write(dir.resolve("LATEST"),
-        s.id.toString.getBytes(StandardCharsets.UTF_8))
+      // atomic hint publish — a racing reader must never see a torn
+      // LATEST (the listing remains the authority regardless)
+      val htmp = Files.createTempFile(dir, ".latest", ".tmp")
+      Files.write(htmp, s.id.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(htmp, dir.resolve("LATEST"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       true
     } else false
   }

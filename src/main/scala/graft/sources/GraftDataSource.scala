@@ -66,7 +66,16 @@ class GraftDataSource extends RelationProvider
         graft.formats.delta.DeltaWrite.write(spark, path, data,
           overwrite = m == SaveMode.Overwrite, partitionCols = parts)
     }
-    createRelation(sqlContext, parameters)
+    // schema-only relation: the V1 save() contract wants a BaseRelation
+    // back but never scans it — building the full read relation here
+    // would re-read the metadata AND throw the live-DV read refusal
+    // AFTER a perfectly good append committed
+    val sql = sqlContext
+    val written = data.schema
+    new BaseRelation {
+      override def sqlContext: SQLContext = sql
+      override def schema: org.apache.spark.sql.types.StructType = written
+    }
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -1,0 +1,163 @@
+package graft
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions.col
+
+import graft.formats.delta._
+import graft.sources.ParquetDirectorySource
+import graft.sync.TableFormatSync
+
+/** Randomized concurrency fuzz: N writer threads race mixed operations
+  * (unique-key appends, unique-key deletes, compactions) against one
+  * table, with NO coordination beyond the engine's own optimistic
+  * concurrency. Because every op touches a DISJOINT key set, all
+  * successful ops commute — the final table state is exactly
+  * (seed ∪ successful appends) − successful deletes, whatever the
+  * interleaving. Any lost update, double-apply, resurrected row or torn
+  * commit breaks the multiset equality.
+  *
+  * Ops are ALLOWED to fail with the engine's loud conflict errors
+  * (retries exhausted under contention); the invariant is over the ops
+  * that reported success. A fixed seed keeps the schedule shape
+  * reproducible; the actual interleaving is the OS scheduler's.
+  */
+class ConcurrencyFuzzSpec extends SparkSuite {
+
+  private case class Outcome(kind: String, key: Long, ok: Boolean)
+
+  test("delta: racing unique-key appends/deletes/compactions serialize") {
+    val t = tmpDir("fuzz_delta")
+    import spark.implicits._
+    // seed keys 0..19 (one row each), via the writer surface
+    val seed = spark.range(0, 20).select(col("id").as("k"),
+      (col("id") * 10).as("v"))
+    seed.write.format("graft").save(t)
+
+    val nThreads = 3
+    val opsPerThread = 4
+    val outcomes = new ConcurrentLinkedQueue[Outcome]()
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val rnd = new scala.util.Random(41)
+    // pre-plan ops so key sets are disjoint BY CONSTRUCTION:
+    // appends use keys 1000+i, deletes target distinct seeded keys
+    val deleteKeys = rnd.shuffle((0L until 20L).toList).take(
+      nThreads * opsPerThread / 2).iterator
+    val plans: Seq[Seq[(String, Long)]] = (0 until nThreads).map { tid =>
+      (0 until opsPerThread).map { i =>
+        val slot = tid * opsPerThread + i
+        if (slot % 2 == 0) ("append", 1000L + slot)
+        else if (deleteKeys.hasNext) ("delete", deleteKeys.next())
+        else ("compact", -1L)
+      }
+    }
+    plans.zipWithIndex.foreach { case (ops, tid) =>
+      pool.execute { () =>
+        start.await()
+        ops.foreach { case (kind, key) =>
+          try {
+            kind match {
+              case "append" =>
+                spark.range(key, key + 1).select(col("id").as("k"),
+                    (col("id") * 10).as("v"))
+                  .write.format("graft").mode("append").save(t)
+                outcomes.add(Outcome("append", key, ok = true))
+              case "delete" =>
+                val n = DeltaDeletes.deleteWhere(spark, t, col("k") === key)
+                outcomes.add(Outcome("delete", key, ok = n == 1L))
+              case "compact" =>
+                DeltaOptimize.compact(spark, t)
+                outcomes.add(Outcome("compact", -1L, ok = true))
+            }
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("concurrent writer") ||
+                  e.getMessage.contains("conflict retries") =>
+              outcomes.add(Outcome(kind, key, ok = false))
+            case th: Throwable => errors.add(th)
+          }
+        }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+    assert(errors.isEmpty, errors.toString)
+
+    import scala.jdk.CollectionConverters._
+    val oc = outcomes.asScala.toSeq
+    val appended = oc.filter(o => o.kind == "append" && o.ok).map(_.key)
+    val deleted = oc.filter(o => o.kind == "delete" && o.ok).map(_.key)
+    val expected = ((0L until 20L) ++ appended).toSet -- deleted
+    val got = new DeltaConversionSource(spark, t, "t").toDataFrame
+      .select("k").as[Long].collect().toSeq
+    assert(got.size == got.toSet.size, "duplicate rows — a commit double-applied")
+    assert(got.toSet == expected,
+      s"state diverged: missing ${expected -- got.toSet}, " +
+        s"extra ${got.toSet -- expected}; outcomes=$oc")
+  }
+
+  test("iceberg: racing unique-key appends and a clustered replace serialize") {
+    val t = tmpDir("fuzz_ice")
+    import spark.implicits._
+    val seedDir = tmpDir("fuzz_ice_seed")
+    spark.range(0, 20).select(col("id").as("k"), (col("id") * 10).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(seedDir)
+    val src = new ParquetDirectorySource(spark, seedDir, "t")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, t)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+    val nThreads = 3
+    val outcomes = new ConcurrentLinkedQueue[Outcome]()
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(nThreads)
+    (0 until nThreads).foreach { tid =>
+      pool.execute { () =>
+        start.await()
+        (0 until 3).foreach { i =>
+          val slot = tid * 3 + i
+          try {
+            if (slot == 4) {   // one clustered REPLACE mid-race
+              graft.formats.iceberg.IcebergDeletes.rewriteWithDeletes(
+                spark, t, zorderBy = Seq("k"))
+              outcomes.add(Outcome("replace", -1L, ok = true))
+            } else {
+              val key = 1000L + slot
+              val d = tmpDir(s"fuzz_ice_add_$slot")
+              spark.range(key, key + 1).select(col("id").as("k"),
+                  (col("id") * 10).as("v"))
+                .coalesce(1).write.mode("overwrite").parquet(d)
+              graft.formats.iceberg.IcebergDeletes.appendDataFiles(spark, t, d)
+              outcomes.add(Outcome("append", key, ok = true))
+            }
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("concurrent writer") =>
+              outcomes.add(Outcome("op", -1L, ok = false))
+            case th: Throwable => errors.add(th)
+          }
+        }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+    assert(errors.isEmpty, errors.toString)
+
+    import scala.jdk.CollectionConverters._
+    val appended = outcomes.asScala
+      .filter(o => o.kind == "append" && o.ok).map(_.key).toSet
+    val expected = (0L until 20L).toSet ++ appended
+    val got = new graft.formats.iceberg.IcebergConversionSource(
+      spark, t, "t").toDataFrame.select("k").as[Long].collect().toSeq
+    assert(got.size == got.toSet.size, "duplicate rows — double-applied")
+    assert(got.toSet == expected,
+      s"state diverged: missing ${expected -- got.toSet}, " +
+        s"extra ${got.toSet -- expected}")
+  }
+}
