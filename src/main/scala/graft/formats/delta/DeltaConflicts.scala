@@ -82,7 +82,27 @@ object DeltaConflicts {
     */
   def commitWithRetry(spark: SparkSession, tablePath: String,
       plannedVersion: Long, lines: Iterator[String],
-      read: Option[ReadFootprint] = None): Long = {
+      read: Option[ReadFootprint] = None): Long =
+    commitCore(spark, tablePath, plannedVersion, lines, read, None)
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: commitCore returns None only under a txn guard"))
+
+  /** Exactly-once variant for idempotent stream writers: between CAS
+    * attempts the log is re-checked for a `txn` action with `appId` at
+    * or past `batchId` — a concurrent/zombie replay of the same batch
+    * that wins the race makes this return None (nothing committed)
+    * instead of re-landing the rows past it.
+    */
+  def commitWithRetryTxn(spark: SparkSession, tablePath: String,
+      plannedVersion: Long, lines: Iterator[String],
+      appId: String, batchId: Long): Option[Long] =
+    commitCore(spark, tablePath, plannedVersion, lines, None,
+      Some((appId, batchId)))
+
+  private def commitCore(spark: SparkSession, tablePath: String,
+      plannedVersion: Long, lines: Iterator[String],
+      read: Option[ReadFootprint],
+      txnGuard: Option[(String, Long)]): Option[Long] = {
     val conf = HadoopConfs.session(spark)
     val logDir = JPaths.get(DeltaLog.logPath(tablePath))
     Files.createDirectories(logDir)
@@ -97,8 +117,16 @@ object DeltaConflicts {
       var attempt = 0
       while (attempt <= MaxRetries) {
         if (DeltaLog.publishCommitFile(tablePath, version, spool))
-          return version
+          return Some(version)
         attempt += 1
+        // exactly-once recheck BEFORE deciding to re-land: if any commit
+        // now carries our txn stamp, this is a replay racing itself —
+        // skip, never duplicate
+        txnGuard.foreach { case (appId, batchId) =>
+          if (DeltaStreamSink.lastTxnVersion(spark, tablePath, appId)
+              .exists(batchId <= _))
+            return None
+        }
         val head = DeltaLog.latestVersion(tablePath, conf).getOrElse(version)
         val intervening = DeltaLog.listVersions(tablePath, conf)
           .filter(v => v >= version && v <= head)

@@ -114,12 +114,24 @@ object DeltaStreamSink {
         "operationParameters" -> Map("epochId" -> batchId.toString)))))
 
     val version = head.map(_ + 1).getOrElse(0L)
-    val ok = DeltaLog.writeCommit(tablePath, version,
-      header ++ graft.util.StreamedLines.iterate(adds))
-    if (!ok) throw new IllegalStateException(
-      s"concurrent writer committed version $version first at $tablePath " +
-        "— streaming sink cannot continue safely")
-    true
+    if (head.isEmpty) {
+      // table creation (batch 0): strict CAS — losing it means another
+      // writer created the table, and re-deriving the metaData header
+      // against it is a different operation
+      val ok = DeltaLog.writeCommit(tablePath, version,
+        header ++ graft.util.StreamedLines.iterate(adds))
+      if (!ok) throw new IllegalStateException(
+        s"concurrent writer committed version $version first at " +
+          s"$tablePath — streaming sink cannot continue safely")
+      true
+    } else
+      // appends ride the conflict retry WITH the exactly-once guard:
+      // a concurrent/zombie replay of this same batch that wins the
+      // race is detected between attempts and skipped (None), while an
+      // unrelated disjoint commit just re-lands us at the new head
+      DeltaConflicts.commitWithRetryTxn(spark, tablePath, version,
+        header ++ graft.util.StreamedLines.iterate(adds),
+        appId, batchId).isDefined
   }
 
   /** Wire a streaming DataFrame into the sink: `foreachBatch` with the

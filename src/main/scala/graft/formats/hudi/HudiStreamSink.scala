@@ -41,6 +41,41 @@ object HudiStreamSink {
 
   val MaxCommitRetries = 5
 
+  /** Hudi's timeline is append-only — there is NO table-level CAS, so
+    * two racing writers get different instants and BOTH land (Hudi's own
+    * answer is an optional lock provider; its
+    * FileSystemBasedLockProvider does exactly this). The stamp-check +
+    * commit critical section therefore runs under an atomic-create lock
+    * file in `.hoodie/`; a crashed holder's lock is broken after
+    * `StaleLockMillis`.
+    */
+  private val StaleLockMillis = 10 * 60 * 1000L
+
+  private def withCommitLock[T](tablePath: String, appId: String)(f: => T)
+      : T = {
+    import java.nio.file.{Files, Paths}
+    val lock = Paths.get(tablePath, ".hoodie", s".graft-txn-$appId.lock")
+    Files.createDirectories(lock.getParent)
+    val deadline = System.currentTimeMillis() + 120000L
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale = try Files.getLastModifiedTime(lock).toMillis <
+            System.currentTimeMillis() - StaleLockMillis
+          catch { case _: java.io.IOException => false }
+          if (stale) Files.deleteIfExists(lock)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire Hudi commit lock $lock within 120s — " +
+                "break it manually if its holder crashed")
+          else Thread.sleep(25)
+      }
+    }
+    try f finally Files.deleteIfExists(lock)
+  }
+
   /** Append one micro-batch idempotently; false = already committed
     * (replay after a restart), nothing written. The table must exist
     * (sync or create it first) — the sink appends under the table's
@@ -88,32 +123,36 @@ object HudiStreamSink {
     val added = graft.sources.ParquetFooters.fileEntries(spark, dataDir,
       graft.sources.ParquetFooters.listFiles(dataDir, conf))
 
-    var attempt = 0
-    while (true) {
-      try {
-        val tgt = new HudiConversionTarget(spark, tablePath)
-        tgt.beginSync(table)
-        tgt.syncSchema(table.schema)
-        tgt.syncPartitionSpec(table.partitionFields)
-        tgt.stampCommit(txnKey(appId) -> batchId.toString)
-        tgt.syncFilesForDiff(FilesDelta(added,
-          spark.emptyDataset[graft.model.FileEntry](
-            org.apache.spark.sql.Encoders.product[graft.model.FileEntry])))
-        tgt.completeSync()
-        return true
-      } catch {
-        case e: IllegalStateException
-            if e.getMessage.contains("concurrent writer") =>
-          attempt += 1
-          // exactly-once recheck BEFORE re-landing: if the instant that
-          // beat us (or any since) carries our stamp, this is a replay
-          // racing itself — skip, never duplicate
-          if (lastTxnVersion(spark, tablePath, appId).exists(batchId <= _))
-            return false
-          if (attempt > MaxCommitRetries) throw e
+    // the stamp-check + commit critical section runs under the lock:
+    // without a table-level CAS, a concurrent replay of this batch on a
+    // DIFFERENT instant would otherwise land alongside ours
+    withCommitLock(tablePath, appId) {
+      if (lastTxnVersion(spark, tablePath, appId).exists(batchId <= _))
+        return false
+      var attempt = 0
+      while (true) {
+        try {
+          val tgt = new HudiConversionTarget(spark, tablePath)
+          tgt.beginSync(table)
+          tgt.syncSchema(table.schema)
+          tgt.syncPartitionSpec(table.partitionFields)
+          tgt.stampCommit(txnKey(appId) -> batchId.toString)
+          tgt.syncFilesForDiff(FilesDelta(added,
+            spark.emptyDataset[graft.model.FileEntry](
+              org.apache.spark.sql.Encoders.product[graft.model.FileEntry])))
+          tgt.completeSync()
+          return true
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("concurrent writer") =>
+            // an instant collision with a NON-sink writer (syncs don't
+            // take this lock): retry on a fresh instant
+            attempt += 1
+            if (attempt > MaxCommitRetries) throw e
+        }
       }
+      true
     }
-    true
   }
 
   /** Wire a streaming DataFrame into the sink: `foreachBatch` with the

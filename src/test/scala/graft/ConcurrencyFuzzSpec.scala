@@ -99,6 +99,97 @@ class ConcurrencyFuzzSpec extends SparkSuite {
         s"extra ${got.toSet -- expected}; outcomes=$oc")
   }
 
+  test("stream sinks: zombie replay racing itself lands EXACTLY once") {
+    // two writers replay the SAME (appId, batchId) concurrently — the
+    // restart-recovery shape the exactly-once claim is about. However
+    // the race resolves, at most one append may land and the final row
+    // count must be base + one batch. Runs per format.
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val rows = spark.read.parquet(sf("sf0.001/nation.parquet"))
+
+    def race(append: () => Boolean): (Int, Seq[Throwable]) = {
+      val start = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      val oks = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errors = new ConcurrentLinkedQueue[Throwable]()
+      (0 until 2).foreach { _ =>
+        pool.execute { () =>
+          start.await()
+          try { if (append()) oks.incrementAndGet(); () }
+          catch { case th: Throwable => errors.add(th) }
+        }
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      import scala.jdk.CollectionConverters._
+      (oks.get(), errors.asScala.toSeq)
+    }
+
+    // Delta (batch 0 creates the table)
+    locally {
+      val t = tmpDir("zombie_delta")
+      assert(DeltaStreamSink.appendBatch(spark, t, rows, "app", 0L))
+      val (oks, errs) = race(() =>
+        DeltaStreamSink.appendBatch(spark, t, rows, "app", 1L))
+      assert(errs.isEmpty, errs.toString)
+      assert(oks == 1, s"batch landed $oks times")
+      assert(new DeltaConversionSource(spark, t, "t").toDataFrame
+        .count() == 2 * rows.count())
+    }
+
+    def seeded(prefix: String,
+        mk: (String, String) => Unit): String = {
+      val seed = tmpDir(s"${prefix}_seed")
+      rows.write.mode("overwrite").parquet(seed)
+      val t = tmpDir(prefix)
+      mk(seed, t)
+      t
+    }
+    def syncTo(tgt: graft.spi.ConversionTarget)(seed: String): Unit = {
+      val src = new ParquetDirectorySource(spark, seed, "t")
+      val o = TableFormatSync.syncSnapshot(Seq(tgt),
+        src.currentSnapshot(), src.sourceFormat)
+      assert(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    }
+
+    // Iceberg
+    locally {
+      val t = seeded("zombie_ice", (seed, t) =>
+        syncTo(new graft.formats.iceberg.IcebergConversionTarget(spark, t))(seed))
+      val (oks, errs) = race(() => graft.formats.iceberg.IcebergStreamSink
+        .appendBatch(spark, t, rows, "app", 0L))
+      assert(errs.isEmpty, errs.toString)
+      assert(oks == 1, s"batch landed $oks times")
+      assert(new graft.formats.iceberg.IcebergConversionSource(spark, t, "t")
+        .toDataFrame.count() == 2 * rows.count())
+    }
+
+    // Hudi
+    locally {
+      val t = seeded("zombie_hudi", (seed, t) =>
+        syncTo(new graft.formats.hudi.HudiConversionTarget(spark, t))(seed))
+      val (oks, errs) = race(() => graft.formats.hudi.HudiStreamSink
+        .appendBatch(spark, t, rows, "app", 0L))
+      assert(errs.isEmpty, errs.toString)
+      assert(oks == 1, s"batch landed $oks times")
+      assert(new graft.formats.hudi.HudiConversionSource(spark, t, "t")
+        .toDataFrame.count() == 2 * rows.count())
+    }
+
+    // Paimon
+    locally {
+      val t = seeded("zombie_paimon", (seed, t) =>
+        syncTo(new graft.formats.paimon.PaimonConversionTarget(spark, t))(seed))
+      val (oks, errs) = race(() => graft.formats.paimon.PaimonStreamSink
+        .appendBatch(spark, t, rows, "app", 0L))
+      assert(errs.isEmpty, errs.toString)
+      assert(oks == 1, s"batch landed $oks times")
+      assert(new graft.formats.paimon.PaimonConversionSource(spark, t, "t")
+        .toDataFrame.count() == 2 * rows.count())
+    }
+  }
+
   test("iceberg: racing unique-key appends and a clustered replace serialize") {
     val t = tmpDir("fuzz_ice")
     import spark.implicits._
