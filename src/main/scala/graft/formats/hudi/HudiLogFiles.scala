@@ -468,7 +468,17 @@ object HudiLogFiles {
     * serves the merged rows. Returns the upserted row count.
     */
   def upsert(spark: SparkSession, tablePath: String, df: DataFrame,
-      keyCols: Seq[String]): Long = {
+      keyCols: Seq[String]): Long =
+    // serialized under the table's row-level lock: Hudi's append-only
+    // timeline has no CAS, and two concurrent writers to the same file
+    // group would compute the SAME next log-file name and interleave
+    // blocks (Hudi multi-writer requires a lock provider for the same
+    // reason)
+    HudiLock.withLock(tablePath, "rowlevel")(
+      upsertUnlocked(spark, tablePath, df, keyCols))
+
+  private def upsertUnlocked(spark: SparkSession, tablePath: String,
+      df: DataFrame, keyCols: Seq[String]): Long = {
     import spark.implicits._
     require(keyCols.nonEmpty, "upsert needs >= 1 key column")
     require(HudiTimeline.tableType(tablePath) == "MERGE_ON_READ",
@@ -590,6 +600,11 @@ object HudiLogFiles {
     * deleted keys.
     */
   def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long =
+    HudiLock.withLock(tablePath, "rowlevel")(
+      deleteWhereUnlocked(spark, tablePath, predicate))
+
+  private def deleteWhereUnlocked(spark: SparkSession, tablePath: String,
       predicate: org.apache.spark.sql.Column): Long = {
     require(HudiTimeline.tableType(tablePath) == "MERGE_ON_READ",
       s"deleteWhere writes MOR delete blocks; $tablePath is COPY_ON_WRITE")
@@ -623,6 +638,12 @@ object HudiLogFiles {
     */
   def updateWhere(spark: SparkSession, tablePath: String,
       predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long =
+    HudiLock.withLock(tablePath, "rowlevel")(
+      updateWhereUnlocked(spark, tablePath, predicate, assignments))
+
+  private def updateWhereUnlocked(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
     require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")
     val keyCols = HudiTimeline
@@ -642,7 +663,8 @@ object HudiLogFiles {
     }: _*).persist()
     try {
       val n = updated.count()
-      if (n == 0L) 0L else upsert(spark, tablePath, updated, keyCols)
+      if (n == 0L) 0L
+      else upsertUnlocked(spark, tablePath, updated, keyCols)
     } finally updated.unpersist()
   }
 
@@ -659,7 +681,12 @@ object HudiLogFiles {
     * all serve the merged rows. Returns the number of rows in the
     * compacted groups.
     */
-  def compact(spark: SparkSession, tablePath: String): Long = {
+  def compact(spark: SparkSession, tablePath: String): Long =
+    HudiLock.withLock(tablePath, "rowlevel")(
+      compactUnlocked(spark, tablePath))
+
+  private def compactUnlocked(spark: SparkSession, tablePath: String)
+      : Long = {
     require(HudiTimeline.tableType(tablePath) == "MERGE_ON_READ",
       s"compact merges MOR log files; $tablePath is COPY_ON_WRITE")
     val ro = new HudiConversionSource(spark, tablePath, "compact-route")

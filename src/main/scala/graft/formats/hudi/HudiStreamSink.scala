@@ -41,40 +41,9 @@ object HudiStreamSink {
 
   val MaxCommitRetries = 5
 
-  /** Hudi's timeline is append-only — there is NO table-level CAS, so
-    * two racing writers get different instants and BOTH land (Hudi's own
-    * answer is an optional lock provider; its
-    * FileSystemBasedLockProvider does exactly this). The stamp-check +
-    * commit critical section therefore runs under an atomic-create lock
-    * file in `.hoodie/`; a crashed holder's lock is broken after
-    * `StaleLockMillis`.
-    */
-  private val StaleLockMillis = 10 * 60 * 1000L
-
-  private def withCommitLock[T](tablePath: String, appId: String)(f: => T)
-      : T = {
-    import java.nio.file.{Files, Paths}
-    val lock = Paths.get(tablePath, ".hoodie", s".graft-txn-$appId.lock")
-    Files.createDirectories(lock.getParent)
-    val deadline = System.currentTimeMillis() + 120000L
-    var held = false
-    while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val stale = try Files.getLastModifiedTime(lock).toMillis <
-            System.currentTimeMillis() - StaleLockMillis
-          catch { case _: java.io.IOException => false }
-          if (stale) Files.deleteIfExists(lock)
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"could not acquire Hudi commit lock $lock within 120s — " +
-                "break it manually if its holder crashed")
-          else Thread.sleep(25)
-      }
-    }
-    try f finally Files.deleteIfExists(lock)
-  }
+  // Hudi's timeline is append-only — no table-level CAS, so the
+  // stamp-check + commit critical section serializes under
+  // [[HudiLock]] (Hudi's FileSystemBasedLockProvider pattern)
 
   /** Append one micro-batch idempotently; false = already committed
     * (replay after a restart), nothing written. The table must exist
@@ -126,7 +95,7 @@ object HudiStreamSink {
     // the stamp-check + commit critical section runs under the lock:
     // without a table-level CAS, a concurrent replay of this batch on a
     // DIFFERENT instant would otherwise land alongside ours
-    withCommitLock(tablePath, appId) {
+    HudiLock.withLock(tablePath, s"txn-$appId") {
       if (lastTxnVersion(spark, tablePath, appId).exists(batchId <= _))
         return false
       var attempt = 0
