@@ -20,8 +20,12 @@ import graft.util.{HadoopConfs, PathUtils}
   */
 object IcebergMaintenance {
 
-  /** Drop all but the newest `retainLast` snapshots. Returns the expired
-    * sequence numbers (empty when under the window).
+  /** Drop all but the newest `retainLast` snapshots — EXCEPT snapshots
+    * a ref (branch/tag) points at and the current snapshot itself (a
+    * rolled-back head can be older than the retention window): Iceberg's
+    * expire_snapshots retains ref-reachable heads the same way, and
+    * dropping them would dangle every tag and branch read. Returns the
+    * expired sequence numbers (empty when under the window).
     */
   def expireSnapshots(tablePath: String, retainLast: Int): Seq[Long] = {
     require(retainLast >= 1, "must retain at least one snapshot")
@@ -30,9 +34,12 @@ object IcebergMaintenance {
     val m = IcebergMetadata.read(tablePath, version)
     val ordered = m.snapshots.sortBy(_.sequenceNumber)
     if (ordered.size <= retainLast) return Nil
-    val (expired, kept) = ordered.splitAt(ordered.size - retainLast)
+    val pinned = m.refs.values.map(_.snapshotId).toSet + m.currentSnapshotId
+    val (old, recent) = ordered.splitAt(ordered.size - retainLast)
+    val (keptOld, expired) = old.partition(s => pinned.contains(s.snapshotId))
+    if (expired.isEmpty) return Nil
     val ok = IcebergMetadata.write(tablePath, version + 1, m.copy(
-      snapshots = kept,
+      snapshots = keptOld ++ recent,
       lastUpdatedMs = System.currentTimeMillis()))
     if (!ok) throw new IllegalStateException(
       s"concurrent writer during snapshot expiration at $tablePath")

@@ -74,6 +74,31 @@ class IcebergReplaceRetrySpec extends SparkSuite {
       .toDataFrame.count() == 2 * rows.count())
   }
 
+  test("expiration retains ref-pinned and rolled-back-current snapshots") {
+    val t = icebergTable("ice_expire_refs")
+    val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
+    // three snapshots: sync (seq 1) + two appends
+    (1 to 2).foreach { i =>
+      val d = tmpDir(s"ice_expire_add_$i")
+      rows.coalesce(1).write.mode("overwrite").parquet(d)
+      IcebergDeletes.appendDataFiles(spark, t, d)
+    }
+    IcebergRefs.createTag(spark, t, "v1", atSeq = Some(1L))
+
+    // retainLast=1 would drop seq 1 and 2 — but the tag pins seq 1
+    val expired = IcebergMaintenance.expireSnapshots(t, retainLast = 1)
+    assert(expired == Seq(2L), expired.toString)
+    // the tag still serves the pinned state
+    assert(spark.read.format("graft").option("branch", "v1").load(t)
+      .count() == rows.count())
+
+    // a rolled-back CURRENT older than the window survives too
+    IcebergRefs.rollbackTo(spark, t, 1L)
+    assert(IcebergMaintenance.expireSnapshots(t, retainLast = 1).isEmpty)
+    assert(new IcebergConversionSource(spark, t, "region")
+      .toDataFrame.count() == rows.count())
+  }
+
   test("WAP: branch append leaves main untouched; fast-forward refuses divergence") {
     val t = icebergTable("ice_wap")
     val rows = spark.read.parquet(sf("sf0.001/region.parquet"))
