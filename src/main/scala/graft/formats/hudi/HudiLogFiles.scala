@@ -217,6 +217,47 @@ object HudiLogFiles {
     (n, fs.getFileStatus(p).getLen)
   }
 
+  /** Empty DELETE_BLOCK with an instant-only header — the 80-byte
+    * bootstrap marker Hudi's metadata writer leaves as log.1
+    * (byte-identical to the golden
+    * `.files-0000-0_00000000000000010.log.1_0-0-0`).
+    */
+  def writeDeleteMarker(conf: Configuration, path: String,
+      instant: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val avroBytes = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(avroBytes, null)
+    val wrapper = new GenericData.Record(DeleteListSchema)
+    wrapper.put("deleteRecordList", new java.util.ArrayList[GenericRecord]())
+    new GenericDatumWriter[GenericRecord](DeleteListSchema)
+      .write(wrapper, enc)
+    enc.flush()
+    val baos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(baos)
+    out.writeInt(ContentVersion)
+    out.writeInt(avroBytes.size())
+    avroBytes.writeTo(out)
+    out.flush()
+    appendBlock(fs, p, DeleteBlock, Seq(InstantTimeKey -> instant),
+      baos.toByteArray)
+  }
+
+  /** Append one HFILE_DATA_BLOCK whose content is the raw serialized
+    * HFile (no content-version prefix — golden metadata log.2 starts
+    * straight at "DATABLK*"). Header order mirrors Hudi's metadata
+    * writer: SCHEMA before INSTANT_TIME. Returns the log file length.
+    */
+  def appendHFileBlock(conf: Configuration, path: String,
+      instant: String, schemaJson: String,
+      hfileBytes: Array[Byte]): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    appendBlock(fs, p, HFileDataBlock,
+      Seq(SchemaKey -> schemaJson, InstantTimeKey -> instant), hfileBytes)
+    fs.getFileStatus(p).getLen
+  }
+
   /** One parsed block frame: type ordinal, headers by ordinal, raw
     * content bytes.
     */

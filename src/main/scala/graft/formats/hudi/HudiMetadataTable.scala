@@ -1,0 +1,369 @@
+package graft.formats.hudi
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths => JPaths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.hadoop.conf.Configuration
+
+/** Hudi's `.hoodie/metadata` table — the `files` partition, in the real
+  * wire format a Hudi reader with `hoodie.metadata.enable=true` consumes
+  * (the reference gets this via the Hudi write client,
+  * `/root/reference/xtable-core/src/main/java/org/apache/xtable/hudi/HudiConversionTarget.java:600+`).
+  *
+  * The metadata table is itself a MERGE_ON_READ Hudi table rooted at
+  * `<table>/.hoodie/metadata`, keyed by partition path, with one file
+  * group (`files-0000-0`): a bootstrap HFile base (instant
+  * 00000000000000010) plus one HoodieLogFormat log per data-table
+  * commit carrying an HFILE_DATA_BLOCK of HoodieMetadataRecord deltas.
+  * Every structural choice mirrors the golden Hudi-0.14 table at
+  * `src/test/resources/golden/hudi_dimCustomer/.hoodie/metadata`:
+  * record values carry an EMPTY `key` field (readers repopulate it from
+  * the HFile row key), `type` 1 = partition list / 2 = files list,
+  * `filesystemMetadata` maps file name to (size, isDeleted), and the
+  * `files` partition tracks PHYSICAL files — commit visibility stays
+  * with the timeline, so replaced files are only tombstoned by clean().
+  *
+  * Scale: each data commit appends one log block whose cells are one
+  * record per touched partition, streamed through [[HFiles.write]] —
+  * driver state is one partition's delta map plus the block buffer,
+  * never the table listing. The single-writer constraint on the one
+  * file group matches Hudi's own metadata writer (table-lock held by
+  * callers on the commit path).
+  */
+object HudiMetadataTable {
+
+  val BootstrapInstant = "00000000000000010"
+  val FileGroupId = "files-0000-0"
+  val AllPartitionsKey = "__all_partitions__"
+  /** Hudi's files-partition key for an unpartitioned table's root. */
+  val NonPartitionedName = "."
+  val FilesPartition = "files"
+
+  private val TypePartitionList = 1
+  private val TypeFilesList = 2
+
+  def metadataPath(tablePath: String): String =
+    s"$tablePath/.hoodie/metadata"
+
+  def exists(tablePath: String): Boolean =
+    Files.exists(JPaths.get(metadataPath(tablePath),
+      ".hoodie", "hoodie.properties"))
+
+  /** HoodieMetadataRecord writer schema, verbatim from the golden
+    * metadata log block header (wire format — readers parse this JSON
+    * string from the log header and the HFile file info).
+    */
+  lazy val schemaJson: String = {
+    val in = getClass.getResourceAsStream(
+      "/graft/hudi/hoodie-metadata-record.avsc")
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+  lazy val schema: Schema = new Schema.Parser().parse(schemaJson)
+
+  // ------------------------------------------------------ record codec
+
+  /** Avro-binary HoodieMetadataRecord. `files` maps file name to
+    * (size, isDeleted); `fileName` populates _hoodie_file_name (only the
+    * bootstrap base record does, mirroring golden bytes).
+    */
+  def recordBytes(typ: Int, files: Seq[(String, Long, Boolean)],
+      fileName: Option[String] = None): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    fileName.foreach(n => rec.put("_hoodie_file_name", n))
+    rec.put("key", "")
+    rec.put("type", typ)
+    val m = new java.util.LinkedHashMap[String, GenericRecord]()
+    val infoSchema = nonNull(schema.getField("filesystemMetadata")
+      .schema()).getValueType
+    files.foreach { case (name, size, deleted) =>
+      val info = new GenericData.Record(infoSchema)
+      info.put("size", size)
+      info.put("isDeleted", deleted)
+      m.put(name, info)
+    }
+    rec.put("filesystemMetadata", m)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def decodeRecord(bytes: Array[Byte]): GenericRecord = {
+    val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+    new GenericDatumReader[GenericRecord](schema).read(null, dec)
+  }
+
+  // ------------------------------------------------------- bootstrap
+
+  /** Create the metadata table: properties, partition marker, the
+    * bootstrap base HFile (empty partition list, _hoodie_file_name
+    * populated — byte-matching golden modulo the write token) and the
+    * empty delete block log.1, under timeline instant 00000000000000010.
+    */
+  def bootstrap(tablePath: String, tableName: String): Unit = {
+    val mp = metadataPath(tablePath)
+    if (exists(tablePath)) return
+    val hoodie = JPaths.get(mp, ".hoodie")
+    Files.createDirectories(hoodie)
+    val props =
+      s"""#Properties saved by graft
+         |hoodie.table.name=${tableName}_metadata
+         |hoodie.table.type=MERGE_ON_READ
+         |hoodie.table.version=6
+         |hoodie.timeline.layout.version=1
+         |hoodie.archivelog.folder=archived
+         |hoodie.populate.meta.fields=false
+         |hoodie.compaction.payload.class=org.apache.hudi.metadata.HoodieMetadataPayload
+         |hoodie.table.base.file.format=HFILE
+         |hoodie.table.recordkey.fields=key
+         |hoodie.table.keygenerator.class=org.apache.hudi.metadata.HoodieTableMetadataKeyGenerator
+         |hoodie.datasource.write.drop.partition.columns=false
+         |hoodie.compaction.record.merger.strategy=eeb8d96f-b1e4-49fd-bbf8-28ac514178e5
+         |""".stripMargin
+    Files.write(hoodie.resolve("hoodie.properties"),
+      props.getBytes(StandardCharsets.UTF_8))
+
+    val filesDir = JPaths.get(mp, FilesPartition)
+    Files.createDirectories(filesDir)
+    Files.write(filesDir.resolve(".hoodie_partition_metadata"),
+      s"""#partition metadata
+         |commitTime=$BootstrapInstant
+         |partitionDepth=1
+         |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+
+    val baseName = s"${FileGroupId}_0-0-0_$BootstrapInstant.hfile"
+    val row = AllPartitionsKey.getBytes(StandardCharsets.UTF_8)
+    val value = recordBytes(TypePartitionList, Nil, Some(baseName))
+    val hfile = HFiles.write(Iterator(row -> value), schemaJson,
+      bloom = true)
+    Files.write(filesDir.resolve(baseName), hfile)
+
+    val logName = s".${FileGroupId}_$BootstrapInstant.log.1_0-0-0"
+    HudiLogFiles.writeDeleteMarker(new Configuration(),
+      filesDir.resolve(logName).toString, BootstrapInstant)
+
+    writeDeltaCommit(mp, BootstrapInstant,
+      path = s"$FilesPartition/$baseName", prevCommit = "null",
+      numWrites = 1, fileSize = hfile.length.toLong,
+      logFiles = Nil, baseFile = baseName)
+  }
+
+  // ----------------------------------------------------- append path
+
+  /** Record one data-table commit in the files partition. `adds` and
+    * `deletes` arrive as one sorted iterator of per-partition deltas
+    * (partition, fileName, size, isDeleted) GROUPED by partition in
+    * unsigned-byte partition order — [[HFiles.write]] enforces the
+    * order loudly. `touchedPartitions` feeds the __all_partitions__
+    * record; re-listing an existing partition is idempotent under the
+    * map merge, so callers pass every touched partition and no
+    * read-before-write is needed. Unpartitioned tables use partition
+    * name "." (golden convention).
+    */
+  def appendCommit(tablePath: String, instant: String,
+      deltas: Iterator[(String, String, Long, Boolean)],
+      touchedPartitions: Seq[String]): Unit = {
+    require(exists(tablePath), s"metadata table missing at $tablePath")
+    val mp = metadataPath(tablePath)
+    val filesDir = JPaths.get(mp, FilesPartition)
+
+    // one cell per partition, plus __all_partitions__ at its sorted
+    // position; the grouped iterator is folded partition-by-partition so
+    // driver state is a single partition's delta
+    val partCells: Iterator[(Array[Byte], Array[Byte])] = new Iterator[
+        (Array[Byte], Array[Byte])] {
+      private val it = deltas.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): (Array[Byte], Array[Byte]) = {
+        val part = it.head._1
+        val buf = Seq.newBuilder[(String, Long, Boolean)]
+        while (it.hasNext && it.head._1 == part) {
+          val (_, name, size, deleted) = it.next()
+          buf += ((name, size, deleted))
+        }
+        part.getBytes(StandardCharsets.UTF_8) ->
+          recordBytes(TypeFilesList, buf.result())
+      }
+    }
+    val allPartsCell: Iterator[(Array[Byte], Array[Byte])] =
+      if (touchedPartitions.isEmpty) Iterator.empty
+      else Iterator(AllPartitionsKey.getBytes(StandardCharsets.UTF_8) ->
+        recordBytes(TypePartitionList,
+          touchedPartitions.distinct.sorted.map(p => (p, 0L, false))))
+    val cells = mergeSorted(partCells, allPartsCell)
+
+    val hfile = HFiles.write(cells, schemaJson, bloom = false)
+    val version = nextLogVersion(filesDir)
+    val logName = s".${FileGroupId}_$BootstrapInstant.log.${version}_0-0-0"
+    val logLen = HudiLogFiles.appendHFileBlock(new Configuration(),
+      filesDir.resolve(logName).toString, instant, schemaJson, hfile)
+
+    writeDeltaCommit(mp, instant,
+      path = s"$FilesPartition/$logName", prevCommit = BootstrapInstant,
+      numWrites = 1, fileSize = logLen,
+      logFiles = currentLogNames(filesDir),
+      baseFile = s"${FileGroupId}_0-0-0_$BootstrapInstant.hfile")
+  }
+
+  /** Convenience wrapper for commit-sized deltas already on the driver. */
+  def appendCommitSmall(tablePath: String, instant: String,
+      adds: Seq[(String, String, Long)],
+      deletes: Seq[(String, String)] = Nil): Unit = {
+    val rows: Seq[(String, String, Long, Boolean)] =
+      (adds.map { case (p, n, s) => (p, n, s, false) } ++
+        deletes.map { case (p, n) => (p, n, 0L, true) })
+    val sorted = rows.sortWith { case ((p1, n1, _, _), (p2, n2, _, _)) =>
+      val c = compareUtf8(p1, p2)
+      if (c != 0) c < 0 else compareUtf8(n1, n2) < 0
+    }
+    appendCommit(tablePath, instant, sorted.iterator,
+      adds.map(_._1).distinct)
+  }
+
+  private def compareUtf8(a: String, b: String): Int =
+    HFiles.RowOrdering.compare(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
+  private def mergeSorted(
+      a: Iterator[(Array[Byte], Array[Byte])],
+      b: Iterator[(Array[Byte], Array[Byte])])
+      : Iterator[(Array[Byte], Array[Byte])] = new Iterator[
+      (Array[Byte], Array[Byte])] {
+    private val ba = a.buffered
+    private val bb = b.buffered
+    def hasNext: Boolean = ba.hasNext || bb.hasNext
+    def next(): (Array[Byte], Array[Byte]) =
+      if (!bb.hasNext) ba.next()
+      else if (!ba.hasNext) bb.next()
+      else if (HFiles.RowOrdering.compare(ba.head._1, bb.head._1) <= 0)
+        ba.next()
+      else bb.next()
+  }
+
+  private def nextLogVersion(filesDir: java.nio.file.Path): Int = {
+    val existing = Option(filesDir.toFile.list()).getOrElse(Array.empty)
+      .filter(_.startsWith(s".${FileGroupId}_$BootstrapInstant.log."))
+    val versions = existing.flatMap { n =>
+      val after = n.substring(n.indexOf(".log.") + 5)
+      after.takeWhile(_.isDigit) match {
+        case "" => None
+        case d => Some(d.toInt)
+      }
+    }
+    if (versions.isEmpty) 1 else versions.max + 1
+  }
+
+  private def currentLogNames(filesDir: java.nio.file.Path): Seq[String] =
+    Option(filesDir.toFile.list()).getOrElse(Array.empty)
+      .filter(_.startsWith(s".${FileGroupId}_$BootstrapInstant.log."))
+      .sortBy(n => n.substring(n.indexOf(".log.") + 5)
+        .takeWhile(_.isDigit).toInt)
+      .toSeq
+
+  private def writeDeltaCommit(mp: String, instant: String, path: String,
+      prevCommit: String, numWrites: Long, fileSize: Long,
+      logFiles: Seq[String], baseFile: String): Unit = {
+    val stat = graft.util.Jsons.toJson(Map(
+      "fileId" -> FileGroupId,
+      "path" -> path,
+      "prevCommit" -> prevCommit,
+      "numWrites" -> numWrites,
+      "totalWriteBytes" -> fileSize,
+      "fileSizeInBytes" -> fileSize,
+      "partitionPath" -> FilesPartition,
+      "baseFile" -> baseFile,
+      "logFiles" -> logFiles))
+    val ok = HudiTimeline.writeCommitStreamed(mp, instant, "deltacommit",
+      Iterator(FilesPartition + HudiTimeline.GroupSep + stat),
+      Iterator.empty, Map("schema" -> schemaJson))
+    require(ok, s"metadata deltacommit $instant already exists at $mp")
+  }
+
+  // -------------------------------------------------------- read path
+
+  /** Merged state of the files partition: partition path -> file name ->
+    * size, tombstones dropped; plus the partition list from
+    * __all_partitions__. Reads the latest base HFile then replays log
+    * HFILE blocks in version order — the same merge a real Hudi
+    * metadata reader performs.
+    */
+  def readFiles(tablePath: String)
+      : (Set[String], Map[String, Map[String, Long]]) = {
+    val filesDir = JPaths.get(metadataPath(tablePath), FilesPartition)
+    require(Files.isDirectory(filesDir),
+      s"no metadata files partition at $filesDir")
+    val names = Option(filesDir.toFile.list()).getOrElse(Array.empty)
+
+    val bases = names.filter(n => !n.startsWith(".") &&
+      n.endsWith(".hfile") && n.startsWith(FileGroupId))
+    require(bases.nonEmpty, s"no base HFile in $filesDir")
+    // base instant is the final underscore-separated token
+    val base = bases.maxBy(n =>
+      n.stripSuffix(".hfile").substring(n.stripSuffix(".hfile")
+        .lastIndexOf('_') + 1))
+    val baseInstant = base.stripSuffix(".hfile")
+      .substring(base.stripSuffix(".hfile").lastIndexOf('_') + 1)
+
+    var partitions = Set.empty[String]
+    var files = Map.empty[String, Map[String, Long]]
+
+    // blocks replay in write order, so the last writer of a file name
+    // wins: adds insert, tombstones remove, a re-add after a tombstone
+    // re-inserts — exactly HoodieMetadataPayload's map merge
+    def applyCells(cells: Seq[HFiles.Cell]): Unit = cells.foreach { c =>
+      val rec = decodeRecord(c.value)
+      val fsm = rec.get("filesystemMetadata")
+      val entries: Seq[(String, Long, Boolean)] =
+        if (fsm == null) Nil
+        else fsm.asInstanceOf[java.util.Map[AnyRef, GenericRecord]]
+          .asScala.toSeq.map { case (k, v) =>
+            (k.toString, v.get("size").asInstanceOf[Long],
+              v.get("isDeleted").asInstanceOf[Boolean])
+          }
+      c.rowString match {
+        case AllPartitionsKey =>
+          entries.foreach { case (p, _, isDel) =>
+            if (isDel) partitions -= p else partitions += p
+          }
+        case part =>
+          entries.foreach { case (name, size, isDel) =>
+            val cur = files.getOrElse(part, Map.empty)
+            files += part -> (if (isDel) cur - name else cur + (name -> size))
+          }
+      }
+    }
+
+    applyCells(HFiles.read(
+      Files.readAllBytes(filesDir.resolve(base))).cells)
+
+    val conf = new Configuration()
+    names.filter(_.startsWith(s".${FileGroupId}_$baseInstant.log."))
+      .sortBy(n => n.substring(n.indexOf(".log.") + 5)
+        .takeWhile(_.isDigit).toInt)
+      .foreach { log =>
+        HudiLogFiles.walkBlocks(conf, filesDir.resolve(log).toString)
+          .foreach { blk =>
+            if (blk.blockType == HudiLogFiles.HFileDataBlock)
+              applyCells(HFiles.read(blk.content).cells)
+          }
+      }
+    (partitions, files)
+  }
+
+  def listPartitions(tablePath: String): Set[String] =
+    if (!exists(tablePath)) Set.empty else readFiles(tablePath)._1
+}
