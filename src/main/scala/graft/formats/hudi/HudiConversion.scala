@@ -532,6 +532,25 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
       else pendingAdds.foreach { ds =>
         HudiMetadataIndex.write(spark, tablePath, instant, ds)
       }
+      // and the REAL .hoodie/metadata files partition (HFile wire
+      // format), so external Hudi readers with metadata enabled list
+      // without walking the filesystem. replacecommits add their new
+      // files only — replaced files stay listed until clean() deletes
+      // them physically (the files partition tracks filesystem state;
+      // visibility stays with the timeline).
+      if (addCount <= HudiMetadataIndex.SmallDeltaThreshold)
+        HudiMetadataTable.maintain(tablePath, table.name, instant,
+          smallBuf.map { f =>
+            val rel = PathUtils.relativize(tp, f.path)
+            val cut = rel.lastIndexOf('/')
+            (if (cut < 0) "" else rel.substring(0, cut),
+              if (cut < 0) rel else rel.substring(cut + 1),
+              f.fileSizeBytes)
+          })
+      else pendingAdds.foreach { ds =>
+        HudiMetadataTable.maintainFromDataset(spark, tablePath,
+          table.name, instant, ds)
+      }
     } finally {
       pendingAdds.foreach(_.unpersist())
       pendingRemoves.foreach(_.unpersist())

@@ -627,6 +627,9 @@ object HudiLogFiles {
     require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(instant,
       "deltacommit", Map("" -> stats.toSeq), Map.empty,
       Map("schema" -> tableSchemaJson)), tablePath))
+    HudiMetadataTable.maintain(tablePath,
+      HudiTimeline.tableName(tablePath).getOrElse("table"), instant,
+      statRows.map { case (_, name, _, size) => ("", name, size) }.toSeq)
     statRows.map(_._3).sum
   }
 
@@ -786,6 +789,9 @@ object HudiLogFiles {
     require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(instant,
       action, Map("" -> stats.result()), replaceIds,
       Map("schema" -> schema.json)), tablePath))
+    HudiMetadataTable.maintain(tablePath,
+      HudiTimeline.tableName(tablePath).getOrElse("table"), instant,
+      stats.result().map(s => ("", s.path, s.fileSizeInBytes)))
     graft.plans.SnapshotFileIndex.invalidate(snap)
     total
   }

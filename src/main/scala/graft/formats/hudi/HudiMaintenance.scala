@@ -93,6 +93,20 @@ object HudiMaintenance {
       s"${HudiTimeline.hoodieDir(tablePath)}/$instant.clean")
     Files.write(target, body.getBytes(StandardCharsets.UTF_8))
 
+    // tombstone the physically deleted files in .hoodie/metadata — the
+    // files partition tracks filesystem state, so clean is the one
+    // operation that REMOVES entries
+    if (HudiMetadataTable.exists(tablePath))
+      HudiMetadataTable.maintain(tablePath,
+        HudiTimeline.tableName(tablePath).getOrElse("table"), instant,
+        adds = Nil,
+        deletes = dead.map { case (p, _) =>
+          val rel = PathUtils.relativize(tablePath, p)
+          val cut = rel.lastIndexOf('/')
+          (if (cut < 0) "" else rel.substring(0, cut),
+            if (cut < 0) rel else rel.substring(cut + 1))
+        })
+
     CleanResult(sums.map(_._1).sum, sums.map(_._2).sum, horizon)
   }
 
@@ -142,6 +156,10 @@ object HudiMaintenance {
         }.collect().sum
 
     later.foreach(HudiTimeline.deleteInstant(tablePath, _))
+    // a restore rewrites history; rather than model rollback in the
+    // metadata table, drop it — readers degrade to file listing, which
+    // is always correct
+    HudiMetadataTable.drop(tablePath)
     val marker = HudiTimeline.newInstant(tablePath)
     Files.write(
       JPaths.get(s"${HudiTimeline.hoodieDir(tablePath)}/$marker.restore"),

@@ -366,4 +366,111 @@ object HudiMetadataTable {
 
   def listPartitions(tablePath: String): Set[String] =
     if (!exists(tablePath)) Set.empty else readFiles(tablePath)._1
+
+  // --------------------------------------------- best-effort hooks
+
+  /** Drop the metadata table entirely — external Hudi readers then fall
+    * back to file listing, which is always correct (just slower). The
+    * escape hatch for every state this writer does not model precisely
+    * (restore) and for any maintenance failure: a MISSING metadata
+    * table degrades, a STALE one lies.
+    */
+  def drop(tablePath: String): Unit = {
+    val root = JPaths.get(metadataPath(tablePath))
+    if (Files.exists(root)) {
+      val all = Files.walk(root).iterator().asScala.toSeq.reverse
+      all.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /** Hudi's files-partition key for a data file's partition path
+    * (empty relative path maps to "." — golden convention).
+    */
+  def partitionKey(relativeDir: String): String =
+    if (relativeDir.isEmpty) NonPartitionedName else relativeDir
+
+  /** The files partition can only express files UNDER the table base
+    * (readers rebuild paths as base/partition/name). A conversion whose
+    * data files live elsewhere (split-dir sync; the reference's layout
+    * overlays all formats on one base, ITConversionController.java:140)
+    * cannot be indexed — the hook then drops any existing metadata
+    * table instead of letting it go stale.
+    */
+  private def external(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains("://")
+
+  /** Post-commit maintenance with commit-sized driver-held deltas.
+    * Serialized under the table lock (concurrent winners would race the
+    * single file group's next log version); any failure drops the
+    * table rather than leaving a stale listing behind.
+    */
+  def maintain(tablePath: String, tableName: String, instant: String,
+      adds: Seq[(String, String, Long)],
+      deletes: Seq[(String, String)] = Nil): Unit =
+    try HudiLock.withLock(tablePath, "metadata") {
+      if (adds.exists(a => external(a._1)) ||
+          deletes.exists(d => external(d._1))) {
+        drop(tablePath)
+        return
+      }
+      if (!exists(tablePath)) bootstrap(tablePath, tableName)
+      appendCommitSmall(tablePath, instant,
+        adds.map { case (p, n, s) => (partitionKey(p), n, s) },
+        deletes.map { case (p, n) => (partitionKey(p), n) })
+    } catch {
+      case e: Exception =>
+        drop(tablePath)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dropping .hoodie/metadata at $tablePath after failed " +
+            s"maintenance for instant $instant: ${e.getMessage}")
+    }
+
+  /** Same contract for commits too large to hold on the driver: the
+    * adds stream through one sorted pass ((partition, name) order via a
+    * -joined sort key, the writeCommitStreamed discipline), so
+    * driver state is one partition's delta plus the HFile block buffer.
+    */
+  def maintainFromDataset(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, tableName: String, instant: String,
+      adds: org.apache.spark.sql.Dataset[graft.model.FileEntry]): Unit =
+    try HudiLock.withLock(tablePath, "metadata") {
+      // layout probe: one external path means split-dir layout — the
+      // whole commit shares one layout, so the head decides
+      val probe = adds.take(1).headOption
+        .map(f => graft.util.PathUtils.relativize(tablePath, f.path))
+      if (probe.exists(external)) {
+        drop(tablePath)
+        return
+      }
+      if (!exists(tablePath)) bootstrap(tablePath, tableName)
+      import spark.implicits._
+      val sep = HudiTimeline.GroupSep
+      val tp = tablePath
+      val lines = adds.map { f =>
+        val rel = graft.util.PathUtils.relativize(tp, f.path)
+        val cut = rel.lastIndexOf('/')
+        val part = partitionKey(if (cut < 0) "" else rel.substring(0, cut))
+        val name = if (cut < 0) rel else rel.substring(cut + 1)
+        s"$part$sep$name$sep${f.fileSizeBytes}"
+      }
+      val parts = adds.map { f =>
+        val rel = graft.util.PathUtils.relativize(tp, f.path)
+        val cut = rel.lastIndexOf('/')
+        partitionKey(if (cut < 0) "" else rel.substring(0, cut))
+      }.distinct().collect().toSeq // O(#partitions)
+      val it = graft.util.StreamedLines.iterate(lines.orderBy("value"))
+        .map { line =>
+          val a = line.indexOf(sep)
+          val b = line.indexOf(sep, a + 1)
+          (line.substring(0, a), line.substring(a + 1, b),
+            line.substring(b + 1).toLong, false)
+        }
+      appendCommit(tablePath, instant, it, parts)
+    } catch {
+      case e: Exception =>
+        drop(tablePath)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dropping .hoodie/metadata at $tablePath after failed " +
+            s"maintenance for instant $instant: ${e.getMessage}")
+    }
 }

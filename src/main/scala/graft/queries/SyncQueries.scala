@@ -125,6 +125,56 @@ object SyncQueries {
       |  count(DISTINCT n_nationkey) AS distinct_keys
       |FROM nation""".stripMargin
 
+  /** The REAL `.hoodie/metadata` table (HBase HFile v3 wire format, the
+    * index a Hudi reader with `hoodie.metadata.enable=true` consumes;
+    * reference gets it via the Hudi write client,
+    * HudiConversionTarget.java:600+) drives the read end-to-end: two
+    * sync commits maintain the files partition, then the query lists
+    * the table FROM the metadata HFile/log merge — not the filesystem —
+    * and aggregates the listed files. A missing or phantom file in the
+    * index breaks every aggregate.
+    */
+  def hudiMetadataListing(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.hudi.HudiMetadataTable
+    // overlay layout (the reference's: all formats share one base path)
+    // so the metadata table can index base/partition/name
+    val table = graft.util.TempDirs.create("graft_mdt_hudi")
+    val srcFile = Paths.get(s"$dir/orders.parquet")
+    def addFile(name: String, mtime: Long): Unit = {
+      Files.copy(srcFile, Paths.get(table, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      Paths.get(table, name).toFile.setLastModified(mtime)
+    }
+    def psrc = new ParquetDirectorySource(s, table, "orders")
+    val tgt = new graft.formats.hudi.HudiConversionTarget(s, table)
+    val controller = new ConversionController
+    addFile("f1.parquet", 1000000L)
+    addFile("f2.parquet", 1000000L)
+    require(controller.sync(psrc, Seq(tgt)).forall(_.status == "SUCCESS"))
+    addFile("f3.parquet", 2000000L)
+    require(controller.sync(psrc, Seq(tgt)).forall(_.status == "SUCCESS"))
+
+    require(HudiMetadataTable.exists(table),
+      s"no .hoodie/metadata authored at $table")
+    val (_, filesByPart) = HudiMetadataTable.readFiles(table)
+    val paths = filesByPart.toSeq.flatMap { case (p, m) =>
+      m.keys.map(n => if (p == HudiMetadataTable.NonPartitionedName)
+        s"$table/$n" else s"$table/$p/$n")
+    }
+    require(paths.size == 3 && paths.forall(_.endsWith(".parquet")),
+      s"metadata files partition should list exactly f1..f3: $paths")
+    s.read.parquet(paths: _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("sum_key"),
+        countDistinct(col("o_orderkey")).as("distinct_keys"))
+  }
+
+  val hudiMetadataListingSql: String =
+    """SELECT 3*count(*) AS cnt,
+      |  CAST(3*sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  count(DISTINCT o_orderkey) AS distinct_keys
+      |FROM orders""".stripMargin
+
   /** Incremental sync with ICEBERG as the SOURCE: snapshot-diff replay
     * (sequence-number backlog, per-snapshot manifest diff) across an
     * append and a replace, into an already-synced Delta target.

@@ -3,6 +3,8 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.formats.hudi.{HFiles, HudiMetadataTable}
 
 /** The Hudi `.hoodie/metadata` wire format, proven two ways: parse the
@@ -155,5 +157,87 @@ class HudiMetadataTableSpec extends SparkSuite {
       .listInstants(HudiMetadataTable.metadataPath(dir))
     assert(instants == Seq("00000000000000010", "20260101000000000",
       "20260101000000001"))
+  }
+
+  private def physicalDataFiles(table: String): Map[String, Set[String]] = {
+    val root = Paths.get(table)
+    val out = scala.collection.mutable.Map.empty[String, Set[String]]
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filterNot(_.toString.contains("/.hoodie"))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .foreach { p =>
+        val rel = root.relativize(p).toString
+        val cut = rel.lastIndexOf('/')
+        val part = if (cut < 0) "." else rel.substring(0, cut)
+        val name = if (cut < 0) rel else rel.substring(cut + 1)
+        out(part) = out.getOrElse(part, Set.empty) + name
+      }
+    out.toMap
+  }
+
+  test("every synced Hudi commit maintains .hoodie/metadata: listing " +
+      "matches the physical files after full + incremental + row-level " +
+      "writes; restore drops the table") {
+    import graft.formats.hudi.{HudiConversionTarget, HudiLogFiles,
+      HudiMaintenance, HudiTimeline}
+    import graft.sources.ParquetDirectorySource
+    import graft.sync.ConversionController
+
+    // the reference's layout: every format overlays ONE base path, so
+    // the parquet data files live inside the Hudi table dir and the
+    // metadata table can index them (base/partition/name)
+    val table = tmpDir("hudi_md_table")
+    Files.copy(Paths.get(sf("sf0.001/region.parquet")),
+      Paths.get(table, "f1.parquet"))
+    Paths.get(table, "f1.parquet").toFile.setLastModified(1000000L)
+    val controller = new ConversionController
+    def src = new ParquetDirectorySource(spark, table, "region")
+    assert(controller.sync(src,
+      Seq(new HudiConversionTarget(spark, table))).head.status == "SUCCESS")
+
+    assert(HudiMetadataTable.exists(table))
+    val (_, f1) = HudiMetadataTable.readFiles(table)
+    val phys1 = physicalDataFiles(table)
+    assert(f1.view.mapValues(_.keySet).toMap == phys1,
+      s"metadata $f1 vs physical $phys1")
+    // sizes are real too
+    f1.foreach { case (part, m) => m.foreach { case (name, size) =>
+      val p = if (part == ".") Paths.get(table, name)
+        else Paths.get(table, part, name)
+      assert(size == Files.size(p), s"size drift for $part/$name")
+    } }
+
+    // incremental sync adds a second file -> second metadata commit
+    Files.copy(Paths.get(sf("sf0.001/region.parquet")),
+      Paths.get(table, "f2.parquet"))
+    Paths.get(table, "f2.parquet").toFile.setLastModified(2000000L)
+    assert(controller.sync(src,
+      Seq(new HudiConversionTarget(spark, table))).head.status == "SUCCESS")
+    val (_, f2) = HudiMetadataTable.readFiles(table)
+    assert(f2.view.mapValues(_.keySet).toMap == physicalDataFiles(table))
+
+    // row-level upsert writes a log file; the metadata table lists it
+    val keyed = spark.read.parquet(sf("sf0.001/region.parquet"))
+      .limit(1).withColumn("r_name",
+        org.apache.spark.sql.functions.lit("UPDATED"))
+    HudiTimeline.setProperty(table,
+      HudiLogFiles.RecordKeyFieldsProp, "r_regionkey")
+    HudiTimeline.setProperty(table, "hoodie.table.type", "MERGE_ON_READ")
+    HudiLogFiles.upsert(spark, table, keyed, Seq("r_regionkey"))
+    val (_, f3) = HudiMetadataTable.readFiles(table)
+    val phys3 = physicalDataFiles(table)
+    val logs3 = phys3.values.flatten.filter(_.contains(".log."))
+    assert(logs3.isEmpty, "MOR logs are dot-prefixed (hidden)")
+    // the upsert's log file is hidden so physicalDataFiles skips it;
+    // assert directly that metadata gained a .log entry
+    assert(f3.values.flatten.exists(_._1.contains(".log.")),
+      s"no log file in metadata listing: $f3")
+
+    // restore rewrites history -> metadata table is dropped, readers
+    // degrade to listing
+    val commits = HudiTimeline.listInstants(table)
+    HudiMaintenance.restoreTo(spark, table, commits.head)
+    assert(!HudiMetadataTable.exists(table))
   }
 }
