@@ -207,16 +207,77 @@ object HudiMetadataTable {
     val cells = mergeSorted(partCells, allPartsCell)
 
     val hfile = HFiles.write(cells, schemaJson, bloom = false)
-    val version = nextLogVersion(filesDir)
-    val logName = s".${FileGroupId}_$BootstrapInstant.log.${version}_0-0-0"
+    val baseInstant = latestBaseInstant(filesDir)
+    val version = nextLogVersion(filesDir, baseInstant)
+    val logName = s".${FileGroupId}_$baseInstant.log.${version}_0-0-0"
     val logLen = HudiLogFiles.appendHFileBlock(new Configuration(),
       filesDir.resolve(logName).toString, instant, schemaJson, hfile)
 
     writeDeltaCommit(mp, instant,
-      path = s"$FilesPartition/$logName", prevCommit = BootstrapInstant,
+      path = s"$FilesPartition/$logName", prevCommit = baseInstant,
       numWrites = 1, fileSize = logLen,
-      logFiles = currentLogNames(filesDir),
-      baseFile = s"${FileGroupId}_0-0-0_$BootstrapInstant.hfile")
+      logFiles = currentLogNames(filesDir, baseInstant),
+      baseFile = s"${FileGroupId}_0-0-0_$baseInstant.hfile")
+
+    if (currentLogNames(filesDir, baseInstant).size > CompactLogThreshold)
+      compact(tablePath, s"${instant}001")
+  }
+
+  /** Log files tolerated on the current file slice before the merged
+    * state is compacted into a fresh base HFile — bounds every reader's
+    * log-merge chain regardless of commit count.
+    */
+  val CompactLogThreshold = 10
+
+  /** Rewrite the merged files-partition state as a new base HFile under
+    * `instant` (Hudi's metadata compaction: a `commit` on the metadata
+    * timeline whose instant is the triggering deltacommit + "001"),
+    * then remove the previous file slice. Readers pick the newest base
+    * instant, so a crash between publish and cleanup only leaves an
+    * orphan slice behind.
+    *
+    * Driver memory is O(full listing) for the one compaction pass —
+    * the same bound as Hudi's own metadata compaction, which merges a
+    * file group's records in one task; sharding the files partition
+    * across multiple file groups (files-0001, ...) is the scale-out
+    * path beyond that and is not modeled here.
+    */
+  def compact(tablePath: String, instant: String): Unit = {
+    val mp = metadataPath(tablePath)
+    val filesDir = JPaths.get(mp, FilesPartition)
+    val oldBase = latestBaseInstant(filesDir)
+    val (partitions, files) = readFiles(tablePath)
+    val baseName = s"${FileGroupId}_0-0-0_$instant.hfile"
+
+    val rows: Seq[(String, Int, Seq[(String, Long, Boolean)])] =
+      (if (partitions.isEmpty) Nil
+       else Seq((AllPartitionsKey, TypePartitionList,
+         partitions.toSeq.sorted.map(p => (p, 0L, false))))) ++
+        files.toSeq.map { case (p, m) =>
+          (p, TypeFilesList,
+            m.toSeq.sortBy(_._1).map { case (n, s) => (n, s, false) })
+        }
+    val cells = rows
+      .map { case (row, typ, entries) =>
+        (row.getBytes(StandardCharsets.UTF_8),
+          recordBytes(typ, entries, Some(baseName)))
+      }
+      .sortWith((a, b) => HFiles.RowOrdering.compare(a._1, b._1) < 0)
+    val hfile = HFiles.write(cells.iterator, schemaJson, bloom = true)
+    Files.write(filesDir.resolve(baseName), hfile)
+    writeDeltaCommit(mp, instant,
+      path = s"$FilesPartition/$baseName", prevCommit = oldBase,
+      numWrites = cells.size.toLong, fileSize = hfile.length.toLong,
+      logFiles = Nil, baseFile = baseName, action = "commit")
+    // drop the superseded slice (logs and any-token bases of the old
+    // instant) plus the Hadoop ChecksumFileSystem .crc siblings the log
+    // writer leaves next to local files
+    val stale = Option(filesDir.toFile.list()).getOrElse(Array.empty)
+      .filter(n => n.startsWith(s".${FileGroupId}_$oldBase.log.") ||
+        (n.endsWith(s"_$oldBase.hfile") && n != baseName) ||
+        (n.endsWith(".crc") && (n.contains(s"_$oldBase.log.") ||
+          n.contains(s"_$oldBase.hfile"))))
+    stale.foreach(n => Files.deleteIfExists(filesDir.resolve(n)))
   }
 
   /** Convenience wrapper for commit-sized deltas already on the driver. */
@@ -254,9 +315,22 @@ object HudiMetadataTable {
       else bb.next()
   }
 
-  private def nextLogVersion(filesDir: java.nio.file.Path): Int = {
+  /** Base instant of the current file slice (newest base HFile). */
+  private def latestBaseInstant(filesDir: java.nio.file.Path): String = {
+    val bases = Option(filesDir.toFile.list()).getOrElse(Array.empty)
+      .filter(n => !n.startsWith(".") && n.endsWith(".hfile") &&
+        n.startsWith(FileGroupId))
+    if (bases.isEmpty) BootstrapInstant
+    else bases.map { n =>
+      val stem = n.stripSuffix(".hfile")
+      stem.substring(stem.lastIndexOf('_') + 1)
+    }.max
+  }
+
+  private def nextLogVersion(filesDir: java.nio.file.Path,
+      baseInstant: String): Int = {
     val existing = Option(filesDir.toFile.list()).getOrElse(Array.empty)
-      .filter(_.startsWith(s".${FileGroupId}_$BootstrapInstant.log."))
+      .filter(_.startsWith(s".${FileGroupId}_$baseInstant.log."))
     val versions = existing.flatMap { n =>
       val after = n.substring(n.indexOf(".log.") + 5)
       after.takeWhile(_.isDigit) match {
@@ -267,16 +341,18 @@ object HudiMetadataTable {
     if (versions.isEmpty) 1 else versions.max + 1
   }
 
-  private def currentLogNames(filesDir: java.nio.file.Path): Seq[String] =
+  private def currentLogNames(filesDir: java.nio.file.Path,
+      baseInstant: String): Seq[String] =
     Option(filesDir.toFile.list()).getOrElse(Array.empty)
-      .filter(_.startsWith(s".${FileGroupId}_$BootstrapInstant.log."))
+      .filter(_.startsWith(s".${FileGroupId}_$baseInstant.log."))
       .sortBy(n => n.substring(n.indexOf(".log.") + 5)
         .takeWhile(_.isDigit).toInt)
       .toSeq
 
   private def writeDeltaCommit(mp: String, instant: String, path: String,
       prevCommit: String, numWrites: Long, fileSize: Long,
-      logFiles: Seq[String], baseFile: String): Unit = {
+      logFiles: Seq[String], baseFile: String,
+      action: String = "deltacommit"): Unit = {
     val stat = graft.util.Jsons.toJson(Map(
       "fileId" -> FileGroupId,
       "path" -> path,
@@ -287,10 +363,10 @@ object HudiMetadataTable {
       "partitionPath" -> FilesPartition,
       "baseFile" -> baseFile,
       "logFiles" -> logFiles))
-    val ok = HudiTimeline.writeCommitStreamed(mp, instant, "deltacommit",
+    val ok = HudiTimeline.writeCommitStreamed(mp, instant, action,
       Iterator(FilesPartition + HudiTimeline.GroupSep + stat),
       Iterator.empty, Map("schema" -> schemaJson))
-    require(ok, s"metadata deltacommit $instant already exists at $mp")
+    require(ok, s"metadata $action $instant already exists at $mp")
   }
 
   // -------------------------------------------------------- read path

@@ -159,6 +159,41 @@ class HudiMetadataTableSpec extends SparkSuite {
       "20260101000000001"))
   }
 
+  test("log chain compacts into a fresh base HFile past the threshold " +
+      "and the merged listing survives") {
+    val dir = tmpDir("hudi-meta-compact")
+    HudiMetadataTable.bootstrap(dir, "tc")
+    val n = HudiMetadataTable.CompactLogThreshold + 2
+    (1 to n).foreach { i =>
+      HudiMetadataTable.appendCommitSmall(dir, f"2026010100000$i%04d",
+        adds = Seq((s"day=$i", s"f$i.parquet", i.toLong)))
+    }
+    val filesDir = Paths.get(HudiMetadataTable.metadataPath(dir), "files")
+    val names = filesDir.toFile.list().toSeq
+    val bases = names.filter(x => !x.startsWith(".") && x.endsWith(".hfile"))
+    assert(bases.size == 1, s"exactly one base after compaction: $bases")
+    assert(!bases.head.contains("00000000000000010"),
+      "bootstrap base should be swept after compaction")
+    val logs = names.filter(n => n.contains(".log.") &&
+      !n.endsWith(".crc"))
+    assert(logs.size <= HudiMetadataTable.CompactLogThreshold,
+      s"log chain should reset at compaction: $logs")
+    // no stale slice files (nor their Hadoop .crc siblings) left behind
+    assert(!names.exists(n => n.contains("_00000000000000010.log.") ||
+      n.contains("_00000000000000010.hfile")),
+      s"old slice not swept: ${names.filter(_.contains("000000000010"))}")
+    // merged listing intact and bloom-indexed base serves every partition
+    val (parts, files) = HudiMetadataTable.readFiles(dir)
+    assert(parts == (1 to n).map(i => s"day=$i").toSet)
+    (1 to n).foreach { i =>
+      assert(files(s"day=$i") == Map(s"f$i.parquet" -> i.toLong))
+    }
+    // compaction instant rides the metadata timeline as a commit
+    val instants = graft.formats.hudi.HudiTimeline
+      .listInstants(HudiMetadataTable.metadataPath(dir))
+    assert(instants.exists(_.endsWith("001")))
+  }
+
   private def physicalDataFiles(table: String): Map[String, Set[String]] = {
     val root = Paths.get(table)
     val out = scala.collection.mutable.Map.empty[String, Set[String]]
