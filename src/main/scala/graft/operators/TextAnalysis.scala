@@ -171,6 +171,92 @@ object TextAnalysis {
     * bit-stability is not required (libm `ln` is not correctly-rounded in
     * general, so gate outputs avoid it).
     */
+  /** Cumulative-capacity sequence packing — the pretraining-batch
+    * assembly step: within each shard group, documents in key order
+    * fill fixed token-capacity training bins, a document's bin being
+    * `exclusive-cumulative-tokens div capacity` (documents straddling a
+    * boundary belong to the bin they start in; the downstream loader
+    * truncates or wraps the tail). One window per group over the shared
+    * whitespace tokenization.
+    *
+    * Scale: the window shuffles by the group columns, so parallelism is
+    * the number of shards — callers at corpus scale pass a composite
+    * (source, shard) grouping, exactly how production packers bound
+    * per-task state. Exclusive-cumsum stays in int64 (no doubles, no
+    * floor drift across engines).
+    */
+  def packSequences(docs: DataFrame, groupCols: Seq[String],
+      idCol: String, textCol: String, capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
+    val nTokens = size(whitespaceTokens(col(textCol))).cast("long")
+    docs
+      .select(groupCols.map(col) ++ Seq(col(idCol),
+        nTokens.as("n_tokens")): _*)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $capacity"))
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+      .orderBy((groupCols.map(col) :+ col("bin")): _*)
+  }
+
+  /** Temperature-weighted corpus mixture — down/up-weighting sources so
+    * a dominant crawl does not drown curated corpora (the UnifiedQA /
+    * Pile-style mixing step). Source `s` with `n_s` documents gets
+    * sampling weight proportional to `n_s^0.5` (temperature 2
+    * flattening); each document is kept when its stable md5 bucket
+    * falls under the source's integer threshold, so the sample is
+    * deterministic, join-free to reproduce, and exact across engines.
+    *
+    * All threshold arithmetic is INTEGER once per-source weights are
+    * fixed: `w_s = floor(sqrt(n_s) * 10^6)` (one correctly-rounded
+    * double sqrt per source — bit-stable everywhere), then
+    * `t_s = min(B, B * target * w_s div (sum(w) * n_s))` over int64
+    * with bucket space B = 65536. The per-source count aggregation is
+    * one shuffle; thresholds broadcast back onto the corpus.
+    */
+  def temperatureMixture(docs: DataFrame, sourceCol: String,
+      idCol: String, targetFraction: Double = 0.4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the mixture MODEL is O(#sources) driver state (like IVF's
+    // centroids): one count shuffle, thresholds broadcast back
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_in"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val nTotal = counts.map(_._2).sum
+    val target = nTotal * (targetFraction * 1000000).round / 1000000L
+    // w_s = floor(sqrt(n_s) * 10^6): one correctly-rounded double sqrt
+    // per source, then exact INTEGER summation (cross-engine-safe; a
+    // double sum's addition order would not be)
+    val ws = counts.map { case (_, n) =>
+      math.floor(math.sqrt(n.toDouble) * 1000000).toLong }
+    val wSum = ws.sum
+    // threshold in fixed left-associated double steps (each IEEE
+    // correctly rounded, so any engine reproduces it bit-for-bit);
+    // the oracle SQL spells the same association
+    val thresholds = counts.zip(ws).map { case ((s, n), w) =>
+      val t = math.min(65536.0,
+        math.floor(65536.0 * w / wSum * target / n)).toLong
+      (s, n, t)
+    }.toDF(sourceCol, "n_in", "t")
+    val bucket = expr(
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 4), 16, 10) " +
+        "AS BIGINT)")
+    docs.join(broadcast(thresholds), sourceCol)
+      .withColumn("kept", bucket < col("t"))
+      .groupBy(col(sourceCol))
+      .agg(max(col("n_in")).as("n_in"),
+        max(col("t")).as("threshold"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(min(when(col("kept"), col(idCol))), lit(-1L))
+          .as("min_kept_doc"))
+      .orderBy(col(sourceCol))
+  }
+
   /** The one tokenization shared by tfidfTopTerms and tokenHistogram:
     * lowercase, split on runs of whitespace, drop empty tokens — so the
     * two operators agree on any corpus (incl. leading/trailing/multiple

@@ -313,6 +313,60 @@ object PipelineQueries {
       |SELECT doc_id, rnk, term, tf, df, tfidf_scaled
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** Sequence packing into 512-token training bins per (lang, source)
+    * shard — exactly oracled (int64 exclusive-cumsum + floor division
+    * on both engines).
+    */
+  def pipelineSequencePack(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(s, dir),
+      Seq("lang", "source"), "doc_id", "text", capacity = 512)
+
+  val pipelineSequencePackSql: String =
+    """WITH t AS (
+      |  SELECT lang, source, doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, source, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id)
+      |      AS cum
+      |  FROM t)
+      |SELECT lang, source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Temperature-2 corpus mixture across sources — exactly oracled: the
+    * per-source thresholds use one correctly-rounded sqrt each, an
+    * integer weight sum, and a fixed left-associated double chain both
+    * engines reproduce bit-for-bit; membership hashes md5 buckets.
+    */
+  def pipelineCorpusMixture(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.temperatureMixture(Tables.documents(s, dir), "source",
+      "doc_id")
+
+  val pipelineCorpusMixtureSql: String =
+    """WITH c AS (SELECT source, count(*) AS n_in FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_in,
+      |  CAST(floor(sqrt(CAST(n_in AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      |  FROM c),
+      |s AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum,
+      |  CAST(sum(n_in) AS BIGINT) AS n_total FROM w),
+      |th AS (SELECT source, n_in,
+      |  CAST(least(65536.0, floor(65536.0 * w / w_sum *
+      |    ((n_total * 400000) // 1000000) / n_in)) AS BIGINT) AS t
+      |  FROM w CROSS JOIN s),
+      |k AS (SELECT d.source, d.doc_id, th.n_in, th.t,
+      |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+      |    AS BIGINT) < th.t AS kept
+      |  FROM documents d JOIN th USING (source))
+      |SELECT source, max(n_in) AS n_in, max(t) AS threshold,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  coalesce(min(CASE WHEN kept THEN doc_id END), -1) AS min_kept_doc
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Corpus token-length histogram over the shared \s+ tokenization. */
   def textTokenHistogram(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenHistogram(Tables.documents(s, dir), "doc_id", "text")
