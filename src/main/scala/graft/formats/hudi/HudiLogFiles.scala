@@ -633,6 +633,24 @@ object HudiLogFiles {
     statRows.map(_._3).sum
   }
 
+  /** MERGE INTO by key = Hudi's native upsert: matched keys take the
+    * source row at the next instant's real-time merge, unmatched keys
+    * insert. Returns (matchedRows, insertedRows) — the matched count
+    * probes the CURRENT real-time view before the upsert lands.
+    */
+  def mergeInto(spark: SparkSession, tablePath: String,
+      source: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "mergeInto needs >= 1 key column")
+    val rt = new HudiConversionSource(spark, tablePath, "merge-probe",
+      "snapshot")
+    val matched = rt.toDataFrame
+      .join(source.select(keyCols.map(org.apache.spark.sql.functions
+        .col): _*), keyCols, "left_semi")
+      .count()
+    val n = upsert(spark, tablePath, source, keyCols)
+    (matched, n - matched)
+  }
+
   // ------------------------------------------------------------ delete
 
   /** Row-level DELETE on a MERGE_ON_READ table: the keys of real-time

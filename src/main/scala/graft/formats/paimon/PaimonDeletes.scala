@@ -40,6 +40,81 @@ object PaimonDeletes {
     rewriteMatching(spark, tablePath, predicate, Some(assignments))
   }
 
+  /** MERGE INTO by key: matched target rows take the source row's
+    * values (whole-row update), unmatched source rows insert — the
+    * upsert contract of Delta/Iceberg `mergeInto` here. Same
+    * copy-on-write shape as delete/update: only files holding matched
+    * keys rewrite (their unmatched rows carried over), the source rows
+    * land with them in one distributed write, and one snapshot commits
+    * the swap CAS'd against the planning snapshot. Returns
+    * (matchedRows, insertedRows).
+    */
+  def mergeInto(spark: SparkSession, tablePath: String,
+      source: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    import spark.implicits._
+    require(keyCols.nonEmpty, "mergeInto needs >= 1 key column")
+    val src = new PaimonConversionSource(spark, tablePath,
+      PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
+    val table = src.currentTable()
+    val schema = table.schema
+    val missing = schema.fieldNames.toSet -- source.columns.toSet
+    require(missing.isEmpty, s"source lacks table columns: $missing")
+    require(keyCols.forall(schema.fieldNames.contains),
+      s"key columns must exist in the table schema: $keyCols")
+    val snap = src.currentSnapshot()
+    val keyed = graft.formats.delta.DeltaRead.toKeyedDataFrame(spark, snap)
+      .persist()
+    val srcProj = source.select(schema.fieldNames.toSeq.map(col): _*)
+      .persist()
+    try {
+      val srcCount = srcProj.count()
+      if (srcCount == 0L) return (0L, 0L)
+      val dupKeys = srcProj.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        "mergeInto source has duplicate keys — a target row would match " +
+          "more than one source row")
+      val srcKeys = srcProj.select(keyCols.map(col): _*)
+      val matchedRows = keyed.join(srcKeys, keyCols, "left_semi")
+      val matched = matchedRows.count()
+      val victims = matchedRows.select(col("__scan_path")).distinct()
+      val carried = keyed.join(victims, Seq("__scan_path"), "left_semi")
+        .join(srcKeys, keyCols, "left_anti")
+        .select(schema.fieldNames.toSeq.map(col): _*)
+      val outRows = carried.unionByName(srcProj)
+
+      val outDir = s"${PathUtils.canonical(tablePath)}/data" +
+        s"/merge-${UUID.randomUUID()}"
+      val partCols = table.partitionFields.map(_.partitionColumnName)
+      if (partCols.isEmpty) outRows.write.parquet(outDir)
+      else outRows.write.partitionBy(partCols: _*).parquet(outDir)
+
+      val conf = graft.util.HadoopConfs.session(spark)
+      val added = graft.sources.ParquetFooters.fileEntries(spark, outDir,
+        graft.sources.ParquetFooters.listFiles(outDir, conf))
+      val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+      val removed = listing
+        .join(victims, listing("path") === victims("__scan_path"),
+          "left_semi")
+        .as[graft.model.FileEntry]
+
+      val tgt = new PaimonConversionTarget(spark, tablePath)
+      tgt.beginSync(table)
+      tgt.expectBaseSnapshot(snap.commitId.toLong)
+      tgt.syncMetadata(SyncMetadata(snap.commitId, Nil,
+        graft.model.TableFormats.Paimon, table.basePath))
+      tgt.syncSchema(table.schema)
+      tgt.syncPartitionSpec(table.partitionFields)
+      tgt.syncFilesForDiff(FilesDelta(added, removed))
+      tgt.completeSync()
+      graft.plans.SnapshotFileIndex.invalidate(snap)
+      (matched, srcCount - matched)
+    } finally {
+      keyed.unpersist(); srcProj.unpersist()
+    }
+  }
+
   private def rewriteMatching(spark: SparkSession, tablePath: String,
       predicate: Column,
       assignments: Option[Map[String, Column]]): Long = {

@@ -624,6 +624,100 @@ object MaintenanceQueries {
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM updated GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** SQL `GRAFT MERGE INTO ... USING ... ON KEYS (...)` routed across
+    * ALL FOUR formats (Delta DV-mask+append, Iceberg eq-deletes+append,
+    * Hudi native MOR upsert, Paimon copy-on-write rewrite): each format
+    * gets a fresh region table, the same parquet source (keys 0,1
+    * updated to MERGED, keys 7,8 inserted) merges by key through the
+    * one SQL statement, and the merged tables read back through each
+    * format's row-level machinery. Identical aggregates across formats
+    * = identical merge semantics.
+    */
+  def sqlMergeRouted(s: SparkSession, dir: String): DataFrame = {
+    val region = s.read.parquet(s"$dir/region.parquet")
+    val srcDf = region.filter(col("r_regionkey") < 2)
+      .withColumn("r_name", lit("MERGED"))
+      .unionByName(region.filter(col("r_regionkey") < 2)
+        .withColumn("r_regionkey", col("r_regionkey") + 7)
+        .withColumn("r_name", lit("MERGED")))
+    val srcDir = graft.util.TempDirs.create("graft_merge_src")
+    srcDf.write.mode("overwrite").parquet(srcDir)
+    val gs = graft.sql.GraftSql.session(s)
+
+    def freshTable(fmt: String): String = fmt match {
+      case "hudi" =>
+        val t = graft.util.TempDirs.create("graft_mrg_hudi")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/region.parquet"),
+          java.nio.file.Paths.get(t, "base1.parquet"))
+        val base = s"$t/base1.parquet"
+        graft.formats.hudi.HudiTimeline.writeProperties(t, "region",
+          "MERGE_ON_READ")
+        require(graft.formats.hudi.HudiTimeline.writeCommit(
+          graft.formats.hudi.HudiTimeline.CommitMeta("100", "commit",
+            Map("" -> Seq(graft.formats.hudi.HudiTimeline.WriteStat(
+              graft.formats.hudi.HudiTimeline.fileId(base),
+              "base1.parquet", region.count(),
+              java.nio.file.Files.size(
+                java.nio.file.Paths.get(base))))),
+            Map.empty, Map("schema" -> region.schema.json)), t))
+        t
+      case other =>
+        val t = graft.util.TempDirs.create(s"graft_mrg_$other")
+        val src = new ParquetDirectorySource(s, s"$dir/region.parquet",
+          "region")
+        val tgt = other match {
+          case "delta" => new DeltaConversionTarget(s, t)
+          case "iceberg" => new graft.formats.iceberg
+            .IcebergConversionTarget(s, t)
+          case "paimon" => new graft.formats.paimon
+            .PaimonConversionTarget(s, t)
+        }
+        val o = TableFormatSync.syncSnapshot(Seq(tgt),
+          src.currentSnapshot(), src.sourceFormat)
+        require(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+        t
+    }
+
+    val merged = Seq("delta", "hudi", "iceberg", "paimon").map { fmt =>
+      val table = freshTable(fmt)
+      val r = gs.sql(s"GRAFT MERGE INTO '$table' USING '$srcDir' " +
+        "ON KEYS (r_regionkey)").head()
+      require(r.getLong(0) == 2 && r.getLong(1) == 2,
+        s"$fmt merge expected (2 matched, 2 inserted), got $r")
+      val back = fmt match {
+        case "hudi" => new graft.formats.hudi.HudiConversionSource(
+          s, table, "region", "snapshot").toDataFrame
+        // Delta and Iceberg merges leave live row-level deletes, which
+        // format("graft")'s 1:1 file listing refuses by design — read
+        // through the delete-masking sources
+        case "delta" =>
+          new DeltaConversionSource(s, table, "region").toDataFrame
+        case "iceberg" =>
+          new graft.formats.iceberg.IcebergConversionSource(
+            s, table, "region").toDataFrame
+        case _ => s.read.format("graft").load(table)
+      }
+      back.select(lit(fmt).as("fmt"), col("r_regionkey"), col("r_name"))
+    }.reduce(_ unionByName _)
+
+    merged.groupBy("fmt")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("r_regionkey")).cast("long").as("sum_key"),
+        sum(when(col("r_name") === "MERGED", 1L).otherwise(0L))
+          .as("n_merged"))
+      .orderBy("fmt")
+  }
+
+  val sqlMergeRoutedSql: String =
+    """WITH f AS (
+      |  SELECT unnest(['delta', 'hudi', 'iceberg', 'paimon']) AS fmt),
+      |m AS (SELECT count(*) + 2 AS cnt,
+      |  CAST(sum(r_regionkey) + 15 AS BIGINT) AS sum_key,
+      |  CAST(4 AS BIGINT) AS n_merged FROM region)
+      |SELECT fmt, cnt, sum_key, n_merged FROM f CROSS JOIN m
+      |ORDER BY fmt""".stripMargin
+
   private def icebergTableOf(s: SparkSession, dir: String, prefix: String)
       : String = {
     val dataDir = graft.util.TempDirs.create(s"${prefix}_data")

@@ -116,6 +116,39 @@ object GraftSqlCommands {
     }
   }
 
+  /** MERGE INTO by key, routed by table format: matched target rows
+    * take the source row (whole-row upsert), unmatched source rows
+    * insert. Delta masks matched rows with DVs and appends, Iceberg
+    * lands equality deletes + appends in one commit, Hudi rides its
+    * native MOR upsert, Paimon copy-on-write rewrites the matched
+    * files.
+    */
+  case class MergeCommand(path: String, sourcePath: String,
+      keyCols: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("matched_rows",
+      "inserted_rows")
+    override def run(spark: SparkSession): Seq[Row] = {
+      require(keyCols.nonEmpty, "GRAFT MERGE needs >= 1 key column")
+      val source = spark.read.parquet(sourcePath)
+      val (m, i) = graft.sources.CatalogConversionSource
+        .detectFormat(path) match {
+        case "DELTA" => DeltaDeletes.mergeInto(spark, path, source, keyCols)
+        case "ICEBERG" =>
+          graft.formats.iceberg.IcebergDeletes.mergeInto(spark, path,
+            source, keyCols)
+        case "HUDI" =>
+          graft.formats.hudi.HudiLogFiles.mergeInto(spark, path, source,
+            keyCols)
+        case "PAIMON" =>
+          graft.formats.paimon.PaimonDeletes.mergeInto(spark, path,
+            source, keyCols)
+        case other => throw new IllegalArgumentException(
+          s"GRAFT MERGE: unsupported table format $other at $path")
+      }
+      Seq(Row(m, i))
+    }
+  }
+
   case class RollbackCommand(path: String, sequence: Long)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("sequence")

@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT ROLLBACK '<table>' TO SEQUENCE <n>        -- Iceberg
   *   GRAFT DELETE FROM '<table>' WHERE <predicate>   -- any format
   *   GRAFT UPDATE '<table>' SET c = <expr> [, ...] WHERE <predicate>
+  *   GRAFT MERGE INTO '<table>' USING '<parquet dir>' ON KEYS (k1, ...)
   *   GRAFT CLONE '<src>' TO '<dst>' [AT VERSION <n>] -- Delta shallow clone
   *   GRAFT SYNC PARQUET '<srcdir>' AS <name> TO <delta|iceberg|hudi|paimon> '<target>'
   *   GRAFT CREATE <BRANCH|TAG> <name> ON '<table>' [AT SEQUENCE <n>]
@@ -49,6 +50,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Update: Regex =
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""".r
+  private val Merge: Regex =
+    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+USING\s+'([^']+)'\s+ON\s+KEYS\s*\(([^)]+)\)\s*;?\s*""".r
   private val Clone: Regex =
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*(?:AT\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val Sync: Regex =
@@ -121,6 +124,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case None => throw new IllegalArgumentException(
           "GRAFT UPDATE requires a WHERE clause (outside quotes)")
       }
+    case Merge(path, srcPath, keys) =>
+      MergeCommand(path, srcPath,
+        keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     case Clone(srcPath, dstPath, v) =>
       CloneCommand(srcPath, dstPath, Option(v).map(_.toLong))
     case Sync(srcPath, name, fmt, tgtPath) =>
@@ -133,7 +139,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case other if other.trim.toUpperCase.startsWith("GRAFT ") =>
       throw new IllegalArgumentException(
         s"unrecognized GRAFT statement: $other — supported: OPTIMIZE, " +
-          "VACUUM, RESTORE, ROLLBACK, DELETE FROM, UPDATE, CLONE, SYNC")
+          "VACUUM, RESTORE, ROLLBACK, DELETE FROM, UPDATE, MERGE INTO, " +
+          "CLONE, SYNC")
     case other => delegate.parsePlan(other)
   }
 

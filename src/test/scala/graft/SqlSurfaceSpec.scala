@@ -98,6 +98,30 @@ class SqlSurfaceSpec extends SparkSuite {
       .count())
   }
 
+  test("GRAFT MERGE INTO upserts by key through SQL on a Delta table") {
+    val t = deltaTable("sql_merge")
+    val nation = spark.read.parquet(sf("sf0.001") + "/nation.parquet")
+    val srcDir = tmpDir("sql_merge_src")
+    nation.filter(org.apache.spark.sql.functions.col("n_nationkey") < 3)
+      .withColumn("n_name", org.apache.spark.sql.functions.lit("XX"))
+      .unionByName(nation
+        .filter(org.apache.spark.sql.functions.col("n_nationkey") < 2)
+        .withColumn("n_nationkey", org.apache.spark.sql.functions
+          .col("n_nationkey") + 100))
+      .write.mode("overwrite").parquet(srcDir)
+    val r = gs.sql(s"GRAFT MERGE INTO '$t' USING '$srcDir' " +
+      "ON KEYS (n_nationkey)").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2, r.toString)
+    val back = new DeltaConversionSource(spark, t, "nation").toDataFrame
+    assert(back.count() == nation.count() + 2)
+    assert(back.filter(org.apache.spark.sql.functions.col("n_name") ===
+      "XX").count() == 3)
+    // malformed MERGE refuses with the statement inventory
+    val e = intercept[Exception](
+      gs.sql(s"GRAFT MERGE '$t' USING '$srcDir'"))
+    assert(e.getMessage.contains("MERGE INTO"))
+  }
+
   test("non-GRAFT SQL delegates untouched; unknown GRAFT refuses") {
     assert(gs.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     assert(gs.range(3).count() == 3)
