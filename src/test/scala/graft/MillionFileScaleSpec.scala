@@ -328,4 +328,41 @@ class MillionFileScaleSpec extends SparkSuite {
     assert(fullSec < 300, s"full sync too slow: $fullSec")
     assert(incSec < 180, s"incremental too slow: $incSec")
   }
+
+  test("1M files: hudi metadata table appendCommit streams one HFile " +
+      "log block; compaction rewrites the full listing") {
+    import graft.formats.hudi.HudiMetadataTable
+    val dir = tmpDir("mm_hudi_meta")
+    HudiMetadataTable.bootstrap(dir, "mm")
+    // 1000 partitions x 1000 files, streamed in unsigned-byte partition
+    // order — driver state is one partition's delta + the block buffer
+    val parts = (0 until 1000).map(i => s"p=$i").sorted
+    def deltas = parts.iterator.flatMap { p =>
+      (0 until 1000).iterator.map(f =>
+        (p, f"f$f%04d.parquet", 1000L + f, false))
+    }
+    val t0 = System.nanoTime()
+    HudiMetadataTable.appendCommit(dir, "20260101000000100", deltas, parts)
+    val appendSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val (ps, files) = HudiMetadataTable.readFiles(dir)
+    val readSec = (System.nanoTime() - t1) / 1e9
+    assert(ps.size == 1000)
+    assert(files.values.map(_.size.toLong).sum == 1000000L)
+    assert(files("p=999")("f0999.parquet") == 1999L)
+
+    val t2 = System.nanoTime()
+    HudiMetadataTable.compact(dir, "20260101000000100001")
+    val compactSec = (System.nanoTime() - t2) / 1e9
+    val (ps2, files2) = HudiMetadataTable.readFiles(dir)
+    assert(ps2.size == 1000)
+    assert(files2.values.map(_.size.toLong).sum == 1000000L)
+
+    info(f"hudi metadata 1M: append $appendSec%.1fs, merged read " +
+      f"$readSec%.1fs, compact $compactSec%.1fs")
+    assert(appendSec < 120, s"metadata append too slow: $appendSec")
+    assert(readSec < 120, s"metadata read too slow: $readSec")
+    assert(compactSec < 180, s"metadata compact too slow: $compactSec")
+  }
 }
