@@ -57,6 +57,10 @@ object PaimonDeletes {
     val src = new PaimonConversionSource(spark, tablePath,
       PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
     val table = src.currentTable()
+    table.partitionFields.foreach(p => require(
+      p.transform == graft.model.Transform.Value,
+      s"paimon mergeInto supports value-partitioned tables; " +
+        s"${p.partitionColumnName} uses ${p.transform}"))
     val schema = table.schema
     val missing = schema.fieldNames.toSet -- source.columns.toSet
     require(missing.isEmpty, s"source lacks table columns: $missing")

@@ -143,4 +143,43 @@ class ErrorPathSpec extends SparkSuite {
     assert(spark.read.format("graft").option("metaTable", "history")
       .load(t).count() > 0)
   }
+
+  test("mergeInto refusals: duplicate source keys, missing columns, " +
+      "non-value Paimon partitions") {
+    val dataDir = tmpDir("mrgerr_data")
+    val region = spark.read.parquet(sf("sf0.001/region.parquet"))
+    region.write.mode("overwrite").parquet(dataDir)
+    val t = tmpDir("mrgerr_delta")
+    val src = new graft.sources.ParquetDirectorySource(
+      spark, dataDir, "region")
+    val out = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, t)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+    val dup = region.limit(1).unionByName(region.limit(1))
+    val e1 = intercept[IllegalArgumentException](
+      graft.formats.delta.DeltaDeletes.mergeInto(spark, t, dup,
+        Seq("r_regionkey")))
+    assert(e1.getMessage.contains("duplicate keys"))
+
+    val e2 = intercept[IllegalArgumentException](
+      graft.formats.delta.DeltaDeletes.mergeInto(spark, t,
+        region.drop("r_name"), Seq("r_regionkey")))
+    assert(e2.getMessage.contains("lacks table columns"))
+
+    val tp = tmpDir("mrgerr_paimon")
+    val outP = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.paimon.PaimonConversionTarget(spark, tp)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(outP.forall(_.status == "SUCCESS"), outP.mkString(";"))
+    val e3 = intercept[IllegalArgumentException](
+      graft.formats.paimon.PaimonDeletes.mergeInto(spark, tp, dup,
+        Seq("r_regionkey")))
+    assert(e3.getMessage.contains("duplicate keys"))
+    val e4 = intercept[IllegalArgumentException](
+      graft.formats.paimon.PaimonDeletes.mergeInto(spark, tp, region,
+        Seq("no_such_key")))
+    assert(e4.getMessage.contains("key columns"))
+  }
 }
