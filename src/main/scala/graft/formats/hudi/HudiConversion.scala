@@ -539,7 +539,7 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
       // them physically (the files partition tracks filesystem state;
       // visibility stays with the timeline).
       if (addCount <= HudiMetadataIndex.SmallDeltaThreshold)
-        HudiMetadataTable.maintain(tablePath, table.name, instant,
+        HudiMetadataTable.maintain(spark, tablePath, table.name, instant,
           smallBuf.map { f =>
             val rel = PathUtils.relativize(tp, f.path)
             val cut = rel.lastIndexOf('/')

@@ -627,7 +627,7 @@ object HudiLogFiles {
     require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(instant,
       "deltacommit", Map("" -> stats.toSeq), Map.empty,
       Map("schema" -> tableSchemaJson)), tablePath))
-    HudiMetadataTable.maintain(tablePath,
+    HudiMetadataTable.maintain(spark, tablePath,
       HudiTimeline.tableName(tablePath).getOrElse("table"), instant,
       statRows.map { case (_, name, _, size) => ("", name, size) }.toSeq)
     statRows.map(_._3).sum
@@ -807,7 +807,7 @@ object HudiLogFiles {
     require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(instant,
       action, Map("" -> stats.result()), replaceIds,
       Map("schema" -> schema.json)), tablePath))
-    HudiMetadataTable.maintain(tablePath,
+    HudiMetadataTable.maintain(spark, tablePath,
       HudiTimeline.tableName(tablePath).getOrElse("table"), instant,
       stats.result().map(s => ("", s.path, s.fileSizeInBytes)))
     graft.plans.SnapshotFileIndex.invalidate(snap)

@@ -97,7 +97,7 @@ object HudiMaintenance {
     // files partition tracks filesystem state, so clean is the one
     // operation that REMOVES entries
     if (HudiMetadataTable.exists(tablePath))
-      HudiMetadataTable.maintain(tablePath,
+      HudiMetadataTable.maintain(spark, tablePath,
         HudiTimeline.tableName(tablePath).getOrElse("table"), instant,
         adds = Nil,
         deletes = dead.map { case (p, _) =>

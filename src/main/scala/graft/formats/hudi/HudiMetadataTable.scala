@@ -475,12 +475,69 @@ object HudiMetadataTable {
   private def external(rel: String): Boolean =
     rel.startsWith("/") || rel.contains("://")
 
+  /** Live (partition, name, size) files as of the newest data-table
+    * instant BEFORE `instant` — the catch-up set a mid-life adoption
+    * must record so the first metadata commit does not serve a partial
+    * listing. None when any live path is external (split-dir layout —
+    * unindexable). Driver memory O(live files), the one-time adoption
+    * bound (same class as clean's allWrites fold).
+    */
+  private def catchUpAdds(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, instant: String)
+      : Option[(String, Seq[(String, String, Long)])] = {
+    val prior = HudiTimeline.listInstants(tablePath).filter(_ < instant)
+    if (prior.isEmpty) return Some(("", Nil))
+    val upTo = prior.last
+    val src = new HudiConversionSource(spark, tablePath,
+      "metadata-catchup")
+    val bases = src.liveStats(upTo)
+    val baseInstantByGid =
+      bases.map { case (_, s, i) => s.fileId -> i }.toMap
+    val logs = src.allWrites()
+      .filter { case (ci, s) =>
+        ci <= upTo && HudiTimeline.isLogFile(s.path) &&
+          baseInstantByGid.get(HudiTimeline.logFileGroupId(s.path))
+            .exists(bi => ci > bi)
+      }.map(_._2)
+    val all = bases.map(_._2) ++ logs
+    if (all.exists(s => external(s.path))) None
+    else Some((upTo, all.map { s =>
+      val cut = s.path.lastIndexOf('/')
+      (if (cut < 0) "" else s.path.substring(0, cut),
+        if (cut < 0) s.path else s.path.substring(cut + 1),
+        s.fileSizeInBytes)
+    }))
+  }
+
+  /** Bootstrap-if-absent plus mid-life catch-up: an adopted table's
+    * current live files land in a metadata deltacommit at the PRIOR
+    * data instant, so the commit for `instant` only carries its own
+    * delta. Returns false when the layout is unindexable (drop already
+    * performed).
+    */
+  private def ensureTable(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, tableName: String, instant: String): Boolean = {
+    if (exists(tablePath)) return true
+    catchUpAdds(spark, tablePath, instant) match {
+      case None =>
+        drop(tablePath)
+        false
+      case Some((upTo, catchUp)) =>
+        bootstrap(tablePath, tableName)
+        if (catchUp.nonEmpty)
+          appendCommitSmall(tablePath, upTo,
+            catchUp.map { case (p, n, s) => (partitionKey(p), n, s) })
+        true
+    }
+  }
+
   /** Post-commit maintenance with commit-sized driver-held deltas.
     * Serialized under the table lock (concurrent winners would race the
     * single file group's next log version); any failure drops the
     * table rather than leaving a stale listing behind.
     */
-  def maintain(tablePath: String, tableName: String, instant: String,
+  def maintain(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, tableName: String, instant: String,
       adds: Seq[(String, String, Long)],
       deletes: Seq[(String, String)] = Nil): Unit =
     try HudiLock.withLock(tablePath, "metadata") {
@@ -489,7 +546,7 @@ object HudiMetadataTable {
         drop(tablePath)
         return
       }
-      if (!exists(tablePath)) bootstrap(tablePath, tableName)
+      if (!ensureTable(spark, tablePath, tableName, instant)) return
       appendCommitSmall(tablePath, instant,
         adds.map { case (p, n, s) => (partitionKey(p), n, s) },
         deletes.map { case (p, n) => (partitionKey(p), n) })
@@ -518,7 +575,7 @@ object HudiMetadataTable {
         drop(tablePath)
         return
       }
-      if (!exists(tablePath)) bootstrap(tablePath, tableName)
+      if (!ensureTable(spark, tablePath, tableName, instant)) return
       import spark.implicits._
       val sep = HudiTimeline.GroupSep
       val tp = tablePath

@@ -145,6 +145,18 @@ class ConcurrencyFuzzSpec extends SparkSuite {
     assert(rt.count() == df.count())
     // EVERY row got its slice's update — none lost to an interleave
     assert(rt.filter(col("n_regionkey") < 100).isEmpty)
+
+    // the racing commits also maintained .hoodie/metadata (serialized
+    // by the metadata lock): the files partition lists exactly the
+    // physical base + every writer's log file
+    val (parts, files) =
+      graft.formats.hudi.HudiMetadataTable.readFiles(dir)
+    assert(parts == Set("."))
+    val physical = Paths.get(dir).toFile.list().toSet
+      .filter(n => n == "base1.parquet" ||
+        (n.startsWith(".") && n.contains(".log.") && !n.endsWith(".crc")))
+    assert(files(".").keySet == physical,
+      s"metadata ${files(".").keySet} vs physical $physical")
   }
 
   test("stream sinks: zombie replay racing itself lands EXACTLY once") {
