@@ -528,4 +528,51 @@ class PipelineOpsSpec extends SparkSuite {
       assert(recomputed == cs, s"cos($rep,$doc)")
     }
   }
+
+  test("sequence packing: straddling docs stay in the bin they start " +
+      "in; empty docs pack without advancing") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // group g, capacity 6: doc 1 (3 tokens) starts at 0 -> bin 0;
+    // doc 2 (4 tokens) starts at 3 -> bin 0, straddling the boundary;
+    // doc 3 (5 tokens) starts at 7 -> bin 1; the whitespace-only doc 4
+    // (0 tokens) starts at 12 -> bin 2 and advances nothing
+    val df = Seq(
+      (1L, "a b c", "g"),
+      (2L, "a b c d", "g"),
+      (3L, "a b c d e", "g"),
+      (4L, "   ", "g")
+    ).toDF("doc_id", "text", "grp")
+    val out = TextAnalysis.packSequences(df, Seq("grp"), "doc_id",
+      "text", capacity = 6).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))).toSeq ==
+      Seq((0L, 2L, 7L, 1L, 2L), (1L, 1L, 5L, 3L, 3L),
+        (2L, 1L, 0L, 4L, 4L)),
+      out.mkString(";"))
+  }
+
+  test("temperature mixture: thresholds flatten source skew and " +
+      "membership is deterministic") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.temperatureMixture(docs, "source", "doc_id",
+      targetFraction = 0.4).collect()
+    val kept = out.map(r => r.getAs[Long]("n_kept")).sum.toDouble
+    val total = out.map(r => r.getAs[Long]("n_in")).sum.toDouble
+    // lands near the target (md5 buckets are uniform-ish)
+    assert(kept / total > 0.2 && kept / total < 0.6,
+      s"kept $kept of $total")
+    // temperature flattening: smaller sources keep a HIGHER fraction
+    // than larger ones (monotone threshold-to-size relation)
+    val bySize = out.sortBy(_.getAs[Long]("n_in"))
+    val smallRate = bySize.head.getAs[Long]("threshold").toDouble
+    val bigRate = bySize.last.getAs[Long]("threshold").toDouble
+    assert(bySize.head.getAs[Long]("n_in") ==
+      bySize.last.getAs[Long]("n_in") || smallRate >= bigRate,
+      s"small-source threshold $smallRate < big-source $bigRate")
+    // deterministic: a second run yields identical rows
+    val again = TextAnalysis.temperatureMixture(docs, "source", "doc_id",
+      targetFraction = 0.4).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
