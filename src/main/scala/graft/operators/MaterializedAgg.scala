@@ -1,0 +1,140 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths => JPaths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-aggregate maintenance over the unified
+  * change feed — the classic incremental-view-maintenance (IVM) shape
+  * for additive aggregates: COUNT and SUM are exactly maintainable from
+  * row-level deltas (insert/update_postimage contribute +1/+x,
+  * delete/update_preimage contribute -1/-x), so a grouped view refreshes
+  * from `readChangeFeed` commits instead of a full rescan. AVG derives
+  * as sum/count downstream.
+  *
+  * State layout at `mvPath`: a parquet state directory per refresh
+  * (`state-v<version>/`) holding (keys..., __mv_count,
+  * __mv_sum_<measure>...) with sums in EXACT integer micros (the same
+  * engine-parity-safe representation the gates use — associative,
+  * drift-free at any parallelism), plus an atomically-published
+  * `_mv_manifest.json` recording the covered version and the live state
+  * dir. A crashed refresh leaves an orphan state dir, never a torn
+  * manifest.
+  *
+  * Scale shape: one CDF read bounded by the new commits, one grouped
+  * delta aggregation (map-side partial), one union+re-aggregate with
+  * the prior state (O(group cardinality), the inherent MV bound), one
+  * state write. Nothing driver-side but the manifest.
+  */
+object MaterializedAgg {
+
+  case class Refresh(priorVersion: Long, toVersion: Long, groups: Long)
+
+  private case class Manifest(lastVersion: Long, stateDir: String)
+
+  private def manifestPath(mvPath: String) =
+    JPaths.get(mvPath, "_mv_manifest.json")
+
+  private def readManifest(mvPath: String): Option[Manifest] = {
+    val p = manifestPath(mvPath)
+    if (!Files.exists(p)) None
+    else {
+      val n = graft.util.Jsons.mapper.readTree(Files.readAllBytes(p))
+      Some(Manifest(n.get("lastVersion").asLong,
+        n.get("stateDir").asText))
+    }
+  }
+
+  /** The view's covered source version (-1 before the first refresh). */
+  def lastVersion(mvPath: String): Long =
+    readManifest(mvPath).map(_.lastVersion).getOrElse(-1L)
+
+  private def sumCol(m: String) = s"__mv_sum_$m"
+
+  /** Current state (keys..., __mv_count, __mv_sum_<m> in micros);
+    * empty with the right schema before the first refresh.
+    */
+  def read(spark: SparkSession, mvPath: String): DataFrame =
+    readManifest(mvPath) match {
+      case Some(m) => spark.read.parquet(m.stateDir)
+      case None =>
+        throw new IllegalStateException(
+          s"no materialized view at $mvPath — refresh() it first")
+    }
+
+  /** Pull the commits past the manifest's version from `tablePath`'s
+    * change feed and fold them into the view. No new commits = no-op
+    * (manifest untouched). Serial refreshes only — the view is a single
+    * consumer like any streaming checkpoint.
+    */
+  def refresh(spark: SparkSession, tablePath: String, mvPath: String,
+      keys: Seq[String], measures: Seq[String]): Refresh = {
+    require(keys.nonEmpty, "materialized aggregate needs >= 1 key")
+    val prior = lastVersion(mvPath)
+    def noop: Refresh = Refresh(prior, prior,
+      readManifest(mvPath).map(m =>
+        spark.read.parquet(m.stateDir).count()).getOrElse(0L))
+    val changes =
+      try spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", prior.toString)
+        .load(tablePath)
+        .persist()
+      catch {
+        // the feed reader's own refusal when the exclusive start IS the
+        // table head — the view is already current
+        case e: IllegalArgumentException
+            if e.getMessage.contains("fromVersion < toVersion") =>
+          return noop
+      }
+    try {
+      if (changes.isEmpty) return noop
+      val toVersion = changes.agg(max(col("_commit_version")))
+        .head().getLong(0)
+      val sign = when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      val delta = changes
+        .groupBy(keys.map(col): _*)
+        .agg(sum(sign).as("__mv_count"),
+          measures.map(m => sum(graft.queries.Gate.micros(col(m)) * sign)
+            .as(sumCol(m))): _*)
+      val prev = readManifest(mvPath)
+        .map(m => spark.read.parquet(m.stateDir))
+        .getOrElse(delta.limit(0))
+      val next = prev.unionByName(delta)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("__mv_count")).as("__mv_count"),
+          measures.map(m => sum(col(sumCol(m))).as(sumCol(m))): _*)
+        .filter(col("__mv_count") > 0)
+
+      val old = readManifest(mvPath)
+      val stateDir = s"$mvPath/state-v$toVersion"
+      next.write.mode("overwrite").parquet(stateDir)
+      val groups = spark.read.parquet(stateDir).count()
+      Files.createDirectories(JPaths.get(mvPath))
+      val tmp = Files.createTempFile(JPaths.get(mvPath), "._mv", ".tmp")
+      Files.write(tmp, graft.util.Jsons.toJson(Map(
+        "lastVersion" -> toVersion,
+        "stateDir" -> stateDir)).getBytes(StandardCharsets.UTF_8))
+      // the manifest is a LAST-WRITER-WINS pointer (single serial
+      // consumer), not a put-if-absent commit — atomic replace, so
+      // readers only ever see a complete manifest
+      Files.move(tmp, manifestPath(mvPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // retire the superseded state (manifest already points away; a
+      // crash here only leaks the old dir, never loses the view)
+      old.filter(_.stateDir != stateDir).foreach { m =>
+        val dir = JPaths.get(m.stateDir)
+        if (Files.isDirectory(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+      }
+      Refresh(prior, toVersion, groups)
+    } finally changes.unpersist()
+  }
+}

@@ -624,6 +624,46 @@ object MaintenanceQueries {
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM updated GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Incremental materialized-view maintenance: a grouped COUNT+SUM view
+    * refreshes from the change feed across an initial load, an append
+    * and a row-level delete — never rescanning the table — and must
+    * equal the full recompute the oracle runs. A fourth refresh with no
+    * new commits is asserted a no-op in-gate.
+    */
+  def mvIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedAgg
+    val t = graft.util.TempDirs.create("graft_mv_tbl")
+    val mv = graft.util.TempDirs.create("graft_mv_state")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val keys = Seq("l_returnflag")
+    val measures = Seq("l_quantity")
+
+    li.filter(col("l_orderkey") % 2 === 0)
+      .write.format("graft").save(t)
+    MaterializedAgg.refresh(s, t, mv, keys, measures)
+    li.filter(col("l_orderkey") % 2 === 1)
+      .write.format("graft").mode("append").save(t)
+    MaterializedAgg.refresh(s, t, mv, keys, measures)
+    DeltaDeletes.deleteWhere(s, t, col("l_quantity") < 5)
+    val r3 = MaterializedAgg.refresh(s, t, mv, keys, measures)
+    val r4 = MaterializedAgg.refresh(s, t, mv, keys, measures)
+    require(r4.toVersion == r3.toVersion && r4.groups == r3.groups,
+      s"refresh with no new commits must be a no-op: $r3 vs $r4")
+
+    MaterializedAgg.read(s, mv)
+      .select(col("l_returnflag"),
+        col("__mv_count").as("cnt"),
+        Gate.microsToDouble(col("__mv_sum_l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val mvIncrementalAggSql: String =
+    s"""SELECT l_returnflag, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE NOT (l_quantity < 5)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SQL `GRAFT MERGE INTO ... USING ... ON KEYS (...)` routed across
     * ALL FOUR formats (Delta DV-mask+append, Iceberg eq-deletes+append,
     * Hudi native MOR upsert, Paimon copy-on-write rewrite): each format

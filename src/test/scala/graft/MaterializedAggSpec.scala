@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MaterializedAgg
+
+/** Incremental view maintenance against full recomputes: every commit
+  * kind the change feed can produce (insert, row-level delete, in-place
+  * update) must fold into the same state a rescan would build, and a
+  * group whose rows all disappear must leave the state entirely.
+  */
+class MaterializedAggSpec extends SparkSuite {
+
+  test("view state tracks append, update and delete commits exactly; " +
+      "emptied groups leave the state") {
+    import spark.implicits._
+    val t = tmpDir("mv_tbl")
+    val mv = tmpDir("mv_state")
+    val keys = Seq("k")
+    val measures = Seq("v")
+
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+      .toDF("id", "k", "v").write.format("graft").save(t)
+    val r1 = MaterializedAgg.refresh(spark, t, mv, keys, measures)
+    assert(r1.toVersion == 0L && r1.groups == 2L)
+
+    def stateMap = MaterializedAgg.read(spark, mv).collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("__mv_count"), r.getAs[Long]("__mv_sum_v"))))
+      .toMap
+    assert(stateMap == Map("a" -> ((2L, 30000000L)),
+      "b" -> ((1L, 5000000L))))
+
+    // in-place update: the feed nets pre/post (or delete+insert) to the
+    // value delta
+    graft.formats.delta.DeltaDeletes.updateWhere(spark, t,
+      col("id") === 2L, Map("v" -> lit(25.0)))
+    MaterializedAgg.refresh(spark, t, mv, keys, measures)
+    assert(stateMap == Map("a" -> ((2L, 35000000L)),
+      "b" -> ((1L, 5000000L))))
+
+    // delete the whole of group b -> it must leave the state
+    graft.formats.delta.DeltaDeletes.deleteWhere(spark, t, col("k") === "b")
+    val r3 = MaterializedAgg.refresh(spark, t, mv, keys, measures)
+    assert(r3.groups == 1L)
+    assert(stateMap == Map("a" -> ((2L, 35000000L))))
+
+    // equals the full recompute (DV-masking read — the table carries
+    // live deletion vectors after deleteWhere)
+    val full = new graft.formats.delta.DeltaConversionSource(
+      spark, t, "mv_tbl").toDataFrame
+      .groupBy("k").agg(count(lit(1)).as("cnt"),
+        sum(graft.queries.Gate.micros(col("v"))).as("sum_micros"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(full == Set(("a", 2L, 35000000L)))
+
+    // read() before any refresh refuses loudly
+    val e = intercept[IllegalStateException](
+      MaterializedAgg.read(spark, tmpDir("mv_none")))
+    assert(e.getMessage.contains("refresh"))
+  }
+}
