@@ -51,6 +51,37 @@ object MaterializedAgg {
   def lastVersion(mvPath: String): Long =
     readManifest(mvPath).map(_.lastVersion).getOrElse(-1L)
 
+  // ------------------------------------------------- view definitions
+
+  private def defPath(mvPath: String) =
+    JPaths.get(mvPath, "_mv_view.json")
+
+  /** Persist a view definition (source table, keys, measures) so SQL
+    * `REFRESH MATERIALIZED VIEW` needs only the view path.
+    */
+  def define(mvPath: String, tablePath: String, keys: Seq[String],
+      measures: Seq[String]): Unit = {
+    require(keys.nonEmpty, "materialized view needs >= 1 key")
+    Files.createDirectories(JPaths.get(mvPath))
+    require(!Files.exists(defPath(mvPath)),
+      s"materialized view already defined at $mvPath")
+    Files.write(defPath(mvPath), graft.util.Jsons.toJson(Map(
+      "table" -> tablePath, "keys" -> keys, "measures" -> measures))
+      .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Refresh a defined view; refuses when no definition exists. */
+  def refreshDefined(spark: SparkSession, mvPath: String): Refresh = {
+    val p = defPath(mvPath)
+    require(Files.exists(p), s"no materialized view defined at $mvPath " +
+      "— GRAFT CREATE MATERIALIZED VIEW first")
+    val n = graft.util.Jsons.mapper.readTree(Files.readAllBytes(p))
+    import scala.jdk.CollectionConverters._
+    refresh(spark, n.get("table").asText, mvPath,
+      n.get("keys").elements().asScala.map(_.asText).toSeq,
+      n.get("measures").elements().asScala.map(_.asText).toSeq)
+  }
+
   private def sumCol(m: String) = s"__mv_sum_$m"
 
   /** Current state (keys..., __mv_count, __mv_sum_<m> in micros);

@@ -116,6 +116,24 @@ object GraftSqlCommands {
     }
   }
 
+  /** CREATE (define + initial refresh) or REFRESH a change-feed-
+    * maintained materialized aggregate view. Returns the covered source
+    * version and group count.
+    */
+  case class MaterializedViewCommand(mvPath: String,
+      create: Option[(String, Seq[String], Seq[String])])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("to_version", "groups")
+    override def run(spark: SparkSession): Seq[Row] = {
+      create.foreach { case (table, keys, measures) =>
+        graft.operators.MaterializedAgg.define(mvPath, table, keys,
+          measures)
+      }
+      val r = graft.operators.MaterializedAgg.refreshDefined(spark, mvPath)
+      Seq(Row(r.toVersion, r.groups))
+    }
+  }
+
   /** MERGE INTO by key, routed by table format: matched target rows
     * take the source row (whole-row upsert), unmatched source rows
     * insert. Delta masks matched rows with DVs and appends, Iceberg

@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT DELETE FROM '<table>' WHERE <predicate>   -- any format
   *   GRAFT UPDATE '<table>' SET c = <expr> [, ...] WHERE <predicate>
   *   GRAFT MERGE INTO '<table>' USING '<parquet dir>' ON KEYS (k1, ...)
+  *   GRAFT CREATE MATERIALIZED VIEW '<mv>' OVER '<table>' KEYS (...) MEASURES (...)
+  *   GRAFT REFRESH MATERIALIZED VIEW '<mv>'
   *   GRAFT CLONE '<src>' TO '<dst>' [AT VERSION <n>] -- Delta shallow clone
   *   GRAFT SYNC PARQUET '<srcdir>' AS <name> TO <delta|iceberg|hudi|paimon> '<target>'
   *   GRAFT CREATE <BRANCH|TAG> <name> ON '<table>' [AT SEQUENCE <n>]
@@ -50,6 +52,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Update: Regex =
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""".r
+  private val CreateMv: Regex =
+    """(?is)\s*GRAFT\s+CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+OVER\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+MEASURES\s*\(([^)]+)\)\s*;?\s*""".r
+  private val RefreshMv: Regex =
+    """(?is)\s*GRAFT\s+REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val Merge: Regex =
     """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+USING\s+'([^']+)'\s+ON\s+KEYS\s*\(([^)]+)\)\s*;?\s*""".r
   private val Clone: Regex =
@@ -124,6 +130,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case None => throw new IllegalArgumentException(
           "GRAFT UPDATE requires a WHERE clause (outside quotes)")
       }
+    case CreateMv(mvPath, tablePath, keys, measures) =>
+      MaterializedViewCommand(mvPath, Some((tablePath,
+        keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        measures.split(',').map(_.trim).filter(_.nonEmpty).toSeq)))
+    case RefreshMv(mvPath) =>
+      MaterializedViewCommand(mvPath, None)
     case Merge(path, srcPath, keys) =>
       MergeCommand(path, srcPath,
         keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -140,7 +152,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       throw new IllegalArgumentException(
         s"unrecognized GRAFT statement: $other — supported: OPTIMIZE, " +
           "VACUUM, RESTORE, ROLLBACK, DELETE FROM, UPDATE, MERGE INTO, " +
-          "CLONE, SYNC")
+          "CLONE, SYNC, CREATE/REFRESH MATERIALIZED VIEW")
     case other => delegate.parsePlan(other)
   }
 

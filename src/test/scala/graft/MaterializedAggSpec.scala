@@ -60,4 +60,35 @@ class MaterializedAggSpec extends SparkSuite {
       MaterializedAgg.read(spark, tmpDir("mv_none")))
     assert(e.getMessage.contains("refresh"))
   }
+
+  test("SQL CREATE / REFRESH MATERIALIZED VIEW drive the same view") {
+    import spark.implicits._
+    val t = tmpDir("mv_sql_tbl")
+    val mv = s"${tmpDir("mv_sql_state")}/view"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "k", "v").write.format("graft").save(t)
+    val gs = graft.sql.GraftSql.session(spark)
+    val created = gs.sql(s"GRAFT CREATE MATERIALIZED VIEW '$mv' " +
+      s"OVER '$t' KEYS (k) MEASURES (v)").head()
+    assert(created.getLong(0) == 0L && created.getLong(1) == 2L)
+    // re-create refuses; refresh with no new commits is a no-op
+    val dup = intercept[Exception](gs.sql(
+      s"GRAFT CREATE MATERIALIZED VIEW '$mv' OVER '$t' KEYS (k) " +
+        "MEASURES (v)"))
+    assert(dup.getMessage.contains("already defined"))
+    val r = gs.sql(s"GRAFT REFRESH MATERIALIZED VIEW '$mv'").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+    // a new commit folds in through the SQL refresh
+    Seq((3L, "a", 5.0)).toDF("id", "k", "v")
+      .write.format("graft").mode("append").save(t)
+    val r2 = gs.sql(s"GRAFT REFRESH MATERIALIZED VIEW '$mv'").head()
+    assert(r2.getLong(0) == 1L)
+    val state = MaterializedAgg.read(spark, mv).collect()
+      .map(x => x.getAs[String]("k") -> x.getAs[Long]("__mv_count")).toMap
+    assert(state == Map("a" -> 2L, "b" -> 1L))
+    // refreshing an undefined view refuses with guidance
+    val none = intercept[Exception](gs.sql(
+      s"GRAFT REFRESH MATERIALIZED VIEW '${tmpDir("mv_nodef")}'"))
+    assert(none.getMessage.contains("CREATE MATERIALIZED VIEW"))
+  }
 }
