@@ -107,18 +107,31 @@ object MaterializedAgg {
     def noop: Refresh = Refresh(prior, prior,
       readManifest(mvPath).map(m =>
         spark.read.parquet(m.stateDir).count()).getOrElse(0L))
+    def loadFeed(start: Long) = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", start.toString)
+      .load(tablePath)
+      .persist()
+    // the feed readers refuse "got X..X" when the exclusive start IS
+    // the head (view already current), and Iceberg/Paimon floors the
+    // exclusive start at 0 where Delta's is -1 — normalize both
+    val caughtUp = "(?s).*got (-?\\d+)\\.\\.(-?\\d+).*".r
+    def isCaughtUp(e: IllegalArgumentException): Boolean =
+      e.getMessage match {
+        case caughtUp(a, b) => a == b
+        case _ => false
+      }
     val changes =
-      try spark.read.format("graft")
-        .option("readChangeFeed", "true")
-        .option("startingVersion", prior.toString)
-        .load(tablePath)
-        .persist()
+      try loadFeed(prior)
       catch {
-        // the feed reader's own refusal when the exclusive start IS the
-        // table head — the view is already current
+        case e: IllegalArgumentException if isCaughtUp(e) => return noop
         case e: IllegalArgumentException
-            if e.getMessage.contains("fromVersion < toVersion") =>
-          return noop
+            if prior < 0L && e.getMessage.contains("fromSeq") =>
+          try loadFeed(0L)
+          catch {
+            case e2: IllegalArgumentException if isCaughtUp(e2) =>
+              return noop
+          }
       }
     try {
       if (changes.isEmpty) return noop

@@ -61,6 +61,49 @@ class MaterializedAggSpec extends SparkSuite {
     assert(e.getMessage.contains("refresh"))
   }
 
+  test("the view refreshes from an ICEBERG table's change feed too") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths}
+    val dataDir = tmpDir("mv_ice_data")
+    val t = tmpDir("mv_ice_tbl")
+    val mv = tmpDir("mv_ice_state")
+    val region = spark.read.parquet(sf("sf0.001/region.parquet"))
+    def addBatch(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = tmpDir(s"mv_ice_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Paths.get(tmp).toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(dataDir, s"$name.parquet"))
+      Paths.get(dataDir, s"$name.parquet").toFile.setLastModified(mtime)
+    }
+    def sync(): Unit = {
+      val src = new graft.sources.ParquetDirectorySource(
+        spark, dataDir, "region")
+      val o = graft.sync.TableFormatSync.syncSnapshot(
+        Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, t)),
+        src.currentSnapshot(), src.sourceFormat)
+      assert(o.forall(_.status == "SUCCESS"), o.mkString(";"))
+    }
+    addBatch(region.filter(col("r_regionkey") < 3), "b1", 1000000L)
+    sync()
+    val r1 = MaterializedAgg.refresh(spark, t, mv, Seq("r_name"),
+      Seq("r_regionkey"))
+    assert(r1.groups == 3L)
+
+    // incremental append lands as a second snapshot -> one more fold
+    addBatch(region, "b2", 2000000L)
+    sync()
+    val r2 = MaterializedAgg.refresh(spark, t, mv, Seq("r_name"),
+      Seq("r_regionkey"))
+    assert(r2.toVersion > r1.toVersion && r2.groups == 5L)
+    val counts = MaterializedAgg.read(spark, mv).collect()
+      .map(r => r.getAs[String]("r_name") -> r.getAs[Long]("__mv_count"))
+      .toMap
+    // first three regions appear twice (b1 + full b2), last two once
+    assert(counts.values.toSeq.sorted == Seq(1L, 1L, 2L, 2L, 2L), counts)
+  }
+
   test("SQL CREATE / REFRESH MATERIALIZED VIEW drive the same view") {
     import spark.implicits._
     val t = tmpDir("mv_sql_tbl")
