@@ -634,15 +634,19 @@ object MaintenanceQueries {
     import graft.operators.MaterializedAgg
     val t = graft.util.TempDirs.create("graft_mv_tbl")
     val mv = graft.util.TempDirs.create("graft_mv_state")
+    // a 1/8 slice keeps the gate about the REFRESH folds, not about
+    // writing a large table twice (the write path has its own gates)
     val li = s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .filter(col("l_orderkey") % 8 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_quantity"))
     val keys = Seq("l_returnflag")
     val measures = Seq("l_quantity")
 
-    li.filter(col("l_orderkey") % 2 === 0)
+    li.filter(col("l_linenumber") % 2 === 0)
       .write.format("graft").save(t)
     MaterializedAgg.refresh(s, t, mv, keys, measures)
-    li.filter(col("l_orderkey") % 2 === 1)
+    li.filter(col("l_linenumber") % 2 === 1)
       .write.format("graft").mode("append").save(t)
     MaterializedAgg.refresh(s, t, mv, keys, measures)
     DeltaDeletes.deleteWhere(s, t, col("l_quantity") < 5)
@@ -661,7 +665,8 @@ object MaintenanceQueries {
   val mvIncrementalAggSql: String =
     s"""SELECT l_returnflag, count(*) AS cnt,
        |  ${Gate.sumMeasureSql("l_quantity")} AS sum_qty
-       |FROM lineitem WHERE NOT (l_quantity < 5)
+       |FROM lineitem
+       |WHERE l_orderkey % 8 = 0 AND NOT (l_quantity < 5)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** SQL `GRAFT MERGE INTO ... USING ... ON KEYS (...)` routed across
