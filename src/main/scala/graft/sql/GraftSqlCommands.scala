@@ -19,16 +19,50 @@ object GraftSqlCommands {
   private def out(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, LongType, nullable = false)())
 
+  /** OPTIMIZE routes by format. The (rewrote, wrote) pair is
+    * format-shaped: Delta reports (files rewritten, files written);
+    * Iceberg runs the delete-applying [+ z-ordering] REPLACE rewrite
+    * and reports (1 if a rewrite committed else 0, live files after);
+    * Hudi folds MOR log files
+    * into fresh base files and reports (rows compacted, rows
+    * compacted) — Hudi/Paimon refuse ZORDER and WHERE scoping loudly
+    * rather than ignore them.
+    */
   case class OptimizeCommand(path: String, zorderBy: Seq[String],
       where: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("rewrote", "wrote")
     override def run(spark: SparkSession): Seq[Row] = {
-      val r =
-        if (zorderBy.isEmpty) DeltaOptimize.compact(spark, path,
-          where = where)
-        else DeltaOptimize.zorderBy(spark, path, zorderBy, where = where)
-      Seq(Row(r.rewrote, r.wrote))
+      val row = graft.sources.CatalogConversionSource
+        .detectFormat(path) match {
+        case "DELTA" =>
+          val r =
+            if (zorderBy.isEmpty) DeltaOptimize.compact(spark, path,
+              where = where)
+            else DeltaOptimize.zorderBy(spark, path, zorderBy,
+              where = where)
+          Row(r.rewrote, r.wrote)
+        case "ICEBERG" =>
+          require(where.isEmpty,
+            "GRAFT OPTIMIZE WHERE is not supported on Iceberg — the " +
+              "REPLACE rewrite is whole-table")
+          val done = graft.formats.iceberg.IcebergDeletes
+            .rewriteWithDeletes(spark, path, zorderBy)
+          // post-rewrite snapshots carry no delete files, so the
+          // listing count is serveable (pre-rewrite it may refuse)
+          val after = new graft.formats.iceberg.IcebergConversionSource(
+            spark, path, "optimize").currentSnapshot().files.count()
+          Row(if (done) 1L else 0L, after)
+        case "HUDI" =>
+          require(zorderBy.isEmpty && where.isEmpty,
+            "GRAFT OPTIMIZE on Hudi is MOR log compaction — ZORDER BY " +
+              "and WHERE are not supported")
+          val n = graft.formats.hudi.HudiLogFiles.compact(spark, path)
+          Row(n, n)
+        case other => throw new IllegalArgumentException(
+          s"GRAFT OPTIMIZE: unsupported table format $other at $path")
+      }
+      Seq(row)
     }
   }
 
@@ -60,12 +94,32 @@ object GraftSqlCommands {
     }
   }
 
+  /** RESTORE routes by format: Delta restores to a log version, Hudi
+    * rolls back every instant after the named one (savepoint/restore
+    * semantics; `removed` counts the physically deleted files).
+    * Iceberg points at GRAFT ROLLBACK — its sequence-based rollback has
+    * its own statement.
+    */
   case class RestoreCommand(path: String, version: Long)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("readded", "removed", "version")
     override def run(spark: SparkSession): Seq[Row] = {
-      val r = DeltaRestore.restoreTo(spark, path, version)
-      Seq(Row(r.readded, r.removed, r.version))
+      val row = graft.sources.CatalogConversionSource
+        .detectFormat(path) match {
+        case "DELTA" =>
+          val r = DeltaRestore.restoreTo(spark, path, version)
+          Row(r.readded, r.removed, r.version)
+        case "HUDI" =>
+          val r = graft.formats.hudi.HudiMaintenance.restoreTo(
+            spark, path, version.toString)
+          Row(0L, r.deletedFiles, version)
+        case "ICEBERG" => throw new IllegalArgumentException(
+          "GRAFT RESTORE: use GRAFT ROLLBACK '<table>' TO SEQUENCE <n> " +
+            "for Iceberg")
+        case other => throw new IllegalArgumentException(
+          s"GRAFT RESTORE: unsupported table format $other at $path")
+      }
+      Seq(row)
     }
   }
 

@@ -122,6 +122,67 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(e.getMessage.contains("MERGE INTO"))
   }
 
+  test("OPTIMIZE and RESTORE route by format: iceberg rewrite, hudi " +
+      "compaction + savepoint restore, loud refusals elsewhere") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{col, lit}
+    // --- iceberg: delete leaves delete files; OPTIMIZE rewrites them away
+    val iceData = tmpDir("sqlopt_ice_data")
+    spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .write.mode("overwrite").parquet(iceData)
+    val ice = tmpDir("sqlopt_ice")
+    val isrc = new graft.sources.ParquetDirectorySource(
+      spark, iceData, "nation")
+    assert(graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, ice)),
+      isrc.currentSnapshot(), isrc.sourceFormat)
+      .forall(_.status == "SUCCESS"))
+    val deleted = graft.formats.iceberg.IcebergDeletes.deleteWhere(
+      spark, ice, col("n_nationkey") % 2 === 0)
+    assert(deleted > 0)
+    val opt = gs.sql(s"GRAFT OPTIMIZE '$ice'").head()
+    assert(opt.getLong(0) == 1L && opt.getLong(1) >= 1L, opt.toString)
+    val back = new graft.formats.iceberg.IcebergConversionSource(
+      spark, ice, "nation").toDataFrame
+    assert(back.filter(col("n_nationkey") % 2 === 0).isEmpty)
+    assert(back.count() == 25 - deleted)
+    // WHERE scoping refuses on iceberg instead of being ignored
+    val ew = intercept[Exception](
+      gs.sql(s"GRAFT OPTIMIZE '$ice' WHERE n_nationkey > 0"))
+    assert(ew.getMessage.contains("whole-table"))
+
+    // --- hudi MOR: upsert logs, OPTIMIZE compacts, RESTORE rolls back
+    val hudi = tmpDir("sqlopt_hudi")
+    Files.copy(Paths.get(sf("sf0.001/nation.parquet")),
+      Paths.get(hudi, "base1.parquet"))
+    val base = s"$hudi/base1.parquet"
+    val df = spark.read.parquet(base)
+    graft.formats.hudi.HudiTimeline.writeProperties(hudi, "nation",
+      "MERGE_ON_READ")
+    assert(graft.formats.hudi.HudiTimeline.writeCommit(
+      graft.formats.hudi.HudiTimeline.CommitMeta("100", "commit",
+        Map("" -> Seq(graft.formats.hudi.HudiTimeline.WriteStat(
+          graft.formats.hudi.HudiTimeline.fileId(base), "base1.parquet",
+          df.count(), Files.size(Paths.get(base))))),
+        Map.empty, Map("schema" -> df.schema.json)), hudi))
+    graft.formats.hudi.HudiLogFiles.upsert(spark, hudi,
+      df.limit(3).withColumn("n_name", lit("XX")), Seq("n_nationkey"))
+    val copt = gs.sql(s"GRAFT OPTIMIZE '$hudi'").head()
+    assert(copt.getLong(0) == df.count(), copt.toString)
+    val rt = new graft.formats.hudi.HudiConversionSource(
+      spark, hudi, "nation", "snapshot").toDataFrame
+    assert(rt.filter(col("n_name") === "XX").count() == 3)
+    // savepoint restore to the first commit drops the later instants
+    val restored = gs.sql(s"GRAFT RESTORE '$hudi' TO VERSION 100").head()
+    assert(restored.getLong(2) == 100L)
+    assert(graft.formats.hudi.HudiTimeline.listInstants(hudi)
+      == Seq("100"))
+    // iceberg RESTORE points at ROLLBACK
+    val er = intercept[Exception](
+      gs.sql(s"GRAFT RESTORE '$ice' TO VERSION 1"))
+    assert(er.getMessage.contains("ROLLBACK"))
+  }
+
   test("non-GRAFT SQL delegates untouched; unknown GRAFT refuses") {
     assert(gs.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     assert(gs.range(3).count() == 3)
