@@ -550,4 +550,74 @@ object EventsQueries {
   }
 
   val streamingPaimonSinkSql: String = streamingIcebergSinkSql
+
+  /** Streaming SOURCE over a graft Delta table
+    * (`spark.readStream.format("graft")`): half the events land as the
+    * table's first commit and are served as the stream's initial
+    * snapshot batch; the other half arrive as a second commit AFTER the
+    * first run drained, and a checkpoint-resumed second run must deliver
+    * exactly that commit's inserts — a re-served snapshot (double rows)
+    * or a missed commit cannot hash-match the full-table oracle.
+    */
+  def streamingGraftSource(s: SparkSession, dir: String): DataFrame =
+    streamingSourceGate(s, dir, "delta")
+
+  val streamingGraftSourceSql: String =
+    s"""SELECT event_type, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("value")} AS sum_v
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The streaming source over ICEBERG — offsets are snapshot sequence
+    * numbers; the second commit arrives through an incremental metadata
+    * sync rather than a row append, proving the source tails the
+    * metadata plane itself, not a writer-side hook.
+    */
+  def streamingIcebergSource(s: SparkSession, dir: String): DataFrame =
+    streamingSourceGate(s, dir, "iceberg")
+
+  val streamingIcebergSourceSql: String = streamingGraftSourceSql
+
+  private def streamingSourceGate(s: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val table = graft.util.TempDirs.create(s"graft_src_$fmt")
+    val seed = graft.util.TempDirs.create(s"graft_src_seed_$fmt")
+    val out = graft.util.TempDirs.create(s"graft_src_out_$fmt")
+    val ckpt = graft.util.TempDirs.create(s"graft_src_ckpt_$fmt")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+
+    def commitHalf(half: Int): Unit = fmt match {
+      case "delta" =>
+        graft.formats.delta.DeltaWrite.write(s, table,
+          raw.filter(col("event_id") % 2 === half), overwrite = false)
+      case "iceberg" =>
+        raw.filter(col("event_id") % 2 === half)
+          .write.mode("append").parquet(seed)
+        val src = new graft.sources.ParquetDirectorySource(s, seed, "events")
+        val outcomes = graft.sync.TableFormatSync.syncSnapshot(
+          Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+          src.currentSnapshot(), src.sourceFormat)
+        require(outcomes.forall(_.status == "SUCCESS"),
+          outcomes.mkString(";"))
+    }
+
+    def drainOnce(): Unit = {
+      val q = s.readStream.format("graft").load(table)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    commitHalf(0) // commit 1: the stream's initial snapshot
+    drainOnce()
+    commitHalf(1) // commit 2: tailed as a change-feed insert batch
+    drainOnce() // checkpoint resume — must serve ONLY commit 2
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Gate.sumMeasure(col("value")).as("sum_v"))
+      .orderBy("event_type")
+  }
 }

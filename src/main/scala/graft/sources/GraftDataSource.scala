@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 
 import graft.model.TableSnapshot
 import graft.plans.SnapshotFileIndex
@@ -31,9 +31,35 @@ import graft.plans.SnapshotFileIndex
   * `USING graft` also works in catalog DDL.
   */
 class GraftDataSource extends RelationProvider
-  with CreatableRelationProvider with DataSourceRegister {
+  with CreatableRelationProvider with StreamSourceProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `spark.readStream.format("graft").load(path)` — the table's commit
+    * stream as a Structured Streaming source
+    * ([[graft.streaming.GraftStreamSource]]): initial snapshot, then the
+    * rows inserted per commit, offsets = the table's own versions.
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String,
+        org.apache.spark.sql.types.StructType) =
+    (shortName(), schema.getOrElse {
+      val path = graft.util.PathUtils.canonical(
+        parameters.getOrElse("path", throw new IllegalArgumentException(
+          "graft streaming source needs a path")))
+      graft.streaming.GraftStreamSource.tableSchema(
+        sqlContext.sparkSession, path)
+    })
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    graft.streaming.GraftStreamSource.fromOptions(
+      sqlContext.sparkSession, parameters, schema)
 
   /** `df.write.format("graft").mode(...).save(path)` — lands the rows in
     * a graft-managed Delta table (created on first write; hive partition

@@ -1,0 +1,280 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.util.{HadoopConfs, Jsons, PathUtils}
+
+/** `spark.readStream.format("graft").load(path)` — a Structured
+  * Streaming SOURCE over any graft-readable table format, the read-side
+  * twin of the exactly-once sinks. Offsets are the table's own commit
+  * versions (Delta version / Iceberg sequence number / Hudi instant /
+  * Paimon snapshot id), so the checkpoint is replayable against nothing
+  * but the table's metadata plane:
+  *
+  *  - the INITIAL batch serves the full snapshot at the stream's first
+  *    head (delta-spark's DeltaSource semantics), or the change feed
+  *    `(startingVersion, head]` when `startingVersion` is passed
+  *    (`latest` = tail only: serve nothing before the head at start);
+  *  - every later batch serves the rows INSERTED in `(start, end]`
+  *    through the same per-format change-feed readers the batch
+  *    `readChangeFeed` surface uses;
+  *  - a commit that UPDATED or DELETED rows is not representable as an
+  *    append stream: the default refuses loudly AT EXECUTION (a
+  *    codegen'd `raise_error` guard — no extra driver pass over the
+  *    feed), `skipChangeCommits=true` drops such commits whole
+  *    (delta-spark's option of the same name);
+  *  - `maxVersionsPerTrigger=N` bounds catch-up batches to N commits,
+  *    so a month-long backlog on a 100 TB table drains in bounded
+  *    memory instead of one giant first batch.
+  *
+  * Scale shape: `getOffset` reads only the metadata plane head (one
+  * driver round-trip); `getBatch` builds the same distributed scan the
+  * batch reader plans (partition pruning + stats skipping via
+  * SnapshotFileIndex) and re-wraps it with the streaming flag — no rows
+  * ever pass through the driver.
+  *
+  * Reference anchor: the reference's incremental sync consumes commit
+  * backlogs the same head-vs-checkpoint way
+  * (xtable-core/src/main/java/org/apache/xtable/conversion/
+  * ConversionController.java:120-180); this source exposes that loop as
+  * a first-class Spark streaming relation.
+  */
+class GraftStreamSource(spark: SparkSession, tablePath: String,
+    options: Map[String, String], providedSchema: Option[StructType])
+  extends Source {
+
+  import GraftStreamSource._
+
+  private val source = detectSource(spark, tablePath)
+  private val fmt = formatOf(source)
+  private val skipChangeCommits =
+    options.get("skipChangeCommits").exists(_.toBoolean)
+  private val maxVersionsPerTrigger =
+    options.get("maxVersionsPerTrigger").map(_.toLong)
+  maxVersionsPerTrigger.foreach(n => require(n > 0,
+    s"maxVersionsPerTrigger must be positive (got $n)"))
+
+  /** Exclusive floor for the FIRST batch: None = serve the whole
+    * snapshot; Some(v) = serve the change feed after v. Resolved once at
+    * source creation ("latest" pins the head seen now).
+    */
+  private val startFloor: Option[String] =
+    options.get("startingVersion").map {
+      case "latest" => head().getOrElse(minVersion(fmt))
+      case v => v
+    }
+
+  // schema + snapshot reads go through the conversion sources'
+  // DataFrame path (DeltaRead.toDataFrame), NOT the format("graft")
+  // relation: the relation refuses live deletion vectors outright, while
+  // toDataFrame masks them — a streaming tail over a table that takes
+  // row-level deletes must keep serving (the deletes themselves surface
+  // through the change feed as refusal-or-skip)
+  override val schema: StructType = providedSchema.getOrElse(
+    graft.formats.delta.DeltaRead.toDataFrame(
+      spark, source.currentSnapshot()).schema)
+
+  private def snapshotBatchAt(v: String): DataFrame = {
+    val snap = source match {
+      case d: graft.formats.delta.DeltaConversionSource => d.snapshotAt(v.toLong)
+      case i: graft.formats.iceberg.IcebergConversionSource => i.snapshotAt(v.toLong)
+      case h: graft.formats.hudi.HudiConversionSource => h.snapshotAt(v)
+      case p: graft.formats.paimon.PaimonConversionSource => p.snapshotAt(v.toLong)
+    }
+    graft.formats.delta.DeltaRead.toDataFrame(spark, snap)
+  }
+
+  private def head(): Option[String] = headVersion(spark, tablePath, fmt)
+
+  override def getOffset: Option[Offset] = {
+    val h = head()
+    // bound catch-up: advance at most maxVersionsPerTrigger commits past
+    // the last committed offset (numeric formats step by id — gaps just
+    // make the batch smaller; Hudi steps through the sorted instant list)
+    (h, maxVersionsPerTrigger) match {
+      case (Some(hv), Some(n)) =>
+        // base = the newest version already served (or the starting
+        // floor); no base means the first batch is the snapshot — one
+        // offer regardless of cap
+        val capped = lastEnd.orElse(startFloor) match {
+          case None => hv
+          case Some(l) if fmt == "hudi" =>
+            val after = graft.formats.hudi.HudiTimeline.listInstants(
+              tablePath).filter(_ > l)
+            if (after.isEmpty) l else after.take(n.toInt).last
+          case Some(l) =>
+            math.min(hv.toLong, l.toLong + n).toString
+        }
+        if (lastEnd.contains(capped)) None
+        else Some(GraftSourceOffset(capped))
+      case (Some(hv), None) =>
+        if (lastEnd.contains(hv)) None else Some(GraftSourceOffset(hv))
+      case (None, _) => None
+    }
+  }
+
+  // the newest end version this source has handed out or had committed —
+  // getOffset caps catch-up batches relative to it and goes quiet when
+  // the head hasn't moved past it (returning the same offset is also a
+  // no-op to the engine; this just avoids re-planning). After a restart
+  // it re-seeds from the first replayed getBatch's end.
+  @volatile private var lastEnd: Option[String] = None
+
+  private def advanceLastEnd(v: String): Unit =
+    if (!lastEnd.exists(l => !versionLt(fmt, l, v))) lastEnd = Some(v)
+
+  override def commit(end: Offset): Unit = advanceLastEnd(versionOf(end))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val fromV = start.map(versionOf).orElse(startFloor)
+    val batch = fromV match {
+      case None =>
+        // initial batch: the full snapshot at the stream's first head
+        snapshotBatchAt(endV)
+      case Some(s) if versionLt(fmt, s, endV) =>
+        val feed = spark.read.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", s).option("endingVersion", endV)
+          .load(tablePath)
+        insertsOnly(feed)
+      case _ =>
+        // restart replay edge: nothing after the floor — empty batch
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    advanceLastEnd(endV)
+    // positional contract: MicroBatchExecution zips the batch's output
+    // attributes against the source schema by POSITION
+    GraftShims.asStreaming(
+      batch.select(schema.fieldNames.map(col).toSeq: _*))
+  }
+
+  /** Reduce a change feed to the appended rows. Hudi's incremental read
+    * is already insert-only (it refuses unabsorbed row-level logs); the
+    * other three tag `_change_type`, and a non-insert tag means the
+    * commit is not representable as an append stream.
+    */
+  private def insertsOnly(feed: DataFrame): DataFrame = fmt match {
+    case "hudi" => feed.drop("_commit_instant")
+    case _ if skipChangeCommits =>
+      // drop WHOLE commits carrying updates/deletes (serving their
+      // inserts would double-serve rewritten rows); the offender set is
+      // tiny (commit versions), so the anti-join broadcasts
+      val offenders = feed.filter(col("_change_type") =!= "insert")
+        .select("_commit_version").distinct()
+      feed.join(broadcast(offenders), Seq("_commit_version"), "left_anti")
+        .drop("_change_type", "_commit_version")
+    case _ =>
+      // refuse at execution, inside the same codegen'd scan — no extra
+      // driver pass: the first update/delete row aborts the micro-batch
+      feed.filter(col("_change_type") === "insert" ||
+          raise_error(concat(
+            lit("graft streaming source: version "),
+            col("_commit_version").cast("string"),
+            lit(" updated or deleted rows — an append stream cannot " +
+              "represent it; pass skipChangeCommits=true to skip such " +
+              "commits"))).cast("boolean"))
+        .drop("_change_type", "_commit_version")
+  }
+
+  override def stop(): Unit = ()
+}
+
+object GraftStreamSource {
+
+  /** DSv1 offset: one commit-version token, format-typed by the table
+    * it came from (Delta/Iceberg/Paimon numeric, Hudi instant string).
+    * After a restart the engine replays offsets as `SerializedOffset`
+    * wrappers, so consumers parse `json()` instead of pattern-matching.
+    */
+  case class GraftSourceOffset(version: String) extends Offset {
+    override def json: String = Jsons.toJson(Map("version" -> version))
+  }
+
+  private[streaming] def versionOf(o: Offset): String =
+    Jsons.mapper.readTree(o.json()).get("version").asText()
+
+  private def versionLt(fmt: String, a: String, b: String): Boolean =
+    if (fmt == "hudi") a < b else a.toLong < b.toLong
+
+  // exclusive change-feed floor that serves a table's ENTIRE history:
+  // Delta's first commit is version 0, Iceberg sequences and Paimon
+  // snapshot ids start at 1, Hudi instants are 17-digit timestamps
+  private def minVersion(fmt: String): String =
+    if (fmt == "delta") "-1" else "0"
+
+  /** Schema resolution for `sourceSchema` — the DV-masking DataFrame
+    * path, so a table with live deletion vectors can still be tailed.
+    */
+  def tableSchema(spark: SparkSession, path: String): StructType =
+    graft.formats.delta.DeltaRead.toDataFrame(spark,
+      detectSource(spark, path).currentSnapshot()).schema
+
+  private[streaming] def detectSource(spark: SparkSession,
+      path: String): graft.spi.ConversionSource = {
+    val name = path.stripSuffix("/").split('/').last
+    val src = graft.sources.CatalogConversionSource.fromPath(spark, path, name)
+    formatOf(src) // validates the format up front
+    src
+  }
+
+  private[streaming] def formatOf(
+      src: graft.spi.ConversionSource): String = src match {
+    case _: graft.formats.delta.DeltaConversionSource => "delta"
+    case _: graft.formats.iceberg.IcebergConversionSource => "iceberg"
+    case _: graft.formats.hudi.HudiConversionSource => "hudi"
+    case _: graft.formats.paimon.PaimonConversionSource => "paimon"
+    case other => throw new IllegalArgumentException(
+      "a graft streaming source needs a versioned metadata plane " +
+        s"(Delta, Iceberg, Hudi or Paimon); this is a " +
+        s"${other.sourceFormat} table")
+  }
+
+  private[streaming] def headVersion(spark: SparkSession, path: String,
+      fmt: String): Option[String] = fmt match {
+    case "delta" =>
+      graft.formats.delta.DeltaLog
+        .latestVersion(path, HadoopConfs.session(spark)).map(_.toString)
+    case "iceberg" =>
+      graft.formats.iceberg.IcebergMetadata.currentVersion(path).map { v =>
+        graft.formats.iceberg.IcebergMetadata.read(path, v)
+          .headSequence.toString
+      }
+    case "hudi" =>
+      graft.formats.hudi.HudiTimeline.listInstants(path).lastOption
+    case "paimon" =>
+      graft.formats.paimon.PaimonFormat.latestSnapshotId(path)
+        .map(_.toString)
+  }
+
+  /** Build the source from `readStream` options (the
+    * [[org.apache.spark.sql.sources.StreamSourceProvider]] hook in
+    * [[graft.sources.GraftDataSource]]).
+    */
+  def fromOptions(spark: SparkSession, parameters: Map[String, String],
+      userSchema: Option[StructType]): GraftStreamSource = {
+    val path = PathUtils.canonical(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft streaming source needs a path")))
+    val known = Set("path", "startingversion", "skipchangecommits",
+      "maxversionspertrigger")
+    val unknown = parameters.keys.filterNot(k =>
+      known.contains(k.toLowerCase))
+    require(unknown.isEmpty,
+      s"unsupported graft streaming-source option(s): " +
+        s"${unknown.mkString(", ")} — batch-only options (versionAsOf/" +
+        "timestampAsOf/branch/readChangeFeed/metaTable) do not apply " +
+        "to readStream")
+    // option keys arrive case-insensitively from DataStreamReader
+    def opt(k: String) = parameters.collectFirst {
+      case (pk, v) if pk.equalsIgnoreCase(k) => v
+    }
+    new GraftStreamSource(spark, path,
+      Seq("startingVersion", "skipChangeCommits", "maxVersionsPerTrigger")
+        .flatMap(k => opt(k).map(k -> _)).toMap, userSchema)
+  }
+}

@@ -10,4 +10,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-wrap a batch DataFrame as a STREAMING one (`isStreaming = true`)
+    * — the contract a DSv1 `Source.getBatch` must satisfy. This is the
+    * delta-spark `DeltaSource` pattern: the micro-batch's rows are the
+    * same distributed plan the batch reader builds; only the streaming
+    * flag differs, and `internalCreateDataFrame` is the sanctioned
+    * (`private[sql]`) way to set it.
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,184 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+/** `spark.readStream.format("graft")` — the streaming SOURCE: initial
+  * snapshot, per-commit insert tailing, checkpoint-resume exactly-once,
+  * non-append refusal/skip, bounded catch-up, and all four formats.
+  */
+class GraftStreamSourceSpec extends SparkSuite {
+
+  private def events4(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (i.toLong, (i % 7).toLong, s"type_${i % 3}", i * 1.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+  }
+
+  private def drain(table: String, out: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val r = spark.readStream.format("graft")
+    options.foreach { case (k, v) => r.option(k, v) }
+    val q = r.load(table).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def sorted(df: DataFrame): Seq[Row] =
+    df.orderBy("event_id").collect().toSeq
+
+  test("delta: initial snapshot, then per-commit inserts, exactly once " +
+    "across checkpoint resumes") {
+    val table = tmpDir("gss_delta")
+    val out = tmpDir("gss_delta_out")
+    val ckpt = tmpDir("gss_delta_ckpt")
+    val all = events4(90)
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      all.filter(col("event_id") < 30), overwrite = false)
+    drain(table, out, ckpt)
+    assert(sorted(spark.read.parquet(out)) ==
+      sorted(all.filter(col("event_id") < 30)))
+
+    // two more commits land; a resumed stream serves exactly their rows
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      all.filter(col("event_id") >= 30 && col("event_id") < 60),
+      overwrite = false)
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      all.filter(col("event_id") >= 60), overwrite = false)
+    drain(table, out, ckpt)
+    assert(sorted(spark.read.parquet(out)) == sorted(all))
+
+    // nothing new: a third resume delivers nothing
+    drain(table, out, ckpt)
+    assert(spark.read.parquet(out).count() == 90)
+  }
+
+  test("delta: a delete commit refuses loudly by default") {
+    val table = tmpDir("gss_refuse")
+    val out = tmpDir("gss_refuse_out")
+    val ckpt = tmpDir("gss_refuse_ckpt")
+    graft.formats.delta.DeltaWrite.write(spark, table, events4(40),
+      overwrite = false)
+    drain(table, out, ckpt)
+    require(graft.formats.delta.DeltaDeletes.deleteWhere(spark, table,
+      col("event_id") < 10) > 0)
+    val e = intercept[StreamingQueryException] {
+      drain(table, out, ckpt)
+    }
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+    assert(msg.contains("updated or deleted rows") ||
+      msg.contains("USER_RAISED_EXCEPTION"),
+      s"unexpected failure: $msg")
+  }
+
+  test("delta: skipChangeCommits drops the whole change commit but " +
+    "keeps tailing later appends") {
+    val table = tmpDir("gss_skip")
+    val out = tmpDir("gss_skip_out")
+    val ckpt = tmpDir("gss_skip_ckpt")
+    val all = events4(80)
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      all.filter(col("event_id") < 40), overwrite = false)
+    drain(table, out, ckpt, Map("skipChangeCommits" -> "true"))
+    require(graft.formats.delta.DeltaDeletes.deleteWhere(spark, table,
+      col("event_id") < 5) > 0)
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      all.filter(col("event_id") >= 40), overwrite = false)
+    drain(table, out, ckpt, Map("skipChangeCommits" -> "true"))
+    // the delete commit vanished from the stream; both appends served
+    assert(sorted(spark.read.parquet(out)) == sorted(all))
+  }
+
+  test("maxVersionsPerTrigger bounds catch-up to one commit per batch") {
+    val table = tmpDir("gss_cap")
+    val outDir = tmpDir("gss_cap_out")
+    val ckpt = tmpDir("gss_cap_ckpt")
+    val all = events4(100)
+    (0 until 4).foreach { i =>
+      graft.formats.delta.DeltaWrite.write(spark, table,
+        all.filter(col("event_id") % 4 === i), overwrite = false)
+    }
+    val batches = new AtomicInteger(0)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "-1") // whole history via the feed
+      .option("maxVersionsPerTrigger", "1")
+      .load(table)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        b.select("event_id").collect().foreach(r => got.add(r.getLong(0)))
+        () // Unit, not the deprecated VoidFunction overload
+      }
+      .start()
+    // default trigger: getOffset per micro-batch, so the cap shapes
+    // every batch (AvailableNow's wrapper captures one end offset and
+    // may legitimately coalesce the backlog)
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.get() >= 4, s"expected >=4 capped batches, " +
+      s"got ${batches.get()}")
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted == (0L until 100L))
+    locally { val _ = outDir }
+  }
+
+  test("iceberg + paimon + hudi: snapshot then tail through metadata " +
+    "syncs, one delivery per commit") {
+    val stage = tmpDir("gss_fmt_stage")
+    val all = events4(60)
+    for (fmt <- Seq("iceberg", "paimon", "hudi")) {
+      val seed = tmpDir(s"gss_${fmt}_seed")
+      val table = tmpDir(s"gss_${fmt}_tbl")
+      val out = tmpDir(s"gss_${fmt}_out")
+      val ckpt = tmpDir(s"gss_${fmt}_ckpt")
+      def sync(half: Int): Unit = {
+        all.filter(col("event_id") % 2 === half)
+          .write.mode("append").parquet(seed)
+        val src = new graft.sources.ParquetDirectorySource(
+          spark, seed, "events")
+        val target = fmt match {
+          case "iceberg" =>
+            new graft.formats.iceberg.IcebergConversionTarget(spark, table)
+          case "paimon" =>
+            new graft.formats.paimon.PaimonConversionTarget(spark, table)
+          case "hudi" =>
+            new graft.formats.hudi.HudiConversionTarget(spark, table)
+        }
+        val outcomes = graft.sync.TableFormatSync.syncSnapshot(
+          Seq(target), src.currentSnapshot(), src.sourceFormat)
+        require(outcomes.forall(_.status == "SUCCESS"),
+          outcomes.mkString(";"))
+      }
+      sync(0)
+      drain(table, out, ckpt)
+      assert(sorted(spark.read.parquet(out)) ==
+        sorted(all.filter(col("event_id") % 2 === 0)), s"$fmt snapshot")
+      sync(1)
+      drain(table, out, ckpt)
+      assert(sorted(spark.read.parquet(out)) == sorted(all),
+        s"$fmt tailed commit")
+    }
+    locally { val _ = stage }
+  }
+
+  test("batch-only options refuse on readStream") {
+    val table = tmpDir("gss_opt")
+    graft.formats.delta.DeltaWrite.write(spark, table, events4(5),
+      overwrite = false)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").option("versionAsOf", "0")
+        .load(table)
+        .writeStream.format("console")
+        .option("checkpointLocation", tmpDir("gss_opt_ckpt"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("versionAsOf") ||
+      Option(e.getCause).exists(_.getMessage.contains("versionAsOf")))
+  }
+}
