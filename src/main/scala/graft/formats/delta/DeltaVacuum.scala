@@ -75,7 +75,8 @@ object DeltaVacuum {
 
     val keep = liveRefs.union(tombstoneRefs).distinct()
     val all = graft.util.DistributedWalk
-      .allFiles(spark, tp, skipDir = _ == DeltaLog.LogDir)
+      .allFiles(spark, tp, skipDir = d => d == DeltaLog.LogDir ||
+        d == graft.plans.BloomIndex.IndexDirName)
       .localCheckpoint()
     val scanned = all.count()
     val doomed: Dataset[graft.util.DistributedWalk.WalkedFile] = all

@@ -96,6 +96,7 @@ object IcebergMaintenance {
       .union(spark.createDataset(keepDriver)).distinct()
 
     val all = graft.util.DistributedWalk.allFiles(spark, tablePath,
+        skipDir = _ == graft.plans.BloomIndex.IndexDirName,
         skipFile = n => n.endsWith(".metadata.json") ||
           n == "version-hint.text")
       .localCheckpoint()

@@ -81,9 +81,18 @@ class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
     filesDs.select("path").as[String].collect()
   }
 
+  /** Bloom-indexed columns, resolved once per index instance (one FS
+    * round-trip); pruning #3 below is skipped entirely when empty.
+    */
+  private lazy val bloomCols =
+    BloomIndex.indexedColumns(spark, snap.table.basePath)
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val files = filesDs
+    // pruning #3 — file-level bloom index (point lookups on columns
+    // min/max can't cut): a distributed join against the index sidecar
+    val files = BloomIndex.prune(filesDs.sparkSession, filesDs,
+      snap.table.basePath, dataFilters, bloomCols)
     val session = files.sparkSession
     import session.implicits._
 

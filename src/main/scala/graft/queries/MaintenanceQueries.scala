@@ -870,4 +870,43 @@ object MaintenanceQueries {
   val icebergWapPublishSql: String =
     """SELECT count(*) AS pre_rows, 2*count(*) AS branch_rows,
       |  2*count(*) AS post_rows FROM region""".stripMargin
+
+  /** File-level bloom index: the table lands as 8 hash-spread files, so
+    * every file's event_id [min,max] spans the domain and min/max
+    * skipping keeps all 8 — only the bloom sidecar can prune. The gate
+    * asserts in-plan that a 3-key IN lookup keeps strictly fewer files
+    * than the table holds, then serves the rows through the indexed
+    * read path for the oracle compare (bloom false negatives are
+    * impossible, so any pruning bug surfaces as missing rows here).
+    */
+  def bloomPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val table = syncTable(s, s"$dir/events.parquet", "events", 8,
+      "graft_bloom")
+    val built = graft.plans.BloomIndex.buildOrRefresh(s, table, "event_id")
+    require(built.newlyIndexed == 8 && built.totalLive == 8, built.toString)
+    val keys = Seq(3L, 57L, 991L)
+
+    // planner probe: the index must actually prune
+    val src = new DeltaConversionSource(s, table, "events")
+    val fileIndex = new graft.plans.SnapshotFileIndex(s,
+      src.currentSnapshot())
+    val attr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("event_id", org.apache.spark.sql.types.LongType)()
+    val kept = fileIndex.listFiles(Nil,
+      Seq(org.apache.spark.sql.catalyst.expressions.In(attr,
+        keys.map(k =>
+          org.apache.spark.sql.catalyst.expressions.Literal(k)))))
+      .map(_.files.size).sum
+    require(kept < 8 && kept >= 1,
+      s"bloom index kept $kept of 8 files for a 3-key lookup")
+
+    s.read.format("graft").load(table)
+      .filter(col("event_id").isin(keys: _*))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  val bloomPointLookupSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_id IN (3, 57, 991) ORDER BY event_id""".stripMargin
 }

@@ -300,4 +300,27 @@ object GraftSqlCommands {
         .map(o => Row(o.targetFormat, o.status, o.mode))
     }
   }
+
+  /** CREATE refuses on an already-indexed column (the MV re-CREATE
+    * rule); REFRESH refuses on a missing one. Both land through the
+    * same incremental [[graft.plans.BloomIndex.buildOrRefresh]].
+    */
+  case class BloomIndexCommand(path: String, column: String,
+      refreshOnly: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      out("newly_indexed", "total_live", "bits_per_file")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val existing = graft.plans.BloomIndex
+        .indexedColumns(spark, path).contains(column)
+      if (refreshOnly && !existing)
+        throw new IllegalArgumentException(
+          s"no bloom index on '$column' at $path — CREATE it first")
+      if (!refreshOnly && existing)
+        throw new IllegalArgumentException(
+          s"bloom index on '$column' already exists at $path — " +
+            "use GRAFT REFRESH BLOOM INDEX")
+      val r = graft.plans.BloomIndex.buildOrRefresh(spark, path, column)
+      Seq(Row(r.newlyIndexed, r.totalLive, r.bitsPerFile))
+    }
+  }
 }

@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT SYNC PARQUET '<srcdir>' AS <name> TO <delta|iceberg|hudi|paimon> '<target>'
   *   GRAFT CREATE <BRANCH|TAG> <name> ON '<table>' [AT SEQUENCE <n>]
   *   GRAFT DROP <BRANCH|TAG> <name> ON '<table>'
+  *   GRAFT <CREATE|REFRESH> BLOOM INDEX ON '<table>' (column)
   * }}}
   *
   * Each command plans as a `LeafRunnableCommand`
@@ -66,6 +67,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+CREATE\s+(BRANCH|TAG)\s+(\w+)\s+ON\s+'([^']+)'\s*(?:AT\s+SEQUENCE\s+(\d+))?\s*;?\s*""".r
   private val DropRef: Regex =
     """(?is)\s*GRAFT\s+DROP\s+(?:BRANCH|TAG)\s+(\w+)\s+ON\s+'([^']+)'\s*;?\s*""".r
+  private val BloomIdx: Regex =
+    """(?is)\s*GRAFT\s+(CREATE|REFRESH)\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\s*\w+\s*)\)\s*;?\s*""".r
 
   /** Split a SET clause on top-level commas (not inside parens/quotes). */
   private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
@@ -143,6 +146,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CloneCommand(srcPath, dstPath, Option(v).map(_.toLong))
     case Sync(srcPath, name, fmt, tgtPath) =>
       SyncCommand(srcPath, name, fmt, tgtPath)
+    case BloomIdx(verb, path, column) =>
+      BloomIndexCommand(path, column.trim,
+        refreshOnly = verb.equalsIgnoreCase("REFRESH"))
     case CreateRef(kind, name, path, seq) =>
       RefCommand(path, kind.toLowerCase, name,
         Option(seq).map(_.toLong), drop = false)
@@ -152,7 +158,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       throw new IllegalArgumentException(
         s"unrecognized GRAFT statement: $other — supported: OPTIMIZE, " +
           "VACUUM, RESTORE, ROLLBACK, DELETE FROM, UPDATE, MERGE INTO, " +
-          "CLONE, SYNC, CREATE/REFRESH MATERIALIZED VIEW")
+          "CLONE, SYNC, CREATE/REFRESH MATERIALIZED VIEW, " +
+          "CREATE/REFRESH BLOOM INDEX")
     case other => delegate.parsePlan(other)
   }
 

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.plans.{BloomIndex, SnapshotFileIndex}
+
+class BloomIndexSpec extends SparkSuite {
+
+  private def mkDelta(prefix: String, rows: DataFrame,
+      nFiles: Int): String = {
+    val table = tmpDir(prefix)
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      rows.repartition(nFiles), overwrite = false)
+    table
+  }
+
+  private def rows(from: Long, until: Long): DataFrame = {
+    import spark.implicits._
+    (from until until).map(i => (i, s"name_$i", i % 13)).toDF(
+      "id", "name", "grp")
+  }
+
+  private def keptFiles(table: String, filters:
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Int = {
+    val src = new graft.formats.delta.DeltaConversionSource(
+      spark, table, "t")
+    new SnapshotFileIndex(spark, src.currentSnapshot())
+      .listFiles(Nil, filters).map(_.files.size).sum
+  }
+
+  private def idAttr = AttributeReference("id", LongType)()
+  private def nameAttr = AttributeReference("name", StringType)()
+
+  test("point lookup prunes files; every present key still found") {
+    val table = mkDelta("bloom_basic", rows(0, 4000), 8)
+    val r = BloomIndex.buildOrRefresh(spark, table, "id")
+    assert(r.newlyIndexed == 8 && r.totalLive == 8)
+
+    assert(keptFiles(table, Seq(EqualTo(idAttr, Literal(1234L)))) < 8)
+    assert(keptFiles(table, Seq(In(idAttr,
+      Seq(Literal(7L), Literal(999L), Literal(3777L))))) < 8)
+
+    // no false negatives, through the real indexed read path
+    val df = spark.read.format("graft").load(table)
+    for (k <- Seq(0L, 1L, 1234L, 3999L))
+      assert(df.filter(col("id") === k).count() == 1L, s"key $k lost")
+    // absent key: zero rows, not an error
+    assert(df.filter(col("id") === 999999L).count() == 0L)
+  }
+
+  test("string column index + multi-column AND prune") {
+    val table = mkDelta("bloom_str", rows(0, 2000), 6)
+    BloomIndex.buildOrRefresh(spark, table, "id")
+    BloomIndex.buildOrRefresh(spark, table, "name")
+    assert(BloomIndex.indexedColumns(spark, table) == Seq("id", "name"))
+    val kept = keptFiles(table, Seq(
+      EqualTo(idAttr, Literal(500L)),
+      EqualTo(nameAttr, Literal.create("name_500", StringType))))
+    assert(kept >= 1 && kept < 6, s"kept=$kept")
+    val hit = spark.read.format("graft").load(table)
+      .filter(col("id") === 500L && col("name") === "name_500")
+    assert(hit.count() == 1L)
+  }
+
+  test("refresh indexes only new files; unindexed files are always kept") {
+    val table = mkDelta("bloom_refresh", rows(0, 1000), 4)
+    val r1 = BloomIndex.buildOrRefresh(spark, table, "id")
+    assert(r1.newlyIndexed == 4)
+
+    // new commit lands AFTER the index: its keys must still be served
+    // (stale index keeps unindexed files). Probe a key that exists only
+    // in the new range: min/max skipping drops the 4 old files, and the
+    // 4 NEW files — absent from the index — must ALL survive the bloom
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      rows(1000, 2000).repartition(4), overwrite = false)
+    val df = spark.read.format("graft").load(table)
+    assert(df.filter(col("id") === 1500L).count() == 1L)
+    val keptStale = keptFiles(table, Seq(EqualTo(idAttr, Literal(1500L))))
+    assert(keptStale == 4,
+      s"stale index must keep all 4 unindexed files: $keptStale")
+
+    val r2 = BloomIndex.buildOrRefresh(spark, table, "id")
+    assert(r2.newlyIndexed == 4 && r2.totalLive == 8, r2.toString)
+    assert(keptFiles(table, Seq(EqualTo(idAttr, Literal(1500L)))) < 4)
+    assert(df.filter(col("id") === 1500L).count() == 1L)
+  }
+
+  test("refresh after OPTIMIZE drops dead entries; VACUUM spares the " +
+    "index sidecar") {
+    val table = mkDelta("bloom_vacuum", rows(0, 1000), 8)
+    BloomIndex.buildOrRefresh(spark, table, "id")
+    val res = graft.formats.delta.DeltaOptimize.compact(spark, table)
+    require(res.rewrote == 8, res.toString)
+    // vacuum the rewritten-away files; the index dir must survive
+    graft.formats.delta.DeltaVacuum.vacuum(spark, table, 0L)
+    assert(BloomIndex.indexedColumns(spark, table) == Seq("id"))
+
+    // compacted file is unindexed → kept; refresh re-indexes it and
+    // drops the 8 dead entries
+    val r = BloomIndex.buildOrRefresh(spark, table, "id")
+    assert(r.newlyIndexed == r.totalLive, r.toString)
+    val df = spark.read.format("graft").load(table)
+    assert(df.filter(col("id") === 321L).count() == 1L)
+  }
+
+  test("non-equality predicates and unindexed columns bypass the index") {
+    val table = mkDelta("bloom_bypass", rows(0, 500), 4)
+    BloomIndex.buildOrRefresh(spark, table, "id")
+    import org.apache.spark.sql.catalyst.expressions.GreaterThan
+    // range predicate: bloom can't serve it — all files kept (min/max
+    // may still prune, but on hash-spread data it won't)
+    assert(keptFiles(table, Seq(GreaterThan(idAttr, Literal(-1L)))) == 4)
+    // unindexed column
+    assert(keptFiles(table,
+      Seq(EqualTo(AttributeReference("grp", LongType)(),
+        Literal(3L)))) == 4)
+  }
+
+  test("refusals: bad column names and unknown columns") {
+    val table = mkDelta("bloom_refuse", rows(0, 100), 2)
+    intercept[IllegalArgumentException] {
+      BloomIndex.buildOrRefresh(spark, table, "no_such_col")
+    }
+    intercept[IllegalArgumentException] {
+      BloomIndex.buildOrRefresh(spark, table, "bad/../name")
+    }
+  }
+}

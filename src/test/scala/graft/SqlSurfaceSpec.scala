@@ -305,4 +305,23 @@ class SqlSurfaceSpec extends SparkSuite {
       .where("n_nationkey = 0").select("n_name").head().getString(0)
     assert(got == " where x")
   }
+
+  test("GRAFT CREATE / REFRESH BLOOM INDEX: build, guard rails, refresh") {
+    val t = deltaTable("sql_bloom")
+    val r = gs.sql(s"GRAFT CREATE BLOOM INDEX ON '$t' (n_name)").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2, r.toString)
+    // re-CREATE refuses; REFRESH on a missing column refuses
+    intercept[IllegalArgumentException] {
+      gs.sql(s"GRAFT CREATE BLOOM INDEX ON '$t' (n_name)").collect()
+    }
+    intercept[IllegalArgumentException] {
+      gs.sql(s"GRAFT REFRESH BLOOM INDEX ON '$t' (n_comment)").collect()
+    }
+    // nothing new: refresh is a no-op
+    val r2 = gs.sql(s"GRAFT REFRESH BLOOM INDEX ON '$t' (n_name)").head()
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 2, r2.toString)
+    // indexed point lookup still serves the row
+    assert(spark.read.format("graft").load(t)
+      .filter(col("n_name") === "NATION_7").count() == 1L)
+  }
 }
