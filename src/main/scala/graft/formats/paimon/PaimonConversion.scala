@@ -219,9 +219,28 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     val id = prevId.map(_ + 1).getOrElse(1L)
     val mdir = PaimonFormat.manifestDir(tablePath)
 
-    if (prevId.isEmpty)
-      PaimonFormat.writeSchema(tablePath, PaimonFormat.PaimonSchema(0, schema,
-        partitionSpec.map(_.partitionColumnName), Map.empty))
+    // schema evolution rides the schema-N chain: a sync whose schema
+    // differs from the table's latest writes schema-(latest+1) and the
+    // new snapshot references it (previously snapshots hardcoded schema
+    // id 0, silently serving a stale schema after source evolution)
+    val schemaId: Long = PaimonFormat.latestSchemaId(tablePath) match {
+      case None =>
+        PaimonFormat.writeSchema(tablePath, PaimonFormat.PaimonSchema(0,
+          schema, partitionSpec.map(_.partitionColumnName), Map.empty))
+        0L
+      case Some(latest) =>
+        val cur = PaimonFormat.readSchema(tablePath, latest)
+        val sameFields = cur.schema.map(f =>
+            (f.name, f.dataType.catalogString, f.nullable)) ==
+          schema.map(f => (f.name, f.dataType.catalogString, f.nullable))
+        if (sameFields) latest
+        else {
+          PaimonFormat.writeSchema(tablePath, PaimonFormat.PaimonSchema(
+            latest + 1, schema, partitionSpec.map(_.partitionColumnName),
+            cur.options))
+          latest + 1
+        }
+    }
 
     pendingAdds = pendingAdds.map(_.persist())
     pendingRemoves = pendingRemoves.map(_.persist())
@@ -312,7 +331,7 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     PaimonFormat.writeManifestList(s"$mdir/$deltaListName", deltaManifests)
 
     val ok = PaimonFormat.writeSnapshot(tablePath, PaimonFormat.PaimonSnapshot(
-      id, 0L, if (removeCount > 0) "COMPACT" else "APPEND",
+      id, schemaId, if (removeCount > 0) "COMPACT" else "APPEND",
       System.currentTimeMillis(),
       s"$mdir/$deltaListName", s"$mdir/$baseListName",
       syncMeta.map(_.toJson),

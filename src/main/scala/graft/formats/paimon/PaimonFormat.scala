@@ -109,6 +109,19 @@ object PaimonFormat {
       json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Highest schema-N file present, None before table creation. */
+  def latestSchemaId(tablePath: String): Option[Long] = {
+    val dir = JPaths.get(schemaDir(tablePath))
+    if (!Files.isDirectory(dir)) None
+    else {
+      val ids = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("schema-") && n.drop(7).forall(_.isDigit))
+        .map(_.drop(7).toLong).toSeq
+      if (ids.isEmpty) None else Some(ids.max)
+    }
+  }
+
   def readSchema(tablePath: String, id: Long): PaimonSchema = {
     val n = Jsons.mapper.readTree(Files.readAllBytes(
       JPaths.get(schemaDir(tablePath), s"schema-$id")))

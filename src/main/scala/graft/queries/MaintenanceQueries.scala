@@ -909,4 +909,54 @@ object MaintenanceQueries {
   val bloomPointLookupSql: String =
     """SELECT event_id, user_id, event_type, value FROM events
       |WHERE event_id IN (3, 57, 991) ORDER BY event_id""".stripMargin
+
+  /** SQL ALTER TABLE routed by format: an Iceberg table gains a column
+    * (old files serve null — coalesced to 0 so both engines hash it),
+    * drops another, and refuses a rename loudly (graft's scans resolve
+    * parquet columns by name; only column-mapped Delta can remap). A
+    * Delta leg exercises ADD + post-ALTER append in the same gate.
+    */
+  def sqlAlterSchema(s: SparkSession, dir: String): DataFrame = {
+    val gs = graft.sql.GraftSql.session(s)
+    // iceberg leg: add, drop, rename-refusal
+    val data = graft.util.TempDirs.create("graft_alter_data")
+    s.read.parquet(s"$dir/nation.parquet").coalesce(2)
+      .write.mode("overwrite").parquet(data)
+    val ice = graft.util.TempDirs.create("graft_alter_ice")
+    val src = new ParquetDirectorySource(s, data, "nation")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, ice)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    gs.sql(s"GRAFT ALTER TABLE '$ice' ADD COLUMN flag int").collect()
+    gs.sql(s"GRAFT ALTER TABLE '$ice' DROP COLUMN n_regionkey").collect()
+    val refused =
+      try { gs.sql(
+        s"GRAFT ALTER TABLE '$ice' RENAME COLUMN n_name TO nm").collect()
+        false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "iceberg RENAME must refuse")
+
+    // delta leg: ADD then append a row carrying the new column
+    val dt = syncTable(s, s"$dir/nation.parquet", "nation", 2,
+      "graft_alter")
+    gs.sql(s"GRAFT ALTER TABLE '$dt' ADD COLUMN note string").collect()
+    val one = s.read.parquet(s"$dir/nation.parquet")
+      .filter(col("n_nationkey") === 0)
+      .withColumn("n_nationkey", col("n_nationkey") + 1000)
+      .withColumn("note", lit("altered"))
+    graft.formats.delta.DeltaWrite.write(s, dt, one, overwrite = false)
+    val noted = new DeltaConversionSource(s, dt, "nation").toDataFrame
+      .filter(col("note") === "altered").count()
+    require(noted == 1, s"post-ALTER append served $noted noted rows")
+
+    s.read.format("graft").load(ice)
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("flag"), lit(0)).as("flag"))
+      .orderBy("n_nationkey")
+  }
+
+  val sqlAlterSchemaSql: String =
+    """SELECT n_nationkey, n_name, 0 AS flag FROM nation
+      |ORDER BY n_nationkey""".stripMargin
 }

@@ -323,4 +323,17 @@ object GraftSqlCommands {
       Seq(Row(r.newlyIndexed, r.totalLive, r.bitsPerFile))
     }
   }
+
+  case class AlterTableCommand(path: String, op: graft.sync.AlterTable.Op)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("format",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
+      AttributeReference("schema_ddl",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = graft.sync.AlterTable.run(spark, path, op)
+      Seq(Row(r.format, r.schema.toDDL))
+    }
+  }
 }

@@ -30,6 +30,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT CREATE <BRANCH|TAG> <name> ON '<table>' [AT SEQUENCE <n>]
   *   GRAFT DROP <BRANCH|TAG> <name> ON '<table>'
   *   GRAFT <CREATE|REFRESH> BLOOM INDEX ON '<table>' (column)
+  *   GRAFT ALTER TABLE '<table>' ADD COLUMN <name> <type>
+  *   GRAFT ALTER TABLE '<table>' RENAME COLUMN <a> TO <b>
+  *   GRAFT ALTER TABLE '<table>' DROP COLUMN <name>
   * }}}
   *
   * Each command plans as a `LeafRunnableCommand`
@@ -69,6 +72,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+DROP\s+(?:BRANCH|TAG)\s+(\w+)\s+ON\s+'([^']+)'\s*;?\s*""".r
   private val BloomIdx: Regex =
     """(?is)\s*GRAFT\s+(CREATE|REFRESH)\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\s*\w+\s*)\)\s*;?\s*""".r
+  private val AlterAdd: Regex =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*;?\s*""".r
+  private val AlterRename: Regex =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val AlterDrop: Regex =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
 
   /** Split a SET clause on top-level commas (not inside parens/quotes). */
   private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
@@ -146,6 +155,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CloneCommand(srcPath, dstPath, Option(v).map(_.toLong))
     case Sync(srcPath, name, fmt, tgtPath) =>
       SyncCommand(srcPath, name, fmt, tgtPath)
+    case AlterRename(path, from, to) =>
+      AlterTableCommand(path, graft.sync.AlterTable.RenameColumn(from, to))
+    case AlterDrop(path, name) =>
+      AlterTableCommand(path, graft.sync.AlterTable.DropColumn(name))
+    case AlterAdd(path, name, ddl) =>
+      AlterTableCommand(path, graft.sync.AlterTable.AddColumn(name, ddl))
     case BloomIdx(verb, path, column) =>
       BloomIndexCommand(path, column.trim,
         refreshOnly = verb.equalsIgnoreCase("REFRESH"))
@@ -159,7 +174,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"unrecognized GRAFT statement: $other — supported: OPTIMIZE, " +
           "VACUUM, RESTORE, ROLLBACK, DELETE FROM, UPDATE, MERGE INTO, " +
           "CLONE, SYNC, CREATE/REFRESH MATERIALIZED VIEW, " +
-          "CREATE/REFRESH BLOOM INDEX")
+          "CREATE/REFRESH BLOOM INDEX, ALTER TABLE")
     case other => delegate.parsePlan(other)
   }
 

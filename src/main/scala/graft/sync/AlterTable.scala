@@ -1,0 +1,210 @@
+package graft.sync
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import graft.util.{HadoopConfs, Jsons}
+
+/** User-facing schema evolution — `GRAFT ALTER TABLE`, routed by format.
+  *
+  * The matrix is serve-or-refuse, never silently wrong, and the refusals
+  * are driven by how graft READS each format: the file scan resolves
+  * parquet columns by NAME (adopted data files carry no Iceberg field
+  * ids), so any change that breaks name resolution on already-written
+  * files is refused unless the format's read path can remap it.
+  *
+  *  - ADD COLUMN (nullable, top-level): all four formats. Existing files
+  *    lack the column and serve nulls — the parquet missing-column rule.
+  *    Iceberg additionally refuses re-adding a name present in ANY
+  *    historical schema (name-resolved reads would resurrect the old
+  *    values for old files; Iceberg proper avoids this with field ids).
+  *  - RENAME COLUMN: Delta WITH column mapping only (physical names in
+  *    the files never change; the read path's logical-rename pass —
+  *    DeltaColumnMapping — keeps old files correct). Unmapped Delta,
+  *    Iceberg, Hudi, Paimon refuse: their reads resolve by name and a
+  *    rename would null the column on every pre-rename file.
+  *  - DROP COLUMN: Delta with column mapping, and Iceberg (a dropped
+  *    column is simply no longer projected; old files' extra column is
+  *    ignored). Unmapped Delta refuses (delta-spark's own rule — a later
+  *    re-add would resurrect old values); Hudi/Paimon refuse (their
+  *    schema planes have no drop-tracking to guard the re-add).
+  *
+  * Mechanics: Delta lands a targeted metaData-only commit that carries
+  * the table's EXISTING protocol forward (never the sync path's (1,2)
+  * floor). The other formats ride their own conversion target with an
+  * unchanged file set — an empty-diff commit whose schema is the evolved
+  * one (Iceberg writes a fresh schema id via evolveWithOps; Paimon
+  * writes schema-(N+1) and the snapshot references it; Hudi carries the
+  * schema in commit extraMetadata).
+  *
+  * Reference anchor: the reference evolves target schemas only as a
+  * side-effect of source evolution (SchemaEvolutionTest paths,
+  * xtable-core/src/main/java/org/apache/xtable/schema/SchemaUtils.java);
+  * this surface exposes the same evolution rules as user DDL.
+  */
+object AlterTable {
+
+  sealed trait Op
+  case class AddColumn(name: String, typeDdl: String) extends Op
+  case class RenameColumn(from: String, to: String) extends Op
+  case class DropColumn(name: String) extends Op
+
+  case class Result(format: String, schema: StructType)
+
+  def run(spark: SparkSession, tablePath: String, op: Op): Result = {
+    val path = graft.util.PathUtils.canonical(tablePath)
+    val source = graft.sources.CatalogConversionSource.fromPath(
+      spark, path, path.stripSuffix("/").split('/').last)
+    val fmt = source match {
+      case _: graft.formats.delta.DeltaConversionSource => "delta"
+      case _: graft.formats.iceberg.IcebergConversionSource => "iceberg"
+      case _: graft.formats.hudi.HudiConversionSource => "hudi"
+      case _: graft.formats.paimon.PaimonConversionSource => "paimon"
+      case other => throw new IllegalArgumentException(
+        s"ALTER TABLE needs a versioned metadata plane; this is a " +
+          s"${other.sourceFormat} table")
+    }
+    val snap = source.currentSnapshot()
+    val cur = snap.table.schema
+    val partCols = snap.table.partitionFields.map(_.partitionColumnName)
+    val mapped = fmt == "delta" &&
+      graft.formats.delta.DeltaColumnMapping.isMapped(cur)
+
+    val evolved: StructType = op match {
+      case AddColumn(name, ddl) =>
+        require(!name.contains('.'),
+          s"nested column adds are not supported: $name")
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column '$name' already exists")
+        if (fmt == "iceberg")
+          requireNeverNamedBefore(spark, path, name)
+        val dt = DataType.fromDDL(ddl)
+        StructType(cur.fields :+ StructField(name, dt, nullable = true))
+      case RenameColumn(from, to) =>
+        require(fmt == "delta" && mapped, renameRefusal(fmt, mapped))
+        val f = field(cur, from)
+        require(!partCols.contains(from),
+          s"'$from' is a partition column — renaming it would orphan " +
+            "the table layout")
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column '$to' already exists")
+        // the physicalName metadata rides along: files stay correct
+        StructType(cur.fields.map(x =>
+          if (x.name == f.name) x.copy(name = to) else x))
+      case DropColumn(name) =>
+        require((fmt == "delta" && mapped) || fmt == "iceberg",
+          dropRefusal(fmt, mapped))
+        val f = field(cur, name)
+        require(!partCols.contains(name),
+          s"'$name' is a partition column — drop the partitioning, " +
+            "not the column")
+        require(cur.fields.length > 1,
+          s"cannot drop the only column '$name'")
+        StructType(cur.fields.filterNot(_.name == f.name))
+    }
+
+    fmt match {
+      case "delta" => alterDelta(spark, path, evolved)
+      case _ =>
+        val target: graft.spi.ConversionTarget = fmt match {
+          case "iceberg" =>
+            new graft.formats.iceberg.IcebergConversionTarget(spark, path)
+          case "hudi" =>
+            new graft.formats.hudi.HudiConversionTarget(spark, path)
+          case "paimon" =>
+            new graft.formats.paimon.PaimonConversionTarget(spark, path)
+        }
+        val altered = snap.copy(table = snap.table.copy(
+          schemaJson = evolved.json))
+        val outcomes = TableFormatSync.syncSnapshot(Seq(target), altered,
+          source.sourceFormat)
+        outcomes.find(_.status != "SUCCESS").foreach(o =>
+          throw new IllegalStateException(s"ALTER TABLE failed: $o"))
+    }
+    Result(fmt, evolved)
+  }
+
+  private def field(s: StructType, name: String): StructField =
+    s.fields.find(_.name == name).getOrElse(
+      s.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' (columns: ${s.fieldNames.mkString(", ")})")))
+
+  private def renameRefusal(fmt: String, mapped: Boolean): String =
+    if (fmt == "delta" && !mapped)
+      "RENAME COLUMN needs delta.columnMapping.mode=name — on an " +
+        "unmapped table every existing file resolves columns by name " +
+        "and the renamed column would read as null"
+    else
+      s"RENAME COLUMN is not supported on $fmt tables: graft resolves " +
+        "parquet columns by name (adopted files carry no field ids), " +
+        "so a rename would null the column on every pre-rename file"
+
+  private def dropRefusal(fmt: String, mapped: Boolean): String =
+    if (fmt == "delta" && !mapped)
+      "DROP COLUMN needs delta.columnMapping.mode=name (delta-spark's " +
+        "rule: without mapping, re-adding the name later would " +
+        "resurrect the old values)"
+    else
+      s"DROP COLUMN is not supported on $fmt tables: the schema plane " +
+        "keeps no drop history, so a later re-add of the same name " +
+        "would silently resurrect old values"
+
+  /** Iceberg ADD guard: name-resolved reads mean a column name that ever
+    * existed would come back with its OLD values for old files — refuse
+    * (scans every metadata version; versions are the commit count).
+    */
+  private def requireNeverNamedBefore(spark: SparkSession, path: String,
+      name: String): Unit = {
+    val head = graft.formats.iceberg.IcebergMetadata.currentVersion(path)
+      .getOrElse(return)
+    (1L to head).foreach { v =>
+      val names = graft.formats.iceberg.IcebergMetadata.read(path, v)
+        .schema.fieldNames
+      require(!names.exists(_.equalsIgnoreCase(name)),
+        s"column name '$name' existed in schema version $v — re-adding " +
+          "it would resurrect old values on name-resolved reads " +
+          "(drop-then-re-add needs Iceberg field-id reads)")
+    }
+  }
+
+  /** Delta: one targeted metaData commit. Carries the existing protocol
+    * forward untouched and CASes on the next version (a racing writer
+    * fails this commit loudly; re-run the statement).
+    */
+  private def alterDelta(spark: SparkSession, path: String,
+      evolved: StructType): Unit = {
+    import graft.formats.delta.{DeltaLog, DeltaSnapshot}
+    val conf = HadoopConfs.session(spark)
+    val versions = DeltaLog.listVersions(path, conf)
+    val meta = DeltaSnapshot.metadata(spark, path, versions).getOrElse(
+      throw new IllegalStateException(s"no Delta metaData at $path"))
+    val proto = DeltaSnapshot.protocolInfo(spark, path, versions)
+      .map(p => Map(
+        "minReaderVersion" -> p.minReaderVersion,
+        "minWriterVersion" -> p.minWriterVersion) ++
+        (if (p.readerFeatures.nonEmpty)
+          Map("readerFeatures" -> p.readerFeatures) else Map.empty) ++
+        (if (p.writerFeatures.nonEmpty)
+          Map("writerFeatures" -> p.writerFeatures) else Map.empty))
+      .getOrElse(Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))
+    val lines = Iterator(
+      Jsons.toJson(Map("protocol" -> proto)),
+      Jsons.toJson(Map("metaData" -> Map(
+        "id" -> meta.id,
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> evolved.json,
+        "partitionColumns" -> meta.partitionColumns,
+        "configuration" -> meta.configuration,
+        "createdTime" -> meta.createdTime))),
+      Jsons.toJson(Map("commitInfo" -> Map(
+        "timestamp" -> System.currentTimeMillis(),
+        "operation" -> "GRAFT ALTER TABLE",
+        "operationParameters" -> Map.empty))))
+    val next = versions.lastOption.map(_ + 1).getOrElse(0L)
+    if (!DeltaLog.writeCommit(path, next, lines))
+      throw new IllegalStateException(
+        s"concurrent writer took Delta version $next at $path — " +
+          "re-run the ALTER against the new head")
+  }
+}

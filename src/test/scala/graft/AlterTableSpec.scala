@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.formats.delta.{DeltaColumnMapping, DeltaConversionSource}
+import graft.sync.AlterTable
+import graft.sync.AlterTable.{AddColumn, DropColumn, RenameColumn}
+
+class AlterTableSpec extends SparkSuite {
+
+  private def delta(prefix: String): String = {
+    import spark.implicits._
+    val t = tmpDir(prefix)
+    graft.formats.delta.DeltaWrite.write(spark, t,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("id", "name")
+        .repartition(2), overwrite = false)
+    t
+  }
+
+  private def viaSync(prefix: String, fmt: String): String = {
+    import spark.implicits._
+    val data = tmpDir(s"${prefix}_data")
+    (0L until 20L).map(i => (i, s"v$i")).toDF("id", "name")
+      .repartition(2).write.mode("overwrite").parquet(data)
+    val t = tmpDir(prefix)
+    val src = new graft.sources.ParquetDirectorySource(spark, data, "t")
+    val target: graft.spi.ConversionTarget = fmt match {
+      case "iceberg" =>
+        new graft.formats.iceberg.IcebergConversionTarget(spark, t)
+      case "hudi" => new graft.formats.hudi.HudiConversionTarget(spark, t)
+      case "paimon" =>
+        new graft.formats.paimon.PaimonConversionTarget(spark, t)
+    }
+    val out = graft.sync.TableFormatSync.syncSnapshot(Seq(target),
+      src.currentSnapshot(), src.sourceFormat)
+    require(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    t
+  }
+
+  test("delta ADD COLUMN: nulls on old files, appendable after, " +
+    "protocol untouched") {
+    val t = delta("alter_delta")
+    val r = AlterTable.run(spark, t, AddColumn("note", "string"))
+    assert(r.format == "delta" &&
+      r.schema.fieldNames.toSeq == Seq("id", "name", "note"))
+    val df = new DeltaConversionSource(spark, t, "t").toDataFrame
+    assert(df.columns.toSeq == Seq("id", "name", "note"))
+    assert(df.filter(col("note").isNull).count() == 20)
+    // appends may now carry the column
+    import spark.implicits._
+    graft.formats.delta.DeltaWrite.write(spark, t,
+      Seq((100L, "x", "hello")).toDF("id", "name", "note"),
+      overwrite = false)
+    val after = new DeltaConversionSource(spark, t, "t").toDataFrame
+    assert(after.filter(col("note") === "hello").count() == 1)
+    // the ALTER commit must not stomp the protocol
+    val conf = graft.util.HadoopConfs.session(spark)
+    val proto = graft.formats.delta.DeltaSnapshot.protocolInfo(spark, t,
+      graft.formats.delta.DeltaLog.listVersions(t, conf)).get
+    assert(proto.minReaderVersion == 1 && proto.minWriterVersion == 2)
+  }
+
+  test("delta unmapped: RENAME and DROP refuse with the mapping rule") {
+    val t = delta("alter_delta_refuse")
+    val e1 = intercept[IllegalArgumentException] {
+      AlterTable.run(spark, t, RenameColumn("name", "label"))
+    }
+    assert(e1.getMessage.contains("columnMapping"))
+    val e2 = intercept[IllegalArgumentException] {
+      AlterTable.run(spark, t, DropColumn("name"))
+    }
+    assert(e2.getMessage.contains("columnMapping"))
+  }
+
+  test("delta column-mapped: RENAME keeps old files readable; protocol " +
+    "(2,5) carried forward") {
+    // minimal mapped fixture (the ColumnMappingSpec shape)
+    val t = tmpDir("alter_mapped")
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("col-1", "col-2")
+      .coalesce(1).write.mode("overwrite").parquet(t + "/stage")
+    val part = new java.io.File(t + "/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(t, "f1.parquet"))
+    val size = Files.size(Paths.get(t, "f1.parquet"))
+    val logical = StructType(Seq(
+      StructField("s_id", LongType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString(DeltaColumnMapping.PhysicalNameKey, "col-1")
+          .putLong(DeltaColumnMapping.IdKey, 1L).build()),
+      StructField("s_name", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString(DeltaColumnMapping.PhysicalNameKey, "col-2")
+          .putLong(DeltaColumnMapping.IdKey, 2L).build())))
+    val schemaJson = logical.json.replace("\"", "\\\"")
+    val log =
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"am-test","schemaString":"$schemaJson","partitionColumns":[],"configuration":{"${DeltaColumnMapping.ModeKey}":"name"},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","size":$size,"modificationTime":1000,"partitionValues":{},"dataChange":true}}
+         |""".stripMargin
+    Files.createDirectories(Paths.get(t, "_delta_log"))
+    Files.write(Paths.get(t, "_delta_log", "00000000000000000000.json"),
+      log.getBytes(StandardCharsets.UTF_8))
+
+    AlterTable.run(spark, t, RenameColumn("s_name", "s_label"))
+    val df = new DeltaConversionSource(spark, t, "t").toDataFrame
+    assert(df.columns.toSeq == Seq("s_id", "s_label"))
+    assert(df.filter(col("s_label") === "beta").count() == 1,
+      "renamed column must still serve the physical values")
+    // DROP on mapped works too
+    AlterTable.run(spark, t, DropColumn("s_id"))
+    val df2 = new DeltaConversionSource(spark, t, "t").toDataFrame
+    assert(df2.columns.toSeq == Seq("s_label"))
+    val conf = graft.util.HadoopConfs.session(spark)
+    val proto = graft.formats.delta.DeltaSnapshot.protocolInfo(spark, t,
+      graft.formats.delta.DeltaLog.listVersions(t, conf)).get
+    assert(proto.minReaderVersion == 2 && proto.minWriterVersion == 5,
+      "mapped table's protocol must carry forward")
+  }
+
+  test("iceberg: ADD serves nulls, DROP hides, re-ADD of any historical " +
+    "name refuses, RENAME refuses") {
+    val t = viaSync("alter_ice", "iceberg")
+    AlterTable.run(spark, t, AddColumn("flag", "int"))
+    val src = new graft.formats.iceberg.IcebergConversionSource(
+      spark, t, "t")
+    val df = src.toDataFrame
+    assert(df.columns.toSeq == Seq("id", "name", "flag"))
+    assert(df.filter(col("flag").isNull).count() == 20)
+
+    AlterTable.run(spark, t, DropColumn("flag"))
+    assert(new graft.formats.iceberg.IcebergConversionSource(spark, t, "t")
+      .toDataFrame.columns.toSeq == Seq("id", "name"))
+
+    val e = intercept[IllegalArgumentException] {
+      AlterTable.run(spark, t, AddColumn("flag", "int"))
+    }
+    assert(e.getMessage.contains("resurrect"))
+    val e2 = intercept[IllegalArgumentException] {
+      AlterTable.run(spark, t, RenameColumn("name", "title"))
+    }
+    assert(e2.getMessage.contains("RENAME COLUMN is not supported"))
+  }
+
+  test("hudi + paimon: ADD COLUMN lands in the schema plane; " +
+    "rename/drop refuse") {
+    for (fmt <- Seq("hudi", "paimon")) {
+      val t = viaSync(s"alter_$fmt", fmt)
+      AlterTable.run(spark, t, AddColumn("extra", "bigint"))
+      val src = graft.sources.CatalogConversionSource.fromPath(
+        spark, t, "t")
+      assert(src.currentTable().schema.fieldNames.toSeq ==
+        Seq("id", "name", "extra"), s"$fmt schema")
+      val df = graft.formats.delta.DeltaRead.toDataFrame(
+        spark, src.currentSnapshot())
+      assert(df.filter(col("extra").isNull).count() == 20, s"$fmt nulls")
+      intercept[IllegalArgumentException] {
+        AlterTable.run(spark, t, RenameColumn("name", "label"))
+      }
+      intercept[IllegalArgumentException] {
+        AlterTable.run(spark, t, DropColumn("name"))
+      }
+    }
+  }
+
+  test("paimon: evolved schema rides schema-(N+1) and the snapshot " +
+    "references it; old snapshots keep their schema") {
+    val t = viaSync("alter_paimon_ids", "paimon")
+    val before = graft.formats.paimon.PaimonFormat.latestSnapshotId(t).get
+    AlterTable.run(spark, t, AddColumn("extra", "bigint"))
+    val after = graft.formats.paimon.PaimonFormat.latestSnapshotId(t).get
+    assert(after == before + 1)
+    val snapNew = graft.formats.paimon.PaimonFormat.readSnapshot(t, after)
+    val snapOld = graft.formats.paimon.PaimonFormat.readSnapshot(t, before)
+    assert(snapNew.schemaId == snapOld.schemaId + 1)
+    // time travel to the old snapshot serves the OLD schema
+    val old = spark.read.format("graft")
+      .option("versionAsOf", before.toString).load(t)
+    assert(old.columns.toSeq == Seq("id", "name"))
+  }
+
+  test("guard rails: partition columns, duplicate adds, unknown " +
+    "columns, last column") {
+    val t = delta("alter_guards")
+    intercept[IllegalArgumentException] {
+      AlterTable.run(spark, t, AddColumn("name", "string"))
+    }
+    intercept[IllegalArgumentException] {
+      AlterTable.run(spark, t, AddColumn("a.b", "string"))
+    }
+    intercept[IllegalArgumentException] {
+      AlterTable.run(spark, t, RenameColumn("ghost", "x"))
+    }
+  }
+}
