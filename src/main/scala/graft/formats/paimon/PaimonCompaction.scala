@@ -1,0 +1,96 @@
+package graft.formats.paimon
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.FileEntry
+import graft.util.HadoopConfs
+
+/** Paimon small-file compaction — `GRAFT OPTIMIZE` for the fourth
+  * format. Per-partition bin-packing with the Delta optimizer's shape:
+  * partitions holding >=2 files under `minFileBytes` fold into
+  * `targetFileBytes`-sized rewrites; everything else is untouched. The
+  * rewrite commits through the conversion target as a full-set snapshot
+  * sync (live minus victims plus rewrites), which lands as one COMPACT
+  * snapshot — Paimon readers see removes+adds in the delta manifest,
+  * the same wire shape paimon's own compaction writes.
+  *
+  * Scale shape: candidate selection is a distributed group over the
+  * listing; the rewrite reads ONLY the victim files (a sub-snapshot
+  * scan); new-file stats come from a distributed footer scan; and the
+  * commit is the target's usual manifest authoring (driver-side only
+  * under the small-commit threshold).
+  *
+  * Reference anchor: the reference only OBSERVES compactions
+  * (replacecommit / REPLACE snapshots, e.g.
+  * xtable-core/src/main/java/org/apache/xtable/hudi/HudiConversionSource.java:216);
+  * graft also performs them, here for Paimon.
+  */
+object PaimonCompaction {
+
+  case class Result(rewrote: Long, rewroteBytes: Long, wrote: Long)
+
+  def compact(spark: SparkSession, tablePath: String,
+      targetFileBytes: Long = 128L << 20,
+      minFileBytes: Long = 32L << 20): Result = {
+    import spark.implicits._
+    val path = graft.util.PathUtils.canonical(tablePath)
+    val src = new PaimonConversionSource(spark, path,
+      path.stripSuffix("/").split('/').last)
+    val snap = src.currentSnapshot()
+    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+
+    def partKey(f: FileEntry): String =
+      f.partitionValues.map(p => s"${p.field}=${p.value}").mkString("/")
+    val keyed = listing.map(f => (partKey(f), f)).toDF("pk", "f")
+    val eligible = keyed.groupBy("pk")
+      .agg(sum(when(col("f.fileSizeBytes") < minFileBytes, 1L)
+        .otherwise(0L)).as("small"))
+      .filter(col("small") >= 2).select("pk")
+    val candidates = keyed.join(eligible, "pk")
+      .filter(col("f.fileSizeBytes") < minFileBytes)
+      .select("f.*").as[FileEntry]
+      .localCheckpoint()
+    if (candidates.isEmpty) return Result(0L, 0L, 0L)
+
+    val agg0 = candidates.agg(count(lit(1)), sum("fileSizeBytes")).head()
+    val (nOld, oldBytes) = (agg0.getLong(0), agg0.getLong(1))
+    val rows = graft.formats.delta.DeltaRead.toDataFrame(spark,
+      snap.copy(files = candidates, commitId = snap.commitId + "-compact"))
+    val nOut = math.max(1L, (oldBytes + targetFileBytes - 1) /
+      targetFileBytes)
+    val partCols = snap.table.partitionFields.map(_.partitionColumnName)
+      .filter(rows.columns.contains)
+    val packed =
+      if (partCols.nonEmpty)
+        rows.repartition(nOut.toInt, partCols.map(col): _*)
+      else rows.repartition(nOut.toInt)
+
+    val dataDir = s"$path/compact-${UUID.randomUUID()}"
+    if (partCols.isEmpty) packed.write.parquet(dataDir)
+    else packed.write.partitionBy(partCols: _*).parquet(dataDir)
+
+    // adds with real column stats from a distributed footer scan — the
+    // compacted files are exactly what stat-skipping must prune next
+    val conf = HadoopConfs.session(spark)
+    val listed = graft.sources.ParquetFooters.listFiles(dataDir, conf)
+    val adds = graft.sources.ParquetFooters
+      .fileEntries(spark, dataDir, listed)
+    val wrote = adds.count()
+
+    val victims = candidates.select(col("path").as("__vp"))
+    val survivors = listing.toDF()
+      .join(victims, col("path") === col("__vp"), "left_anti")
+      .drop("__vp").as[FileEntry]
+    val altered = snap.copy(files = survivors.unionByName(adds))
+    val target = new PaimonConversionTarget(spark, path)
+    val outcomes = graft.sync.TableFormatSync.syncSnapshot(Seq(target),
+      altered, src.sourceFormat)
+    outcomes.find(_.status != "SUCCESS").foreach(o =>
+      throw new IllegalStateException(s"paimon compaction failed: $o"))
+    graft.plans.SnapshotFileIndex.invalidate(snap)
+    Result(nOld, oldBytes, wrote)
+  }
+}

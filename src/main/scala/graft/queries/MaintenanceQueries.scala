@@ -959,4 +959,38 @@ object MaintenanceQueries {
   val sqlAlterSchemaSql: String =
     """SELECT n_nationkey, n_name, 0 AS flag FROM nation
       |ORDER BY n_nationkey""".stripMargin
+
+  /** Paimon small-file compaction through GRAFT OPTIMIZE: 8 small files
+    * fold into fewer, the head snapshot is a COMPACT kind carrying
+    * removes+adds, and the read-back rows are unchanged.
+    */
+  def paimonOptimizeCompact(s: SparkSession, dir: String): DataFrame = {
+    val data = graft.util.TempDirs.create("graft_popt_data")
+    s.read.parquet(s"$dir/customer.parquet").repartition(8)
+      .write.mode("overwrite").parquet(data)
+    val t = graft.util.TempDirs.create("graft_popt_paimon")
+    val src = new ParquetDirectorySource(s, data, "customer")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.paimon.PaimonConversionTarget(s, t)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    val gs = graft.sql.GraftSql.session(s)
+    val r = gs.sql(s"GRAFT OPTIMIZE '$t'").head()
+    require(r.getLong(0) == 8 && r.getLong(1) < 8,
+      s"compaction folded ${r.getLong(0)} into ${r.getLong(1)}")
+    val head = graft.formats.paimon.PaimonFormat.latestSnapshotId(t).get
+    require(graft.formats.paimon.PaimonFormat.readSnapshot(t, head)
+      .commitKind == "COMPACT", "head snapshot must be COMPACT")
+    new graft.formats.paimon.PaimonConversionSource(s, t, "customer")
+      .toDataFrame
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        Gate.sumMeasure(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val paimonOptimizeCompactSql: String =
+    s"""SELECT c_mktsegment, count(*) AS cnt,
+       |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }

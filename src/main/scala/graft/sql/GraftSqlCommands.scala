@@ -59,6 +59,12 @@ object GraftSqlCommands {
               "and WHERE are not supported")
           val n = graft.formats.hudi.HudiLogFiles.compact(spark, path)
           Row(n, n)
+        case "PAIMON" =>
+          require(zorderBy.isEmpty && where.isEmpty,
+            "GRAFT OPTIMIZE on Paimon is small-file bin-packing — " +
+              "ZORDER BY and WHERE are not supported")
+          val r = graft.formats.paimon.PaimonCompaction.compact(spark, path)
+          Row(r.rewrote, r.wrote)
         case other => throw new IllegalArgumentException(
           s"GRAFT OPTIMIZE: unsupported table format $other at $path")
       }
