@@ -132,7 +132,9 @@ object BloomIndex {
     val bits = {
       val m = math.ceil(-items * math.log(fpp) /
         (math.log(2) * math.log(2))).toLong
-      math.min(math.max(m, 1L << 16), 1L << 26)
+      // floor = one 4 KB page of bits; cap = Spark's own runtime-filter
+      // ceiling (8 MB) — sizing beyond either just wastes index bytes
+      math.min(math.max(m, 1L << 15), 1L << 26)
     }
 
     val dir = columnDir(canonical, column)

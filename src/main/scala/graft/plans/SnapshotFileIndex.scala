@@ -48,6 +48,12 @@ class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
     */
   private lazy val filesDs = SnapshotFileIndex.listingFor(snap)
 
+  /** The snapshot's file listing (metadata-plane aggregates — e.g. the
+    * count(*) pushdown in [[MetadataCountRule]] — read it directly).
+    */
+  private[graft] def listing: org.apache.spark.sql.Dataset[FileEntry] =
+    filesDs
+
   /** Physical partition columns: typed from the table schema when present,
     * string otherwise (time-transform columns like `ts_day` are layout
     * artifacts not in the logical schema).

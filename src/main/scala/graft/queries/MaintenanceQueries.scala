@@ -993,4 +993,30 @@ object MaintenanceQueries {
     s"""SELECT c_mktsegment, count(*) AS cnt,
        |  ${Gate.sumMeasureSql("c_acctbal")} AS sum_bal
        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Metadata-plane count(*): the optimizer rule must answer the
+    * unfiltered count from the listing's recordCount stats — the gate
+    * asserts the executed plan holds NO file scan, then the value is
+    * oracle-checked. At 100 TB this is the difference between a
+    * metadata aggregate and a full-table scan.
+    */
+  def metaCountPushdown(s: SparkSession, dir: String): DataFrame = {
+    val t = syncTable(s, s"$dir/lineitem.parquet", "lineitem", 4,
+      "graft_cnt")
+    val gs = graft.sql.GraftSql.session(s)
+    val df = gs.read.format("graft").load(t)
+      .agg(count(lit(1)).as("cnt"))
+    // check the optimized LOGICAL plan (AQE wraps the physical one): a
+    // surviving LogicalRelation means the rule did not fire
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l
+    }
+    require(scans.isEmpty,
+      "count(*) was not answered from the metadata plane")
+    df
+  }
+
+  val metaCountPushdownSql: String =
+    "SELECT count(*) AS cnt FROM lineitem"
 }

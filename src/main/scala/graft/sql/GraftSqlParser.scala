@@ -201,8 +201,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * `spark.sql.extensions=graft.sql.GraftSparkExtensions`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // metadata-plane count(*) pushdown over format("graft") scans
+    ext.injectOptimizerRule(session =>
+      graft.plans.MetadataCountRule(session))
+  }
 }
 
 /** An extensions-enabled sibling of an existing session, sharing its

@@ -22,13 +22,14 @@ import graft.util.HadoopConfs
   * CDC-file versions read in one batched scan, reconstruction for the
   * rest ([[DeltaChanges.changesBetween]]).
   *
-  * Why not a Structured Streaming `Source`: Spark's DSv1 streaming
-  * source surface needs `private[sql]` internals (`isStreaming=true`
-  * DataFrames), and the public DSv2 micro-batch path would force a
-  * hand-rolled row-level parquet reader inside `PartitionReader`. The
-  * checkpointed poll loop delivers the same contract through the same
-  * DataFrame plans the batch feed uses — and composes with
-  * `foreachBatch`-style downstream writes.
+  * Relation to [[GraftStreamSource]] (`spark.readStream
+  * .format("graft")`): the streaming source serves the INSERTED ROWS
+  * per commit into the Structured Streaming engine (append-stream
+  * semantics, non-append commits refuse or skip); this poll loop hands
+  * the caller the FULL row-level change feed — deletes and update
+  * pre/post images included — one version range at a time, which the
+  * append-only source contract cannot represent. CDC consumers
+  * (replication, audit) use this; analytics tails use the source.
   */
 class ChangeFeedStream(spark: SparkSession, tablePath: String,
     checkpointDir: String, intervalMillis: Long = 5000L,

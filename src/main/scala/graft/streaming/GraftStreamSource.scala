@@ -36,6 +36,13 @@ import graft.util.{HadoopConfs, Jsons, PathUtils}
   * SnapshotFileIndex) and re-wraps it with the streaming flag — no rows
   * ever pass through the driver.
   *
+  * Trigger note: under `Trigger.AvailableNow` Spark wraps DSv1 sources
+  * in single-batch execution — one batch up to the head seen at start
+  * (each restart drains further; exactly-once holds through the
+  * checkpoint). `maxVersionsPerTrigger` therefore shapes batches under
+  * the default/processing-time triggers; an AvailableNow run is one
+  * batch by design.
+  *
   * Reference anchor: the reference's incremental sync consumes commit
   * backlogs the same head-vs-checkpoint way
   * (xtable-core/src/main/java/org/apache/xtable/conversion/

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+/** Metadata-plane count(*) pushdown (plans/MetadataAggregates.scala):
+  * fires only on safe shapes, always matches the real scan's answer.
+  */
+class MetadataCountSpec extends SparkSuite {
+
+  private lazy val gs = graft.sql.GraftSql.session(spark)
+
+  private def mkDelta(prefix: String, n: Long, files: Int): String = {
+    import spark.implicits._
+    val t = tmpDir(prefix)
+    graft.formats.delta.DeltaWrite.write(spark, t,
+      (0L until n).map(i => (i, s"v$i")).toDF("id", "name")
+        .repartition(files), overwrite = false)
+    t
+  }
+
+  // the rule rewrites the OPTIMIZED LOGICAL plan (AQE hides physical
+  // scans from a naive collect): a surviving LogicalRelation = real scan
+  private def scansOf(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }.size
+
+  test("unfiltered count(*) is metadata-only and exact") {
+    val t = mkDelta("cnt_basic", 1234, 4)
+    val df = gs.read.format("graft").load(t).agg(count(lit(1)).as("cnt"))
+    assert(scansOf(df) == 0, "expected a metadata-only plan")
+    assert(df.head().getLong(0) == 1234L)
+    // sql surface too
+    gs.read.format("graft").load(t).createOrReplaceTempView("cnt_t")
+    val viaSql = gs.sql("SELECT count(*) AS c FROM cnt_t")
+    assert(scansOf(viaSql) == 0 && viaSql.head().getLong(0) == 1234L)
+  }
+
+  test("filters, groupBy and column aggregates keep the real scan") {
+    val t = mkDelta("cnt_guard", 500, 2)
+    val base = gs.read.format("graft").load(t)
+    val filtered = base.filter(col("id") < 100).agg(count(lit(1)).as("c"))
+    assert(scansOf(filtered) == 1, "a filtered count must scan")
+    assert(filtered.head().getLong(0) == 100L)
+    val grouped = base.groupBy(col("id") % 2).agg(count(lit(1)).as("c"))
+    assert(scansOf(grouped) == 1, "a grouped count must scan")
+    val colAgg = base.agg(sum("id").as("s"))
+    assert(scansOf(colAgg) == 1, "a column aggregate must scan")
+    assert(colAgg.head().getLong(0) == (0L until 500L).sum)
+  }
+
+  test("count stays exact through delete + compaction") {
+    val t = mkDelta("cnt_delete", 300, 3)
+    require(graft.formats.delta.DeltaDeletes.deleteWhere(spark, t,
+      col("id") < 50) == 50)
+    // live DVs: the relation refuses (phantom rows) — no wrong count
+    intercept[graft.model.DeletionVectorsUnsupported] {
+      gs.read.format("graft").load(t).agg(count(lit(1))).head()
+    }
+    graft.formats.delta.DeltaOptimize.compact(spark, t)
+    val df = gs.read.format("graft").load(t).agg(count(lit(1)).as("c"))
+    assert(scansOf(df) == 0 && df.head().getLong(0) == 250L)
+  }
+
+  test("pushdown fires on iceberg and paimon synced tables too") {
+    import spark.implicits._
+    for (fmt <- Seq("iceberg", "paimon")) {
+      val data = tmpDir(s"cnt_${fmt}_data")
+      (0L until 400L).map(i => (i, s"v$i")).toDF("id", "name")
+        .repartition(2).write.mode("overwrite").parquet(data)
+      val t = tmpDir(s"cnt_$fmt")
+      val src = new graft.sources.ParquetDirectorySource(spark, data, "t")
+      val target: graft.spi.ConversionTarget =
+        if (fmt == "iceberg")
+          new graft.formats.iceberg.IcebergConversionTarget(spark, t)
+        else new graft.formats.paimon.PaimonConversionTarget(spark, t)
+      val out = graft.sync.TableFormatSync.syncSnapshot(Seq(target),
+        src.currentSnapshot(), src.sourceFormat)
+      require(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+      val df = gs.read.format("graft").load(t).agg(count(lit(1)).as("c"))
+      assert(scansOf(df) == 0 && df.head().getLong(0) == 400L, fmt)
+    }
+  }
+}
