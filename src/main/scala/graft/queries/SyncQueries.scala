@@ -1243,6 +1243,42 @@ object SyncQueries {
     """SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin
 
+  /** The same DataFrameWriter cycle (append ×2 then overwrite) landing
+    * in ICEBERG, HUDI and PAIMON via `option("tableFormat", ...)` —
+    * each format's final state must be exactly the overwrite's rows and
+    * its history must show three commits. One gate, three metadata
+    * planes, identical row semantics.
+    */
+  def graftWriterFormats(s: SparkSession, dir: String): DataFrame = {
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val perFmt = Seq("hudi", "iceberg", "paimon").map { fmt =>
+      val t = graft.util.TempDirs.create(s"graft_writer_$fmt")
+      nation.write.format("graft").option("tableFormat", fmt)
+        .mode("append").save(t)
+      nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+        .write.format("graft").option("tableFormat", fmt)
+        .mode("append").save(t)
+      nation.filter(col("n_nationkey") % 2 === 0)
+        .write.format("graft").option("tableFormat", fmt)
+        .mode("overwrite").save(t)
+      val hist = s.read.format("graft").option("metaTable", "history")
+        .load(t)
+      require(hist.count() >= 3,
+        s"$fmt: expected >=3 commits, got ${hist.count()}")
+      s.read.format("graft").load(t)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_nationkey")).cast("long").as("sum_key"))
+        .withColumn("fmt", lit(fmt))
+    }
+    perFmt.reduce(_ unionByName _).orderBy("fmt")
+  }
+
+  val graftWriterFormatsSql: String =
+    """SELECT count(*) AS cnt, CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+      |  f.fmt
+      |FROM nation, (SELECT unnest(['hudi','iceberg','paimon']) AS fmt) f
+      |WHERE n_nationkey % 2 = 0 GROUP BY f.fmt ORDER BY f.fmt""".stripMargin
+
   /** Hudi RESTORE (savepoint semantics): upsert + delete pile log files
     * onto the base commit, then restoreTo the base instant rolls both
     * back — their log files physically deleted, the timeline rewound —

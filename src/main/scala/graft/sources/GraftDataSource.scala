@@ -74,8 +74,18 @@ class GraftDataSource extends RelationProvider
       parameters.getOrElse("path", throw new IllegalArgumentException(
         "graft datasource needs a path")))
     val spark = sqlContext.sparkSession
-    val exists = graft.formats.delta.DeltaLog
-      .latestVersion(path, graft.util.HadoopConfs.session(spark)).isDefined
+    // an existing table pins the format; otherwise `tableFormat` selects
+    // it (default delta — the richest write discipline)
+    val detected = CatalogConversionSource.detectFormat(path)
+    val exists = detected != graft.model.TableFormats.Parquet
+    val requested = parameters.get("tableFormat").map(_.toUpperCase)
+    val fmt =
+      if (exists) {
+        requested.filter(_ != detected).foreach(r =>
+          throw new IllegalArgumentException(
+            s"table at $path is $detected; tableFormat=$r disagrees"))
+        detected
+      } else requested.getOrElse(graft.model.TableFormats.Delta)
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalArgumentException(
@@ -89,8 +99,12 @@ class GraftDataSource extends RelationProvider
             graft.util.Jsons.mapper.readTree(js)
               .elements().asScala.map(_.asText).toSeq
         }
-        graft.formats.delta.DeltaWrite.write(spark, path, data,
-          overwrite = m == SaveMode.Overwrite, partitionCols = parts)
+        if (fmt == graft.model.TableFormats.Delta)
+          graft.formats.delta.DeltaWrite.write(spark, path, data,
+            overwrite = m == SaveMode.Overwrite, partitionCols = parts)
+        else
+          GraftBatchWrite.write(spark, path, data, fmt,
+            overwrite = m == SaveMode.Overwrite, partitionCols = parts)
     }
     // schema-only relation: the V1 save() contract wants a BaseRelation
     // back but never scans it — building the full read relation here

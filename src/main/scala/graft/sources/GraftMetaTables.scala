@@ -96,6 +96,14 @@ object GraftMetaTables {
           (i, graft.formats.hudi.HudiTimeline.instantMillis(i),
             c.action.toUpperCase)
         }
+      case _: graft.formats.paimon.PaimonConversionSource =>
+        val head = graft.formats.paimon.PaimonFormat.latestSnapshotId(path)
+          .getOrElse(throw new IllegalStateException(
+            s"no Paimon table at $path"))
+        (1L to head).map { id =>
+          val s = graft.formats.paimon.PaimonFormat.readSnapshot(path, id)
+          (id.toString, s.timeMillis, s.commitKind.toUpperCase)
+        }
       case other => throw new IllegalArgumentException(
         s"history metaTable needs a versioned metadata plane; this is a " +
           s"${other.sourceFormat} table")
