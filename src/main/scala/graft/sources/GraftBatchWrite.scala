@@ -81,26 +81,45 @@ object GraftBatchWrite {
         else graft.model.Layout.Flat,
         System.currentTimeMillis()))
 
-    val files = existing match {
-      case Some(src) if !overwrite =>
-        graft.plans.SnapshotFileIndex.listingFor(src.currentSnapshot())
-          .unionByName(adds)
-      case _ => adds
-    }
-    val snapshot = TableSnapshot(table, files,
-      System.currentTimeMillis().toString)
-    val target: graft.spi.ConversionTarget = fmt match {
-      case "ICEBERG" =>
-        new graft.formats.iceberg.IcebergConversionTarget(spark, path)
-      case "HUDI" =>
-        new graft.formats.hudi.HudiConversionTarget(spark, path)
-      case "PAIMON" =>
-        new graft.formats.paimon.PaimonConversionTarget(spark, path)
-    }
-    val outcomes = graft.sync.TableFormatSync.syncSnapshot(Seq(target),
-      snapshot, "GRAFT_WRITE")
-    outcomes.find(_.status != "SUCCESS").foreach { o =>
-      throw new IllegalStateException(s"graft write to $fmt failed: $o")
+    // commit with CAS-loss retry: a concurrent writer advancing the
+    // table between our live-set read and the commit is NOT a conflict
+    // for an append (and an overwrite's victim set is whatever is live
+    // at commit time) — recompute the live set against the new head and
+    // re-land. Bounded; any non-CAS error surfaces immediately.
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val live = CatalogConversionSource.detectFormat(path) match {
+        case graft.model.TableFormats.Parquet => None
+        case _ => Some(CatalogConversionSource.fromPath(spark, path, name))
+      }
+      val files = live match {
+        case Some(src) if !overwrite =>
+          graft.plans.SnapshotFileIndex.listingFor(src.currentSnapshot())
+            .unionByName(adds)
+        case _ => adds
+      }
+      val snapshot = TableSnapshot(table, files,
+        s"${System.currentTimeMillis()}-$attempt")
+      val target: graft.spi.ConversionTarget = fmt match {
+        case "ICEBERG" =>
+          new graft.formats.iceberg.IcebergConversionTarget(spark, path)
+        case "HUDI" =>
+          new graft.formats.hudi.HudiConversionTarget(spark, path)
+        case "PAIMON" =>
+          new graft.formats.paimon.PaimonConversionTarget(spark, path)
+      }
+      val outcomes = graft.sync.TableFormatSync.syncSnapshot(Seq(target),
+        snapshot, "GRAFT_WRITE")
+      outcomes.find(_.status != "SUCCESS") match {
+        case None => done = true
+        case Some(o) if o.error.exists(_.contains("concurrent writer")) &&
+            attempt < 5 =>
+          attempt += 1
+          Thread.sleep(50L * attempt)
+        case Some(o) =>
+          throw new IllegalStateException(s"graft write to $fmt failed: $o")
+      }
     }
   }
 

@@ -119,6 +119,56 @@ class BloomIndexSpec extends SparkSuite {
         Literal(3L)))) == 4)
   }
 
+  test("prune joins stay distributed at 100k indexed files") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.util.sketch.BloomFilter
+    import spark.implicits._
+    val n = 100000
+    val table = tmpDir("bloom_scale")
+    val idxDir = s"$table/_graft_index/bloom/id"
+    // fabricate the index executor-side: file i's bloom holds keys
+    // {i}; the probe key 4242 should keep ~1 file (+fp)
+    val probeHash = new XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(4242L)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    spark.range(n.toLong).repartition(16).mapPartitions { it =>
+      it.map { i =>
+        val bf = BloomFilter.create(4096, 1L << 15)
+        val h = new XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(i)))
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Long]
+        bf.putLong(h)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (s"/tab/f$i.parquet", bos.toByteArray)
+      }
+    }.toDF("path", "bloom").write.parquet(s"$idxDir/v1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idxDir, "current"), "1".getBytes)
+
+    val listing = spark.range(n.toLong + 10).map { i =>
+      graft.model.FileEntry(
+        if (i < n) s"/tab/f$i.parquet" else s"/tab/unindexed$i.parquet",
+        1024L, 4096L, "parquet", Nil, Nil, 0L)
+    }
+    val t0 = System.nanoTime()
+    val survivors = graft.plans.BloomIndex.prune(spark, listing, table,
+      Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(idAttr,
+        org.apache.spark.sql.catalyst.expressions.Literal(4242L))),
+      Seq("id")).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"100k-file bloom prune: ${survivors.length} survivors in $secs%.1fs")
+    val paths = survivors.map(_.path).toSet
+    assert(paths.contains("/tab/f4242.parquet"), "true key's file pruned!")
+    // the 10 unindexed files are always kept; fp keeps a few more
+    assert(survivors.length < 100, s"prune kept ${survivors.length}")
+    assert((0 until 10).forall(k =>
+      paths.contains(s"/tab/unindexed${n + k}.parquet")))
+    locally { val _ = probeHash }
+  }
+
   test("refusals: bad column names and unknown columns") {
     val table = mkDelta("bloom_refuse", rows(0, 100), 2)
     intercept[IllegalArgumentException] {

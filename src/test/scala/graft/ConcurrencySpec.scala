@@ -465,4 +465,35 @@ class ConcurrencySpec extends SparkSuite {
     assert(IcebergStreamSink.lastTxnVersion(spark, target, "appA")
       .contains(1L))
   }
+
+  test("racing batch writers (tableFormat=iceberg): both appends land") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val target = tmpDir("gbw_race")
+    val base = (0L until 50L).map(i => (i, s"v$i")).toDF("id", "name")
+    base.write.format("graft").option("tableFormat", "iceberg")
+      .mode("append").save(target)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    Seq(100L, 200L).foreach { off =>
+      val rows = (off until off + 50L).map(i => (i, s"v$i"))
+        .toDF("id", "name")
+      pool.execute { () =>
+        start.await()
+        try rows.write.format("graft").option("tableFormat", "iceberg")
+          .mode("append").save(target)
+        catch { case th: Throwable => failures.add(th) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, failures.toString)
+    val df = spark.read.format("graft").load(target)
+    assert(df.count() == 150, s"got ${df.count()}")
+    assert(df.filter(col("id") >= 100L && col("id") < 150L).count() == 50)
+    assert(df.filter(col("id") >= 200L).count() == 50)
+  }
 }

@@ -167,6 +167,29 @@ class GraftStreamSourceSpec extends SparkSuite {
     locally { val _ = stage }
   }
 
+  test("partitioned delta table: snapshot and tail carry partition " +
+    "values correctly") {
+    import spark.implicits._
+    val table = tmpDir("gss_part")
+    val out = tmpDir("gss_part_out")
+    val ckpt = tmpDir("gss_part_ckpt")
+    def batch(from: Long, until: Long) =
+      (from until until).map(i => (i, s"v$i", i % 3)).toDF(
+        "id", "name", "grp")
+    graft.formats.delta.DeltaWrite.write(spark, table, batch(0, 60),
+      overwrite = false, partitionCols = Seq("grp"))
+    drain(table, out, ckpt)
+    graft.formats.delta.DeltaWrite.write(spark, table, batch(60, 90),
+      overwrite = false, partitionCols = Seq("grp"))
+    drain(table, out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 90)
+    // partition values survived both the snapshot and the CDF batch
+    assert(got.filter(col("grp") === 1L).count() == 30)
+    assert(got.filter(col("id") === 75L).select("grp").head().getLong(0)
+      == 0L)
+  }
+
   test("batch-only options refuse on readStream") {
     val table = tmpDir("gss_opt")
     graft.formats.delta.DeltaWrite.write(spark, table, events4(5),
