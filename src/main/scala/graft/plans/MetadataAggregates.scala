@@ -50,6 +50,84 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case None => agg
       }
+
+    // SELECT DISTINCT <partition cols> / GROUP BY <partition cols> with
+    // only count(*)-style aggregates: served from the listing's
+    // partition values + per-file row counts — the "what dates exist"
+    // query on 100 TB reads zero data bytes
+    case agg @ Aggregate(groupings, aggExprs, child, _)
+        if groupings.nonEmpty && groupings.forall(_.isInstanceOf[Attribute])
+          && aggExprs.forall(e => countStarOrLiteral(e) ||
+            groupingRef(e, groupings)) =>
+      snapshotIndexOf(child) match {
+        case Some(index)
+            if groupings.map(_.asInstanceOf[Attribute].name).forall(
+              index.partitionSchema.fieldNames.contains) =>
+          partitionCounts(index,
+            groupings.map(_.asInstanceOf[Attribute].name)) match {
+            case Some(perPart) =>
+              val rows = perPart.map { case (values, n) =>
+                InternalRow.fromSeq(aggExprs.map {
+                  case e if countStarOrLiteral(e) => valueFor(e, n)
+                  case e =>
+                    val a = refOf(e)
+                    values(groupings.indexWhere(
+                      _.asInstanceOf[Attribute].name == a.name))
+                })
+              }
+              LocalRelation(agg.output.map(_.asInstanceOf[Attribute]), rows)
+            case None => agg
+          }
+        case _ => agg
+      }
+  }
+
+  private def refOf(e: NamedExpression): Attribute = e match {
+    case a: Attribute => a
+    case Alias(a: Attribute, _) => a
+    case _ => throw new IllegalStateException(s"not a grouping ref: $e")
+  }
+
+  private def groupingRef(e: NamedExpression,
+      groupings: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Boolean = e match {
+    case a: Attribute => groupings.exists(_.semanticEquals(a))
+    case Alias(a: Attribute, _) => groupings.exists(_.semanticEquals(a))
+    case _ => false
+  }
+
+  /** Distinct partition values + their row counts from the listing.
+    * Bails (None) when any file lacks a positive recordCount or a
+    * partition value is null — both would make the metadata answer
+    * diverge from the scan's. Collect is bounded by the partition
+    * count, the same bound catalog partition registration accepts.
+    */
+  private def partitionCounts(index: SnapshotFileIndex,
+      groupCols: Seq[String]): Option[Seq[(Seq[Any], Long)]] = {
+    val pSchema = index.partitionSchema
+    val listing = index.listing
+    import listing.sparkSession.implicits._
+    val keyed = listing.map { f =>
+      val vals = groupCols.map(c =>
+        f.partitionValues.find(_.field == c).map(_.value).orNull)
+      (vals, f.recordCount)
+    }
+    val grouped = keyed.groupByKey(_._1)
+      .mapValues { case (_, rc) => (rc, math.min(rc, 1L)) }
+      .reduceGroups((a, b) => (a._1 + b._1, math.min(a._2, b._2)))
+      .map { case (k, (total, minOk)) => (k, total, minOk) }
+      .collect()
+    val bad = grouped.exists { case (k, _, minOk) =>
+      minOk <= 0L || k.exists(_ == null)
+    }
+    if (grouped.isEmpty || bad) None
+    else Some(grouped.toSeq.map { case (k, total, _) =>
+      val typed = k.zip(groupCols).map { case (v, c) =>
+        val field = pSchema.fields(pSchema.fieldIndex(c))
+        SnapshotFileIndex.catalystValue(v, field.dataType)
+      }
+      (typed, total)
+    })
   }
 
   private def countStarOrLiteral(e: NamedExpression): Boolean = e match {

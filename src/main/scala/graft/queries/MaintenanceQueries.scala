@@ -1019,4 +1019,32 @@ object MaintenanceQueries {
 
   val metaCountPushdownSql: String =
     "SELECT count(*) AS cnt FROM lineitem"
+
+  /** Partition-level aggregate pushdown: GROUP BY a partition column
+    * with count(*) is served from the listing's partition values + row
+    * counts — asserted scan-free in-plan, values oracle-checked.
+    */
+  def metaPartitionStats(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.util.TempDirs.create("graft_pstats")
+    val events = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    graft.formats.delta.DeltaWrite.write(s, t, events,
+      overwrite = false, partitionCols = Seq("event_type"))
+    val gs = graft.sql.GraftSql.session(s)
+    val df = gs.read.format("graft").load(t)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l
+    }
+    require(scans.isEmpty,
+      "partition GROUP BY count was not answered from the metadata plane")
+    df
+  }
+
+  val metaPartitionStatsSql: String =
+    """SELECT event_type, count(*) AS cnt FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -64,6 +64,35 @@ class MetadataCountSpec extends SparkSuite {
     assert(scansOf(df) == 0 && df.head().getLong(0) == 250L)
   }
 
+  test("partition-column DISTINCT and GROUP BY count(*) are " +
+    "metadata-only and exact") {
+    import spark.implicits._
+    val t = tmpDir("cnt_parts")
+    graft.formats.delta.DeltaWrite.write(spark, t,
+      (0L until 600L).map(i => (i, s"v$i", s"g${i % 3}"))
+        .toDF("id", "name", "grp").repartition(4),
+      overwrite = false, partitionCols = Seq("grp"))
+    val base = gs.read.format("graft").load(t)
+
+    val distinct = base.select("grp").distinct()
+    assert(scansOf(distinct) == 0, "DISTINCT partition must be metadata-only")
+    assert(distinct.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("g0", "g1", "g2"))
+
+    val counts = base.groupBy("grp").agg(count(lit(1)).as("c"))
+    assert(scansOf(counts) == 0, "GROUP BY partition count must be " +
+      "metadata-only")
+    assert(counts.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq == Seq(("g0", 200L), ("g1", 200L), ("g2", 200L)))
+
+    // grouping by a NON-partition column keeps the scan
+    val byData = base.groupBy("name").agg(count(lit(1)))
+    assert(scansOf(byData) == 1)
+    // aggregates beyond count keep the scan
+    val withSum = base.groupBy("grp").agg(sum("id"))
+    assert(scansOf(withSum) == 1)
+  }
+
   test("pushdown fires on iceberg and paimon synced tables too") {
     import spark.implicits._
     for (fmt <- Seq("iceberg", "paimon")) {
