@@ -51,7 +51,10 @@ class GraftDataSource extends RelationProvider
         parameters.getOrElse("path", throw new IllegalArgumentException(
           "graft streaming source needs a path")))
       graft.streaming.GraftStreamSource.tableSchema(
-        sqlContext.sparkSession, path)
+        sqlContext.sparkSession, path,
+        cdfMode = parameters.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean
+        }.getOrElse(false))
     })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

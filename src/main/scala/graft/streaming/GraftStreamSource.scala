@@ -59,6 +59,19 @@ class GraftStreamSource(spark: SparkSession, tablePath: String,
   private val fmt = formatOf(source)
   private val skipChangeCommits =
     options.get("skipChangeCommits").exists(_.toBoolean)
+  /** CDF mode: serve the row-level change feed itself (meta columns
+    * included, deletes and update images as rows) instead of an
+    * append-stream of inserts — delta-spark's readChangeFeed streaming
+    * surface. The initial batch is the snapshot tagged as inserts.
+    */
+  private val cdfMode = options.get("readChangeFeed").exists(_.toBoolean)
+  require(!(cdfMode && skipChangeCommits),
+    "readChangeFeed serves change commits as rows — skipChangeCommits " +
+      "contradicts it")
+  require(!(cdfMode && fmt == "hudi"),
+    "readChangeFeed streaming is not supported on Hudi: the " +
+      "read-optimized incremental feed is insert-only (row-level " +
+      "changes live in MOR logs) — tail the table without the option")
   private val maxVersionsPerTrigger =
     options.get("maxVersionsPerTrigger").map(_.toLong)
   maxVersionsPerTrigger.foreach(n => require(n > 0,
@@ -80,9 +93,14 @@ class GraftStreamSource(spark: SparkSession, tablePath: String,
   // toDataFrame masks them — a streaming tail over a table that takes
   // row-level deletes must keep serving (the deletes themselves surface
   // through the change feed as refusal-or-skip)
-  override val schema: StructType = providedSchema.getOrElse(
-    graft.formats.delta.DeltaRead.toDataFrame(
-      spark, source.currentSnapshot()).schema)
+  override val schema: StructType = providedSchema.getOrElse {
+    val base = graft.formats.delta.DeltaRead.toDataFrame(
+      spark, source.currentSnapshot()).schema
+    if (!cdfMode) base
+    else base
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+  }
 
   private def snapshotBatchAt(v: String): DataFrame = {
     val snap = source match {
@@ -141,13 +159,17 @@ class GraftStreamSource(spark: SparkSession, tablePath: String,
     val batch = fromV match {
       case None =>
         // initial batch: the full snapshot at the stream's first head
-        snapshotBatchAt(endV)
+        // (CDF mode tags it as the head version's inserts)
+        val snap = snapshotBatchAt(endV)
+        if (!cdfMode) snap
+        else snap.withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endV.toLong))
       case Some(s) if versionLt(fmt, s, endV) =>
         val feed = spark.read.format("graft")
           .option("readChangeFeed", "true")
           .option("startingVersion", s).option("endingVersion", endV)
           .load(tablePath)
-        insertsOnly(feed)
+        if (cdfMode) feed else insertsOnly(feed)
       case _ =>
         // restart replay edge: nothing after the floor — empty batch
         spark.createDataFrame(
@@ -216,10 +238,17 @@ object GraftStreamSource {
 
   /** Schema resolution for `sourceSchema` — the DV-masking DataFrame
     * path, so a table with live deletion vectors can still be tailed.
+    * CDF-mode streams carry the feed's meta columns.
     */
-  def tableSchema(spark: SparkSession, path: String): StructType =
-    graft.formats.delta.DeltaRead.toDataFrame(spark,
+  def tableSchema(spark: SparkSession, path: String,
+      cdfMode: Boolean = false): StructType = {
+    val base = graft.formats.delta.DeltaRead.toDataFrame(spark,
       detectSource(spark, path).currentSnapshot()).schema
+    if (!cdfMode) base
+    else base
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+  }
 
   private[streaming] def detectSource(spark: SparkSession,
       path: String): graft.spi.ConversionSource = {
@@ -268,20 +297,20 @@ object GraftStreamSource {
       throw new IllegalArgumentException(
         "graft streaming source needs a path")))
     val known = Set("path", "startingversion", "skipchangecommits",
-      "maxversionspertrigger")
+      "maxversionspertrigger", "readchangefeed")
     val unknown = parameters.keys.filterNot(k =>
       known.contains(k.toLowerCase))
     require(unknown.isEmpty,
       s"unsupported graft streaming-source option(s): " +
         s"${unknown.mkString(", ")} — batch-only options (versionAsOf/" +
-        "timestampAsOf/branch/readChangeFeed/metaTable) do not apply " +
-        "to readStream")
+        "timestampAsOf/branch/metaTable) do not apply to readStream")
     // option keys arrive case-insensitively from DataStreamReader
     def opt(k: String) = parameters.collectFirst {
       case (pk, v) if pk.equalsIgnoreCase(k) => v
     }
     new GraftStreamSource(spark, path,
-      Seq("startingVersion", "skipChangeCommits", "maxVersionsPerTrigger")
+      Seq("startingVersion", "skipChangeCommits", "maxVersionsPerTrigger",
+        "readChangeFeed")
         .flatMap(k => opt(k).map(k -> _)).toMap, userSchema)
   }
 }

@@ -190,6 +190,42 @@ class GraftStreamSourceSpec extends SparkSuite {
       == 0L)
   }
 
+  test("readChangeFeed streaming: deletes arrive as change rows, " +
+    "exactly once across resumes") {
+    val table = tmpDir("gss_cdf")
+    val out = tmpDir("gss_cdf_out")
+    val ckpt = tmpDir("gss_cdf_ckpt")
+    val all = events4(40)
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      all.filter(col("event_id") < 20), overwrite = false)
+    drain(table, out, ckpt, Map("readChangeFeed" -> "true"))
+    val first = spark.read.parquet(out)
+    assert(first.count() == 20 &&
+      first.filter(col("_change_type") === "insert").count() == 20)
+
+    // an append AND a delete land; the resumed stream serves both as
+    // change rows (the delete via its DV-masked CDF reconstruction)
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      all.filter(col("event_id") >= 20), overwrite = false)
+    require(graft.formats.delta.DeltaDeletes.deleteWhere(spark, table,
+      col("event_id") < 5) == 5)
+    drain(table, out, ckpt, Map("readChangeFeed" -> "true"))
+    val feed = spark.read.parquet(out)
+    assert(feed.filter(col("_change_type") === "insert").count() == 40)
+    assert(feed.filter(col("_change_type") === "delete").count() == 5)
+    val deleted = feed.filter(col("_change_type") === "delete")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(deleted == (0L until 5L))
+    // replays: nothing new on a third drain
+    drain(table, out, ckpt, Map("readChangeFeed" -> "true"))
+    assert(spark.read.parquet(out).count() == feed.count())
+    // contradictory option pair refuses
+    intercept[Exception] {
+      drain(table, tmpDir("gss_cdf_o2"), tmpDir("gss_cdf_c2"),
+        Map("readChangeFeed" -> "true", "skipChangeCommits" -> "true"))
+    }
+  }
+
   test("batch-only options refuse on readStream") {
     val table = tmpDir("gss_opt")
     graft.formats.delta.DeltaWrite.write(spark, table, events4(5),
