@@ -37,18 +37,34 @@ import org.apache.spark.sql.functions.{coalesce, lit, min => fmin, sum}
 case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // count(*), plus min/max over PARTITION columns (their values are
+    // exact in the listing — hive layout stores the column's own value)
     case agg @ Aggregate(Nil, aggExprs, child, _)
-        if aggExprs.forall(countStarOrLiteral) =>
+        if aggExprs.forall(e => countStarOrLiteral(e) ||
+          partMinMax(e).isDefined) =>
       snapshotIndexOf(child) match {
-        case Some(index) =>
+        case Some(index)
+            if aggExprs.flatMap(partMinMax).forall { case (_, a) =>
+              index.partitionSchema.fieldNames.contains(a.name) } =>
           metadataCount(index) match {
             case Some(n) =>
-              val row = InternalRow.fromSeq(aggExprs.map(valueFor(_, n)))
-              LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
-                Seq(row))
+              val bounds = partitionBounds(index,
+                aggExprs.flatMap(partMinMax))
+              if (bounds.isEmpty && aggExprs.exists(partMinMax(_).isDefined))
+                agg // null partition values — data min/max may differ
+              else {
+                val row = InternalRow.fromSeq(aggExprs.map { e =>
+                  partMinMax(e) match {
+                    case Some((isMin, a)) => bounds((isMin, a.name))
+                    case None => valueFor(e, n)
+                  }
+                })
+                LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
+                  Seq(row))
+              }
             case None => agg
           }
-        case None => agg
+        case _ => agg
       }
 
     // SELECT DISTINCT <partition cols> / GROUP BY <partition cols> with
@@ -80,6 +96,46 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case _ => agg
       }
+  }
+
+  /** `min(col)`/`max(col)` over a bare attribute → (isMin, attr). */
+  private def partMinMax(e: NamedExpression)
+      : Option[(Boolean, Attribute)] = e match {
+    case Alias(AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Min(
+          a: Attribute), Complete, false, None, _), _) => Some((true, a))
+    case Alias(AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Max(
+          a: Attribute), Complete, false, None, _), _) => Some((false, a))
+    case _ => None
+  }
+
+  /** Typed min/max of each requested partition column across the
+    * listing's partition values. Empty map signals a null partition
+    * value was seen (rows with null in the column — metadata min/max
+    * would still be right, but a fully-null partition alongside empty
+    * stats is not worth the edge; bail to the scan).
+    */
+  private def partitionBounds(index: SnapshotFileIndex,
+      wanted: Seq[(Boolean, Attribute)]): Map[(Boolean, String), Any] = {
+    if (wanted.isEmpty) return Map.empty
+    val pSchema = index.partitionSchema
+    val listing = index.listing
+    import listing.sparkSession.implicits._
+    val cols = wanted.map(_._2.name).distinct
+    val raw = listing.flatMap { f =>
+      cols.map(c =>
+        (c, f.partitionValues.find(_.field == c).map(_.value).orNull))
+    }.distinct().collect()
+    if (raw.exists(_._2 == null)) return Map.empty
+    wanted.map { case (isMin, a) =>
+      val field = pSchema.fields(pSchema.fieldIndex(a.name))
+      val typed = raw.filter(_._1 == a.name).map(v =>
+        SnapshotFileIndex.catalystValue(v._2, field.dataType))
+      val ord = org.apache.spark.sql.catalyst.types.PhysicalDataType
+        .ordering(field.dataType).asInstanceOf[Ordering[Any]]
+      (isMin, a.name) -> (if (isMin) typed.min(ord) else typed.max(ord))
+    }.toMap
   }
 
   private def refOf(e: NamedExpression): Attribute = e match {

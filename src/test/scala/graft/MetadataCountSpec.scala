@@ -91,6 +91,18 @@ class MetadataCountSpec extends SparkSuite {
     // aggregates beyond count keep the scan
     val withSum = base.groupBy("grp").agg(sum("id"))
     assert(scansOf(withSum) == 1)
+
+    // min/max over the PARTITION column: exact from partition values
+    val mm = base.agg(min("grp").as("lo"), max("grp").as("hi"),
+      count(lit(1)).as("c"))
+    assert(scansOf(mm) == 0, "partition min/max must be metadata-only")
+    val r = mm.head()
+    assert(r.getString(0) == "g0" && r.getString(1) == "g2" &&
+      r.getLong(2) == 600L)
+    // min/max over a DATA column keeps the scan
+    val dataMm = base.agg(min("id"))
+    assert(scansOf(dataMm) == 1)
+    assert(dataMm.head().getLong(0) == 0L)
   }
 
   test("pushdown fires on iceberg and paimon synced tables too") {
