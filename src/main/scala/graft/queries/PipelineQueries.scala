@@ -756,6 +756,44 @@ object PipelineQueries {
 
   val streamingDedupExactSql: String = dedupExactSql
 
+  /** Streaming MinHash-LSH — documents arrive as TWO micro-batches
+    * (maxFilesPerTrigger=1 over two halves), stateful band buckets emit
+    * candidates across the batch boundary, stream-static joins verify
+    * exact Jaccard. The distinct verified-pair set must equal the batch
+    * operator's oracle exactly — a cross-batch pair missed by state (or
+    * a duplicate surviving the read-back distinct) cannot hash-match.
+    */
+  def streamingDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = graft.util.TempDirs.create("graft_stream_mh_gate")
+    val out = graft.util.TempDirs.create("graft_stream_mh_out")
+    val ckpt = graft.util.TempDirs.create("graft_stream_mh_ckpt")
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    Seq(0, 1).foreach { half =>
+      raw.filter(col("doc_id") % 2 === half).coalesce(1)
+        .write.parquet(s"$stage/half-$half")
+      val part = new java.io.File(s"$stage/half-$half").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(stage, s"batch-$half.parquet"))
+    }
+    val stream = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = graft.streaming.StreamingOps.withStatePartitions(s, 8) {
+      graft.streaming.StreamingOps
+        .streamingMinhashPairs(stream, raw, "doc_id", "text")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select("doc_a", "doc_b", "jaccard").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val streamingDedupMinhashSql: String = dedupMinhashLshSql
+
   /** PQ top-k — the compressed-corpus ANN serving shape — gated on the
     * same contract as `ann_ivf_topk` (quantization bounds the candidate
     * set, never the emitted score, so equality is the wrong oracle):

@@ -114,6 +114,67 @@ object StreamingOps {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMicros MICROSECOND"))
   }
 
+  /** Streaming MinHash-LSH near-dup — the streaming twin of
+    * `Dedup.minHashLsh`: documents arrive as a stream, each computes its
+    * band keys in the same codegen'd native-expression pass the batch
+    * plan uses, and a stateful band-bucket membership emits CANDIDATE
+    * pairs (a new doc against every doc previously seen in its bucket).
+    * Candidates then verify by exact Jaccard through stream-static joins
+    * against the full corpus' shingle sets.
+    *
+    * Semantics: the verified pair SET equals the batch operator's output
+    * for any micro-batch interleaving — pairs are normalized (a<b) and a
+    * pair sharing k bands may emit up to k times (at-least-once;
+    * consumers dedup on (doc_a, doc_b), which the gate does with one
+    * distinct at read-back). State per bucket is the doc-id list — the
+    * same O(docs x bands) the batch shuffle materializes, but spread
+    * across the stream's lifetime and sized by `withStatePartitions`.
+    */
+  def streamingMinhashPairs(docs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    import docs.sparkSession.implicits._
+    val banded = graft.operators.Dedup.shingleSets(docs, idCol, textCol)
+      .select(col("doc"), graft.functions.SketchFunctions
+        .minhash_band_keys(col("shingles"), numHashes, bands).as("keys"))
+      .select(col("doc"), posexplode(col("keys")).as(Seq("band", "bkey")))
+      .select(col("doc").as("doc_id"),
+        concat_ws(":", col("band"), col("bkey")).as("bucket"))
+      .as[(Long, String)]
+    val candidates = banded.groupByKey(_._2)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, batch: Iterator[(Long, String)],
+            state: GroupState[Seq[Long]]) => {
+          val prior = state.getOption.getOrElse(Seq.empty)
+          val fresh = batch.map(_._1).toSeq.distinct.sorted
+            .filterNot(prior.contains)
+          state.update(prior ++ fresh)
+          // each fresh doc pairs with everything already in the bucket
+          // (prior and earlier-in-this-batch), normalized a < b
+          val out = scala.collection.mutable.Buffer.empty[(Long, Long)]
+          var seen = prior
+          for (d <- fresh) {
+            seen.foreach(p =>
+              out += (if (p < d) (p, d) else (d, p)))
+            seen = seen :+ d
+          }
+          out.iterator
+        })
+      .toDF("doc_a", "doc_b")
+    val grams = graft.operators.Dedup
+      .shingleSets(corpus, idCol, textCol).cache()
+    candidates
+      .join(grams.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("shingles", "sh_a"), Seq("doc_a"))
+      .join(grams.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("shingles", "sh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.operators.Dedup.jaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Stateful session counting: a >30 min gap starts a new session.
     * Custom state via flatMapGroupsWithState (KeyValueGroupedDataset),
     * emitting one update per user per micro-batch.
