@@ -94,9 +94,25 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
       "createdTime" -> existingMeta.map(_.createdTime)
         .getOrElse(System.currentTimeMillis()))
 
+    // carry the table's EXISTING protocol forward: a sync commit writing
+    // the (1,2) floor after an upgrade (ADD CONSTRAINT's writer-v3/v7
+    // raise, a feature table adopted from delta-spark) would DOWNGRADE
+    // the table — latest protocol action wins per the Delta spec, and
+    // the features in force would lose their license. Creation keeps the
+    // (1,2) floor; on existing tables the protocol line only restates
+    // what the log already holds.
+    val protoMap: Map[String, Any] =
+      DeltaSnapshot.protocolInfo(spark, tablePath, versions)
+        .map(p => Map[String, Any](
+          "minReaderVersion" -> p.minReaderVersion,
+          "minWriterVersion" -> p.minWriterVersion) ++
+          (if (p.readerFeatures.nonEmpty)
+            Map("readerFeatures" -> p.readerFeatures) else Map.empty) ++
+          (if (p.writerFeatures.nonEmpty)
+            Map("writerFeatures" -> p.writerFeatures) else Map.empty))
+        .getOrElse(Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))
     val header = Iterator(
-      Jsons.toJson(Map("protocol" ->
-        Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))),
+      Jsons.toJson(Map("protocol" -> protoMap)),
       Jsons.toJson(Map("metaData" -> metaNode)),
       Jsons.toJson(Map("commitInfo" -> Map(
         "timestamp" -> System.currentTimeMillis(),

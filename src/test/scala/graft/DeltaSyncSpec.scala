@@ -98,4 +98,37 @@ class DeltaSyncSpec extends SparkSuite {
     assert(new DeltaConversionSource(spark, target, "nation")
       .currentSnapshot().files.count() == 2)
   }
+
+  test("a resync never downgrades an upgraded protocol") {
+    val srcDir = tmpDir("proto_src")
+    spark.read.parquet(sf("sf0.001/nation.parquet")).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val target = tmpDir("proto_delta")
+    syncFull(srcDir, "nation", target)
+    // ADD CONSTRAINT raises the writer version (3, or feature-listed 7)
+    DeltaConstraints.addCheck(spark, target, "pos_key",
+      "n_nationkey >= 0")
+    val conf = graft.util.HadoopConfs.session(spark)
+    def proto() = DeltaSnapshot.protocolInfo(spark, target,
+      DeltaLog.listVersions(target, conf)).get
+    val raised = proto()
+    assert(raised.minWriterVersion >= 3, raised.toString)
+    // new source file → resync writes another commit; the protocol line
+    // it carries must restate the raise, not the (1,2) creation floor
+    spark.read.parquet(sf("sf0.001/region.parquet"))
+      .select((col("r_regionkey") + 100).cast("int").as("n_nationkey"),
+        col("r_name").as("n_name"), lit(0).cast("int").as("n_regionkey"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    syncFull(srcDir, "nation", target)
+    val after = proto()
+    assert(after.minWriterVersion == raised.minWriterVersion &&
+      after.writerFeatures == raised.writerFeatures,
+      s"resync downgraded $raised to $after")
+    // and the constraint still enforces on writes
+    intercept[Exception] {
+      DeltaWrite.write(spark, target,
+        spark.read.parquet(srcDir).limit(1)
+          .withColumn("n_nationkey", lit(-5L)), overwrite = false)
+    }
+  }
 }
