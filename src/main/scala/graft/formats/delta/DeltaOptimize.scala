@@ -54,7 +54,8 @@ object DeltaOptimize {
     * predicate resolves naturally; a predicate naming a non-partition
     * column fails analysis loudly.
     */
-  private def filterByPartition(snap: graft.model.TableSnapshot,
+  // shared with the Paimon optimizer (same listing/partition model)
+  private[graft] def filterByPartition(snap: graft.model.TableSnapshot,
       listing: Dataset[FileEntry], whereSql: Option[String])
       : Dataset[FileEntry] = whereSql match {
     case None => listing

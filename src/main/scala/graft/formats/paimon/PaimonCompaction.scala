@@ -34,25 +34,38 @@ object PaimonCompaction {
 
   def compact(spark: SparkSession, tablePath: String,
       targetFileBytes: Long = 128L << 20,
-      minFileBytes: Long = 32L << 20): Result = {
+      minFileBytes: Long = 32L << 20,
+      where: Option[String] = None,
+      zorderBy: Seq[String] = Nil): Result = {
     import spark.implicits._
     val path = graft.util.PathUtils.canonical(tablePath)
     val src = new PaimonConversionSource(spark, path,
       path.stripSuffix("/").split('/').last)
     val snap = src.currentSnapshot()
-    val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
+    zorderBy.foreach(c =>
+      require(snap.table.schema.fieldNames.contains(c),
+        s"zorder column $c is not in the table schema"))
+    // WHERE scopes by partition values (the Delta optimizer's grammar)
+    val listing = graft.formats.delta.DeltaOptimize.filterByPartition(
+      snap, graft.plans.SnapshotFileIndex.listingFor(snap), where)
 
     def partKey(f: FileEntry): String =
       f.partitionValues.map(p => s"${p.field}=${p.value}").mkString("/")
-    val keyed = listing.map(f => (partKey(f), f)).toDF("pk", "f")
-    val eligible = keyed.groupBy("pk")
-      .agg(sum(when(col("f.fileSizeBytes") < minFileBytes, 1L)
-        .otherwise(0L)).as("small"))
-      .filter(col("small") >= 2).select("pk")
-    val candidates = keyed.join(eligible, "pk")
-      .filter(col("f.fileSizeBytes") < minFileBytes)
-      .select("f.*").as[FileEntry]
-      .localCheckpoint()
+    // z-order rewrites everything in scope (clustering is the point);
+    // plain compaction folds only partitions with >=2 small files
+    val candidates =
+      if (zorderBy.nonEmpty) listing.localCheckpoint()
+      else {
+        val keyed = listing.map(f => (partKey(f), f)).toDF("pk", "f")
+        val eligible = keyed.groupBy("pk")
+          .agg(sum(when(col("f.fileSizeBytes") < minFileBytes, 1L)
+            .otherwise(0L)).as("small"))
+          .filter(col("small") >= 2).select("pk")
+        keyed.join(eligible, "pk")
+          .filter(col("f.fileSizeBytes") < minFileBytes)
+          .select("f.*").as[FileEntry]
+          .localCheckpoint()
+      }
     if (candidates.isEmpty) return Result(0L, 0L, 0L)
 
     val agg0 = candidates.agg(count(lit(1)), sum("fileSizeBytes")).head()
@@ -64,7 +77,14 @@ object PaimonCompaction {
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
       .filter(rows.columns.contains)
     val packed =
-      if (partCols.nonEmpty)
+      if (zorderBy.nonEmpty) {
+        val z = graft.operators.ZOrder.zValue(rows, zorderBy)
+        val rangeCols = partCols.map(col) :+ col("__zval")
+        rows.withColumn("__zval", z)
+          .repartitionByRange(nOut.toInt, rangeCols: _*)
+          .sortWithinPartitions(rangeCols: _*)
+          .drop("__zval")
+      } else if (partCols.nonEmpty)
         rows.repartition(nOut.toInt, partCols.map(col): _*)
       else rows.repartition(nOut.toInt)
 
@@ -81,7 +101,9 @@ object PaimonCompaction {
     val wrote = adds.count()
 
     val victims = candidates.select(col("path").as("__vp"))
-    val survivors = listing.toDF()
+    // survivors come from the FULL live set — a WHERE-scoped rewrite
+    // must carry the out-of-scope partitions forward untouched
+    val survivors = graft.plans.SnapshotFileIndex.listingFor(snap).toDF()
       .join(victims, col("path") === col("__vp"), "left_anti")
       .drop("__vp").as[FileEntry]
     val altered = snap.copy(files = survivors.unionByName(adds))

@@ -60,10 +60,8 @@ object GraftSqlCommands {
           val n = graft.formats.hudi.HudiLogFiles.compact(spark, path)
           Row(n, n)
         case "PAIMON" =>
-          require(zorderBy.isEmpty && where.isEmpty,
-            "GRAFT OPTIMIZE on Paimon is small-file bin-packing — " +
-              "ZORDER BY and WHERE are not supported")
-          val r = graft.formats.paimon.PaimonCompaction.compact(spark, path)
+          val r = graft.formats.paimon.PaimonCompaction.compact(spark,
+            path, where = where, zorderBy = zorderBy)
           Row(r.rewrote, r.wrote)
         case other => throw new IllegalArgumentException(
           s"GRAFT OPTIMIZE: unsupported table format $other at $path")

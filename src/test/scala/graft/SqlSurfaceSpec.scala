@@ -306,6 +306,47 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got == " where x")
   }
 
+  test("GRAFT OPTIMIZE on Paimon: ZORDER clusters, WHERE scopes") {
+    import spark.implicits._
+    val t = tmpDir("sql_popt")
+    (0L until 4000L).map(i => ((i * 2654435761L) % 4000L, s"g${i % 2}"))
+      .toDF("id", "grp")
+      .repartition(8)
+      .write.format("graft").option("tableFormat", "paimon")
+      .partitionBy("grp").mode("append").save(t)
+    // WHERE scopes the rewrite to one partition
+    val r1 = gs.sql(s"GRAFT OPTIMIZE '$t' WHERE grp = 'g0'").head()
+    assert(r1.getLong(0) >= 2 && r1.getLong(1) < r1.getLong(0))
+    val snap1 = new graft.formats.paimon.PaimonConversionSource(
+      spark, t, "t").currentSnapshot()
+    val byPart = snap1.files.collect()
+      .groupBy(_.partitionValues.head.value).view.mapValues(_.length).toMap
+    assert(byPart("g0") < byPart("g1"),
+      s"WHERE should compact only g0: $byPart")
+
+    // ZORDER through SQL: whole-scope rewrite, rows unchanged
+    val r2 = gs.sql(s"GRAFT OPTIMIZE '$t' ZORDER BY (id)").head()
+    assert(r2.getLong(0) >= byPart("g1"))
+    assert(graft.formats.delta.DeltaRead.toDataFrame(spark,
+      new graft.formats.paimon.PaimonConversionSource(spark, t, "t")
+        .currentSnapshot()).count() == 4000)
+
+    // clustering visible once the target size forces multiple files:
+    // per-file id bounds must narrow below the full domain
+    graft.formats.paimon.PaimonCompaction.compact(spark, t,
+      targetFileBytes = 2L << 10, zorderBy = Seq("id"))
+    val snap2 = new graft.formats.paimon.PaimonConversionSource(
+      spark, t, "t").currentSnapshot()
+    val stats = snap2.files.collect().flatMap(_.columnStats)
+      .filter(_.field == "id")
+    val narrow = stats.count(s =>
+      s.max.get.toLong - s.min.get.toLong < 3000)
+    assert(stats.length > 2 && narrow > 0,
+      s"no clustered bounds: ${stats.map(s => (s.min, s.max)).toSeq}")
+    assert(graft.formats.delta.DeltaRead.toDataFrame(spark, snap2)
+      .count() == 4000)
+  }
+
   test("GRAFT CREATE / REFRESH BLOOM INDEX: build, guard rails, refresh") {
     val t = deltaTable("sql_bloom")
     val r = gs.sql(s"GRAFT CREATE BLOOM INDEX ON '$t' (n_name)").head()
