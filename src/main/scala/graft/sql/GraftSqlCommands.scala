@@ -54,11 +54,17 @@ object GraftSqlCommands {
             spark, path, "optimize").currentSnapshot().files.count()
           Row(if (done) 1L else 0L, after)
         case "HUDI" =>
-          require(zorderBy.isEmpty && where.isEmpty,
-            "GRAFT OPTIMIZE on Hudi is MOR log compaction — ZORDER BY " +
-              "and WHERE are not supported")
-          val n = graft.formats.hudi.HudiLogFiles.compact(spark, path)
-          Row(n, n)
+          require(where.isEmpty,
+            "GRAFT OPTIMIZE WHERE is not supported on Hudi — log " +
+              "compaction and clustering are whole-table")
+          if (zorderBy.isEmpty) {
+            val n = graft.formats.hudi.HudiLogFiles.compact(spark, path)
+            Row(n, n)
+          } else {
+            val r = graft.formats.hudi.HudiClustering.zorder(spark, path,
+              zorderBy)
+            Row(r.rewrote, r.wrote)
+          }
         case "PAIMON" =>
           val r = graft.formats.paimon.PaimonCompaction.compact(spark,
             path, where = where, zorderBy = zorderBy)

@@ -306,6 +306,41 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got == " where x")
   }
 
+  test("GRAFT OPTIMIZE ZORDER on Hudi: replacecommit clustering, " +
+    "unabsorbed logs refuse") {
+    val dataDir = tmpDir("sqlhz_data")
+    spark.read.parquet(sf("sf0.001") + "/nation.parquet").repartition(4)
+      .write.mode("overwrite").parquet(dataDir)
+    val hudi = tmpDir("sqlhz_hudi")
+    val src = new ParquetDirectorySource(spark, dataDir, "nation")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.hudi.HudiConversionTarget(spark, hudi)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+    val r = gs.sql(s"GRAFT OPTIMIZE '$hudi' ZORDER BY (n_nationkey)").head()
+    assert(r.getLong(0) == 4, r.toString)
+    val instants = graft.formats.hudi.HudiTimeline.listInstants(hudi)
+    assert(graft.formats.hudi.HudiTimeline.readCommit(hudi, instants.last)
+      .action == "replacecommit", "clustering must land as replacecommit")
+    val back = new graft.formats.hudi.HudiConversionSource(
+      spark, hudi, "nation")
+    assert(back.toDataFrame.count() == 25)
+
+    // row-level logs land → a base-only clustering rewrite must refuse
+    // (flip the table to MOR so the upsert writes logs)
+    graft.formats.hudi.HudiTimeline.writeProperties(hudi, "nation",
+      "MERGE_ON_READ")
+    graft.formats.hudi.HudiLogFiles.upsert(spark, hudi,
+      back.toDataFrame.limit(2).withColumn("n_name", lit("YY")),
+      Seq("n_nationkey"))
+    val e = intercept[Exception] {
+      gs.sql(s"GRAFT OPTIMIZE '$hudi' ZORDER BY (n_nationkey)").collect()
+    }
+    assert(e.getMessage.contains("unabsorbed") ||
+      Option(e.getCause).exists(_.getMessage.contains("unabsorbed")))
+  }
+
   test("GRAFT OPTIMIZE on Paimon: ZORDER clusters, WHERE scopes") {
     import spark.implicits._
     val t = tmpDir("sql_popt")
