@@ -768,9 +768,14 @@ object PipelineQueries {
     val stage = graft.util.TempDirs.create("graft_stream_mh_gate")
     val out = graft.util.TempDirs.create("graft_stream_mh_out")
     val ckpt = graft.util.TempDirs.create("graft_stream_mh_ckpt")
+    // a 1/2 corpus slice (the MV-gate precedent): the state store writes
+    // one entry per (doc, band) and the slice halves that fixed cost
+    // while the oracle's pair set still spans the batch boundary (3 of
+    // its 6 sf0.01 pairs are cross-split)
     val raw = s.read.parquet(s"$dir/documents.parquet")
-    Seq(0, 1).foreach { half =>
-      raw.filter(col("doc_id") % 2 === half).coalesce(1)
+      .filter(col("doc_id") % 2 === 0)
+    Seq(0, 2).foreach { half =>
+      raw.filter(col("doc_id") % 4 === half).coalesce(1)
         .write.parquet(s"$stage/half-$half")
       val part = new java.io.File(s"$stage/half-$half").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -792,7 +797,21 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val streamingDedupMinhashSql: String = dedupMinhashLshSql
+  val streamingDedupMinhashSql: String =
+    """WITH d AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |        FROM d)
+      |  WHERE len(w) >= 3)
+      |SELECT doc_a, doc_b, j AS jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.grams,b.grams))) AS j
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |WHERE j >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
 
   /** PQ top-k — the compressed-corpus ANN serving shape — gated on the
     * same contract as `ann_ivf_topk` (quantization bounds the candidate
