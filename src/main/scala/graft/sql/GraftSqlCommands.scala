@@ -23,10 +23,13 @@ object GraftSqlCommands {
     * format-shaped: Delta reports (files rewritten, files written);
     * Iceberg runs the delete-applying [+ z-ordering] REPLACE rewrite
     * and reports (1 if a rewrite committed else 0, live files after);
-    * Hudi folds MOR log files
-    * into fresh base files and reports (rows compacted, rows
-    * compacted) — Hudi/Paimon refuse ZORDER and WHERE scoping loudly
-    * rather than ignore them.
+    * Hudi without ZORDER folds MOR log files into fresh base files
+    * (rows compacted twice), with ZORDER rewrites the COW base files
+    * clustered as one replacecommit; Paimon bin-packs small files (or
+    * clusters with ZORDER) and honours partition-scoped WHERE. The
+    * remaining refusals are loud and principled: WHERE on Iceberg (the
+    * REPLACE conflict story is pinned whole-table) and on Hudi
+    * (compaction/clustering are whole-table).
     */
   case class OptimizeCommand(path: String, zorderBy: Seq[String],
       where: Option[String] = None)
