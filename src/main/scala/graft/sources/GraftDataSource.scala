@@ -141,6 +141,10 @@ class GraftDataSource extends RelationProvider
           .foreach(k => throw new IllegalArgumentException(
             s"option $k only applies to change-feed reads — pass " +
               "readChangeFeed=true (or drop it)"))
+      if (parameters.contains("tableFormat"))
+        throw new IllegalArgumentException(
+          "tableFormat is a WRITE option (it selects the format a new " +
+            "table is created in); reads auto-detect the format — drop it")
       if (cdf && travel.nonEmpty)
         throw new IllegalArgumentException(
           s"readChangeFeed and ${travel.mkString("/")} are mutually " +

@@ -137,6 +137,8 @@ class ErrorPathSpec extends SparkSuite {
       .contains("mutually exclusive"))
     // branch on a non-Iceberg table: documented refusal
     assert(refuse("branch" -> "b").contains("Iceberg"))
+    // tableFormat is the writer's format selector — reads auto-detect
+    assert(refuse("tableFormat" -> "iceberg").contains("WRITE option"))
     // the servable combinations still serve
     assert(spark.read.format("graft").option("versionAsOf", "0")
       .load(t).count() > 0)
