@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 
 import graft.model.TableSnapshot
 import graft.plans.SnapshotFileIndex
@@ -32,7 +32,7 @@ import graft.plans.SnapshotFileIndex
   */
 class GraftDataSource extends RelationProvider
   with CreatableRelationProvider with StreamSourceProvider
-  with DataSourceRegister {
+  with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -63,6 +63,61 @@ class GraftDataSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source =
     graft.streaming.GraftStreamSource.fromOptions(
       sqlContext.sparkSession, parameters, schema)
+
+  /** `df.writeStream.format("graft").option("tableFormat", ...)` — the
+    * exactly-once micro-batch sinks behind one format string. Every
+    * batch lands through the per-format txn-stamped append (replays
+    * skipped); `appId` defaults to a stable hash of the checkpoint
+    * location, so one checkpoint = one idempotence ledger.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sinks are append-only (got $outputMode)")
+    require(partitionColumns.isEmpty,
+      "partitionBy on the graft stream sink is not supported — " +
+        "pre-partition the table via a batch write, then append")
+    def opt(k: String) = parameters.collectFirst {
+      case (pk, v) if pk.equalsIgnoreCase(k) => v
+    }
+    val path = graft.util.PathUtils.canonical(parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft stream sink needs a path")))
+    val detected = CatalogConversionSource.detectFormat(path)
+    val requested = opt("tableFormat").map(_.toUpperCase)
+    val fmt =
+      if (detected != graft.model.TableFormats.Parquet) {
+        requested.filter(_ != detected).foreach(r =>
+          throw new IllegalArgumentException(
+            s"table at $path is $detected; tableFormat=$r disagrees"))
+        detected
+      } else requested.getOrElse(graft.model.TableFormats.Delta)
+    val appId = opt("appId").getOrElse(
+      "graft-" + Integer.toHexString(
+        opt("checkpointLocation").getOrElse(path).hashCode))
+    val spark = sqlContext.sparkSession
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val batch = org.apache.spark.sql.GraftShims.asBatch(data)
+        fmt match {
+          case graft.model.TableFormats.Delta =>
+            graft.formats.delta.DeltaStreamSink
+              .appendBatch(spark, path, batch, appId, batchId)
+          case graft.model.TableFormats.Iceberg =>
+            graft.formats.iceberg.IcebergStreamSink
+              .appendBatch(spark, path, batch, appId, batchId)
+          case graft.model.TableFormats.Hudi =>
+            graft.formats.hudi.HudiStreamSink
+              .appendBatch(spark, path, batch, appId, batchId)
+          case graft.model.TableFormats.Paimon =>
+            graft.formats.paimon.PaimonStreamSink
+              .appendBatch(spark, path, batch, appId, batchId)
+        }
+      }
+      override def toString: String = s"GraftSink[$fmt, $path]"
+    }
+  }
 
   /** `df.write.format("graft").mode(...).save(path)` — lands the rows in
     * a graft-managed Delta table (created on first write; hive partition

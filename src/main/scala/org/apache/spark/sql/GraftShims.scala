@@ -23,4 +23,15 @@ object GraftShims {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse, for DSv1 `Sink.addBatch`: the engine hands the batch
+    * as a streaming-planned Dataset that batch writers refuse — re-wrap
+    * its physical rows as a plain batch DataFrame (delta-spark's
+    * DeltaSink does the same).
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

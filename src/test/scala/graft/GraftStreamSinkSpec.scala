@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** `df.writeStream.format("graft")` — the four exactly-once sinks
+  * behind one format string (DSv1 StreamSinkProvider).
+  */
+class GraftStreamSinkSpec extends SparkSuite {
+
+  private def stage(prefix: String, halves: Seq[DataFrame]): String = {
+    val dir = tmpDir(prefix)
+    halves.zipWithIndex.foreach { case (h, i) =>
+      h.coalesce(1).write.parquet(s"$dir/h$i")
+      val part = new java.io.File(s"$dir/h$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, s"batch-$i.parquet"))
+    }
+    dir
+  }
+
+  private def rows(from: Long, until: Long): DataFrame = {
+    import spark.implicits._
+    (from until until).map(i => (i, s"v$i")).toDF("id", "name")
+  }
+
+  test("delta: the sink creates the table and lands batches exactly once") {
+    val all = rows(0, 80)
+    val in = stage("gsk_delta_in",
+      Seq(all.filter(col("id") < 40), all.filter(col("id") >= 40)))
+    val table = tmpDir("gsk_delta_tbl")
+    val ckpt = tmpDir("gsk_delta_ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.format("graft")
+        .option("path", table).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.format("graft").load(table).count() == 80)
+    // resumed drain with nothing new: no duplicate rows
+    drain()
+    assert(spark.read.format("graft").load(table).count() == 80)
+  }
+
+  test("iceberg + paimon + hudi: routed by tableFormat / detection, " +
+    "appends exactly once") {
+    for (fmt <- Seq("iceberg", "paimon", "hudi")) {
+      val all = rows(0, 60)
+      // seed the table through the batch writer (the non-delta sinks
+      // append to existing tables)
+      val table = tmpDir(s"gsk_${fmt}_tbl")
+      all.filter(col("id") < 20).write.format("graft")
+        .option("tableFormat", fmt).mode("append").save(table)
+      val in = stage(s"gsk_${fmt}_in",
+        Seq(all.filter(col("id") >= 20 && col("id") < 40),
+          all.filter(col("id") >= 40)))
+      val ckpt = tmpDir(s"gsk_${fmt}_ckpt")
+      def drain(withFmt: Boolean): Unit = {
+        val w = spark.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .writeStream.format("graft")
+          .option("path", table).option("checkpointLocation", ckpt)
+        val q = (if (withFmt) w.option("tableFormat", fmt) else w)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain(withFmt = true)
+      assert(spark.read.format("graft").load(table).count() == 60, fmt)
+      drain(withFmt = false) // format auto-detected; nothing new
+      assert(spark.read.format("graft").load(table).count() == 60, fmt)
+    }
+  }
+
+  test("refusals: non-append mode, partitionBy, format disagreement") {
+    val all = rows(0, 10)
+    val in = stage("gsk_ref_in", Seq(all))
+    val table = tmpDir("gsk_ref_tbl")
+    all.write.format("graft").option("tableFormat", "iceberg")
+      .mode("append").save(table)
+    intercept[Exception] {
+      spark.readStream.schema(all.schema).parquet(in)
+        .groupBy("name").count()
+        .writeStream.format("graft").outputMode("complete")
+        .option("path", table)
+        .option("checkpointLocation", tmpDir("gsk_ref_c1"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    intercept[Exception] {
+      spark.readStream.schema(all.schema).parquet(in)
+        .writeStream.format("graft").partitionBy("name")
+        .option("path", table)
+        .option("checkpointLocation", tmpDir("gsk_ref_c2"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    intercept[Exception] {
+      spark.readStream.schema(all.schema).parquet(in)
+        .writeStream.format("graft").option("tableFormat", "hudi")
+        .option("path", table)
+        .option("checkpointLocation", tmpDir("gsk_ref_c3"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+  }
+}
