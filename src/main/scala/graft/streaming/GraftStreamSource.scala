@@ -32,9 +32,12 @@ import graft.util.{HadoopConfs, Jsons, PathUtils}
   *
   * Scale shape: `getOffset` reads only the metadata plane head (one
   * driver round-trip); `getBatch` builds the same distributed scan the
-  * batch reader plans (partition pruning + stats skipping via
-  * SnapshotFileIndex) and re-wraps it with the streaming flag — no rows
-  * ever pass through the driver.
+  * batch reader plans and re-wraps it with the streaming flag — no rows
+  * ever pass through the driver. Note the `isStreaming` re-wrap compiles
+  * the inner plan, so the STREAM's own filters apply on top of the
+  * micro-batch scan rather than pushing into it (delta-spark's
+  * DeltaSource has the same LogicalRDD boundary); per-commit batches
+  * are already the minimal file set, which bounds the cost.
   *
   * Trigger note: under `Trigger.AvailableNow` Spark wraps DSv1 sources
   * in single-batch execution — one batch up to the head seen at start
