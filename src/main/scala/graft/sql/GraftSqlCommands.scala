@@ -337,6 +337,23 @@ object GraftSqlCommands {
     }
   }
 
+  /** Commit history as rows (version, timestamp_ms, operation) — the
+    * `history` metadata table behind a statement; row count = the
+    * table's commit count, the one metadata plane that IS driver-sized.
+    */
+  case class ShowHistoryCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
+      AttributeReference("timestamp_ms", LongType, nullable = false)(),
+      AttributeReference("operation",
+        org.apache.spark.sql.types.StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      spark.read.format("graft").option("metaTable", "history")
+        .load(path).collect().toSeq
+        .sortBy(r => (r.getLong(1), r.getString(0)))
+  }
+
   case class AlterTableCommand(path: String, op: graft.sync.AlterTable.Op)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(

@@ -33,6 +33,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT ALTER TABLE '<table>' ADD COLUMN <name> <type>
   *   GRAFT ALTER TABLE '<table>' RENAME COLUMN <a> TO <b>
   *   GRAFT ALTER TABLE '<table>' DROP COLUMN <name>
+  *   GRAFT SHOW HISTORY '<table>'
   * }}}
   *
   * Each command plans as a `LeafRunnableCommand`
@@ -78,6 +79,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val AlterDrop: Regex =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val ShowHistory: Regex =
+    """(?is)\s*GRAFT\s+SHOW\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
   /** Split a SET clause on top-level commas (not inside parens/quotes). */
   private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
@@ -155,6 +158,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CloneCommand(srcPath, dstPath, Option(v).map(_.toLong))
     case Sync(srcPath, name, fmt, tgtPath) =>
       SyncCommand(srcPath, name, fmt, tgtPath)
+    case ShowHistory(path) => ShowHistoryCommand(path)
     case AlterRename(path, from, to) =>
       AlterTableCommand(path, graft.sync.AlterTable.RenameColumn(from, to))
     case AlterDrop(path, name) =>

@@ -306,6 +306,17 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(got == " where x")
   }
 
+  test("GRAFT SHOW HISTORY lists commits across formats") {
+    val t = deltaTable("sql_hist")
+    gs.sql(s"GRAFT DELETE FROM '$t' WHERE n_nationkey = 0").collect()
+    val hist = gs.sql(s"GRAFT SHOW HISTORY '$t'").collect()
+    assert(hist.length == 2, hist.mkString(";"))
+    assert(hist.map(_.getString(2)).contains("GRAFT SYNC"))
+    // timestamps ordered ascending
+    assert(hist.map(_.getLong(1)).toSeq == hist.map(_.getLong(1))
+      .toSeq.sorted)
+  }
+
   test("GRAFT OPTIMIZE ZORDER on Hudi: replacecommit clustering, " +
     "unabsorbed logs refuse") {
     val dataDir = tmpDir("sqlhz_data")
