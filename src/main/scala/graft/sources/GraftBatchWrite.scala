@@ -81,44 +81,67 @@ object GraftBatchWrite {
         else graft.model.Layout.Flat,
         System.currentTimeMillis()))
 
-    // commit with CAS-loss retry: a concurrent writer advancing the
-    // table between our live-set read and the commit is NOT a conflict
-    // for an append (and an overwrite's victim set is whatever is live
-    // at commit time) — recompute the live set against the new head and
-    // re-land. Bounded; any non-CAS error surfaces immediately.
+    // Commit discipline, learned from a race the ConcurrencySpec caught:
+    // APPENDS must NEVER go through a full-set snapshot diff — a commit
+    // landing between the live-set read and the diff would have its
+    // files absent from the "full" set and be diffed away as removes
+    // (silent row loss). Appends therefore use each format's ADDITIVE
+    // primitive: Iceberg's conflict-retried appendDataFiles, and the
+    // Hudi/Paimon targets' syncFilesForDiff(adds, ∅) — no anti-join
+    // against a stale live set exists anywhere on the append path.
+    // CREATE and OVERWRITE stay full-set snapshot syncs (overwrite
+    // REPLACES the table as of its commit — a concurrent append losing
+    // to an overwrite is overwrite semantics, not a race bug); their
+    // CAS losses retry bounded.
     var attempt = 0
     var done = false
     while (!done) {
-      val live = CatalogConversionSource.detectFormat(path) match {
-        case graft.model.TableFormats.Parquet => None
-        case _ => Some(CatalogConversionSource.fromPath(spark, path, name))
-      }
-      val files = live match {
-        case Some(src) if !overwrite =>
-          graft.plans.SnapshotFileIndex.listingFor(src.currentSnapshot())
-            .unionByName(adds)
-        case _ => adds
-      }
-      val snapshot = TableSnapshot(table, files,
-        s"${System.currentTimeMillis()}-$attempt")
-      val target: graft.spi.ConversionTarget = fmt match {
-        case "ICEBERG" =>
-          new graft.formats.iceberg.IcebergConversionTarget(spark, path)
-        case "HUDI" =>
-          new graft.formats.hudi.HudiConversionTarget(spark, path)
-        case "PAIMON" =>
-          new graft.formats.paimon.PaimonConversionTarget(spark, path)
-      }
-      val outcomes = graft.sync.TableFormatSync.syncSnapshot(Seq(target),
-        snapshot, "GRAFT_WRITE")
-      outcomes.find(_.status != "SUCCESS") match {
-        case None => done = true
-        case Some(o) if o.error.exists(_.contains("concurrent writer")) &&
-            attempt < 5 =>
+      val liveNow = CatalogConversionSource.detectFormat(path) !=
+        graft.model.TableFormats.Parquet
+      try {
+        if (liveNow && !overwrite) {
+          fmt match {
+            case "ICEBERG" =>
+              graft.formats.iceberg.IcebergDeletes.appendDataFiles(
+                spark, path, staged)
+            case _ =>
+              import spark.implicits._
+              val target: graft.spi.ConversionTarget =
+                if (fmt == "HUDI")
+                  new graft.formats.hudi.HudiConversionTarget(spark, path)
+                else
+                  new graft.formats.paimon.PaimonConversionTarget(spark, path)
+              target.beginSync(table)
+              target.syncSchema(table.schema)
+              target.syncPartitionSpec(table.partitionFields)
+              target.syncFilesForDiff(graft.model.FilesDelta(adds,
+                spark.emptyDataset[graft.model.FileEntry]))
+              target.completeSync()
+          }
+          done = true
+        } else {
+          val snapshot = TableSnapshot(table, adds,
+            s"${System.currentTimeMillis()}-$attempt")
+          val target: graft.spi.ConversionTarget = fmt match {
+            case "ICEBERG" =>
+              new graft.formats.iceberg.IcebergConversionTarget(spark, path)
+            case "HUDI" =>
+              new graft.formats.hudi.HudiConversionTarget(spark, path)
+            case "PAIMON" =>
+              new graft.formats.paimon.PaimonConversionTarget(spark, path)
+          }
+          val outcomes = graft.sync.TableFormatSync.syncSnapshot(
+            Seq(target), snapshot, "GRAFT_WRITE")
+          outcomes.find(_.status != "SUCCESS").foreach(o =>
+            throw new IllegalStateException(
+              s"graft write to $fmt failed: $o"))
+          done = true
+        }
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("concurrent writer") && attempt < 5 =>
           attempt += 1
           Thread.sleep(50L * attempt)
-        case Some(o) =>
-          throw new IllegalStateException(s"graft write to $fmt failed: $o")
       }
     }
   }

@@ -466,6 +466,46 @@ class ConcurrencySpec extends SparkSuite {
       .contains(1L))
   }
 
+  test("stream-sink batch races a batch append on iceberg: both land, " +
+    "txn recorded") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    import spark.implicits._
+    val target = tmpDir("gsk_race")
+    (0L until 40L).map(i => (i, s"v$i")).toDF("id", "name")
+      .write.format("graft").option("tableFormat", "iceberg")
+      .mode("append").save(target)
+    val streamRows = (100L until 140L).map(i => (i, s"v$i"))
+      .toDF("id", "name")
+    val batchRows = (200L until 240L).map(i => (i, s"v$i"))
+      .toDF("id", "name")
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    pool.execute { () =>
+      start.await()
+      try graft.formats.iceberg.IcebergStreamSink.appendBatch(
+        spark, target, streamRows, "gsk_race_app", 0L)
+      catch { case th: Throwable => failures.add(th) }
+    }
+    pool.execute { () =>
+      start.await()
+      try batchRows.write.format("graft").option("tableFormat", "iceberg")
+        .mode("append").save(target)
+      catch { case th: Throwable => failures.add(th) }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, failures.toString)
+    assert(spark.read.format("graft").load(target).count() == 120)
+    assert(graft.formats.iceberg.IcebergStreamSink
+      .lastTxnVersion(spark, target, "gsk_race_app").contains(0L))
+    // and the replay of the landed stream batch is still a no-op
+    assert(!graft.formats.iceberg.IcebergStreamSink.appendBatch(
+      spark, target, streamRows, "gsk_race_app", 0L))
+    assert(spark.read.format("graft").load(target).count() == 120)
+  }
+
   test("racing batch writers (tableFormat=iceberg): both appends land") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     import org.apache.spark.sql.functions.col
