@@ -70,8 +70,11 @@ object HudiClustering {
     val altered = snap.copy(files = adds,
       commitId = s"${System.currentTimeMillis()}-cluster")
     val target = new HudiConversionTarget(spark, path)
+    // pin the planning instant: a concurrent commit landing since
+    // currentSnapshot() must fail this CAS loudly — a silent rebase would
+    // diff away its appends or resurrect its deletes via the rewrites
     val outcomes = graft.sync.TableFormatSync.syncSnapshot(Seq(target),
-      altered, src.sourceFormat)
+      altered, src.sourceFormat, expectBase = Some(snap.commitId))
     outcomes.find(_.status != "SUCCESS").foreach(o =>
       throw new IllegalStateException(s"hudi clustering failed: $o"))
     graft.plans.SnapshotFileIndex.invalidate(snap)

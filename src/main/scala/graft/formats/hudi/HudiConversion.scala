@@ -408,6 +408,7 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
   private var pendingAdds: Option[Dataset[FileEntry]] = None
   private var pendingRemoves: Option[Dataset[FileEntry]] = None
   private var extraStamps: Map[String, String] = Map.empty
+  private var expectedBase: Option[String] = None
 
   private def source = new HudiConversionSource(spark, tablePath, "target")
 
@@ -422,9 +423,18 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
     table = t; schema = t.schema
     pendingAdds = None; pendingRemoves = None
     extraStamps = Map.empty
+    expectedBase = None
     if (!HudiTimeline.exists(tablePath))
       HudiTimeline.writeProperties(tablePath, t.name)
   }
+
+  /** CAS pin for read-modify-write full-set syncs: commit ids on Hudi are
+    * timeline instants. Checked in [[completeSync]] — a writer that
+    * advanced the timeline past the caller's planning instant fails the
+    * commit loudly instead of having its files diffed away as removes.
+    */
+  override def expectBaseCommit(commitId: String): Unit =
+    expectedBase = Some(commitId)
 
   override def syncMetadata(m: SyncMetadata): Unit = syncMeta = Some(m)
   override def syncSchema(s: StructType): Unit = schema = s
@@ -447,6 +457,15 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
   }
 
   override def completeSync(): Unit = {
+    expectedBase.foreach { planned =>
+      val head = HudiTimeline.listInstants(tablePath).lastOption
+        .getOrElse("")
+      if (head != planned)
+        throw new IllegalStateException(
+          s"concurrent writer advanced $tablePath from instant $planned " +
+            s"to $head since this operation planned its file set — " +
+            "re-run against the new snapshot")
+    }
     val instant = HudiTimeline.newInstant(tablePath)
     val tp = tablePath
     import spark.implicits._

@@ -134,6 +134,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
   private var syncMeta: Option[SyncMetadata] = None
   private var pendingAdds: Option[Dataset[FileEntry]] = None
   private var pendingRemoves: Option[Dataset[FileEntry]] = None
+  private var expectedBaseSeq: Option[Long] = None
 
   private def currentMeta: Option[IcebergTableMetadata] =
     IcebergMetadata.currentVersion(tablePath)
@@ -153,7 +154,16 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     table = t
     schema = withStableIds(t.schema)
     pendingAdds = None; pendingRemoves = None
+    expectedBaseSeq = None
   }
+
+  /** CAS pin for read-modify-write full-set syncs: commit ids on Iceberg
+    * are head sequence numbers. Checked in [[completeSync]] — a writer
+    * that advanced the head past the caller's planning snapshot fails the
+    * commit loudly instead of having its files diffed away as removes.
+    */
+  override def expectBaseCommit(commitId: String): Unit =
+    expectedBaseSeq = Some(commitId.toLong)
 
   /** Roll back snapshots whose producing sync never completed — reference
     * IcebergConversionTarget.java:350+: a snapshot carrying a
@@ -226,6 +236,14 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
   override def completeSync(): Unit = {
     import scala.jdk.CollectionConverters._
     val prev = currentMeta
+    expectedBaseSeq.foreach { planned =>
+      val cur = prev.map(_.headSequence).getOrElse(0L)
+      if (cur != planned)
+        throw new IllegalStateException(
+          s"concurrent writer advanced $tablePath from sequence $planned " +
+            s"to $cur since this operation planned its file set — re-run " +
+            "against the new snapshot")
+    }
     val version = IcebergMetadata.currentVersion(tablePath).getOrElse(0L) + 1
     val seq = prev.map(_.lastSequenceNumber).getOrElse(0L) + 1
     val snapshotId = seq

@@ -108,8 +108,11 @@ object PaimonCompaction {
       .drop("__vp").as[FileEntry]
     val altered = snap.copy(files = survivors.unionByName(adds))
     val target = new PaimonConversionTarget(spark, path)
+    // pin the planning snapshot: a concurrent commit landing since
+    // currentSnapshot() must fail this CAS loudly — a silent rebase would
+    // diff away its appends or resurrect its deletes via the rewrites
     val outcomes = graft.sync.TableFormatSync.syncSnapshot(Seq(target),
-      altered, src.sourceFormat)
+      altered, src.sourceFormat, expectBase = Some(snap.commitId))
     outcomes.find(_.status != "SUCCESS").foreach(o =>
       throw new IllegalStateException(s"paimon compaction failed: $o"))
     graft.plans.SnapshotFileIndex.invalidate(snap)

@@ -172,6 +172,13 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     */
   def expectBaseSnapshot(id: Long): Unit = expectedBase = Some(id)
 
+  /** The sync-protocol spelling of [[expectBaseSnapshot]] (commit ids on
+    * Paimon ARE snapshot ids) — lets maintenance full-set syncs pin their
+    * planning snapshot through [[graft.sync.TableFormatSync.syncSnapshot]].
+    */
+  override def expectBaseCommit(commitId: String): Unit =
+    expectBaseSnapshot(commitId.toLong)
+
   /** Stamp the NEXT snapshot with Paimon's exactly-once commit identity
     * (`commitUser` + `commitIdentifier`) — the streaming sink's replay
     * marker, riding the same commit path as every sync.

@@ -127,7 +127,9 @@ case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       cols.map(c =>
         (c, f.partitionValues.find(_.field == c).map(_.value).orNull))
     }.distinct().collect()
-    if (raw.exists(_._2 == null)) return Map.empty
+    // empty listing (zero-file table): min/max over no values has no
+    // metadata answer — bail to the scan, which yields the correct nulls
+    if (raw.isEmpty || raw.exists(_._2 == null)) return Map.empty
     wanted.map { case (isMin, a) =>
       val field = pSchema.fields(pSchema.fieldIndex(a.name))
       val typed = raw.filter(_._1 == a.name).map(v =>

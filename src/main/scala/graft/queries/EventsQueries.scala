@@ -577,6 +577,23 @@ object EventsQueries {
 
   val streamingIcebergSourceSql: String = streamingGraftSourceSql
 
+  /** The streaming source over HUDI — offsets are timeline instants; the
+    * second commit is an incremental metadata sync and the tail batch
+    * rides the read-optimized incremental feed.
+    */
+  def streamingHudiSource(s: SparkSession, dir: String): DataFrame =
+    streamingSourceGate(s, dir, "hudi")
+
+  val streamingHudiSourceSql: String = streamingGraftSourceSql
+
+  /** The streaming source over PAIMON — offsets are snapshot ids; the
+    * tail batch comes from the delta manifest's ADD entries.
+    */
+  def streamingPaimonSource(s: SparkSession, dir: String): DataFrame =
+    streamingSourceGate(s, dir, "paimon")
+
+  val streamingPaimonSourceSql: String = streamingGraftSourceSql
+
   private def streamingSourceGate(s: SparkSession, dir: String,
       fmt: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -592,13 +609,20 @@ object EventsQueries {
       case "delta" =>
         graft.formats.delta.DeltaWrite.write(s, table,
           raw.filter(col("event_id") % 2 === half), overwrite = false)
-      case "iceberg" =>
+      case _ =>
         raw.filter(col("event_id") % 2 === half)
           .write.mode("append").parquet(seed)
         val src = new graft.sources.ParquetDirectorySource(s, seed, "events")
+        val target: graft.spi.ConversionTarget = fmt match {
+          case "iceberg" =>
+            new graft.formats.iceberg.IcebergConversionTarget(s, table)
+          case "hudi" =>
+            new graft.formats.hudi.HudiConversionTarget(s, table)
+          case "paimon" =>
+            new graft.formats.paimon.PaimonConversionTarget(s, table)
+        }
         val outcomes = graft.sync.TableFormatSync.syncSnapshot(
-          Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
-          src.currentSnapshot(), src.sourceFormat)
+          Seq(target), src.currentSnapshot(), src.sourceFormat)
         require(outcomes.forall(_.status == "SUCCESS"),
           outcomes.mkString(";"))
     }

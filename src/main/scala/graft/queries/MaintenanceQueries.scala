@@ -725,11 +725,16 @@ object MaintenanceQueries {
     }
 
     val merged = Seq("delta", "hudi", "iceberg", "paimon").map { fmt =>
-      val table = freshTable(fmt)
-      val r = gs.sql(s"GRAFT MERGE INTO '$table' USING '$srcDir' " +
-        "ON KEYS (r_regionkey)").head()
-      require(r.getLong(0) == 2 && r.getLong(1) == 2,
-        s"$fmt merge expected (2 matched, 2 inserted), got $r")
+      // per-format phase timing (bench `phases` key): a single-format
+      // regression must attribute, not hide inside the 4-format total
+      val table = graft.util.PhaseTimer.time(s"sql_merge_routed.$fmt") {
+        val t = freshTable(fmt)
+        val r = gs.sql(s"GRAFT MERGE INTO '$t' USING '$srcDir' " +
+          "ON KEYS (r_regionkey)").head()
+        require(r.getLong(0) == 2 && r.getLong(1) == 2,
+          s"$fmt merge expected (2 matched, 2 inserted), got $r")
+        t
+      }
       val back = fmt match {
         case "hudi" => new graft.formats.hudi.HudiConversionSource(
           s, table, "region", "snapshot").toDataFrame

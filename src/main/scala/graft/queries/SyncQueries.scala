@@ -683,6 +683,67 @@ object SyncQueries {
   val timeTravelDeltaSql: String =
     """SELECT count(*) AS v0_rows, 2*count(*) AS latest_rows FROM region""".stripMargin
 
+  /** SQL time-travel parity: the option-based snapshot reads
+    * (`time_travel_*` gates) as `SELECT ... VERSION AS OF` /
+    * `TIMESTAMP AS OF` over `USING graft` catalog tables
+    * ([[graft.sql.GraftTimeTravelRule]]) — Delta (two commits, pinned
+    * commit mtimes for a deterministic timestamp cut) and Iceberg (two
+    * appends, sequence-number versions).
+    */
+  def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val gs = graft.sql.GraftSql.session(s)
+    val region = s.read.parquet(s"$dir/region.parquet")
+    val dTab = graft.util.TempDirs.create("graft_sqltt_delta")
+    graft.formats.delta.DeltaWrite.write(s, dTab, region,
+      overwrite = false)
+    graft.formats.delta.DeltaWrite.write(s, dTab,
+      region.withColumn("r_regionkey", col("r_regionkey") + 100),
+      overwrite = false)
+    // delta resolves TIMESTAMP AS OF by commit-file mtime — pin both
+    Seq(0L -> 1000000L, 1L -> 2000000L).foreach { case (v, ts) =>
+      new java.io.File(graft.formats.delta.DeltaLog.versionFile(dTab, v))
+        .setLastModified(ts)
+    }
+    val iTab = graft.util.TempDirs.create("graft_sqltt_ice")
+    region.write.format("graft").option("tableFormat", "iceberg")
+      .mode("append").save(iTab)
+    region.withColumn("r_regionkey", col("r_regionkey") + 100)
+      .write.format("graft").option("tableFormat", "iceberg")
+      .mode("append").save(iTab)
+    gs.sql("CREATE DATABASE IF NOT EXISTS graft_gate")
+    gs.sql("DROP TABLE IF EXISTS graft_gate.sqltt_delta")
+    gs.sql(s"CREATE TABLE graft_gate.sqltt_delta USING graft " +
+      s"LOCATION '$dTab'")
+    gs.sql("DROP TABLE IF EXISTS graft_gate.sqltt_ice")
+    gs.sql(s"CREATE TABLE graft_gate.sqltt_ice USING graft " +
+      s"LOCATION '$iTab'")
+    gs.sql(
+      """SELECT v0.cnt AS v0_cnt, v0.sum_key AS v0_sum,
+        |  ts.cnt AS ts_cnt, hd.cnt AS head_cnt, hd.sum_key AS head_sum,
+        |  iv.cnt AS ice_v1_cnt, iv.sum_key AS ice_v1_sum
+        |FROM
+        |  (SELECT count(*) AS cnt, CAST(sum(r_regionkey) AS BIGINT)
+        |     AS sum_key
+        |   FROM graft_gate.sqltt_delta VERSION AS OF 0) v0,
+        |  (SELECT count(*) AS cnt
+        |   FROM graft_gate.sqltt_delta TIMESTAMP AS OF '1500000') ts,
+        |  (SELECT count(*) AS cnt, CAST(sum(r_regionkey) AS BIGINT)
+        |     AS sum_key
+        |   FROM graft_gate.sqltt_delta) hd,
+        |  (SELECT count(*) AS cnt, CAST(sum(r_regionkey) AS BIGINT)
+        |     AS sum_key
+        |   FROM graft_gate.sqltt_ice VERSION AS OF 1) iv""".stripMargin)
+  }
+
+  val sqlTimeTravelSql: String =
+    """SELECT count(*) AS v0_cnt, CAST(sum(r_regionkey) AS BIGINT) AS v0_sum,
+      |  count(*) AS ts_cnt,
+      |  2*count(*) AS head_cnt,
+      |  CAST(2*sum(r_regionkey) + 100*count(*) AS BIGINT) AS head_sum,
+      |  count(*) AS ice_v1_cnt,
+      |  CAST(sum(r_regionkey) AS BIGINT) AS ice_v1_sum
+      |FROM region""".stripMargin
+
   /** timestampAsOf time travel, deterministic: the commit-file mtimes are
     * pinned (Delta resolves by commit mtime — delta-spark's rule) and the
     * Iceberg snapshot timestamps read back from metadata, so a timestamp
@@ -1252,23 +1313,27 @@ object SyncQueries {
   def graftWriterFormats(s: SparkSession, dir: String): DataFrame = {
     val nation = s.read.parquet(s"$dir/nation.parquet")
     val perFmt = Seq("hudi", "iceberg", "paimon").map { fmt =>
-      val t = graft.util.TempDirs.create(s"graft_writer_$fmt")
-      nation.write.format("graft").option("tableFormat", fmt)
-        .mode("append").save(t)
-      nation.withColumn("n_nationkey", col("n_nationkey") + 100)
-        .write.format("graft").option("tableFormat", fmt)
-        .mode("append").save(t)
-      nation.filter(col("n_nationkey") % 2 === 0)
-        .write.format("graft").option("tableFormat", fmt)
-        .mode("overwrite").save(t)
-      val hist = s.read.format("graft").option("metaTable", "history")
-        .load(t)
-      require(hist.count() >= 3,
-        s"$fmt: expected >=3 commits, got ${hist.count()}")
-      s.read.format("graft").load(t)
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("n_nationkey")).cast("long").as("sum_key"))
-        .withColumn("fmt", lit(fmt))
+      // per-format phase timing (bench `phases` key): a single-format
+      // regression must attribute, not hide inside the 3-format total
+      graft.util.PhaseTimer.time(s"graft_writer_formats.$fmt") {
+        val t = graft.util.TempDirs.create(s"graft_writer_$fmt")
+        nation.write.format("graft").option("tableFormat", fmt)
+          .mode("append").save(t)
+        nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+          .write.format("graft").option("tableFormat", fmt)
+          .mode("append").save(t)
+        nation.filter(col("n_nationkey") % 2 === 0)
+          .write.format("graft").option("tableFormat", fmt)
+          .mode("overwrite").save(t)
+        val hist = s.read.format("graft").option("metaTable", "history")
+          .load(t)
+        require(hist.count() >= 3,
+          s"$fmt: expected >=3 commits, got ${hist.count()}")
+        s.read.format("graft").load(t)
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_nationkey")).cast("long").as("sum_key"))
+          .withColumn("fmt", lit(fmt))
+      }
     }
     perFmt.reduce(_ unionByName _).orderBy("fmt")
   }

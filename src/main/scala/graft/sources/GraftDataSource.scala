@@ -62,13 +62,13 @@ class GraftDataSource extends RelationProvider
       providerName: String, parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     graft.streaming.GraftStreamSource.fromOptions(
-      sqlContext.sparkSession, parameters, schema)
+      sqlContext.sparkSession, parameters, schema, Some(metadataPath))
 
   /** `df.writeStream.format("graft").option("tableFormat", ...)` — the
     * exactly-once micro-batch sinks behind one format string. Every
     * batch lands through the per-format txn-stamped append (replays
-    * skipped); `appId` defaults to a stable hash of the checkpoint
-    * location, so one checkpoint = one idempotence ledger.
+    * skipped); `appId` defaults to the engine's streaming query id
+    * (checkpoint-stable), so one query = one idempotence ledger.
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -93,12 +93,27 @@ class GraftDataSource extends RelationProvider
             s"table at $path is $detected; tableFormat=$r disagrees"))
         detected
       } else requested.getOrElse(graft.model.TableFormats.Delta)
-    val appId = opt("appId").getOrElse(
-      "graft-" + Integer.toHexString(
-        opt("checkpointLocation").getOrElse(path).hashCode))
+    val explicitAppId = opt("appId")
     val spark = sqlContext.sparkSession
     new org.apache.spark.sql.execution.streaming.Sink {
+      // idempotence-ledger identity: the engine's streaming QUERY id
+      // (stable across restarts — persisted in the checkpoint's metadata
+      // file, the same derivation delta-spark's DeltaSink uses). A
+      // checkpoint-location hash would collide two queries sharing a
+      // table whenever the location rides the session conf (absent from
+      // the options map) — their interleaved (appId, batchId) entries
+      // would make real batches look like replays and silently drop them.
+      private def queryAppId: String = explicitAppId.getOrElse {
+        val qid = spark.sparkContext.getLocalProperty(
+          org.apache.spark.sql.execution.streaming.runtime.StreamExecution
+            .QUERY_ID_KEY)
+        require(qid != null,
+          "graft stream sink: no streaming query id on this thread — " +
+            "pass an explicit appId option when driving addBatch directly")
+        s"graft-$qid"
+      }
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val appId = queryAppId
         val batch = org.apache.spark.sql.GraftShims.asBatch(data)
         fmt match {
           case graft.model.TableFormats.Delta =>

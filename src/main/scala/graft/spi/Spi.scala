@@ -33,6 +33,17 @@ trait ConversionTarget {
   def syncPartitionSpec(spec: Seq[PartitionFieldSpec]): Unit
   def syncFilesForSnapshot(files: Dataset[FileEntry]): Unit
   def syncFilesForDiff(diff: FilesDelta): Unit
+  /** CAS pin for read-modify-write full-set syncs (compaction,
+    * clustering, ALTER TABLE): the caller planned its file set against
+    * the target's snapshot `commitId`, and `completeSync` must FAIL
+    * loudly — never silently rebase — if another writer advanced the
+    * table past it. Otherwise a concurrent append landing between
+    * planning and commit is diffed away as removes (row loss), and a
+    * concurrent delete's rows are resurrected by the rewritten victims.
+    * No-op default: plain snapshot syncs tolerate rebasing (the diff is
+    * recomputed against the live head inside the protocol).
+    */
+  def expectBaseCommit(commitId: String): Unit = ()
   def completeSync(): Unit
   /** Sync bookkeeping read back from the target's own metadata (in-band
     * checkpoint — reference TableSyncMetadata stored in table properties).

@@ -207,6 +207,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // SELECT ... FROM t VERSION AS OF / TIMESTAMP AS OF on USING graft
+    // catalog tables (the option-based time-travel surface as SQL).
+    // Hint-resolution batch: it runs BEFORE ResolveRelations, which
+    // throws timeTravelUnsupported for any V1 relation it resolves —
+    // a plain resolution rule would never get the node.
+    ext.injectHintResolutionRule(session => GraftTimeTravelRule(session))
     // metadata-plane count(*) pushdown over format("graft") scans
     ext.injectOptimizerRule(session =>
       graft.plans.MetadataCountRule(session))

@@ -53,7 +53,8 @@ import graft.util.{HadoopConfs, Jsons, PathUtils}
   * a first-class Spark streaming relation.
   */
 class GraftStreamSource(spark: SparkSession, tablePath: String,
-    options: Map[String, String], providedSchema: Option[StructType])
+    options: Map[String, String], providedSchema: Option[StructType],
+    metadataPath: Option[String] = None)
   extends Source {
 
   import GraftStreamSource._
@@ -147,9 +148,14 @@ class GraftStreamSource(spark: SparkSession, tablePath: String,
   // the newest end version this source has handed out or had committed —
   // getOffset caps catch-up batches relative to it and goes quiet when
   // the head hasn't moved past it (returning the same offset is also a
-  // no-op to the engine; this just avoids re-planning). After a restart
-  // it re-seeds from the first replayed getBatch's end.
-  @volatile private var lastEnd: Option[String] = None
+  // no-op to the engine; this just avoids re-planning). Seeded at
+  // construction from the checkpoint's own offset log, so the FIRST
+  // post-restart batch honors maxVersionsPerTrigger even when the last
+  // batch was committed (no getBatch replay to re-seed from) — without
+  // the seed, one unbounded catch-up batch serves the whole backlog,
+  // exactly what the cap exists to prevent.
+  @volatile private var lastEnd: Option[String] =
+    metadataPath.flatMap(recoverCheckpointedEnd(spark, _))
 
   private def advanceLastEnd(v: String): Unit =
     if (!lastEnd.exists(l => !versionLt(fmt, l, v))) lastEnd = Some(v)
@@ -230,6 +236,28 @@ object GraftStreamSource {
   private[streaming] def versionOf(o: Offset): String =
     Jsons.mapper.readTree(o.json()).get("version").asText()
 
+  /** The last offset this source's checkpoint recorded, read from the
+    * engine's own offset log (`metadataPath` is
+    * `<checkpoint>/sources/<i>`; the log lives at `<checkpoint>/offsets`).
+    * A written-but-uncommitted offset is equally valid as a cap base: the
+    * engine replays that exact batch from the stored offsets without
+    * consulting `getOffset`. Fresh starts (no log) yield None.
+    */
+  private def recoverCheckpointedEnd(spark: SparkSession,
+      metadataPath: String): Option[String] =
+    scala.util.Try {
+      val mp = new org.apache.hadoop.fs.Path(metadataPath)
+      val sourceIdx = mp.getName.toInt
+      val offsetsDir = new org.apache.hadoop.fs.Path(
+        mp.getParent.getParent, "offsets").toString
+      val log = new org.apache.spark.sql.execution.streaming.checkpointing
+        .OffsetSeqLog(spark, offsetsDir)
+      log.getLatest().flatMap { case (_, seq) =>
+        seq.offsets.lift(sourceIdx).flatten.map(o =>
+          Jsons.mapper.readTree(o.json).get("version").asText())
+      }
+    }.toOption.flatten
+
   private def versionLt(fmt: String, a: String, b: String): Boolean =
     if (fmt == "hudi") a < b else a.toLong < b.toLong
 
@@ -295,7 +323,8 @@ object GraftStreamSource {
     * [[graft.sources.GraftDataSource]]).
     */
   def fromOptions(spark: SparkSession, parameters: Map[String, String],
-      userSchema: Option[StructType]): GraftStreamSource = {
+      userSchema: Option[StructType],
+      metadataPath: Option[String] = None): GraftStreamSource = {
     val path = PathUtils.canonical(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft streaming source needs a path")))
@@ -314,6 +343,6 @@ object GraftStreamSource {
     new GraftStreamSource(spark, path,
       Seq("startingVersion", "skipChangeCommits", "maxVersionsPerTrigger",
         "readChangeFeed")
-        .flatMap(k => opt(k).map(k -> _)).toMap, userSchema)
+        .flatMap(k => opt(k).map(k -> _)).toMap, userSchema, metadataPath)
   }
 }

@@ -70,6 +70,10 @@ object AlterTable {
     val mapped = fmt == "delta" &&
       graft.formats.delta.DeltaColumnMapping.isMapped(cur)
 
+    // config keys the evolved schema forces onto the Delta metaData
+    // commit (column-mapping id watermark)
+    var deltaConfigOverride: Map[String, String] = Map.empty
+
     val evolved: StructType = op match {
       case AddColumn(name, ddl) =>
         require(!name.contains('.'),
@@ -79,7 +83,29 @@ object AlterTable {
         if (fmt == "iceberg")
           requireNeverNamedBefore(spark, path, name)
         val dt = DataType.fromDDL(ddl)
-        StructType(cur.fields :+ StructField(name, dt, nullable = true))
+        val added =
+          if (!mapped) StructField(name, dt, nullable = true)
+          else {
+            // a mapped table resolves fields by physicalName/id: an
+            // unannotated field breaks delta-spark interop (it rejects
+            // mapped schemas with unstamped fields), and a later GRAFT
+            // RENAME would shift its implied physical name, nulling the
+            // column on every pre-rename file. Fresh UUID physical name
+            // (delta-spark's own scheme) can never collide with a
+            // previously-dropped column's physical name; the id comes
+            // from the maxColumnId watermark, which the commit bumps.
+            val nextId = nextColumnId(spark, path, cur)
+            deltaConfigOverride += (MaxColumnIdKey -> nextId.toString)
+            StructField(name, dt, nullable = true,
+              metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(
+                  graft.formats.delta.DeltaColumnMapping.PhysicalNameKey,
+                  s"col-${java.util.UUID.randomUUID()}")
+                .putLong(graft.formats.delta.DeltaColumnMapping.IdKey,
+                  nextId)
+                .build())
+          }
+        StructType(cur.fields :+ added)
       case RenameColumn(from, to) =>
         require(fmt == "delta" && mapped, renameRefusal(fmt, mapped))
         val f = field(cur, from)
@@ -104,7 +130,7 @@ object AlterTable {
     }
 
     fmt match {
-      case "delta" => alterDelta(spark, path, evolved)
+      case "delta" => alterDelta(spark, path, evolved, deltaConfigOverride)
       case _ =>
         val target: graft.spi.ConversionTarget = fmt match {
           case "iceberg" =>
@@ -116,12 +142,37 @@ object AlterTable {
         }
         val altered = snap.copy(table = snap.table.copy(
           schemaJson = evolved.json))
+        // pin the planning snapshot: the empty-diff schema commit carries
+        // the snapshot's file set forward, so a concurrent commit landing
+        // since currentSnapshot() must fail the CAS loudly — a silent
+        // rebase would diff its appends away
         val outcomes = TableFormatSync.syncSnapshot(Seq(target), altered,
-          source.sourceFormat)
+          source.sourceFormat, expectBase = Some(snap.commitId))
         outcomes.find(_.status != "SUCCESS").foreach(o =>
           throw new IllegalStateException(s"ALTER TABLE failed: $o"))
     }
     Result(fmt, evolved)
+  }
+
+  private val MaxColumnIdKey = "delta.columnMapping.maxColumnId"
+
+  /** Next column-mapping id: past the maxColumnId watermark AND every id
+    * stamped in the live schema (the watermark survives drops, so a
+    * re-used id can never alias a dropped column's data).
+    */
+  private def nextColumnId(spark: SparkSession, path: String,
+      cur: StructType): Long = {
+    val conf = HadoopConfs.session(spark)
+    val versions = graft.formats.delta.DeltaLog.listVersions(path, conf)
+    val watermark = graft.formats.delta.DeltaSnapshot
+      .metadata(spark, path, versions)
+      .flatMap(_.configuration.get(MaxColumnIdKey))
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+    val idKey = graft.formats.delta.DeltaColumnMapping.IdKey
+    val inSchema = cur.fields.toSeq.flatMap(f =>
+      if (f.metadata.contains(idKey))
+        scala.util.Try(f.metadata.getLong(idKey)).toOption else None)
+    (watermark +: inSchema).max + 1
   }
 
   private def field(s: StructType, name: String): StructField =
@@ -173,7 +224,8 @@ object AlterTable {
     * fails this commit loudly; re-run the statement).
     */
   private def alterDelta(spark: SparkSession, path: String,
-      evolved: StructType): Unit = {
+      evolved: StructType,
+      configOverride: Map[String, String] = Map.empty): Unit = {
     import graft.formats.delta.{DeltaLog, DeltaSnapshot}
     val conf = HadoopConfs.session(spark)
     val versions = DeltaLog.listVersions(path, conf)
@@ -195,7 +247,7 @@ object AlterTable {
         "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
         "schemaString" -> evolved.json,
         "partitionColumns" -> meta.partitionColumns,
-        "configuration" -> meta.configuration,
+        "configuration" -> (meta.configuration ++ configOverride),
         "createdTime" -> meta.createdTime))),
       Jsons.toJson(Map("commitInfo" -> Map(
         "timestamp" -> System.currentTimeMillis(),

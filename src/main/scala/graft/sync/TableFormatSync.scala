@@ -40,14 +40,21 @@ object TableFormatSync {
     false
   }
 
+  /** `expectBase`: CAS pin for read-modify-write callers (compaction,
+    * clustering, ALTER TABLE) — the target commit fails loudly if another
+    * writer advanced the table past the commit the caller planned against
+    * (see [[graft.spi.ConversionTarget.expectBaseCommit]]).
+    */
   def syncSnapshot(targets: Seq[ConversionTarget], snapshot: TableSnapshot,
-      sourceFormat: String): Seq[SyncOutcome] =
+      sourceFormat: String, expectBase: Option[String] = None)
+      : Seq[SyncOutcome] =
     targets.map { target =>
       val t0 = System.currentTimeMillis()
       try {
         val meta = SyncMetadata(snapshot.commitId, snapshot.pendingCommits,
           sourceFormat, snapshot.table.basePath)
         target.beginSync(snapshot.table)
+        expectBase.foreach(target.expectBaseCommit)
         target.syncMetadata(meta)
         target.syncSchema(snapshot.table.schema)
         target.syncPartitionSpec(snapshot.table.partitionFields)

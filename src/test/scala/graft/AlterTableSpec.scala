@@ -196,4 +196,63 @@ class AlterTableSpec extends SparkSuite {
       AlterTable.run(spark, t, RenameColumn("ghost", "x"))
     }
   }
+  test("delta column-mapped ADD COLUMN: field stamped with physicalName " +
+    "+ id, maxColumnId bumped, later RENAME keeps the physical name") {
+    val t = tmpDir("alter_mapped_add")
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("col-1", "col-2")
+      .coalesce(1).write.mode("overwrite").parquet(t + "/stage")
+    val part = new java.io.File(t + "/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(t, "f1.parquet"))
+    val size = Files.size(Paths.get(t, "f1.parquet"))
+    val logical = StructType(Seq(
+      StructField("s_id", LongType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString(DeltaColumnMapping.PhysicalNameKey, "col-1")
+          .putLong(DeltaColumnMapping.IdKey, 1L).build()),
+      StructField("s_name", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString(DeltaColumnMapping.PhysicalNameKey, "col-2")
+          .putLong(DeltaColumnMapping.IdKey, 2L).build())))
+    val schemaJson = logical.json.replace("\"", "\\\"")
+    val log =
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"ama-test","schemaString":"$schemaJson","partitionColumns":[],"configuration":{"${DeltaColumnMapping.ModeKey}":"name","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}
+         |{"add":{"path":"f1.parquet","size":$size,"modificationTime":1000,"partitionValues":{},"dataChange":true}}
+         |""".stripMargin
+    Files.createDirectories(Paths.get(t, "_delta_log"))
+    Files.write(Paths.get(t, "_delta_log", "00000000000000000000.json"),
+      log.getBytes(StandardCharsets.UTF_8))
+
+    val r = AlterTable.run(spark, t, AddColumn("note", "string"))
+    val added = r.schema.fields.last
+    assert(added.name == "note")
+    // a mapped table's new field MUST carry its own mapping metadata —
+    // delta-spark rejects mapped schemas with unstamped fields, and an
+    // implied (name-derived) physical name would shift on a later rename
+    assert(added.metadata.contains(DeltaColumnMapping.PhysicalNameKey))
+    val phys = added.metadata.getString(DeltaColumnMapping.PhysicalNameKey)
+    assert(phys.startsWith("col-") && phys != "note")
+    assert(added.metadata.getLong(DeltaColumnMapping.IdKey) == 3L)
+    // the id watermark advanced in the table configuration
+    val conf = graft.util.HadoopConfs.session(spark)
+    val meta = graft.formats.delta.DeltaSnapshot.metadata(spark, t,
+      graft.formats.delta.DeltaLog.listVersions(t, conf)).get
+    assert(meta.configuration.get("delta.columnMapping.maxColumnId")
+      .contains("3"))
+
+    // rename of the added column rides the SAME physical name: the
+    // (empty) pre-rename files keep resolving it identically
+    AlterTable.run(spark, t, RenameColumn("note", "remark"))
+    val after = new DeltaConversionSource(spark, t, "t")
+      .currentSnapshot().table.schema
+    val renamed = after.fields.last
+    assert(renamed.name == "remark" &&
+      renamed.metadata.getString(DeltaColumnMapping.PhysicalNameKey) == phys)
+    // and the table still reads: old file rows serve null for the column
+    val df = new DeltaConversionSource(spark, t, "t").toDataFrame
+    assert(df.columns.toSeq == Seq("s_id", "s_name", "remark"))
+    assert(df.filter(col("remark").isNull).count() == 2)
+  }
 }

@@ -536,4 +536,54 @@ class ConcurrencySpec extends SparkSuite {
     assert(df.filter(col("id") >= 100L && col("id") < 150L).count() == 50)
     assert(df.filter(col("id") >= 200L).count() == 50)
   }
+  test("expectBaseCommit: a pinned full-set sync loses loudly to a " +
+    "concurrent commit; the concurrent rows survive") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    for (fmt <- Seq("iceberg", "hudi", "paimon")) {
+      val data = tmpDir(s"eb_${fmt}_data")
+      (0L until 40L).map(i => (i, s"v$i")).toDF("id", "name")
+        .repartition(2).write.mode("overwrite").parquet(data)
+      val t = tmpDir(s"eb_$fmt")
+      def target(): graft.spi.ConversionTarget = fmt match {
+        case "iceberg" =>
+          new graft.formats.iceberg.IcebergConversionTarget(spark, t)
+        case "hudi" => new graft.formats.hudi.HudiConversionTarget(spark, t)
+        case "paimon" =>
+          new graft.formats.paimon.PaimonConversionTarget(spark, t)
+      }
+      val src0 = new ParquetDirectorySource(spark, data, "t")
+      val out0 = TableFormatSync.syncSnapshot(Seq(target()),
+        src0.currentSnapshot(), src0.sourceFormat)
+      require(out0.forall(_.status == "SUCCESS"), out0.mkString(";"))
+
+      // a maintenance job (compaction / clustering / ALTER) plans its
+      // file set against this snapshot...
+      val planSrc = graft.sources.CatalogConversionSource
+        .fromPath(spark, t, "t")
+      val planning = planSrc.currentSnapshot()
+      // ...then a concurrent append advances the table
+      (100L until 120L).map(i => (i, s"v$i")).toDF("id", "name")
+        .write.format("graft").option("tableFormat", fmt)
+        .mode("append").save(t)
+
+      // the pinned commit must fail loudly — a silent rebase would diff
+      // the concurrent append away as removes (row loss)
+      val out = TableFormatSync.syncSnapshot(Seq(target()), planning,
+        planSrc.sourceFormat, expectBase = Some(planning.commitId))
+      assert(out.exists(o => o.status == "ERROR" &&
+        o.error.exists(_.contains("concurrent writer advanced"))),
+        s"$fmt: $out")
+      val df = spark.read.format("graft").load(t)
+      assert(df.count() == 60, s"$fmt: concurrent rows must survive")
+      assert(df.filter(col("id") >= 100L).count() == 20, fmt)
+
+      // re-planned against the new head, the same pinned sync goes through
+      val fresh = graft.sources.CatalogConversionSource
+        .fromPath(spark, t, "t").currentSnapshot()
+      val out2 = TableFormatSync.syncSnapshot(Seq(target()), fresh,
+        planSrc.sourceFormat, expectBase = Some(fresh.commitId))
+      assert(out2.forall(_.status == "SUCCESS"), s"$fmt: $out2")
+    }
+  }
 }

@@ -240,4 +240,44 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("versionAsOf") ||
       Option(e.getCause).exists(_.getMessage.contains("versionAsOf")))
   }
+  test("maxVersionsPerTrigger holds on the FIRST batch after a committed " +
+    "restart (cap base recovered from the checkpoint)") {
+    val table = tmpDir("gss_cap_restart")
+    val ckpt = tmpDir("gss_cap_restart_ckpt")
+    val all = events4(100)
+    graft.formats.delta.DeltaWrite.write(spark, table,
+      all.filter(col("event_id") < 25), overwrite = false)
+
+    def run(counts: java.util.Queue[Long]): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1")
+        .load(table)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          counts.add(b.count()); ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val first = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    run(first)   // initial snapshot batch, committed
+
+    // three commits land while the stream is DOWN; on restart the cap
+    // base must come from the checkpoint — without it the first
+    // getOffset offers the raw head and one unbounded batch serves the
+    // whole backlog (pre-fix behavior: a single 75-row batch)
+    (1 to 3).foreach { i =>
+      graft.formats.delta.DeltaWrite.write(spark, table,
+        all.filter(col("event_id") >= i * 25 && col("event_id") < (i + 1) * 25),
+        overwrite = false)
+    }
+    val resumed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    run(resumed)
+    import scala.jdk.CollectionConverters._
+    val sizes = resumed.asScala.toSeq.filter(_ > 0)
+    assert(sizes == Seq(25L, 25L, 25L),
+      s"each catch-up batch must cover ONE commit, got $sizes")
+    locally { val _ = first }
+  }
 }

@@ -124,4 +124,34 @@ class MetadataCountSpec extends SparkSuite {
       assert(scansOf(df) == 0 && df.head().getLong(0) == 400L, fmt)
     }
   }
+  test("zero-file table: partition min/max bails to the scan (null), " +
+    "count stays 0 — never throws") {
+    // a partitioned table whose only commit carries no files (metaData
+    // only): min(partition) has no metadata answer and must fall back
+    val t = tmpDir("cnt_empty")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType)))
+    val schemaJson = schema.json.replace("\"", "\\\"")
+    val log =
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"empty-test","schemaString":"$schemaJson","partitionColumns":["grp"],"configuration":{},"createdTime":1}}
+         |""".stripMargin
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(t, "_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_delta_log", "00000000000000000000.json"),
+      log.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val base = gs.read.format("graft").load(t)
+    val mm = base.agg(min("grp").as("lo"), max("grp").as("hi"),
+      count(lit(1)).as("c"))
+    val r = mm.head()   // pre-fix: UnsupportedOperationException empty.min
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L)
+    // plain count over the empty listing stays metadata-only and 0
+    val cnt = base.agg(count(lit(1)).as("c"))
+    assert(scansOf(cnt) == 0 && cnt.head().getLong(0) == 0L)
+  }
 }

@@ -411,4 +411,59 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(spark.read.format("graft").load(t)
       .filter(col("n_name") === "NATION_7").count() == 1L)
   }
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on USING graft " +
+    "catalog tables, all four formats") {
+    import spark.implicits._
+    gs.sql("CREATE DATABASE IF NOT EXISTS tt_db")
+    for (fmt <- Seq("delta", "iceberg", "hudi", "paimon")) {
+      val t = tmpDir(s"sqltt_$fmt")
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "name")
+        .write.format("graft").option("tableFormat", fmt)
+        .mode("append").save(t)
+      (10L until 25L).map(i => (i, s"v$i")).toDF("id", "name")
+        .write.format("graft").option("tableFormat", fmt)
+        .mode("append").save(t)
+      gs.sql(s"DROP TABLE IF EXISTS tt_db.tt_$fmt")
+      gs.sql(s"CREATE TABLE tt_db.tt_$fmt USING graft LOCATION '$t'")
+      val verLit = fmt match {
+        case "delta" => "0"
+        case "iceberg" | "paimon" => "1"
+        case "hudi" =>
+          "'" + graft.formats.hudi.HudiTimeline.listInstants(t).head + "'"
+      }
+      val first = gs.sql(
+        s"SELECT count(*) AS c FROM tt_db.tt_$fmt VERSION AS OF $verLit")
+        .head().getLong(0)
+      assert(first == 10L, s"$fmt VERSION AS OF must see the first commit")
+      val head = gs.sql(s"SELECT count(*) AS c FROM tt_db.tt_$fmt")
+        .head().getLong(0)
+      assert(head == 25L, s"$fmt head read")
+    }
+
+    // TIMESTAMP AS OF, deterministic: delta resolves by commit-file
+    // mtime — pin them, then cut between the two commits
+    val dt = gs.sql("DESCRIBE TABLE EXTENDED tt_db.tt_delta")
+      .filter(col("col_name") === "Location").head().getString(1)
+    val log = java.nio.file.Paths.get(
+      new java.net.URI(dt).getPath, "_delta_log")
+    java.nio.file.Paths.get(log.toString,
+      "00000000000000000000.json").toFile.setLastModified(1000000L)
+    java.nio.file.Paths.get(log.toString,
+      "00000000000000000001.json").toFile.setLastModified(2000000L)
+    // epoch-millis string form
+    assert(gs.sql("SELECT count(*) AS c FROM tt_db.tt_delta " +
+      "TIMESTAMP AS OF '1500000'").head().getLong(0) == 10L)
+    // timestamp-literal form (evaluates to micros; rule converts)
+    assert(gs.sql("SELECT count(*) AS c FROM tt_db.tt_delta " +
+      "TIMESTAMP AS OF CAST('1970-01-01 00:25:00' AS TIMESTAMP)")
+      .head().getLong(0) == 10L)
+    // at/after the second commit: the full table
+    assert(gs.sql("SELECT count(*) AS c FROM tt_db.tt_delta " +
+      "TIMESTAMP AS OF '2000000'").head().getLong(0) == 25L)
+
+    // non-graft relations pass through to Spark's own (unsupported) path
+    intercept[Exception] {
+      gs.sql("SELECT * FROM range(3) VERSION AS OF 1").collect()
+    }
+  }
 }
