@@ -28,3 +28,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---------------------------------------------------------------------
+// Glue SDK adapter: compile-only signature gate. The real AWS SDK is not
+// resolvable offline, so the adapter compiles against a same-shape stub
+// (deploy/glue-adapter/sdk-stub) — signature drift in GlueApi.scala now
+// fails `sbt compile` instead of going unnoticed in a source-only file.
+// Deployments swap the stub for the real software.amazon.awssdk:glue jar
+// (see deploy/glue-adapter/README.md).
+lazy val root: Project = (project in file("."))
+  // the adapter gate rides `sbt test` (every CI round) — root's own
+  // compile can't depend on it (glueAdapter needs root's classpath)
+  .settings(Test / compile :=
+    ((Test / compile) dependsOn (LocalProject("glueAdapter") / Compile / compile)).value)
+
+lazy val glueAdapter: Project = (project in file("deploy/glue-adapter"))
+  .dependsOn(root)
+  .settings(
+    name := "graft-glue-adapter",
+    unmanagedBase := file("/opt/spark/jars"),
+    Compile / unmanagedSourceDirectories +=
+      baseDirectory.value / "sdk-stub" / "src" / "main" / "scala",
+    Test / sources := Nil,
+    publish / skip := true,
+  )

@@ -36,7 +36,18 @@ object RunCatalogSync {
       case "glue" => new InMemoryGlueCatalogClient(cfg.catalogId)
       case "session" | "spark" =>
         new SparkSessionCatalogClient(spark, cfg.catalogId)
-      case "hms" | "hive" => new InMemoryHmsCatalogClient(cfg.catalogId)
+      case "hms" | "hive" =>
+        // a remote-thrift endpoint in catalogProperties
+        // (hive.metastore.uris, or the reference's
+        // externalCatalog.hms.serverUrl) routes to the REAL
+        // IMetaStoreClient over the wire; absent -> the in-memory
+        // semantics twin (sandbox default)
+        EmbeddedHmsCatalogClient.urisOf(cfg.properties) match {
+          case Some(uris) =>
+            EmbeddedHmsCatalogClient.remote(uris, cfg.catalogId,
+              cfg.properties)
+          case None => new InMemoryHmsCatalogClient(cfg.catalogId)
+        }
       case _ => Class.forName(cfg.impl).getConstructor(classOf[String])
         .newInstance(cfg.catalogId).asInstanceOf[CatalogSyncClient]
     }

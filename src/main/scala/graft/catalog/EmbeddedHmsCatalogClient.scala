@@ -212,4 +212,33 @@ object EmbeddedHmsCatalogClient {
     conf.set("datanucleus.fixedDatastore", "false")
     new EmbeddedHmsCatalogClient(new HiveMetaStoreClient(conf))
   }
+
+  /** Config keys naming the remote metastore endpoint: Hive's own
+    * `hive.metastore.uris` plus the reference's catalog-properties
+    * spelling (`externalCatalog.hms.serverUrl`,
+    * xtable-hive-metastore HMSCatalogSyncClient's HiveConf input).
+    */
+  val UrisKeys: Seq[String] =
+    Seq("hive.metastore.uris", "externalCatalog.hms.serverUrl")
+
+  def urisOf(properties: Map[String, String]): Option[String] =
+    UrisKeys.flatMap(properties.get).map(_.trim).find(_.nonEmpty)
+
+  /** The SAME client against a REMOTE metastore: with
+    * `hive.metastore.uris` set, `HiveMetaStoreClient` opens the thrift
+    * wire instead of the embedded ObjectStore, and every call above is
+    * unchanged — the reason this class programs against
+    * [[IMetaStoreClient]]. Remaining `catalogProperties` (kerberos,
+    * timeouts, retry counts) pass through into the HiveConf.
+    */
+  def remote(uris: String, catalogName: String = "hms",
+      properties: Map[String, String] = Map.empty)
+      : EmbeddedHmsCatalogClient = {
+    require(uris.trim.nonEmpty, "remote metastore needs a non-empty uri")
+    val conf = new HiveConf()
+    properties.foreach { case (k, v) => conf.set(k, v) }
+    conf.set("hive.metastore.uris", uris.trim)
+    new EmbeddedHmsCatalogClient(new HiveMetaStoreClient(conf),
+      catalogName)
+  }
 }

@@ -547,13 +547,16 @@ object HudiLogFiles {
     // must not leak into the log
     val proj = df.select(schema.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
-    val dup = proj.groupBy(keyCols.map(col): _*)
-      .count().filter(col("count") > 1).limit(1).count()
-    require(dup == 0L, "upsert batch has duplicate keys")
 
+    // the duplicate-key guard is FUSED into the log-write pass (same key
+    // -> same route -> same partition, so a per-partition set is
+    // complete): a dup aborts before the commit is written, and
+    // uncommitted log files are invisible to readers (the timeline is
+    // the only log-file source) — one full batch pass saved per upsert
     val routed = routeToGroups(spark, src, snap, proj, keyCols)
     val deltas = writeGroupLogs(spark, src, tablePath, routed, schema,
-      HudiTimeline.newInstant(tablePath), AvroDataBlock, schema.json)
+      HudiTimeline.newInstant(tablePath), AvroDataBlock, schema.json,
+      dupCheckKeys = keyCols)
     graft.plans.SnapshotFileIndex.invalidate(snap)
     deltas
   }
@@ -587,20 +590,35 @@ object HudiLogFiles {
     */
   private def writeGroupLogs(spark: SparkSession, src: HudiConversionSource,
       tablePath: String, routed: DataFrame, recordSchema: StructType,
-      instant: String, blockType: Int, tableSchemaJson: String): Long = {
+      instant: String, blockType: Int, tableSchemaJson: String,
+      dupCheckKeys: Seq[String] = Nil): Long = {
     val baseInstants = src.fileGroupBaseInstants()
     val logCounts = src.logFileCounts()
     val schemaJson = recordSchema.json
     val avroJson = AvroSchemas.fromSpark(recordSchema).toString
     val tp = tablePath
     val bt = blockType
+    val dupKeys = dupCheckKeys
     val bconf = graft.util.HadoopConfs.broadcastSession(spark)
     val statRows = routed.repartition(col("__fid"))
       .sortWithinPartitions("__fid")
       .rdd.mapPartitions { it =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         val avro = new Schema.Parser().parse(avroJson)
-        val buf = it.buffered
+        // duplicate-key guard, one set per partition (complete: every
+        // routed copy of a key hashes to this partition by __fid). The
+        // set keys on (fid, key) because a key living in several base
+        // files legitimately routes one copy per owning group — only a
+        // second copy in the SAME group is a duplicate source row
+        val seenKeys = new scala.collection.mutable.HashSet[Seq[Any]]()
+        val buf = it.map { r =>
+          if (dupKeys.nonEmpty) {
+            val k = r.getAs[Any]("__fid") +: dupKeys.map(r.getAs[Any])
+            if (!seenKeys.add(k)) throw new IllegalArgumentException(
+              s"upsert batch has duplicate keys: ${k.tail}")
+          }
+          r
+        }.buffered
         val out = Seq.newBuilder[(String, String, Long, Long)]
         while (buf.hasNext) {
           val fid = buf.head.getAs[String]("__fid")
@@ -627,9 +645,11 @@ object HudiLogFiles {
     require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(instant,
       "deltacommit", Map("" -> stats.toSeq), Map.empty,
       Map("schema" -> tableSchemaJson)), tablePath))
-    HudiMetadataTable.maintain(spark, tablePath,
-      HudiTimeline.tableName(tablePath).getOrElse("table"), instant,
-      statRows.map { case (_, name, _, size) => ("", name, size) }.toSeq)
+    graft.util.PhaseTimer.time("hudi_log.maintain") {
+      HudiMetadataTable.maintain(spark, tablePath,
+        HudiTimeline.tableName(tablePath).getOrElse("table"), instant,
+        statRows.map { case (_, name, _, size) => ("", name, size) }.toSeq)
+    }
     statRows.map(_._3).sum
   }
 

@@ -1166,7 +1166,9 @@ object SyncQueries {
       .withColumn("n_regionkey", col("n_regionkey") + 100)
       .unionByName(nation.filter(col("n_nationkey") % 5 === 0)
         .withColumn("n_nationkey", col("n_nationkey") + 500))
-    HudiLogFiles.upsert(s, hudiDir, source, Seq("n_nationkey"))
+    graft.util.PhaseTimer.time("hudi_mor_realtime_read.upsert") {
+      HudiLogFiles.upsert(s, hudiDir, source, Seq("n_nationkey"))
+    }
 
     new HudiConversionSource(s, hudiDir, "nation", "snapshot").toDataFrame
       .agg(count(lit(1)).cast("long").as("cnt"),

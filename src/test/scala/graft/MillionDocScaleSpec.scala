@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The 10^6-DOCUMENT probe for the LLM-pipeline operators — the twin of
+  * MillionFileScaleSpec for the data plane (a 100 TB text corpus at
+  * ~100 KB/doc IS a billion documents; 1M is the largest in-sandbox
+  * slice that still proves the SHAPE). Synthetic corpora with planted
+  * duplicate clusters drive MinHash-LSH, SimHash and IVF end to end, and
+  * the asserts are the scale claims themselves:
+  *
+  *  - candidate-pair counts stay O(n·bands) — measured by summing
+  *    C(bucket,2) over the operator's own blocking keys — never O(n²)
+  *    (1M docs all-pairs would be 5·10^11);
+  *  - planted near-dup clusters are recovered essentially completely
+  *    (the banding miss probability at the planted similarity is ~1e-9);
+  *  - wall-clock bounds are generous O(n·polylog) guards against
+  *    accidental driver loops or quadratic joins, not benchmark noise.
+  *
+  * Measured times are recorded in SCALE.md per round. Reference analog:
+  * xtable-core/src/test/java/org/apache/xtable/loadtest/LoadTest.java:68-95
+  * (the reference load-tests only its metadata plane; it has no data
+  * operators to prove).
+  */
+class MillionDocScaleSpec extends SparkSuite {
+
+  private val n = 1000000L
+
+  /** Corpus of `n` docs: ids < clustered form clusters of `clusterSize`
+    * sharing a 24-word base text (words are seed-derived hex tokens, so
+    * unrelated docs share ~no shingles); a doc-unique tail token is
+    * appended when `variantTail` (near-dups at trigram Jaccard 22/24 ≈
+    * 0.92) and omitted otherwise (exact in-cluster duplicates).
+    */
+  private def corpus(clustered: Long, clusterSize: Int,
+      variantTail: Boolean): DataFrame = {
+    val base = spark.range(n).select(col("id"),
+      when(col("id") < clustered, floor(col("id") / clusterSize))
+        .otherwise(col("id") + n).as("seed"))
+      .select(col("id"), concat_ws(" ",
+        transform(sequence(lit(0), lit(23)),
+          i => hex(xxhash64(col("seed"), i)))).as("base"))
+    if (variantTail)
+      base.select(col("id"),
+        concat(col("base"), lit(" "), hex(xxhash64(col("id"), lit(-7))))
+          .as("text"))
+    else base.select(col("id"), col("base").as("text"))
+  }
+
+  private def timed[T](what: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"$what: $sec%.1f s")
+    (r, sec)
+  }
+
+  test("1M docs: MinHash-LSH recovers 500k planted near-dup pairs with " +
+    "O(n·bands) candidates") {
+    // 50k clusters of 5 near-identical variants -> 500k true pairs
+    val docs = corpus(clustered = 250000L, clusterSize = 5,
+      variantTail = true)
+    val truePairs = 50000L * 10L
+
+    // the operator's own blocking: sum of C(bucket, 2) over band buckets
+    // IS its candidate-pair count — the O(n·bands) claim, measured
+    val grams = graft.operators.Dedup.shingleSets(docs, "id", "text")
+    val banded = grams.select(col("doc"),
+        graft.functions.SketchFunctions
+          .minhash_band_keys(col("shingles"), 64, 16).as("keys"))
+      .select(posexplode(col("keys")).as(Seq("band", "bkey")))
+    val (cand, candSec) = timed("minhash candidate count") {
+      banded.groupBy("band", "bkey").count()
+        .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
+    }
+    // intra-cluster pairs collide in ~every band (J^4 ≈ 0.71 each);
+    // cross-cluster collisions are hash-rare. 16 bands × 500k true pairs
+    // = 8M is the design point; 20M is the regression alarm. O(n²)
+    // would be 5·10^11.
+    assert(cand <= 20000000L, s"candidate blowup: $cand pairs")
+    assert(cand >= truePairs, s"blocking lost the planted clusters: $cand")
+
+    val (found, lshSec) = timed("minHashLsh end-to-end") {
+      graft.operators.Dedup.minHashLsh(docs, "id", "text",
+        threshold = 0.8).count()
+    }
+    // banding miss at J=0.917 is (1-0.917^4)^16 ≈ 3e-9 — effectively
+    // every planted pair; threshold 0.8 excludes any cross-cluster pair
+    assert(found == truePairs,
+      s"expected exactly $truePairs planted pairs, got $found")
+    // the candidate pass runs first (cold JIT, 16M-group aggregation) —
+    // measured 243 s vs the LSH's 73 s; the bound guards O(n²), which
+    // would be hours
+    assert(candSec < 600, s"candidate pass too slow: $candSec")
+    assert(lshSec < 900, s"lsh too slow: $lshSec")
+  }
+
+  test("1M docs: SimHash recovers planted exact-dup clusters; pigeonhole " +
+    "buckets stay ~n·avg-collision, never O(n²)") {
+    // 25k clusters of 4 IDENTICAL docs -> 150k true pairs at hamming 0
+    val docs = corpus(clustered = 100000L, clusterSize = 4,
+      variantTail = false)
+    val truePairs = 25000L * 6L
+
+    val grams = graft.operators.Dedup.shingleSets(docs, "id", "text")
+    val sigs = grams.select(col("doc"),
+      graft.functions.SketchFunctions.simhash64(col("shingles"))
+        .as("simhash"))
+    val chunks = sigs.select(explode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), 16 * c).bitwiseAND(0xFFFF)
+          .cast("long") * 4 + c): _*)).as("ckey"))
+    val (cand, candSec) = timed("simhash candidate count") {
+      chunks.groupBy("ckey").count()
+        .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
+    }
+    // 4 chunks × 2^16 values over ~775k distinct signatures ≈ 12 docs
+    // per bucket → ~4·n·(avg-1)/2 ≈ 25M background collisions; the alarm
+    // is an order past that, and O(n²) is 5·10^11
+    assert(cand <= 250000000L, s"pigeonhole bucket blowup: $cand")
+
+    val (found, shSec) = timed("simHash end-to-end") {
+      graft.operators.Dedup.simHash(docs, "id", "text", maxHamming = 1)
+        .count()
+    }
+    // identical docs share the signature (hamming 0, every chunk
+    // collides); distinct-seed docs differ in ~32 bits, so hamming ≤ 1
+    // false positives are hash-rare — assert a tight band, not equality
+    assert(found >= truePairs && found <= truePairs + 100,
+      s"expected ~$truePairs planted pairs, got $found")
+    assert(candSec < 300, s"candidate pass too slow: $candSec")
+    assert(shSec < 900, s"simhash too slow: $shSec")
+  }
+
+  test("1M vectors: IVF build + probe serves top-k from probed lists " +
+    "only, with brute-force-verified recall") {
+    // 64 planted spherical clusters, dim 32: v = centroid(id%64) + noise
+    val dim = 32
+    val vecs = spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        ((pmod(xxhash64(pmod(col("id"), lit(64)), d), lit(2000)) - 1000)
+          / 1000.0 +
+          (pmod(xxhash64(col("id"), d, lit(13)), lit(2000)) - 1000)
+            / 14000.0).cast("float")).as("embedding"))
+    val queries = vecs.filter(pmod(col("id"), lit(9973)) === 0)
+
+    val (ivf, ivfSec) = timed("ivf build + probe (1M corpus)") {
+      val r = graft.operators.Similarity.ivfTopK(vecs, queries, "id",
+        "embedding", dim, k = 5, nlist = 64, nprobe = 4).cache()
+      r.count()
+      r
+    }
+    val nq = queries.count()
+    assert(ivf.count() == nq * 5, "every query must fill its top-5")
+    assert(ivfSec < 900, s"ivf too slow: $ivfSec")
+
+    // recall contract vs exact brute force on a query sample: planted
+    // clusters are tight (noise 1/14 of centroid scale), so the true
+    // top-5 live in the query's own cluster and a 4-probe IVF must see
+    // essentially all of them
+    val sample = queries.filter(pmod(col("id"), lit(99730)) === 0)
+    val (truth, bfSec) = timed("brute-force ground truth (sample)") {
+      graft.operators.Similarity.bruteForceTopK(vecs, sample, "id",
+        "embedding", k = 5).select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    info(f"ivf recall@5 over ${truth.size / 5} sampled queries: $recall%.3f")
+    assert(recall >= 0.8, f"ivf recall degraded: $recall%.3f")
+    assert(bfSec < 600, s"brute force too slow: $bfSec")
+    ivf.unpersist()
+  }
+}

@@ -64,4 +64,42 @@ class YamlConfigSpec extends SparkSuite {
     assert(new graft.formats.iceberg.IcebergConversionSource(
       spark, base, "region").toDataFrame.count() == expected)
   }
+  test("hms catalogProperties route hive.metastore.uris to the real " +
+    "thrift client; absent uris keep the in-memory twin") {
+    val cfg = graft.config.CatalogSyncConfig.parse(
+      """sourceCatalog:
+        |  catalogId: "src-hms"
+        |  catalogSyncClientImpl: "hms"
+        |  catalogProperties:
+        |    hive.metastore.uris: "thrift://127.0.0.1:1"
+        |    hive.metastore.connect.retries: "1"
+        |    hive.metastore.client.connect.retry.delay: "0"
+        |targetCatalogs:
+        |  - catalogId: "t-hms"
+        |    catalogSyncClientImpl: "hms"
+        |datasets: []
+        |""".stripMargin)
+    // the documented key is parsed through catalogProperties verbatim
+    assert(graft.catalog.EmbeddedHmsCatalogClient
+      .urisOf(cfg.sourceCatalog.properties)
+      .contains("thrift://127.0.0.1:1"))
+    // the reference's property spelling resolves too
+    assert(graft.catalog.EmbeddedHmsCatalogClient
+      .urisOf(Map("externalCatalog.hms.serverUrl" -> "thrift://h:9083"))
+      .contains("thrift://h:9083"))
+
+    // with uris set, buildClient reaches for the thrift WIRE (the
+    // connection attempt to the refusing port is the proof it left the
+    // in-memory twin); without, it stays in-memory
+    val e = intercept[Exception] {
+      RunCatalogSync.buildClient(spark, cfg.sourceCatalog)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + msgs(t.getCause)
+    assert(msgs(e).toLowerCase.matches(
+      "(?s).*(connect|connection|thrift|metastore).*"), msgs(e))
+    val local = RunCatalogSync.buildClient(spark,
+      cfg.catalogById("t-hms"))
+    assert(local.isInstanceOf[graft.catalog.InMemoryHmsCatalogClient])
+  }
 }
