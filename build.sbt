@@ -40,7 +40,9 @@ lazy val root: Project = (project in file("."))
   // the adapter gate rides `sbt test` (every CI round) — root's own
   // compile can't depend on it (glueAdapter needs root's classpath)
   .settings(Test / compile :=
-    ((Test / compile) dependsOn (LocalProject("glueAdapter") / Compile / compile)).value)
+    ((Test / compile)
+      dependsOn (LocalProject("glueAdapter") / Compile / compile)
+      dependsOn (LocalProject("hudiSyncTool") / Compile / compile)).value)
 
 lazy val glueAdapter: Project = (project in file("deploy/glue-adapter"))
   .dependsOn(root)
@@ -49,6 +51,20 @@ lazy val glueAdapter: Project = (project in file("deploy/glue-adapter"))
     unmanagedBase := file("/opt/spark/jars"),
     Compile / unmanagedSourceDirectories +=
       baseDirectory.value / "sdk-stub" / "src" / "main" / "scala",
+    Test / sources := Nil,
+    publish / skip := true,
+  )
+
+// Hudi foreign-writer post-commit hook: same compile-only gate pattern.
+// GraftHudiSyncTool extends Hudi's public HoodieSyncTool SPI (stubbed,
+// same shape); a deployment compiles against the real hudi-sync-common.
+lazy val hudiSyncTool: Project = (project in file("deploy/hudi-sync-tool"))
+  .dependsOn(root)
+  .settings(
+    name := "graft-hudi-sync-tool",
+    unmanagedBase := file("/opt/spark/jars"),
+    Compile / unmanagedSourceDirectories +=
+      baseDirectory.value / "spi-stub" / "src" / "main" / "scala",
     Test / sources := Nil,
     publish / skip := true,
   )

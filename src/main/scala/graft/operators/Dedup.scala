@@ -77,12 +77,24 @@ object Dedup {
   /** SimHash near-duplicate pairs at hamming distance ≤ maxHamming.
     *
     * 64-bit signature: bit b is the sign of Σ±1 over shingle hashes'
-    * bit b. Blocking: 4 chunks of 16 bits — any pair within hamming 3
-    * shares at least one identical chunk (pigeonhole), so the bucket join
-    * has no false negatives.
+    * bit b. Blocking: `chunks` equal-width slices of the signature — any
+    * pair within hamming `chunks - 1` shares at least one identical
+    * chunk (pigeonhole), so the bucket join has no false negatives.
+    *
+    * Scale lever: background bucket collisions grow ~n²/2^width per
+    * chunk, so the default 4×16-bit blocking (hamming ≤ 3) is right up
+    * to ~10^7 docs; at 10^8+ raise `chunks` (5×13-bit serves hamming ≤ 4
+    * with 8× more, smaller buckets — total collision work scales with
+    * chunks·n²/2^width, the width term dominating).
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(chunks >= 2 && chunks <= 64,
+      s"chunks must be in [2, 64], got $chunks")
+    require(maxHamming < chunks,
+      s"pigeonhole blocking over $chunks chunks only guarantees recall " +
+        s"for hamming <= ${chunks - 1}, got maxHamming=$maxHamming")
+    val width = (63 / chunks) + 1      // ceil(64 / chunks)
     val grams = shingleSets(docs, idCol, textCol)
     // signature computed in one native-expression pass per doc. The cache
     // is the sketch index (16 B/doc) AND a constraint barrier: without it,
@@ -95,13 +107,14 @@ object Dedup {
       graft.functions.SketchFunctions.simhash64(col("shingles")).as("simhash"))
       .cache()
 
-    val chunks = sigs.select(col("doc"), col("simhash"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        shiftrightunsigned(col("simhash"), 16 * c).bitwiseAND(0xFFFF)
+    val mask = (1L << math.min(width, 63)) - 1L
+    val chunked = sigs.select(col("doc"), col("simhash"),
+      explode(array((0 until chunks).map(c => struct(lit(c).as("c"),
+        shiftrightunsigned(col("simhash"), width * c).bitwiseAND(mask)
           .as("v"))): _*)).as("ck"))
       .select(col("doc"), col("simhash"), col("ck.c"), col("ck.v"))
 
-    chunks.as("x").join(chunks.as("y"),
+    chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),

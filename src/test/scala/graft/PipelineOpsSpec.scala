@@ -71,6 +71,27 @@ class PipelineOpsSpec extends SparkSuite {
     assert((sim intersect mh).nonEmpty)
   }
 
+  test("simhash chunk widening: 5x13-bit blocking serves hamming 4 with " +
+    "full pigeonhole recall; 4 chunks refuse it") {
+    // the pigeonhole guarantee is the contract: maxHamming must stay
+    // below the chunk count
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHash(docs, "doc_id", "text", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+    // widened blocking: every pair the 4-chunk default finds at <=3 is
+    // also found by 5 chunks at <=4 (a superset by definition), and the
+    // hamming values agree pair-for-pair
+    val h3 = Dedup.simHash(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val h4 = Dedup.simHash(docs, "doc_id", "text", maxHamming = 4,
+      chunks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(h3.subsetOf(h4),
+      s"widened blocking lost pairs: ${h3 -- h4}")
+    assert(h4.forall(_._3 <= 4))
+  }
+
   test("rolling hash is deterministic and collision-free on distinct docs") {
     import graft.functions.GraftFunctions.rolling_hash
     val fp1 = docs.select(rolling_hash(col("text")).as("h")).collect().map(_.getLong(0))
