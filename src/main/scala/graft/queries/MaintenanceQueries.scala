@@ -435,6 +435,62 @@ object MaintenanceQueries {
        |FROM customer WHERE NOT (c_acctbal < 0)
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Paimon VACUUM (snapshot expiration + orphan sweep): sync (snap 1),
+    * batch append (snap 2), row-level delete whose rewrite strands the
+    * victim files (snap 3), then `GRAFT VACUUM ... RETAIN 0 HOURS`
+    * expires to the head snapshot and sweeps every file no retained
+    * snapshot references. The read-back after the sweep is the proof no
+    * live file was touched; the in-gate requires pin that files WERE
+    * deleted and that expired history is gone.
+    */
+  def paimonVacuumRead(s: SparkSession, dir: String): DataFrame = {
+    val region = s.read.parquet(s"$dir/region.parquet")
+    val target = graft.util.TempDirs.create("graft_pvac_paimon")
+    val src0 = new ParquetDirectorySource(s, s"$dir/region.parquet",
+      "region")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.paimon.PaimonConversionTarget(s, target)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    region.withColumn("r_regionkey", col("r_regionkey") + 10)
+      .write.format("graft").option("tableFormat", "paimon")
+      .mode("append").save(target)
+    require(graft.formats.paimon.PaimonDeletes.deleteWhere(s, target,
+      col("r_regionkey") % 2 === 0) > 0)
+
+    val gs = graft.sql.GraftSql.session(s)
+    val deleted = gs.sql(s"GRAFT VACUUM '$target' RETAIN 0 HOURS")
+      .head().getLong(0)
+    require(deleted >= 1, s"vacuum deleted nothing at $target")
+    require(graft.formats.paimon.PaimonFormat.listSnapshotIds(target)
+      == Seq(3L), "expiration must retain exactly the head snapshot")
+    // expired history is gone for time travel too
+    intercept_noSnapshot(s, target)
+
+    s.read.format("graft").load(target)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("r_regionkey")).cast("long").as("sum_key"))
+  }
+
+  private def intercept_noSnapshot(s: SparkSession, target: String): Unit = {
+    val travelled =
+      try {
+        s.read.format("graft").option("versionAsOf", "1").load(target)
+          .count()
+        true
+      } catch { case _: Exception => false }
+    if (travelled) throw new IllegalStateException(
+      "time travel to an expired Paimon snapshot must fail")
+  }
+
+  val paimonVacuumReadSql: String =
+    """WITH u AS (
+      |  SELECT r_regionkey FROM region
+      |  UNION ALL
+      |  SELECT r_regionkey + 10 FROM region)
+      |SELECT count(*) AS cnt, CAST(sum(r_regionkey) AS BIGINT) AS sum_key
+      |FROM u WHERE r_regionkey % 2 <> 0""".stripMargin
+
   val paimonChangesFeedSql: String =
     s"""WITH feed AS (
        |  SELECT 'delete' AS _change_type, c_acctbal FROM customer

@@ -100,6 +100,11 @@ object GraftSqlCommands {
         case "HUDI" =>
           graft.formats.hudi.HudiMaintenance
             .clean(spark, path, retainInstants = 1).deleted
+        case "PAIMON" =>
+          graft.formats.paimon.PaimonMaintenance
+            .expireSnapshots(path, retainLast = 1)
+          graft.formats.paimon.PaimonMaintenance
+            .removeOrphanFiles(spark, path, retentionMillis = millis).deleted
         case other => throw new IllegalArgumentException(
           s"GRAFT VACUUM: unsupported table format $other at $path")
       }

@@ -193,4 +193,67 @@ class PaimonSyncSpec extends SparkSuite {
     assert(PaimonDeletes.deleteWhere(spark, target,
       col("r_regionkey") === 0) == 1L)
   }
+  test("expire + orphan sweep: prefix-only expiration, tag pin, live " +
+    "files untouched, incremental sync falls back to full") {
+    import spark.implicits._
+    val target = tmpDir("paimon_vac")
+    val region = spark.read.parquet(sf("sf0.001/region.parquet"))
+    val src0 = new ParquetDirectorySource(spark,
+      sf("sf0.001/region.parquet"), "region")
+    val r = TableFormatSync.syncSnapshot(
+      Seq(new PaimonConversionTarget(spark, target)),
+      src0.currentSnapshot(), src0.sourceFormat)
+    require(r.forall(_.status == "SUCCESS"), r.mkString(";"))
+    // snap 2 + 3: appends; snap 4: a delete rewrite stranding victims
+    region.withColumn("r_regionkey", col("r_regionkey") + 10)
+      .write.format("graft").option("tableFormat", "paimon")
+      .mode("append").save(target)
+    region.withColumn("r_regionkey", col("r_regionkey") + 20)
+      .write.format("graft").option("tableFormat", "paimon")
+      .mode("append").save(target)
+    require(PaimonDeletes.deleteWhere(spark, target,
+      col("r_regionkey") % 2 === 0) > 0)
+    val before = spark.read.format("graft").load(target)
+      .select("r_regionkey").as[Long].collect().sorted.toSeq
+
+    // a tag pins snapshot 2: expiration must stop BEFORE it (prefix
+    // rule), even with retainLast=1
+    PaimonFormat.createTag(target, "pinned", 2L)
+    val expired = PaimonMaintenance.expireSnapshots(target, retainLast = 1)
+    assert(expired == Seq(1L), s"prefix rule violated: $expired")
+    assert(PaimonFormat.listSnapshotIds(target) == Seq(2L, 3L, 4L))
+    // tag still serves (it resolves through the retained snapshot file)
+    assert(spark.read.format("graft").option("branch", "pinned")
+      .load(target).count() == 10)
+
+    // drop the tag -> the rest of the prefix expires
+    PaimonFormat.dropTag(target, "pinned")
+    assert(PaimonMaintenance.expireSnapshots(target, retainLast = 1)
+      == Seq(2L, 3L))
+    assert(PaimonFormat.listSnapshotIds(target) == Seq(4L))
+
+    val sweep = PaimonMaintenance.removeOrphanFiles(spark, target)
+    assert(sweep.deleted >= 1, s"sweep removed nothing: $sweep")
+    // live rows byte-identical through the sweep
+    val after = spark.read.format("graft").load(target)
+      .select("r_regionkey").as[Long].collect().sorted.toSeq
+    assert(after == before, "sweep touched a referenced file")
+    // a second sweep is a no-op (idempotent)
+    assert(PaimonMaintenance.removeOrphanFiles(spark, target).deleted == 0)
+
+    // expired history: time travel refuses, incremental falls back full
+    intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", "1").load(target)
+        .count()
+    }
+    val paimonSrc = new PaimonConversionSource(spark, target, "region")
+    assert(!paimonSrc.isIncrementalSyncSafeFrom("1"),
+      "expired history must force fallback-to-full")
+    val delta = tmpDir("paimon_vac_delta")
+    val out = new ConversionController().sync(paimonSrc,
+      Seq(new graft.formats.delta.DeltaConversionTarget(spark, delta)))
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    assert(new graft.formats.delta.DeltaConversionSource(
+      spark, delta, "region").toDataFrame.count() == before.size)
+  }
 }
