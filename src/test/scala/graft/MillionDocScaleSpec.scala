@@ -81,14 +81,29 @@ class MillionDocScaleSpec extends SparkSuite {
     assert(cand <= 20000000L, s"candidate blowup: $cand pairs")
     assert(cand >= truePairs, s"blocking lost the planted clusters: $cand")
 
-    val (found, lshSec) = timed("minHashLsh end-to-end") {
-      graft.operators.Dedup.minHashLsh(docs, "id", "text",
-        threshold = 0.8).count()
+    val (pairs, lshSec) = timed("minHashLsh end-to-end") {
+      val p = graft.operators.Dedup.minHashLsh(docs, "id", "text",
+        threshold = 0.8).localCheckpoint()
+      p.count()
+      p
     }
+    val found = pairs.count()
     // banding miss at J=0.917 is (1-0.917^4)^16 ≈ 3e-9 — effectively
     // every planted pair; threshold 0.8 excludes any cross-cluster pair
     assert(found == truePairs,
       s"expected exactly $truePairs planted pairs, got $found")
+
+    // the cluster keeper over the full 500k-pair graph: min-label
+    // propagation must resolve 50k five-doc cliques exactly (every
+    // member labeled with its cluster's minimum id) — the O(diameter)
+    // shuffle-rounds design, no driver union-find
+    val (badLabels, ccSec) = timed("duplicateClusters over 500k pairs") {
+      graft.operators.Dedup.duplicateClusters(pairs)
+        .filter(col("cluster_rep") =!=
+          (col("doc_id") - pmod(col("doc_id"), lit(5L)))).count()
+    }
+    assert(badLabels == 0L, s"$badLabels docs mislabeled")
+    assert(ccSec < 600, s"clustering too slow: $ccSec")
     // the candidate pass runs first (cold JIT, 16M-group aggregation) —
     // measured 243 s vs the LSH's 73 s; the bound guards O(n²), which
     // would be hours
