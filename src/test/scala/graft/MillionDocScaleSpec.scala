@@ -149,14 +149,18 @@ class MillionDocScaleSpec extends SparkSuite {
 
   test("1M vectors: IVF build + probe serves top-k from probed lists " +
     "only, with brute-force-verified recall") {
-    // 64 planted spherical clusters, dim 32: v = centroid(id%64) + noise
+    // 100k groups of 10 near-identical vectors, dim 32: each query's
+    // true top-5 are groupmates (cos ≈ 1), everything else is a random
+    // 32-d direction (|cos| well under 0.5) — a SEPARATED ground truth,
+    // so set-recall is meaningful (a flat cluster blob would make top-5
+    // a tie-break lottery over thousands of equidistant points)
     val dim = 32
     val vecs = spark.range(n).select(col("id"),
       transform(sequence(lit(0), lit(dim - 1)), d =>
-        ((pmod(xxhash64(pmod(col("id"), lit(64)), d), lit(2000)) - 1000)
+        ((pmod(xxhash64(floor(col("id") / 10), d), lit(2000)) - 1000)
           / 1000.0 +
           (pmod(xxhash64(col("id"), d, lit(13)), lit(2000)) - 1000)
-            / 14000.0).cast("float")).as("embedding"))
+            / 33000.0).cast("float")).as("embedding"))
     val queries = vecs.filter(pmod(col("id"), lit(9973)) === 0)
 
     val (ivf, ivfSec) = timed("ivf build + probe (1M corpus)") {
@@ -169,10 +173,9 @@ class MillionDocScaleSpec extends SparkSuite {
     assert(ivf.count() == nq * 5, "every query must fill its top-5")
     assert(ivfSec < 900, s"ivf too slow: $ivfSec")
 
-    // recall contract vs exact brute force on a query sample: planted
-    // clusters are tight (noise 1/14 of centroid scale), so the true
-    // top-5 live in the query's own cluster and a 4-probe IVF must see
-    // essentially all of them
+    // recall contract vs exact brute force on a query sample: a query's
+    // groupmates are near-identical, so they land in the query's own
+    // nearest list(s) and a 4-probe IVF must see essentially all of them
     val sample = queries.filter(pmod(col("id"), lit(99730)) === 0)
     val (truth, bfSec) = timed("brute-force ground truth (sample)") {
       graft.operators.Similarity.bruteForceTopK(vecs, sample, "id",
@@ -186,5 +189,18 @@ class MillionDocScaleSpec extends SparkSuite {
     assert(recall >= 0.8, f"ivf recall degraded: $recall%.3f")
     assert(bfSec < 600, s"brute force too slow: $bfSec")
     ivf.unpersist()
+
+    // PQ — the compressed-corpus serving shape (m+4 bytes per vector):
+    // codebook fit + ADC scan + exact rerank over the same 1M corpus;
+    // recall measured against the same exact ground truth
+    val (pq, pqSec) = timed("pq build + topk (1M corpus)") {
+      graft.operators.Similarity.pqTopK(vecs, sample, "id", "embedding",
+        dim, k = 5, m = 8, ksub = 64).collect()
+    }
+    val pqGot = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = truth.count(pqGot.contains).toDouble / truth.size
+    info(f"pq recall@5 over ${truth.size / 5} sampled queries: $pqRecall%.3f")
+    assert(pqRecall >= 0.8, f"pq recall degraded: $pqRecall%.3f")
+    assert(pqSec < 900, s"pq too slow: $pqSec")
   }
 }
