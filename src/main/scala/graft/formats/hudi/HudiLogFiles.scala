@@ -600,22 +600,26 @@ object HudiLogFiles {
     val bt = blockType
     val dupKeys = dupCheckKeys
     val bconf = graft.util.HadoopConfs.broadcastSession(spark)
+    // dup-check fused into the sort the group split already needs:
+    // sorting by (__fid, keys) makes duplicate source rows ADJACENT —
+    // detected in O(1) memory per task (a HashSet would hold every key
+    // of a partition, O(rows) on a hot file group). Keyed on (fid, key)
+    // because a key living in several base files legitimately routes one
+    // copy per owning group. Intra-group row order is free to change:
+    // the reader merges log records by key + instant, never block order.
+    val sortCols = col("__fid") +: dupKeys.map(col)
     val statRows = routed.repartition(col("__fid"))
-      .sortWithinPartitions("__fid")
+      .sortWithinPartitions(sortCols: _*)
       .rdd.mapPartitions { it =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         val avro = new Schema.Parser().parse(avroJson)
-        // duplicate-key guard, one set per partition (complete: every
-        // routed copy of a key hashes to this partition by __fid). The
-        // set keys on (fid, key) because a key living in several base
-        // files legitimately routes one copy per owning group — only a
-        // second copy in the SAME group is a duplicate source row
-        val seenKeys = new scala.collection.mutable.HashSet[Seq[Any]]()
+        var prevKey: Seq[Any] = null
         val buf = it.map { r =>
           if (dupKeys.nonEmpty) {
             val k = r.getAs[Any]("__fid") +: dupKeys.map(r.getAs[Any])
-            if (!seenKeys.add(k)) throw new IllegalArgumentException(
+            if (k == prevKey) throw new IllegalArgumentException(
               s"upsert batch has duplicate keys: ${k.tail}")
+            prevKey = k
           }
           r
         }.buffered

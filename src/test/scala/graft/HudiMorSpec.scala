@@ -350,4 +350,37 @@ class HudiMorSpec extends SparkSuite {
         Map("n_nationkey" -> org.apache.spark.sql.functions.lit(99L)))
     }
   }
+  test("upsert refuses duplicate source keys inside the write pass, " +
+    "before any commit lands") {
+    import spark.implicits._
+    val t = tmpDir("hudi_dupkeys")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001/nation.parquet")),
+      java.nio.file.Paths.get(t, "base1.parquet"))
+    val base = s"$t/base1.parquet"
+    val nation = spark.read.parquet(base)
+    graft.formats.hudi.HudiTimeline.writeProperties(t, "nation",
+      "MERGE_ON_READ")
+    require(graft.formats.hudi.HudiTimeline.writeCommit(
+      graft.formats.hudi.HudiTimeline.CommitMeta("100", "commit",
+        Map("" -> Seq(graft.formats.hudi.HudiTimeline.WriteStat(
+          graft.formats.hudi.HudiTimeline.fileId(base), "base1.parquet",
+          nation.count(),
+          java.nio.file.Files.size(java.nio.file.Paths.get(base))))),
+        Map.empty, Map("schema" -> nation.schema.json)), t))
+    val dup = nation.limit(1).unionByName(nation.limit(1))
+    val e = intercept[Exception] {
+      graft.formats.hudi.HudiLogFiles.upsert(spark, t, dup,
+        Seq("n_nationkey"))
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "|" + msgs(x.getCause)
+    assert(msgs(e).contains("duplicate keys"), msgs(e))
+    // the aborted write left no commit: the timeline is untouched and
+    // the real-time read serves exactly the base rows
+    assert(graft.formats.hudi.HudiTimeline.listInstants(t) == Seq("100"))
+    assert(new graft.formats.hudi.HudiConversionSource(
+      spark, t, "nation", "snapshot").toDataFrame.count() == nation.count())
+    locally { val _ = spark.implicits }
+  }
 }
