@@ -74,9 +74,13 @@ object DeltaVacuum {
         .filter(_._2 >= horizon).map(_._1)
 
     val keep = liveRefs.union(tombstoneRefs).distinct()
+    // never walk a SIBLING format's metadata plane (in-place
+    // multi-format tables): its files are absent from Delta's keep set
+    // and the sweep would destroy that plane
+    val foreign = graft.util.DistributedWalk.foreignPlaneDirs("delta")
     val all = graft.util.DistributedWalk
       .allFiles(spark, tp, skipDir = d => d == DeltaLog.LogDir ||
-        d == graft.plans.BloomIndex.IndexDirName)
+        d == graft.plans.BloomIndex.IndexDirName || foreign.contains(d))
       .localCheckpoint()
     val scanned = all.count()
     val doomed: Dataset[graft.util.DistributedWalk.WalkedFile] = all

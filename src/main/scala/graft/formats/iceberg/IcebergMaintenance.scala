@@ -95,8 +95,13 @@ object IcebergMaintenance {
     val keep = referencedData
       .union(spark.createDataset(keepDriver)).distinct()
 
+    // never walk a SIBLING format's metadata plane (in-place
+    // multi-format tables): its files are absent from Iceberg's keep
+    // set and the sweep would destroy that plane
+    val foreign = graft.util.DistributedWalk.foreignPlaneDirs("iceberg")
     val all = graft.util.DistributedWalk.allFiles(spark, tablePath,
-        skipDir = _ == graft.plans.BloomIndex.IndexDirName,
+        skipDir = d => d == graft.plans.BloomIndex.IndexDirName ||
+          foreign.contains(d),
         skipFile = n => n.endsWith(".metadata.json") ||
           n == "version-hint.text")
       .localCheckpoint()

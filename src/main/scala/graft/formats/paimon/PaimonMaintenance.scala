@@ -103,8 +103,13 @@ object PaimonMaintenance {
     val keep = referencedData
       .union(spark.createDataset(keepDriver)).distinct()
 
+    // own snapshot/schema/tag plane never swept (the manifest dir IS
+    // swept, via the keep set); sibling formats' planes never walked
+    // (in-place multi-format tables — their files are absent from
+    // Paimon's keep set and the sweep would destroy them)
     val metaDirs = Set("snapshot", "schema", "tag",
-      graft.plans.BloomIndex.IndexDirName)
+      graft.plans.BloomIndex.IndexDirName) ++
+      graft.util.DistributedWalk.foreignPlaneDirs("paimon")
     val all = graft.util.DistributedWalk.allFiles(spark, path,
         skipDir = metaDirs.contains)
       .localCheckpoint()

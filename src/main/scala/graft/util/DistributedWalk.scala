@@ -14,6 +14,26 @@ object DistributedWalk {
 
   case class WalkedFile(path: String, size: Long, mtime: Long)
 
+  /** Per-format metadata-plane directory names under a table root. An
+    * in-place multi-format table hosts SEVERAL planes side by side (the
+    * engine's core conversion mode), and a retention sweep keyed on ONE
+    * plane's references must never walk a sibling plane — its files are
+    * by construction absent from the sweeping plane's keep set, so the
+    * sweep would destroy the sibling's metadata. Hudi's `.hoodie` (and
+    * its dot-prefixed MOR log files) are hidden and always skipped by
+    * the walk itself.
+    */
+  val MetadataPlaneDirs: Map[String, Set[String]] = Map(
+    "delta" -> Set("_delta_log", "_change_data"),
+    "iceberg" -> Set("metadata"),
+    "paimon" -> Set("snapshot", "schema", "tag", "manifest"))
+
+  /** Directories a sweep running through `own`'s plane must skip: every
+    * OTHER format's plane (its own is governed by its keep set).
+    */
+  def foreignPlaneDirs(own: String): Set[String] =
+    MetadataPlaneDirs.filterNot(_._1 == own).values.flatten.toSet
+
   /** All files under `basePath`, skipping level-1 directories matching
     * `skipDir` and files matching `skipFile` (hidden files are always
     * skipped — checksum/CRC sidecars travel with their data file).

@@ -95,4 +95,40 @@ class DeltaVacuumSpec extends SparkSuite {
       .count()
     assert(again == v0Count)
   }
+  test("in-place multi-format table: each plane's sweep never touches a " +
+    "sibling plane") {
+    // the engine's core conversion mode: delta + iceberg + paimon
+    // metadata planes over ONE directory of shared parquet files
+    val base = tmpDir("vac_inplace")
+    spark.read.parquet(sf("sf0.001") + "/region.parquet")
+      .repartition(2).write.mode("append").parquet(base)
+    val src = new ParquetDirectorySource(spark, base, "region")
+    val out = TableFormatSync.syncSnapshot(Seq(
+      new DeltaConversionTarget(spark, base),
+      new graft.formats.iceberg.IcebergConversionTarget(spark, base),
+      new graft.formats.paimon.PaimonConversionTarget(spark, base)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+    def readAll(): Seq[Long] = Seq(
+      new DeltaConversionSource(spark, base, "region")
+        .toDataFrame.count(),
+      new graft.formats.iceberg.IcebergConversionSource(spark, base,
+        "region").toDataFrame.count(),
+      new graft.formats.paimon.PaimonConversionSource(spark, base,
+        "region").toDataFrame.count())
+    val before = readAll()
+    assert(before.distinct.size == 1 && before.head == 5, before.toString)
+
+    // every plane's zero-retention sweep runs; all three planes must
+    // keep serving afterwards — a sweep that walked a sibling plane
+    // would have deleted its (keep-set-invisible) metadata files
+    DeltaVacuum.vacuum(spark, base, retentionMillis = 0L)
+    graft.formats.iceberg.IcebergMaintenance
+      .removeOrphanFiles(spark, base, retentionMillis = 0L)
+    graft.formats.paimon.PaimonMaintenance
+      .removeOrphanFiles(spark, base, retentionMillis = 0L)
+    assert(readAll() == before,
+      "a retention sweep destroyed a sibling format's metadata plane")
+  }
 }
