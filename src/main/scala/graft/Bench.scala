@@ -82,7 +82,37 @@ object Bench {
     val phases = graft.util.PhaseTimer.snapshot().toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$nRuns,"runs":$spread,"phases":$phases}""")
+    // The driver captures only the LAST 2000 BYTES of stdout and parses one
+    // JSON line out of that window; every round's full-suite line (4-25 KB)
+    // overflowed it and came back `parsed: null` (BENCH_r01..r11 all null).
+    // Contract fix: the stdout line carries `value` = total over ALL queries
+    // run plus a HEADLINE `queries` map small enough to always fit (~1 KB);
+    // the complete per-query medians, per-run matrix and phase timers go to
+    // the sidecar detail file, which is what BASELINE.md comparisons read.
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q9_rollup",
+      "q18_salted_join", "dedup_minhash_lsh", "dedup_simhash",
+      "ann_ivf_topk", "text_quality", "pipeline_curation_e2e",
+      "sync_parquet_to_delta", "sync_incremental_iceberg",
+      "delta_optimize_compact", "iceberg_zorder_read", "sql_merge_routed",
+      "streaming_hourly_counts", "streaming_dedup_minhash",
+      "time_travel_delta", "mv_incremental_agg")
+    val headlineQs = perQuery
+      .filter { case (k, _, _) => headline.contains(k) }
+      .map { case (k, m, _) => "\"" + k + "\":" + f"$m%.3f" }
+      .mkString("{", ",", "}")
+    val stdoutLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headlineQs,"sf":"$sfDir","queries_run":${perQuery.size},"runs_per_query":$nRuns}"""
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$nRuns,"runs":$spread,"phases":$phases}"""
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_detail_local.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(detailPath),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(stdoutLine)
     spark.stop()
   }
 }

@@ -74,27 +74,87 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C(n, k) — exact over the tiny (chunks ≤ 32, k ≤ 8) domain. */
+  private def binomial(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - k + i) / i)
+
+  /** Pick a SimHash blocking scheme `(chunks, minMatch)` for corpus size
+    * `n` and hamming bound `h`.
+    *
+    * Generalized pigeonhole: `h` bit flips dirty at most `h` chunks, so
+    * any pair within hamming `h` still agrees on at least `chunks − h`
+    * intact chunks — indexing every `minMatch`-subset of chunks misses
+    * nothing as long as `chunks ≥ h + minMatch`. Background (non-dup)
+    * collision work is `C(chunks, minMatch) · n² / 2^keyBits`; per doc
+    * that is `keys · n / 2^keyBits`. The rule: the smallest `minMatch`
+    * whose (weakest) key still bounds per-doc background collisions by
+    * `targetPerDoc`. For h = 3 this yields 4×16-bit single-chunk keys to
+    * ~500k docs, 5-chunk pair keys (≈24 effective bits) to ~10^8, and
+    * triple keys past that — the widening SCALE.md prescribes, derived
+    * instead of hand-picked.
+    */
+  def simHashBlocking(n: Long, maxHamming: Int,
+      targetPerDoc: Double = 32.0): (Int, Int) = {
+    require(maxHamming >= 0 && maxHamming <= 30,
+      s"maxHamming must be in [0, 30], got $maxHamming")
+    def scheme(r: Int): Option[(Int, Int, Double)] = {
+      val chunks = math.max(2, maxHamming + r)
+      val width = (63 / chunks) + 1
+      if (chunks > 32 || r * width > 63) None
+      else {
+        val weakest = 64 - width * (chunks - 1) // entropy of the top slice
+        val keyBits = math.min(weakest + (r - 1) * width, 62)
+        val perDoc =
+          binomial(chunks, r) * n.toDouble / math.pow(2.0, keyBits)
+        Some((chunks, r, perDoc))
+      }
+    }
+    val feasible = (1 to 8).flatMap(scheme(_))
+    val pick = feasible.find(_._3 <= targetPerDoc)
+      .getOrElse(feasible.minBy(_._3))
+    (pick._1, pick._2)
+  }
+
   /** SimHash near-duplicate pairs at hamming distance ≤ maxHamming.
     *
     * 64-bit signature: bit b is the sign of Σ±1 over shingle hashes'
-    * bit b. Blocking: `chunks` equal-width slices of the signature — any
-    * pair within hamming `chunks - 1` shares at least one identical
-    * chunk (pigeonhole), so the bucket join has no false negatives.
+    * bit b. Blocking: the signature is cut into `chunks` equal slices
+    * and every `minMatch`-subset of slices becomes a bucket key — any
+    * pair within hamming `chunks - minMatch` shares at least one intact
+    * key (generalized pigeonhole), so the bucket join has no false
+    * negatives. The exact `bit_count` filter then drops the background
+    * collisions, so EVERY valid scheme returns the identical pair set —
+    * the scheme only decides how much candidate work the join does.
     *
-    * Scale lever: background bucket collisions grow ~n²/2^width per
-    * chunk, so the default 4×16-bit blocking (hamming ≤ 3) is right up
-    * to ~10^7 docs; at 10^8+ raise `chunks` (5×13-bit serves hamming ≤ 4
-    * with 8× more, smaller buckets — total collision work scales with
-    * chunks·n²/2^width, the width term dominating).
+    * `chunks = 0` (the default) auto-sizes the scheme from the corpus
+    * count (`docCountHint`, or a `count()` when unset) via
+    * [[simHashBlocking]]: single-chunk 4×16-bit keys while background
+    * collisions stay ~linear, pair/triple keys (wider effective buckets)
+    * as n² / 2^width overtakes — the hand-tuning SCALE.md used to
+    * prescribe, now derived.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    require(chunks >= 2 && chunks <= 64,
-      s"chunks must be in [2, 64], got $chunks")
-    require(maxHamming < chunks,
-      s"pigeonhole blocking over $chunks chunks only guarantees recall " +
-        s"for hamming <= ${chunks - 1}, got maxHamming=$maxHamming")
-    val width = (63 / chunks) + 1      // ceil(64 / chunks)
+      maxHamming: Int = 3, chunks: Int = 0, minMatch: Int = 1,
+      docCountHint: Long = 0L): DataFrame = {
+    val (blockChunks, blockMatch) =
+      if (chunks == 0) {
+        val n = if (docCountHint > 0) docCountHint else docs.count()
+        simHashBlocking(n, maxHamming)
+      } else (chunks, minMatch)
+    // Cap at 32: for chunks in [33,63] the slice width is 2, so the shift
+    // amount width*c reaches >=64 at c>=32, and a 64-bit >>> masks its
+    // shift mod 64 — those chunks would silently re-read the LOW-order
+    // slices and the pigeonhole recall guarantee would no longer hold.
+    // 32 x 2-bit already serves hamming <= 31, far past any useful bound.
+    require(blockChunks >= 2 && blockChunks <= 32,
+      s"chunks must be in [2, 32], got $blockChunks")
+    require(blockMatch >= 1 && maxHamming <= blockChunks - blockMatch,
+      s"pigeonhole blocking over $blockChunks chunks with $blockMatch-chunk " +
+        s"keys only guarantees recall for hamming <= " +
+        s"${blockChunks - blockMatch}, got maxHamming=$maxHamming")
+    val width = (63 / blockChunks) + 1 // ceil(64 / chunks)
+    require(blockMatch * width <= 63,
+      s"$blockMatch-chunk keys of $width-bit slices overflow a long")
     val grams = shingleSets(docs, idCol, textCol)
     // signature computed in one native-expression pass per doc. The cache
     // is the sketch index (16 B/doc) AND a constraint barrier: without it,
@@ -108,10 +168,16 @@ object Dedup {
       .cache()
 
     val mask = (1L << math.min(width, 63)) - 1L
+    def slice(c: Int) =
+      shiftrightunsigned(col("simhash"), width * c).bitwiseAND(mask)
+    val keys = (0 until blockChunks).combinations(blockMatch)
+      .toSeq.zipWithIndex.map { case (combo, i) =>
+        val v = combo.map(slice)
+          .reduceLeft((a, b) => shiftleft(a, width).bitwiseOR(b))
+        struct(lit(i).as("c"), v.as("v"))
+      }
     val chunked = sigs.select(col("doc"), col("simhash"),
-      explode(array((0 until chunks).map(c => struct(lit(c).as("c"),
-        shiftrightunsigned(col("simhash"), width * c).bitwiseAND(mask)
-          .as("v"))): _*)).as("ck"))
+      explode(array(keys: _*)).as("ck"))
       .select(col("doc"), col("simhash"), col("ck.c"), col("ck.v"))
 
     chunked.as("x").join(chunked.as("y"),

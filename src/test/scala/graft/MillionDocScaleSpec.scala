@@ -147,6 +147,58 @@ class MillionDocScaleSpec extends SparkSuite {
     assert(shSec < 900, s"simhash too slow: $shSec")
   }
 
+  test("1M docs at hamming <= 3: auto-blocking widens to 5-chunk pair " +
+    "keys and the candidate bound drops below the 4x16 scheme's") {
+    val docs = corpus(clustered = 100000L, clusterSize = 4,
+      variantTail = false)
+    val truePairs = 25000L * 6L
+
+    // the derived scheme: 4x16 single-chunk keys background-collide at
+    // ~4n²/2^16 (≈30G potential at 1M docs of distinct signatures — the
+    // r11 run measured ~25M because planted dups collapse signatures);
+    // pair keys over 5 chunks carry >= 25 effective bits, so background
+    // pairs fall to ~C(5,2)·n²/2^25 ≈ 150k
+    val scheme = graft.operators.Dedup.simHashBlocking(1000000L, 3)
+    assert(scheme == ((5, 2)), s"expected 5-chunk pair keys, got $scheme")
+
+    val grams = graft.operators.Dedup.shingleSets(docs, "id", "text")
+    val sigs = grams.select(col("doc"),
+      graft.functions.SketchFunctions.simhash64(col("shingles"))
+        .as("simhash"))
+    // pair-key candidate census: C(5,2)=10 keys/doc, each the
+    // concatenation of two 13-bit slices (top slice 12 bits)
+    val width = 13
+    val mask = (1L << width) - 1L
+    def slice(c: Int) =
+      shiftrightunsigned(col("simhash"), width * c).bitwiseAND(lit(mask))
+    val keys = (0 until 5).combinations(2).toSeq.zipWithIndex.map {
+      case (combo, i) =>
+        val v = combo.map(slice)
+          .reduceLeft((a, b) => shiftleft(a, width).bitwiseOR(b))
+        v * 10 + i
+    }
+    val (cand, candSec) = timed("simhash pair-key candidate count") {
+      sigs.select(explode(array(keys: _*)).as("ckey"))
+        .groupBy("ckey").count()
+        .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
+    }
+    // planted clusters contribute 25k · 10 keys · 6 pairs = 1.5M exact
+    // collisions; background adds ~10·n²/2^26 ≈ 150k. Alarm an order
+    // past that — and two orders under the 4x16 scheme's 10^7+ band
+    assert(cand <= 20000000L, s"pair-key bucket blowup: $cand")
+
+    val (found, shSec) = timed("simHash auto end-to-end") {
+      graft.operators.Dedup.simHash(docs, "id", "text", maxHamming = 3,
+        docCountHint = 1000000L).count()
+    }
+    // identical docs sit at hamming 0; distinct-seed docs differ in ~32
+    // bits, so hamming <= 3 false positives stay hash-rare
+    assert(found >= truePairs && found <= truePairs + 100,
+      s"expected ~$truePairs planted pairs, got $found")
+    assert(candSec < 300, s"candidate pass too slow: $candSec")
+    assert(shSec < 900, s"auto simhash too slow: $shSec")
+  }
+
   test("1M vectors: IVF build + probe serves top-k from probed lists " +
     "only, with brute-force-verified recall") {
     // 100k groups of 10 near-identical vectors, dim 32: each query's

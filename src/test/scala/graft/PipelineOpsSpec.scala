@@ -73,10 +73,11 @@ class PipelineOpsSpec extends SparkSuite {
 
   test("simhash chunk widening: 5x13-bit blocking serves hamming 4 with " +
     "full pigeonhole recall; 4 chunks refuse it") {
-    // the pigeonhole guarantee is the contract: maxHamming must stay
-    // below the chunk count
+    // the pigeonhole guarantee is the contract: an EXPLICIT chunk count
+    // must leave room for maxHamming (auto-sizing, chunks = 0, always
+    // picks a valid scheme instead)
     val e = intercept[IllegalArgumentException] {
-      Dedup.simHash(docs, "doc_id", "text", maxHamming = 4)
+      Dedup.simHash(docs, "doc_id", "text", maxHamming = 4, chunks = 4)
     }
     assert(e.getMessage.contains("pigeonhole"))
     // widened blocking: every pair the 4-chunk default finds at <=3 is
@@ -90,6 +91,32 @@ class PipelineOpsSpec extends SparkSuite {
     assert(h3.subsetOf(h4),
       s"widened blocking lost pairs: ${h3 -- h4}")
     assert(h4.forall(_._3 <= 4))
+  }
+
+  test("simHashBlocking widens with corpus size; every scheme returns " +
+    "the identical pair set") {
+    import graft.operators.Dedup.simHashBlocking
+    // h=3: single-chunk 4x16-bit keys hold while 4n/2^16 <= 32/doc
+    // (~500k docs), then pair keys over 5 chunks, then triple keys
+    assert(simHashBlocking(10000L, 3) == ((4, 1)))
+    assert(simHashBlocking(500000L, 3) == ((4, 1)))
+    assert(simHashBlocking(1000000L, 3) == ((5, 2)))
+    assert(simHashBlocking(100000000L, 3) == ((5, 2)))
+    // 5-chunk pair keys: weakest 12+13=25 bits, 10 keys/doc ->
+    // 10n/2^25 <= 32 holds to ~10^8; past that, triple keys
+    assert(simHashBlocking(1000000000L, 3)._2 >= 3)
+    // h=0 exact-signature match: two 32-bit halves are always enough
+    assert(simHashBlocking(1000000000L, 0) == ((2, 1)))
+    // pair sets agree across schemes: the bit_count filter is exact,
+    // blocking only decides candidate work (recall is guaranteed by the
+    // generalized pigeonhole as long as chunks - minMatch >= h)
+    def pairs(c: Int, m: Int) =
+      Dedup.simHash(docs, "doc_id", "text", maxHamming = 3,
+        chunks = c, minMatch = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = pairs(4, 1)
+    assert(pairs(5, 2) == base, "5-chunk pair keys diverged")
+    assert(pairs(6, 3) == base, "6-chunk triple keys diverged")
   }
 
   test("rolling hash is deterministic and collision-free on distinct docs") {
