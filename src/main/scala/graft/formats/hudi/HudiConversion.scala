@@ -429,9 +429,13 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
   }
 
   /** CAS pin for read-modify-write full-set syncs: commit ids on Hudi are
-    * timeline instants. Checked in [[completeSync]] — a writer that
-    * advanced the timeline past the caller's planning instant fails the
-    * commit loudly instead of having its files diffed away as removes.
+    * timeline instants. [[completeSync]] enforces it twice: the head
+    * re-check fails a commit whose base was already advanced, and —
+    * because a pinned commit's instant is the DETERMINISTIC successor
+    * `base + 1` — two pinned writers that both pass the check in the
+    * check-then-write window still target the same instant file, whose
+    * create-exclusive publish arbitrates: exactly one wins, the loser
+    * fails loudly instead of silently shadowing the winner's files.
     */
   override def expectBaseCommit(commitId: String): Unit =
     expectedBase = Some(commitId)
@@ -466,7 +470,14 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
             s"to $head since this operation planned its file set — " +
             "re-run against the new snapshot")
     }
-    val instant = HudiTimeline.newInstant(tablePath)
+    // pinned commits take the deterministic successor instant so the
+    // check-then-write window is closed by the instant file's
+    // create-exclusive publish (see expectBaseCommit scaladoc)
+    val instant = expectedBase match {
+      case Some(planned) if planned.nonEmpty && planned.forall(_.isDigit) =>
+        (BigInt(planned) + 1).toString
+      case _ => HudiTimeline.newInstant(tablePath)
+    }
     val tp = tablePath
     import spark.implicits._
 

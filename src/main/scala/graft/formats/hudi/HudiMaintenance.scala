@@ -41,14 +41,32 @@ object HudiMaintenance {
   case class CleanResult(deleted: Long, deletedBytes: Long,
       earliestRetained: String)
 
+  /** Clean file slices superseded before the horizon. The horizon is
+    * the count-based `retainInstants` cut, WIDENED (never narrowed) by
+    * `olderThanMillis`: every instant committed at/after that wall-clock
+    * point stays serveable, so `GRAFT VACUUM ... RETAIN n HOURS` keeps
+    * the window's time travel intact — Hudi's own
+    * KEEP_LATEST_BY_HOURS cleaning policy.
+    */
   def clean(spark: SparkSession, tablePath: String,
-      retainInstants: Int): CleanResult = {
+      retainInstants: Int,
+      olderThanMillis: Long = Long.MaxValue): CleanResult = {
     require(retainInstants >= 1, "must retain at least one instant")
     val active = HudiTimeline.listInstants(tablePath)
     require(active.nonEmpty, s"no Hudi timeline at $tablePath")
     if (active.size <= retainInstants)
       return CleanResult(0L, 0L, active.head)
-    val horizon = active.takeRight(retainInstants).head
+    val countHorizon = active.takeRight(retainInstants).head
+    val horizon =
+      if (olderThanMillis == Long.MaxValue) countHorizon
+      else {
+        val cutoff = HudiTimeline.InstantFormat
+          .format(java.time.Instant.ofEpochMilli(olderThanMillis))
+        val timeHorizon = active.find(_ >= cutoff).getOrElse(countHorizon)
+        if (timeHorizon < countHorizon) timeHorizon else countHorizon
+      }
+    if (active.head >= horizon)
+      return CleanResult(0L, 0L, horizon)
     val head = active.last
 
     val src = new HudiConversionSource(spark, tablePath, "cleaner")

@@ -236,8 +236,13 @@ object HudiTimeline {
     val inflight = target.getParent.resolve(
       if (meta.action == "commit") s"${meta.instant}.inflight"
       else s"${meta.instant}.${meta.action}.inflight")
-    if (!Files.exists(requested)) Files.createFile(requested)
-    if (!Files.exists(inflight)) Files.createFile(inflight)
+    // racing writers both staging the same instant: marker creation is
+    // first-wins-tolerant (arbitration happens at the completed file's
+    // create-exclusive publish, not here)
+    try { if (!Files.exists(requested)) Files.createFile(requested) }
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    try { if (!Files.exists(inflight)) Files.createFile(inflight) }
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
     val tmp = Files.createTempFile(target.getParent, s".${meta.instant}", ".tmp")
     Files.write(tmp, commitJson(meta).getBytes(StandardCharsets.UTF_8))
     graft.util.AtomicFiles.publish(tmp, target)
@@ -269,8 +274,13 @@ object HudiTimeline {
     val inflight = target.getParent.resolve(
       if (action == "commit") s"$instant.inflight"
       else s"$instant.$action.inflight")
-    if (!Files.exists(requested)) Files.createFile(requested)
-    if (!Files.exists(inflight)) Files.createFile(inflight)
+    // racing writers both staging the same instant: marker creation is
+    // first-wins-tolerant (arbitration happens at the completed file's
+    // create-exclusive publish, not here)
+    try { if (!Files.exists(requested)) Files.createFile(requested) }
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    try { if (!Files.exists(inflight)) Files.createFile(inflight) }
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
     val tmp = Files.createTempFile(target.getParent, s".$instant", ".tmp")
     val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
     try {

@@ -21,13 +21,16 @@ import graft.util.{HadoopConfs, PathUtils}
 object IcebergMaintenance {
 
   /** Drop all but the newest `retainLast` snapshots — EXCEPT snapshots
-    * a ref (branch/tag) points at and the current snapshot itself (a
-    * rolled-back head can be older than the retention window): Iceberg's
-    * expire_snapshots retains ref-reachable heads the same way, and
-    * dropping them would dangle every tag and branch read. Returns the
-    * expired sequence numbers (empty when under the window).
+    * a ref (branch/tag) points at, the current snapshot itself (a
+    * rolled-back head can be older than the retention window), and any
+    * snapshot committed at/after `olderThanMillis` (Iceberg's
+    * expire_snapshots(older_than) semantics: `GRAFT VACUUM ... RETAIN n
+    * HOURS` keeps the window's time travel intact instead of truncating
+    * history to the head). Returns the expired sequence numbers (empty
+    * when under the window).
     */
-  def expireSnapshots(tablePath: String, retainLast: Int): Seq[Long] = {
+  def expireSnapshots(tablePath: String, retainLast: Int,
+      olderThanMillis: Long = Long.MaxValue): Seq[Long] = {
     require(retainLast >= 1, "must retain at least one snapshot")
     val version = IcebergMetadata.currentVersion(tablePath).getOrElse(
       throw new IllegalStateException(s"no Iceberg table at $tablePath"))
@@ -36,7 +39,8 @@ object IcebergMaintenance {
     if (ordered.size <= retainLast) return Nil
     val pinned = m.refs.values.map(_.snapshotId).toSet + m.currentSnapshotId
     val (old, recent) = ordered.splitAt(ordered.size - retainLast)
-    val (keptOld, expired) = old.partition(s => pinned.contains(s.snapshotId))
+    val (keptOld, expired) = old.partition(s =>
+      pinned.contains(s.snapshotId) || s.timestampMs >= olderThanMillis)
     if (expired.isEmpty) return Nil
     val ok = IcebergMetadata.write(tablePath, version + 1, m.copy(
       snapshots = keptOld ++ recent,

@@ -29,9 +29,14 @@ import graft.util.{HadoopConfs, PathUtils}
 object PaimonMaintenance {
 
   /** Drop all but the newest `retainLast` snapshots, never expiring past
-    * a tag-pinned id (see class doc). Returns the expired ids.
+    * a tag-pinned id (see class doc) nor one committed at/after
+    * `olderThanMillis` — `GRAFT VACUUM ... RETAIN n HOURS` keeps the
+    * window's time travel intact (Paimon proper expires by
+    * `snapshot.time-retained` the same way) instead of truncating
+    * history to the head. Returns the expired ids.
     */
-  def expireSnapshots(tablePath: String, retainLast: Int): Seq[Long] = {
+  def expireSnapshots(tablePath: String, retainLast: Int,
+      olderThanMillis: Long = Long.MaxValue): Seq[Long] = {
     require(retainLast >= 1, "must retain at least one snapshot")
     val path = PathUtils.canonical(tablePath)
     val ids = PaimonFormat.listSnapshotIds(path)
@@ -39,7 +44,9 @@ object PaimonMaintenance {
       throw new IllegalStateException(s"no Paimon table at $path")
     if (ids.size <= retainLast) return Nil
     val pinned = PaimonFormat.listTags(path).map(_._2).toSet
-    val expired = ids.dropRight(retainLast).takeWhile(!pinned.contains(_))
+    val expired = ids.dropRight(retainLast).takeWhile(id =>
+      !pinned.contains(id) &&
+        PaimonFormat.readSnapshot(path, id).timeMillis < olderThanMillis)
     // oldest-first: a concurrent reader resolving the head never loses it
     expired.foreach { id =>
       Files.deleteIfExists(

@@ -112,7 +112,36 @@ class GraftDataSource extends RelationProvider
             "pass an explicit appId option when driving addBatch directly")
         s"graft-$qid"
       }
+      // Pre-r11 sinks keyed the ledger on a checkpoint-location hash; a
+      // checkpointed query upgrading across that change gets a fresh
+      // (query-id) identity, so the engine's post-restart replay of the
+      // last batch would no longer be recognized as committed and would
+      // land twice. One-time migration guard: the first batch this sink
+      // instance sees also probes the LEGACY appId's ledger entry.
+      private val legacyAppId = "graft-" + Integer.toHexString(
+        opt("checkpointLocation").getOrElse(path).hashCode)
+      private var legacyChecked = false
+      private def legacyReplay(batchId: Long): Boolean = {
+        if (legacyChecked || explicitAppId.isDefined) return false
+        legacyChecked = true
+        val last = fmt match {
+          case graft.model.TableFormats.Delta =>
+            graft.formats.delta.DeltaStreamSink
+              .lastTxnVersion(spark, path, legacyAppId)
+          case graft.model.TableFormats.Iceberg =>
+            graft.formats.iceberg.IcebergStreamSink
+              .lastTxnVersion(spark, path, legacyAppId)
+          case graft.model.TableFormats.Hudi =>
+            graft.formats.hudi.HudiStreamSink
+              .lastTxnVersion(spark, path, legacyAppId)
+          case graft.model.TableFormats.Paimon =>
+            graft.formats.paimon.PaimonStreamSink
+              .lastTxnVersion(spark, path, legacyAppId)
+        }
+        last.exists(batchId <= _)
+      }
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        if (legacyReplay(batchId)) return
         val appId = queryAppId
         val batch = org.apache.spark.sql.GraftShims.asBatch(data)
         fmt match {

@@ -79,30 +79,38 @@ object GraftSqlCommands {
     }
   }
 
-  /** VACUUM routes by format: Delta sweeps unreferenced files past the
-    * retention; Iceberg expires old snapshots (keeping one) then removes
-    * orphans past the retention; Hudi cleans superseded file slices
-    * beyond the latest retained instants.
+  /** VACUUM routes by format, and the RETAIN window means the same thing
+    * everywhere: history committed inside the window stays time-travel
+    * serveable. Delta sweeps unreferenced files past the retention (log
+    * intact); Iceberg and Paimon expire only snapshots OLDER than the
+    * window (always keeping the head) then remove orphans past it; Hudi
+    * cleans only file slices superseded before the window
+    * (KEEP_LATEST_BY_HOURS). `RETAIN 0 HOURS` is the aggressive form:
+    * everything but the head goes.
     */
   case class VacuumCommand(path: String, retainHours: Long)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("deleted")
     override def run(spark: SparkSession): Seq[Row] = {
       val millis = retainHours * 3600L * 1000L
+      val horizon = System.currentTimeMillis() - millis
       val n = graft.sources.CatalogConversionSource.detectFormat(path) match {
         case "DELTA" =>
           DeltaVacuum.vacuum(spark, path, retentionMillis = millis).deleted
         case "ICEBERG" =>
           graft.formats.iceberg.IcebergMaintenance
-            .expireSnapshots(path, retainLast = 1)
+            .expireSnapshots(path, retainLast = 1,
+              olderThanMillis = horizon)
           graft.formats.iceberg.IcebergMaintenance
             .removeOrphanFiles(spark, path, retentionMillis = millis).deleted
         case "HUDI" =>
           graft.formats.hudi.HudiMaintenance
-            .clean(spark, path, retainInstants = 1).deleted
+            .clean(spark, path, retainInstants = 1,
+              olderThanMillis = horizon).deleted
         case "PAIMON" =>
           graft.formats.paimon.PaimonMaintenance
-            .expireSnapshots(path, retainLast = 1)
+            .expireSnapshots(path, retainLast = 1,
+              olderThanMillis = horizon)
           graft.formats.paimon.PaimonMaintenance
             .removeOrphanFiles(spark, path, retentionMillis = millis).deleted
         case other => throw new IllegalArgumentException(

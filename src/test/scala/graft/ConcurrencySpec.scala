@@ -586,4 +586,39 @@ class ConcurrencySpec extends SparkSuite {
       assert(out2.forall(_.status == "SUCCESS"), s"$fmt: $out2")
     }
   }
+
+  test("hudi expectBaseCommit: pinned commits take the deterministic " +
+    "successor instant, so the check-then-write window arbitrates at " +
+    "the instant file, not the head probe") {
+    import spark.implicits._
+    val data = tmpDir("ebd_hudi_data")
+    (0L until 30L).map(i => (i, s"v$i")).toDF("id", "name")
+      .repartition(2).write.mode("overwrite").parquet(data)
+    val t = tmpDir("ebd_hudi")
+    val src = new ParquetDirectorySource(spark, data, "t")
+    val out0 = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.hudi.HudiConversionTarget(spark, t)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(out0.forall(_.status == "SUCCESS"), out0.mkString(";"))
+    val base = graft.formats.hudi.HudiTimeline.listInstants(t).last
+
+    // a pinned sync commits at EXACTLY base+1 — two pinned writers that
+    // both pass the head re-check inside the check-then-write window
+    // therefore race on the same instant filename, and the completed
+    // file's create-exclusive publish fails the loser loudly
+    val planSrc = graft.sources.CatalogConversionSource.fromPath(spark, t, "t")
+    val planning = planSrc.currentSnapshot()
+    val out1 = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.hudi.HudiConversionTarget(spark, t)),
+      planning, planSrc.sourceFormat, expectBase = Some(base))
+    assert(out1.forall(_.status == "SUCCESS"), out1.mkString(";"))
+    val head = graft.formats.hudi.HudiTimeline.listInstants(t).last
+    assert(head == (BigInt(base) + 1).toString,
+      s"pinned commit landed at $head, expected successor of $base")
+
+    // the loser's publish: same successor instant, create-exclusive
+    val dup = graft.formats.hudi.HudiTimeline.writeCommitStreamed(
+      t, head, "commit", Iterator.empty, Iterator.empty, Map.empty)
+    assert(!dup, "second writer on the pinned successor must lose")
+  }
 }

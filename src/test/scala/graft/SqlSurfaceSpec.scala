@@ -289,6 +289,85 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(gs.sql(s"GRAFT VACUUM '$hudi'").head().getLong(0) >= 0)
   }
 
+  test("VACUUM RETAIN window preserves in-window time travel on every " +
+    "format (only Delta did before)") {
+    val data = tmpDir("sqlvw_data")
+    spark.read.parquet(sf("sf0.001") + "/region.parquet").repartition(2)
+      .write.mode("overwrite").parquet(data)
+    for (fmt <- Seq("iceberg", "paimon")) {
+      val t = tmpDir(s"sqlvw_$fmt")
+      gs.sql(s"GRAFT SYNC PARQUET '$data' AS region TO $fmt '$t'").collect()
+      gs.sql(s"GRAFT DELETE FROM '$t' WHERE r_regionkey = 0").collect()
+      val history = (fmt match {
+        case "iceberg" =>
+          graft.formats.iceberg.IcebergMetadata.read(t,
+            graft.formats.iceberg.IcebergMetadata.currentVersion(t).get)
+            .snapshots.size
+        case _ => graft.formats.paimon.PaimonFormat.listSnapshotIds(t).size
+      })
+      assert(history >= 2, s"$fmt: want 2+ snapshots, got $history")
+      // everything is seconds old: a week-long window expires NOTHING
+      gs.sql(s"GRAFT VACUUM '$t' RETAIN 168 HOURS").collect()
+      val after = (fmt match {
+        case "iceberg" =>
+          graft.formats.iceberg.IcebergMetadata.read(t,
+            graft.formats.iceberg.IcebergMetadata.currentVersion(t).get)
+            .snapshots.size
+        case _ => graft.formats.paimon.PaimonFormat.listSnapshotIds(t).size
+      })
+      assert(after == history,
+        s"$fmt: RETAIN 168 HOURS destroyed in-window history " +
+          s"($history -> $after snapshots)")
+      // the aggressive form still truncates to the head
+      gs.sql(s"GRAFT VACUUM '$t' RETAIN 0 HOURS").collect()
+      val head = (fmt match {
+        case "iceberg" =>
+          graft.formats.iceberg.IcebergMetadata.read(t,
+            graft.formats.iceberg.IcebergMetadata.currentVersion(t).get)
+            .snapshots.size
+        case _ => graft.formats.paimon.PaimonFormat.listSnapshotIds(t).size
+      })
+      assert(head == 1, s"$fmt: RETAIN 0 HOURS left $head snapshots")
+    }
+    // HUDI: upsert + compaction supersede the base slice; the week
+    // window retains it (time travel to the pre-compaction instant
+    // still serves), RETAIN 0 cleans it
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    import graft.formats.hudi.{HudiLogFiles, HudiTimeline}
+    val hudi = tmpDir("sqlvw_hudi")
+    JF.copy(JP.get(sf("sf0.001") + "/region.parquet"),
+      JP.get(hudi, "base1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val base = s"$hudi/base1.parquet"
+    val region = spark.read.parquet(base)
+    HudiTimeline.writeProperties(hudi, "region", "MERGE_ON_READ")
+    // a REALISTIC instant (a minute ago): the widened horizon compares
+    // instants as wall-clock timestamps, so a fake ancient id like "100"
+    // would be (correctly) outside any retention window
+    val seedInstant = HudiTimeline.InstantFormat.format(
+      java.time.Instant.now().minusSeconds(60))
+    require(HudiTimeline.writeCommit(HudiTimeline.CommitMeta(seedInstant,
+      "commit",
+      Map("" -> Seq(HudiTimeline.WriteStat(HudiTimeline.fileId(base),
+        "base1.parquet", region.count(), JF.size(JP.get(base))))),
+      Map.empty, Map("schema" -> region.schema.json)), hudi))
+    HudiLogFiles.upsert(spark, hudi,
+      region.limit(2).withColumn("r_comment",
+        org.apache.spark.sql.functions.lit("updated")),
+      Seq("r_regionkey"))
+    require(HudiLogFiles.compact(spark, hudi) > 0, "compaction no-op")
+
+    assert(gs.sql(s"GRAFT VACUUM '$hudi' RETAIN 168 HOURS")
+      .head().getLong(0) == 0L,
+      "hudi: RETAIN 168 HOURS cleaned an in-window file slice")
+    assert(JF.exists(JP.get(base)),
+      "hudi: in-window superseded base must survive RETAIN 168 HOURS")
+    assert(gs.sql(s"GRAFT VACUUM '$hudi' RETAIN 0 HOURS")
+      .head().getLong(0) >= 1L,
+      "hudi: RETAIN 0 HOURS should clean the superseded slice")
+    assert(!JF.exists(JP.get(base)),
+      "hudi: RETAIN 0 HOURS must retire the superseded base")
+  }
+
   test("UPDATE's WHERE boundary is quote- and paren-aware") {
     val p = new graft.sql.GraftSqlParser(null)
     // a ' where ' INSIDE the SET value must not end the SET clause
