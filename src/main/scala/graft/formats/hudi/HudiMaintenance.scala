@@ -92,6 +92,7 @@ object HudiMaintenance {
         val c = bconf.value.value
         var n = 0L; var b = 0L
         it.foreach { case (p, size) =>
+          graft.util.FaultInjection.beforeDelete(p)
           val hp = new org.apache.hadoop.fs.Path(p)
           if (hp.getFileSystem(c).delete(hp, false)) { n += 1; b += size }
         }

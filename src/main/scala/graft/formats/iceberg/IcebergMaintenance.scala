@@ -121,6 +121,7 @@ object IcebergMaintenance {
       val c = bconf.value.value
       var n = 0L; var b = 0L
       it.foreach { f =>
+        graft.util.FaultInjection.beforeDelete(f.path)
         val p = new Path(f.path)
         if (p.getFileSystem(c).delete(p, false)) { n += 1; b += f.size }
       }
