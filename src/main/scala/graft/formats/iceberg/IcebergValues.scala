@@ -83,11 +83,17 @@ object IcebergValues {
     case IntegerType | ShortType | ByteType =>
       ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt.toString
     case LongType =>
-      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toString
+      // 4-byte bound: written before an int -> long promotion (the spec
+      // keeps old manifests' bounds in the WRITE-time type; readers
+      // promote the stored value)
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      (if (bytes.length == 4) b.getInt.toLong else b.getLong).toString
     case FloatType =>
       ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toString
     case DoubleType =>
-      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble.toString
+      // 4-byte bound: pre-promotion float (see LongType note)
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      (if (bytes.length == 4) b.getFloat.toDouble else b.getDouble).toString
     case BooleanType => (bytes.nonEmpty && bytes(0) != 0).toString
     case StringType => new String(bytes, "UTF-8")
     case DateType =>

@@ -1021,6 +1021,91 @@ object MaintenanceQueries {
     """SELECT n_nationkey, n_name, 0 AS flag FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Type-promotion read matrix: every format's table starts at
+    * int/float, widens to bigint/double via `GRAFT ALTER TABLE ... ALTER
+    * COLUMN ... TYPE`, and the ALREADY-WRITTEN files serve
+    * row-identically under the evolved schema — Spark 4's parquet
+    * readers up-cast int32/float in the scan, so no rewrite happens.
+    * Also pins the refusal boundary: Iceberg takes only its spec's
+    * promotions (int→long, float→double — int→double refused), and
+    * narrowing refuses everywhere.
+    *
+    * Reference anchor: IcebergSchemaSync type-promote ops
+    * (xtable-core/.../iceberg/IcebergSchemaSync.java:82+) and the
+    * ITConversionController schema-evolution legs.
+    */
+  def sqlAlterType(s: SparkSession, dir: String): DataFrame = {
+    val gs = graft.sql.GraftSql.session(s)
+    val data = graft.util.TempDirs.create("graft_altertype_data")
+    s.read.parquet(s"$dir/nation.parquet")
+      .withColumn("qf", (col("n_regionkey") * lit(1.5)).cast("float"))
+      .coalesce(2).write.mode("overwrite").parquet(data)
+
+    val legs = Seq("delta", "hudi", "iceberg", "paimon").map { fmt =>
+      val t = graft.util.TempDirs.create(s"graft_altertype_$fmt")
+      val src = new ParquetDirectorySource(s, data, "nation")
+      val tgt: graft.spi.ConversionTarget = fmt match {
+        case "delta" => new DeltaConversionTarget(s, t)
+        case "hudi" => new graft.formats.hudi.HudiConversionTarget(s, t)
+        case "iceberg" =>
+          new graft.formats.iceberg.IcebergConversionTarget(s, t)
+        case "paimon" =>
+          new graft.formats.paimon.PaimonConversionTarget(s, t)
+      }
+      val out = TableFormatSync.syncSnapshot(Seq(tgt),
+        src.currentSnapshot(), src.sourceFormat)
+      require(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+      gs.sql(
+        s"GRAFT ALTER TABLE '$t' ALTER COLUMN n_nationkey TYPE bigint")
+        .collect()
+      gs.sql(s"GRAFT ALTER TABLE '$t' ALTER COLUMN qf TYPE double")
+        .collect()
+      val df = s.read.format("graft").load(t)
+      require(df.schema("n_nationkey").dataType ==
+        org.apache.spark.sql.types.LongType, s"$fmt: int->bigint not in schema")
+      require(df.schema("qf").dataType ==
+        org.apache.spark.sql.types.DoubleType, s"$fmt: float->double not in schema")
+      // narrowing refuses on every format
+      val narrowed =
+        try { gs.sql(
+          s"GRAFT ALTER TABLE '$t' ALTER COLUMN n_nationkey TYPE int")
+          .collect(); false }
+        catch { case _: IllegalArgumentException => true }
+      require(narrowed, s"$fmt: narrowing must refuse")
+      df.agg(count(lit(1)).as("cnt"),
+          sum(col("n_nationkey")).cast("long").as("sum_key"),
+          min(col("qf")).as("qf_min"), max(col("qf")).as("qf_max"))
+        .withColumn("fmt", lit(fmt))
+        .select("fmt", "cnt", "sum_key", "qf_min", "qf_max")
+    }
+
+    // iceberg refusal boundary: int -> double is outside the spec
+    val iceOnly = graft.util.TempDirs.create("graft_altertype_icespec")
+    val srcIce = new ParquetDirectorySource(s, data, "nation")
+    val outIce = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, iceOnly)),
+      srcIce.currentSnapshot(), srcIce.sourceFormat)
+    require(outIce.forall(_.status == "SUCCESS"), outIce.mkString(";"))
+    val refused =
+      try { gs.sql(s"GRAFT ALTER TABLE '$iceOnly' ALTER COLUMN " +
+        "n_nationkey TYPE double").collect(); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "iceberg int->double must refuse (spec boundary)")
+
+    legs.reduce(_ unionByName _).orderBy("fmt")
+  }
+
+  val sqlAlterTypeSql: String = {
+    val leg = (fmt: String) =>
+      s"""SELECT '$fmt' AS fmt, count(*) AS cnt,
+         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+         |  CAST(min(CAST(n_regionkey * 1.5 AS REAL)) AS DOUBLE) AS qf_min,
+         |  CAST(max(CAST(n_regionkey * 1.5 AS REAL)) AS DOUBLE) AS qf_max
+         |FROM nation""".stripMargin
+    Seq("delta", "hudi", "iceberg", "paimon").map(leg)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fmt")
+  }
+
   /** Paimon small-file compaction through GRAFT OPTIMIZE: 8 small files
     * fold into fewer, the head snapshot is a COMPACT kind carrying
     * removes+adds, and the read-back rows are unchanged.

@@ -33,6 +33,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT ALTER TABLE '<table>' ADD COLUMN <name> <type>
   *   GRAFT ALTER TABLE '<table>' RENAME COLUMN <a> TO <b>
   *   GRAFT ALTER TABLE '<table>' DROP COLUMN <name>
+  *   GRAFT ALTER TABLE '<table>' ALTER COLUMN <name> TYPE <type>
   *   GRAFT SHOW HISTORY '<table>'
   * }}}
   *
@@ -79,6 +80,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val AlterDrop: Regex =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val AlterType: Regex =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*;?\s*""".r
   private val ShowHistory: Regex =
     """(?is)\s*GRAFT\s+SHOW\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
@@ -163,6 +166,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterTableCommand(path, graft.sync.AlterTable.RenameColumn(from, to))
     case AlterDrop(path, name) =>
       AlterTableCommand(path, graft.sync.AlterTable.DropColumn(name))
+    case AlterType(path, name, ddl) =>
+      AlterTableCommand(path,
+        graft.sync.AlterTable.AlterColumnType(name, ddl))
     case AlterAdd(path, name, ddl) =>
       AlterTableCommand(path, graft.sync.AlterTable.AddColumn(name, ddl))
     case BloomIdx(verb, path, column) =>

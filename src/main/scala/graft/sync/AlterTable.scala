@@ -48,6 +48,7 @@ object AlterTable {
   case class AddColumn(name: String, typeDdl: String) extends Op
   case class RenameColumn(from: String, to: String) extends Op
   case class DropColumn(name: String) extends Op
+  case class AlterColumnType(name: String, typeDdl: String) extends Op
 
   case class Result(format: String, schema: StructType)
 
@@ -117,6 +118,18 @@ object AlterTable {
         // the physicalName metadata rides along: files stay correct
         StructType(cur.fields.map(x =>
           if (x.name == f.name) x.copy(name = to) else x))
+      case AlterColumnType(name, ddl) =>
+        val f = field(cur, name)
+        require(!partCols.contains(f.name),
+          s"'$name' is a partition column — its values are baked into " +
+            "the table layout and cannot be re-typed")
+        val to = DataType.fromDDL(ddl)
+        require(f.dataType != to,
+          s"column '$name' already has type ${to.simpleString}")
+        require(widenAllowed(fmt, f.dataType, to),
+          widenRefusal(fmt, f.dataType, to, name))
+        StructType(cur.fields.map(x =>
+          if (x.name == f.name) x.copy(dataType = to) else x))
       case DropColumn(name) =>
         require((fmt == "delta" && mapped) || fmt == "iceberg",
           dropRefusal(fmt, mapped))
@@ -174,6 +187,64 @@ object AlterTable {
         scala.util.Try(f.metadata.getLong(idKey)).toOption else None)
     (watermark +: inSchema).max + 1
   }
+
+  private val IntegralRank = Map[DataType, Int](
+    org.apache.spark.sql.types.ByteType -> 1,
+    org.apache.spark.sql.types.ShortType -> 2,
+    org.apache.spark.sql.types.IntegerType -> 3,
+    org.apache.spark.sql.types.LongType -> 4)
+
+  /** Widenings the graft READ path serves exactly: Spark 4's parquet
+    * readers (vectorized and parquet-mr) up-cast int32/int64/float
+    * columns to a wider requested type in the scan, so existing files
+    * keep serving bit-exact values under the evolved schema. Everything
+    * here is lossless: wider integral chains, byte/short/int → double
+    * (exact in a 52-bit mantissa), float → double. long → double is NOT
+    * here (loses precision past 2^53), nor is any narrowing.
+    */
+  private def losslessWiden(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if IntegralRank.contains(a) && IntegralRank.contains(b) =>
+        IntegralRank(b) > IntegralRank(a)
+      case (a, org.apache.spark.sql.types.DoubleType)
+          if IntegralRank.get(a).exists(_ <= 3) => true
+      case (org.apache.spark.sql.types.FloatType,
+          org.apache.spark.sql.types.DoubleType) => true
+      case _ => false
+    }
+
+  /** Per-format promotion matrix: the read path serves every
+    * [[losslessWiden]] pair, but a format only accepts promotions ITS
+    * own spec allows, so the metadata graft writes stays readable by the
+    * format's native engines — Iceberg spec §Schema Evolution permits
+    * exactly int→long and float→double (plus decimal precision); Delta
+    * (type-widening feature), Hudi (Avro resolution, lossless subset)
+    * and Paimon (numeric widening) accept the full lossless set.
+    */
+  private def widenAllowed(fmt: String, from: DataType, to: DataType)
+      : Boolean = fmt match {
+    case "iceberg" => (from, to) match {
+      case (org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType) => true
+      case (org.apache.spark.sql.types.FloatType,
+        org.apache.spark.sql.types.DoubleType) => true
+      case _ => false
+    }
+    case _ => losslessWiden(from, to)
+  }
+
+  private def widenRefusal(fmt: String, from: DataType, to: DataType,
+      name: String): String =
+    if (fmt == "iceberg" && losslessWiden(from, to))
+      s"ALTER COLUMN TYPE ${from.simpleString} -> ${to.simpleString} on " +
+        s"'$name': the Iceberg spec (§Schema Evolution) only allows " +
+        "int -> long and float -> double — a wider promotion would " +
+        "write metadata real Iceberg readers reject"
+    else
+      s"ALTER COLUMN TYPE ${from.simpleString} -> ${to.simpleString} on " +
+        s"'$name' is not a lossless widening the parquet read path can " +
+        "serve on already-written files — only wider integral types, " +
+        "byte/short/int -> double, and float -> double are"
 
   private def field(s: StructType, name: String): StructField =
     s.fields.find(_.name == name).getOrElse(

@@ -183,6 +183,75 @@ class AlterTableSpec extends SparkSuite {
     assert(old.columns.toSeq == Seq("id", "name"))
   }
 
+  test("ALTER COLUMN TYPE: pre-promotion files serve under the widened " +
+    "schema, pruning stays correct, refusals hold per format") {
+    import spark.implicits._
+    import graft.sync.AlterTable.AlterColumnType
+    val data = tmpDir("alter_widen_data")
+    (0 until 40).map(i => (i, i * 0.5f)).toDF("k", "q")
+      .repartition(2).write.mode("overwrite").parquet(data)
+    for (fmt <- Seq("iceberg", "hudi", "paimon")) {
+      val t = tmpDir(s"alter_widen_$fmt")
+      val src = new graft.sources.ParquetDirectorySource(spark, data, "t")
+      val target: graft.spi.ConversionTarget = fmt match {
+        case "iceberg" =>
+          new graft.formats.iceberg.IcebergConversionTarget(spark, t)
+        case "hudi" => new graft.formats.hudi.HudiConversionTarget(spark, t)
+        case "paimon" =>
+          new graft.formats.paimon.PaimonConversionTarget(spark, t)
+      }
+      val out = graft.sync.TableFormatSync.syncSnapshot(Seq(target),
+        src.currentSnapshot(), src.sourceFormat)
+      require(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+      AlterTable.run(spark, t, AlterColumnType("k", "bigint"))
+      AlterTable.run(spark, t, AlterColumnType("q", "double"))
+      val df = spark.read.format("graft").load(t)
+      assert(df.schema("k").dataType == LongType, fmt)
+      assert(df.schema("q").dataType == DoubleType, fmt)
+      // a point filter drives the stats plane: Iceberg's pre-promotion
+      // manifests carry 4-byte int bounds that must decode (promoted)
+      // under the widened schema, not underflow
+      assert(df.filter(col("k") === 7L).count() == 1, fmt)
+      assert(df.agg(sum("k")).head().getLong(0) == (0 until 40).sum, fmt)
+      assert(df.agg(sum("q")).head().getDouble(0) ==
+        (0 until 40).map(_ * 0.5).sum, fmt)
+      // narrowing and lossy widening refuse (k is bigint now, so
+      // k -> double is long -> double: lossy past 2^53)
+      intercept[IllegalArgumentException](
+        AlterTable.run(spark, t, AlterColumnType("k", "int")))
+      intercept[IllegalArgumentException](
+        AlterTable.run(spark, t, AlterColumnType("k", "double")))
+    }
+    // iceberg spec boundary: int -> double refused even though the read
+    // path could serve it
+    val iceT = tmpDir("alter_widen_ice2")
+    val src2 = new graft.sources.ParquetDirectorySource(spark, data, "t")
+    val out2 = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, iceT)),
+      src2.currentSnapshot(), src2.sourceFormat)
+    require(out2.forall(_.status == "SUCCESS"), out2.mkString(";"))
+    val e = intercept[IllegalArgumentException](
+      AlterTable.run(spark, iceT, AlterColumnType("k", "double")))
+    assert(e.getMessage.contains("Iceberg spec"))
+
+    // delta end-to-end: widen, then append values past int range — old
+    // int files and the new long file serve in one scan
+    val dt = tmpDir("alter_widen_delta")
+    graft.formats.delta.DeltaWrite.write(spark, dt,
+      (0 until 40).map(i => (i, i * 0.5f)).toDF("k", "q").repartition(2),
+      overwrite = false)
+    AlterTable.run(spark, dt, AlterColumnType("k", "bigint"))
+    AlterTable.run(spark, dt, AlterColumnType("q", "double"))
+    graft.formats.delta.DeltaWrite.write(spark, dt,
+      Seq((3000000000L, 99.5)).toDF("k", "q"), overwrite = false)
+    val ddf = spark.read.format("graft").load(dt)
+    assert(ddf.count() == 41)
+    assert(ddf.filter(col("k") === 3000000000L).count() == 1)
+    assert(ddf.agg(sum("k")).head().getLong(0) ==
+      (0 until 40).sum.toLong + 3000000000L)
+  }
+
   test("guard rails: partition columns, duplicate adds, unknown " +
     "columns, last column") {
     val t = delta("alter_guards")
