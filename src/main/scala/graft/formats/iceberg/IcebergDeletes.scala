@@ -673,8 +673,8 @@ object IcebergDeletes {
     // count upper bound is unavailable, so use file counts) stays small
     val nDataFiles = IcebergManifests.readManifestListRecords(manifestList)
       .filter(r => IcebergManifests.contentOf(r) == 0)
-      .map(r => r.get("added_files_count").asInstanceOf[Int].toLong +
-        r.get("existing_files_count").asInstanceOf[Int].toLong)
+      .map(r => r.get("added_data_files_count").asInstanceOf[Int].toLong +
+        r.get("existing_data_files_count").asInstanceOf[Int].toLong)
       .sum
     // manifests may spell file_path scheme-prefixed (file:/, s3://) while
     // the scan key is decoded — canonicalize like applyPositionDeletes

@@ -18,10 +18,17 @@ import graft.model._
   * Entries follow the spec's manifest_entry/data_file shape (status,
   * snapshot_id, file_path, record_count, per-column value/null counts and
   * lower/upper bounds in Iceberg single-value binary form, keyed by field
-  * id). Deviations, both documented here: partition values and bound maps
-  * are Avro string-keyed maps rather than the spec's typed partition struct
-  * / k_v arrays — semantically equivalent, and this engine (not an external
-  * Iceberg library, none exists in this environment) is the only reader.
+  * id). WRITE-side deviations, documented here: partition values and bound
+  * maps are Avro string-keyed maps rather than the spec's typed partition
+  * struct / k_v arrays — semantically equivalent.
+  *
+  * The READ side serves BOTH dialects: manifests open with their embedded
+  * writer schema (never a fixed reader schema), and the accessors
+  * normalize real-Iceberg shapes — k_v-record arrays for the stat maps
+  * (the java writer's encoding, since Avro map keys must be strings),
+  * typed partition structs, nullable unions, `file:` URIs, and absent
+  * engine-extension fields — so tables written by real Iceberg
+  * (GoldenFixtureSpec's independently-authored fixture) read exactly.
   */
 object IcebergManifests {
 
@@ -59,9 +66,9 @@ object IcebergManifests {
       |{"name":"sequence_number","type":"long","field-id":515,"default":0},
       |{"name":"min_sequence_number","type":"long","field-id":516,"default":0},
       |{"name":"added_snapshot_id","type":"long","field-id":503},
-      |{"name":"added_files_count","type":"int","field-id":504},
-      |{"name":"existing_files_count","type":"int","field-id":505},
-      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_data_files_count","type":"int","field-id":504},
+      |{"name":"existing_data_files_count","type":"int","field-id":505},
+      |{"name":"deleted_data_files_count","type":"int","field-id":506},
       |{"name":"added_rows_count","type":"long","field-id":512,"default":0},
       |{"name":"existing_rows_count","type":"long","field-id":513,"default":0},
       |{"name":"deleted_rows_count","type":"long","field-id":514,"default":0}]}""".stripMargin)
@@ -135,13 +142,40 @@ object IcebergManifests {
     e
   }
 
+  /** A stat container in either dialect: graft's string-keyed Avro map,
+    * or real Iceberg's array of key_value records (Avro map keys must be
+    * strings, so the java writer uses the k_v-array encoding for the
+    * int-keyed stat maps); null (absent / v1 optional) is empty.
+    */
+  private def statMap(v: AnyRef): Map[String, AnyRef] = v match {
+    case null => Map.empty
+    case m: java.util.Map[_, _] => m.asScala
+      .map { case (k, vv) => k.toString -> vv.asInstanceOf[AnyRef] }.toMap
+    case l: java.util.List[_] => l.asScala.map { kv =>
+      val r = kv.asInstanceOf[GenericRecord]
+      r.get("key").toString -> r.get("value")
+    }.toMap
+  }
+
+  private def longOf(v: AnyRef, dflt: Long): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case _ => dflt
+  }
+
+  /** Null-safe field access: GenericData.Record.get(name) THROWS on a
+    * field absent from the writer schema (e.g. graft's engine-extension
+    * fields when reading a real writer's file).
+    */
+  private def fieldOr(r: GenericRecord, name: String): AnyRef =
+    if (r.getSchema.getField(name) == null) null else r.get(name)
+
   def fromEntry(e: GenericRecord, schema: StructType): (Int, FileEntry) = {
     val byId = IcebergSchemas.leafFields(schema)
       .map { case (id, name, dt) => id.toString -> (name, dt) }.toMap
     val df = e.get("data_file").asInstanceOf[GenericRecord]
     def strMap(field: String): Map[String, AnyRef] =
-      df.get(field).asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
-        .map { case (k, v) => k.toString -> v }.toMap
+      statMap(fieldOr(df, field))
     val vcounts = strMap("value_counts"); val ncounts = strMap("null_value_counts")
     val sizes = strMap("column_sizes")
     val lower = strMap("lower_bounds"); val upper = strMap("upper_bounds")
@@ -156,17 +190,27 @@ object IcebergManifests {
       else Some(FileColumnStat(name, mn, mx, nn.getOrElse(0L),
         nv.getOrElse(0L), sizes.get(id).map(_.toString.toLong).getOrElse(0L)))
     }
-    val partition = df.get("partition")
-      .asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
-      .map { case (k, v) => PartitionMember(k.toString, v.toString) }
-      .toSeq.sortBy(_.field)
+    val partition = df.get("partition") match {
+      case null => Nil
+      case m: java.util.Map[_, _] => m.asScala
+        .map { case (k, v) => PartitionMember(k.toString, v.toString) }
+        .toSeq.sortBy(_.field)
+      case r: GenericRecord =>
+        // real Iceberg: the spec's typed partition struct (r102), one
+        // field per partition-spec field; empty struct when unpartitioned
+        r.getSchema.getFields.asScala
+          .flatMap(f => Option(r.get(f.pos))
+            .map(v => PartitionMember(f.name, v.toString)))
+          .toSeq.sortBy(_.field)
+    }
     (e.get("status").asInstanceOf[Int], FileEntry(
-      df.get("file_path").toString,
+      graft.util.PathUtils.canonical(df.get("file_path").toString),
       df.get("file_size_in_bytes").asInstanceOf[Long],
       df.get("record_count").asInstanceOf[Long],
       df.get("file_format").toString.toLowerCase,
       partition, stats,
-      df.get("last_modified_ms").asInstanceOf[Long]))
+      // engine extension, absent from real-writer manifests
+      longOf(fieldOr(df, "last_modified_ms"), 0L)))
   }
 
   private def toBytesArray(v: AnyRef): Array[Byte] = v match {
@@ -200,8 +244,13 @@ object IcebergManifests {
   }
 
   def readManifest(path: String): Iterator[GenericRecord] = {
-    val r = new DataFileReader(new File(path),
-      new GenericDatumReader[GenericRecord](EntrySchema))
+    // embedded writer schema, not a fixed reader schema: real-writer
+    // manifests (k_v arrays, unions, no engine-extension fields) resolve
+    // exactly; graft's own files read as before. `file:` URIs (what real
+    // java writers store) canonicalize to filesystem paths.
+    val r = new DataFileReader(
+      new File(graft.util.PathUtils.canonical(path)),
+      new GenericDatumReader[GenericRecord]())
     new Iterator[GenericRecord] {
       def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
       def next(): GenericRecord = r.next()
@@ -223,9 +272,9 @@ object IcebergManifests {
       r.put("sequence_number", m.snapshotId)
       r.put("min_sequence_number", 0L)
       r.put("added_snapshot_id", m.snapshotId)
-      r.put("added_files_count", m.addedFiles)
-      r.put("existing_files_count", m.existingFiles)
-      r.put("deleted_files_count", m.deletedFiles)
+      r.put("added_data_files_count", m.addedFiles)
+      r.put("existing_data_files_count", m.existingFiles)
+      r.put("deleted_data_files_count", m.deletedFiles)
       r.put("added_rows_count", m.addedRows)
       r.put("existing_rows_count", m.existingRows)
       r.put("deleted_rows_count", 0L)
@@ -247,8 +296,9 @@ object IcebergManifests {
     * delete manifests) — for delete-awareness checks and carry-forward.
     */
   def readManifestListRecords(path: String): Seq[GenericRecord] = {
-    val r = new DataFileReader(new File(path),
-      new GenericDatumReader[GenericRecord](ManifestFileSchema))
+    val r = new DataFileReader(
+      new File(graft.util.PathUtils.canonical(path)),
+      new GenericDatumReader[GenericRecord]())
     try {
       val out = Seq.newBuilder[GenericRecord]
       while (r.hasNext) out += r.next()
@@ -262,6 +312,28 @@ object IcebergManifests {
       case i: java.lang.Integer => i.intValue()
     }
 
+  /** Re-project a manifest_file record of ANY writer's schema into
+    * graft's [[ManifestFileSchema]] by field name, defaulting absent
+    * numeric fields to 0 (v1 lists lack the v2 counters).
+    */
+  private def toManifestFileRecord(src: GenericRecord): GenericRecord =
+    if (src.getSchema == ManifestFileSchema) src
+    else {
+      val r = new GenericData.Record(ManifestFileSchema)
+      ManifestFileSchema.getFields.asScala.foreach { f =>
+        val v = src.get(f.name)
+        val out: AnyRef =
+          if (v != null) v
+          else f.schema().getType match {
+            case Schema.Type.INT => Integer.valueOf(0)
+            case Schema.Type.LONG => java.lang.Long.valueOf(0L)
+            case _ => v
+          }
+        r.put(f.name, out)
+      }
+      r
+    }
+
   /** Rewrite manifest_file records (carried forward verbatim) plus fresh
     * summaries into a new manifest list.
     */
@@ -273,7 +345,10 @@ object IcebergManifests {
       new GenericDatumWriter[GenericRecord](ManifestFileSchema))
     w.create(ManifestFileSchema, f)
     try {
-      carried.foreach(w.append)
+      // carried records may come from a REAL writer's manifest list (a
+      // different avro schema: extra fields, different field order) —
+      // re-project by name into graft's schema before appending
+      carried.foreach(c => w.append(toManifestFileRecord(c)))
       fresh.foreach { m =>
         val r = new GenericData.Record(ManifestFileSchema)
         r.put("manifest_path", m.path); r.put("manifest_length", m.length)
@@ -282,9 +357,9 @@ object IcebergManifests {
         r.put("sequence_number", m.snapshotId)
         r.put("min_sequence_number", 0L)
         r.put("added_snapshot_id", m.snapshotId)
-        r.put("added_files_count", m.addedFiles)
-        r.put("existing_files_count", m.existingFiles)
-        r.put("deleted_files_count", m.deletedFiles)
+        r.put("added_data_files_count", m.addedFiles)
+        r.put("existing_data_files_count", m.existingFiles)
+        r.put("deleted_data_files_count", m.deletedFiles)
         r.put("added_rows_count", m.addedRows)
         r.put("existing_rows_count", m.existingRows)
         r.put("deleted_rows_count", 0L)
@@ -302,7 +377,7 @@ object IcebergManifests {
     readManifestListRecords(manifestListPath)
       .filter(r => contentOf(r) == 1)
       .flatMap { m =>
-        val seq = m.get("sequence_number").asInstanceOf[Long]
+        val seq = longOf(m.get("sequence_number"), 0L)
         readManifest(m.get("manifest_path").toString)
           .filter(_.get("status").asInstanceOf[Int] != Status.Deleted)
           .map { e =>
@@ -312,7 +387,8 @@ object IcebergManifests {
               case l: java.util.List[_] =>
                 l.asScala.map(_.asInstanceOf[Int]).toSeq
             }
-            DeleteFileRef(df.get("file_path").toString,
+            DeleteFileRef(
+              graft.util.PathUtils.canonical(df.get("file_path").toString),
               df.get("content").asInstanceOf[Int],
               df.get("record_count").asInstanceOf[Long],
               df.get("file_size_in_bytes").asInstanceOf[Long], seq, eqIds)
@@ -331,7 +407,7 @@ object IcebergManifests {
     val pairs = readManifestListRecords(manifestListPath)
       .filter(r => contentOf(r) == 0)
       .map(m => (m.get("manifest_path").toString,
-        m.get("sequence_number").asInstanceOf[Long]))
+        longOf(m.get("sequence_number"), 0L)))
     graft.util.Par.ds(spark, pairs, 64)
       .mapPartitions { it =>
         it.flatMap { case (p, seq) =>
@@ -339,7 +415,8 @@ object IcebergManifests {
             .filter(_.get("status").asInstanceOf[Int] != Status.Deleted)
             .map { e =>
               val df = e.get("data_file").asInstanceOf[GenericRecord]
-              (df.get("file_path").toString, seq)
+              (graft.util.PathUtils.canonical(df.get("file_path").toString),
+                seq)
             }
         }
       }

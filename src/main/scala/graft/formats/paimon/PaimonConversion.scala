@@ -31,8 +31,10 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
   /** (kind, entry) pairs for one snapshot's full state. */
   private def entriesAt(id: Long): Seq[(Int, FileEntry)] = {
     val snap = PaimonFormat.readSnapshot(tablePath, id)
-    val manifests = PaimonFormat.readManifestList(snap.baseManifestList) ++
-      PaimonFormat.readManifestList(snap.deltaManifestList)
+    val manifests = PaimonFormat.readManifestList(
+      PaimonFormat.manifestListPath(tablePath, snap.baseManifestList)) ++
+      PaimonFormat.readManifestList(
+        PaimonFormat.manifestListPath(tablePath, snap.deltaManifestList))
     manifests.flatMap { m =>
       PaimonFormat.readManifest(s"${PaimonFormat.manifestDir(tablePath)}/$m")
         .map(PaimonFormat.fromEntry(_, tablePath))
@@ -76,8 +78,10 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val snap = PaimonFormat.readSnapshot(tablePath, id)
-    val names = PaimonFormat.readManifestList(snap.baseManifestList) ++
-      PaimonFormat.readManifestList(snap.deltaManifestList)
+    val names = PaimonFormat.readManifestList(
+      PaimonFormat.manifestListPath(tablePath, snap.baseManifestList)) ++
+      PaimonFormat.readManifestList(
+        PaimonFormat.manifestListPath(tablePath, snap.deltaManifestList))
     if (names.size <= 4) return spark.createDataset(liveAt(id))
     val entries = entriesDs(names)
     val adds = entries.filter(_._1 == PaimonFormat.Kind.Add).map(_._2)
@@ -124,7 +128,8 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
     import spark.implicits._
     val snap = PaimonFormat.readSnapshot(tablePath, commit.toLong)
     val delta = entriesDs(
-      PaimonFormat.readManifestList(snap.deltaManifestList))
+      PaimonFormat.readManifestList(
+        PaimonFormat.manifestListPath(tablePath, snap.deltaManifestList)))
     TableChange(commit, currentTable().copy(latestCommitMillis = commit.toLong),
       FilesDelta(
         delta.filter(_._1 == PaimonFormat.Kind.Add).map(_._2),
@@ -264,8 +269,10 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     val base: Seq[(String, Long)] = {
       val raw = prevId.map { p =>
         val s = PaimonFormat.readSnapshot(tablePath, p)
-        PaimonFormat.readManifestList(s.baseManifestList) ++
-          PaimonFormat.readManifestList(s.deltaManifestList)
+        PaimonFormat.readManifestList(
+          PaimonFormat.manifestListPath(tablePath, s.baseManifestList)) ++
+          PaimonFormat.readManifestList(
+            PaimonFormat.manifestListPath(tablePath, s.deltaManifestList))
       }.getOrElse(Nil)
       if (raw.size <= 16)
         raw.map(n => (n, new java.io.File(s"$mdir/$n").length()))
@@ -340,7 +347,7 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     val ok = PaimonFormat.writeSnapshot(tablePath, PaimonFormat.PaimonSnapshot(
       id, schemaId, if (removeCount > 0) "COMPACT" else "APPEND",
       System.currentTimeMillis(),
-      s"$mdir/$deltaListName", s"$mdir/$baseListName",
+      deltaListName, baseListName,   // real Paimon: bare names
       syncMeta.map(_.toJson),
       commitUser = commitStamp.map(_._1),
       commitIdentifier = commitStamp.map(_._2)))

@@ -311,6 +311,13 @@ object PaimonFormat {
     } finally w.close()
   }
 
+  /** Real Paimon stores manifest-list FILE NAMES in the snapshot JSON,
+    * resolved under `<table>/manifest/`; graft historically wrote
+    * absolute paths. Resolve either shape.
+    */
+  def manifestListPath(tablePath: String, ref: String): String =
+    if (ref.contains('/')) ref else s"${manifestDir(tablePath)}/$ref"
+
   def readManifestList(path: String): Seq[String] = {
     if (!Files.exists(JPaths.get(path))) return Nil
     val r = new DataFileReader(new File(path),

@@ -85,6 +85,7 @@ object PaimonMaintenance {
     val snaps = ids.map(PaimonFormat.readSnapshot(path, _))
     val manifestLists = snaps
       .flatMap(s => Seq(s.baseManifestList, s.deltaManifestList))
+      .map(PaimonFormat.manifestListPath(path, _))
       .distinct
     val manifestNames = manifestLists
       .flatMap(PaimonFormat.readManifestList).distinct

@@ -178,6 +178,165 @@ class ReverseGoldenSpec extends SparkSuite {
       assert(mp(k) == rp(k), k)
   }
 
+  test("graft-written Iceberg manifests agree field-id-for-field-id with " +
+    "the independently-authored spec fixture") {
+    // two transcriptions of the same public spec — the Scala writer and
+    // tools/make_golden_iceberg.py (python stdlib, zero shared code) —
+    // diffed at the avro-schema level: every reserved field id one
+    // emits must carry the SAME name in the other (real readers resolve
+    // by id, so a name drift is an interop break; ids graft doesn't
+    // write, like nan_value_counts, are allowed to be fixture-only).
+    val fixDir = new java.io.File(
+      "src/test/resources/golden/iceberg_trades/metadata").getAbsolutePath
+    def avroFieldIds(schema: org.apache.avro.Schema,
+        prefix: String = ""): Map[Int, String] = {
+      import org.apache.avro.Schema.Type._
+      def unwrap(s: org.apache.avro.Schema): org.apache.avro.Schema =
+        if (s.getType == UNION)
+          s.getTypes.asScala.find(_.getType != NULL).get else s
+      schema.getFields.asScala.flatMap { f =>
+        val id = Option(f.getObjectProp("field-id"))
+          .collect { case n: Number => n.intValue() }
+        val base = id.map(_ -> f.name).toMap
+        val nested = unwrap(f.schema()) match {
+          case r if r.getType == RECORD => avroFieldIds(r, f.name + ".")
+          case a if a.getType == ARRAY &&
+              a.getElementType.getType == RECORD =>
+            avroFieldIds(a.getElementType, f.name + ".")
+          case _ => Map.empty[Int, String]
+        }
+        base ++ nested
+      }.toMap
+    }
+    def writerSchema(path: String): org.apache.avro.Schema = {
+      val r = new DataFileReader[GenericRecord](new java.io.File(path),
+        new GenericDatumReader[GenericRecord]())
+      try r.getSchema finally r.close()
+    }
+    val fixManifest = writerSchema(
+      s"$fixDir/11111111-2222-3333-4444-555555555555-m0.avro")
+    val fixList = writerSchema(
+      s"$fixDir/snap-4910258362197584316-1-11111111-2222-3333-4444-" +
+        "555555555555.avro")
+    val fixEntryIds = avroFieldIds(fixManifest)
+    val fixListIds = avroFieldIds(fixList)
+    val graftEntryIds = avroFieldIds(
+      graft.formats.iceberg.IcebergManifests.EntrySchema)
+    val graftListIds = avroFieldIds(
+      graft.formats.iceberg.IcebergManifests.ManifestFileSchema)
+
+    // engine extensions live OUTSIDE the reserved ranges
+    val extensions = graftEntryIds.keySet.filter(_ >= 1000)
+    for ((id, name) <- graftEntryIds if !extensions.contains(id)) {
+      assert(fixEntryIds.get(id).map(_.split('.').last)
+        .contains(name.split('.').last),
+        s"manifest_entry field-id $id: graft says '$name', " +
+          s"fixture says '${fixEntryIds.get(id)}'")
+    }
+    for ((id, name) <- graftListIds) {
+      assert(fixListIds.get(id).contains(name),
+        s"manifest_file field-id $id: graft says '$name', " +
+          s"fixture says '${fixListIds.get(id)}'")
+    }
+
+    // and the BOUND ENCODINGS agree: graft re-syncs the fixture's own
+    // data file and must reproduce the fixture's lower/upper bounds
+    // value-for-value (both sides decode through the spec's
+    // little-endian single-value binary)
+    val fixSrc = new graft.formats.iceberg.IcebergConversionSource(spark,
+      new java.io.File("src/test/resources/golden/iceberg_trades")
+        .getAbsolutePath, "trades")
+    val fixStats = fixSrc.currentSnapshot().files.collect().head
+      .columnStats.map(s => s.field -> (s.min, s.max)).toMap
+    val re = tmpDir("rev_ice_indep")
+    Files.copy(
+      Paths.get(new java.io.File(
+        "src/test/resources/golden/iceberg_trades/data").getAbsolutePath,
+        "00000-0-11111111-2222-3333-4444-555555555555-00001.parquet"),
+      Paths.get(re, "trades.parquet"))
+    val src = new ParquetDirectorySource(spark, re, "trades")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, re)), src.currentSnapshot(),
+      src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    val reStats = new graft.formats.iceberg.IcebergConversionSource(
+      spark, re, "trades").currentSnapshot().files.collect().head
+      .columnStats.map(s => s.field -> (s.min, s.max)).toMap
+    for ((f, mm) <- fixStats)
+      assert(reStats.get(f).contains(mm),
+        s"bounds for '$f': fixture $mm, graft resync ${reStats.get(f)}")
+  }
+
+  test("graft-written Paimon JSON planes diff clean against the " +
+    "independently-authored fixture") {
+    // sync the FIXTURE'S OWN data file through the Paimon target, then
+    // field-diff graft's snapshot-N/schema-N JSON against the fixture's
+    // (two independent implementations of the same documented layout;
+    // volatile fields — ids, clocks, uuids, manifest names — compared by
+    // SHAPE, stable fields by value)
+    val fixDir = new java.io.File(
+      "src/test/resources/golden/paimon_orders").getAbsolutePath
+    val table = tmpDir("rev_paimon")
+    Files.copy(
+      Paths.get(fixDir,
+        "bucket-0/data-77777777-8888-9999-aaaa-bbbbbbbbbbbb-0.parquet"),
+      Paths.get(table, "orders.parquet"))
+    val src = new ParquetDirectorySource(spark, table, "orders")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.paimon.PaimonConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+    val fixSnap = Jsons.mapper.readTree(Files.readAllBytes(
+      Paths.get(fixDir, "snapshot/snapshot-1")))
+    val gSnap = Jsons.mapper.readTree(Files.readAllBytes(
+      Paths.get(table, "snapshot/snapshot-1")))
+    // every field graft writes must exist in the real-shaped fixture
+    // under the same name (graftMetadata is the documented engine
+    // extension; real readers ignore unknown fields)
+    gSnap.properties().asScala.map(_.getKey)
+      .filterNot(_ == "graftMetadata").foreach { k =>
+        assert(fixSnap.has(k), s"snapshot field '$k' not in real shape")
+      }
+    assert(gSnap.get("version").asInt == fixSnap.get("version").asInt)
+    assert(gSnap.get("commitKind").asText == "APPEND")
+    // the real shape: manifest lists are BARE names under manifest/
+    assert(!gSnap.get("baseManifestList").asText.contains("/"),
+      gSnap.get("baseManifestList").asText)
+    assert(!gSnap.get("deltaManifestList").asText.contains("/"))
+    assert(Files.exists(Paths.get(table, "manifest",
+      gSnap.get("deltaManifestList").asText)))
+
+    val fixSchema = Jsons.mapper.readTree(Files.readAllBytes(
+      Paths.get(fixDir, "schema/schema-0")))
+    val gSchema = Jsons.mapper.readTree(Files.readAllBytes(
+      Paths.get(table, "schema/schema-0")))
+    gSchema.properties().asScala.map(_.getKey).foreach { k =>
+      assert(fixSchema.has(k), s"schema field '$k' not in real shape")
+    }
+    // same data -> same Flink-SQL type strings, field for field
+    val fixTypes = fixSchema.get("fields").elements().asScala
+      .map(f => f.get("name").asText ->
+        f.get("type").asText.stripSuffix(" NOT NULL")).toMap
+    gSchema.get("fields").elements().asScala.foreach { f =>
+      val n = f.get("name").asText
+      assert(fixTypes.get(n).contains(
+        f.get("type").asText.stripSuffix(" NOT NULL")),
+        s"type drift on '$n': graft ${f.get("type").asText}, " +
+          s"fixture ${fixTypes.get(n)}")
+    }
+    assert(gSchema.get("highestFieldId").asInt ==
+      fixSchema.get("highestFieldId").asInt)
+    // the hint files real Paimon maintains
+    assert(Files.exists(Paths.get(table, "snapshot/LATEST")))
+    // and graft READS BACK its own commit identically to the fixture
+    val re = new graft.formats.paimon.PaimonConversionSource(
+      spark, table, "orders").toDataFrame
+    import org.apache.spark.sql.functions.sum
+    assert(re.count() == 90)
+    assert(re.agg(sum("order_id")).head().getLong(0) == 4095L)
+  }
+
   test("graft-written Iceberg metadata tree conforms to the v2 spec shape") {
     val goldenDir = golden("delta_dimGeography")   // data donor
     val table = syncInPlace(goldenDir, DeltaDataFile, "ice_dimGeography",
@@ -237,12 +396,12 @@ class ReverseGoldenSpec extends SparkSuite {
     val ml = mls.head
     for (k <- Seq("manifest_path", "manifest_length", "partition_spec_id",
         "content", "sequence_number", "min_sequence_number",
-        "added_snapshot_id", "added_files_count", "existing_files_count",
-        "deleted_files_count", "added_rows_count", "existing_rows_count",
+        "added_snapshot_id", "added_data_files_count",
+        "existing_data_files_count", "deleted_data_files_count", "added_rows_count", "existing_rows_count",
         "deleted_rows_count"))
       assert(ml.getSchema.getField(k) != null, k)
     assert(ml.get("content").asInstanceOf[Int] == 0)        // data manifest
-    assert(ml.get("added_files_count").asInstanceOf[Int] == 1)
+    assert(ml.get("added_data_files_count").asInstanceOf[Int] == 1)
     assert(ml.get("added_rows_count").asInstanceOf[Long] == 674L)
     val manifestPath = graft.util.PathUtils.canonical(
       ml.get("manifest_path").toString)
