@@ -635,10 +635,15 @@ object EventsQueries {
       q.awaitTermination()
     }
 
-    commitHalf(0) // commit 1: the stream's initial snapshot
-    drainOnce()
-    commitHalf(1) // commit 2: tailed as a change-feed insert batch
-    drainOnce() // checkpoint resume — must serve ONLY commit 2
+    // phase attribution (bench `phases` key, r11 ask: one 2x outlier in
+    // streaming_paimon_source's median-of-3) — the table COMMITS and the
+    // stream DRAINS get separate timers so a spike attributes
+    import graft.util.PhaseTimer
+    PhaseTimer.time(s"streaming_${fmt}_source.commit1")(commitHalf(0))
+    PhaseTimer.time(s"streaming_${fmt}_source.drain1")(drainOnce())
+    PhaseTimer.time(s"streaming_${fmt}_source.commit2")(commitHalf(1))
+    // checkpoint resume — must serve ONLY commit 2
+    PhaseTimer.time(s"streaming_${fmt}_source.drain2")(drainOnce())
     s.read.parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), Gate.sumMeasure(col("value")).as("sum_v"))

@@ -699,15 +699,31 @@ object MaintenanceQueries {
     val keys = Seq("l_returnflag")
     val measures = Seq("l_quantity")
 
-    li.filter(col("l_linenumber") % 2 === 0)
-      .write.format("graft").save(t)
-    MaterializedAgg.refresh(s, t, mv, keys, measures)
-    li.filter(col("l_linenumber") % 2 === 1)
-      .write.format("graft").mode("append").save(t)
-    MaterializedAgg.refresh(s, t, mv, keys, measures)
-    DeltaDeletes.deleteWhere(s, t, col("l_quantity") < 5)
-    val r3 = MaterializedAgg.refresh(s, t, mv, keys, measures)
-    val r4 = MaterializedAgg.refresh(s, t, mv, keys, measures)
+    // phase attribution (bench `phases` key): table builds + the DV
+    // delete are fixed setup cost; an IVM fold regression must show in
+    // the `.fold*` keys, not hide inside the total.
+    import graft.util.PhaseTimer
+    PhaseTimer.time("mv_incremental_agg.build1") {
+      li.filter(col("l_linenumber") % 2 === 0)
+        .write.format("graft").save(t)
+    }
+    PhaseTimer.time("mv_incremental_agg.fold1") {
+      MaterializedAgg.refresh(s, t, mv, keys, measures)
+    }
+    PhaseTimer.time("mv_incremental_agg.build2") {
+      li.filter(col("l_linenumber") % 2 === 1)
+        .write.format("graft").mode("append").save(t)
+    }
+    PhaseTimer.time("mv_incremental_agg.fold2") {
+      MaterializedAgg.refresh(s, t, mv, keys, measures)
+    }
+    PhaseTimer.time("mv_incremental_agg.delete") {
+      DeltaDeletes.deleteWhere(s, t, col("l_quantity") < 5)
+    }
+    val (r3, r4) = PhaseTimer.time("mv_incremental_agg.fold34") {
+      val a = MaterializedAgg.refresh(s, t, mv, keys, measures)
+      (a, MaterializedAgg.refresh(s, t, mv, keys, measures))
+    }
     require(r4.toVersion == r3.toVersion && r4.groups == r3.groups,
       s"refresh with no new commits must be a no-op: $r3 vs $r4")
 
