@@ -344,13 +344,30 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     PaimonFormat.writeManifestList(s"$mdir/$baseListName", base)
     PaimonFormat.writeManifestList(s"$mdir/$deltaListName", deltaManifests)
 
+    // real Paimon's running row accounting: delta = this commit's
+    // adds − removes; total chains from the previous snapshot's total
+    // (None there — a pre-r12 snapshot — keeps the chain honest by
+    // staying None rather than recounting the world)
+    import org.apache.spark.sql.functions.{coalesce => cls, lit, sum}
+    def rows(ds: Option[Dataset[FileEntry]]): Long = ds.map(
+      _.agg(cls(sum(col("recordCount")), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
+    val deltaRows = rows(pendingAdds) - rows(pendingRemoves)
+    val totalRows: Option[Long] = prevId match {
+      case None => Some(deltaRows)
+      case Some(p) => PaimonFormat.readSnapshot(tablePath, p)
+        .totalRecordCount.map(_ + deltaRows)
+    }
+
     val ok = PaimonFormat.writeSnapshot(tablePath, PaimonFormat.PaimonSnapshot(
       id, schemaId, if (removeCount > 0) "COMPACT" else "APPEND",
       System.currentTimeMillis(),
       deltaListName, baseListName,   // real Paimon: bare names
       syncMeta.map(_.toJson),
       commitUser = commitStamp.map(_._1),
-      commitIdentifier = commitStamp.map(_._2)))
+      commitIdentifier = commitStamp.map(_._2),
+      totalRecordCount = totalRows,
+      deltaRecordCount = Some(deltaRows)))
     pendingAdds.foreach(_.unpersist())
     pendingRemoves.foreach(_.unpersist())
     if (!ok) throw new IllegalStateException(

@@ -149,7 +149,11 @@ object PaimonFormat {
       timeMillis: Long, deltaManifestList: String,
       baseManifestList: String, graftMetadata: Option[String],
       commitUser: Option[String] = None,
-      commitIdentifier: Option[Long] = None)
+      commitIdentifier: Option[Long] = None,
+      // real Paimon's running row accounting (readers show them in
+      // snapshot metadata queries); None on pre-r12 snapshots
+      totalRecordCount: Option[Long] = None,
+      deltaRecordCount: Option[Long] = None)
 
   /** LATEST is a hint, not the authority: under racing writers it can
     * tear (read mid-write) or lag (two publishes, hints land out of
@@ -180,6 +184,10 @@ object PaimonFormat {
       "graftMetadata" -> s.graftMetadata.orNull,
       "commitUser" -> s.commitUser.orNull,
       "commitIdentifier" -> s.commitIdentifier
+        .map(java.lang.Long.valueOf).orNull,
+      "totalRecordCount" -> s.totalRecordCount
+        .map(java.lang.Long.valueOf).orNull,
+      "deltaRecordCount" -> s.deltaRecordCount
         .map(java.lang.Long.valueOf).orNull))
     val tmp = Files.createTempFile(dir, s".snap${s.id}", ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -203,7 +211,9 @@ object PaimonFormat {
       n.get("deltaManifestList").asText, n.get("baseManifestList").asText,
       Option(n.get("graftMetadata")).filterNot(_.isNull).map(_.asText),
       Option(n.get("commitUser")).filterNot(_.isNull).map(_.asText),
-      Option(n.get("commitIdentifier")).filterNot(_.isNull).map(_.asLong))
+      Option(n.get("commitIdentifier")).filterNot(_.isNull).map(_.asLong),
+      Option(n.get("totalRecordCount")).filterNot(_.isNull).map(_.asLong),
+      Option(n.get("deltaRecordCount")).filterNot(_.isNull).map(_.asLong))
   }
 
   // ---- tags (named snapshots) ----

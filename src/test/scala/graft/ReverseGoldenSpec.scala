@@ -300,6 +300,11 @@ class ReverseGoldenSpec extends SparkSuite {
       }
     assert(gSnap.get("version").asInt == fixSnap.get("version").asInt)
     assert(gSnap.get("commitKind").asText == "APPEND")
+    // real Paimon's running row accounting, same data -> same counts
+    assert(gSnap.get("totalRecordCount").asLong ==
+      fixSnap.get("totalRecordCount").asLong)
+    assert(gSnap.get("deltaRecordCount").asLong ==
+      fixSnap.get("deltaRecordCount").asLong)
     // the real shape: manifest lists are BARE names under manifest/
     assert(!gSnap.get("baseManifestList").asText.contains("/"),
       gSnap.get("baseManifestList").asText)
