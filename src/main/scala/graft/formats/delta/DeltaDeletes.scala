@@ -473,28 +473,33 @@ object DeltaDeletes {
     ladder.collect { case (v, fs) if minWriter >= v => fs }.flatten
   }
 
-  /** The table's protocol upgraded to carry `deletionVectors`, merged
-    * with (never replacing) whatever protocol the log already holds.
+  /** The table's protocol upgraded to carry a READER-WRITER table
+    * feature, merged with (never replacing) whatever protocol the log
+    * already holds — the legacy min-version features are enumerated on
+    * the way up (PROTOCOL.md §Table Features).
     */
-  private def mergedProtocol(spark: SparkSession, tablePath: String,
-      versions: Seq[Long]): Map[String, Any] = {
+  private[graft] def protocolWithFeature(spark: SparkSession,
+      tablePath: String, versions: Seq[Long],
+      feature: String): Map[String, Any] = {
     val existing = DeltaSnapshot.protocolInfo(spark, tablePath, versions)
       .getOrElse(DeltaSnapshot.ProtocolInfo(1, 2, Nil, Nil))
     val onFeatures = existing.minReaderVersion >= 3
     val readerF =
       (if (onFeatures) existing.readerFeatures
-       else legacyReaderFeatures(existing.minReaderVersion)) :+
-        "deletionVectors"
+       else legacyReaderFeatures(existing.minReaderVersion)) :+ feature
     val writerF =
       (if (existing.minWriterVersion >= 7) existing.writerFeatures
-       else legacyWriterFeatures(existing.minWriterVersion)) :+
-        "deletionVectors"
+       else legacyWriterFeatures(existing.minWriterVersion)) :+ feature
     Map(
       "minReaderVersion" -> math.max(existing.minReaderVersion, 3),
       "minWriterVersion" -> math.max(existing.minWriterVersion, 7),
       "readerFeatures" -> readerF.distinct.sorted,
       "writerFeatures" -> writerF.distinct.sorted)
   }
+
+  private def mergedProtocol(spark: SparkSession, tablePath: String,
+      versions: Seq[Long]): Map[String, Any] =
+    protocolWithFeature(spark, tablePath, versions, "deletionVectors")
 
   private[graft] def commit(spark: SparkSession, tablePath: String,
       plan: DeletePlan, operation: String,

@@ -74,6 +74,7 @@ object AlterTable {
     // config keys the evolved schema forces onto the Delta metaData
     // commit (column-mapping id watermark)
     var deltaConfigOverride: Map[String, String] = Map.empty
+    var deltaTypeWidening = false
 
     val evolved: StructType = op match {
       case AddColumn(name, ddl) =>
@@ -128,8 +129,33 @@ object AlterTable {
           s"column '$name' already has type ${to.simpleString}")
         require(widenAllowed(fmt, f.dataType, to),
           widenRefusal(fmt, f.dataType, to, name))
+        val widened =
+          if (fmt != "delta") f.copy(dataType = to)
+          else {
+            // real-delta interop (PROTOCOL.md §Type Widening): the field
+            // records its change history under `delta.typeChanges`, and
+            // the commit raises the protocol to carry the typeWidening
+            // reader-writer feature — a reader that does not implement
+            // widening REFUSES the table instead of misreading int files
+            // under a long schema
+            deltaTypeWidening = true
+            val change = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("fromType", deltaTypeName(f.dataType))
+              .putString("toType", deltaTypeName(to))
+              .build()
+            val prior =
+              if (f.metadata.contains("delta.typeChanges"))
+                f.metadata.getMetadataArray("delta.typeChanges").toSeq
+              else Nil
+            f.copy(dataType = to,
+              metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putMetadataArray("delta.typeChanges",
+                  (prior :+ change).toArray)
+                .build())
+          }
         StructType(cur.fields.map(x =>
-          if (x.name == f.name) x.copy(dataType = to) else x))
+          if (x.name == f.name) widened else x))
       case DropColumn(name) =>
         require((fmt == "delta" && mapped) || fmt == "iceberg",
           dropRefusal(fmt, mapped))
@@ -143,7 +169,8 @@ object AlterTable {
     }
 
     fmt match {
-      case "delta" => alterDelta(spark, path, evolved, deltaConfigOverride)
+      case "delta" => alterDelta(spark, path, evolved, deltaConfigOverride,
+        addFeature = if (deltaTypeWidening) Some("typeWidening") else None)
       case _ =>
         val target: graft.spi.ConversionTarget = fmt match {
           case "iceberg" =>
@@ -294,23 +321,43 @@ object AlterTable {
     * forward untouched and CASes on the next version (a racing writer
     * fails this commit loudly; re-run the statement).
     */
+  /** Delta logical type name for `delta.typeChanges` entries. */
+  private def deltaTypeName(dt: DataType): String = dt match {
+    case org.apache.spark.sql.types.ByteType => "byte"
+    case org.apache.spark.sql.types.ShortType => "short"
+    case org.apache.spark.sql.types.IntegerType => "integer"
+    case org.apache.spark.sql.types.LongType => "long"
+    case org.apache.spark.sql.types.FloatType => "float"
+    case org.apache.spark.sql.types.DoubleType => "double"
+    case other => other.typeName
+  }
+
   private def alterDelta(spark: SparkSession, path: String,
       evolved: StructType,
-      configOverride: Map[String, String] = Map.empty): Unit = {
+      configOverride: Map[String, String] = Map.empty,
+      addFeature: Option[String] = None): Unit = {
     import graft.formats.delta.{DeltaLog, DeltaSnapshot}
     val conf = HadoopConfs.session(spark)
     val versions = DeltaLog.listVersions(path, conf)
     val meta = DeltaSnapshot.metadata(spark, path, versions).getOrElse(
       throw new IllegalStateException(s"no Delta metaData at $path"))
-    val proto = DeltaSnapshot.protocolInfo(spark, path, versions)
-      .map(p => Map(
-        "minReaderVersion" -> p.minReaderVersion,
-        "minWriterVersion" -> p.minWriterVersion) ++
-        (if (p.readerFeatures.nonEmpty)
-          Map("readerFeatures" -> p.readerFeatures) else Map.empty) ++
-        (if (p.writerFeatures.nonEmpty)
-          Map("writerFeatures" -> p.writerFeatures) else Map.empty))
-      .getOrElse(Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))
+    val proto: Map[String, Any] = addFeature match {
+      case Some(feature) =>
+        // feature-bearing ALTERs (type widening) escalate to table
+        // features, enumerating the legacy-implied features on the way
+        graft.formats.delta.DeltaDeletes.protocolWithFeature(
+          spark, path, versions, feature)
+      case None => DeltaSnapshot.protocolInfo(spark, path, versions)
+        .map(p => Map[String, Any](
+          "minReaderVersion" -> p.minReaderVersion,
+          "minWriterVersion" -> p.minWriterVersion) ++
+          (if (p.readerFeatures.nonEmpty)
+            Map("readerFeatures" -> p.readerFeatures) else Map.empty) ++
+          (if (p.writerFeatures.nonEmpty)
+            Map("writerFeatures" -> p.writerFeatures) else Map.empty))
+        .getOrElse(Map[String, Any](
+          "minReaderVersion" -> 1, "minWriterVersion" -> 2))
+    }
     val lines = Iterator(
       Jsons.toJson(Map("protocol" -> proto)),
       Jsons.toJson(Map("metaData" -> Map(

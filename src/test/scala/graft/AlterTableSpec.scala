@@ -250,6 +250,27 @@ class AlterTableSpec extends SparkSuite {
     assert(ddf.filter(col("k") === 3000000000L).count() == 1)
     assert(ddf.agg(sum("k")).head().getLong(0) ==
       (0 until 40).sum.toLong + 3000000000L)
+    // real-delta interop: the widened table carries the typeWidening
+    // reader-writer feature (a non-implementing reader refuses instead
+    // of misreading int files under a long schema) and the field records
+    // its change history under delta.typeChanges
+    val conf = graft.util.HadoopConfs.session(spark)
+    val proto = graft.formats.delta.DeltaSnapshot.protocolInfo(spark, dt,
+      graft.formats.delta.DeltaLog.listVersions(dt, conf)).get
+    assert(proto.minReaderVersion >= 3 && proto.minWriterVersion >= 7,
+      proto.toString)
+    assert(proto.readerFeatures.contains("typeWidening"), proto.toString)
+    assert(proto.writerFeatures.contains("typeWidening"), proto.toString)
+    // legacy-implied features enumerated on the way up (PROTOCOL.md)
+    assert(proto.writerFeatures.contains("appendOnly"), proto.toString)
+    val meta = graft.formats.delta.DeltaSnapshot.metadata(spark, dt,
+      graft.formats.delta.DeltaLog.listVersions(dt, conf)).get
+    val kField = meta.schema("k")
+    assert(kField.metadata.contains("delta.typeChanges"))
+    val changes = kField.metadata.getMetadataArray("delta.typeChanges")
+    assert(changes.length == 1 &&
+      changes.head.getString("fromType") == "integer" &&
+      changes.head.getString("toType") == "long", changes.mkString(";"))
   }
 
   test("guard rails: partition columns, duplicate adds, unknown " +
