@@ -237,6 +237,14 @@ object AlterTable {
           if IntegralRank.get(a).exists(_ <= 3) => true
       case (org.apache.spark.sql.types.FloatType,
           org.apache.spark.sql.types.DoubleType) => true
+      case (a: org.apache.spark.sql.types.DecimalType,
+          b: org.apache.spark.sql.types.DecimalType) =>
+        // Delta type-widening's decimal rule: integer digits never
+        // shrink, scale never shrinks — every old value represents
+        // exactly (the scan re-encodes across the int32/int64/binary
+        // physical boundary)
+        b.scale >= a.scale && (b.precision - b.scale) >= (a.precision - a.scale) &&
+          (b.precision > a.precision || b.scale > a.scale)
       case _ => false
     }
 
@@ -255,6 +263,10 @@ object AlterTable {
         org.apache.spark.sql.types.LongType) => true
       case (org.apache.spark.sql.types.FloatType,
         org.apache.spark.sql.types.DoubleType) => true
+      case (a: org.apache.spark.sql.types.DecimalType,
+          b: org.apache.spark.sql.types.DecimalType) =>
+        // Iceberg spec: precision may grow, scale is FIXED
+        a.scale == b.scale && b.precision > a.precision
       case _ => false
     }
     case _ => losslessWiden(from, to)
@@ -265,8 +277,9 @@ object AlterTable {
     if (fmt == "iceberg" && losslessWiden(from, to))
       s"ALTER COLUMN TYPE ${from.simpleString} -> ${to.simpleString} on " +
         s"'$name': the Iceberg spec (§Schema Evolution) only allows " +
-        "int -> long and float -> double — a wider promotion would " +
-        "write metadata real Iceberg readers reject"
+        "int -> long, float -> double and same-scale decimal precision " +
+        "growth — a wider promotion would write metadata real Iceberg " +
+        "readers reject"
     else
       s"ALTER COLUMN TYPE ${from.simpleString} -> ${to.simpleString} on " +
         s"'$name' is not a lossless widening the parquet read path can " +
@@ -329,6 +342,8 @@ object AlterTable {
     case org.apache.spark.sql.types.LongType => "long"
     case org.apache.spark.sql.types.FloatType => "float"
     case org.apache.spark.sql.types.DoubleType => "double"
+    case d: org.apache.spark.sql.types.DecimalType =>
+      s"decimal(${d.precision},${d.scale})"
     case other => other.typeName
   }
 

@@ -273,6 +273,46 @@ class AlterTableSpec extends SparkSuite {
       changes.head.getString("toType") == "long", changes.mkString(";"))
   }
 
+  test("ALTER COLUMN TYPE decimals: precision growth serves everywhere, " +
+    "scale growth is Delta-rule only (Iceberg pins the scale)") {
+    import spark.implicits._
+    import graft.sync.AlterTable.AlterColumnType
+    val data = tmpDir("alter_dec_data")
+    Seq("1.25", "7.50", "19.75").toDF("s")
+      .select(col("s").cast("decimal(10,2)").as("amt"),
+        monotonically_increasing_id().as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(data)
+
+    // delta: precision AND scale growth (integer digits never shrink)
+    val dt = tmpDir("alter_dec_delta")
+    graft.formats.delta.DeltaWrite.write(spark, dt,
+      spark.read.parquet(data), overwrite = false)
+    AlterTable.run(spark, dt, AlterColumnType("amt", "decimal(14,4)"))
+    val ddf = spark.read.format("graft").load(dt)
+    assert(ddf.schema("amt").dataType == DecimalType(14, 4))
+    assert(ddf.agg(sum("amt")).head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("28.50")) == 0)
+    // shrinking integer digits is lossy -> refused
+    intercept[IllegalArgumentException](
+      AlterTable.run(spark, dt, AlterColumnType("amt", "decimal(14,6)")))
+
+    // iceberg: same-scale precision growth only
+    val it = tmpDir("alter_dec_ice")
+    val src = new graft.sources.ParquetDirectorySource(spark, data, "t")
+    val out = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, it)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    AlterTable.run(spark, it, AlterColumnType("amt", "decimal(16,2)"))
+    val idf = spark.read.format("graft").load(it)
+    assert(idf.schema("amt").dataType == DecimalType(16, 2))
+    assert(idf.agg(sum("amt")).head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("28.50")) == 0)
+    val e = intercept[IllegalArgumentException](
+      AlterTable.run(spark, it, AlterColumnType("amt", "decimal(20,4)")))
+    assert(e.getMessage.contains("Iceberg spec"))
+  }
+
   test("guard rails: partition columns, duplicate adds, unknown " +
     "columns, last column") {
     val t = delta("alter_guards")
