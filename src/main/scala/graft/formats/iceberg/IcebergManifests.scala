@@ -18,17 +18,23 @@ import graft.model._
   * Entries follow the spec's manifest_entry/data_file shape (status,
   * snapshot_id, file_path, record_count, per-column value/null counts and
   * lower/upper bounds in Iceberg single-value binary form, keyed by field
-  * id). WRITE-side deviations, documented here: partition values and bound
-  * maps are Avro string-keyed maps rather than the spec's typed partition
-  * struct / k_v arrays — semantically equivalent.
+  * id).
+  *
+  * The WRITE side emits the spec dialect exactly (since r12): a typed
+  * partition struct (r102) and k_v-record ARRAYS for the int-keyed stat
+  * maps — what real Iceberg writes and projects by field-id (Avro map
+  * keys must be strings, so the java writer never uses avro maps there).
+  * `last_modified_ms` (field-id 1000, outside the reserved range) is the
+  * one engine extension; real readers' id-projection skips it.
   *
   * The READ side serves BOTH dialects: manifests open with their embedded
   * writer schema (never a fixed reader schema), and the accessors
-  * normalize real-Iceberg shapes — k_v-record arrays for the stat maps
-  * (the java writer's encoding, since Avro map keys must be strings),
-  * typed partition structs, nullable unions, `file:` URIs, and absent
-  * engine-extension fields — so tables written by real Iceberg
-  * (GoldenFixtureSpec's independently-authored fixture) read exactly.
+  * normalize either shape — pre-r12 string-keyed stat/partition maps, the
+  * spec arrays/structs, nullable unions, `file:` URIs, and absent
+  * extension fields — so pre-r12 graft tables AND tables written by real
+  * Iceberg (GoldenFixtureSpec's independently-authored fixture) read
+  * exactly. Manifest compaction merges across dialects by re-encoding to
+  * the container's schema ([[reencodeEntry]]).
   */
 object IcebergManifests {
 
@@ -101,42 +107,119 @@ object IcebergManifests {
     * `content` follows the data_file content field: 0 = data, 1 =
     * position deletes, 2 = equality deletes.
     */
+  /** Spec-exact manifest_entry avro schema for a table: the typed
+    * partition struct (r102, field-ids from 1000) and k_v-record ARRAYS
+    * for the int-keyed stat maps — the encoding real Iceberg writes and
+    * projects by field-id (Avro map keys must be strings, so the java
+    * writer never uses avro maps there). Memoized per (schema,
+    * partition-shape) signature. Identity partitions on int/long
+    * columns carry their real type; transform-derived fields (day/hour
+    * names absent from the table schema) stay strings — the same value
+    * text both dialects' readers normalize to.
+    */
+  private val entrySchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+
+  private def kvArrayJson(kid: Int, vid: Int, vtype: String): String =
+    s"""["null",{"type":"array","items":{"type":"record",""" +
+      s""""name":"k${kid}_v$vid","fields":[""" +
+      s"""{"name":"key","type":"int","field-id":$kid},""" +
+      s"""{"name":"value","type":"$vtype","field-id":$vid}]},""" +
+      s""""logicalType":"map"}]"""
+
+  private[iceberg] def partitionAvroType(schema: StructType,
+      field: String): String =
+    IcebergSchemas.leafFields(schema).find(_._2 == field).map(_._3) match {
+      case Some(org.apache.spark.sql.types.IntegerType) => "int"
+      case Some(org.apache.spark.sql.types.LongType) => "long"
+      case _ => "string"
+    }
+
+  def specEntrySchema(schema: StructType,
+      partitionFields: Seq[String]): Schema = {
+    val key = schema.json + "|" + partitionFields.map(f =>
+      s"$f:${partitionAvroType(schema, f)}").mkString(",")
+    entrySchemaCache.computeIfAbsent(key, _ => {
+      val partFields = partitionFields.zipWithIndex.map { case (f, i) =>
+        val t = partitionAvroType(schema, f)
+        s"""{"name":"$f","type":["null","$t"],"default":null,""" +
+          s""""field-id":${1000 + i}}"""
+      }.mkString(",")
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+           |{"name":"status","type":"int","field-id":0},
+           |{"name":"snapshot_id","type":"long","field-id":1},
+           |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+           |  {"name":"content","type":"int","field-id":134},
+           |  {"name":"file_path","type":"string","field-id":100},
+           |  {"name":"file_format","type":"string","field-id":101},
+           |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
+           |  {"name":"record_count","type":"long","field-id":103},
+           |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+           |  {"name":"column_sizes","type":${kvArrayJson(117, 118, "long")},"default":null,"field-id":108},
+           |  {"name":"value_counts","type":${kvArrayJson(119, 120, "long")},"default":null,"field-id":109},
+           |  {"name":"null_value_counts","type":${kvArrayJson(121, 122, "long")},"default":null,"field-id":110},
+           |  {"name":"lower_bounds","type":${kvArrayJson(126, 127, "bytes")},"default":null,"field-id":125},
+           |  {"name":"upper_bounds","type":${kvArrayJson(129, 130, "bytes")},"default":null,"field-id":128},
+           |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
+           |  {"name":"last_modified_ms","type":"long","field-id":1000}
+           |]}}]}""".stripMargin)
+    })
+  }
+
   def toEntry(f: FileEntry, status: Int, snapshotId: Long,
       schema: StructType, content: Int = 0,
       equalityIds: Seq[Int] = Nil): GenericRecord = {
     val leaves = IcebergSchemas.leafFields(schema)
       .map { case (id, name, dt) => name -> (id, dt) }.toMap
-    val df = new GenericData.Record(EntrySchema.getField("data_file").schema())
+    val entrySchema =
+      specEntrySchema(schema, f.partitionValues.map(_.field).sorted)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val df = new GenericData.Record(dfSchema)
     df.put("content", content)
     df.put("file_path", f.path)
     df.put("file_format", f.fileFormat.toUpperCase)
-    df.put("partition", f.partitionValues
-      .map(p => p.field -> p.value).toMap.asJava)
+    val partSchema = dfSchema.getField("partition").schema()
+    val part = new GenericData.Record(partSchema)
+    f.partitionValues.foreach { p =>
+      val v: AnyRef = partitionAvroType(schema, p.field) match {
+        case "int" => Integer.valueOf(p.value.toInt)
+        case "long" => java.lang.Long.valueOf(p.value.toLong)
+        case _ => p.value
+      }
+      part.put(p.field, v)
+    }
+    df.put("partition", part)
     df.put("record_count", f.recordCount)
     df.put("file_size_in_bytes", f.fileSizeBytes)
-    val sizes = new java.util.HashMap[String, java.lang.Long]()
-    val vcounts = new java.util.HashMap[String, java.lang.Long]()
-    val ncounts = new java.util.HashMap[String, java.lang.Long]()
-    val lower = new java.util.HashMap[String, ByteBuffer]()
-    val upper = new java.util.HashMap[String, ByteBuffer]()
-    f.columnStats.foreach { s =>
-      leaves.get(s.field).foreach { case (id, dt) =>
-        val k = id.toString
-        sizes.put(k, s.totalSize)
-        vcounts.put(k, s.numValues)
-        ncounts.put(k, s.numNulls)
-        s.min.foreach(v => lower.put(k, ByteBuffer.wrap(IcebergValues.toBytes(v, dt))))
-        s.max.foreach(v => upper.put(k, ByteBuffer.wrap(IcebergValues.toBytes(v, dt))))
+    def kv(fieldName: String, pairs: Seq[(Int, AnyRef)]): Unit = {
+      val itemSchema = dfSchema.getField(fieldName).schema()
+        .getTypes.get(1).getElementType
+      val arr = pairs.sortBy(_._1).map { case (k, v) =>
+        val r = new GenericData.Record(itemSchema)
+        r.put("key", k); r.put("value", v); r
       }
+      df.put(fieldName, arr.asJava)
     }
-    df.put("column_sizes", sizes); df.put("value_counts", vcounts)
-    df.put("null_value_counts", ncounts)
-    df.put("lower_bounds", lower); df.put("upper_bounds", upper)
+    val withIds = f.columnStats.flatMap(s =>
+      leaves.get(s.field).map { case (id, dt) => (id, dt, s) })
+    kv("column_sizes", withIds.map { case (id, _, s) =>
+      id -> (java.lang.Long.valueOf(s.totalSize): AnyRef) })
+    kv("value_counts", withIds.map { case (id, _, s) =>
+      id -> (java.lang.Long.valueOf(s.numValues): AnyRef) })
+    kv("null_value_counts", withIds.map { case (id, _, s) =>
+      id -> (java.lang.Long.valueOf(s.numNulls): AnyRef) })
+    kv("lower_bounds", withIds.flatMap { case (id, dt, s) =>
+      s.min.map(v => id ->
+        (ByteBuffer.wrap(IcebergValues.toBytes(v, dt)): AnyRef)) })
+    kv("upper_bounds", withIds.flatMap { case (id, dt, s) =>
+      s.max.map(v => id ->
+        (ByteBuffer.wrap(IcebergValues.toBytes(v, dt)): AnyRef)) })
     if (equalityIds.nonEmpty)
       df.put("equality_ids",
         equalityIds.map(Int.box).asJava: java.util.List[Integer])
     df.put("last_modified_ms", f.lastModifiedMillis)
-    val e = new GenericData.Record(EntrySchema)
+    val e = new GenericData.Record(entrySchema)
     e.put("status", status); e.put("snapshot_id", snapshotId)
     e.put("data_file", df)
     e
@@ -220,12 +303,99 @@ object IcebergManifests {
     case a: Array[Byte] => a
   }
 
+  /** Re-encode a manifest entry under a different entry schema. Manifest
+    * compaction merges entries from MANY commits into one avro container
+    * (which holds exactly one schema), and those commits can span the
+    * engine's dialects — pre-r12 map-encoded stats, spec-exact k_v
+    * arrays, even real-writer files on adopted tables. Field-by-field,
+    * both directions.
+    */
+  private[iceberg] def reencodeEntry(e: GenericRecord,
+      target: Schema): GenericRecord = {
+    if (e.getSchema == target) return e
+    val srcDf = e.get("data_file").asInstanceOf[GenericRecord]
+    val dfSchema = target.getField("data_file").schema()
+    val df = new GenericData.Record(dfSchema)
+    df.put("content", longOf(fieldOr(srcDf, "content"), 0L).toInt)
+    df.put("file_path", srcDf.get("file_path").toString)
+    df.put("file_format", srcDf.get("file_format").toString)
+    df.put("record_count", srcDf.get("record_count"))
+    df.put("file_size_in_bytes", srcDf.get("file_size_in_bytes"))
+    if (dfSchema.getField("last_modified_ms") != null)
+      df.put("last_modified_ms",
+        longOf(fieldOr(srcDf, "last_modified_ms"), 0L))
+    if (dfSchema.getField("equality_ids") != null)
+      df.put("equality_ids", fieldOr(srcDf, "equality_ids"))
+
+    // partition: map or struct in, whatever the target declares out
+    val pairs: Seq[(String, String)] = srcDf.get("partition") match {
+      case null => Nil
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) => k.toString -> v.toString }.toSeq
+      case r: GenericRecord => r.getSchema.getFields.asScala
+        .flatMap(f => Option(r.get(f.pos))
+          .map(v => f.name -> v.toString)).toSeq
+    }
+    def nonNull(s: Schema): Schema =
+      if (s.getType == Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      else s
+    val partField = dfSchema.getField("partition")
+    nonNull(partField.schema()).getType match {
+      case Schema.Type.MAP =>
+        df.put("partition", pairs.toMap.asJava)
+      case _ =>
+        val ps = nonNull(partField.schema())
+        val part = new GenericData.Record(ps)
+        pairs.foreach { case (k, v) =>
+          Option(ps.getField(k)).foreach { f =>
+            val out: AnyRef = nonNull(f.schema()).getType match {
+              case Schema.Type.INT => Integer.valueOf(v.toInt)
+              case Schema.Type.LONG => java.lang.Long.valueOf(v.toLong)
+              case _ => v
+            }
+            part.put(k, out)
+          }
+        }
+        df.put("partition", part)
+    }
+
+    // the five stat containers: normalize in, re-emit per target dialect
+    for (name <- Seq("column_sizes", "value_counts", "null_value_counts",
+        "lower_bounds", "upper_bounds")) {
+      val m = statMap(fieldOr(srcDf, name))
+      val tf = dfSchema.getField(name)
+      if (tf != null) nonNull(tf.schema()).getType match {
+        case Schema.Type.MAP =>
+          df.put(name, m.asJava)
+        case Schema.Type.ARRAY =>
+          val itemSchema = nonNull(tf.schema()).getElementType
+          val arr = m.toSeq.sortBy(_._1.toInt).map { case (k, v) =>
+            val r = new GenericData.Record(itemSchema)
+            r.put("key", k.toInt); r.put("value", v); r
+          }
+          df.put(name, arr.asJava)
+        case _ => ()
+      }
+    }
+
+    val out = new GenericData.Record(target)
+    out.put("status", e.get("status"))
+    out.put("snapshot_id", longOf(fieldOr(e, "snapshot_id"), 0L))
+    out.put("data_file", df)
+    out
+  }
+
   def writeManifest(path: String, entries: Iterator[GenericRecord]): Long = {
     val f = new File(path)
     f.getParentFile.mkdirs()
-    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](EntrySchema))
-    w.create(EntrySchema, f)
-    try entries.foreach(w.append) finally w.close()
+    // the container's schema is the FIRST record's; any record arriving
+    // in a different dialect re-encodes to it (see reencodeEntry)
+    val buf = entries.buffered
+    val sch = if (buf.hasNext) buf.head.getSchema else EntrySchema
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, f)
+    try buf.foreach(e => w.append(reencodeEntry(e, sch))) finally w.close()
     f.length()
   }
 
@@ -237,9 +407,11 @@ object IcebergManifests {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf)
     val out = fs.create(hp, true)
-    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](EntrySchema))
-    w.create(EntrySchema, out)
-    try entries.foreach(w.append) finally w.close()
+    val buf = entries.buffered
+    val sch = if (buf.hasNext) buf.head.getSchema else EntrySchema
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, out)
+    try buf.foreach(e => w.append(reencodeEntry(e, sch))) finally w.close()
     fs.getFileStatus(hp).getLen
   }
 

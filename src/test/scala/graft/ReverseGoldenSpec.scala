@@ -220,8 +220,11 @@ class ReverseGoldenSpec extends SparkSuite {
         "555555555555.avro")
     val fixEntryIds = avroFieldIds(fixManifest)
     val fixListIds = avroFieldIds(fixList)
+    // the schema the writer ACTUALLY emits since r12 (spec dialect:
+    // typed partition struct, k_v-array stat maps with ids 117-130)
     val graftEntryIds = avroFieldIds(
-      graft.formats.iceberg.IcebergManifests.EntrySchema)
+      graft.formats.iceberg.IcebergManifests.specEntrySchema(
+        org.apache.spark.sql.types.StructType(Nil), Nil))
     val graftListIds = avroFieldIds(
       graft.formats.iceberg.IcebergManifests.ManifestFileSchema)
 
@@ -430,9 +433,16 @@ class ReverseGoldenSpec extends SparkSuite {
     assert(df.get("record_count").asInstanceOf[Long] == 674L)
     assert(df.get("file_size_in_bytes").asInstanceOf[Long] ==
       Files.size(Paths.get(filePath)))
-    val lower = df.get("lower_bounds").asInstanceOf[java.util.Map[_, _]]
-    val upper = df.get("upper_bounds").asInstanceOf[java.util.Map[_, _]]
+    // bounds in the spec's k_v-array encoding (since r12 the writer
+    // emits exactly what real Iceberg does — Avro map keys must be
+    // strings, so the stats ride int-keyed key_value record arrays)
+    val lower = df.get("lower_bounds").asInstanceOf[java.util.List[_]]
+    val upper = df.get("upper_bounds").asInstanceOf[java.util.List[_]]
     assert(!lower.isEmpty && !upper.isEmpty)
+    val kv0 = lower.get(0).asInstanceOf[GenericRecord]
+    assert(kv0.get("key").isInstanceOf[Integer], kv0.toString)
+    // the typed partition struct (empty here — unpartitioned)
+    assert(df.get("partition").isInstanceOf[GenericRecord])
 
     // and the round trip stays intact: graft reads its own tree back
     val back = new graft.formats.iceberg.IcebergConversionSource(
