@@ -362,15 +362,59 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       val np = s"$mdir/m-${UUID.randomUUID()}.avro"
       val cap = IcebergConversionTarget.DriverAddsThreshold
       val it = ds.toLocalIterator().asScala
+      // spec field_summary bounds (ids 509-511) per partition-spec
+      // field, tracked while the entries stream — real readers prune
+      // whole manifests by them before opening any entry
+      val partOrder = partitionSpec.map(_.partitionColumnName)
+      val partBounds = scala.collection.mutable.Map
+        .empty[String, (Boolean, String, String)]
+      def track(f: graft.model.FileEntry): Unit = partOrder.foreach { pf =>
+        f.partitionValues.find(_.field == pf) match {
+          case Some(p) =>
+            val numeric = IcebergManifests
+              .partitionAvroType(schema, pf) != "string"
+            def lt(a: String, b: String): Boolean =
+              if (numeric) a.toLong < b.toLong else a < b
+            partBounds.get(pf) match {
+              case None => partBounds(pf) = (false, p.value, p.value)
+              case Some((n, lo, hi)) => partBounds(pf) = (n,
+                if (lt(p.value, lo)) p.value else lo,
+                if (lt(hi, p.value)) p.value else hi)
+            }
+          case None => partBounds.get(pf) match {
+            case None => partBounds(pf) = (true, null, null)
+            case Some((_, lo, hi)) => partBounds(pf) = (true, lo, hi)
+          }
+        }
+      }
       val entryIt = it.map { f =>
         addedCount += 1; addedRows += f.recordCount
+        track(f)
         IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
           snapshotId, schema)
       }.takeWhile(_ => addedCount <= cap)
       val len = IcebergManifests.writeManifest(np, entryIt)
+      def boundBytes(pf: String, v: String): Option[Array[Byte]] =
+        Option(v).map { s =>
+          IcebergManifests.partitionAvroType(schema, pf) match {
+            case "int" => java.nio.ByteBuffer.allocate(4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .putInt(s.toInt).array()
+            case "long" => java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .putLong(s.toLong).array()
+            case _ => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+        }
+      val summaries = partOrder.flatMap(pf => partBounds.get(pf).map {
+        case (containsNull, lo, hi) =>
+          IcebergManifests.PartitionFieldSummary(containsNull,
+            boundBytes(pf, lo), boundBytes(pf, hi))
+      })
       if (addedCount <= cap && addedCount > 0)
         kept += IcebergManifests.ManifestSummary(
-          np, len, snapshotId, addedCount.toInt, 0, 0, addedRows, 0L)
+          np, len, snapshotId, addedCount.toInt, 0, 0, addedRows, 0L,
+          partitions = summaries)
       else {
         // over the cap (or empty): drop the partial driver manifest
         val hp = new org.apache.hadoop.fs.Path(np)

@@ -77,7 +77,15 @@ object IcebergManifests {
       |{"name":"deleted_data_files_count","type":"int","field-id":506},
       |{"name":"added_rows_count","type":"long","field-id":512,"default":0},
       |{"name":"existing_rows_count","type":"long","field-id":513,"default":0},
-      |{"name":"deleted_rows_count","type":"long","field-id":514,"default":0}]}""".stripMargin)
+      |{"name":"deleted_rows_count","type":"long","field-id":514,"default":0},
+      |{"name":"partitions","type":["null",{"type":"array","items":
+      |  {"type":"record","name":"r508","fields":[
+      |    {"name":"contains_null","type":"boolean","field-id":509},
+      |    {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+      |    {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+      |    {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+      |  ]}}],"default":null,"field-id":507},
+      |{"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":519}]}""".stripMargin)
 
   /** Per-manifest summary row of the manifest list (spec v2 required
     * fields; `content`=0 for data manifests, 1 for delete manifests —
@@ -87,7 +95,16 @@ object IcebergManifests {
   final case class ManifestSummary(path: String, length: Long,
       snapshotId: Long, addedFiles: Int, existingFiles: Int,
       deletedFiles: Int, addedRows: Long, existingRows: Long,
-      content: Int = 0)
+      content: Int = 0,
+      partitions: Seq[PartitionFieldSummary] = Nil)
+
+  /** Per-partition-field manifest summary (spec field_summary r508, ids
+    * 509-518) — real readers prune whole manifests by these bounds. The
+    * seq is ORDERED like the partition spec's fields. Bounds are the
+    * spec's single-value binary of the transform result.
+    */
+  final case class PartitionFieldSummary(containsNull: Boolean,
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
 
   /** A row-level delete file referenced by a delete manifest (spec v2
     * §Delete Formats). `content` is the data_file content field: 1 =
@@ -103,10 +120,6 @@ object IcebergManifests {
 
   object Status { val Existing = 0; val Added = 1; val Deleted = 2 }
 
-  /** FileEntry → manifest_entry record. Bounds keyed by field id.
-    * `content` follows the data_file content field: 0 = data, 1 =
-    * position deletes, 2 = equality deletes.
-    */
   /** Spec-exact manifest_entry avro schema for a table: the typed
     * partition struct (r102, field-ids from 1000) and k_v-record ARRAYS
     * for the int-keyed stat maps — the encoding real Iceberg writes and
@@ -450,9 +463,27 @@ object IcebergManifests {
       r.put("added_rows_count", m.addedRows)
       r.put("existing_rows_count", m.existingRows)
       r.put("deleted_rows_count", 0L)
+      putPartitionSummaries(r, m.partitions)
       w.append(r)
     } finally w.close()
   }
+
+  private def putPartitionSummaries(r: GenericData.Record,
+      ps: Seq[PartitionFieldSummary]): Unit =
+    if (ps.nonEmpty) {
+      val itemSchema = {
+        val f = ManifestFileSchema.getField("partitions").schema()
+        f.getTypes.asScala.find(_.getType != Schema.Type.NULL)
+          .get.getElementType
+      }
+      r.put("partitions", ps.map { p =>
+        val fr = new GenericData.Record(itemSchema)
+        fr.put("contains_null", java.lang.Boolean.valueOf(p.containsNull))
+        p.lower.foreach(b => fr.put("lower_bound", ByteBuffer.wrap(b)))
+        p.upper.foreach(b => fr.put("upper_bound", ByteBuffer.wrap(b)))
+        fr
+      }.asJava)
+    }
 
   /** DATA manifest paths only (`content`=0) — the scan/sync planning
     * input. Delete manifests (`content`=1) must never flow into the data
@@ -535,6 +566,7 @@ object IcebergManifests {
         r.put("added_rows_count", m.addedRows)
         r.put("existing_rows_count", m.existingRows)
         r.put("deleted_rows_count", 0L)
+        putPartitionSummaries(r, m.partitions)
         w.append(r)
       }
     } finally w.close()

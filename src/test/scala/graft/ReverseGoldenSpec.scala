@@ -345,6 +345,48 @@ class ReverseGoldenSpec extends SparkSuite {
     assert(re.agg(sum("order_id")).head().getLong(0) == 4095L)
   }
 
+  test("partitioned Iceberg manifests carry spec field_summary bounds " +
+    "in the manifest list") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val data = tmpDir("rev_ice_psum_data")
+    (0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(data)
+    val t = tmpDir("rev_ice_psum")
+    val src = new ParquetDirectorySource(spark, data, "t")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, t)), src.currentSnapshot(),
+      src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+    val v = IcebergMetadata.currentVersion(t).get
+    val meta = IcebergMetadata.read(t, v)
+    val mls = {
+      val rd = new DataFileReader[GenericRecord](
+        new java.io.File(graft.util.PathUtils.canonical(
+          meta.snapshots.last.manifestList)),
+        new GenericDatumReader[GenericRecord]())
+      try rd.iterator().asScala.toSeq finally rd.close()
+    }
+    assert(mls.nonEmpty)
+    val parts = mls.head.get("partitions")
+    assert(parts != null, "manifest list must carry field_summary (507)")
+    val summaries = parts.asInstanceOf[java.util.List[_]].asScala
+      .map(_.asInstanceOf[GenericRecord])
+    assert(summaries.size == 1) // one partition field: p
+    val fs = summaries.head
+    assert(fs.get("contains_null") == java.lang.Boolean.FALSE)
+    def intOfBytes(v: AnyRef): Int = {
+      val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    }
+    assert(intOfBytes(fs.get("lower_bound")) == 0, fs.toString)
+    assert(intOfBytes(fs.get("upper_bound")) == 3, fs.toString)
+    // and graft reads its own partitioned tree back exactly
+    assert(new graft.formats.iceberg.IcebergConversionSource(spark, t, "t")
+      .toDataFrame.where(col("p") === lit(2)).count() == 10)
+  }
+
   test("graft-written Iceberg metadata tree conforms to the v2 spec shape") {
     val goldenDir = golden("delta_dimGeography")   // data donor
     val table = syncInPlace(goldenDir, DeltaDataFile, "ice_dimGeography",
