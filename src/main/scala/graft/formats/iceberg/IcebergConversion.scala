@@ -27,9 +27,30 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
     val m = meta
     TableDescriptor(tableName, TableFormats.Iceberg,
       graft.util.PathUtils.canonical(tablePath), m.schema, m.partitionSpec,
-      if (m.partitionSpec.nonEmpty) Layout.HivePartitioned else Layout.Flat,
+      if (m.partitionSpec.nonEmpty && uniformCurrentSpec(m))
+        Layout.HivePartitioned
+      else Layout.Flat,
       m.headSequence)
   }
+
+  /** True when every live data manifest was written under the CURRENT
+    * default spec. After partition-spec evolution the table is mixed:
+    * files from older specs carry no metadata value for the new partition
+    * fields, so identity columns must be served from the DATA files (what
+    * real Iceberg readers do — metadata partition values are only
+    * per-file constants where the file's own spec defines them) and the
+    * layout degrades to Flat; min/max stat skipping still prunes scans on
+    * those columns.
+    */
+  private def uniformCurrentSpec(m: IcebergTableMetadata): Boolean =
+    m.otherSpecs.isEmpty || m.currentSnapshot.forall { s =>
+      IcebergManifests.readManifestListRecords(s.manifestList)
+        .filter(IcebergManifests.contentOf(_) == 0)
+        .forall(r => (r.get("partition_spec_id") match {
+          case i: java.lang.Integer => i.intValue
+          case _ => 0
+        }) == m.defaultSpecId)
+    }
 
   private[iceberg] def filesAtSeq(m: IcebergTableMetadata, seq: Long)
       : Dataset[FileEntry] = {
@@ -250,6 +271,31 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     val now = System.currentTimeMillis()
     val mdir = IcebergMetadata.metadataDir(tablePath)
 
+    // schema / partition-spec EVOLUTION (spec v2): a sync whose
+    // partitioning or schema differs from the table's current one appends
+    // a NEW spec/schema under the next id and archives the old one —
+    // never mutates spec 0 in place. Old manifests keep their original
+    // spec id (list field 502) so real readers can still decode them.
+    val specChanged = prev.exists(_.partitionSpec != partitionSpec)
+    val defaultSpecId = prev
+      .map(p => if (specChanged) p.maxSpecId + 1 else p.defaultSpecId)
+      .getOrElse(0)
+    val otherSpecs = prev.map { p =>
+      if (specChanged) p.otherSpecs :+ IcebergMetadata.currentSpecJson(p)
+      else p.otherSpecs
+    }.getOrElse(Nil)
+    val schemaChanged = prev.exists(p =>
+      IcebergSchemas.toIcebergJson(p.schema, 0) !=
+        IcebergSchemas.toIcebergJson(schema, 0))
+    val currentSchemaId = prev
+      .map(p => if (schemaChanged) p.maxSchemaId + 1 else p.currentSchemaId)
+      .getOrElse(0)
+    val otherSchemas = prev.map { p =>
+      if (schemaChanged) p.otherSchemas :+
+        IcebergSchemas.toIcebergJson(p.schema, p.currentSchemaId)
+      else p.otherSchemas
+    }.getOrElse(Nil)
+
     // removed paths: normally small relative to the live set (a commit's
     // delta) — collected to pick which previous manifests need rewriting.
     // A full resync of a heavily churned table can make the delta
@@ -267,12 +313,22 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       case _ => Set.empty
     }
 
-    val prevManifests: Seq[String] = prev.flatMap(_.currentSnapshot)
+    // previous DATA manifests with the spec id each was written under —
+    // carried-forward manifests must keep it (their entries' partition
+    // struct is typed by that spec, not the current default)
+    val prevManifestRecs: Seq[(String, Int)] = prev.flatMap(_.currentSnapshot)
       .map { s =>
         requireNoDeleteManifests(s.manifestList)
-        IcebergManifests.readManifestList(s.manifestList)
+        IcebergManifests.readManifestListRecords(s.manifestList)
+          .filter(IcebergManifests.contentOf(_) == 0)
+          .map(r => (r.get("manifest_path").toString,
+            r.get("partition_spec_id") match {
+              case i: java.lang.Integer => i.intValue
+              case _ => 0
+            }))
       }
       .getOrElse(Nil)
+    val prevManifests: Seq[String] = prevManifestRecs.map(_._1)
 
     // carry-forward / rewrite of previous manifests: one task PER MANIFEST
     // on the cluster (a 10⁶-file table has hundreds of manifests — a
@@ -296,11 +352,11 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
           .collect().toSeq
         finally bc.unpersist()
       }
-    processed.foreach {
-      case Some((p, len, existing, deleted, rows)) =>
+    processed.zip(prevManifestRecs).foreach {
+      case (Some((p, len, existing, deleted, rows)), (_, sid)) =>
         kept += IcebergManifests.ManifestSummary(p, len, snapshotId,
-          0, existing, deleted, 0L, rows)
-      case None => ()  // fully-dropped manifest: not carried forward at all
+          0, existing, deleted, 0L, rows, specId = sid)
+      case (None, _) => () // fully-dropped manifest: not carried forward at all
     }
 
     // big-removes carry-forward: previous manifest entries become a
@@ -315,35 +371,47 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       val snapId = snapshotId
       val md = mdir
       val bconf = graft.util.HadoopConfs.broadcastSession(spark)
-      val prevEntries = graft.util.Par.ds(spark, prevManifests, 128)
-        .flatMap { mp =>
+      val prevEntries = graft.util.Par.ds(spark, prevManifestRecs, 128)
+        .flatMap { case (mp, sid) =>
           IcebergManifests.readManifest(mp)
             .filter(_.get("status").asInstanceOf[Int] !=
               IcebergManifests.Status.Deleted)
-            .map(e => IcebergManifests.fromEntry(e, sch)._2)
+            .map(e => (sid, IcebergManifests.fromEntry(e, sch)._2))
         }
       val removes = pendingRemoves.get.select(col("path").as("__rm"))
+      // survivors keep their source manifest's spec id; entries sort by
+      // it WITHIN each join partition (no extra shuffle) so each output
+      // manifest is spec-uniform — entries of different specs carry
+      // different partition-struct shapes and must not share a container
       val survivors = prevEntries
-        .join(removes, prevEntries("path") === col("__rm"), "left_anti")
-        .as[FileEntry]
+        .join(removes, col("_2.path") === col("__rm"), "left_anti")
+        .as[(Int, FileEntry)]
+        .sortWithinPartitions(col("_1"))
       val summaries = survivors.mapPartitions { it =>
-        if (!it.hasNext) Iterator.empty
-        else {
+        val buf = it.buffered
+        val out = Seq.newBuilder[(String, Long, Int, Long, Int)]
+        while (buf.hasNext) {
+          val sid = buf.head._1
           val np = s"$md/m-${UUID.randomUUID()}.avro"
           var n = 0
           var rows = 0L
-          val len = IcebergManifests.writeManifest(np,
-            it.map { f =>
+          val run = new Iterator[org.apache.avro.generic.GenericRecord] {
+            def hasNext: Boolean = buf.hasNext && buf.head._1 == sid
+            def next(): org.apache.avro.generic.GenericRecord = {
+              val f = buf.next()._2
               n += 1; rows += f.recordCount
               IcebergManifests.toEntry(f,
                 IcebergManifests.Status.Existing, snapId, sch)
-            }, bconf.value.value)
-          Iterator((np, len, n, rows))
+            }
+          }
+          val len = IcebergManifests.writeManifest(np, run, bconf.value.value)
+          out += ((np, len, n, rows, sid))
         }
+        out.result().iterator
       }.collect()
-      summaries.foreach { case (p, len, n, rows) =>
+      summaries.foreach { case (p, len, n, rows, sid) =>
         kept += IcebergManifests.ManifestSummary(p, len, snapshotId,
-          0, n, 0, 0L, rows)
+          0, n, 0, 0L, rows, specId = sid)
       }
     }
 
@@ -414,7 +482,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       if (addedCount <= cap && addedCount > 0)
         kept += IcebergManifests.ManifestSummary(
           np, len, snapshotId, addedCount.toInt, 0, 0, addedRows, 0L,
-          partitions = summaries)
+          partitions = summaries, specId = defaultSpecId)
       else {
         // over the cap (or empty): drop the partial driver manifest
         val hp = new org.apache.hadoop.fs.Path(np)
@@ -449,7 +517,8 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         }.collect()
         summaries.foreach { case (p, len2, n, rows) =>
           kept += IcebergManifests.ManifestSummary(
-            p, len2, snapshotId, n, 0, 0, rows, 0L)
+            p, len2, snapshotId, n, 0, 0, rows, 0L,
+            specId = defaultSpecId)
         }
         cached.unpersist()
       }
@@ -462,11 +531,14 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     val keptList = {
       val ks = kept.result()
       if (ks.size <= IcebergConversionTarget.CompactionThreshold) ks
-      else {
+      else ks.groupBy(_.specId).toSeq.sortBy(_._1).map { case (sid, grp) =>
+        // one merged manifest PER SPEC ID: entries of different specs
+        // carry different partition-struct shapes and must not be
+        // re-encoded into one container
         val np = s"$mdir/m-${UUID.randomUUID()}-compacted.avro"
         var n = 0
         var rows = 0L
-        val entries = ks.iterator.flatMap { case m =>
+        val entries = grp.iterator.flatMap { case m =>
           IcebergManifests.readManifest(m.path).filter(e =>
             e.get("status").asInstanceOf[Int] != IcebergManifests.Status.Deleted)
         }.map { e =>
@@ -477,8 +549,8 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
           e
         }
         val len = IcebergManifests.writeManifest(np, entries)
-        Seq(IcebergManifests.ManifestSummary(np, len, snapshotId,
-          0, n, 0, 0L, rows))
+        IcebergManifests.ManifestSummary(np, len, snapshotId,
+          0, n, 0, 0L, rows, specId = sid)
       }
     }
     // UUID: two racing writers compute the same next snapshotId, and a
@@ -507,7 +579,11 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       snapshotId,
       prev.map(_.snapshots).getOrElse(Nil) :+
         IcebergSnapshot(snapshotId, seq, now, listPath,
-          syncMeta.map(_.lastInstantSynced))))
+          syncMeta.map(_.lastInstantSynced)),
+      currentSchemaId = currentSchemaId,
+      defaultSpecId = defaultSpecId,
+      otherSchemas = otherSchemas,
+      otherSpecs = otherSpecs))
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed metadata v$version first at $tablePath")
   }

@@ -486,7 +486,8 @@ object IcebergDeletes {
         })
       Some(IcebergManifests.ManifestSummary(manifestPath, len, snapshotId,
         nFiles, 0, 0, nRows, 0L,
-        content = if (manifestContent == 0) 0 else 1))
+        content = if (manifestContent == 0) 0 else 1,
+        specId = m.defaultSpecId))
     }
 
     // staged ONCE — a conflict retry re-authors the cheap manifests

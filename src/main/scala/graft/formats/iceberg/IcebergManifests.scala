@@ -96,7 +96,12 @@ object IcebergManifests {
       snapshotId: Long, addedFiles: Int, existingFiles: Int,
       deletedFiles: Int, addedRows: Long, existingRows: Long,
       content: Int = 0,
-      partitions: Seq[PartitionFieldSummary] = Nil)
+      partitions: Seq[PartitionFieldSummary] = Nil,
+      // the partition spec this manifest's entries were written under
+      // (list field 502) — after spec evolution, carried-forward
+      // manifests keep their ORIGINAL spec id while fresh ones take the
+      // table's current default
+      specId: Int = 0)
 
   /** Per-partition-field manifest summary (spec field_summary r508, ids
     * 509-518) — real readers prune whole manifests by these bounds. The
@@ -452,7 +457,7 @@ object IcebergManifests {
     try manifests.foreach { m =>
       val r = new GenericData.Record(ManifestFileSchema)
       r.put("manifest_path", m.path); r.put("manifest_length", m.length)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", m.specId)
       r.put("content", m.content)
       r.put("sequence_number", m.snapshotId)
       r.put("min_sequence_number", 0L)
@@ -555,7 +560,7 @@ object IcebergManifests {
       fresh.foreach { m =>
         val r = new GenericData.Record(ManifestFileSchema)
         r.put("manifest_path", m.path); r.put("manifest_length", m.length)
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id", m.specId)
         r.put("content", m.content)
         r.put("sequence_number", m.snapshotId)
         r.put("min_sequence_number", 0L)

@@ -47,7 +47,17 @@ case class IcebergTableMetadata(
     properties: Map[String, String],
     currentSnapshotId: Long,
     snapshots: Seq[IcebergSnapshot],
-    refs: Map[String, IcebergRef] = Map.empty) {
+    refs: Map[String, IcebergRef] = Map.empty,
+    // schema/partition-spec EVOLUTION (spec v2): a real table keeps every
+    // historical schema and spec in the metadata arrays — `schema` /
+    // `partitionSpec` above are the CURRENT ones (selected by
+    // current-schema-id / default-spec-id on read); the rest are carried
+    // verbatim as raw JSON so a graft commit never drops history that
+    // real readers still need to decode old manifests.
+    currentSchemaId: Int = 0,
+    defaultSpecId: Int = 0,
+    otherSchemas: Seq[String] = Nil,
+    otherSpecs: Seq[String] = Nil) {
   def currentSnapshot: Option[IcebergSnapshot] =
     snapshots.find(_.snapshotId == currentSnapshotId)
   def snapshotBySeq(seq: Long): Option[IcebergSnapshot] =
@@ -62,6 +72,12 @@ case class IcebergTableMetadata(
   def refNamed(name: String): Option[IcebergRef] =
     if (name == "main") Some(IcebergRef(currentSnapshotId, "branch"))
     else refs.get(name)
+  /** Highest schema-id in the metadata (current + historical). */
+  def maxSchemaId: Int = (currentSchemaId +:
+    otherSchemas.map(IcebergMetadata.idOf(_, "schema-id"))).max
+  /** Highest spec-id in the metadata (default + historical). */
+  def maxSpecId: Int = (defaultSpecId +:
+    otherSpecs.map(IcebergMetadata.idOf(_, "spec-id"))).max
 }
 
 object IcebergMetadata {
@@ -122,6 +138,55 @@ object IcebergMetadata {
     }
   }
 
+  private[iceberg] def idOf(json: String, key: String): Int =
+    Option(Jsons.mapper.readTree(json).get(key)).map(_.asInt).getOrElse(0)
+
+  /** Render the CURRENT spec as its metadata-JSON node. Partition field
+    * ids are unique across ALL specs of the table (spec v2): a field that
+    * already exists in a historical spec under the same
+    * (name, transform, source-id) keeps its id — the Iceberg reference
+    * implementation reuses ids the same way — and genuinely new fields
+    * take the next id after every previously assigned one.
+    */
+  private[iceberg] def currentSpecNode(meta: IcebergTableMetadata)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    val nf = JsonNodeFactory.instance
+    val spec = nf.objectNode()
+    spec.put("spec-id", meta.defaultSpecId)
+    val sf = spec.putArray("fields")
+    val idByName = IcebergSchemas.leafFields(meta.schema)
+      .map { case (id, name, _) => name -> id }.toMap
+    val prior: Seq[((String, String, Int), Int)] = meta.otherSpecs.flatMap { s =>
+      Jsons.mapper.readTree(s).get("fields").elements().asScala.map { f =>
+        ((f.get("name").asText, f.get("transform").asText,
+          f.get("source-id").asInt), f.get("field-id").asInt)
+      }.toSeq
+    }
+    val priorIds = prior.toMap
+    var nextId = (999 +: prior.map(_._2)).max
+    meta.partitionSpec.foreach { p =>
+      val f = sf.addObject()
+      val srcId = idByName.getOrElse(p.sourceField, -1)
+      val tn = transformName(p)
+      f.put("name", p.partitionColumnName)
+      f.put("transform", tn)
+      f.put("source-id", srcId)
+      val fid = priorIds.getOrElse((p.partitionColumnName, tn, srcId), {
+        nextId += 1; nextId
+      })
+      f.put("field-id", fid)
+      f.put("source-name", p.sourceField)          // engine extension
+      p.format.foreach(fmt => f.put("source-format", fmt))
+    }
+    spec
+  }
+
+  /** The current spec exactly as `write` would emit it — used to archive
+    * it into `otherSpecs` when a sync evolves the partitioning.
+    */
+  def currentSpecJson(meta: IcebergTableMetadata): String =
+    Jsons.mapper.writeValueAsString(currentSpecNode(meta))
+
   def write(tablePath: String, version: Long, meta: IcebergTableMetadata)
       : Boolean = {
     val nf = JsonNodeFactory.instance
@@ -132,29 +197,21 @@ object IcebergMetadata {
     o.put("last-sequence-number", meta.lastSequenceNumber)
     o.put("last-updated-ms", meta.lastUpdatedMs)
     o.put("last-column-id", meta.lastColumnId)
-    o.put("current-schema-id", 0)
+    o.put("current-schema-id", meta.currentSchemaId)
     val schemas = o.putArray("schemas")
+    meta.otherSchemas.foreach(s => schemas.add(Jsons.mapper.readTree(s)))
     schemas.add(Jsons.mapper.readTree(
-      IcebergSchemas.toIcebergJson(meta.schema)))
-    o.put("default-spec-id", 0)
+      IcebergSchemas.toIcebergJson(meta.schema, meta.currentSchemaId)))
+    o.put("default-spec-id", meta.defaultSpecId)
     val specs = o.putArray("partition-specs")
-    val spec = specs.addObject()
-    spec.put("spec-id", 0)
-    val sf = spec.putArray("fields")
-    val idByName = IcebergSchemas.leafFields(meta.schema)
-      .map { case (id, name, _) => name -> id }.toMap
-    meta.partitionSpec.zipWithIndex.foreach { case (p, i) =>
-      val f = sf.addObject()
-      f.put("name", p.partitionColumnName)
-      f.put("transform", transformName(p))
-      f.put("source-id", idByName.getOrElse(p.sourceField, -1))
-      f.put("field-id", 1000 + i)
-      f.put("source-name", p.sourceField)          // engine extension
-      p.format.foreach(fmt => f.put("source-format", fmt))
-    }
+    meta.otherSpecs.foreach(s => specs.add(Jsons.mapper.readTree(s)))
+    specs.add(currentSpecNode(meta))
     // spec v2: last-partition-id (highest assigned partition field id) is
-    // a required table-metadata field — real readers refuse without it
-    o.put("last-partition-id", 999 + meta.partitionSpec.size)
+    // a required table-metadata field — real readers refuse without it.
+    // Across evolved specs it is the max over ALL specs' field-ids.
+    val allFieldIds = specs.elements().asScala.flatMap(sp =>
+      sp.get("fields").elements().asScala.map(_.get("field-id").asInt))
+    o.put("last-partition-id", allFieldIds.foldLeft(999)(math.max))
     val props = o.putObject("properties")
     meta.properties.foreach { case (k, v) => props.put(k, v) }
     o.put("current-snapshot-id", meta.currentSnapshotId)
@@ -204,10 +261,45 @@ object IcebergMetadata {
     val json = new String(Files.readAllBytes(
       JPaths.get(metadataFile(tablePath, version))), StandardCharsets.UTF_8)
     val n = Jsons.mapper.readTree(json)
-    val schema = IcebergSchemas.fromIcebergJson(
-      n.get("schemas").get(0).toString)
-    val specFields = Option(n.get("partition-specs"))
-      .map(_.get(0).get("fields")).toSeq
+    // current schema: the `schemas` entry named by `current-schema-id` —
+    // a real table that evolved keeps every historical schema in the
+    // array (current is usually LAST, not first). v1 metadata carries a
+    // singular `schema` field instead.
+    val schemaNodes: Seq[JsonNode] =
+      Option(n.get("schemas")).map(_.elements().asScala.toSeq)
+        .orElse(Option(n.get("schema")).map(Seq(_)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no schema in Iceberg metadata at $tablePath v$version"))
+    val curSchemaId = Option(n.get("current-schema-id")).map(_.asInt)
+      .orElse(schemaNodes.headOption.flatMap(s =>
+        Option(s.get("schema-id")).map(_.asInt))).getOrElse(0)
+    val curSchemaNode = schemaNodes.find(s =>
+        Option(s.get("schema-id")).exists(_.asInt == curSchemaId))
+      .getOrElse(schemaNodes.head)
+    val otherSchemas = schemaNodes.filterNot(_ eq curSchemaNode)
+      .map(_.toString)
+    val schema = IcebergSchemas.fromIcebergJson(curSchemaNode.toString)
+    // default partition spec: same rule via `default-spec-id`; v1 carries
+    // a singular `partition-spec` (a bare fields array).
+    val specNodes: Seq[JsonNode] =
+      Option(n.get("partition-specs")).map(_.elements().asScala.toSeq)
+        .orElse(Option(n.get("partition-spec")).map { fields =>
+          // v1: a bare fields array and no spec ids
+          val w = JsonNodeFactory.instance.objectNode()
+          w.put("spec-id", 0)
+          w.set[JsonNode]("fields", fields)
+          Seq(w: JsonNode)
+        })
+        .getOrElse(Nil)
+    val defSpecId = Option(n.get("default-spec-id")).map(_.asInt)
+      .orElse(specNodes.headOption.flatMap(s =>
+        Option(s.get("spec-id")).map(_.asInt))).getOrElse(0)
+    val curSpecNode: Option[JsonNode] = specNodes.find(s =>
+        Option(s.get("spec-id")).exists(_.asInt == defSpecId))
+      .orElse(specNodes.headOption)
+    val otherSpecs = specNodes.filterNot(s => curSpecNode.exists(_ eq s))
+      .map(_.toString)
+    val specFields = curSpecNode.map(_.get("fields")).toSeq
       .flatMap(_.elements().asScala)
       .map { f =>
         val src = Option(f.get("source-name")).map(_.asText).getOrElse {
@@ -250,6 +342,10 @@ object IcebergMetadata {
       Option(n.get("refs")).map(_.properties().asScala.map { e =>
         e.getKey -> IcebergRef(e.getValue.get("snapshot-id").asLong,
           e.getValue.get("type").asText)
-      }.toMap).getOrElse(Map.empty))
+      }.toMap).getOrElse(Map.empty),
+      currentSchemaId = curSchemaId,
+      defaultSpecId = defSpecId,
+      otherSchemas = otherSchemas,
+      otherSpecs = otherSpecs)
   }
 }

@@ -103,14 +103,23 @@ class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
     import session.implicits._
 
     val partPredicate = bindPartitionPredicate(partitionFilters)
+    val predNames: Seq[String] =
+      partPredicate.map(_._2).getOrElse(Nil)
     val skip = StatSkipping.compile(dataFilters, tableSchema)
     val pSchema = partitionSchema
 
     val survivors = files.mapPartitions { it =>
-      val pred = partPredicate.map(e =>
-        Predicate.createInterpreted(e))
+      val pred = partPredicate.map { case (e, _) =>
+        Predicate.createInterpreted(e)
+      }
       it.filter { f =>
-        val partOk = pred.forall { p =>
+        // a file can predate a partition-spec evolution and carry no
+        // value for a referenced partition field — its transform value is
+        // UNKNOWN there, so the file must be kept conservatively (eval
+        // would see null and prune a file whose DATA may match)
+        val evaluable = predNames.forall(n =>
+          f.partitionValues.exists(_.field == n))
+        val partOk = !evaluable || pred.forall { p =>
           p.eval(SnapshotFileIndex.partitionRow(f.partitionValues, pSchema))
         }
         partOk && skip.forall(_.keep(f))
@@ -134,18 +143,20 @@ class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
     * partition schema so the predicate can ship to executors. Filters that
     * reference unknown names or are non-deterministic prune nothing.
     */
-  private def bindPartitionPredicate(filters: Seq[Expression]): Option[Expression] = {
+  private def bindPartitionPredicate(filters: Seq[Expression])
+      : Option[(Expression, Seq[String])] = {
     if (filters.isEmpty || partitionSchema.isEmpty) return None
     val usable = filters.filter { f =>
       f.deterministic && f.references.forall(a =>
         partitionSchema.fieldNames.contains(a.name))
     }
     if (usable.isEmpty) return None
-    Some(usable.reduce(And).transform {
+    val names = usable.flatMap(_.references.toSeq.map(_.name)).distinct
+    Some((usable.reduce(And).transform {
       case a: AttributeReference =>
         val i = partitionSchema.fieldIndex(a.name)
         BoundReference(i, partitionSchema(i).dataType, nullable = true)
-    })
+    }, names))
   }
 }
 

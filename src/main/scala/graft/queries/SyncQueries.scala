@@ -1591,4 +1591,82 @@ object SyncQueries {
   }
 
   val timeTravelPaimonSql: String = timeTravelHudiSql
+
+  /** Iceberg partition-spec EVOLUTION end-to-end (spec v2 §Partition
+    * Evolution): half of documents lands under spec 0 (identity `lang`),
+    * the other half under the evolved spec 1 (identity `source`). The
+    * metadata must carry BOTH specs — default-spec-id = 1 with spec 0
+    * archived, manifests keeping the spec id they were written under
+    * (manifest-list field 502) — and the mixed-spec table must serve every
+    * row exactly once with identity columns read from the DATA files
+    * (real-Iceberg semantics: metadata partition values are per-file
+    * constants only where the file's own spec defines them).
+    */
+  def icebergSpecEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.iceberg._
+    import graft.model._
+    val table = graft.util.TempDirs.create("graft_spec_evo")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val schema = docs.schema
+
+    // full-column files (identity partition sources stay IN the data, as
+    // real Iceberg writers require) with explicit metadata values
+    def stageBy(df: DataFrame, keyCol: String): Seq[FileEntry] = {
+      val keys = df.select(keyCol).distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+      keys.map { k =>
+        val part = df.filter(col(keyCol) === k)
+        val n = part.count()
+        val tmp = graft.util.TempDirs.create("graft_spec_stage")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = Paths.get(s"$table/data", f.getName)
+        Files.createDirectories(dst.getParent)
+        Files.move(f.toPath, dst)
+        FileEntry(dst.toString, Files.size(dst), n, "parquet",
+          Seq(PartitionMember(keyCol, k)), Nil, System.currentTimeMillis())
+      }
+    }
+
+    def syncAll(files: Seq[FileEntry], specCol: String,
+        commit: String): Unit = {
+      import s.implicits._
+      val td = TableDescriptor("documents", TableFormats.Parquet, table,
+        schema, Seq(PartitionFieldSpec(specCol, Transform.Value)),
+        Layout.HivePartitioned, System.currentTimeMillis())
+      val outcomes = TableFormatSync.syncSnapshot(
+        Seq(new IcebergConversionTarget(s, table)),
+        TableSnapshot(td, s.createDataset(files), commit), "PARQUET")
+      require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    }
+
+    val batch1 = stageBy(docs.filter(col("doc_id") % 2 === 0), "lang")
+    syncAll(batch1, "lang", "evo-c1")
+    val batch2 = stageBy(docs.filter(col("doc_id") % 2 === 1), "source")
+    syncAll(batch1 ++ batch2, "source", "evo-c2")
+
+    // evolution invariants — the gate proves the metadata plane, not just
+    // the row totals
+    val m = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    require(m.defaultSpecId == 1 && m.otherSpecs.size == 1,
+      s"spec not evolved: default=${m.defaultSpecId} others=${m.otherSpecs.size}")
+    val ids = IcebergManifests.readManifestListRecords(
+        m.currentSnapshot.get.manifestList)
+      .filter(IcebergManifests.contentOf(_) == 0)
+      .map(_.get("partition_spec_id").asInstanceOf[Int]).distinct.sorted
+    require(ids == Seq(0, 1), s"manifest spec ids $ids")
+
+    s.read.format("graft").load(table)
+      .filter(col("n_chars") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  val icebergSpecEvolutionSql: String =
+    """SELECT source, count(*) AS cnt,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars > 0 GROUP BY source ORDER BY source""".stripMargin
 }
