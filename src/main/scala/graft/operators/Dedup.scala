@@ -298,4 +298,59 @@ object Dedup {
           size(array_distinct(concat(col("a.grams"), col("b.grams"))))
             .cast("double")).as("jaccard"))
   }
+
+  /** EXACT SUBSTRING deduplication (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" operator, arXiv
+    * 2107.06499, at token-n-gram granularity): find every token n-gram
+    * that occurs in MORE THAN ONE document, merge each document's
+    * duplicated gram positions into maximal spans (the removable
+    * substrings), and report per-document span statistics —
+    * (n_spans, n_dup_grams, dup_tokens, total_tokens, kept_tokens).
+    * Documents with no cross-document duplicated gram are absent (at 10^9
+    * docs the interesting set is the duplicated one).
+    *
+    * Scale shape: the gram explode is O(total tokens) rows keyed by a
+    * 128-bit md5 of the gram text (collision-safe; the text itself never
+    * shuffles). Duplicate detection pre-aggregates to DISTINCT
+    * (gram, doc) before counting, so a gram repeated 10^4 times inside
+    * one document lands ONE row in the counting shuffle. The span merge
+    * is the classic gaps-and-islands window — one shuffle keyed on doc,
+    * state bounded by a document's own gram count. No driver-side
+    * structure anywhere; suffix arrays (the paper's exact-match backend)
+    * don't distribute, gram fingerprints are the standard scale-out
+    * equivalent.
+    */
+  def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      TextAnalysis.whitespaceTokens(col(textCol)).as("w"))
+    val grams = toks
+      .select(col(idCol),
+        posexplode(TextAnalysis.shinglesFromTokens(col("w"), n)))
+      .select(col(idCol), (col("pos") + 1).as("s"), md5(col("col")).as("gh"))
+    val dup = grams.select(col("gh"), col(idCol)).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("gh")
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col(idCol), col("s"), (col("s") + (n - 1)).as("e"))
+    val wOrd = Window.partitionBy(idCol).orderBy("s")
+    val prevMax = max(col("e"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(-1)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wOrd))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("s").as("ss"), max("e").as("ee"), count(lit(1)).as("n_gr"))
+    val perDoc = spans.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum("n_gr").as("n_dup_grams"),
+        sum(col("ee") - col("ss") + 1).cast("long").as("dup_tokens"))
+    perDoc
+      .join(toks.select(col(idCol),
+        size(col("w")).cast("long").as("total_tokens")), Seq(idCol))
+      .withColumn("kept_tokens", col("total_tokens") - col("dup_tokens"))
+      .orderBy(idCol)
+  }
 }

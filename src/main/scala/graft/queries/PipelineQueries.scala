@@ -382,6 +382,48 @@ object PipelineQueries {
       |  min(doc_id) AS min_doc
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact substring dedup (Lee et al. 2021, arXiv 2107.06499): find the
+    * token 8-grams shared across documents, merge each document's
+    * duplicated positions into maximal removable spans, report per-doc
+    * (n_spans, n_dup_grams, dup_tokens, total_tokens, kept_tokens). The
+    * DuckDB oracle recomputes the identical contract — same tokenization,
+    * same md5 gram keys, same gaps-and-islands merge.
+    */
+  def textSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.substringDedupSpans(
+      Tables.documents(s, dir), "doc_id", "text", n = 8)
+
+  val textSubstringDedupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.s, md5(array_to_string(toks[u.s:u.s+7], ' ')) AS gh
+      |  FROM w, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(len(toks)-7, 0))) AS s) u),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+      |hits AS (SELECT g.doc_id, g.s, g.s + 7 AS e FROM g JOIN dup USING (gh)),
+      |isl AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM hits),
+      |sp AS (SELECT doc_id, s, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM isl),
+      |spans AS (SELECT doc_id, island, min(s) AS ss, max(e) AS ee,
+      |    count(*) AS n_gr FROM sp GROUP BY 1, 2),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(n_gr) AS BIGINT) AS n_dup_grams,
+      |    CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens
+      |  FROM spans GROUP BY 1)
+      |SELECT p.doc_id, p.n_spans, p.n_dup_grams, p.dup_tokens,
+      |  CAST(len(w.toks) AS BIGINT) AS total_tokens,
+      |  CAST(len(w.toks) - p.dup_tokens AS BIGINT) AS kept_tokens
+      |FROM perdoc p JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Embedding-cosine near-duplicate clustering end-to-end: exact cosine
     * pairs (≥ 0.45, gate-scale brute force — the LSH/IVF queries cover the
     * bucketed scale path) fed through the distributed min-label

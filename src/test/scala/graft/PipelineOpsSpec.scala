@@ -623,4 +623,29 @@ class PipelineOpsSpec extends SparkSuite {
       targetFraction = 0.4).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("substring dedup merges overlapping cross-doc spans exactly") {
+    import spark.implicits._
+    // shared run of 10 tokens a1..a10 between docs 1 and 2 (grams at
+    // positions 2..4 in doc 1 → one merged span of 10 tokens);
+    // doc 3 repeats a 4-gram INSIDE itself only → not duplicated;
+    // doc 4 is shorter than n → no grams at all
+    val shared = (1 to 10).map(i => s"a$i").mkString(" ")
+    val d = Seq(
+      (1L, s"x1 $shared y1 y2"),
+      (2L, s"z1 z2 z3 $shared"),
+      (3L, "r1 r2 r3 r4 m m r1 r2 r3 r4"),
+      (4L, "only three tokens")).toDF("doc_id", "text")
+    val out = Dedup.substringDedupSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // doc 1: 13 tokens; only grams fully inside the shared run are
+    // cross-doc, so duplicated 4-grams start at s=2..8 (7 grams) and
+    // merge into one span [2, 11] = 10 tokens
+    assert(out(1L) == ((1L, 7L, 10L, 13L, 3L)), s"doc1: ${out.get(1L)}")
+    assert(out(2L) == ((1L, 7L, 10L, 13L, 3L)), s"doc2: ${out.get(2L)}")
+    assert(!out.contains(3L), "intra-doc-only repeat must not count")
+    assert(!out.contains(4L), "short doc has no grams")
+  }
 }
