@@ -255,4 +255,45 @@ class MillionDocScaleSpec extends SparkSuite {
     assert(pqRecall >= 0.8, f"pq recall degraded: $pqRecall%.3f")
     assert(pqSec < 900, s"pq too slow: $pqSec")
   }
+
+  test("1M docs: exact substring dedup recovers 50k planted shared runs " +
+    "with O(tokens) gram volume") {
+    // 50k doc PAIRS (ids 2i / 2i+1 for i < 100k) share a 12-token run
+    // wrapped in per-doc-unique prefix/suffix tokens; the other 900k docs
+    // are fully unique. 28 tokens/doc → 21 8-grams/doc → 21M gram rows —
+    // the operator's whole working set is O(total tokens), never O(n²)
+    // (a suffix-array backend would not distribute at all).
+    val planted = 100000L
+    val docs = spark.range(n).select(col("id"),
+      concat_ws(" ",
+        concat_ws(" ", transform(sequence(lit(0), lit(7)),
+          i => hex(xxhash64(col("id"), i, lit(1))))),
+        when(col("id") < planted,
+          concat_ws(" ", transform(sequence(lit(0), lit(11)),
+            i => hex(xxhash64(floor(col("id") / 2), i, lit(2))))))
+          .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(11)),
+            i => hex(xxhash64(col("id"), i, lit(3)))))),
+        concat_ws(" ", transform(sequence(lit(0), lit(7)),
+          i => hex(xxhash64(col("id"), i, lit(4)))))).as("text"))
+
+    val (profile, sec) = timed("substringDedupSpans over 1M docs") {
+      graft.operators.Dedup.substringDedupSpans(docs, "id", "text", n = 8)
+        .groupBy("n_spans", "n_dup_grams", "dup_tokens", "total_tokens",
+          "kept_tokens")
+        .agg(count(lit(1)).as("n_docs")).collect()
+    }
+    // every planted doc reports EXACTLY one 12-token span (the 5 grams
+    // fully inside the shared run, positions 9..13, merged to [9, 20]);
+    // no unplanted doc surfaces — an accidental duplicated gram needs 8
+    // consecutive 64-bit token collisions
+    assert(profile.length == 1, profile.mkString(";"))
+    val row = profile.head
+    assert(row.getAs[Long]("n_docs") == planted, row.toString)
+    assert(row.getAs[Long]("n_spans") == 1L &&
+      row.getAs[Long]("n_dup_grams") == 5L &&
+      row.getAs[Long]("dup_tokens") == 12L &&
+      row.getAs[Long]("total_tokens") == 28L &&
+      row.getAs[Long]("kept_tokens") == 16L, row.toString)
+    assert(sec < 900, s"substring dedup too slow: $sec")
+  }
 }
