@@ -34,6 +34,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT ALTER TABLE '<table>' RENAME COLUMN <a> TO <b>
   *   GRAFT ALTER TABLE '<table>' DROP COLUMN <name>
   *   GRAFT ALTER TABLE '<table>' ALTER COLUMN <name> TYPE <type>
+  *   GRAFT ALTER TABLE '<table>' ADD PARTITION FIELD <transform>
+  *   GRAFT ALTER TABLE '<table>' DROP PARTITION FIELD <name>
   *   GRAFT SHOW HISTORY '<table>'
   * }}}
   *
@@ -82,6 +84,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val AlterType: Regex =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*;?\s*""".r
+  private val AlterAddPartField: Regex =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val AlterDropPartField: Regex =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+PARTITION\s+FIELD\s+(\w+)\s*;?\s*""".r
   private val ShowHistory: Regex =
     """(?is)\s*GRAFT\s+SHOW\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
@@ -169,6 +175,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AlterType(path, name, ddl) =>
       AlterTableCommand(path,
         graft.sync.AlterTable.AlterColumnType(name, ddl))
+    case AlterAddPartField(path, transform) =>
+      AlterTableCommand(path,
+        graft.sync.AlterTable.AddPartitionField(transform))
+    case AlterDropPartField(path, name) =>
+      AlterTableCommand(path,
+        graft.sync.AlterTable.DropPartitionField(name))
     case AlterAdd(path, name, ddl) =>
       AlterTableCommand(path, graft.sync.AlterTable.AddColumn(name, ddl))
     case BloomIdx(verb, path, column) =>

@@ -49,6 +49,14 @@ object AlterTable {
   case class RenameColumn(from: String, to: String) extends Op
   case class DropColumn(name: String) extends Op
   case class AlterColumnType(name: String, typeDdl: String) extends Op
+  /** Iceberg partition-spec evolution (spec v2 §Partition Evolution):
+    * `transformDdl` is the Iceberg DDL transform — `col`, `year(col)`,
+    * `month(col)`, `day(col)`, `hour(col)`, or `bucket(N, col)`. The op
+    * is metadata-only: existing files stay under the spec they were
+    * written with; only future writes take the new layout.
+    */
+  case class AddPartitionField(transformDdl: String) extends Op
+  case class DropPartitionField(name: String) extends Op
 
   case class Result(format: String, schema: StructType)
 
@@ -68,6 +76,17 @@ object AlterTable {
     val snap = source.currentSnapshot()
     val cur = snap.table.schema
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
+
+    op match {
+      case p: AddPartitionField =>
+        return runPartitionOp(spark, path, fmt, source, snap,
+          add = Some(parsePartitionTransform(p.transformDdl, cur)),
+          drop = None)
+      case p: DropPartitionField =>
+        return runPartitionOp(spark, path, fmt, source, snap,
+          add = None, drop = Some(p.name))
+      case _ => ()
+    }
     val mapped = fmt == "delta" &&
       graft.formats.delta.DeltaColumnMapping.isMapped(cur)
 
@@ -192,6 +211,69 @@ object AlterTable {
           throw new IllegalStateException(s"ALTER TABLE failed: $o"))
     }
     Result(fmt, evolved)
+  }
+
+  /** `col` | `year(col)` | `month(col)` | `day(col)` | `hour(col)` |
+    * `bucket(N, col)` → a [[PartitionFieldSpec]], validated against the
+    * table schema.
+    */
+  private[graft] def parsePartitionTransform(ddl: String,
+      schema: StructType): graft.model.PartitionFieldSpec = {
+    import graft.model.{PartitionFieldSpec, Transform}
+    val timeRe = """(?i)\s*(year|month|day|hour)\s*\(\s*(\w+)\s*\)\s*""".r
+    val bucketRe = """(?i)\s*bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*""".r
+    val identRe = """\s*(\w+)\s*""".r
+    val spec = ddl match {
+      case timeRe(t, c) => PartitionFieldSpec(c, t.toUpperCase)
+      case bucketRe(n, c) =>
+        PartitionFieldSpec(c, Transform.Bucket, numBuckets = Some(n.toInt))
+      case identRe(c) => PartitionFieldSpec(c, Transform.Value)
+      case other => throw new IllegalArgumentException(
+        s"unrecognized partition transform '$other' — supported: col, " +
+          "year(col), month(col), day(col), hour(col), bucket(N, col)")
+    }
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(spec.sourceField)),
+      s"no column '${spec.sourceField}' in the table schema")
+    spec
+  }
+
+  /** Partition-spec evolution: re-commit the CURRENT snapshot under the
+    * changed partitioning. Metadata-only — the target's spec-evolution
+    * path archives the old spec under its id and existing manifests keep
+    * theirs, so no data file moves.
+    */
+  private def runPartitionOp(spark: SparkSession, path: String,
+      fmt: String, source: graft.spi.ConversionSource,
+      snap: graft.model.TableSnapshot,
+      add: Option[graft.model.PartitionFieldSpec],
+      drop: Option[String]): Result = {
+    require(fmt == "iceberg",
+      s"ADD/DROP PARTITION FIELD is partition-spec evolution — an " +
+        s"Iceberg capability; a $fmt table bakes its layout into paths " +
+        "and cannot re-partition declaratively")
+    val cur = snap.table.partitionFields
+    val next = (add, drop) match {
+      case (Some(p), _) =>
+        require(!cur.exists(c => c.sourceField == p.sourceField &&
+            c.transform == p.transform),
+          s"partition field ${p.partitionColumnName} already in the spec")
+        cur :+ p
+      case (_, Some(name)) =>
+        val hit = cur.find(c => c.partitionColumnName == name ||
+          c.sourceField == name)
+        require(hit.isDefined, s"no partition field '$name' in the " +
+          s"current spec (${cur.map(_.partitionColumnName).mkString(", ")})")
+        cur.filterNot(_ == hit.get)
+      case _ => cur
+    }
+    val target = new graft.formats.iceberg.IcebergConversionTarget(
+      spark, path)
+    val altered = snap.copy(table = snap.table.copy(partitionFields = next))
+    val outcomes = TableFormatSync.syncSnapshot(Seq(target), altered,
+      source.sourceFormat, expectBase = Some(snap.commitId))
+    outcomes.find(_.status != "SUCCESS").foreach(o =>
+      throw new IllegalStateException(s"ALTER TABLE failed: $o"))
+    Result(fmt, snap.table.schema)
   }
 
   private val MaxColumnIdKey = "delta.columnMapping.maxColumnId"

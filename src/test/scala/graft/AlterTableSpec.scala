@@ -385,4 +385,46 @@ class AlterTableSpec extends SparkSuite {
     assert(df.columns.toSeq == Seq("s_id", "s_name", "remark"))
     assert(df.filter(col("remark").isNull).count() == 2)
   }
+
+  test("iceberg ADD/DROP PARTITION FIELD evolves the spec via SQL, " +
+    "metadata-only") {
+    import graft.formats.iceberg.IcebergMetadata
+    val gs = graft.sql.GraftSql.session(spark)
+    val t = viaSync("alter_ice_part", "iceberg")
+    gs.sql(s"GRAFT ALTER TABLE '$t' ADD PARTITION FIELD bucket(8, id)")
+    val m1 = IcebergMetadata.read(t, IcebergMetadata.currentVersion(t).get)
+    assert(m1.defaultSpecId == 1, s"spec id ${m1.defaultSpecId}")
+    assert(m1.partitionSpec.map(_.partitionColumnName) == Seq("id_bucket"))
+    assert(m1.partitionSpec.head.numBuckets.contains(8))
+    // metadata-only: no data file moved, every row still serves
+    val src1 = new graft.formats.iceberg.IcebergConversionSource(
+      spark, t, "t")
+    assert(src1.toDataFrame.count() == 20)
+
+    gs.sql(s"GRAFT ALTER TABLE '$t' ADD PARTITION FIELD day(id)")
+    val m2 = IcebergMetadata.read(t, IcebergMetadata.currentVersion(t).get)
+    assert(m2.defaultSpecId == 2 &&
+      m2.partitionSpec.map(_.transform) == Seq("BUCKET", "DAY"))
+
+    gs.sql(s"GRAFT ALTER TABLE '$t' DROP PARTITION FIELD id_bucket")
+    val m3 = IcebergMetadata.read(t, IcebergMetadata.currentVersion(t).get)
+    assert(m3.defaultSpecId == 3 &&
+      m3.partitionSpec.map(_.transform) == Seq("DAY"))
+    assert(m3.otherSpecs.size == 3, "every historical spec preserved")
+    assert(new graft.formats.iceberg.IcebergConversionSource(spark, t, "t")
+      .toDataFrame.count() == 20)
+
+    // refusals: unknown column, duplicate field, non-iceberg format
+    intercept[Exception] {
+      gs.sql(s"GRAFT ALTER TABLE '$t' ADD PARTITION FIELD nope")
+    }
+    intercept[Exception] {
+      gs.sql(s"GRAFT ALTER TABLE '$t' ADD PARTITION FIELD day(id)")
+    }
+    val d = delta("alter_delta_part")
+    val e = intercept[Exception] {
+      gs.sql(s"GRAFT ALTER TABLE '$d' ADD PARTITION FIELD id")
+    }
+    assert(e.getMessage.contains("Iceberg capability"), e.getMessage)
+  }
 }
