@@ -54,24 +54,57 @@ object DeltaLog {
 
   private val CheckpointName =
     "(\\d{20})\\.checkpoint(?:\\.(\\d{10})\\.(\\d{10}))?\\.parquet".r
+  // V2 checkpoint (PROTOCOL.md §V2 Checkpoint Table Feature): one
+  // UUID-named file whose rows carry protocol/metaData plus `sidecar`
+  // actions pointing at the add-file parquet under _delta_log/_sidecars/.
+  // The UUID segment contains dashes, so it can never collide with the
+  // multi-part numeric pattern above.
+  private val CheckpointV2Name =
+    "(\\d{20})\\.checkpoint\\.([0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12})\\.(parquet|json)".r
+
+  /** Sidecar directory of v2 checkpoints (PROTOCOL.md: sidecar paths are
+    * file names relative to `_delta_log/_sidecars/`, or absolute URIs).
+    */
+  def sidecarPath(tablePath: String, name: String): String =
+    if (name.contains("/") || name.contains(":"))
+      graft.util.PathUtils.resolve(tablePath, name)
+    else s"${logPath(tablePath)}/_sidecars/$name"
 
   /** (version, parts-or-1, names) for every COMPLETE checkpoint in the log
-    * (a multi-part checkpoint counts only when all its parts are present).
+    * (a multi-part checkpoint counts only when all its parts are present;
+    * a v2 UUID checkpoint is complete by itself — its sidecars are
+    * resolved at read time). When a version has both shapes, the classic
+    * one wins (identical content, simpler read).
     */
   private def completeCheckpoints(tablePath: String, conf: Configuration)
       : Seq[(Long, Seq[String])] = {
     val dir = new Path(logPath(tablePath))
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return Nil
-    val matches = fs.listStatus(dir).toSeq.map(_.getPath.getName).flatMap {
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val matches = names.flatMap {
       case n @ CheckpointName(v, _, parts) =>
         Some((v.toLong, Option(parts).map(_.toInt).getOrElse(1), n))
       case _ => None
     }
-    matches.groupBy(m => (m._1, m._2)).toSeq.collect {
+    val classic = matches.groupBy(m => (m._1, m._2)).toSeq.collect {
       case ((v, parts), files) if files.size == parts =>
         (v, files.map(f => s"${logPath(tablePath)}/${f._3}").sorted)
     }
+    val have = classic.map(_._1).toSet
+    val v2 = names.flatMap {
+      case n @ CheckpointV2Name(v, _, kind) =>
+        if (have.contains(v.toLong)) None
+        // parquet only: a json v2 checkpoint re-uses the commit-line
+        // format, which the snapshot replay does not route yet — refuse
+        // loudly rather than serve a partial live set
+        else if (kind == "json") throw new IllegalStateException(
+          s"v2 JSON checkpoint $n at $tablePath is not supported " +
+            "(parquet v2 checkpoints and classic checkpoints are)")
+        else Some((v.toLong, Seq(s"${logPath(tablePath)}/$n")))
+      case _ => None
+    }
+    classic ++ v2
   }
 
   /** Latest complete checkpoint at or before `version`, if any. */

@@ -156,7 +156,7 @@ object DeltaSnapshot {
     val files = DeltaLog.checkpointFilesAt(tablePath, cpVersion,
       graft.util.HadoopConfs.session(spark))
     val df = spark.read.parquet(files: _*)
-    if (!df.columns.contains("add")) {
+    if (!df.columns.contains("add") && !df.columns.contains("sidecar")) {
       // legacy flat shape: checkpoints written before a field existed
       // read under its default
       val defaults: Seq[(String, org.apache.spark.sql.Column)] = Seq(
@@ -167,6 +167,31 @@ object DeltaSnapshot {
         if (d.columns.contains(name)) d else d.withColumn(name, default)
       }.as[ActionRow]
     }
+    // V2 checkpoint (PROTOCOL.md §V2 Checkpoint Table Feature): the main
+    // file carries protocol/metaData plus `sidecar` actions; the add
+    // actions live in the referenced sidecar parquet files. Sidecar
+    // counts are small (each holds many adds) so the path list is a
+    // bounded driver collect; the adds themselves stay distributed.
+    val sidecars: Seq[String] =
+      if (!df.columns.contains("sidecar")) Nil
+      else df.filter(col("sidecar").isNotNull)
+        .select(col("sidecar.path")).as[String].collect().toSeq
+        .map(DeltaLog.sidecarPath(tablePath, _))
+    val main = checkpointAdds(spark, df, tablePath, cpVersion)
+    if (sidecars.isEmpty) main
+    else main.union(checkpointAdds(spark,
+      spark.read.parquet(sidecars: _*), tablePath, cpVersion))
+  }
+
+  /** Add rows of one checkpoint (or sidecar) DataFrame in the spec shape
+    * → ActionRow; empty when the file carries no `add` column at all (a
+    * v2 main file whose adds are all in sidecars).
+    */
+  private def checkpointAdds(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, tablePath: String,
+      cpVersion: Long): Dataset[ActionRow] = {
+    import spark.implicits._
+    if (!df.columns.contains("add")) return spark.emptyDataset[ActionRow]
     val tp = tablePath
     val adds = df.filter(col("add").isNotNull).select("add.*")
     val dvCol =

@@ -26,6 +26,17 @@ case class RealCkptProtocol(minReaderVersion: Int, minWriterVersion: Int,
 case class RealCkptRow(add: Option[RealCkptAdd],
     metaData: Option[RealCkptMeta], protocol: Option[RealCkptProtocol])
 
+// V2-checkpoint shapes (PROTOCOL.md §V2 Checkpoint Table Feature): the
+// main UUID-named file carries protocol/metaData/checkpointMetadata and
+// `sidecar` pointers; the add actions live in sidecar parquet files
+case class V2Sidecar(path: String, sizeInBytes: Long,
+    modificationTime: Long)
+case class V2CkptMeta(version: Long, tags: Map[String, String])
+case class V2MainRow(protocol: Option[RealCkptProtocol],
+    metaData: Option[RealCkptMeta], sidecar: Option[V2Sidecar],
+    checkpointMetadata: Option[V2CkptMeta])
+case class V2SideRow(add: Option[RealCkptAdd])
+
 class CheckpointAndScaleSpec extends SparkSuite {
 
   test("checkpoint written at interval and replay works without old commits") {
@@ -340,5 +351,76 @@ class CheckpointAndScaleSpec extends SparkSuite {
     assert(one.min.contains("2") && one.max.contains("3"))
     info(f"iceberg full sync of $n files: $sec%.1fs")
     assert(sec < 120, s"iceberg sync too slow: $sec")
+  }
+
+  test("v2 checkpoint (UUID name + sidecar files) replays after log " +
+    "cleanup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("ckpt_v2")
+    // v0: two files, v1: one more — then v0's JSON is cleaned and the
+    // live set must come from the v2 checkpoint's SIDECARS + the v1 tail
+    graft.formats.delta.DeltaWrite.write(spark, t,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("id", "name")
+        .repartition(2), overwrite = false)
+    graft.formats.delta.DeltaWrite.write(spark, t,
+      (10L until 15L).map(i => (i, s"a$i")).toDF("id", "name")
+        .coalesce(1), overwrite = false)
+
+    // the v0 live set, as a real writer would checkpoint it at version 0
+    val v0Adds = DeltaSnapshot.actions(spark, t, Seq(0L))
+      .filter(col("kind") === "add").collect()
+    assert(v0Adds.length == 2)
+    val schemaJson = new DeltaConversionSource(spark, t, "t")
+      .currentTable().schemaJson
+
+    def writeAs(df: org.apache.spark.sql.DataFrame, dest: String): Long = {
+      val stage = tmpDir("ckpt_v2_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(dest).getParent)
+      Files.move(part.toPath, Paths.get(dest))
+      Files.size(Paths.get(dest))
+    }
+
+    // two sidecars, one add each (paths RELATIVE to the table root, the
+    // shape real delta-spark sidecars carry)
+    val sidecarNames = v0Adds.zipWithIndex.map { case (r, i) =>
+      val rel = r.path.stripPrefix(t).stripPrefix("/")
+      val add = RealCkptAdd(rel, Map.empty,
+        r.size, r.modificationTime,
+        dataChange = true, stats = null, tags = null, deletionVector = None)
+      val name = s"sc-$i-${java.util.UUID.randomUUID()}.parquet"
+      writeAs(Seq(V2SideRow(Some(add))).toDF(),
+        s"${DeltaLog.logPath(t)}/_sidecars/$name")
+      name
+    }
+
+    val mainRows =
+      Seq(V2MainRow(Some(RealCkptProtocol(1, 2, null, null)), None, None,
+          Some(V2CkptMeta(0L, null))),
+        V2MainRow(None, Some(RealCkptMeta("v2-test", null,
+          RealCkptFormat("parquet", Map.empty), schemaJson, Nil,
+          Map.empty, 1L)), None, None)) ++
+      sidecarNames.map { n =>
+        val p = Paths.get(s"${DeltaLog.logPath(t)}/_sidecars/$n")
+        V2MainRow(None, None,
+          Some(V2Sidecar(n, Files.size(p), 1000L)), None)
+      }
+    writeAs(mainRows.toDF(), s"${DeltaLog.logPath(t)}/" +
+      f"${0L}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+
+    // log cleanup: v0 JSON gone — only the v2 checkpoint can serve it
+    Files.delete(Paths.get(DeltaLog.versionFile(t, 0L)))
+
+    val df = new DeltaConversionSource(spark, t, "t").toDataFrame
+    assert(df.count() == 15, s"v2 replay lost rows: ${df.count()}")
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0L until 15L).sum)
+    // schema and protocol must come from the v2 main file
+    val meta = DeltaSnapshot.metadata(spark, t,
+      DeltaLog.listVersions(t, graft.util.HadoopConfs.session(spark)))
+    assert(meta.exists(_.schemaString == schemaJson))
   }
 }
