@@ -33,7 +33,20 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
   private val metaMemo =
     scala.collection.mutable.Map.empty[Seq[Long], DeltaMeta]
 
-  private[delta] def metadataAt(vs: Seq[Long]): DeltaMeta =
+  // reader-feature gate, once per version set (PROTOCOL.md §Reader
+  // Requirements): every read path funnels through metadataAt, so an
+  // unimplemented reader feature refuses BEFORE any row is served
+  private val gateChecked =
+    scala.collection.mutable.Set.empty[Seq[Long]]
+
+  private[delta] def metadataAt(vs: Seq[Long]): DeltaMeta = {
+    if (!gateChecked.synchronized(gateChecked.contains(vs))) {
+      DeltaSnapshot.requireReadable(spark, tablePath, vs)
+      gateChecked.synchronized {
+        if (gateChecked.size > 64) gateChecked.clear()
+        gateChecked.add(vs)
+      }
+    }
     metaMemo.synchronized { metaMemo.get(vs) }.getOrElse {
       val m = DeltaSnapshot.metadata(spark, tablePath, vs).getOrElse(
         throw new IllegalStateException(
@@ -44,6 +57,7 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
       }
       m
     }
+  }
 
   /** The table's current metaData (memoized per version set). */
   private[delta] def currentMeta(): DeltaMeta = metadataAt(versions)

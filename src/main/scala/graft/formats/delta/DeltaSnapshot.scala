@@ -239,15 +239,38 @@ object DeltaSnapshot {
           CkptProtocol(p.get("minReaderVersion").asInt,
             p.get("minWriterVersion").asInt))
       }
-    fromJson.orElse {
-      val conf = graft.util.HadoopConfs.session(spark)
-      DeltaLog.latestCheckpoint(tablePath, versions.last, conf).flatMap { c =>
-        val df = spark.read.parquet(
-          DeltaLog.checkpointFilesAt(tablePath, c, conf): _*)
-        if (!df.columns.contains("protocol")) None
-        else df.filter(col("protocol").isNotNull)
-          .select("protocol.minReaderVersion", "protocol.minWriterVersion")
-          .head(1).headOption.map(r => CkptProtocol(r.getInt(0), r.getInt(1)))
+    fromJson.orElse(checkpointProtocol(spark, tablePath, versions)
+      .map(p => CkptProtocol(p.minReaderVersion, p.minWriterVersion)))
+  }
+
+  /** Protocol row of the newest checkpoint at-or-before the head —
+    * INCLUDING the feature lists when the checkpoint carries them (real
+    * delta-spark checkpoints do; graft's persist only the min versions).
+    */
+  private def checkpointProtocol(spark: SparkSession, tablePath: String,
+      versions: Seq[Long]): Option[ProtocolInfo] = {
+    if (versions.isEmpty) return None
+    val conf = graft.util.HadoopConfs.session(spark)
+    DeltaLog.latestCheckpoint(tablePath, versions.last, conf).flatMap { c =>
+      val df = spark.read.parquet(
+        DeltaLog.checkpointFilesAt(tablePath, c, conf): _*)
+      if (!df.columns.contains("protocol")) None
+      else {
+        val pSchema = df.schema("protocol").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        def feats(name: String): org.apache.spark.sql.Column =
+          if (pSchema.fieldNames.contains(name)) col(s"protocol.$name")
+          else lit(null).cast("array<string>")
+        df.filter(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion"),
+            col("protocol.minWriterVersion"),
+            feats("readerFeatures"), feats("writerFeatures"))
+          .head(1).headOption.map { r =>
+            def seqAt(i: Int): Seq[String] =
+              if (r.isNullAt(i)) Nil
+              else r.getAs[scala.collection.Seq[String]](i).toSeq
+            ProtocolInfo(r.getInt(0), r.getInt(1), seqAt(2), seqAt(3))
+          }
       }
     }
   }
@@ -276,11 +299,44 @@ object DeltaSnapshot {
         ProtocolInfo(p.get("minReaderVersion").asInt,
           p.get("minWriterVersion").asInt,
           strSeq(p.get("readerFeatures")), strSeq(p.get("writerFeatures"))))
-    }.orElse(protocol(spark, tablePath, versions)
-      // post-cleanup fallback: graft's own checkpoints persist only the min
-      // versions; features are re-derived from the legacy implication table
-      .map(p => ProtocolInfo(p.minReaderVersion, p.minWriterVersion, Nil, Nil)))
+    }.orElse(
+      // post-cleanup fallback: the checkpoint's protocol row — with its
+      // feature lists when the checkpoint carries them (real delta-spark
+      // checkpoints do), so the reader-feature gate still sees them
+      checkpointProtocol(spark, tablePath, versions))
   }
+
+  /** Reader features this engine implements (PROTOCOL.md §Table
+    * Features). The spec requires a reader to REFUSE a table whose
+    * protocol demands a feature it does not implement — serving anyway
+    * can return wrong data (a `variantType` column misread as opaque
+    * binary, rows a future delete representation logically removed, …).
+    */
+  val SupportedReaderFeatures: Set[String] = Set(
+    "columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+    "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
+
+  /** Refuse tables this engine cannot read faithfully (PROTOCOL.md
+    * §Reader Requirements): minReaderVersion beyond 3, or a version-3
+    * readerFeatures list naming an unimplemented feature.
+    */
+  def requireReadable(spark: SparkSession, tablePath: String,
+      versions: Seq[Long]): Unit =
+    protocolInfo(spark, tablePath, versions).foreach { p =>
+      if (p.minReaderVersion > 3)
+        throw new UnsupportedOperationException(
+          s"Delta table at $tablePath requires minReaderVersion " +
+            s"${p.minReaderVersion}; this engine implements protocol 3 " +
+            "(table features)")
+      if (p.minReaderVersion == 3) {
+        val unknown = p.readerFeatures.filterNot(SupportedReaderFeatures)
+        if (unknown.nonEmpty) throw new UnsupportedOperationException(
+          s"Delta table at $tablePath requires reader feature(s) " +
+            s"${unknown.mkString(", ")} this engine does not implement — " +
+            "refusing rather than serving potentially wrong data " +
+            s"(implemented: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+      }
+    }
 
   /** Checkpoint actions per multi-part file — bounds per-task memory and
     * parallelizes both write and replay at 10^6+ files.

@@ -261,6 +261,14 @@ object IcebergMetadata {
     val json = new String(Files.readAllBytes(
       JPaths.get(metadataFile(tablePath, version))), StandardCharsets.UTF_8)
     val n = Jsons.mapper.readTree(json)
+    // spec §Format Versioning: v1/v2 are implemented; v3 adds deletion
+    // vectors (puffin), row lineage and defaults — serving a v3 table
+    // without them can return WRONG rows, so refuse loudly
+    Option(n.get("format-version")).map(_.asInt).filter(_ > 2).foreach(v =>
+      throw new UnsupportedOperationException(
+        s"Iceberg table at $tablePath is format-version $v; this engine " +
+          "implements v1/v2 — refusing rather than ignoring v3 deletion " +
+          "vectors or row-lineage semantics"))
     // current schema: the `schemas` entry named by `current-schema-id` —
     // a real table that evolved keeps every historical schema in the
     // array (current is usually LAST, not first). v1 metadata carries a

@@ -184,4 +184,62 @@ class ErrorPathSpec extends SparkSuite {
         Seq("no_such_key")))
     assert(e4.getMessage.contains("key columns"))
   }
+
+  test("unimplemented Delta reader features and Iceberg v3 refuse, " +
+    "implemented features serve") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    // a features-protocol table demanding variantType must refuse BEFORE
+    // serving any row (PROTOCOL.md §Reader Requirements); one naming only
+    // implemented features must serve
+    def mkTable(prefix: String, protoLine: String): String = {
+      val t = tmpDir(prefix)
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+        .write.mode("overwrite").parquet(t + "/stage")
+      val part = new java.io.File(t + "/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(t, "f1.parquet"))
+      val schemaJson = Seq((1L, "a")).toDF("id", "name")
+        .schema.json.replace("\"", "\\\"")
+      val log =
+        s"""$protoLine
+           |{"metaData":{"id":"rf-test","schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}
+           |{"add":{"path":"f1.parquet","size":${Files.size(Paths.get(t, "f1.parquet"))},"modificationTime":1000,"partitionValues":{},"dataChange":true}}
+           |""".stripMargin
+      Files.createDirectories(Paths.get(t, "_delta_log"))
+      Files.write(Paths.get(t, "_delta_log", "00000000000000000000.json"),
+        log.getBytes("UTF-8"))
+      t
+    }
+    val bad = mkTable("rf_bad",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","variantType"],"writerFeatures":["variantType"]}}""")
+    val e = intercept[UnsupportedOperationException] {
+      new graft.formats.delta.DeltaConversionSource(spark, bad, "t")
+        .currentSnapshot()
+    }
+    assert(e.getMessage.contains("variantType"), e.getMessage)
+
+    val ok = mkTable("rf_ok",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":["deletionVectors"]}}""")
+    assert(new graft.formats.delta.DeltaConversionSource(spark, ok, "t")
+      .toDataFrame.count() == 2)
+
+    // Iceberg format-version 3 refuses at metadata read
+    val it = tmpDir("rf_ice_v3")
+    Files.createDirectories(Paths.get(
+      graft.formats.iceberg.IcebergMetadata.metadataDir(it)))
+    Files.write(Paths.get(
+      graft.formats.iceberg.IcebergMetadata.metadataFile(it, 1)),
+      """{"format-version":3,"table-uuid":"u","location":"x",
+        |"last-sequence-number":0,"last-updated-ms":1,"last-column-id":1,
+        |"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct",
+        |"fields":[{"id":1,"name":"id","required":true,"type":"long"}]}],
+        |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+        |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin
+        .getBytes("UTF-8"))
+    val e2 = intercept[UnsupportedOperationException] {
+      graft.formats.iceberg.IcebergMetadata.read(it, 1)
+    }
+    assert(e2.getMessage.contains("format-version 3"), e2.getMessage)
+  }
 }
