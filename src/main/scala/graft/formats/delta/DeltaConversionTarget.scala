@@ -101,6 +101,7 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
     // the features in force would lose their license. Creation keeps the
     // (1,2) floor; on existing tables the protocol line only restates
     // what the log already holds.
+    DeltaSnapshot.requireWritable(spark, tablePath, versions)
     val protoMap: Map[String, Any] =
       DeltaSnapshot.protocolInfo(spark, tablePath, versions)
         .map(p => Map[String, Any](

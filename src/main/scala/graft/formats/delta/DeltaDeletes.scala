@@ -50,6 +50,7 @@ object DeltaDeletes {
     val src = sourceOf(spark, tablePath)
     val snap = src.currentSnapshot()
     val cdf = cdfEnabled(src)
+    requireNotAppendOnly(src, "deleteWhere")
     requireCdcWritable(snap, cdf, "deleteWhere")
     // the matched live rows drive BOTH the DV mask and the CDC
     // pre-images — persist them (O(deleted rows), spills past memory)
@@ -93,6 +94,7 @@ object DeltaDeletes {
     require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")
     val src = sourceOf(spark, tablePath)
     val snap = src.currentSnapshot()
+    requireNotAppendOnly(src, "updateWhere")
     requireRewritable(snap, "updateWhere")
     val schema = snap.table.schema
     val unknown = assignments.keySet -- schema.fieldNames.toSet
@@ -150,6 +152,7 @@ object DeltaDeletes {
     val src = new DeltaConversionSource(spark, tablePath,
       PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
     val snap = src.currentSnapshot()
+    requireNotAppendOnly(src, "mergeInto")
     requireRewritable(snap, "mergeInto")
     val schema = snap.table.schema
     val missing = schema.fieldNames.toSet -- source.columns.toSet
@@ -318,6 +321,17 @@ object DeltaDeletes {
       : DeltaConversionSource =
     new DeltaConversionSource(spark, tablePath,
       PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
+
+  /** `delta.appendOnly` (the appendOnly writer feature's obligation): the
+    * table licenses appends only — DML that removes or rewrites rows
+    * must refuse. Reads through the source's metaData memo.
+    */
+  private def requireNotAppendOnly(src: DeltaConversionSource,
+      op: String): Unit =
+    require(!src.currentMeta().configuration
+        .get("delta.appendOnly").exists(_.equalsIgnoreCase("true")),
+      s"$op on an append-only table (delta.appendOnly=true) — the " +
+        "appendOnly writer feature forbids removing or rewriting rows")
 
   /** Does the table ask its writers to author CDC (delta-spark's rule:
     * the `delta.enableChangeDataFeed` property keys authoring; readers
@@ -512,6 +526,7 @@ object DeltaDeletes {
     val versions =
       DeltaLog.listVersions(tablePath, HadoopConfs.session(spark))
         .filter(_ <= plan.snap.commitId.toLong)
+    DeltaSnapshot.requireWritable(spark, tablePath, versions)
     val header = Iterator(
       // DVs require the table-features protocol with the reader feature
       // flagged (PROTOCOL.md §Deletion Vectors)

@@ -185,6 +185,8 @@ object DeltaOptimize {
       rows: DataFrame, prefix: String): Long = {
     import spark.implicits._
     val tp = snap.table.basePath
+    DeltaSnapshot.requireWritable(spark, tablePath, DeltaLog.listVersions(
+      tablePath, graft.util.HadoopConfs.session(spark)))
     val schema = snap.table.schema
     val specs = snap.table.partitionFields
     val partCols = specs.map(_.partitionColumnName)

@@ -316,6 +316,39 @@ object DeltaSnapshot {
     "columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
     "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
 
+  /** Writer features this engine maintains correctly on commit. NOT
+    * here: rowTracking / identityColumns / icebergCompat / v2Checkpoint /
+    * domainMetadata / clustering — each obliges every writer to maintain
+    * state this engine does not (row ids, identity highwater marks,
+    * mirrored Iceberg metadata, v2 checkpoints, domain actions), so a
+    * commit from here would corrupt the table for its real readers.
+    */
+  val SupportedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "columnMapping", "deletionVectors", "timestampNtz", "typeWidening",
+    "typeWidening-preview", "generatedColumns", "vacuumProtocolCheck")
+
+  /** Refuse WRITES to tables whose protocol obliges writers to maintain
+    * state this engine does not (PROTOCOL.md §Writer Requirements).
+    */
+  def requireWritable(spark: SparkSession, tablePath: String,
+      versions: Seq[Long]): Unit =
+    protocolInfo(spark, tablePath, versions).foreach { p =>
+      if (p.minWriterVersion > 7)
+        throw new UnsupportedOperationException(
+          s"Delta table at $tablePath requires minWriterVersion " +
+            s"${p.minWriterVersion}; this engine implements protocol 7 " +
+            "(table features)")
+      if (p.minWriterVersion == 7) {
+        val unknown = p.writerFeatures.filterNot(SupportedWriterFeatures)
+        if (unknown.nonEmpty) throw new UnsupportedOperationException(
+          s"Delta table at $tablePath requires writer feature(s) " +
+            s"${unknown.mkString(", ")} this engine does not maintain — " +
+            "a commit from here would corrupt the table for its real " +
+            "readers")
+      }
+    }
+
   /** Refuse tables this engine cannot read faithfully (PROTOCOL.md
     * §Reader Requirements): minReaderVersion beyond 3, or a version-3
     * readerFeatures list naming an unimplemented feature.

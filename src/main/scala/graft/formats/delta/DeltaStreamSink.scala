@@ -52,6 +52,8 @@ object DeltaStreamSink {
       return false
 
     val schema = batch.schema
+    head.foreach(_ => DeltaSnapshot.requireWritable(spark, tablePath,
+      DeltaLog.listVersions(tablePath, conf)))
     val meta = head.flatMap(_ => DeltaSnapshot.metadata(spark, tablePath,
       DeltaLog.listVersions(tablePath, conf)))
     meta.foreach { m =>

@@ -28,6 +28,8 @@ object DeltaWrite {
     val tp = PathUtils.canonical(tablePath)
     val schema = df.schema
 
+    head.foreach(_ => DeltaSnapshot.requireWritable(spark, tablePath,
+      DeltaLog.listVersions(tablePath, conf)))
     val existingMeta = head.flatMap(_ => DeltaSnapshot.metadata(spark,
       tablePath, DeltaLog.listVersions(tablePath, conf)))
     val parts = existingMeta match {

@@ -151,6 +151,27 @@ object HudiTimeline {
   def listInstants(tablePath: String): Seq[String] = {
     val dir = JPaths.get(hoodieDir(tablePath))
     if (!Files.exists(dir)) return Nil
+    // Hudi 1.x (hoodie.table.version >= 7) moves the active timeline
+    // under .hoodie/timeline/ and re-encodes completed-instant metadata —
+    // scanning only the legacy layout would serve a 1.x table as EMPTY
+    // (or an upgraded one as stale). Refuse loudly instead.
+    val tlDir = dir.resolve("timeline")
+    val newLayout = Files.exists(tlDir) && {
+      val s = Files.list(tlDir)
+      try s.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.contains(".commit") || n.contains(".deltacommit") ||
+          n.contains(".replacecommit")
+      } finally s.close()
+    }
+    val tv = property(tablePath, "hoodie.table.version")
+      .flatMap(_.toIntOption)
+    if (newLayout || tv.exists(_ > 6))
+      throw new UnsupportedOperationException(
+        s"Hudi table at $tablePath uses the 1.x timeline layout " +
+          s"(hoodie.table.version ${tv.getOrElse("?")}); this engine " +
+          "reads table versions <= 6 (Hudi 0.x) — reading the legacy " +
+          "location would serve an empty or stale table")
     val out = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".commit") || n.endsWith(".replacecommit") ||

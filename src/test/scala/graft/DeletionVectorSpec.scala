@@ -428,18 +428,20 @@ class DeletionVectorSpec extends SparkSuite {
     assert(p1.writerFeatures ==
       Seq("appendOnly", "deletionVectors", "invariants"))
 
-    // a later writer adds an unrelated table feature; the next DV commit
-    // must carry it forward, not drop it
+    // a later writer adds an unrelated (maintained) table feature; the
+    // next DV commit must carry it forward, not drop it. An UNMAINTAINED
+    // feature would instead refuse the write (requireWritable) — that
+    // path is pinned in ErrorPathSpec.
     val v = DeltaLog.listVersions(table, conf).last + 1
     assert(DeltaLog.writeCommit(table, v, Iterator(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["appendOnly","deletionVectors","invariants","v2Checkpoint"]}}""")))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":["appendOnly","deletionVectors","invariants","timestampNtz"]}}""")))
     assert(DeltaDeletes.deleteWhere(spark, table,
       col("n_nationkey") === 1) == 1L)
     val p2 = DeltaSnapshot.protocolInfo(spark, table,
       DeltaLog.listVersions(table, conf)).get
-    assert(p2.readerFeatures.contains("v2Checkpoint") &&
+    assert(p2.readerFeatures.contains("timestampNtz") &&
       p2.readerFeatures.contains("deletionVectors"))
-    assert(p2.writerFeatures.contains("v2Checkpoint") &&
+    assert(p2.writerFeatures.contains("timestampNtz") &&
       p2.writerFeatures.contains("invariants"))
   }
 

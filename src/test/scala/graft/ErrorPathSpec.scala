@@ -242,4 +242,80 @@ class ErrorPathSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("format-version 3"), e2.getMessage)
   }
+
+  test("unmaintainable writer features, appendOnly DML, and Hudi 1.x " +
+    "layout all refuse writes/reads") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.lit
+    def mkDelta(prefix: String, protoLine: String,
+        config: String = "{}"): String = {
+      val t = tmpDir(prefix)
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+        .write.mode("overwrite").parquet(t + "/stage")
+      val part = new java.io.File(t + "/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(t, "f1.parquet"))
+      val schemaJson = Seq((1L, "a")).toDF("id", "name")
+        .schema.json.replace("\"", "\\\"")
+      val log =
+        s"""$protoLine
+           |{"metaData":{"id":"wf-test","schemaString":"$schemaJson","partitionColumns":[],"configuration":$config,"createdTime":1}}
+           |{"add":{"path":"f1.parquet","size":${Files.size(Paths.get(t, "f1.parquet"))},"modificationTime":1000,"partitionValues":{},"dataChange":true}}
+           |""".stripMargin
+      Files.createDirectories(Paths.get(t, "_delta_log"))
+      Files.write(Paths.get(t, "_delta_log", "00000000000000000000.json"),
+        log.getBytes("UTF-8"))
+      t
+    }
+    // rowTracking obliges writers to maintain row ids — appends, DML and
+    // sync commits from here would corrupt the table for real readers
+    val rt = mkDelta("wf_rowtracking",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""")
+    val e1 = intercept[UnsupportedOperationException] {
+      graft.formats.delta.DeltaWrite.write(spark, rt,
+        Seq((9L, "z")).toDF("id", "name"), overwrite = false)
+    }
+    assert(e1.getMessage.contains("rowTracking"), e1.getMessage)
+    val e2 = intercept[UnsupportedOperationException] {
+      graft.formats.delta.DeltaDeletes.deleteWhere(spark, rt,
+        org.apache.spark.sql.functions.col("id") === 1L)
+    }
+    assert(e2.getMessage.contains("rowTracking"), e2.getMessage)
+    // reads stay fine — rowTracking is writer-only
+    assert(new graft.formats.delta.DeltaConversionSource(spark, rt, "t")
+      .toDataFrame.count() == 2)
+
+    // appendOnly: appends land, row-removing DML refuses
+    val ao = mkDelta("wf_appendonly",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly"]}}""",
+      config = """{"delta.appendOnly":"true"}""")
+    graft.formats.delta.DeltaWrite.write(spark, ao,
+      Seq((9L, "z")).toDF("id", "name"), overwrite = false)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.formats.delta.DeltaDeletes.deleteWhere(spark, ao,
+        org.apache.spark.sql.functions.col("id") === 1L)
+    }
+    assert(e3.getMessage.contains("append-only"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      graft.formats.delta.DeltaDeletes.updateWhere(spark, ao,
+        org.apache.spark.sql.functions.col("id") === 1L,
+        Map("name" -> lit("x")))
+    }
+    assert(e4.getMessage.contains("append-only"), e4.getMessage)
+
+    // Hudi 1.x: timeline moved under .hoodie/timeline — refuse rather
+    // than serve the table as empty
+    val h = tmpDir("hudi_v8")
+    Files.createDirectories(Paths.get(h, ".hoodie", "timeline"))
+    Files.write(Paths.get(h, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\nhoodie.table.version=8\n"
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(h, ".hoodie", "timeline",
+      "20240101000000000_20240101000000001.commit"), "{}".getBytes("UTF-8"))
+    val e5 = intercept[UnsupportedOperationException] {
+      graft.formats.hudi.HudiTimeline.listInstants(h)
+    }
+    assert(e5.getMessage.contains("1.x timeline layout"), e5.getMessage)
+  }
 }
