@@ -1610,23 +1610,33 @@ object SyncQueries {
     val schema = docs.schema
 
     // full-column files (identity partition sources stay IN the data, as
-    // real Iceberg writers require) with explicit metadata values
+    // real Iceberg writers require) with explicit metadata values. ONE
+    // write job for all keys: partitionBy on a COPY of the key column so
+    // the layout routes per key while the data keeps every column, plus
+    // one aggregate job for the per-key row counts — never a
+    // filter+write pair per key.
     def stageBy(df: DataFrame, keyCol: String): Seq[FileEntry] = {
-      val keys = df.select(keyCol).distinct().collect()
-        .map(_.getString(0)).sorted.toSeq
-      keys.map { k =>
-        val part = df.filter(col(keyCol) === k)
-        val n = part.count()
-        val tmp = graft.util.TempDirs.create("graft_spec_stage")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val f = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = Paths.get(s"$table/data", f.getName)
-        Files.createDirectories(dst.getParent)
-        Files.move(f.toPath, dst)
-        FileEntry(dst.toString, Files.size(dst), n, "parquet",
-          Seq(PartitionMember(keyCol, k)), Nil, System.currentTimeMillis())
-      }
+      val tmp = graft.util.TempDirs.create("graft_spec_stage")
+      df.withColumn("__k", col(keyCol)).repartition(col("__k"))
+        .write.partitionBy("__k").mode("overwrite").parquet(tmp)
+      val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      new java.io.File(tmp).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("__k="))
+        .sortBy(_.getName).toSeq.flatMap { d =>
+          val k = d.getName.stripPrefix("__k=")
+          d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+            .map { f =>
+              // two keys served by one task share the task's file name
+              // across partition dirs — key-prefix the flat destination
+              val dst = Paths.get(s"$table/data", s"$k-${f.getName}")
+              Files.createDirectories(dst.getParent)
+              Files.move(f.toPath, dst)
+              FileEntry(dst.toString, Files.size(dst), counts(k), "parquet",
+                Seq(PartitionMember(keyCol, k)), Nil,
+                System.currentTimeMillis())
+            }
+        }
     }
 
     def syncAll(files: Seq[FileEntry], specCol: String,
