@@ -270,4 +270,39 @@ class GoldenFixtureSpec extends SparkSuite {
     assert(rt.where("r_regionkey = 0").select("r_name").head.getString(0)
       == "ZED")
   }
+
+  test("reads an independently-authored EVOLVED Iceberg table (two " +
+    "schemas, two specs, current LAST)") {
+    // tools/make_golden_iceberg_evolved.py: real-writer evolution layout
+    // — historical schema/spec FIRST in the arrays with the current ones
+    // appended, manifests typed by their OWN spec (r102 symbol vs venue),
+    // partition field-ids unique across specs (1000, 1001). A reader
+    // that takes array element [0] serves the pre-evolution schema.
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = new java.io.File(
+      "src/test/resources/golden/iceberg_trades_evolved").getAbsolutePath
+    val m = graft.formats.iceberg.IcebergMetadata.read(dir, 2)
+    assert(m.currentSchemaId == 1 && m.defaultSpecId == 1)
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("trade_id", "symbol", "qty", "price", "venue"))
+    assert(m.partitionSpec.map(_.sourceField) == Seq("venue"))
+    assert(m.otherSchemas.size == 1 && m.otherSpecs.size == 1)
+
+    val src = new graft.formats.iceberg.IcebergConversionSource(
+      spark, dir, "trades")
+    // mixed specs: identity columns serve from DATA (Flat layout)
+    assert(src.currentTable().layout == graft.model.Layout.Flat)
+    val df = src.toDataFrame
+    assert(df.count() == 80)
+    assert(df.agg(sum("trade_id")).head().getLong(0) == 3240L)
+    // the pre-evolution file serves null venue (column added later);
+    // filters on either generation's partition column stay exact
+    assert(df.filter(col("venue").isNull).count() == 40)
+    assert(df.filter(col("venue") === "X").count() == 40)
+    assert(df.filter(col("symbol") === "AAA").count() == 50)
+
+    // a graft commit on this table must preserve the full history
+    assert(graft.formats.iceberg.IcebergMetadata.write(
+      graft.util.TempDirs.create("golden_evo_rt"), 1, m))
+  }
 }
