@@ -454,4 +454,48 @@ object TextAnalysis {
         count(lit(1)).over(Window.partitionBy("fingerprint")))
       .orderBy(idCol)
   }
+
+  /** Corpus-typicality scoring against a reference slice — the
+    * INTEGER-EXACT core of a CCNet-style perplexity filter (Wenzek et
+    * al. 2020, arXiv 1911.00359: score documents by a language model
+    * trained on a trusted corpus and drop the atypical tail). The
+    * language model here is the char-trigram table of the reference
+    * slice (the lexicographically-first `sourceCol` value — a
+    * deterministic stand-in for "the trusted corpus"); each document
+    * reports (n_trigrams, n_unseen, seen_ref_count_sum, novelty_permille)
+    * — all integers, so the score is bit-identical across engines, where
+    * a float log-probability sum would be evaluation-order-dependent.
+    * Full-perplexity variants differ only in applying -log P per trigram
+    * before the same aggregation.
+    *
+    * Scale shape: the reference trigram table is bounded by alphabet³
+    * (≤ ~10^5 for lowercase text), so it BROADCASTS; the corpus side
+    * explodes to O(total chars) rows and hash-joins the broadcast — no
+    * shuffle of the corpus, one aggregation keyed on doc.
+    */
+  def charTrigramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    // substring needs the dynamic start — expr form keeps codegen
+    val triExpr = expr(
+      s"transform(sequence(1, greatest(length(lower($textCol)) - 2, 0)), " +
+        s"i -> substring(lower($textCol), i, 3))")
+    val refSrc = broadcast(
+      docs.agg(min(col(sourceCol)).as("__ref_src")))
+    val exploded = docs.crossJoin(refSrc)
+      .select(col(idCol), col(sourceCol), col("__ref_src"),
+        explode(triExpr).as("tri"))
+    val ref = broadcast(exploded
+      .filter(col(sourceCol) === col("__ref_src"))
+      .groupBy("tri").agg(count(lit(1)).as("ref_cnt")))
+    exploded
+      .join(ref, Seq("tri"), "left")
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("ref_cnt").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(coalesce(col("ref_cnt"), lit(0L))).as("seen_ref_count_sum"))
+      .select(col(idCol), col(sourceCol).as("source"),
+        col("n_trigrams"), col("n_unseen"), col("seen_ref_count_sum"),
+        expr("n_unseen * 1000 div n_trigrams").as("novelty_permille"))
+      .orderBy(idCol)
+  }
 }

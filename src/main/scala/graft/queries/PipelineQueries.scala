@@ -367,6 +367,32 @@ object PipelineQueries {
       |  coalesce(min(CASE WHEN kept THEN doc_id END), -1) AS min_kept_doc
       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corpus-typicality scoring (CCNet-shape perplexity filter, integer
+    * core): per-doc char-trigram novelty vs the reference slice — see
+    * TextAnalysis.charTrigramNovelty.
+    */
+  def textTrigramNovelty(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charTrigramNovelty(Tables.documents(s, dir),
+      "doc_id", "text", "source")
+
+  val textTrigramNoveltySql: String =
+    """WITH tri AS (
+      |  SELECT doc_id, source, substr(lower(text), u.i, 3) AS tri
+      |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(len(lower(text)) - 2, 0))) AS i) u),
+      |ref AS (
+      |  SELECT tri, count(*) AS ref_cnt FROM tri
+      |  WHERE source = (SELECT min(source) FROM documents) GROUP BY tri)
+      |SELECT t.doc_id, t.source,
+      |  CAST(count(*) AS BIGINT) AS n_trigrams,
+      |  CAST(sum(CASE WHEN r.ref_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unseen,
+      |  CAST(sum(coalesce(r.ref_cnt, 0)) AS BIGINT) AS seen_ref_count_sum,
+      |  CAST(sum(CASE WHEN r.ref_cnt IS NULL THEN 1 ELSE 0 END) * 1000
+      |    // count(*) AS BIGINT) AS novelty_permille
+      |FROM tri t LEFT JOIN ref r USING (tri)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** Corpus token-length histogram over the shared \s+ tokenization. */
   def textTokenHistogram(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenHistogram(Tables.documents(s, dir), "doc_id", "text")

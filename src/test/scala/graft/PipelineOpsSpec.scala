@@ -648,4 +648,25 @@ class PipelineOpsSpec extends SparkSuite {
     assert(!out.contains(3L), "intra-doc-only repeat must not count")
     assert(!out.contains(4L), "short doc has no grams")
   }
+
+  test("trigram novelty scores corpus typicality against the reference " +
+    "slice exactly") {
+    import spark.implicits._
+    // reference slice = min(source) = "a"; doc 1 IS the reference text,
+    // doc 2 shares half its trigrams, doc 3 shares none
+    val d = Seq(
+      (1L, "abcabc", "a"),
+      (2L, "abcxyz", "b"),
+      (3L, "qrstuv", "b")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis
+      .charTrigramNovelty(d, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // ref trigrams of "abcabc": abc(x2), bca, cab
+    assert(out(1L) == ((4L, 0L, 6L, 0L)), out(1L).toString)
+    // "abcxyz": abc seen (ref_cnt 2); bcx, cxy, xyz unseen -> 750 permille
+    assert(out(2L) == ((4L, 3L, 2L, 750L)), out(2L).toString)
+    // "qrstuv": all 4 unseen
+    assert(out(3L) == ((4L, 4L, 0L, 1000L)), out(3L).toString)
+  }
 }
