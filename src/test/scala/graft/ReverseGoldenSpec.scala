@@ -491,4 +491,101 @@ class ReverseGoldenSpec extends SparkSuite {
       spark, table, "ice_dimGeography")
     assert(back.toDataFrame.count() == 674L)
   }
+
+  test("graft's evolved-table metadata matches the real-writer evolution " +
+    "conventions key-for-key") {
+    import graft.model._
+    import org.apache.spark.sql.functions.lit
+    // build an evolved table exactly as syncs produce one: partition by
+    // lang, evolve to source, then widen the schema — and diff its
+    // metadata JSON against the independently-authored evolved fixture's
+    // CONVENTIONS (array ordering, id assignment), not its values
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val table = tmpDir("rev_evo")
+
+    def fe(df: org.apache.spark.sql.DataFrame, key: String,
+        v: String): FileEntry = {
+      val tmp = tmpDir("rev_evo_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(table, "data", f.getName)
+      Files.createDirectories(dst.getParent)
+      Files.move(f.toPath, dst)
+      FileEntry(dst.toString, Files.size(dst), df.count(), "parquet",
+        Seq(PartitionMember(key, v)), Nil, 1L)
+    }
+    def syncWith(files: Seq[FileEntry],
+        schema: org.apache.spark.sql.types.StructType, key: String,
+        commit: String): Unit = {
+      import spark.implicits._
+      val td = TableDescriptor("docs", TableFormats.Parquet, table, schema,
+        Seq(PartitionFieldSpec(key, Transform.Value)),
+        Layout.HivePartitioned, 1L)
+      val out = TableFormatSync.syncSnapshot(
+        Seq(new IcebergConversionTarget(spark, table)),
+        TableSnapshot(td, spark.createDataset(files), commit), "PARQUET")
+      assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    }
+
+    val a = fe(docs.limit(20), "lang", "en")
+    syncWith(Seq(a), docs.schema, "lang", "c1")
+    val b = fe(docs.limit(10), "source", "web")
+    syncWith(Seq(a, b), docs.schema, "source", "c2")
+    val wider = org.apache.spark.sql.types.StructType(docs.schema.fields :+
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true))
+    val c = fe(docs.limit(5).withColumn("score", lit(0.5)), "source", "api")
+    syncWith(Seq(a, b, c), wider, "source", "c3")
+
+    val mine = Jsons.mapper.readTree(Files.readAllBytes(Paths.get(
+      IcebergMetadata.metadataFile(table,
+        IcebergMetadata.currentVersion(table).get))))
+    val real = Jsons.mapper.readTree(Files.readAllBytes(Paths.get(
+      golden("iceberg_trades_evolved"), "metadata", "v2.metadata.json")))
+
+    // the same conventions must hold in BOTH trees: historical entries
+    // FIRST with the current appended LAST; partition field-ids unique
+    // across specs starting at 1000; last-partition-id = max over all
+    for ((n, who) <- Seq((mine, "graft"), (real, "fixture"))) {
+      val specs = n.get("partition-specs").elements().asScala.toSeq
+      assert(specs.map(_.get("spec-id").asInt) == Seq(0, 1),
+        s"$who spec order: ${n.get("partition-specs")}")
+      assert(n.get("default-spec-id").asInt == 1, who)
+      val pids = specs.flatMap(_.get("fields").elements().asScala
+        .map(_.get("field-id").asInt))
+      assert(pids == Seq(1000, 1001), s"$who partition field ids $pids")
+      assert(n.get("last-partition-id").asInt == 1001, who)
+      val schemas = n.get("schemas").elements().asScala.toSeq
+      assert(schemas.map(_.get("schema-id").asInt) == Seq(0, 1),
+        s"$who schema order")
+      assert(n.get("current-schema-id").asInt == 1, who)
+      // every spec's source-id resolves in the CURRENT schema
+      val curFields = schemas.last.get("fields").elements().asScala
+        .map(_.get("id").asInt).toSet
+      specs.foreach(_.get("fields").elements().asScala.foreach(f =>
+        assert(curFields.contains(f.get("source-id").asInt),
+          s"$who dangling source-id ${f.get("source-id")}")))
+    }
+
+    // manifest-list field 502: both trees reference BOTH specs, read
+    // with plain generic Avro (independent of graft's reader)
+    def listSpecIds(n: JsonNode, base: String): Set[Int] = {
+      val ml = n.get("snapshots").elements().asScala.toSeq
+        .maxBy(_.get("sequence-number").asLong).get("manifest-list").asText
+      val p = if (ml.startsWith("file:")) ml.stripPrefix("file:")
+        else if (ml.startsWith("/")) ml else s"$base/$ml"
+      val rd = new DataFileReader[GenericRecord](new java.io.File(p),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val out = Set.newBuilder[Int]
+        while (rd.hasNext) out +=
+          rd.next().get("partition_spec_id").asInstanceOf[Int]
+        out.result()
+      } finally rd.close()
+    }
+    assert(listSpecIds(mine, table) == Set(0, 1), "graft 502 values")
+    assert(listSpecIds(real, golden("iceberg_trades_evolved")) == Set(0, 1),
+      "fixture 502 values")
+  }
 }
