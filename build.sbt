@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE JSON line from the forked Bench JVM's stdout tail.
+// Without an explicit strategy sbt decorates every forked-stdout line with
+// "[info] ", so the driver's `line.startswith("{")` parser returned null for
+// eleven straight rounds. StdoutOutput passes the child's stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -92,19 +92,61 @@ object DeltaLog {
         (v, files.map(f => s"${logPath(tablePath)}/${f._3}").sorted)
     }
     val have = classic.map(_._1).toSet
+    // parquet only: a json v2 checkpoint re-uses the commit-line format,
+    // which the snapshot replay does not route. It is SKIPPED here (an
+    // optional unsupported file must not make an otherwise-servable table
+    // unreadable — the version may still replay from commits or a later
+    // classic/parquet checkpoint); requireReplayable raises the targeted
+    // error only when the json checkpoint is the sole source.
     val v2 = names.flatMap {
       case n @ CheckpointV2Name(v, _, kind) =>
-        if (have.contains(v.toLong)) None
-        // parquet only: a json v2 checkpoint re-uses the commit-line
-        // format, which the snapshot replay does not route yet — refuse
-        // loudly rather than serve a partial live set
-        else if (kind == "json") throw new IllegalStateException(
-          s"v2 JSON checkpoint $n at $tablePath is not supported " +
-            "(parquet v2 checkpoints and classic checkpoints are)")
+        if (have.contains(v.toLong) || kind == "json") None
         else Some((v.toLong, Seq(s"${logPath(tablePath)}/$n")))
       case _ => None
     }
     classic ++ v2
+  }
+
+  /** Versions that have ONLY a json-kind v2 checkpoint (no classic /
+    * multi-part / parquet-v2 sibling) — unreadable by the replay, relevant
+    * only when one of them is the sole source for a required version.
+    */
+  def jsonOnlyCheckpointVersions(tablePath: String, conf: Configuration)
+      : Seq[Long] = {
+    val dir = new Path(logPath(tablePath))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val readable = completeCheckpoints(tablePath, conf).map(_._1).toSet
+    names.collect {
+      case CheckpointV2Name(v, _, "json") if !readable.contains(v.toLong) =>
+        v.toLong
+    }.distinct.sorted
+  }
+
+  /** Raise when a replay that starts at checkpoint `cp` (None = from the
+    * log's beginning) cannot reach `head` from the commit versions actually
+    * present — pointing at an unsupported json v2 checkpoint when that file
+    * is the sole source for the missing prefix.
+    */
+  def requireReplayable(tablePath: String, versions: Seq[Long],
+      cp: Option[Long], conf: Configuration): Unit = {
+    val head = versions.lastOption.getOrElse(return)
+    val start = cp.getOrElse(-1L)
+    val have = versions.toSet
+    val missing = ((start + 1) to head).filterNot(have.contains)
+    if (missing.isEmpty) return
+    val jsonCp = jsonOnlyCheckpointVersions(tablePath, conf)
+      .filter(j => j > start && j <= head && missing.forall(_ <= j))
+    if (jsonCp.nonEmpty) throw new IllegalStateException(
+      s"version $head at $tablePath is only servable through the v2 JSON " +
+        s"checkpoint at version ${jsonCp.max} (commits " +
+        s"${missing.mkString(",")} were cleaned and no parquet checkpoint " +
+        "covers them) — json-kind v2 checkpoints are not supported")
+    throw new IllegalStateException(
+      s"cannot replay to version $head at $tablePath: commit files " +
+        s"${missing.mkString(",")} are missing and no readable checkpoint " +
+        "covers them")
   }
 
   /** Latest complete checkpoint at or before `version`, if any. */

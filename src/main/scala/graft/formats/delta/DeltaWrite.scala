@@ -48,6 +48,15 @@ object DeltaWrite {
         partitionCols
     }
     existingMeta.foreach(DeltaConstraints.enforce(df, _, "WRITE"))
+    // overwrite removes every prior file (dataChange=true) — exactly the
+    // row removal delta.appendOnly forbids; same obligation DeltaDeletes
+    // enforces for deleteWhere/updateWhere/mergeInto
+    if (overwrite) existingMeta.foreach { m =>
+      require(!m.configuration.get("delta.appendOnly")
+          .exists(_.equalsIgnoreCase("true")),
+        "overwrite on an append-only table (delta.appendOnly=true) — the " +
+          "appendOnly writer feature forbids removing or rewriting rows")
+    }
 
     // column-mapped tables store PHYSICAL names in the data files (and
     // key add-action partitionValues/stats by them): rename on the way

@@ -42,14 +42,22 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
     * layout degrades to Flat; min/max stat skipping still prunes scans on
     * those columns.
     */
+  // memoized per manifest-list path (unique per snapshot): without the
+  // memo every currentTable() on a spec-evolved table re-scanned the
+  // whole manifest list on the driver — per-query file IO proportional
+  // to manifest count on exactly the tables that tend to be large
+  private val uniformSpecMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   private def uniformCurrentSpec(m: IcebergTableMetadata): Boolean =
     m.otherSpecs.isEmpty || m.currentSnapshot.forall { s =>
-      IcebergManifests.readManifestListRecords(s.manifestList)
-        .filter(IcebergManifests.contentOf(_) == 0)
-        .forall(r => (r.get("partition_spec_id") match {
-          case i: java.lang.Integer => i.intValue
-          case _ => 0
-        }) == m.defaultSpecId)
+      uniformSpecMemo.getOrElseUpdate(s"${s.manifestList}#${m.defaultSpecId}",
+        IcebergManifests.readManifestListRecords(s.manifestList)
+          .filter(IcebergManifests.contentOf(_) == 0)
+          .forall(r => (r.get("partition_spec_id") match {
+            case i: java.lang.Integer => i.intValue
+            case _ => 0
+          }) == m.defaultSpecId))
     }
 
   private[iceberg] def filesAtSeq(m: IcebergTableMetadata, seq: Long)

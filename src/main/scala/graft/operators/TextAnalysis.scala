@@ -475,10 +475,16 @@ object TextAnalysis {
     */
   def charTrigramNovelty(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame = {
-    // substring needs the dynamic start — expr form keeps codegen
+    // substring needs the dynamic start — expr form keeps codegen.
+    // Guard len < 3 like shinglesFromTokens: sequence(1, 0) defaults to
+    // step -1 and yields [1, 0], so an unguarded transform would emit two
+    // bogus partial-trigram rows per short doc (and pollute the reference
+    // table) while DuckDB's generate_series(1, 0) is empty.
     val triExpr = expr(
-      s"transform(sequence(1, greatest(length(lower($textCol)) - 2, 0)), " +
-        s"i -> substring(lower($textCol), i, 3))")
+      s"case when length(lower($textCol)) >= 3 then " +
+        s"transform(sequence(1, length(lower($textCol)) - 2), " +
+        s"i -> substring(lower($textCol), i, 3)) " +
+        s"else cast(array() as array<string>) end")
     val refSrc = broadcast(
       docs.agg(min(col(sourceCol)).as("__ref_src")))
     val exploded = docs.crossJoin(refSrc)

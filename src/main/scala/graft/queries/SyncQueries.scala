@@ -1178,6 +1178,145 @@ object SyncQueries {
 
   val hudiMorRealtimeReadSql: String = deltaMergeUpsertSql
 
+  /** Hudi 1.x TIMELINE-LAYOUT read end-to-end: the gate authors a table
+    * version 8 table in the real 1.x dialect — active timeline under
+    * `.hoodie/timeline/`, completed instants named
+    * `<requestTime>_<completionTime>.<action>`, commit metadata as AVRO
+    * object containers (HoodieCommitMetadata + the replace variant) — and
+    * the engine must read it: three instants where the replacecommit
+    * clusters the even-doc file into a doc_id%4==0 file, so the served
+    * rows are exactly (doc_id odd) ∪ (doc_id%4==0). The reference gets
+    * this capability from the Hudi 1.2.0 library (root pom.xml:73,
+    * HudiConversionSource.java:57-341); graft reads the layout natively.
+    */
+  def hudiV1TimelineRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import graft.formats.hudi._
+
+    val table = graft.util.TempDirs.create("graft_hudi_v1")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+
+    // real-dialect properties: version 8, layout 2, timeline path
+    Files.write(Files.createDirectories(
+        Paths.get(table, ".hoodie")).resolve("hoodie.properties"),
+      ("hoodie.table.name=docs_v1\nhoodie.table.type=COPY_ON_WRITE\n" +
+        "hoodie.table.version=8\nhoodie.timeline.layout.version=2\n" +
+        "hoodie.timeline.path=timeline\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tl = Files.createDirectories(Paths.get(table, ".hoodie", "timeline"))
+
+    def stage(df: DataFrame, fileId: String, instant: String): (String, Long, Long) = {
+      val tmp = graft.util.TempDirs.create("graft_hudi_v1_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val rows = df.count()
+      val name = s"${fileId}_0-1-2_$instant.parquet"
+      Files.move(part.toPath, Paths.get(table, name),
+        StandardCopyOption.REPLACE_EXISTING)
+      (name, rows, Files.size(Paths.get(table, name)))
+    }
+
+    val statSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"HoodieWriteStat","namespace":
+        |"org.apache.hudi.avro.model","fields":[
+        |{"name":"fileId","type":["null","string"],"default":null},
+        |{"name":"path","type":["null","string"],"default":null},
+        |{"name":"prevCommit","type":["null","string"],"default":null},
+        |{"name":"numWrites","type":["null","long"],"default":null},
+        |{"name":"numDeletes","type":["null","long"],"default":null},
+        |{"name":"totalWriteBytes","type":["null","long"],"default":null},
+        |{"name":"partitionPath","type":["null","string"],"default":null},
+        |{"name":"fileSizeInBytes","type":["null","long"],"default":null}
+        |]}""".stripMargin.replace("\n", ""))
+    def commitSchema(replace: Boolean) = new Schema.Parser().parse(
+      (s"""{"type":"record","name":"Hoodie${if (replace) "Replace" else ""}CommitMetadata","namespace":
+        |"org.apache.hudi.avro.model","fields":[
+        |{"name":"partitionToWriteStats","type":["null",{"type":"map",
+        |"values":{"type":"array","items":${statSchema.toString}}}],"default":null},
+        |{"name":"extraMetadata","type":["null",{"type":"map",
+        |"values":["null","string"]}],"default":null},
+        |{"name":"version","type":["null","int"],"default":null},
+        |{"name":"operationType","type":["null","string"],"default":null},
+        |{"name":"compacted","type":["null","boolean"],"default":null}""" +
+        (if (replace)
+          """,{"name":"partitionToReplaceFileIds","type":["null",
+            |{"type":"map","values":{"type":"array","items":"string"}}],
+            |"default":null}""" else "") +
+        "]}").stripMargin.replace("\n", ""))
+
+    def writeAvroCommit(instant: String, completion: String, action: String,
+        stats: Seq[(String, String, Long, Long)],
+        replaced: Seq[String]): Unit = {
+      val isReplace = action == "replacecommit"
+      val schema = commitSchema(isReplace)
+      val rec = new GenericData.Record(schema)
+      val statList = new java.util.ArrayList[GenericRecord]()
+      stats.foreach { case (fid, path, rows, size) =>
+        val sr = new GenericData.Record(statSchema)
+        sr.put("fileId", fid); sr.put("path", path)
+        sr.put("numWrites", java.lang.Long.valueOf(rows))
+        sr.put("numDeletes", java.lang.Long.valueOf(0L))
+        sr.put("totalWriteBytes", java.lang.Long.valueOf(size))
+        sr.put("partitionPath", "")
+        sr.put("fileSizeInBytes", java.lang.Long.valueOf(size))
+        statList.add(sr)
+      }
+      val pws = new java.util.HashMap[String, AnyRef]()
+      pws.put("", statList)
+      rec.put("partitionToWriteStats", pws)
+      val extra = new java.util.HashMap[String, AnyRef]()
+      extra.put("schema", docs.schema.json)
+      rec.put("extraMetadata", extra)
+      rec.put("version", java.lang.Integer.valueOf(1))
+      rec.put("operationType", if (isReplace) "CLUSTER" else "INSERT")
+      rec.put("compacted", java.lang.Boolean.FALSE)
+      if (isReplace) {
+        val pr = new java.util.HashMap[String, AnyRef]()
+        val ids = new java.util.ArrayList[String]()
+        replaced.foreach(ids.add)
+        pr.put("", ids)
+        rec.put("partitionToReplaceFileIds", pr)
+      }
+      Files.createFile(tl.resolve(s"$instant.$action.requested"))
+      Files.createFile(tl.resolve(s"$instant.$action.inflight"))
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, tl.resolve(s"${instant}_$completion.$action").toFile)
+      try { w.append(rec) } finally w.close()
+    }
+
+    val fidEven = "aaaa0000-1111-4222-8333-000000000001-0"
+    val fidOdd = "bbbb0000-1111-4222-8333-000000000002-0"
+    val fidQuad = "cccc0000-1111-4222-8333-000000000003-0"
+    val (evenName, evenRows, evenSize) =
+      stage(docs.filter(col("doc_id") % 2 === 0), fidEven, "20240501100000001")
+    writeAvroCommit("20240501100000001", "20240501100000900", "commit",
+      Seq((fidEven, evenName, evenRows, evenSize)), Nil)
+    val (oddName, oddRows, oddSize) =
+      stage(docs.filter(col("doc_id") % 2 === 1), fidOdd, "20240501110000001")
+    writeAvroCommit("20240501110000001", "20240501110000900", "commit",
+      Seq((fidOdd, oddName, oddRows, oddSize)), Nil)
+    val (quadName, quadRows, quadSize) =
+      stage(docs.filter(col("doc_id") % 4 === 0), fidQuad, "20240501120000001")
+    writeAvroCommit("20240501120000001", "20240501120000900", "replacecommit",
+      Seq((fidQuad, quadName, quadRows, quadSize)), Seq(fidEven))
+
+    require(HudiTimeline.isV1Layout(table))
+    new HudiConversionSource(s, table, "docs_v1").toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        countDistinct(col("lang")).cast("long").as("n_langs"))
+  }
+
+  val hudiV1TimelineReadSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents WHERE doc_id % 2 = 1 OR doc_id % 4 = 0""".stripMargin
+
   /** Row-level DELETE on a Hudi MOR table via DeleteBlock tombstones,
     * plus the revive rule: base → upsert (the merge scenario) → DELETE
     * even keys → re-upsert keys %10 (region+1000). The tombstone wins
@@ -1621,10 +1760,27 @@ object SyncQueries {
         .write.partitionBy("__k").mode("overwrite").parquet(tmp)
       val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // Spark escapes partition values in directory names (space, ':',
+      // '%', … → %XX, same scheme as Hive's escapePathName): unescape
+      // before the counts lookup or any value needing escaping would
+      // throw NoSuchElementException and record a wrong partition value
+      def unescapePartitionValue(s0: String): String = {
+        val sb = new StringBuilder(s0.length)
+        var i = 0
+        while (i < s0.length) {
+          val c = s0.charAt(i)
+          if (c == '%' && i + 2 < s0.length) {
+            val hex = s0.substring(i + 1, i + 3)
+            try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
       new java.io.File(tmp).listFiles()
         .filter(d => d.isDirectory && d.getName.startsWith("__k="))
         .sortBy(_.getName).toSeq.flatMap { d =>
-          val k = d.getName.stripPrefix("__k=")
+          val k = unescapePartitionValue(d.getName.stripPrefix("__k="))
           d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
             .map { f =>
               // two keys served by one task share the task's file name

@@ -20,6 +20,13 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // iterative suites (BPE training, connected components) run
+      // thousands of tiny executions; the disabled UI's status store
+      // still retains plan STRINGS per execution by default, which adds
+      // up to an OOM over a long suite — keep a token window
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
