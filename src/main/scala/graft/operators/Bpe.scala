@@ -79,6 +79,262 @@ object Bpe {
     merges.result()
   }
 
+  /** Job-efficient training — IDENTICAL merge list to [[train]], without
+    * [[train]]'s one-shuffle-per-merge shape (at a production 32k-merge
+    * vocabulary that is 32k sequential Spark jobs of pure scheduler
+    * overhead — hours of wall clock doing kilobytes of work).
+    *
+    * The scale factorization already in place is what makes this cheap:
+    * training never touches the corpus, only the DISTINCT-WORD frequency
+    * table, which is the corpus compressed to its vocabulary (a 100 TB
+    * corpus yields ~10^7–10^8 rows). When that table fits under
+    * `maxDriverVocab`, the ENTIRE merge loop runs in-process on the
+    * collected table — the same algorithm, same (count desc, pair lex
+    * asc) tie-break, same stop rule, so the merge list is identical by
+    * construction — and the whole training costs TWO Spark jobs (the
+    * word-frequency aggregation + the collect) regardless of vocabulary
+    * size. The merge loop is inherently sequential (every merge depends
+    * on the table state its predecessors left), so "distributing" it
+    * buys no parallelism — only per-iteration scheduler latency; pulling
+    * the loop next to the data it iterates over is the 100 TB-correct
+    * plan, not a shortcut. Vocabularies above the cap fall back to
+    * [[trainBatched]], which stays fully distributed and still beats
+    * [[train]] via provably-sequential-identical merge batches.
+    */
+  def trainFast(docs: DataFrame, textCol: String, numMerges: Int,
+      maxDriverVocab: Long = 2000000L): Seq[(String, String)] = {
+    val wf = wordFrequencies(docs, textCol).persist()
+    val vocabSize = wf.count()
+    val out =
+      if (vocabSize <= maxDriverVocab) {
+        val table = wf.collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        driverTrain(table, numMerges)
+      } else trainBatched(docs, textCol, numMerges)
+    wf.unpersist()
+    out
+  }
+
+  /** In-process merge loop over the collected vocabulary table —
+    * bit-identical to [[train]]'s argmax (same counts, same tie-break,
+    * same < 2 stop). Incremental: only words containing the merged pair
+    * are rescanned per iteration, and the pair-count table is updated by
+    * delta, so a merge over a rare pair costs O(words containing it),
+    * not O(vocabulary).
+    */
+  private[graft] def driverTrain(table: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var vocab: Array[(IndexedSeq[String], Long)] =
+      table.map { case (w, f) => (toSymbols(w).toIndexedSeq, f) }
+    // pair -> count, plus pair -> word indexes containing it
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    val where = scala.collection.mutable
+      .Map.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def scan(wi: Int, sign: Long): Unit = {
+      val (syms, f) = vocab(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * f
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0)
+          where.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += wi
+        i += 1
+      }
+      if (sign < 0) () // stale `where` entries are re-checked on use
+    }
+    vocab.indices.foreach(scan(_, 1L))
+    val merges = Seq.newBuilder[(String, String)]
+    var n = 0
+    var stop = false
+    while (n < numMerges && !stop) {
+      var best: (String, String) = null
+      var bestC = 0L
+      counts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null || bestC < 2) stop = true
+      else {
+        merges += best
+        val hits = where.getOrElse(best, scala.collection.mutable.Set.empty)
+        hits.toSeq.sorted.foreach { wi =>
+          val (syms, f) = vocab(wi)
+          // re-check: the index can be stale after earlier merges
+          var has = false
+          var i = 0
+          while (i < syms.length - 1 && !has) {
+            has = syms(i) == best._1 && syms(i + 1) == best._2
+            i += 1
+          }
+          if (has) {
+            scan(wi, -1L)
+            vocab(wi) = (mergePair(syms, best._1, best._2).toIndexedSeq, f)
+            scan(wi, 1L)
+          }
+        }
+        where.remove(best)
+        n += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Batched DISTRIBUTED training — the above-cap fallback of
+    * [[trainFast]]. IDENTICAL merge list to [[train]]: each ROUND runs
+    * ONE pair-count job (collecting the top `candidateLimit` pairs —
+    * bounded driver memory) and ONE merge-application job, and the
+    * driver-side [[selectSafeBatch]] accepts every merge that is
+    * PROVABLY the next sequential argmax:
+    *
+    *   - merging (a,b) leaves the count of every pair DISJOINT from
+    *     {a,b} unchanged (a merge replaces symbols, never removes or
+    *     reorders others, so disjoint adjacencies are untouched);
+    *   - pairs SHARING a symbol can only lose count, so the scan stops
+    *     at the first sharing candidate (it may still be sequential's
+    *     next pick);
+    *   - every CREATED pair involves the fused symbol and each of its
+    *     occurrences consumes an occurrence of an old left-neighbor or
+    *     right-neighbor pair — (x,ab) ≤ old (x,a), (ab,y) ≤ old (b,y),
+    *     (ab,ab) ≤ old (b,a); a self-merge (a,a) additionally bounds
+    *     its (aa,a)/(aa,aa) creations by old count/2.
+    *
+    * So the next sorted candidate disjoint from the accepted symbols
+    * whose count is STRICTLY above both the accumulated created-pair
+    * bound and the collection cutoff beats every changed and created
+    * pair and is exactly what sequential training picks next. Batch
+    * application order is irrelevant because accepted merges are
+    * pairwise symbol-disjoint.
+    */
+  def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
+      candidateLimit: Int = 10000): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words: Dataset[(Seq[String], Long)] =
+      wordFrequencies(docs, textCol).as[(String, Long)]
+        .map { case (w, f) => (toSymbols(w), f) }
+        .persist()
+    words.count()
+    val merges = Seq.newBuilder[(String, String)]
+    var learned = 0
+    var exhausted = false
+    var rounds = 0
+    while (learned < numMerges && !exhausted) {
+      val top = words.flatMap { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, f))
+      }.toDF("a", "b", "f")
+        .groupBy("a", "b").agg(sum("f").as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(candidateLimit)
+        .as[(String, String, Long)].collect().toIndexedSeq
+      rounds += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        val batch = selectSafeBatch(top, top.length < candidateLimit,
+          numMerges - learned)
+        merges ++= batch
+        learned += batch.length
+        val rules = batch.toSet
+        val prev = words
+        words = prev
+          .map { case (syms, f) => (mergeBatch(syms, rules), f) }
+          .persist()
+        if (rounds % 16 == 0) words = words.localCheckpoint()
+        else words.count()
+        prev.unpersist()
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** Longest prefix of provably-sequential-identical merges from one
+    * sorted pair-count snapshot (see [[trainBatched]] for the argument).
+    * `complete` = the snapshot holds EVERY pair with count ≥ 2 (nothing
+    * fell below the collection cutoff).
+    */
+  private[graft] def selectSafeBatch(
+      sorted: IndexedSeq[(String, String, Long)], complete: Boolean,
+      limit: Int): Seq[(String, String)] = {
+    // per-symbol top-2 counts over the snapshot, split by side:
+    // leftMax(s) = counts of pairs (x, s); rightMax(s) = counts of (s, y)
+    // — O(1) created-pair bounds per accepted merge
+    val l1 = scala.collection.mutable.Map.empty[String, Long]
+    val l2 = scala.collection.mutable.Map.empty[String, Long]
+    val r1 = scala.collection.mutable.Map.empty[String, Long]
+    val r2 = scala.collection.mutable.Map.empty[String, Long]
+    def feed(m1: scala.collection.mutable.Map[String, Long],
+        m2: scala.collection.mutable.Map[String, Long],
+        s: String, c: Long): Unit = {
+      val cur = m1.getOrElse(s, Long.MinValue)
+      if (c >= cur) { m2(s) = cur; m1(s) = c }
+      else if (c > m2.getOrElse(s, Long.MinValue)) m2(s) = c
+    }
+    sorted.foreach { case (a, b, c) => feed(r1, r2, a, c); feed(l1, l2, b, c) }
+    def maxEx(m1: scala.collection.mutable.Map[String, Long],
+        m2: scala.collection.mutable.Map[String, Long],
+        s: String, exclude: Long): Long =
+      if (m1.getOrElse(s, Long.MinValue) == exclude)
+        m2.getOrElse(s, Long.MinValue)
+      else m1.getOrElse(s, Long.MinValue)
+
+    val cutoff = if (complete) 1L else sorted.last._3
+    val acceptedSyms = scala.collection.mutable.Set.empty[String]
+    var threat = Long.MinValue
+    val out = Seq.newBuilder[(String, String)]
+    var n = 0
+    var i = 0
+    var stop = false
+    while (i < sorted.length && n < limit && !stop) {
+      val (a, b, c) = sorted(i)
+      if (acceptedSyms.contains(a) || acceptedSyms.contains(b))
+        // a sharing pair only loses count — it may still be sequential's
+        // next pick, so nothing after it is provable
+        stop = true
+      else if (n > 0 && (c <= threat || c <= cutoff)) stop = true
+      else {
+        out += ((a, b))
+        n += 1
+        acceptedSyms += a
+        acceptedSyms += b
+        val createdBound =
+          if (a != b) math.max(l1.getOrElse(a, Long.MinValue),
+            r1.getOrElse(b, Long.MinValue))
+          else math.max(math.max(maxEx(l1, l2, a, c), maxEx(r1, r2, a, c)),
+            c / 2)
+        threat = math.max(threat, createdBound)
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** One left-to-right pass applying a SET of pairwise symbol-disjoint
+    * merge rules — equivalent to applying them sequentially in any order
+    * (disjoint rules can neither overlap in the symbol stream nor create
+    * or destroy each other's adjacencies).
+    */
+  private[graft] def mergeBatch(syms: Seq[String],
+      rules: Set[(String, String)]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val v = syms.toIndexedSeq
+    while (i < v.length) {
+      if (i + 1 < v.length && rules.contains((v(i), v(i + 1)))) {
+        out += v(i) + v(i + 1)
+        i += 2
+      } else {
+        out += v(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
   /** Replace every adjacent (a, b) with the fused symbol, one
     * left-to-right pass (the paper's merge step).
     */

@@ -322,6 +322,24 @@ object Dedup {
     */
   def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
+    val (toks, spans) = dupSpanFrames(docs, idCol, textCol, n)
+    val perDoc = spans.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum("n_gr").as("n_dup_grams"),
+        sum(col("ee") - col("ss") + 1).cast("long").as("dup_tokens"))
+    perDoc
+      .join(toks.select(col(idCol),
+        size(col("w")).cast("long").as("total_tokens")), Seq(idCol))
+      .withColumn("kept_tokens", col("total_tokens") - col("dup_tokens"))
+      .orderBy(idCol)
+  }
+
+  /** Token array + maximal duplicated spans (1-based inclusive [ss, ee])
+    * per document — the shared core of [[substringDedupSpans]] and
+    * [[applySubstringDedup]].
+    */
+  private def dupSpanFrames(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol),
       TextAnalysis.whitespaceTokens(col(textCol)).as("w"))
@@ -343,14 +361,36 @@ object Dedup {
       .withColumn("island", sum(col("brk")).over(wOrd))
       .groupBy(col(idCol), col("island"))
       .agg(min("s").as("ss"), max("e").as("ee"), count(lit(1)).as("n_gr"))
-    val perDoc = spans.groupBy(idCol)
-      .agg(count(lit(1)).as("n_spans"),
-        sum("n_gr").as("n_dup_grams"),
-        sum(col("ee") - col("ss") + 1).cast("long").as("dup_tokens"))
-    perDoc
-      .join(toks.select(col(idCol),
-        size(col("w")).cast("long").as("total_tokens")), Seq(idCol))
-      .withColumn("kept_tokens", col("total_tokens") - col("dup_tokens"))
+    (toks, spans)
+  }
+
+  /** The Lee et al. pipeline's actual PRODUCT — the rewritten corpus with
+    * every duplicated span cut out: (id, deduped_text) for EVERY input
+    * document (documents without a cross-document duplicated gram pass
+    * through whole). Output text is in normalized token space (the shared
+    * lowercase `\s+` tokenization the span positions are defined over,
+    * re-joined with single spaces) — the same stream the paper's dedup
+    * operates on.
+    *
+    * Scale shape: the span detection is [[substringDedupSpans]]'s frames
+    * (one gram shuffle + one doc-keyed window); the cut itself is a pure
+    * column expression — spans collect per document (bounded by the
+    * document's own gram count), and the token filter is O(tokens ×
+    * spans) per document with no extra shuffle beyond the span
+    * aggregation's doc-keyed one.
+    */
+  def applySubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val (toks, spans) = dupSpanFrames(docs, idCol, textCol, n)
+    val spanList = spans.groupBy(idCol)
+      .agg(collect_list(struct(col("ss"), col("ee"))).as("sp"))
+    toks.join(spanList, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("sp").isNull, concat_ws(" ", col("w")))
+          .otherwise(concat_ws(" ", filter(col("w"), (t, i) =>
+            !exists(col("sp"), s =>
+              i + 1 >= s("ss") && i + 1 <= s("ee")))))
+          .as("deduped_text"))
       .orderBy(idCol)
   }
 }

@@ -408,6 +408,51 @@ object PipelineQueries {
       |  min(doc_id) AS min_doc
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BPE tokenization end-to-end (Sennrich et al. 2016): TRAIN on an
+    * engineered corpus slice whose word frequencies (the:5, th:3, e:2 per
+    * row) force the merge list [(t,h), (e,</w>), (th,e</w>)] — proved in
+    * BpeSpec; the `require` turns any training regression into a gate
+    * error — then ENCODE the real documents under it. With this fixed
+    * list the per-word token count is CLOSED-FORM: len+1 minus one per
+    * "th" occurrence (the pair cannot self-overlap), minus one when the
+    * word ends in "e" (the e,</w> adjacency is untouched by (t,h)
+    * merges), minus one when it ends in "the" (both prerequisite merges
+    * always land first — lower rank). That is what the DuckDB oracle
+    * recomputes with pure string functions. Trains through
+    * [[graft.operators.Bpe.trainFast]], so the gate also covers the
+    * job-efficient (sequential-identical) training path.
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val trainCorpus = docs.limit(8)
+      .select(lit("the the the the the th th th e e").as("text"))
+    val merges = graft.operators.Bpe.trainFast(trainCorpus, "text", 3)
+    require(merges == Seq(("t", "h"), ("e", graft.operators.Bpe.Eow),
+        ("th", "e" + graft.operators.Bpe.Eow)),
+      s"BPE training regressed — unexpected merge list: $merges")
+    graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
+  val textBpeEncodeSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, u.word FROM w,
+      |    LATERAL (SELECT unnest(toks) AS word) u),
+      |c AS (
+      |  SELECT doc_id,
+      |    len(word) + 1
+      |      - (len(word) - len(replace(word, 'th', ''))) // 2
+      |      - CASE WHEN ends_with(word, 'e') THEN 1 ELSE 0 END
+      |      - CASE WHEN ends_with(word, 'the') THEN 1 ELSE 0 END AS toks
+      |  FROM t)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(toks) AS BIGINT) AS n_bpe_tokens
+      |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Exact substring dedup (Lee et al. 2021, arXiv 2107.06499): find the
     * token 8-grams shared across documents, merge each document's
     * duplicated positions into maximal removable spans, report per-doc
@@ -449,6 +494,50 @@ object PipelineQueries {
       |  CAST(len(w.toks) AS BIGINT) AS total_tokens,
       |  CAST(len(w.toks) - p.dup_tokens AS BIGINT) AS kept_tokens
       |FROM perdoc p JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The substring-dedup PRODUCT (not just its span statistics): the
+    * corpus rewritten with every cross-document duplicated span cut,
+    * one row per input document. The DuckDB oracle rebuilds the exact
+    * output text — same tokenization, same md5 gram keys, same island
+    * merge, same positional cut (Spark's 0-based filter index vs
+    * DuckDB's 1-based are aligned by construction).
+    */
+  def textSubstringDedupApply(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.applySubstringDedup(
+      Tables.documents(s, dir), "doc_id", "text", n = 8)
+
+  val textSubstringDedupApplySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.s, md5(array_to_string(toks[u.s:u.s+7], ' ')) AS gh
+      |  FROM w, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(len(toks)-7, 0))) AS s) u),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+      |hits AS (SELECT g.doc_id, g.s, g.s + 7 AS e FROM g JOIN dup USING (gh)),
+      |isl AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM hits),
+      |sp AS (SELECT doc_id, s, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM isl),
+      |spans AS (SELECT doc_id, island, min(s) AS ss, max(e) AS ee
+      |    FROM sp GROUP BY 1, 2),
+      |spl AS (SELECT doc_id, list({'ss': ss, 'ee': ee}) AS splist
+      |    FROM spans GROUP BY 1)
+      |SELECT w.doc_id,
+      |  CASE WHEN spl.splist IS NULL THEN array_to_string(w.toks, ' ')
+      |  -- coalesce: duckdb's array_to_string of an EMPTY list is NULL,
+      |  -- spark's concat_ws is '' — a fully-cut doc must agree
+      |  ELSE coalesce(array_to_string(list_filter(w.toks,
+      |    (x, i) -> len(list_filter(spl.splist,
+      |      s2 -> i >= s2.ss AND i <= s2.ee)) = 0), ' '), '')
+      |  END AS deduped_text
+      |FROM w LEFT JOIN spl USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Embedding-cosine near-duplicate clustering end-to-end: exact cosine
     * pairs (≥ 0.45, gate-scale brute force — the LSH/IVF queries cover the
@@ -842,24 +931,28 @@ object PipelineQueries {
     // its 6 sf0.01 pairs are cross-split)
     val raw = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") % 2 === 0)
-    Seq(0, 2).foreach { half =>
-      raw.filter(col("doc_id") % 4 === half).coalesce(1)
-        .write.parquet(s"$stage/half-$half")
-      val part = new java.io.File(s"$stage/half-$half").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(stage, s"batch-$half.parquet"))
+    graft.util.PhaseTimer.time("streaming_dedup_minhash.stage") {
+      Seq(0, 2).foreach { half =>
+        raw.filter(col("doc_id") % 4 === half).coalesce(1)
+          .write.parquet(s"$stage/half-$half")
+        val part = new java.io.File(s"$stage/half-$half").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(stage, s"batch-$half.parquet"))
+      }
     }
     val stream = s.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    val q = graft.streaming.StreamingOps.withStatePartitions(s, 8) {
-      graft.streaming.StreamingOps
-        .streamingMinhashPairs(stream, raw, "doc_id", "text")
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+    graft.util.PhaseTimer.time("streaming_dedup_minhash.drain") {
+      val q = graft.streaming.StreamingOps.withStatePartitions(s, 8) {
+        graft.streaming.StreamingOps
+          .streamingMinhashPairs(stream, raw, "doc_id", "text")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      q.awaitTermination()
     }
-    q.awaitTermination()
     s.read.parquet(out)
       .select("doc_a", "doc_b", "jaccard").distinct()
       .orderBy("doc_a", "doc_b")

@@ -89,6 +89,95 @@ class BpeSpec extends SparkSuite {
     assert(tot.getLong(0) > 0L && tot.getLong(0) >= tot.getLong(1))
   }
 
+  test("trainFast learns 1000 merges identical to the reference with " +
+      "constant job count") {
+    import spark.implicits._
+    // 1500-word synthetic vocabulary (wide enough for 1000 merges);
+    // deterministic freqs with a zipf-ish spread
+    val words = (0 until 1500).map { i =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(s"w$i").abs
+      val len = 3 + h % 7
+      (0 until len).map(j => ('a' + (h / (j + 1)) % 26).toChar).mkString
+    }.distinct
+    val wf = words.zipWithIndex
+      .map { case (w, i) => w -> math.max(2L, (3000 / math.pow(i + 1, 0.8)).toLong) }
+      .toMap
+    val docs = wf.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .toDF("text")
+    val expect = refTrain(wf, numMerges = 1000)
+    assert(expect.size == 1000, s"corpus too narrow: ${expect.size} merges")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Bpe.trainFast(docs, "text", numMerges = 1000)
+      // the listener bus is async and its drain API is private[spark]:
+      // run one sentinel job and wait until its start event arrives, at
+      // which point every earlier onJobStart has been delivered (FIFO bus)
+      val before = jobs.get()
+      docs.sparkSession.range(1).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs.get() <= before && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val trainJobs = jobs.get() - 1 // minus the sentinel
+      assert(got == expect, s"first divergence at rank " +
+        s"${got.zip(expect).indexWhere(p => p._1 != p._2)}")
+      // sequential train() runs ≥2 jobs per merge (pair-count argmax +
+      // re-materialization) = ≥2000 for this merge list; the driver-table
+      // path costs a CONSTANT handful regardless of merge count — far
+      // beyond the 10× bar, and it cannot degrade with vocab depth
+      assert(trainJobs <= 20,
+        s"trainFast ran $trainJobs jobs for 1000 merges — expected O(1)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("trainBatched (above-cap distributed fallback) matches the " +
+      "sequential reference exactly") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    // the independent in-test reference stands in for Bpe.train (already
+    // proven equal to it in the suite's earlier case) — re-running the
+    // one-job-per-merge trainer here would only re-pay 120 Spark jobs
+    val wf = Bpe.wordFrequencies(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectSeq = refTrain(wf, numMerges = 60)
+    val got = Bpe.trainBatched(docs, "text", numMerges = 60)
+    assert(got == expectSeq, s"first divergence at rank " +
+      s"${got.zip(expectSeq).indexWhere(p => p._1 != p._2)}: " +
+      s"got $got\nexpected $expectSeq")
+  }
+
+  test("trainFast above the driver cap falls back to the distributed " +
+      "batched path and still matches") {
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val viaDriver = Bpe.trainFast(docs, "text", numMerges = 25)
+    val viaDistributed =
+      Bpe.trainFast(docs, "text", numMerges = 25, maxDriverVocab = 1L)
+    assert(viaDriver == viaDistributed)
+  }
+
+  test("the gate's engineered corpus trains to the documented merge list") {
+    import spark.implicits._
+    val docs = Seq.fill(8)("the the the the the th th th e e").toDF("text")
+    val expect = Seq(("t", "h"), ("e", Bpe.Eow), ("th", "e" + Bpe.Eow))
+    assert(Bpe.train(docs, "text", 3) == expect)
+    assert(Bpe.trainFast(docs, "text", 3) == expect)
+    assert(Bpe.trainBatched(docs, "text", 3) == expect)
+    // the closed-form the oracle uses: len+1 - occ(th) - ends(e) - ends(the)
+    val rank = expect.zipWithIndex.toMap
+    for (w <- Seq("the", "them", "tthe", "ththe", "thethe", "e", "h",
+        "table", "batch", "breathe", "lathe")) {
+      val occ = (w.length - w.replace("th", "").length) / 2
+      val closed = w.length + 1 - occ -
+        (if (w.endsWith("e")) 1 else 0) - (if (w.endsWith("the")) 1 else 0)
+      assert(Bpe.encodeWord(w, rank).length == closed, s"closed form broke: $w")
+    }
+  }
+
   test("training cost is vocabulary-sized, not corpus-sized") {
     import spark.implicits._
     // 50k docs over a 100-word vocabulary: the per-iteration symbol table
