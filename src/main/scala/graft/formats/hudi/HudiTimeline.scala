@@ -147,36 +147,91 @@ object HudiTimeline {
       .map(_.substring("hoodie.table.name=".length))
   }
 
+  // ---- Hudi 1.x timeline layout ----------------------------------------
+  // Public layout (Hudi 1.0 release: hoodie.table.version 8, 1.1: 9;
+  // timeline layout version 2): the ACTIVE timeline moves under
+  // `.hoodie/timeline/` (property `hoodie.timeline.path`, default
+  // "timeline"), COMPLETED instant files are named
+  // `<requestTime>_<completionTime>.<action>` (completion time is now
+  // first-class), and completed commit metadata is serialized as an AVRO
+  // CONTAINER file (the self-describing `Obj\x01` object-container format
+  // Hudi has always used for plans and the archived timeline) instead of
+  // raw JSON. The reference reads these tables through the Hudi 1.2.0
+  // library (root pom.xml:73, HudiConversionSource.java:57-341) while
+  // PINNING its own writes to table version 6
+  // (HudiTableManager.java:122-125) — this engine mirrors exactly that
+  // split: 1.x timelines READ natively below, writes stay 0.x.
+
+  /** `hoodie.table.version` (6 — the 0.x final — when absent). */
+  def tableVersion(tablePath: String): Int =
+    property(tablePath, "hoodie.table.version")
+      .flatMap(_.toIntOption).getOrElse(6)
+
+  /** Newest table version this engine can serve correctly. */
+  private val MaxReadableTableVersion = 9
+
+  /** True when the active timeline lives under the 1.x location —
+    * decided by table version, with a layout probe as the tiebreak for
+    * tables whose properties file is missing or unreadable.
+    */
+  def isV1Layout(tablePath: String): Boolean = {
+    val tv = property(tablePath, "hoodie.table.version").flatMap(_.toIntOption)
+    tv match {
+      case Some(v) => v >= 7
+      case None =>
+        val tl = JPaths.get(hoodieDir(tablePath))
+          .resolve(timelineSubdir(tablePath))
+        Files.exists(tl) && {
+          val s = Files.list(tl)
+          try s.iterator().asScala.exists(p =>
+            CompletedV1Name.matches(p.getFileName.toString))
+          finally s.close()
+        }
+    }
+  }
+
+  private def timelineSubdir(tablePath: String): String =
+    property(tablePath, "hoodie.timeline.path").getOrElse("timeline")
+
+  /** Directory holding the ACTIVE timeline for this table's layout. */
+  def activeTimelineDir(tablePath: String): java.nio.file.Path = {
+    val base = JPaths.get(hoodieDir(tablePath))
+    if (isV1Layout(tablePath)) base.resolve(timelineSubdir(tablePath))
+    else base
+  }
+
+  // `<requestTime>_<completionTime>.<action>`; a 1.x timeline migrated
+  // from 0.x may retain legacy-named completed files, so both shapes list
+  private val CompletedV1Name =
+    "([0-9]+)_([0-9]+)\\.(commit|deltacommit|replacecommit)".r
+  private val CompletedLegacyName =
+    "([^.]+)\\.(commit|deltacommit|replacecommit)".r
+
+  private def requireReadableVersion(tablePath: String): Unit = {
+    val tv = tableVersion(tablePath)
+    if (tv > MaxReadableTableVersion)
+      throw new UnsupportedOperationException(
+        s"Hudi table at $tablePath has hoodie.table.version $tv — newer " +
+          s"than the newest layout this engine understands " +
+          s"($MaxReadableTableVersion); refusing rather than risking an " +
+          "empty or stale read")
+  }
+
   /** Completed instants, oldest first. */
   def listInstants(tablePath: String): Seq[String] = {
     val dir = JPaths.get(hoodieDir(tablePath))
     if (!Files.exists(dir)) return Nil
-    // Hudi 1.x (hoodie.table.version >= 7) moves the active timeline
-    // under .hoodie/timeline/ and re-encodes completed-instant metadata —
-    // scanning only the legacy layout would serve a 1.x table as EMPTY
-    // (or an upgraded one as stale). Refuse loudly instead.
-    val tlDir = dir.resolve("timeline")
-    val newLayout = Files.exists(tlDir) && {
-      val s = Files.list(tlDir)
-      try s.iterator().asScala.exists { p =>
-        val n = p.getFileName.toString
-        n.contains(".commit") || n.contains(".deltacommit") ||
-          n.contains(".replacecommit")
-      } finally s.close()
-    }
-    val tv = property(tablePath, "hoodie.table.version")
-      .flatMap(_.toIntOption)
-    if (newLayout || tv.exists(_ > 6))
-      throw new UnsupportedOperationException(
-        s"Hudi table at $tablePath uses the 1.x timeline layout " +
-          s"(hoodie.table.version ${tv.getOrElse("?")}); this engine " +
-          "reads table versions <= 6 (Hudi 0.x) — reading the legacy " +
-          "location would serve an empty or stale table")
-    val out = Files.list(dir).iterator().asScala
+    requireReadableVersion(tablePath)
+    val active = activeTimelineDir(tablePath)
+    if (!Files.exists(active)) return Nil
+    val v1 = isV1Layout(tablePath)
+    val out = Files.list(active).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".commit") || n.endsWith(".replacecommit") ||
-        n.endsWith(".deltacommit"))
-      .map(n => n.substring(0, n.indexOf('.')))
+      .flatMap {
+        case CompletedV1Name(req, _, _) if v1 => Some(req)
+        case CompletedLegacyName(req, _) => Some(req)
+        case _ => None
+      }
       .toSeq
     out.sorted
   }
@@ -184,6 +239,39 @@ object HudiTimeline {
   private def commitPath(tablePath: String, instant: String, action: String)
       : java.nio.file.Path =
     JPaths.get(hoodieDir(tablePath), s"$instant.$action")
+
+  /** Completed-instant file for `instant` under EITHER layout: the legacy
+    * exact name, or the 1.x `<instant>_<completionTime>.<action>` shape.
+    * Returns (path, action).
+    */
+  private def completedFile(tablePath: String, instant: String)
+      : Option[(java.nio.file.Path, String)] = {
+    val active = activeTimelineDir(tablePath)
+    if (!Files.exists(active)) return None
+    val s = Files.list(active)
+    try s.iterator().asScala
+      .map(p => (p, p.getFileName.toString))
+      .collectFirst {
+        case (p, CompletedV1Name(req, _, action)) if req == instant =>
+          (p, action)
+        case (p, CompletedLegacyName(req, action)) if req == instant =>
+          (p, action)
+      }
+    finally s.close()
+  }
+
+  /** Refuse to author timeline files into a 1.x table: this engine's
+    * write dialect is the 0.x layout (table version 6) — the same pin the
+    * reference applies to ITS writes via the Hudi 1.2.0 client
+    * (HudiConversionTarget.java:625-628). Writing legacy-located instants
+    * into a v1 table would fork the timeline.
+    */
+  private def requireLegacyWritable(tablePath: String, op: String): Unit =
+    if (exists(tablePath) && isV1Layout(tablePath))
+      throw new UnsupportedOperationException(
+        s"$op on the Hudi 1.x-layout table at $tablePath: this engine " +
+          s"writes the 0.x timeline dialect (hoodie.table.version 6) — " +
+          "reading 1.x is supported, writing is not")
 
   /** Epoch millis of an instant string (`yyyyMMddHHmmssSSS`); synthetic
     * fixture instants that aren't full timestamps fall back to their
@@ -198,9 +286,11 @@ object HudiTimeline {
     } else instant.toLongOption.getOrElse(0L)
 
   /** Remove a completed instant from the timeline (restore/rollback). */
-  def deleteInstant(tablePath: String, instant: String): Unit =
+  def deleteInstant(tablePath: String, instant: String): Unit = {
+    requireLegacyWritable(tablePath, "deleteInstant")
     Files.deleteIfExists(commitPath(tablePath, instant,
       actionOf(tablePath, instant)))
+  }
 
   /** Find the action suffix for an instant on disk. */
   private def actionOf(tablePath: String, instant: String): String =
@@ -246,6 +336,7 @@ object HudiTimeline {
   }
 
   def writeCommit(meta: CommitMeta, tablePath: String): Boolean = {
+    requireLegacyWritable(tablePath, "writeCommit")
     val target = commitPath(tablePath, meta.instant, meta.action)
     Files.createDirectories(target.getParent)
     if (Files.exists(target)) return false
@@ -287,6 +378,7 @@ object HudiTimeline {
   def writeCommitStreamed(tablePath: String, instant: String, action: String,
       stats: Iterator[String], replaced: Iterator[String],
       extraMetadata: Map[String, String]): Boolean = {
+    requireLegacyWritable(tablePath, "writeCommitStreamed")
     val target = commitPath(tablePath, instant, action)
     Files.createDirectories(target.getParent)
     if (Files.exists(target)) return false
@@ -337,9 +429,76 @@ object HudiTimeline {
   }
 
   def readCommit(tablePath: String, instant: String): CommitMeta = {
-    val action = actionOf(tablePath, instant)
-    parseCommit(Jsons.mapper.readTree(Files.readAllBytes(
-      commitPath(tablePath, instant, action))), instant, action)
+    val (path, action) = completedFile(tablePath, instant).getOrElse(
+      (commitPath(tablePath, instant, actionOf(tablePath, instant)),
+        actionOf(tablePath, instant)))
+    val bytes = Files.readAllBytes(path)
+    if (isAvroContainer(bytes)) parseAvroCommit(bytes, instant, action)
+    else parseCommit(Jsons.mapper.readTree(bytes), instant, action)
+  }
+
+  /** Avro object-container magic `Obj\x01` — the serialization 1.x uses
+    * for completed commit metadata (and 0.x always used for plan files
+    * and the archived timeline).
+    */
+  private def isAvroContainer(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'b' &&
+      bytes(2) == 'j' && bytes(3) == 1
+
+  /** Decode an Avro-container HoodieCommitMetadata /
+    * HoodieReplaceCommitMetadata into [[CommitMeta]]. The container is
+    * SELF-DESCRIBING (writer schema in the header), so decoding is fully
+    * generic and by-name: whatever superset of write-stat fields a real
+    * Hudi release serializes, the fields this engine consumes (fileId,
+    * path, numWrites, fileSizeInBytes, the partition maps, extraMetadata,
+    * operationType) resolve without a compiled-in schema, and unknown
+    * fields pass through untouched — the property that keeps this reader
+    * correct across 1.x minor releases.
+    */
+  private def parseAvroCommit(bytes: Array[Byte], instant: String,
+      action: String): CommitMeta = {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    try {
+      require(r.hasNext, s"empty avro commit metadata for instant $instant")
+      val rec = r.next()
+      def fieldOpt(g: GenericRecord, name: String): Option[AnyRef] =
+        if (g.getSchema.getField(name) == null) None
+        else Option(g.get(name))
+      def asLong(o: AnyRef): Long = o match {
+        case n: java.lang.Number => n.longValue
+        case _ => 0L
+      }
+      val writeStats = fieldOpt(rec, "partitionToWriteStats").map { m =>
+        m.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala.map {
+          case (k, v) =>
+            k.toString -> v.asInstanceOf[java.util.List[AnyRef]].asScala
+              .map { s0 =>
+                val s = s0.asInstanceOf[GenericRecord]
+                WriteStat(
+                  fieldOpt(s, "fileId").map(_.toString).getOrElse(""),
+                  fieldOpt(s, "path").map(_.toString).getOrElse(""),
+                  fieldOpt(s, "numWrites").map(asLong).getOrElse(0L),
+                  fieldOpt(s, "fileSizeInBytes").map(asLong).getOrElse(0L))
+              }.toSeq
+        }.toMap
+      }.getOrElse(Map.empty[String, Seq[WriteStat]])
+      val replaced = fieldOpt(rec, "partitionToReplaceFileIds").map { m =>
+        m.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala.map {
+          case (k, v) =>
+            k.toString -> v.asInstanceOf[java.util.List[AnyRef]].asScala
+              .map(_.toString).toSeq
+        }.toMap
+      }.getOrElse(Map.empty[String, Seq[String]])
+      val extra = fieldOpt(rec, "extraMetadata").map { m =>
+        m.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala.map {
+          case (k, v) => k.toString -> Option(v).map(_.toString).orNull
+        }.toMap.filter(_._2 != null)
+      }.getOrElse(Map.empty[String, String])
+      CommitMeta(instant, action, writeStats, replaced, extra)
+    } finally r.close()
   }
 
   /** ONLY a commit's extraMetadata, via a streaming parse that SKIPS the
@@ -350,8 +509,18 @@ object HudiTimeline {
     */
   def readCommitExtraMetadata(tablePath: String, instant: String)
       : Map[String, String] = {
-    val action = actionOf(tablePath, instant)
-    val in = Files.newInputStream(commitPath(tablePath, instant, action))
+    val (path, action) = completedFile(tablePath, instant).getOrElse(
+      (commitPath(tablePath, instant, actionOf(tablePath, instant)),
+        actionOf(tablePath, instant)))
+    val head = new Array[Byte](4)
+    val probe = Files.newInputStream(path)
+    val n = try probe.read(head) finally probe.close()
+    if (n == 4 && isAvroContainer(head))
+      // avro container: the generic decode already skips nothing useful —
+      // read whole (1.x commit files are written by real Hudi, which also
+      // materializes them to serialize)
+      return readCommit(tablePath, instant).extraMetadata
+    val in = Files.newInputStream(path)
     try {
       val p = Jsons.mapper.getFactory.createParser(in)
       val out = scala.collection.mutable.Map.empty[String, String]
@@ -412,6 +581,7 @@ object HudiTimeline {
     */
   def archiveInstants(tablePath: String, retainLast: Int): Seq[String] = {
     require(retainLast >= 1, "must retain at least one active instant")
+    requireLegacyWritable(tablePath, "archiveInstants")
     val active = listInstants(tablePath)
     if (active.size <= retainLast) return Nil
     val toArchive = active.dropRight(retainLast)

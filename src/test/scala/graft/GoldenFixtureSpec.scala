@@ -1,6 +1,6 @@
 package graft
 
-import graft.formats.delta.{DeltaConversionSource, DeltaConversionTarget}
+import graft.formats.delta.{DeltaConversionSource, DeltaConversionTarget, DeltaRead}
 import graft.formats.hudi.{HudiConversionSource, HudiTimeline}
 
 /** Byte-level interop against metadata authored by the REAL format writers
@@ -61,6 +61,133 @@ class GoldenFixtureSpec extends SparkSuite {
     // is unreadable here and must be silently skipped, not crash)
     assert(files.head.columnStats.nonEmpty)
     assert(src.toDataFrame.count() == 5000)
+  }
+
+  test("reads an independently-authored COLUMN-MAPPED delta table with " +
+      "a RENAME in its history") {
+    // tools/make_golden_delta_mapped.py: protocol (2,5), columnMapping
+    // mode=name, physical col-<uuid> names in the parquet AND in the
+    // stats JSON; v1 renames `name` → `full_name` as pure metaData; v2
+    // adds a file after the rename. Logical names must be served, with
+    // stats resolved physical → logical.
+    val dir = new java.io.File(
+      "src/test/resources/golden/delta_mapped_people").getAbsolutePath
+    val src = new DeltaConversionSource(spark, dir, "people")
+    val snap = src.currentSnapshot()
+    assert(snap.table.schema.fieldNames.toSeq ==
+      Seq("id", "full_name", "city"))
+    val files = snap.files.collect()
+    assert(files.length == 2, files.map(_.path).toSeq)
+    assert(files.map(_.recordCount).sum == 5)
+    // stats keyed by physical name in the log must surface logical
+    val idStats = files.flatMap(_.columnStats).filter(_.field == "id")
+    assert(idStats.length == 2, files.flatMap(_.columnStats).toSeq)
+    assert(idStats.exists(s => s.min.contains("1") && s.max.contains("3")))
+    assert(idStats.exists(s => s.min.contains("4") && s.max.contains("5")))
+
+    val df = src.toDataFrame
+    assert(df.columns.toSeq == Seq("id", "full_name", "city"))
+    assert(df.count() == 5)
+    import org.apache.spark.sql.functions.{col, sum}
+    assert(df.agg(sum("id")).head().getLong(0) == 15L)
+    assert(df.filter(col("id") === 1).select("full_name")
+      .head().getString(0) == "ada")
+    assert(df.filter(col("id") === 5).select("full_name")
+      .head().getString(0) == "eli")
+
+    // time travel BEFORE the rename serves the old logical name over the
+    // same physical data
+    val v0 = src.snapshotAt(0L)
+    assert(v0.table.schema.fieldNames.toSeq == Seq("id", "name", "city"))
+    val df0 = DeltaRead.toDataFrame(spark, v0)
+    assert(df0.count() == 3)
+    assert(df0.filter(col("id") === 2).select("name")
+      .head().getString(0) == "bob")
+  }
+
+  test("reads an independently-authored EVOLVED paimon table through " +
+      "its schema chain") {
+    // tools/make_golden_paimon_evolved.py: schema-0 → schema-1 (ADD
+    // COLUMN channel), snapshot-1 under schema 0, snapshot-2 under
+    // schema 1 with files from BOTH schemas live. The snapshot's own
+    // schemaId decides the serving schema; pre-evolution files read the
+    // added column as NULL.
+    val dir = new java.io.File(
+      "src/test/resources/golden/paimon_orders_evolved").getAbsolutePath
+    val src = new graft.formats.paimon.PaimonConversionSource(
+      spark, dir, "orders_evolved")
+    val snap = src.currentSnapshot()
+    assert(snap.table.schema.fieldNames.toSeq ==
+      Seq("order_id", "region", "amount", "channel"))
+    val files = snap.files.collect()
+    assert(files.length == 2, files.map(_.path).toSeq)
+    assert(files.map(_.recordCount).sum == 80)
+
+    val df = src.toDataFrame
+    assert(df.count() == 80)
+    import org.apache.spark.sql.functions.{col, sum}
+    assert(df.agg(sum("order_id")).head().getLong(0) == 4740L)
+    // the 50 pre-evolution rows surface NULL channel; the 30 new rows
+    // carry real values
+    assert(df.filter(col("channel").isNull).count() == 50)
+    assert(df.filter(col("channel") === "web").count() == 15)
+
+    // time travel to snapshot-1: served under schema-0, WITHOUT channel
+    val s1 = src.snapshotAt(1L)
+    assert(s1.table.schema.fieldNames.toSeq ==
+      Seq("order_id", "region", "amount"))
+    assert(s1.files.collect().map(_.recordCount).sum == 50)
+  }
+
+  test("reads an independently-authored Hudi 1.x timeline-layout table") {
+    // tools/make_golden_hudi_v1.py: table version 8, active timeline under
+    // .hoodie/timeline/, completed instants named
+    // <requestTime>_<completionTime>.<action>, commit metadata as AVRO
+    // object containers (HoodieCommitMetadata / the replace variant), base
+    // files with real <fileId>_<token>_<instant> names and _hoodie_* meta
+    // columns. Three instants; the replacecommit clusters fileA+fileC into
+    // fileD, so the head live set is fileB + fileD = 125 rows.
+    val dir = new java.io.File(
+      "src/test/resources/golden/hudi_v1_trips").getAbsolutePath
+    assert(HudiTimeline.tableVersion(dir) == 8)
+    assert(HudiTimeline.isV1Layout(dir))
+    // completed only — .requested/.inflight are not commits; request
+    // times (not completion times) are the instant ids
+    assert(HudiTimeline.listInstants(dir) == Seq(
+      "20240301120000001", "20240301130000001", "20240301140000001"))
+    assert(HudiTimeline.tableType(dir) == "COPY_ON_WRITE")
+
+    // avro-container commit metadata decodes generically by field name
+    val c1 = HudiTimeline.readCommit(dir, "20240301120000001")
+    assert(c1.action == "commit")
+    assert(c1.partitionToWriteStats("").map(_.numWrites).sum == 100)
+    assert(c1.extraMetadata.contains("schema"))
+    val c3 = HudiTimeline.readCommit(dir, "20240301140000001")
+    assert(c3.action == "replacecommit")
+    assert(c3.partitionToReplaceFileIds("").toSet == Set(
+      "aaaa1111-0000-4000-8000-000000000001-0",
+      "cccc3333-0000-4000-8000-000000000003-0"))
+
+    val src = new HudiConversionSource(spark, dir, "hudi_v1_trips")
+    val table = src.currentTable()
+    assert(Seq("trip_id", "city", "fare").forall(
+      table.schema.fieldNames.contains), table.schema.simpleString)
+    val files = src.currentSnapshot().files.collect()
+    assert(files.length == 2, files.map(_.path).mkString(","))
+    assert(files.map(_.recordCount).sum == 125)
+    assert(files.exists(_.path.contains("bbbb2222")) &&
+      files.exists(_.path.contains("dddd4444")), files.map(_.path).toSeq)
+    val df = src.toDataFrame
+    assert(df.count() == 125)
+    import org.apache.spark.sql.functions.sum
+    assert(df.agg(sum("trip_id")).head().getLong(0) == 7875L)
+
+    // graft's write dialect is 0.x (same pin as the reference): authoring
+    // timeline files into a 1.x table must refuse, not fork the timeline
+    intercept[UnsupportedOperationException] {
+      HudiTimeline.writeCommit(HudiTimeline.CommitMeta(
+        "20240301150000001", "commit", Map.empty, Map.empty, Map.empty), dir)
+    }
   }
 
   test("reads an independently-authored spec-exact Iceberg v2 table") {

@@ -345,6 +345,155 @@ class ReverseGoldenSpec extends SparkSuite {
     assert(re.agg(sum("order_id")).head().getLong(0) == 4095L)
   }
 
+  test("graft's evolved Paimon schema chain diffs clean against the " +
+    "independently-authored evolved fixture") {
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    import spark.implicits._
+    // same history as tools/make_golden_paimon_evolved.py: 50 rows under
+    // schema-0, ADD COLUMN channel, 30 more rows carrying it
+    val fixDir = new java.io.File(
+      "src/test/resources/golden/paimon_orders_evolved").getAbsolutePath
+    val table = tmpDir("rev_paimon_evo")
+    (1 to 50).toDF("order_id")
+      .select(col("order_id").cast("long"),
+        when(col("order_id") % 2 === 1, "EU").otherwise("US").as("region"),
+        (col("order_id") * lit(1.5)).as("amount"))
+      .coalesce(1).write.parquet(s"$table/stage1")
+    Files.move(
+      new java.io.File(s"$table/stage1").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      Paths.get(table, "orders1.parquet"))
+    val src1 = new ParquetDirectorySource(spark, table, "orders_evolved")
+    val out1 = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.paimon.PaimonConversionTarget(spark, table)),
+      src1.currentSnapshot(), src1.sourceFormat)
+    assert(out1.forall(_.status == "SUCCESS"), out1.mkString(";"))
+
+    (101 to 130).toDF("order_id")
+      .select(col("order_id").cast("long"), lit("APAC").as("region"),
+        (col("order_id") * lit(2.5)).as("amount"),
+        when(col("order_id") % 2 === 1, "web").otherwise("app")
+          .as("channel"))
+      .coalesce(1).write.parquet(s"$table/stage2")
+    Files.move(
+      new java.io.File(s"$table/stage2").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      Paths.get(table, "orders2.parquet"))
+    val src2 = new ParquetDirectorySource(spark, table, "orders_evolved")
+    val out2 = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.paimon.PaimonConversionTarget(spark, table)),
+      src2.currentSnapshot(), src2.sourceFormat)
+    assert(out2.forall(_.status == "SUCCESS"), out2.mkString(";"))
+
+    // evolution must ride the schema-N chain exactly like the fixture:
+    // schema-1 exists, carries the new field under the NEXT field id,
+    // and the head snapshot points at schemaId 1
+    assert(Files.exists(Paths.get(table, "schema/schema-1")),
+      "second sync with a wider schema must write schema-1")
+    val fixS1 = Jsons.mapper.readTree(Files.readAllBytes(
+      Paths.get(fixDir, "schema/schema-1")))
+    val gS1 = Jsons.mapper.readTree(Files.readAllBytes(
+      Paths.get(table, "schema/schema-1")))
+    gS1.properties().asScala.map(_.getKey).foreach { k =>
+      assert(fixS1.has(k), s"schema-1 field '$k' not in real shape")
+    }
+    assert(gS1.get("id").asInt == 1)
+    val gChan = gS1.get("fields").elements().asScala
+      .find(_.get("name").asText == "channel")
+    assert(gChan.isDefined, "channel missing from graft's schema-1")
+    assert(gChan.get.get("type").asText.startsWith("STRING"))
+    assert(gS1.get("highestFieldId").asInt ==
+      fixS1.get("highestFieldId").asInt)
+    val headId = graft.formats.paimon.PaimonFormat
+      .latestSnapshotId(table).get
+    val headSnap = graft.formats.paimon.PaimonFormat
+      .readSnapshot(table, headId)
+    assert(headSnap.schemaId == 1L, s"head schemaId ${headSnap.schemaId}")
+
+    // read-back parity with the fixture's own numbers: same history,
+    // same serving rules (old files read the added column as null)
+    val re = new graft.formats.paimon.PaimonConversionSource(
+      spark, table, "orders_evolved").toDataFrame
+    assert(re.count() == 80)
+    assert(re.agg(sum("order_id")).head().getLong(0) == 4740L)
+    assert(re.filter(col("channel").isNull).count() == 50)
+  }
+
+  test("graft's column-mapping RENAME metaData diffs clean against the " +
+    "real-writer-shaped golden") {
+    import org.apache.spark.sql.types._
+    import graft.formats.delta.{DeltaColumnMapping, DeltaConversionSource}
+    // build a mapped table the way delta-spark lays one out, rename
+    // through graft's ALTER path, then diff the authored metaData action
+    // against the golden fixture's own RENAME metaData (v1)
+    val table = tmpDir("rev_delta_rename")
+    import spark.implicits._
+    Seq((1L, "ada"), (2L, "bob"), (3L, "cyd"))
+      .toDF("col-aa11", "col-bb22")
+      .coalesce(1).write.parquet(s"$table/stage")
+    Files.move(
+      new java.io.File(s"$table/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      Paths.get(table, "f1.parquet"))
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString(DeltaColumnMapping.PhysicalNameKey, "col-aa11")
+          .putLong(DeltaColumnMapping.IdKey, 1L).build()),
+      StructField("name", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString(DeltaColumnMapping.PhysicalNameKey, "col-bb22")
+          .putLong(DeltaColumnMapping.IdKey, 2L).build())))
+    val header = Seq(
+      Jsons.toJson(Map("protocol" ->
+        Map("minReaderVersion" -> 2, "minWriterVersion" -> 5))),
+      Jsons.toJson(Map("metaData" -> Map(
+        "id" -> "rev-rename", "format" ->
+          Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> logical.json, "partitionColumns" -> Nil,
+        "configuration" -> Map(
+          DeltaColumnMapping.ModeKey -> "name",
+          "delta.columnMapping.maxColumnId" -> "2"),
+        "createdTime" -> 1L))),
+      Jsons.toJson(Map("add" -> Map(
+        "path" -> "f1.parquet",
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(Paths.get(table, "f1.parquet")),
+        "modificationTime" -> 1000L, "dataChange" -> true))))
+    assert(graft.formats.delta.DeltaLog.writeCommit(
+      table, 0L, header.iterator))
+
+    graft.sync.AlterTable.run(spark, table,
+      graft.sync.AlterTable.RenameColumn("name", "full_name"))
+
+    // graft's RENAME metaData vs the golden's v1 metaData: same action
+    // keys, same configuration keys, same per-field metadata keys, and —
+    // the rule that makes renames safe — the PHYSICAL names unchanged
+    val goldenV1 = jsonLines(new java.io.File(
+      "src/test/resources/golden/delta_mapped_people/_delta_log/" +
+        "00000000000000000001.json").getAbsolutePath)
+      .find(_.has("metaData")).get.get("metaData")
+    val mine = jsonLines(s"$table/_delta_log/00000000000000000001.json")
+      .find(_.has("metaData")).get.get("metaData")
+    mine.properties().asScala.map(_.getKey).foreach { k =>
+      assert(goldenV1.has(k), s"metaData field '$k' not in real shape")
+    }
+    assert(mine.get("configuration").has(DeltaColumnMapping.ModeKey))
+    val mySchema = Jsons.mapper.readTree(
+      mine.get("schemaString").asText)
+    val renamed = mySchema.get("fields").elements().asScala
+      .find(_.get("name").asText == "full_name")
+    assert(renamed.isDefined, mySchema.toString)
+    assert(renamed.get.get("metadata")
+      .get(DeltaColumnMapping.PhysicalNameKey).asText == "col-bb22",
+      "rename must keep the physical name")
+    // read-back: logical rename serves the same physical data
+    val df = new DeltaConversionSource(spark, table, "t").toDataFrame
+    assert(df.columns.toSeq == Seq("id", "full_name"))
+    assert(df.filter(org.apache.spark.sql.functions.col("id") === 1)
+      .select("full_name").head().getString(0) == "ada")
+  }
+
   test("partitioned Iceberg manifests carry spec field_summary bounds " +
     "in the manifest list") {
     import org.apache.spark.sql.functions.{col, lit}
