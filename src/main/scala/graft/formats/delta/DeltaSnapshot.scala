@@ -391,6 +391,15 @@ object DeltaSnapshot {
     import spark.implicits._
     val conf = graft.util.HadoopConfs.session(spark)
     val versions = DeltaLog.listVersions(tablePath, conf).filter(_ <= version)
+    // table-feature routing: `delta.checkpointPolicy=v2` (delta-spark's
+    // own property) opts a table into UUID-named v2 checkpoints with
+    // sidecars; classic multi-part stays the default
+    if (metadata(spark, tablePath, versions)
+        .exists(_.configuration.get("delta.checkpointPolicy")
+          .exists(_.equalsIgnoreCase("v2")))) {
+      writeCheckpointV2(spark, tablePath, version, schema)
+      return
+    }
     val live = liveFiles(spark, tablePath, versions, schema)
     val tp = tablePath
     val addRows = live.map { f =>
@@ -433,6 +442,103 @@ object DeltaSnapshot {
       fs.delete(tmpDir, true)
       DeltaLog.writeLastCheckpointHint(tablePath, version, written.size, n)
     } finally rows.unpersist()
+  }
+
+  private[delta] case class CkptSidecarRef(path: String, sizeInBytes: Long,
+      modificationTime: Long)
+  private[delta] case class CkptMetaInfo(version: Long)
+  private[delta] case class CkptProtocolFull(minReaderVersion: Int,
+      minWriterVersion: Int, readerFeatures: Option[Seq[String]],
+      writerFeatures: Option[Seq[String]])
+  private[delta] case class CkptV2MainRow(
+      checkpointMetadata: Option[CkptMetaInfo],
+      sidecar: Option[CkptSidecarRef],
+      metaData: Option[CkptMetaData],
+      protocol: Option[CkptProtocolFull])
+  private[delta] case class CkptAddOnlyRow(add: Option[CkptAdd])
+
+  /** V2 checkpoint WRITE (PROTOCOL.md §V2 Checkpoint Table Feature) —
+    * the read path landed in r12; this closes the round trip. One
+    * UUID-named main file `<v>.checkpoint.<uuid>.parquet` carries the
+    * `checkpointMetadata` action (REQUIRED by the spec — it pins the
+    * checkpoint's version independent of the file name), the latest
+    * protocol (WITH its feature lists — a v2 checkpoint is only legal
+    * under the `v2Checkpoint` reader feature, and dropping the lists
+    * would forge a narrower protocol) and metaData, plus one `sidecar`
+    * action per add-file sidecar; the adds themselves stream into
+    * `_delta_log/_sidecars/<uuid>.parquet` in N parallel parts, so the
+    * driver never materializes the live set. External readers keep
+    * bounded log replay on large graft tables; graft's own
+    * [[readCheckpoint]] and a fixture-diff read both verify the shape
+    * (CheckpointAndScaleSpec, ReverseGoldenSpec).
+    */
+  def writeCheckpointV2(spark: SparkSession, tablePath: String,
+      version: Long, schema: StructType): Unit = {
+    import spark.implicits._
+    val conf = graft.util.HadoopConfs.session(spark)
+    val versions = DeltaLog.listVersions(tablePath, conf).filter(_ <= version)
+    val live = liveFiles(spark, tablePath, versions, schema)
+    val tp = tablePath
+    val addRows = live.map { f =>
+      CkptAddOnlyRow(Some(CkptAdd(
+        PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
+        f.partitionValues.map(p => p.field -> p.value).toMap,
+        f.fileSizeBytes, f.lastModifiedMillis, dataChange = false,
+        DeltaStats.toJson(schema, f.recordCount, f.columnStats),
+        f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
+          d.offset, d.sizeInBytes, d.cardinality)))))
+    }.persist()
+    try {
+      val n = addRows.count()
+      val parts = math.min(128L, math.max(1L,
+        (n + ActionsPerCheckpointPart - 1) / ActionsPerCheckpointPart)).toInt
+      val logDir = new Path(DeltaLog.logPath(tablePath))
+      val fs = logDir.getFileSystem(conf)
+      val sidecarDir = new Path(logDir, "_sidecars")
+      fs.mkdirs(sidecarDir)
+      val tmpDir = new Path(logDir, s".ckpt-v2-$version-tmp")
+      addRows.repartition(parts).write.mode("overwrite")
+        .parquet(tmpDir.toString)
+      val written = fs.listStatus(tmpDir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      val refs = written.map { st =>
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        val dst = new Path(sidecarDir, name)
+        fs.rename(st.getPath, dst)
+        val fin = fs.getFileStatus(dst)
+        CkptSidecarRef(name, fin.getLen, fin.getModificationTime)
+      }
+      fs.delete(tmpDir, true)
+
+      val metaRow = metadata(spark, tablePath, versions).map(m =>
+        CkptV2MainRow(None, None, Some(CkptMetaData(m.id,
+          CkptFormat("parquet", Map.empty), m.schemaString,
+          m.partitionColumns, m.configuration, m.createdTime)), None))
+      val protoRow = Some(protocolInfo(spark, tablePath, versions)
+        .map(p => CkptProtocolFull(p.minReaderVersion, p.minWriterVersion,
+          if (p.readerFeatures.nonEmpty) Some(p.readerFeatures) else None,
+          if (p.writerFeatures.nonEmpty) Some(p.writerFeatures) else None))
+        .getOrElse(CkptProtocolFull(3, 7,
+          Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint")))))
+        .map(p => CkptV2MainRow(None, None, None, Some(p)))
+      val mainRows =
+        Seq(CkptV2MainRow(Some(CkptMetaInfo(version)), None, None, None)) ++
+          refs.map(r => CkptV2MainRow(None, Some(r), None, None)) ++
+          metaRow ++ protoRow
+      val mainTmp = new Path(logDir, s".ckpt-v2-main-$version-tmp")
+      spark.createDataset(mainRows).coalesce(1).write.mode("overwrite")
+        .parquet(mainTmp.toString)
+      val mainPart = fs.listStatus(mainTmp).toSeq
+        .find(_.getPath.getName.endsWith(".parquet")).get
+      val mainName = f"$version%020d.checkpoint." +
+        s"${java.util.UUID.randomUUID()}.parquet"
+      val dst = new Path(logDir, mainName)
+      fs.rename(mainPart.getPath, dst)
+      fs.delete(mainTmp, true)
+      DeltaLog.writeLastCheckpointHint(tablePath, version, 1,
+        n + mainRows.size)
+    } finally addRows.unpersist()
   }
 
   /** A checkpoint-less log this small replays on the driver: one process
@@ -522,6 +628,9 @@ object DeltaSnapshot {
     val conf = graft.util.HadoopConfs.session(spark)
     val head = versions.lastOption.getOrElse(-1L)
     val cp = DeltaLog.latestCheckpoint(tablePath, head, conf)
+    // an unsupported (json-v2-only) or absent checkpoint must fail HERE,
+    // with the missing prefix named — not serve a partial live set
+    DeltaLog.requireReplayable(tablePath, versions, cp, conf)
     val jsonVersions = cp match {
       case Some(c) => versions.filter(_ > c)
       case None => versions

@@ -423,4 +423,80 @@ class CheckpointAndScaleSpec extends SparkSuite {
       DeltaLog.listVersions(t, graft.util.HadoopConfs.session(spark)))
     assert(meta.exists(_.schemaString == schemaJson))
   }
+
+  test("v2 checkpoint WRITE: spec-shaped main + sidecars, policy-routed, " +
+    "replays after cleanup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = tmpDir("ckpt_v2_write")
+    val conf = graft.util.HadoopConfs.session(spark)
+    graft.formats.delta.DeltaWrite.write(spark, t,
+      (0L until 12L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartition(3), overwrite = false)
+    graft.formats.delta.DeltaWrite.write(spark, t,
+      (12L until 20L).map(i => (i, s"n$i")).toDF("id", "name")
+        .coalesce(1), overwrite = false)
+    val schema = new DeltaConversionSource(spark, t, "t")
+      .currentTable().schema
+
+    DeltaSnapshot.writeCheckpointV2(spark, t, 1L, schema)
+
+    // shape parity with delta-spark's v2 dialect: UUID-named main file,
+    // sidecar parquet under _delta_log/_sidecars, checkpointMetadata
+    // action pinning the version, sidecar actions carrying
+    // path/sizeInBytes/modificationTime
+    val logFiles = new java.io.File(s"$t/_delta_log").listFiles()
+      .map(_.getName)
+    val mainName = logFiles.find(n =>
+      n.matches("0{19}1\\.checkpoint\\.[0-9a-f-]{36}\\.parquet"))
+    assert(mainName.isDefined, logFiles.toSeq.sorted.mkString(","))
+    assert(!logFiles.exists(_ == f"${1L}%020d.checkpoint.parquet"),
+      "classic checkpoint must not also be written")
+    val sidecarFiles = new java.io.File(s"$t/_delta_log/_sidecars")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(sidecarFiles.nonEmpty)
+    val main = spark.read.parquet(s"$t/_delta_log/${mainName.get}")
+    assert(Seq("checkpointMetadata", "sidecar", "metaData", "protocol")
+      .forall(main.columns.contains), main.columns.toSeq)
+    assert(main.filter(col("checkpointMetadata").isNotNull)
+      .select("checkpointMetadata.version").as[Long].head() == 1L)
+    val scRows = main.filter(col("sidecar").isNotNull)
+      .select("sidecar.path", "sidecar.sizeInBytes",
+        "sidecar.modificationTime").collect()
+    assert(scRows.map(_.getString(0)).toSet == sidecarFiles.toSet)
+    assert(scRows.forall(_.getLong(1) > 0L))
+    // main file itself carries NO adds — they are all in sidecars
+    assert(!main.columns.contains("add"))
+
+    // the engine's own read path replays it after cleanup of v0's JSON
+    Files.delete(Paths.get(DeltaLog.versionFile(t, 0L)))
+    val df = new DeltaConversionSource(spark, t, "t").toDataFrame
+    assert(df.count() == 20)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0L until 20L).sum)
+
+    // policy routing: a table carrying delta.checkpointPolicy=v2 gets the
+    // v2 shape from the GENERIC writeCheckpoint entry point
+    val t2 = tmpDir("ckpt_v2_policy")
+    graft.formats.delta.DeltaWrite.write(spark, t2,
+      (0L until 5L).map(i => (i, s"p$i")).toDF("id", "name").coalesce(1),
+      overwrite = false)
+    val m0 = DeltaSnapshot.metadata(spark, t2,
+      DeltaLog.listVersions(t2, conf)).get
+    val mJson = graft.util.Jsons.toJson(Map("metaData" -> Map(
+      "id" -> m0.id, "format" -> Map("provider" -> "parquet",
+        "options" -> Map.empty),
+      "schemaString" -> m0.schemaString,
+      "partitionColumns" -> m0.partitionColumns,
+      "configuration" -> Map("delta.checkpointPolicy" -> "v2"),
+      "createdTime" -> m0.createdTime)))
+    assert(DeltaLog.writeCommit(t2, 1L, Iterator(mJson)))
+    DeltaSnapshot.writeCheckpoint(spark, t2, 1L, m0.schema)
+    val names2 = new java.io.File(s"$t2/_delta_log").listFiles().map(_.getName)
+    assert(names2.exists(_.matches(
+      "0{19}1\\.checkpoint\\.[0-9a-f-]{36}\\.parquet")), names2.toSeq)
+    assert(!names2.contains(f"${1L}%020d.checkpoint.parquet"))
+    val back = new DeltaConversionSource(spark, t2, "t2").toDataFrame
+    assert(back.count() == 5)
+  }
 }
