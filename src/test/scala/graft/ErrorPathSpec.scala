@@ -304,8 +304,8 @@ class ErrorPathSpec extends SparkSuite {
     }
     assert(e4.getMessage.contains("append-only"), e4.getMessage)
 
-    // Hudi 1.x: timeline moved under .hoodie/timeline — refuse rather
-    // than serve the table as empty
+    // Hudi 1.x (table version 8): READ natively since r13 — listing
+    // serves the timeline-dir completed instants by request time
     val h = tmpDir("hudi_v8")
     Files.createDirectories(Paths.get(h, ".hoodie", "timeline"))
     Files.write(Paths.get(h, ".hoodie", "hoodie.properties"),
@@ -313,9 +313,26 @@ class ErrorPathSpec extends SparkSuite {
         .getBytes("UTF-8"))
     Files.write(Paths.get(h, ".hoodie", "timeline",
       "20240101000000000_20240101000000001.commit"), "{}".getBytes("UTF-8"))
+    assert(graft.formats.hudi.HudiTimeline.listInstants(h) ==
+      Seq("20240101000000000"))
+    // writes into the 1.x layout still refuse (graft writes the v6
+    // dialect; legacy-located instants would fork the timeline)
     val e5 = intercept[UnsupportedOperationException] {
-      graft.formats.hudi.HudiTimeline.listInstants(h)
+      graft.formats.hudi.HudiTimeline.writeCommit(
+        graft.formats.hudi.HudiTimeline.CommitMeta("20240101000000002",
+          "commit", Map.empty, Map.empty, Map.empty), h)
     }
-    assert(e5.getMessage.contains("1.x timeline layout"), e5.getMessage)
+    assert(e5.getMessage.contains("1.x"), e5.getMessage)
+
+    // a FUTURE table version (> 9) still refuses to read — unknown layout
+    val h2 = tmpDir("hudi_v10")
+    Files.createDirectories(Paths.get(h2, ".hoodie", "timeline"))
+    Files.write(Paths.get(h2, ".hoodie", "hoodie.properties"),
+      "hoodie.table.name=t\nhoodie.table.type=COPY_ON_WRITE\nhoodie.table.version=10\n"
+        .getBytes("UTF-8"))
+    val e6 = intercept[UnsupportedOperationException] {
+      graft.formats.hudi.HudiTimeline.listInstants(h2)
+    }
+    assert(e6.getMessage.contains("newer"), e6.getMessage)
   }
 }
