@@ -115,36 +115,67 @@ object Bpe {
     out
   }
 
+  /** Growable unboxed int list (the `where` index at a 10^6-word
+    * vocabulary holds one entry per symbol adjacency — boxed sets cost
+    * ~50 bytes/entry where this costs 4).
+    */
+  private final class IntVec {
+    var a = new Array[Int](8)
+    var n = 0
+    def add(x: Int): Unit = {
+      if (n > 0 && a(n - 1) == x) return // collapse same-word repeats
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(n) = x
+      n += 1
+    }
+  }
+
   /** In-process merge loop over the collected vocabulary table —
     * bit-identical to [[train]]'s argmax (same counts, same tie-break,
     * same < 2 stop). Incremental: only words containing the merged pair
     * are rescanned per iteration, and the pair-count table is updated by
     * delta, so a merge over a rare pair costs O(words containing it),
-    * not O(vocabulary).
+    * not O(vocabulary). Memory shape for 10^6+ vocabularies: single-char
+    * and fused symbols are SHARED instances (one String per distinct
+    * symbol, words hold references), and the pair→words index is an
+    * unboxed int list.
     */
   private[graft] def driverTrain(table: Array[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
-    var vocab: Array[(IndexedSeq[String], Long)] =
-      table.map { case (w, f) => (toSymbols(w).toIndexedSeq, f) }
-    // pair -> count, plus pair -> word indexes containing it
+    val symCache = new java.util.HashMap[String, String]()
+    def shared(s: String): String = {
+      val prev = symCache.putIfAbsent(s, s)
+      if (prev == null) s else prev
+    }
+    val freqs: Array[Long] = table.map(_._2)
+    val vocab: Array[Array[String]] = table.map { case (w, _) =>
+      val arr = new Array[String](w.length + 1)
+      var i = 0
+      while (i < w.length) { arr(i) = shared(w.substring(i, i + 1)); i += 1 }
+      arr(w.length) = Eow
+      arr
+    }
     val counts = scala.collection.mutable.Map.empty[(String, String), Long]
     val where = scala.collection.mutable
-      .Map.empty[(String, String), scala.collection.mutable.Set[Int]]
-    def scan(wi: Int, sign: Long): Unit = {
-      val (syms, f) = vocab(wi)
+      .Map.empty[(String, String), IntVec]
+    def bump(wi: Int, syms: Array[String], sign: Long, index: Boolean)
+        : Unit = {
+      val f = freqs(wi)
       var i = 0
       while (i < syms.length - 1) {
         val p = (syms(i), syms(i + 1))
         val c = counts.getOrElse(p, 0L) + sign * f
         if (c == 0L) counts.remove(p) else counts(p) = c
-        if (sign > 0)
-          where.getOrElseUpdate(p,
-            scala.collection.mutable.Set.empty[Int]) += wi
+        if (index)
+          where.getOrElseUpdate(p, new IntVec).add(wi)
         i += 1
       }
-      if (sign < 0) () // stale `where` entries are re-checked on use
     }
-    vocab.indices.foreach(scan(_, 1L))
+    var wi0 = 0
+    while (wi0 < vocab.length) {
+      bump(wi0, vocab(wi0), 1L, index = true)
+      wi0 += 1
+    }
     val merges = Seq.newBuilder[(String, String)]
     var n = 0
     var stop = false
@@ -160,21 +191,37 @@ object Bpe {
       if (best == null || bestC < 2) stop = true
       else {
         merges += best
-        val hits = where.getOrElse(best, scala.collection.mutable.Set.empty)
-        hits.toSeq.sorted.foreach { wi =>
-          val (syms, f) = vocab(wi)
+        val (a, b) = best
+        val fused = shared(a + b)
+        val hits = where.getOrElse(best, new IntVec)
+        var h = 0
+        while (h < hits.n) {
+          val wi = hits.a(h)
+          val syms = vocab(wi)
           // re-check: the index can be stale after earlier merges
           var has = false
           var i = 0
           while (i < syms.length - 1 && !has) {
-            has = syms(i) == best._1 && syms(i + 1) == best._2
+            has = syms(i) == a && syms(i + 1) == b
             i += 1
           }
           if (has) {
-            scan(wi, -1L)
-            vocab(wi) = (mergePair(syms, best._1, best._2).toIndexedSeq, f)
-            scan(wi, 1L)
+            bump(wi, syms, -1L, index = false)
+            // in-place leftmost merge with the SHARED fused instance
+            val out = new Array[String](syms.length)
+            var src = 0
+            var dst = 0
+            while (src < syms.length) {
+              if (src + 1 < syms.length && syms(src) == a &&
+                  syms(src + 1) == b) {
+                out(dst) = fused; src += 2
+              } else { out(dst) = syms(src); src += 1 }
+              dst += 1
+            }
+            vocab(wi) = java.util.Arrays.copyOf(out, dst)
+            bump(wi, vocab(wi), 1L, index = true)
           }
+          h += 1
         }
         where.remove(best)
         n += 1

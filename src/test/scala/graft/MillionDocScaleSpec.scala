@@ -296,4 +296,46 @@ class MillionDocScaleSpec extends SparkSuite {
       row.getAs[Long]("kept_tokens") == 16L, row.toString)
     assert(sec < 900, s"substring dedup too slow: $sec")
   }
+
+  test("1M-word vocabulary: BPE trainFast stays two Spark jobs and " +
+    "vocabulary-bounded time") {
+    // 1M DISTINCT 16-char hex words, one row per word: the
+    // word-frequency table IS the corpus here, isolating the training
+    // scale axis. The merge loop must run in-process on the collected
+    // table (2 Spark jobs regardless of merge count) — at this
+    // vocabulary a job-per-merge trainer would pay 40 scheduler
+    // round-trips over a 1M-row shuffle each. The hex alphabet makes
+    // the WORST case for incrementality: every pair occurs in ~every
+    // word, so each merge rescans the bulk of the vocabulary.
+    val words = spark.range(n).select(
+      lpad(hex(xxhash64(col("id"), lit(1))), 16, "0").as("text"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (merges, sec) = try {
+      timed("bpe trainFast @ 1M vocab") {
+        graft.operators.Bpe.trainFast(words, "text", numMerges = 20)
+      }
+    } finally {
+      // drain: one sentinel job, then remove
+      spark.range(1).count()
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(merges.size == 20, s"${merges.size} merges")
+    // merges stay within the corpus alphabet: lowercased hex (the shared
+    // tokenization lowercases) + the end-of-word marker
+    assert(merges.forall { case (a, b) =>
+      (a + b).replace(graft.operators.Bpe.Eow, "")
+        .forall("0123456789abcdef".contains(_)) }, merges.toString)
+    // 2 jobs for the word-frequency aggregation + collect, plus the
+    // sentinel and at most a couple of planner jobs — NEVER per-merge
+    assert(jobs.get() <= 10,
+      s"trainFast ran ${jobs.get()} jobs at 1M vocab — expected O(1)")
+    assert(sec < 300, s"1M-vocab training too slow: $sec s")
+  }
 }
