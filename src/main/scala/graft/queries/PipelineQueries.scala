@@ -943,7 +943,22 @@ object PipelineQueries {
     }
     val stream = s.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    graft.util.PhaseTimer.time("streaming_dedup_minhash.drain") {
+    // per-micro-batch attribution (r12 judge ask): the drain phase runs a
+    // full streaming engine over two triggers — a listener splits it into
+    // batch0 (state writes, no priors) and batch1 (cross-batch candidate
+    // emission + verify join) so a drift is attributable to one of them
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0)
+          graft.util.PhaseTimer.snapshotPut(
+            s"streaming_dedup_minhash.batch${e.progress.batchId}",
+            e.progress.batchDuration / 1e3)
+    }
+    s.streams.addListener(listener)
+    try graft.util.PhaseTimer.time("streaming_dedup_minhash.drain") {
       val q = graft.streaming.StreamingOps.withStatePartitions(s, 8) {
         graft.streaming.StreamingOps
           .streamingMinhashPairs(stream, raw, "doc_id", "text")
@@ -952,7 +967,7 @@ object PipelineQueries {
           .trigger(Trigger.AvailableNow()).start()
       }
       q.awaitTermination()
-    }
+    } finally s.streams.removeListener(listener)
     s.read.parquet(out)
       .select("doc_a", "doc_b", "jaccard").distinct()
       .orderBy("doc_a", "doc_b")

@@ -18,6 +18,11 @@ object PhaseTimer {
     r
   }
 
+  /** Record an externally-measured duration (e.g. a streaming listener's
+    * batchDuration) under the same diagnostic namespace. */
+  def snapshotPut(name: String, seconds: Double): Unit =
+    timings.put(name, seconds)
+
   def snapshot(): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     timings.asScala.toMap
