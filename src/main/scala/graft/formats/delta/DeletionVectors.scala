@@ -22,11 +22,18 @@ import graft.model.DvDescriptor
   *     dataSize bytes : serialized 64-bit roaring bitmap ("portable")
   *     int32 BE       : CRC-32 of the dataSize bytes
   *
-  * The payload is the RoaringBitmapArray portable serialization: a 4-byte
+  * The payload is the RoaringBitmapArray PORTABLE serialization (the
+  * 64-bit "portable" format of the public RoaringFormatSpec, which
+  * delta-spark's RoaringBitmapArray.scala documents verbatim): a 4-byte
   * little-endian magic (1681511377), an 8-byte little-endian count of
-  * 32-bit bitmaps, then each bitmap in the standard roaring portable
-  * format. A deleted 64-bit row position p lives in bitmap (p >>> 32) at
-  * 32-bit value p.toInt.
+  * 32-bit bitmaps, then each bitmap IN ASCENDING KEY ORDER as a 4-byte
+  * little-endian key followed by the standard 32-bit roaring portable
+  * serialization. A deleted 64-bit row position p lives in the bitmap
+  * keyed (p >>> 32) at 32-bit value p.toInt. (Iceberg v3 deletion
+  * vectors reuse this exact payload — its blob magic bytes D1 D3 39 64
+  * ARE this magic little-endian — so [[serializeBitmap]] /
+  * [[deserializeBitmap]] back both formats; see
+  * graft.formats.iceberg.Puffin.)
   *
   * `storageType` dispatch: `u` names a file `deletion_vector_<uuid>.bin`
   * under the table (optional random-prefix directory), with the UUID
@@ -109,21 +116,30 @@ object DeletionVectors {
 
   // ------------------------------------------------------- bitmap codec
 
-  /** Serialize sorted 64-bit row positions as a portable RoaringBitmapArray. */
+  /** Serialize sorted 64-bit row positions as a portable
+    * RoaringBitmapArray: each non-empty 32-bit bitmap prefixed by its
+    * 4-byte little-endian key, keys ascending — the RoaringFormatSpec
+    * 64-bit portable layout delta-spark writes (its in-memory array is
+    * key-dense, so it serializes every key 0..max including empty ones;
+    * we skip empties — both are valid portable streams and
+    * [[deserializeBitmap]] reads either because it trusts the written
+    * key, not the position).
+    */
   def serializeBitmap(positions: Seq[Long]): Array[Byte] = {
-    val byHigh = positions.groupBy(p => (p >>> 32).toInt)
-    val maxHigh = if (byHigh.isEmpty) -1 else byHigh.keys.max
-    val bitmaps = (0 to maxHigh).map { h =>
+    val byHigh = positions.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
+    val bitmaps = byHigh.map { case (h, ps) =>
       val rb = new RoaringBitmap()
-      byHigh.getOrElse(h, Nil).foreach(p => rb.add(p.toInt))
+      ps.foreach(p => rb.add(p.toInt))
       rb.runOptimize()
-      rb
+      (h, rb)
     }
-    val size = 4 + 8 + bitmaps.map(_.serializedSizeInBytes().toLong).sum
+    val size = 4 + 8 +
+      bitmaps.map(4L + _._2.serializedSizeInBytes().toLong).sum
     val buf = ByteBuffer.allocate(size.toInt).order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(PortableMagic)
     buf.putLong(bitmaps.length.toLong)
-    bitmaps.foreach { rb =>
+    bitmaps.foreach { case (h, rb) =>
+      buf.putInt(h)
       val b = ByteBuffer.allocate(rb.serializedSizeInBytes())
         .order(ByteOrder.LITTLE_ENDIAN)
       rb.serialize(b)
@@ -141,17 +157,22 @@ object DeletionVectors {
       s"bad deletion-vector magic $magic (want $PortableMagic)")
     val n = buf.getLong
     val out = Array.newBuilder[Long]
-    var h = 0L
-    while (h < n) {
+    var i = 0L
+    var lastKey = -1L
+    while (i < n) {
+      val key = buf.getInt
+      require(key > lastKey,
+        s"deletion-vector bitmap keys not ascending: $key after $lastKey")
+      lastKey = key
       val slice = buf.slice().order(ByteOrder.LITTLE_ENDIAN)
       val rb = new RoaringBitmap()
       rb.deserialize(slice)
       buf.position(buf.position() + rb.serializedSizeInBytes())
-      val hi = h << 32
+      val hi = key.toLong << 32
       rb.forEach(new org.roaringbitmap.IntConsumer {
         override def accept(v: Int): Unit = out += (hi | (v & 0xffffffffL))
       })
-      h += 1
+      i += 1
     }
     out.result()
   }

@@ -2,6 +2,7 @@ package graft.formats.iceberg
 
 import java.util.UUID
 
+import org.apache.avro.generic.GenericRecord
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -218,6 +219,139 @@ object IcebergDeletes {
     appendCommit(spark, tablePath, rows = null, content = 0,
       equalityIds = Nil, dataDir = Some(parquetDir), toBranch = toBranch)
 
+  /** Commit DELETION VECTORS (Iceberg spec v3): one puffin file holding
+    * one `deletion-vector-v1` blob per masked data file, referenced from
+    * a delete manifest whose entries carry the v3 fields 143-145. A v2
+    * table upgrades to format-version 3 in the same commit (writes
+    * other than this refuse on v3 — see the gate in [[appendCommit]]).
+    *
+    * Spec rule enforced here: AT MOST ONE live DV per data file — a new
+    * DV for an already-masked file MERGES the old positions and the old
+    * manifest entry is dropped (its manifest rewritten without it).
+    *
+    * `dvs` maps data-file path → deleted row positions within that file.
+    */
+  def appendDeletionVectors(spark: SparkSession, tablePath: String,
+      dvs: Map[String, Seq[Long]], attempt: Int = 0): Unit = {
+    require(dvs.nonEmpty, "no deletion vectors to commit")
+    val (version, m) = currentMeta(spark, tablePath)
+    require(m.partitionSpec.isEmpty,
+      s"appendDeletionVectors supports unpartitioned tables for now; " +
+        s"$tablePath is partitioned")
+    val canon = dvs.map { case (p, ps) =>
+      graft.util.PathUtils.canonical(p) -> ps.distinct.sorted }
+    // every referenced file must be a live data file — a DV for an
+    // unknown path would silently mask nothing
+    val live = IcebergManifests.liveDataFileSeqs(spark,
+        m.currentSnapshot.map(_.manifestList).getOrElse(
+          throw new IllegalStateException(s"empty table at $tablePath")))
+      .collect().map(_._1).toSet
+    val unknown = canon.keySet.diff(live)
+    require(unknown.isEmpty,
+      s"deletion vectors reference non-live data files: ${unknown.mkString(", ")}")
+
+    // merge rule: existing live DVs for the same files fold in
+    val oldRefs = liveDeleteRefs(m, m.headSequence)
+    require(oldRefs.forall(r => r.isDeletionVector || r.content == 2),
+      s"table at $tablePath has live parquet position-delete files; v3 " +
+        "forbids them — rewriteWithDeletes first")
+    val superseded = oldRefs.filter(r =>
+      r.isDeletionVector && r.referencedDataFile
+        .map(graft.util.PathUtils.canonical).exists(canon.contains))
+    val merged: Map[String, Seq[Long]] = canon.map { case (file, ps) =>
+      val old = superseded.filter(_.referencedDataFile
+          .map(graft.util.PathUtils.canonical).contains(file))
+        .flatMap(r => Puffin.readDeletionVector(r.path,
+          r.contentOffset.get, r.contentSizeBytes.get))
+      file -> (ps ++ old).distinct.sorted
+    }
+
+    val mdir = IcebergMetadata.metadataDir(tablePath)
+    val snapshotId = m.lastSequenceNumber + 1
+    val seq = snapshotId
+    val puffinPath = s"$tablePath/data/dv-${UUID.randomUUID()}.puffin"
+    val ordered = merged.toSeq.sortBy(_._1)
+    val blobs = Puffin.writeDeletionVectors(puffinPath, snapshotId, seq,
+      ordered.map { case (f, ps) => Puffin.Dv(f, ps) })
+    val puffinSize = java.nio.file.Files.size(
+      java.nio.file.Paths.get(graft.util.PathUtils.canonical(puffinPath)))
+    val manifestPath = s"$mdir/m-${UUID.randomUUID()}-dv-deletes.avro"
+    val len = IcebergManifests.writeManifest(manifestPath,
+      ordered.zip(blobs).iterator.map { case ((file, ps), blob) =>
+        IcebergManifests.dvEntry(IcebergManifests.Status.Added, snapshotId,
+          puffinPath, puffinSize, ps.size.toLong, file,
+          blob.offset, blob.length)
+      })
+    val dvManifest = IcebergManifests.ManifestSummary(manifestPath, len,
+      snapshotId, ordered.size, 0, 0, ordered.map(_._2.size.toLong).sum, 0L,
+      content = 1, specId = m.defaultSpecId)
+
+    // carry forward every previous manifest; delete manifests holding a
+    // superseded DV entry are rewritten without it (spec: one DV per
+    // data file)
+    val supersededManifests = superseded.map(_.path).toSet
+    val carried = m.currentSnapshot
+      .map(s => IcebergManifests.readManifestListRecords(s.manifestList))
+      .getOrElse(Nil)
+    val (needRewrite, untouched) = carried.partition { r =>
+      IcebergManifests.contentOf(r) == 1 && supersededManifests.nonEmpty && {
+        IcebergManifests.readManifest(r.get("manifest_path").toString)
+          .exists { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val ref = Option(IcebergManifests
+              .fieldOr(df, "referenced_data_file")).map(_.toString)
+            ref.map(graft.util.PathUtils.canonical).exists(canon.contains)
+          }
+      }
+    }
+    val rewritten = needRewrite.flatMap { r =>
+      val kept = IcebergManifests
+        .readManifest(r.get("manifest_path").toString)
+        .filter { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val ref = Option(IcebergManifests
+            .fieldOr(df, "referenced_data_file")).map(_.toString)
+          !ref.map(graft.util.PathUtils.canonical).exists(canon.contains)
+        }.toSeq
+      if (kept.isEmpty) None
+      else {
+        val p = s"$mdir/m-${UUID.randomUUID()}-dv-carry.avro"
+        val l = IcebergManifests.writeManifest(p, kept.iterator)
+        Some(IcebergManifests.ManifestSummary(p, l,
+          IcebergManifests.longOf(r.get("sequence_number"), seq),
+          0, kept.size, 0, 0L, kept.map { e =>
+            e.get("data_file").asInstanceOf[GenericRecord]
+              .get("record_count").asInstanceOf[Long]
+          }.sum, content = 1,
+          specId = r.get("partition_spec_id").asInstanceOf[Int]))
+      }
+    }
+    val listPath =
+      s"$mdir/snap-$snapshotId-${UUID.randomUUID()}-manifest-list.avro"
+    IcebergManifests.writeManifestListRecords(listPath, untouched,
+      rewritten :+ dvManifest)
+
+    val now = System.currentTimeMillis()
+    val ok = IcebergMetadata.write(tablePath, version + 1, m.copy(
+      formatVersion = 3,
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = snapshotId,
+      snapshots = m.snapshots :+
+        IcebergSnapshot(snapshotId, seq, now, listPath, None, "delete",
+          parentSnapshotId = m.currentSnapshot.map(_.snapshotId))))
+    if (!ok) {
+      // a DV commit is re-plannable under ANY interleaving: everything —
+      // liveness of the referenced files, the merge against whatever DV
+      // now masks them, the carry-forward — derives from the head, so a
+      // lost CAS just re-runs the whole plan against the new head
+      if (attempt >= MaxCommitRetries) throw new IllegalStateException(
+        s"concurrent writer committed metadata v${version + 1} first at " +
+          s"$tablePath and retries are exhausted — re-run")
+      appendDeletionVectors(spark, tablePath, dvs, attempt + 1)
+    }
+  }
+
   private def currentMeta(spark: SparkSession, tablePath: String)
       : (Long, IcebergTableMetadata) = {
     val version = IcebergMetadata.currentVersion(tablePath).getOrElse(
@@ -379,6 +513,16 @@ object IcebergDeletes {
         meta.properties.get(key).exists(_.toLong >= id)
       }
     var (version, m) = currentMeta(spark, tablePath)
+    // v3 write gate: data writes must assign first_row_id (row lineage)
+    // and parquet position-delete FILES are forbidden in v3 (deletion
+    // vectors replace them) — writing either would author a table real
+    // v3 readers misinterpret. DV commits go through
+    // [[appendDeletionVectors]]; everything else refuses.
+    if (m.formatVersion >= 3) throw new UnsupportedOperationException(
+      s"Iceberg table at $tablePath is format-version 3: this engine " +
+        "reads v3 (deletion vectors applied) but writes only v2 data/" +
+        "delete commits — use appendDeletionVectors for row deletes, " +
+        "or copy the table to a v2 target")
     if (txnAlreadyCommitted(m)) return false
 
     // global min/max of the delete KEYS per equality column, canonical-
@@ -635,11 +779,36 @@ object IcebergDeletes {
     */
   def applyPositionDeletes(spark: SparkSession, df: DataFrame,
       refs: Seq[DeleteFileRef], tablePath: String): DataFrame = {
+    import spark.implicits._
     val pos = refs.filter(_.content == 1)
     if (pos.isEmpty) return df
-    val deleted = spark.read.parquet(pos.map(_.path): _*)
-      .select(graft.util.PathCols.canonical(col("file_path"))
-        .as("__del_path"), col("pos").as("__del_pos"))
+    // v3 deletion vectors decode EXECUTOR-side (a DV can carry millions
+    // of positions — the driver sees only the blob coordinates); v2
+    // parquet position-delete files scan as parquet. Both shapes land in
+    // the same (__del_path, __del_pos) frame.
+    val (dvRefs, fileRefs) = pos.partition(_.isDeletionVector)
+    val badDv = dvRefs.filter(r => r.referencedDataFile.isEmpty ||
+      r.contentOffset.isEmpty || r.contentSizeBytes.isEmpty)
+    if (badDv.nonEmpty) throw new DeletionVectorsUnsupported(
+      s"table at $tablePath has deletion-vector entries missing " +
+        s"referenced_data_file/content_offset/content_size_in_bytes: " +
+        badDv.map(_.path).mkString(", "))
+    val fromFiles =
+      if (fileRefs.isEmpty) None
+      else Some(spark.read.parquet(fileRefs.map(_.path): _*)
+        .select(graft.util.PathCols.canonical(col("file_path"))
+          .as("__del_path"), col("pos").as("__del_pos")))
+    val fromDvs =
+      if (dvRefs.isEmpty) None
+      else Some(graft.util.Par.ds(spark,
+          dvRefs.map(r => (r.path, r.referencedDataFile.get,
+            r.contentOffset.get, r.contentSizeBytes.get)), 64)
+        .flatMap { case (p, refFile, off, len) =>
+          Puffin.readDeletionVector(p, off, len).iterator
+            .map(ps => (graft.util.PathUtils.canonical(refFile), ps))
+        }
+        .toDF("__del_path", "__del_pos"))
+    val deleted = (fromFiles.toSeq ++ fromDvs.toSeq).reduce(_ union _)
     // a caller that already keyed the scan (change-feed diffs) keeps its
     // keys; otherwise derive them from the scan metadata and strip after
     val hasKeys = df.columns.contains("__scan_path")

@@ -121,7 +121,15 @@ object IcebergManifests {
     */
   final case class DeleteFileRef(path: String, content: Int,
       recordCount: Long, fileSizeBytes: Long, seq: Long,
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int],
+      // v3 deletion vectors (file_format=PUFFIN): fields 143-145 — the
+      // masked data file and the blob's frame coordinates in the puffin
+      fileFormat: String = "PARQUET",
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSizeBytes: Option[Long] = None) {
+    def isDeletionVector: Boolean = fileFormat.equalsIgnoreCase("PUFFIN")
+  }
 
   object Status { val Existing = 0; val Added = 1; val Deleted = 2 }
 
@@ -258,7 +266,7 @@ object IcebergManifests {
     }.toMap
   }
 
-  private def longOf(v: AnyRef, dflt: Long): Long = v match {
+  private[iceberg] def longOf(v: AnyRef, dflt: Long): Long = v match {
     case l: java.lang.Long => l
     case i: java.lang.Integer => i.toLong
     case _ => dflt
@@ -268,7 +276,7 @@ object IcebergManifests {
     * field absent from the writer schema (e.g. graft's engine-extension
     * fields when reading a real writer's file).
     */
-  private def fieldOr(r: GenericRecord, name: String): AnyRef =
+  private[iceberg] def fieldOr(r: GenericRecord, name: String): AnyRef =
     if (r.getSchema.getField(name) == null) null else r.get(name)
 
   def fromEntry(e: GenericRecord, schema: StructType): (Int, FileEntry) = {
@@ -402,6 +410,55 @@ object IcebergManifests {
     out.put("snapshot_id", longOf(fieldOr(e, "snapshot_id"), 0L))
     out.put("data_file", df)
     out
+  }
+
+  /** manifest_entry schema for v3 DELETION-VECTOR delete manifests:
+    * the position-delete data_file shape plus the v3 DV fields —
+    * referenced_data_file (143), content_offset (144),
+    * content_size_in_bytes (145). Unpartitioned (empty r102):
+    * [[graft.formats.iceberg.IcebergDeletes.appendDeletionVectors]]
+    * refuses partitioned tables until partition values are threaded
+    * through.
+    */
+  lazy val DvEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":"long","field-id":1},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+      |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
+      |]}}]}""".stripMargin)
+
+  /** One deletion-vector manifest entry (v3): content=1 (position
+    * deletes), file_path names the puffin, fields 143-145 locate the
+    * blob inside it.
+    */
+  def dvEntry(status: Int, snapshotId: Long, puffinPath: String,
+      puffinSizeBytes: Long, cardinality: Long, referencedDataFile: String,
+      contentOffset: Long, contentSizeBytes: Long): GenericRecord = {
+    val dfSchema = DvEntrySchema.getField("data_file").schema()
+    val df = new GenericData.Record(dfSchema)
+    df.put("content", 1)
+    df.put("file_path", puffinPath)
+    df.put("file_format", "PUFFIN")
+    df.put("partition",
+      new GenericData.Record(dfSchema.getField("partition").schema()))
+    df.put("record_count", cardinality)
+    df.put("file_size_in_bytes", puffinSizeBytes)
+    df.put("referenced_data_file", referencedDataFile)
+    df.put("content_offset", contentOffset)
+    df.put("content_size_in_bytes", contentSizeBytes)
+    val e = new GenericData.Record(DvEntrySchema)
+    e.put("status", status); e.put("snapshot_id", snapshotId)
+    e.put("data_file", df)
+    e
   }
 
   def writeManifest(path: String, entries: Iterator[GenericRecord]): Long = {
@@ -591,16 +648,30 @@ object IcebergManifests {
           .filter(_.get("status").asInstanceOf[Int] != Status.Deleted)
           .map { e =>
             val df = e.get("data_file").asInstanceOf[GenericRecord]
-            val eqIds = df.get("equality_ids") match {
-              case null => Nil
+            val eqIds = fieldOr(df, "equality_ids") match {
               case l: java.util.List[_] =>
                 l.asScala.map(_.asInstanceOf[Int]).toSeq
+              case _ => Nil
+            }
+            // v3 DV fields — absent from v2 writer schemas, so probe the
+            // schema before get (Avro's Record.get(String) throws on an
+            // unknown field)
+            def opt(n: String): Option[AnyRef] = Option(fieldOr(df, n))
+            def optLong(n: String): Option[Long] = opt(n).collect {
+              case v: java.lang.Long => v.longValue
+              case v: java.lang.Integer => v.longValue
             }
             DeleteFileRef(
               graft.util.PathUtils.canonical(df.get("file_path").toString),
               df.get("content").asInstanceOf[Int],
               df.get("record_count").asInstanceOf[Long],
-              df.get("file_size_in_bytes").asInstanceOf[Long], seq, eqIds)
+              df.get("file_size_in_bytes").asInstanceOf[Long], seq, eqIds,
+              fileFormat = opt("file_format")
+                .map(_.toString).getOrElse("PARQUET"),
+              referencedDataFile = opt("referenced_data_file")
+                .map(_.toString),
+              contentOffset = optLong("content_offset"),
+              contentSizeBytes = optLong("content_size_in_bytes"))
           }
       }
 

@@ -57,7 +57,15 @@ case class IcebergTableMetadata(
     currentSchemaId: Int = 0,
     defaultSpecId: Int = 0,
     otherSchemas: Seq[String] = Nil,
-    otherSpecs: Seq[String] = Nil) {
+    otherSpecs: Seq[String] = Nil,
+    // format-version this table is served/persisted at. graft authors v2;
+    // v3 appears by reading an external v3 table or upgrading one for a
+    // deletion-vector commit (IcebergDeletes.appendDeletionVectors).
+    formatVersion: Int = 2,
+    // v3 row lineage: the next first_row_id to assign. Carried verbatim;
+    // graft refuses DATA writes into v3 tables (it would have to assign
+    // row ids), so this never advances here.
+    nextRowId: Long = 0L) {
   def currentSnapshot: Option[IcebergSnapshot] =
     snapshots.find(_.snapshotId == currentSnapshotId)
   def snapshotBySeq(seq: Long): Option[IcebergSnapshot] =
@@ -191,7 +199,9 @@ object IcebergMetadata {
       : Boolean = {
     val nf = JsonNodeFactory.instance
     val o = nf.objectNode()
-    o.put("format-version", 2)
+    o.put("format-version", meta.formatVersion)
+    // v3 requires next-row-id (row lineage); absent in v1/v2
+    if (meta.formatVersion >= 3) o.put("next-row-id", meta.nextRowId)
     o.put("table-uuid", meta.tableUuid)
     o.put("location", meta.location)
     o.put("last-sequence-number", meta.lastSequenceNumber)
@@ -261,14 +271,16 @@ object IcebergMetadata {
     val json = new String(Files.readAllBytes(
       JPaths.get(metadataFile(tablePath, version))), StandardCharsets.UTF_8)
     val n = Jsons.mapper.readTree(json)
-    // spec §Format Versioning: v1/v2 are implemented; v3 adds deletion
-    // vectors (puffin), row lineage and defaults — serving a v3 table
-    // without them can return WRONG rows, so refuse loudly
-    Option(n.get("format-version")).map(_.asInt).filter(_ > 2).foreach(v =>
-      throw new UnsupportedOperationException(
-        s"Iceberg table at $tablePath is format-version $v; this engine " +
-          "implements v1/v2 — refusing rather than ignoring v3 deletion " +
-          "vectors or row-lineage semantics"))
+    // spec §Format Versioning: v1/v2/v3 are implemented (v3 since r13:
+    // puffin deletion vectors applied at read, next-row-id carried,
+    // data writes refused). Higher versions refuse loudly — serving a
+    // table whose semantics this engine doesn't know can return WRONG
+    // rows.
+    val fmtVersion = Option(n.get("format-version")).map(_.asInt).getOrElse(1)
+    if (fmtVersion > 3) throw new UnsupportedOperationException(
+      s"Iceberg table at $tablePath is format-version $fmtVersion; this " +
+        "engine implements v1/v2/v3 — refusing rather than guess at " +
+        "newer-version semantics")
     // current schema: the `schemas` entry named by `current-schema-id` —
     // a real table that evolved keeps every historical schema in the
     // array (current is usually LAST, not first). v1 metadata carries a
@@ -287,6 +299,20 @@ object IcebergMetadata {
     val otherSchemas = schemaNodes.filterNot(_ eq curSchemaNode)
       .map(_.toString)
     val schema = IcebergSchemas.fromIcebergJson(curSchemaNode.toString)
+    // v3 default values: a field added with a non-null initial-default
+    // must be SERVED with that default for pre-existing files — this
+    // engine doesn't implement that yet, and null-filling instead would
+    // be a silent wrong answer, so refuse the table loudly
+    if (fmtVersion >= 3) {
+      val withDefaults = curSchemaNode.get("fields").elements().asScala
+        .filter(f => Option(f.get("initial-default"))
+          .exists(d => !d.isNull))
+        .map(_.get("name").asText).toSeq
+      if (withDefaults.nonEmpty) throw new UnsupportedOperationException(
+        s"Iceberg v3 table at $tablePath has field(s) with initial-default " +
+          s"(${withDefaults.mkString(", ")}); serving them without default " +
+          "materialization would return wrong values — refusing")
+    }
     // default partition spec: same rule via `default-spec-id`; v1 carries
     // a singular `partition-spec` (a bare fields array).
     val specNodes: Seq[JsonNode] =
@@ -354,6 +380,8 @@ object IcebergMetadata {
       currentSchemaId = curSchemaId,
       defaultSpecId = defSpecId,
       otherSchemas = otherSchemas,
-      otherSpecs = otherSpecs)
+      otherSpecs = otherSpecs,
+      formatVersion = math.max(fmtVersion, 2),
+      nextRowId = Option(n.get("next-row-id")).map(_.asLong).getOrElse(0L))
   }
 }

@@ -838,6 +838,56 @@ object SyncQueries {
       |      FROM nation)
       |WHERE pos % 4 <> 0""".stripMargin
 
+  /** Iceberg FORMAT-VERSION 3 deletion vectors end-to-end: nation synced
+    * as ONE sorted data file (position == rank, same contract as
+    * `iceberg_pos_delete_read`), then TWO deletion-vector commits — the
+    * first masks positions ≡ 1 (mod 3) and upgrades the table to v3, the
+    * second masks positions ≡ 2 (mod 5) against the SAME data file, which
+    * must MERGE into one DV (spec rule: at most one live DV per data
+    * file) — and the delete-aware read serves exactly the surviving
+    * rows. The puffin blob layout is the spec's Delta-compatible frame;
+    * the positions travel through an executor-side roaring decode, so a
+    * framing/CRC/key bug cannot hash-match.
+    */
+  def icebergV3DvRead(s: SparkSession, dir: String): DataFrame = {
+    val parquetDir = graft.util.TempDirs.create("graft_icedv_src")
+    s.read.parquet(s"$dir/nation.parquet")
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .write.mode("overwrite").parquet(parquetDir)
+    val table = graft.util.TempDirs.create("graft_icedv_tbl")
+    val src = new ParquetDirectorySource(s, parquetDir, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val f = new graft.formats.iceberg.IcebergConversionSource(s, table,
+      "nation").currentSnapshot().files.collect()(0)
+    graft.formats.iceberg.IcebergDeletes.appendDeletionVectors(s, table,
+      Map(f.path -> (0L until f.recordCount).filter(_ % 3 == 1)))
+    graft.formats.iceberg.IcebergDeletes.appendDeletionVectors(s, table,
+      Map(f.path -> (0L until f.recordCount).filter(_ % 5 == 2)))
+    val m = graft.formats.iceberg.IcebergMetadata.read(table,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(table).get)
+    require(m.formatVersion == 3, s"expected v3 after DV commit, got ${m.formatVersion}")
+    // merge rule observed: exactly ONE live DV entry for the file
+    val live = graft.formats.iceberg.IcebergDeletes
+      .liveDeleteRefs(m, m.headSequence)
+    require(live.size == 1 && live.head.isDeletionVector,
+      s"expected one merged DV, got $live")
+    new graft.formats.iceberg.IcebergConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val icebergV3DvReadSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM (SELECT n_nationkey,
+      |        row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+      |      FROM nation)
+      |WHERE pos % 3 <> 1 AND pos % 5 <> 2""".stripMargin
+
   /** Iceberg v2 EQUALITY deletes with the spec's sequence-ordering rule,
     * end-to-end: sync nation, equality-delete keys ≡ 0 (mod 3), then
     * APPEND keys ≡ 0 (mod 5) at a higher sequence — the delete must mask

@@ -224,23 +224,41 @@ class ErrorPathSpec extends SparkSuite {
     assert(new graft.formats.delta.DeltaConversionSource(spark, ok, "t")
       .toDataFrame.count() == 2)
 
-    // Iceberg format-version 3 refuses at metadata read
-    val it = tmpDir("rf_ice_v3")
-    Files.createDirectories(Paths.get(
-      graft.formats.iceberg.IcebergMetadata.metadataDir(it)))
-    Files.write(Paths.get(
-      graft.formats.iceberg.IcebergMetadata.metadataFile(it, 1)),
-      """{"format-version":3,"table-uuid":"u","location":"x",
-        |"last-sequence-number":0,"last-updated-ms":1,"last-column-id":1,
-        |"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct",
-        |"fields":[{"id":1,"name":"id","required":true,"type":"long"}]}],
-        |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-        |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin
-        .getBytes("UTF-8"))
-    val e2 = intercept[UnsupportedOperationException] {
-      graft.formats.iceberg.IcebergMetadata.read(it, 1)
+    // Iceberg format-version 3 READS since r13 (deletion vectors) — but
+    // v4 still refuses at metadata read, and a v3 table with a non-null
+    // initial-default refuses (serving old files without the default
+    // would be a wrong answer)
+    def iceMeta(prefix: String, body: String): String = {
+      val t = tmpDir(prefix)
+      Files.createDirectories(Paths.get(
+        graft.formats.iceberg.IcebergMetadata.metadataDir(t)))
+      Files.write(Paths.get(
+        graft.formats.iceberg.IcebergMetadata.metadataFile(t, 1)),
+        body.getBytes("UTF-8"))
+      t
     }
-    assert(e2.getMessage.contains("format-version 3"), e2.getMessage)
+    def iceBody(version: Int, fieldExtra: String): String =
+      s"""{"format-version":$version,"table-uuid":"u","location":"x",
+         |"last-sequence-number":0,"last-updated-ms":1,"last-column-id":1,
+         |"next-row-id":0,
+         |"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct",
+         |"fields":[{"id":1,"name":"id","required":true,"type":"long"$fieldExtra}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin
+    val v3ok = iceMeta("rf_ice_v3", iceBody(3, ""))
+    val m3 = graft.formats.iceberg.IcebergMetadata.read(v3ok, 1)
+    assert(m3.formatVersion == 3 && m3.nextRowId == 0L)
+    val v4 = iceMeta("rf_ice_v4", iceBody(4, ""))
+    val e2 = intercept[UnsupportedOperationException] {
+      graft.formats.iceberg.IcebergMetadata.read(v4, 1)
+    }
+    assert(e2.getMessage.contains("format-version 4"), e2.getMessage)
+    val v3def = iceMeta("rf_ice_v3def",
+      iceBody(3, ""","initial-default":7"""))
+    val e3 = intercept[UnsupportedOperationException] {
+      graft.formats.iceberg.IcebergMetadata.read(v3def, 1)
+    }
+    assert(e3.getMessage.contains("initial-default"), e3.getMessage)
   }
 
   test("unmaintainable writer features, appendOnly DML, and Hudi 1.x " +

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.formats.iceberg._
+import graft.sources.ParquetDirectorySource
+import graft.sync.TableFormatSync
+
+/** Iceberg format-version 3: puffin deletion vectors (read + DV-commit
+  * write + the one-DV-per-file merge rule), v3 metadata round-trip, and
+  * the v3 data-write refusal. Byte-level codec cases pin the spec's
+  * Delta-compatible blob frame.
+  */
+class IcebergV3Spec extends SparkSuite {
+
+  private def syncNation(prefix: String): (String, graft.model.FileEntry) = {
+    val stage = tmpDir(prefix + "_src")
+    spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .write.mode("overwrite").parquet(stage)
+    val table = tmpDir(prefix + "_tbl")
+    val src = new ParquetDirectorySource(spark, stage, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val f = new IcebergConversionSource(spark, table, "nation")
+      .currentSnapshot().files.collect()(0)
+    (table, f)
+  }
+
+  test("puffin round-trip: footer metadata, blob coordinates, CRC") {
+    val p = tmpDir("puffin") + "/dv.puffin"
+    val dvs = Seq(
+      Puffin.Dv("data/f1.parquet", Seq(0L, 5L, 17L)),
+      // positions straddling several 32-bit keys (multi-bitmap portable)
+      Puffin.Dv("data/f2.parquet",
+        Seq(3L, (1L << 32) + 4L, (5L << 32) + 9L)))
+    val blobs = Puffin.writeDeletionVectors(p, snapshotId = 42L,
+      sequenceNumber = 7L, dvs)
+    assert(blobs.size == 2)
+    val (read, props) = Puffin.readBlobs(p)
+    assert(props.get("created-by").contains("graft"))
+    assert(read.map(_.blobType).distinct == Seq(Puffin.DeletionVectorV1))
+    assert(read.map(_.snapshotId).distinct == Seq(42L))
+    read.zip(dvs).foreach { case (b, dv) =>
+      assert(b.properties("referenced-data-file") == dv.referencedDataFile)
+      assert(b.properties("cardinality") == dv.positions.size.toString)
+      val pos = Puffin.readDeletionVector(p, b.offset, b.length)
+      assert(pos.toSeq.sorted == dv.positions.sorted)
+    }
+    // a flipped payload byte must fail the CRC, not decode quietly
+    val bytes = Files.readAllBytes(Paths.get(p))
+    bytes(read.head.offset.toInt + 9) =
+      (bytes(read.head.offset.toInt + 9) ^ 0x1).toByte
+    Files.write(Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException] {
+      Puffin.readDeletionVector(p, read.head.offset, read.head.length)
+    }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+  }
+
+  test("portable bitmap serialization carries explicit ascending keys") {
+    import graft.formats.delta.DeletionVectors
+    val positions = Seq(1L, (2L << 32) | 3L, (2L << 32) | 9L, (7L << 32))
+    val payload = DeletionVectors.serializeBitmap(positions)
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(buf.getInt == 1681511377) // magic, LE == bytes D1 D3 39 64
+    assert(buf.getLong == 3L)        // three NON-EMPTY bitmaps (0, 2, 7)
+    assert(buf.getInt == 0)          // first key explicit — not implied
+    assert(DeletionVectors.deserializeBitmap(payload).toSeq.sorted ==
+      positions.sorted)
+    // delta-spark's key-dense portable stream (empty bitmaps serialized
+    // with their keys) reads identically — the reader trusts keys
+    val rb0 = new org.roaringbitmap.RoaringBitmap(); rb0.add(1)
+    val rb1 = new org.roaringbitmap.RoaringBitmap() // empty, key 1
+    val rb2 = new org.roaringbitmap.RoaringBitmap(); rb2.add(5)
+    val size = 4 + 8 + Seq(rb0, rb1, rb2)
+      .map(4 + _.serializedSizeInBytes()).sum
+    val dense = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dense.putInt(1681511377); dense.putLong(3L)
+    Seq(rb0, rb1, rb2).zipWithIndex.foreach { case (rb, k) =>
+      dense.putInt(k)
+      val b = java.nio.ByteBuffer.allocate(rb.serializedSizeInBytes())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      rb.serialize(b); b.flip(); dense.put(b)
+    }
+    assert(DeletionVectors.deserializeBitmap(dense.array()).toSeq.sorted ==
+      Seq(1L, (2L << 32) | 5L))
+  }
+
+  test("DV commit upgrades to v3, masks rows, merges per-file, and " +
+    "refuses further data writes") {
+    val (table, f) = syncNation("icev3")
+    val all = spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
+      .orderBy("n_nationkey").collect().map(_.getAs[Number]("n_nationkey").longValue)
+
+    IcebergDeletes.appendDeletionVectors(spark, table,
+      Map(f.path -> (0L until f.recordCount).filter(_ % 4 == 0)))
+    val m1 = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    assert(m1.formatVersion == 3)
+    val served1 = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.orderBy("n_nationkey").collect()
+      .map(_.getAs[Number]("n_nationkey").longValue)
+    assert(served1.toSeq ==
+      all.zipWithIndex.filter(_._2 % 4 != 0).map(_._1).toSeq)
+
+    // second DV on the same file MERGES (one live DV per data file)
+    IcebergDeletes.appendDeletionVectors(spark, table,
+      Map(f.path -> (0L until f.recordCount).filter(_ % 7 == 2)))
+    val m2 = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    val refs = IcebergDeletes.liveDeleteRefs(m2, m2.headSequence)
+    assert(refs.size == 1 && refs.head.isDeletionVector, refs)
+    val served2 = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.orderBy("n_nationkey").collect()
+      .map(_.getAs[Number]("n_nationkey").longValue)
+    assert(served2.toSeq == all.zipWithIndex
+      .filter { case (_, i) => i % 4 != 0 && i % 7 != 2 }.map(_._1).toSeq)
+
+    // time travel BEFORE the DVs still serves every row
+    val seq0 = m2.snapshots.map(_.sequenceNumber).min
+    val at0 = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrameAt(seq0).count()
+    assert(at0 == all.length.toLong)
+
+    // v3 data/delete-file writes refuse with a pointer to the DV path
+    val e = intercept[UnsupportedOperationException] {
+      IcebergDeletes.deleteWhere(spark, table, col("n_nationkey") === 1)
+    }
+    assert(e.getMessage.contains("appendDeletionVectors"), e.getMessage)
+
+    // file-level consumers refuse while DVs are live (same guard as v2
+    // row-level deletes): sync would serve deleted rows back
+    val e2 = intercept[graft.model.DeletionVectorsUnsupported] {
+      new IcebergConversionSource(spark, table, "nation").currentSnapshot()
+    }
+    assert(e2.getMessage.contains("delete file"), e2.getMessage)
+  }
+
+  test("DV for a non-live data file refuses") {
+    val (table, _) = syncNation("icev3bad")
+    val e = intercept[IllegalArgumentException] {
+      IcebergDeletes.appendDeletionVectors(spark, table,
+        Map(s"$table/data/ghost.parquet" -> Seq(0L)))
+    }
+    assert(e.getMessage.contains("non-live"), e.getMessage)
+  }
+}
