@@ -112,11 +112,18 @@ object IcebergDeletes {
     try {
       val n = victims.count()
       if (n == 0L) return 0L
-      val rows = victims
-        .select(col("file_path").cast("string"), col("pos").cast("long"))
-        .sortWithinPartitions("file_path", "pos")
-      appendCommit(spark, tablePath, rows, content = 1, equalityIds = Nil,
-        expectVersion = Some(version))
+      if (m.formatVersion >= 3) {
+        // v3 forbids parquet position-delete files — the same victims
+        // route into deletion vectors (distributed: executor-written
+        // puffins, one blob per file, merged with any existing DV)
+        appendDeletionVectorsOf(spark, tablePath, victims)
+      } else {
+        val rows = victims
+          .select(col("file_path").cast("string"), col("pos").cast("long"))
+          .sortWithinPartitions("file_path", "pos")
+        appendCommit(spark, tablePath, rows, content = 1, equalityIds = Nil,
+          expectVersion = Some(version))
+      }
       graft.plans.SnapshotFileIndex.invalidate(snap)
       n
     } finally victims.unpersist()
@@ -229,61 +236,118 @@ object IcebergDeletes {
     * DV for an already-masked file MERGES the old positions and the old
     * manifest entry is dropped (its manifest rewritten without it).
     *
-    * `dvs` maps data-file path → deleted row positions within that file.
+    * `dvs` maps data-file path → deleted row positions within that file
+    * (driver-side convenience; [[appendDeletionVectorsOf]] is the
+    * distributed form row-level DML routes through).
     */
   def appendDeletionVectors(spark: SparkSession, tablePath: String,
       dvs: Map[String, Seq[Long]], attempt: Int = 0): Unit = {
     require(dvs.nonEmpty, "no deletion vectors to commit")
+    import spark.implicits._
+    val victims = dvs.toSeq
+      .flatMap { case (f, ps) => ps.map(p => (f, p)) }
+      .toDF("file_path", "pos")
+    appendDeletionVectorsOf(spark, tablePath, victims, attempt)
+  }
+
+  /** Distributed DV commit: `victims` is a (file_path, pos) DataFrame —
+    * the shape a predicate delete produces. Positions stay distributed
+    * end to end: liveness validation is an anti-join, superseded DVs
+    * decode and merge executor-side, and puffin files are written ONE
+    * PER SHUFFLE PARTITION by the tasks holding the positions (per-task
+    * memory is bounded by one file's position set at a time). The
+    * driver sees only O(touched data files) blob coordinates — the rows
+    * it authors manifest entries from anyway.
+    */
+  def appendDeletionVectorsOf(spark: SparkSession, tablePath: String,
+      victims: DataFrame, attempt: Int = 0): Unit = {
+    import spark.implicits._
     val (version, m) = currentMeta(spark, tablePath)
     require(m.partitionSpec.isEmpty,
       s"appendDeletionVectors supports unpartitioned tables for now; " +
         s"$tablePath is partitioned")
-    val canon = dvs.map { case (p, ps) =>
-      graft.util.PathUtils.canonical(p) -> ps.distinct.sorted }
+    val keyed = victims.select(
+      graft.util.PathCols.canonical(col("file_path")).as("file"),
+      col("pos").cast("long").as("pos"))
+    val manifestList = m.currentSnapshot.map(_.manifestList).getOrElse(
+      throw new IllegalStateException(s"empty table at $tablePath"))
     // every referenced file must be a live data file — a DV for an
     // unknown path would silently mask nothing
-    val live = IcebergManifests.liveDataFileSeqs(spark,
-        m.currentSnapshot.map(_.manifestList).getOrElse(
-          throw new IllegalStateException(s"empty table at $tablePath")))
-      .collect().map(_._1).toSet
-    val unknown = canon.keySet.diff(live)
+    val liveFiles = IcebergManifests.liveDataFileSeqs(spark, manifestList)
+      .toDF("lf", "ls").select("lf")
+    val touched = keyed.select("file").distinct()
+    val unknown = touched
+      .join(liveFiles, col("file") === col("lf"), "left_anti")
+      .as[String].collect()
     require(unknown.isEmpty,
       s"deletion vectors reference non-live data files: ${unknown.mkString(", ")}")
+    val touchedSet = touched.as[String].collect().toSet
+    require(touchedSet.nonEmpty, "no deletion vectors to commit")
 
     // merge rule: existing live DVs for the same files fold in
+    // (decoded executor-side like every other vector read)
     val oldRefs = liveDeleteRefs(m, m.headSequence)
     require(oldRefs.forall(r => r.isDeletionVector || r.content == 2),
       s"table at $tablePath has live parquet position-delete files; v3 " +
         "forbids them — rewriteWithDeletes first")
     val superseded = oldRefs.filter(r =>
       r.isDeletionVector && r.referencedDataFile
-        .map(graft.util.PathUtils.canonical).exists(canon.contains))
-    val merged: Map[String, Seq[Long]] = canon.map { case (file, ps) =>
-      val old = superseded.filter(_.referencedDataFile
-          .map(graft.util.PathUtils.canonical).contains(file))
-        .flatMap(r => Puffin.readDeletionVector(r.path,
-          r.contentOffset.get, r.contentSizeBytes.get))
-      file -> (ps ++ old).distinct.sorted
-    }
+        .map(graft.util.PathUtils.canonical).exists(touchedSet.contains))
+    val oldPositions =
+      if (superseded.isEmpty) None
+      else Some(graft.util.Par.ds(spark,
+          superseded.map(r => (r.path, r.referencedDataFile.get,
+            r.contentOffset.get, r.contentSizeBytes.get)), 64)
+        .flatMap { case (p, f, off, len) =>
+          Puffin.readDeletionVector(p, off, len).iterator
+            .map(ps => (graft.util.PathUtils.canonical(f), ps))
+        }.toDF("file", "pos"))
+    val all = (Seq(keyed) ++ oldPositions).reduce(_ union _).distinct()
 
     val mdir = IcebergMetadata.metadataDir(tablePath)
     val snapshotId = m.lastSequenceNumber + 1
     val seq = snapshotId
-    val puffinPath = s"$tablePath/data/dv-${UUID.randomUUID()}.puffin"
-    val ordered = merged.toSeq.sortBy(_._1)
-    val blobs = Puffin.writeDeletionVectors(puffinPath, snapshotId, seq,
-      ordered.map { case (f, ps) => Puffin.Dv(f, ps) })
-    val puffinSize = java.nio.file.Files.size(
-      java.nio.file.Paths.get(graft.util.PathUtils.canonical(puffinPath)))
+    // one puffin per non-empty shuffle partition; a file's positions are
+    // co-located by the repartition, so each file gets exactly one blob
+    val blobMetas: Seq[(String, String, Long, Long, Long, Long)] =
+      all.repartition(col("file")).sortWithinPartitions("file", "pos")
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val dvs = scala.collection.mutable.Buffer.empty[Puffin.Dv]
+            var curFile: String = null
+            var buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            def flush(): Unit = if (curFile != null) {
+              dvs += Puffin.Dv(curFile, buf.toSeq)
+              buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            }
+            it.foreach { case (f, p) =>
+              if (f != curFile) { flush(); curFile = f }
+              buf += p
+            }
+            flush()
+            val puffinPath =
+              s"$tablePath/data/dv-${UUID.randomUUID()}.puffin"
+            val blobs = Puffin.writeDeletionVectors(puffinPath,
+              snapshotId, seq, dvs.toSeq)
+            val size = java.nio.file.Files.size(java.nio.file.Paths.get(
+              graft.util.PathUtils.canonical(puffinPath)))
+            dvs.toSeq.zip(blobs).iterator.map { case (dv, b) =>
+              (dv.referencedDataFile, puffinPath, b.offset, b.length,
+                dv.positions.size.toLong, size)
+            }
+          }
+        }.collect().toSeq.sortBy(_._1)
+
     val manifestPath = s"$mdir/m-${UUID.randomUUID()}-dv-deletes.avro"
     val len = IcebergManifests.writeManifest(manifestPath,
-      ordered.zip(blobs).iterator.map { case ((file, ps), blob) =>
+      blobMetas.iterator.map { case (file, pf, off, blen, card, psize) =>
         IcebergManifests.dvEntry(IcebergManifests.Status.Added, snapshotId,
-          puffinPath, puffinSize, ps.size.toLong, file,
-          blob.offset, blob.length)
+          pf, psize, card, file, off, blen)
       })
     val dvManifest = IcebergManifests.ManifestSummary(manifestPath, len,
-      snapshotId, ordered.size, 0, 0, ordered.map(_._2.size.toLong).sum, 0L,
+      snapshotId, blobMetas.size, 0, 0, blobMetas.map(_._5).sum, 0L,
       content = 1, specId = m.defaultSpecId)
 
     // carry forward every previous manifest; delete manifests holding a
@@ -300,7 +364,7 @@ object IcebergDeletes {
             val df = e.get("data_file").asInstanceOf[GenericRecord]
             val ref = Option(IcebergManifests
               .fieldOr(df, "referenced_data_file")).map(_.toString)
-            ref.map(graft.util.PathUtils.canonical).exists(canon.contains)
+            ref.map(graft.util.PathUtils.canonical).exists(touchedSet.contains)
           }
       }
     }
@@ -311,7 +375,7 @@ object IcebergDeletes {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val ref = Option(IcebergManifests
             .fieldOr(df, "referenced_data_file")).map(_.toString)
-          !ref.map(graft.util.PathUtils.canonical).exists(canon.contains)
+          !ref.map(graft.util.PathUtils.canonical).exists(touchedSet.contains)
         }.toSeq
       if (kept.isEmpty) None
       else {
@@ -348,7 +412,7 @@ object IcebergDeletes {
       if (attempt >= MaxCommitRetries) throw new IllegalStateException(
         s"concurrent writer committed metadata v${version + 1} first at " +
           s"$tablePath and retries are exhausted — re-run")
-      appendDeletionVectors(spark, tablePath, dvs, attempt + 1)
+      appendDeletionVectorsOf(spark, tablePath, victims, attempt + 1)
     }
   }
 
@@ -520,9 +584,10 @@ object IcebergDeletes {
     // [[appendDeletionVectors]]; everything else refuses.
     if (m.formatVersion >= 3) throw new UnsupportedOperationException(
       s"Iceberg table at $tablePath is format-version 3: this engine " +
-        "reads v3 (deletion vectors applied) but writes only v2 data/" +
-        "delete commits — use appendDeletionVectors for row deletes, " +
-        "or copy the table to a v2 target")
+        "reads v3 and deletes rows on it (deleteWhere routes into " +
+        "deletion vectors), but data appends/updates would have to " +
+        "assign row lineage — refusing; copy the table to a v2 target " +
+        "for full DML")
     if (txnAlreadyCommitted(m)) return false
 
     // global min/max of the delete KEYS per equality column, canonical-

@@ -866,10 +866,15 @@ object SyncQueries {
       Map(f.path -> (0L until f.recordCount).filter(_ % 3 == 1)))
     graft.formats.iceberg.IcebergDeletes.appendDeletionVectors(s, table,
       Map(f.path -> (0L until f.recordCount).filter(_ % 5 == 2)))
+    // predicate DELETE on the (now-v3) table routes into a DV too —
+    // distributed executor-side puffin write, merged with the live DV
+    graft.formats.iceberg.IcebergDeletes.deleteWhere(s, table,
+      col("n_nationkey") % 11 === 3)
     val m = graft.formats.iceberg.IcebergMetadata.read(table,
       graft.formats.iceberg.IcebergMetadata.currentVersion(table).get)
     require(m.formatVersion == 3, s"expected v3 after DV commit, got ${m.formatVersion}")
-    // merge rule observed: exactly ONE live DV entry for the file
+    // merge rule observed: exactly ONE live DV entry for the file after
+    // all three delete commits
     val live = graft.formats.iceberg.IcebergDeletes
       .liveDeleteRefs(m, m.headSequence)
     require(live.size == 1 && live.head.isDeletionVector,
@@ -886,7 +891,7 @@ object SyncQueries {
       |FROM (SELECT n_nationkey,
       |        row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
       |      FROM nation)
-      |WHERE pos % 3 <> 1 AND pos % 5 <> 2""".stripMargin
+      |WHERE pos % 3 <> 1 AND pos % 5 <> 2 AND n_nationkey % 11 <> 3""".stripMargin
 
   /** Iceberg v2 EQUALITY deletes with the spec's sequence-ordering rule,
     * end-to-end: sync nation, equality-delete keys ≡ 0 (mod 3), then

@@ -463,10 +463,11 @@ class GoldenFixtureSpec extends SparkSuite {
     assert(df.agg(sum("amount")).head().getLong(0) == 20966L)
     // time travel to the pre-DV snapshot serves all 90 rows
     assert(src.toDataFrameAt(1L).count() == 90)
-    // data writes into the v3 table refuse
+    // data writes into the v3 table refuse (the guard fires before any
+    // byte lands, so the checked-in fixture stays pristine)
     val e = intercept[UnsupportedOperationException] {
-      graft.formats.iceberg.IcebergDeletes.deleteWhere(spark, dir,
-        org.apache.spark.sql.functions.col("order_id") === 1)
+      graft.formats.iceberg.IcebergDeletes.appendDataFiles(spark, dir,
+        tmpDir("golden_v3_refuse"))
     }
     assert(e.getMessage.contains("format-version 3"), e.getMessage)
   }

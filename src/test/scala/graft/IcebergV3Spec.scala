@@ -129,11 +129,28 @@ class IcebergV3Spec extends SparkSuite {
       .toDataFrameAt(seq0).count()
     assert(at0 == all.length.toLong)
 
-    // v3 data/delete-file writes refuse with a pointer to the DV path
+    // predicate DELETE on a v3 table routes into deletion vectors —
+    // distributed executor-side puffin write, merged into the ONE live
+    // DV for the file
+    val survivorKey = served2.head
+    val nDel = IcebergDeletes.deleteWhere(spark, table,
+      col("n_nationkey") === survivorKey)
+    assert(nDel == 1L, s"deleted $nDel")
+    val m3 = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    val refs3 = IcebergDeletes.liveDeleteRefs(m3, m3.headSequence)
+    assert(refs3.size == 1 && refs3.head.isDeletionVector, refs3)
+    val served3 = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.orderBy("n_nationkey").collect()
+      .map(_.getAs[Number]("n_nationkey").longValue)
+    assert(served3.toSeq == served2.toSeq.filterNot(_ == survivorKey))
+
+    // v3 DATA writes (appends/updates) still refuse
     val e = intercept[UnsupportedOperationException] {
-      IcebergDeletes.deleteWhere(spark, table, col("n_nationkey") === 1)
+      IcebergDeletes.appendDataFiles(spark, table,
+        tmpDir("icev3_refuse_stage"))
     }
-    assert(e.getMessage.contains("appendDeletionVectors"), e.getMessage)
+    assert(e.getMessage.contains("format-version 3"), e.getMessage)
 
     // file-level consumers refuse while DVs are live (same guard as v2
     // row-level deletes): sync would serve deleted rows back
