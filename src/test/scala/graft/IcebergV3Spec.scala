@@ -160,6 +160,33 @@ class IcebergV3Spec extends SparkSuite {
     assert(e2.getMessage.contains("delete file"), e2.getMessage)
   }
 
+  test("a million-position deletion vector round-trips compactly and fast") {
+    val p = tmpDir("puffin1m") + "/dv1m.puffin"
+    val positions = (0L until 3000000L by 3).toSeq // 10^6 positions
+    val t0 = System.nanoTime()
+    val blobs = Puffin.writeDeletionVectors(p, 1L, 1L,
+      Seq(Puffin.Dv("data/big.parquet", positions)))
+    val writeSec = (System.nanoTime() - t0) / 1e9
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(p))
+    // roaring keeps a stride-3 million-position set well under 2 bytes
+    // per position — the whole vector for a 3M-row file is ~KBs-to-MBs,
+    // which is why executor-side decode (not driver collect) is the
+    // right read shape
+    assert(size < (1L << 21), s"puffin size $size for 1M positions")
+    val t1 = System.nanoTime()
+    val read = Puffin.readDeletionVector(p, blobs.head.offset,
+      blobs.head.length)
+    val readSec = (System.nanoTime() - t1) / 1e9
+    assert(read.length == 1000000, read.length)
+    assert(read(0) == 0L && read(999999) == 2999997L)
+    // decode is a per-DV executor cost — it must stay in the
+    // well-under-a-second class (measured ~tens of ms; 5s is the alarm
+    // threshold, not the expectation)
+    assert(readSec < 5.0, f"DV decode took $readSec%.2f s")
+    info(f"1M-position DV: $size bytes, write $writeSec%.3f s, " +
+      f"decode $readSec%.3f s")
+  }
+
   test("DV for a non-live data file refuses") {
     val (table, _) = syncNation("icev3bad")
     val e = intercept[IllegalArgumentException] {

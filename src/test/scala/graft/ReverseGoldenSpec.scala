@@ -737,4 +737,46 @@ class ReverseGoldenSpec extends SparkSuite {
     assert(listSpecIds(real, golden("iceberg_trades_evolved")) == Set(0, 1),
       "fixture 502 values")
   }
+
+  test("graft's deletion-vector blob frame is BIT-IDENTICAL to the " +
+    "independent python fixture's") {
+    // the strongest conformance statement two offline implementations
+    // can make: same positions → same bytes. The fixture's blob (19
+    // positions, array container, explicit-key 64-bit portable wrapper,
+    // BE frame + CRC-32) was authored by tools/make_golden_iceberg_v3.py
+    // with its own roaring serializer; graft re-derives the frame from
+    // the raw positions through DeletionVectors.serializeBitmap + the
+    // Puffin frame writer. Any divergence in container choice, cookie,
+    // offset headers, key encoding, endianness or checksum fails here.
+    import graft.formats.iceberg.{IcebergDeletes, IcebergMetadata, Puffin}
+    val dir = new java.io.File(
+      "src/test/resources/golden/iceberg_v3_dv").getAbsolutePath
+    val m = IcebergMetadata.read(dir, 1)
+    val ref = IcebergDeletes.liveDeleteRefs(m, m.headSequence).head
+    val fixtureBytes = {
+      val all = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ref.path))
+      java.util.Arrays.copyOfRange(all, ref.contentOffset.get.toInt,
+        (ref.contentOffset.get + ref.contentSizeBytes.get).toInt)
+    }
+    // the fixture's deleted positions: ≡2 (mod 5) over 90 rows plus the
+    // last row (the generator's spec)
+    val positions = ((0 until 90).filter(_ % 5 == 2).map(_.toLong) :+ 89L)
+      .distinct.sorted
+    assert(positions.size == ref.recordCount, s"${positions.size}")
+    val mine = {
+      val p = tmpDir("rev_dv") + "/mine.puffin"
+      val blobs = Puffin.writeDeletionVectors(p, 1L, 1L,
+        Seq(Puffin.Dv("x", positions)))
+      val all = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p))
+      java.util.Arrays.copyOfRange(all, blobs.head.offset.toInt,
+        (blobs.head.offset + blobs.head.length).toInt)
+    }
+    assert(mine.length == fixtureBytes.length,
+      s"frame lengths differ: graft ${mine.length} vs fixture " +
+        s"${fixtureBytes.length}")
+    assert(java.util.Arrays.equals(mine, fixtureBytes),
+      "DV blob frames differ byte-for-byte")
+  }
 }
