@@ -85,13 +85,26 @@ object IcebergChanges {
     val newDeletes = IcebergDeletes.liveDeleteRefs(m, seq)
       .filterNot(r => prevDeletePaths.contains(r.path))
     val newEq = newDeletes.exists(_.content == 2)
-    val posTargets: DataFrame =
-      if (newDeletes.forall(_.content != 1)) spark.emptyDataset[String]
-        .toDF("__p")
-      else spark.read
-        .parquet(newDeletes.filter(_.content == 1).map(_.path): _*)
-        .select(graft.util.PathCols.canonical(col("file_path")).as("__p"))
-        .distinct()
+    // position-delete targets: parquet delete files name theirs in rows;
+    // v3 deletion vectors name theirs in the manifest entry (field 143)
+    // — a driver-side list bounded by the commit's touched-file count
+    val (newDvs, newPosFiles) = newDeletes.filter(_.content == 1)
+      .partition(_.isDeletionVector)
+    val posTargets: DataFrame = {
+      val fromFiles =
+        if (newPosFiles.isEmpty) None
+        else Some(spark.read.parquet(newPosFiles.map(_.path): _*)
+          .select(graft.util.PathCols.canonical(col("file_path"))
+            .as("__p")))
+      val fromDvs =
+        if (newDvs.isEmpty) None
+        else Some(newDvs.flatMap(_.referencedDataFile)
+          .map(graft.util.PathUtils.canonical).distinct
+          .toDF("__p"))
+      (fromFiles.toSeq ++ fromDvs.toSeq)
+        .reduceOption(_ union _).map(_.distinct())
+        .getOrElse(spark.emptyDataset[String].toDF("__p"))
+    }
 
     def read(at: Long, touched: DataFrame): DataFrame = {
       val listing = listingAt(at)

@@ -655,6 +655,67 @@ object SyncQueries {
       |  min(s_name) AS min_name
       |FROM supplier""".stripMargin
 
+  /** Iceberg REST catalog round trip over REAL loopback HTTP: convert
+    * supplier to Iceberg, register its metadata-location in the
+    * in-process spec-shaped REST server through the wire client, LOAD it
+    * back through the same wire (the catalog answer carries the
+    * metadata-location), then advance the pointer with a second commit +
+    * refresh and read THROUGH the refreshed answer — the served rows are
+    * supplier twice. A stale pointer (refresh not landing) or a
+    * mis-parsed LoadTableResponse cannot hash-match.
+    */
+  def catalogRestRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog._
+    import graft.formats.iceberg.{IcebergConversionSource, IcebergMetadata}
+    val target = graft.util.TempDirs.create("graft_cat_rest")
+    val src = new ParquetDirectorySource(s, s"$dir/supplier.parquet",
+      "supplier")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, target)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val server = new IcebergRestCatalogServer().start()
+    try {
+      val client = new IcebergRestCatalogClient(server.baseUri)
+      val id = CatalogTableIdentifier("graft_gate", "supplier_rest")
+      val desc = new IcebergConversionSource(s, target, "supplier")
+        .currentTable()
+      def metaLoc = IcebergMetadata.metadataFile(target,
+        IcebergMetadata.currentVersion(target).get)
+      val reg = CatalogOrchestrator.syncTable(Seq(client), id, desc,
+        graft.model.TableFormats.Iceberg, Some(metaLoc))
+      require(reg.forall(_.status == "SUCCESS"), reg.mkString(";"))
+      // second commit doubles the rows; the catalog must serve the
+      // REFRESHED pointer
+      val extra = s"$target/data/extra-${java.util.UUID.randomUUID()}"
+      s.read.parquet(s"$dir/supplier.parquet").write.parquet(extra)
+      graft.formats.iceberg.IcebergDeletes.appendDataFiles(s, target, extra)
+      val reg2 = CatalogOrchestrator.syncTable(Seq(client), id, desc,
+        graft.model.TableFormats.Iceberg, Some(metaLoc))
+      require(reg2.forall(_.status == "SUCCESS"), reg2.mkString(";"))
+      val answered = client.getTable(id).getOrElse(
+        throw new IllegalStateException("registered table not served back"))
+      val answeredLoc = answered.properties("metadata_location")
+      require(answeredLoc == metaLoc, s"stale pointer: $answeredLoc")
+      // read THROUGH the catalog's answer: table path derives from the
+      // served metadata-location
+      val tablePath = new java.io.File(graft.util.PathUtils
+        .canonical(answeredLoc)).getParentFile.getParent
+      require(server.requestCount >= 8,
+        s"expected a real wire exchange, saw ${server.requestCount}")
+      new IcebergConversionSource(s, tablePath, "supplier").toDataFrame
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("s_suppkey")).cast("long").as("sum_key"),
+          min(col("s_name")).as("min_name"))
+    } finally server.stop()
+  }
+
+  val catalogRestRoundtripSql: String =
+    """SELECT 2*count(*) AS cnt,
+      |  CAST(2*sum(s_suppkey) AS BIGINT) AS sum_key,
+      |  min(s_name) AS min_name
+      |FROM supplier""".stripMargin
+
   /** Time travel: two commits into Delta (1 file, then 2), then read the
     * table as of version 0 — must see exactly the first file's rows.
     */

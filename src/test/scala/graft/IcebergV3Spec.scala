@@ -160,6 +160,29 @@ class IcebergV3Spec extends SparkSuite {
     assert(e2.getMessage.contains("delete file"), e2.getMessage)
   }
 
+  test("change feed classifies DV commits as row-level deletes") {
+    val (table, f) = syncNation("icev3cdf")
+    IcebergDeletes.appendDeletionVectors(spark, table,
+      Map(f.path -> Seq(0L, 4L, 9L)))
+    // second DV commit supersedes the first (merge) — its step must
+    // surface ONLY the newly masked rows
+    IcebergDeletes.appendDeletionVectors(spark, table,
+      Map(f.path -> Seq(1L, 4L))) // 4 already deleted: no new change
+    val all = spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
+      .orderBy("n_nationkey").collect()
+      .map(_.getAs[Number]("n_nationkey").longValue)
+    val feed = IcebergChanges.changesBetween(spark, table, 1L, 3L)
+      .select("n_nationkey", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getAs[Number]("n_nationkey").longValue,
+        r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    val expected =
+      (Seq(0, 4, 9).map(p => (all(p), "delete", 2L)) ++
+        Seq((all(1), "delete", 3L))).sortBy(t => (t._3, t._1))
+    assert(feed.toSeq == expected, feed.mkString(", "))
+  }
+
   test("a million-position deletion vector round-trips compactly and fast") {
     val p = tmpDir("puffin1m") + "/dv1m.puffin"
     val positions = (0L until 3000000L by 3).toSeq // 10^6 positions
