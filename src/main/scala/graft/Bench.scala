@@ -96,7 +96,8 @@ object Bench {
       "sync_parquet_to_delta", "sync_incremental_iceberg",
       "delta_optimize_compact", "iceberg_zorder_read", "sql_merge_routed",
       "streaming_hourly_counts", "streaming_dedup_minhash",
-      "time_travel_delta", "mv_incremental_agg")
+      "time_travel_delta", "mv_incremental_agg",
+      "iceberg_v3_dv_read", "catalog_rest_roundtrip")
     val headlineQs = perQuery
       .filter { case (k, _, _) => headline.contains(k) }
       .map { case (k, m, _) => "\"" + k + "\":" + f"$m%.3f" }

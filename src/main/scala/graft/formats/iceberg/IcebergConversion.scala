@@ -179,6 +179,17 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     }
 
   override def beginSync(t: TableDescriptor): Unit = {
+    // a v3 table became READABLE in r13, which makes it reachable as a
+    // sync target — but a full-set sync adds AND removes files, and
+    // removals would destroy existing rows' lineage (next-row-id /
+    // first_row_id bookkeeping this target does not maintain). Refuse
+    // before authoring anything.
+    currentMeta.filter(_.formatVersion >= 3).foreach { _ =>
+      throw new UnsupportedOperationException(
+        s"Iceberg table at $tablePath is format-version 3: graft syncs " +
+          "author v2 metadata and would break v3 row lineage — sync " +
+          "into a fresh target directory instead")
+    }
     rollbackCorruptCommits()
     table = t
     schema = withStableIds(t.schema)

@@ -577,17 +577,22 @@ object IcebergDeletes {
         meta.properties.get(key).exists(_.toLong >= id)
       }
     var (version, m) = currentMeta(spark, tablePath)
-    // v3 write gate: data writes must assign first_row_id (row lineage)
-    // and parquet position-delete FILES are forbidden in v3 (deletion
-    // vectors replace them) — writing either would author a table real
-    // v3 readers misinterpret. DV commits go through
-    // [[appendDeletionVectors]]; everything else refuses.
-    if (m.formatVersion >= 3) throw new UnsupportedOperationException(
-      s"Iceberg table at $tablePath is format-version 3: this engine " +
-        "reads v3 and deletes rows on it (deleteWhere routes into " +
-        "deletion vectors), but data appends/updates would have to " +
-        "assign row lineage — refusing; copy the table to a v2 target " +
-        "for full DML")
+    // v3 write gate: BLIND data appends are supported — fresh rows get
+    // fresh row ids (explicit data_file.first_row_id per entry, snapshot
+    // first-row-id, next-row-id advanced), which is unambiguous because
+    // no existing row is touched. Everything else refuses: parquet
+    // position-delete FILES are forbidden in v3 (deletion vectors — see
+    // [[appendDeletionVectorsOf]] — replace them), and updates/replaces
+    // would have to PRESERVE existing rows' lineage through the rewrite,
+    // which this engine does not implement.
+    if (m.formatVersion >= 3 && !blindAppend)
+      throw new UnsupportedOperationException(
+        s"Iceberg table at $tablePath is format-version 3: this engine " +
+          "reads v3, deletes rows on it (deleteWhere routes into " +
+          "deletion vectors) and appends new data files (fresh row " +
+          "lineage), but updates/replaces would have to preserve " +
+          "existing rows' lineage — refusing; copy the table to a v2 " +
+          "target for full DML")
     if (txnAlreadyCommitted(m)) return false
 
     // global min/max of the delete KEYS per equality column, canonical-
@@ -678,7 +683,8 @@ object IcebergDeletes {
     }
 
     def writeOneManifest(files: Seq[FileEntry],
-        manifestContent: Int, ids: Seq[Int], snapshotId: Long)
+        manifestContent: Int, ids: Seq[Int], snapshotId: Long,
+        rowIdBase: Option[Long] = None)
         : Option[IcebergManifests.ManifestSummary] = {
       if (files.isEmpty) return None
       val suffix = if (manifestContent == 0) "append" else "deletes"
@@ -687,11 +693,16 @@ object IcebergDeletes {
       var nRows = 0L
       val len = IcebergManifests.writeManifest(manifestPath,
         files.iterator.map { fe =>
+          // v3: explicit per-file first_row_id, assigned cumulatively
+          // from the table's next-row-id (readers never need the
+          // inheritance accounting)
+          val firstRowId = rowIdBase.map(_ + nRows)
           nFiles += 1; nRows += fe.recordCount
           IcebergManifests.toEntry(
             fe.copy(partitionValues = Nil),
             IcebergManifests.Status.Added, snapshotId, m.schema,
-            content = manifestContent, equalityIds = ids)
+            content = manifestContent, equalityIds = ids,
+            firstRowId = firstRowId)
         })
       Some(IcebergManifests.ManifestSummary(manifestPath, len, snapshotId,
         nFiles, 0, 0, nRows, 0L,
@@ -717,11 +728,13 @@ object IcebergDeletes {
     while (true) {
       val snapshotId = m.lastSequenceNumber + 1
       val seq = snapshotId
+      val isV3 = m.formatVersion >= 3
       val deleteManifest =
         writeOneManifest(deleteFiles, math.max(content, 1), equalityIds,
           snapshotId)
       val dataManifest =
-        writeOneManifest(dataFiles, 0, Nil, snapshotId)
+        writeOneManifest(dataFiles, 0, Nil, snapshotId,
+          rowIdBase = if (isV3) Some(m.nextRowId) else None)
       // the commit's BASE snapshot: the named branch's head for WAP
       // appends (main untouched), else the table head
       val baseSnap: Option[IcebergSnapshot] = toBranch match {
@@ -780,12 +793,17 @@ object IcebergDeletes {
         refs = m.refs ++
           toBranch.map(b => b -> IcebergRef(snapshotId, "branch")),
         properties = m.properties ++ extraProps,
+        // v3 appends advance the row-id watermark by the rows landed
+        nextRowId =
+          if (isV3) m.nextRowId + dataFiles.map(_.recordCount).sum
+          else m.nextRowId,
         // no sourceIdentifier: this is a row-level write, not a sync — the
         // target's corrupt-commit rollback must never touch it
         snapshots = m.snapshots :+
           IcebergSnapshot(snapshotId, seq, now, listPath, None,
             if (replace) "replace" else "append",
-            parentSnapshotId = baseSnap.map(_.snapshotId))))
+            parentSnapshotId = baseSnap.map(_.snapshotId),
+            firstRowId = if (isV3) Some(m.nextRowId) else None)))
       if (ok) return true
       attempt += 1
       val baseSeq = m.lastSequenceNumber

@@ -162,15 +162,21 @@ object IcebergManifests {
     }
 
   def specEntrySchema(schema: StructType,
-      partitionFields: Seq[String]): Schema = {
+      partitionFields: Seq[String],
+      withRowLineage: Boolean = false): Schema = {
     val key = schema.json + "|" + partitionFields.map(f =>
-      s"$f:${partitionAvroType(schema, f)}").mkString(",")
+      s"$f:${partitionAvroType(schema, f)}").mkString(",") +
+      (if (withRowLineage) "|v3" else "")
     entrySchemaCache.computeIfAbsent(key, _ => {
       val partFields = partitionFields.zipWithIndex.map { case (f, i) =>
         val t = partitionAvroType(schema, f)
         s"""{"name":"$f","type":["null","$t"],"default":null,""" +
           s""""field-id":${1000 + i}}"""
       }.mkString(",")
+      // v3 row lineage: first_row_id (field 142) on each data file
+      val rowLineageField = if (withRowLineage)
+        """{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},"""
+      else ""
       new Schema.Parser().parse(
         s"""{"type":"record","name":"manifest_entry","fields":[
            |{"name":"status","type":"int","field-id":0},
@@ -188,6 +194,7 @@ object IcebergManifests {
            |  {"name":"lower_bounds","type":${kvArrayJson(126, 127, "bytes")},"default":null,"field-id":125},
            |  {"name":"upper_bounds","type":${kvArrayJson(129, 130, "bytes")},"default":null,"field-id":128},
            |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
+           |  $rowLineageField
            |  {"name":"last_modified_ms","type":"long","field-id":1000}
            |]}}]}""".stripMargin)
     })
@@ -195,11 +202,13 @@ object IcebergManifests {
 
   def toEntry(f: FileEntry, status: Int, snapshotId: Long,
       schema: StructType, content: Int = 0,
-      equalityIds: Seq[Int] = Nil): GenericRecord = {
+      equalityIds: Seq[Int] = Nil,
+      firstRowId: Option[Long] = None): GenericRecord = {
     val leaves = IcebergSchemas.leafFields(schema)
       .map { case (id, name, dt) => name -> (id, dt) }.toMap
     val entrySchema =
-      specEntrySchema(schema, f.partitionValues.map(_.field).sorted)
+      specEntrySchema(schema, f.partitionValues.map(_.field).sorted,
+        withRowLineage = firstRowId.isDefined)
     val dfSchema = entrySchema.getField("data_file").schema()
     val df = new GenericData.Record(dfSchema)
     df.put("content", content)
@@ -244,6 +253,7 @@ object IcebergManifests {
     if (equalityIds.nonEmpty)
       df.put("equality_ids",
         equalityIds.map(Int.box).asJava: java.util.List[Integer])
+    firstRowId.foreach(r => df.put("first_row_id", java.lang.Long.valueOf(r)))
     df.put("last_modified_ms", f.lastModifiedMillis)
     val e = new GenericData.Record(entrySchema)
     e.put("status", status); e.put("snapshot_id", snapshotId)

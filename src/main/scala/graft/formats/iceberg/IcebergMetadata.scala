@@ -23,7 +23,12 @@ case class IcebergSnapshot(
     manifestList: String,
     sourceIdentifier: Option[String] = None,
     operation: String = "append",   // snapshot summary operation (spec: required)
-    parentSnapshotId: Option[Long] = None)  // spec `parent-snapshot-id`
+    parentSnapshotId: Option[Long] = None,  // spec `parent-snapshot-id`
+    // v3 row lineage: the first row id this snapshot's new rows start at
+    // (spec `first-row-id`); graft's v3 appends also stamp every entry's
+    // data_file.first_row_id explicitly, so readers never need the
+    // inheritance accounting
+    firstRowId: Option[Long] = None)
 
 /** A named snapshot reference (spec v2 `refs`): a `tag` pins a snapshot
   * forever; a `branch` is an independently movable head.
@@ -241,6 +246,7 @@ object IcebergMetadata {
       n.put("timestamp-ms", s.timestampMs)
       n.put("manifest-list", s.manifestList)
       s.parentSnapshotId.foreach(p => n.put("parent-snapshot-id", p))
+      s.firstRowId.foreach(f => n.put("first-row-id", f))
       // spec: summary is required and must carry "operation"
       val sum = n.putObject("summary")
       sum.put("operation", s.operation)
@@ -304,10 +310,12 @@ object IcebergMetadata {
     // engine doesn't implement that yet, and null-filling instead would
     // be a silent wrong answer, so refuse the table loudly
     if (fmtVersion >= 3) {
-      val withDefaults = curSchemaNode.get("fields").elements().asScala
-        .filter(f => Option(f.get("initial-default"))
-          .exists(d => !d.isNull))
-        .map(_.get("name").asText).toSeq
+      // deep walk — defaults can sit on NESTED struct fields too
+      val withDefaults = curSchemaNode.findParents("initial-default")
+        .asScala
+        .filter(f => !f.get("initial-default").isNull)
+        .map(f => Option(f.get("name")).map(_.asText).getOrElse("<nested>"))
+        .toSeq
       if (withDefaults.nonEmpty) throw new UnsupportedOperationException(
         s"Iceberg v3 table at $tablePath has field(s) with initial-default " +
           s"(${withDefaults.mkString(", ")}); serving them without default " +
@@ -371,7 +379,8 @@ object IcebergMetadata {
           Option(s.get("summary"))
             .flatMap(sum => Option(sum.get("operation")))
             .map(_.asText).getOrElse("append"),
-          Option(s.get("parent-snapshot-id")).map(_.asLong))
+          Option(s.get("parent-snapshot-id")).map(_.asLong),
+          firstRowId = Option(s.get("first-row-id")).map(_.asLong))
       },
       Option(n.get("refs")).map(_.properties().asScala.map { e =>
         e.getKey -> IcebergRef(e.getValue.get("snapshot-id").asLong,

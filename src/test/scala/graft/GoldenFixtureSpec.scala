@@ -463,11 +463,13 @@ class GoldenFixtureSpec extends SparkSuite {
     assert(df.agg(sum("amount")).head().getLong(0) == 20966L)
     // time travel to the pre-DV snapshot serves all 90 rows
     assert(src.toDataFrameAt(1L).count() == 90)
-    // data writes into the v3 table refuse (the guard fires before any
-    // byte lands, so the checked-in fixture stays pristine)
+    // non-append writes into the v3 table refuse (the guard fires before
+    // any byte lands, so the checked-in fixture stays pristine; blind
+    // appends are the one supported v3 write — fresh rows, fresh lineage)
+    import spark.implicits._
     val e = intercept[UnsupportedOperationException] {
-      graft.formats.iceberg.IcebergDeletes.appendDataFiles(spark, dir,
-        tmpDir("golden_v3_refuse"))
+      graft.formats.iceberg.IcebergDeletes.appendEqualityDeletes(spark, dir,
+        Seq(1L).toDF("order_id"), Seq("order_id"))
     }
     assert(e.getMessage.contains("format-version 3"), e.getMessage)
   }

@@ -145,12 +145,48 @@ class IcebergV3Spec extends SparkSuite {
       .map(_.getAs[Number]("n_nationkey").longValue)
     assert(served3.toSeq == served2.toSeq.filterNot(_ == survivorKey))
 
-    // v3 DATA writes (appends/updates) still refuse
+    // BLIND APPENDS work on v3: fresh rows get fresh row lineage —
+    // explicit data_file.first_row_id per entry, snapshot first-row-id,
+    // next-row-id advanced — and the live DV keeps masking old rows
+    val preAppend = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    val stage = tmpDir("icev3_append_stage")
+    spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
+      .limit(7).write.mode("overwrite").parquet(stage)
+    IcebergDeletes.appendDataFiles(spark, table, stage)
+    val m4 = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    assert(m4.nextRowId == preAppend.nextRowId + 7, m4.nextRowId)
+    assert(m4.currentSnapshot.flatMap(_.firstRowId)
+      .contains(preAppend.nextRowId))
+    val served4 = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.count()
+    assert(served4 == served3.length.toLong + 7, served4)
+    // the appended manifest's entries carry explicit first_row_id
+    val appendManifest = IcebergManifests.readManifestListRecords(
+        m4.currentSnapshot.get.manifestList)
+      .filter(r => IcebergManifests.contentOf(r) == 0)
+      .map(_.get("manifest_path").toString)
+      .find(_.contains("-append")).get
+    val firstRowIds = IcebergManifests.readManifest(appendManifest)
+      .map { e =>
+        val df = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        if (df.getSchema.getField("first_row_id") == null) null
+        else df.get("first_row_id")
+      }.toSeq
+    assert(firstRowIds.nonEmpty && firstRowIds.forall(_ != null),
+      firstRowIds.toString)
+    assert(firstRowIds.map(_.asInstanceOf[Long]).min == preAppend.nextRowId)
+
+    // UPDATES still refuse on v3 (they would have to preserve existing
+    // rows' lineage through the rewrite)
     val e = intercept[UnsupportedOperationException] {
-      IcebergDeletes.appendDataFiles(spark, table,
-        tmpDir("icev3_refuse_stage"))
+      IcebergDeletes.updateWhere(spark, table,
+        col("n_nationkey") === served2.head,
+        Map("n_regionkey" -> lit(99L)))
     }
-    assert(e.getMessage.contains("format-version 3"), e.getMessage)
+    assert(e.getMessage.contains("preserve"), e.getMessage)
 
     // file-level consumers refuse while DVs are live (same guard as v2
     // row-level deletes): sync would serve deleted rows back
@@ -208,6 +244,19 @@ class IcebergV3Spec extends SparkSuite {
     assert(readSec < 5.0, f"DV decode took $readSec%.2f s")
     info(f"1M-position DV: $size bytes, write $writeSec%.3f s, " +
       f"decode $readSec%.3f s")
+  }
+
+  test("a compressed puffin footer refuses rather than misparse") {
+    val p = tmpDir("puffin_lz4") + "/dv.puffin"
+    Puffin.writeDeletionVectors(p, 1L, 1L,
+      Seq(Puffin.Dv("data/f.parquet", Seq(1L, 2L))))
+    // flip the footer flags' compression bit (4 LE bytes before the
+    // trailing magic, after the 4-byte payload-size word)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    bytes(bytes.length - 8) = 1
+    Files.write(Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](Puffin.readBlobs(p))
+    assert(e.getMessage.contains("lz4"), e.getMessage)
   }
 
   test("DV for a non-live data file refuses") {
