@@ -245,6 +245,39 @@ class SqlSurfaceSpec extends SparkSuite {
       .toDataFrame.count() > 0)
   }
 
+  test("GRAFT DELETE on a v3 Iceberg table routes into deletion vectors") {
+    val iceData = tmpDir("sqlx_v3_data")
+    spark.read.parquet(sf("sf0.001") + "/nation.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(iceData)
+    val ice = tmpDir("sqlx_v3")
+    gs.sql(s"GRAFT SYNC PARQUET '$iceData' AS nation TO iceberg '$ice'")
+      .collect()
+    // upgrade to v3 with a first DV commit
+    val f = new graft.formats.iceberg.IcebergConversionSource(
+      spark, ice, "nation").currentSnapshot().files.collect()(0)
+    graft.formats.iceberg.IcebergDeletes.appendDeletionVectors(spark, ice,
+      Map(f.path -> Seq(0L)))
+    // the SAME SQL statement now lands a DV (merged — still one per file)
+    val n = gs.sql(s"GRAFT DELETE FROM '$ice' WHERE n_nationkey % 5 = 0")
+      .head().getLong(0)
+    assert(n > 0)
+    val m = graft.formats.iceberg.IcebergMetadata.read(ice,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(ice).get)
+    assert(m.formatVersion == 3)
+    val refs = graft.formats.iceberg.IcebergDeletes
+      .liveDeleteRefs(m, m.headSequence)
+    assert(refs.size == 1 && refs.head.isDeletionVector, refs.toString)
+    val back = new graft.formats.iceberg.IcebergConversionSource(
+      spark, ice, "nation").toDataFrame
+    assert(back.where("n_nationkey % 5 = 0").count() == 0)
+    // v3 UPDATE refuses through SQL with the lineage message
+    val e = intercept[UnsupportedOperationException] {
+      gs.sql(s"GRAFT UPDATE '$ice' SET n_regionkey = 9 " +
+        "WHERE n_nationkey = 1").collect()
+    }
+    assert(e.getMessage.contains("preserve"), e.getMessage)
+  }
+
   test("CLONE copies the source protocol, not a hardcoded (1,2)") {
     import org.apache.spark.sql.functions.col
     val base = deltaTable("sqlx_clone_proto")
