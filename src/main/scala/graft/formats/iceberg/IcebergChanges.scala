@@ -116,7 +116,14 @@ object IcebergChanges {
         if (newEq) listing   // equality deletes reach any file: full diff
         else listing.join(touched, listing("path") === touched("__p"),
           "left_semi").as[FileEntry]
-      val sub = TableSnapshot(src.currentTable(), files, s"$at-cdf")
+      // UNIQUE id per read: adjacent steps read the SAME sequence with
+      // DIFFERENT touched sets (step N's after vs step N+1's before) —
+      // under a shared "$at-cdf" id the execution-time listing cache
+      // (SnapshotFileIndex.listingFor keys on basePath#commitId) served
+      // one step's filtered listing to the other, surfacing phantom
+      // deletes/inserts in multi-step feeds
+      val sub = TableSnapshot(src.currentTable(), files,
+        s"$at-cdf-${java.util.UUID.randomUUID()}")
       val keyed = graft.formats.delta.DeltaRead.toKeyedDataFrame(spark, sub)
       val out = IcebergDeletes.applyDeletes(spark, keyed, m, at, tablePath)
       graft.plans.SnapshotFileIndex.invalidate(sub)

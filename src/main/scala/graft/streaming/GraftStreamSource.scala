@@ -98,8 +98,14 @@ class GraftStreamSource(spark: SparkSession, tablePath: String,
   // row-level deletes must keep serving (the deletes themselves surface
   // through the change feed as refusal-or-skip)
   override val schema: StructType = providedSchema.getOrElse {
-    val base = graft.formats.delta.DeltaRead.toDataFrame(
-      spark, source.currentSnapshot()).schema
+    val base = source match {
+      // Iceberg's file-level currentSnapshot refuses while row-level
+      // deletes are live; the masking read's schema is the table schema
+      case i: graft.formats.iceberg.IcebergConversionSource =>
+        i.toDataFrame.schema
+      case other => graft.formats.delta.DeltaRead.toDataFrame(
+        spark, other.currentSnapshot()).schema
+    }
     if (!cdfMode) base
     else base
       .add("_change_type", org.apache.spark.sql.types.StringType)
@@ -109,7 +115,11 @@ class GraftStreamSource(spark: SparkSession, tablePath: String,
   private def snapshotBatchAt(v: String): DataFrame = {
     val snap = source match {
       case d: graft.formats.delta.DeltaConversionSource => d.snapshotAt(v.toLong)
-      case i: graft.formats.iceberg.IcebergConversionSource => i.snapshotAt(v.toLong)
+      case i: graft.formats.iceberg.IcebergConversionSource =>
+        // a fresh stream starting on a table with live row-level deletes
+        // serves the MASKED snapshot (the file-level snapshotAt refuses —
+        // it would serve deleted rows back)
+        return i.toDataFrameAt(v.toLong)
       case h: graft.formats.hudi.HudiConversionSource => h.snapshotAt(v)
       case p: graft.formats.paimon.PaimonConversionSource => p.snapshotAt(v.toLong)
     }
@@ -273,8 +283,16 @@ object GraftStreamSource {
     */
   def tableSchema(spark: SparkSession, path: String,
       cdfMode: Boolean = false): StructType = {
-    val base = graft.formats.delta.DeltaRead.toDataFrame(spark,
-      detectSource(spark, path).currentSnapshot()).schema
+    val base = detectSource(spark, path) match {
+      // Iceberg's file-level currentSnapshot refuses while row-level
+      // deletes are live (it would serve deleted rows); schema
+      // resolution needs no listing — the masking read's schema is the
+      // table schema, so a v3/DV table can still be tailed mid-stream
+      case i: graft.formats.iceberg.IcebergConversionSource =>
+        i.toDataFrame.schema
+      case other => graft.formats.delta.DeltaRead.toDataFrame(spark,
+        other.currentSnapshot()).schema
+    }
     if (!cdfMode) base
     else base
       .add("_change_type", org.apache.spark.sql.types.StringType)

@@ -94,6 +94,80 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(sorted(spark.read.parquet(out)) == sorted(all))
   }
 
+  test("iceberg v3: a deletion-vector commit skips cleanly and later " +
+    "appends keep streaming") {
+    val table = tmpDir("gss_v3")
+    val out = tmpDir("gss_v3_out")
+    val ckpt = tmpDir("gss_v3_ckpt")
+    val stage = tmpDir("gss_v3_stage")
+    val all = events4(60)
+    all.filter(col("event_id") < 30).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val src = new graft.sources.ParquetDirectorySource(spark, stage, "ev")
+    val outcomes = graft.sync.TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    drain(table, out, ckpt, Map("skipChangeCommits" -> "true"))
+    assert(spark.read.parquet(out).count() == 30)
+
+    // a DV commit (upgrades to v3) masks 5 rows — not representable as
+    // an append; skipChangeCommits drops the whole commit
+    val f = new graft.formats.iceberg.IcebergConversionSource(
+      spark, table, "ev").currentSnapshot().files.collect()(0)
+    graft.formats.iceberg.IcebergDeletes.appendDeletionVectors(spark,
+      table, Map(f.path -> (0L until 5L)))
+    // a v3 blind append lands after the DV commit; the resumed stream
+    // serves exactly its rows and nothing from the DV commit
+    val stage2 = tmpDir("gss_v3_stage2")
+    all.filter(col("event_id") >= 30).coalesce(1)
+      .write.mode("overwrite").parquet(stage2)
+    graft.formats.iceberg.IcebergDeletes.appendDataFiles(spark, table,
+      stage2)
+    // sanity: the live file set carries across the DV and append commits
+    val mProbe = graft.formats.iceberg.IcebergMetadata.read(table,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(table).get)
+    def pathsAt(seq: Long): Set[String] =
+      graft.formats.iceberg.IcebergManifests.liveFiles(spark,
+          graft.formats.iceberg.IcebergManifests.readManifestList(
+            mProbe.snapshotBySeq(seq).get.manifestList), mProbe.schema)
+        .collect().map(_.path).toSet
+    val paths2 = pathsAt(2L)
+    val paths3 = pathsAt(3L)
+    assert(paths2.subsetOf(paths3), s"lost files: ${paths2.diff(paths3)}")
+    info(s"paths2=${paths2.size} paths3=${paths3.size}")
+    val delRows = graft.formats.iceberg.IcebergChanges
+      .changesBetween(spark, table, 2L, 3L)
+      .filter(col("_change_type") === "delete")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    info(s"v3-step deletes: ${delRows.mkString(",")}")
+    // sanity: the row-level feed sees 5 deletes @seq2 and 30 inserts @seq3
+    val feed = graft.formats.iceberg.IcebergChanges
+      .changesBetween(spark, table, 1L, 3L)
+      .groupBy("_commit_version", "_change_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set((2L, "delete", 5L), (3L, "insert", 30L)), feed)
+    drain(table, out, ckpt, Map("skipChangeCommits" -> "true"))
+    assert(spark.read.parquet(out).count() == 60)
+
+    // a FRESH stream starting on the DV-carrying table serves the
+    // MASKED snapshot (25 survivors + 30 appended)
+    val ckpt2 = tmpDir("gss_v3_ckpt2")
+    val out2 = tmpDir("gss_v3_out2")
+    drain(table, out2, ckpt2)
+    assert(spark.read.parquet(out2).count() == 55)
+
+    // a NEW DV commit mid-stream refuses loudly without the option
+    graft.formats.iceberg.IcebergDeletes.appendDeletionVectors(spark,
+      table, Map(f.path -> Seq(6L)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(table, out2, ckpt2)
+    }
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+    assert(msg.contains("updated or deleted rows") ||
+      msg.contains("USER_RAISED_EXCEPTION"), s"unexpected failure: $msg")
+  }
+
   test("maxVersionsPerTrigger bounds catch-up to one commit per batch") {
     val table = tmpDir("gss_cap")
     val outDir = tmpDir("gss_cap_out")
