@@ -263,9 +263,6 @@ object IcebergDeletes {
       victims: DataFrame, attempt: Int = 0): Unit = {
     import spark.implicits._
     val (version, m) = currentMeta(spark, tablePath)
-    require(m.partitionSpec.isEmpty,
-      s"appendDeletionVectors supports unpartitioned tables for now; " +
-        s"$tablePath is partitioned")
     val keyed = victims.select(
       graft.util.PathCols.canonical(col("file_path")).as("file"),
       col("pos").cast("long").as("pos"))
@@ -283,6 +280,29 @@ object IcebergDeletes {
       s"deletion vectors reference non-live data files: ${unknown.mkString(", ")}")
     val touchedSet = touched.as[String].collect().toSet
     require(touchedSet.nonEmpty, "no deletion vectors to commit")
+
+    // partitioned tables: each DV entry must carry the REFERENCED data
+    // file's partition tuple (spec: a delete file's partition matches the
+    // rows it deletes, and external readers prune delete manifests by
+    // it). Looked up from the live data manifests with a distributed
+    // scan semi-joined to the touched set — O(touched files) rows reach
+    // the driver, the same rows the manifest writer needs anyway.
+    val partFieldNames: Seq[String] =
+      m.partitionSpec.map(_.partitionColumnName).sorted
+    val partByFile: Map[String, Seq[graft.model.PartitionMember]] =
+      if (partFieldNames.isEmpty) Map.empty
+      else {
+        val dataManifests = IcebergManifests
+          .readManifestListRecords(manifestList)
+          .filter(r => IcebergManifests.contentOf(r) == 0)
+          .map(_.get("manifest_path").toString)
+        IcebergManifests.liveFiles(spark, dataManifests, m.schema)
+          .map(fe => (fe.path, fe.partitionValues))
+          .toDF("pf", "pvals")
+          .join(touched, col("pf") === col("file"), "left_semi")
+          .as[(String, Seq[graft.model.PartitionMember])]
+          .collect().toMap
+      }
 
     // merge rule: existing live DVs for the same files fold in
     // (decoded executor-side like every other vector read)
@@ -344,7 +364,9 @@ object IcebergDeletes {
     val len = IcebergManifests.writeManifest(manifestPath,
       blobMetas.iterator.map { case (file, pf, off, blen, card, psize) =>
         IcebergManifests.dvEntry(IcebergManifests.Status.Added, snapshotId,
-          pf, psize, card, file, off, blen)
+          pf, psize, card, file, off, blen,
+          schema = m.schema, partitionFields = partFieldNames,
+          partitionValues = partByFile.getOrElse(file, Nil))
       })
     val dvManifest = IcebergManifests.ManifestSummary(manifestPath, len,
       snapshotId, blobMetas.size, 0, 0, blobMetas.map(_._5).sum, 0L,
@@ -379,6 +401,10 @@ object IcebergDeletes {
         }.toSeq
       if (kept.isEmpty) None
       else {
+        // carried entries were not added by THIS snapshot: re-stamp them
+        // status=EXISTING (keeping their original snapshot_id) so external
+        // readers' entry status agrees with the list-record counts below
+        kept.foreach(_.put("status", IcebergManifests.Status.Existing))
         val p = s"$mdir/m-${UUID.randomUUID()}-dv-carry.avro"
         val l = IcebergManifests.writeManifest(p, kept.iterator)
         Some(IcebergManifests.ManifestSummary(p, l,

@@ -425,47 +425,78 @@ object IcebergManifests {
   /** manifest_entry schema for v3 DELETION-VECTOR delete manifests:
     * the position-delete data_file shape plus the v3 DV fields —
     * referenced_data_file (143), content_offset (144),
-    * content_size_in_bytes (145). Unpartitioned (empty r102):
-    * [[graft.formats.iceberg.IcebergDeletes.appendDeletionVectors]]
-    * refuses partitioned tables until partition values are threaded
-    * through.
+    * content_size_in_bytes (145). The r102 partition struct carries the
+    * REFERENCED data file's partition (spec: a delete file's partition
+    * must match the rows it deletes) — empty for unpartitioned tables,
+    * typed like [[specEntrySchema]] otherwise. Memoized per
+    * (table-schema, partition-shape) signature.
     */
-  lazy val DvEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":"long","field-id":1},
-      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int","field-id":134},
-      |  {"name":"file_path","type":"string","field-id":100},
-      |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
-      |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
-      |  {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
-      |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
-      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
-      |]}}]}""".stripMargin)
+  def dvEntrySchema(schema: StructType,
+      partitionFields: Seq[String]): Schema = {
+    val key = "dv|" + schema.json + "|" + partitionFields.map(f =>
+      s"$f:${partitionAvroType(schema, f)}").mkString(",")
+    entrySchemaCache.computeIfAbsent(key, _ => {
+      val partFields = partitionFields.zipWithIndex.map { case (f, i) =>
+        val t = partitionAvroType(schema, f)
+        s"""{"name":"$f","type":["null","$t"],"default":null,""" +
+          s""""field-id":${1000 + i}}"""
+      }.mkString(",")
+      new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int","field-id":0},
+          |{"name":"snapshot_id","type":"long","field-id":1},
+          |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+          |  {"name":"content","type":"int","field-id":134},
+          |  {"name":"file_path","type":"string","field-id":100},
+          |  {"name":"file_format","type":"string","field-id":101},
+          |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
+          |  {"name":"record_count","type":"long","field-id":103},
+          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+          |  {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+          |  {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+          |  {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}
+          |]}}]}""".stripMargin)
+    })
+  }
 
   /** One deletion-vector manifest entry (v3): content=1 (position
     * deletes), file_path names the puffin, fields 143-145 locate the
-    * blob inside it.
+    * blob inside it. `partitionValues` is the REFERENCED data file's
+    * partition tuple (as its own manifest entry spells it) so partition
+    * pruning of delete manifests stays sound for external readers.
     */
   def dvEntry(status: Int, snapshotId: Long, puffinPath: String,
       puffinSizeBytes: Long, cardinality: Long, referencedDataFile: String,
-      contentOffset: Long, contentSizeBytes: Long): GenericRecord = {
-    val dfSchema = DvEntrySchema.getField("data_file").schema()
+      contentOffset: Long, contentSizeBytes: Long,
+      schema: StructType = new StructType(),
+      partitionFields: Seq[String] = Nil,
+      partitionValues: Seq[PartitionMember] = Nil): GenericRecord = {
+    // the FIELD LIST comes from the table's partition spec, not from the
+    // values at hand: every entry in a DV manifest must share one avro
+    // schema even when some referenced files recorded no partition tuple
+    val entrySchema = dvEntrySchema(schema, partitionFields)
+    val dfSchema = entrySchema.getField("data_file").schema()
     val df = new GenericData.Record(dfSchema)
     df.put("content", 1)
     df.put("file_path", puffinPath)
     df.put("file_format", "PUFFIN")
-    df.put("partition",
-      new GenericData.Record(dfSchema.getField("partition").schema()))
+    val part =
+      new GenericData.Record(dfSchema.getField("partition").schema())
+    partitionValues.filter(p => partitionFields.contains(p.field)).foreach { p =>
+      val v: AnyRef = partitionAvroType(schema, p.field) match {
+        case "int" => Integer.valueOf(p.value.toInt)
+        case "long" => java.lang.Long.valueOf(p.value.toLong)
+        case _ => p.value
+      }
+      part.put(p.field, v)
+    }
+    df.put("partition", part)
     df.put("record_count", cardinality)
     df.put("file_size_in_bytes", puffinSizeBytes)
     df.put("referenced_data_file", referencedDataFile)
     df.put("content_offset", contentOffset)
     df.put("content_size_in_bytes", contentSizeBytes)
-    val e = new GenericData.Record(DvEntrySchema)
+    val e = new GenericData.Record(entrySchema)
     e.put("status", status); e.put("snapshot_id", snapshotId)
     e.put("data_file", df)
     e

@@ -954,6 +954,61 @@ object SyncQueries {
       |      FROM nation)
       |WHERE pos % 3 <> 1 AND pos % 5 <> 2 AND n_nationkey % 11 <> 3""".stripMargin
 
+  /** Deletion vectors on a PARTITIONED v3 table: nation laid out
+    * hive-style by `n_regionkey` (one file per region, rows sorted by
+    * key so position == rank within the region), synced to Iceberg,
+    * then (1) an explicit DV commit masking positions ≡ 1 (mod 3) in
+    * EVERY region file — the commit that upgrades the table to v3 and
+    * must stamp each DV manifest entry with its referenced file's
+    * partition tuple — and (2) a predicate DELETE of the even keys,
+    * which lands DVs across all partitions and MERGES with the live
+    * per-file DVs. The read-back masks both delete sets exactly.
+    */
+  def icebergV3DvPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val stage = graft.util.TempDirs.create("graft_icedvp_src")
+    s.read.parquet(s"$dir/nation.parquet")
+      .repartition(col("n_regionkey"))
+      .sortWithinPartitions("n_regionkey", "n_nationkey")
+      .write.mode("overwrite").partitionBy("n_regionkey").parquet(stage)
+    val table = graft.util.TempDirs.create("graft_icedvp_tbl")
+    val src = new ParquetDirectorySource(s, stage, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val files = new graft.formats.iceberg.IcebergConversionSource(s, table,
+      "nation").currentSnapshot().files.collect()
+    require(files.length > 1, s"expected one file per region, got ${files.length}")
+    graft.formats.iceberg.IcebergDeletes.appendDeletionVectors(s, table,
+      files.map(f =>
+        f.path -> (0L until f.recordCount).filter(_ % 3 == 1)).toMap)
+    graft.formats.iceberg.IcebergDeletes.deleteWhere(s, table,
+      col("n_nationkey") % 2 === 0)
+    val m = graft.formats.iceberg.IcebergMetadata.read(table,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(table).get)
+    require(m.formatVersion == 3 && m.partitionSpec.nonEmpty,
+      s"expected a partitioned v3 table")
+    // one live DV per data file even across partitions (spec merge rule)
+    val live = graft.formats.iceberg.IcebergDeletes
+      .liveDeleteRefs(m, m.headSequence)
+    require(live.forall(_.isDeletionVector) &&
+      live.map(_.referencedDataFile.get).distinct.size == live.size,
+      s"expected one merged DV per file, got $live")
+    new graft.formats.iceberg.IcebergConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val icebergV3DvPartitionedSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM (SELECT n_nationkey,
+      |        row_number() OVER (PARTITION BY n_regionkey
+      |                           ORDER BY n_nationkey) - 1 AS pos
+      |      FROM nation)
+      |WHERE pos % 3 <> 1 AND n_nationkey % 2 <> 0""".stripMargin
+
   /** Iceberg v2 EQUALITY deletes with the spec's sequence-ordering rule,
     * end-to-end: sync nation, equality-delete keys ≡ 0 (mod 3), then
     * APPEND keys ≡ 0 (mod 5) at a higher sequence — the delete must mask

@@ -259,6 +259,93 @@ class IcebergV3Spec extends SparkSuite {
     assert(e.getMessage.contains("lz4"), e.getMessage)
   }
 
+  test("DV commits on a PARTITIONED table carry the referenced file's " +
+    "partition tuple and merge per file") {
+    val stage = tmpDir("icev3part_src")
+    spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
+      .repartition(col("n_regionkey"))
+      .write.mode("overwrite").partitionBy("n_regionkey").parquet(stage)
+    val table = tmpDir("icev3part_tbl")
+    val src = new ParquetDirectorySource(spark, stage, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    val files = new IcebergConversionSource(spark, table, "nation")
+      .currentSnapshot().files.collect()
+    assert(files.length > 1, "expected one file per region")
+    val regionByFile = files.map(f => f.path ->
+      f.partitionValues.find(_.field == "n_regionkey").get.value).toMap
+
+    // which keys sit at positions 0/1 of the region-0 file (positions,
+    // not keys, are what a DV masks)
+    val f0 = files.find(f => regionByFile(f.path) == "0").get
+    val headKeys = spark.read.parquet(f0.path)
+      .select(col("n_nationkey"), col("_metadata.row_index").as("pos"))
+      .filter(col("pos") < 2).collect()
+      .map(_.getAs[Number]("n_nationkey").longValue).toSet
+
+    // first DV commit upgrades the PARTITIONED table to v3
+    IcebergDeletes.appendDeletionVectors(spark, table,
+      Map(f0.path -> Seq(0L, 1L)))
+    val m1 = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    assert(m1.formatVersion == 3)
+    assert(m1.partitionSpec.nonEmpty)
+
+    // predicate DELETE routes into DVs across SEVERAL partitions and
+    // merges with the live DV on the region-0 file
+    val nDel = IcebergDeletes.deleteWhere(spark, table,
+      col("n_nationkey") % 2 === 0)
+    assert(nDel > 0L)
+    val m2 = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    val refs = IcebergDeletes.liveDeleteRefs(m2, m2.headSequence)
+    assert(refs.forall(_.isDeletionVector), refs)
+    // spec rule holds per file even across partitions
+    assert(refs.map(_.referencedDataFile.get).distinct.size == refs.size,
+      s"more than one live DV for a file: $refs")
+    assert(refs.exists(r => graft.util.PathUtils.canonical(
+      r.referencedDataFile.get) == f0.path), "merged region-0 DV missing")
+
+    // each DV manifest entry carries the REFERENCED data file's
+    // partition tuple in a typed r102 struct
+    import org.apache.avro.generic.GenericRecord
+    val dvManifests = IcebergManifests.readManifestListRecords(
+        m2.currentSnapshot.get.manifestList)
+      .filter(r => IcebergManifests.contentOf(r) == 1)
+      .map(_.get("manifest_path").toString)
+    val entries = dvManifests.flatMap(IcebergManifests.readManifest)
+      .filter(_.get("status").asInstanceOf[Int] !=
+        IcebergManifests.Status.Deleted)
+    assert(entries.nonEmpty)
+    entries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      val ref = graft.util.PathUtils.canonical(
+        df.get("referenced_data_file").toString)
+      val got = Option(part.get("n_regionkey")).map(_.toString).orNull
+      assert(got == regionByFile(ref),
+        s"DV entry partition $got != data file partition " +
+          s"${regionByFile(ref)} for $ref")
+    }
+    // entries carried through a superseding commit are re-stamped
+    // EXISTING, freshly added ones are ADDED
+    val statuses = entries.map(_.get("status").asInstanceOf[Int]).toSet
+    assert(statuses.subsetOf(Set(IcebergManifests.Status.Added,
+      IcebergManifests.Status.Existing)), statuses.toString)
+
+    // the delete-aware read serves exactly the surviving rows
+    val all = spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
+      .collect().map(_.getAs[Number]("n_nationkey").longValue).toSet
+    val expected = (all -- headKeys).filter(_ % 2 != 0)
+    val served = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.collect()
+      .map(_.getAs[Number]("n_nationkey").longValue).toSet
+    assert(served == expected,
+      s"missing=${expected -- served} extra=${served -- expected}")
+  }
+
   test("DV for a non-live data file refuses") {
     val (table, _) = syncNation("icev3bad")
     val e = intercept[IllegalArgumentException] {
