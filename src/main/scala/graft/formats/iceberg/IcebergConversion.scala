@@ -179,17 +179,11 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     }
 
   override def beginSync(t: TableDescriptor): Unit = {
-    // a v3 table became READABLE in r13, which makes it reachable as a
-    // sync target — but a full-set sync adds AND removes files, and
-    // removals would destroy existing rows' lineage (next-row-id /
-    // first_row_id bookkeeping this target does not maintain). Refuse
-    // before authoring anything.
-    currentMeta.filter(_.formatVersion >= 3).foreach { _ =>
-      throw new UnsupportedOperationException(
-        s"Iceberg table at $tablePath is format-version 3: graft syncs " +
-          "author v2 metadata and would break v3 row lineage — sync " +
-          "into a fresh target directory instead")
-    }
+    // v3 targets are fully supported since r14: carried-forward entries
+    // keep their explicit first_row_id (raw-record carry / threaded
+    // through the re-encode paths), added files get fresh ids from the
+    // next-row-id watermark, and removals just delete rows — the same
+    // lineage rules row-level DML follows (see IcebergRowLineage).
     rollbackCorruptCommits()
     table = t
     schema = withStableIds(t.schema)
@@ -289,6 +283,14 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     val snapshotId = seq
     val now = System.currentTimeMillis()
     val mdir = IcebergMetadata.metadataDir(tablePath)
+    // v3 row lineage: files ADDED by this sync get fresh row ids assigned
+    // explicitly from the table's next-row-id watermark; carried-forward
+    // entries keep theirs (raw-record carry, or threaded through the
+    // FileEntry re-encode in the big-removes path)
+    val fmtV = prev.map(_.formatVersion).getOrElse(2)
+    val isV3 = fmtV >= 3
+    val baseRowId = prev.map(_.nextRowId).getOrElse(0L)
+    var newRowsTotal = 0L
 
     // schema / partition-spec EVOLUTION (spec v2): a sync whose
     // partitioning or schema differs from the table's current one appends
@@ -332,21 +334,25 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       case _ => Set.empty
     }
 
-    // previous DATA manifests with the spec id each was written under —
-    // carried-forward manifests must keep it (their entries' partition
-    // struct is typed by that spec, not the current default)
-    val prevManifestRecs: Seq[(String, Int)] = prev.flatMap(_.currentSnapshot)
-      .map { s =>
-        requireNoDeleteManifests(s.manifestList)
-        IcebergManifests.readManifestListRecords(s.manifestList)
-          .filter(IcebergManifests.contentOf(_) == 0)
-          .map(r => (r.get("manifest_path").toString,
-            r.get("partition_spec_id") match {
-              case i: java.lang.Integer => i.intValue
-              case _ => 0
-            }))
-      }
-      .getOrElse(Nil)
+    // previous DATA manifests with the spec id AND sequence number each
+    // was written under — carried-forward manifests must keep both (the
+    // partition struct is typed by the spec; the sequence is each file's
+    // commit ordinal, which v3 row lineage inherits as last-updated and
+    // equality-delete ordering compares against)
+    val prevManifestRecs: Seq[(String, Int, Long)] =
+      prev.flatMap(_.currentSnapshot)
+        .map { s =>
+          requireNoDeleteManifests(s.manifestList)
+          IcebergManifests.readManifestListRecords(s.manifestList)
+            .filter(IcebergManifests.contentOf(_) == 0)
+            .map(r => (r.get("manifest_path").toString,
+              r.get("partition_spec_id") match {
+                case i: java.lang.Integer => i.intValue
+                case _ => 0
+              },
+              IcebergManifests.longOf(r.get("sequence_number"), seq)))
+        }
+        .getOrElse(Nil)
     val prevManifests: Seq[String] = prevManifestRecs.map(_._1)
 
     // carry-forward / rewrite of previous manifests: one task PER MANIFEST
@@ -372,8 +378,8 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         finally bc.unpersist()
       }
     processed.zip(prevManifestRecs).foreach {
-      case (Some((p, len, existing, deleted, rows)), (_, sid)) =>
-        kept += IcebergManifests.ManifestSummary(p, len, snapshotId,
+      case (Some((p, len, existing, deleted, rows)), (_, sid, origSeq)) =>
+        kept += IcebergManifests.ManifestSummary(p, len, origSeq,
           0, existing, deleted, 0L, rows, specId = sid)
       case (None, _) => () // fully-dropped manifest: not carried forward at all
     }
@@ -391,45 +397,58 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       val md = mdir
       val bconf = graft.util.HadoopConfs.broadcastSession(spark)
       val prevEntries = graft.util.Par.ds(spark, prevManifestRecs, 128)
-        .flatMap { case (mp, sid) =>
+        .flatMap { case (mp, sid, origSeq) =>
           IcebergManifests.readManifest(mp)
             .filter(_.get("status").asInstanceOf[Int] !=
               IcebergManifests.Status.Deleted)
-            .map(e => (sid, IcebergManifests.fromEntry(e, sch)._2))
+            .map { e =>
+              // v3: the FileEntry re-encode would drop the lineage base —
+              // carry it alongside so survivors keep their row ids
+              val df = e.get("data_file")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              val fr = Option(IcebergManifests.fieldOr(df, "first_row_id"))
+                .map {
+                  case l: java.lang.Long => l.longValue
+                  case i: java.lang.Integer => i.longValue.toLong
+                }
+              (sid, origSeq, IcebergManifests.fromEntry(e, sch)._2, fr)
+            }
         }
       val removes = pendingRemoves.get.select(col("path").as("__rm"))
-      // survivors keep their source manifest's spec id; entries sort by
-      // it WITHIN each join partition (no extra shuffle) so each output
-      // manifest is spec-uniform — entries of different specs carry
-      // different partition-struct shapes and must not share a container
+      // survivors keep their source manifest's spec id AND sequence;
+      // entries sort by both WITHIN each join partition (no extra
+      // shuffle) so each output manifest is uniform in spec (partition
+      // struct shape) and sequence (the per-file commit ordinal)
       val survivors = prevEntries
-        .join(removes, col("_2.path") === col("__rm"), "left_anti")
-        .as[(Int, FileEntry)]
-        .sortWithinPartitions(col("_1"))
+        .join(removes, col("_3.path") === col("__rm"), "left_anti")
+        .as[(Int, Long, FileEntry, Option[Long])]
+        .sortWithinPartitions(col("_1"), col("_2"))
       val summaries = survivors.mapPartitions { it =>
         val buf = it.buffered
-        val out = Seq.newBuilder[(String, Long, Int, Long, Int)]
+        val out = Seq.newBuilder[(String, Long, Int, Long, Int, Long)]
         while (buf.hasNext) {
-          val sid = buf.head._1
+          val (sid, origSeq) = (buf.head._1, buf.head._2)
           val np = s"$md/m-${UUID.randomUUID()}.avro"
           var n = 0
           var rows = 0L
           val run = new Iterator[org.apache.avro.generic.GenericRecord] {
-            def hasNext: Boolean = buf.hasNext && buf.head._1 == sid
+            def hasNext: Boolean = buf.hasNext &&
+              buf.head._1 == sid && buf.head._2 == origSeq
             def next(): org.apache.avro.generic.GenericRecord = {
-              val f = buf.next()._2
+              val (_, _, f, fr) = buf.next()
               n += 1; rows += f.recordCount
               IcebergManifests.toEntry(f,
-                IcebergManifests.Status.Existing, snapId, sch)
+                IcebergManifests.Status.Existing, snapId, sch,
+                firstRowId = fr)
             }
           }
           val len = IcebergManifests.writeManifest(np, run, bconf.value.value)
-          out += ((np, len, n, rows, sid))
+          out += ((np, len, n, rows, sid, origSeq))
         }
         out.result().iterator
       }.collect()
-      summaries.foreach { case (p, len, n, rows, sid) =>
-        kept += IcebergManifests.ManifestSummary(p, len, snapshotId,
+      summaries.foreach { case (p, len, n, rows, sid, origSeq) =>
+        kept += IcebergManifests.ManifestSummary(p, len, origSeq,
           0, n, 0, 0L, rows, specId = sid)
       }
     }
@@ -475,10 +494,11 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         }
       }
       val entryIt = it.map { f =>
+        val fr = if (isV3) Some(baseRowId + addedRows) else None
         addedCount += 1; addedRows += f.recordCount
         track(f)
         IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
-          snapshotId, schema)
+          snapshotId, schema, firstRowId = fr)
       }.takeWhile(_ => addedCount <= cap)
       val len = IcebergManifests.writeManifest(np, entryIt)
       def boundBytes(pf: String, v: String): Option[Array[Byte]] =
@@ -498,38 +518,56 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
           IcebergManifests.PartitionFieldSummary(containsNull,
             boundBytes(pf, lo), boundBytes(pf, hi))
       })
-      if (addedCount <= cap && addedCount > 0)
+      if (addedCount <= cap && addedCount > 0) {
         kept += IcebergManifests.ManifestSummary(
           np, len, snapshotId, addedCount.toInt, 0, 0, addedRows, 0L,
           partitions = summaries, specId = defaultSpecId)
-      else {
+        newRowsTotal = addedRows
+      } else {
         // over the cap (or empty): drop the partial driver manifest
         val hp = new org.apache.hadoop.fs.Path(np)
         hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
           .delete(hp, false)
       }
       if (addedCount > cap) {
-        import ds.sparkSession.implicits._
         val sch = schema
         val snapId = snapshotId
         val md = mdir
+        val v3 = isV3
+        val base = baseRowId
         val bconf = graft.util.HadoopConfs.broadcastSession(spark)
         val cached = ds.persist()
         val addTotal = cached.count()
         val nParts = math.max(1, math.min(256,
           math.ceil(addTotal.toDouble /
             IcebergConversionTarget.EntriesPerManifest).toInt))
-        val summaries = cached.repartition(nParts).mapPartitions { it2 =>
+        // the repartitioned set is persisted so the v3 row-id passes
+        // (per-partition counts, then assignment) see ONE partitioning
+        val rep = cached.repartition(nParts).persist()
+        val bases: Array[Long] =
+          if (!v3) Array.empty
+          else {
+            val counts = rep.rdd.mapPartitionsWithIndex { (i, it2) =>
+              Iterator((i, it2.map(_.recordCount).sum))
+            }.collect().sortBy(_._1).map(_._2)
+            newRowsTotal = counts.sum
+            counts.scanLeft(base)(_ + _)
+          }
+        val bBases = spark.sparkContext.broadcast(bases)
+        val summaries = rep.rdd.mapPartitionsWithIndex { (i, it2) =>
           if (!it2.hasNext) Iterator.empty
           else {
             val p = s"$md/m-${UUID.randomUUID()}.avro"
             var n = 0
             var rows = 0L
+            var cursor = if (v3) bBases.value(i) else 0L
             val len2 = IcebergManifests.writeManifest(p,
               it2.map { f =>
+                val fr = if (v3) Some(cursor) else None
+                cursor += f.recordCount
                 n += 1; rows += f.recordCount
                 IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
-                  snapId, sch)
+                  snapId, sch, firstRowId = fr)
               }, bconf.value.value)
             Iterator((p, len2, n, rows))
           }
@@ -539,7 +577,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
             p, len2, snapshotId, n, 0, 0, rows, 0L,
             specId = defaultSpecId)
         }
-        cached.unpersist()
+        rep.unpersist(); cached.unpersist(); bBases.unpersist()
       }
     }
 
@@ -550,26 +588,36 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     val keptList = {
       val ks = kept.result()
       if (ks.size <= IcebergConversionTarget.CompactionThreshold) ks
-      else ks.groupBy(_.specId).toSeq.sortBy(_._1).map { case (sid, grp) =>
+      else {
         // one merged manifest PER SPEC ID: entries of different specs
         // carry different partition-struct shapes and must not be
-        // re-encoded into one container
-        val np = s"$mdir/m-${UUID.randomUUID()}-compacted.avro"
-        var n = 0
-        var rows = 0L
-        val entries = grp.iterator.flatMap { case m =>
-          IcebergManifests.readManifest(m.path).filter(e =>
-            e.get("status").asInstanceOf[Int] != IcebergManifests.Status.Deleted)
-        }.map { e =>
-          e.put("status", IcebergManifests.Status.Existing); n += 1
-          rows += e.get("data_file")
-            .asInstanceOf[org.apache.avro.generic.GenericRecord]
-            .get("record_count").asInstanceOf[Long]
-          e
+        // re-encoded into one container. On v3 the grouping also keeps
+        // the SEQUENCE: a manifest's list-record sequence is every
+        // entry's commit ordinal, which row lineage inherits as
+        // last-updated — merging across sequences would falsify it.
+        // (v2 keeps the coarser spec-only merge; nothing reads per-file
+        // sequences there once delete manifests are refused.)
+        val grouped =
+          if (isV3) ks.groupBy(s => (s.specId, s.snapshotId)).toSeq
+          else ks.groupBy(s => (s.specId, snapshotId)).toSeq
+        grouped.sortBy(_._1).map { case ((sid, grpSeq), grp) =>
+          val np = s"$mdir/m-${UUID.randomUUID()}-compacted.avro"
+          var n = 0
+          var rows = 0L
+          val entries = grp.iterator.flatMap { case m =>
+            IcebergManifests.readManifest(m.path).filter(e =>
+              e.get("status").asInstanceOf[Int] != IcebergManifests.Status.Deleted)
+          }.map { e =>
+            e.put("status", IcebergManifests.Status.Existing); n += 1
+            rows += e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              .get("record_count").asInstanceOf[Long]
+            e
+          }
+          val len = IcebergManifests.writeManifest(np, entries)
+          IcebergManifests.ManifestSummary(np, len, grpSeq,
+            0, n, 0, 0L, rows, specId = sid)
         }
-        val len = IcebergManifests.writeManifest(np, entries)
-        IcebergManifests.ManifestSummary(np, len, snapshotId,
-          0, n, 0, 0L, rows, specId = sid)
       }
     }
     // UUID: two racing writers compute the same next snapshotId, and a
@@ -598,11 +646,15 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       snapshotId,
       prev.map(_.snapshots).getOrElse(Nil) :+
         IcebergSnapshot(snapshotId, seq, now, listPath,
-          syncMeta.map(_.lastInstantSynced)),
+          syncMeta.map(_.lastInstantSynced),
+          firstRowId = if (isV3) Some(baseRowId) else None),
+      refs = prev.map(_.refs).getOrElse(Map.empty),
       currentSchemaId = currentSchemaId,
       defaultSpecId = defaultSpecId,
       otherSchemas = otherSchemas,
-      otherSpecs = otherSpecs))
+      otherSpecs = otherSpecs,
+      formatVersion = fmtV,
+      nextRowId = if (isV3) baseRowId + newRowsTotal else 0L))
     if (!ok) throw new IllegalStateException(
       s"concurrent writer committed metadata v$version first at $tablePath")
   }

@@ -140,18 +140,33 @@ object IcebergDeletes {
       predicate: Column, assignments: Map[String, Column]): Long = {
     require(assignments.nonEmpty, "updateWhere needs >= 1 assignment")
     val (version, m) = currentMeta(spark, tablePath)
-    val src = new IcebergConversionSource(spark, tablePath,
-      m.properties.getOrElse("graft.table-name", "table"))
+    val name = m.properties.getOrElse("graft.table-name", "table")
+    val src = new IcebergConversionSource(spark, tablePath, name)
     val schema = m.schema
     val unknown = assignments.keySet -- schema.fieldNames.toSet
     require(unknown.isEmpty, s"unknown update columns: $unknown")
-    val matched = src.toDataFrame.filter(predicate).persist()
+    val isV3 = m.formatVersion >= 3
+    // v3: updated rows must KEEP their row ids (spec §Row Lineage —
+    // an update is the same row at a new sequence), so the scan resolves
+    // each matched row's id and the rewrite materializes it; the
+    // _last_updated_sequence_number stays null and inherits the NEW
+    // file's sequence — exactly "updated at this commit"
+    val matched =
+      (if (isV3)
+        IcebergRowLineage.keyedScanWithLineage(spark, tablePath, m,
+          m.headSequence, name)
+      else src.toDataFrame).filter(predicate).persist()
     try {
       val nMatched = matched.count()
       if (nMatched == 0L) return 0L
-      val rewritten = matched.select(schema.fieldNames.toSeq.map { f =>
-        assignments.get(f).map(_.as(f)).getOrElse(col(f))
-      }: _*)
+      // assignments cast to the schema's column type: a `lit(99L)` into
+      // an int column must not flip the parquet physical type under the
+      // fixed-schema scan
+      val rewritten = matched.select(schema.fields.toSeq.map { f =>
+        assignments.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      } ++ (if (isV3)
+        Seq(col("__row_id").as(IcebergRowLineage.RowIdCol)) else Nil): _*)
       val seq = m.lastSequenceNumber + 1
       val dataDir = s"$tablePath/data/update-$seq-${UUID.randomUUID()}"
       rewritten.write.parquet(dataDir)
@@ -162,7 +177,8 @@ object IcebergDeletes {
         content = 2,
         equalityIds = equalityIdsOf(spark, tablePath,
           schema.fieldNames.toSeq),
-        dataDir = Some(dataDir), expectVersion = Some(version))
+        dataDir = Some(dataDir), expectVersion = Some(version),
+        v3LineagePreserved = isV3)
       nMatched
     } finally matched.unpersist()
   }
@@ -200,11 +216,30 @@ object IcebergDeletes {
         .count()
       val seq = m.lastSequenceNumber + 1
       val dataDir = s"$tablePath/data/merge-$seq-${UUID.randomUUID()}"
-      srcProj.write.parquet(dataDir)
+      val isV3 = m.formatVersion >= 3
+      // v3: a MATCHED source row is the target row updated — it keeps the
+      // target's row id (materialized); an unmatched one is an insert and
+      // leaves _row_id null (inherits a fresh id from first_row_id + pos).
+      // Duplicate-key target copies collapse into one surviving row; the
+      // smallest id is kept (deterministic).
+      val staged =
+        if (!isV3) srcProj
+        else {
+          val name = m.properties.getOrElse("graft.table-name", "table")
+          val tgtIds = IcebergRowLineage
+            .keyedScanWithLineage(spark, tablePath, m, m.headSequence, name)
+            .groupBy(keyCols.map(col): _*)
+            .agg(min(col("__row_id")).as(IcebergRowLineage.RowIdCol))
+          srcProj.join(tgtIds, keyCols, "left")
+            .select(schema.fieldNames.toSeq.map(col) :+
+              col(IcebergRowLineage.RowIdCol): _*)
+        }
+      staged.write.parquet(dataDir)
       appendCommit(spark, tablePath,
         srcProj.select(keyCols.map(col): _*), content = 2,
         equalityIds = equalityIdsOf(spark, tablePath, keyCols),
-        dataDir = Some(dataDir), expectVersion = Some(version))
+        dataDir = Some(dataDir), expectVersion = Some(version),
+        v3LineagePreserved = isV3)
       (matched, srcCount - matched)
     } finally srcProj.unpersist()
   }
@@ -225,6 +260,66 @@ object IcebergDeletes {
       parquetDir: String, toBranch: Option[String] = None): Unit =
     appendCommit(spark, tablePath, rows = null, content = 0,
       equalityIds = Nil, dataDir = Some(parquetDir), toBranch = toBranch)
+
+  /** Upgrade a v2 table to format-version 3 in one metadata commit (the
+    * `ALTER TABLE SET 'format-version'='3'` surface): every live data
+    * entry gets an explicit `first_row_id` (spec §Row Lineage upgrade
+    * assignment, see [[IcebergRowLineage.assignOnUpgrade]]) and
+    * `next-row-id` starts past the last. No data file moves; the new
+    * snapshot references the same files through rewritten manifests, so
+    * a change-feed diff across it is empty. Live parquet position-delete
+    * FILES refuse (v3 forbids them — rewriteWithDeletes first); equality
+    * deletes carry forward (still legal in v3). Returns false when the
+    * table is already v3.
+    */
+  def upgradeToV3(spark: SparkSession, tablePath: String): Boolean = {
+    val (version, m) = currentMeta(spark, tablePath)
+    if (m.formatVersion >= 3) return false
+    val posFiles = liveDeleteRefs(m, m.headSequence)
+      .filter(r => r.content == 1 && !r.isDeletionVector)
+    require(posFiles.isEmpty,
+      s"table at $tablePath has ${posFiles.size} live parquet " +
+        "position-delete file(s); v3 forbids them — rewriteWithDeletes " +
+        "first, then upgrade")
+    val mdir = IcebergMetadata.metadataDir(tablePath)
+    if (m.currentSnapshot.isEmpty) {
+      // empty table: nothing to assign — flip the version in place
+      val ok0 = IcebergMetadata.write(tablePath, version + 1, m.copy(
+        formatVersion = 3, nextRowId = 0L,
+        lastUpdatedMs = System.currentTimeMillis()))
+      if (!ok0) throw new IllegalStateException(
+        s"concurrent writer committed metadata v${version + 1} first at " +
+          s"$tablePath — re-run the upgrade against the new snapshot")
+      return true
+    }
+    val carried = m.currentSnapshot
+      .map(s => IcebergManifests.readManifestListRecords(s.manifestList))
+      .getOrElse(Nil)
+    val (dataRecs, deleteRecs) =
+      carried.partition(r => IcebergManifests.contentOf(r) == 0)
+    val (lineageSummaries, total) =
+      IcebergRowLineage.assignOnUpgrade(spark, dataRecs, m.schema, mdir)
+    val snapshotId = m.lastSequenceNumber + 1
+    val listPath =
+      s"$mdir/snap-$snapshotId-${UUID.randomUUID()}-manifest-list.avro"
+    IcebergManifests.writeManifestListRecords(listPath, deleteRecs,
+      lineageSummaries)
+    val now = System.currentTimeMillis()
+    val ok = IcebergMetadata.write(tablePath, version + 1, m.copy(
+      formatVersion = 3,
+      lastSequenceNumber = snapshotId,
+      lastUpdatedMs = now,
+      currentSnapshotId = snapshotId,
+      nextRowId = total,
+      snapshots = m.snapshots :+
+        IcebergSnapshot(snapshotId, snapshotId, now, listPath, None,
+          "replace", parentSnapshotId = m.currentSnapshot.map(_.snapshotId),
+          firstRowId = Some(0L))))
+    if (!ok) throw new IllegalStateException(
+      s"concurrent writer committed metadata v${version + 1} first at " +
+        s"$tablePath — re-run the upgrade against the new snapshot")
+    true
+  }
 
   /** Commit DELETION VECTORS (Iceberg spec v3): one puffin file holding
     * one `deletion-vector-v1` blob per masked data file, referenced from
@@ -376,9 +471,22 @@ object IcebergDeletes {
     // superseded DV entry are rewritten without it (spec: one DV per
     // data file)
     val supersededManifests = superseded.map(_.path).toSet
-    val carried = m.currentSnapshot
+    val allCarried = m.currentSnapshot
       .map(s => IcebergManifests.readManifestListRecords(s.manifestList))
       .getOrElse(Nil)
+    // the FIRST DV commit upgrades the table v2→v3: the spec's upgrade
+    // step assigns row lineage to every existing row, done here as an
+    // explicit per-entry first_row_id rewrite of the data manifests (in
+    // list order) with next-row-id starting past the last — so every
+    // later rewrite (update/merge/compaction) can resolve row ids
+    val upgrading = m.formatVersion < 3
+    val (dataRecs, carried) =
+      if (upgrading) allCarried.partition(r => IcebergManifests.contentOf(r) == 0)
+      else (Nil, allCarried)
+    val (lineageSummaries, upgradeRowTotal) =
+      if (upgrading)
+        IcebergRowLineage.assignOnUpgrade(spark, dataRecs, m.schema, mdir)
+      else (Nil, 0L)
     val (needRewrite, untouched) = carried.partition { r =>
       IcebergManifests.contentOf(r) == 1 && supersededManifests.nonEmpty && {
         IcebergManifests.readManifest(r.get("manifest_path").toString)
@@ -419,7 +527,7 @@ object IcebergDeletes {
     val listPath =
       s"$mdir/snap-$snapshotId-${UUID.randomUUID()}-manifest-list.avro"
     IcebergManifests.writeManifestListRecords(listPath, untouched,
-      rewritten :+ dvManifest)
+      lineageSummaries ++ rewritten :+ dvManifest)
 
     val now = System.currentTimeMillis()
     val ok = IcebergMetadata.write(tablePath, version + 1, m.copy(
@@ -427,6 +535,7 @@ object IcebergDeletes {
       lastSequenceNumber = seq,
       lastUpdatedMs = now,
       currentSnapshotId = snapshotId,
+      nextRowId = if (upgrading) upgradeRowTotal else m.nextRowId,
       snapshots = m.snapshots :+
         IcebergSnapshot(snapshotId, seq, now, listPath, None, "delete",
           parentSnapshotId = m.currentSnapshot.map(_.snapshotId))))
@@ -470,15 +579,26 @@ object IcebergDeletes {
     val (version, m) = currentMeta(spark, tablePath)
     if (liveDeleteRefs(m, m.headSequence).isEmpty && zorderBy.isEmpty)
       return false
-    val src = new IcebergConversionSource(spark, tablePath,
-      m.properties.getOrElse("graft.table-name", "table"))
+    val name = m.properties.getOrElse("graft.table-name", "table")
+    val src = new IcebergConversionSource(spark, tablePath, name)
     val seq = m.lastSequenceNumber + 1
     val dataDir = s"$tablePath/data/compact-$seq-${UUID.randomUUID()}"
+    val isV3 = m.formatVersion >= 3
     // scan PINNED at the planned sequence, not the live head: an append
     // landing between this read and the REPLACE commit is carried
     // forward by the retry — if the scan had floated to the new head,
     // those rows would be BOTH rewritten and carried (duplicates)
-    val rows = src.toDataFrameAt(m.headSequence)
+    // v3: compaction copies rows UNMODIFIED, so the spec requires both
+    // lineage fields written explicitly — the resolved row id AND the
+    // original last-updated sequence (inheriting the replace commit's
+    // sequence would falsely mark every row as updated now)
+    val rows =
+      if (!isV3) src.toDataFrameAt(m.headSequence)
+      else IcebergRowLineage
+        .keyedScanWithLineage(spark, tablePath, m, m.headSequence, name)
+        .withColumnRenamed("__row_id", IcebergRowLineage.RowIdCol)
+        .withColumnRenamed("__last_seq", IcebergRowLineage.LastUpdatedCol)
+        .drop("__scan_path", "__scan_pos")
     val out =
       if (zorderBy.isEmpty) rows
       else {
@@ -499,7 +619,7 @@ object IcebergDeletes {
     // between scan and REPLACE would otherwise be silently discarded
     appendCommit(spark, tablePath, rows = null, content = 0,
       equalityIds = Nil, dataDir = Some(dataDir), replace = true,
-      expectVersion = Some(version))
+      expectVersion = Some(version), v3LineagePreserved = isV3)
     true
   }
 
@@ -564,7 +684,13 @@ object IcebergDeletes {
       expectVersion: Option[Long] = None,
       extraProps: Map[String, String] = Map.empty,
       txnGuard: Option[(String, Long)] = None,
-      toBranch: Option[String] = None): Boolean = {
+      toBranch: Option[String] = None,
+      // v3 row lineage: the caller asserts every row COPIED into the
+      // staged data files carries its original id in a materialized
+      // `_row_id` column (see IcebergRowLineage) — the spec's condition
+      // for rewrites on a v3 table. Fresh rows may leave it null (they
+      // inherit first_row_id + pos, a fresh id).
+      v3LineagePreserved: Boolean = false): Boolean = {
     require(toBranch.isEmpty || (!replace && content == 0),
       "branch-targeted commits support data appends only (WAP)")
     // retryable past pure data appends: data-only appends and POSITION
@@ -603,22 +729,27 @@ object IcebergDeletes {
         meta.properties.get(key).exists(_.toLong >= id)
       }
     var (version, m) = currentMeta(spark, tablePath)
-    // v3 write gate: BLIND data appends are supported — fresh rows get
-    // fresh row ids (explicit data_file.first_row_id per entry, snapshot
-    // first-row-id, next-row-id advanced), which is unambiguous because
-    // no existing row is touched. Everything else refuses: parquet
-    // position-delete FILES are forbidden in v3 (deletion vectors — see
-    // [[appendDeletionVectorsOf]] — replace them), and updates/replaces
-    // would have to PRESERVE existing rows' lineage through the rewrite,
-    // which this engine does not implement.
-    if (m.formatVersion >= 3 && !blindAppend)
-      throw new UnsupportedOperationException(
-        s"Iceberg table at $tablePath is format-version 3: this engine " +
-          "reads v3, deletes rows on it (deleteWhere routes into " +
-          "deletion vectors) and appends new data files (fresh row " +
-          "lineage), but updates/replaces would have to preserve " +
-          "existing rows' lineage — refusing; copy the table to a v2 " +
-          "target for full DML")
+    // v3 write gates. BLIND data appends are always fine (fresh rows get
+    // fresh ids). Parquet position-delete FILES are forbidden in v3
+    // unconditionally — deletion vectors ([[appendDeletionVectorsOf]])
+    // replace them. Everything that COPIES existing rows (row-delta
+    // updates/merges, replaces) is admitted only when the caller
+    // materialized their lineage (`v3LineagePreserved`) — updateWhere /
+    // mergeInto / rewriteWithDeletes do; a raw append of recycled rows
+    // without it would silently fork row ids.
+    if (m.formatVersion >= 3 && !blindAppend) {
+      if (content == 1)
+        throw new UnsupportedOperationException(
+          s"Iceberg table at $tablePath is format-version 3: position " +
+            "delete FILES are forbidden by the spec — use deletion " +
+            "vectors (deleteWhere / appendDeletionVectors)")
+      if (!v3LineagePreserved)
+        throw new UnsupportedOperationException(
+          s"Iceberg table at $tablePath is format-version 3: rewrites " +
+            "must preserve existing rows' lineage — route through " +
+            "updateWhere/mergeInto/rewriteWithDeletes (which materialize " +
+            "_row_id), or copy the table to a v2 target")
+    }
     if (txnAlreadyCommitted(m)) return false
 
     // global min/max of the delete KEYS per equality column, canonical-

@@ -362,6 +362,10 @@ object IcebergManifests {
         longOf(fieldOr(srcDf, "last_modified_ms"), 0L))
     if (dfSchema.getField("equality_ids") != null)
       df.put("equality_ids", fieldOr(srcDf, "equality_ids"))
+    // v3 row lineage: the inheritance base must survive re-encoding —
+    // dropping it would orphan every row id in the file
+    if (dfSchema.getField("first_row_id") != null)
+      df.put("first_row_id", fieldOr(srcDf, "first_row_id"))
 
     // partition: map or struct in, whatever the target declares out
     val pairs: Seq[(String, String)] = srcDf.get("partition") match {

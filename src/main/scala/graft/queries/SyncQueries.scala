@@ -1285,6 +1285,50 @@ object SyncQueries {
       |               ELSE n_nationkey END) AS BIGINT) AS sum_key
       |FROM nation""".stripMargin
 
+  /** UPDATE on a FORMAT-VERSION 3 table with row lineage preserved: the
+    * table upgrades v2→3 (every existing entry gets an explicit
+    * first_row_id, next-row-id watermarked), a DV delete masks the keys
+    * ≡ 1 (mod 5), then updateWhere rewrites the keys ≡ 0 (mod 4) — the
+    * rewrite materializes each matched row's _row_id (spec §Row
+    * Lineage: an update is the same row at a new sequence). The gate
+    * asserts the id set is EXACTLY the pre-update live set (no forked
+    * or dropped lineage) before aggregating the served rows.
+    */
+  def icebergV3UpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.iceberg._
+    val table = graft.util.TempDirs.create("graft_icev3_updw")
+    val src = new ParquetDirectorySource(s, s"$dir/nation.parquet", "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    require(IcebergDeletes.upgradeToV3(s, table))
+    def ids(): Set[Long] = {
+      val m = IcebergMetadata.read(table,
+        IcebergMetadata.currentVersion(table).get)
+      IcebergRowLineage.keyedScanWithLineage(s, table, m,
+        m.headSequence, "nation")
+        .select(col("__row_id")).collect().map(_.getLong(0)).toSet
+    }
+    IcebergDeletes.deleteWhere(s, table, col("n_nationkey") % 5 === 1)
+    val pre = ids()
+    IcebergDeletes.updateWhere(s, table,
+      col("n_nationkey") % 4 === 0,
+      Map("n_nationkey" -> (col("n_nationkey") + 1000)))
+    require(ids() == pre,
+      "update on v3 must preserve the live row-id set exactly")
+    new IcebergConversionSource(s, table, "nation")
+      .toDataFrame
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val icebergV3UpdateWhereSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CASE WHEN n_nationkey % 4 = 0 THEN n_nationkey + 1000
+      |               ELSE n_nationkey END) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_nationkey % 5 <> 1""".stripMargin
+
   /** MERGE INTO on Iceberg: key-equality delete + every source row as
     * new data files, one snapshot, one sequence. Mirrors
     * `delta_merge_upsert` (same source, same oracle).

@@ -94,7 +94,7 @@ class IcebergV3Spec extends SparkSuite {
   }
 
   test("DV commit upgrades to v3, masks rows, merges per-file, and " +
-    "refuses further data writes") {
+    "serves row-level DML") {
     val (table, f) = syncNation("icev3")
     val all = spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
       .orderBy("n_nationkey").collect().map(_.getAs[Number]("n_nationkey").longValue)
@@ -179,14 +179,21 @@ class IcebergV3Spec extends SparkSuite {
       firstRowIds.toString)
     assert(firstRowIds.map(_.asInstanceOf[Long]).min == preAppend.nextRowId)
 
-    // UPDATES still refuse on v3 (they would have to preserve existing
-    // rows' lineage through the rewrite)
-    val e = intercept[UnsupportedOperationException] {
-      IcebergDeletes.updateWhere(spark, table,
-        col("n_nationkey") === served2.head,
-        Map("n_regionkey" -> lit(99L)))
-    }
-    assert(e.getMessage.contains("preserve"), e.getMessage)
+    // UPDATES work on v3 since r14 (the rewrite materializes each
+    // matched row's _row_id — see the dedicated lineage test); here just
+    // prove the DML lands and the count holds
+    val preUpd = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.count()
+    val updKey = served3.head
+    val nUpd = IcebergDeletes.updateWhere(spark, table,
+      col("n_nationkey") === updKey,
+      Map("n_regionkey" -> lit(99L)))
+    assert(nUpd > 0L)
+    val afterUpd = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame
+    assert(afterUpd.count() == preUpd)
+    assert(afterUpd.filter(col("n_nationkey") === updKey)
+      .collect().forall(_.getAs[Number]("n_regionkey").longValue == 99L))
 
     // file-level consumers refuse while DVs are live (same guard as v2
     // row-level deletes): sync would serve deleted rows back
@@ -344,6 +351,126 @@ class IcebergV3Spec extends SparkSuite {
       .map(_.getAs[Number]("n_nationkey").longValue).toSet
     assert(served == expected,
       s"missing=${expected -- served} extra=${served -- expected}")
+  }
+
+  test("row lineage survives update, merge, delete, compaction, and " +
+    "sync into a v3 table") {
+    val nationPath = s"${sf("sf0.001")}/nation.parquet"
+    def lineage(table: String): Map[Long, (Long, Long)] = {
+      val m = IcebergMetadata.read(table,
+        IcebergMetadata.currentVersion(table).get)
+      IcebergRowLineage.keyedScanWithLineage(spark, table, m,
+        m.headSequence, "nation")
+        .select(col("n_nationkey"), col("__row_id"), col("__last_seq"))
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue,
+          (r.getLong(1), r.getLong(2)))).toMap
+    }
+    val (table, _) = syncNation("icev3lin")
+
+    // explicit upgrade (no DV needed): ids assigned positionally — the
+    // single sorted file makes id == rank of n_nationkey
+    assert(IcebergDeletes.upgradeToV3(spark, table))
+    assert(!IcebergDeletes.upgradeToV3(spark, table)) // idempotent
+    val m0 = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    assert(m0.formatVersion == 3)
+    val ids0 = lineage(table)
+    assert(m0.nextRowId == ids0.size.toLong, m0.nextRowId)
+    val ranked = ids0.keys.toSeq.sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    assert(ids0.map { case (k, (id, _)) => k -> id } == ranked)
+    assert(ids0.values.map(_._2).toSet.size == 1) // one original data seq
+
+    val keys = ids0.keys.toSeq.sorted
+    val (k1, k2, k3, k4) = (keys(1), keys(5), keys(9), keys(13))
+
+    // UPDATE: the row keeps its id; its last-updated seq moves to the
+    // update commit (inherited from the new file); others untouched
+    assert(IcebergDeletes.updateWhere(spark, table,
+      col("n_nationkey") === k1, Map("n_name" -> lit("updated"))) == 1L)
+    val ids1 = lineage(table)
+    assert(ids1(k1)._1 == ids0(k1)._1, "update must preserve _row_id")
+    assert(ids1(k1)._2 > ids0(k1)._2, "update must advance last-updated")
+    assert((ids1 - k1) == (ids0 - k1))
+
+    // MERGE: matched key keeps the target's id; the insert gets a FRESH
+    // id past the pre-merge watermark
+    val mPre = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    val nation = spark.read.parquet(nationPath)
+    val keyType = nation.schema("n_nationkey").dataType
+    val source = nation.filter(col("n_nationkey") === k2)
+        .withColumn("n_name", lit("merged"))
+      .union(nation.filter(col("n_nationkey") === k4)
+        .withColumn("n_nationkey", lit(990L).cast(keyType)))
+    val (nm, ni) = IcebergDeletes.mergeInto(spark, table, source,
+      Seq("n_nationkey"))
+    assert(nm == 1L && ni == 1L, s"matched=$nm inserted=$ni")
+    val ids2 = lineage(table)
+    assert(ids2(k2)._1 == ids0(k2)._1, "merge must preserve matched ids")
+    assert(ids2(990L)._1 >= mPre.nextRowId, "insert needs a fresh id")
+    assert((ids2 - k2 - 990L) == (ids1 - k2))
+
+    // DELETE via DV: survivors untouched
+    assert(IcebergDeletes.deleteWhere(spark, table,
+      col("n_nationkey") === k3) == 1L)
+    val ids3 = lineage(table)
+    assert(ids3 == ids2 - k3)
+
+    // COMPACTION: rows copied unmodified keep BOTH lineage fields —
+    // the whole (id, last_updated) map is invariant across the rewrite
+    assert(IcebergDeletes.rewriteWithDeletes(spark, table))
+    val m4 = IcebergMetadata.read(table,
+      IcebergMetadata.currentVersion(table).get)
+    assert(m4.formatVersion == 3)
+    assert(IcebergDeletes.liveDeleteRefs(m4, m4.headSequence).isEmpty)
+    val ids4 = lineage(table)
+    assert(ids4 == ids3, "compaction must preserve id AND last-updated")
+    // and the compacted parquet physically materializes both columns
+    val compactFiles = new IcebergConversionSource(spark, table, "nation")
+      .currentSnapshot().files.collect()
+    val physical = spark.read.parquet(compactFiles.map(_.path): _*)
+    assert(physical.columns.contains("_row_id") &&
+      physical.columns.contains("_last_updated_sequence_number"),
+      physical.columns.mkString(","))
+
+    // SYNC INTO v3: a second source file appears; the carried file's
+    // rows keep their ids, the new file's rows draw from the watermark
+    val stage2 = tmpDir("icev3lin2_src")
+    spark.read.parquet(nationPath)
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .write.mode("overwrite").parquet(stage2)
+    val table2 = tmpDir("icev3lin2_tbl")
+    val src2 = new ParquetDirectorySource(spark, stage2, "nation")
+    val out2 = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, table2)),
+      src2.currentSnapshot(), src2.sourceFormat)
+    assert(out2.forall(_.status == "SUCCESS"), out2.mkString(";"))
+    assert(IcebergDeletes.upgradeToV3(spark, table2))
+    val pre = lineage(table2)
+    val preMeta = IcebergMetadata.read(table2,
+      IcebergMetadata.currentVersion(table2).get)
+    // second file: 5 rows with shifted keys so the two files are disjoint
+    spark.read.parquet(nationPath).limit(5)
+      .withColumn("n_nationkey", (col("n_nationkey") + 1000L).cast(keyType))
+      .repartition(1).write.mode("append").parquet(stage2)
+    val src2b = new ParquetDirectorySource(spark, stage2, "nation")
+    val out2b = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, table2)),
+      src2b.currentSnapshot(), src2b.sourceFormat)
+    assert(out2b.forall(_.status == "SUCCESS"), out2b.mkString(";"))
+    val post = lineage(table2)
+    val postMeta = IcebergMetadata.read(table2,
+      IcebergMetadata.currentVersion(table2).get)
+    assert(postMeta.formatVersion == 3, "sync must not downgrade v3")
+    val (fresh, carriedRows) = post.partition(_._1 >= 1000L)
+    assert(carriedRows == pre, "carried file's rows must keep their ids")
+    assert(fresh.size == 5)
+    assert(fresh.values.map(_._1).toSeq.sorted ==
+      (preMeta.nextRowId until preMeta.nextRowId + 5).toSeq,
+      fresh.toString)
+    assert(postMeta.nextRowId == preMeta.nextRowId + 5)
   }
 
   test("DV for a non-live data file refuses") {
