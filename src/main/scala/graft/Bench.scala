@@ -33,6 +33,37 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // CALIBRATION CANARY (r13 verdict ask): host speed measured, not
+    // argued. Two fixed probes, each median-of-3 after an untimed warm
+    // pass — (a) a pure-JVM single-thread xorshift loop (CPU clock +
+    // JIT tier), (b) a tiny fixed 32-slice Spark aggregate (scheduler +
+    // codegen + thread-pool state). Cross-round comparisons divide the
+    // suite totals by these instead of arguing family-uniform ratios.
+    def jvmProbe(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x
+        i += 1
+      }
+      if (acc == 42L) print("") // keep the loop observable (no DCE)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sparkProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 32)
+        .selectExpr("sum(id % 9973)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def med3(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    jvmProbe(); sparkProbe()
+    val calJvm = med3(Seq.fill(3)(jvmProbe()))
+    val calSpark = med3(Seq.fill(3)(sparkProbe()))
+    val calibration =
+      f"""{"jvm_xorshift_200m":$calJvm%.3f,"spark_agg_50m":$calSpark%.3f}"""
+
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
@@ -103,9 +134,9 @@ object Bench {
       .map { case (k, m, _) => "\"" + k + "\":" + f"$m%.3f" }
       .mkString("{", ",", "}")
     val stdoutLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headlineQs,"sf":"$sfDir","queries_run":${perQuery.size},"runs_per_query":$nRuns}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headlineQs,"sf":"$sfDir","queries_run":${perQuery.size},"runs_per_query":$nRuns,"calibration":$calibration}"""
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$nRuns,"runs":$spread,"phases":$phases}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$nRuns,"calibration":$calibration,"runs":$spread,"phases":$phases}"""
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_detail_local.json")
     try {
