@@ -304,23 +304,69 @@ object IcebergMetadata {
       .getOrElse(schemaNodes.head)
     val otherSchemas = schemaNodes.filterNot(_ eq curSchemaNode)
       .map(_.toString)
-    val schema = IcebergSchemas.fromIcebergJson(curSchemaNode.toString)
-    // v3 default values: a field added with a non-null initial-default
-    // must be SERVED with that default for pre-existing files — this
-    // engine doesn't implement that yet, and null-filling instead would
-    // be a silent wrong answer, so refuse the table loudly
-    if (fmtVersion >= 3) {
-      // deep walk — defaults can sit on NESTED struct fields too
-      val withDefaults = curSchemaNode.findParents("initial-default")
-        .asScala
-        .filter(f => !f.get("initial-default").isNull)
-        .map(f => Option(f.get("name")).map(_.asText).getOrElse("<nested>"))
-        .toSeq
-      if (withDefaults.nonEmpty) throw new UnsupportedOperationException(
-        s"Iceberg v3 table at $tablePath has field(s) with initial-default " +
-          s"(${withDefaults.mkString(", ")}); serving them without default " +
-          "materialization would return wrong values — refusing")
-    }
+    val rawSchema = IcebergSchemas.fromIcebergJson(curSchemaNode.toString)
+    // v3 default values: a field added with a non-null initial-default is
+    // SERVED with that default for files that predate it. Mapped onto
+    // Spark's own existence-default machinery: the StructField carries
+    // EXISTS_DEFAULT metadata (a SQL literal), and the parquet readers
+    // fill ABSENT columns from it while stored values — including
+    // explicit nulls — read as stored, which is exactly the spec rule
+    // (the file either has the field id or it doesn't). Top-level scalar
+    // defaults only; a NESTED or unrepresentable default still refuses —
+    // null-filling it would be a silent wrong answer.
+    val schema =
+      if (fmtVersion < 3) rawSchema
+      else {
+        import org.apache.spark.sql.types._
+        val topDefaults: Map[String, JsonNode] =
+          Option(curSchemaNode.get("fields")).map(_.elements().asScala
+            .filter(f => f.get("initial-default") != null &&
+              !f.get("initial-default").isNull)
+            .map(f => f.get("name").asText -> f.get("initial-default"))
+            .toMap).getOrElse(Map.empty)
+        val deepCount = curSchemaNode.findParents("initial-default")
+          .asScala.count(f => !f.get("initial-default").isNull)
+        if (deepCount > topDefaults.size)
+          throw new UnsupportedOperationException(
+            s"Iceberg v3 table at $tablePath has NESTED field(s) with " +
+              "initial-default; serving them without default " +
+              "materialization would return wrong values — refusing")
+        if (topDefaults.isEmpty) rawSchema
+        else StructType(rawSchema.fields.map { f =>
+          topDefaults.get(f.name) match {
+            case None => f
+            case Some(v) =>
+              import org.apache.spark.sql.catalyst.expressions.Literal
+              // Iceberg JSON single-value → catalyst literal; .sql is the
+              // canonical text Spark's reader re-parses
+              val lit: Literal = (f.dataType, v) match {
+                case (BooleanType, b) if b.isBoolean =>
+                  Literal(b.asBoolean, BooleanType)
+                case (IntegerType, nrm) if nrm.isNumber =>
+                  Literal(nrm.asInt, IntegerType)
+                case (LongType, nrm) if nrm.isNumber =>
+                  Literal(nrm.asLong, LongType)
+                case (FloatType, nrm) if nrm.isNumber =>
+                  Literal(nrm.asDouble.toFloat, FloatType)
+                case (DoubleType, nrm) if nrm.isNumber =>
+                  Literal(nrm.asDouble, DoubleType)
+                case (StringType, s) if s.isTextual =>
+                  Literal.create(s.asText, StringType)
+                case (DateType, s) if s.isTextual =>
+                  Literal.create(java.time.LocalDate.parse(s.asText),
+                    DateType)
+                case _ => throw new UnsupportedOperationException(
+                  s"Iceberg v3 table at $tablePath: initial-default " +
+                    s"$v for field ${f.name}: ${f.dataType.simpleString} " +
+                    "is not representable by this engine — refusing " +
+                    "rather than serve wrong values")
+              }
+              f.copy(metadata = new MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString("EXISTS_DEFAULT", lit.sql).build())
+          }
+        })
+      }
     // default partition spec: same rule via `default-spec-id`; v1 carries
     // a singular `partition-spec` (a bare fields array).
     val specNodes: Seq[JsonNode] =

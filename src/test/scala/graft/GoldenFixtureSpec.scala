@@ -461,6 +461,13 @@ class GoldenFixtureSpec extends SparkSuite {
     assert(df.count() == 71)
     assert(df.agg(sum("order_id")).head().getLong(0) == 3186L)
     assert(df.agg(sum("amount")).head().getLong(0) == 20966L)
+    // v3 initial-default: `region` was added AFTER the data file was
+    // written (no file carries the column), so every served row reads
+    // the spec default — via Spark's existence-default scan fill, not a
+    // null-coalesce that would also clobber stored nulls
+    assert(df.columns.contains("region"), df.columns.mkString(","))
+    val regions = df.select("region").distinct().collect().map(_.getString(0))
+    assert(regions.toSeq == Seq("emea"), regions.mkString(","))
     // time travel to the pre-DV snapshot serves all 90 rows
     assert(src.toDataFrameAt(1L).count() == 90)
     // non-append writes into the v3 table refuse (the guard fires before

@@ -299,6 +299,12 @@ def main(table_dir):
     fields = [
         {"id": 1, "name": "order_id", "required": True, "type": "long"},
         {"id": 2, "name": "amount", "required": False, "type": "int"},
+        # a field ADDED after the data file was written, with the v3
+        # default-value fields (spec: initial-default serves for files
+        # that predate the field; write-default governs new writes) —
+        # no data file carries it, so every served row must read "emea"
+        {"id": 3, "name": "region", "required": False, "type": "string",
+         "initial-default": "emea", "write-default": "emea"},
     ]
     metadata = {
         "format-version": 3,
@@ -306,7 +312,7 @@ def main(table_dir):
         "location": "file:" + table_dir,
         "last-sequence-number": 2,
         "last-updated-ms": TS_MS + 1000,
-        "last-column-id": 2,
+        "last-column-id": 3,
         "next-row-id": n,
         "current-schema-id": 0,
         "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
