@@ -154,8 +154,9 @@ class GoldenFixtureSpec extends SparkSuite {
     // completed only — .requested/.inflight are not commits; request
     // times (not completion times) are the instant ids
     assert(HudiTimeline.listInstants(dir) == Seq(
-      "20240301120000001", "20240301130000001", "20240301140000001"))
-    assert(HudiTimeline.tableType(dir) == "COPY_ON_WRITE")
+      "20240301120000001", "20240301130000001", "20240301140000001",
+      "20240301150000001"))
+    assert(HudiTimeline.tableType(dir) == "MERGE_ON_READ")
 
     // avro-container commit metadata decodes generically by field name
     val c1 = HudiTimeline.readCommit(dir, "20240301120000001")
@@ -179,14 +180,38 @@ class GoldenFixtureSpec extends SparkSuite {
       files.exists(_.path.contains("dddd4444")), files.map(_.path).toSeq)
     val df = src.toDataFrame
     assert(df.count() == 125)
-    import org.apache.spark.sql.functions.sum
+    import org.apache.spark.sql.functions.{col, sum}
     assert(df.agg(sum("trip_id")).head().getLong(0) == 7875L)
+    // the 1.x deltacommit's log file must NOT leak into the RO view:
+    // trips 61-63 serve their base values
+    assert(df.filter(col("trip_id") === 61).head().getAs[String]("city")
+      != "muc")
+
+    // c4 is a MOR deltacommit under the 1.x layout: a HoodieLogFormat v1
+    // log file on fileB's group. The REAL-TIME (snapshot) view merges it
+    val c4 = HudiTimeline.readCommit(dir, "20240301150000001")
+    assert(c4.action == "deltacommit", c4.action)
+    assert(c4.partitionToWriteStats("").forall(s =>
+      HudiTimeline.isLogFile(s.path)), c4.partitionToWriteStats.toString)
+    val rt = new HudiConversionSource(spark, dir, "hudi_v1_trips",
+      "snapshot")
+    val merged = rt.toDataFrame
+    assert(merged.count() == 125)
+    val updated = merged.filter(col("trip_id").isin(61L, 62L, 63L))
+      .select("city", "fare").collect()
+    assert(updated.length == 3 && updated.forall(r =>
+      r.getString(0) == "muc" && r.getDouble(1) == 99.5),
+      updated.mkString(","))
+    assert(merged.agg(sum("trip_id")).head().getLong(0) == 7875L)
+    // file-level surfaces refuse the real-time snapshot while logs are
+    // pending — same guard as 0.x MOR
+    intercept[UnsupportedOperationException](rt.currentSnapshot())
 
     // graft's write dialect is 0.x (same pin as the reference): authoring
     // timeline files into a 1.x table must refuse, not fork the timeline
     intercept[UnsupportedOperationException] {
       HudiTimeline.writeCommit(HudiTimeline.CommitMeta(
-        "20240301150000001", "commit", Map.empty, Map.empty, Map.empty), dir)
+        "20240301160000001", "commit", Map.empty, Map.empty, Map.empty), dir)
     }
   }
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Author a Hudi 1.x (table version 8, timeline layout version 2) COW
+"""Author a Hudi 1.x (table version 8, timeline layout version 2) MOR
 table EXACTLY as the public 1.0 layout describes it — an independent
 implementation (python stdlib Avro object-container encoder + pyarrow for
 the parquet data files) sharing zero code with the Scala engine, so the
@@ -23,12 +23,15 @@ Everything here is transcribed from PUBLIC Hudi knowledge:
   - base-file naming `<fileId>_<writeToken>_<instant>.parquet` (unchanged
     in 1.x).
 
-The table: `hudi_v1_trips`, non-partitioned COW, THREE instants:
+The table: `hudi_v1_trips`, non-partitioned MERGE_ON_READ, FOUR instants:
   c1 (commit)        adds fileA (60 rows) + fileB (40 rows)
   c2 (commit)        adds fileC (25 rows)
   c3 (replacecommit) clusters fileA+fileC into fileD (85 rows)
-so the live set at head is fileB + fileD (125 rows) and a correct reader
-must honor partitionToReplaceFileIds decoded from Avro.
+  c4 (deltacommit)   appends a log file to fileB (updates trips 61-63)
+so the read-optimized live set at head is fileB + fileD (125 rows), a
+correct reader must honor partitionToReplaceFileIds decoded from Avro,
+and the real-time view must merge the log records (HoodieLogFormat v1
+blocks, unchanged in 1.x).
 
 Usage: python3 tools/make_golden_hudi_v1.py [table-dir]
 Deterministic: fixed instants/fileIds/sync-markers.
@@ -229,6 +232,53 @@ FILE_D = "dddd4444-0000-4000-8000-000000000004-0"
 C1, C1_DONE = "20240301120000001", "20240301120000555"
 C2, C2_DONE = "20240301130000001", "20240301130000444"
 C3, C3_DONE = "20240301140000001", "20240301140000333"
+C4, C4_DONE = "20240301150000001", "20240301150000222"
+
+
+# ------------------------------------------------- hoodie log format ---
+def log_header(entries):
+    """HoodieLogBlock header/footer map: int count, then per entry
+    (int keyOrdinal, int len, utf8). All ints BIG-endian (Java
+    DataOutputStream)."""
+    out = bytearray(struct.pack(">i", len(entries)))
+    for ord_, v in entries:
+        b = v.encode("utf-8")
+        out += struct.pack(">i", ord_) + struct.pack(">i", len(b)) + b
+    return bytes(out)
+
+
+def log_block(block_type, headers, content):
+    """One HoodieLogFormat v1 block: `#HUDI#` magic, i64 sizeOfBlock
+    (everything after it, trailing reverse-pointer INCLUDED), i32 format
+    version (1), i32 block-type ordinal, header map, i64 content length,
+    content, footer map, i64 total-minus-tail reverse pointer — the
+    byte layout Hudi 0.14 writes and 1.x still reads."""
+    magic = b"#HUDI#"
+    hdr = log_header(headers)
+    ftr = log_header([])
+    size_of_block = 4 + 4 + len(hdr) + 8 + len(content) + len(ftr) + 8
+    total_minus_tail = len(magic) + 8 + size_of_block - 8
+    out = bytearray()
+    out += magic
+    out += struct.pack(">q", size_of_block)
+    out += struct.pack(">i", 1)            # format version
+    out += struct.pack(">i", block_type)   # 3 = AVRO data block
+    out += hdr
+    out += struct.pack(">q", len(content))
+    out += content
+    out += ftr
+    out += struct.pack(">q", total_minus_tail)
+    return bytes(out)
+
+
+def avro_data_block_content(schema, records):
+    """AVRO data block content: [i32 version=3][i32 count]
+    [(i32 size, avro-binary record)*], ints big-endian."""
+    out = bytearray(struct.pack(">i", 3) + struct.pack(">i", len(records)))
+    for r in records:
+        b = enc_value(schema, r)
+        out += struct.pack(">i", len(b)) + b
+    return bytes(out)
 
 
 def write_stat(file_id, name, rows, size, prev):
@@ -266,7 +316,7 @@ def main(table_dir: str) -> None:
     props = "\n".join([
         "#Updated at 2024-03-01T12:00:00Z",
         "hoodie.table.name=hudi_v1_trips",
-        "hoodie.table.type=COPY_ON_WRITE",
+        "hoodie.table.type=MERGE_ON_READ",
         "hoodie.table.version=8",
         "hoodie.timeline.layout.version=2",
         "hoodie.timeline.path=timeline",
@@ -370,6 +420,38 @@ def main(table_dir: str) -> None:
             "extraMetadata": {"schema": schema_str},
             "version": 1,
             "operationType": "CLUSTER",
+            "compacted": False,
+        }],
+        b"hudi1timelinesyn")
+
+    # c4: MOR deltacommit under the 1.x layout — a log file appended to
+    # fileB's group (base instant C1), updating trips 61-63. The log is
+    # authored in the HoodieLogFormat v1 block layout (unchanged in 1.x),
+    # records avro-binary in the block SCHEMA header's field order.
+    log_name = f".{FILE_B}_{C1}.log.1_0-1-1"
+    log_records = [
+        {"trip_id": t, "city": "muc", "fare": 99.5} for t in (61, 62, 63)]
+    log_bytes = log_block(
+        3,
+        [(0, C4), (2, schema_str)],   # INSTANT_TIME=0, SCHEMA=2
+        avro_data_block_content(TABLE_AVRO_SCHEMA, log_records))
+    with open(os.path.join(table_dir, log_name), "wb") as f:
+        f.write(log_bytes)
+    log_size = len(log_bytes)
+    touch(f"{C4}.deltacommit.requested")
+    touch(f"{C4}.deltacommit.inflight")
+    dc_stat = write_stat(FILE_B, log_name, 3, log_size, C1)
+    dc_stat["numInserts"] = 0
+    dc_stat["numUpdateWrites"] = 3
+    dc_stat["totalLogRecords"] = 3
+    dc_stat["totalLogBlocks"] = 1
+    write_ocf(
+        os.path.join(tl, f"{C4}_{C4_DONE}.deltacommit"), COMMIT_METADATA,
+        [{
+            "partitionToWriteStats": {"": [dc_stat]},
+            "extraMetadata": {"schema": schema_str},
+            "version": 1,
+            "operationType": "UPSERT",
             "compacted": False,
         }],
         b"hudi1timelinesyn")
