@@ -25,8 +25,11 @@ object CatalogOrchestrator {
       table: TableDescriptor, targetFormat: String,
       metadataLocation: Option[String] = None,
       partitions: Seq[CatalogPartition] = Nil): Seq[CatalogOutcome] = {
+    // identity flows RAW: naming rules are per-catalog (Glue/HMS coerce
+    // to their [A-Za-z0-9_] alphabet inside their clients; REST keeps
+    // arbitrary identifiers and percent-encodes on the wire)
     val desired = CatalogTableBuilders.forTable(
-      id.normalized, table, targetFormat, metadataLocation)
+      id, table, targetFormat, metadataLocation)
     clients.map { c =>
       try {
         if (!c.hasDatabase(id.database)) c.createDatabase(id.database)

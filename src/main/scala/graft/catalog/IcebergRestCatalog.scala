@@ -68,20 +68,43 @@ class IcebergRestCatalogClient(baseUri: String,
   private def send(b: HttpRequest.Builder): HttpResponse[String] =
     http.send(b.build(), HttpResponse.BodyHandlers.ofString())
 
+  /** REST identifiers are NOT coerced through Glue's `[A-Za-z0-9_]`
+    * alphabet — the spec allows arbitrary names, so each path segment is
+    * percent-encoded verbatim and multi-level namespaces (dots in the
+    * database) join with the spec's `%1F` unit separator.
+    */
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+      .replace("+", "%20")
+
+  private def nsPath(db: String): String =
+    db.split('.').map(enc).mkString("%1F")
+
   private def nsUri(db: String) =
-    s"$baseUri/v1/${prefix}namespaces/${CatalogTableIdentifier.normalize(db)}"
+    s"$baseUri/v1/${prefix}namespaces/${nsPath(db)}"
 
-  private def tableUri(id: CatalogTableIdentifier): String = {
-    val n = id.normalized
-    s"$baseUri/v1/${prefix}namespaces/${n.database}/tables/${n.table}"
+  private def tableUri(id: CatalogTableIdentifier): String =
+    s"$baseUri/v1/${prefix}namespaces/${nsPath(id.database)}" +
+      s"/tables/${enc(id.table)}"
+
+  /** 404 alone means "absent" — a 5xx from a broken catalog must fail
+    * the sync loudly, not read as "namespace missing" and cascade into
+    * create/register against a faulting server.
+    */
+  override def hasDatabase(db: String): Boolean = {
+    val r = send(get(nsUri(db)))
+    r.statusCode() match {
+      case 200 => true
+      case 404 => false
+      case c => throw new IllegalStateException(
+        s"namespace probe for $db failed: HTTP $c ${r.body()}")
+    }
   }
-
-  override def hasDatabase(db: String): Boolean =
-    send(get(nsUri(db))).statusCode() == 200
 
   override def createDatabase(db: String): Unit = {
     val o = Jsons.mapper.createObjectNode()
-    o.putArray("namespace").add(CatalogTableIdentifier.normalize(db))
+    val levels = o.putArray("namespace")
+    db.split('.').foreach(levels.add)
     o.putObject("properties")
     val r = send(post(s"$baseUri/v1/${prefix}namespaces",
       Jsons.mapper.writeValueAsString(o)))
@@ -103,7 +126,7 @@ class IcebergRestCatalogClient(baseUri: String,
       .flatMap(m => Option(m.get("location"))).map(_.asText())
       .getOrElse("")
     Some(CatalogTableDef(
-      identifier = id.normalized,
+      identifier = id,
       location = location,
       tableFormat = "ICEBERG",
       columns = Nil, partitionColumns = Nil,
@@ -120,7 +143,7 @@ class IcebergRestCatalogClient(baseUri: String,
           "the Iceberg builder supplies it"))
 
   private def register(table: CatalogTableDef, overwrite: Boolean): Unit = {
-    val n = table.identifier.normalized
+    val n = table.identifier
     val o = Jsons.mapper.createObjectNode()
     o.put("name", n.table)
     o.put("metadata-location", metadataLocationOf(table))
@@ -161,6 +184,30 @@ class IcebergRestCatalogClient(baseUri: String,
       parts: Seq[CatalogPartition]): Unit = ()
   override def dropPartitions(id: CatalogTableIdentifier,
       values: Seq[Seq[String]]): Unit = ()
+}
+
+object IcebergRestCatalogClient {
+
+  /** Resolve a table BY NAME through a REST catalog to its storage
+    * location — the CatalogConversionSource analog over the wire client:
+    * `spark.read.format("graft").option("restCatalog", uri)
+    * .option("table", "ns.t")` routes here instead of taking a path.
+    * The LAST dot splits namespace from table (multi-level namespaces
+    * keep their inner dots).
+    */
+  def resolveLocation(baseUri: String, fqName: String): String = {
+    val cut = fqName.lastIndexOf('.')
+    require(cut > 0 && cut < fqName.length - 1,
+      s"REST table name must be <namespace>.<table>, got '$fqName'")
+    val id = CatalogTableIdentifier(
+      fqName.substring(0, cut), fqName.substring(cut + 1))
+    val client = new IcebergRestCatalogClient(baseUri)
+    val t = client.getTable(id).getOrElse(throw new NoSuchElementException(
+      s"no table $fqName in REST catalog at $baseUri"))
+    require(t.location.nonEmpty,
+      s"REST catalog at $baseUri returned no location for $fqName")
+    graft.util.PathUtils.canonical(t.location)
+  }
 }
 
 /** In-process Iceberg REST catalog SERVER (JDK HttpServer on loopback):
@@ -210,8 +257,13 @@ class IcebergRestCatalogServer {
 
   server.createContext("/v1/", (ex: HttpExchange) => try {
     requestCount += 1
+    // segments arrive percent-encoded; decode each, and fold the spec's
+    // %1F multi-level-namespace separator back to the stored dotted form
     val path = ex.getRequestURI.getPath.stripPrefix("/v1/")
-      .split("/").filter(_.nonEmpty).toList
+      .split("/").filter(_.nonEmpty)
+      .map(seg => java.net.URLDecoder.decode(seg, StandardCharsets.UTF_8)
+        .replace('\u001f', '.'))
+      .toList
     val method = ex.getRequestMethod
     (method, path) match {
       case ("GET", "config" :: Nil) =>

@@ -161,6 +161,16 @@ object DeletionVectors {
     var lastKey = -1L
     while (i < n) {
       val key = buf.getInt
+      // pre-r13 builds of this engine wrote a KEYLESS dense stream (no
+      // per-bitmap key word) — in that layout the first "key" read here
+      // is a roaring serialization cookie. Name the migration instead of
+      // failing on an unrelated-looking key-order/cookie error below.
+      require(i > 0 || (key != 12346 && key != 12347),
+        "deletion-vector payload is in the legacy keyless-dense layout " +
+          "(written by a pre-portable-format build of this engine) — " +
+          "rewrite the table's deletion vectors (e.g. updateWhere/" +
+          "OPTIMIZE rewrite) to migrate them to the spec's keyed " +
+          "portable format")
       require(key > lastKey,
         s"deletion-vector bitmap keys not ascending: $key after $lastKey")
       lastKey = key

@@ -697,13 +697,18 @@ object SyncQueries {
         throw new IllegalStateException("registered table not served back"))
       val answeredLoc = answered.properties("metadata_location")
       require(answeredLoc == metaLoc, s"stale pointer: $answeredLoc")
-      // read THROUGH the catalog's answer: table path derives from the
-      // served metadata-location
-      val tablePath = new java.io.File(graft.util.PathUtils
-        .canonical(answeredLoc)).getParentFile.getParent
+      // read BY NAME through the unified reader: the graft datasource
+      // resolves ns.table over the REST wire to the table location and
+      // scans it — no path option anywhere
       require(server.requestCount >= 8,
         s"expected a real wire exchange, saw ${server.requestCount}")
-      new IcebergConversionSource(s, tablePath, "supplier").toDataFrame
+      val byName = s.read.format("graft")
+        .option("restCatalog", server.baseUri)
+        .option("table", "graft_gate.supplier_rest")
+        .load()
+      // load() resolved the location over the wire EAGERLY; the scan
+      // itself reads the filesystem, so it survives the server stopping
+      byName
         .agg(count(lit(1)).as("cnt"),
           sum(col("s_suppkey")).cast("long").as("sum_key"),
           min(col("s_name")).as("min_name"))

@@ -222,11 +222,24 @@ class GraftDataSource extends RelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = graft.util.PathUtils.canonical(
-      parameters.getOrElse("path", throw new IllegalArgumentException(
-        "graft datasource needs a path")))
+    // table resolution: an explicit path, or BY NAME through an Iceberg
+    // REST catalog (`option("restCatalog", uri).option("table", "ns.t")`)
+    // — the CatalogConversionSource contract over the wire client
+    val path = parameters.get("path") match {
+      case Some(p) => graft.util.PathUtils.canonical(p)
+      case None =>
+        val uri = parameters.getOrElse("restCatalog",
+          throw new IllegalArgumentException(
+            "graft datasource needs a path, or restCatalog + table " +
+              "options to resolve one by name"))
+        val fq = parameters.getOrElse("table",
+          throw new IllegalArgumentException(
+            "restCatalog reads need option(\"table\", \"<ns>.<table>\")"))
+        graft.catalog.IcebergRestCatalogClient.resolveLocation(uri, fq)
+    }
     val spark = sqlContext.sparkSession
-    val name = path.stripSuffix("/").split('/').last
+    val name = parameters.get("table").map(_.split('.').last).getOrElse(
+      path.stripSuffix("/").split('/').last)
     // option-combination validation: every combination either serves or
     // refuses with a reason — an option that would otherwise be silently
     // ignored (e.g. startingVersion without readChangeFeed, versionAsOf

@@ -93,6 +93,53 @@ class RestCatalogSpec extends SparkSuite {
     } finally server.stop()
   }
 
+  test("the unified reader resolves a table BY NAME over REST, and " +
+    "special-character identifiers survive the wire") {
+    val server = new IcebergRestCatalogServer().start()
+    try {
+      val client = new IcebergRestCatalogClient(server.baseUri)
+      // a namespace with a space and a dash-bearing table name: the
+      // client percent-encodes segments instead of mangling them through
+      // Glue's alphabet, and the server decodes them back
+      val id = CatalogTableIdentifier("prod data", "nation-v2")
+      client.createDatabase("prod data")
+      assert(client.hasDatabase("prod data"))
+      val (table, v1) = syncIceberg("rest_byname")
+      val metaLoc = graft.formats.iceberg.IcebergMetadata
+        .metadataFile(table, v1)
+      val desc = new graft.formats.iceberg.IcebergConversionSource(
+        spark, table, "nation").currentTable()
+      val outcomes = CatalogOrchestrator.syncTable(Seq(client), id, desc,
+        graft.model.TableFormats.Iceberg, Some(metaLoc))
+      assert(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+      assert(client.getTable(id).get
+        .properties("metadata_location") == metaLoc)
+
+      // spark.read.format("graft") with NO path: restCatalog + table
+      // resolve the location over the wire
+      val before = server.requestCount
+      val df = spark.read.format("graft")
+        .option("restCatalog", server.baseUri)
+        .option("table", "prod data.nation-v2")
+        .load()
+      assert(server.requestCount > before, "resolution must hit the wire")
+      val expected = spark.read
+        .parquet(s"${sf("sf0.001")}/nation.parquet")
+        .select("n_nationkey").collect().map(_.getAs[Number](0).longValue)
+      assert(df.select("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue).sorted.toSeq ==
+        expected.sorted.toSeq)
+
+      // a missing table names itself in the failure
+      val e = intercept[NoSuchElementException] {
+        spark.read.format("graft")
+          .option("restCatalog", server.baseUri)
+          .option("table", "prod data.ghost").load()
+      }
+      assert(e.getMessage.contains("ghost"), e.getMessage)
+    } finally server.stop()
+  }
+
   test("unknown namespace and malformed registration fail spec-shaped") {
     val server = new IcebergRestCatalogServer().start()
     try {
