@@ -66,10 +66,18 @@ object IcebergChanges {
     // (file, pos) everywhere — by definition no row-level change
     if (snap.operation == "replace") return emptyFeed
 
+    // the UNFILTERED listing at a sequence is immutable (manifests are
+    // write-once), so it is persisted under a per-sequence key and
+    // SHARED: step N's after-read, step N+1's before-read and both
+    // added/removed diffs at that boundary all reuse one manifest scan
+    // instead of re-running it (the safe half of the sharing the r13
+    // collision fix removed — the FILTERED per-step listings below keep
+    // their unique ids)
     def listingAt(s: Long): Dataset[FileEntry] =
       if (s == 0 || m.snapshotBySeq(s).isEmpty)
         spark.emptyDataset[FileEntry]
-      else src.filesAtSeq(m, s)
+      else graft.plans.SnapshotFileIndex.listingFor(TableSnapshot(
+        src.currentTable(), src.filesAtSeq(m, s), s"$s-cdfbase"))
     val beforeListing = listingAt(prevSeq).select("path").as[String]
     val afterListing = listingAt(seq).select("path").as[String]
     val added = afterListing.toDF("__p")
