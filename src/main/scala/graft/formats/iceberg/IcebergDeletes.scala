@@ -74,10 +74,18 @@ object IcebergDeletes {
     * delete set is a no-op (no snapshot).
     */
   def appendEqualityDeletes(spark: SparkSession, tablePath: String,
-      deletes: DataFrame, equalityCols: Seq[String]): Unit =
-    appendCommit(spark, tablePath,
-      deletes.select(equalityCols.map(col): _*), content = 2,
+      deletes: DataFrame, equalityCols: Seq[String]): Unit = {
+    // delete keys cast to the table schema's column types: a long-typed
+    // key frame against an int column must not land a parquet file whose
+    // physical type clashes with sibling delete files at read
+    val schema = currentMeta(spark, tablePath)._2.schema
+    val typed = deletes.select(equalityCols.map { c =>
+      schema.fields.find(_.name == c)
+        .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+    }: _*)
+    appendCommit(spark, tablePath, typed, content = 2,
       equalityIds = equalityIdsOf(spark, tablePath, equalityCols))
+  }
 
   private def equalityIdsOf(spark: SparkSession, tablePath: String,
       equalityCols: Seq[String]): Seq[Int] = {
@@ -743,7 +751,13 @@ object IcebergDeletes {
           s"Iceberg table at $tablePath is format-version 3: position " +
             "delete FILES are forbidden by the spec — use deletion " +
             "vectors (deleteWhere / appendDeletionVectors)")
-      if (!v3LineagePreserved)
+      // a STANDALONE equality delete copies no rows — it only deletes —
+      // so it needs no lineage handling and stays legal in v3 (spec:
+      // only position-delete FILES were replaced by DVs). A row delta
+      // (delete + data files) and a replace DO copy rows and need the
+      // caller's materialized-lineage assertion.
+      val pureEqDelete = content == 2 && dataDir.isEmpty
+      if (!pureEqDelete && !v3LineagePreserved)
         throw new UnsupportedOperationException(
           s"Iceberg table at $tablePath is format-version 3: rewrites " +
             "must preserve existing rows' lineage — route through " +

@@ -495,13 +495,14 @@ class GoldenFixtureSpec extends SparkSuite {
     assert(regions.toSeq == Seq("emea"), regions.mkString(","))
     // time travel to the pre-DV snapshot serves all 90 rows
     assert(src.toDataFrameAt(1L).count() == 90)
-    // non-append writes into the v3 table refuse (the guard fires before
-    // any byte lands, so the checked-in fixture stays pristine; blind
-    // appends are the one supported v3 write — fresh rows, fresh lineage)
+    // position-delete FILES refuse on v3 per spec (the guard fires
+    // before any byte lands, so the checked-in fixture stays pristine;
+    // equality deletes, DV deletes, blind appends and lineage-preserving
+    // rewrites are the supported v3 writes — see IcebergV3Spec)
     import spark.implicits._
     val e = intercept[UnsupportedOperationException] {
-      graft.formats.iceberg.IcebergDeletes.appendEqualityDeletes(spark, dir,
-        Seq(1L).toDF("order_id"), Seq("order_id"))
+      graft.formats.iceberg.IcebergDeletes.appendPositionDeletes(spark, dir,
+        Seq(("f.parquet", 0L)).toDF("file_path", "pos"))
     }
     assert(e.getMessage.contains("format-version 3"), e.getMessage)
   }

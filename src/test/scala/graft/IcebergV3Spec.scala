@@ -415,8 +415,17 @@ class IcebergV3Spec extends SparkSuite {
     // DELETE via DV: survivors untouched
     assert(IcebergDeletes.deleteWhere(spark, table,
       col("n_nationkey") === k3) == 1L)
+    val ids3a = lineage(table)
+    assert(ids3a == ids2 - k3)
+
+    // standalone EQUALITY delete stays legal in v3 (it copies no rows,
+    // so lineage needs nothing): one more key gone, survivors untouched
+    val k5 = keys(17)
+    import spark.implicits._
+    IcebergDeletes.appendEqualityDeletes(spark, table,
+      Seq(k5).toDF("n_nationkey"), Seq("n_nationkey"))
     val ids3 = lineage(table)
-    assert(ids3 == ids2 - k3)
+    assert(ids3 == ids3a - k5)
 
     // COMPACTION: rows copied unmodified keep BOTH lineage fields —
     // the whole (id, last_updated) map is invariant across the rewrite
