@@ -177,7 +177,7 @@ object IcebergDeletes {
         Seq(col("__row_id").as(IcebergRowLineage.RowIdCol)) else Nil): _*)
       val seq = m.lastSequenceNumber + 1
       val dataDir = s"$tablePath/data/update-$seq-${UUID.randomUUID()}"
-      rewritten.write.parquet(dataDir)
+      stageData(rewritten, m, dataDir)
       // equality on every top-level column: deletes ALL copies of each
       // matched tuple; each copy was rewritten, so multiplicity holds
       appendCommit(spark, tablePath, matched.select(
@@ -242,7 +242,7 @@ object IcebergDeletes {
             .select(schema.fieldNames.toSeq.map(col) :+
               col(IcebergRowLineage.RowIdCol): _*)
         }
-      staged.write.parquet(dataDir)
+      stageData(staged, m, dataDir)
       appendCommit(spark, tablePath,
         srcProj.select(keyCols.map(col): _*), content = 2,
         equalityIds = equalityIdsOf(spark, tablePath, keyCols),
@@ -559,6 +559,29 @@ object IcebergDeletes {
     }
   }
 
+  /** Stage rewritten/new data rows for a commit: hive-partitioned by the
+    * table's partition columns so each staged file carries its partition
+    * tuple (parsed back from the path into the manifest entry — the
+    * metadata plane the scan re-injects partition values from). A
+    * partition column absent from the frame (hidden transform-only
+    * partitioning from an external writer) refuses — writing files with
+    * no partition tuple would serve NULL partition columns.
+    */
+  private def stageData(df: DataFrame, m: IcebergTableMetadata,
+      dir: String): Unit = {
+    val partCols = m.partitionSpec.map(_.partitionColumnName)
+    if (partCols.isEmpty) df.write.parquet(dir)
+    else {
+      val missing = partCols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"rewrite on a partitioned table needs partition column(s) " +
+          s"${missing.mkString(", ")} in the scan — hidden " +
+          "(transform-only) partitioning has no column to lay files " +
+          "out by; rewrite through an engine that plans the transform")
+      df.write.partitionBy(partCols: _*).parquet(dir)
+    }
+  }
+
   private def currentMeta(spark: SparkSession, tablePath: String)
       : (Long, IcebergTableMetadata) = {
     val version = IcebergMetadata.currentVersion(tablePath).getOrElse(
@@ -622,7 +645,7 @@ object IcebergDeletes {
           .sortWithinPartitions("__zval")
           .drop("__zval")
       }
-    out.write.parquet(dataDir)
+    stageData(out, m, dataDir)
     // CAS against the version the rewrite SCANNED: a commit landing
     // between scan and REPLACE would otherwise be silently discarded
     appendCommit(spark, tablePath, rows = null, content = 0,
@@ -869,8 +892,11 @@ object IcebergDeletes {
           // inheritance accounting)
           val firstRowId = rowIdBase.map(_ + nRows)
           nFiles += 1; nRows += fe.recordCount
-          IcebergManifests.toEntry(
-            fe.copy(partitionValues = Nil),
+          // partition values parsed from the staged hive layout stay on
+          // the entry — stripping them made the scan serve NULL partition
+          // columns for files landed by row-level DML on a partitioned
+          // table (partition values are metadata-injected at read)
+          IcebergManifests.toEntry(fe,
             IcebergManifests.Status.Added, snapshotId, m.schema,
             content = manifestContent, equalityIds = ids,
             firstRowId = firstRowId)

@@ -266,6 +266,64 @@ class IcebergV3Spec extends SparkSuite {
     assert(e.getMessage.contains("lz4"), e.getMessage)
   }
 
+  test("update and compaction preserve lineage on a PARTITIONED v3 " +
+    "table (partition columns are metadata-only in the scan)") {
+    val stage = tmpDir("icev3plin_src")
+    spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
+      .repartition(col("n_regionkey"))
+      .sortWithinPartitions("n_regionkey", "n_nationkey")
+      .write.mode("overwrite").partitionBy("n_regionkey").parquet(stage)
+    val table = tmpDir("icev3plin_tbl")
+    val src = new ParquetDirectorySource(spark, stage, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    assert(IcebergDeletes.upgradeToV3(spark, table))
+    def lineage(): Map[Long, Long] = {
+      val m = IcebergMetadata.read(table,
+        IcebergMetadata.currentVersion(table).get)
+      IcebergRowLineage.keyedScanWithLineage(spark, table, m,
+        m.headSequence, "nation")
+        .select(col("n_nationkey"), col("__row_id")).collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toMap
+    }
+    val ids0 = lineage()
+    assert(ids0.size == 25 && ids0.values.toSet.size == 25)
+
+    // update a row in one partition: id kept, partition value served
+    val k = ids0.keys.min
+    assert(IcebergDeletes.updateWhere(spark, table,
+      col("n_nationkey") === k, Map("n_name" -> lit("upd"))) == 1L)
+    assert(lineage() == ids0)
+    val updRow = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.filter(col("n_nationkey") === k).collect()
+    assert(updRow.length == 1 &&
+      updRow.head.getAs[String]("n_name") == "upd")
+    assert(updRow.head.getAs[Number]("n_regionkey") != null)
+
+    // DV delete across partitions, then compaction: map invariant
+    assert(IcebergDeletes.deleteWhere(spark, table,
+      col("n_nationkey") % 3 === 1) > 0L)
+    val ids2 = lineage()
+    assert(ids2 == ids0.filter { case (key, _) => key % 3 != 1 })
+    assert(IcebergDeletes.rewriteWithDeletes(spark, table))
+    assert(lineage() == ids2)
+    // partition columns still served correctly after the rewrite
+    val all = new IcebergConversionSource(spark, table, "nation")
+      .toDataFrame.select("n_nationkey", "n_regionkey").collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue)).toMap
+    val expected = spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue)).toMap
+      .filter { case (key, _) => key % 3 != 1 }
+    assert(all == expected,
+      s"missing=${expected.keySet -- all.keySet} " +
+        s"mismatch=${all.filter { case (key, v) => expected.get(key).exists(_ != v) }}")
+  }
+
   test("DV commits on a PARTITIONED table carry the referenced file's " +
     "partition tuple and merge per file") {
     val stage = tmpDir("icev3part_src")
