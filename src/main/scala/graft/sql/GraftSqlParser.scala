@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT ALTER TABLE '<table>' ALTER COLUMN <name> TYPE <type>
   *   GRAFT ALTER TABLE '<table>' ADD PARTITION FIELD <transform>
   *   GRAFT ALTER TABLE '<table>' DROP PARTITION FIELD <name>
+  *   GRAFT ALTER TABLE '<table>' SET TBLPROPERTIES ('format-version'='3')
   *   GRAFT SHOW HISTORY '<table>'
   * }}}
   *
@@ -88,6 +89,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
   private val AlterDropPartField: Regex =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+PARTITION\s+FIELD\s+(\w+)\s*;?\s*""".r
+  private val AlterFormatVersion =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(\s*'format-version'\s*=\s*'(\d+)'\s*\)\s*;?\s*""".r
   private val ShowHistory: Regex =
     """(?is)\s*GRAFT\s+SHOW\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
@@ -181,6 +184,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AlterDropPartField(path, name) =>
       AlterTableCommand(path,
         graft.sync.AlterTable.DropPartitionField(name))
+    case AlterFormatVersion(path, v) =>
+      AlterTableCommand(path,
+        graft.sync.AlterTable.SetFormatVersion(v.toInt))
     case AlterAdd(path, name, ddl) =>
       AlterTableCommand(path, graft.sync.AlterTable.AddColumn(name, ddl))
     case BloomIdx(verb, path, column) =>

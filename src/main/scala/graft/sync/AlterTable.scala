@@ -57,6 +57,12 @@ object AlterTable {
     */
   case class AddPartitionField(transformDdl: String) extends Op
   case class DropPartitionField(name: String) extends Op
+  /** Iceberg format-version upgrade (`SET TBLPROPERTIES
+    * ('format-version'='3')`): metadata-only commit that assigns row
+    * lineage to every existing entry (IcebergRowLineage.assignOnUpgrade)
+    * and starts the next-row-id watermark.
+    */
+  case class SetFormatVersion(version: Int) extends Op
 
   case class Result(format: String, schema: StructType)
 
@@ -72,6 +78,20 @@ object AlterTable {
       case other => throw new IllegalArgumentException(
         s"ALTER TABLE needs a versioned metadata plane; this is a " +
           s"${other.sourceFormat} table")
+    }
+    op match {
+      case SetFormatVersion(v) =>
+        // handled BEFORE currentSnapshot(): the upgrade is legal on a
+        // table with live equality deletes, which the file-level
+        // snapshot refuses
+        require(fmt == "iceberg",
+          s"SET 'format-version' is an Iceberg capability; this is a " +
+            s"$fmt table")
+        require(v == 3,
+          s"supported upgrade target is format-version 3, got $v")
+        graft.formats.iceberg.IcebergDeletes.upgradeToV3(spark, path)
+        return Result(fmt, source.currentTable().schema)
+      case _ => ()
     }
     val snap = source.currentSnapshot()
     val cur = snap.table.schema

@@ -270,12 +270,41 @@ class SqlSurfaceSpec extends SparkSuite {
     val back = new graft.formats.iceberg.IcebergConversionSource(
       spark, ice, "nation").toDataFrame
     assert(back.where("n_nationkey % 5 = 0").count() == 0)
-    // v3 UPDATE refuses through SQL with the lineage message
-    val e = intercept[UnsupportedOperationException] {
-      gs.sql(s"GRAFT UPDATE '$ice' SET n_regionkey = 9 " +
-        "WHERE n_nationkey = 1").collect()
+    // v3 UPDATE works through SQL since r14 (lineage-preserving rewrite)
+    val nUpd = gs.sql(s"GRAFT UPDATE '$ice' SET n_regionkey = 9 " +
+      "WHERE n_nationkey = 1").head().getLong(0)
+    assert(nUpd == 1L)
+    assert(new graft.formats.iceberg.IcebergConversionSource(
+        spark, ice, "nation").toDataFrame
+      .where("n_nationkey = 1").head().getAs[Number]("n_regionkey")
+      .longValue == 9L)
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES format-version upgrades to v3 " +
+    "through SQL") {
+    val iceData = tmpDir("sqlx_fv_data")
+    spark.read.parquet(sf("sf0.001") + "/nation.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(iceData)
+    val ice = tmpDir("sqlx_fv")
+    gs.sql(s"GRAFT SYNC PARQUET '$iceData' AS nation TO iceberg '$ice'")
+      .collect()
+    gs.sql(s"GRAFT ALTER TABLE '$ice' SET TBLPROPERTIES " +
+      "('format-version'='3')").collect()
+    val m = graft.formats.iceberg.IcebergMetadata.read(ice,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(ice).get)
+    assert(m.formatVersion == 3)
+    assert(m.nextRowId == 25L, m.nextRowId)
+    // DML on the upgraded table: DELETE lands a DV, UPDATE preserves
+    assert(gs.sql(s"GRAFT DELETE FROM '$ice' WHERE n_nationkey = 3")
+      .head().getLong(0) == 1L)
+    assert(gs.sql(s"GRAFT UPDATE '$ice' SET n_name = 'x' " +
+      "WHERE n_nationkey = 4").head().getLong(0) == 1L)
+    // an unsupported target version refuses loudly
+    val e = intercept[Exception] {
+      gs.sql(s"GRAFT ALTER TABLE '$ice' SET TBLPROPERTIES " +
+        "('format-version'='4')").collect()
     }
-    assert(e.getMessage.contains("preserve"), e.getMessage)
+    assert(e.getMessage.contains("format-version 3"), e.getMessage)
   }
 
   test("CLONE copies the source protocol, not a hardcoded (1,2)") {
