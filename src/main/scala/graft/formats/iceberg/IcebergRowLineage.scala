@@ -167,6 +167,9 @@ object IcebergRowLineage {
     val bases = counts.scanLeft(0L)(_ + _)
     val schemaJson = schema.json
     val md = mdir
+    // executor tasks write through the session's Hadoop settings, same
+    // as every other distributed manifest writer in this engine
+    val bconf = graft.util.HadoopConfs.broadcastSession(spark)
     def rewriteOne(mp: String, origSeq: Long, specId: Int, base: Long)
         : IcebergManifests.ManifestSummary = {
       val sch = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
@@ -188,7 +191,8 @@ object IcebergRowLineage {
           n += 1; rows += fe.recordCount
           out
         }
-      val len = IcebergManifests.writeManifest(np, entries)
+      val len = IcebergManifests.writeManifest(np, entries,
+        bconf.value.value)
       IcebergManifests.ManifestSummary(np, len, origSeq, 0, n, 0, 0L,
         rows, content = 0, specId = specId)
     }

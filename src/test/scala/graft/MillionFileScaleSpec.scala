@@ -199,9 +199,36 @@ class MillionFileScaleSpec extends SparkSuite {
     assert(new graft.formats.iceberg.IcebergConversionSource(
       spark, target, "mm").currentSnapshot().files.count() == n + 1000L)
 
-    info(f"iceberg 1M: full $fullSec%.1fs, incremental $incSec%.1fs")
+    // v2→v3 UPGRADE at the 10^6-file tier: per-manifest streaming
+    // lineage rewrite, one executor task per manifest — never an
+    // O(files) driver list
+    val tUp = System.nanoTime()
+    assert(graft.formats.iceberg.IcebergDeletes.upgradeToV3(spark, target))
+    val upSec = (System.nanoTime() - tUp) / 1e9
+    val mUp = graft.formats.iceberg.IcebergMetadata.read(target,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(target).get)
+    assert(mUp.formatVersion == 3)
+    assert(mUp.nextRowId == (n + 1000L) * 100L, mUp.nextRowId)
+
+    // sync INTO v3 stays O(delta): carried manifests keep their ids
+    // verbatim, only the added files draw from the watermark
+    val incV3 = drive(
+      new graft.formats.iceberg.IcebergConversionTarget(spark, target),
+      desc, "3")(
+      _.syncFilesForDiff(FilesDelta(
+        entries(n + 1000L, n + 2000L).toDF().as[FileEntry],
+        spark.emptyDataset[FileEntry])))
+    val mV3 = graft.formats.iceberg.IcebergMetadata.read(target,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(target).get)
+    assert(mV3.formatVersion == 3, "sync must not downgrade v3")
+    assert(mV3.nextRowId == mUp.nextRowId + 1000L * 100L, mV3.nextRowId)
+
+    info(f"iceberg 1M: full $fullSec%.1fs, incremental $incSec%.1fs, " +
+      f"v3 upgrade $upSec%.1fs, incremental-into-v3 $incV3%.1fs")
     assert(fullSec < 300, s"full sync too slow: $fullSec")
     assert(incSec < 120, s"incremental too slow: $incSec")
+    assert(upSec < 300, s"v3 upgrade too slow: $upSec")
+    assert(incV3 < 120, s"incremental into v3 too slow: $incV3")
   }
 
   test("1M files: hudi full sync with streamed commit write-stats") {
