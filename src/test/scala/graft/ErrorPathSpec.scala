@@ -253,10 +253,26 @@ class ErrorPathSpec extends SparkSuite {
       graft.formats.iceberg.IcebergMetadata.read(v4, 1)
     }
     assert(e2.getMessage.contains("format-version 4"), e2.getMessage)
+    // a REPRESENTABLE scalar initial-default now SERVES (r14): the
+    // default rides the schema as EXISTS_DEFAULT for the scan to fill
     val v3def = iceMeta("rf_ice_v3def",
       iceBody(3, ""","initial-default":7"""))
+    val mDef = graft.formats.iceberg.IcebergMetadata.read(v3def, 1)
+    assert(mDef.schema("id").metadata.getString("EXISTS_DEFAULT") == "7L",
+      mDef.schema("id").metadata.json)
+    // an UNREPRESENTABLE default still refuses rather than serving
+    // wrong values (decimal is outside the literal mapping)
+    val v3bad = iceMeta("rf_ice_v3bad",
+      """{"format-version":3,"table-uuid":"u","location":"x",
+        |"last-sequence-number":0,"last-updated-ms":1,"last-column-id":1,
+        |"next-row-id":0,
+        |"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct",
+        |"fields":[{"id":1,"name":"d","required":false,
+        |"type":"decimal(10,2)","initial-default":"7.00"}]}],
+        |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+        |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
     val e3 = intercept[UnsupportedOperationException] {
-      graft.formats.iceberg.IcebergMetadata.read(v3def, 1)
+      graft.formats.iceberg.IcebergMetadata.read(v3bad, 1)
     }
     assert(e3.getMessage.contains("initial-default"), e3.getMessage)
   }
