@@ -358,7 +358,10 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
     */
   override def isIncrementalSyncSafeFrom(commit: String): Boolean =
     HudiTimeline.archivedInstants(tablePath).forall(_ <= commit) &&
-      (instants.isEmpty || commit <= instants.last)
+      (instants.isEmpty || commit <= instants.last) &&
+      // a CLEAN whose horizon is newer than the resume point has deleted
+      // files the backlog replay would reference — fall back to full sync
+      HudiTimeline.cleanHorizons(tablePath).forall(_ <= commit)
 
   /** Read the table's rows. `read_optimized` serves the base files; the
     * `snapshot` (real-time) view MERGES unabsorbed log records over the

@@ -236,6 +236,56 @@ object HudiTimeline {
     out.sorted
   }
 
+  private val CleanV1Name = "([0-9]+)_([0-9]+)\\.clean".r
+  private val CleanLegacyName = "([^.]+)\\.clean".r
+
+  /** Horizons of completed CLEAN instants under either layout: each is
+    * the earliest commit whose files the clean RETAINED — an incremental
+    * consumer resuming from BEFORE a horizon would reference physically
+    * deleted files. The body is graft's JSON (`earliestCommitToRetain`)
+    * or a real writer's avro-container HoodieCleanMetadata (same field,
+    * decoded by name); an unparseable body falls back to the clean's own
+    * instant, which is always >= its horizon (conservative, never
+    * unsafe-open).
+    */
+  def cleanHorizons(tablePath: String): Seq[String] = {
+    val active = activeTimelineDir(tablePath)
+    if (!Files.exists(active)) return Nil
+    val files = Files.list(active).iterator().asScala
+      .map(p => (p, p.getFileName.toString))
+      .flatMap {
+        case (p, CleanV1Name(req, _)) => Some((p, req))
+        case (p, CleanLegacyName(req)) => Some((p, req))
+        case _ => None
+      }.toSeq
+    files.map { case (p, instant) =>
+      val horizon: Option[String] =
+        try {
+          val bytes = Files.readAllBytes(p)
+          if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'b' &&
+              bytes(2) == 'j') {
+            // avro object container: decode generically, read the field
+            // by name whichever HoodieCleanMetadata minor wrote it
+            val reader = new org.apache.avro.file.DataFileReader(
+              new org.apache.avro.file.SeekableByteArrayInput(bytes),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            try {
+              if (!reader.hasNext) None
+              else {
+                val rec = reader.next()
+                Option(rec.getSchema.getField("earliestCommitToRetain"))
+                  .flatMap(f => Option(rec.get(f.pos())))
+                  .map(_.toString)
+              }
+            } finally reader.close()
+          } else Option(graft.util.Jsons.mapper.readTree(bytes)
+            .get("earliestCommitToRetain")).map(_.asText)
+        } catch { case _: Exception => None }
+      horizon.filter(_.nonEmpty).getOrElse(instant)
+    }.sorted
+  }
+
   private def commitPath(tablePath: String, instant: String, action: String)
       : java.nio.file.Path =
     JPaths.get(hoodieDir(tablePath), s"$instant.$action")

@@ -281,6 +281,20 @@ class HudiMorSpec extends SparkSuite {
     // a second clean finds nothing
     assert(HudiMaintenance.clean(spark, dir, retainInstants = 1)
       .deleted == 0L)
+
+    // incremental-sync safety honors the clean horizon: resuming from a
+    // commit BEFORE it would reference the deleted files, so the source
+    // must demand a full sync there while staying incremental at/after
+    val horizons = HudiTimeline.cleanHorizons(dir)
+    assert(horizons.nonEmpty && horizons.forall(_ == res.earliestRetained),
+      horizons.toString)
+    val src = new HudiConversionSource(spark, dir, "nation")
+    val instants = HudiTimeline.listInstants(dir)
+    val preHorizon = instants.filter(_ < res.earliestRetained)
+    assert(preHorizon.nonEmpty, instants.toString)
+    assert(!src.isIncrementalSyncSafeFrom(preHorizon.head),
+      "resume before the clean horizon must force a full sync")
+    assert(src.isIncrementalSyncSafeFrom(instants.last))
   }
 
   test("compact() replaces a fully-deleted file group") {
