@@ -1328,6 +1328,42 @@ object SyncQueries {
         sum(col("n_nationkey")).cast("long").as("sum_key"))
   }
 
+  /** v3 ROW LINEAGE surfaced through the unified reader: nation synced
+    * as ONE sorted data file and upgraded (ids assigned positionally —
+    * id == rank of the key over ALL 25 rows), then an UPDATE that must
+    * keep ids and a DV DELETE that must not renumber survivors. The
+    * read serves each surviving key with its ORIGINAL rank as `_row_id`
+    * — re-ranking after the delete, forked ids on update, or a
+    * scan/manifest position mismatch all hash-fail.
+    */
+  def icebergV3RowLineage(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.iceberg._
+    val stage = graft.util.TempDirs.create("graft_icev3lin_src")
+    s.read.parquet(s"$dir/nation.parquet")
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .write.mode("overwrite").parquet(stage)
+    val table = graft.util.TempDirs.create("graft_icev3lin_tbl")
+    val src = new ParquetDirectorySource(s, stage, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    require(IcebergDeletes.upgradeToV3(s, table))
+    IcebergDeletes.updateWhere(s, table, col("n_nationkey") % 7 === 3,
+      Map("n_regionkey" -> (col("n_regionkey") + 10)))
+    IcebergDeletes.deleteWhere(s, table, col("n_nationkey") % 5 === 2)
+    s.read.format("graft").option("withRowLineage", "true").load(table)
+      .select(col("n_nationkey"), col("_row_id").as("rid"))
+  }
+
+  val icebergV3RowLineageSql: String =
+    """SELECT n_nationkey, rid FROM (
+      |  SELECT n_nationkey,
+      |    CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT)
+      |      AS rid
+      |  FROM nation)
+      |WHERE n_nationkey % 5 <> 2""".stripMargin
+
   val icebergV3UpdateWhereSql: String =
     """SELECT CAST(count(*) AS BIGINT) AS cnt,
       |  CAST(sum(CASE WHEN n_nationkey % 4 = 0 THEN n_nationkey + 1000

@@ -267,8 +267,49 @@ class GraftDataSource extends RelationProvider
             s"combining it with ${(travel ++
               (if (cdf) Seq("readChangeFeed") else Nil)).mkString("/")} " +
             "is not supported")
+      if (parameters.get("withRowLineage").exists(_.toBoolean) &&
+          (cdf || travel.nonEmpty || parameters.contains("metaTable")))
+        throw new IllegalArgumentException(
+          "withRowLineage serves the CURRENT snapshot's resolved row " +
+            "lineage; combining it with change-feed/time-travel/" +
+            "metaTable options is not supported")
     }
     val source = CatalogConversionSource.fromPath(spark, path, name)
+    // v3 ROW LINEAGE surfaced to readers: `_row_id` and
+    // `_last_updated_sequence_number` resolved per the spec inheritance
+    // rule (materialized value wins, null inherits from the entry's
+    // first_row_id + position / the file's data sequence)
+    if (parameters.get("withRowLineage").exists(_.toBoolean)) {
+      val df = source match {
+        case _: graft.formats.iceberg.IcebergConversionSource =>
+          val v = graft.formats.iceberg.IcebergMetadata
+            .currentVersion(path).get
+          val m = graft.formats.iceberg.IcebergMetadata.read(path, v)
+          if (m.formatVersion < 3) throw new IllegalArgumentException(
+            s"withRowLineage needs an Iceberg format-version 3 table " +
+              s"(this one is v${m.formatVersion}) — upgrade first " +
+              "(GRAFT ALTER TABLE ... SET TBLPROPERTIES " +
+              "('format-version'='3'))")
+          graft.formats.iceberg.IcebergRowLineage
+            .keyedScanWithLineage(spark, path, m, m.headSequence, name)
+            .drop("__scan_path", "__scan_pos")
+            .withColumnRenamed("__row_id",
+              graft.formats.iceberg.IcebergRowLineage.RowIdCol)
+            .withColumnRenamed("__last_seq",
+              graft.formats.iceberg.IcebergRowLineage.LastUpdatedCol)
+        case other => throw new IllegalArgumentException(
+          "withRowLineage is an Iceberg v3 capability; this is a " +
+            s"${other.sourceFormat} table")
+      }
+      val sql = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = sql
+        override def schema: org.apache.spark.sql.types.StructType =
+          df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] = df.rdd
+      }
+    }
     // metadata tables (the `table$files` idiom): the metadata plane as a
     // queryable DataFrame — the files listing stays the DISTRIBUTED
     // Dataset it already is (10^7 files never touch the driver);

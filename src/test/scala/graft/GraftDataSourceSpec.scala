@@ -80,6 +80,54 @@ class GraftDataSourceSpec extends SparkSuite {
     assert(latest == 2 * v1 && v1 > 0, s"v1=$v1 latest=$latest")
   }
 
+  test("withRowLineage surfaces v3 row ids through the unified reader") {
+    import org.apache.spark.sql.functions.col
+    val target = tmpDir("gds_lineage_ice")
+    val stage = tmpDir("gds_lineage_stage")
+    spark.read.parquet(sf("sf0.001/nation.parquet"))
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .write.mode("overwrite").parquet(stage)
+    val src = new ParquetDirectorySource(spark, stage, "nation")
+    TableFormatSync.syncSnapshot(Seq(
+      new graft.formats.iceberg.IcebergConversionTarget(spark, target)),
+      src.currentSnapshot(), src.sourceFormat)
+
+    // on a v2 table the option refuses with the upgrade pointer
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("withRowLineage", "true")
+        .load(target).count()
+    }
+    assert(e.getMessage.contains("format-version 3"), e.getMessage)
+
+    assert(graft.formats.iceberg.IcebergDeletes.upgradeToV3(spark, target))
+    def lineage(): Map[Long, (Long, Long)] = spark.read.format("graft")
+      .option("withRowLineage", "true").load(target)
+      .select(col("n_nationkey"), col("_row_id"),
+        col("_last_updated_sequence_number"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        (r.getLong(1), r.getLong(2)))).toMap
+    val ids0 = lineage()
+    // single sorted file: id == rank of the key
+    assert(ids0.keys.toSeq.sorted.zipWithIndex.forall {
+      case (k, i) => ids0(k)._1 == i.toLong })
+
+    // an update keeps the id and advances the last-updated sequence
+    graft.formats.iceberg.IcebergDeletes.updateWhere(spark, target,
+      col("n_nationkey") === 7, Map("n_name" ->
+        org.apache.spark.sql.functions.lit("x")))
+    val ids1 = lineage()
+    assert(ids1(7L)._1 == ids0(7L)._1 && ids1(7L)._2 > ids0(7L)._2)
+    assert((ids1 - 7L) == (ids0 - 7L))
+
+    // lineage + time travel is refused (no silent wrong-version lineage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("withRowLineage", "true")
+        .option("versionAsOf", "1").load(target).count()
+    }
+    assert(e2.getMessage.contains("withRowLineage"), e2.getMessage)
+  }
+
   test("filters push into the metadata-plane scan") {
     val target = tmpDir("gds_push")
     val src = new ParquetDirectorySource(

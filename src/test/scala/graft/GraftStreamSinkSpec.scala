@@ -76,6 +76,38 @@ class GraftStreamSinkSpec extends SparkSuite {
     }
   }
 
+  test("iceberg v3: streamed appends land as blind appends with fresh " +
+    "row lineage") {
+    val all = rows(0, 60)
+    val table = tmpDir("gsk_icev3_tbl")
+    all.filter(col("id") < 20).write.format("graft")
+      .option("tableFormat", "iceberg").mode("append").save(table)
+    assert(graft.formats.iceberg.IcebergDeletes.upgradeToV3(spark, table))
+    val pre = graft.formats.iceberg.IcebergMetadata.read(table,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(table).get)
+    assert(pre.formatVersion == 3 && pre.nextRowId == 20L)
+    val in = stage("gsk_icev3_in",
+      Seq(all.filter(col("id") >= 20 && col("id") < 40),
+        all.filter(col("id") >= 40)))
+    val ckpt = tmpDir("gsk_icev3_ckpt")
+    val q = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream.format("graft")
+      .option("path", table).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.format("graft").load(table).count() == 60)
+    val post = graft.formats.iceberg.IcebergMetadata.read(table,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(table).get)
+    assert(post.formatVersion == 3, "streaming must not downgrade v3")
+    assert(post.nextRowId == 60L, s"watermark ${post.nextRowId}")
+    // the lineage-surfacing read serves 60 DISTINCT ids
+    val ids = spark.read.format("graft")
+      .option("withRowLineage", "true").load(table)
+      .select("_row_id").collect().map(_.getLong(0))
+    assert(ids.length == 60 && ids.distinct.length == 60)
+  }
+
   test("legacy checkpoint-hash ledger identity: post-upgrade restart " +
     "does not re-land the last committed batch") {
     // pre-r11 sinks keyed the idempotence ledger on a hash of the
