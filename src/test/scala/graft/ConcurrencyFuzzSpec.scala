@@ -250,6 +250,99 @@ class ConcurrencyFuzzSpec extends SparkSuite {
     }
   }
 
+  test("iceberg v3: racing blind appends, DV deletes and a compaction " +
+    "serialize without forking row lineage") {
+    val t = tmpDir("fuzz_icev3")
+    import spark.implicits._
+    val seedDir = tmpDir("fuzz_icev3_seed")
+    spark.range(0, 20).select(col("id").as("k"), (col("id") * 10).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(seedDir)
+    val src = new ParquetDirectorySource(spark, seedDir, "t")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new graft.formats.iceberg.IcebergConversionTarget(spark, t)),
+      src.currentSnapshot(), src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+    assert(graft.formats.iceberg.IcebergDeletes.upgradeToV3(spark, t))
+
+    val nThreads = 3
+    val outcomes = new ConcurrentLinkedQueue[Outcome]()
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(nThreads)
+    (0 until nThreads).foreach { tid =>
+      pool.execute { () =>
+        start.await()
+        (0 until 3).foreach { i =>
+          val slot = tid * 3 + i
+          try {
+            if (slot == 4) {
+              // lineage-preserving compaction mid-race
+              graft.formats.iceberg.IcebergDeletes
+                .rewriteWithDeletes(spark, t, zorderBy = Seq("k"))
+              outcomes.add(Outcome("replace", -1L, ok = true))
+            } else if (slot == 1 || slot == 5 || slot == 7) {
+              // DV delete of a seed key (distinct per slot)
+              val n = graft.formats.iceberg.IcebergDeletes
+                .deleteWhere(spark, t, col("k") === slot.toLong)
+              outcomes.add(Outcome("delete", slot.toLong, ok = n == 1L))
+            } else {
+              val key = 1000L + slot
+              val d = tmpDir(s"fuzz_icev3_add_$slot")
+              spark.range(key, key + 1).select(col("id").as("k"),
+                  (col("id") * 10).as("v"))
+                .coalesce(1).write.mode("overwrite").parquet(d)
+              graft.formats.iceberg.IcebergDeletes.appendDataFiles(spark, t, d)
+              outcomes.add(Outcome("append", key, ok = true))
+            }
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("concurrent writer") =>
+              outcomes.add(Outcome("op", -1L, ok = false))
+            case e: IllegalArgumentException
+                if e.getMessage.contains("non-live") =>
+              // DV victims planned against files a racing compaction
+              // rewrote: the commit refuses rather than masking
+              // positions of dead files — not applied
+              outcomes.add(Outcome("op", -1L, ok = false))
+            case th: Throwable => errors.add(th)
+          }
+        }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+    assert(errors.isEmpty, errors.toString)
+
+    import scala.jdk.CollectionConverters._
+    val appended = outcomes.asScala
+      .filter(o => o.kind == "append" && o.ok).map(_.key).toSet
+    val deleted = outcomes.asScala
+      .filter(o => o.kind == "delete" && o.ok).map(_.key).toSet
+    val expected = ((0L until 20L).toSet -- deleted) ++ appended
+    val m = graft.formats.iceberg.IcebergMetadata.read(t,
+      graft.formats.iceberg.IcebergMetadata.currentVersion(t).get)
+    assert(m.formatVersion == 3)
+    // at most one live DV per data file survived the race
+    val refs = graft.formats.iceberg.IcebergDeletes
+      .liveDeleteRefs(m, m.headSequence).filter(_.isDeletionVector)
+    assert(refs.map(_.referencedDataFile.get).distinct.size == refs.size,
+      s"merge rule violated under race: $refs")
+    val got = new graft.formats.iceberg.IcebergConversionSource(
+      spark, t, "t").toDataFrame.select("k").as[Long].collect().toSeq
+    assert(got.size == got.toSet.size, "duplicate rows — double-applied")
+    assert(got.toSet == expected,
+      s"state diverged: missing ${expected -- got.toSet}, " +
+        s"extra ${got.toSet -- expected}")
+    // row lineage never forks: every served id is distinct
+    val ids = spark.read.format("graft")
+      .option("withRowLineage", "true").load(t)
+      .select("_row_id").collect().map(_.getLong(0))
+    assert(ids.length == expected.size && ids.distinct.length == ids.length,
+      s"forked/dropped lineage: ${ids.length} ids, " +
+        s"${ids.distinct.length} distinct")
+  }
+
   test("iceberg: racing unique-key appends and a clustered replace serialize") {
     val t = tmpDir("fuzz_ice")
     import spark.implicits._
