@@ -312,9 +312,43 @@ object IcebergSchemas {
         case dt => typeNode(dt, nf, collectionIdsOf(f), "")
       }
       fo.set[JsonNode]("type", tn)
+      // v3 default values round-trip through the EXISTS_DEFAULT
+      // metadata the reader attaches (IcebergMetadata.read) and ALTER
+      // ADD COLUMN ... DEFAULT plants — emitted as the spec's JSON
+      // single-value under initial-default AND write-default
+      if (f.metadata.contains("EXISTS_DEFAULT"))
+        defaultValueNode(f, nf).foreach { dn =>
+          fo.set[JsonNode]("initial-default", dn)
+          fo.set[JsonNode]("write-default", dn)
+        }
     }
     o
   }
+
+  /** The spec's JSON single-value for a field's EXISTS_DEFAULT literal
+    * (re-evaluated through catalyst); None for shapes the serialization
+    * doesn't cover — the field then carries no default in the JSON.
+    */
+  private def defaultValueNode(f: StructField,
+      nf: JsonNodeFactory): Option[JsonNode] =
+    try {
+      val v = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(f.metadata.getString("EXISTS_DEFAULT")).eval()
+      (f.dataType, v) match {
+        case (_, null) => None
+        case (BooleanType, b: java.lang.Boolean) =>
+          Some(nf.booleanNode(b))
+        case (IntegerType, i: java.lang.Integer) => Some(nf.numberNode(i))
+        case (LongType, l: java.lang.Long) => Some(nf.numberNode(l))
+        case (FloatType, x: java.lang.Float) => Some(nf.numberNode(x))
+        case (DoubleType, x: java.lang.Double) => Some(nf.numberNode(x))
+        case (StringType, s) => Some(nf.textNode(s.toString))
+        case (DateType, d: java.lang.Integer) =>
+          Some(nf.textNode(java.time.LocalDate.ofEpochDay(
+            d.longValue).toString))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
 
   /** Iceberg schema JSON for a StructType (ids must be pre-assigned). */
   def toIcebergJson(schema: StructType, schemaId: Int = 0): String = {

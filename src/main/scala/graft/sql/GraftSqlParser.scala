@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT CREATE <BRANCH|TAG> <name> ON '<table>' [AT SEQUENCE <n>]
   *   GRAFT DROP <BRANCH|TAG> <name> ON '<table>'
   *   GRAFT <CREATE|REFRESH> BLOOM INDEX ON '<table>' (column)
-  *   GRAFT ALTER TABLE '<table>' ADD COLUMN <name> <type>
+  *   GRAFT ALTER TABLE '<table>' ADD COLUMN <name> <type> [DEFAULT <lit>]
   *   GRAFT ALTER TABLE '<table>' RENAME COLUMN <a> TO <b>
   *   GRAFT ALTER TABLE '<table>' DROP COLUMN <name>
   *   GRAFT ALTER TABLE '<table>' ALTER COLUMN <name> TYPE <type>
@@ -79,6 +79,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+(CREATE|REFRESH)\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\s*\w+\s*)\)\s*;?\s*""".r
   private val AlterAdd: Regex =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*;?\s*""".r
+  private val AlterAddDefault =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s+DEFAULT\s+(.+?)\s*;?\s*""".r
   private val AlterRename: Regex =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val AlterDrop: Regex =
@@ -187,6 +189,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AlterFormatVersion(path, v) =>
       AlterTableCommand(path,
         graft.sync.AlterTable.SetFormatVersion(v.toInt))
+    case AlterAddDefault(path, name, ddl, dflt) =>
+      AlterTableCommand(path,
+        graft.sync.AlterTable.AddColumn(name, ddl, Some(dflt.trim)))
     case AlterAdd(path, name, ddl) =>
       AlterTableCommand(path, graft.sync.AlterTable.AddColumn(name, ddl))
     case BloomIdx(verb, path, column) =>

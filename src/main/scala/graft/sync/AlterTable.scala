@@ -45,7 +45,13 @@ import graft.util.{HadoopConfs, Jsons}
 object AlterTable {
 
   sealed trait Op
-  case class AddColumn(name: String, typeDdl: String) extends Op
+  /** `defaultSql` (Iceberg v3 only): the column's DEFAULT literal — lands
+    * as the spec's `initial-default`/`write-default` on the new field, so
+    * pre-existing rows serve it (the read side maps it onto Spark's
+    * existence-default scan fill).
+    */
+  case class AddColumn(name: String, typeDdl: String,
+      defaultSql: Option[String] = None) extends Op
   case class RenameColumn(from: String, to: String) extends Op
   case class DropColumn(name: String) extends Op
   case class AlterColumnType(name: String, typeDdl: String) extends Op
@@ -116,7 +122,7 @@ object AlterTable {
     var deltaTypeWidening = false
 
     val evolved: StructType = op match {
-      case AddColumn(name, ddl) =>
+      case AddColumn(name, ddl, defaultSql) =>
         require(!name.contains('.'),
           s"nested column adds are not supported: $name")
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
@@ -124,7 +130,33 @@ object AlterTable {
         if (fmt == "iceberg")
           requireNeverNamedBefore(spark, path, name)
         val dt = DataType.fromDDL(ddl)
-        val added =
+        // DEFAULT: v3 default values — canonicalized through a catalyst
+        // literal and carried as EXISTS_DEFAULT metadata, which the
+        // Iceberg schema writer emits as initial-default/write-default
+        // and the reader maps back onto the scan's existence fill
+        val defaultMeta = defaultSql.map { sql =>
+          require(fmt == "iceberg",
+            s"ADD COLUMN ... DEFAULT is an Iceberg v3 capability; " +
+              s"this is a $fmt table")
+          val v = graft.formats.iceberg.IcebergMetadata
+            .currentVersion(path).get
+          val fv = graft.formats.iceberg.IcebergMetadata.read(path, v)
+            .formatVersion
+          require(fv >= 3,
+            s"ADD COLUMN ... DEFAULT needs format-version 3 (this table " +
+              s"is v$fv) — GRAFT ALTER TABLE ... SET TBLPROPERTIES " +
+              "('format-version'='3') first")
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+          val expr = org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parseExpression(sql)
+          require(expr.foldable, s"DEFAULT must be a literal: $sql")
+          val value = Cast(expr, dt, Some("UTC")).eval()
+          require(value != null, s"DEFAULT $sql does not cast to " +
+            s"${dt.simpleString} — a null default is just omission")
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("EXISTS_DEFAULT", Literal(value, dt).sql).build()
+        }
+        val added0 =
           if (!mapped) StructField(name, dt, nullable = true)
           else {
             // a mapped table resolves fields by physicalName/id: an
@@ -146,6 +178,12 @@ object AlterTable {
                   nextId)
                 .build())
           }
+        val added = defaultMeta match {
+          case Some(md) => added0.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(added0.metadata).withMetadata(md).build())
+          case None => added0
+        }
         StructType(cur.fields :+ added)
       case RenameColumn(from, to) =>
         require(fmt == "delta" && mapped, renameRefusal(fmt, mapped))

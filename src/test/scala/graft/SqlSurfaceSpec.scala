@@ -305,6 +305,51 @@ class SqlSurfaceSpec extends SparkSuite {
         "('format-version'='4')").collect()
     }
     assert(e.getMessage.contains("format-version 3"), e.getMessage)
+
+    // ADD COLUMN ... DEFAULT on a fresh v3 table (the ALTER's schema
+    // commit refuses while row-level deletes are live — same file-level
+    // guard as sync): pre-existing rows serve the default
+    val ice2 = tmpDir("sqlx_fv_def")
+    gs.sql(s"GRAFT SYNC PARQUET '$iceData' AS nation TO iceberg '$ice2'")
+      .collect()
+    gs.sql(s"GRAFT ALTER TABLE '$ice2' SET TBLPROPERTIES " +
+      "('format-version'='3')").collect()
+    gs.sql(s"GRAFT ALTER TABLE '$ice2' ADD COLUMN region string " +
+      "DEFAULT 'emea'").collect()
+    val served = new graft.formats.iceberg.IcebergConversionSource(
+      spark, ice2, "nation").toDataFrame
+    assert(served.columns.contains("region"))
+    assert(served.select("region").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("emea"))
+    // the schema JSON carries the spec's default keys
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        graft.formats.iceberg.IcebergMetadata.metadataFile(ice2,
+          graft.formats.iceberg.IcebergMetadata.currentVersion(ice2).get))))
+    val compact = metaJson.replaceAll("\\s", "")
+    assert(compact.contains("\"initial-default\":\"emea\"") &&
+      compact.contains("\"write-default\":\"emea\""),
+      compact.take(600))
+  }
+
+  test("ADD COLUMN DEFAULT refuses below v3 and on non-Iceberg tables") {
+    val iceData = tmpDir("sqlx_def_data")
+    spark.read.parquet(sf("sf0.001") + "/nation.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(iceData)
+    val ice = tmpDir("sqlx_def_v2")
+    gs.sql(s"GRAFT SYNC PARQUET '$iceData' AS nation TO iceberg '$ice'")
+      .collect()
+    val e = intercept[Exception] {
+      gs.sql(s"GRAFT ALTER TABLE '$ice' ADD COLUMN region string " +
+        "DEFAULT 'emea'").collect()
+    }
+    assert(e.getMessage.contains("format-version 3"), e.getMessage)
+    val delta = deltaTable("sqlx_def_delta")
+    val e2 = intercept[Exception] {
+      gs.sql(s"GRAFT ALTER TABLE '$delta' ADD COLUMN region string " +
+        "DEFAULT 'emea'").collect()
+    }
+    assert(e2.getMessage.contains("Iceberg v3"), e2.getMessage)
   }
 
   test("CLONE copies the source protocol, not a hardcoded (1,2)") {
