@@ -257,9 +257,13 @@ class IcebergRestCatalogServer {
 
   server.createContext("/v1/", (ex: HttpExchange) => try {
     requestCount += 1
-    // segments arrive percent-encoded; decode each, and fold the spec's
-    // %1F multi-level-namespace separator back to the stored dotted form
-    val path = ex.getRequestURI.getPath.stripPrefix("/v1/")
+    // segments arrive percent-encoded; split the RAW path (so a %2F
+    // inside an identifier cannot corrupt segmentation), decode each
+    // segment EXACTLY once, then fold the spec's %1F multi-level-
+    // namespace separator back to the stored dotted form. getPath would
+    // pre-decode, and a second URLDecoder pass then eats '+' and throws
+    // on a literal '%' — the r14 double-decode bug.
+    val path = ex.getRequestURI.getRawPath.stripPrefix("/v1/")
       .split("/").filter(_.nonEmpty)
       .map(seg => java.net.URLDecoder.decode(seg, StandardCharsets.UTF_8)
         .replace('\u001f', '.'))

@@ -305,6 +305,15 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       if (specChanged) p.otherSpecs :+ IcebergMetadata.currentSpecJson(p)
       else p.otherSpecs
     }.getOrElse(Nil)
+    // r102 partition-struct field ids: the REAL partition-spec ids (in
+    // spec order) every manifest written this sync must carry — computed
+    // exactly as the metadata write will assign them; plus the
+    // historical specs by id for carried-manifest rewrites
+    val specFieldsNow: Seq[(String, Int)] =
+      IcebergMetadata.specFieldIds(schema, partitionSpec, otherSpecs)
+    val specFieldsBySid: Map[Int, Seq[(String, Int)]] =
+      prev.map(IcebergMetadata.specFieldsById).getOrElse(Map.empty) +
+        (defaultSpecId -> specFieldsNow)
     val schemaChanged = prev.exists(p =>
       IcebergSchemas.toIcebergJson(p.schema, 0) !=
         IcebergSchemas.toIcebergJson(schema, 0))
@@ -395,6 +404,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       val sch = schema
       val snapId = snapshotId
       val md = mdir
+      val sfb = specFieldsBySid
       val bconf = graft.util.HadoopConfs.broadcastSession(spark)
       val prevEntries = graft.util.Par.ds(spark, prevManifestRecs, 128)
         .flatMap { case (mp, sid, origSeq) =>
@@ -439,7 +449,8 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
               n += 1; rows += f.recordCount
               IcebergManifests.toEntry(f,
                 IcebergManifests.Status.Existing, snapId, sch,
-                firstRowId = fr)
+                firstRowId = fr,
+                specFields = sfb.getOrElse(sid, null))
             }
           }
           val len = IcebergManifests.writeManifest(np, run, bconf.value.value)
@@ -498,7 +509,8 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         addedCount += 1; addedRows += f.recordCount
         track(f)
         IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
-          snapshotId, schema, firstRowId = fr)
+          snapshotId, schema, firstRowId = fr,
+          specFields = specFieldsNow)
       }.takeWhile(_ => addedCount <= cap)
       val len = IcebergManifests.writeManifest(np, entryIt)
       def boundBytes(pf: String, v: String): Option[Array[Byte]] =
@@ -535,6 +547,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         val md = mdir
         val v3 = isV3
         val base = baseRowId
+        val sfNow = specFieldsNow
         val bconf = graft.util.HadoopConfs.broadcastSession(spark)
         val cached = ds.persist()
         val addTotal = cached.count()
@@ -567,7 +580,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
                 cursor += f.recordCount
                 n += 1; rows += f.recordCount
                 IcebergManifests.toEntry(f, IcebergManifests.Status.Added,
-                  snapId, sch, firstRowId = fr)
+                  snapId, sch, firstRowId = fr, specFields = sfNow)
               }, bconf.value.value)
             Iterator((p, len2, n, rows))
           }

@@ -306,7 +306,8 @@ object IcebergDeletes {
     val (dataRecs, deleteRecs) =
       carried.partition(r => IcebergManifests.contentOf(r) == 0)
     val (lineageSummaries, total) =
-      IcebergRowLineage.assignOnUpgrade(spark, dataRecs, m.schema, mdir)
+      IcebergRowLineage.assignOnUpgrade(spark, dataRecs, m.schema, mdir,
+        IcebergMetadata.specFieldsById(m))
     val snapshotId = m.lastSequenceNumber + 1
     val listPath =
       s"$mdir/snap-$snapshotId-${UUID.randomUUID()}-manifest-list.avro"
@@ -390,8 +391,9 @@ object IcebergDeletes {
     // it). Looked up from the live data manifests with a distributed
     // scan semi-joined to the touched set — O(touched files) rows reach
     // the driver, the same rows the manifest writer needs anyway.
-    val partFieldNames: Seq[String] =
-      m.partitionSpec.map(_.partitionColumnName).sorted
+    val partSpecFields: Seq[(String, Int)] =
+      IcebergMetadata.specFieldIds(m.schema, m.partitionSpec, m.otherSpecs)
+    val partFieldNames: Seq[String] = partSpecFields.map(_._1)
     val partByFile: Map[String, Seq[graft.model.PartitionMember]] =
       if (partFieldNames.isEmpty) Map.empty
       else {
@@ -468,7 +470,7 @@ object IcebergDeletes {
       blobMetas.iterator.map { case (file, pf, off, blen, card, psize) =>
         IcebergManifests.dvEntry(IcebergManifests.Status.Added, snapshotId,
           pf, psize, card, file, off, blen,
-          schema = m.schema, partitionFields = partFieldNames,
+          schema = m.schema, specFields = partSpecFields,
           partitionValues = partByFile.getOrElse(file, Nil))
       })
     val dvManifest = IcebergManifests.ManifestSummary(manifestPath, len,
@@ -493,7 +495,8 @@ object IcebergDeletes {
       else (Nil, allCarried)
     val (lineageSummaries, upgradeRowTotal) =
       if (upgrading)
-        IcebergRowLineage.assignOnUpgrade(spark, dataRecs, m.schema, mdir)
+        IcebergRowLineage.assignOnUpgrade(spark, dataRecs, m.schema, mdir,
+        IcebergMetadata.specFieldsById(m))
       else (Nil, 0L)
     val (needRewrite, untouched) = carried.partition { r =>
       IcebergManifests.contentOf(r) == 1 && supersededManifests.nonEmpty && {
@@ -899,7 +902,9 @@ object IcebergDeletes {
           IcebergManifests.toEntry(fe,
             IcebergManifests.Status.Added, snapshotId, m.schema,
             content = manifestContent, equalityIds = ids,
-            firstRowId = firstRowId)
+            firstRowId = firstRowId,
+            specFields = IcebergMetadata.specFieldIds(
+              m.schema, m.partitionSpec, m.otherSpecs))
         })
       Some(IcebergManifests.ManifestSummary(manifestPath, len, snapshotId,
         nFiles, 0, 0, nRows, 0L,

@@ -24,8 +24,10 @@ import graft.model._
   * partition struct (r102) and k_v-record ARRAYS for the int-keyed stat
   * maps — what real Iceberg writes and projects by field-id (Avro map
   * keys must be strings, so the java writer never uses avro maps there).
-  * `last_modified_ms` (field-id 1000, outside the reserved range) is the
-  * one engine extension; real readers' id-projection skips it.
+  * `last_modified_ms` (field-id 10^9 — above every reserved manifest id
+  * AND past any reachable partition-spec field id, which grow up from
+  * 1000) is the one engine extension; real readers' id-projection skips
+  * it.
   *
   * The READ side serves BOTH dialects: manifests open with their embedded
   * writer schema (never a fixed reader schema), and the accessors
@@ -60,7 +62,7 @@ object IcebergManifests {
       |  {"name":"lower_bounds","type":{"type":"map","values":"bytes"},"field-id":125},
       |  {"name":"upper_bounds","type":{"type":"map","values":"bytes"},"field-id":128},
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
-      |  {"name":"last_modified_ms","type":"long","field-id":1000}
+      |  {"name":"last_modified_ms","type":"long","field-id":1000000000}
       |]}}]}""".stripMargin)
 
   val ManifestFileSchema: Schema = new Schema.Parser().parse(
@@ -162,16 +164,16 @@ object IcebergManifests {
     }
 
   def specEntrySchema(schema: StructType,
-      partitionFields: Seq[String],
+      specFields: Seq[(String, Int)],
       withRowLineage: Boolean = false): Schema = {
-    val key = schema.json + "|" + partitionFields.map(f =>
-      s"$f:${partitionAvroType(schema, f)}").mkString(",") +
+    val key = schema.json + "|" + specFields.map { case (f, id) =>
+      s"$f#$id:${partitionAvroType(schema, f)}" }.mkString(",") +
       (if (withRowLineage) "|v3" else "")
     entrySchemaCache.computeIfAbsent(key, _ => {
-      val partFields = partitionFields.zipWithIndex.map { case (f, i) =>
+      val partFields = specFields.map { case (f, id) =>
         val t = partitionAvroType(schema, f)
         s"""{"name":"$f","type":["null","$t"],"default":null,""" +
-          s""""field-id":${1000 + i}}"""
+          s""""field-id":$id}"""
       }.mkString(",")
       // v3 row lineage: first_row_id (field 142) on each data file
       val rowLineageField = if (withRowLineage)
@@ -195,7 +197,7 @@ object IcebergManifests {
            |  {"name":"upper_bounds","type":${kvArrayJson(129, 130, "bytes")},"default":null,"field-id":128},
            |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
            |  $rowLineageField
-           |  {"name":"last_modified_ms","type":"long","field-id":1000}
+           |  {"name":"last_modified_ms","type":"long","field-id":1000000000}
            |]}}]}""".stripMargin)
     })
   }
@@ -203,11 +205,22 @@ object IcebergManifests {
   def toEntry(f: FileEntry, status: Int, snapshotId: Long,
       schema: StructType, content: Int = 0,
       equalityIds: Seq[Int] = Nil,
-      firstRowId: Option[Long] = None): GenericRecord = {
+      firstRowId: Option[Long] = None,
+      specFields: Seq[(String, Int)] = null): GenericRecord = {
     val leaves = IcebergSchemas.leafFields(schema)
       .map { case (id, name, dt) => name -> (id, dt) }.toMap
+    // r102 shape: the table's partition spec (name, field-id) in SPEC
+    // order when the caller carries it — external field-id readers
+    // resolve partition values by those ids. null = legacy fallback
+    // (sorted names, synthetic 1000+i ids) kept only for callers with
+    // no metadata in reach; never drops values, so partition-column
+    // reads stay correct either way.
+    val sf: Seq[(String, Int)] =
+      if (specFields != null) specFields
+      else f.partitionValues.map(_.field).sorted.zipWithIndex
+        .map { case (n, i) => n -> (1000 + i) }
     val entrySchema =
-      specEntrySchema(schema, f.partitionValues.map(_.field).sorted,
+      specEntrySchema(schema, sf,
         withRowLineage = firstRowId.isDefined)
     val dfSchema = entrySchema.getField("data_file").schema()
     val df = new GenericData.Record(dfSchema)
@@ -216,13 +229,16 @@ object IcebergManifests {
     df.put("file_format", f.fileFormat.toUpperCase)
     val partSchema = dfSchema.getField("partition").schema()
     val part = new GenericData.Record(partSchema)
-    f.partitionValues.foreach { p =>
-      val v: AnyRef = partitionAvroType(schema, p.field) match {
-        case "int" => Integer.valueOf(p.value.toInt)
-        case "long" => java.lang.Long.valueOf(p.value.toLong)
-        case _ => p.value
+    val valueByField = f.partitionValues.map(p => p.field -> p.value).toMap
+    sf.foreach { case (name, _) =>
+      valueByField.get(name).foreach { raw =>
+        val v: AnyRef = partitionAvroType(schema, name) match {
+          case "int" => Integer.valueOf(raw.toInt)
+          case "long" => java.lang.Long.valueOf(raw.toLong)
+          case _ => raw
+        }
+        part.put(name, v)
       }
-      part.put(p.field, v)
     }
     df.put("partition", part)
     df.put("record_count", f.recordCount)
@@ -432,18 +448,19 @@ object IcebergManifests {
     * content_size_in_bytes (145). The r102 partition struct carries the
     * REFERENCED data file's partition (spec: a delete file's partition
     * must match the rows it deletes) — empty for unpartitioned tables,
-    * typed like [[specEntrySchema]] otherwise. Memoized per
-    * (table-schema, partition-shape) signature.
+    * typed like [[specEntrySchema]] otherwise, with the partition
+    * spec's REAL field ids in spec order (external readers prune delete
+    * manifests by them). Memoized per (table-schema, spec) signature.
     */
   def dvEntrySchema(schema: StructType,
-      partitionFields: Seq[String]): Schema = {
-    val key = "dv|" + schema.json + "|" + partitionFields.map(f =>
-      s"$f:${partitionAvroType(schema, f)}").mkString(",")
+      specFields: Seq[(String, Int)]): Schema = {
+    val key = "dv|" + schema.json + "|" + specFields.map { case (f, id) =>
+      s"$f#$id:${partitionAvroType(schema, f)}" }.mkString(",")
     entrySchemaCache.computeIfAbsent(key, _ => {
-      val partFields = partitionFields.zipWithIndex.map { case (f, i) =>
+      val partFields = specFields.map { case (f, id) =>
         val t = partitionAvroType(schema, f)
         s"""{"name":"$f","type":["null","$t"],"default":null,""" +
-          s""""field-id":${1000 + i}}"""
+          s""""field-id":$id}"""
       }.mkString(",")
       new Schema.Parser().parse(
         s"""{"type":"record","name":"manifest_entry","fields":[
@@ -473,12 +490,13 @@ object IcebergManifests {
       puffinSizeBytes: Long, cardinality: Long, referencedDataFile: String,
       contentOffset: Long, contentSizeBytes: Long,
       schema: StructType = new StructType(),
-      partitionFields: Seq[String] = Nil,
+      specFields: Seq[(String, Int)] = Nil,
       partitionValues: Seq[PartitionMember] = Nil): GenericRecord = {
-    // the FIELD LIST comes from the table's partition spec, not from the
-    // values at hand: every entry in a DV manifest must share one avro
-    // schema even when some referenced files recorded no partition tuple
-    val entrySchema = dvEntrySchema(schema, partitionFields)
+    // the FIELD LIST comes from the table's partition spec — (name,
+    // spec field-id) in spec order — not from the values at hand: every
+    // entry in a DV manifest must share one avro schema even when some
+    // referenced files recorded no partition tuple
+    val entrySchema = dvEntrySchema(schema, specFields)
     val dfSchema = entrySchema.getField("data_file").schema()
     val df = new GenericData.Record(dfSchema)
     df.put("content", 1)
@@ -486,7 +504,7 @@ object IcebergManifests {
     df.put("file_format", "PUFFIN")
     val part =
       new GenericData.Record(dfSchema.getField("partition").schema())
-    partitionValues.filter(p => partitionFields.contains(p.field)).foreach { p =>
+    partitionValues.filter(p => specFields.exists(_._1 == p.field)).foreach { p =>
       val v: AnyRef = partitionAvroType(schema, p.field) match {
         case "int" => Integer.valueOf(p.value.toInt)
         case "long" => java.lang.Long.valueOf(p.value.toLong)

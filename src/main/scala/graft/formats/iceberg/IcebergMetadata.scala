@@ -167,9 +167,34 @@ object IcebergMetadata {
     val spec = nf.objectNode()
     spec.put("spec-id", meta.defaultSpecId)
     val sf = spec.putArray("fields")
-    val idByName = IcebergSchemas.leafFields(meta.schema)
+    assignSpecFieldIds(meta.schema, meta.partitionSpec, meta.otherSpecs)
+      .foreach { case (p, srcId, fid) =>
+        val f = sf.addObject()
+        f.put("name", p.partitionColumnName)
+        f.put("transform", transformName(p))
+        f.put("source-id", srcId)
+        f.put("field-id", fid)
+        f.put("source-name", p.sourceField)          // engine extension
+        p.format.foreach(fmt => f.put("source-format", fmt))
+      }
+    spec
+  }
+
+  /** The id assignment [[currentSpecNode]] emits, computable BEFORE the
+    * metadata object exists (syncs write manifests first): each
+    * (partition field, source-id, field-id) triple, with a field seen in
+    * any historical spec under the same (name, transform, source-id)
+    * keeping its id and fresh fields taking the next id past all
+    * previously assigned (999-floored — spec v2 partition ids start at
+    * 1000).
+    */
+  private def assignSpecFieldIds(schema: StructType,
+      partitionSpec: Seq[graft.model.PartitionFieldSpec],
+      otherSpecs: Seq[String])
+      : Seq[(graft.model.PartitionFieldSpec, Int, Int)] = {
+    val idByName = IcebergSchemas.leafFields(schema)
       .map { case (id, name, _) => name -> id }.toMap
-    val prior: Seq[((String, String, Int), Int)] = meta.otherSpecs.flatMap { s =>
+    val prior: Seq[((String, String, Int), Int)] = otherSpecs.flatMap { s =>
       Jsons.mapper.readTree(s).get("fields").elements().asScala.map { f =>
         ((f.get("name").asText, f.get("transform").asText,
           f.get("source-id").asInt), f.get("field-id").asInt)
@@ -177,21 +202,42 @@ object IcebergMetadata {
     }
     val priorIds = prior.toMap
     var nextId = (999 +: prior.map(_._2)).max
-    meta.partitionSpec.foreach { p =>
-      val f = sf.addObject()
+    partitionSpec.map { p =>
       val srcId = idByName.getOrElse(p.sourceField, -1)
-      val tn = transformName(p)
-      f.put("name", p.partitionColumnName)
-      f.put("transform", tn)
-      f.put("source-id", srcId)
-      val fid = priorIds.getOrElse((p.partitionColumnName, tn, srcId), {
-        nextId += 1; nextId
-      })
-      f.put("field-id", fid)
-      f.put("source-name", p.sourceField)          // engine extension
-      p.format.foreach(fmt => f.put("source-format", fmt))
+      val fid = priorIds.getOrElse(
+        (p.partitionColumnName, transformName(p), srcId), {
+          nextId += 1; nextId
+        })
+      (p, srcId, fid)
     }
-    spec
+  }
+
+  /** (partition-column-name, spec field-id) pairs in SPEC order for the
+    * spec a sync is about to commit — what the manifest r102 partition
+    * struct must carry so external field-id-based readers resolve
+    * partition values (spec: manifest partition fields use the spec's
+    * field ids, not positional ones).
+    */
+  def specFieldIds(schema: StructType,
+      partitionSpec: Seq[graft.model.PartitionFieldSpec],
+      otherSpecs: Seq[String]): Seq[(String, Int)] =
+    assignSpecFieldIds(schema, partitionSpec, otherSpecs)
+      .map { case (p, _, fid) => p.partitionColumnName -> fid }
+
+  /** (name, field-id) pairs of EVERY spec of the table keyed by spec id,
+    * current spec included — carried-forward manifest rewrites re-encode
+    * entries under the spec each manifest was written with.
+    */
+  def specFieldsById(meta: IcebergTableMetadata)
+      : Map[Int, Seq[(String, Int)]] = {
+    val others = meta.otherSpecs.map { s =>
+      val n = Jsons.mapper.readTree(s)
+      val sid = Option(n.get("spec-id")).map(_.asInt).getOrElse(0)
+      sid -> n.get("fields").elements().asScala.map(f =>
+        f.get("name").asText -> f.get("field-id").asInt).toSeq
+    }.toMap
+    others + (meta.defaultSpecId ->
+      specFieldIds(meta.schema, meta.partitionSpec, meta.otherSpecs))
   }
 
   /** The current spec exactly as `write` would emit it — used to archive
@@ -311,59 +357,51 @@ object IcebergMetadata {
     // EXISTS_DEFAULT metadata (a SQL literal), and the parquet readers
     // fill ABSENT columns from it while stored values — including
     // explicit nulls — read as stored, which is exactly the spec rule
-    // (the file either has the field id or it doesn't). Top-level scalar
-    // defaults only; a NESTED or unrepresentable default still refuses —
-    // null-filling it would be a silent wrong answer.
+    // (the file either has the field id or it doesn't). TOP-LEVEL
+    // defaults of any representable type — scalars, decimal, both
+    // timestamps, and struct/list/map literals (the scan fill serves
+    // complex constants; probed by ExistsDefaultProbe). Still refused:
+    // defaults attached to fields NESTED inside a struct column (Spark's
+    // fill is per top-level column — a file carrying the struct but
+    // missing the nested field reads null, and rewriting the projection
+    // can't distinguish absent-in-file from stored-null per row), and
+    // binary/fixed/uuid defaults (the vectorized scan cannot fill binary
+    // constants) — serving either would be a silent wrong answer.
     val schema =
       if (fmtVersion < 3) rawSchema
       else {
         import org.apache.spark.sql.types._
-        val topDefaults: Map[String, JsonNode] =
+        val topDefaults: Map[String, (JsonNode, JsonNode)] =
           Option(curSchemaNode.get("fields")).map(_.elements().asScala
             .filter(f => f.get("initial-default") != null &&
               !f.get("initial-default").isNull)
-            .map(f => f.get("name").asText -> f.get("initial-default"))
+            .map(f => f.get("name").asText ->
+              (f.get("type"), f.get("initial-default")))
             .toMap).getOrElse(Map.empty)
-        val deepCount = curSchemaNode.findParents("initial-default")
+        val deepCount = curSchemaNode.get("fields").findParents(
+            "initial-default")
           .asScala.count(f => !f.get("initial-default").isNull)
         if (deepCount > topDefaults.size)
           throw new UnsupportedOperationException(
             s"Iceberg v3 table at $tablePath has NESTED field(s) with " +
-              "initial-default; serving them without default " +
-              "materialization would return wrong values — refusing")
+              "initial-default; Spark's existence-default fill is per " +
+              "top-level column, so serving them would return wrong " +
+              "values — refusing")
         if (topDefaults.isEmpty) rawSchema
         else StructType(rawSchema.fields.map { f =>
           topDefaults.get(f.name) match {
             case None => f
-            case Some(v) =>
+            case Some((tn, v)) =>
               import org.apache.spark.sql.catalyst.expressions.Literal
-              // Iceberg JSON single-value → catalyst literal; .sql is the
-              // canonical text Spark's reader re-parses
-              val lit: Literal = (f.dataType, v) match {
-                case (BooleanType, b) if b.isBoolean =>
-                  Literal(b.asBoolean, BooleanType)
-                case (IntegerType, nrm) if nrm.isNumber =>
-                  Literal(nrm.asInt, IntegerType)
-                case (LongType, nrm) if nrm.isNumber =>
-                  Literal(nrm.asLong, LongType)
-                case (FloatType, nrm) if nrm.isNumber =>
-                  Literal(nrm.asDouble.toFloat, FloatType)
-                case (DoubleType, nrm) if nrm.isNumber =>
-                  Literal(nrm.asDouble, DoubleType)
-                case (StringType, s) if s.isTextual =>
-                  Literal.create(s.asText, StringType)
-                case (DateType, s) if s.isTextual =>
-                  Literal.create(java.time.LocalDate.parse(s.asText),
-                    DateType)
-                case _ => throw new UnsupportedOperationException(
-                  s"Iceberg v3 table at $tablePath: initial-default " +
-                    s"$v for field ${f.name}: ${f.dataType.simpleString} " +
-                    "is not representable by this engine — refusing " +
-                    "rather than serve wrong values")
-              }
+              // Iceberg JSON single-value → Spark external value →
+              // catalyst literal; .sql is the canonical text Spark's
+              // reader re-parses
+              val ext = IcebergValues.fromJsonSingle(f.dataType, tn, v,
+                s"initial-default of field ${f.name} at $tablePath")
               f.copy(metadata = new MetadataBuilder()
                 .withMetadata(f.metadata)
-                .putString("EXISTS_DEFAULT", lit.sql).build())
+                .putString("EXISTS_DEFAULT",
+                  Literal.create(ext, f.dataType).sql).build())
           }
         })
       }

@@ -138,7 +138,8 @@ object IcebergRowLineage {
     * then rewrite), distributed one task per manifest past a handful.
     */
   def assignOnUpgrade(spark: SparkSession, dataRecs: Seq[GenericRecord],
-      schema: StructType, mdir: String)
+      schema: StructType, mdir: String,
+      specFieldsById: Map[Int, Seq[(String, Int)]] = Map.empty)
       : (Seq[IcebergManifests.ManifestSummary], Long) = {
     if (dataRecs.isEmpty) return (Nil, 0L)
     val metas: Seq[(String, Long, Int)] = dataRecs.map { r =>
@@ -186,7 +187,8 @@ object IcebergRowLineage {
           val out = IcebergManifests.toEntry(fe,
             IcebergManifests.Status.Existing,
             IcebergManifests.longOf(e.get("snapshot_id"), 0L), sch,
-            firstRowId = Some(cum))
+            firstRowId = Some(cum),
+            specFields = specFieldsById.getOrElse(specId, null))
           cum += fe.recordCount
           n += 1; rows += fe.recordCount
           out

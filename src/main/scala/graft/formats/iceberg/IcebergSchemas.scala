@@ -325,30 +325,112 @@ object IcebergSchemas {
     o
   }
 
-  /** The spec's JSON single-value for a field's EXISTS_DEFAULT literal
-    * (re-evaluated through catalyst); None for shapes the serialization
-    * doesn't cover — the field then carries no default in the JSON.
+  /** Types whose DEFAULT values round-trip through both sides of this
+    * engine: serialized as the spec's JSON single-value
+    * ([[defaultValueNode]]) AND servable at read via Spark's
+    * existence-default scan fill (IcebergValues.fromJsonSingle — binary
+    * is excluded there because the vectorized reader cannot fill binary
+    * constants). ALTER ADD COLUMN ... DEFAULT refuses anything outside
+    * this set at DDL time, so a successfully-committed default is never
+    * silently dropped from the schema JSON.
+    */
+  def defaultRepresentable(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+        StringType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case st: StructType => st.fields.forall(f =>
+      defaultRepresentable(f.dataType))
+    case a: ArrayType => defaultRepresentable(a.elementType)
+    case m: MapType =>
+      defaultRepresentable(m.keyType) && defaultRepresentable(m.valueType)
+    case _ => false
+  }
+
+  /** The spec's JSON single-value (spec Appendix D) for a field's
+    * EXISTS_DEFAULT literal, re-evaluated through catalyst. FAILS LOUDLY
+    * on any shape it cannot serialize — silently omitting the default
+    * from the committed schema would make every later read serve NULL
+    * for a default the DDL accepted (the r14 ADVICE wrong-answer).
     */
   private def defaultValueNode(f: StructField,
-      nf: JsonNodeFactory): Option[JsonNode] =
-    try {
-      val v = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseExpression(f.metadata.getString("EXISTS_DEFAULT")).eval()
-      (f.dataType, v) match {
-        case (_, null) => None
-        case (BooleanType, b: java.lang.Boolean) =>
-          Some(nf.booleanNode(b))
-        case (IntegerType, i: java.lang.Integer) => Some(nf.numberNode(i))
-        case (LongType, l: java.lang.Long) => Some(nf.numberNode(l))
-        case (FloatType, x: java.lang.Float) => Some(nf.numberNode(x))
-        case (DoubleType, x: java.lang.Double) => Some(nf.numberNode(x))
-        case (StringType, s) => Some(nf.textNode(s.toString))
-        case (DateType, d: java.lang.Integer) =>
-          Some(nf.textNode(java.time.LocalDate.ofEpochDay(
-            d.longValue).toString))
-        case _ => None
+      nf: JsonNodeFactory): Option[JsonNode] = {
+    // Spark's own default-column analyzer: resolves function-form
+    // literals (NAMED_STRUCT/ARRAY/MAP render unresolved from a bare
+    // parse) and constant-folds, exactly as the scan side will
+    val v = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .analyze(f, "graft schema serialization", "EXISTS_DEFAULT").eval()
+    if (v == null)
+      throw new IllegalArgumentException(
+        s"EXISTS_DEFAULT on '${f.name}' evaluates to null — a null " +
+          "default is omission, not a value")
+    Some(singleValueNode(f.dataType, v, nf, f.name))
+  }
+
+  /** Catalyst INTERNAL value → spec JSON single-value. Struct values are
+    * keyed by FIELD ID (nested ids come from the assigned schema's
+    * metadata — serialization always runs post-assignment).
+    */
+  private def singleValueNode(dt: DataType, v: Any, nf: JsonNodeFactory,
+      at: String): JsonNode = (dt, v) match {
+    case (BooleanType, b: java.lang.Boolean) => nf.booleanNode(b)
+    case (IntegerType, i: java.lang.Integer) => nf.numberNode(i)
+    case (LongType, l: java.lang.Long) => nf.numberNode(l)
+    case (FloatType, x: java.lang.Float) => nf.numberNode(x)
+    case (DoubleType, x: java.lang.Double) => nf.numberNode(x)
+    case (StringType, s) => nf.textNode(s.toString)
+    case (DateType, d: java.lang.Integer) =>
+      nf.textNode(java.time.LocalDate.ofEpochDay(d.longValue).toString)
+    case (TimestampType, micros: java.lang.Long) =>
+      // spec: timestamptz single-values carry an explicit +00:00 offset
+      nf.textNode(java.time.OffsetDateTime.ofInstant(
+        microsInstant(micros), java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSSxxx")))
+    case (TimestampNTZType, micros: java.lang.Long) =>
+      nf.textNode(java.time.LocalDateTime.ofInstant(
+        microsInstant(micros), java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS")))
+    case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+      // spec: decimals serialize as a JSON string with the exact scale
+      nf.textNode(d.toJavaBigDecimal.toPlainString)
+    case (st: StructType, row: org.apache.spark.sql.catalyst.InternalRow) =>
+      val o = nf.objectNode()
+      st.fields.zipWithIndex.foreach { case (sf, i) =>
+        if (!row.isNullAt(i)) {
+          val id = fieldId(sf)
+          require(id >= 0, s"struct default at '$at.${sf.name}' has no " +
+            "assigned field id — serialize after assignFieldIds")
+          o.set[JsonNode](id.toString,
+            singleValueNode(sf.dataType, row.get(i, sf.dataType), nf,
+              s"$at.${sf.name}"))
+        }
       }
-    } catch { case _: Exception => None }
+      o
+    case (a: ArrayType,
+        arr: org.apache.spark.sql.catalyst.util.ArrayData) =>
+      val out = nf.arrayNode()
+      arr.toObjectArray(a.elementType).foreach(e =>
+        out.add(if (e == null) nf.nullNode()
+          else singleValueNode(a.elementType, e, nf, s"$at.element")))
+      out
+    case (m: MapType, md: org.apache.spark.sql.catalyst.util.MapData) =>
+      val o = nf.objectNode()
+      val ks = o.putArray("keys"); val vs = o.putArray("values")
+      md.keyArray().toObjectArray(m.keyType).foreach(k =>
+        ks.add(singleValueNode(m.keyType, k, nf, s"$at.key")))
+      md.valueArray().toObjectArray(m.valueType).foreach(x =>
+        vs.add(if (x == null) nf.nullNode()
+          else singleValueNode(m.valueType, x, nf, s"$at.value")))
+      o
+    case (other, value) => throw new IllegalArgumentException(
+      s"cannot serialize default $value at '$at' as Iceberg " +
+        s"single-value for type ${other.simpleString}")
+  }
+
+  private def microsInstant(micros: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+      Math.floorMod(micros, 1000000L) * 1000L)
 
   /** Iceberg schema JSON for a StructType (ids must be pre-assigned). */
   def toIcebergJson(schema: StructType, schemaId: Int = 0): String = {
@@ -434,6 +516,21 @@ object IcebergSchemas {
       case s if s.startsWith("decimal") =>
         val m = "decimal\\((\\d+),\\s*(\\d+)\\)".r.findFirstMatchIn(s).get
         DecimalType(m.group(1).toInt, m.group(2).toInt)
+      // v3 additions this engine cannot map — refuse NAMING the type and
+      // the spec version that introduced it, never a generic error
+      case t @ ("timestamp_ns" | "timestamptz_ns") =>
+        throw new UnsupportedOperationException(
+          s"Iceberg type '$t' (spec v3) has no lossless Spark mapping — " +
+            "Spark timestamps are microsecond-precision, and truncating " +
+            "nanoseconds would silently alter stored values; refusing")
+      case t @ ("variant" | "geometry" | "geography" | "unknown") =>
+        throw new UnsupportedOperationException(
+          s"Iceberg type '$t' (spec v3) is not supported by this " +
+            "engine — refusing rather than misread the column")
+      case "time" =>
+        throw new UnsupportedOperationException(
+          "Iceberg type 'time' (spec v1) has no Spark column type — " +
+            "refusing rather than misread the column")
       case other => throw new IllegalArgumentException(s"type $other")
     } else n.get("type").asText match {
       case "struct" => parseStruct(n)

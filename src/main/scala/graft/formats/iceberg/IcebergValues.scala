@@ -109,6 +109,79 @@ object IcebergValues {
     case _ => throw new IllegalArgumentException(s"unsupported bound: $dt")
   }
 
+  /** Iceberg JSON single-value (spec Appendix D) → the Spark EXTERNAL
+    * value `Literal.create` accepts for `dt` — used to serve v3
+    * `initial-default`s. `tn` is the field's Iceberg type JSON node:
+    * struct single-values are keyed by FIELD ID, which only the type
+    * node resolves to positions. Refuses — naming the type — shapes the
+    * engine cannot SERVE: binary/fixed defaults (the vectorized parquet
+    * scan cannot fill binary existence constants; probed by
+    * ExistsDefaultProbe) and types with no Spark mapping. A `uuid`
+    * default arrives as (string type, canonical text) — served as the
+    * string the uuid column itself reads as.
+    */
+  def fromJsonSingle(dt: DataType,
+      tn: com.fasterxml.jackson.databind.JsonNode,
+      v: com.fasterxml.jackson.databind.JsonNode, ctx: String): Any = {
+    import scala.jdk.CollectionConverters._
+    def bad(why: String): Nothing = throw new UnsupportedOperationException(
+      s"$ctx: $why — refusing rather than serve wrong values")
+    (dt, v) match {
+      case (BooleanType, b) if b.isBoolean => b.asBoolean
+      case (IntegerType, n) if n.isNumber => n.asInt
+      case (LongType, n) if n.isNumber => n.asLong
+      case (FloatType, n) if n.isNumber => n.asDouble.toFloat
+      case (DoubleType, n) if n.isNumber => n.asDouble
+      case (StringType, s) if s.isTextual => s.asText
+      case (DateType, s) if s.isTextual => LocalDate.parse(s.asText)
+      case (_: DecimalType, s) if s.isTextual || s.isNumber =>
+        new java.math.BigDecimal(s.asText)
+      case (TimestampType, s) if s.isTextual =>
+        // spec: timestamptz single-values carry an explicit offset
+        java.time.OffsetDateTime.parse(s.asText).toInstant
+      case (TimestampNTZType, s) if s.isTextual =>
+        java.time.LocalDateTime.parse(s.asText)
+      case (st: StructType, o) if o.isObject =>
+        // JSON object keyed by FIELD ID; positions resolve through the
+        // type node, whose field order parseStruct preserved
+        val fieldNodes = Option(tn).filter(n => n.isObject &&
+            n.has("fields"))
+          .map(_.get("fields").elements().asScala.toSeq)
+          .getOrElse(bad("struct default needs the schema's struct " +
+            "type node to resolve field ids"))
+        org.apache.spark.sql.Row.fromSeq(
+          st.fields.toSeq.zip(fieldNodes).map { case (sf, fn) =>
+            Option(o.get(fn.get("id").asInt.toString))
+              .filterNot(_.isNull)
+              .map(child => fromJsonSingle(sf.dataType, fn.get("type"),
+                child, s"$ctx.${sf.name}"))
+              .orNull
+          })
+      case (a: ArrayType, arr) if arr.isArray =>
+        val etn = Option(tn).filter(_.isObject).map(_.get("element")).orNull
+        arr.elements().asScala.map(e =>
+          if (e.isNull) null
+          else fromJsonSingle(a.elementType, etn, e, s"$ctx.element"))
+          .toSeq
+      case (m: MapType, o)
+          if o.isObject && o.has("keys") && o.has("values") =>
+        val ktn = Option(tn).filter(_.isObject).map(_.get("key")).orNull
+        val vtn = Option(tn).filter(_.isObject).map(_.get("value")).orNull
+        val ks = o.get("keys").elements().asScala.toSeq
+          .map(k => fromJsonSingle(m.keyType, ktn, k, s"$ctx.key"))
+        val vs = o.get("values").elements().asScala.toSeq
+          .map(x => if (x.isNull) null
+            else fromJsonSingle(m.valueType, vtn, x, s"$ctx.value"))
+        ks.zip(vs).toMap
+      case (BinaryType, _) =>
+        bad("a binary/fixed initial-default is not servable — the " +
+          "vectorized parquet scan cannot fill binary existence defaults")
+      case (other, node) =>
+        bad(s"initial-default $node for type ${other.simpleString} is " +
+          "not representable by this engine")
+    }
+  }
+
   /** Partition transform result for a canonical source value — Iceberg
     * stores time transforms as epoch-granularity ints (years/months since
     * 1970, days/hours since epoch; reference

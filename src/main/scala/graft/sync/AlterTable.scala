@@ -146,15 +146,39 @@ object AlterTable {
             s"ADD COLUMN ... DEFAULT needs format-version 3 (this table " +
               s"is v$fv) — GRAFT ALTER TABLE ... SET TBLPROPERTIES " +
               "('format-version'='3') first")
-          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-          val expr = org.apache.spark.sql.catalyst.parser
-            .CatalystSqlParser.parseExpression(sql)
-          require(expr.foldable, s"DEFAULT must be a literal: $sql")
-          val value = Cast(expr, dt, Some("UTC")).eval()
-          require(value != null, s"DEFAULT $sql does not cast to " +
+          // DDL-time representability gate (mirrors the read side's
+          // servable set): a default the schema writer could not
+          // serialize — or the scan could not fill — must refuse HERE,
+          // not commit successfully and then serve NULL
+          require(graft.formats.iceberg.IcebergSchemas
+              .defaultRepresentable(dt),
+            s"ADD COLUMN ... DEFAULT on type ${dt.simpleString}: this " +
+              "engine serves defaults for boolean/int/long/float/double/" +
+              "string/date/timestamp/timestamp_ntz/decimal and " +
+              "struct/array/map thereof — binary and other types are " +
+              "not servable (the vectorized scan cannot fill them)")
+          import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+          // resolve + constant-fold through the session: function-form
+          // literals (named_struct, array, map) parse UNRESOLVED, so a
+          // bare foldable check on the parsed tree would reject them;
+          // the optimizer folds any genuine literal to a Literal node,
+          // and a non-constant (column reference, rand()) survives
+          // folding and refuses below
+          val folded = spark.sql(s"SELECT CAST(($sql) AS ${dt.sql})")
+            .queryExecution.optimizedPlan.expressions.head match {
+              case a: Alias => a.child
+              case e => e
+            }
+          val lit = folded match {
+            case l: Literal => l
+            case other => throw new IllegalArgumentException(
+              s"DEFAULT must be a constant literal: $sql (folds to " +
+                s"${other.getClass.getSimpleName})")
+          }
+          require(lit.value != null, s"DEFAULT $sql does not cast to " +
             s"${dt.simpleString} — a null default is just omission")
           new org.apache.spark.sql.types.MetadataBuilder()
-            .putString("EXISTS_DEFAULT", Literal(value, dt).sql).build()
+            .putString("EXISTS_DEFAULT", Literal(lit.value, dt).sql).build()
         }
         val added0 =
           if (!mapped) StructField(name, dt, nullable = true)

@@ -260,9 +260,9 @@ class ErrorPathSpec extends SparkSuite {
     val mDef = graft.formats.iceberg.IcebergMetadata.read(v3def, 1)
     assert(mDef.schema("id").metadata.getString("EXISTS_DEFAULT") == "7L",
       mDef.schema("id").metadata.json)
-    // an UNREPRESENTABLE default still refuses rather than serving
-    // wrong values (decimal is outside the literal mapping)
-    val v3bad = iceMeta("rf_ice_v3bad",
+    // a DECIMAL default serves since r15 (spec single-value JSON string,
+    // exact scale preserved through the catalyst literal)
+    val v3dec = iceMeta("rf_ice_v3dec",
       """{"format-version":3,"table-uuid":"u","location":"x",
         |"last-sequence-number":0,"last-updated-ms":1,"last-column-id":1,
         |"next-row-id":0,
@@ -271,10 +271,25 @@ class ErrorPathSpec extends SparkSuite {
         |"type":"decimal(10,2)","initial-default":"7.00"}]}],
         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
         |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
+    val mDec = graft.formats.iceberg.IcebergMetadata.read(v3dec, 1)
+    assert(mDec.schema("d").metadata.getString("EXISTS_DEFAULT") == "7.00BD",
+      mDec.schema("d").metadata.json)
+    // an UNSERVABLE default still refuses rather than serving wrong
+    // values — binary, which the vectorized scan cannot fill
+    val v3bad = iceMeta("rf_ice_v3bad",
+      """{"format-version":3,"table-uuid":"u","location":"x",
+        |"last-sequence-number":0,"last-updated-ms":1,"last-column-id":1,
+        |"next-row-id":0,
+        |"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct",
+        |"fields":[{"id":1,"name":"b","required":false,
+        |"type":"binary","initial-default":"0102"}]}],
+        |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+        |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
     val e3 = intercept[UnsupportedOperationException] {
       graft.formats.iceberg.IcebergMetadata.read(v3bad, 1)
     }
-    assert(e3.getMessage.contains("initial-default"), e3.getMessage)
+    assert(e3.getMessage.contains("initial-default") &&
+      e3.getMessage.contains("binary"), e3.getMessage)
   }
 
   test("unmaintainable writer features, appendOnly DML, and Hudi 1.x " +
@@ -368,5 +383,35 @@ class ErrorPathSpec extends SparkSuite {
       graft.formats.hudi.HudiTimeline.listInstants(h2)
     }
     assert(e6.getMessage.contains("newer"), e6.getMessage)
+  }
+
+  test("v3 new-type refusals NAME the type and spec version") {
+    // spec v3 adds timestamp_ns/timestamptz_ns/variant/geometry/
+    // geography/unknown; none has a lossless Spark mapping. The refusal
+    // must name the type (and why) — a generic "unsupported type" sends
+    // the operator reading schema JSON by hand.
+    def schemaWith(t: String): String =
+      s"""{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"c","required":false,"type":"$t"}]}""".stripMargin
+    for (t <- Seq("timestamp_ns", "timestamptz_ns")) {
+      val e = intercept[UnsupportedOperationException] {
+        graft.formats.iceberg.IcebergSchemas.fromIcebergJson(schemaWith(t))
+      }
+      assert(e.getMessage.contains(t) && e.getMessage.contains("v3") &&
+        e.getMessage.contains("nanosecond"), s"$t: ${e.getMessage}")
+    }
+    for (t <- Seq("variant", "geometry", "geography", "unknown")) {
+      val e = intercept[UnsupportedOperationException] {
+        graft.formats.iceberg.IcebergSchemas.fromIcebergJson(schemaWith(t))
+      }
+      assert(e.getMessage.contains(t) && e.getMessage.contains("v3"),
+        s"$t: ${e.getMessage}")
+    }
+    val e = intercept[UnsupportedOperationException] {
+      graft.formats.iceberg.IcebergSchemas.fromIcebergJson(
+        schemaWith("time"))
+    }
+    assert(e.getMessage.contains("time") &&
+      e.getMessage.contains("no Spark column type"), e.getMessage)
   }
 }

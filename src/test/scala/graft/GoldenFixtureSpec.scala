@@ -493,6 +493,17 @@ class GoldenFixtureSpec extends SparkSuite {
     assert(df.columns.contains("region"), df.columns.mkString(","))
     val regions = df.select("region").distinct().collect().map(_.getString(0))
     assert(regions.toSeq == Seq("emea"), regions.mkString(","))
+    // NON-SCALAR defaults: `audit` is a struct-typed added field whose
+    // spec single-value is keyed by FIELD ID ({"5": "import", "6": 7}),
+    // `fee` a decimal serialized as a JSON string with exact scale —
+    // both served through the same existence fill
+    val audits = df.select("audit").distinct().collect()
+    assert(audits.length == 1, audits.mkString(","))
+    val a = audits.head.getStruct(0)
+    assert(a.getString(0) == "import" && a.getInt(1) == 7, a.toString)
+    val fees = df.select("fee").distinct().collect()
+      .map(_.getDecimal(0).toPlainString)
+    assert(fees.toSeq == Seq("14.20"), fees.mkString(","))
     // time travel to the pre-DV snapshot serves all 90 rows
     assert(src.toDataFrameAt(1L).count() == 90)
     // position-delete FILES refuse on v3 per spec (the guard fires

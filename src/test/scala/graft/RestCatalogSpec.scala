@@ -137,6 +137,23 @@ class RestCatalogSpec extends SparkSuite {
           .option("table", "prod data.ghost").load()
       }
       assert(e.getMessage.contains("ghost"), e.getMessage)
+
+      // the r14 double-decode bug class: identifiers containing '+' and
+      // a literal '%' must survive — the server splits the RAW path and
+      // decodes each segment exactly once (a second decode eats '+' as
+      // space and throws 500 on '%')
+      val hard = CatalogTableIdentifier("a+b", "pct%t")
+      client.createDatabase("a+b")
+      assert(client.hasDatabase("a+b"))
+      assert(!client.hasDatabase("a b"),
+        "'+' must not decode to a space server-side")
+      val out2 = CatalogOrchestrator.syncTable(Seq(client), hard, desc,
+        graft.model.TableFormats.Iceberg, Some(metaLoc))
+      assert(out2.forall(_.status == "SUCCESS"), out2.mkString(";"))
+      assert(client.getTable(hard).get
+        .properties("metadata_location") == metaLoc)
+      client.dropTable(hard)
+      assert(client.getTable(hard).isEmpty)
     } finally server.stop()
   }
 

@@ -536,6 +536,66 @@ class ReverseGoldenSpec extends SparkSuite {
       .toDataFrame.where(col("p") === lit(2)).count() == 10)
   }
 
+  test("manifest r102 partition structs carry the partition spec's REAL " +
+    "field ids in spec order") {
+    // r14 ADVICE: r102 used alphabetically-sorted names with synthetic
+    // 1000+i ids — an external field-id-based reader of a multi-column
+    // spec could read swapped partition values. Spec order here is
+    // (z, a): sorted-name order would flip it, so this test fails on
+    // the synthetic scheme.
+    import spark.implicits._
+    val data = tmpDir("rev_ice_pids_data")
+    (0 until 40).map(i => (i.toLong, i % 4, 2000 + i % 3))
+      .toDF("id", "z", "a")
+      .write.partitionBy("z", "a").mode("overwrite").parquet(data)
+    val t = tmpDir("rev_ice_pids")
+    val src = new ParquetDirectorySource(spark, data, "t")
+    val out = TableFormatSync.syncSnapshot(
+      Seq(new IcebergConversionTarget(spark, t)), src.currentSnapshot(),
+      src.sourceFormat)
+    assert(out.forall(_.status == "SUCCESS"), out.mkString(";"))
+
+    val v = IcebergMetadata.currentVersion(t).get
+    val meta = IcebergMetadata.read(t, v)
+    val specIds = IcebergMetadata.specFieldIds(
+      meta.schema, meta.partitionSpec, meta.otherSpecs)
+    assert(specIds.map(_._1) == Seq("z", "a"), specIds.toString)
+    assert(specIds.map(_._2) == Seq(1000, 1001), specIds.toString)
+
+    val mls = {
+      val rd = new DataFileReader[GenericRecord](
+        new java.io.File(graft.util.PathUtils.canonical(
+          meta.snapshots.last.manifestList)),
+        new GenericDatumReader[GenericRecord]())
+      try rd.iterator().asScala.toSeq finally rd.close()
+    }
+    assert(mls.nonEmpty)
+    val manifest = new DataFileReader[GenericRecord](
+      new java.io.File(graft.util.PathUtils.canonical(
+        mls.head.get("manifest_path").toString)),
+      new GenericDatumReader[GenericRecord]())
+    val msch = try manifest.getSchema finally manifest.close()
+    def unwrap(s: org.apache.avro.Schema): org.apache.avro.Schema =
+      if (s.getType == org.apache.avro.Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType !=
+          org.apache.avro.Schema.Type.NULL).get
+      else s
+    val dfSchema = unwrap(msch.getField("data_file").schema())
+    val r102 = unwrap(dfSchema.getField("partition").schema())
+    val got = r102.getFields.asScala.map(f => f.name() ->
+      f.getObjectProp("field-id").asInstanceOf[Number].intValue()).toSeq
+    assert(got == specIds,
+      s"r102 must mirror the partition spec: r102=$got spec=$specIds")
+    // the engine-extension field lives far outside both the reserved
+    // manifest range and the partition-id growth path
+    val lm = dfSchema.getField("last_modified_ms")
+    assert(lm.getObjectProp("field-id")
+      .asInstanceOf[Number].intValue() == 1000000000, lm.toString)
+    // and the partitioned tree still reads back exactly
+    assert(new graft.formats.iceberg.IcebergConversionSource(spark, t, "t")
+      .toDataFrame.where("z = 2 AND a = 2001").count() > 0)
+  }
+
   test("graft-written Iceberg metadata tree conforms to the v2 spec shape") {
     val goldenDir = golden("delta_dimGeography")   // data donor
     val table = syncInPlace(goldenDir, DeltaDataFile, "ice_dimGeography",

@@ -330,6 +330,51 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(compact.contains("\"initial-default\":\"emea\"") &&
       compact.contains("\"write-default\":\"emea\""),
       compact.take(600))
+
+    // NON-SCALAR defaults (r14 punch list): struct literals land as the
+    // spec's field-id-keyed single-value and serve back; decimal as the
+    // exact-scale JSON string; timestamp with the +00:00 offset form
+    gs.sql(s"GRAFT ALTER TABLE '$ice2' ADD COLUMN audit " +
+      "struct<source:string,score:int> " +
+      "DEFAULT named_struct('source', 'import', 'score', 7)").collect()
+    gs.sql(s"GRAFT ALTER TABLE '$ice2' ADD COLUMN fee decimal(9,2) " +
+      "DEFAULT 14.20").collect()
+    gs.sql(s"GRAFT ALTER TABLE '$ice2' ADD COLUMN seen timestamp " +
+      "DEFAULT TIMESTAMP '2017-11-16 22:31:08.123456'").collect()
+    val served2 = new graft.formats.iceberg.IcebergConversionSource(
+      spark, ice2, "nation").toDataFrame
+    val row = served2.select("audit", "fee", "seen").distinct().collect()
+    assert(row.length == 1, row.mkString(","))
+    val audit = row.head.getStruct(0)
+    assert(audit.getString(0) == "import" && audit.getInt(1) == 7,
+      audit.toString)
+    assert(row.head.getDecimal(1).toPlainString == "14.20")
+    assert(row.head.getTimestamp(2).toInstant ==
+      java.time.Instant.parse("2017-11-16T22:31:08.123456Z"),
+      row.head.getTimestamp(2).toString)
+    val metaJson2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        graft.formats.iceberg.IcebergMetadata.metadataFile(ice2,
+          graft.formats.iceberg.IcebergMetadata.currentVersion(ice2).get))))
+    val compact2 = metaJson2.replaceAll("\\s", "")
+    // struct single-value keyed by FIELD ID; decimal as a string;
+    // timestamptz with explicit offset
+    assert(compact2.contains("\"initial-default\":\"14.20\""),
+      compact2.take(900))
+    assert(compact2.contains("\"initial-default\":\"2017-11-16T22:31:08.123456+00:00\""),
+      compact2.take(900))
+    assert("\"initial-default\":\\{\"\\d+\":\"import\",\"\\d+\":7\\}".r
+      .findFirstIn(compact2).isDefined, compact2.take(900))
+
+    // a BINARY default refuses AT DDL TIME, naming the reason — the r14
+    // silent-null: the old write side dropped unserializable defaults
+    // from the schema JSON after the DDL succeeded
+    val eBin = intercept[Exception] {
+      gs.sql(s"GRAFT ALTER TABLE '$ice2' ADD COLUMN blob binary " +
+        "DEFAULT X'0102'").collect()
+    }
+    assert(eBin.getMessage.contains("binary") &&
+      eBin.getMessage.contains("not servable"), eBin.getMessage)
   }
 
   test("ADD COLUMN DEFAULT refuses below v3 and on non-Iceberg tables") {

@@ -305,6 +305,22 @@ def main(table_dir):
         # no data file carries it, so every served row must read "emea"
         {"id": 3, "name": "region", "required": False, "type": "string",
          "initial-default": "emea", "write-default": "emea"},
+        # a STRUCT-typed added field: spec single-value JSON keys struct
+        # defaults by FIELD ID, not name — a reader resolving by name
+        # would misread or drop them
+        {"id": 4, "name": "audit", "required": False,
+         "type": {"type": "struct", "fields": [
+             {"id": 5, "name": "source", "required": False,
+              "type": "string"},
+             {"id": 6, "name": "score", "required": False,
+              "type": "int"}]},
+         "initial-default": {"5": "import", "6": 7},
+         "write-default": {"5": "import", "6": 7}},
+        # decimal default: spec serializes as a JSON STRING with the
+        # exact scale
+        {"id": 7, "name": "fee", "required": False,
+         "type": "decimal(9, 2)",
+         "initial-default": "14.20", "write-default": "14.20"},
     ]
     metadata = {
         "format-version": 3,
@@ -312,7 +328,7 @@ def main(table_dir):
         "location": "file:" + table_dir,
         "last-sequence-number": 2,
         "last-updated-ms": TS_MS + 1000,
-        "last-column-id": 3,
+        "last-column-id": 7,
         "next-row-id": n,
         "current-schema-id": 0,
         "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
