@@ -309,26 +309,62 @@ object DeltaRead {
     // PHYSICAL names — scan under those, then rename back to logical.
     // Partition columns come from the metadata plane (already logical).
     val mapped = DeltaColumnMapping.isMapped(schema)
-    val scanSnap = if (!mapped) snap else {
-      val readSchema = org.apache.spark.sql.types.StructType(
-        schema.fields.map { f =>
-          if (partCols.contains(f.name)) f
-          else f.copy(name = DeltaColumnMapping.physicalName(f),
-            dataType = DeltaColumnMapping.physicalType(f.dataType))
-        })
-      snap.copy(table = snap.table.copy(schemaJson = readSchema.json))
-    }
+    // Iceberg RENAMEs (graft.renamedFrom, planted by IcebergRenames):
+    // pre-rename files spell the column under its old name, so the scan
+    // schema gains one SHADOW column per historical name (current type —
+    // the parquet reader up-casts promoted files) and the projection
+    // coalesces current-then-shadows: each file stores exactly one of
+    // the names, the rest read null, and stored nulls stay null because
+    // the stored name's column serves them as stored.
+    val renamed: Seq[(String, Seq[String])] =
+      if (mapped) Nil
+      else schema.fields.toSeq
+        .filterNot(f => partCols.contains(f.name))
+        .map(f => f.name ->
+          graft.formats.iceberg.IcebergRenames.renamedFrom(f))
+        .filter(_._2.nonEmpty)
+    val renamedMap = renamed.toMap
+    val scanSnap =
+      if (mapped) {
+        val readSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.map { f =>
+            if (partCols.contains(f.name)) f
+            else f.copy(name = DeltaColumnMapping.physicalName(f),
+              dataType = DeltaColumnMapping.physicalType(f.dataType))
+          })
+        snap.copy(table = snap.table.copy(schemaJson = readSchema.json))
+      } else if (renamed.nonEmpty) {
+        val byName = schema.fields.map(f => f.name -> f).toMap
+        val shadowFields = renamed.flatMap { case (cur, olds) =>
+          olds.map(o => org.apache.spark.sql.types.StructField(
+            o, byName(cur).dataType, nullable = true))
+        }
+        snap.copy(table = snap.table.copy(schemaJson =
+          org.apache.spark.sql.types.StructType(
+            schema.fields.toSeq ++ shadowFields).json))
+      } else snap
     val index = new graft.plans.SnapshotFileIndex(cs, scanSnap)
     val relation = HadoopFsRelation(index, index.partitionSchema,
       index.dataSchema, None, scanFileFormat(scanSnap), Map.empty)(cs)
     val df = cs.baseRelationToDataFrame(relation)
     val masked = applyDeletionVectors(spark, scanSnap, df, keepKeys)
-    if (!mapped) masked
+    if (mapped)
+      masked.select(schema.fields.toSeq.map { f =>
+        if (partCols.contains(f.name)) col(f.name)
+        // positional struct cast renames nested physical fields back to
+        // their logical names at every level in one expression
+        else col(DeltaColumnMapping.physicalName(f)).cast(f.dataType).as(f.name)
+      } ++ (if (keepKeys) Seq(col("__scan_path"), col("__scan_pos"))
+            else Nil): _*)
+    else if (renamed.isEmpty) masked
     else masked.select(schema.fields.toSeq.map { f =>
-      if (partCols.contains(f.name)) col(f.name)
-      // positional struct cast renames nested physical fields back to
-      // their logical names at every level in one expression
-      else col(DeltaColumnMapping.physicalName(f)).cast(f.dataType).as(f.name)
+      renamedMap.get(f.name) match {
+        case Some(olds) =>
+          org.apache.spark.sql.functions
+            .coalesce((f.name +: olds).map(col): _*)
+            .as(f.name, f.metadata)
+        case None => col(f.name)
+      }
     } ++ (if (keepKeys) Seq(col("__scan_path"), col("__scan_pos"))
           else Nil): _*)
   }

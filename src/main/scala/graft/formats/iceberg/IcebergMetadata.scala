@@ -367,7 +367,7 @@ object IcebergMetadata {
     // can't distinguish absent-in-file from stored-null per row), and
     // binary/fixed/uuid defaults (the vectorized scan cannot fill binary
     // constants) — serving either would be a silent wrong answer.
-    val schema =
+    val schemaWithDefaults =
       if (fmtVersion < 3) rawSchema
       else {
         import org.apache.spark.sql.types._
@@ -405,6 +405,21 @@ object IcebergMetadata {
           }
         })
       }
+    // RENAME lineage (spec: renames keep the field id; data files keep
+    // the name they were written with): for every top-level field whose
+    // id carried a DIFFERENT name in any historical schema, annotate the
+    // old names under `graft.renamedFrom` — the scan (DeltaRead) reads
+    // those as shadow columns and coalesces per file, so pre-rename
+    // files keep serving. Shapes a name-resolved scan CANNOT serve
+    // refuse loudly here instead of nulling silently:
+    //  - NESTED renames (parquet resolves nested fields by name inside
+    //    the column; no per-file shadow is expressible),
+    //  - swap-style renames (an old name that is another CURRENT
+    //    column's name would pull that column's values),
+    //  - rename of a field carrying initial-default (the scan fill
+    //    cannot distinguish absent-column files from pre-rename files).
+    val schema = IcebergRenames.annotate(schemaWithDefaults,
+      curSchemaNode, otherSchemas, tablePath)
     // default partition spec: same rule via `default-spec-id`; v1 carries
     // a singular `partition-spec` (a bare fields array).
     val specNodes: Seq[JsonNode] =

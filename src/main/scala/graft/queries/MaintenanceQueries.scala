@@ -995,7 +995,7 @@ object MaintenanceQueries {
     */
   def sqlAlterSchema(s: SparkSession, dir: String): DataFrame = {
     val gs = graft.sql.GraftSql.session(s)
-    // iceberg leg: add, drop, rename-refusal
+    // iceberg leg: add, drop, rename (serves pre-rename files)
     val data = graft.util.TempDirs.create("graft_alter_data")
     s.read.parquet(s"$dir/nation.parquet").coalesce(2)
       .write.mode("overwrite").parquet(data)
@@ -1007,12 +1007,18 @@ object MaintenanceQueries {
     require(out.forall(_.status == "SUCCESS"), out.mkString(";"))
     gs.sql(s"GRAFT ALTER TABLE '$ice' ADD COLUMN flag int").collect()
     gs.sql(s"GRAFT ALTER TABLE '$ice' DROP COLUMN n_regionkey").collect()
+    // RENAME (r15): fieldId-keyed metadata commit; every data file
+    // predates it, so the oracle match below proves the shadow-coalesce
+    // serves pre-rename files' stored values under the NEW name
+    gs.sql(s"GRAFT ALTER TABLE '$ice' RENAME COLUMN n_name TO nm")
+      .collect()
+    // renaming BACK to a historical name still refuses (resurrection)
     val refused =
       try { gs.sql(
-        s"GRAFT ALTER TABLE '$ice' RENAME COLUMN n_name TO nm").collect()
+        s"GRAFT ALTER TABLE '$ice' RENAME COLUMN nm TO n_name").collect()
         false }
       catch { case _: IllegalArgumentException => true }
-    require(refused, "iceberg RENAME must refuse")
+    require(refused, "rename to a historical name must refuse")
 
     // delta leg: ADD then append a row carrying the new column
     val dt = syncTable(s, s"$dir/nation.parquet", "nation", 2,
@@ -1028,7 +1034,7 @@ object MaintenanceQueries {
     require(noted == 1, s"post-ALTER append served $noted noted rows")
 
     s.read.format("graft").load(ice)
-      .select(col("n_nationkey"), col("n_name"),
+      .select(col("n_nationkey"), col("nm").as("n_name"),
         coalesce(col("flag"), lit(0)).as("flag"))
       .orderBy("n_nationkey")
   }

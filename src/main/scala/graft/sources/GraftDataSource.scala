@@ -483,6 +483,26 @@ class GraftDataSource extends RelationProvider
             "files 1:1 and would return deleted rows — read via " +
             "DeltaConversionSource.toDataFrame, which masks DV positions")
     }
+    // RENAMED Iceberg columns (graft.renamedFrom): pre-rename files
+    // spell the column under its old name, which only the DataFrame
+    // path's per-file shadow-coalesce (DeltaRead) can serve — a 1:1
+    // file relation would silently null them. Routed through that path
+    // wrapped as a TableScan relation (the CDF relation's pattern);
+    // renames are metadata-plane-rare, so the lost scan pushdown is
+    // confined to renamed tables.
+    if (snap.table.schema.fields.exists(_.metadata.contains(
+        graft.formats.iceberg.IcebergRenames.RenamedFromKey))) {
+      val df = graft.formats.delta.DeltaRead.toDataFrame(spark, snap)
+      return new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: org.apache.spark.sql.SQLContext =
+          spark.sqlContext
+        override def schema: org.apache.spark.sql.types.StructType =
+          df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] = df.rdd
+      }
+    }
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index = new SnapshotFileIndex(cs, snap)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema,

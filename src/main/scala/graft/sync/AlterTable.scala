@@ -18,11 +18,13 @@ import graft.util.{HadoopConfs, Jsons}
   *    Iceberg additionally refuses re-adding a name present in ANY
   *    historical schema (name-resolved reads would resurrect the old
   *    values for old files; Iceberg proper avoids this with field ids).
-  *  - RENAME COLUMN: Delta WITH column mapping only (physical names in
-  *    the files never change; the read path's logical-rename pass —
-  *    DeltaColumnMapping — keeps old files correct). Unmapped Delta,
-  *    Iceberg, Hudi, Paimon refuse: their reads resolve by name and a
-  *    rename would null the column on every pre-rename file.
+  *  - RENAME COLUMN: Delta WITH column mapping (physical names in the
+  *    files never change; the read path's logical-rename pass —
+  *    DeltaColumnMapping — keeps old files correct) and Iceberg (the
+  *    rename is fieldId-keyed; the read path's shadow-coalesce —
+  *    IcebergRenames — serves pre-rename files under the new name).
+  *    Unmapped Delta, Hudi, Paimon refuse: their reads resolve by name
+  *    and a rename would null the column on every pre-rename file.
   *  - DROP COLUMN: Delta with column mapping, and Iceberg (a dropped
   *    column is simply no longer projected; old files' extra column is
   *    ignored). Unmapped Delta refuses (delta-spark's own rule — a later
@@ -210,14 +212,34 @@ object AlterTable {
         }
         StructType(cur.fields :+ added)
       case RenameColumn(from, to) =>
-        require(fmt == "delta" && mapped, renameRefusal(fmt, mapped))
+        require((fmt == "delta" && mapped) || fmt == "iceberg",
+          renameRefusal(fmt, mapped))
         val f = field(cur, from)
         require(!partCols.contains(from),
           s"'$from' is a partition column — renaming it would orphan " +
             "the table layout")
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
           s"column '$to' already exists")
-        // the physicalName metadata rides along: files stay correct
+        if (fmt == "iceberg") {
+          // the rename is fieldId-keyed (IcebergSchemas.evolveWithOps
+          // emits the rename op; the read side's shadow-coalesce serves
+          // pre-rename files — IcebergRenames). Refused shapes mirror
+          // the read guards so the DDL can never commit an unservable
+          // table:
+          require(!snap.table.partitionFields.exists(_.sourceField == f.name),
+            s"'$from' is a partition-spec source field — the spec " +
+              "resolves it by name; renaming it would orphan the spec")
+          require(!f.metadata.contains("EXISTS_DEFAULT"),
+            s"'$from' carries an initial-default — the existence fill " +
+              "lands on the current name, so pre-rename files would " +
+              "read the default instead of stored values; unservable")
+          // a target name that EVER existed would pull the old column's
+          // values into pre-rename files on name-resolved reads
+          requireNeverNamedBefore(spark, path, to)
+        }
+        // delta: the physicalName metadata rides along, files stay
+        // correct; iceberg: the graft.fieldId metadata rides along, the
+        // sync emits a rename op for the same id
         StructType(cur.fields.map(x =>
           if (x.name == f.name) x.copy(name = to) else x))
       case AlterColumnType(name, ddl) =>
@@ -462,9 +484,10 @@ object AlterTable {
         "unmapped table every existing file resolves columns by name " +
         "and the renamed column would read as null"
     else
-      s"RENAME COLUMN is not supported on $fmt tables: graft resolves " +
-        "parquet columns by name (adopted files carry no field ids), " +
-        "so a rename would null the column on every pre-rename file"
+      s"RENAME COLUMN is not supported on $fmt tables: the schema " +
+        "plane has no field-id or physical-name indirection, so a " +
+        "rename would null the column on every pre-rename file " +
+        "(Delta with column mapping and Iceberg support it)"
 
   private def dropRefusal(fmt: String, mapped: Boolean): String =
     if (fmt == "delta" && !mapped)

@@ -140,10 +140,61 @@ class AlterTableSpec extends SparkSuite {
       AlterTable.run(spark, t, AddColumn("flag", "int"))
     }
     assert(e.getMessage.contains("resurrect"))
-    val e2 = intercept[IllegalArgumentException] {
-      AlterTable.run(spark, t, RenameColumn("name", "title"))
+  }
+
+  test("iceberg RENAME COLUMN: fieldId-keyed, pre-rename files serve " +
+    "under the new name, mixed populations coalesce, time travel works") {
+    import graft.formats.iceberg.{IcebergMetadata, IcebergSchemas}
+    val t = viaSync("alter_ice_ren", "iceberg")
+    val idBefore = {
+      val m = IcebergMetadata.read(t, IcebergMetadata.currentVersion(t).get)
+      IcebergSchemas.fieldId(m.schema("name"))
     }
-    assert(e2.getMessage.contains("RENAME COLUMN is not supported"))
+    val r = AlterTable.run(spark, t, RenameColumn("name", "title"))
+    assert(r.format == "iceberg" &&
+      r.schema.fieldNames.toSeq == Seq("id", "title"))
+
+    val m = IcebergMetadata.read(t, IcebergMetadata.currentVersion(t).get)
+    // the rename kept the field id (spec §Schema Evolution) and archived
+    // the pre-rename schema
+    assert(IcebergSchemas.fieldId(m.schema("title")) == idBefore)
+    assert(m.otherSchemas.exists(_.contains("\"name\":\"name\"")),
+      m.otherSchemas.mkString(";"))
+
+    // ALL files predate the rename: every stored value serves under the
+    // new name (a name-resolved scan without the shadow pass nulls them)
+    val src = new graft.formats.iceberg.IcebergConversionSource(
+      spark, t, "t")
+    val df = src.toDataFrame
+    assert(df.columns.toSeq == Seq("id", "title"))
+    assert(df.filter(col("title").isNull).count() == 0)
+    assert(df.filter(col("title") === "v3").count() == 1)
+
+    // guards: renaming BACK to a historical name would resurrect old
+    // files' values; re-ADDing the old name likewise
+    val eBack = intercept[IllegalArgumentException] {
+      AlterTable.run(spark, t, RenameColumn("title", "name"))
+    }
+    assert(eBack.getMessage.contains("existed in schema version"),
+      eBack.getMessage)
+    val eReadd = intercept[IllegalArgumentException] {
+      AlterTable.run(spark, t, AddColumn("name", "string"))
+    }
+    assert(eReadd.getMessage.contains("resurrect"), eReadd.getMessage)
+
+    // MIXED populations: UPDATE rewrites the touched file under the
+    // CURRENT (renamed) schema while untouched files keep the old name
+    val updated = graft.formats.iceberg.IcebergDeletes.updateWhere(
+      spark, t, col("id") === 3L, Map("title" -> lit("renamed!")))
+    assert(updated == 1L)
+    val after = new graft.formats.iceberg.IcebergConversionSource(
+      spark, t, "t").toDataFrame
+    assert(after.filter(col("title") === "renamed!").count() == 1)
+    assert(after.filter(col("title").isNull).count() == 0)
+    assert(after.count() == 20)
+
+    // time travel to the pre-rename sequence serves all rows
+    assert(src.toDataFrameAt(1L).count() == 20)
   }
 
   test("hudi + paimon: ADD COLUMN lands in the schema plane; " +

@@ -240,4 +240,83 @@ class IcebergSpecEvolutionSpec extends SparkSuite {
     val src = new IcebergConversionSource(spark, table, "docs")
     assert(src.toDataFrame.count() == all.map(_.recordCount).sum)
   }
+
+  test("rename lineage guards: swap, nested, and default-combo shapes " +
+    "refuse; plain renames annotate shadows") {
+    import graft.formats.iceberg.{IcebergRenames, IcebergSchemas}
+    import graft.util.Jsons
+    def node(json: String) = Jsons.mapper.readTree(json)
+    def schemaJson(fields: String) =
+      s"""{"type":"struct","schema-id":1,"fields":[$fields]}"""
+
+    // plain rename: id 2 was 'name', now 'title' -> shadow annotated
+    val cur = schemaJson(
+      """{"id":1,"name":"id","required":true,"type":"long"},
+        |{"id":2,"name":"title","required":false,"type":"string"}"""
+        .stripMargin)
+    val hist = schemaJson(
+      """{"id":1,"name":"id","required":true,"type":"long"},
+        |{"id":2,"name":"name","required":false,"type":"string"}"""
+        .stripMargin).replace("\"schema-id\":1", "\"schema-id\":0")
+    val annotated = IcebergRenames.annotate(
+      IcebergSchemas.fromIcebergJson(cur), node(cur), Seq(hist), "/t")
+    assert(IcebergRenames.renamedFrom(annotated("title")) == Seq("name"))
+    assert(IcebergRenames.renamedFrom(annotated("id")).isEmpty)
+
+    // SWAP: id 1 was 'a' (now 'b'), id 2 was 'b' (now 'a') — an old
+    // name that is another live column must refuse
+    val curSwap = schemaJson(
+      """{"id":1,"name":"b","required":false,"type":"long"},
+        |{"id":2,"name":"a","required":false,"type":"long"}"""
+        .stripMargin)
+    val histSwap = schemaJson(
+      """{"id":1,"name":"a","required":false,"type":"long"},
+        |{"id":2,"name":"b","required":false,"type":"long"}"""
+        .stripMargin).replace("\"schema-id\":1", "\"schema-id\":0")
+    val eSwap = intercept[UnsupportedOperationException] {
+      IcebergRenames.annotate(IcebergSchemas.fromIcebergJson(curSwap),
+        node(curSwap), Seq(histSwap), "/t")
+    }
+    assert(eSwap.getMessage.contains("ANOTHER live column"),
+      eSwap.getMessage)
+
+    // NESTED rename: a struct member's name changed for the same id
+    val curNested = schemaJson(
+      """{"id":1,"name":"s","required":false,"type":{"type":"struct",
+        |"fields":[{"id":2,"name":"y","required":false,"type":"int"}]}}"""
+        .stripMargin)
+    val histNested = schemaJson(
+      """{"id":1,"name":"s","required":false,"type":{"type":"struct",
+        |"fields":[{"id":2,"name":"x","required":false,"type":"int"}]}}"""
+        .stripMargin).replace("\"schema-id\":1", "\"schema-id\":0")
+    val eNested = intercept[UnsupportedOperationException] {
+      IcebergRenames.annotate(IcebergSchemas.fromIcebergJson(curNested),
+        node(curNested), Seq(histNested), "/t")
+    }
+    assert(eNested.getMessage.contains("NESTED"), eNested.getMessage)
+
+    // renamed field carrying an initial-default: the existence fill
+    // would mask pre-rename files' stored values
+    val withDefault = {
+      val base = IcebergSchemas.fromIcebergJson(cur)
+      org.apache.spark.sql.types.StructType(base.fields.map(f =>
+        if (f.name != "title") f
+        else f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", "'x'").build())))
+    }
+    val eDef = intercept[UnsupportedOperationException] {
+      IcebergRenames.annotate(withDefault, node(cur), Seq(hist), "/t")
+    }
+    assert(eDef.getMessage.contains("initial-default"), eDef.getMessage)
+
+    // case-only renames need no shadow (Spark parquet resolution is
+    // case-insensitive)
+    val histCase = cur.replace("\"title\"", "\"TITLE\"")
+      .replace("\"schema-id\":1", "\"schema-id\":0")
+    val annCase = IcebergRenames.annotate(
+      IcebergSchemas.fromIcebergJson(cur), node(cur), Seq(histCase), "/t")
+    assert(IcebergRenames.renamedFrom(annCase("title")).isEmpty)
+  }
 }
