@@ -361,7 +361,13 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
       (instants.isEmpty || commit <= instants.last) &&
       // a CLEAN whose horizon is newer than the resume point has deleted
       // files the backlog replay would reference — fall back to full sync
-      HudiTimeline.cleanHorizons(tablePath).forall(_ <= commit)
+      HudiTimeline.cleanHorizons(tablePath).forall(_ <= commit) &&
+      // a ROLLBACK that retracted an instant at or before the resume
+      // point means already-synced state was withdrawn — incremental
+      // replay cannot express that; fall back to full sync. Rollbacks of
+      // LATER (failed) instants are safe: their data never reached the
+      // backlog (only completed instants list).
+      HudiTimeline.rollbackTargets(tablePath).forall(_ > commit)
 
   /** Read the table's rows. `read_optimized` serves the base files; the
     * `snapshot` (real-time) view MERGES unabsorbed log records over the

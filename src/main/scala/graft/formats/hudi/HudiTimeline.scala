@@ -286,6 +286,61 @@ object HudiTimeline {
     }.sorted
   }
 
+  private val RollbackV1Name = "([0-9]+)_([0-9]+)\\.rollback".r
+  private val RollbackLegacyName = "([^.]+)\\.rollback".r
+
+  /** Instants retracted by completed ROLLBACK instants under either
+    * layout: HoodieRollbackMetadata's `commitsRollback` (decoded by name
+    * from the avro container a real writer emits, or a JSON body with
+    * the same field). A rollback is not a data commit — reads ignore it
+    * (listInstants filters by action) — but a rolled-back instant AT OR
+    * BEFORE a sync's resume point means state that sync may already have
+    * shipped was retracted, so incremental replay must fall back to
+    * full. An unparseable body reports instant "0" (rolled-back-
+    * everything): conservative, forces the full resync, never
+    * unsafe-open.
+    */
+  def rollbackTargets(tablePath: String): Seq[String] = {
+    val active = activeTimelineDir(tablePath)
+    if (!Files.exists(active)) return Nil
+    val files = Files.list(active).iterator().asScala
+      .map(p => (p, p.getFileName.toString))
+      .flatMap {
+        case (p, RollbackV1Name(req, _)) => Some((p, req))
+        case (p, RollbackLegacyName(req)) => Some((p, req))
+        case _ => None
+      }.toSeq
+    files.flatMap { case (p, _) =>
+      val targets: Option[Seq[String]] =
+        try {
+          val bytes = Files.readAllBytes(p)
+          if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'b' &&
+              bytes(2) == 'j') {
+            val reader = new org.apache.avro.file.DataFileReader(
+              new org.apache.avro.file.SeekableByteArrayInput(bytes),
+              new org.apache.avro.generic.GenericDatumReader[
+                org.apache.avro.generic.GenericRecord]())
+            try {
+              if (!reader.hasNext) None
+              else {
+                val rec = reader.next()
+                Option(rec.getSchema.getField("commitsRollback"))
+                  .flatMap(f => Option(rec.get(f.pos())))
+                  .map {
+                    case l: java.util.List[_] =>
+                      l.asScala.map(_.toString).toSeq
+                    case other => Seq(other.toString)
+                  }
+              }
+            } finally reader.close()
+          } else Option(graft.util.Jsons.mapper.readTree(bytes)
+            .get("commitsRollback"))
+            .map(_.elements().asScala.map(_.asText).toSeq)
+        } catch { case _: Exception => None }
+      targets.filter(_.nonEmpty).getOrElse(Seq("0"))
+    }.sorted
+  }
+
   private def commitPath(tablePath: String, instant: String, action: String)
       : java.nio.file.Path =
     JPaths.get(hoodieDir(tablePath), s"$instant.$action")

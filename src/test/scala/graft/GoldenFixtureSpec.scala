@@ -207,6 +207,25 @@ class GoldenFixtureSpec extends SparkSuite {
     // pending — same guard as 0.x MOR
     intercept[UnsupportedOperationException](rt.currentSnapshot())
 
+    // c5/c6 (r15): a FAILED deltacommit whose partial base file landed
+    // on disk, retracted by a 1.x-named completed ROLLBACK instant
+    // (HoodieRollbackMetadata avro container, whose failedDeleteFiles
+    // still lists the orphan). The rollback is NOT a data commit —
+    // listInstants (asserted above) excludes it — and the orphan file
+    // must never serve: reads are driven by COMPLETED commit metadata,
+    // not the directory listing.
+    assert(HudiTimeline.rollbackTargets(dir) == Seq("20240301160000001"))
+    assert(new java.io.File(dir).listFiles().exists(
+      _.getName.contains("eeee5555")), "fixture must hold the orphan")
+    assert(!df.columns.isEmpty && df.filter(
+      col("trip_id") >= 900).count() == 0,
+      "rolled-back partial file leaked into the read")
+    assert(merged.filter(col("trip_id") >= 900).count() == 0)
+    // incremental sync resuming at/after the head instant stays SAFE:
+    // the rollback's target (a failed later instant) never reached any
+    // backlog; the clean/rollback horizons agree
+    assert(src.isIncrementalSyncSafeFrom("20240301150000001"))
+
     // graft's write dialect is 0.x (same pin as the reference): authoring
     // timeline files into a 1.x table must refuse, not fork the timeline
     intercept[UnsupportedOperationException] {

@@ -397,4 +397,47 @@ class HudiMorSpec extends SparkSuite {
       spark, t, "nation", "snapshot").toDataFrame.count() == nation.count())
     locally { val _ = spark.implicits }
   }
+
+  test("rollback instants: not data commits; a retracted synced instant " +
+    "forces full resync; unparseable bodies are conservative") {
+    val dir = morTable()
+    HudiLogFiles.upsert(spark, dir,
+      spark.read.parquet(sf("sf0.001/nation.parquet"))
+        .filter(col("n_nationkey") < 3)
+        .withColumn("n_regionkey", col("n_regionkey") + 50),
+      Seq("n_nationkey"))
+    val instants = HudiTimeline.listInstants(dir)
+    assert(instants.size == 2)
+    val Seq(i1, i2) = instants
+    val src0 = new HudiConversionSource(spark, dir, "nation")
+    assert(src0.isIncrementalSyncSafeFrom(i1))
+    val rowsBefore = src0.toDataFrame.count()
+
+    // an EXTERNAL writer's rollback (legacy-layout name, JSON body with
+    // the avro metadata's field): retracts the upsert instant i2
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".hoodie", "900.rollback"),
+      s"""{"commitsRollback":["$i2"]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(HudiTimeline.rollbackTargets(dir) == Seq(i2))
+    // not a commit: the timeline and the served rows are unchanged
+    assert(HudiTimeline.listInstants(dir) == instants)
+    assert(new HudiConversionSource(spark, dir, "nation")
+      .toDataFrame.count() == rowsBefore)
+    // a sync that resumed BEFORE the retracted instant never shipped it
+    // -> safe; resuming AT or AFTER it means shipped state was
+    // retracted -> full resync
+    val src = new HudiConversionSource(spark, dir, "nation")
+    assert(src.isIncrementalSyncSafeFrom(i1))
+    assert(!src.isIncrementalSyncSafeFrom(i2))
+
+    // an unparseable rollback body must be conservative (full resync
+    // from anywhere), never unsafe-open
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".hoodie", "901.rollback"),
+      "not json".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val src2 = new HudiConversionSource(spark, dir, "nation")
+    assert(!src2.isIncrementalSyncSafeFrom(i1))
+    assert(!src2.isIncrementalSyncSafeFrom(i2))
+  }
 }

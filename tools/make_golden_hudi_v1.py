@@ -233,6 +233,8 @@ C1, C1_DONE = "20240301120000001", "20240301120000555"
 C2, C2_DONE = "20240301130000001", "20240301130000444"
 C3, C3_DONE = "20240301140000001", "20240301140000333"
 C4, C4_DONE = "20240301150000001", "20240301150000222"
+C5 = "20240301160000001"                      # FAILED deltacommit
+C6, C6_DONE = "20240301170000001", "20240301170000111"  # its rollback
 
 
 # ------------------------------------------------- hoodie log format ---
@@ -302,6 +304,38 @@ def write_stat(file_id, name, rows, size, prev):
         "totalRollbackBlocks": 0,
         "fileSizeInBytes": size,
     }
+
+
+ROLLBACK_METADATA = {
+    "type": "record", "name": "HoodieRollbackMetadata",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [
+        {"name": "startRollbackTime", "type": "string"},
+        {"name": "timeTakenInMillis", "type": "long"},
+        {"name": "totalFilesDeleted", "type": "int"},
+        {"name": "commitsRollback",
+         "type": {"type": "array", "items": "string"}},
+        {"name": "partitionMetadata", "type": {
+            "type": "map", "values": {
+                "type": "record",
+                "name": "HoodieRollbackPartitionMetadata",
+                "fields": [
+                    {"name": "partitionPath", "type": "string"},
+                    {"name": "successDeleteFiles",
+                     "type": {"type": "array", "items": "string"}},
+                    {"name": "failedDeleteFiles",
+                     "type": {"type": "array", "items": "string"}},
+                ]}}},
+        {"name": "version", "type": ["int", "null"], "default": 1},
+        {"name": "instantsRollback", "type": {
+            "type": "array", "items": {
+                "type": "record", "name": "HoodieInstantInfo",
+                "fields": [
+                    {"name": "commitTime", "type": "string"},
+                    {"name": "action", "type": "string"},
+                ]}}, "default": []},
+    ],
+}
 
 
 def main(table_dir: str) -> None:
@@ -455,6 +489,37 @@ def main(table_dir: str) -> None:
             "compacted": False,
         }],
         b"hudi1timelinesyn")
+
+    # c5: a FAILED deltacommit — requested + inflight only, never
+    # completed, but its partial base file LANDED on disk (the crash
+    # window rollback exists for). c6: the completed ROLLBACK instant
+    # retracting c5, 1.x-named, HoodieRollbackMetadata avro body whose
+    # failedDeleteFiles still lists the orphan — a reader driven by
+    # completed commit metadata must never serve that file.
+    e_name, e_size = data_file(
+        "eeee5555-0000-4000-8000-000000000005-0", C5, "0-40-400",
+        list(range(900, 910)))
+    touch(f"{C5}.deltacommit.requested")
+    touch(f"{C5}.deltacommit.inflight")
+    write_ocf(
+        os.path.join(tl, f"{C6}_{C6_DONE}.rollback"), ROLLBACK_METADATA,
+        [{
+            "startRollbackTime": C6,
+            "timeTakenInMillis": 42,
+            "totalFilesDeleted": 0,
+            "commitsRollback": [C5],
+            "partitionMetadata": {"": {
+                "partitionPath": "",
+                "successDeleteFiles": [],
+                "failedDeleteFiles": [e_name],
+            }},
+            "version": 1,
+            "instantsRollback": [
+                {"commitTime": C5, "action": "deltacommit"}],
+        }],
+        b"hudi1timelinesyn")
+    touch(f"{C6}.rollback.requested")
+    touch(f"{C6}.rollback.inflight")
 
     with open(os.path.join(table_dir, ".hoodie_partition_metadata"),
               "w") as f:
