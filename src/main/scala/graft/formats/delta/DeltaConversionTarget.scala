@@ -122,9 +122,20 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
 
     val schemaJson = schema.json
     val tp = tablePath
+    // row tracking (PROTOCOL.md §Row Tracking): adds on a supported
+    // table carry fresh baseRowId ranges + this commit's version, and
+    // the same commit advances the high-water-mark domain action.
+    // Executors emit "count\tjson"; the driver stamps in its single
+    // streaming pass.
+    val rowTracking = DeltaRowTracking.isSupported(spark, tablePath, versions)
+    val rtBase =
+      if (rowTracking)
+        DeltaRowTracking.highWaterMark(spark, tablePath, versions) + 1
+      else 0L
     val addLines = pendingAdds.map { ds =>
       import ds.sparkSession.implicits._
-      ds.mapPartitions { it =>
+      val rt = rowTracking
+      val raw = ds.mapPartitions { it =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         it.map { f =>
           // Delta's format action admits parquet only (PROTOCOL.md
@@ -135,7 +146,7 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
             throw new UnsupportedOperationException(
               s"Delta data files must be parquet; ${f.path} is " +
                 s"${f.fileFormat} — sync this source to Iceberg instead")
-          Jsons.toJson(Map("add" -> Map(
+          val line = Jsons.toJson(Map("add" -> Map(
             // PROTOCOL.md: action paths are URL-encoded URIs
             "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
             "partitionValues" -> f.partitionValues
@@ -144,10 +155,14 @@ class DeltaConversionTarget(spark: SparkSession, tablePath: String)
             "modificationTime" -> f.lastModifiedMillis,
             "dataChange" -> true,
             "stats" -> DeltaStats.toJson(sch, f.recordCount, f.columnStats))))
+          if (rt) s"${f.recordCount}\t$line" else line
         }
       }
-    }.map(graft.util.StreamedLines.iterate(_))
-      .getOrElse(Iterator.empty)
+      if (rowTracking)
+        DeltaRowTracking.stampFreshIds(
+          DeltaRowTracking.countedLines(raw), rtBase, version)
+      else graft.util.StreamedLines.iterate(raw)
+    }.getOrElse(Iterator.empty)
 
     val now = System.currentTimeMillis()
     val removeLines = pendingRemoves.map { ds =>

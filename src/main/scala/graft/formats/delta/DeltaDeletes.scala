@@ -101,9 +101,13 @@ object DeltaDeletes {
     require(unknown.isEmpty, s"unknown update columns: $unknown")
     val cdf = cdfEnabled(src)
     requireCdcWritable(snap, cdf, "updateWhere")
+    // row tracking: matched rows KEEP their ids (an update is the same
+    // row at a new version) — served ids ride along the scan and land in
+    // the replacement files' materialized row-id column
+    val rt = rowTrackingCtx(spark, tablePath, snap, src)
     // one table scan: the matched rows feed the DV mask, the rewritten
     // data files, AND the CDC pre/post images (O(updated rows) persist)
-    val matched = DeltaRead.toKeyedDataFrame(spark, snap).filter(predicate)
+    val matched = keyedScanWithIds(spark, snap, rt).filter(predicate)
       .persist()
     try {
       val hits = matched.select(col("__scan_path"), col("__scan_pos"))
@@ -113,18 +117,23 @@ object DeltaDeletes {
         case Some(plan) =>
           val rewritten = matched.select(schema.fieldNames.toSeq.map { f =>
             assignments.get(f).map(_.as(f)).getOrElse(col(f))
-          }: _*)
-          DeltaConstraints.enforce(rewritten, src.currentMeta(), "UPDATE")
-          val newAdds = writeDataFiles(spark, snap, rewritten, "update")
+          } ++ rt.map(c => col(PreservedIdCol).as(c.ridCol)).toSeq: _*)
+          DeltaConstraints.enforce(
+            rewritten.select(schema.fieldNames.toSeq.map(col): _*),
+            src.currentMeta(), "UPDATE")
+          val newAdds = stampedDataFiles(spark, snap, rewritten, "update",
+            rt, tablePath)
           val cdc =
             if (!cdf) Iterator.empty
             else writeCdcFiles(spark, snap, matched
-              .drop("__scan_path", "__scan_pos")
+              .select(schema.fieldNames.toSeq.map(col): _*)
               .withColumn("_change_type", lit("update_preimage"))
               .unionByName(rewritten
+                .select(schema.fieldNames.toSeq.map(col): _*)
                 .withColumn("_change_type", lit("update_postimage"))),
               "update")
-          commit(spark, tablePath, plan, "UPDATE", newAdds ++ cdc,
+          commit(spark, tablePath, plan, "UPDATE",
+            rt.iterator.flatMap(c => c.metaLine.iterator) ++ newAdds ++ cdc,
             Some(DeltaConflicts.footprintOf(spark, snap.table.schema,
               predicate)))
           plan.nDeleted
@@ -177,8 +186,9 @@ object DeltaDeletes {
       // DV mask, the CDC pre-images, and the matched/fresh source split.
       val cdf = cdfEnabled(src)
       requireCdcWritable(snap, cdf, "mergeInto")
+      val rt = rowTrackingCtx(spark, tablePath, snap, src)
       val srcKeys = srcProj.select(keyCols.map(col): _*)
-      val matched = DeltaRead.toKeyedDataFrame(spark, snap)
+      val matched = keyedScanWithIds(spark, snap, rt)
         .join(srcKeys, keyCols, "left_semi")
         .persist()
       try {
@@ -187,7 +197,20 @@ object DeltaDeletes {
         val plan = planMask(spark, snap, hits)
           .getOrElse(DeletePlan(snap, emptyMasked(spark), 0L))
         DeltaConstraints.enforce(srcProj, src.currentMeta(), "MERGE")
-        val newAdds = writeDataFiles(spark, snap, srcProj, "merge")
+        // row tracking: a source row whose key matched a live target row
+        // IS that row (id preserved via the materialized column); fresh
+        // inserts leave it null and draw baseRowId + position defaults
+        val outRows = rt match {
+          case None => srcProj
+          case Some(c) =>
+            val ids = matched.select(keyCols.map(col) :+
+              col(PreservedIdCol): _*)
+            srcProj.join(ids, keyCols, "left")
+              .select(schema.fieldNames.toSeq.map(col) :+
+                col(PreservedIdCol).as(c.ridCol): _*)
+        }
+        val newAdds = stampedDataFiles(spark, snap, outRows, "merge",
+          rt, tablePath)
         // CDC rows classify the source by whether its key hit a live
         // target row: matched → update pre/post pair, fresh → insert
         val cdc =
@@ -195,14 +218,15 @@ object DeltaDeletes {
           else {
             val matchedKeys = matched.select(keyCols.map(col): _*)
             writeCdcFiles(spark, snap, matched
-              .drop("__scan_path", "__scan_pos")
+              .select(schema.fieldNames.toSeq.map(col): _*)
               .withColumn("_change_type", lit("update_preimage"))
               .unionByName(srcProj.join(matchedKeys, keyCols, "left_semi")
                 .withColumn("_change_type", lit("update_postimage")))
               .unionByName(srcProj.join(matchedKeys, keyCols, "left_anti")
                 .withColumn("_change_type", lit("insert"))), "merge")
           }
-        commit(spark, tablePath, plan, "MERGE", newAdds ++ cdc)
+        commit(spark, tablePath, plan, "MERGE",
+          rt.iterator.flatMap(c => c.metaLine.iterator) ++ newAdds ++ cdc)
         (plan.nDeleted, srcCount - plan.nDeleted)
       } finally matched.unpersist()
     } finally srcProj.unpersist()
@@ -213,6 +237,101 @@ object DeltaDeletes {
     import spark.implicits._
     spark.emptyDataset[(FileEntry, DvDescriptor)]
   }
+
+  /** Row-tracking context of one DML/rewrite operation (None when the
+    * table does not carry the writer feature): the materialized column
+    * names (generated — and carried as a metaData action line — when the
+    * table has none yet), whether files may already hold them, the
+    * current high-water mark, and the planning-time version list.
+    */
+  private[delta] case class RowTrackingCtx(tablePath: String,
+      ridCol: String, rcvCol: String, haveMaterialized: Boolean,
+      metaLine: Option[String], highWaterMark: Long, versions: Seq[Long])
+
+  /** Served-id column names rewrites thread through the scan. */
+  private[delta] val PreservedIdCol = "__rt_preserved_id"
+  private[delta] val PreservedVerCol = "__rt_preserved_ver"
+
+  private[delta] def rowTrackingCtx(spark: SparkSession, tablePath: String,
+      snap: graft.model.TableSnapshot, src: DeltaConversionSource)
+      : Option[RowTrackingCtx] = {
+    val versions =
+      DeltaLog.listVersions(tablePath, HadoopConfs.session(spark))
+        .filter(_ <= snap.commitId.toLong)
+    if (!DeltaRowTracking.isSupported(spark, tablePath, versions))
+      return None
+    val meta = src.currentMeta()
+    val (rid, rcv, missing) =
+      DeltaRowTracking.materializedCols(meta.configuration)
+    val metaLine =
+      if (missing.isEmpty) None
+      else Some(Jsons.toJson(Map("metaData" -> Map(
+        "id" -> meta.id,
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> meta.schemaString,
+        "partitionColumns" -> meta.partitionColumns,
+        "configuration" -> (meta.configuration ++ missing),
+        "createdTime" -> meta.createdTime))))
+    Some(RowTrackingCtx(tablePath, rid, rcv, missing.isEmpty, metaLine,
+      DeltaRowTracking.highWaterMark(spark, tablePath, versions), versions))
+  }
+
+  /** The keyed scan, plus — under row tracking — each row's SERVED id
+    * and commit version (`coalesce(materialized, default)`, the
+    * protocol's read rule) as [[PreservedIdCol]]/[[PreservedVerCol]].
+    * The per-file defaults join broadcasts under the same byte gate the
+    * lineage reads use.
+    */
+  private[delta] def keyedScanWithIds(spark: SparkSession,
+      snap: graft.model.TableSnapshot, rt: Option[RowTrackingCtx])
+      : DataFrame = rt match {
+    case None => DeltaRead.toKeyedDataFrame(spark, snap)
+    case Some(c) =>
+      val scanSnap =
+        if (!c.haveMaterialized) snap
+        else snap.copy(table = snap.table.copy(schemaJson =
+          org.apache.spark.sql.types.StructType(
+            snap.table.schema.fields ++ Seq(
+              org.apache.spark.sql.types.StructField(c.ridCol,
+                org.apache.spark.sql.types.LongType, nullable = true),
+              org.apache.spark.sql.types.StructField(c.rcvCol,
+                org.apache.spark.sql.types.LongType, nullable = true)))
+            .json))
+      val keyed = DeltaRead.toKeyedDataFrame(spark, scanSnap)
+      val info = DeltaRowTracking.liveRowInfo(spark, c.tablePath,
+        c.versions)
+      val nFiles = graft.plans.SnapshotFileIndex.listingFor(snap).count()
+      val right =
+        if (nFiles * 150L <= 64L * 1024 * 1024) broadcast(info) else info
+      def mat(name: String): Column =
+        if (c.haveMaterialized) col(name) else lit(null).cast("bigint")
+      keyed.join(right, col("__scan_path") === col("__rt_path"), "left")
+        .withColumn(PreservedIdCol,
+          coalesce(mat(c.ridCol), col("__rt_base") + col("__scan_pos")))
+        .withColumn(PreservedVerCol,
+          coalesce(mat(c.rcvCol), col("__rt_dcv")))
+        .drop("__rt_path", "__rt_base", "__rt_dcv")
+        .drop(c.ridCol, c.rcvCol)
+  }
+
+  /** [[writeDataFiles]] plus row-tracking stamping: fresh baseRowId
+    * ranges from the high-water mark, this commit's version, and the
+    * advanced domain-metadata line after the adds.
+    */
+  private[delta] def stampedDataFiles(spark: SparkSession,
+      snap: graft.model.TableSnapshot, rows: DataFrame, prefix: String,
+      rt: Option[RowTrackingCtx], tablePath: String): Iterator[String] =
+    rt match {
+      case None => writeDataFiles(spark, snap, rows, prefix)
+      case Some(c) =>
+        val counted = writeDataFiles(spark, snap, rows, prefix,
+          counted = true).map { sline =>
+          val cut = sline.indexOf('\t')
+          (sline.substring(cut + 1), sline.substring(0, cut).toLong)
+        }
+        DeltaRowTracking.stampFreshIds(counted, c.highWaterMark + 1,
+          snap.commitId.toLong + 1)
+    }
 
   /** Replacement-file writes route rows by the physical partition layout:
     * identity transforms ARE the data column, and generated transforms
@@ -257,7 +376,7 @@ object DeltaDeletes {
     */
   private def writeDataFiles(spark: SparkSession,
       snap: graft.model.TableSnapshot, df: DataFrame,
-      prefix: String): Iterator[String] = {
+      prefix: String, counted: Boolean = false): Iterator[String] = {
     import spark.implicits._
     val tp = snap.table.basePath
     val schema = snap.table.schema
@@ -299,12 +418,13 @@ object DeltaDeletes {
     val schemaJson =
       if (mapped) DeltaColumnMapping.physicalSchema(schema).json
       else schema.json
+    val doCount = counted
     val adds = graft.sources.ParquetFooters
       .fileEntries(spark, dataDir, listed)
       .mapPartitions { it =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         it.map { fe =>
-          Jsons.toJson(Map("add" -> Map(
+          val line = Jsons.toJson(Map("add" -> Map(
             "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path)),
             "partitionValues" -> fe.partitionValues
               .map(p => p.field -> p.value).toMap,
@@ -312,6 +432,7 @@ object DeltaDeletes {
             "modificationTime" -> fe.lastModifiedMillis,
             "dataChange" -> true,
             "stats" -> DeltaStats.toJson(sch, fe.recordCount, fe.columnStats))))
+          if (doCount) s"${fe.recordCount}\t$line" else line
         }
       }
     graft.util.StreamedLines.iterate(adds)
@@ -511,6 +632,30 @@ object DeltaDeletes {
       "writerFeatures" -> writerF.distinct.sorted)
   }
 
+  /** WRITER-ONLY feature raise (rowTracking, domainMetadata, …): the
+    * writer side escalates to the features form, the reader side stays
+    * exactly as it was — adding a writer-only name to readerFeatures
+    * would make every real reader refuse the table for a feature that
+    * demands nothing of reads.
+    */
+  private[graft] def protocolWithWriterFeatures(spark: SparkSession,
+      tablePath: String, versions: Seq[Long],
+      features: Seq[String]): Map[String, Any] = {
+    val existing = DeltaSnapshot.protocolInfo(spark, tablePath, versions)
+      .getOrElse(DeltaSnapshot.ProtocolInfo(1, 2, Nil, Nil))
+    val writerF =
+      (if (existing.minWriterVersion >= 7) existing.writerFeatures
+       else legacyWriterFeatures(existing.minWriterVersion)) ++ features
+    Map(
+      "minReaderVersion" -> existing.minReaderVersion,
+      "minWriterVersion" -> math.max(existing.minWriterVersion, 7)) ++
+      (if (existing.minReaderVersion >= 3 &&
+          existing.readerFeatures.nonEmpty)
+        Map("readerFeatures" -> existing.readerFeatures.distinct.sorted)
+       else Map.empty) +
+      ("writerFeatures" -> writerF.distinct.sorted)
+  }
+
   private def mergedProtocol(spark: SparkSession, tablePath: String,
       versions: Seq[Long]): Map[String, Any] =
     protocolWithFeature(spark, tablePath, versions, "deletionVectors")
@@ -536,13 +681,37 @@ object DeltaDeletes {
         "timestamp" -> now, "operation" -> operation,
         "operationParameters" -> Map.empty))))
     // add/remove per affected file, authored executor-side and STREAMED
-    // to the commit writer — the driver holds one partition's lines max
-    val dvLines = plan.masked.mapPartitions { it =>
+    // to the commit writer — the driver holds one partition's lines max.
+    // Row tracking: a DV re-add re-describes an UNMOVED file, so its
+    // original baseRowId/defaultRowCommitVersion carry over verbatim
+    // (left-joined from the live action state; O(touched files) rows)
+    val rowTracking =
+      DeltaRowTracking.isSupported(spark, tablePath, versions)
+    val withIds: Dataset[((FileEntry, DvDescriptor), (String, Long, Long))] =
+      if (!rowTracking)
+        plan.masked.map(m => (m, (null: String, -1L, -1L)))
+      else {
+        val info = DeltaSnapshot.liveAdds(spark, tablePath, versions)
+          .flatMap(a => a.baseRowId.map(b =>
+            (a.path, b, a.defaultRowCommitVersion.getOrElse(-1L))))
+        val l = plan.masked.as("ml")
+        val r = info.as("mr")
+        l.joinWith(r, col("ml._1.path") === col("mr._1"), "left_outer")
+          .map { case (m, ri) =>
+            (m, if (ri == null) (null: String, -1L, -1L) else ri)
+          }
+      }
+    val dvLines = withIds.mapPartitions { it =>
       val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      it.flatMap { case (fe, d) =>
+      it.flatMap { case ((fe, d), (riPath, riBase, riDcv)) =>
         val rel = PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path))
+        val rtFields: Map[String, Any] =
+          if (riPath == null) Map.empty
+          else Map("baseRowId" -> riBase) ++
+            (if (riDcv >= 0)
+              Map("defaultRowCommitVersion" -> riDcv) else Map.empty)
         Iterator(
-          Jsons.toJson(Map("add" -> Map(
+          Jsons.toJson(Map("add" -> (Map(
             "path" -> rel,
             "partitionValues" -> fe.partitionValues
               .map(p => p.field -> p.value).toMap,
@@ -555,7 +724,7 @@ object DeltaDeletes {
               "pathOrInlineDv" -> d.pathOrInlineDv,
               "offset" -> d.offset,
               "sizeInBytes" -> d.sizeInBytes,
-              "cardinality" -> d.cardinality)))),
+              "cardinality" -> d.cardinality)) ++ rtFields))),
           Jsons.toJson(Map("remove" -> Map(
             "path" -> rel,
             "deletionTimestamp" -> now,
@@ -567,10 +736,19 @@ object DeltaDeletes {
     // CAS against the version observed at PLANNING time; a commit that
     // landed since triggers the ConflictChecker-style retry — disjoint
     // intervening commits re-land automatically, true conflicts (shared
-    // files, metadata/protocol change) still fail loudly
+    // files, metadata/protocol change) still fail loudly. Row-tracking
+    // tables CAS strictly: a re-land could double-assign id ranges a
+    // concurrent id-assigning commit took.
     val version = plan.snap.commitId.toLong + 1
-    DeltaConflicts.commitWithRetry(spark, tablePath, version,
-      header ++ dvIt ++ extraLines, read)
+    if (rowTracking) {
+      if (!DeltaLog.writeCommit(tablePath, version,
+          header ++ dvIt ++ extraLines))
+        throw new IllegalStateException(
+          s"concurrent writer took Delta version $version at $tablePath " +
+            "— re-run the operation against the new head")
+    } else
+      DeltaConflicts.commitWithRetry(spark, tablePath, version,
+        header ++ dvIt ++ extraLines, read)
     graft.plans.SnapshotFileIndex.invalidate(plan.snap)
   }
 }

@@ -114,7 +114,9 @@ object DeltaOptimize {
     // DV-applied rows of ONLY the candidate files, via a sub-snapshot
     val sub = snap.copy(files = candidates,
       commitId = snap.commitId + "-compact")
-    val rows = DeltaRead.toDataFrame(spark, sub)
+    val rt = DeltaDeletes.rowTrackingCtx(spark, tablePath, snap,
+      sourceOf(spark, tablePath))
+    val rows = rewriteRows(spark, sub, rt)
     val nOut = math.max(1L, (oldBytes + targetFileBytes - 1) / targetFileBytes)
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
       .filter(rows.columns.contains)   // generated cols re-derive later
@@ -126,7 +128,7 @@ object DeltaOptimize {
         rows.repartition(nOut.toInt, partCols.map(col): _*)
       else rows.repartition(nOut.toInt)
     val wrote = commitRewrite(spark, tablePath, snap, candidates, packed,
-      "optimize")
+      "optimize", rt)
     graft.plans.SnapshotFileIndex.invalidate(sub)
     RewriteResult(nOld, oldBytes, wrote)
   }
@@ -159,7 +161,9 @@ object DeltaOptimize {
     val sub =
       if (where.isEmpty) snap
       else snap.copy(files = listing, commitId = snap.commitId + "-zw")
-    val rows = DeltaRead.toDataFrame(spark, sub)
+    val rt = DeltaDeletes.rowTrackingCtx(spark, tablePath, snap,
+      sourceOf(spark, tablePath))
+    val rows = rewriteRows(spark, sub, rt)
     val z = graft.operators.ZOrder.zValue(rows, cols)
     val nOut = math.max(1L, (oldBytes + targetFileBytes - 1) / targetFileBytes)
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
@@ -170,7 +174,7 @@ object DeltaOptimize {
       .sortWithinPartitions(rangeCols: _*)
       .drop("__zval")
     val wrote = commitRewrite(spark, tablePath, snap,
-      listing, clustered, "zorder")
+      listing, clustered, "zorder", rt)
     if (where.isDefined) graft.plans.SnapshotFileIndex.invalidate(sub)
     RewriteResult(nOld, oldBytes, wrote)
   }
@@ -180,9 +184,28 @@ object DeltaOptimize {
     * rows, and incremental consumers must know that). Returns the new
     * file count.
     */
+  /** The rewrite's input rows. Under row tracking every row carries its
+    * SERVED id and commit version into the replacement files' two
+    * materialized columns — OPTIMIZE moves bytes, not rows, so both must
+    * survive verbatim (the new file's defaults would lie on both
+    * counts).
+    */
+  private def rewriteRows(spark: SparkSession,
+      sub: graft.model.TableSnapshot,
+      rt: Option[DeltaDeletes.RowTrackingCtx]): DataFrame = rt match {
+    case None => DeltaRead.toDataFrame(spark, sub)
+    case Some(c) =>
+      val schema = sub.table.schema
+      DeltaDeletes.keyedScanWithIds(spark, sub, rt)
+        .select(schema.fieldNames.toSeq.map(col) ++ Seq(
+          col(DeltaDeletes.PreservedIdCol).as(c.ridCol),
+          col(DeltaDeletes.PreservedVerCol).as(c.rcvCol)): _*)
+  }
+
   private def commitRewrite(spark: SparkSession, tablePath: String,
       snap: graft.model.TableSnapshot, removed: Dataset[FileEntry],
-      rows: DataFrame, prefix: String): Long = {
+      rows: DataFrame, prefix: String,
+      rt: Option[DeltaDeletes.RowTrackingCtx] = None): Long = {
     import spark.implicits._
     val tp = snap.table.basePath
     DeltaSnapshot.requireWritable(spark, tablePath, DeltaLog.listVersions(
@@ -207,12 +230,13 @@ object DeltaOptimize {
     val conf = HadoopConfs.session(spark)
     val listed = graft.sources.ParquetFooters.listFiles(dataDir, conf)
     val schemaJson = schema.json
+    val rtOn = rt.isDefined
     val adds = graft.sources.ParquetFooters
       .fileEntries(spark, dataDir, listed)
       .mapPartitions { it =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         it.map { fe =>
-          Jsons.toJson(Map("add" -> Map(
+          val line = Jsons.toJson(Map("add" -> Map(
             "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path)),
             "partitionValues" -> fe.partitionValues
               .map(p => p.field -> p.value).toMap,
@@ -220,6 +244,7 @@ object DeltaOptimize {
             "modificationTime" -> fe.lastModifiedMillis,
             "dataChange" -> false,
             "stats" -> DeltaStats.toJson(sch, fe.recordCount, fe.columnStats))))
+          if (rtOn) s"${fe.recordCount}\t$line" else line
         }
       }
     val now = System.currentTimeMillis()
@@ -233,18 +258,40 @@ object DeltaOptimize {
     }
     val header = Iterator(Jsons.toJson(Map("commitInfo" -> Map(
       "timestamp" -> now, "operation" -> "OPTIMIZE",
-      "operationParameters" -> Map("kind" -> prefix)))))
+      "operationParameters" -> Map("kind" -> prefix))))) ++
+      rt.iterator.flatMap(_.metaLine.iterator)
     def streamOf(ds: Dataset[String]) = graft.util.StreamedLines.iterate(ds)
+    val version = snap.commitId.toLong + 1
+    val addIt = rt match {
+      case None => streamOf(adds)
+      case Some(c) =>
+        // replacement files draw fresh baseRowId ranges (required on
+        // every rowTracking add); per-row ids survive in the
+        // materialized columns written above
+        DeltaRowTracking.stampFreshIds(
+          streamOf(adds).map { sline =>
+            val cut = sline.indexOf('\t')
+            (sline.substring(cut + 1), sline.substring(0, cut).toLong)
+          }, c.highWaterMark + 1, version)
+    }
     // disjoint intervening commits re-land via the conflict retry; a
     // commit touching the files being compacted still fails loudly.
     // Deliberately NO ReadFootprint: OPTIMIZE rewrites bytes without row
     // semantics, so re-landing past a concurrent append is sound (the
     // appended file stays live, untouched) — delta-spark runs OPTIMIZE
     // at SnapshotIsolation for exactly this reason, vs the Serializable
-    // predicate check deletes/updates get in DeltaDeletes.commit
-    val version = snap.commitId.toLong + 1
-    DeltaConflicts.commitWithRetry(spark, tablePath, version,
-      header ++ streamOf(removes) ++ streamOf(adds))
+    // predicate check deletes/updates get in DeltaDeletes.commit.
+    // Row-tracking rewrites CAS strictly: a re-land could double-assign
+    // the id range a concurrent id-assigning commit took.
+    if (rt.isDefined) {
+      if (!DeltaLog.writeCommit(tablePath, version,
+          header ++ streamOf(removes) ++ addIt))
+        throw new IllegalStateException(
+          s"concurrent writer took Delta version $version at $tablePath " +
+            "— re-run OPTIMIZE against the new head")
+    } else
+      DeltaConflicts.commitWithRetry(spark, tablePath, version,
+        header ++ streamOf(removes) ++ addIt)
     graft.plans.SnapshotFileIndex.invalidate(snap)
     listed.size.toLong
   }

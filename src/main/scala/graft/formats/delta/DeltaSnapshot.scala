@@ -50,7 +50,12 @@ object DeltaSnapshot {
       dvOffset: Int = 0,
       dvSizeInBytes: Int = 0,
       dvCardinality: Long = 0L,
-      dataChange: Boolean = true) {
+      dataChange: Boolean = true,
+      // row tracking (PROTOCOL.md §Row Tracking): fresh-row-id base and
+      // the default commit version of this add — carried verbatim so
+      // re-commits (DV rewrites, checkpoints) never lose assigned ids
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None) {
     def dvDescriptor: Option[DvDescriptor] =
       if (dvStorageType.isEmpty) None
       else Some(DvDescriptor(dvStorageType, dvPathOrInline, dvOffset,
@@ -92,7 +97,10 @@ object DeltaSnapshot {
             pv(add),
             Option(add.get("stats")).map(_.asText).getOrElse(""),
             hasDv, st, pi, off, sz, card,
-            Option(add.get("dataChange")).forall(_.asBoolean)))
+            Option(add.get("dataChange")).forall(_.asBoolean),
+            Option(add.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
+            Option(add.get("defaultRowCommitVersion")).filterNot(_.isNull)
+              .map(_.asLong)))
         }
         else if (remove != null) Some(ActionRow(version, "remove",
           PathUtils.resolve(tablePath,
@@ -129,7 +137,9 @@ object DeltaSnapshot {
   private[delta] case class CkptAdd(path: String,
       partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean, stats: String,
-      deletionVector: Option[CkptDv])
+      deletionVector: Option[CkptDv],
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
   private[delta] case class CkptFormat(provider: String,
       options: Map[String, String])
   private[delta] case class CkptMetaData(id: String, format: CkptFormat,
@@ -137,13 +147,17 @@ object DeltaSnapshot {
       configuration: Map[String, String], createdTime: Long)
   private[delta] case class CkptProtocol(minReaderVersion: Int,
       minWriterVersion: Int)
+  private[delta] case class CkptDomainMetadata(domain: String,
+      configuration: String, removed: Boolean)
   private[delta] case class CkptRow(add: Option[CkptAdd],
-      metaData: Option[CkptMetaData], protocol: Option[CkptProtocol])
+      metaData: Option[CkptMetaData], protocol: Option[CkptProtocol],
+      domainMetadata: Option[CkptDomainMetadata] = None)
 
   private[delta] case class CkptAddRead(path: String,
       partitionValues: Option[Map[String, String]], size: Long,
       modificationTime: Long, stats: Option[String],
-      deletionVector: Option[CkptDv])
+      deletionVector: Option[CkptDv],
+      baseRowId: Option[Long], defaultRowCommitVersion: Option[Long])
 
   /** Checkpointed actions: the live set at the checkpoint version. Reads
     * the spec shape (graft ≥ r7 AND real delta-spark checkpoints — the
@@ -204,11 +218,15 @@ object DeltaSnapshot {
         coalesce(col("deletionVector.offset"), lit(0)).as("offset"),
         col("deletionVector.sizeInBytes").as("sizeInBytes"),
         col("deletionVector.cardinality").as("cardinality")))
+    def optLong(name: String) =
+      (if (adds.columns.contains(name)) col(name)
+       else lit(null).cast("bigint")).as(name)
     adds.select(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"),
         (if (adds.columns.contains("stats")) col("stats")
          else lit(null).cast("string")).as("stats"),
-        dvCol.as("deletionVector"))
+        dvCol.as("deletionVector"),
+        optLong("baseRowId"), optLong("defaultRowCommitVersion"))
       .as[CkptAddRead]
       .map { a =>
         ActionRow(cpVersion, "add",
@@ -221,7 +239,9 @@ object DeltaSnapshot {
           a.deletionVector.map(_.pathOrInlineDv).getOrElse(""),
           a.deletionVector.map(_.offset).getOrElse(0),
           a.deletionVector.map(_.sizeInBytes).getOrElse(0),
-          a.deletionVector.map(_.cardinality).getOrElse(0L))
+          a.deletionVector.map(_.cardinality).getOrElse(0L),
+          baseRowId = a.baseRowId,
+          defaultRowCommitVersion = a.defaultRowCommitVersion)
       }
   }
 
@@ -316,17 +336,22 @@ object DeltaSnapshot {
     "columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
     "typeWidening", "typeWidening-preview", "vacuumProtocolCheck")
 
-  /** Writer features this engine maintains correctly on commit. NOT
-    * here: rowTracking / identityColumns / icebergCompat / v2Checkpoint /
-    * domainMetadata / clustering — each obliges every writer to maintain
-    * state this engine does not (row ids, identity highwater marks,
-    * mirrored Iceberg metadata, v2 checkpoints, domain actions), so a
-    * commit from here would corrupt the table for its real readers.
+  /** Writer features this engine maintains correctly on commit.
+    * rowTracking + domainMetadata joined in r15 (DeltaRowTracking:
+    * baseRowId/defaultRowCommitVersion on every add, the
+    * delta.rowTracking high-water-mark domain action, materialized-id
+    * preservation through rewrites, domain actions carried through
+    * checkpoints). NOT here: identityColumns / icebergCompat /
+    * v2Checkpoint / clustering — each obliges every writer to maintain
+    * state this engine does not (identity highwater marks, mirrored
+    * Iceberg metadata, v2-checkpoint authoring on commit), so a commit
+    * from here would corrupt the table for its real readers.
     */
   val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "columnMapping", "deletionVectors", "timestampNtz", "typeWidening",
-    "typeWidening-preview", "generatedColumns", "vacuumProtocolCheck")
+    "typeWidening-preview", "generatedColumns", "vacuumProtocolCheck",
+    "rowTracking", "domainMetadata")
 
   /** Refuse WRITES to tables whose protocol obliges writers to maintain
     * state this engine does not (PROTOCOL.md §Writer Requirements).
@@ -400,16 +425,18 @@ object DeltaSnapshot {
       writeCheckpointV2(spark, tablePath, version, schema)
       return
     }
-    val live = liveFiles(spark, tablePath, versions, schema)
     val tp = tablePath
-    val addRows = live.map { f =>
+    // action-level live set: raw stats text and row-tracking base ids
+    // survive the checkpoint verbatim (dropping baseRowId from a
+    // rowTracking table's checkpoint would reassign every row's id)
+    val addRows = liveAdds(spark, tablePath, versions).map { a =>
       CkptRow(Some(CkptAdd(
-        PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
-        f.partitionValues.map(p => p.field -> p.value).toMap,
-        f.fileSizeBytes, f.lastModifiedMillis, dataChange = false,
-        DeltaStats.toJson(schema, f.recordCount, f.columnStats),
-        f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
-          d.offset, d.sizeInBytes, d.cardinality)))), None, None)
+        PathUtils.toDeltaUri(PathUtils.relativize(tp, a.path)),
+        a.partitionValues, a.size, a.modificationTime, dataChange = false,
+        a.stats,
+        a.dvDescriptor.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
+          d.offset, d.sizeInBytes, d.cardinality)),
+        a.baseRowId, a.defaultRowCommitVersion)), None, None)
     }
     val metaRow = metadata(spark, tablePath, versions).map(m =>
       CkptRow(None, Some(CkptMetaData(m.id, CkptFormat("parquet", Map.empty),
@@ -418,8 +445,15 @@ object DeltaSnapshot {
     val protoRow = protocol(spark, tablePath, versions)
       .orElse(Some(CkptProtocol(1, 2)))
       .map(p => CkptRow(None, None, Some(p)))
+    // spec: domain metadata actions MUST be included in checkpoints —
+    // without them the rowTracking high-water mark (or any other
+    // domain's state) dies with log cleanup
+    val domainRows = DeltaRowTracking
+      .liveDomains(spark, tablePath, versions)
+      .map(d => CkptRow(None, None, None, Some(d)))
     val rows = addRows
-      .union(spark.createDataset((metaRow ++ protoRow).toSeq)).persist()
+      .union(spark.createDataset((metaRow ++ protoRow).toSeq ++ domainRows))
+      .persist()
     try {
       val n = rows.count()
       val parts = math.min(128L,
@@ -454,7 +488,8 @@ object DeltaSnapshot {
       checkpointMetadata: Option[CkptMetaInfo],
       sidecar: Option[CkptSidecarRef],
       metaData: Option[CkptMetaData],
-      protocol: Option[CkptProtocolFull])
+      protocol: Option[CkptProtocolFull],
+      domainMetadata: Option[CkptDomainMetadata] = None)
   private[delta] case class CkptAddOnlyRow(add: Option[CkptAdd])
 
   /** V2 checkpoint WRITE (PROTOCOL.md §V2 Checkpoint Table Feature) —
@@ -477,16 +512,15 @@ object DeltaSnapshot {
     import spark.implicits._
     val conf = graft.util.HadoopConfs.session(spark)
     val versions = DeltaLog.listVersions(tablePath, conf).filter(_ <= version)
-    val live = liveFiles(spark, tablePath, versions, schema)
     val tp = tablePath
-    val addRows = live.map { f =>
+    val addRows = liveAdds(spark, tablePath, versions).map { a =>
       CkptAddOnlyRow(Some(CkptAdd(
-        PathUtils.toDeltaUri(PathUtils.relativize(tp, f.path)),
-        f.partitionValues.map(p => p.field -> p.value).toMap,
-        f.fileSizeBytes, f.lastModifiedMillis, dataChange = false,
-        DeltaStats.toJson(schema, f.recordCount, f.columnStats),
-        f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
-          d.offset, d.sizeInBytes, d.cardinality)))))
+        PathUtils.toDeltaUri(PathUtils.relativize(tp, a.path)),
+        a.partitionValues, a.size, a.modificationTime, dataChange = false,
+        a.stats,
+        a.dvDescriptor.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
+          d.offset, d.sizeInBytes, d.cardinality)),
+        a.baseRowId, a.defaultRowCommitVersion)))
     }.persist()
     try {
       val n = addRows.count()
@@ -522,10 +556,13 @@ object DeltaSnapshot {
         .getOrElse(CkptProtocolFull(3, 7,
           Some(Seq("v2Checkpoint")), Some(Seq("v2Checkpoint")))))
         .map(p => CkptV2MainRow(None, None, None, Some(p)))
+      val domainRows = DeltaRowTracking
+        .liveDomains(spark, tablePath, versions)
+        .map(d => CkptV2MainRow(None, None, None, None, Some(d)))
       val mainRows =
         Seq(CkptV2MainRow(Some(CkptMetaInfo(version)), None, None, None)) ++
           refs.map(r => CkptV2MainRow(None, Some(r), None, None)) ++
-          metaRow ++ protoRow
+          metaRow ++ protoRow ++ domainRows
       val mainTmp = new Path(logDir, s".ckpt-v2-main-$version-tmp")
       spark.createDataset(mainRows).coalesce(1).write.mode("overwrite")
         .parquet(mainTmp.toString)
@@ -625,6 +662,33 @@ object DeltaSnapshot {
   def liveFiles(spark: SparkSession, tablePath: String, versions: Seq[Long],
       schema: StructType): Dataset[FileEntry] = {
     import spark.implicits._
+    // column mapping: stats JSON and partition values in the log are keyed
+    // by PHYSICAL name — parse against the physical schema, then surface
+    // logical names in the FileEntry (the metadata plane speaks logical)
+    val physSchemaJson = DeltaColumnMapping.physicalSchema(schema).json
+    val renames = DeltaColumnMapping.physicalToLogical(schema)
+    liveAdds(spark, tablePath, versions).mapPartitions { it =>
+      val sch = DataType.fromJson(physSchemaJson).asInstanceOf[StructType]
+      it.map { a =>
+        val (numRecords, stats0) = DeltaStats.parse(sch, a.stats)
+        val stats = stats0.map(s =>
+          s.copy(field = renames.getOrElse(s.field, s.field)))
+        FileEntry(a.path, a.size, numRecords, "parquet",
+          a.partitionValues.toSeq.sortBy(_._1)
+            .map { case (k, v) =>
+              PartitionMember(renames.getOrElse(k, k), v) },
+          stats, a.modificationTime, a.dvDescriptor)
+      }
+    }
+  }
+
+  /** The live-set winner at the ACTION level — every field the log
+    * carried (raw stats text, row-tracking base ids) survives, which
+    * checkpoint writing and row-id reads need verbatim.
+    */
+  def liveAdds(spark: SparkSession, tablePath: String,
+      versions: Seq[Long]): Dataset[ActionRow] = {
+    import spark.implicits._
     val conf = graft.util.HadoopConfs.session(spark)
     val head = versions.lastOption.getOrElse(-1L)
     val cp = DeltaLog.latestCheckpoint(tablePath, head, conf)
@@ -635,31 +699,10 @@ object DeltaSnapshot {
       case Some(c) => versions.filter(_ > c)
       case None => versions
     }
-    // column mapping: stats JSON and partition values in the log are keyed
-    // by PHYSICAL name — parse against the physical schema, then surface
-    // logical names in the FileEntry (the metadata plane speaks logical)
-    val physSchemaJson = DeltaColumnMapping.physicalSchema(schema).json
-    val renames = DeltaColumnMapping.physicalToLogical(schema)
-    def toEntries(adds: Dataset[ActionRow]): Dataset[FileEntry] =
-      adds.mapPartitions { it =>
-        val sch = DataType.fromJson(physSchemaJson).asInstanceOf[StructType]
-        it.map { a =>
-          val (numRecords, stats0) = DeltaStats.parse(sch, a.stats)
-          val stats = stats0.map(s =>
-            s.copy(field = renames.getOrElse(s.field, s.field)))
-          FileEntry(a.path, a.size, numRecords, "parquet",
-            a.partitionValues.toSeq.sortBy(_._1)
-              .map { case (k, v) =>
-                PartitionMember(renames.getOrElse(k, k), v) },
-            stats, a.modificationTime, a.dvDescriptor)
-        }
-      }
-
     val small =
       if (cp.nonEmpty) None else driverReplay(tablePath, jsonVersions, conf)
     small match {
-      case Some(adds) =>
-        toEntries(spark.createDataset(adds))
+      case Some(adds) => spark.createDataset(adds)
       case None =>
         val jsonActs = actions(spark, tablePath, jsonVersions)
         val acts = cp match {
@@ -674,7 +717,7 @@ object DeltaSnapshot {
             struct(col("version"),
               when(col("kind") === "add", 1).otherwise(0))).as("__m"))
           .select(col("__m.*"))
-        toEntries(winner.filter(col("kind") === "add").as[ActionRow])
+        winner.filter(col("kind") === "add").as[ActionRow]
     }
   }
 

@@ -77,12 +77,19 @@ object DeltaWrite {
     val schemaJson =
       if (mapped) DeltaColumnMapping.physicalSchema(tableSchema).json
       else schema.json
+    // row tracking: stamp fresh base ids + advance the high-water mark
+    // in this commit (PROTOCOL.md §Row Tracking)
+    val versionsNow = head.map(_ =>
+      DeltaLog.listVersions(tablePath, conf)).getOrElse(Nil)
+    val rowTracking =
+      DeltaRowTracking.isSupported(spark, tablePath, versionsNow)
+    val rt = rowTracking
     val adds = graft.sources.ParquetFooters
       .fileEntries(spark, dataDir, listed)
       .mapPartitions { it =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         it.map { fe =>
-          Jsons.toJson(Map("add" -> Map(
+          val line = Jsons.toJson(Map("add" -> Map(
             "path" -> PathUtils.toDeltaUri(PathUtils.relativize(tp, fe.path)),
             "partitionValues" -> fe.partitionValues
               .map(p => p.field -> p.value).toMap,
@@ -91,6 +98,7 @@ object DeltaWrite {
             "dataChange" -> true,
             "stats" -> DeltaStats.toJson(sch, fe.recordCount,
               fe.columnStats))))
+          if (rt) s"${fe.recordCount}\t$line" else line
         }
       }
 
@@ -127,12 +135,21 @@ object DeltaWrite {
       "operationParameters" -> Map.empty))))
 
     val version = head.map(_ + 1).getOrElse(0L)
-    val allLines = header ++ removes ++ graft.util.StreamedLines.iterate(adds)
+    val addIt =
+      if (rowTracking)
+        DeltaRowTracking.stampFreshIds(
+          DeltaRowTracking.countedLines(adds),
+          DeltaRowTracking.highWaterMark(spark, tablePath, versionsNow) + 1,
+          version)
+      else graft.util.StreamedLines.iterate(adds)
+    val allLines = header ++ removes ++ addIt
     val landed =
-      if (overwrite || head.isEmpty) {
+      if (overwrite || head.isEmpty || rowTracking) {
         // overwrite replaces the WHOLE prior state and table creation
         // writes metaData — neither commutes with an intervening commit,
-        // so both keep the strict CAS
+        // so both keep the strict CAS. Row-id-assigning commits CAS
+        // strictly too: a silent re-land after a concurrent id-assigning
+        // commit would hand out the same id range twice.
         val ok = DeltaLog.writeCommit(tablePath, version, allLines)
         if (!ok) throw new IllegalStateException(
           s"concurrent writer committed version $version first at " +

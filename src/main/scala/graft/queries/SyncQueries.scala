@@ -1364,6 +1364,45 @@ object SyncQueries {
       |  FROM nation)
       |WHERE n_nationkey % 5 <> 2""".stripMargin
 
+  /** Delta ROW TRACKING end-to-end (PROTOCOL.md §Row Tracking —
+    * the Delta sibling of [[icebergV3RowLineage]], same closed-form
+    * oracle): nation as ONE sorted file, `enable` backfills ids
+    * positionally (id == rank of the key), then an UPDATE that must
+    * keep the updated row's id (materialized into its replacement
+    * file), a DV DELETE that must not renumber survivors, and an
+    * OPTIMIZE whose rewrite must preserve every id through the
+    * materialized column. Re-ranking, forked ids, or a lost
+    * materialization all hash-fail against the oracle.
+    */
+  def deltaRowTracking(s: SparkSession, dir: String): DataFrame = {
+    import graft.formats.delta._
+    val stage = graft.util.TempDirs.create("graft_deltart_src")
+    s.read.parquet(s"$dir/nation.parquet")
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .write.mode("overwrite").parquet(stage)
+    val table = graft.util.TempDirs.create("graft_deltart_tbl")
+    val src = new ParquetDirectorySource(s, stage, "nation")
+    val outcomes = TableFormatSync.syncSnapshot(
+      Seq(new DeltaConversionTarget(s, table)),
+      src.currentSnapshot(), src.sourceFormat)
+    require(outcomes.forall(_.status == "SUCCESS"), outcomes.mkString(";"))
+    DeltaRowTracking.enable(s, table)
+    DeltaDeletes.updateWhere(s, table, col("n_nationkey") % 7 === 3,
+      Map("n_regionkey" -> (col("n_regionkey") + 10)))
+    DeltaDeletes.deleteWhere(s, table, col("n_nationkey") % 5 === 2)
+    // the compaction retires the DV and rewrites every surviving row —
+    // ids must ride the materialized column through it
+    DeltaOptimize.compact(s, table,
+      targetFileBytes = 1L << 30, minFileBytes = 1L << 20)
+    s.read.format("graft").option("withRowLineage", "true").load(table)
+      .select(col("n_nationkey"), col("_row_id").as("rid"))
+  }
+
+  /** Identical closed form to the Iceberg v3 lineage oracle: ids are
+    * ranks over the sorted 25 keys; %5==2 keys are deleted.
+    */
+  val deltaRowTrackingSql: String = icebergV3RowLineageSql
+
   val icebergV3UpdateWhereSql: String =
     """SELECT CAST(count(*) AS BIGINT) AS cnt,
       |  CAST(sum(CASE WHEN n_nationkey % 4 = 0 THEN n_nationkey + 1000

@@ -297,8 +297,14 @@ class GraftDataSource extends RelationProvider
               graft.formats.iceberg.IcebergRowLineage.RowIdCol)
             .withColumnRenamed("__last_seq",
               graft.formats.iceberg.IcebergRowLineage.LastUpdatedCol)
+        // Delta row tracking (PROTOCOL.md §Row Tracking): `_row_id` and
+        // `_row_commit_version` via coalesce(materialized, default) —
+        // the Delta sibling of Iceberg v3 lineage
+        case _: graft.formats.delta.DeltaConversionSource =>
+          graft.formats.delta.DeltaRowTracking.withRowLineage(spark, path)
         case other => throw new IllegalArgumentException(
-          "withRowLineage is an Iceberg v3 capability; this is a " +
+          "withRowLineage needs an Iceberg v3 table or a Delta table " +
+            s"with the rowTracking feature; this is a " +
             s"${other.sourceFormat} table")
       }
       val sql = sqlContext

@@ -37,6 +37,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT ALTER TABLE '<table>' ADD PARTITION FIELD <transform>
   *   GRAFT ALTER TABLE '<table>' DROP PARTITION FIELD <name>
   *   GRAFT ALTER TABLE '<table>' SET TBLPROPERTIES ('format-version'='3')
+  *   GRAFT ALTER TABLE '<table>' SET TBLPROPERTIES ('delta.enableRowTracking'='true')
   *   GRAFT SHOW HISTORY '<table>'
   * }}}
   *
@@ -93,6 +94,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+PARTITION\s+FIELD\s+(\w+)\s*;?\s*""".r
   private val AlterFormatVersion =
     """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(\s*'format-version'\s*=\s*'(\d+)'\s*\)\s*;?\s*""".r
+  private val AlterRowTracking =
+    """(?is)\s*GRAFT\s+ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(\s*'delta\.enableRowTracking'\s*=\s*'(\w+)'\s*\)\s*;?\s*""".r
   private val ShowHistory: Regex =
     """(?is)\s*GRAFT\s+SHOW\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
@@ -189,6 +192,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case AlterFormatVersion(path, v) =>
       AlterTableCommand(path,
         graft.sync.AlterTable.SetFormatVersion(v.toInt))
+    case AlterRowTracking(path, v) =>
+      AlterTableCommand(path,
+        graft.sync.AlterTable.EnableRowTracking(v.equalsIgnoreCase("true")))
     case AlterAddDefault(path, name, ddl, dflt) =>
       AlterTableCommand(path,
         graft.sync.AlterTable.AddColumn(name, ddl, Some(dflt.trim)))

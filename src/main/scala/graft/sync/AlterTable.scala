@@ -71,6 +71,14 @@ object AlterTable {
     * and starts the next-row-id watermark.
     */
   case class SetFormatVersion(version: Int) extends Op
+  /** Delta row tracking enablement (`SET TBLPROPERTIES
+    * ('delta.enableRowTracking'='true')`): one commit that raises the
+    * writer protocol, backfills every live file's baseRowId and seeds
+    * the high-water mark (DeltaRowTracking.enable). Disabling is
+    * refused — retracting assigned ids would corrupt downstream
+    * consumers keyed on them.
+    */
+  case class EnableRowTracking(on: Boolean) extends Op
 
   case class Result(format: String, schema: StructType)
 
@@ -88,6 +96,15 @@ object AlterTable {
           s"${other.sourceFormat} table")
     }
     op match {
+      case EnableRowTracking(on) =>
+        require(fmt == "delta",
+          s"delta.enableRowTracking is a Delta capability; this is a " +
+            s"$fmt table")
+        require(on, "disabling row tracking is not supported — assigned " +
+          "row ids are a durable contract; refusing rather than retract " +
+          "them")
+        graft.formats.delta.DeltaRowTracking.enable(spark, path)
+        return Result(fmt, source.currentTable().schema)
       case SetFormatVersion(v) =>
         // handled BEFORE currentSnapshot(): the upgrade is legal on a
         // table with live equality deletes, which the file-level

@@ -317,22 +317,46 @@ class ErrorPathSpec extends SparkSuite {
         log.getBytes("UTF-8"))
       t
     }
-    // rowTracking obliges writers to maintain row ids — appends, DML and
-    // sync commits from here would corrupt the table for real readers
+    // rowTracking is MAINTAINED since r15 (DeltaRowTracking): an append
+    // on an externally-created rowTracking table lands with fresh base
+    // ids and the advanced high-water mark in the same commit
     val rt = mkDelta("wf_rowtracking",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""")
+    graft.formats.delta.DeltaWrite.write(spark, rt,
+      Seq((9L, "z")).toDF("id", "name"), overwrite = false)
+    val rtVersions = graft.formats.delta.DeltaLog.listVersions(rt,
+      graft.util.HadoopConfs.session(spark))
+    assert(graft.formats.delta.DeltaRowTracking
+      .highWaterMark(spark, rt, rtVersions) == 0L)
+    assert(new graft.formats.delta.DeltaConversionSource(spark, rt, "t")
+      .toDataFrame.count() == 3)
+    // the fixture's ORIGINAL add carries no baseRowId (feature present,
+    // never assigned) — the lineage read must fail loudly for that
+    // file's rows, never invent ids
+    val eLin = intercept[Exception] {
+      spark.read.format("graft").option("withRowLineage", "true")
+        .load(rt).collect()
+    }
+    assert(eLin.toString.contains("row tracking unresolvable") ||
+      Option(eLin.getCause).exists(
+        _.toString.contains("row tracking unresolvable")) ||
+      eLin.toString.contains("USER_RAISED_EXCEPTION"), eLin.toString)
+
+    // identityColumns remains genuinely unmaintained — writes refuse
+    val idc = mkDelta("wf_identity",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["identityColumns"]}}""")
     val e1 = intercept[UnsupportedOperationException] {
-      graft.formats.delta.DeltaWrite.write(spark, rt,
+      graft.formats.delta.DeltaWrite.write(spark, idc,
         Seq((9L, "z")).toDF("id", "name"), overwrite = false)
     }
-    assert(e1.getMessage.contains("rowTracking"), e1.getMessage)
+    assert(e1.getMessage.contains("identityColumns"), e1.getMessage)
     val e2 = intercept[UnsupportedOperationException] {
-      graft.formats.delta.DeltaDeletes.deleteWhere(spark, rt,
+      graft.formats.delta.DeltaDeletes.deleteWhere(spark, idc,
         org.apache.spark.sql.functions.col("id") === 1L)
     }
-    assert(e2.getMessage.contains("rowTracking"), e2.getMessage)
-    // reads stay fine — rowTracking is writer-only
-    assert(new graft.formats.delta.DeltaConversionSource(spark, rt, "t")
+    assert(e2.getMessage.contains("identityColumns"), e2.getMessage)
+    // reads stay fine — both are writer-only features
+    assert(new graft.formats.delta.DeltaConversionSource(spark, idc, "t")
       .toDataFrame.count() == 2)
 
     // appendOnly: appends land, row-removing DML refuses

@@ -559,4 +559,44 @@ class GoldenFixtureSpec extends SparkSuite {
     assert(graft.formats.delta.DeltaRead.toDataFrame(spark,
       src.snapshotAt(0L)).count() == 100)
   }
+
+  test("reads an independently-authored Delta table with ROW TRACKING; " +
+    "materialized ids beat position defaults") {
+    // tools/make_golden_delta_rowtracking.py: protocol (1,7) with
+    // writer-only [domainMetadata, rowTracking], adds carrying
+    // baseRowId/defaultRowCommitVersion, the delta.rowTracking domain
+    // high-water mark, and an OPTIMIZE rewrite whose replacement file
+    // REORDERS rows and materializes their ids — position-derived ids
+    // would swap every row of that file.
+    import org.apache.spark.sql.functions.col
+    val dir = new java.io.File(
+      "src/test/resources/golden/delta_rowtracking").getAbsolutePath
+    val src = new graft.formats.delta.DeltaConversionSource(
+      spark, dir, "t")
+    val df = src.toDataFrame
+    assert(df.columns.toSeq == Seq("k", "v"),
+      "materialized physical columns must stay out of the logical surface")
+    assert(df.count() == 50)
+
+    val lin = spark.read.format("graft")
+      .option("withRowLineage", "true").load(dir)
+      .select(col("k"), col("_row_id"), col("_row_commit_version"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(lin.size == 50)
+    // the fixture is built so every row's id equals its key — rows 0..24
+    // only via the MATERIALIZED column (their file is reordered), rows
+    // 25..49 via baseRowId + position
+    assert(lin.forall { case (k, (id, _)) => id == k },
+      lin.toSeq.sortBy(_._1).take(30).mkString(","))
+    // rewritten rows keep their ORIGINAL commit version (materialized 0,
+    // not the rewrite's default 1)
+    assert(lin.values.forall(_._2 == 0L),
+      lin.toSeq.sortBy(_._1).take(30).mkString(","))
+
+    val versions = graft.formats.delta.DeltaLog.listVersions(dir,
+      graft.util.HadoopConfs.session(spark))
+    assert(graft.formats.delta.DeltaRowTracking
+      .highWaterMark(spark, dir, versions) == 74L)
+  }
 }

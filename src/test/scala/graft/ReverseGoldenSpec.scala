@@ -839,4 +839,86 @@ class ReverseGoldenSpec extends SparkSuite {
     assert(java.util.Arrays.equals(mine, fixtureBytes),
       "DV blob frames differ byte-for-byte")
   }
+
+  test("graft-written row-tracking actions match the independently-" +
+    "authored fixture shape key-for-key") {
+    // two transcriptions of PROTOCOL.md §Row Tracking — graft's writers
+    // and tools/make_golden_delta_rowtracking.py — diffed at the action
+    // level: add keys, domainMetadata shape, configuration properties.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val fixLog = new java.io.File(
+      "src/test/resources/golden/delta_rowtracking/_delta_log")
+    def addKeys(line: String): Option[Set[String]] =
+      Option(Jsons.mapper.readTree(line).get("add"))
+        .map(_.properties().asScala.map(_.getKey).toSet)
+    def domainNode(line: String) =
+      Option(Jsons.mapper.readTree(line).get("domainMetadata"))
+    val fixLines = fixLog.listFiles().filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName).toSeq
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    val fixAddKeys = fixLines.flatMap(addKeys)
+    val fixDomains = fixLines.flatMap(l => domainNode(l))
+    assert(fixAddKeys.nonEmpty && fixDomains.nonEmpty)
+
+    // a graft table through the same motions: enable + update
+    val t = tmpDir("rev_rowtracking")
+    graft.formats.delta.DeltaWrite.write(spark, t,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2),
+      overwrite = false)
+    graft.formats.delta.DeltaRowTracking.enable(spark, t)
+    graft.formats.delta.DeltaDeletes.updateWhere(spark, t,
+      col("k") === 3L, Map("v" -> lit("u")))
+    val g = new java.io.File(t, "_delta_log")
+    val gLines = g.listFiles().filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName).toSeq
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+
+    // every graft add in a row-tracking commit carries EXACTLY the
+    // fixture's row-tracking keys (baseRowId, defaultRowCommitVersion
+    // alongside the standard add fields; DV re-adds also carry
+    // deletionVector — a fixture-allowed superset key)
+    val gAddKeys = gLines.drop(0).flatMap(addKeys)
+    val rtAdds = gAddKeys.filter(_.contains("baseRowId"))
+    assert(rtAdds.nonEmpty, "graft wrote no row-tracking adds")
+    val fixtureKeySet = fixAddKeys.reduce(_ ++ _)
+    for (ks <- rtAdds)
+      assert((ks - "deletionVector") subsetOf fixtureKeySet,
+        s"graft add keys $ks not in fixture shape $fixtureKeySet")
+    assert(rtAdds.forall(ks => ks.contains("defaultRowCommitVersion")))
+
+    // domainMetadata: same three keys, same domain, configuration is a
+    // JSON STRING carrying rowIdHighWaterMark — byte-shape parity
+    val gDomains = gLines.flatMap(domainNode)
+    assert(gDomains.nonEmpty)
+    val fixShape = fixDomains.head.properties().asScala.map(_.getKey).toSet
+    for (d <- gDomains) {
+      assert(d.properties().asScala.map(_.getKey).toSet == fixShape,
+        d.toString)
+      assert(d.get("domain").asText == "delta.rowTracking")
+      assert(Jsons.mapper.readTree(d.get("configuration").asText)
+        .has("rowIdHighWaterMark"), d.toString)
+    }
+
+    // configuration properties: graft plants the same three keys the
+    // fixture's metaData carries
+    val fixCfg = fixLines.flatMap(l =>
+      Option(Jsons.mapper.readTree(l).get("metaData")))
+      .head.get("configuration").properties().asScala.map(_.getKey).toSet
+    val gCfg = gLines.flatMap(l =>
+      Option(Jsons.mapper.readTree(l).get("metaData")))
+      .last.get("configuration").properties().asScala.map(_.getKey).toSet
+    assert(fixCfg.filter(_.startsWith("delta.")).subsetOf(gCfg),
+      s"fixture $fixCfg vs graft $gCfg")
+
+    // and the graft table's lineage read serves what it wrote: update
+    // kept the row's id
+    val lin = spark.read.format("graft")
+      .option("withRowLineage", "true").load(t)
+      .select(col("k"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lin.size == 20 && lin.values.toSeq.distinct.size == 20)
+    assert(lin(3L) < 20L, "updated row must keep a backfilled id")
+  }
 }

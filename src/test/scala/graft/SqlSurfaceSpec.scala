@@ -697,4 +697,33 @@ class SqlSurfaceSpec extends SparkSuite {
       gs.sql("SELECT * FROM range(3) VERSION AS OF 1").collect()
     }
   }
+
+  test("SET TBLPROPERTIES delta.enableRowTracking routes to the " +
+    "enablement commit; lineage serves through the reader option") {
+    val d = tmpDir("sqlx_rt_data")
+    spark.read.parquet(sf("sf0.001") + "/nation.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(d)
+    val t = tmpDir("sqlx_rt_tbl")
+    gs.sql(s"GRAFT SYNC PARQUET '$d' AS nation TO delta '$t'").collect()
+    gs.sql(s"GRAFT ALTER TABLE '$t' SET TBLPROPERTIES " +
+      "('delta.enableRowTracking'='true')").collect()
+    val lin = spark.read.format("graft")
+      .option("withRowLineage", "true").load(t)
+      .select("_row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(lin == (0L until 25L), lin.mkString(","))
+    // disabling refuses — ids are a durable contract
+    val e = intercept[Exception] {
+      gs.sql(s"GRAFT ALTER TABLE '$t' SET TBLPROPERTIES " +
+        "('delta.enableRowTracking'='false')").collect()
+    }
+    assert(e.getMessage.contains("disabling row tracking"), e.getMessage)
+    // non-delta refuses naming the capability
+    val ice = tmpDir("sqlx_rt_ice")
+    gs.sql(s"GRAFT SYNC PARQUET '$d' AS nation TO iceberg '$ice'").collect()
+    val e2 = intercept[Exception] {
+      gs.sql(s"GRAFT ALTER TABLE '$ice' SET TBLPROPERTIES " +
+        "('delta.enableRowTracking'='true')").collect()
+    }
+    assert(e2.getMessage.contains("Delta capability"), e2.getMessage)
+  }
 }
