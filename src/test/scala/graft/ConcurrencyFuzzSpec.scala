@@ -404,4 +404,80 @@ class ConcurrencyFuzzSpec extends SparkSuite {
       s"state diverged: missing ${expected -- got.toSet}, " +
         s"extra ${got.toSet -- expected}")
   }
+
+  test("delta row tracking: racing appends, a DV delete and an OPTIMIZE " +
+    "never double-assign or fork row ids") {
+    import spark.implicits._
+    val t = tmpDir("fuzz_deltart")
+    DeltaWrite.write(spark, t,
+      spark.range(0, 20).select(col("id").as("k"),
+        (col("id") * 10).as("v")).repartition(2), overwrite = false)
+    DeltaRowTracking.enable(spark, t)
+
+    val nThreads = 3
+    val outcomes = new ConcurrentLinkedQueue[Outcome]()
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(nThreads)
+    (0 until nThreads).foreach { tid =>
+      pool.execute { () =>
+        start.await()
+        (0 until 3).foreach { i =>
+          val slot = tid * 3 + i
+          try {
+            if (slot == 4) {
+              DeltaOptimize.compact(spark, t,
+                targetFileBytes = 1L << 30, minFileBytes = 1L << 20)
+              outcomes.add(Outcome("optimize", -1L, ok = true))
+            } else if (slot == 1 || slot == 7) {
+              val n = DeltaDeletes.deleteWhere(spark, t,
+                col("k") === slot.toLong)
+              outcomes.add(Outcome("delete", slot.toLong, ok = n == 1L))
+            } else {
+              val key = 1000L + slot
+              DeltaWrite.write(spark, t,
+                Seq((key, key * 10)).toDF("k", "v"), overwrite = false)
+              outcomes.add(Outcome("append", key, ok = true))
+            }
+          } catch {
+            // id-assigning commits CAS strictly — losers fail loudly
+            // and report not-applied, never silently re-land
+            case e: IllegalStateException
+                if e.getMessage.contains("concurrent writer") =>
+              outcomes.add(Outcome("op", -1L, ok = false))
+            case th: Throwable => errors.add(th)
+          }
+        }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS))
+    assert(errors.isEmpty, errors.toString)
+
+    import scala.jdk.CollectionConverters._
+    val appended = outcomes.asScala
+      .filter(o => o.kind == "append" && o.ok).map(_.key).toSet
+    val deleted = outcomes.asScala
+      .filter(o => o.kind == "delete" && o.ok).map(_.key).toSet
+    val expected = ((0L until 20L).toSet -- deleted) ++ appended
+    val lin = spark.read.format("graft")
+      .option("withRowLineage", "true").load(t)
+      .select(col("k"), col("_row_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lin.map(_._1).toSet == expected,
+      s"state diverged: missing ${expected -- lin.map(_._1).toSet}, " +
+        s"extra ${lin.map(_._1).toSet -- expected}")
+    // the hard invariant: no interleaving may hand out an id twice
+    assert(lin.map(_._2).distinct.length == lin.length,
+      s"double-assigned row ids: ${lin.groupBy(_._2)
+        .filter(_._2.length > 1)}")
+    // survivors of the seed keep ids in the backfilled range
+    assert(lin.filter(_._1 < 20L).forall(_._2 < 20L), lin.mkString(","))
+    // and the high-water mark is at or past every served id
+    val versions = DeltaLog.listVersions(t,
+      graft.util.HadoopConfs.session(spark))
+    assert(DeltaRowTracking.highWaterMark(spark, t, versions) >=
+      lin.map(_._2).max)
+  }
 }
