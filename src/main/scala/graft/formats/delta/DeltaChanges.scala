@@ -247,7 +247,7 @@ object DeltaChanges {
     import spark.implicits._
     val acts = DeltaSnapshot.actions(spark, tablePath, Seq(v))
       .filter(_.dataChange)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)   // lazy pin: first consumer materializes
     val addPaths = acts.filter(_.kind == "add").map(_.path).toDF("__p")
     val removePaths = acts.filter(_.kind == "remove").map(_.path).toDF("__p")
     val schema = afterSnap.table.schema

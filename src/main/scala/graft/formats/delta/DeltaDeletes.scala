@@ -582,13 +582,17 @@ object DeltaDeletes {
     val masked: Dataset[(FileEntry, DvDescriptor)] = listing
       .joinWith(newDvs, listing("path") === newDvs("_1"), "inner")
       .map { case (fe, (_, d)) => (fe, d) }
-      .localCheckpoint()
-    if (masked.isEmpty) return None
+      // lazy pin: the cardinality aggregate below materializes it and
+      // doubles as the emptiness probe (count==0) — two jobs saved per
+      // row-level delete plan
+      .localCheckpoint(eager = false)
     val agg = masked.toDF("fe", "dv")
-      .agg(coalesce(sum(col("dv.cardinality")), lit(0L)),
+      .agg(count(lit(1)),
+        coalesce(sum(col("dv.cardinality")), lit(0L)),
         coalesce(sum(col("fe.deletionVector.cardinality")), lit(0L)))
       .head()
-    Some(DeletePlan(snap, masked, agg.getLong(0) - agg.getLong(1)))
+    if (agg.getLong(0) == 0L) return None
+    Some(DeletePlan(snap, masked, agg.getLong(1) - agg.getLong(2)))
   }
 
   /** Implied legacy features when upgrading a pre-table-features protocol

@@ -106,10 +106,12 @@ object DeltaOptimize {
       .filter(col("f.fileSizeBytes") < minFileBytes ||
         col("f.deletionVector").isNotNull)
       .select("f.*").as[FileEntry]
-      .localCheckpoint()   // pin: scan, sizing and commit see one set
-    if (candidates.isEmpty) return NoOp
-
+      // pin: scan, sizing and commit see one set. LAZY checkpoint: the
+      // sizing aggregate right below materializes it — the former eager
+      // pin plus separate isEmpty probe were two extra jobs per compact
+      .localCheckpoint(eager = false)
     val agg = candidates.agg(count(lit(1)), sum("fileSizeBytes")).head()
+    if (agg.getLong(0) == 0L) return NoOp
     val (nOld, oldBytes) = (agg.getLong(0), agg.getLong(1))
     // DV-applied rows of ONLY the candidate files, via a sub-snapshot
     val sub = snap.copy(files = candidates,
@@ -152,9 +154,11 @@ object DeltaOptimize {
         schema.fieldNames.mkString("[", ",", "]")))
     val listing = filterByPartition(snap,
       graft.plans.SnapshotFileIndex.listingFor(snap), where)
-      .localCheckpoint()
-    if (listing.isEmpty) return NoOp
+      // lazy pin + emptiness answered by the sizing aggregate (see
+      // compact) — two jobs saved per rewrite
+      .localCheckpoint(eager = false)
     val agg = listing.agg(count(lit(1)), sum("fileSizeBytes")).head()
+    if (agg.getLong(0) == 0L) return NoOp
     val (nOld, oldBytes) = (agg.getLong(0), agg.getLong(1))
 
     // rows of ONLY the selected files (whole table when no WHERE)

@@ -56,10 +56,10 @@ object DeltaRestore {
 
     val toAdd = tgtFiles.join(curFiles.select(col("__k").as("__ck")),
         col("__k") === col("__ck"), "left_anti")
-      .drop("__k").as[FileEntry].localCheckpoint()
+      .drop("__k").as[FileEntry].localCheckpoint(eager = false)
     val toRemove = curFiles.join(tgtFiles.select(col("__k").as("__tk")),
         col("__k") === col("__tk"), "left_anti")
-      .drop("__k").as[FileEntry].localCheckpoint()
+      .drop("__k").as[FileEntry].localCheckpoint(eager = false)
 
     val nAdd = toAdd.count()
     val nRemove = toRemove.count()

@@ -81,13 +81,15 @@ object DeltaVacuum {
     val all = graft.util.DistributedWalk
       .allFiles(spark, tp, skipDir = d => d == DeltaLog.LogDir ||
         d == graft.plans.BloomIndex.IndexDirName || foreign.contains(d))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)   // lazy pin: count() materializes
     val scanned = all.count()
     val doomed: Dataset[graft.util.DistributedWalk.WalkedFile] = all
       .join(keep.toDF("__keep"), all("path") === col("__keep"), "left_anti")
       .as[graft.util.DistributedWalk.WalkedFile]
       .filter(_.mtime < horizon)
-      .localCheckpoint()   // pin: count and delete see one set
+      // pin: count and delete see one set (lazy — the delete-sum job
+      // right below materializes it)
+      .localCheckpoint(eager = false)
 
     val bconf = HadoopConfs.broadcastSession(spark)
     val sums = doomed.mapPartitions { it =>

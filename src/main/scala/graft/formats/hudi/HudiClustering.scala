@@ -40,7 +40,7 @@ object HudiClustering {
         "GRAFT OPTIMIZE (log compaction) first")
 
     val listing = graft.plans.SnapshotFileIndex.listingFor(snap)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)   // lazy pin: sizing agg materializes
     val agg0 = listing.agg(count(lit(1)), sum("fileSizeBytes")).head()
     val (nOld, oldBytes) = (agg0.getLong(0), agg0.getLong(1))
     if (nOld == 0) return Result(0L, 0L, 0L)

@@ -108,7 +108,7 @@ object IcebergMaintenance {
           foreign.contains(d),
         skipFile = n => n.endsWith(".metadata.json") ||
           n == "version-hint.text")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)   // lazy pin: count() materializes
     val scanned = all.count()
     val doomed = all
       .join(keep.toDF("__keep"), all("path") === org.apache.spark.sql

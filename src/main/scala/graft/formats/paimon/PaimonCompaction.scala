@@ -54,7 +54,7 @@ object PaimonCompaction {
     // z-order rewrites everything in scope (clustering is the point);
     // plain compaction folds only partitions with >=2 small files
     val candidates =
-      if (zorderBy.nonEmpty) listing.localCheckpoint()
+      if (zorderBy.nonEmpty) listing.localCheckpoint(eager = false)
       else {
         val keyed = listing.map(f => (partKey(f), f)).toDF("pk", "f")
         val eligible = keyed.groupBy("pk")
@@ -64,11 +64,12 @@ object PaimonCompaction {
         keyed.join(eligible, "pk")
           .filter(col("f.fileSizeBytes") < minFileBytes)
           .select("f.*").as[FileEntry]
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
-    if (candidates.isEmpty) return Result(0L, 0L, 0L)
-
+    // emptiness answered by the sizing aggregate (lazy pins above):
+    // two jobs saved per compaction
     val agg0 = candidates.agg(count(lit(1)), sum("fileSizeBytes")).head()
+    if (agg0.getLong(0) == 0L) return Result(0L, 0L, 0L)
     val (nOld, oldBytes) = (agg0.getLong(0), agg0.getLong(1))
     val rows = graft.formats.delta.DeltaRead.toDataFrame(spark,
       snap.copy(files = candidates, commitId = snap.commitId + "-compact"))

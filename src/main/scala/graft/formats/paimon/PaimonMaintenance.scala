@@ -120,7 +120,7 @@ object PaimonMaintenance {
       graft.util.DistributedWalk.foreignPlaneDirs("paimon")
     val all = graft.util.DistributedWalk.allFiles(spark, path,
         skipDir = metaDirs.contains)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)   // lazy pin: count() materializes
     val scanned = all.count()
     val doomed = all
       .join(keep.toDF("__keep"),

@@ -134,9 +134,12 @@ object MaterializedAgg {
           }
       }
     try {
-      if (changes.isEmpty) return noop
-      val toVersion = changes.agg(max(col("_commit_version")))
-        .head().getLong(0)
+      // one action answers both "any changes?" and "covered version":
+      // max() over an empty feed is null — the separate isEmpty probe
+      // was a whole extra job per refresh on the same persisted feed
+      val headRow = changes.agg(max(col("_commit_version"))).head()
+      if (headRow.isNullAt(0)) return noop
+      val toVersion = headRow.getLong(0)
       val sign = when(col("_change_type")
         .isin("insert", "update_postimage"), 1L).otherwise(-1L)
       val delta = changes

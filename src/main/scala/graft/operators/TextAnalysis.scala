@@ -480,14 +480,19 @@ object TextAnalysis {
     // step -1 and yields [1, 0], so an unguarded transform would emit two
     // bogus partial-trigram rows per short doc (and pollute the reference
     // table) while DuckDB's generate_series(1, 0) is empty.
+    // materialize lower(text) as its own column FIRST: inlined in the
+    // lambda it would re-lowercase the whole document once per trigram —
+    // O(len²) character work per doc (no common-subexpression elimination
+    // reaches inside a higher-order function's lambda)
     val triExpr = expr(
-      s"case when length(lower($textCol)) >= 3 then " +
-        s"transform(sequence(1, length(lower($textCol)) - 2), " +
-        s"i -> substring(lower($textCol), i, 3)) " +
-        s"else cast(array() as array<string>) end")
+      "case when length(__lc) >= 3 then " +
+        "transform(sequence(1, length(__lc) - 2), " +
+        "i -> substring(__lc, i, 3)) " +
+        "else cast(array() as array<string>) end")
     val refSrc = broadcast(
       docs.agg(min(col(sourceCol)).as("__ref_src")))
-    val exploded = docs.crossJoin(refSrc)
+    val exploded = docs.withColumn("__lc", lower(col(textCol)))
+      .crossJoin(refSrc)
       .select(col(idCol), col(sourceCol), col("__ref_src"),
         explode(triExpr).as("tri"))
     val ref = broadcast(exploded

@@ -76,16 +76,22 @@ class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
 
   override def refresh(): Unit = SnapshotFileIndex.invalidate(snap)
 
-  override lazy val sizeInBytes: Long = {
-    import org.apache.spark.sql.functions.{coalesce, lit, sum}
-    filesDs.agg(coalesce(sum("fileSizeBytes"), lit(0L))).head().getLong(0)
-  }
+  override lazy val sizeInBytes: Long =
+    SnapshotFileIndex.localFor(snap) match {
+      case Some(entries) => entries.iterator.map(_.fileSizeBytes).sum
+      case None =>
+        import org.apache.spark.sql.functions.{coalesce, lit, sum}
+        filesDs.agg(coalesce(sum("fileSizeBytes"), lit(0L))).head().getLong(0)
+    }
 
-  override def inputFiles: Array[String] = {
-    val s = filesDs.sparkSession
-    import s.implicits._
-    filesDs.select("path").as[String].collect()
-  }
+  override def inputFiles: Array[String] =
+    SnapshotFileIndex.localFor(snap) match {
+      case Some(entries) => entries.iterator.map(_.path).toArray
+      case None =>
+        val s = filesDs.sparkSession
+        import s.implicits._
+        filesDs.select("path").as[String].collect()
+    }
 
   /** Bloom-indexed columns, resolved once per index instance (one FS
     * round-trip); pruning #3 below is skipped entirely when empty.
@@ -95,38 +101,56 @@ class SnapshotFileIndex(spark: SparkSession, snap: TableSnapshot)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // pruning #3 — file-level bloom index (point lookups on columns
-    // min/max can't cut): a distributed join against the index sidecar
-    val files = BloomIndex.prune(filesDs.sparkSession, filesDs,
-      snap.table.basePath, dataFilters, bloomCols)
-    val session = files.sparkSession
-    import session.implicits._
-
     val partPredicate = bindPartitionPredicate(partitionFilters)
     val predNames: Seq[String] =
       partPredicate.map(_._2).getOrElse(Nil)
     val skip = StatSkipping.compile(dataFilters, tableSchema)
     val pSchema = partitionSchema
 
-    val survivors = files.mapPartitions { it =>
-      val pred = partPredicate.map { case (e, _) =>
-        Predicate.createInterpreted(e)
+    def keepEntry(pred: Option[InterpretedPredicate])(f: FileEntry)
+        : Boolean = {
+      // a file can predate a partition-spec evolution and carry no
+      // value for a referenced partition field — its transform value is
+      // UNKNOWN there, so the file must be kept conservatively (eval
+      // would see null and prune a file whose DATA may match)
+      val evaluable = predNames.forall(n =>
+        f.partitionValues.exists(_.field == n))
+      val partOk = !evaluable || pred.forall { p =>
+        p.eval(SnapshotFileIndex.partitionRow(f.partitionValues, pSchema))
       }
-      it.filter { f =>
-        // a file can predate a partition-spec evolution and carry no
-        // value for a referenced partition field — its transform value is
-        // UNKNOWN there, so the file must be kept conservatively (eval
-        // would see null and prune a file whose DATA may match)
-        val evaluable = predNames.forall(n =>
-          f.partitionValues.exists(_.field == n))
-        val partOk = !evaluable || pred.forall { p =>
-          p.eval(SnapshotFileIndex.partitionRow(f.partitionValues, pSchema))
-        }
-        partOk && skip.forall(_.keep(f))
-      }.map(f => (f.path, f.fileSizeBytes, f.lastModifiedMillis,
+      partOk && skip.forall(_.keep(f))
+    }
+    def shape(f: FileEntry) =
+      (f.path, f.fileSizeBytes, f.lastModifiedMillis,
         pSchema.fieldNames.toSeq.map(n =>
-          f.partitionValues.find(_.field == n).map(_.value).orNull)))
-    }.collect()
+          f.partitionValues.find(_.field == n).map(_.value).orNull))
+
+    // small listings (already bounded on the driver by the collect below)
+    // prune driver-side — the same predicates over the same rows, minus
+    // one Spark job per scan planning; bloom-indexed tables keep the
+    // distributed prune (the index join is a data-plane read)
+    val local: Option[Seq[FileEntry]] =
+      if (bloomCols.isEmpty) SnapshotFileIndex.localFor(snap) else None
+    val survivors = local match {
+      case Some(entries) =>
+        val pred = partPredicate.map { case (e, _) =>
+          Predicate.createInterpreted(e)
+        }
+        entries.filter(keepEntry(pred)).map(shape(_)).toArray
+      case None =>
+        // pruning #3 — file-level bloom index (point lookups on columns
+        // min/max can't cut): a distributed join against the index sidecar
+        val files = BloomIndex.prune(filesDs.sparkSession, filesDs,
+          snap.table.basePath, dataFilters, bloomCols)
+        val session = files.sparkSession
+        import session.implicits._
+        files.mapPartitions { it =>
+          val pred = partPredicate.map { case (e, _) =>
+            Predicate.createInterpreted(e)
+          }
+          it.filter(keepEntry(pred)).map(shape(_))
+        }.collect()
+    }
 
     survivors.groupBy(_._4).map { case (partVals, group) =>
       val row = InternalRow.fromSeq(partVals.zip(pSchema.fields).map {
@@ -197,6 +221,47 @@ object SnapshotFileIndex {
     val key = snap.table.basePath + "#" + snap.commitId
     Option(cachedListings.remove(key)).foreach(_.unpersist(false))
     cachedSummaries.remove(key)
+    cachedLocals.remove(key)
+  }
+
+  /** Small-listing fast path: listings at or under
+    * `spark.graft.listing.localMax` entries (default 4096) are collected
+    * ONCE per (table, commit) and every subsequent metadata question —
+    * `sizeInBytes` at plan time, `listFiles` per scan, the DV/format
+    * summary — answers driver-side instead of running its own Spark job
+    * (guide §1.2: the per-read job count IS the hot path at small file
+    * counts). The driver bound is explicit and no larger than what
+    * `listFiles` already collects for a full-table scan; listings past
+    * the threshold keep the distributed path, so a 10^6-file table never
+    * materializes on the driver. `None` verdicts (too big) are cached so
+    * the probe never re-runs.
+    */
+  private val cachedLocals =
+    new java.util.LinkedHashMap[String, Option[IndexedSeq[FileEntry]]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[IndexedSeq[FileEntry]]])
+          : Boolean = size > 64
+    }
+
+  def localFor(snap: TableSnapshot): Option[IndexedSeq[FileEntry]] = {
+    val key = snap.table.basePath + "#" + snap.commitId
+    val cached = cachedLocals.synchronized(Option(cachedLocals.get(key)))
+    cached.getOrElse {
+      val max = snap.files.sparkSession.conf
+        .getOption("spark.graft.listing.localMax")
+        .map(_.toInt).getOrElse(4096)
+      val probe = listingFor(snap).limit(max + 1).collect().toIndexedSeq
+      val verdict =
+        if (probe.length > max) None else Some(probe)
+      cachedLocals.synchronized {
+        // the persisted listing is immutable per (table, commit): a
+        // racing probe computed the same rows, either verdict is fine
+        Option(cachedLocals.get(key)).getOrElse {
+          cachedLocals.put(key, verdict); verdict
+        }
+      }
+    }
   }
 
   /** One-job roll-up of the scan-relevant listing facts: deletion-vector
@@ -221,15 +286,25 @@ object SnapshotFileIndex {
     cachedSummaries.synchronized {
       Option(cachedSummaries.get(key))
     }.getOrElse {
-      val row = listingFor(snap).agg(
-        sum(when(col("deletionVector").isNotNull, 1L).otherwise(0L)),
-        sum(col("deletionVector.cardinality")),
-        sum(col("deletionVector.cardinality") *
-          (length(col("path")).cast("long") + lit(16L))),
-        sort_array(collect_set(col("fileFormat")))).head()
-      def l(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
-      val s = ScanSummary(l(0), l(1), l(2),
-        row.getSeq[String](3))
+      val s = localFor(snap) match {
+        case Some(entries) =>
+          // small listing already on the driver: same roll-up, no job
+          val dvs = entries.flatMap(e =>
+            e.deletionVector.map(d => (d.cardinality,
+              d.cardinality * (e.path.length.toLong + 16L))))
+          ScanSummary(dvs.length.toLong, dvs.iterator.map(_._1).sum,
+            dvs.iterator.map(_._2).sum,
+            entries.iterator.map(_.fileFormat).toSeq.distinct.sorted)
+        case None =>
+          val row = listingFor(snap).agg(
+            sum(when(col("deletionVector").isNotNull, 1L).otherwise(0L)),
+            sum(col("deletionVector.cardinality")),
+            sum(col("deletionVector.cardinality") *
+              (length(col("path")).cast("long") + lit(16L))),
+            sort_array(collect_set(col("fileFormat")))).head()
+          def l(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+          ScanSummary(l(0), l(1), l(2), row.getSeq[String](3))
+      }
       cachedSummaries.synchronized { cachedSummaries.put(key, s) }
       s
     }

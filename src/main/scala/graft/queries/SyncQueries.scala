@@ -1748,9 +1748,12 @@ object SyncQueries {
     */
   def graftWriterFormats(s: SparkSession, dir: String): DataFrame = {
     val nation = s.read.parquet(s"$dir/nation.parquet")
-    val perFmt = Seq("hudi", "iceberg", "paimon").map { fmt =>
+    // three independent format legs (fresh table each) — concurrent
+    // submission per guide §2.6; serial wall-clock summed the legs
+    val perFmt = graft.util.Par.map(Seq("hudi", "iceberg", "paimon")) { fmt =>
       // per-format phase timing (bench `phases` key): a single-format
       // regression must attribute, not hide inside the 3-format total
+      // (legs overlap, so phases sum past the gate's wall-clock)
       graft.util.PhaseTimer.time(s"graft_writer_formats.$fmt") {
         val t = graft.util.TempDirs.create(s"graft_writer_$fmt")
         nation.write.format("graft").option("tableFormat", fmt)
