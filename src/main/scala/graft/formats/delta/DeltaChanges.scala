@@ -124,45 +124,58 @@ object DeltaChanges {
       PathUtils.canonical(tablePath).stripSuffix("/").split('/').last)
     val range = (fromVersion + 1) to toVersion
 
-    // ONE distributed pass over the range's commit files: cdc actions
-    // verbatim, plus one `data` marker per version that carries any
-    // dataChange add/remove. Driver holds cdc descriptors + flags only.
+    // ONE pass over the range's commit files classifies every version:
+    // cdc actions verbatim, plus one `data` marker per version that
+    // carries any dataChange add/remove. Driver holds cdc descriptors +
+    // flags only. SMALL ranges (total commit bytes under
+    // spark.graft.cdf.localMax, default 4 MB) classify driver-side —
+    // the same rows the distributed path would collect anyway, minus a
+    // whole Spark job + shuffle per feed read (guide §1.2); a 1M-file
+    // commit blows past the byte gate and keeps the distributed pass.
     val files = range.map(v => DeltaLog.versionFile(tablePath, v))
     val tp = tablePath
-    val marks = spark.read.textFile(files: _*)
-      .select(col("value"),
-        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
-          .cast("long").as("version"))
-      .as[(String, Long)]
-      .mapPartitions { it =>
-        it.flatMap { case (line, version) =>
-          if (line.isEmpty) None
-          else {
-            val root = Jsons.mapper.readTree(line)
-            val cdc = root.get("cdc")
-            if (cdc != null) {
-              import scala.jdk.CollectionConverters._
-              val pv = Option(cdc.get("partitionValues")).map { o =>
-                o.properties().asScala.map(e => e.getKey ->
-                  (if (e.getValue.isNull) null else e.getValue.asText)).toMap
-              }.getOrElse(Map.empty[String, String])
-              Some(VersionMark(version, "cdc",
-                PathUtils.resolve(tp,
-                  PathUtils.fromDeltaUri(cdc.get("path").asText)), pv))
-            } else {
-              val a = Option(root.get("add")).orElse(Option(root.get("remove")))
-              a.filter(n => Option(n.get("dataChange")).forall(_.asBoolean))
-                .map(_ => VersionMark(version, "data", "", Map.empty))
+    val localMax = spark.conf.getOption("spark.graft.cdf.localMax")
+      .map(_.toLong).getOrElse(4L << 20)
+    val conf = HadoopConfs.session(spark)
+    val fs = new org.apache.hadoop.fs.Path(files.head)
+      .getFileSystem(conf)
+    val statuses = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)))
+    val marks =
+      if (statuses.map(_.getLen).sum <= localMax) {
+        // same dedup key as the distributed path's dropDuplicates
+        val seen = scala.collection.mutable
+          .LinkedHashMap.empty[(Long, String, String), VersionMark]
+        for ((f, v) <- files.zip(range)) {
+          val in = fs.open(new org.apache.hadoop.fs.Path(f))
+          try {
+            val rd = new java.io.BufferedReader(
+              new java.io.InputStreamReader(in,
+                java.nio.charset.StandardCharsets.UTF_8))
+            var line = rd.readLine()
+            while (line != null) {
+              classifyLine(tp, line, v).foreach(m =>
+                seen.getOrElseUpdate((m.version, m.kind, m.path), m))
+              line = rd.readLine()
             }
-          }
+          } finally in.close()
         }
-      }
-      // distributed dedup BEFORE the collect: `data` marks collapse to
-      // one per version (a 1M-file commit must not land 1M rows on the
-      // driver); cdc paths are unique already, so the driver holds only
-      // the range's cdc descriptors plus one flag per version
-      .dropDuplicates("version", "kind", "path")
-      .collect()
+        seen.values.toArray
+      } else spark.read.textFile(files: _*)
+        .select(col("value"),
+          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
+            .cast("long").as("version"))
+        .as[(String, Long)]
+        .mapPartitions(it =>
+          it.flatMap { case (line, version) =>
+            classifyLine(tp, line, version)
+          })
+        // distributed dedup BEFORE the collect: `data` marks collapse to
+        // one per version (a 1M-file commit must not land 1M rows on the
+        // driver); cdc paths are unique already, so the driver holds only
+        // the range's cdc descriptors plus one flag per version
+        .dropDuplicates("version", "kind", "path")
+        .collect()
 
     val cdcVersions = marks.filter(_.kind == "cdc").map(_.version).toSet
     val reconVersions = marks.filter(_.kind == "data").map(_.version)
@@ -176,6 +189,32 @@ object DeltaChanges {
     if (parts.isEmpty) emptyFeed(spark, src)
     else parts.reduce(_ unionByName _)
   }
+
+  /** One commit line's change-feed classification — shared verbatim by
+    * the driver-side (small-range) and distributed classification paths,
+    * so both produce the same marks by construction.
+    */
+  private def classifyLine(tp: String, line: String,
+      version: Long): Option[VersionMark] =
+    if (line.isEmpty) None
+    else {
+      val root = Jsons.mapper.readTree(line)
+      val cdc = root.get("cdc")
+      if (cdc != null) {
+        import scala.jdk.CollectionConverters._
+        val pv = Option(cdc.get("partitionValues")).map { o =>
+          o.properties().asScala.map(e => e.getKey ->
+            (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+        }.getOrElse(Map.empty[String, String])
+        Some(VersionMark(version, "cdc",
+          PathUtils.resolve(tp,
+            PathUtils.fromDeltaUri(cdc.get("path").asText)), pv))
+      } else {
+        val a = Option(root.get("add")).orElse(Option(root.get("remove")))
+        a.filter(n => Option(n.get("dataChange")).forall(_.asBoolean))
+          .map(_ => VersionMark(version, "data", "", Map.empty))
+      }
+    }
 
   private def emptyFeed(spark: SparkSession,
       src: DeltaConversionSource): DataFrame = {
@@ -245,29 +284,68 @@ object DeltaChanges {
       beforeSnap: graft.model.TableSnapshot,
       tablePath: String, v: Long): DataFrame = {
     import spark.implicits._
-    val acts = DeltaSnapshot.actions(spark, tablePath, Seq(v))
+    // SMALL commits (the byte gate of the classification pass) parse
+    // driver-side: the touched-path sets become literal isin filters on
+    // the snapshot listings, removing the commit-scan job and two
+    // semi-join subtrees per reconstructed version. Large commits keep
+    // the distributed scan with an EAGER pin — concurrently submitted
+    // downstream jobs (broadcast builds) may otherwise each materialize
+    // the unpinned lineage.
+    val conf = HadoopConfs.session(spark)
+    val vf = new org.apache.hadoop.fs.Path(
+      DeltaLog.versionFile(tablePath, v))
+    val localMax = spark.conf.getOption("spark.graft.cdf.localMax")
+      .map(_.toLong).getOrElse(4L << 20)
+    val fs = vf.getFileSystem(conf)
+    val (addPathSet, removePathSet):
+        (Option[Seq[String]], Option[Seq[String]]) =
+      if (fs.getFileStatus(vf).getLen > localMax) (None, None)
+      else {
+        val in = fs.open(vf)
+        val parsed = try {
+          val rd = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in,
+              java.nio.charset.StandardCharsets.UTF_8))
+          Iterator.continually(rd.readLine()).takeWhile(_ != null)
+            .map((_, v)).toSeq
+        } finally in.close()
+        val rows = DeltaSnapshot.parseActions(tablePath)(parsed.iterator)
+          .filter(_.dataChange).toSeq
+        (Some(rows.filter(_.kind == "add").map(_.path)),
+          Some(rows.filter(_.kind == "remove").map(_.path)))
+      }
+    lazy val acts = DeltaSnapshot.actions(spark, tablePath, Seq(v))
       .filter(_.dataChange)
-      .localCheckpoint(eager = false)   // lazy pin: first consumer materializes
-    val addPaths = acts.filter(_.kind == "add").map(_.path).toDF("__p")
-    val removePaths = acts.filter(_.kind == "remove").map(_.path).toDF("__p")
+      .localCheckpoint()
+    val addPaths = addPathSet.map(_.toDF("__p"))
+      .getOrElse(acts.filter(_.kind == "add").map(_.path).toDF("__p"))
+    val removePaths = removePathSet.map(_.toDF("__p"))
+      .getOrElse(acts.filter(_.kind == "remove").map(_.path).toDF("__p"))
     val schema = afterSnap.table.schema
 
     // keyed reads restricted to the commit's touched files: an add names
     // a file whose LIVE ROWS may be new (or re-masked), a remove names a
     // file whose v-1 live rows may be gone
     def restricted(snap: graft.model.TableSnapshot,
-        paths: DataFrame, tag: String): DataFrame = {
-      val sub = snap.files
-        .join(paths, snap.files("path") === col("__p"), "left_semi")
-        .as[graft.model.FileEntry]
+        paths: Either[Seq[String], DataFrame], tag: String): DataFrame = {
+      val sub = (paths match {
+        case Left(ps) => snap.files.filter(col("path").isInCollection(ps))
+        case Right(df) =>
+          snap.files.join(df, snap.files("path") === col("__p"), "left_semi")
+      }).as[graft.model.FileEntry]
       val subSnap = snap.copy(files = sub,
         commitId = snap.commitId + s"-cdf-$tag")
       val out = DeltaRead.toKeyedDataFrame(spark, subSnap)
       graft.plans.SnapshotFileIndex.invalidate(subSnap)
       out
     }
-    val after = restricted(afterSnap, addPaths, s"a$v")
-    val before = restricted(beforeSnap, addPaths.union(removePaths), s"b$v")
+    val after = restricted(afterSnap,
+      addPathSet.toLeft(addPaths), s"a$v")
+    val before = restricted(beforeSnap,
+      (addPathSet, removePathSet) match {
+        case (Some(a), Some(r)) => Left(a ++ r)
+        case _ => Right(addPaths.union(removePaths))
+      }, s"b$v")
 
     val key = Seq("__scan_path", "__scan_pos")
     val cols = schema.fieldNames.toSeq.map(col)

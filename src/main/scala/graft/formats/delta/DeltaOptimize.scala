@@ -168,15 +168,11 @@ object DeltaOptimize {
     val rt = DeltaDeletes.rowTrackingCtx(spark, tablePath, snap,
       sourceOf(spark, tablePath))
     val rows = rewriteRows(spark, sub, rt)
-    val z = graft.operators.ZOrder.zValue(rows, cols)
     val nOut = math.max(1L, (oldBytes + targetFileBytes - 1) / targetFileBytes)
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
       .filter(rows.columns.contains)   // generated cols are re-derived later
-    val rangeCols = partCols.map(col) :+ col("__zval")
-    val clustered = rows.withColumn("__zval", z)
-      .repartitionByRange(nOut.toInt, rangeCols: _*)
-      .sortWithinPartitions(rangeCols: _*)
-      .drop("__zval")
+    val clustered = graft.operators.ZOrder.clusterize(rows, cols,
+      nOut.toInt, partCols)
     val wrote = commitRewrite(spark, tablePath, snap,
       listing, clustered, "zorder", rt)
     if (where.isDefined) graft.plans.SnapshotFileIndex.invalidate(sub)

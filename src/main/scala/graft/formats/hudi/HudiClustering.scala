@@ -50,12 +50,8 @@ object HudiClustering {
       (oldBytes + targetFileBytes - 1) / targetFileBytes)
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
       .filter(rows.columns.contains)
-    val z = graft.operators.ZOrder.zValue(rows, cols)
-    val rangeCols = partCols.map(col) :+ col("__zval")
-    val clustered = rows.withColumn("__zval", z)
-      .repartitionByRange(nOut.toInt, rangeCols: _*)
-      .sortWithinPartitions(rangeCols: _*)
-      .drop("__zval")
+    val clustered = graft.operators.ZOrder.clusterize(rows, cols,
+      nOut.toInt, partCols)
 
     val dataDir = s"$path/cluster-${UUID.randomUUID()}"
     if (partCols.isEmpty) clustered.write.parquet(dataDir)

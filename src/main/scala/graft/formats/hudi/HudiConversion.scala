@@ -506,11 +506,21 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
     // commit lines) — driver state is one partition name + one batch,
     // O(1) in commit size. Small commits also read the first
     // SmallDeltaThreshold entries for the sidecar fast path.
-    val addCount = pendingAdds.map(_.count()).getOrElse(0L)
-    val smallBuf: Seq[FileEntry] =
-      if (addCount <= HudiMetadataIndex.SmallDeltaThreshold)
-        pendingAdds.map(_.collect().toSeq).getOrElse(Nil)
-      else Nil
+    // ONE fused probe per side (guide §1.2): count + the entries
+    // themselves for small commits, replacing the count job, the
+    // sidecar collect AND the sorted StreamedLines shuffle each with
+    // driver-side work on rows the driver was going to hold anyway.
+    // Rare skew-truncated small probes fall back to the old collect;
+    // big commits keep the distributed sorted-stream path untouched.
+    val emptyProbe = graft.util.ProbedRows.Probe[FileEntry](0L, 0L, Some(Nil))
+    val addsProbe = pendingAdds.map(graft.util.ProbedRows.probe(_,
+        (f: FileEntry) => f.recordCount,
+        HudiMetadataIndex.SmallDeltaThreshold)).getOrElse(emptyProbe)
+    val addCount = addsProbe.count
+    val smallAddRows: Option[Seq[FileEntry]] =
+      if (addCount > HudiMetadataIndex.SmallDeltaThreshold) None
+      else addsProbe.rows.orElse(pendingAdds.map(_.collect().toSeq))
+    val smallBuf: Seq[FileEntry] = smallAddRows.getOrElse(Nil)
     val sep = HudiTimeline.GroupSep
     def groupedLines(ds: org.apache.spark.sql.Dataset[FileEntry],
         payload: FileEntry => String): Iterator[String] =
@@ -519,17 +529,34 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
       // so no other partition's lines can interleave a prefix group
       graft.util.StreamedLines.iterate(
         ds.map(f => partitionPathOf(f) + sep + payload(f)).orderBy("value"))
-    val statLines = pendingAdds.map(groupedLines(_, f =>
+    val statPayload = (f: FileEntry) =>
       Jsons.toJson(Map(
         "fileId" -> HudiTimeline.fileId(f.path),
         "path" -> PathUtils.relativize(tp, f.path),
         "numWrites" -> f.recordCount,
         "fileSizeInBytes" -> f.fileSizeBytes,
-        "totalWriteBytes" -> f.fileSizeBytes))))
-      .getOrElse(Iterator.empty)
-    val removeCount = pendingRemoves.map(_.count()).getOrElse(0L)
-    val replaceLines = pendingRemoves.map(groupedLines(_, f =>
-      Jsons.toJson(HudiTimeline.fileId(f.path)))).getOrElse(Iterator.empty)
+        "totalWriteBytes" -> f.fileSizeBytes))
+    val statLines = smallAddRows match {
+      case Some(rows) =>
+        rows.map(f => partitionPathOf(f) + sep + statPayload(f))
+          .sorted.iterator
+      case None => pendingAdds.map(groupedLines(_, statPayload))
+        .getOrElse(Iterator.empty)
+    }
+    val removesProbe = pendingRemoves.map(graft.util.ProbedRows.probe(_,
+        (_: FileEntry) => 0L,
+        HudiMetadataIndex.SmallDeltaThreshold)).getOrElse(emptyProbe)
+    val removeCount = removesProbe.count
+    val replacePayload = (f: FileEntry) =>
+      Jsons.toJson(HudiTimeline.fileId(f.path))
+    val replaceLines = removesProbe.rows match {
+      case Some(rows)
+          if removeCount <= HudiMetadataIndex.SmallDeltaThreshold =>
+        rows.map(f => partitionPathOf(f) + sep + replacePayload(f))
+          .sorted.iterator
+      case _ => pendingRemoves.map(groupedLines(_, replacePayload))
+        .getOrElse(Iterator.empty)
+    }
 
     val action = if (removeCount > 0) "replacecommit" else "commit"
     val extra = Map(

@@ -331,15 +331,24 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
     // A full resync of a heavily churned table can make the delta
     // O(table): above the threshold the driver Set is skipped entirely
     // and the carry-forward becomes a distributed anti-join below.
-    val removesCount: Long = pendingRemoves.map(_.count()).getOrElse(0L)
+    // ONE fused probe answers the count AND ships the paths (guide §1.2:
+    // the former count job + collect job per commit).
+    val removesProbe = pendingRemoves.map(graft.util.ProbedRows.probe(_,
+        (_: FileEntry) => 0L, IcebergConversionTarget.BigRemovesThreshold))
+      .getOrElse(graft.util.ProbedRows.Probe[FileEntry](0L, 0L, Some(Nil)))
+    val removesCount: Long = removesProbe.count
     val bigRemoves =
       removesCount > IcebergConversionTarget.BigRemovesThreshold
     IcebergConversionTarget.lastCarryForwardMode =
       if (bigRemoves) "distributed-anti-join" else "driver-set"
     val removedPaths: Set[String] = pendingRemoves match {
       case Some(ds) if !bigRemoves =>
-        import ds.sparkSession.implicits._
-        ds.select("path").as[String].collect().toSet
+        removesProbe.rows match {
+          case Some(rs) => rs.map(_.path).toSet
+          case None =>   // rare: per-partition skew truncated the probe
+            import ds.sparkSession.implicits._
+            ds.select("path").as[String].collect().toSet
+        }
       case _ => Set.empty
     }
 
@@ -478,7 +487,18 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       var addedRows = 0L
       val np = s"$mdir/m-${UUID.randomUUID()}.avro"
       val cap = IcebergConversionTarget.DriverAddsThreshold
-      val it = ds.toLocalIterator().asScala
+      // fused probe: the common small commit ships its adds in the ONE
+      // job that also counts them (toLocalIterator was a job per
+      // partition); a probe-truncated but under-cap commit keeps the
+      // streaming iterator, an over-cap commit skips the driver attempt
+      // entirely (the old path wrote a partial manifest and deleted it)
+      val addsProbe = graft.util.ProbedRows.probe(ds,
+        (f: FileEntry) => f.recordCount)
+      val overCap = addsProbe.count > cap
+      val it: Iterator[graft.model.FileEntry] =
+        if (overCap) Iterator.empty
+        else addsProbe.rows.map(_.iterator)
+          .getOrElse(ds.toLocalIterator().asScala)
       // spec field_summary bounds (ids 509-511) per partition-spec
       // field, tracked while the entries stream — real readers prune
       // whole manifests by them before opening any entry
@@ -530,7 +550,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
           IcebergManifests.PartitionFieldSummary(containsNull,
             boundBytes(pf, lo), boundBytes(pf, hi))
       })
-      if (addedCount <= cap && addedCount > 0) {
+      if (!overCap && addedCount > 0) {
         kept += IcebergManifests.ManifestSummary(
           np, len, snapshotId, addedCount.toInt, 0, 0, addedRows, 0L,
           partitions = summaries, specId = defaultSpecId)
@@ -541,7 +561,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
           .delete(hp, false)
       }
-      if (addedCount > cap) {
+      if (overCap) {
         val sch = schema
         val snapId = snapshotId
         val md = mdir
@@ -550,7 +570,7 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
         val sfNow = specFieldsNow
         val bconf = graft.util.HadoopConfs.broadcastSession(spark)
         val cached = ds.persist()
-        val addTotal = cached.count()
+        val addTotal = addsProbe.count
         val nParts = math.max(1, math.min(256,
           math.ceil(addTotal.toDouble /
             IcebergConversionTarget.EntriesPerManifest).toInt))

@@ -643,10 +643,7 @@ object IcebergDeletes {
           .head().getLong(0)
         val nOut = math.max(1L,
           (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-        rows.withColumn("__zval", graft.operators.ZOrder.zValue(rows, zorderBy))
-          .repartitionByRange(nOut, org.apache.spark.sql.functions.col("__zval"))
-          .sortWithinPartitions("__zval")
-          .drop("__zval")
+        graft.operators.ZOrder.clusterize(rows, zorderBy, nOut)
       }
     stageData(out, m, dataDir)
     // CAS against the version the rewrite SCANNED: a commit landing

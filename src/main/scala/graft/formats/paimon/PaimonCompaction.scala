@@ -78,14 +78,10 @@ object PaimonCompaction {
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
       .filter(rows.columns.contains)
     val packed =
-      if (zorderBy.nonEmpty) {
-        val z = graft.operators.ZOrder.zValue(rows, zorderBy)
-        val rangeCols = partCols.map(col) :+ col("__zval")
-        rows.withColumn("__zval", z)
-          .repartitionByRange(nOut.toInt, rangeCols: _*)
-          .sortWithinPartitions(rangeCols: _*)
-          .drop("__zval")
-      } else if (partCols.nonEmpty)
+      if (zorderBy.nonEmpty)
+        graft.operators.ZOrder.clusterize(rows, zorderBy, nOut.toInt,
+          partCols)
+      else if (partCols.nonEmpty)
         rows.repartition(nOut.toInt, partCols.map(col): _*)
       else rows.repartition(nOut.toInt)
 

@@ -2,7 +2,6 @@ package graft.formats.paimon
 
 import java.util.UUID
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -256,8 +255,20 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
 
     pendingAdds = pendingAdds.map(_.persist())
     pendingRemoves = pendingRemoves.map(_.persist())
-    val addCount = pendingAdds.map(_.count()).getOrElse(0L)
-    val removeCount = pendingRemoves.map(_.count()).getOrElse(0L)
+    // ONE fused probe job per side answers the entry count, the record
+    // sum (the snapshot's row accounting) AND — for small commits —
+    // ships the entries for the driver-written delta manifest; the
+    // former count + toLocalIterator + sum(recordCount) trio was 3+
+    // scheduler round-trips per side on every commit (guide §1.2)
+    val emptyProbe = graft.util.ProbedRows.Probe[FileEntry](0L, 0L, Some(Nil))
+    val addProbe = pendingAdds.map(graft.util.ProbedRows.probe(_,
+      (f: FileEntry) => f.recordCount,
+      PaimonConversionTarget.DriverDeltaThreshold)).getOrElse(emptyProbe)
+    val removeProbe = pendingRemoves.map(graft.util.ProbedRows.probe(_,
+      (f: FileEntry) => f.recordCount,
+      PaimonConversionTarget.DriverDeltaThreshold)).getOrElse(emptyProbe)
+    val addCount = addProbe.count
+    val removeCount = removeProbe.count
     val bconf = graft.util.HadoopConfs.broadcastSession(spark)
 
     // base = previous base ∪ previous delta (manifest reuse, no rewrite);
@@ -306,15 +317,16 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     // driver at any commit size
     val deltaManifests: Seq[(String, Long)] = {
       val total = addCount + removeCount
-      if (total <= PaimonConversionTarget.DriverDeltaThreshold) {
+      if (total <= PaimonConversionTarget.DriverDeltaThreshold &&
+          addProbe.rows.isDefined && removeProbe.rows.isDefined) {
+        // the probe already shipped every entry — zero further jobs
         val deltaName = s"manifest-${UUID.randomUUID()}"
         val entries =
-          pendingAdds.toSeq.flatMap(_.toLocalIterator().asScala)
+          addProbe.rows.get.iterator
             .map(PaimonFormat.toEntry(_, PaimonFormat.Kind.Add)) ++
-          pendingRemoves.toSeq.flatMap(_.toLocalIterator().asScala)
+          removeProbe.rows.get.iterator
             .map(PaimonFormat.toEntry(_, PaimonFormat.Kind.Delete))
-        val len = PaimonFormat.writeManifest(s"$mdir/$deltaName",
-          entries.iterator)
+        val len = PaimonFormat.writeManifest(s"$mdir/$deltaName", entries)
         Seq((deltaName, len))
       } else {
         val md = mdir
@@ -348,11 +360,7 @@ class PaimonConversionTarget(spark: SparkSession, tablePath: String)
     // adds − removes; total chains from the previous snapshot's total
     // (None there — a pre-r12 snapshot — keeps the chain honest by
     // staying None rather than recounting the world)
-    import org.apache.spark.sql.functions.{coalesce => cls, lit, sum}
-    def rows(ds: Option[Dataset[FileEntry]]): Long = ds.map(
-      _.agg(cls(sum(col("recordCount")), lit(0L))).head().getLong(0))
-      .getOrElse(0L)
-    val deltaRows = rows(pendingAdds) - rows(pendingRemoves)
+    val deltaRows = addProbe.weight - removeProbe.weight
     val totalRows: Option[Long] = prevId match {
       case None => Some(deltaRows)
       case Some(p) => PaimonFormat.readSnapshot(tablePath, p)

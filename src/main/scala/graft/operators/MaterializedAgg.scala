@@ -104,9 +104,18 @@ object MaterializedAgg {
       keys: Seq[String], measures: Seq[String]): Refresh = {
     require(keys.nonEmpty, "materialized aggregate needs >= 1 key")
     val prior = lastVersion(mvPath)
+    // state row counts come from the parquet footers, driver-side: the
+    // state dir holds O(shuffle partitions) files, and a whole Spark job
+    // (scan + agg) to recount rows just written is a scheduler
+    // round-trip the footers already answer (guide §1.2)
+    def stateRows(stateDir: String): Long = {
+      val conf = graft.util.HadoopConfs.session(spark)
+      graft.sources.ParquetFooters.listFiles(stateDir, conf)
+        .map(f => graft.sources.ParquetFooters
+          .readFooterStats(f.path, conf, Some(Set.empty))._1).sum
+    }
     def noop: Refresh = Refresh(prior, prior,
-      readManifest(mvPath).map(m =>
-        spark.read.parquet(m.stateDir).count()).getOrElse(0L))
+      readManifest(mvPath).map(m => stateRows(m.stateDir)).getOrElse(0L))
     def loadFeed(start: Long) = spark.read.format("graft")
       .option("readChangeFeed", "true")
       .option("startingVersion", start.toString)
@@ -159,7 +168,7 @@ object MaterializedAgg {
       val old = readManifest(mvPath)
       val stateDir = s"$mvPath/state-v$toVersion"
       next.write.mode("overwrite").parquet(stateDir)
-      val groups = spark.read.parquet(stateDir).count()
+      val groups = stateRows(stateDir)
       Files.createDirectories(JPaths.get(mvPath))
       val tmp = Files.createTempFile(JPaths.get(mvPath), "._mv", ".tmp")
       Files.write(tmp, graft.util.Jsons.toJson(Map(
