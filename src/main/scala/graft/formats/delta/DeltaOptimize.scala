@@ -172,7 +172,7 @@ object DeltaOptimize {
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
       .filter(rows.columns.contains)   // generated cols are re-derived later
     val clustered = graft.operators.ZOrder.clusterize(rows, cols,
-      nOut.toInt, partCols)
+      nOut.toInt, partCols, inputBytes = oldBytes)
     val wrote = commitRewrite(spark, tablePath, snap,
       listing, clustered, "zorder", rt)
     if (where.isDefined) graft.plans.SnapshotFileIndex.invalidate(sub)

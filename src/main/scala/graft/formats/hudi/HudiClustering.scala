@@ -51,7 +51,7 @@ object HudiClustering {
     val partCols = snap.table.partitionFields.map(_.partitionColumnName)
       .filter(rows.columns.contains)
     val clustered = graft.operators.ZOrder.clusterize(rows, cols,
-      nOut.toInt, partCols)
+      nOut.toInt, partCols, inputBytes = oldBytes)
 
     val dataDir = s"$path/cluster-${UUID.randomUUID()}"
     if (partCols.isEmpty) clustered.write.parquet(dataDir)

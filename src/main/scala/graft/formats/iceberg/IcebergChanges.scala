@@ -73,17 +73,31 @@ object IcebergChanges {
     // instead of re-running it (the safe half of the sharing the r13
     // collision fix removed — the FILTERED per-step listings below keep
     // their unique ids)
-    def listingAt(s: Long): Dataset[FileEntry] =
-      if (s == 0 || m.snapshotBySeq(s).isEmpty)
-        spark.emptyDataset[FileEntry]
-      else graft.plans.SnapshotFileIndex.listingFor(TableSnapshot(
+    def snapAt(s: Long): Option[TableSnapshot] =
+      if (s == 0 || m.snapshotBySeq(s).isEmpty) None
+      else Some(TableSnapshot(
         src.currentTable(), src.filesAtSeq(m, s), s"$s-cdfbase"))
-    val beforeListing = listingAt(prevSeq).select("path").as[String]
-    val afterListing = listingAt(seq).select("path").as[String]
-    val added = afterListing.toDF("__p")
+    def listingAt(s: Long): Dataset[FileEntry] =
+      snapAt(s).map(graft.plans.SnapshotFileIndex.listingFor)
+        .getOrElse(spark.emptyDataset[FileEntry])
+    // SMALL tables diff their listings DRIVER-SIDE (guide §1.2): the
+    // per-sequence listing is already collected once by the listing
+    // fast path (localFor), so added/removed and the touched-file
+    // restriction become Set operations instead of 2 anti-joins + 2
+    // semi-joins worth of Spark jobs per step. Tables past the
+    // localMax threshold keep the distributed path below (None).
+    val beforeLocal: Option[IndexedSeq[FileEntry]] =
+      snapAt(prevSeq).map(graft.plans.SnapshotFileIndex.localFor)
+        .getOrElse(Some(IndexedSeq.empty))
+    val afterLocal: Option[IndexedSeq[FileEntry]] =
+      snapAt(seq).map(graft.plans.SnapshotFileIndex.localFor)
+        .getOrElse(Some(IndexedSeq.empty))
+    lazy val beforeListing = listingAt(prevSeq).select("path").as[String]
+    lazy val afterListing = listingAt(seq).select("path").as[String]
+    lazy val added = afterListing.toDF("__p")
       .join(beforeListing.toDF("__q"), col("__p") === col("__q"),
         "left_anti")
-    val removed = beforeListing.toDF("__p")
+    lazy val removed = beforeListing.toDF("__p")
       .join(afterListing.toDF("__q"), col("__p") === col("__q"),
         "left_anti")
 
@@ -98,7 +112,11 @@ object IcebergChanges {
     // — a driver-side list bounded by the commit's touched-file count
     val (newDvs, newPosFiles) = newDeletes.filter(_.content == 1)
       .partition(_.isDeletionVector)
-    val posTargets: DataFrame = {
+    val dvTargets: Seq[String] = newDvs.flatMap(_.referencedDataFile)
+      .map(graft.util.PathUtils.canonical).distinct
+    // pos-delete PARQUET files need a data read to learn their targets;
+    // DV targets are already on the driver (manifest field 143)
+    lazy val posTargets: DataFrame = {
       val fromFiles =
         if (newPosFiles.isEmpty) None
         else Some(spark.read.parquet(newPosFiles.map(_.path): _*)
@@ -106,30 +124,24 @@ object IcebergChanges {
             .as("__p")))
       val fromDvs =
         if (newDvs.isEmpty) None
-        else Some(newDvs.flatMap(_.referencedDataFile)
-          .map(graft.util.PathUtils.canonical).distinct
-          .toDF("__p"))
+        else Some(dvTargets.toDF("__p"))
       (fromFiles.toSeq ++ fromDvs.toSeq)
         .reduceOption(_ union _).map(_.distinct())
         .getOrElse(spark.emptyDataset[String].toDF("__p"))
     }
 
-    def read(at: Long, touched: DataFrame): DataFrame = {
-      val listing = listingAt(at)
-      if (at == 0 || m.snapshotBySeq(at).isEmpty)
-        return emptyFeed.drop("_change_type", "_commit_version")
-          .withColumn("__scan_path", lit(null).cast("string"))
-          .withColumn("__scan_pos", lit(null).cast("long"))
-      val files =
-        if (newEq) listing   // equality deletes reach any file: full diff
-        else listing.join(touched, listing("path") === touched("__p"),
-          "left_semi").as[FileEntry]
-      // UNIQUE id per read: adjacent steps read the SAME sequence with
-      // DIFFERENT touched sets (step N's after vs step N+1's before) —
-      // under a shared "$at-cdf" id the execution-time listing cache
-      // (SnapshotFileIndex.listingFor keys on basePath#commitId) served
-      // one step's filtered listing to the other, surfacing phantom
-      // deletes/inserts in multi-step feeds
+    def emptyKeyed: DataFrame =
+      emptyFeed.drop("_change_type", "_commit_version")
+        .withColumn("__scan_path", lit(null).cast("string"))
+        .withColumn("__scan_pos", lit(null).cast("long"))
+
+    // UNIQUE id per read: adjacent steps read the SAME sequence with
+    // DIFFERENT touched sets (step N's after vs step N+1's before) —
+    // under a shared "$at-cdf" id the execution-time listing cache
+    // (SnapshotFileIndex.listingFor keys on basePath#commitId) served
+    // one step's filtered listing to the other, surfacing phantom
+    // deletes/inserts in multi-step feeds
+    def keyedRead(at: Long, files: Dataset[FileEntry]): DataFrame = {
       val sub = TableSnapshot(src.currentTable(), files,
         s"$at-cdf-${java.util.UUID.randomUUID()}")
       val keyed = graft.formats.delta.DeltaRead.toKeyedDataFrame(spark, sub)
@@ -137,8 +149,43 @@ object IcebergChanges {
       graft.plans.SnapshotFileIndex.invalidate(sub)
       out
     }
-    val after = read(seq, added.union(posTargets))
-    val before = read(prevSeq, added.union(removed).union(posTargets))
+
+    def read(at: Long, touched: DataFrame): DataFrame = {
+      val listing = listingAt(at)
+      if (at == 0 || m.snapshotBySeq(at).isEmpty) return emptyKeyed
+      val files =
+        if (newEq) listing   // equality deletes reach any file: full diff
+        else listing.join(touched, listing("path") === touched("__p"),
+          "left_semi").as[FileEntry]
+      keyedRead(at, files)
+    }
+
+    def readLocal(at: Long, entries: IndexedSeq[FileEntry],
+        touched: Seq[String]): DataFrame = {
+      if (at == 0 || m.snapshotBySeq(at).isEmpty) return emptyKeyed
+      val sel =
+        if (newEq) entries
+        else { val t = touched.toSet; entries.filter(e => t(e.path)) }
+      keyedRead(at, spark.createDataset(sel))
+    }
+
+    val (after, before) = (beforeLocal, afterLocal) match {
+      case (Some(bl), Some(al)) if newPosFiles.isEmpty =>
+        // driver-side diff: the same path-equality comparisons the
+        // anti-/semi-joins made, on listings the fast path already holds
+        val beforePaths = bl.iterator.map(_.path).toSet
+        val afterPaths = al.iterator.map(_.path).toSet
+        val addedP = al.iterator.map(_.path)
+          .filterNot(beforePaths).toSeq
+        val removedP = bl.iterator.map(_.path)
+          .filterNot(afterPaths).toSeq
+        (readLocal(seq, al, (addedP ++ dvTargets).distinct),
+          readLocal(prevSeq, bl,
+            (addedP ++ removedP ++ dvTargets).distinct))
+      case _ =>
+        (read(seq, added.union(posTargets)),
+          read(prevSeq, added.union(removed).union(posTargets)))
+    }
 
     val key = Seq("__scan_path", "__scan_pos")
     val inserts = after.join(before.select(key.map(col): _*), key,

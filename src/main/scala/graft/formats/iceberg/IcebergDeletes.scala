@@ -643,7 +643,8 @@ object IcebergDeletes {
           .head().getLong(0)
         val nOut = math.max(1L,
           (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-        graft.operators.ZOrder.clusterize(rows, zorderBy, nOut)
+        graft.operators.ZOrder.clusterize(rows, zorderBy, nOut,
+          inputBytes = totalBytes)
       }
     stageData(out, m, dataDir)
     // CAS against the version the rewrite SCANNED: a commit landing

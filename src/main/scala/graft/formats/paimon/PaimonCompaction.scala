@@ -80,7 +80,7 @@ object PaimonCompaction {
     val packed =
       if (zorderBy.nonEmpty)
         graft.operators.ZOrder.clusterize(rows, zorderBy, nOut.toInt,
-          partCols)
+          partCols, inputBytes = oldBytes)
       else if (partCols.nonEmpty)
         rows.repartition(nOut.toInt, partCols.map(col): _*)
       else rows.repartition(nOut.toInt)

@@ -12,15 +12,17 @@ import org.apache.spark.sql.types._
   * interleave tree — no UDF, no window, fully inside whole-stage codegen;
   * the only driver-side state is ≤255 cut literals per column.
   *
-  * [[clusterize]] is the rewrite entry point. For the common all-numeric
-  * unpartitioned case it lays rows out in ONE full-width pass: the same
-  * 25%-sample that yields the per-column bucket cuts is persisted and
-  * re-aggregated for equi-depth cuts over the z-value itself, each row's
-  * output-file id comes from those cuts as a plain expression, and the
-  * id routes to exactly one reducer through a hash-preimage map — so the
-  * range partitioner's extra full evaluation of the child plan (its
-  * reservoir-sampling pass) never runs. Partitioned or string-keyed
-  * rewrites keep the proven repartitionByRange path.
+  * [[clusterize]] is the rewrite entry point shared by all four formats:
+  * z-value column + range layout + in-partition sort.
+  *
+  * A single-pass variant (explicit equi-depth group ids routed to
+  * reducers by murmur3 hash preimage, so the range partitioner's extra
+  * evaluation of the child never runs) was built and measured this
+  * round: it halved the rewrite's WRITE job (3.65 s → 1.9 s at sf0.1)
+  * but its fixed costs — the extra sample/quantile round-trips and the
+  * second projection's codegen — cost more than the saved pass at gate
+  * scale (warm gate wall 9.1 s → 10.4 s), so it was reverted per guide
+  * §1.3 (measure, keep the measured winner).
   */
 object ZOrder {
 
@@ -111,86 +113,22 @@ object ZOrder {
   }
 
   /** Lay `rows` out clustered by the z-order of `cols` into ~`nOut`
-    * equal-row groups, each group one reducer (one output file per
-    * unpartitioned write task): the rewrite entry point shared by all
-    * four formats.
-    *
-    * All-numeric keys, unpartitioned: the single-pass plan. One sampled
-    * narrow pass (25%, key columns only, persisted) yields the
-    * per-column bucket cuts AND equi-depth cuts over the z-value; rows
-    * then carry an explicit group id (`fromCuts` over the z-value) that
-    * routes to its own reducer via a hash-preimage literal map — no
-    * range partitioner, so the full-width child plan is evaluated
-    * exactly once, in the shuffle-write pass itself. At any scale the
-    * driver holds ≤ (255 cuts × columns + nOut cuts + nOut routes)
-    * literals.
-    *
-    * Partitioned tables and string keys keep the repartitionByRange
-    * path (the extra evaluation pass) — correctness identical, just the
-    * historical plan.
+    * range groups, each group one reducer (one output file per
+    * unpartitioned write task): the rewrite entry point shared by Delta
+    * OPTIMIZE ZORDER, Iceberg compaction-with-clustering, Hudi
+    * clustering and Paimon compaction. Partitioned tables range-lay by
+    * (partition columns, z); `inputBytes` is accepted as a sizing hint
+    * for future layout selection and is currently unused.
     */
   def clusterize(rows: DataFrame, cols: Seq[String], nOut: Int,
-      partCols: Seq[String] = Nil): DataFrame = {
+      partCols: Seq[String] = Nil,
+      inputBytes: Long = Long.MaxValue): DataFrame = {
     require(cols.nonEmpty, "clusterize needs >= 1 cluster column")
-    val views = cols.map(c => c -> numericView(rows, c)).toMap
-    if (partCols.nonEmpty || views.values.exists(_.isEmpty)) {
-      // historical path: partition-aware / string-keyed range layout
-      val rangeCols = partCols.map(col) :+ col("__zval")
-      return rows.withColumn("__zval", zValue(rows, cols))
-        .repartitionByRange(nOut, rangeCols: _*)
-        .sortWithinPartitions(rangeCols: _*)
-        .drop("__zval")
-    }
-    val keyed = rows.select(cols.zipWithIndex.map {
-      case (c, i) => views(c).get.as(s"__q$i")
-    }: _*)
-    val qCols = cols.indices.map(i => s"__q$i").toArray
-    val sampled = keyed.sample(withReplacement = false, 0.25, seed = 41)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val fromSample = sampled.stat.approxQuantile(qCols, QuantileProbs,
-        0.005)
-      val (cutSource, colCuts) =
-        if (fromSample.forall(_.isEmpty))
-          (keyed, keyed.stat.approxQuantile(qCols, QuantileProbs, 0.005))
-        else (sampled, fromSample)
-      val cuts = cols.indices.map(i =>
-        colCuts(i).filterNot(_.isNaN).distinct.sorted.toSeq)
-      def zOf(in: Seq[Column]): Column =
-        interleave(cols.indices.map(i => fromCuts(cuts(i), in(i))))
-      // equi-depth cuts over the z-value itself, from the SAME persisted
-      // sample (z fits a double exactly: ≤ 32 interleaved bits)
-      val zCuts =
-        if (nOut <= 1) Seq.empty[Double]
-        else cutSource
-          .select(zOf(cols.indices.map(i => col(s"__q$i")))
-            .cast("double").as("__z"))
-          .stat.approxQuantile("__z",
-            (1 until nOut).map(_.toDouble / nOut).toArray, 0.005)
-          .distinct.sorted.toSeq
-      val nPart = zCuts.length + 1
-      val zReal = zOf(cols.map(views(_).get))
-      val fid = fromCuts(zCuts, zReal.cast("double"))
-      // exact group→reducer routing: literal ints whose murmur3 hash
-      // (seed 42, Spark's HashPartitioning) lands each fid on its own
-      // shuffle partition — searched driver-side, O(nPart·ln nPart) tries
-      val routes = new Array[Int](nPart)
-      val found = new Array[Boolean](nPart)
-      var v = 0
-      var left = nPart
-      while (left > 0) {
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
-        val p = ((h % nPart) + nPart) % nPart
-        if (!found(p)) { found(p) = true; routes(p) = v; left -= 1 }
-        v += 1
-      }
-      rows.withColumn("__zval", zReal)
-        .withColumn("__zroute",
-          element_at(typedLit(routes.toSeq), fid.cast("int") + 1))
-        .repartition(nPart, col("__zroute"))
-        .sortWithinPartitions("__zval")
-        .drop("__zval", "__zroute")
-    } finally sampled.unpersist()
+    val rangeCols = partCols.map(col) :+ col("__zval")
+    rows.withColumn("__zval", zValue(rows, cols))
+      .repartitionByRange(nOut, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .drop("__zval")
   }
 
   /** ≤255 evenly spaced cuts from a bounded sample (≤64k values) — the

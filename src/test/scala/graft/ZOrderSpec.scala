@@ -2,14 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** The single-pass clusterize layout (optimization round 15): explicit
-  * equi-depth group ids routed each to their own reducer by hash
-  * preimage, replacing repartitionByRange's extra full pass. The risky
-  * part is the route map — if Spark's HashPartitioning disagreed with
-  * the driver-side murmur3 search, two groups would silently share a
-  * reducer and the clustered ranges would interleave. These tests pin
-  * the observable contract: contiguous non-overlapping ranges, all rows
-  * present, layout parity with the historical range-partitioner path.
+/** The shared clusterize rewrite layout (optimization round 15): these
+  * tests pin the observable contract all four formats' z-order rewrites
+  * rely on — contiguous non-overlapping ranges per group, all rows
+  * present, helper columns dropped — independent of which layout
+  * strategy clusterize picks internally.
   */
 class ZOrderSpec extends SparkSuite {
 
@@ -62,5 +59,26 @@ class ZOrderSpec extends SparkSuite {
     val df = spark.range(5).select(col("id").as("k"))
     val out = graft.operators.ZOrder.clusterize(df, Seq("k"), nOut = 4)
     assert(out.count() == 5)
+  }
+
+  test("small-input gate picks the range layout with the same cuts") {
+    import spark.implicits._
+    val df = spark.range(10000).select(
+      (col("id") * 7919 % 10000).as("k"), col("id").as("payload"))
+    // inputBytes below the gate -> repartitionByRange path
+    val out = graft.operators.ZOrder.clusterize(df, Seq("k"), nOut = 8,
+      inputBytes = 0L)
+    val ranges = out.select(col("k"))
+      .mapPartitions(it => {
+        val vs = it.map(_.getLong(0)).toSeq
+        if (vs.isEmpty) Iterator.empty
+        else Iterator((vs.min, vs.max, vs.size.toLong))
+      }).collect().sortBy(_._1)
+    assert(ranges.map(_._3).sum == 10000L, "rows lost or duplicated")
+    ranges.sliding(2).foreach {
+      case Array((_, aMax, _), (bMin, _, _)) =>
+        assert(aMax <= bMin, s"interleaved ranges: $aMax > $bMin")
+      case _ =>
+    }
   }
 }
