@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// -oD: print per-test durations — makes the suite's wall-clock budget
+// attributable (which suites/tests own it) from any plain `sbt test` log
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // The driver parses ONE JSON line from the forked Bench JVM's stdout tail.
 // Without an explicit strategy sbt decorates every forked-stdout line with
 // "[info] ", so the driver's `line.startswith("{")` parser returned null for

@@ -139,10 +139,26 @@ object DeltaChanges {
     val conf = HadoopConfs.session(spark)
     val fs = new org.apache.hadoop.fs.Path(files.head)
       .getFileSystem(conf)
-    val statuses = files.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)))
+    // ONE listStatus of _delta_log answers every version file's size (a
+    // per-file getFileStatus would be O(range) serial namenode RPCs);
+    // the running sum stops as soon as the byte gate is blown, so huge
+    // ranges never even finish the addition
+    val logLens: Map[String, Long] =
+      try fs.listStatus(new org.apache.hadoop.fs.Path(files.head).getParent)
+        .iterator.map(s => s.getPath.getName -> s.getLen).toMap
+      catch { case _: java.io.IOException => Map.empty }
+    def lenOf(f: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(f)
+      logLens.getOrElse(p.getName, fs.getFileStatus(p).getLen)
+    }
+    val underCap = {
+      var total = 0L
+      val it = files.iterator
+      while (it.hasNext && total <= localMax) total += lenOf(it.next())
+      total <= localMax
+    }
     val marks =
-      if (statuses.map(_.getLen).sum <= localMax) {
+      if (underCap) {
         // same dedup key as the distributed path's dropDuplicates
         val seen = scala.collection.mutable
           .LinkedHashMap.empty[(Long, String, String), VersionMark]
@@ -339,6 +355,31 @@ object DeltaChanges {
       graft.plans.SnapshotFileIndex.invalidate(subSnap)
       out
     }
+
+    // PURE-APPEND fast path (guide §1.2): a small commit with adds, NO
+    // removes, and no added path present in the (driver-held) before
+    // listing diffs to exactly the added files' rows tagged `insert` —
+    // the before-restricted side is empty by construction, so both
+    // anti-joins and the whole before keyed-read subtree are provably
+    // no-ops. Equality with the reconstruction path: `inserts` anti-
+    // joined against an empty frame returns every after row; `deletes`
+    // over an empty frame is empty. DV semantics are untouched (the
+    // after side still reads through the same keyed/DV-masked path).
+    val pureAppend = (addPathSet, removePathSet) match {
+      case (Some(adds), Some(Seq())) if adds.nonEmpty =>
+        graft.plans.SnapshotFileIndex.localFor(beforeSnap).exists { entries =>
+          val before = entries.iterator.map(_.path).toSet
+          !adds.exists(before.contains)
+        }
+      case _ => false
+    }
+    if (pureAppend) {
+      val cols = schema.fieldNames.toSeq.map(col)
+      return restricted(afterSnap, Left(addPathSet.get), s"a$v")
+        .select(cols :+ lit("insert").as("_change_type"): _*)
+        .withColumn("_commit_version", lit(v))
+    }
+
     val after = restricted(afterSnap,
       addPathSet.toLeft(addPaths), s"a$v")
     val before = restricted(beforeSnap,

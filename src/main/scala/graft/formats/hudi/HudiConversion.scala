@@ -522,6 +522,19 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
       else addsProbe.rows.orElse(pendingAdds.map(_.collect().toSeq))
     val smallBuf: Seq[FileEntry] = smallAddRows.getOrElse(Nil)
     val sep = HudiTimeline.GroupSep
+    // driver-side lines must sort exactly like the distributed path's
+    // orderBy (UTF8String = UTF-8 byte lexicographic); Java's String
+    // ordering compares UTF-16 code units, which orders supplementary
+    // characters differently — byte-identical output either path
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var c = 0
+      while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (c != 0) c else x.length - y.length
+    }
     def groupedLines(ds: org.apache.spark.sql.Dataset[FileEntry],
         payload: FileEntry => String): Iterator[String] =
       // lexicographic sort on the whole line groups partitions
@@ -539,7 +552,7 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
     val statLines = smallAddRows match {
       case Some(rows) =>
         rows.map(f => partitionPathOf(f) + sep + statPayload(f))
-          .sorted.iterator
+          .sorted(utf8Order).iterator
       case None => pendingAdds.map(groupedLines(_, statPayload))
         .getOrElse(Iterator.empty)
     }
@@ -553,7 +566,7 @@ class HudiConversionTarget(spark: SparkSession, tablePath: String)
       case Some(rows)
           if removeCount <= HudiMetadataIndex.SmallDeltaThreshold =>
         rows.map(f => partitionPathOf(f) + sep + replacePayload(f))
-          .sorted.iterator
+          .sorted(utf8Order).iterator
       case _ => pendingRemoves.map(groupedLines(_, replacePayload))
         .getOrElse(Iterator.empty)
     }

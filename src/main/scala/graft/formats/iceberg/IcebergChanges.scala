@@ -179,6 +179,18 @@ object IcebergChanges {
           .filterNot(beforePaths).toSeq
         val removedP = bl.iterator.map(_.path)
           .filterNot(afterPaths).toSeq
+        // PURE-APPEND step fast path (guide §1.2): no new delete files,
+        // nothing removed, every added path absent from the before
+        // listing — the before side restricted to the touched set is
+        // empty by construction, so the anti-joins are provably no-ops
+        // and the step's changes are exactly the added files' live rows
+        // tagged `insert` (the after read keeps the same keyed/
+        // delete-masked path, so prior-sequence delete semantics are
+        // untouched).
+        if (newDeletes.isEmpty && removedP.isEmpty && addedP.nonEmpty)
+          return readLocal(seq, al, addedP)
+            .select(cols :+ lit("insert").as("_change_type"): _*)
+            .withColumn("_commit_version", lit(seq))
         (readLocal(seq, al, (addedP ++ dvTargets).distinct),
           readLocal(prevSeq, bl,
             (addedP ++ removedP ++ dvTargets).distinct))

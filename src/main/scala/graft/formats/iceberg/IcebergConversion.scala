@@ -492,8 +492,11 @@ class IcebergConversionTarget(spark: SparkSession, tablePath: String)
       // partition); a probe-truncated but under-cap commit keeps the
       // streaming iterator, an over-cap commit skips the driver attempt
       // entirely (the old path wrote a partial manifest and deleted it)
+      // probe cap = the driver-path gate, so a 65k-100k-add commit does
+      // not truncate the probe and pay the extra per-partition
+      // toLocalIterator pass the fusion exists to remove
       val addsProbe = graft.util.ProbedRows.probe(ds,
-        (f: FileEntry) => f.recordCount)
+        (f: FileEntry) => f.recordCount, cap = cap)
       val overCap = addsProbe.count > cap
       val it: Iterator[graft.model.FileEntry] =
         if (overCap) Iterator.empty

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to useCache=true: every ImageIO.read/write goes
+  // through a FileCache*ImageStream — a temp FILE created and deleted on
+  // DISK per image, even when the payload is an in-memory byte array.
+  // All media here is byte-array-backed, so cache in memory instead
+  // (identical decode/encode results; removes one file create+delete per
+  // image per task — guide §1.2 per-task work).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: id + opaque payload + declared modality. */
   case class MediaRecord(doc_id: Long, media: Array[Byte], modality: String)
 

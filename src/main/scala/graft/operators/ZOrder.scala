@@ -117,15 +117,30 @@ object ZOrder {
     * unpartitioned write task): the rewrite entry point shared by Delta
     * OPTIMIZE ZORDER, Iceberg compaction-with-clustering, Hudi
     * clustering and Paimon compaction. Partitioned tables range-lay by
-    * (partition columns, z); `inputBytes` is accepted as a sizing hint
-    * for future layout selection and is currently unused.
+    * (partition columns, z).
+    *
+    * The rewrite input subtree (keyed read + delete mask + joins) is
+    * otherwise evaluated THREE times: the approxQuantile pass, the range
+    * partitioner's sampling pass (RangePartitioner.sketch re-runs the
+    * child), and the write itself — each with its own full Catalyst
+    * re-plan of the subtree. When `inputBytes` is at most
+    * `spark.graft.zorder.pinMaxBytes` (default 4 GiB) the input is
+    * pinned with a lazy local checkpoint: the quantile pass materializes
+    * it once and the sketch + write read pinned blocks through a tiny
+    * LogicalRDD plan. Past the cap (a 100 TB-scale rewrite) pinning all
+    * input bytes to the block manager would cost more than the extra
+    * key-projected evaluations, so the un-pinned shape is kept.
     */
   def clusterize(rows: DataFrame, cols: Seq[String], nOut: Int,
       partCols: Seq[String] = Nil,
       inputBytes: Long = Long.MaxValue): DataFrame = {
     require(cols.nonEmpty, "clusterize needs >= 1 cluster column")
+    val pinMax = rows.sparkSession.conf
+      .get("spark.graft.zorder.pinMaxBytes", (4L << 30).toString).toLong
+    val src =
+      if (inputBytes <= pinMax) rows.localCheckpoint(eager = false) else rows
     val rangeCols = partCols.map(col) :+ col("__zval")
-    rows.withColumn("__zval", zValue(rows, cols))
+    src.withColumn("__zval", zValue(src, cols))
       .repartitionByRange(nOut, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .drop("__zval")

@@ -61,11 +61,12 @@ class ZOrderSpec extends SparkSuite {
     assert(out.count() == 5)
   }
 
-  test("small-input gate picks the range layout with the same cuts") {
+  test("small-input pin (localCheckpoint) keeps the same range layout") {
     import spark.implicits._
     val df = spark.range(10000).select(
       (col("id") * 7919 % 10000).as("k"), col("id").as("payload"))
-    // inputBytes below the gate -> repartitionByRange path
+    // inputBytes below spark.graft.zorder.pinMaxBytes -> pinned input;
+    // layout contract must be identical to the unpinned path
     val out = graft.operators.ZOrder.clusterize(df, Seq("k"), nOut = 8,
       inputBytes = 0L)
     val ranges = out.select(col("k"))
