@@ -94,12 +94,31 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
       vs.lastOption.getOrElse(0L))
   }
 
+  /** Snapshot assembly: a small checkpoint-less log's listing is already
+    * parsed driver-side (DeltaSnapshot.liveFilesLocal) — ship it as a
+    * local Dataset AND seed the listing fast path, so neither the
+    * listing materialization nor the localFor probe runs a Spark job for
+    * it. Past the driver-replay caps the distributed replay is unchanged.
+    */
+  private def snapshotOf(vs: Seq[Long], table: graft.model.TableDescriptor,
+      schema: org.apache.spark.sql.types.StructType,
+      commitId: String): TableSnapshot = {
+    import spark.implicits._
+    DeltaSnapshot.liveFilesLocal(spark, tablePath, vs, schema) match {
+      case Some(entries) =>
+        val snap = TableSnapshot(table,
+          spark.createDataset(entries), commitId)
+        graft.plans.SnapshotFileIndex.offerLocal(snap, entries)
+        snap
+      case None => TableSnapshot(table,
+        DeltaSnapshot.liveFiles(spark, tablePath, vs, schema), commitId)
+    }
+  }
+
   override def currentSnapshot(): TableSnapshot = {
     val vs = versions
     val table = currentTable()
-    TableSnapshot(table,
-      DeltaSnapshot.liveFiles(spark, tablePath, vs, table.schema),
-      vs.lastOption.getOrElse(0L).toString)
+    snapshotOf(vs, table, table.schema, vs.lastOption.getOrElse(0L).toString)
   }
 
   /** Time travel: table state as of a historical version (reference
@@ -111,9 +130,7 @@ class DeltaConversionSource(spark: SparkSession, tablePath: String,
     val meta = metadataAt(vs)
     val table = currentTable().copy(
       schemaJson = meta.schema.json, latestCommitMillis = vs.last)
-    TableSnapshot(table,
-      DeltaSnapshot.liveFiles(spark, tablePath, vs, meta.schema),
-      vs.last.toString)
+    snapshotOf(vs, table, meta.schema, vs.last.toString)
   }
 
   override def changeForCommit(commit: String): TableChange = {

@@ -172,13 +172,9 @@ object DeltaDeletes {
     val srcProj = source.select(schema.fieldNames.toSeq.map(col): _*)
       .persist()
     try {
-      val srcCount = srcProj.count()
+      // one grouped aggregate answers count + duplicate-key refusal
+      val srcCount = graft.util.MergeChecks.countNoDupKeys(srcProj, keyCols)
       if (srcCount == 0L) return (0L, 0L)
-      val dupKeys = srcProj.groupBy(keyCols.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dupKeys == 0L,
-        "mergeInto source has duplicate keys — a target row would match " +
-          "more than one source row (same refusal as delta-spark MERGE)")
 
       // matched live target rows: semi-join the keyed scan against the
       // source keys (broadcast-able; existing DVs already masked). ONE

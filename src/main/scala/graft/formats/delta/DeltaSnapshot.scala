@@ -669,16 +669,46 @@ object DeltaSnapshot {
     val renames = DeltaColumnMapping.physicalToLogical(schema)
     liveAdds(spark, tablePath, versions).mapPartitions { it =>
       val sch = DataType.fromJson(physSchemaJson).asInstanceOf[StructType]
-      it.map { a =>
-        val (numRecords, stats0) = DeltaStats.parse(sch, a.stats)
-        val stats = stats0.map(s =>
-          s.copy(field = renames.getOrElse(s.field, s.field)))
-        FileEntry(a.path, a.size, numRecords, "parquet",
-          a.partitionValues.toSeq.sortBy(_._1)
-            .map { case (k, v) =>
-              PartitionMember(renames.getOrElse(k, k), v) },
-          stats, a.modificationTime, a.dvDescriptor)
-      }
+      it.map(toFileEntry(sch, renames))
+    }
+  }
+
+  /** Shared ActionRow → FileEntry conversion (stats parse + logical
+    * renames) — one body for the distributed mapPartitions and the
+    * driver-side listing below, so both produce identical entries.
+    */
+  private def toFileEntry(sch: StructType, renames: Map[String, String])
+      (a: ActionRow): FileEntry = {
+    val (numRecords, stats0) = DeltaStats.parse(sch, a.stats)
+    val stats = stats0.map(s =>
+      s.copy(field = renames.getOrElse(s.field, s.field)))
+    FileEntry(a.path, a.size, numRecords, "parquet",
+      a.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          PartitionMember(renames.getOrElse(k, k), v) },
+      stats, a.modificationTime, a.dvDescriptor)
+  }
+
+  /** Driver-held FileEntry listing when the log qualifies for the driver
+    * replay (no checkpoint, ≤64 version files, ≤4 MB of log) — the same
+    * winner set [[liveAdds]] would wrap in a Dataset, already parsed on
+    * the driver. Callers seed the listing fast path with it
+    * (SnapshotFileIndex.offerLocal) so per-snapshot metadata questions
+    * skip the probe's plan+collect Spark job entirely. None past the
+    * caps: a 10^6-file table keeps the distributed replay untouched.
+    */
+  def liveFilesLocal(spark: SparkSession, tablePath: String,
+      versions: Seq[Long], schema: StructType)
+      : Option[IndexedSeq[FileEntry]] = {
+    val conf = graft.util.HadoopConfs.session(spark)
+    val head = versions.lastOption.getOrElse(-1L)
+    val cp = DeltaLog.latestCheckpoint(tablePath, head, conf)
+    DeltaLog.requireReplayable(tablePath, versions, cp, conf)
+    if (cp.nonEmpty) return None
+    driverReplay(tablePath, versions, conf).map { adds =>
+      val sch = DeltaColumnMapping.physicalSchema(schema)
+      val renames = DeltaColumnMapping.physicalToLogical(schema)
+      adds.iterator.map(toFileEntry(sch, renames)).toIndexedSeq
     }
   }
 

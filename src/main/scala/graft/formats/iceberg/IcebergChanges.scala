@@ -75,8 +75,7 @@ object IcebergChanges {
     // their unique ids)
     def snapAt(s: Long): Option[TableSnapshot] =
       if (s == 0 || m.snapshotBySeq(s).isEmpty) None
-      else Some(TableSnapshot(
-        src.currentTable(), src.filesAtSeq(m, s), s"$s-cdfbase"))
+      else Some(src.snapshotAtSeq(m, s, src.currentTable(), s"$s-cdfbase"))
     def listingAt(s: Long): Dataset[FileEntry] =
       snapAt(s).map(graft.plans.SnapshotFileIndex.listingFor)
         .getOrElse(spark.emptyDataset[FileEntry])

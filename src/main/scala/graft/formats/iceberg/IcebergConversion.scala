@@ -70,6 +70,32 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** Snapshot assembly at a sequence: small-manifest snapshots read their
+    * listing DRIVER-side (IcebergManifests.liveFilesLocal) — shipped as a
+    * local Dataset AND seeded into the listing fast path, so neither the
+    * listing materialization nor the localFor probe runs a Spark job.
+    * Past the caps the distributed manifest scan is unchanged.
+    */
+  private[iceberg] def snapshotAtSeq(m: IcebergTableMetadata, seq: Long,
+      table: graft.model.TableDescriptor, commitId: String): TableSnapshot = {
+    import spark.implicits._
+    m.snapshotBySeq(seq) match {
+      case None =>
+        TableSnapshot(table, spark.emptyDataset[FileEntry], commitId)
+      case Some(s) =>
+        IcebergManifests.liveFilesLocal(s.manifestList, m.schema) match {
+          case Some(entries) =>
+            val snap = TableSnapshot(table,
+              spark.createDataset(entries), commitId)
+            graft.plans.SnapshotFileIndex.offerLocal(snap, entries)
+            snap
+          case None => TableSnapshot(table, IcebergManifests.liveFiles(
+            spark, IcebergManifests.readManifestList(s.manifestList),
+            m.schema), commitId)
+        }
+    }
+  }
+
   /** A snapshot is representable as a bare file listing only when no
     * row-level delete files are live: file-level consumers (sync, the 1:1
     * relation scan) would otherwise serve/propagate logically-deleted
@@ -90,8 +116,7 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
   override def currentSnapshot(): TableSnapshot = {
     val m = meta
     requireNoRowLevelDeletes(m, m.headSequence)
-    TableSnapshot(currentTable(), filesAtSeq(m, m.headSequence),
-      m.headSequence.toString)
+    snapshotAtSeq(m, m.headSequence, currentTable(), m.headSequence.toString)
   }
 
   /** Snapshot listing at a historical sequence number — Iceberg time
@@ -100,7 +125,7 @@ class IcebergConversionSource(spark: SparkSession, tablePath: String,
   def snapshotAt(seq: Long): TableSnapshot = {
     val m = meta
     requireNoRowLevelDeletes(m, seq)
-    TableSnapshot(currentTable(), filesAtSeq(m, seq), seq.toString)
+    snapshotAtSeq(m, seq, currentTable(), seq.toString)
   }
 
   override def changeForCommit(commit: String): TableChange = {

@@ -212,13 +212,9 @@ object IcebergDeletes {
     val srcProj = source.select(schema.fieldNames.toSeq.map(col): _*)
       .persist()
     try {
-      val srcCount = srcProj.count()
+      // one grouped aggregate answers count + duplicate-key refusal
+      val srcCount = graft.util.MergeChecks.countNoDupKeys(srcProj, keyCols)
       if (srcCount == 0L) return (0L, 0L)
-      val dupKeys = srcProj.groupBy(keyCols.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dupKeys == 0L,
-        "mergeInto source has duplicate keys — a target row would match " +
-          "more than one source row")
       val matched = src.toDataFrame
         .join(srcProj.select(keyCols.map(col): _*), keyCols, "left_semi")
         .count()

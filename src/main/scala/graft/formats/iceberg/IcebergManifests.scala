@@ -765,6 +765,29 @@ object IcebergManifests {
       }
   }
 
+  /** Driver-side live-file listing when the snapshot's DATA manifests are
+    * few and small (counts from the manifest list's own `manifest_length`
+    * — no extra IO to decide): the exact rows [[liveFiles]] would compute
+    * distributed, already on the driver, for seeding the listing fast
+    * path (SnapshotFileIndex.offerLocal). None past the caps, so a
+    * 10^6-file table keeps the distributed manifest scan untouched.
+    */
+  def liveFilesLocal(manifestListPath: String, schema: StructType,
+      maxBytes: Long = 4L << 20, maxManifests: Int = 64)
+      : Option[IndexedSeq[FileEntry]] = {
+    val recs = readManifestListRecords(manifestListPath)
+      .filter(r => contentOf(r) == 0)
+    if (recs.size > maxManifests) return None
+    val bytes = recs.iterator
+      .map(r => longOf(r.get("manifest_length"), Long.MaxValue)).sum
+    if (bytes > maxBytes || bytes < 0) return None
+    Some(recs.iterator.flatMap { r =>
+      readManifest(r.get("manifest_path").toString)
+        .map(e => fromEntry(e, schema))
+        .collect { case (st, fe) if st != Status.Deleted => fe }
+    }.toIndexedSeq)
+  }
+
   /** Distributed manifest scan: manifests read in executors, one iterator
     * per manifest — the Spark analog of Iceberg's planFiles
     * (IcebergConversionSource.java:172-186 uses includeColumnStats scans).

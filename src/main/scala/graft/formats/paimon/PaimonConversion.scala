@@ -117,11 +117,31 @@ class PaimonConversionSource(spark: SparkSession, tablePath: String,
       if (schema.partitionKeys.nonEmpty) Layout.HivePartitioned
       else Layout.Flat,
       id)
-    TableSnapshot(table, listingAt(id), id.toString)
+    snapshotOf(table, id)
+  }
+
+  /** Snapshot assembly: the ≤4-manifest driver listing (listingAt's own
+    * small path) is also seeded into the listing fast path, so later
+    * metadata questions skip the localFor plan+collect probe job.
+    */
+  private def snapshotOf(table: TableDescriptor, id: Long): TableSnapshot = {
+    import spark.implicits._
+    val snap = PaimonFormat.readSnapshot(tablePath, id)
+    val names = PaimonFormat.readManifestList(
+      PaimonFormat.manifestListPath(tablePath, snap.baseManifestList)) ++
+      PaimonFormat.readManifestList(
+        PaimonFormat.manifestListPath(tablePath, snap.deltaManifestList))
+    if (names.size <= 4) {
+      val entries = liveAt(id).toIndexedSeq
+      val out = TableSnapshot(table, spark.createDataset(entries),
+        id.toString)
+      graft.plans.SnapshotFileIndex.offerLocal(out, entries)
+      out
+    } else TableSnapshot(table, listingAt(id), id.toString)
   }
 
   override def currentSnapshot(): TableSnapshot =
-    TableSnapshot(currentTable(), listingAt(latest), latest.toString)
+    snapshotOf(currentTable(), latest)
 
   override def changeForCommit(commit: String): TableChange = {
     import spark.implicits._

@@ -72,13 +72,9 @@ object PaimonDeletes {
     val srcProj = source.select(schema.fieldNames.toSeq.map(col): _*)
       .persist()
     try {
-      val srcCount = srcProj.count()
+      // one grouped aggregate answers count + duplicate-key refusal
+      val srcCount = graft.util.MergeChecks.countNoDupKeys(srcProj, keyCols)
       if (srcCount == 0L) return (0L, 0L)
-      val dupKeys = srcProj.groupBy(keyCols.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dupKeys == 0L,
-        "mergeInto source has duplicate keys — a target row would match " +
-          "more than one source row")
       val srcKeys = srcProj.select(keyCols.map(col): _*)
       val matchedRows = keyed.join(srcKeys, keyCols, "left_semi")
       val matched = matchedRows.count()

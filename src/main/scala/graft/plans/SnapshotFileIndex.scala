@@ -244,6 +244,23 @@ object SnapshotFileIndex {
           : Boolean = size > 64
     }
 
+  /** Seed the small-listing cache with entries the snapshot BUILDER
+    * already holds driver-side (e.g. Delta's driver log replay): every
+    * later metadata question then answers without [[localFor]]'s
+    * plan+collect probe job. Same cap as the probe; a first-probe win
+    * keeps whichever verdict landed first (both are the same rows).
+    */
+  def offerLocal(snap: TableSnapshot, entries: IndexedSeq[FileEntry]): Unit = {
+    val max = snap.files.sparkSession.conf
+      .getOption("spark.graft.listing.localMax")
+      .map(_.toInt).getOrElse(4096)
+    if (entries.length <= max) cachedLocals.synchronized {
+      val key = snap.table.basePath + "#" + snap.commitId
+      if (cachedLocals.get(key) == null)
+        cachedLocals.put(key, Some(entries))
+    }
+  }
+
   def localFor(snap: TableSnapshot): Option[IndexedSeq[FileEntry]] = {
     val key = snap.table.basePath + "#" + snap.commitId
     val cached = cachedLocals.synchronized(Option(cachedLocals.get(key)))

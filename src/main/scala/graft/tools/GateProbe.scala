@@ -87,10 +87,16 @@ object GateProbe {
           // else its top frame); SQL-execution pool threads: bucketed only
           // when runnable with an interesting frame
           val mainSt = mainThread.getStackTrace
-          val mainKey = interesting(mainSt).orElse(mainSt.drop(2).headOption)
-            .map(f => "MAIN " + f.getClassName.split('.').takeRight(2)
+          // innermost notable frame (the Spark phase) PLUS the innermost
+          // graft.* caller frame — "who asked" and "what Spark is doing"
+          val phase = interesting(mainSt).orElse(mainSt.drop(2).headOption)
+            .map(f => f.getClassName.split('.').takeRight(2)
               .mkString(".") + "." + f.getMethodName).getOrElse("?")
-          sampleBuckets.merge(mainKey, 1, (a, b) => a + b)
+          val caller = mainSt.find(e => e.getClassName.startsWith("graft.") &&
+              !e.getClassName.contains("GateProbe"))
+            .map(f => f.getClassName.split('.').last + "." + f.getMethodName +
+              ":" + f.getLineNumber).getOrElse("-")
+          sampleBuckets.merge(s"MAIN $phase <= $caller", 1, (a, b) => a + b)
           all.foreach { case (t, st) =>
             if ((t ne mainThread) && t.getState == Thread.State.RUNNABLE)
               interesting(st).foreach { f =>
