@@ -269,11 +269,59 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
       }
   }
 
+  /** Driver-side FileEntry conversion for SMALL listings over a
+    * json-only metadata index — per-row logic identical to
+    * [[toFileEntries]]'s distributed mapPartitions (index hit with stats
+    * → served from the index; else a parquet footer read). None past the
+    * row cap or when the index carries parquet deltas, so large tables
+    * keep the distributed join+scan untouched.
+    */
+  private def toFileEntriesLocal(
+      rows: Seq[(String, HudiTimeline.WriteStat, String)])
+      : Option[IndexedSeq[FileEntry]] = {
+    if (rows.size > 64) return None
+    HudiMetadataIndex.readLocal(tablePath).map { index =>
+      val conf = graft.util.HadoopConfs.session(spark)
+      rows.iterator.map { case (part, s, instant) =>
+        val path = PathUtils.resolve(tablePath, s.path)
+        val (records, stats) = index.get(path) match {
+          case Some(fe) if fe.columnStats.nonEmpty =>
+            (fe.recordCount, fe.columnStats)
+          case _ => ParquetFooters.readFooterStats(path, conf)
+        }
+        val pv = part.split('/').toSeq.filter(_.contains('='))
+          .map { seg =>
+            val i = seg.indexOf('=')
+            PartitionMember(seg.substring(0, i), seg.substring(i + 1))
+          }
+        FileEntry(path, s.fileSizeInBytes, records,
+          ParquetFooters.formatOf(path), pv, stats, instant.toLong)
+      }.toIndexedSeq
+    }
+  }
+
+  /** Snapshot assembly: small json-only-index listings ride driver-side
+    * and seed the listing fast path (no localFor probe job); otherwise
+    * the distributed [[toFileEntries]] is unchanged.
+    */
+  private def hudiSnapshot(table: TableDescriptor, upTo: String)
+      : TableSnapshot = {
+    import spark.implicits._
+    val rows = liveStats(upTo)
+    toFileEntriesLocal(rows) match {
+      case Some(entries) =>
+        val snap = TableSnapshot(table, spark.createDataset(entries), upTo)
+        graft.plans.SnapshotFileIndex.offerLocal(snap, entries)
+        snap
+      case None => TableSnapshot(table, toFileEntries(rows), upTo)
+    }
+  }
+
   override def currentSnapshot(): TableSnapshot = {
     val last = instants.lastOption.getOrElse(
       throw new IllegalStateException(s"no Hudi timeline at $tablePath"))
     checkQueryTypeServable(last)
-    TableSnapshot(currentTable(), toFileEntries(liveStats(last)), last)
+    hudiSnapshot(currentTable(), last)
   }
 
   /** Time travel: table state as of a historical instant (reference
@@ -294,7 +342,7 @@ class HudiConversionSource(spark: SparkSession, tablePath: String,
       PathUtils.canonical(tablePath), schemaFromTimeline(commits), spec,
       if (spec.nonEmpty) Layout.HivePartitioned else Layout.Flat,
       upTo.toLong)
-    TableSnapshot(table, toFileEntries(liveStats(upTo)), upTo)
+    hudiSnapshot(table, upTo)
   }
 
   /** Live listing from timeline metadata only (no footer reads): record

@@ -77,6 +77,49 @@ object HudiMetadataIndex {
     * (parquet directories AND json sidecars). Empty when the table has no
     * index (reader falls back to footers).
     */
+  /** Driver-held index when it is json-only (no parquet delta dirs):
+    * latest entry per path, the same winner rule as [[read]]'s window
+    * (descending lastModifiedMillis; first-in-file-order on ties). None
+    * when parquet deltas exist — those keep the distributed read.
+    */
+  def readLocal(tablePath: String): Option[Map[String, FileEntry]] = {
+    val dir = resolvedDir(tablePath)
+    if (!Files.exists(dir)) return Some(Map.empty)
+    import scala.jdk.CollectionConverters._
+    val children = Files.list(dir).iterator().asScala.toSeq
+    if (children.exists(Files.isDirectory(_))) return None
+    val best = scala.collection.mutable.Map.empty[String, FileEntry]
+    children.filter(p => p.getFileName.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
+      .foreach { p =>
+        jsonFileEntries(p).foreach { fe =>
+          if (!best.get(fe.path).exists(
+              _.lastModifiedMillis >= fe.lastModifiedMillis))
+            best.put(fe.path, fe)
+        }
+      }
+    Some(best.toMap)
+  }
+
+  private def jsonFileEntries(p: java.nio.file.Path): Seq[FileEntry] = {
+    import scala.jdk.CollectionConverters._
+    val arr = graft.util.Jsons.mapper.readTree(Files.readString(p))
+    arr.elements().asScala.map { n =>
+      FileEntry(n.get("path").asText, n.get("fileSizeBytes").asLong,
+        n.get("recordCount").asLong, n.get("fileFormat").asText,
+        n.get("partitionValues").elements().asScala.map(m =>
+          graft.model.PartitionMember(m.get("field").asText,
+            m.get("value").asText)).toSeq,
+        n.get("columnStats").elements().asScala.map(s =>
+          graft.model.FileColumnStat(s.get("field").asText,
+            Option(s.get("min")).filterNot(_.isNull).map(_.asText),
+            Option(s.get("max")).filterNot(_.isNull).map(_.asText),
+            s.get("numNulls").asLong, s.get("numValues").asLong,
+            s.get("totalSize").asLong)).toSeq,
+        n.get("lastModifiedMillis").asLong)
+    }.toSeq
+  }
+
   def read(spark: SparkSession, tablePath: String): Dataset[FileEntry] = {
     import spark.implicits._
     val dir = resolvedDir(tablePath)
@@ -88,23 +131,7 @@ object HudiMetadataIndex {
     val jsonEntries: Seq[FileEntry] = children
       .filter(p => p.getFileName.toString.endsWith(".json"))
       .sortBy(_.getFileName.toString)
-      .flatMap { p =>
-        val arr = graft.util.Jsons.mapper.readTree(Files.readString(p))
-        arr.elements().asScala.map { n =>
-          FileEntry(n.get("path").asText, n.get("fileSizeBytes").asLong,
-            n.get("recordCount").asLong, n.get("fileFormat").asText,
-            n.get("partitionValues").elements().asScala.map(m =>
-              graft.model.PartitionMember(m.get("field").asText,
-                m.get("value").asText)).toSeq,
-            n.get("columnStats").elements().asScala.map(s =>
-              graft.model.FileColumnStat(s.get("field").asText,
-                Option(s.get("min")).filterNot(_.isNull).map(_.asText),
-                Option(s.get("max")).filterNot(_.isNull).map(_.asText),
-                s.get("numNulls").asLong, s.get("numValues").asLong,
-                s.get("totalSize").asLong)).toSeq,
-            n.get("lastModifiedMillis").asLong)
-        }.toSeq
-      }
+      .flatMap(jsonFileEntries)
     if (parquetDeltas.isEmpty && jsonEntries.isEmpty)
       return spark.emptyDataset[FileEntry]
     val parts = Seq.newBuilder[Dataset[FileEntry]]
