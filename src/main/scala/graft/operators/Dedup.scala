@@ -24,7 +24,10 @@ object Dedup {
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val words = split(lower(col(textCol)), "\\s+")
-    docs.select(col(idCol).as("doc"), words.as("words"))
+    // tokenize+shingle is the CPU-heavy per-row pass: fan a
+    // sub-split-size input out so it doesn't run in one scan task
+    graft.util.Fanout.widen(docs)
+      .select(col(idCol).as("doc"), words.as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc"), array_distinct(transform(
         sequence(lit(1), size(col("words")) - (n - 1)),

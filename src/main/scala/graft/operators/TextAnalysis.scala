@@ -491,7 +491,10 @@ object TextAnalysis {
         "else cast(array() as array<string>) end")
     val refSrc = broadcast(
       docs.agg(min(col(sourceCol)).as("__ref_src")))
-    val exploded = docs.withColumn("__lc", lower(col(textCol)))
+    // the trigram explode is the CPU-heavy per-row pass: fan a
+    // sub-split-size corpus out so it doesn't run in one scan task
+    val exploded = graft.util.Fanout.widen(docs)
+      .withColumn("__lc", lower(col(textCol)))
       .crossJoin(refSrc)
       .select(col(idCol), col(sourceCol), col("__ref_src"),
         explode(triExpr).as("tri"))

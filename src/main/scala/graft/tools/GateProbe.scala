@@ -98,12 +98,23 @@ object GateProbe {
               ":" + f.getLineNumber).getOrElse("-")
           sampleBuckets.merge(s"MAIN $phase <= $caller", 1, (a, b) => a + b)
           all.foreach { case (t, st) =>
-            if ((t ne mainThread) && t.getState == Thread.State.RUNNABLE)
-              interesting(st).foreach { f =>
-                val key = "POOL " + f.getClassName.split('.').takeRight(2)
-                  .mkString(".") + "." + f.getMethodName
-                sampleBuckets.merge(key, 1, (a, b) => a + b)
+            if ((t ne mainThread) && t.getState == Thread.State.RUNNABLE &&
+                st.nonEmpty) {
+              val key = interesting(st) match {
+                case Some(f) => "POOL " + f.getClassName.split('.')
+                  .takeRight(2).mkString(".") + "." + f.getMethodName
+                case None =>
+                  // coarse bucket so executor work outside the notable
+                  // list is still visible (top frame, class only)
+                  val f = st.head
+                  if (f.getClassName.startsWith("java.") ||
+                      f.getClassName.startsWith("jdk.") ||
+                      f.getClassName.startsWith("sun.")) null
+                  else "POOL* " + f.getClassName.split('.')
+                    .takeRight(2).mkString(".") + "." + f.getMethodName
               }
+              if (key != null) sampleBuckets.merge(key, 1, (a, b) => a + b)
+            }
           }
         }
         Thread.sleep(20)
