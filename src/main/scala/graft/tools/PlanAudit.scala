@@ -14,7 +14,7 @@ import graft.SparkEntry
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq
+    val names = if (args.length > 1) args.tail.toSeq.filterNot(_.startsWith("--"))
       else Seq("q1_pricing_summary", "q3_shipping_priority",
         "q5_local_supplier", "q6_revenue_forecast", "q13_brand_revenue",
         "events_hourly_counts", "dedup_exact")
