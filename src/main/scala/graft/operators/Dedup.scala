@@ -344,7 +344,10 @@ object Dedup {
   private def dupSpanFrames(docs: DataFrame, idCol: String, textCol: String,
       n: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol),
+    // tokenize + gram-explode + md5 is the CPU-heavy per-row pass
+    // (O(total tokens) rows): fan a sub-split-size input out so it
+    // doesn't run in one scan task (guide §2.5)
+    val toks = graft.util.Fanout.widen(docs).select(col(idCol),
       TextAnalysis.whitespaceTokens(col(textCol)).as("w"))
     val grams = toks
       .select(col(idCol),

@@ -99,7 +99,9 @@ object TextAnalysis {
   def repetitionFeatures(docs: DataFrame, idCol: String, textCol: String,
       flagThreshold: Double = 0.1): DataFrame = {
     val words = split(lower(col(textCol)), "\\s+")
-    val grams = docs
+    // tokenize+bigram-explode is the CPU-heavy per-row pass: fan a
+    // sub-split-size input out so it doesn't run in one scan task
+    val grams = graft.util.Fanout.widen(docs)
       .select(col(idCol), words.as("w"))
       .filter(size(col("w")) >= 2)
       .select(col(idCol), size(col("w")).cast("long").as("n_tokens"),
@@ -268,6 +270,10 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT widened (cf. Fanout.widen elsewhere): measured +0.3 s — the
+    // single-token explode is cheap and the (doc, term) partial
+    // aggregation repeated per fanned-out slice outweighs the
+    // parallelism on a sub-split corpus
     val terms = docs.select(col(idCol),
         explode(whitespaceTokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
@@ -345,8 +351,9 @@ object TextAnalysis {
     // broadcast-join FIRST: the join filters the exploded corpus grams to
     // the (tiny) shared subset map-side, so the only shuffle is the
     // per-doc countDistinct over matches — a pre-join .distinct() here
-    // shuffled every gram of the corpus
-    grams(docs, col(idCol))
+    // shuffled every gram of the corpus. The corpus-side tokenize+shingle
+    // pass is CPU-heavy: fan a sub-split-size input out first.
+    grams(graft.util.Fanout.widen(docs), col(idCol))
       .join(broadcast(evalGrams), "gram")
       .groupBy(idCol)
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
@@ -390,7 +397,9 @@ object TextAnalysis {
     */
   def duplicateGramStats(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val perDoc = docs
+    // tokenize+shingle is the CPU-heavy per-row pass: fan a
+    // sub-split-size input out so it doesn't run in one scan task
+    val perDoc = graft.util.Fanout.widen(docs)
       .select(col(idCol), whitespaceTokens(col(textCol)).as("w"))
       .select(col(idCol), explode(shinglesFromTokens(col("w"), n)).as("gram"))
       .distinct()
