@@ -35,6 +35,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Static conf (must be set before the context starts). The default
+  // 100-entry codegen cache thrashes under a many-query session (each
+  // gate plans dozens of codegen units; a 157-query suite recompiles
+  // warm plans constantly — GateProbe showed 0.2-0.9 s of
+  // CodeGenerator.doCompile per WARM gate run). Entries are weakly
+  // keyed per classloader, so a bigger cache costs only live-session
+  // memory; override via env for constrained drivers.
+  s"-Dspark.sql.codegen.cache.maxEntries=${
+    sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")}",
 )
 
 // ---------------------------------------------------------------------
