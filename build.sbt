@@ -44,7 +44,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // memory; override via env for constrained drivers.
   s"-Dspark.sql.codegen.cache.maxEntries=${
     sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXCLUDED_RULES").map(r =>
+  s"-Dspark.sql.optimizer.excludedRules=$r").toSeq
 
 // ---------------------------------------------------------------------
 // Glue SDK adapter: compile-only signature gate. The real AWS SDK is not

@@ -55,11 +55,20 @@ object Dedup {
     val grams = shingleSets(docs, idCol, textCol).cache()
 
     // whole signature + band keys in one native-expression pass per doc
-    // (no shingle explode, no 64-aggregate shuffle)
+    // (no shingle explode, no 64-aggregate shuffle). OUTER explode + a
+    // post-filter instead of plain posexplode: InferFiltersFromGenerate
+    // would otherwise plant `size(minhash_band_keys(…))>0 AND
+    // isnotnull(minhash_band_keys(…))` below the projection and evaluate
+    // the whole 64-hash pass THREE times per row (plan-audited); outer
+    // generates skip that rule, and the isnotnull filter on the
+    // generated column drops exactly the rows the non-outer form never
+    // emitted (keys is never null and never empty for a non-empty
+    // shingle set, so this is row-identical either way)
     val banded = grams.select(col("doc"),
         graft.functions.SketchFunctions
           .minhash_band_keys(col("shingles"), numHashes, bands).as("keys"))
-      .select(col("doc"), posexplode(col("keys")).as(Seq("band", "bkey")))
+      .select(col("doc"), posexplode_outer(col("keys")).as(Seq("band", "bkey")))
+      .filter(col("bkey").isNotNull)
 
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -349,9 +358,13 @@ object Dedup {
     // doesn't run in one scan task (guide §2.5)
     val toks = graft.util.Fanout.widen(docs).select(col(idCol),
       TextAnalysis.whitespaceTokens(col(textCol)).as("w"))
+    // OUTER explode + post-filter: the non-outer form's inferred
+    // generate filter would re-evaluate the whole shingle transform 2x
+    // extra per row below this projection (see minHashLsh)
     val grams = toks
       .select(col(idCol),
-        posexplode(TextAnalysis.shinglesFromTokens(col("w"), n)))
+        posexplode_outer(TextAnalysis.shinglesFromTokens(col("w"), n)))
+      .filter(col("col").isNotNull)
       .select(col(idCol), (col("pos") + 1).as("s"), md5(col("col")).as("gh"))
     val dup = grams.select(col("gh"), col(idCol)).distinct()
       .groupBy("gh").agg(count(lit(1)).as("nd"))

@@ -104,10 +104,13 @@ object TextAnalysis {
     val grams = graft.util.Fanout.widen(docs)
       .select(col(idCol), words.as("w"))
       .filter(size(col("w")) >= 2)
+      // OUTER explode + post-filter: avoids the inferred generate filter
+      // re-evaluating the bigram transform 2x extra per row
       .select(col(idCol), size(col("w")).cast("long").as("n_tokens"),
-        explode(transform(sequence(lit(1), size(col("w")) - 1),
+        explode_outer(transform(sequence(lit(1), size(col("w")) - 1),
           i => concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1)))).as("gram"))
+      .filter(col("gram").isNotNull)
     val ratio =
       col("top_bigram_n").cast("double") /
         (col("n_tokens") - 1).cast("double")
@@ -274,8 +277,11 @@ object TextAnalysis {
     // single-token explode is cheap and the (doc, term) partial
     // aggregation repeated per fanned-out slice outweighs the
     // parallelism on a sub-split corpus
+    // OUTER explode + post-filter: avoids the inferred generate filter
+    // re-tokenizing the document 2x extra per row
     val terms = docs.select(col(idCol),
-        explode(whitespaceTokens(col(textCol))).as("term"))
+        explode_outer(whitespaceTokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -344,9 +350,13 @@ object TextAnalysis {
       textCol: String, n: Int = 3): DataFrame = {
     // tokenize ONCE per doc in a projection below the Generate, then
     // shingle from the attribute — see shinglesFromTokens
+    // OUTER explode + post-filter: a plain explode's inferred generate
+    // filter re-evaluates the shingle transform 2x extra per row
     def grams(d: DataFrame, cols: Column*) = d
       .select(cols :+ whitespaceTokens(col(textCol)).as("w"): _*)
-      .select(cols :+ explode(shinglesFromTokens(col("w"), n)).as("gram"): _*)
+      .select(cols :+
+        explode_outer(shinglesFromTokens(col("w"), n)).as("gram"): _*)
+      .filter(col("gram").isNotNull)
     val evalGrams = grams(evalDocs).distinct()
     // broadcast-join FIRST: the join filters the exploded corpus grams to
     // the (tiny) shared subset map-side, so the only shuffle is the
@@ -401,7 +411,11 @@ object TextAnalysis {
     // sub-split-size input out so it doesn't run in one scan task
     val perDoc = graft.util.Fanout.widen(docs)
       .select(col(idCol), whitespaceTokens(col(textCol)).as("w"))
-      .select(col(idCol), explode(shinglesFromTokens(col("w"), n)).as("gram"))
+      // OUTER explode + post-filter: avoids the inferred generate filter
+      // re-evaluating the shingle transform 2x extra per row
+      .select(col(idCol),
+        explode_outer(shinglesFromTokens(col("w"), n)).as("gram"))
+      .filter(col("gram").isNotNull)
       .distinct()
     perDoc.groupBy("gram").agg(count(lit(1)).as("nd"))
       .agg(count(lit(1)).as("n_grams"),
@@ -502,11 +516,15 @@ object TextAnalysis {
       docs.agg(min(col(sourceCol)).as("__ref_src")))
     // the trigram explode is the CPU-heavy per-row pass: fan a
     // sub-split-size corpus out so it doesn't run in one scan task
+    // OUTER explode + post-filter: a plain explode's inferred generate
+    // filter would re-run the substring transform (and re-lowercase the
+    // document) 2x extra per row below the __lc projection
     val exploded = graft.util.Fanout.widen(docs)
       .withColumn("__lc", lower(col(textCol)))
       .crossJoin(refSrc)
       .select(col(idCol), col(sourceCol), col("__ref_src"),
-        explode(triExpr).as("tri"))
+        explode_outer(triExpr).as("tri"))
+      .filter(col("tri").isNotNull)
     val ref = broadcast(exploded
       .filter(col(sourceCol) === col("__ref_src"))
       .groupBy("tri").agg(count(lit(1)).as("ref_cnt")))

@@ -134,10 +134,16 @@ object StreamingOps {
       idCol: String, textCol: String, threshold: Double = 0.7,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     import docs.sparkSession.implicits._
+    // OUTER explode + post-filter (same rationale as Dedup.minHashLsh):
+    // the non-outer form's inferred generate filter re-evaluated the
+    // 64-hash minhash pass 3x per row in EVERY micro-batch's scan task —
+    // the gate's whole batch0/batch1 cost mystery (7.8 -> 2.8 s once
+    // audited); row-identical since keys is never null/empty here
     val banded = graft.operators.Dedup.shingleSets(docs, idCol, textCol)
       .select(col("doc"), graft.functions.SketchFunctions
         .minhash_band_keys(col("shingles"), numHashes, bands).as("keys"))
-      .select(col("doc"), posexplode(col("keys")).as(Seq("band", "bkey")))
+      .select(col("doc"), posexplode_outer(col("keys")).as(Seq("band", "bkey")))
+      .filter(col("bkey").isNotNull)
       .select(col("doc").as("doc_id"),
         concat_ws(":", col("band"), col("bkey")).as("bucket"))
       .as[(Long, String)]
